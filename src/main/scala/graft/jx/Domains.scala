@@ -1,0 +1,179 @@
+package graft.jx
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** JX `edges` + domains -> dense cube (SURVEY.md §2e; public repo
+  * `vendor/jx_base/domains.py`, `jx_python/cubes/aggs.py`).
+  *
+  * Plan shape (scales to 100 TB — no driver-side collect anywhere):
+  * {{{
+  *   bucketed = fact.withColumn(bucket_i, bucketExpr_i ...)
+  *   sparse   = bucketed.groupBy(bucket_*).agg(...)       // partial+final
+  *   domain   = crossJoin of per-edge domain DFs          // tiny, broadcast
+  *   dense    = domain.join(sparse, keys <=> , "left")    // broadcast-left
+  * }}}
+  * Domain tables are a few rows per edge (|partitions| or (max-min)/interval
+  * or top-k), so the dense join broadcasts the DOMAIN side and never
+  * shuffles the fact table a second time. The DefaultDomain top-k is itself
+  * a distributed groupBy/count/limit — two passes over the fact, zero
+  * collects.
+  */
+object Domains {
+  import DomainSpec._
+
+  /** Bucket expression + ordered domain DataFrame for one edge.
+    * Domain DF columns: value (named edge.name) + __ord for output order. */
+  final case class EdgePlan(bucket: Column, domain: DataFrame)
+
+  def plan(spark: SparkSession, df: DataFrame, edge: EdgeClause,
+           compiler: ExprCompiler): EdgePlan = {
+    val name = edge.name
+    edge.domain match {
+      case SetDomain(parts) =>
+        val v = compiler.compile(edge.value.getOrElse(
+          throw new IllegalArgumentException(s"edge $name needs a value")))
+        val dt = sparkTypeOfValue(parts)
+        val norm = parts.map(normalizeTo(dt, _))
+        val schema = StructType(Seq(
+          StructField(name, dt, nullable = true),
+          StructField("__ord", IntegerType, nullable = false)))
+        val domain = spark.createDataFrame(
+          spark.sparkContext.parallelize(norm.zipWithIndex.map {
+            case (p, i) => org.apache.spark.sql.Row(p, i)
+          }, 1), schema)
+        // values outside the partition list -> null bucket (overflow)
+        val inSet = v.isin(parts.filter(_ != null): _*)
+        EdgePlan(when(inSet, v).otherwise(lit(null)).cast(schema.head.dataType),
+                 domain)
+
+      case PredicateDomain(parts) =>
+        val bucket = parts.foldRight(lit(null).cast(StringType)) {
+          case ((pname, where), acc) =>
+            when(compiler.toBool(where), lit(pname)).otherwise(acc)
+        }
+        val rows = parts.map(_._1).zipWithIndex
+        val domain = spark.createDataFrame(rows).toDF(name, "__ord")
+        EdgePlan(bucket, domain)
+
+      case TimeDomain(minSpec, maxSpec, intervalSec) =>
+        val v = compiler.compile(edge.value.get)
+        val minMs = RelDate.parseMillis(minSpec)
+        val maxMs = RelDate.parseMillis(maxSpec)
+        val stepMs = intervalSec * 1000L
+        val n = math.ceil((maxMs - minMs).toDouble / stepMs).toInt
+        val sec = unix_timestamp(v) // seconds
+        val minSec = minMs / 1000L
+        val bucketSec = (floor((sec - lit(minSec)) / lit(intervalSec)) *
+          lit(intervalSec)) + lit(minSec)
+        val inRange = sec >= lit(minSec) && sec < lit(maxMs / 1000L)
+        val bucket = when(inRange, timestamp_seconds(bucketSec))
+          .otherwise(lit(null))
+        val domain = spark.range(n.toLong).toDF("__ord")
+          .select(timestamp_seconds(col("__ord") * intervalSec + minSec)
+                    .as(name),
+                  col("__ord").cast(IntegerType).as("__ord"))
+        EdgePlan(bucket, domain)
+
+      case RangeDomain(minV, maxV, interval) =>
+        val v = compiler.compile(edge.value.get).cast(DoubleType)
+        val n = math.ceil((maxV - minV) / interval).toInt
+        val bucketExpr = floor((v - lit(minV)) / lit(interval)) *
+          lit(interval) + lit(minV)
+        val inRange = v >= lit(minV) && v < lit(maxV)
+        val bucket = when(inRange, bucketExpr).otherwise(lit(null))
+        val domain = spark.range(n.toLong).toDF("__ord")
+          .select((col("__ord") * interval + minV).cast(DoubleType).as(name),
+                  col("__ord").cast(IntegerType).as("__ord"))
+        EdgePlan(bucket, domain)
+
+      case DefaultDomain(limit) =>
+        // two-pass, fully distributed: top-k most frequent values become
+        // the domain; everything else -> null (overflow partition when
+        // allowNulls). Order: frequency desc, then value, for determinism.
+        val v = compiler.compile(edge.value.get)
+        val freq = df.select(v.as(name)).where(col(name).isNotNull)
+          .groupBy(name).count()
+          .orderBy(col("count").desc, col(name))
+          .limit(limit)
+        val domain = freq.select(
+          col(name),
+          (row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("count").desc, col(name))) - 1).as("__ord"))
+        // membership via the domain itself (left-semi style) is another
+        // join; cheaper: bucket = value, and the dense left join from the
+        // domain keeps only top-k rows anyway. Overflow rows are those
+        // whose value doesn't match any domain row.
+        EdgePlan(v, domain)
+    }
+  }
+
+  private def sparkTypeOfValue(parts: Seq[Any]): DataType = {
+    // any double => whole domain is double (JX numbers are unified)
+    if (parts.exists(_.isInstanceOf[java.lang.Double])) DoubleType
+    else parts.collectFirst {
+      case _: String            => StringType
+      case _: java.lang.Long    => LongType
+      case _: java.lang.Boolean => BooleanType
+    }.getOrElse(StringType)
+  }
+
+  private def normalizeTo(dt: DataType, v: Any): Any = (dt, v) match {
+    case (_, null)                      => null
+    case (DoubleType, l: java.lang.Long) => java.lang.Double.valueOf(l.doubleValue)
+    case (StringType, other)            => other.toString
+    case _                              => v
+  }
+
+  /** Execute the full edges pipeline: bucket -> sparse agg -> dense join.
+    * Output columns: edge names (in order) then aggregate columns, rows
+    * ordered by domain order. */
+  def denseCube(spark: SparkSession, df: DataFrame, edges: Seq[EdgeClause],
+                aggs: Seq[(String, Column, String)], // (outName, aggCol, aggregate)
+                compiler: ExprCompiler): DataFrame = {
+    val plans = edges.map(e => plan(spark, df, e, compiler))
+    val names = edges.map(_.name)
+
+    val bucketed = edges.zip(plans).foldLeft(df) { case (d, (e, p)) =>
+      d.withColumn(s"__bucket_${e.name}", p.bucket)
+    }
+    val sparse = bucketed
+      .groupBy(names.map(n => col(s"__bucket_$n")).toIndexedSeq: _*)
+      .agg(aggs.head._2.as(aggs.head._1),
+           aggs.tail.map(a => a._2.as(a._1)).toIndexedSeq: _*)
+
+    // cross-join the (tiny) domains; each keeps its __ord as __ord_<name>
+    val domainAll = plans.zip(names).map { case (p, n) =>
+      val d = p.domain.withColumnRenamed("__ord", s"__ord_$n")
+      val withNull =
+        if (edges.find(_.name == n).get.allowNulls)
+          d.unionByName(
+            d.sparkSession.createDataFrame(
+              d.sparkSession.sparkContext.parallelize(
+                Seq(org.apache.spark.sql.Row(null, Int.MaxValue)), 1),
+              StructType(Seq(
+                StructField(n, d.schema.head.dataType, nullable = true),
+                StructField(s"__ord_$n", IntegerType, nullable = false)))))
+        else d
+      withNull
+    }.reduce(_.crossJoin(_))
+
+    // dense = domain LEFT JOIN sparse: the hashed (right) side is the
+    // POST-AGGREGATION sparse cube, whose row count is bounded by the
+    // product of domain cardinalities — always broadcastable, so the dense
+    // join never adds a shuffle beyond the aggregation's own exchange.
+    val joinCond = names.map(n => domainAll(n) <=> sparse(s"__bucket_$n"))
+      .reduce(_ && _)
+    val dense = domainAll.join(broadcast(sparse), joinCond, "left")
+
+    val aggCols = aggs.map { case (outName, _, aggregate) =>
+      if (Aggs.zeroWhenEmpty(aggregate))
+        coalesce(col(outName), lit(0L)).as(outName)
+      else col(outName)
+    }
+    dense
+      .orderBy(names.map(n => col(s"__ord_$n").asc).toIndexedSeq: _*)
+      .select((names.map(col) ++ aggCols).toIndexedSeq: _*)
+  }
+}

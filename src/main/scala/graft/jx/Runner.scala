@@ -1,0 +1,117 @@
+package graft.jx
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.Catalog
+
+/** Executes a [[JxQuery]] as one declarative DataFrame chain:
+  * `filter -> groupBy/edges agg (+ dense domain join) -> window -> select
+  * -> orderBy -> limit` — the Spark analog of the reference's
+  * `ListContainer.query` pipeline (public repo
+  * `vendor/jx_python/containers/list_usingPythonList.py`; SURVEY.md §3.2).
+  * Catalyst then does predicate pushdown / column pruning / partial-final
+  * aggregation on the resulting plan (SURVEY.md §4) — nothing here collects
+  * to the driver, so the same plan shape runs unchanged on a cluster.
+  */
+final class Runner(spark: SparkSession, catalog: Catalog) {
+
+  def run(json: String): DataFrame = run(QueryParser.parse(json))
+
+  def run(q: JxQuery): DataFrame = {
+    val base = catalog.table(q.from)
+    val compiler = ExprCompiler(base)
+
+    val filtered = q.where match {
+      case Some(w) => base.filter(compiler.toBool(w))
+      case None    => base
+    }
+
+    val shaped: DataFrame =
+      if (q.edges.nonEmpty) runEdges(filtered, q, compiler)
+      else if (q.groupby.nonEmpty) runGroupBy(filtered, q, compiler)
+      else if (q.select.exists(_.aggregate.nonEmpty)) runGlobalAgg(filtered, q)
+      else runSetop(filtered, q)
+
+    val sorted =
+      if (q.sort.isEmpty) shaped
+      else {
+        val c2 = ExprCompiler(shaped)
+        shaped.orderBy(q.sort.map { s =>
+          val c = c2.compile(s.value)
+          if (s.descending) c.desc_nulls_last else c.asc_nulls_first
+        }.toIndexedSeq: _*)
+      }
+    q.limit.map(n => sorted.limit(n.toInt)).getOrElse(sorted)
+  }
+
+  private def aggColumns(items: Seq[SelectItem],
+                         compiler: ExprCompiler): Seq[(String, Column, String)] =
+    items.collect {
+      case SelectItem(name, value, Some(agg), pct) =>
+        val v = value.map(e => Aggs.castForAgg(agg, compiler.compile(e)))
+        (name, Aggs.aggColumn(agg, v, pct), agg)
+    }
+
+  private def runGroupBy(df: DataFrame, q: JxQuery,
+                         compiler: ExprCompiler): DataFrame = {
+    val keys = q.groupby.map(k => compiler.compile(k.value).as(k.name))
+    val aggs = aggColumns(defaultAggs(q), compiler)
+    df.groupBy(keys.toIndexedSeq: _*)
+      .agg(aggs.head._2.as(aggs.head._1),
+           aggs.tail.map(a => a._2.as(a._1)).toIndexedSeq: _*)
+  }
+
+  private def runGlobalAgg(df: DataFrame, q: JxQuery): DataFrame = {
+    val compiler = ExprCompiler(df)
+    val aggs = aggColumns(q.select, compiler)
+    df.agg(aggs.head._2.as(aggs.head._1),
+           aggs.tail.map(a => a._2.as(a._1)).toIndexedSeq: _*)
+  }
+
+  private def runEdges(df: DataFrame, q: JxQuery,
+                       compiler: ExprCompiler): DataFrame = {
+    val aggs = aggColumns(defaultAggs(q), compiler)
+    Domains.denseCube(spark, df, q.edges, aggs, compiler)
+  }
+
+  /** JX: an edges/groupby query with no aggregate select still counts. */
+  private def defaultAggs(q: JxQuery): Seq[SelectItem] =
+    if (q.select.exists(_.aggregate.nonEmpty)) q.select
+    else Seq(SelectItem("count", None, Some("count"), None))
+
+  private def runSetop(df: DataFrame, q: JxQuery): DataFrame = {
+    // windows add columns first; select can then reference them by name
+    val windowed = q.windows.foldLeft(df)(Windows.apply)
+    if (q.selectAll || q.select.isEmpty) windowed
+    else {
+      val c2 = ExprCompiler(windowed)
+      val cols = q.select.flatMap {
+        case SelectItem(_, Some(Expr.Leaves(prefix)), _, _) =>
+          leavesOf(windowed, prefix)
+        case SelectItem(name, Some(v), None, _) =>
+          Seq(c2.compile(v).as(name))
+        case SelectItem(name, None, _, _) =>
+          Seq(col(name)) // window output or existing column
+        case other =>
+          Seq(c2.compile(other.value.get).as(other.name))
+      }
+      windowed.select(cols.toIndexedSeq: _*)
+    }
+  }
+
+  /** `{"select": {"leaves": "."}}` — flatten every leaf column, dotted
+    * path -> underscore name (SURVEY.md §2b P2). */
+  private def leavesOf(df: DataFrame, prefix: String): Seq[Column] = {
+    import org.apache.spark.sql.types._
+    def walk(dt: DataType, path: Seq[String]): Seq[Seq[String]] = dt match {
+      case s: StructType =>
+        s.fields.toSeq.flatMap(f => walk(f.dataType, path :+ f.name))
+      case _ => Seq(path)
+    }
+    val all = walk(df.schema, Nil)
+    val want =
+      if (prefix == "." || prefix.isEmpty) all
+      else all.filter(_.mkString(".").startsWith(prefix + "."))
+    want.map(p => col(p.mkString(".")).as(p.mkString("_")))
+  }
+}
