@@ -40,6 +40,16 @@ object SparkEntry {
     }.toIndexedSeq: _*)
   }
 
+  /** Cast day-aligned timestamp columns to DATE (oracle-compare-stable). */
+  private def dated(cols: String*)(fn: (SparkSession, String) => DataFrame)
+      : (SparkSession, String) => DataFrame = { (spark, dir) =>
+    val df = fn(spark, dir)
+    val s = cols.toSet
+    df.select(df.columns.map { c =>
+      if (s.contains(c)) to_date(col(c)).as(c) else col(c)
+    }.toIndexedSeq: _*)
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q1 skeleton through the full JX pipeline (SURVEY.md §7 M1). */
   def entry(spark: SparkSession): DataFrame =
@@ -64,7 +74,172 @@ object SparkEntry {
          {"name": "avg_price", "value": "l_extendedprice", "aggregate": "average"},
          {"name": "avg_disc", "value": "l_discount", "aggregate": "average"},
          {"name": "count_order", "aggregate": "count"}],
-       "sort": ["l_returnflag", "l_linestatus"]}"""))
+       "sort": ["l_returnflag", "l_linestatus"]}""")),
+
+    // --- M1: filter + computed select + sort + limit (SURVEY.md §2b,2g,2i) ---
+    "q02_filter_select_sort" -> rounded("revenue" -> 4)(jx("""
+      {"from": "lineitem",
+       "where": {"and": [
+         {"gte": ["l_shipdate", {"date": "1996-01-01"}]},
+         {"lt":  ["l_shipdate", {"date": "1996-07-01"}]},
+         {"gt":  ["l_discount", 0.05]}]},
+       "select": [
+         "l_orderkey", "l_linenumber",
+         {"name": "revenue",
+          "value": {"mult": ["l_extendedprice", {"sub": [1, "l_discount"]}]}}],
+       "sort": [{"value": {"mult": ["l_extendedprice", {"sub": [1, "l_discount"]}]}, "sort": -1},
+                "l_orderkey", "l_linenumber"],
+       "limit": 100}""")),
+
+    // --- M3: edges with SetDomain — dense cube incl. empty partition ---
+    "q03_edges_set_dense" -> rounded("sum_price" -> 2)(jx("""
+      {"from": "orders",
+       "edges": [{"name": "status", "value": "o_orderstatus",
+                  "domain": {"type": "set",
+                             "partitions": ["O", "F", "P", "X"]}}],
+       "select": [{"name": "n", "aggregate": "count"},
+                  {"name": "sum_price", "value": "o_totalprice",
+                   "aggregate": "sum"}]}""")),
+
+    // --- M3: edges with TimeDomain — dense weekly buckets ---
+    "q04_edges_time" -> rounded("sum_price" -> 2)(dated("week")(jx("""
+      {"from": "orders",
+       "edges": [{"name": "week", "value": "o_orderdate",
+                  "domain": {"type": "time", "min": "1996-01-01",
+                             "max": "1996-04-01", "interval": "week"}}],
+       "select": [{"name": "n", "aggregate": "count"},
+                  {"name": "sum_price", "value": "o_totalprice",
+                   "aggregate": "sum"}]}"""))),
+
+    // --- M3: edges with RangeDomain — dense numeric buckets ---
+    "q05_edges_range" -> rounded("avg_price" -> 6)(jx("""
+      {"from": "lineitem",
+       "edges": [{"name": "qty_bucket", "value": "l_quantity",
+                  "domain": {"type": "range", "min": 0, "max": 60,
+                             "interval": 10}}],
+       "select": [{"name": "n", "aggregate": "count"},
+                  {"name": "avg_price", "value": "l_extendedprice",
+                   "aggregate": "average"}]}""")),
+
+    // --- M3: edges with DefaultDomain — data-driven top-k partitions ---
+    "q06_edges_topk" -> rounded("sum_retail" -> 2)(jx("""
+      {"from": "part",
+       "edges": [{"name": "brand", "value": "p_brand",
+                  "domain": {"type": "default", "limit": 5}}],
+       "select": [{"name": "n", "aggregate": "count"},
+                  {"name": "sum_retail", "value": "p_retailprice",
+                   "aggregate": "sum"}]}""")),
+
+    // --- M3: predicate-partition edge (bucket by arbitrary where) ---
+    "q07_edges_predicate" -> rounded("avg_bal" -> 6)(jx("""
+      {"from": "customer",
+       "edges": [{"name": "tier",
+                  "domain": {"type": "set", "partitions": [
+                    {"name": "negative", "where": {"lt": ["c_acctbal", 0]}},
+                    {"name": "low",  "where": {"and": [{"gte": ["c_acctbal", 0]},
+                                                       {"lt": ["c_acctbal", 5000]}]}},
+                    {"name": "high", "where": {"gte": ["c_acctbal", 5000]}}]}}],
+       "select": [{"name": "n", "aggregate": "count"},
+                  {"name": "avg_bal", "value": "c_acctbal",
+                   "aggregate": "average"}]}""")),
+
+    // --- M4: window clause — running sum, lag, rownum (SURVEY.md §2f) ---
+    "q08_window" -> rounded("running_qty" -> 4)(jx("""
+      {"from": "lineitem",
+       "where": {"and": [{"gte": ["l_shipdate", {"date": "1996-01-01"}]},
+                         {"lt":  ["l_shipdate", {"date": "1996-02-01"}]}]},
+       "select": ["l_suppkey", "l_orderkey", "l_linenumber",
+                  "running_qty", "prev_qty", "rn"],
+       "window": [
+         {"name": "running_qty", "value": "l_quantity", "aggregate": "sum",
+          "edges": ["l_suppkey"],
+          "sort": ["l_shipdate", "l_orderkey", "l_linenumber"],
+          "range": {"max": 0}},
+         {"name": "prev_qty", "value": {"rows": ["l_quantity", -1]},
+          "edges": ["l_suppkey"],
+          "sort": ["l_shipdate", "l_orderkey", "l_linenumber"]},
+         {"name": "rn", "value": {"rownum": []},
+          "edges": ["l_suppkey"],
+          "sort": ["l_shipdate", "l_orderkey", "l_linenumber"]}],
+       "sort": ["l_suppkey", "rn"]}""")),
+
+    // --- M2: global aggregates incl. exact median/percentile/cardinality ---
+    "q09_global_aggs" -> rounded(
+      "sum_qty" -> 4, "med_qty" -> 6, "p90_qty" -> 6, "std_qty" -> 6)(jx("""
+      {"from": "lineitem",
+       "select": [
+         {"name": "n", "aggregate": "count"},
+         {"name": "sum_qty", "value": "l_quantity", "aggregate": "sum"},
+         {"name": "min_ship", "value": "l_shipdate", "aggregate": "minimum"},
+         {"name": "max_ship", "value": "l_shipdate", "aggregate": "maximum"},
+         {"name": "med_qty", "value": "l_quantity", "aggregate": "median"},
+         {"name": "p90_qty", "value": "l_quantity", "aggregate": "percentile",
+          "percentile": 0.9},
+         {"name": "n_parts", "value": "l_partkey", "aggregate": "cardinality"},
+         {"name": "std_qty", "value": "l_quantity", "aggregate": "std"}]}""")),
+
+    // --- M1: string expression ops (SURVEY.md §2i strings) ---
+    "q10_string_exprs" -> jx("""
+      {"from": "part",
+       "select": [
+         "p_partkey",
+         {"name": "name_l5", "value": {"left": ["p_name", 5]}},
+         {"name": "name_r4", "value": {"right": ["p_name", 4]}},
+         {"name": "name_tail", "value": {"not_left": ["p_name", 6]}},
+         {"name": "pos_ol", "value": {"find": ["p_name", {"literal": "ol"}]}},
+         {"name": "brand_type",
+          "value": {"concat": ["p_brand", "p_type"], "separator": " / "}},
+         {"name": "is_economy", "value": {"prefix": {"p_type": "ECONOMY"}}},
+         {"name": "has_red", "value": {"regex": ["p_name", ".*red.*"]}},
+         {"name": "n_words",
+          "value": {"length": {"concat": ["p_name"], "separator": ""}}}],
+       "sort": ["p_partkey"]}"""),
+
+    // --- M1: JX null/missing semantics (SURVEY.md §7 hard parts) ---
+    "q11_null_semantics" -> jx("""
+      {"from": "customer",
+       "select": [
+         "c_custkey",
+         {"name": "maybe_name",
+          "value": {"when": {"lt": ["c_acctbal", 0]},
+                    "then": {"literal": ""}, "else": "c_name"}},
+         {"name": "is_missing",
+          "value": {"missing": {"when": {"lt": ["c_acctbal", 0]},
+                                "then": {"literal": ""}, "else": "c_name"}}},
+         {"name": "fallback",
+          "value": {"coalesce": [
+            {"when": {"lt": ["c_acctbal", 0]},
+             "then": {"literal": ""}, "else": "c_name"},
+            {"literal": "NONE"}]}},
+         {"name": "add_ignores_missing",
+          "value": {"add": ["c_acctbal", "no.such.column"]}},
+         {"name": "all_missing_default",
+          "value": {"add": ["no.such.a", "no.such.b"], "default": 0}},
+         {"name": "eq_null_safe",
+          "value": {"eq": ["no.such.a", "no.such.b"]}}],
+       "sort": ["c_custkey"]}"""),
+
+    // --- M1: time expressions — unix/from_unix/floor-to-day + groupby ---
+    "q12_time_exprs" -> dated("day")(jx("""
+      {"from": "events",
+       "where": {"and": [{"gte": ["ts", {"date": "2024-01-05"}]},
+                         {"lt":  ["ts", {"date": "2024-01-20"}]}]},
+       "groupby": [{"name": "day",
+                    "value": {"from_unix": {"mult": [
+                      {"floor": {"div": [{"unix": "ts"}, 86400]}}, 86400]}}}],
+       "select": [{"name": "n", "aggregate": "count"}],
+       "sort": ["day"]}""")),
+
+    // --- M2: collection aggregates — union (set) over groups ---
+    "q13_collect_aggs" -> jx("""
+      {"from": "lineitem",
+       "groupby": ["l_returnflag"],
+       "select": [
+         {"name": "statuses", "value": "l_linestatus", "aggregate": "union"},
+         {"name": "n_status", "value": "l_linestatus",
+          "aggregate": "cardinality"},
+         {"name": "one_flag", "value": "l_returnflag", "aggregate": "one"}],
+       "sort": ["l_returnflag"]}""")
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same column names & rounding). */
@@ -81,6 +256,133 @@ object SparkEntry {
       FROM lineitem
       WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
       GROUP BY l_returnflag, l_linestatus
-      ORDER BY l_returnflag, l_linestatus"""
+      ORDER BY l_returnflag, l_linestatus""",
+
+    "q02_filter_select_sort" -> """
+      SELECT l_orderkey, l_linenumber,
+             round(l_extendedprice * (1 - l_discount), 4) AS revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-07-01'
+        AND l_discount > 0.05
+      ORDER BY l_extendedprice * (1 - l_discount) DESC,
+               l_orderkey, l_linenumber
+      LIMIT 100""",
+
+    "q03_edges_set_dense" -> """
+      WITH d(status, ord) AS (VALUES ('O',0),('F',1),('P',2),('X',3)),
+      s AS (SELECT o_orderstatus AS status, count(*) AS n,
+                   round(sum(o_totalprice), 2) AS sum_price
+            FROM orders GROUP BY 1)
+      SELECT d.status, coalesce(s.n, 0) AS n, s.sum_price
+      FROM d LEFT JOIN s USING (status)
+      ORDER BY d.ord""",
+
+    "q04_edges_time" -> """
+      WITH d AS (SELECT unnest(generate_series(TIMESTAMP '1996-01-01',
+                   TIMESTAMP '1996-03-25', INTERVAL 7 DAY)) AS week),
+      s AS (SELECT TIMESTAMP '1996-01-01'
+                   + CAST(floor(date_diff('day', TIMESTAMP '1996-01-01',
+                       o_orderdate) / 7) AS INT) * INTERVAL 7 DAY AS week,
+                   count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-04-01'
+            GROUP BY 1)
+      SELECT CAST(d.week AS DATE) AS week, coalesce(s.n, 0) AS n, s.sum_price
+      FROM d LEFT JOIN s ON d.week = s.week
+      ORDER BY d.week""",
+
+    "q05_edges_range" -> """
+      WITH d AS (SELECT CAST(unnest(generate_series(0, 50, 10)) AS DOUBLE)
+                   AS qty_bucket),
+      s AS (SELECT floor(l_quantity / 10) * 10 AS qty_bucket,
+                   count(*) AS n, round(avg(l_extendedprice), 6) AS avg_price
+            FROM lineitem GROUP BY 1)
+      SELECT d.qty_bucket, coalesce(s.n, 0) AS n, s.avg_price
+      FROM d LEFT JOIN s USING (qty_bucket)
+      ORDER BY d.qty_bucket""",
+
+    "q06_edges_topk" -> """
+      SELECT p_brand AS brand, count(*) AS n,
+             round(sum(p_retailprice), 2) AS sum_retail
+      FROM part GROUP BY 1
+      ORDER BY count(*) DESC, p_brand
+      LIMIT 5""",
+
+    "q07_edges_predicate" -> """
+      WITH d(tier, ord) AS (VALUES ('negative',0),('low',1),('high',2)),
+      s AS (SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+                        WHEN c_acctbal >= 0 AND c_acctbal < 5000 THEN 'low'
+                        WHEN c_acctbal >= 5000 THEN 'high' END AS tier,
+                   count(*) AS n, round(avg(c_acctbal), 6) AS avg_bal
+            FROM customer GROUP BY 1)
+      SELECT d.tier, coalesce(s.n, 0) AS n, s.avg_bal
+      FROM d LEFT JOIN s USING (tier)
+      ORDER BY d.ord""",
+
+    "q08_window" -> """
+      SELECT l_suppkey, l_orderkey, l_linenumber,
+             round(sum(l_quantity) OVER w, 4) AS running_qty,
+             lag(l_quantity) OVER w2 AS prev_qty,
+             CAST(row_number() OVER w2 - 1 AS INT) AS rn
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-02-01'
+      WINDOW w AS (PARTITION BY l_suppkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             w2 AS (PARTITION BY l_suppkey
+                    ORDER BY l_shipdate, l_orderkey, l_linenumber)
+      ORDER BY l_suppkey, rn""",
+
+    "q09_global_aggs" -> """
+      SELECT count(*) AS n, round(sum(l_quantity), 4) AS sum_qty,
+             min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship,
+             round(quantile_cont(l_quantity, 0.5), 6) AS med_qty,
+             round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+             count(DISTINCT l_partkey) AS n_parts,
+             round(stddev_samp(l_quantity), 6) AS std_qty
+      FROM lineitem""",
+
+    "q10_string_exprs" -> """
+      SELECT p_partkey,
+             substr(p_name, 1, 5) AS name_l5,
+             substr(p_name, greatest(length(p_name) - 3, 1), 4) AS name_r4,
+             substr(p_name, 7, greatest(length(p_name) - 6, 0)) AS name_tail,
+             NULLIF(strpos(p_name, 'ol'), 0) - 1 AS pos_ol,
+             concat_ws(' / ', p_brand, p_type) AS brand_type,
+             (p_type LIKE 'ECONOMY%') AS is_economy,
+             regexp_full_match(p_name, '.*red.*') AS has_red,
+             length(p_name) AS n_words
+      FROM part ORDER BY p_partkey""",
+
+    "q11_null_semantics" -> """
+      SELECT c_custkey,
+             CASE WHEN c_acctbal < 0 THEN '' ELSE c_name END AS maybe_name,
+             (CASE WHEN c_acctbal < 0 THEN '' ELSE c_name END IS NULL OR
+              CASE WHEN c_acctbal < 0 THEN '' ELSE c_name END = '')
+               AS is_missing,
+             COALESCE(NULLIF(CASE WHEN c_acctbal < 0 THEN ''
+                                  ELSE c_name END, ''), 'NONE') AS fallback,
+             c_acctbal AS add_ignores_missing,
+             CAST(0 AS DOUBLE) AS all_missing_default,
+             TRUE AS eq_null_safe
+      FROM customer ORDER BY c_custkey""",
+
+    "q12_time_exprs" -> """
+      SELECT CAST(to_timestamp(floor(epoch(ts) / 86400) * 86400) AS DATE)
+               AS day,
+             count(*) AS n
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-20'
+      GROUP BY 1 ORDER BY 1""",
+
+    "q13_collect_aggs" -> """
+      SELECT l_returnflag,
+             list_sort(list(DISTINCT l_linestatus)) AS statuses,
+             count(DISTINCT l_linestatus) AS n_status,
+             min(l_returnflag) AS one_flag
+      FROM lineitem GROUP BY 1 ORDER BY 1"""
   )
 }

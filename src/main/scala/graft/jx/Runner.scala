@@ -26,23 +26,34 @@ final class Runner(spark: SparkSession, catalog: Catalog) {
       case None    => base
     }
 
-    val shaped: DataFrame =
-      if (q.edges.nonEmpty) runEdges(filtered, q, compiler)
-      else if (q.groupby.nonEmpty) runGroupBy(filtered, q, compiler)
-      else if (q.select.exists(_.aggregate.nonEmpty)) runGlobalAgg(filtered, q)
-      else runSetop(filtered, q)
-
-    val sorted =
-      if (q.sort.isEmpty) shaped
-      else {
-        val c2 = ExprCompiler(shaped)
-        shaped.orderBy(q.sort.map { s =>
-          val c = c2.compile(s.value)
-          if (s.descending) c.desc_nulls_last else c.asc_nulls_first
-        }.toIndexedSeq: _*)
-      }
-    q.limit.map(n => sorted.limit(n.toInt)).getOrElse(sorted)
+    if (q.isAggregate) {
+      // aggregate path: sort/limit apply to the aggregated output
+      val shaped =
+        if (q.edges.nonEmpty) runEdges(filtered, q, compiler)
+        else if (q.groupby.nonEmpty) runGroupBy(filtered, q, compiler)
+        else runGlobalAgg(filtered, q)
+      limited(sortBy(shaped, q.sort), q.limit)
+    } else {
+      // setop path mirrors the reference's pipeline order (SURVEY.md §3.2):
+      // filter -> window -> sort -> limit -> select, so sort keys may
+      // reference columns the projection later drops.
+      val windowed = q.windows.foldLeft(filtered)(Windows.apply)
+      runSelect(limited(sortBy(windowed, q.sort), q.limit), q)
+    }
   }
+
+  private def sortBy(df: DataFrame, sort: Seq[SortSpec]): DataFrame =
+    if (sort.isEmpty) df
+    else {
+      val c2 = ExprCompiler(df)
+      df.orderBy(sort.map { s =>
+        val c = c2.compile(s.value)
+        if (s.descending) c.desc_nulls_last else c.asc_nulls_first
+      }.toIndexedSeq: _*)
+    }
+
+  private def limited(df: DataFrame, limit: Option[Long]): DataFrame =
+    limit.map(n => df.limit(n.toInt)).getOrElse(df)
 
   private def aggColumns(items: Seq[SelectItem],
                          compiler: ExprCompiler): Seq[(String, Column, String)] =
@@ -79,15 +90,13 @@ final class Runner(spark: SparkSession, catalog: Catalog) {
     if (q.select.exists(_.aggregate.nonEmpty)) q.select
     else Seq(SelectItem("count", None, Some("count"), None))
 
-  private def runSetop(df: DataFrame, q: JxQuery): DataFrame = {
-    // windows add columns first; select can then reference them by name
-    val windowed = q.windows.foldLeft(df)(Windows.apply)
-    if (q.selectAll || q.select.isEmpty) windowed
+  private def runSelect(df: DataFrame, q: JxQuery): DataFrame =
+    if (q.selectAll || q.select.isEmpty) df
     else {
-      val c2 = ExprCompiler(windowed)
+      val c2 = ExprCompiler(df)
       val cols = q.select.flatMap {
         case SelectItem(_, Some(Expr.Leaves(prefix)), _, _) =>
-          leavesOf(windowed, prefix)
+          leavesOf(df, prefix)
         case SelectItem(name, Some(v), None, _) =>
           Seq(c2.compile(v).as(name))
         case SelectItem(name, None, _, _) =>
@@ -95,9 +104,8 @@ final class Runner(spark: SparkSession, catalog: Catalog) {
         case other =>
           Seq(c2.compile(other.value.get).as(other.name))
       }
-      windowed.select(cols.toIndexedSeq: _*)
+      df.select(cols.toIndexedSeq: _*)
     }
-  }
 
   /** `{"select": {"leaves": "."}}` — flatten every leaf column, dotted
     * path -> underscore name (SURVEY.md §2b P2). */

@@ -34,9 +34,54 @@ final class Catalog(spark: SparkSession, dir: String) {
       .find { case (b, _) => baseNames.contains(b) }
       .getOrElse(throw new IllegalArgumentException(
         s"unknown table: $name (have: ${baseTables.mkString(", ")})"))
-    val df = spark.read.parquet(s"$dir/$base.parquet")
+    val df = readParquet(s"$dir/$base.parquet")
     nested.foldLeft(df)(explodeLevel)
   })
+
+  /** Read parquet, transparently handling TIMESTAMP(NANOS) columns (which
+    * Spark's vectorized reader rejects): such columns are read as long
+    * nanos via the legacy flag and converted to TimestampType (micros).
+    * Column detection is from the parquet footer — no per-table
+    * hardcoding, works for any source file. */
+  private def readParquet(path: String): DataFrame = {
+    val nanos = nanoTimestampCols(path)
+    if (nanos.isEmpty) spark.read.parquet(path)
+    else {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(path)
+      nanos.foldLeft(raw) { (d, c) =>
+        d.withColumn(c, timestamp_micros((col(c) / 1000L).cast("long")))
+      }
+    }
+  }
+
+  /** Names of top-level TIMESTAMP(NANOS) columns per the parquet footer. */
+  private def nanoTimestampCols(path: String): Seq[String] = {
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+    val f = new java.io.File(path)
+    val file =
+      if (f.isDirectory)
+        f.listFiles().find(_.getName.endsWith(".parquet"))
+          .getOrElse(return Nil)
+      else f
+    val conf = spark.sessionState.newHadoopConf()
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file.getAbsolutePath), conf))
+    try {
+      import scala.jdk.CollectionConverters._
+      reader.getFooter.getFileMetaData.getSchema.getFields.asScala.collect {
+        case field if Option(field.getLogicalTypeAnnotation).exists {
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            t.getUnit == TimeUnit.NANOS
+          case _ => false
+        } => field.getName
+      }.toSeq
+    } finally reader.close()
+  }
 
   /** Explode one nested array-of-struct level, keeping parent scalars. */
   private def explodeLevel(df: DataFrame, field: String): DataFrame = {
