@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.jx.Runner
+import graft.operators.{Joins, Sessionize, SetOps}
 import graft.tables.Catalog
 
 /** Driver contract — see SURVEY.md §7 + BASELINE.md.
@@ -25,6 +26,9 @@ object SparkEntry {
   /** JX-engine query helper: JSON in, DataFrame out. */
   private def jx(json: String): (SparkSession, String) => DataFrame =
     (spark, dir) => new Runner(spark, new Catalog(spark, dir)).run(json)
+
+  private def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
+    new Catalog(spark, dir).table(name)
 
   /** Round the named double columns for FP-stable oracle comparison. */
   private def rounded(cols: (String, Int)*)(
@@ -239,7 +243,114 @@ object SparkEntry {
          {"name": "n_status", "value": "l_linestatus",
           "aggregate": "cardinality"},
          {"name": "one_flag", "value": "l_returnflag", "aggregate": "one"}],
-       "sort": ["l_returnflag"]}""")
+       "sort": ["l_returnflag"]}"""),
+
+    // --- M5 J1: enrichment broadcast joins, customer->nation->region ---
+    "q14_join_enrich" -> rounded("sum_bal" -> 2)({ (spark, dir) =>
+      val customer = tbl(spark, dir, "customer")
+      val nation = tbl(spark, dir, "nation")
+      val region = tbl(spark, dir, "region")
+      Joins.enrich(
+          Joins.enrich(customer, nation,
+            customer("c_nationkey") === nation("n_nationkey")),
+          region, col("n_regionkey") === region("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_cust"), sum("c_acctbal").as("sum_bal"))
+        .orderBy(col("r_name"))
+    }),
+
+    // --- M5: left-semi join (EXISTS) ---
+    "q15_semi_join" -> { (spark, dir) =>
+      val orders = tbl(spark, dir, "orders")
+      val li = tbl(spark, dir, "lineitem")
+      Joins.semi(orders, li.filter(col("l_discount") > 0.08),
+          orders("o_orderkey") === li("l_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus"))
+    },
+
+    // --- M5: left-anti join (NOT EXISTS) ---
+    "q16_anti_join" -> { (spark, dir) =>
+      val customer = tbl(spark, dir, "customer")
+      val orders = tbl(spark, dir, "orders")
+        .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf(
+          "2001-01-01 00:00:00")))
+      val nation = tbl(spark, dir, "nation")
+      val inactive = Joins.anti(customer, orders,
+        customer("c_custkey") === orders("o_custkey"))
+      Joins.enrich(inactive, nation,
+          inactive("c_nationkey") === nation("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_inactive"))
+        .orderBy(col("n_name"))
+    },
+
+    // --- M5 J3: concat heterogeneous sources (unionByName) ---
+    "q17_union_concat" -> rounded("sum_bal" -> 2)({ (spark, dir) =>
+      val customer = tbl(spark, dir, "customer")
+        .select(col("c_custkey").as("key"), col("c_acctbal").as("acctbal"),
+                col("c_mktsegment").as("segment"),
+                lit("customer").as("kind"))
+      val supplier = tbl(spark, dir, "supplier")
+        .select(col("s_suppkey").as("key"), col("s_acctbal").as("acctbal"),
+                lit("supplier").as("kind"))
+      SetOps.concat(Seq(customer, supplier))
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).as("n"), sum("acctbal").as("sum_bal"),
+             count(col("segment")).as("n_with_segment"))
+        .orderBy(col("kind"))
+    }),
+
+    // --- M5 J4: nested reassembly (un-explode): order + lineitem array ---
+    "q18_nested_reassembly" -> { (spark, dir) =>
+      val orders = tbl(spark, dir, "orders")
+      val li = tbl(spark, dir, "lineitem")
+        .withColumnRenamed("l_orderkey", "o_orderkey")
+      Joins.reassemble(orders, li, "o_orderkey",
+          "lines", Seq(col("l_linenumber"), col("l_quantity")))
+        .select(col("o_orderkey"),
+                when(col("lines").isNull, lit(0))
+                  .otherwise(size(col("lines"))).as("n_lines"),
+                when(col("lines").isNull, lit(null))
+                  .otherwise(transform(col("lines"),
+                    x => x.getField("l_quantity"))).as("quantities"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // --- M7/2l: tumbling-window 2-D dense cube over the event stream ---
+    "q19_events_cube" -> rounded("sum_value" -> 4)(dated("day")(jx("""
+      {"from": "events",
+       "edges": [
+         {"name": "day", "value": "ts",
+          "domain": {"type": "time", "min": "2024-01-01",
+                     "max": "2024-01-08", "interval": "day"}},
+         {"name": "etype", "value": "event_type",
+          "domain": {"type": "set",
+                     "partitions": ["click", "view", "purchase", "signup",
+                                    "error"]}}],
+       "select": [{"name": "n", "aggregate": "count"},
+                  {"name": "sum_value", "value": "value",
+                   "aggregate": "sum"}]}"""))),
+
+    // --- M7: gap-based sessionization (batch form) ---
+    "q20_sessionize" -> { (spark, dir) =>
+      val events = tbl(spark, dir, "events")
+      Sessionize.withSessionIds(events, col("user_id"), col("ts"), 1800L)
+        .groupBy(col("user_id"))
+        .agg((max(col("session_id")) + 1).as("n_sessions"),
+             count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))
+    },
+
+    // --- M7/2l: exact dedup by deterministic id (at-least-once replay) ---
+    "q21_dedup_ids" -> { (spark, dir) =>
+      val events = tbl(spark, dir, "events")
+      val deduped = events.dropDuplicates("user_id", "event_type")
+      deduped.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_user_types"))
+        .orderBy(col("event_type"))
+    }
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same column names & rounding). */
@@ -383,6 +494,79 @@ object SparkEntry {
              list_sort(list(DISTINCT l_linestatus)) AS statuses,
              count(DISTINCT l_linestatus) AS n_status,
              min(l_returnflag) AS one_flag
-      FROM lineitem GROUP BY 1 ORDER BY 1"""
+      FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "q14_join_enrich" -> """
+      SELECT r_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS sum_bal
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY 1 ORDER BY 1""",
+
+    "q15_semi_join" -> """
+      SELECT o_orderstatus, count(*) AS n
+      FROM orders
+      WHERE EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey AND l_discount > 0.08)
+      GROUP BY 1 ORDER BY 1""",
+
+    "q16_anti_join" -> """
+      SELECT n_name, count(*) AS n_inactive
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey
+                          AND o_orderdate >= TIMESTAMP '2001-01-01')
+      GROUP BY 1 ORDER BY 1""",
+
+    "q17_union_concat" -> """
+      WITH u AS (
+        SELECT c_custkey AS key, c_acctbal AS acctbal,
+               c_mktsegment AS segment, 'customer' AS kind FROM customer
+        UNION ALL
+        SELECT s_suppkey, s_acctbal, NULL, 'supplier' FROM supplier)
+      SELECT kind, count(*) AS n, round(sum(acctbal), 2) AS sum_bal,
+             count(segment) AS n_with_segment
+      FROM u GROUP BY 1 ORDER BY 1""",
+
+    "q18_nested_reassembly" -> """
+      WITH lines AS (
+        SELECT l_orderkey AS o_orderkey,
+               CAST(count(*) AS INT) AS n_lines,
+               list(l_quantity ORDER BY l_linenumber, l_quantity) AS quantities
+        FROM lineitem GROUP BY 1)
+      SELECT o.o_orderkey, coalesce(l.n_lines, 0) AS n_lines, l.quantities
+      FROM orders o LEFT JOIN lines l USING (o_orderkey)
+      ORDER BY o.o_orderkey""",
+
+    "q19_events_cube" -> """
+      WITH d AS (SELECT unnest(generate_series(DATE '2024-01-01',
+                   DATE '2024-01-07', INTERVAL 1 DAY)) AS day),
+      e AS (SELECT unnest(['click','view','purchase','signup','error'])
+              AS etype, unnest([0,1,2,3,4]) AS eord),
+      s AS (SELECT CAST(ts AS DATE) AS day, event_type AS etype,
+                   count(*) AS n, round(sum(value), 4) AS sum_value
+            FROM events
+            WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+            GROUP BY 1, 2)
+      SELECT CAST(d.day AS DATE) AS day, e.etype,
+             coalesce(s.n, 0) AS n, s.sum_value
+      FROM d CROSS JOIN e
+      LEFT JOIN s ON s.day = d.day AND s.etype = e.etype
+      ORDER BY d.day, e.eord""",
+
+    "q20_sessionize" -> """
+      WITH g AS (
+        SELECT user_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                            > 1800 * 1000000 THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+      SELECT user_id, sum(is_new) AS n_sessions, count(*) AS n_events
+      FROM g GROUP BY 1 ORDER BY 1""",
+
+    "q21_dedup_ids" -> """
+      SELECT event_type, count(DISTINCT user_id) AS n_user_types
+      FROM events GROUP BY 1 ORDER BY 1"""
   )
 }
