@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.jx.Runner
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.operators.{Joins, Sessionize, SetOps}
 import graft.tables.Catalog
 
@@ -350,6 +351,118 @@ object SparkEntry {
       deduped.groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_user_types"))
         .orderBy(col("event_type"))
+    },
+
+    // --- M8: text quality scoring over documents ---
+    "q22_text_quality" -> rounded(
+      "punct_ratio" -> 6, "stopword_ratio" -> 6, "mean_word_len" -> 6)({
+      (spark, dir) =>
+        val docs = tbl(spark, dir, "documents")
+        docs.select(
+          col("doc_id"),
+          length(col("text")).as("n_chars"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+          TextAnalysis.stopwordRatio(col("text")).as("stopword_ratio"),
+          TextAnalysis.meanWordLen(col("text")).as("mean_word_len"))
+          .orderBy(col("doc_id"))
+    }),
+
+    // --- M8: token counting (whitespace + BPE-ish subword estimate) ---
+    "q23_token_counts" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+      docs.groupBy(col("lang"))
+        .agg(sum(TextAnalysis.tokenCount(col("text"))).as("ws_tokens"),
+             sum(TextAnalysis.bpeishTokenCount(col("text")))
+               .as("bpeish_tokens"))
+        .orderBy(col("lang"))
+    },
+
+    // --- M8: language ID (n-gram/stopword heuristic; label-free) ---
+    "q24_lang_id" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+      docs.select(col("doc_id"), col("lang"),
+          TextAnalysis.langId(col("text")).as("lang_pred"))
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("lang_pred"))
+    },
+
+    // --- M8: exact dedup after a simulated double-ingest ---
+    "q25_dedup_exact" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+      val reingested = SetOps.concat(Seq(
+        docs,
+        docs.withColumn("doc_id", col("doc_id") + 1000000L)))
+      Dedup.exactByKey(reingested, Seq(col("text")), col("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("source"))
+    },
+
+    // --- M8: MinHash+LSH near-dup pairs (exact-verified; no SQL oracle —
+    //     LSH recall is probabilistic, checked by spec instead) ---
+    "q26_dedup_minhash" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+      val truncated = docs.select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        array_join(slice(TextAnalysis.tokens(col("text")), lit(1),
+          greatest(TextAnalysis.tokenCount(col("text")) - 5, lit(1))), " ")
+          .as("text"))
+      val corpus = docs.select(col("doc_id"), col("text"))
+        .unionByName(truncated)
+      Dedup.minhashPairs(corpus, col("doc_id"), col("text"),
+          numHashes = 64, bands = 16, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // --- M8: SimHash near-dup fingerprints + hamming distance ---
+    "q27_dedup_simhash" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+      val variant = array_join(slice(TextAnalysis.tokens(col("text")), lit(1),
+        greatest(TextAnalysis.tokenCount(col("text")) - 5, lit(1))), " ")
+      docs.select(
+          col("doc_id"),
+          Dedup.simhash64(col("text")).as("simhash"),
+          Dedup.hamming64(Dedup.simhash64(col("text")),
+            Dedup.simhash64(variant)).as("hamming_to_truncated"))
+        .orderBy(col("doc_id"))
+    },
+
+    // --- M8: exact ANN baseline — brute-force cosine top-k ---
+    "q28_ann_cosine" -> { (spark, dir) =>
+      val emb = tbl(spark, dir, "embeddings")
+      Similarity.bruteForceTopK(
+          emb, col("vec_id"), col("embedding"),
+          emb.filter(col("vec_id") < 8), col("vec_id"), col("embedding"),
+          k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // --- M8: LSH-bucketed ANN (scale path; recall checked by spec) ---
+    "q29_ann_lsh" -> { (spark, dir) =>
+      val emb = tbl(spark, dir, "embeddings")
+      Similarity.lshTopK(
+          emb, col("vec_id"), col("embedding"),
+          emb.filter(col("vec_id") < 8), col("vec_id"), col("embedding"),
+          k = 5, planes = 6)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // --- M8: document fingerprinting + multimodal binary plumbing ---
+    "q30_fingerprint_media" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+      val payload = encode(col("text"), "UTF-8") // opaque binary payload
+      Multimodal.mediaPipeline(
+          docs.select(col("doc_id"), col("text")), payload,
+          lit("text/plain"))
+        .select(col("doc_id"),
+                TextAnalysis.fingerprint(col("text")).as("fingerprint"),
+                col("media_meta.n_bytes").as("n_bytes"),
+                col("decoded.width").as("width"),
+                col("decoded.height").as("height"),
+                element_at(col("features"), 1).as("f0"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -567,6 +680,58 @@ object SparkEntry {
 
     "q21_dedup_ids" -> """
       SELECT event_type, count(DISTINCT user_id) AS n_user_types
-      FROM events GROUP BY 1 ORDER BY 1"""
+      FROM events GROUP BY 1 ORDER BY 1""",
+
+    "q22_text_quality" -> """
+      WITH t AS (
+        SELECT doc_id, text,
+               list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                           x -> length(x) > 0) AS toks
+        FROM documents)
+      SELECT doc_id, length(text) AS n_chars,
+             CAST(len(toks) AS INT) AS n_tokens,
+             CASE WHEN length(text) > 0 THEN
+               round(CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g'))
+                     AS DOUBLE) / length(text), 6) END AS punct_ratio,
+             CASE WHEN len(toks) > 0 THEN
+               round(CAST(len(list_filter(toks, x -> list_contains(
+                 ['the','a','an','and','or','of','to','in','is','it','that',
+                  'for','on','with','as','was','at','by','be','this'], x)))
+                 AS DOUBLE) / len(toks), 6) END AS stopword_ratio,
+             CASE WHEN len(toks) > 0 THEN
+               round(CAST(list_sum(list_transform(toks, x -> length(x)))
+                 AS DOUBLE) / len(toks), 6) END AS mean_word_len
+      FROM t ORDER BY doc_id""",
+
+    "q23_token_counts" -> """
+      SELECT lang,
+             CAST(sum(len(list_filter(
+               string_split_regex(lower(trim(text)), '\s+'),
+               x -> length(x) > 0))) AS BIGINT) AS ws_tokens,
+             CAST(sum(CAST(list_sum(list_transform(
+               regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'),
+               p -> ceil(length(p) / 6.0))) AS BIGINT)) AS BIGINT)
+               AS bpeish_tokens
+      FROM documents GROUP BY 1 ORDER BY 1""",
+
+    "q25_dedup_exact" -> """
+      SELECT source, count(*) AS n_docs
+      FROM documents GROUP BY 1 ORDER BY 1""",
+
+    "q28_ann_cosine" -> """
+      WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                 FROM embeddings WHERE vec_id < 8),
+      s AS (SELECT q.query_id, e.vec_id,
+                   list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          q.qv) AS cosine
+            FROM embeddings e CROSS JOIN q
+            WHERE e.vec_id <> q.query_id)
+      SELECT query_id, vec_id,
+             CAST(row_number() OVER w AS INT) AS rank,
+             round(cosine, 6) AS cosine
+      FROM s
+      WINDOW w AS (PARTITION BY query_id ORDER BY cosine DESC, vec_id)
+      QUALIFY row_number() OVER w <= 5
+      ORDER BY query_id, rank"""
   )
 }

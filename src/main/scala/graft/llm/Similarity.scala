@@ -1,0 +1,96 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  *  - [[cosine]] is pure higher-order-function column math (zip_with +
+  *    aggregate) — codegen'd, no UDF;
+  *  - [[bruteForceTopK]] is the exact baseline: broadcast the (small)
+  *    query set against the corpus, rank per query — one pass over the
+  *    corpus, no corpus shuffle;
+  *  - [[lshBucket]] is the scale path: random-hyperplane signs bucket the
+  *    corpus so only same-bucket vectors are compared (the IVF analog
+  *    with hash cells instead of centroids). Hyperplanes are generated
+  *    from a fixed seed — deterministic across runs and executors.
+  */
+object Similarity {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d),
+      (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (acc, x) => acc + x))
+
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d > 0, dot(a, b) / d).otherwise(lit(null))
+  }
+
+  /** Exact top-k neighbours for each query vector. `queries` must be
+    * small (it is broadcast); the corpus is scanned once, never shuffled
+    * except the final per-query top-k (partitioned by query id). */
+  def bruteForceTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                     queries: DataFrame, queryId: Column, queryVec: Column,
+                     k: Int): DataFrame = {
+    // double-precision math: float dot products differ across engines at
+    // ~1e-7, too close to the rounding grain for stable comparisons
+    val c = corpus.select(corpusId.as("vec_id"),
+      corpusVec.cast("array<double>").as("cv"))
+    val q = queries.select(queryId.as("query_id"),
+      queryVec.cast("array<double>").as("qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("cv"), col("qv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("rank"),
+              round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Deterministic pseudo-random unit-ish hyperplane component for
+    * (plane p, dimension d): a fixed-seed hash mapped to [-1, 1). */
+  private def planeComponent(p: Int, d: Column): Column =
+    (pmod(xxhash64(lit(p), d), lit(1000000L)).cast("double") /
+      lit(500000.0)) - lit(1.0)
+
+  /** Random-hyperplane LSH bucket id: one sign bit per plane. Cosine-close
+    * vectors agree on most sign bits, so near-neighbour search only needs
+    * same-bucket (or small-Hamming-neighbour-bucket) comparisons. */
+  def lshBucket(vec: Column, planes: Int = 12): Column = {
+    val bits = (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x * planeComponent(p, i)),
+        lit(0.0d), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_.bitwiseOR(_))
+  }
+
+  /** Approximate top-k: brute force within LSH buckets. Same output shape
+    * as [[bruteForceTopK]]; recall depends on `planes` (fewer planes =
+    * bigger buckets = higher recall & cost). */
+  def lshTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+              queries: DataFrame, queryId: Column, queryVec: Column,
+              k: Int, planes: Int = 8): DataFrame = {
+    val c = corpus.select(corpusId.as("vec_id"), corpusVec.as("cv"))
+      .withColumn("bucket", lshBucket(col("cv"), planes))
+    val q = queries.select(queryId.as("query_id"), queryVec.as("qv"))
+      .withColumn("bucket", lshBucket(col("qv"), planes))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("cv"), col("qv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("rank"),
+              round(col("cosine"), 6).as("cosine"))
+  }
+}

@@ -1,0 +1,127 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language ID, fingerprinting. All are
+  * pure `Column` compositions (codegen'd, no UDFs) so they stay inside
+  * whole-stage codegen and scale linearly with no shuffle — the per-row
+  * cost IS the total cost at 100 TB.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens, lowercased, empties dropped. */
+  def tokens(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count approximation: letter runs, digit runs, and
+    * single punctuation marks each count as one token; long words cost
+    * ceil(len/6) subwords (empirical BPE fertility for English). */
+  def bpeishTokenCount(text: Column): Column = {
+    val pieces = regexp_extract_all(
+      text, lit("""[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"""), lit(0))
+    aggregate(
+      transform(pieces, p => ceil(length(p).cast(DoubleType) / lit(6.0))),
+      lit(0L), (acc, x) => acc + x)
+  }
+
+  def punctRatio(text: Column): Column = {
+    val n = length(text)
+    when(n > 0,
+      length(regexp_replace(text, "[^\\p{Punct}]", "")).cast(DoubleType) /
+        n.cast(DoubleType)).otherwise(lit(null))
+  }
+
+  def upperRatio(text: Column): Column = {
+    val n = length(text)
+    when(n > 0,
+      length(regexp_replace(text, "[^A-Z]", "")).cast(DoubleType) /
+        n.cast(DoubleType)).otherwise(lit(null))
+  }
+
+  val EnStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that",
+    "for", "on", "with", "as", "was", "at", "by", "be", "this")
+
+  /** Fraction of tokens that are (EN) stopwords — a classic fluency
+    * signal: natural text ~0.3-0.5, keyword soup / boilerplate much less. */
+  def stopwordRatio(text: Column, stopwords: Seq[String] = EnStopwords)
+      : Column = {
+    val toks = tokens(text)
+    val sw = array(stopwords.map(lit): _*)
+    when(size(toks) > 0,
+      size(filter(toks, t => array_contains(sw, t))).cast(DoubleType) /
+        size(toks).cast(DoubleType)).otherwise(lit(null))
+  }
+
+  def meanWordLen(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) > 0,
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+        .cast(DoubleType) / size(toks).cast(DoubleType))
+      .otherwise(lit(null))
+  }
+
+  /** Composite quality score in [0,1] from length, punctuation,
+    * stopword and word-length signals (heuristic in the spirit of
+    * C4/Gopher quality filters — public recipes, re-derived). */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast(DoubleType) / lit(500.0), lit(1.0))
+    val punct = coalesce(punctRatio(text), lit(0.0))
+    val punctScore = when(punct < 0.1, lit(1.0))
+      .otherwise(greatest(lit(1.0) - (punct - lit(0.1)) * 5, lit(0.0)))
+    val sw = coalesce(stopwordRatio(text), lit(0.0))
+    val swScore = least(sw * 4, lit(1.0))
+    val mwl = coalesce(meanWordLen(text), lit(0.0))
+    val mwlScore = when(mwl.between(3.0, 10.0), lit(1.0)).otherwise(lit(0.5))
+    round((lenScore + punctScore + swScore + mwlScore) / 4, 6)
+  }
+
+  private val StopwordsByLang: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "was",
+                "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "del",
+                "las"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "von", "den", "mit",
+                "nicht", "ein"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "est", "un", "une", "dans",
+                "que"))
+
+  /** Heuristic language ID: CJK script detection first, then argmax of
+    * per-language stopword hits; "und" (undetermined) when no signal.
+    * Pure column math — at scale this is a narrow projection, no shuffle. */
+  def langId(text: Column): Column = {
+    val cjk = length(regexp_replace(text, "[^\\x{4E00}-\\x{9FFF}]", ""))
+    val toks = tokens(text)
+    val hits = StopwordsByLang.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val sw = array(words.map(lit): _*)
+      struct(size(filter(toks, t => array_contains(sw, t))).as("hits"),
+             lit(lang).as("lang"))
+    }
+    val best = array_max(array(hits: _*))
+    when(cjk > 0 && cjk * 2 >= length(text), lit("zh"))
+      .when(best.getField("hits") > 0, best.getField("lang"))
+      .otherwise(lit("und"))
+  }
+
+  /** Word n-gram shingles (distinct), the unit for Jaccard/minhash dedup. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = tokens(text)
+    val k = size(toks)
+    when(k >= n,
+      array_distinct(transform(sequence(lit(0), k - lit(n)),
+        i => array_join(slice(toks, i + 1, lit(n)), " "))))
+      .otherwise(when(k > 0, array(array_join(toks, " ")))
+        .otherwise(array().cast(ArrayType(StringType))))
+  }
+
+  /** Document fingerprint: winnowing-style min-hash of word shingles —
+    * equal fingerprints => near-identical prefix content. Deterministic
+    * (xxhash64 with fixed seed). */
+  def fingerprint(text: Column, n: Int = 3): Column =
+    array_min(transform(shingles(text, n), s => xxhash64(s)))
+}

@@ -59,6 +59,18 @@ def val_eq(a, b):
 def rows_eq(a, b):
     return len(a) == len(b) and all(val_eq(x, y) for x, y in zip(a, b))
 
+import glob, os
+# rows-only queries (no oracle): output must exist and be non-empty
+for d in sorted(glob.glob(f"{outdir}/q*")):
+    name = os.path.basename(d)
+    if name in oracle or not os.path.isdir(d):
+        continue
+    try:
+        n = con.execute(f"SELECT count(*) FROM '{d}/*.parquet'").fetchone()[0]
+        print(f"{'ROWS' if n > 0 else 'FAIL'} {name} (rows-only, {n} rows)")
+    except Exception as e:
+        print(f"FAIL {name} (rows-only): {e}")
+
 fails = 0
 for name, sql in sorted(oracle.items()):
     try:
