@@ -2,9 +2,13 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType, StructType}
+import graft.etl.{Lineage, LogParse}
 import graft.jx.Runner
 import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.meta.MetaColumns
 import graft.operators.{Joins, Sessionize, SetOps}
+import graft.streaming.EventStream
 import graft.tables.Catalog
 
 /** Driver contract — see SURVEY.md §7 + BASELINE.md.
@@ -463,6 +467,73 @@ object SparkEntry {
                 col("decoded.height").as("height"),
                 element_at(col("features"), 1).as("f0"))
         .orderBy(col("doc_id"))
+    },
+
+    // --- M7: Structured Streaming tumbling agg (batch/stream parity:
+    //     the oracle is the equivalent BATCH SQL over the same data) ---
+    "q31_stream_tumbling" -> rounded("sum_value" -> 4)(dated("day")({
+      (spark, dir) =>
+        val ev = EventStream.readTable(spark, dir, "events")
+        val agg = EventStream.tumblingAgg(ev, "ts", "1 day", "1 day",
+          "event_type")
+        EventStream.runToCompletion(spark, agg)
+          .select(col("window.start").as("day"), col("event_type"),
+                  col("n"), col("sum_value"))
+          .orderBy(col("day"), col("event_type"))
+    })),
+
+    // --- M6 T3/T4: structured-log-line parse (roundtrip through a raw
+    //     text form, with malformed noise lines quarantined out) ---
+    "q32_etl_parse" -> rounded("sum_value" -> 4)({ (spark, dir) =>
+      val events = tbl(spark, dir, "events")
+      val good = events.select(concat_ws("|", lit("EVT"), col("event_id"),
+        col("event_type"), col("value")).as("line"))
+      val noise = events.filter(col("event_id") % 10 === 0)
+        .select(concat(lit("GARBAGE "), col("event_id")).as("line"))
+      val lines = SetOps.concat(Seq(good, noise))
+      LogParse.parseDelimited(lines, col("line"), "EVT",
+          Seq(("event_id", LongType), ("event_type", StringType),
+              ("value", DoubleType)))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+        .orderBy(col("event_type"))
+    }),
+
+    // --- M6 T7: etl lineage chain (two stages, flattened out) ---
+    "q33_etl_lineage" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+      val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+      val withHead = Lineage.withEtl(docs, col("doc_id"), "raw-docs",
+        col("source"), "extract", t0, "rev1")
+      val staged = withHead.withColumn("etl",
+        Lineage.etlStage(col("doc_id") + 1000000L, col("etl"), "join", t0,
+          "rev1"))
+      staged.select(col("doc_id"),
+          col("etl.id").as("etl_id"),
+          col("etl.type").as("etl_type"),
+          col("etl.source.id").as("parent_id"),
+          col("etl.source.source.bucket").as("root_bucket"),
+          col("etl.source.source.key").as("root_key"),
+          col("etl.timestamp").as("etl_ts"),
+          col("etl.revision").as("etl_rev"))
+        .orderBy(col("doc_id"))
+    },
+
+    // --- meta.columns: schema-as-a-table introspection ---
+    "q34_meta_columns" -> { (spark, dir) =>
+      MetaColumns.table(spark, new Catalog(spark, dir))
+        .orderBy(col("table_name"), col("column_name"))
+    },
+
+    // --- S1/2j: JSON-lines payload decode (from_json with schema) ---
+    "q35_json_decode" -> { (spark, dir) =>
+      val events = tbl(spark, dir, "events")
+      events.select(col("event_type"),
+          from_json(col("props"), new StructType().add("k", IntegerType))
+            .getField("k").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(col("k")).as("n_k"), sum(col("k")).as("sum_k"))
+        .orderBy(col("event_type"))
     }
   )
 
@@ -732,6 +803,84 @@ object SparkEntry {
       FROM s
       WINDOW w AS (PARTITION BY query_id ORDER BY cosine DESC, vec_id)
       QUALIFY row_number() OVER w <= 5
-      ORDER BY query_id, rank"""
+      ORDER BY query_id, rank""",
+
+    "q31_stream_tumbling" -> """
+      SELECT CAST(ts AS DATE) AS day, event_type,
+             count(*) AS n, round(sum(value), 4) AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q32_etl_parse" -> """
+      SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+      FROM events GROUP BY 1 ORDER BY 1""",
+
+    "q33_etl_lineage" -> """
+      SELECT doc_id, doc_id + 1000000 AS etl_id, 'join' AS etl_type,
+             doc_id AS parent_id, 'raw-docs' AS root_bucket,
+             source AS root_key, TIMESTAMP '2026-01-01' AS etl_ts,
+             'rev1' AS etl_rev
+      FROM documents ORDER BY doc_id""",
+
+    "q34_meta_columns" -> """
+      SELECT * FROM (VALUES
+        ('customer','c_acctbal','double','number','.'),
+        ('customer','c_custkey','bigint','number','.'),
+        ('customer','c_mktsegment','string','string','.'),
+        ('customer','c_name','string','string','.'),
+        ('customer','c_nationkey','int','number','.'),
+        ('documents','doc_id','bigint','number','.'),
+        ('documents','lang','string','string','.'),
+        ('documents','n_chars','bigint','number','.'),
+        ('documents','source','string','string','.'),
+        ('documents','text','string','string','.'),
+        ('embeddings','embedding','array<float>','number','.'),
+        ('embeddings','label','int','number','.'),
+        ('embeddings','vec_id','bigint','number','.'),
+        ('events','event_id','bigint','number','.'),
+        ('events','event_type','string','string','.'),
+        ('events','props','string','string','.'),
+        ('events','ts','timestamp','time','.'),
+        ('events','user_id','bigint','number','.'),
+        ('events','value','double','number','.'),
+        ('lineitem','l_discount','double','number','.'),
+        ('lineitem','l_extendedprice','double','number','.'),
+        ('lineitem','l_linenumber','int','number','.'),
+        ('lineitem','l_linestatus','string','string','.'),
+        ('lineitem','l_orderkey','bigint','number','.'),
+        ('lineitem','l_partkey','bigint','number','.'),
+        ('lineitem','l_quantity','double','number','.'),
+        ('lineitem','l_returnflag','string','string','.'),
+        ('lineitem','l_shipdate','timestamp_ntz','time','.'),
+        ('lineitem','l_suppkey','bigint','number','.'),
+        ('lineitem','l_tax','double','number','.'),
+        ('nation','n_name','string','string','.'),
+        ('nation','n_nationkey','int','number','.'),
+        ('nation','n_regionkey','int','number','.'),
+        ('orders','o_custkey','bigint','number','.'),
+        ('orders','o_orderdate','timestamp_ntz','time','.'),
+        ('orders','o_orderkey','bigint','number','.'),
+        ('orders','o_orderpriority','string','string','.'),
+        ('orders','o_orderstatus','string','string','.'),
+        ('orders','o_totalprice','double','number','.'),
+        ('part','p_brand','string','string','.'),
+        ('part','p_name','string','string','.'),
+        ('part','p_partkey','bigint','number','.'),
+        ('part','p_retailprice','double','number','.'),
+        ('part','p_size','int','number','.'),
+        ('part','p_type','string','string','.'),
+        ('region','r_name','string','string','.'),
+        ('region','r_regionkey','int','number','.'),
+        ('supplier','s_acctbal','double','number','.'),
+        ('supplier','s_name','string','string','.'),
+        ('supplier','s_nationkey','int','number','.'),
+        ('supplier','s_suppkey','bigint','number','.'))
+        AS t(table_name, column_name, spark_type, jx_type, nested_path)
+      ORDER BY table_name, column_name""",
+
+    "q35_json_decode" -> """
+      SELECT event_type, count(*) AS n_k,
+             CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT)
+               AS sum_k
+      FROM events GROUP BY 1 ORDER BY 1"""
   )
 }

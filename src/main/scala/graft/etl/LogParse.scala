@@ -1,0 +1,51 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured-log-line parsing — the Spark re-expression of the
+  * reference's log transforms (SURVEY.md §2k T3 unittest/mozlog parse,
+  * T4 perfherder extract): filter the marker lines out of a raw text
+  * column, split/decode fields, drop malformed rows to a quarantine
+  * instead of erroring (JX: bad input -> missing, never raise).
+  *
+  * All parsing is builtin column ops (split / regexp_extract / from_json
+  * / try_cast) so it is codegen'd and runs scan-local — the 100 TB cost
+  * is one pass over the log bytes with predicate pushdown on the marker
+  * prefix.
+  */
+object LogParse {
+
+  /** Parse `PREFIX|field|field|...` delimited lines into typed columns.
+    * Rows that do not start with the prefix, or whose fields fail their
+    * casts, yield nulls (quarantine with `isMalformed`). */
+  def parseDelimited(lines: DataFrame, line: Column, prefix: String,
+                     fields: Seq[(String, DataType)]): DataFrame = {
+    val parts = split(regexp_replace(line,
+      "^" + java.util.regex.Pattern.quote(prefix + "|"), ""), "\\|")
+    val cols = fields.zipWithIndex.map { case ((name, dt), i) =>
+      element_at(parts, i + 1).try_cast(dt).as(name)
+    }
+    lines
+      .filter(line.startsWith(prefix + "|"))
+      .select(cols.toIndexedSeq: _*)
+  }
+
+  /** Extract JSON payloads embedded after a marker (perfherder-style
+    * `MARKER: {json}` lines) and decode with an explicit schema. */
+  def parseMarkedJson(lines: DataFrame, line: Column, marker: String,
+                      schema: DataType): DataFrame = {
+    val payload = regexp_extract(line,
+      java.util.regex.Pattern.quote(marker) + ":?\\s*(\\{.*\\})$", 1)
+    lines
+      .filter(line.contains(marker))
+      .select(from_json(payload, schema).as("payload"))
+      .select(col("payload.*"))
+  }
+
+  /** Malformed-input quarantine flag for a parsed frame: true when every
+    * parsed field is null (the JX missing-not-error discipline). */
+  def isMalformed(parsed: Seq[Column]): Column =
+    parsed.map(_.isNull).reduce(_ && _)
+}

@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Structured Streaming layer (SURVEY.md §2l).
+  *
+  * The reference is an at-least-once micro-batch pipeline driven by a work
+  * queue (public repo `activedata_etl/etl.py`): no event time, no
+  * watermarks; duplicates are suppressed by deterministic doc ids. The
+  * Spark re-expression keeps those semantics (file stream + checkpoint +
+  * [[dedupByKey]]) and ADDS event-time operators (tumbling / sliding /
+  * session windows with watermarks) that a 100 TB continuous pipeline
+  * needs for bounded state.
+  */
+object EventStream {
+  private val runIds = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Read a parquet table as a file stream, with the same schema (and
+    * TIMESTAMP(NANOS) normalization) as the batch Catalog read. */
+  def readTable(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(path).schema
+    val batchSchema =
+      new graft.tables.Catalog(spark, dir).table(name).schema
+    // the table is a single file; the file-stream source lists
+    // directories, so stream the parent dir with a glob filter
+    val stream = spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", s"$name.parquet").parquet(dir)
+    // convert nanos-long columns to the batch timestamp type
+    batchSchema.fields.foldLeft(stream) { (df, f) =>
+      (f.dataType, rawSchema(f.name).dataType) match {
+        case (TimestampType, LongType) =>
+          df.withColumn(f.name,
+            timestamp_micros((col(f.name) / 1000L).cast("long")))
+        case _ => df
+      }
+    }
+  }
+
+  /** At-least-once replay suppression: drop duplicate keys, with a
+    * watermark bounding the dedup state (SURVEY.md §2l — the reference
+    * relies on deterministic `_id` overwrite; a 100 TB stream needs the
+    * state bound). */
+  def dedupByKey(events: DataFrame, tsCol: String, watermark: String,
+                 keys: String*): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicates(keys :+ tsCol)
+
+  /** Tumbling event-time aggregation. */
+  def tumblingAgg(events: DataFrame, tsCol: String, width: String,
+                  watermark: String, groupCols: String*): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy((window(col(tsCol), width) +: groupCols.map(col))
+        .toIndexedSeq: _*)
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  /** Sliding event-time aggregation. */
+  def slidingAgg(events: DataFrame, tsCol: String, width: String,
+                 slide: String, watermark: String): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), width, slide))
+      .agg(count(lit(1)).as("n"))
+
+  /** Session windows (gap-based), the streaming twin of
+    * operators.Sessionize. */
+  def sessionAgg(events: DataFrame, tsCol: String, gap: String,
+                 watermark: String, entity: String): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col(entity))
+      .agg(count(lit(1)).as("n"))
+
+  /** Run a streaming aggregation to completion over the (static) backlog
+    * — Trigger.AvailableNow against a memory sink — and return the final
+    * result as a DataFrame. This is the local analog of the reference's
+    * drain-the-queue batch mode; on a cluster the same query runs
+    * continuously with a real sink. */
+  def runToCompletion(spark: SparkSession, agg: DataFrame,
+                      complete: Boolean = true): DataFrame = {
+    val name = s"graft_stream_${runIds.incrementAndGet()}"
+    val q = agg.writeStream
+      .format("memory").queryName(name)
+      .outputMode(if (complete) "complete" else "append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}
