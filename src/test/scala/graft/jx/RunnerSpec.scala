@@ -1,0 +1,106 @@
+package graft.jx
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+
+/** JX query pipeline golden tests on sf0.001 — the query->expected
+  * triple pattern of the reference's test_jx corpus (SURVEY.md §5). */
+class RunnerSpec extends SparkSpec {
+
+  test("groupby query returns one row per group") {
+    val out = runner.run(
+      """{"from": "lineitem", "groupby": ["l_returnflag"],
+          "select": [{"name": "n", "aggregate": "count"}],
+          "sort": ["l_returnflag"]}""").collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("A", "N", "R"))
+    assert(out.map(_.getLong(1)).sum === 6000L)
+  }
+
+  test("edges SetDomain is dense: empty partitions appear with count 0") {
+    val out = runner.run(
+      """{"from": "orders",
+          "edges": [{"name": "st", "value": "o_orderstatus",
+                     "domain": {"type": "set",
+                                "partitions": ["O", "F", "P", "ZZZ"]}}],
+          "select": [{"name": "n", "aggregate": "count"}]}""").collect()
+    assert(out.length === 4)
+    assert(out.map(r => r.getString(0) -> r.getLong(1)).toMap
+      .apply("ZZZ") === 0L)
+    // domain order preserved
+    assert(out.map(_.getString(0)).toSeq === Seq("O", "F", "P", "ZZZ"))
+  }
+
+  test("edges allowNulls adds an overflow partition") {
+    val dense = runner.run(
+      """{"from": "orders",
+          "edges": [{"name": "st", "value": "o_orderstatus",
+                     "allowNulls": true,
+                     "domain": {"type": "set", "partitions": ["O", "F"]}}],
+          "select": [{"name": "n", "aggregate": "count"}]}""").collect()
+    assert(dense.length === 3)
+    val byKey = dense.map(r =>
+      Option(r.getString(0)).getOrElse("NULL") -> r.getLong(1)).toMap
+    // P-status rows land in the null/overflow partition
+    assert(byKey("NULL") > 0)
+    assert(byKey.values.sum === 1500L)
+  }
+
+  test("time domain buckets cover [min,max) densely in order") {
+    val out = runner.run(
+      """{"from": "orders",
+          "edges": [{"name": "w", "value": "o_orderdate",
+                     "domain": {"type": "time", "min": "1996-01-01",
+                                "max": "1996-02-01", "interval": "week"}}],
+          "select": [{"name": "n", "aggregate": "count"}]}""").collect()
+    assert(out.length === 5) // ceil(31/7)
+  }
+
+  test("limit before select (JX order): sort key may be dropped") {
+    val out = runner.run(
+      """{"from": "lineitem",
+          "select": ["l_orderkey"],
+          "sort": [{"value": "l_extendedprice", "sort": -1}],
+          "limit": 3}""").collect()
+    assert(out.length === 3)
+  }
+
+  test("window aggregate with where guard") {
+    val out = runner.run(
+      """{"from": "lineitem",
+          "select": ["l_suppkey", "n_cheap"],
+          "window": [{"name": "n_cheap", "aggregate": "count",
+                      "value": "l_quantity",
+                      "where": {"lt": ["l_quantity", 10]},
+                      "edges": ["l_suppkey"], "sort": ["l_orderkey"]}],
+          "limit": 5}""").collect()
+    assert(out.nonEmpty)
+  }
+
+  test("nested from-path explodes arrays (snowflake)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // build a nested table on the fly and register via a temp dir
+    val tmp = java.nio.file.Files.createTempDirectory("graft_nested")
+    val nested = spark.range(3).select(col("id"),
+      array(struct(col("id").as("x"), (col("id") * 2).as("y")))
+        .as("children"))
+    nested.coalesce(1).write.mode("overwrite")
+      .parquet(tmp.resolve("parent.parquet").toString)
+    val cat = new graft.tables.Catalog(spark, tmp.toString)
+    val out = cat.table("parent.children").collect()
+    assert(out.length === 3)
+    assert(out.head.schema.fieldNames.toSet === Set("id", "x", "y"))
+  }
+
+  test("global aggregate without groupby") {
+    val out = runner.run(
+      """{"from": "lineitem",
+          "select": [{"name": "n", "aggregate": "count"},
+                     {"name": "stats", "value": "l_quantity",
+                      "aggregate": "stats"}]}""").collect()
+    assert(out.length === 1)
+    assert(out.head.getLong(0) === 6000L)
+    val stats = out.head.getStruct(1)
+    assert(stats.getLong(0) === 6000L) // count
+  }
+}

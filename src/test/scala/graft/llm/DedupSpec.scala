@@ -1,0 +1,72 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Dedup/similarity semantics that the DuckDB oracle cannot check
+  * (probabilistic LSH recall, hash-based signatures). */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again"),
+    (3L, "the quick brown fox jumps over the lazy cat again and again"),
+    (4L, "completely different content about spark query engines at scale"),
+    (5L, "")
+  ).toDF("doc_id", "text")
+
+  test("exactByKey keeps the lowest id per duplicate group") {
+    val out = Dedup.exactByKey(docs, Seq(col("text")), col("doc_id"))
+      .select("doc_id").as[Long].collect().sorted
+    assert(out.toSeq === Seq(1L, 3L, 4L, 5L))
+  }
+
+  test("identical docs always survive minhash LSH (recall=1 at J=1)") {
+    val pairs = Dedup.minhashPairs(docs, col("doc_id"), col("text"),
+      numHashes = 32, bands = 8, threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("near-dup (one word changed) found at threshold 0.5") {
+    val pairs = Dedup.minhashPairs(docs, col("doc_id"), col("text"),
+      numHashes = 32, bands = 16, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)))
+    // unrelated docs never pair (precision: exact-verified)
+    assert(!pairs.exists { case (a, b) => b == 4L || a == 4L })
+  }
+
+  test("jaccard: identical=1, disjoint=0") {
+    val j = docs.filter($"doc_id" === 1)
+      .select(Dedup.jaccard(TextAnalysis.shingles($"text"),
+        TextAnalysis.shingles($"text")).as("j"))
+      .as[Double].head()
+    assert(j === 1.0)
+  }
+
+  test("simhash: identical texts equal, near texts close, far texts far") {
+    val h = docs.select($"doc_id", Dedup.simhash64($"text").as("h"))
+      .collect().map(r => r.getLong(0) -> r.get(1)).toMap
+    assert(h(1L) === h(2L))
+    val near = java.lang.Long.bitCount(
+      h(1L).asInstanceOf[Long] ^ h(3L).asInstanceOf[Long])
+    val far = java.lang.Long.bitCount(
+      h(1L).asInstanceOf[Long] ^ h(4L).asInstanceOf[Long])
+    assert(near < far)
+    assert(h(5L) === null) // empty text -> missing, not an error
+  }
+
+  test("embedding near-dup pairs find exact duplicates") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.5f)),
+      (2L, Array(1.0f, 0.0f, 0.5f)),
+      (3L, Array(-1.0f, 0.2f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingPairs(vecs, col("vec_id"), col("embedding"),
+      planes = 4, threshold = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+}

@@ -1,0 +1,62 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine: orthogonal=0, identical=1, opposite=-1") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
+      (Array(1.0f, 2.0f), Array(1.0f, 2.0f)),
+      (Array(1.0f, 0.0f), Array(-1.0f, 0.0f))
+    ).toDF("a", "b")
+    val out = df.select(round(Similarity.cosine(
+      $"a".cast("array<double>"), $"b".cast("array<double>")), 9))
+      .as[Double].collect().toSeq
+    assert(out === Seq(0.0, 1.0, -1.0))
+  }
+
+  test("zero vector -> null cosine (missing, not error)") {
+    val df = Seq((Array(0.0f, 0.0f), Array(1.0f, 1.0f))).toDF("a", "b")
+    val out = df.select(Similarity.cosine($"a", $"b")).collect()
+    assert(out.head.isNullAt(0))
+  }
+
+  test("brute-force top-k: k rows per query, self excluded, rank ordered") {
+    val emb = catalog.table("embeddings")
+    val out = Similarity.bruteForceTopK(
+      emb, col("vec_id"), col("embedding"),
+      emb.filter(col("vec_id") < 3), col("vec_id"), col("embedding"), k = 4)
+    val rows = out.collect()
+    assert(rows.length === 12)
+    assert(!rows.exists(r => r.getLong(1) == r.getLong(0)))
+    val byQ = rows.groupBy(_.getLong(0))
+    byQ.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getInt(2))
+      assert(sorted.map(_.getInt(2)).toSeq === Seq(1, 2, 3, 4))
+      // cosine non-increasing with rank
+      val cs = sorted.map(_.getDouble(3))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("LSH top-k recall vs brute force is reasonable at few planes") {
+    val emb = catalog.table("embeddings")
+    val q = emb.filter(col("vec_id") < 8)
+    val exact = Similarity.bruteForceTopK(emb, col("vec_id"),
+      col("embedding"), q, col("vec_id"), col("embedding"), k = 3)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(emb, col("vec_id"), col("embedding"),
+      q, col("vec_id"), col("embedding"), k = 3, planes = 2)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.25, s"LSH recall $recall too low even for 2 planes")
+    // determinism: same call twice gives identical buckets/results
+    val again = Similarity.lshTopK(emb, col("vec_id"), col("embedding"),
+      q, col("vec_id"), col("embedding"), k = 3, planes = 2)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(approx === again)
+  }
+}
