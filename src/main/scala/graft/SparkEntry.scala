@@ -385,8 +385,7 @@ object SparkEntry {
     // --- M8: language ID (n-gram/stopword heuristic; label-free) ---
     "q24_lang_id" -> { (spark, dir) =>
       val docs = tbl(spark, dir, "documents")
-      docs.select(col("doc_id"), col("lang"),
-          TextAnalysis.langId(col("text")).as("lang_pred"))
+      TextAnalysis.withLangId(docs, col("text"), "lang_pred")
         .groupBy(col("lang"), col("lang_pred"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("lang"), col("lang_pred"))
@@ -425,11 +424,14 @@ object SparkEntry {
       val docs = tbl(spark, dir, "documents")
       val variant = array_join(slice(TextAnalysis.tokens(col("text")), lit(1),
         greatest(TextAnalysis.tokenCount(col("text")) - 5, lit(1))), " ")
-      docs.select(
-          col("doc_id"),
-          Dedup.simhash64(col("text")).as("simhash"),
-          Dedup.hamming64(Dedup.simhash64(col("text")),
-            Dedup.simhash64(variant)).as("hamming_to_truncated"))
+      val staged = Dedup.withSimhash(
+        Dedup.withSimhash(docs.withColumn("__variant", variant),
+          col("text"), "simhash"),
+        col("__variant"), "__simhash_v")
+      staged.select(
+          col("doc_id"), col("simhash"),
+          Dedup.hamming64(col("simhash"), col("__simhash_v"))
+            .as("hamming_to_truncated"))
         .orderBy(col("doc_id"))
     },
 

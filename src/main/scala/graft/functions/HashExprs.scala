@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the dedup/fingerprint hot path
+  * (SURVEY.md §2m / the builder's preference order: a custom `Expression`
+  * with `doGenCode` where built-in composition is too slow — here the
+  * built-in form is an interpreted higher-order-function chain).
+  *
+  * Each expression participates in whole-stage codegen: `doGenCode`
+  * emits a single static call into [[HashOps]]'s JIT'd kernels, so the
+  * generated pipeline stays one fused loop per row batch.
+  */
+abstract class HashCallExpr extends UnaryExpression {
+  /** Fully-qualified static call, e.g. "graft.functions.HashOps.simhash64". */
+  protected def staticCall: String
+  protected def extraArgs: String = ""
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"$staticCall($c$extraArgs)")
+}
+
+/** text -> array<long> of xxhash64(token) for lowercased ws tokens. */
+case class TokenHashes(child: Expression) extends HashCallExpr {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def staticCall = "graft.functions.HashOps.tokenHashesData"
+  override protected def nullSafeEval(v: Any): Any =
+    HashOps.tokenHashesData(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def withNewChildInternal(c: Expression): TokenHashes =
+    copy(child = c)
+  override def prettyName: String = "graft_token_hashes"
+}
+
+/** text -> array<long> of distinct word n-gram hashes. */
+case class ShingleHashes(child: Expression, n: Int) extends HashCallExpr {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def staticCall = "graft.functions.HashOps.shingleHashes"
+  override protected def extraArgs = s", $n"
+  override protected def nullSafeEval(v: Any): Any =
+    HashOps.shingleHashes(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+  override protected def withNewChildInternal(c: Expression): ShingleHashes =
+    copy(child = c)
+  override def prettyName: String = "graft_shingle_hashes"
+}
+
+/** array<long> shingle hashes -> array<long> minhash signature. */
+case class MinHashSig(child: Expression, numHashes: Int)
+    extends HashCallExpr {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def staticCall = "graft.functions.HashOps.minhashSig"
+  override protected def extraArgs = s", $numHashes"
+  override protected def nullSafeEval(v: Any): Any =
+    HashOps.minhashSig(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      numHashes)
+  override protected def withNewChildInternal(c: Expression): MinHashSig =
+    copy(child = c)
+  override def prettyName: String = "graft_minhash_sig"
+}
+
+/** text -> 64-bit simhash (null for token-less text). */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(v: Any): Any = {
+    val h = HashOps.simhash64(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    if (h == Long.MinValue) null else java.lang.Long.valueOf(h)
+  }
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val code =
+      code"""
+        ${childGen.code}
+        boolean ${ev.isNull} = ${childGen.isNull};
+        long ${ev.value} = 0L;
+        if (!${ev.isNull}) {
+          ${ev.value} = graft.functions.HashOps.simhash64(${childGen.value});
+          if (${ev.value} == Long.MIN_VALUE) { ${ev.isNull} = true; }
+        }"""
+    ev.copy(code = code)
+  }
+  override protected def withNewChildInternal(c: Expression): SimHash64 =
+    copy(child = c)
+  override def prettyName: String = "graft_simhash64"
+}

