@@ -111,8 +111,25 @@ class ExprCompiler(schema: StructType) {
       }
   }
 
-  /** JX boolean coercion: missing -> false (no 3VL UNKNOWN). */
+  /** JX boolean coercion: missing -> false (no 3VL UNKNOWN). Use in
+    * VALUE context (select output, window guards, bucket whens). */
   def toBool(e: Expr): Column = coalesce(compile(e), lit(false))
+
+  /** Boolean for FILTER context. Spark's Filter drops null-condition
+    * rows, which IS the JX missing->false rule, so the raw predicate is
+    * equivalent there — and unlike `coalesce(pred, false)` it stays
+    * pushable into the parquet scan (predicate pushdown at 100 TB is
+    * the difference between reading a partition and reading the lake).
+    * AND/OR recurse (3VL null ≡ false at the filter boundary by
+    * induction); ops with value-context semantics (not, when) coerce
+    * internally via [[toBool]]. */
+  def filterBool(e: Expr): Column = e match {
+    case Expr.And(ts) =>
+      ts.map(filterBool).reduceOption(_ && _).getOrElse(lit(true))
+    case Expr.Or(ts) =>
+      ts.map(filterBool).reduceOption(_ || _).getOrElse(lit(false))
+    case other => compile(other)
+  }
 
   /** Null-out empty strings so string ops see JX-missing as null. */
   private def strOf(e: Expr): Column = {

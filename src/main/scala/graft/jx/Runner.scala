@@ -22,7 +22,7 @@ final class Runner(spark: SparkSession, catalog: Catalog) {
     val compiler = ExprCompiler(base)
 
     val filtered = q.where match {
-      case Some(w) => base.filter(compiler.toBool(w))
+      case Some(w) => base.filter(compiler.filterBool(w))
       case None    => base
     }
 
