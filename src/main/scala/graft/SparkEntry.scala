@@ -527,6 +527,46 @@ object SparkEntry {
         .orderBy(col("table_name"), col("column_name"))
     },
 
+    // --- M1: remaining scalar op families — in/case/mod/exp/floor-digits/
+    //     abs/split+get/tuple (SURVEY.md §2i) ---
+    "q36_exprs_misc" -> rounded("power_kprice" -> 6)(jx("""
+      {"from": "orders",
+       "select": [
+         "o_orderkey",
+         {"name": "is_active", "value": {"in": {"o_orderstatus": ["O", "P"]}}},
+         {"name": "prio_class",
+          "value": {"case": [
+            {"when": {"prefix": {"o_orderpriority": "1"}}, "then": {"literal": "urgent"}},
+            {"when": {"prefix": {"o_orderpriority": "2"}}, "then": {"literal": "high"}},
+            {"literal": "normal"}]}},
+         {"name": "key_mod7", "value": {"mod": ["o_orderkey", 7]}},
+         {"name": "power_kprice",
+          "value": {"exp": [{"div": ["o_totalprice", 1000]}, 2]}},
+         {"name": "price_floor2", "value": {"floor": ["o_totalprice", 2]}},
+         {"name": "abs_centered",
+          "value": {"abs": {"sub": ["o_totalprice", 150000]}}},
+         {"name": "prio_word",
+          "value": {"get": [{"split": ["o_orderpriority", "-"]}, 2]}},
+         {"name": "between_num",
+          "value": {"between": ["o_totalprice", 50000, 150000]}}],
+       "sort": ["o_orderkey"]}""")),
+
+    // --- M7/2l: sliding event-time windows (batch form, dense) ---
+    "q37_events_sliding" -> rounded("sum_value" -> 4)({ (spark, dir) =>
+      val events = tbl(spark, dir, "events")
+      events
+        .filter(col("ts") >= lit(java.sql.Timestamp.valueOf(
+          "2024-01-01 00:00:00")) &&
+          col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-04 00:00:00")))
+        .groupBy(window(col("ts"), "12 hours", "6 hours"))
+        .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+        .select(col("window.start").as("win_start"), col("n"),
+                col("sum_value"))
+        .filter(col("win_start") >= lit(java.sql.Timestamp.valueOf(
+          "2024-01-01 00:00:00")))
+        .orderBy(col("win_start"))
+    }),
+
     // --- S1/2j: JSON-lines payload decode (from_json with schema) ---
     "q35_json_decode" -> { (spark, dir) =>
       val events = tbl(spark, dir, "events")
@@ -883,6 +923,31 @@ object SparkEntry {
       SELECT event_type, count(*) AS n_k,
              CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT)
                AS sum_k
-      FROM events GROUP BY 1 ORDER BY 1"""
+      FROM events GROUP BY 1 ORDER BY 1""",
+
+    "q36_exprs_misc" -> """
+      SELECT o_orderkey,
+             o_orderstatus IN ('O', 'P') AS is_active,
+             CASE WHEN o_orderpriority LIKE '1%' THEN 'urgent'
+                  WHEN o_orderpriority LIKE '2%' THEN 'high'
+                  ELSE 'normal' END AS prio_class,
+             o_orderkey % 7 AS key_mod7,
+             round(pow(o_totalprice / 1000, 2), 6) AS power_kprice,
+             floor(o_totalprice * 100) / 100 AS price_floor2,
+             abs(o_totalprice - 150000) AS abs_centered,
+             string_split(o_orderpriority, '-')[2] AS prio_word,
+             o_totalprice BETWEEN 50000 AND 150000 AS between_num
+      FROM orders ORDER BY o_orderkey""",
+
+    "q37_events_sliding" -> """
+      WITH w AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+                   TIMESTAMP '2024-01-03 18:00:00', INTERVAL 6 HOUR))
+                   AS win_start)
+      SELECT w.win_start, count(*) AS n, round(sum(value), 4) AS sum_value
+      FROM w JOIN events e
+        ON e.ts >= w.win_start AND e.ts < w.win_start + INTERVAL 12 HOUR
+      WHERE e.ts >= TIMESTAMP '2024-01-01'
+        AND e.ts < TIMESTAMP '2024-01-04'
+      GROUP BY 1 ORDER BY 1"""
   )
 }

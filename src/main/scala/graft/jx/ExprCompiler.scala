@@ -272,7 +272,11 @@ class ExprCompiler(schema: StructType) {
     case Leaves(_) =>
       throw new IllegalStateException(
         "leaves is a projection form; handled by the select planner")
-    case GetOp(obj, key) => element_at(compile(obj), compile(key))
+    case GetOp(obj, key) => key match {
+      // JSON integers parse as long; element_at wants an int index
+      case Lit(i: java.lang.Long) => element_at(compile(obj), lit(i.intValue))
+      case _ => element_at(compile(obj), compile(key))
+    }
   }
 
   // --- small wrappers over SQL functions not exposed (or awkward) in the

@@ -1,0 +1,63 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SinksSpec extends SparkSpec {
+
+  private def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("graft_sink").toString
+
+  test("rollover sink: date partitions on disk, retention filter applied") {
+    val out = tmpDir()
+    val events = catalog.table("events")
+    Sinks.writeRollover(events, out, col("ts"), retainDays = 20,
+      now = java.sql.Timestamp.valueOf("2024-01-31 00:00:00"))
+    val dirs = new java.io.File(out).listFiles().map(_.getName)
+      .filter(_.startsWith("__date=")).sorted
+    assert(dirs.nonEmpty)
+    // retention: nothing older than 2024-01-11
+    assert(dirs.head >= "__date=2024-01-11")
+    // read back respects the partition layout
+    val back = spark.read.parquet(out)
+    assert(back.count() ===
+      events.filter(col("ts") >= lit(java.sql.Timestamp.valueOf(
+        "2024-01-11 00:00:00"))).count())
+  }
+
+  test("partition pruning: a date filter scans only matching partitions") {
+    val out = tmpDir()
+    val events = catalog.table("events")
+    Sinks.writeRollover(events, out, col("ts"), retainDays = 10000,
+      now = java.sql.Timestamp.valueOf("2024-01-31 00:00:00"))
+    val pruned = spark.read.parquet(out)
+      .filter(col("__date") === "2024-01-05")
+    val plan = pruned.queryExecution.executedPlan.toString
+    // the scan must report a partition filter, not a post-scan filter
+    assert(pruned.count() > 0)
+    assert(plan.contains("PartitionFilters: [isnotnull(__date"),
+      s"no partition pruning in plan:\n$plan")
+  }
+
+  test("split sink: both destinations see the same computed frame once") {
+    val out1 = tmpDir(); val out2 = tmpDir()
+    val df = catalog.table("orders").filter(col("o_totalprice") > 100000)
+    Sinks.split(df, Seq(
+      d => d.write.mode("overwrite").parquet(s"$out1/a"),
+      d => d.groupBy("o_orderstatus").count()
+        .write.mode("overwrite").parquet(s"$out2/b")))
+    val a = spark.read.parquet(s"$out1/a")
+    val b = spark.read.parquet(s"$out2/b")
+    assert(a.count() === df.count())
+    assert(b.agg(sum("count")).collect().head.getLong(0) === df.count())
+  }
+
+  test("json-lines block interop (S1/S2 format roundtrip)") {
+    val out = tmpDir()
+    val docs = catalog.table("documents")
+    Sinks.writeBlocks(docs, s"$out/blocks", Seq("source"), format = "json")
+    val back = spark.read.json(s"$out/blocks")
+    assert(back.count() === docs.count())
+    assert(back.columns.toSet === docs.columns.toSet)
+  }
+}
