@@ -19,7 +19,10 @@ final case class JxQuery(
     windows: Seq[WindowClause],
     sort: Seq[SortSpec],
     limit: Option[Long],
-    format: String) {
+    format: String,
+    /** true -> scale-path aggregate variants (approx_count_distinct,
+      * percentile_approx) instead of the exact oracle-parity forms. */
+    approx: Boolean = false) {
   def isAggregate: Boolean =
     groupby.nonEmpty || edges.nonEmpty || select.exists(_.aggregate.nonEmpty)
 }
@@ -88,8 +91,9 @@ object QueryParser {
     val sort = Option(q.get("sort")).map(parseSort).getOrElse(Nil)
     val limit = Option(q.get("limit")).map(_.asLong)
     val format = Option(q.get("format")).map(_.asText).getOrElse("list")
+    val approx = Option(q.get("approx")).exists(_.asBoolean)
     JxQuery(from, select, selectAll, where, groupby, edges, windows, sort,
-            limit, format)
+            limit, format, approx)
   }
 
   private def nodes(n: JsonNode): Seq[JsonNode] =
@@ -115,6 +119,9 @@ object QueryParser {
     if (n.isTextual) {
       val v = Var(n.asText)
       SelectItem(nameOf(v, None), Some(v), None, None)
+    } else if (n.isObject && n.has("leaves")) {
+      // bare {"leaves": prefix} select form (SURVEY.md §2b P2)
+      SelectItem("*", Some(Leaves(n.get("leaves").asText)), None, None)
     } else {
       val agg = Option(n.get("aggregate")).map(_.asText)
       val value = Option(n.get("value")).map(ExprParser.fromNode)

@@ -55,18 +55,18 @@ final class Runner(spark: SparkSession, catalog: Catalog) {
   private def limited(df: DataFrame, limit: Option[Long]): DataFrame =
     limit.map(n => df.limit(n.toInt)).getOrElse(df)
 
-  private def aggColumns(items: Seq[SelectItem],
-                         compiler: ExprCompiler): Seq[(String, Column, String)] =
+  private def aggColumns(items: Seq[SelectItem], compiler: ExprCompiler,
+                         exact: Boolean): Seq[(String, Column, String)] =
     items.collect {
       case SelectItem(name, value, Some(agg), pct) =>
         val v = value.map(e => Aggs.castForAgg(agg, compiler.compile(e)))
-        (name, Aggs.aggColumn(agg, v, pct), agg)
+        (name, Aggs.aggColumn(agg, v, pct, exact), agg)
     }
 
   private def runGroupBy(df: DataFrame, q: JxQuery,
                          compiler: ExprCompiler): DataFrame = {
     val keys = q.groupby.map(k => compiler.compile(k.value).as(k.name))
-    val aggs = aggColumns(defaultAggs(q), compiler)
+    val aggs = aggColumns(defaultAggs(q), compiler, !q.approx)
     df.groupBy(keys.toIndexedSeq: _*)
       .agg(aggs.head._2.as(aggs.head._1),
            aggs.tail.map(a => a._2.as(a._1)).toIndexedSeq: _*)
@@ -74,14 +74,14 @@ final class Runner(spark: SparkSession, catalog: Catalog) {
 
   private def runGlobalAgg(df: DataFrame, q: JxQuery): DataFrame = {
     val compiler = ExprCompiler(df)
-    val aggs = aggColumns(q.select, compiler)
+    val aggs = aggColumns(q.select, compiler, !q.approx)
     df.agg(aggs.head._2.as(aggs.head._1),
            aggs.tail.map(a => a._2.as(a._1)).toIndexedSeq: _*)
   }
 
   private def runEdges(df: DataFrame, q: JxQuery,
                        compiler: ExprCompiler): DataFrame = {
-    val aggs = aggColumns(defaultAggs(q), compiler)
+    val aggs = aggColumns(defaultAggs(q), compiler, !q.approx)
     Domains.denseCube(spark, df, q.edges, aggs, compiler)
   }
 

@@ -1,0 +1,69 @@
+package graft.jx
+
+import graft.SparkSpec
+
+class FormatsSpec extends SparkSpec {
+
+  test("table format: header + positional rows") {
+    val q = QueryParser.parse(
+      """{"from": "orders", "groupby": ["o_orderstatus"],
+          "select": [{"name": "n", "aggregate": "count"}],
+          "sort": ["o_orderstatus"], "format": "table"}""")
+    val t = Formats.shaped(runner, q).asInstanceOf[Formats.JxTable]
+    assert(t.header === Seq("o_orderstatus", "n"))
+    assert(t.data.map(_.head) === Seq("F", "O", "P"))
+  }
+
+  test("cube format: dense 2-D nested arrays in domain order") {
+    val q = QueryParser.parse(
+      """{"from": "orders",
+          "edges": [
+            {"name": "st", "value": "o_orderstatus",
+             "domain": {"type": "set", "partitions": ["O", "F", "P", "X"]}},
+            {"name": "prio", "value": {"left": ["o_orderpriority", 1]},
+             "domain": {"type": "set", "partitions": ["1", "2"]}}],
+          "select": [{"name": "n", "aggregate": "count"}],
+          "format": "cube"}""")
+    val c = Formats.shaped(runner, q).asInstanceOf[Formats.JxCube]
+    assert(c.edgeNames === Seq("st", "prio"))
+    assert(c.domains(0) === Seq("O", "F", "P", "X"))
+    assert(c.domains(1) === Seq("1", "2"))
+    val n = c.data("n")
+    assert(n.size === 4) // outer axis = st
+    // empty partition X is present and zero-filled (dense)
+    assert(n(3).asInstanceOf[IndexedSeq[Any]].forall(_ == 0L))
+    // totals match the sparse truth
+    val total = n.flatMap(_.asInstanceOf[IndexedSeq[Any]])
+      .map(_.asInstanceOf[Long]).sum
+    val truth = catalog.table("orders")
+      .filter(org.apache.spark.sql.functions
+        .col("o_orderpriority").startsWith("1") ||
+        org.apache.spark.sql.functions
+          .col("o_orderpriority").startsWith("2"))
+      .count()
+    assert(total === truth)
+  }
+
+  test("leaves select flattens every column") {
+    val out = runner.run(
+      """{"from": "region", "select": [{"leaves": "."}], "limit": 2}""")
+    assert(out.columns.toSeq === Seq("r_regionkey", "r_name"))
+  }
+
+  test("approx flag flips cardinality to approx_count_distinct") {
+    val exact = runner.run(
+      """{"from": "lineitem",
+          "select": [{"name": "c", "value": "l_partkey",
+                      "aggregate": "cardinality"}]}""")
+    val approx = runner.run(
+      """{"from": "lineitem", "approx": true,
+          "select": [{"name": "c", "value": "l_partkey",
+                      "aggregate": "cardinality"}]}""")
+    assert(exact.queryExecution.analyzed.toString.contains("count"))
+    assert(approx.queryExecution.analyzed.toString
+      .toLowerCase.contains("approx"))
+    val e = exact.collect().head.getLong(0)
+    val a = approx.collect().head.getLong(0)
+    assert(math.abs(a - e).toDouble / e < 0.1) // HLL within 10%
+  }
+}
