@@ -90,3 +90,37 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = c)
   override def prettyName: String = "graft_simhash64"
 }
+
+/** (array<float|double>, array<float|double>) -> cosine similarity as
+  * double; null (not an error) for zero-norm / mismatched inputs. */
+case class CosineSim(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  private def kernel: String =
+    if (isFloat(left)) "graft.functions.HashOps.cosineFloat"
+    else "graft.functions.HashOps.cosineDouble"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val ad = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val bd = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val v = if (isFloat(left)) HashOps.cosineFloat(ad, bd)
+            else HashOps.cosineDouble(ad, bd)
+    if (v.isNaN) null else java.lang.Double.valueOf(v)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      ${ev.value} = $kernel($a, $b);
+      if (Double.isNaN(${ev.value})) { ${ev.isNull} = true; }""")
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): CosineSim = copy(left = l, right = r)
+  override def prettyName: String = "graft_cosine"
+}

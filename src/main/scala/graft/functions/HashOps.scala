@@ -126,4 +126,37 @@ object HashOps {
 
   def tokenHashesData(text: UTF8String): ArrayData =
     new GenericArrayData(tokenHashes(text))
+
+  /** Cosine similarity kernels: single fused loop (dot + both norms),
+    * double accumulation. Returns NaN for zero-norm or length-mismatched
+    * inputs — the expression maps NaN to null (JX: missing, not error). */
+  def cosineFloat(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return Double.NaN
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val d = math.sqrt(na) * math.sqrt(nb)
+    if (d > 0) dot / d else Double.NaN
+  }
+
+  def cosineDouble(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return Double.NaN
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i)
+      val y = b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val d = math.sqrt(na) * math.sqrt(nb)
+    if (d > 0) dot / d else Double.NaN
+  }
 }

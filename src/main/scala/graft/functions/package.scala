@@ -21,6 +21,8 @@ package object functions {
     toCol(MinHashSig(toExpr(shingles), numHashes))
   def simhash64(text: Column): Column =
     toCol(SimHash64(toExpr(text)))
+  def cosine_sim(a: Column, b: Column): Column =
+    toCol(CosineSim(toExpr(a), toExpr(b)))
 
   /** Register the native functions for SQL use (idempotent). */
   def register(spark: SparkSession): Unit = {

@@ -25,10 +25,12 @@ object Similarity {
   def norm(a: Column): Column =
     sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (acc, x) => acc + x))
 
-  def cosine(a: Column, b: Column): Column = {
-    val d = norm(a) * norm(b)
-    when(d > 0, dot(a, b) / d).otherwise(lit(null))
-  }
+  /** Native fused-loop cosine (graft.functions.CosineSim): same formula
+    * as dot/(norm*norm) with left-to-right double accumulation, so it is
+    * bit-identical to the HOF form and to DuckDB's double-list cosine —
+    * but codegen'd instead of interpreted lambdas. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.cosine_sim(a, b)
 
   /** Exact top-k neighbours for each query vector. `queries` must be
     * small (it is broadcast); the corpus is scanned once, never shuffled
