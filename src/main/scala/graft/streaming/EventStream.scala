@@ -73,17 +73,37 @@ object EventStream {
       .groupBy(session_window(col(tsCol), gap), col(entity))
       .agg(count(lit(1)).as("n"))
 
+  /** Custom keyed state (SURVEY.md §2m): per-entity running event count
+    * via `mapGroupsWithState` — the template for arbitrary user state
+    * (session carts, dedup sets, counters) that outlives micro-batches.
+    * State is per-key on executors, checkpoint-backed; nothing on the
+    * driver. */
+  def runningCounts(events: DataFrame, entity: String): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    events.select(col(entity).cast("long")).as[Long]
+      .groupByKey(identity)
+      .mapGroupsWithState[Long, (Long, Long)](
+        GroupStateTimeout.NoTimeout()) { (key, rows, state) =>
+        val total = state.getOption.getOrElse(0L) + rows.size
+        state.update(total)
+        (key, total)
+      }
+      .toDF(entity, "n_events")
+  }
+
   /** Run a streaming aggregation to completion over the (static) backlog
     * — Trigger.AvailableNow against a memory sink — and return the final
     * result as a DataFrame. This is the local analog of the reference's
     * drain-the-queue batch mode; on a cluster the same query runs
     * continuously with a real sink. */
   def runToCompletion(spark: SparkSession, agg: DataFrame,
-                      complete: Boolean = true): DataFrame = {
+                      mode: String = "complete"): DataFrame = {
     val name = s"graft_stream_${runIds.incrementAndGet()}"
     val q = agg.writeStream
       .format("memory").queryName(name)
-      .outputMode(if (complete) "complete" else "append")
+      .outputMode(mode)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()

@@ -45,6 +45,20 @@ class EventStreamSpec extends SparkSpec {
     assert(streamSessions === batchSessions)
   }
 
+  test("custom keyed state: running counts match batch totals") {
+    val stream = EventStream.readTable(spark, graft.TestSpark.sfDir,
+      "events")
+    val out = EventStream.runToCompletion(spark,
+      EventStream.runningCounts(stream, "user_id"), mode = "update")
+    // last update per user equals the batch count
+    val finalCounts = out.groupBy("user_id")
+      .agg(max("n_events").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = catalog.table("events").groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(finalCounts === batch)
+  }
+
   test("watermarked dedup suppresses replayed keys") {
     val stream = EventStream.readTable(spark, graft.TestSpark.sfDir,
       "events")
@@ -52,7 +66,7 @@ class EventStreamSpec extends SparkSpec {
       "user_id", "event_type")
     val out = EventStream.runToCompletion(spark,
       deduped.groupBy(col("user_id"), col("event_type"))
-        .agg(count(lit(1)).as("n")), complete = true)
+        .agg(count(lit(1)).as("n")), mode = "complete")
     // after key+ts dedup, grouping by key counts distinct ts per key
     assert(out.count() > 0)
   }
