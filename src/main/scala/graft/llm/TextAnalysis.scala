@@ -115,12 +115,36 @@ object TextAnalysis {
     * pipelines should stage tokens once via [[withLangId]]). */
   def langId(text: Column): Column = langIdFromTokens(text, tokens(text))
 
-  /** Staged language-ID: tokenize once, score from the cached array. */
+  /** Hash-set language scorer: stopword HITS computed as
+    * array_intersect of the native token-hash array against
+    * driver-precomputed stopword hashes — no per-token string lambdas at
+    * all (array_intersect on longs is a native set op). Distinct-hit
+    * counting, which is what the argmax needs. */
+  def langIdFast(text: Column): Column = {
+    import graft.functions.{HashOps, token_hashes}
+    def hashOf(w: String): Long = {
+      val b = w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length,
+        HashOps.Seed)
+    }
+    val cjk = length(regexp_replace(text, "[^\\x{4E00}-\\x{9FFF}]", ""))
+    val th = token_hashes(text)
+    val hits = StopwordsByLang.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(size(array_intersect(th, lit(words.map(hashOf).toArray)))
+        .as("hits"), lit(lang).as("lang"))
+    }
+    val best = array_max(array(hits: _*))
+    when(cjk > 0 && cjk * 2 >= length(text), lit("zh"))
+      .when(best.getField("hits") > 0, best.getField("lang"))
+      .otherwise(lit("und"))
+  }
+
+  /** Staged language-ID: token hashes computed once (native), scored by
+    * hash-set intersection. */
   def withLangId(df: org.apache.spark.sql.DataFrame, text: Column,
                  out: String): org.apache.spark.sql.DataFrame =
-    df.withColumn("__toks", tokens(text))
-      .withColumn(out, langIdFromTokens(text, col("__toks")))
-      .drop("__toks")
+    df.withColumn(out, langIdFast(text))
 
   /** Word n-gram shingles (distinct), the unit for Jaccard/minhash dedup. */
   def shingles(text: Column, n: Int = 3): Column = {

@@ -54,4 +54,12 @@ object MetaColumns {
     rows.toDF("table_name", "column_name", "spark_type", "jx_type",
       "nested_path")
   }
+
+  /** `meta.tables`: one row per base table with its column count. */
+  def tables(spark: SparkSession, catalog: Catalog): DataFrame = {
+    import spark.implicits._
+    catalog.baseTables
+      .map(t => (t, catalog.table(t).schema.fields.length))
+      .toDF("table_name", "n_columns")
+  }
 }

@@ -26,6 +26,12 @@ final class Catalog(spark: SparkSession, dir: String) {
   }
 
   def table(name: String): DataFrame = cache.getOrElseUpdate(name, {
+    // virtual metadata tables, queryable like any other (JX
+    // `from: "meta.columns"` — SURVEY.md §2 dynamic schema)
+    if (name == "meta.columns")
+      return graft.meta.MetaColumns.table(spark, this)
+    if (name == "meta.tables")
+      return graft.meta.MetaColumns.tables(spark, this)
     val parts = name.split('.').toList
     // longest prefix that is a base table
     val baseNames = baseTables.toSet
