@@ -75,6 +75,46 @@ object Similarity {
     bits.reduce(_.bitwiseOR(_))
   }
 
+  /** IVF-style approximate search: a deterministic coarse quantizer
+    * (the `nlist` lowest-id vectors act as centroids) partitions the
+    * corpus by nearest centroid; queries probe their `nprobe` nearest
+    * cells. The cell assignment is one broadcast join against the tiny
+    * centroid set; at 100 TB the assignment is computed once at ingest
+    * and stored as a partition column, making probe queries
+    * partition-pruned scans. */
+  def ivfTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+              queries: DataFrame, queryId: Column, queryVec: Column,
+              k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val c = corpus.select(corpusId.as("vec_id"),
+      corpusVec.cast("array<double>").as("cv"))
+    val cents = c.orderBy(col("vec_id")).limit(nlist)
+      .select(col("vec_id").as("cent_id"), col("cv").as("centroid"))
+    def assign(df: DataFrame, vec: String, out: String, n: Int) = {
+      val w = Window.partitionBy(col("__rid")).orderBy(
+        cosine(col(vec), col("centroid")).desc, col("cent_id"))
+      df.withColumn("__rid", monotonically_increasing_id())
+        .crossJoin(broadcast(cents))
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= n)
+        .withColumn(out, col("cent_id"))
+        .drop("cent_id", "centroid", "__rk", "__rid")
+    }
+    val assigned = assign(c, "cv", "cell", 1)
+    val q = assign(
+      queries.select(queryId.as("query_id"),
+        queryVec.cast("array<double>").as("qv")),
+      "qv", "cell", nprobe)
+    val scored = assigned.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("cv"), col("qv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("rank"),
+              round(col("cosine"), 6).as("cosine"))
+  }
+
   /** Approximate top-k: brute force within LSH buckets. Same output shape
     * as [[bruteForceTopK]]; recall depends on `planes` (fewer planes =
     * bigger buckets = higher recall & cost). */
