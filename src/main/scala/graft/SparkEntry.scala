@@ -567,6 +567,32 @@ object SparkEntry {
         .orderBy(col("win_start"))
     }),
 
+    // --- M3: calendar-month TimeDomain (Duration is calendar-aware) ---
+    "q38_edges_month" -> rounded("sum_price" -> 2)(jx("""
+      {"from": "orders",
+       "edges": [{"name": "month", "value": "o_orderdate",
+                  "domain": {"type": "time", "min": "1996-01-01",
+                             "max": "1997-01-01", "interval": "month"}}],
+       "select": [{"name": "n", "aggregate": "count"},
+                  {"name": "sum_price", "value": "o_totalprice",
+                   "aggregate": "sum"}]}""")),
+
+    // --- M1: subquery from — `from: {query}` composes pipelines ---
+    "q39_subquery_from" -> rounded("avg_rev" -> 4)(jx("""
+      {"from": {"from": "lineitem",
+                "where": {"gte": ["l_shipdate", {"date": "1997-01-01"}]},
+                "groupby": ["l_orderkey"],
+                "select": [{"name": "order_rev",
+                            "value": {"mult": ["l_extendedprice",
+                                               {"sub": [1, "l_discount"]}]},
+                            "aggregate": "sum"},
+                           {"name": "n_lines", "aggregate": "count"}]},
+       "groupby": ["n_lines"],
+       "select": [{"name": "n_orders", "aggregate": "count"},
+                  {"name": "avg_rev", "value": "order_rev",
+                   "aggregate": "average"}],
+       "sort": ["n_lines"]}""")),
+
     // --- S1/2j: JSON-lines payload decode (from_json with schema) ---
     "q35_json_decode" -> { (spark, dir) =>
       val events = tbl(spark, dir, "events")
@@ -948,6 +974,31 @@ object SparkEntry {
         ON e.ts >= w.win_start AND e.ts < w.win_start + INTERVAL 12 HOUR
       WHERE e.ts >= TIMESTAMP '2024-01-01'
         AND e.ts < TIMESTAMP '2024-01-04'
-      GROUP BY 1 ORDER BY 1"""
+      GROUP BY 1 ORDER BY 1""",
+
+    "q38_edges_month" -> """
+      WITH d AS (SELECT CAST(unnest(generate_series(DATE '1996-01-01',
+                   DATE '1996-12-01', INTERVAL 1 MONTH)) AS DATE) AS month),
+      s AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                   count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY 1)
+      SELECT d.month, coalesce(s.n, 0) AS n, s.sum_price
+      FROM d LEFT JOIN s USING (month)
+      ORDER BY d.month""",
+
+    "q39_subquery_from" -> """
+      WITH per_order AS (
+        SELECT l_orderkey,
+               sum(l_extendedprice * (1 - l_discount)) AS order_rev,
+               count(*) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        GROUP BY 1)
+      SELECT n_lines, count(*) AS n_orders,
+             round(avg(order_rev), 4) AS avg_rev
+      FROM per_order GROUP BY 1 ORDER BY 1"""
   )
 }

@@ -57,7 +57,33 @@ object Domains {
         val domain = spark.createDataFrame(rows).toDF(name, "__ord")
         EdgePlan(bucket, domain)
 
-      case TimeDomain(minSpec, maxSpec, intervalSec) =>
+      case TimeDomain(minSpec, maxSpec, _, months) if months > 0 =>
+        // calendar-aware buckets: month arithmetic, DATE-typed edges
+        val v = compiler.compile(edge.value.get)
+        val minDate = java.time.Instant
+          .ofEpochMilli(RelDate.parseMillis(minSpec))
+          .atZone(java.time.ZoneOffset.UTC).toLocalDate
+        val maxDate = java.time.Instant
+          .ofEpochMilli(RelDate.parseMillis(maxSpec))
+          .atZone(java.time.ZoneOffset.UTC).toLocalDate
+        val totalMonths = java.time.temporal.ChronoUnit.MONTHS
+          .between(minDate, maxDate)
+        val n = math.ceil(totalMonths.toDouble / months).toInt
+        val minLit = lit(java.sql.Date.valueOf(minDate))
+        val idx = floor(months_between(v, minLit) / months)
+        val inRange =
+          v >= lit(java.sql.Timestamp.valueOf(minDate.atStartOfDay)) &&
+            v < lit(java.sql.Timestamp.valueOf(maxDate.atStartOfDay))
+        val bucket = when(inRange,
+          add_months(minLit, (idx * months).cast(IntegerType)))
+          .otherwise(lit(null))
+        val domain = spark.range(n.toLong).toDF("__ord")
+          .select(add_months(minLit,
+                    (col("__ord") * months).cast(IntegerType)).as(name),
+                  col("__ord").cast(IntegerType).as("__ord"))
+        EdgePlan(bucket, domain)
+
+      case TimeDomain(minSpec, maxSpec, intervalSec, _) =>
         val v = compiler.compile(edge.value.get)
         val minMs = RelDate.parseMillis(minSpec)
         val maxMs = RelDate.parseMillis(maxSpec)

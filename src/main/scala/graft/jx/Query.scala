@@ -10,7 +10,9 @@ import Expr._
   * window / sort / limit / format.
   */
 final case class JxQuery(
-    from: String,
+    /** table name (Left) or nested subquery (Right) — JX allows
+      * `from: {another query}`. */
+    from: Either[String, JxQuery],
     select: Seq[SelectItem],
     selectAll: Boolean,
     where: Option[Expr],
@@ -54,10 +56,11 @@ object DomainSpec {
   /** Predicate partitions: ordered (name, where) buckets. */
   final case class PredicateDomain(parts: Seq[(String, Expr)])
       extends DomainSpec
-  /** Tumbling time buckets [min, max) step interval (seconds). Bounds are
-    * JX date literals. */
-  final case class TimeDomain(min: String, max: String, intervalSec: Long)
-      extends DomainSpec
+  /** Tumbling time buckets [min, max). Bounds are JX date literals;
+    * interval is fixed-width seconds OR calendar months (the reference's
+    * Duration is calendar-aware — SURVEY.md §2 data model). */
+  final case class TimeDomain(min: String, max: String, intervalSec: Long,
+                              intervalMonths: Int = 0) extends DomainSpec
   /** Numeric buckets [min, max) step interval. */
   final case class RangeDomain(min: Double, max: Double, interval: Double)
       extends DomainSpec
@@ -82,7 +85,10 @@ object QueryParser {
   def parse(json: String): JxQuery = fromNode(mapper.readTree(json))
 
   def fromNode(q: JsonNode): JxQuery = {
-    val from = q.get("from").asText
+    val fromNodeV = q.get("from")
+    val from: Either[String, JxQuery] =
+      if (fromNodeV.isObject) Right(fromNode(fromNodeV))
+      else Left(fromNodeV.asText)
     val (select, selectAll) = parseSelect(Option(q.get("select")))
     val where = Option(q.get("where")).map(ExprParser.fromNode)
     val groupby = Option(q.get("groupby")).map(parseKeys).getOrElse(Nil)
@@ -185,9 +191,14 @@ object QueryParser {
         else
           DomainSpec.SetDomain(parts.map(scalarValue))
       case "time" =>
-        DomainSpec.TimeDomain(
-          dateText(d.get("min")), dateText(d.get("max")),
-          intervalSeconds(d.get("interval")))
+        val iv = d.get("interval")
+        intervalMonths(iv) match {
+          case Some(m) => DomainSpec.TimeDomain(
+            dateText(d.get("min")), dateText(d.get("max")), 0L, m)
+          case None => DomainSpec.TimeDomain(
+            dateText(d.get("min")), dateText(d.get("max")),
+            intervalSeconds(iv))
+        }
       case "duration" | "range" =>
         DomainSpec.RangeDomain(d.get("min").asDouble, d.get("max").asDouble,
                                d.get("interval").asDouble)
@@ -209,6 +220,23 @@ object QueryParser {
 
   private def dateText(n: JsonNode): String =
     if (n.isObject && n.has("date")) n.get("date").asText else n.asText
+
+  /** "month" | "2month" | "year" -> calendar months; None otherwise. */
+  def intervalMonths(n: JsonNode): Option[Int] =
+    if (n.isNumber) None
+    else {
+      val m = """(\d*)\s*([a-z]+)""".r
+      n.asText.toLowerCase match {
+        case m(cnt, unit) =>
+          val k = if (cnt.isEmpty) 1 else cnt.toInt
+          unit match {
+            case "month" | "months" => Some(k)
+            case "year" | "years"   => Some(k * 12)
+            case _ => None
+          }
+        case _ => None
+      }
+    }
 
   /** "day" | "2hour" | seconds-number -> seconds. */
   def intervalSeconds(n: JsonNode): Long =

@@ -18,7 +18,12 @@ final class Runner(spark: SparkSession, catalog: Catalog) {
   def run(json: String): DataFrame = run(QueryParser.parse(json))
 
   def run(q: JxQuery): DataFrame = {
-    val base = catalog.table(q.from)
+    // `from` may itself be a query (JX subquery): run it and treat its
+    // output as the source frame — Catalyst fuses the combined plan.
+    val base = q.from match {
+      case Left(table) => catalog.table(table)
+      case Right(sub)  => run(sub)
+    }
     val compiler = ExprCompiler(base)
 
     val filtered = q.where match {
