@@ -24,6 +24,15 @@ final class Runner(spark: SparkSession, catalog: Catalog) {
       case Left(table) => catalog.table(table)
       case Right(sub)  => run(sub)
     }
+    Runner.runOn(base, q)
+  }
+}
+
+object Runner {
+
+  /** Run a query against an explicit source frame (any DataFrame — the
+    * `from` clause is not resolved). The container-agnostic core. */
+  def runOn(base: DataFrame, q: JxQuery): DataFrame = {
     val compiler = ExprCompiler(base)
 
     val filtered = q.where match {
@@ -87,7 +96,7 @@ final class Runner(spark: SparkSession, catalog: Catalog) {
   private def runEdges(df: DataFrame, q: JxQuery,
                        compiler: ExprCompiler): DataFrame = {
     val aggs = aggColumns(defaultAggs(q), compiler, !q.approx)
-    Domains.denseCube(spark, df, q.edges, aggs, compiler)
+    Domains.denseCube(df.sparkSession, df, q.edges, aggs, compiler)
   }
 
   /** JX: an edges/groupby query with no aggregate select still counts. */
