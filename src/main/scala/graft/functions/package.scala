@@ -24,16 +24,13 @@ package object functions {
   def cosine_sim(a: Column, b: Column): Column =
     toCol(CosineSim(toExpr(a), toExpr(b)))
 
-  /** Register the native functions for SQL use (idempotent). */
+  /** Register the native functions for SQL use (idempotent; the
+    * session-wide alternative is `spark.sql.extensions=
+    * graft.functions.GraftExtensions`). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("graft_token_hashes",
-      es => TokenHashes(es.head), "graft")
-    reg.createOrReplaceTempFunction("graft_shingle_hashes",
-      es => ShingleHashes(es.head, 3), "graft")
-    reg.createOrReplaceTempFunction("graft_minhash_sig",
-      es => MinHashSig(es.head, 64), "graft")
-    reg.createOrReplaceTempFunction("graft_simhash64",
-      es => SimHash64(es.head), "graft")
+    GraftExtensions.all.foreach { case (name, _, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
   }
 }
