@@ -89,5 +89,8 @@ object Expr {
 
   /** Flatten all leaf columns under prefix ("." = all). */
   final case class Leaves(prefix: String) extends Expr
+  /** Object -> array of {name, value} pairs (JX `items`); values
+    * stringified when the object's fields have mixed types. */
+  final case class Items(term: Expr) extends Expr
   final case class GetOp(obj: Expr, key: Expr) extends Expr
 }

@@ -272,6 +272,23 @@ class ExprCompiler(schema: StructType) {
     case Leaves(_) =>
       throw new IllegalStateException(
         "leaves is a projection form; handled by the select planner")
+    case Items(t) =>
+      // object -> [{name, value}] (JX items). Struct fields need a
+      // common value type: stringify (JX values are dynamically typed;
+      // string is the lossless common form). Maps use map_entries.
+      t match {
+        case Var(p) => pathType(p) match {
+          case Some(st: StructType) =>
+            array(st.fields.toIndexedSeq.map { f =>
+              struct(lit(f.name).as("name"),
+                     col(s"$p.${f.name}").cast(StringType).as("value"))
+            }: _*)
+          case Some(_: MapType) => map_entries(compile(t))
+          case other => throw new IllegalArgumentException(
+            s"items needs an object column, got $other at $p")
+        }
+        case _ => map_entries(compile(t))
+      }
     case GetOp(obj, key) => key match {
       // JSON integers parse as long; element_at wants an int index
       case Lit(i: java.lang.Long) => element_at(compile(obj), lit(i.intValue))

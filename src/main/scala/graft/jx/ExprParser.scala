@@ -199,6 +199,7 @@ object ExprParser {
       case "unix"      => Unix(fromNode(arg))
       case "from_unix" => FromUnix(fromNode(arg))
       case "leaves" => Leaves(arg.asText)
+      case "items"  => Items(fromNode(arg))
       case "get" =>
         val items = elems(arg)
         GetOp(fromNode(items.head), fromNode(items(1)))

@@ -92,6 +92,23 @@ class RunnerSpec extends SparkSpec {
     assert(out.head.schema.fieldNames.toSet === Set("id", "x", "y"))
   }
 
+  test("items op turns a struct column into name/value pairs") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_items")
+    spark.range(2).select(col("id"),
+        struct(col("id").as("x"), lit("v").as("y")).as("obj"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(tmp.resolve("t.parquet").toString)
+    val cat = new graft.tables.Catalog(spark, tmp.toString)
+    val out = new Runner(spark, cat).run(
+      """{"from": "t",
+          "select": ["id", {"name": "kv", "value": {"items": "obj"}}],
+          "sort": ["id"]}""").collect()
+    val kv = out.head.getSeq[org.apache.spark.sql.Row](1)
+    assert(kv.map(r => (r.getString(0), r.getString(1))) ===
+      Seq(("x", "0"), ("y", "v")))
+  }
+
   test("global aggregate without groupby") {
     val out = runner.run(
       """{"from": "lineitem",
