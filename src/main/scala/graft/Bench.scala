@@ -14,9 +14,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen warmup so the first measured query doesn't absorb
-    // session bring-up (measured costs are query costs only)
+    // session bring-up (measured costs are query costs only): exercise
+    // the scan + hash-agg + sort codegen paths once, generically
     spark.range(1000000L).selectExpr("sum(id)").collect()
-    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .groupBy("l_returnflag")
+      .agg(org.apache.spark.sql.functions.sum("l_quantity").as("s"))
+      .orderBy("l_returnflag").collect()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         val t0 = System.nanoTime()
