@@ -593,6 +593,30 @@ object SparkEntry {
                    "aggregate": "average"}],
        "sort": ["n_lines"]}""")),
 
+    // --- M4+M2: first/last window aggregates + exists aggregate,
+    //     composed through a subquery (SURVEY.md §2d, §2f) ---
+    "q40_first_last_exists" -> jx("""
+      {"from": {"from": "lineitem",
+                "where": {"and": [{"gte": ["l_shipdate", {"date": "1997-01-01"}]},
+                                  {"lt":  ["l_shipdate", {"date": "1997-02-01"}]}]},
+                "select": ["l_suppkey", "first_qty", "last_qty",
+                           {"name": "hd",
+                            "value": {"when": {"gt": ["l_discount", 0.08]},
+                                      "then": 1}}],
+                "window": [
+                  {"name": "first_qty", "value": "l_quantity",
+                   "aggregate": "first", "edges": ["l_suppkey"],
+                   "sort": ["l_shipdate", "l_orderkey", "l_linenumber"]},
+                  {"name": "last_qty", "value": "l_quantity",
+                   "aggregate": "last", "edges": ["l_suppkey"],
+                   "sort": ["l_shipdate", "l_orderkey", "l_linenumber"]}]},
+       "groupby": ["l_suppkey"],
+       "select": [
+         {"name": "first_qty", "value": "first_qty", "aggregate": "one"},
+         {"name": "last_qty", "value": "last_qty", "aggregate": "one"},
+         {"name": "any_high_disc", "value": "hd", "aggregate": "exists"}],
+       "sort": ["l_suppkey"]}"""),
+
     // --- S1/2j: JSON-lines payload decode (from_json with schema) ---
     "q35_json_decode" -> { (spark, dir) =>
       val events = tbl(spark, dir, "events")
@@ -999,6 +1023,26 @@ object SparkEntry {
         GROUP BY 1)
       SELECT n_lines, count(*) AS n_orders,
              round(avg(order_rev), 4) AS avg_rev
-      FROM per_order GROUP BY 1 ORDER BY 1"""
+      FROM per_order GROUP BY 1 ORDER BY 1""",
+
+    "q40_first_last_exists" -> """
+      WITH w AS (
+        SELECT l_suppkey,
+               first_value(l_quantity) OVER win AS first_qty,
+               last_value(l_quantity) OVER
+                 (PARTITION BY l_suppkey
+                  ORDER BY l_shipdate, l_orderkey, l_linenumber
+                  ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND UNBOUNDED FOLLOWING) AS last_qty,
+               CASE WHEN l_discount > 0.08 THEN 1 END AS hd
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1997-02-01'
+        WINDOW win AS (PARTITION BY l_suppkey
+                       ORDER BY l_shipdate, l_orderkey, l_linenumber))
+      SELECT l_suppkey, min(first_qty) AS first_qty,
+             min(last_qty) AS last_qty,
+             bool_or(hd IS NOT NULL) AS any_high_disc
+      FROM w GROUP BY 1 ORDER BY 1"""
   )
 }
