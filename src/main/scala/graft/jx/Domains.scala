@@ -24,8 +24,13 @@ object Domains {
   import DomainSpec._
 
   /** Bucket expression + ordered domain DataFrame for one edge.
-    * Domain DF columns: value (named edge.name) + __ord for output order. */
-  final case class EdgePlan(bucket: Column, domain: DataFrame)
+    * Domain DF columns: value (named edge.name) + __ord for output order.
+    * `membershipFromDomain` marks data-driven domains (DefaultDomain):
+    * bucket values outside the domain must be nullified (into the
+    * overflow partition) via a broadcast membership join — the domain is
+    * data-dependent, so membership can't be a literal predicate. */
+  final case class EdgePlan(bucket: Column, domain: DataFrame,
+                            membershipFromDomain: Boolean = false)
 
   def plan(spark: SparkSession, df: DataFrame, edge: EdgeClause,
            compiler: ExprCompiler): EdgePlan = {
@@ -127,11 +132,11 @@ object Domains {
           col(name),
           (row_number().over(org.apache.spark.sql.expressions.Window
             .orderBy(col("count").desc, col(name))) - 1).as("__ord"))
-        // membership via the domain itself (left-semi style) is another
-        // join; cheaper: bucket = value, and the dense left join from the
-        // domain keeps only top-k rows anyway. Overflow rows are those
-        // whose value doesn't match any domain row.
-        EdgePlan(v, domain)
+        // bucket = raw value; non-top-k values are nullified into the
+        // overflow partition by the membership join in denseCube (JX
+        // DefaultDomain lumps the remainder into the null part when
+        // allowNulls; otherwise the dense join drops it).
+        EdgePlan(v, domain, membershipFromDomain = true)
     }
   }
 
@@ -161,8 +166,21 @@ object Domains {
     val plans = edges.map(e => plan(spark, df, e, compiler))
     val names = edges.map(_.name)
 
-    val bucketed = edges.zip(plans).foldLeft(df) { case (d, (e, p)) =>
+    val bucketed0 = edges.zip(plans).foldLeft(df) { case (d, (e, p)) =>
       d.withColumn(s"__bucket_${e.name}", p.bucket)
+    }
+    // data-driven domains (DefaultDomain): nullify non-member buckets so
+    // the remainder lands in the overflow partition — a broadcast join
+    // against the (tiny, top-k) domain, no extra shuffle of the fact
+    val bucketed = edges.zip(plans).foldLeft(bucketed0) {
+      case (d, (e, p)) if p.membershipFromDomain =>
+        val mem = s"__member_${e.name}"
+        d.join(broadcast(p.domain.select(col(e.name).as(mem))),
+            col(s"__bucket_${e.name}") === col(mem), "left")
+          .withColumn(s"__bucket_${e.name}",
+            when(col(mem).isNotNull, col(s"__bucket_${e.name}")))
+          .drop(mem)
+      case (d, _) => d
     }
     val sparse = bucketed
       .groupBy(names.map(n => col(s"__bucket_$n")).toIndexedSeq: _*)

@@ -45,6 +45,29 @@ class RunnerSpec extends SparkSpec {
     assert(byKey.values.sum === 1500L)
   }
 
+  test("DefaultDomain remainder lumps into the overflow partition " +
+       "when allowNulls") {
+    val out = runner.run(
+      """{"from": "orders",
+          "edges": [{"name": "prio", "value": "o_orderpriority",
+                     "allowNulls": true,
+                     "domain": {"type": "default", "limit": 2}}],
+          "select": [{"name": "n", "aggregate": "count"}]}""").collect()
+    assert(out.length === 3) // top-2 + overflow
+    val total = out.map(_.getLong(1)).sum
+    assert(total === 1500L) // nothing dropped
+    val overflow = out.find(_.isNullAt(0)).get.getLong(1)
+    assert(overflow > 0) // 3 remaining priorities lumped here
+    // without allowNulls the remainder is dropped, top-k kept
+    val strict = runner.run(
+      """{"from": "orders",
+          "edges": [{"name": "prio", "value": "o_orderpriority",
+                     "domain": {"type": "default", "limit": 2}}],
+          "select": [{"name": "n", "aggregate": "count"}]}""").collect()
+    assert(strict.length === 2)
+    assert(strict.map(_.getLong(1)).sum === total - overflow)
+  }
+
   test("time domain buckets cover [min,max) densely in order") {
     val out = runner.run(
       """{"from": "orders",
