@@ -407,11 +407,12 @@ object SparkEntry {
     //     LSH recall is probabilistic, checked by spec instead) ---
     "q26_dedup_minhash" -> { (spark, dir) =>
       val docs = tbl(spark, dir, "documents")
+      // near-dup variant: drop the tail (plain codegen'd substring —
+      // no interpreted token lambdas in the corpus construction)
       val truncated = docs.select(
         (col("doc_id") + 1000000L).as("doc_id"),
-        array_join(slice(TextAnalysis.tokens(col("text")), lit(1),
-          greatest(TextAnalysis.tokenCount(col("text")) - 5, lit(1))), " ")
-          .as("text"))
+        col("text").substr(lit(1),
+          greatest(length(col("text")) - 30, lit(1))).as("text"))
       val corpus = docs.select(col("doc_id"), col("text"))
         .unionByName(truncated)
       Dedup.minhashPairs(corpus, col("doc_id"), col("text"),

@@ -160,8 +160,13 @@ object Domains {
   /** Execute the full edges pipeline: bucket -> sparse agg -> dense join.
     * Output columns: edge names (in order) then aggregate columns, rows
     * ordered by domain order. */
+  /** One aggregate output of a query: name, aggregate column, JX
+    * aggregate keyword, and the optional fill-in default. */
+  final case class AggSpec(name: String, col: Column, aggregate: String,
+                           default: Option[Any])
+
   def denseCube(spark: SparkSession, df: DataFrame, edges: Seq[EdgeClause],
-                aggs: Seq[(String, Column, String)], // (outName, aggCol, aggregate)
+                aggs: Seq[AggSpec],
                 compiler: ExprCompiler): DataFrame = {
     val plans = edges.map(e => plan(spark, df, e, compiler))
     val names = edges.map(_.name)
@@ -184,8 +189,8 @@ object Domains {
     }
     val sparse = bucketed
       .groupBy(names.map(n => col(s"__bucket_$n")).toIndexedSeq: _*)
-      .agg(aggs.head._2.as(aggs.head._1),
-           aggs.tail.map(a => a._2.as(a._1)).toIndexedSeq: _*)
+      .agg(aggs.head.col.as(aggs.head.name),
+           aggs.tail.map(a => a.col.as(a.name)).toIndexedSeq: _*)
 
     // cross-join the (tiny) domains; each keeps its __ord as __ord_<name>
     val domainAll = plans.zip(names).map { case (p, n) =>
@@ -211,10 +216,14 @@ object Domains {
       .reduce(_ && _)
     val dense = domainAll.join(broadcast(sparse), joinCond, "left")
 
-    val aggCols = aggs.map { case (outName, _, aggregate) =>
-      if (Aggs.zeroWhenEmpty(aggregate))
-        coalesce(col(outName), lit(0L)).as(outName)
-      else col(outName)
+    val aggCols = aggs.map { a =>
+      a.default match {
+        // JX select.default fills EMPTY (densified) cells too
+        case Some(d) => coalesce(col(a.name), lit(d)).as(a.name)
+        case None if Aggs.zeroWhenEmpty(a.aggregate) =>
+          coalesce(col(a.name), lit(0L)).as(a.name)
+        case None => col(a.name)
+      }
     }
     dense
       .orderBy(names.map(n => col(s"__ord_$n").asc).toIndexedSeq: _*)

@@ -35,7 +35,10 @@ final case class SelectItem(
     name: String,
     value: Option[Expr],
     aggregate: Option[String],
-    percentile: Option[Double])
+    percentile: Option[Double],
+    /** JX select.default: fills missing aggregate results (e.g. empty
+      * cube cells) with this literal. */
+    default: Option[Any] = None)
 
 /** groupby key (name + expression). */
 final case class KeyItem(name: String, value: Expr)
@@ -132,6 +135,7 @@ object QueryParser {
       val agg = Option(n.get("aggregate")).map(_.asText)
       val value = Option(n.get("value")).map(ExprParser.fromNode)
       val pct = Option(n.get("percentile")).map(_.asDouble)
+      val dflt = Option(n.get("default")).map(scalarValue)
       val name = Option(n.get("name")).map(_.asText)
         .getOrElse(value match {
           case Some(Var(p)) => p.replace('.', '_')
@@ -139,7 +143,7 @@ object QueryParser {
           case _ => throw new IllegalArgumentException(
             "select item needs a name")
         })
-      SelectItem(name, value, agg, pct)
+      SelectItem(name, value, agg, pct, dflt)
     }
 
   private def parseKeys(n: JsonNode): Seq[KeyItem] = nodes(n).map { k =>

@@ -70,11 +70,14 @@ object Runner {
     limit.map(n => df.limit(n.toInt)).getOrElse(df)
 
   private def aggColumns(items: Seq[SelectItem], compiler: ExprCompiler,
-                         exact: Boolean): Seq[(String, Column, String)] =
+                         exact: Boolean): Seq[Domains.AggSpec] =
     items.collect {
-      case SelectItem(name, value, Some(agg), pct) =>
+      case SelectItem(name, value, Some(agg), pct, dflt) =>
         val v = value.map(e => Aggs.castForAgg(agg, compiler.compile(e)))
-        (name, Aggs.aggColumn(agg, v, pct, exact), agg)
+        val c0 = Aggs.aggColumn(agg, v, pct, exact)
+        // JX select.default: all-missing group -> default, not null
+        val c = dflt.map(d => coalesce(c0, lit(d))).getOrElse(c0)
+        Domains.AggSpec(name, c, agg, dflt)
     }
 
   private def runGroupBy(df: DataFrame, q: JxQuery,
@@ -82,15 +85,15 @@ object Runner {
     val keys = q.groupby.map(k => compiler.compile(k.value).as(k.name))
     val aggs = aggColumns(defaultAggs(q), compiler, !q.approx)
     df.groupBy(keys.toIndexedSeq: _*)
-      .agg(aggs.head._2.as(aggs.head._1),
-           aggs.tail.map(a => a._2.as(a._1)).toIndexedSeq: _*)
+      .agg(aggs.head.col.as(aggs.head.name),
+           aggs.tail.map(a => a.col.as(a.name)).toIndexedSeq: _*)
   }
 
   private def runGlobalAgg(df: DataFrame, q: JxQuery): DataFrame = {
     val compiler = ExprCompiler(df)
     val aggs = aggColumns(q.select, compiler, !q.approx)
-    df.agg(aggs.head._2.as(aggs.head._1),
-           aggs.tail.map(a => a._2.as(a._1)).toIndexedSeq: _*)
+    df.agg(aggs.head.col.as(aggs.head.name),
+           aggs.tail.map(a => a.col.as(a.name)).toIndexedSeq: _*)
   }
 
   private def runEdges(df: DataFrame, q: JxQuery,
@@ -109,11 +112,11 @@ object Runner {
     else {
       val c2 = ExprCompiler(df)
       val cols = q.select.flatMap {
-        case SelectItem(_, Some(Expr.Leaves(prefix)), _, _) =>
+        case SelectItem(_, Some(Expr.Leaves(prefix)), _, _, _) =>
           leavesOf(df, prefix)
-        case SelectItem(name, Some(v), None, _) =>
+        case SelectItem(name, Some(v), None, _, _) =>
           Seq(c2.compile(v).as(name))
-        case SelectItem(name, None, _, _) =>
+        case SelectItem(name, None, _, _, _) =>
           Seq(col(name)) // window output or existing column
         case other =>
           Seq(c2.compile(other.value.get).as(other.name))

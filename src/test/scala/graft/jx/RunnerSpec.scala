@@ -45,6 +45,19 @@ class RunnerSpec extends SparkSpec {
     assert(byKey.values.sum === 1500L)
   }
 
+  test("select.default fills empty cube cells (JX default clause)") {
+    val out = runner.run(
+      """{"from": "orders",
+          "edges": [{"name": "st", "value": "o_orderstatus",
+                     "domain": {"type": "set",
+                                "partitions": ["O", "ZZZ"]}}],
+          "select": [{"name": "total", "value": "o_totalprice",
+                      "aggregate": "sum", "default": 0}]}""").collect()
+    val byKey = out.map(r => r.getString(0) -> r.get(1)).toMap
+    assert(byKey("ZZZ") === 0.0) // empty partition: default, not null
+    assert(byKey("O").asInstanceOf[Double] > 0)
+  }
+
   test("DefaultDomain remainder lumps into the overflow partition " +
        "when allowNulls") {
     val out = runner.run(
