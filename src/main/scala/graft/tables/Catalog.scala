@@ -18,11 +18,24 @@ final class Catalog(spark: SparkSession, dir: String) {
 
   private val cache = scala.collection.mutable.Map[String, DataFrame]()
 
+  /** Formats a table file/dir may use (S1: the reference reads JSON-lines
+    * blocks; parquet is the columnar at-rest form we prefer). */
+  private val Extensions = Seq(".parquet", ".json", ".jsonl", ".csv")
+
   def baseTables: Seq[String] = {
     val d = new java.io.File(dir)
     Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".parquet"))
-      .map(_.getName.stripSuffix(".parquet")).sorted.toSeq
+      .flatMap(f => Extensions.find(f.getName.endsWith)
+        .map(ext => f.getName.stripSuffix(ext)))
+      .distinct.sorted.toSeq
+  }
+
+  private def pathOf(base: String): String = {
+    val d = new java.io.File(dir)
+    Extensions.map(ext => new java.io.File(d, base + ext))
+      .find(_.exists())
+      .map(_.getAbsolutePath)
+      .getOrElse(s"$dir/$base.parquet")
   }
 
   def table(name: String): DataFrame = cache.getOrElseUpdate(name, {
@@ -40,7 +53,14 @@ final class Catalog(spark: SparkSession, dir: String) {
       .find { case (b, _) => baseNames.contains(b) }
       .getOrElse(throw new IllegalArgumentException(
         s"unknown table: $name (have: ${baseTables.mkString(", ")})"))
-    val df = readParquet(s"$dir/$base.parquet")
+    val path = pathOf(base)
+    val df =
+      if (path.endsWith(".json") || path.endsWith(".jsonl"))
+        spark.read.json(path) // schema inferred from data (JSON-lines S1)
+      else if (path.endsWith(".csv"))
+        spark.read.option("header", "true").option("inferSchema", "true")
+          .csv(path)
+      else readParquet(path)
     nested.foldLeft(df)(explodeLevel)
   })
 

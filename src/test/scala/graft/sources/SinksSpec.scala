@@ -60,4 +60,24 @@ class SinksSpec extends SparkSpec {
     assert(back.count() === docs.count())
     assert(back.columns.toSet === docs.columns.toSet)
   }
+
+  test("catalog reads json-lines and csv tables with inferred schema") {
+    val out = tmpDir()
+    val docs = catalog.table("documents").limit(20)
+    docs.coalesce(1).write.mode("overwrite")
+      .json(s"$out/jdocs.json")
+    docs.coalesce(1).write.mode("overwrite").option("header", "true")
+      .csv(s"$out/cdocs.csv")
+    val cat = new graft.tables.Catalog(spark, out)
+    assert(cat.baseTables.toSet === Set("jdocs", "cdocs"))
+    assert(cat.table("jdocs").count() === 20)
+    val csv = cat.table("cdocs")
+    assert(csv.count() === 20)
+    // inferSchema: numeric column came back numeric, queryable by JX
+    val r = graft.jx.Runner.runOn(csv, graft.jx.QueryParser.parse(
+      """{"from": "x",
+          "select": [{"name": "total_chars", "value": "n_chars",
+                      "aggregate": "sum"}]}"""))
+    assert(r.collect().head.getDouble(0) > 0)
+  }
 }
