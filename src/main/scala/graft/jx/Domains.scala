@@ -15,7 +15,8 @@ import org.apache.spark.sql.types._
   *   dense    = domain.join(sparse, keys <=> , "left")    // broadcast-left
   * }}}
   * Domain tables are a few rows per edge (|partitions| or (max-min)/interval
-  * or top-k), so the dense join broadcasts the DOMAIN side and never
+  * or top-k) and the sparse side is post-aggregation (bounded by the domain
+  * product), so the dense join broadcasts the sparse side and never
   * shuffles the fact table a second time. The DefaultDomain top-k is itself
   * a distributed groupBy/count/limit — two passes over the fact, zero
   * collects.
