@@ -879,8 +879,17 @@ object SparkEntry {
       FROM documents GROUP BY 1 ORDER BY 1""",
 
     "q25_dedup_exact" -> """
+      WITH u AS (
+        SELECT * FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text, lang, source, n_chars
+        FROM documents),
+      d AS (SELECT source,
+                   row_number() OVER (PARTITION BY text ORDER BY doc_id)
+                     AS rn
+            FROM u)
       SELECT source, count(*) AS n_docs
-      FROM documents GROUP BY 1 ORDER BY 1""",
+      FROM d WHERE rn = 1 GROUP BY 1 ORDER BY 1""",
 
     "q28_ann_cosine" -> """
       WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
