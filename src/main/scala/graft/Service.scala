@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.jx.{Formats, JxQuery, QueryParser, Runner}
+import graft.tables.Catalog
+
+/** The reference's user-facing surface is a query service: POST a JX
+  * JSON query, get a JSON result in the requested format (SURVEY.md
+  * §3.2/§3.3). This is that surface minus HTTP: JSON string in, JSON
+  * string out, with the reference's `format` semantics:
+  *
+  *  - "list":  {"data": [ {row...}, ... ]}
+  *  - "table": {"header": [...], "data": [ [...], ... ]}
+  *  - "cube":  {"edges": [...], "domains": [...], "data": {name: cube}}
+  *
+  * Only the (small) result is serialized on the driver; the reference's
+  * service-level default limit (ActiveData defaults to 10 —
+  * SURVEY.md §2g O2) is applied here, NOT in the engine, exactly like
+  * the reference.
+  */
+object Service {
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  val DefaultLimit = 10000L
+
+  def query(spark: SparkSession, dir: String, json: String): String = {
+    val q0 = QueryParser.parse(json)
+    // service-level default limit for un-limited setop queries
+    val q = if (q0.limit.isEmpty && !q0.isAggregate)
+      q0.copy(limit = Some(DefaultLimit)) else q0
+    val runner = new Runner(spark, new Catalog(spark, dir))
+    render(runner, q)
+  }
+
+  private def render(runner: Runner, q: JxQuery): String = {
+    val root = mapper.createObjectNode()
+    Formats.shaped(runner, q) match {
+      case df: org.apache.spark.sql.DataFrame =>
+        val rows = df.toJSON.collect()
+        val arr = root.putArray("data")
+        rows.foreach(r => arr.add(mapper.readTree(r)))
+      case t: Formats.JxTable =>
+        val header = root.putArray("header")
+        t.header.foreach(header.add)
+        val data = root.putArray("data")
+        t.data.foreach { r =>
+          val row = data.addArray()
+          r.foreach(v => row.addPOJO(v))
+        }
+      case c: Formats.JxCube =>
+        val edges = root.putArray("edges")
+        c.edgeNames.foreach(edges.add)
+        val domains = root.putArray("domains")
+        c.domains.foreach { d =>
+          val dd = domains.addArray()
+          d.foreach(v => dd.addPOJO(v))
+        }
+        val data = root.putObject("data")
+        c.data.foreach { case (name, cube) =>
+          data.putPOJO(name, deepList(cube))
+        }
+    }
+    mapper.writeValueAsString(root)
+  }
+
+  /** IndexedSeq cube -> java Lists so Jackson serializes nested arrays. */
+  private def deepList(v: Any): Any = v match {
+    case s: IndexedSeq[_] =>
+      val l = new java.util.ArrayList[Any]()
+      s.foreach(x => l.add(deepList(x)))
+      l
+    case other => other
+  }
+}
