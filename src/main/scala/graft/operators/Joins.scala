@@ -30,6 +30,36 @@ object Joins {
   def anti(left: DataFrame, right: DataFrame, cond: Column): DataFrame =
     left.join(right, cond, "left_anti")
 
+  /** As-of join: for each left row, attach the latest right row whose
+    * timestamp is <= the left timestamp, per key (point-in-time join —
+    * enrichment against slowly-changing state). Built per the preference
+    * order by COMPOSING built-ins: tag + unionByName + one window pass
+    * (`last` ignoring nulls over rows-up-to-current). ONE shuffle on the
+    * key, sort within partitions, no custom physical operator needed —
+    * the sort-merge the custom SparkPlan would do, expressed logically.
+    *
+    * @param rightCols right-side columns to carry (prefixed `asof_`)
+    */
+  def asOf(left: DataFrame, right: DataFrame, key: String,
+           leftTs: Column, rightTs: Column,
+           rightCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val l = left.withColumn("__ts", leftTs).withColumn("__side", lit(1))
+    val r = right.withColumn("__ts", rightTs).withColumn("__side", lit(0))
+      .select((Seq(col(key), col("__ts"), col("__side")) ++
+        rightCols.map(c => col(c).as(s"asof_$c"))).toIndexedSeq: _*)
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    // right rows sort before left rows at equal ts, so "<=" holds
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__ts").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val filled = rightCols.foldLeft(unioned) { (d, c) =>
+      d.withColumn(s"asof_$c",
+        last(col(s"asof_$c"), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__side") === 1).drop("__ts", "__side")
+  }
+
   /** J4: reassemble child rows into a sorted array column on the parent —
     * parent doc + child array (SURVEY.md §2c J4). `childCols` become a
     * struct; array sorted by the struct's natural order for deterministic
