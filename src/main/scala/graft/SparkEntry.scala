@@ -618,6 +618,20 @@ object SparkEntry {
          {"name": "any_high_disc", "value": "hd", "aggregate": "exists"}],
        "sort": ["l_suppkey"]}"""),
 
+    // --- M5: as-of (point-in-time) join — last signup before each
+    //     purchase, per user; oracle is DuckDB's native ASOF JOIN ---
+    "q41_asof_join" -> { (spark, dir) =>
+      val events = tbl(spark, dir, "events")
+      val purchases = events.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "event_id")
+      val signups = events.filter(col("event_type") === "signup")
+        .select("user_id", "ts", "event_id")
+      Joins.asOf(purchases, signups, "user_id",
+          col("ts"), col("ts"), Seq("event_id"))
+        .select(col("user_id"), col("event_id"), col("asof_event_id"))
+        .orderBy(col("event_id"))
+    },
+
     // --- S1/2j: JSON-lines payload decode (from_json with schema) ---
     "q35_json_decode" -> { (spark, dir) =>
       val events = tbl(spark, dir, "events")
@@ -1053,6 +1067,16 @@ object SparkEntry {
       SELECT l_suppkey, min(first_qty) AS first_qty,
              min(last_qty) AS last_qty,
              bool_or(hd IS NOT NULL) AS any_high_disc
-      FROM w GROUP BY 1 ORDER BY 1"""
+      FROM w GROUP BY 1 ORDER BY 1""",
+
+    "q41_asof_join" -> """
+      WITH p AS (SELECT user_id, event_id, ts FROM events
+                 WHERE event_type = 'purchase'),
+      s AS (SELECT user_id, event_id AS signup_id, ts AS sts FROM events
+            WHERE event_type = 'signup')
+      SELECT p.user_id, p.event_id, s.signup_id AS asof_event_id
+      FROM p ASOF LEFT JOIN s
+        ON p.user_id = s.user_id AND p.ts >= s.sts
+      ORDER BY p.event_id"""
   )
 }
