@@ -632,6 +632,22 @@ object SparkEntry {
         .orderBy(col("event_id"))
     },
 
+    // --- M5: range join — event values against arbitrary bands ---
+    "q42_range_join" -> rounded("sum_value" -> 4)({ (spark, dir) =>
+      import spark.implicits._
+      val events = tbl(spark, dir, "events")
+      val bands = Seq(
+        ("tiny", 0.0, 50.0), ("small", 50.0, 100.0),
+        ("mid", 100.0, 200.0), ("large", 200.0, 500.0),
+        ("huge", 500.0, 2000.0))
+        .toDF("band", "lo", "hi")
+      Joins.rangeJoin(events, col("value"), bands,
+          col("lo"), col("hi"), bucketWidth = 100.0)
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+        .orderBy(col("band"))
+    }),
+
     // --- S1/2j: JSON-lines payload decode (from_json with schema) ---
     "q35_json_decode" -> { (spark, dir) =>
       val events = tbl(spark, dir, "events")
@@ -1077,6 +1093,15 @@ object SparkEntry {
       SELECT p.user_id, p.event_id, s.signup_id AS asof_event_id
       FROM p ASOF LEFT JOIN s
         ON p.user_id = s.user_id AND p.ts >= s.sts
-      ORDER BY p.event_id"""
+      ORDER BY p.event_id""",
+
+    "q42_range_join" -> """
+      WITH bands(band, lo, hi) AS (VALUES
+        ('tiny', 0.0, 50.0), ('small', 50.0, 100.0),
+        ('mid', 100.0, 200.0), ('large', 200.0, 500.0),
+        ('huge', 500.0, 2000.0))
+      SELECT band, count(*) AS n, round(sum(value), 4) AS sum_value
+      FROM events JOIN bands ON value >= lo AND value < hi
+      GROUP BY 1 ORDER BY 1"""
   )
 }

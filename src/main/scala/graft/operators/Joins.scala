@@ -60,6 +60,23 @@ object Joins {
     filled.filter(col("__side") === 1).drop("__ts", "__side")
   }
 
+  /** Range join: left points against right [lo, hi) intervals — again by
+    * composition: both sides bucketize to a `bucketWidth` grid (intervals
+    * explode to every bucket they touch), equi-join on the bucket, exact
+    * filter after. Turns the O(n*m) inequality join into a hash join
+    * whose fan-out is interval_width / bucketWidth — pick bucketWidth
+    * near the typical interval width. */
+  def rangeJoin(left: DataFrame, point: Column,
+                right: DataFrame, lo: Column, hi: Column,
+                bucketWidth: Double, how: String = "inner"): DataFrame = {
+    val lB = left.withColumn("__rb", floor(point / bucketWidth))
+    val rB = right.withColumn("__rb",
+      explode(sequence(floor(lo / bucketWidth), floor(hi / bucketWidth))))
+    lB.join(rB, Seq("__rb"), how)
+      .filter(point >= lo && point < hi)
+      .drop("__rb")
+  }
+
   /** J4: reassemble child rows into a sorted array column on the parent —
     * parent doc + child array (SURVEY.md §2c J4). `childCols` become a
     * struct; array sorted by the struct's natural order for deterministic
