@@ -48,4 +48,26 @@ object LogParse {
     * parsed field is null (the JX missing-not-error discipline). */
   def isMalformed(parsed: Seq[Column]): Column =
     parsed.map(_.isNull).reduce(_ && _)
+
+  /** lcov-style sectioned records (SURVEY.md §2k T5 grcov/gcov): input is
+    * one row per `(file marker line | data line)` pair list:
+    * `SF:<name>` opens a section, `DA:<line>,<hits>` adds a datum. The
+    * caller supplies the section key per row (e.g. carried through the
+    * producing explode); this parses the DA payload and aggregates
+    * per-section coverage: lines total, lines covered, coverage ratio. */
+  def coverageFromDaLines(rows: DataFrame, sectionKey: Column,
+                          line: Column): DataFrame = {
+    val parts = split(regexp_replace(line, "^DA:", ""), ",")
+    rows
+      .filter(line.startsWith("DA:"))
+      .select(sectionKey.as("source_file"),
+        element_at(parts, 1).try_cast(IntegerType).as("line_no"),
+        element_at(parts, 2).try_cast(LongType).as("hits"))
+      .filter(col("line_no").isNotNull)
+      .groupBy(col("source_file"))
+      .agg(count(lit(1)).as("lines_total"),
+           sum(when(col("hits") > 0, 1L).otherwise(0L)).as("lines_covered"),
+           round(sum(when(col("hits") > 0, 1L).otherwise(0L))
+             .cast(DoubleType) / count(lit(1)), 6).as("coverage"))
+  }
 }

@@ -128,6 +128,33 @@ class RunnerSpec extends SparkSpec {
     assert(out.head.schema.fieldNames.toSet === Set("id", "x", "y"))
   }
 
+  test("two-level snowflake: from a.b.c digs two array levels") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_nested2")
+    // task -> runs[] -> artifacts[] (the reference's task shape)
+    val tasks = spark.range(2).select(col("id").as("task_id"),
+      array(struct(col("id").as("run_no"),
+        array(struct(concat(lit("art_"), col("id")).as("name"),
+                     (col("id") * 10).as("bytes")),
+              struct(lit("log").as("name"), lit(5L).as("bytes")))
+          .as("artifacts"))).as("runs"))
+    tasks.coalesce(1).write.mode("overwrite")
+      .parquet(tmp.resolve("task.parquet").toString)
+    val cat = new graft.tables.Catalog(spark, tmp.toString)
+    val out = cat.table("task.runs.artifacts")
+    // 2 tasks x 1 run x 2 artifacts = 4 rows; ancestors retained
+    assert(out.count() === 4)
+    assert(out.columns.toSet ===
+      Set("task_id", "run_no", "name", "bytes"))
+    // and the JX engine can aggregate over the nested level directly
+    val agg = new Runner(spark, cat).run(
+      """{"from": "task.runs.artifacts", "groupby": ["name"],
+          "select": [{"name": "total_bytes", "value": "bytes",
+                      "aggregate": "sum"}], "sort": ["name"]}""")
+      .collect()
+    assert(agg.map(_.getString(0)).toSeq.contains("log"))
+  }
+
   test("items op turns a struct column into name/value pairs") {
     import org.apache.spark.sql.functions._
     val tmp = java.nio.file.Files.createTempDirectory("graft_items")
