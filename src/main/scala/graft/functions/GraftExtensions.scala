@@ -32,5 +32,8 @@ object GraftExtensions {
     ("graft_simhash64", "64-bit simhash of the token multiset",
       es => SimHash64(es.head)),
     ("graft_cosine", "cosine similarity of two float/double arrays",
-      es => CosineSim(es.head, es(1))))
+      es => CosineSim(es.head, es(1))),
+    ("graft_text_stats",
+      "[n_chars, n_tokens, n_punct, n_upper, sum_token_len] in one pass",
+      es => TextStats(es.head)))
 }

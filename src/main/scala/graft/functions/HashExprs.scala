@@ -91,6 +91,19 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override def prettyName: String = "graft_simhash64"
 }
 
+/** text -> [n_chars, n_tokens, n_punct, n_upper, sum_token_len] in one
+  * pass (the quality-signal kernel). */
+case class TextStats(child: Expression) extends HashCallExpr {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def staticCall = "graft.functions.HashOps.textStats"
+  override protected def nullSafeEval(v: Any): Any =
+    HashOps.textStats(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def withNewChildInternal(c: Expression): TextStats =
+    copy(child = c)
+  override def prettyName: String = "graft_text_stats"
+}
+
 /** (array<float|double>, array<float|double>) -> cosine similarity as
   * double; null (not an error) for zero-norm / mismatched inputs. */
 case class CosineSim(left: Expression, right: Expression)

@@ -127,6 +127,36 @@ object HashOps {
   def tokenHashesData(text: UTF8String): ArrayData =
     new GenericArrayData(tokenHashes(text))
 
+  /** Single-pass text statistics: one scan over the characters computes
+    * everything the quality signals need. The higher-order / regex
+    * column forms scan the text once PER SIGNAL (and regex per row is
+    * the 100 TB cost center); this is one pass total. Output order:
+    * [n_chars, n_tokens, n_punct, n_upper, sum_token_len]. */
+  def textStats(text: UTF8String): ArrayData = {
+    val s = text.toString
+    val n = s.length
+    var tokens = 0L
+    var punct = 0L
+    var upper = 0L
+    var tokenChars = 0L
+    var inTok = false
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (Character.isWhitespace(c)) inTok = false
+      else {
+        if (!inTok) { tokens += 1; inTok = true }
+        tokenChars += 1
+        // ASCII punct, matching \p{Punct}
+        if (c >= '!' && c <= '~' &&
+            !Character.isLetterOrDigit(c)) punct += 1
+        if (c >= 'A' && c <= 'Z') upper += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(Array(n.toLong, tokens, punct, upper, tokenChars))
+  }
+
   /** Cosine similarity kernels: single fused loop (dot + both norms),
     * double accumulation. Returns NaN for zero-norm or length-mismatched
     * inputs — the expression maps NaN to null (JX: missing, not error). */

@@ -23,6 +23,8 @@ package object functions {
     toCol(SimHash64(toExpr(text)))
   def cosine_sim(a: Column, b: Column): Column =
     toCol(CosineSim(toExpr(a), toExpr(b)))
+  def text_stats(text: Column): Column =
+    toCol(TextStats(toExpr(text)))
 
   /** Register the native functions for SQL use (idempotent; the
     * session-wide alternative is `spark.sql.extensions=

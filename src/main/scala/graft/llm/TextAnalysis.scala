@@ -66,6 +66,34 @@ object TextAnalysis {
       .otherwise(lit(null))
   }
 
+  /** Fast path: all ratio signals from the single-pass native
+    * [[graft.functions.text_stats]] kernel (one text scan instead of a
+    * regex scan per signal). Adds `n_chars, n_tokens, punct_ratio,
+    * upper_ratio, mean_word_len` columns. Stopword ratio still needs the
+    * token array (word membership), so it stays a separate column. */
+  def withTextStats(df: org.apache.spark.sql.DataFrame, text: Column)
+      : org.apache.spark.sql.DataFrame = {
+    val stats = graft.functions.text_stats(text)
+    df.withColumn("__ts", stats)
+      .withColumn("n_chars", element_at(col("__ts"), 1)
+        .cast(org.apache.spark.sql.types.IntegerType))
+      .withColumn("n_tokens", element_at(col("__ts"), 2)
+        .cast(org.apache.spark.sql.types.IntegerType))
+      .withColumn("punct_ratio",
+        when(col("n_chars") > 0,
+          element_at(col("__ts"), 3).cast(DoubleType) /
+            col("n_chars").cast(DoubleType)))
+      .withColumn("upper_ratio",
+        when(col("n_chars") > 0,
+          element_at(col("__ts"), 4).cast(DoubleType) /
+            col("n_chars").cast(DoubleType)))
+      .withColumn("mean_word_len",
+        when(col("n_tokens") > 0,
+          element_at(col("__ts"), 5).cast(DoubleType) /
+            col("n_tokens").cast(DoubleType)))
+      .drop("__ts")
+  }
+
   /** Composite quality score in [0,1] from length, punctuation,
     * stopword and word-length signals (heuristic in the spirit of
     * C4/Gopher quality filters — public recipes, re-derived). */

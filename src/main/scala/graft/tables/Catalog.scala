@@ -20,7 +20,7 @@ final class Catalog(spark: SparkSession, dir: String) {
 
   /** Formats a table file/dir may use (S1: the reference reads JSON-lines
     * blocks; parquet is the columnar at-rest form we prefer). */
-  private val Extensions = Seq(".parquet", ".json", ".jsonl", ".csv")
+  private val Extensions = Seq(".parquet", ".orc", ".json", ".jsonl", ".csv")
 
   def baseTables: Seq[String] = {
     val d = new java.io.File(dir)
@@ -60,6 +60,7 @@ final class Catalog(spark: SparkSession, dir: String) {
       else if (path.endsWith(".csv"))
         spark.read.option("header", "true").option("inferSchema", "true")
           .csv(path)
+      else if (path.endsWith(".orc")) spark.read.orc(path)
       else readParquet(path)
     nested.foldLeft(df)(explodeLevel)
   })

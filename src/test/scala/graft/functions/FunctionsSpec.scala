@@ -22,7 +22,7 @@ class FunctionsSpec extends SparkSpec {
     // unit-level: the injector runs against a fresh extensions holder
     val e = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(e)
-    assert(GraftExtensions.all.map(_._1).distinct.size === 5)
+    assert(GraftExtensions.all.map(_._1).distinct.size === 6)
   }
 
   test("native and SQL forms agree") {

@@ -62,6 +62,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(f1 !== f4)
   }
 
+  test("native text_stats fast path agrees with the column-math forms") {
+    val docs = catalog.table("documents").limit(100)
+    val fast = TextAnalysis.withTextStats(docs, col("text"))
+      .select("doc_id", "n_tokens", "punct_ratio", "mean_word_len")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), Option(r.get(2)), Option(r.get(3)))).toMap
+    val slow = docs.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("t"),
+        TextAnalysis.punctRatio(col("text")).as("p"),
+        TextAnalysis.meanWordLen(col("text")).as("m"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), Option(r.get(2)), Option(r.get(3)))).toMap
+    fast.foreach { case (id, (t, p, m)) =>
+      val (t2, p2, m2) = slow(id)
+      assert(t === t2, s"tokens doc $id")
+      (p, p2) match {
+        case (Some(a: Double), Some(b: Double)) =>
+          assert(math.abs(a - b) < 1e-9, s"punct doc $id")
+        case other => assert(p === p2, s"punct doc $id: $other")
+      }
+      (m, m2) match {
+        case (Some(a: Double), Some(b: Double)) =>
+          assert(math.abs(a - b) < 1e-9, s"mwl doc $id")
+        case other => assert(m === m2, s"mwl doc $id: $other")
+      }
+    }
+  }
+
   test("bpeish token count >= word count for long words") {
     val n = one[Long](7L, TextAnalysis.bpeishTokenCount($"text"))
     assert(n === 5L)
