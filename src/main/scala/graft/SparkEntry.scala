@@ -362,13 +362,13 @@ object SparkEntry {
       "punct_ratio" -> 6, "stopword_ratio" -> 6, "mean_word_len" -> 6)({
       (spark, dir) =>
         val docs = tbl(spark, dir, "documents")
-        docs.select(
-          col("doc_id"),
-          length(col("text")).as("n_chars"),
-          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
-          TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
-          TextAnalysis.stopwordRatio(col("text")).as("stopword_ratio"),
-          TextAnalysis.meanWordLen(col("text")).as("mean_word_len"))
+        // single-pass native TextStats kernel for the scan signals;
+        // stopword ratio needs token membership, stays column math
+        TextAnalysis.withTextStats(docs, col("text"))
+          .withColumn("stopword_ratio",
+            TextAnalysis.stopwordRatio(col("text")))
+          .select("doc_id", "n_chars", "n_tokens", "punct_ratio",
+                  "stopword_ratio", "mean_word_len")
           .orderBy(col("doc_id"))
     }),
 

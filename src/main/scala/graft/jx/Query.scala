@@ -88,7 +88,9 @@ object QueryParser {
   def parse(json: String): JxQuery = fromNode(mapper.readTree(json))
 
   def fromNode(q: JsonNode): JxQuery = {
-    val fromNodeV = q.get("from")
+    val fromNodeV = Option(q.get("from")).getOrElse(
+      throw new IllegalArgumentException(
+        "query needs a 'from' clause (table name or subquery)"))
     val from: Either[String, JxQuery] =
       if (fromNodeV.isObject) Right(fromNode(fromNodeV))
       else Left(fromNodeV.asText)
