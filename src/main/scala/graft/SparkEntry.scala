@@ -240,15 +240,21 @@ object SparkEntry {
        "sort": ["day"]}""")),
 
     // --- M2: collection aggregates — union (set) over groups ---
-    "q13_collect_aggs" -> jx("""
-      {"from": "lineitem",
-       "groupby": ["l_returnflag"],
-       "select": [
-         {"name": "statuses", "value": "l_linestatus", "aggregate": "union"},
-         {"name": "n_status", "value": "l_linestatus",
-          "aggregate": "cardinality"},
-         {"name": "one_flag", "value": "l_returnflag", "aggregate": "one"}],
-       "sort": ["l_returnflag"]}"""),
+    // The union agg result (sorted array) is serialized to a CSV string for
+    // the driver compare, which hashes scalar cells only; ArraySpec covers
+    // the raw array form.
+    "q13_collect_aggs" -> { (spark, dir) =>
+      val df = jx("""
+        {"from": "lineitem",
+         "groupby": ["l_returnflag"],
+         "select": [
+           {"name": "statuses", "value": "l_linestatus", "aggregate": "union"},
+           {"name": "n_status", "value": "l_linestatus",
+            "aggregate": "cardinality"},
+           {"name": "one_flag", "value": "l_returnflag", "aggregate": "one"}],
+         "sort": ["l_returnflag"]}""")(spark, dir)
+      df.withColumn("statuses", array_join(col("statuses"), ","))
+    },
 
     // --- M5 J1: enrichment broadcast joins, customer->nation->region ---
     "q14_join_enrich" -> rounded("sum_bal" -> 2)({ (spark, dir) =>
@@ -312,14 +318,17 @@ object SparkEntry {
       val orders = tbl(spark, dir, "orders")
       val li = tbl(spark, dir, "lineitem")
         .withColumnRenamed("l_orderkey", "o_orderkey")
+      // quantities rendered as a CSV of ints (integer-valued in the data):
+      // the driver compare hashes scalar cells, not arrays
       Joins.reassemble(orders, li, "o_orderkey",
           "lines", Seq(col("l_linenumber"), col("l_quantity")))
         .select(col("o_orderkey"),
                 when(col("lines").isNull, lit(0))
                   .otherwise(size(col("lines"))).as("n_lines"),
                 when(col("lines").isNull, lit(null))
-                  .otherwise(transform(col("lines"),
-                    x => x.getField("l_quantity"))).as("quantities"))
+                  .otherwise(array_join(transform(col("lines"),
+                    x => x.getField("l_quantity").cast("int").cast("string")),
+                    ",")).as("quantities"))
         .orderBy(col("o_orderkey"))
     },
 
@@ -798,7 +807,8 @@ object SparkEntry {
 
     "q13_collect_aggs" -> """
       SELECT l_returnflag,
-             list_sort(list(DISTINCT l_linestatus)) AS statuses,
+             array_to_string(list_sort(list(DISTINCT l_linestatus)), ',')
+               AS statuses,
              count(DISTINCT l_linestatus) AS n_status,
              min(l_returnflag) AS one_flag
       FROM lineitem GROUP BY 1 ORDER BY 1""",
@@ -839,7 +849,8 @@ object SparkEntry {
       WITH lines AS (
         SELECT l_orderkey AS o_orderkey,
                CAST(count(*) AS INT) AS n_lines,
-               list(l_quantity ORDER BY l_linenumber, l_quantity) AS quantities
+               array_to_string(list(CAST(l_quantity AS INT)
+                 ORDER BY l_linenumber, l_quantity), ',') AS quantities
         FROM lineitem GROUP BY 1)
       SELECT o.o_orderkey, coalesce(l.n_lines, 0) AS n_lines, l.quantities
       FROM orders o LEFT JOIN lines l USING (o_orderkey)
@@ -869,7 +880,8 @@ object SparkEntry {
                             > 1800 * 1000000 THEN 1 ELSE 0 END AS is_new
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts))
-      SELECT user_id, sum(is_new) AS n_sessions, count(*) AS n_events
+      SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions,
+             count(*) AS n_events
       FROM g GROUP BY 1 ORDER BY 1""",
 
     "q21_dedup_ids" -> """
