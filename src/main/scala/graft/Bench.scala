@@ -25,7 +25,11 @@ object Bench {
       case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        // drop persisted intermediates (outside the timed section) so
+        // cached blocks don't accumulate memory pressure across queries
+        spark.catalog.clearCache()
+        name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

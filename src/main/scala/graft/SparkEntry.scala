@@ -666,6 +666,90 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg(count(col("k")).as("n_k"), sum(col("k")).as("sum_k"))
         .orderBy(col("event_type"))
+    },
+
+    // --- M8: exact n-gram Jaccard near-dup pairs via inverted index
+    //     (the exact counterpart of q26's MinHash+LSH approximation) ---
+    "q43_dedup_ngram" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+      val truncated = docs.select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        col("text").substr(lit(1),
+          greatest(length(col("text")) - 30, lit(1))).as("text"))
+      val corpus = docs.select(col("doc_id"), col("text"))
+        .unionByName(truncated)
+      Dedup.ngramJaccardPairs(corpus, col("doc_id"), col("text"),
+          shingleN = 3, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // --- M8: embedding-cosine near-dup pairs, exact all-pairs baseline
+    //     (corpus = embeddings + deterministic one-component-bumped
+    //     variants; natural pairs top out at cosine ~0.51, variants sit
+    //     at 0.87-0.92, so 0.8 selects exactly the near-dups) ---
+    "q44_dedup_embedding" -> { (spark, dir) =>
+      val e = tbl(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val variant = e.select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("v"), (x, i) =>
+          x + when(i.cast("long") === pmod(col("vec_id"), size(col("v"))),
+            lit(0.5)).otherwise(lit(0.0))).as("v"))
+      Dedup.bruteForceEmbeddingPairs(e.unionByName(variant),
+          col("vec_id"), col("v"), threshold = 0.8)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // --- M8: IVF similarity search; probing ALL cells makes it exact, so
+    //     the brute-force oracle checks the IVF plumbing end-to-end (the
+    //     scale path drops nprobe << nlist and turns cell assignment into
+    //     a partition column) ---
+    "q45_ann_ivf" -> { (spark, dir) =>
+      val emb = tbl(spark, dir, "embeddings")
+      Similarity.ivfTopK(
+          emb, col("vec_id"), col("embedding"),
+          emb.filter(col("vec_id") < 8), col("vec_id"), col("embedding"),
+          k = 5, nlist = 16, nprobe = 16)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // --- M7/2l: native session_window (batch form of the streaming
+    //     session operator; one row per gap-bounded session) ---
+    "q46_session_window" -> { (spark, dir) =>
+      val events = tbl(spark, dir, "events")
+      events
+        .groupBy(session_window(col("ts"), "30 minutes").as("sw"),
+                 col("user_id"))
+        .agg(count(lit(1)).as("n_ev"))
+        .select(col("user_id"),
+                unix_micros(col("sw.start")).as("session_start_us"),
+                col("n_ev"))
+        .orderBy(col("user_id"), col("session_start_us"))
+    },
+
+    // --- §2d breadth: grouping-set subtotals (rollup) — not a JX clause
+    //     (JX's cube is the edges model); Spark-native for oracle parity ---
+    "q47_rollup" -> { (spark, dir) =>
+      val li = tbl(spark, dir, "lineitem")
+      li.rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+             round(sum(col("l_quantity")), 4).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+                coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+                col("n"), col("sum_qty"))
+        .orderBy(col("rflag"), col("lstatus"))
+    },
+
+    // --- cube/table result shaping: pivot (2-D dense table, the format
+    //     half of the edges model as a first-class relational op) ---
+    "q48_pivot" -> { (spark, dir) =>
+      val events = tbl(spark, dir, "events")
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val p = events.withColumn("day", to_date(col("ts")))
+        .groupBy(col("day")).pivot("event_type", types).agg(count(lit(1)))
+      p.select(col("day") +: types.map(t =>
+          coalesce(col(t), lit(0L)).as(t)): _*)
+        .orderBy(col("day"))
     }
   )
 
@@ -1114,6 +1198,150 @@ object SparkEntry {
         ('huge', 500.0, 2000.0))
       SELECT band, count(*) AS n, round(sum(value), 4) AS sum_value
       FROM events JOIN bands ON value >= lo AND value < hi
-      GROUP BY 1 ORDER BY 1"""
+      GROUP BY 1 ORDER BY 1""",
+
+    // word-3-gram Jaccard via the same inverted-index shape: count shared
+    // distinct shingles per pair, sizes from the per-doc distinct sets
+    "q43_dedup_ngram" -> """
+      WITH base AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000,
+               substring(text, 1, greatest(length(text) - 30, 1))
+        FROM documents),
+      tk AS (SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                           x -> length(x) > 0) AS toks
+             FROM base),
+      sh AS (SELECT doc_id,
+               CASE WHEN len(toks) >= 3 THEN
+                      list_distinct(list_transform(
+                        generate_series(1, len(toks) - 2),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                    WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+                    ELSE [] END AS s
+             FROM tk),
+      sz AS (SELECT doc_id, len(s) AS sz FROM sh WHERE len(s) > 0),
+      ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       count(*) AS n_shared
+                FROM ex a JOIN ex b
+                  ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+      SELECT id_a, id_b,
+             round(CAST(n_shared AS DOUBLE)
+                   / (sa.sz + sb.sz - n_shared), 6) AS jaccard
+      FROM inter
+      JOIN sz sa ON sa.doc_id = id_a
+      JOIN sz sb ON sb.doc_id = id_b
+      WHERE round(CAST(n_shared AS DOUBLE)
+                  / (sa.sz + sb.sz - n_shared), 6) >= 0.5
+      ORDER BY id_a, id_b""",
+
+    "q44_dedup_embedding" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+      c AS (SELECT vec_id AS id, v FROM e
+            UNION ALL
+            SELECT vec_id + 1000000,
+                   list_transform(generate_series(1, len(v)), i ->
+                     v[i] + CASE WHEN i = CAST(vec_id % len(v) AS INT) + 1
+                                 THEN 0.5 ELSE 0.0 END)
+            FROM e)
+      SELECT a.id AS id_a, b.id AS id_b,
+             round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+      FROM c a JOIN c b ON a.id < b.id
+      WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.8
+      ORDER BY id_a, id_b""",
+
+    // IVF probing all cells is exact, so the brute-force ranking is the
+    // oracle (same as q28's, modulo the query alias)
+    "q45_ann_ivf" -> """
+      WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                 FROM embeddings WHERE vec_id < 8),
+      s AS (SELECT q.query_id, e.vec_id,
+                   list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          q.qv) AS cosine
+            FROM embeddings e CROSS JOIN q
+            WHERE e.vec_id <> q.query_id)
+      SELECT query_id, vec_id,
+             CAST(row_number() OVER w AS INT) AS rank,
+             round(cosine, 6) AS cosine
+      FROM s
+      WINDOW w AS (PARTITION BY query_id ORDER BY cosine DESC, vec_id)
+      QUALIFY row_number() OVER w <= 5
+      ORDER BY query_id, rank""",
+
+    // gap-based session reconstruction; Spark's session_window starts a
+    // new session when the gap REACHES the 30-minute bound (window is
+    // [start, last+gap)), hence >= here (q20's running-ordinal form
+    // uses > — both are valid semantics, pinned per operator)
+    "q46_session_window" -> """
+      WITH g AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                            >= 1800 * 1000000 THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      s AS (SELECT user_id, ts,
+                   sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS UNBOUNDED PRECEDING) AS sid
+            FROM g)
+      SELECT user_id, min(epoch_us(ts)) AS session_start_us,
+             count(*) AS n_ev
+      FROM s GROUP BY user_id, sid
+      ORDER BY user_id, session_start_us""",
+
+    "q47_rollup" -> """
+      SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+             coalesce(l_linestatus, 'ALL') AS lstatus,
+             count(*) AS n, round(sum(l_quantity), 4) AS sum_qty
+      FROM lineitem
+      GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      ORDER BY 1, 2""",
+
+    "q48_pivot" -> """
+      SELECT CAST(ts AS DATE) AS day,
+             count(*) FILTER (WHERE event_type = 'click')    AS click,
+             count(*) FILTER (WHERE event_type = 'error')    AS error,
+             count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+             count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+             count(*) FILTER (WHERE event_type = 'view')     AS view
+      FROM events GROUP BY 1 ORDER BY 1""",
+
+    // mirrors TextAnalysis.langIdFast: CJK-codepoint share first, then
+    // argmax of DISTINCT stopword hits with max-lang tie-break (the
+    // struct array_max tie-breaks on the lang string descending)
+    "q24_lang_id" -> """
+      WITH tk AS (
+        SELECT lang, text,
+               list_distinct(list_filter(
+                 string_split_regex(lower(trim(text)), '\s+'),
+                 x -> length(x) > 0)) AS toks
+        FROM documents),
+      s AS (SELECT lang,
+              len(list_intersect(toks, ['der','die','und','das','ist',
+                'von','den','mit','nicht','ein'])) AS h_de,
+              len(list_intersect(toks, ['the','and','of','to','in','is',
+                'that','it','was','for'])) AS h_en,
+              len(list_intersect(toks, ['el','la','de','que','y','en',
+                'un','los','del','las'])) AS h_es,
+              len(list_intersect(toks, ['le','la','les','de','et','est',
+                'un','une','dans','que'])) AS h_fr,
+              length(regexp_replace(text, '[^\x{4E00}-\x{9FFF}]', '', 'g'))
+                AS cjk,
+              length(text) AS n
+            FROM tk),
+      p AS (SELECT lang,
+              CASE WHEN cjk > 0 AND cjk * 2 >= n THEN 'zh'
+                   WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+                   WHEN h_fr = greatest(h_de, h_en, h_es, h_fr) THEN 'fr'
+                   WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+                   WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+                   ELSE 'de' END AS lang_pred
+            FROM s)
+      SELECT lang, lang_pred, count(*) AS n
+      FROM p GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 }

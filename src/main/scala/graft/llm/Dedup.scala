@@ -101,6 +101,56 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Exact n-gram Jaccard near-dup pairs via an INVERTED INDEX: explode
+    * the (distinct) word-shingle sets, self-join on the shingle, and
+    * count shared shingles per pair — |A∩B| by group-count, |A∪B| from
+    * the per-doc set sizes. Only pairs sharing at least one shingle are
+    * ever materialized, so the cost is Σ_g freq(g)² over shingles (tiny
+    * for natural text) instead of the O(n²) all-pairs space; every step
+    * is a plain shuffle the optimizer can partial-aggregate. This is the
+    * exact counterpart of [[minhashPairs]] (which approximates the same
+    * candidate generation with LSH when even the inverted index is too
+    * hot, e.g. boilerplate-heavy corpora). */
+  def ngramJaccardPairs(df: DataFrame, id: Column, text: Column,
+                        shingleN: Int = 3, threshold: Double = 0.5)
+      : DataFrame = {
+    val sh = df
+      .select(id.as("id"), TextAnalysis.shingles(text, shingleN).as("s"))
+      .filter(size(col("s")) > 0)
+    val sizes = sh.select(col("id"), size(col("s")).as("sz"))
+    val ex = sh.select(col("id"), explode(col("s")).as("g"))
+    val inter = ex.alias("a")
+      .join(ex.alias("b"),
+        col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    val j = col("n_shared").cast("double") /
+      (col("sz_a") + col("sz_b") - col("n_shared")).cast("double")
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("jaccard", round(j, 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Exact embedding near-dup pairs: all-pairs cosine over a threshold.
+    * O(n²) by construction — the verification baseline / small-corpus
+    * form; the 100 TB path is [[embeddingPairs]] (LSH buckets) with this
+    * as the per-bucket verifier. The theta join broadcasts the smaller
+    * side and the cosine is the fused-loop native expression, so the
+    * pair scan stays in whole-stage codegen. */
+  def bruteForceEmbeddingPairs(df: DataFrame, id: Column, vec: Column,
+                               threshold: Double): DataFrame = {
+    val a = df.select(id.as("id_a"), vec.as("__v_a"))
+    val b = df.select(id.as("id_b"), vec.as("__v_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        round(Similarity.cosine(col("__v_a"), col("__v_b")), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
   /** Exact n-gram Jaccard similarity of two shingle-set columns. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

@@ -34,8 +34,10 @@ object EventStream {
     batchSchema.fields.foldLeft(stream) { (df, f) =>
       (f.dataType, rawSchema(f.name).dataType) match {
         case (TimestampType, LongType) =>
+          // integer `div` (see Catalog): long / long is double division
+          // and rounds the microsecond
           df.withColumn(f.name,
-            timestamp_micros((col(f.name) / 1000L).cast("long")))
+            timestamp_micros(expr(s"`${f.name}` div 1000")))
         case _ => df
       }
     }

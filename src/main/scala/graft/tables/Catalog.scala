@@ -77,7 +77,10 @@ final class Catalog(spark: SparkSession, dir: String) {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(path)
       nanos.foldLeft(raw) { (d, c) =>
-        d.withColumn(c, timestamp_micros((col(c) / 1000L).cast("long")))
+        // integer `div`, not `/`: long / long is DOUBLE division in Spark
+        // and rounds the microsecond (53-bit mantissa) — truncation must
+        // match the engines that read the nanos natively
+        d.withColumn(c, timestamp_micros(expr(s"`$c` div 1000")))
       }
     }
   }
