@@ -112,10 +112,20 @@ object Dedup {
     * candidate generation with LSH when even the inverted index is too
     * hot, e.g. boilerplate-heavy corpora). */
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column,
-                        shingleN: Int = 3, threshold: Double = 0.5)
+                        shingleN: Int = 3, threshold: Double = 0.5,
+                        hashedShingles: Boolean = true)
       : DataFrame = {
+    // hashedShingles: index on the native single-pass 64-bit shingle
+    // hashes instead of n-gram strings — equality of hashes ≡ equality
+    // of shingles (collisions ~1e-19/pair), set sizes and intersection
+    // counts are identical, and the per-doc cost drops from one
+    // interpreted lambda per token to one fused loop per row. Set false
+    // only when the downstream needs the n-gram text itself.
+    val shingleExpr =
+      if (hashedShingles) TextAnalysis.shingleHashes(text, shingleN)
+      else TextAnalysis.shingles(text, shingleN)
     val sh = df
-      .select(id.as("id"), TextAnalysis.shingles(text, shingleN).as("s"))
+      .select(id.as("id"), shingleExpr.as("s"))
       .filter(size(col("s")) > 0)
     val sizes = sh.select(col("id"), size(col("s")).as("sz"))
     val ex = sh.select(col("id"), explode(col("s")).as("g"))
@@ -142,7 +152,11 @@ object Dedup {
     * pair scan stays in whole-stage codegen. */
   def bruteForceEmbeddingPairs(df: DataFrame, id: Column, vec: Column,
                                threshold: Double): DataFrame = {
-    val a = df.select(id.as("id_a"), vec.as("__v_a"))
+    // repartition the streamed side: the corpus often arrives as a single
+    // file-partition, which would put every pair comparison of the
+    // nested-loop join on one core
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val a = df.select(id.as("id_a"), vec.as("__v_a")).repartition(par)
     val b = df.select(id.as("id_b"), vec.as("__v_b"))
     a.join(b, col("id_a") < col("id_b"))
       .withColumn("cosine",
