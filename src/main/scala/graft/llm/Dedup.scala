@@ -105,15 +105,26 @@ object Dedup {
     * the (distinct) word-shingle sets, self-join on the shingle, and
     * count shared shingles per pair — |A∩B| by group-count, |A∪B| from
     * the per-doc set sizes. Only pairs sharing at least one shingle are
-    * ever materialized, so the cost is Σ_g freq(g)² over shingles (tiny
-    * for natural text) instead of the O(n²) all-pairs space; every step
-    * is a plain shuffle the optimizer can partial-aggregate. This is the
-    * exact counterpart of [[minhashPairs]] (which approximates the same
-    * candidate generation with LSH when even the inverted index is too
-    * hot, e.g. boilerplate-heavy corpora). */
+    * ever materialized, so the cost is Σ_g df(g)² over shingles instead
+    * of the O(n²) all-pairs space; every step is a plain shuffle the
+    * optimizer can partial-aggregate. This is the exact counterpart of
+    * [[minhashPairs]] (which approximates the same candidate generation
+    * with LSH when even the inverted index is too hot).
+    *
+    * `maxDf` guards the quadratic hot-shingle hazard: a shingle in d
+    * documents generates d² index pairs, so boilerplate phrases make the
+    * self-join blow up (measured: 52% of the whole sf0.1 benchmark before
+    * the cap). Shingles with document frequency > maxDf are dropped from
+    * the index AND from the per-doc set sizes — i.e. Jaccard is computed
+    * over the df-filtered shingle space (CCNet-style stop-shingle
+    * pruning). Near-duplicates share many RARE shingles, so recall loss
+    * at sane caps is negligible, and the join cost is bounded by
+    * maxDf × |index| — linear in the corpus. Set maxDf = 0 to disable
+    * (exact full-space Jaccard; only safe on corpora with no hot
+    * shingles). */
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column,
                         shingleN: Int = 3, threshold: Double = 0.5,
-                        hashedShingles: Boolean = true)
+                        hashedShingles: Boolean = true, maxDf: Int = 128)
       : DataFrame = {
     // hashedShingles: index on the native single-pass 64-bit shingle
     // hashes instead of n-gram strings — equality of hashes ≡ equality
@@ -124,18 +135,44 @@ object Dedup {
     val shingleExpr =
       if (hashedShingles) TextAnalysis.shingleHashes(text, shingleN)
       else TextAnalysis.shingles(text, shingleN)
+    // the shingle-set table feeds two passes (hot-shingle census + index
+    // build); persist it — per doc it is one hash per distinct shingle,
+    // a small fraction of text bytes, spilling to executor disk at scale
     val sh = df
       .select(id.as("id"), shingleExpr.as("s"))
       .filter(size(col("s")) > 0)
-    val sizes = sh.select(col("id"), size(col("s")).as("sz"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ex = sh.select(col("id"), explode(col("s")).as("g"))
-    val inter = ex.alias("a")
-      .join(ex.alias("b"),
-        col("a.g") === col("b.g") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    // hot-shingle census: shingles with df > maxDf. Partial aggregation
+    // makes the count shuffle tiny, and the hot set itself (boilerplate
+    // phrases) is small enough to broadcast — so the cap never shuffles
+    // the index, and no executor ever collects an unbounded posting list.
+    val kept = if (maxDf > 0) {
+      val hot = ex.groupBy(col("g")).agg(count(lit(1)).as("__df"))
+        .filter(col("__df") > maxDf).select(col("g"))
+      ex.join(broadcast(hot), Seq("g"), "left_anti")
+    } else ex
+    // per-doc set size over the SAME df-filtered shingle space (a doc
+    // whose shingles are all hot drops out entirely)
+    val sizes = kept.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    // posting lists: one groupBy on the shingle, lists bounded by maxDf;
+    // pair expansion is row-local array math (≤ C(maxDf,2) per list) —
+    // this replaces a sort-merge self-join of the index with a single
+    // exchange + codegen'd combination explode
+    val lists = kept.groupBy(col("g"))
+      .agg(array_sort(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val pairs = lists.select(explode(flatten(transform(col("ids"),
+      (x, i) => transform(
+        slice(col("ids"), i + lit(2), size(col("ids")) - i - lit(1)),
+        y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+    val inter = pairs.groupBy(col("p.id_a").as("id_a"),
+        col("p.id_b").as("id_b"))
       .agg(count(lit(1)).as("n_shared"))
     val j = col("n_shared").cast("double") /
       (col("sz_a") + col("sz_b") - col("n_shared")).cast("double")
+    // sizes is per-doc — big at corpus scale; no broadcast hint, AQE
+    // picks broadcast when it fits and shuffle-join otherwise
     inter
       .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
       .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")

@@ -78,26 +78,32 @@ object Similarity {
   /** IVF-style approximate search: a deterministic coarse quantizer
     * (the `nlist` lowest-id vectors act as centroids) partitions the
     * corpus by nearest centroid; queries probe their `nprobe` nearest
-    * cells. The cell assignment is one broadcast join against the tiny
-    * centroid set; at 100 TB the assignment is computed once at ingest
-    * and stored as a partition column, making probe queries
-    * partition-pruned scans. */
+    * cells. Cell assignment is ROW-LOCAL array math against the
+    * broadcast centroid array (one single-row broadcast crossJoin, no
+    * shuffle, no window): per row, score all centroids, `array_sort`
+    * by (cosine desc, cent_id asc), take the first `n`. At 100 TB the
+    * assignment is computed once at ingest and stored as a partition
+    * column, making probe queries partition-pruned scans. */
   def ivfTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
               queries: DataFrame, queryId: Column, queryVec: Column,
               k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     val c = corpus.select(corpusId.as("vec_id"),
       corpusVec.cast("array<double>").as("cv"))
+    // single-row DF holding the centroid array — broadcast to every task
     val cents = c.orderBy(col("vec_id")).limit(nlist)
       .select(col("vec_id").as("cent_id"), col("cv").as("centroid"))
+      .agg(collect_list(struct(col("cent_id"), col("centroid")))
+        .as("__cents"))
     def assign(df: DataFrame, vec: String, out: String, n: Int) = {
-      val w = Window.partitionBy(col("__rid")).orderBy(
-        cosine(col(vec), col("centroid")).desc, col("cent_id"))
-      df.withColumn("__rid", monotonically_increasing_id())
-        .crossJoin(broadcast(cents))
-        .withColumn("__rk", row_number().over(w))
-        .filter(col("__rk") <= n)
-        .withColumn(out, col("cent_id"))
-        .drop("cent_id", "centroid", "__rk", "__rid")
+      // struct sort order = field order: (-cosine) asc ≡ cosine desc,
+      // then cent_id asc — same tie-break as a window rank would give
+      val scored = array_sort(transform(col("__cents"), ct =>
+        struct((-cosine(col(vec), ct.getField("centroid"))).as("negcos"),
+               ct.getField("cent_id").as("cent_id"))))
+      df.crossJoin(broadcast(cents))
+        .select(df.columns.map(col) :+
+          explode(transform(slice(scored, 1, n),
+            s => s.getField("cent_id"))).as(out): _*)
     }
     val assigned = assign(c, "cv", "cell", 1)
     val q = assign(

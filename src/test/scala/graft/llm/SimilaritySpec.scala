@@ -42,6 +42,25 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF top-k: nprobe=nlist is exact; assignment is window-free") {
+    val emb = catalog.table("embeddings")
+    val q = emb.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(emb, col("vec_id"),
+      col("embedding"), q, col("vec_id"), col("embedding"), k = 4)
+      .collect().map(_.toSeq).toSet
+    val ivf = Similarity.ivfTopK(emb, col("vec_id"), col("embedding"),
+      q, col("vec_id"), col("embedding"), k = 4, nlist = 8, nprobe = 8)
+    assert(ivf.collect().map(_.toSeq).toSet === exact)
+    // cell assignment must be row-local array math: the ONLY window in
+    // the plan is the final per-query ranking, and no unique-id column
+    // is generated anywhere (the old shape windowed over
+    // monotonically_increasing_id — a full-shuffle anti-pattern)
+    val plan = ivf.queryExecution.optimizedPlan.toString
+    val nWindows = plan.split("windowspecdefinition", -1).length - 1
+    assert(nWindows <= 1, s"expected at most 1 window spec in plan:\n$plan")
+    assert(!plan.contains("monotonically_increasing_id"))
+  }
+
   test("LSH top-k recall vs brute force is reasonable at few planes") {
     val emb = catalog.table("embeddings")
     val q = emb.filter(col("vec_id") < 8)
