@@ -412,8 +412,14 @@ object SparkEntry {
         .orderBy(col("source"))
     },
 
-    // --- M8: MinHash+LSH near-dup pairs (exact-verified; no SQL oracle —
-    //     LSH recall is probabilistic, checked by spec instead) ---
+    // --- M8: MinHash+LSH near-dup RECALL vs the exact inverted-index
+    //     pairs (q43's operator, same df cap). The LSH pair list itself
+    //     is not SQL-expressible, but the comparison against the exact
+    //     pair set is deterministic (fixed hash seeds), so the oracle
+    //     checks the exact-pair count exactly and the recall floor as a
+    //     boolean. Measured recall: 0.988 (sf0.01) / 0.984 (sf0.1) —
+    //     floor 0.9 has margin while still catching a silently broken
+    //     signature/banding path (which would land near 0). ---
     "q26_dedup_minhash" -> { (spark, dir) =>
       val docs = tbl(spark, dir, "documents")
       // near-dup variant: drop the tail (plain codegen'd substring —
@@ -424,23 +430,31 @@ object SparkEntry {
           greatest(length(col("text")) - 30, lit(1))).as("text"))
       val corpus = docs.select(col("doc_id"), col("text"))
         .unionByName(truncated)
-      Dedup.minhashPairs(corpus, col("doc_id"), col("text"),
+      val found = Dedup.minhashPairs(corpus, col("doc_id"), col("text"),
           numHashes = 64, bands = 16, threshold = 0.5)
-        .orderBy(col("id_a"), col("id_b"))
+        .select(col("id_a"), col("id_b"))
+      val exact = Dedup.ngramJaccardPairs(corpus, col("doc_id"), col("text"),
+          shingleN = 3, threshold = 0.5, maxDf = 16)
+        .select(col("id_a"), col("id_b"))
+      val hits = found.join(exact, Seq("id_a", "id_b"))
+      exact.agg(count(lit(1)).as("pairs_exact"))
+        .crossJoin(hits.agg(count(lit(1)).as("__hits")))
+        .select(col("pairs_exact"),
+          (col("__hits") >= col("pairs_exact") * 0.9).as("recall_floor_met"))
     },
 
-    // --- M8: SimHash near-dup fingerprints + hamming distance ---
+    // --- M8: SimHash near-dup fingerprints + hamming distance, on the
+    //     PORTABLE md5-hash variant so DuckDB can recompute the bit
+    //     votes digit-by-digit from the md5 hex (the native xxhash
+    //     kernel has the same bit-majority semantics; spec-covered) ---
     "q27_dedup_simhash" -> { (spark, dir) =>
       val docs = tbl(spark, dir, "documents")
       val variant = array_join(slice(TextAnalysis.tokens(col("text")), lit(1),
         greatest(TextAnalysis.tokenCount(col("text")) - 5, lit(1))), " ")
-      val staged = Dedup.withSimhash(
-        Dedup.withSimhash(docs.withColumn("__variant", variant),
-          col("text"), "simhash"),
-        col("__variant"), "__simhash_v")
-      staged.select(
-          col("doc_id"), col("simhash"),
-          Dedup.hamming64(col("simhash"), col("__simhash_v"))
+      docs.select(
+          col("doc_id"),
+          Dedup.hamming64(Dedup.simhash64Portable(col("text")),
+              Dedup.simhash64Portable(variant)).cast(LongType)
             .as("hamming_to_truncated"))
         .orderBy(col("doc_id"))
     },
@@ -455,17 +469,39 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     },
 
-    // --- M8: LSH-bucketed ANN (scale path; recall checked by spec) ---
+    // --- M8: multi-table LSH ANN recall vs exact brute-force top-k
+    //     (q28's operator). Deterministic given the fixed hyperplane
+    //     seeds; the oracle checks the exact top-k count exactly and
+    //     the recall floor as a boolean. Measured recall at
+    //     planes=4/tables=16: 0.875 (sf0.01) / 0.925 (sf0.1); floor
+    //     0.6 has margin but catches a broken bucket/candidate path
+    //     (single-table LSH measured 0.05 — silently broken, hence
+    //     the multi-table rewrite). ---
     "q29_ann_lsh" -> { (spark, dir) =>
       val emb = tbl(spark, dir, "embeddings")
-      Similarity.lshTopK(
+      val qs = emb.filter(col("vec_id") < 8)
+      val exact = Similarity.bruteForceTopK(
           emb, col("vec_id"), col("embedding"),
-          emb.filter(col("vec_id") < 8), col("vec_id"), col("embedding"),
-          k = 5, planes = 6)
-        .orderBy(col("query_id"), col("rank"))
+          qs, col("vec_id"), col("embedding"), k = 5)
+        .select(col("query_id"), col("vec_id"))
+      val approx = Similarity.lshTopK(
+          emb, col("vec_id"), col("embedding"),
+          qs, col("vec_id"), col("embedding"),
+          k = 5, planes = 4, tables = 16)
+        .select(col("query_id"), col("vec_id"))
+      val hits = approx.join(exact, Seq("query_id", "vec_id"))
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(hits.agg(count(lit(1)).as("__hits")))
+        .select(col("n_exact"),
+          (col("__hits") >= col("n_exact") * 0.6).as("recall_floor_met"))
     },
 
-    // --- M8: document fingerprinting + multimodal binary plumbing ---
+    // --- M8: document fingerprinting + multimodal binary plumbing.
+    //     Output keeps to the DETERMINISTIC portable columns (md5
+    //     checksum/fingerprint, byte length, decode ok) so the whole
+    //     row is oracle-checkable; the stub decode's fake width/height
+    //     stay out of the compare (native xxhash fingerprint and stub
+    //     decode are spec-covered) ---
     "q30_fingerprint_media" -> { (spark, dir) =>
       val docs = tbl(spark, dir, "documents")
       val payload = encode(col("text"), "UTF-8") // opaque binary payload
@@ -473,11 +509,11 @@ object SparkEntry {
           docs.select(col("doc_id"), col("text")), payload,
           lit("text/plain"))
         .select(col("doc_id"),
-                TextAnalysis.fingerprint(col("text")).as("fingerprint"),
+                TextAnalysis.fingerprintPortable(col("text"))
+                  .as("fingerprint"),
+                md5(payload).as("checksum_md5"),
                 col("media_meta.n_bytes").as("n_bytes"),
-                col("decoded.width").as("width"),
-                col("decoded.height").as("height"),
-                element_at(col("features"), 1).as("f0"))
+                col("decoded.ok").as("decode_ok"))
         .orderBy(col("doc_id"))
     },
 
@@ -1347,6 +1383,120 @@ object SparkEntry {
                    ELSE 'de' END AS lang_pred
             FROM s)
       SELECT lang, lang_pred, count(*) AS n
-      FROM p GROUP BY 1, 2 ORDER BY 1, 2"""
+      FROM p GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // exact-pair count via the SAME df-capped inverted index as q43;
+    // the recall floor is asserted as a literal (the Spark side computes
+    // |found ∩ exact| / |exact| >= 0.9 — deterministic, measured ~0.98)
+    "q26_dedup_minhash" -> """
+      WITH base AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000,
+               substring(text, 1, greatest(length(text) - 30, 1))
+        FROM documents),
+      tk AS (SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                           x -> length(x) > 0) AS toks
+             FROM base),
+      sh AS (SELECT doc_id,
+               CASE WHEN len(toks) >= 3 THEN
+                      list_distinct(list_transform(
+                        generate_series(1, len(toks) - 2),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                    WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+                    ELSE [] END AS s
+             FROM tk),
+      ex0 AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      keep AS (SELECT g FROM ex0 GROUP BY g HAVING count(*) <= 16),
+      ex AS (SELECT doc_id, ex0.g FROM ex0 JOIN keep USING (g)),
+      sz AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       count(*) AS n_shared
+                FROM ex a JOIN ex b
+                  ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+      SELECT count(*) AS pairs_exact, TRUE AS recall_floor_met
+      FROM inter
+      JOIN sz sa ON sa.doc_id = id_a
+      JOIN sz sb ON sb.doc_id = id_b
+      WHERE round(CAST(n_shared AS DOUBLE)
+                  / (sa.sz + sb.sz - n_shared), 6) >= 0.5""",
+
+    // portable md5 simhash recomputed bit-by-bit: token hash = first 16
+    // md5 hex chars as a 64-bit value; bit b lives in hex digit
+    // 16 - b//4 (1-based from the left) at in-digit position b%4; the
+    // simhash bit is the token-majority vote, hamming = differing bits
+    "q27_dedup_simhash" -> """
+      WITH tk AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                           x -> length(x) > 0) AS toks
+        FROM documents),
+      h AS (SELECT doc_id, len(toks) AS n,
+              list_transform(toks, t -> md5(t)) AS hs,
+              list_transform(toks[1:greatest(len(toks) - 5, 1)],
+                             t -> md5(t)) AS vhs
+            FROM tk),
+      b AS (SELECT doc_id, n, hs, vhs,
+                   unnest(generate_series(0, 63)) AS bit
+            FROM h),
+      v AS (SELECT doc_id, n, bit,
+              len(list_filter(hs, m ->
+                ((strpos('0123456789abcdef',
+                         substr(m, 16 - CAST(bit // 4 AS INT), 1)) - 1)
+                  >> (bit % 4)) & 1 = 1)) AS v_t,
+              len(hs) AS n_t,
+              len(list_filter(vhs, m ->
+                ((strpos('0123456789abcdef',
+                         substr(m, 16 - CAST(bit // 4 AS INT), 1)) - 1)
+                  >> (bit % 4)) & 1 = 1)) AS v_v,
+              len(vhs) AS n_v
+            FROM b)
+      SELECT doc_id,
+             CASE WHEN max(n) = 0 THEN NULL
+                  ELSE CAST(sum(CASE WHEN (v_t * 2 > n_t) <> (v_v * 2 > n_v)
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+             END AS hamming_to_truncated
+      FROM v GROUP BY doc_id ORDER BY doc_id""",
+
+    // exact top-k count from the brute-force ranking (q28's oracle
+    // shape); the LSH recall floor is asserted as a literal (Spark
+    // computes it deterministically from the fixed hyperplane seeds)
+    "q29_ann_lsh" -> """
+      WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                 FROM embeddings WHERE vec_id < 8),
+      s AS (SELECT q.query_id, e.vec_id,
+                   list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          q.qv) AS cosine
+            FROM embeddings e CROSS JOIN q
+            WHERE e.vec_id <> q.query_id
+            QUALIFY row_number() OVER (PARTITION BY q.query_id
+              ORDER BY cosine DESC, e.vec_id) <= 5)
+      SELECT count(*) AS n_exact, TRUE AS recall_floor_met FROM s""",
+
+    // deterministic portable columns only: md5 fingerprint over word
+    // 3-gram shingles (min of lowercase hex = engine-neutral string
+    // min), md5 payload checksum, UTF-8 byte length, decode-ok flag
+    "q30_fingerprint_media" -> """
+      WITH tk AS (
+        SELECT doc_id, text,
+               list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                           x -> length(x) > 0) AS toks
+        FROM documents),
+      sh AS (SELECT doc_id, text,
+               CASE WHEN len(toks) >= 3 THEN
+                      list_transform(
+                        generate_series(1, len(toks) - 2),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                    WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+                    ELSE [] END AS s
+             FROM tk)
+      SELECT doc_id,
+             list_min(list_transform(s, g -> md5(g))) AS fingerprint,
+             md5(text) AS checksum_md5,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             octet_length(encode(text)) > 0 AS decode_ok
+      FROM sh ORDER BY doc_id"""
   )
 }

@@ -226,6 +226,25 @@ object Dedup {
   /** SimHash via the native single-pass expression. */
   def simhash64(text: Column): Column = graft.functions.simhash64(text)
 
+  /** PORTABLE 64-bit token hashes: the first 16 hex chars of md5(token)
+    * read as a 64-bit value (two 32-bit halves so `conv` stays inside
+    * signed-long range). md5 exists in every engine (DuckDB included),
+    * so simhashes built on these are oracle-computable bit-for-bit —
+    * the differential-testing counterpart of the faster native
+    * xxhash-based kernels. */
+  def md5TokenHashes(text: Column): Column =
+    transform(TextAnalysis.tokens(text), t => {
+      val h = md5(t.cast(org.apache.spark.sql.types.BinaryType))
+      shiftleft(conv(substring(h, 1, 8), 16, 10)
+          .cast(org.apache.spark.sql.types.LongType), 32)
+        .bitwiseOR(conv(substring(h, 9, 8), 16, 10)
+          .cast(org.apache.spark.sql.types.LongType))
+    })
+
+  /** Portable simhash: bit-majority over [[md5TokenHashes]]. */
+  def simhash64Portable(text: Column): Column =
+    simhash64FromHashes(md5TokenHashes(text))
+
   /** Staged SimHash (kept for API compatibility — the native expression
     * is already single-pass, no staging needed). */
   def withSimhash(df: DataFrame, text: Column, out: String): DataFrame =

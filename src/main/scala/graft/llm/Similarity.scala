@@ -121,19 +121,47 @@ object Similarity {
               round(col("cosine"), 6).as("cosine"))
   }
 
-  /** Approximate top-k: brute force within LSH buckets. Same output shape
-    * as [[bruteForceTopK]]; recall depends on `planes` (fewer planes =
-    * bigger buckets = higher recall & cost). */
+  /** One bucket id per hash table: `tables` independent sets of `planes`
+    * hyperplanes (plane index space is partitioned so tables never share
+    * a plane). The table tag lives in the bucket's high bits, so a plain
+    * equi-join on the bucket value never matches across tables. */
+  def lshBuckets(vec: Column, planes: Int, tables: Int): Column =
+    array((0 until tables).map { t =>
+      val bits = (0 until planes).map { p =>
+        val proj = aggregate(
+          zip_with(vec, sequence(lit(0), size(vec) - 1),
+            (x, i) => x * planeComponent(t * planes + p, i)),
+          lit(0.0d), (acc, x) => acc + x)
+        when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+      }
+      bits.reduce(_.bitwiseOR(_)).bitwiseOR(lit(t.toLong << 32))
+    }: _*)
+
+  /** Approximate top-k via MULTI-TABLE random-hyperplane LSH: candidates
+    * are the union over `tables` hash tables of same-bucket vectors,
+    * deduplicated, then exactly re-ranked by cosine. Same output shape as
+    * [[bruteForceTopK]].
+    *
+    * Single-table LSH has recall p^planes per neighbor (p = 1 - θ/π):
+    * for moderate-similarity neighbors (θ ≈ 60-80°) that is a few
+    * percent — measured 0.05 on the synthetic embeddings. Multi-table
+    * boosts it to 1-(1-p^planes)^tables while keeping per-table buckets
+    * selective; index cost is ×tables (the standard LSH trade). At
+    * 100 TB: the corpus explode is the index build (stored once), the
+    * per-(table,bucket) equi-join is shuffle-free on the query side
+    * (broadcast), and only deduplicated candidates are scored. */
   def lshTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
               queries: DataFrame, queryId: Column, queryVec: Column,
-              k: Int, planes: Int = 8): DataFrame = {
+              k: Int, planes: Int = 6, tables: Int = 8): DataFrame = {
     val c = corpus.select(corpusId.as("vec_id"), corpusVec.as("cv"))
-      .withColumn("bucket", lshBucket(col("cv"), planes))
+      .withColumn("bucket", explode(lshBuckets(col("cv"), planes, tables)))
     val q = queries.select(queryId.as("query_id"), queryVec.as("qv"))
-      .withColumn("bucket", lshBucket(col("qv"), planes))
-    val scored = c.join(broadcast(q), Seq("bucket"))
+      .withColumn("bucket", explode(lshBuckets(col("qv"), planes, tables)))
+    val cand = c.join(broadcast(q), Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cosine", cosine(col("cv"), col("qv")))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(first(col("cv")).as("cv"), first(col("qv")).as("qv"))
+    val scored = cand.withColumn("cosine", cosine(col("cv"), col("qv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w))

@@ -198,4 +198,12 @@ object TextAnalysis {
     * (xxhash64 with fixed seed). */
   def fingerprint(text: Column, n: Int = 3): Column =
     array_min(shingleHashes(text, n))
+
+  /** Portable fingerprint: min md5 hex of the word n-gram shingles.
+    * Same near-dup semantics as [[fingerprint]] but computable in any
+    * engine with md5 (string min over lowercase hex is engine-neutral),
+    * so it can be differentially verified; prefer the native
+    * [[fingerprint]] in hot paths. */
+  def fingerprintPortable(text: Column, n: Int = 3): Column =
+    array_min(transform(shingles(text, n), s => md5(s.cast(BinaryType))))
 }
