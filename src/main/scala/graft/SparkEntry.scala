@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType, StructType}
-import graft.etl.{Lineage, LogParse}
+import graft.etl.{Lineage, LogParse, MozLog}
 import graft.jx.Runner
 import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.meta.MetaColumns
@@ -770,11 +770,17 @@ object SparkEntry {
     //     (JX's cube is the edges model); Spark-native for oracle parity ---
     "q47_rollup" -> { (spark, dir) =>
       val li = tbl(spark, dir, "lineitem")
+      // subtotal rows are tagged via grouping(), not NULL-coalescing,
+      // so genuine NULL group values can never masquerade as subtotals
       li.rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"),
-             round(sum(col("l_quantity")), 4).as("sum_qty"))
-        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
-                coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+             round(sum(col("l_quantity")), 4).as("sum_qty"),
+             grouping(col("l_returnflag")).as("__g1"),
+             grouping(col("l_linestatus")).as("__g2"))
+        .select(when(col("__g1") === 1, lit("ALL"))
+                  .otherwise(col("l_returnflag")).as("rflag"),
+                when(col("__g2") === 1, lit("ALL"))
+                  .otherwise(col("l_linestatus")).as("lstatus"),
                 col("n"), col("sum_qty"))
         .orderBy(col("rflag"), col("lstatus"))
     },
@@ -789,6 +795,115 @@ object SparkEntry {
       p.select(col("day") +: types.map(t =>
           coalesce(col(t), lit(0L)).as(t)): _*)
         .orderBy(col("day"))
+    },
+
+    // --- §2k T3: mozlog typed-ADT transform end-to-end. Structured
+    //     log lines are GENERATED from the events table (one test per
+    //     user, one subtest per event, deterministic status mapping,
+    //     plus non-JSON noise), parsed by the typed flatMap, and
+    //     assembled into per-test docs with the status-priority
+    //     rollup; the oracle re-derives the same docs from events
+    //     directly ---
+    "q49_mozlog_tests" -> { (spark, dir) =>
+      val events = tbl(spark, dir, "events")
+      val statusOf = when(col("event_type") === "error", "FAIL")
+        .when(col("event_type") === "purchase", "TIMEOUT")
+        .otherwise("PASS")
+      val statusLines = events.select(to_json(struct(
+        lit("test_status").as("action"),
+        col("event_id").as("time"),
+        concat(lit("test_"), col("user_id")).as("test"),
+        concat(lit("sub_"), col("event_id")).as("subtest"),
+        statusOf.as("status"),
+        lit("PASS").as("expected"))).as("line"))
+      val endLines = events.groupBy(col("user_id"))
+        .agg(max(col("event_id")).as("m"))
+        .select(to_json(struct(
+          lit("test_end").as("action"),
+          (col("m") + 1).as("time"),
+          concat(lit("test_"), col("user_id")).as("test"),
+          lit("OK").as("status"),
+          lit("OK").as("expected"))).as("line"))
+      val noise = events.filter(col("event_id") % 7 === 0)
+        .select(concat(lit("not json "), col("event_id")).as("line"))
+      val lines = SetOps.concat(Seq(statusLines, endLines, noise))
+      MozLog.testDocs(MozLog.parse(lines, col("line")))
+        .orderBy(col("test"))
+    },
+
+    // --- §2e DurationDomain: dense duration buckets with
+    //     duration-string bounds ("30minute" / "5minute"); the events
+    //     value column is read as a seconds duration ---
+    "q50_edges_duration" -> rounded("sum_value" -> 4)(jx("""
+      {"from": "events",
+       "edges": [{"name": "dur", "value": "value",
+                  "domain": {"type": "duration", "min": 0,
+                             "max": "30minute", "interval": "5minute"}}],
+       "select": [{"name": "n", "aggregate": "count"},
+                  {"name": "sum_value", "value": "value",
+                   "aggregate": "sum"}]}""")),
+
+    // --- §2l: watermarked streaming dedup end-to-end. The events table
+    //     is streamed TWICE (an at-least-once replay), dedupByKey
+    //     suppresses the duplicates with watermark-bounded state, and
+    //     the batch-parity oracle is the plain single-copy aggregate ---
+    "q51_stream_dedup" -> rounded("sum_value" -> 4)({ (spark, dir) =>
+      val replayed = EventStream.readTable(spark, dir, "events")
+        .unionByName(EventStream.readTable(spark, dir, "events"))
+      val deduped = EventStream.dedupByKey(replayed, "ts", "1 day",
+        "event_id")
+      EventStream.runToCompletion(spark, deduped, mode = "append")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+        .orderBy(col("event_type"))
+    }),
+
+    // --- §2j JSON scrub: dirty JSON-lines ingest (bare NaN values,
+    //     fully broken lines) through the lenient decoder; dirt lands
+    //     as nulls / an all-null quarantine group, never an error ---
+    "q52_json_scrub" -> rounded("sum_v" -> 4)({ (spark, dir) =>
+      val events = tbl(spark, dir, "events")
+      val json = to_json(struct(col("event_id").as("id"),
+        col("event_type").as("t"), col("value").as("v")))
+      val dirty = when(col("event_id") % 17 === 0, lit("{broken"))
+        .when(col("event_id") % 10 === 0,
+          regexp_replace(json, "\"v\":[-0-9.Ee+]+", "\"v\":NaN"))
+        .otherwise(json)
+      val parsed = LogParse.parseJsonLenient(
+        events.select(dirty.as("line")), col("line"),
+        new StructType().add("id", LongType).add("t", StringType)
+          .add("v", DoubleType))
+      parsed.groupBy(col("t"))
+        .agg(count(lit(1)).as("n_rows"), count(col("id")).as("n_id"),
+          count(col("v")).as("n_v"), sum(col("v")).as("sum_v"))
+        .orderBy(col("t"))
+    }),
+
+    // --- M8: embedding near-dup pairs on the LSH scale path, recall
+    //     vs the exact all-pairs baseline (q44's operator) on the same
+    //     corpus. Deterministic fixed-seed hyperplanes; oracle checks
+    //     the exact-pair count and the recall floor. ---
+    "q53_dedup_embedding_lsh" -> { (spark, dir) =>
+      val e = tbl(spark, dir, "embeddings")
+        .filter(col("vec_id") < 1000)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val variant = e.select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("v"), (x, i) =>
+          x + when(i.cast("long") === pmod(col("vec_id"), size(col("v"))),
+            lit(0.5)).otherwise(lit(0.0))).as("v"))
+      val corpus = e.unionByName(variant)
+      val found = Dedup.embeddingPairs(corpus, col("vec_id"), col("v"),
+          planes = 4, tables = 8, threshold = 0.8)
+        .select(col("id_a"), col("id_b"))
+      val exact = Dedup.bruteForceEmbeddingPairs(corpus, col("vec_id"),
+          col("v"), threshold = 0.8)
+        .select(col("id_a"), col("id_b"))
+      val hits = found.join(exact, Seq("id_a", "id_b"))
+      exact.agg(count(lit(1)).as("pairs_exact"))
+        .crossJoin(hits.agg(count(lit(1)).as("__hits")))
+        .select(col("pairs_exact"),
+          (col("__hits") >= col("pairs_exact") * 0.9).as("recall_floor_met"))
     }
   )
 
@@ -1335,8 +1450,10 @@ object SparkEntry {
       ORDER BY user_id, session_start_us""",
 
     "q47_rollup" -> """
-      SELECT coalesce(l_returnflag, 'ALL') AS rflag,
-             coalesce(l_linestatus, 'ALL') AS lstatus,
+      SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL'
+                  ELSE l_returnflag END AS rflag,
+             CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL'
+                  ELSE l_linestatus END AS lstatus,
              count(*) AS n, round(sum(l_quantity), 4) AS sum_qty
       FROM lineitem
       GROUP BY ROLLUP(l_returnflag, l_linestatus)
@@ -1497,6 +1614,79 @@ object SparkEntry {
              md5(text) AS checksum_md5,
              CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
              octet_length(encode(text)) > 0 AS decode_ok
-      FROM sh ORDER BY doc_id"""
+      FROM sh ORDER BY doc_id""",
+
+    // re-derives the per-test docs straight from events: subtest status
+    // mapping (error->FAIL, purchase->TIMEOUT, else PASS), expected
+    // PASS, test_end always OK/OK; worst-status rollup order
+    // TIMEOUT > FAIL > PASS > OK
+    "q49_mozlog_tests" -> """
+      WITH s AS (
+        SELECT user_id, event_id,
+               CASE WHEN event_type = 'error' THEN 'FAIL'
+                    WHEN event_type = 'purchase' THEN 'TIMEOUT'
+                    ELSE 'PASS' END AS st
+        FROM events)
+      SELECT 'test_' || user_id AS test,
+             count(*) AS n_subtests,
+             CAST(sum(CASE WHEN st <> 'PASS' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_failed,
+             'OK' AS end_status,
+             CASE WHEN sum(CASE WHEN st = 'TIMEOUT' THEN 1 ELSE 0 END) > 0
+                    THEN 'TIMEOUT'
+                  WHEN sum(CASE WHEN st = 'FAIL' THEN 1 ELSE 0 END) > 0
+                    THEN 'FAIL'
+                  ELSE 'PASS' END AS status,
+             sum(CASE WHEN st <> 'PASS' THEN 1 ELSE 0 END) = 0 AS ok,
+             string_agg('sub_' || event_id, ',' ORDER BY event_id)
+               AS subtests_csv
+      FROM s GROUP BY user_id ORDER BY test""",
+
+    "q50_edges_duration" -> """
+      WITH d AS (SELECT CAST(unnest(generate_series(0, 1500, 300)) AS DOUBLE)
+                   AS dur),
+      s AS (SELECT floor(value / 300) * 300 AS dur, count(*) AS n,
+                   round(sum(value), 4) AS sum_value
+            FROM events WHERE value >= 0 AND value < 1800 GROUP BY 1)
+      SELECT d.dur, coalesce(s.n, 0) AS n, s.sum_value
+      FROM d LEFT JOIN s USING (dur)
+      ORDER BY d.dur""",
+
+    // replaying the stream twice and deduplicating by event id must
+    // reproduce the single-copy batch aggregate exactly
+    "q51_stream_dedup" -> """
+      SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+      FROM events GROUP BY 1 ORDER BY 1""",
+
+    // the scrub semantics re-derived: %17 lines are fully broken (all
+    // fields null), %10 lines lose only the NaN value; nothing errors
+    "q52_json_scrub" -> """
+      WITH m AS (
+        SELECT CASE WHEN event_id % 17 = 0 THEN NULL
+                    ELSE event_type END AS t,
+               CASE WHEN event_id % 17 = 0 THEN NULL
+                    ELSE event_id END AS id,
+               CASE WHEN event_id % 17 = 0 OR event_id % 10 = 0 THEN NULL
+                    ELSE value END AS v
+        FROM events)
+      SELECT t, count(*) AS n_rows, count(id) AS n_id, count(v) AS n_v,
+             round(sum(v), 4) AS sum_v
+      FROM m GROUP BY t ORDER BY t""",
+
+    // exact-pair count on the restricted corpus (vec_id < 1000 +
+    // bumped variants); recall floor asserted as a literal
+    "q53_dedup_embedding_lsh" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings WHERE vec_id < 1000),
+      c AS (SELECT vec_id AS id, v FROM e
+            UNION ALL
+            SELECT vec_id + 1000000,
+                   list_transform(generate_series(1, len(v)), i ->
+                     v[i] + CASE WHEN i = CAST(vec_id % len(v) AS INT) + 1
+                                 THEN 0.5 ELSE 0.0 END)
+            FROM e)
+      SELECT count(*) AS pairs_exact, TRUE AS recall_floor_met
+      FROM c a JOIN c b ON a.id < b.id
+      WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.8"""
   )
 }

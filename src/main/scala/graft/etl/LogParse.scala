@@ -49,6 +49,27 @@ object LogParse {
   def isMalformed(parsed: Seq[Column]): Column =
     parsed.map(_.isNull).reduce(_ && _)
 
+  /** JSON scrub (SURVEY.md §2j; public repo `vendor/mo_json/__init__.py`
+    * `scrub`): tolerate the dirt real logs carry — bare NaN / Infinity /
+    * -Infinity tokens (invalid JSON, emitted by careless float
+    * serializers) become null, and raw control characters (also invalid
+    * inside JSON) become spaces. Pure regexp_replace chain: codegen'd,
+    * row-local, scan-speed at any scale. */
+  def scrubJsonLine(line: Column): Column = {
+    val noNan = regexp_replace(line,
+      "(?<=[:,\\[\\s])(NaN|-?Infinity)(?=[\\s,}\\]]|$)", "null")
+    regexp_replace(noNan, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", " ")
+  }
+
+  /** Lenient JSON-lines decode: scrub, then PERMISSIVE from_json —
+    * lines that are still broken yield an all-null row (quarantine via
+    * [[isMalformed]]), never an error. */
+  def parseJsonLenient(lines: DataFrame, line: Column,
+                       schema: StructType): DataFrame =
+    lines.select(from_json(scrubJsonLine(line), schema,
+        Map("mode" -> "PERMISSIVE")).as("payload"))
+      .select(col("payload.*"))
+
   /** lcov-style sectioned records (SURVEY.md §2k T5 grcov/gcov): input is
     * one row per `(file marker line | data line)` pair list:
     * `SF:<name>` opens a section, `DA:<line>,<hits>` adds a datum. The

@@ -109,16 +109,15 @@ object Domains {
         EdgePlan(bucket, domain)
 
       case RangeDomain(minV, maxV, interval) =>
-        val v = compiler.compile(edge.value.get).cast(DoubleType)
-        val n = math.ceil((maxV - minV) / interval).toInt
-        val bucketExpr = floor((v - lit(minV)) / lit(interval)) *
-          lit(interval) + lit(minV)
-        val inRange = v >= lit(minV) && v < lit(maxV)
-        val bucket = when(inRange, bucketExpr).otherwise(lit(null))
-        val domain = spark.range(n.toLong).toDF("__ord")
-          .select((col("__ord") * interval + minV).cast(DoubleType).as(name),
-                  col("__ord").cast(IntegerType).as("__ord"))
-        EdgePlan(bucket, domain)
+        numericRange(spark, name, compiler.compile(edge.value.get),
+          minV, maxV, interval)
+
+      case DurationDomain(minSec, maxSec, intervalSec) =>
+        // durations are plain seconds — the named domain shares the
+        // RangeDomain bucket arithmetic (reference DurationDomain keys
+        // are durations; ours are their second counts)
+        numericRange(spark, name, compiler.compile(edge.value.get),
+          minSec, maxSec, intervalSec)
 
       case DefaultDomain(limit) =>
         // two-pass, fully distributed: top-k most frequent values become
@@ -139,6 +138,23 @@ object Domains {
         // allowNulls; otherwise the dense join drops it).
         EdgePlan(v, domain, membershipFromDomain = true)
     }
+  }
+
+  /** Dense numeric buckets [min, max) step interval — RangeDomain and
+    * DurationDomain share this shape. */
+  private def numericRange(spark: SparkSession, name: String, value: Column,
+                           minV: Double, maxV: Double, interval: Double)
+      : EdgePlan = {
+    val v = value.cast(DoubleType)
+    val n = math.ceil((maxV - minV) / interval).toInt
+    val bucketExpr = floor((v - lit(minV)) / lit(interval)) *
+      lit(interval) + lit(minV)
+    val inRange = v >= lit(minV) && v < lit(maxV)
+    val bucket = when(inRange, bucketExpr).otherwise(lit(null))
+    val domain = spark.range(n.toLong).toDF("__ord")
+      .select((col("__ord") * interval + minV).cast(DoubleType).as(name),
+              col("__ord").cast(IntegerType).as("__ord"))
+    EdgePlan(bucket, domain)
   }
 
   private def sparkTypeOfValue(parts: Seq[Any]): DataType = {

@@ -67,6 +67,12 @@ object DomainSpec {
   /** Numeric buckets [min, max) step interval. */
   final case class RangeDomain(min: Double, max: Double, interval: Double)
       extends DomainSpec
+  /** Duration buckets: values are seconds, bounds/interval accept
+    * duration strings ("hour", "2day") or numbers (public repo
+    * `vendor/jx_base/domains.py` DurationDomain). Same dense-bucket
+    * arithmetic as [[RangeDomain]], distinct named type. */
+  final case class DurationDomain(minSec: Double, maxSec: Double,
+                                  intervalSec: Double) extends DomainSpec
   /** Distinct values from data, `limit` most frequent (SURVEY.md §2e). */
   final case class DefaultDomain(limit: Int) extends DomainSpec
 }
@@ -205,7 +211,10 @@ object QueryParser {
             dateText(d.get("min")), dateText(d.get("max")),
             intervalSeconds(iv))
         }
-      case "duration" | "range" =>
+      case "duration" =>
+        DomainSpec.DurationDomain(durationSeconds(d.get("min")),
+          durationSeconds(d.get("max")), durationSeconds(d.get("interval")))
+      case "range" =>
         DomainSpec.RangeDomain(d.get("min").asDouble, d.get("max").asDouble,
                                d.get("interval").asDouble)
       case "default" =>
@@ -243,6 +252,11 @@ object QueryParser {
         case _ => None
       }
     }
+
+  /** Duration bound: a number is already seconds, text goes through
+    * the duration-string parser. */
+  def durationSeconds(n: JsonNode): Double =
+    if (n.isNumber) n.asDouble else intervalSeconds(n).toDouble
 
   /** "day" | "2hour" | seconds-number -> seconds. */
   def intervalSeconds(n: JsonNode): Long =

@@ -36,13 +36,9 @@ object Windows {
           case Some((mn, mx)) =>
             spec.rowsBetween(mn.getOrElse(Window.unboundedPreceding),
                              mx.getOrElse(Window.unboundedFollowing))
-          case None if sortCols.nonEmpty && isRunning(agg) =>
-            // JX: sorted window + cumulative-friendly agg, no range ->
-            // whole partition (the reference computes over the full
-            // partition; cumulative needs explicit range {max:0})
-            spec.rowsBetween(Window.unboundedPreceding,
-                             Window.unboundedFollowing)
           case None =>
+            // JX: no range -> aggregate over the whole partition even
+            // when sorted (cumulative needs an explicit range {max: 0})
             spec.rowsBetween(Window.unboundedPreceding,
                              Window.unboundedFollowing)
         }
@@ -62,10 +58,5 @@ object Windows {
           s"window ${w.name} needs a value or aggregate")
     }
     df.withColumn(w.name, out)
-  }
-
-  private def isRunning(agg: String): Boolean = agg match {
-    case "sum" | "count" | "min" | "max" | "avg" => true
-    case _ => false
   }
 }

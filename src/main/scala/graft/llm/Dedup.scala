@@ -253,12 +253,21 @@ object Dedup {
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** Embedding near-duplicate pairs: cosine above threshold, via LSH
-    * random-hyperplane buckets (see Similarity.lshBucket) + exact verify. */
+  /** Embedding near-duplicate pairs: cosine above threshold, via
+    * MULTI-TABLE random-hyperplane LSH buckets (Similarity.lshBuckets)
+    * + exact verify. Single-table recall is p^planes per pair (p =
+    * 1 - θ/π) — e.g. ~0.3 for cosine-0.9 pairs at 8 planes, silently
+    * missing most near-dups; `tables` independent plane sets lift it to
+    * 1-(1-p^planes)^tables. Only same-(table,bucket) vectors are ever
+    * compared, the pair scan is a plain equi-join AQE can skew-split,
+    * and the exact cosine verify keeps precision at 1.0; the duplicate
+    * hits across tables collapse in the final distinct. */
   def embeddingPairs(df: DataFrame, id: Column, vec: Column,
-                     planes: Int = 12, threshold: Double = 0.95): DataFrame = {
+                     planes: Int = 4, tables: Int = 8,
+                     threshold: Double = 0.95): DataFrame = {
     val withB = df.select(id.as("id"), vec.as("v"))
-      .withColumn("bucket", Similarity.lshBucket(col("v"), planes))
+      .withColumn("bucket",
+        explode(Similarity.lshBuckets(col("v"), planes, tables)))
     val l = withB.select(col("bucket"), col("id").as("id_a"),
       col("v").as("v_a"))
     val r = withB.select(col("bucket"), col("id").as("id_b"),

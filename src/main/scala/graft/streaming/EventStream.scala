@@ -35,7 +35,8 @@ object EventStream {
       (f.dataType, rawSchema(f.name).dataType) match {
         case (TimestampType, LongType) =>
           // integer `div` (see Catalog): long / long is double division
-          // and rounds the microsecond
+          // and rounds the microsecond; `div` truncates toward zero,
+          // correct for post-epoch data only (same note as Catalog)
           df.withColumn(f.name,
             timestamp_micros(expr(s"`${f.name}` div 1000")))
         case _ => df

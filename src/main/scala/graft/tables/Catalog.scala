@@ -79,7 +79,11 @@ final class Catalog(spark: SparkSession, dir: String) {
       nanos.foldLeft(raw) { (d, c) =>
         // integer `div`, not `/`: long / long is DOUBLE division in Spark
         // and rounds the microsecond (53-bit mantissa) — truncation must
-        // match the engines that read the nanos natively
+        // match the engines that read the nanos natively.
+        // NOTE: `div` truncates toward zero, which equals floor division
+        // only for POST-EPOCH timestamps; pre-1970 nanos would round up
+        // one microsecond vs a native nanos reader (use a pmod-adjusted
+        // floordiv if pre-epoch data ever enters scope)
         d.withColumn(c, timestamp_micros(expr(s"`$c` div 1000")))
       }
     }

@@ -34,6 +34,32 @@ class LogParseSpec extends SparkSpec {
     assert(out.map(_.getDouble(1)).toSeq === Seq(1.5, 2.5))
   }
 
+  test("JSON scrub: NaN/Infinity/control chars tolerated, never raised") {
+    val lines = Seq(
+      """{"a": 1, "b": 2.5}""",
+      """{"a": 2, "b": NaN}""",
+      """{"a": 3, "b": Infinity}""",
+      """{"a": 4, "b": -Infinity}""",
+      "{\"a\": 5, \"b\": 1.5, \"c\": \"xy\"}",
+      """{totally broken""",
+      """{"a": "NaN is fine inside a string", "b": 7.5}"""
+    ).toDF("line")
+    val schema = new StructType().add("a", StringType)
+      .add("b", DoubleType).add("c", StringType)
+    val out = LogParse.parseJsonLenient(lines, col("line"), schema)
+    assert(out.count() === 7) // nothing dropped, nothing thrown
+    // NaN/Inf values land as null, their siblings survive
+    val byA = out.collect().map(r => Option(r.get(0)) -> r).toMap
+    assert(byA(Some("2")).isNullAt(1) && byA(Some("3")).isNullAt(1) &&
+      byA(Some("4")).isNullAt(1))
+    assert(byA(Some("5")).getDouble(1) === 1.5)
+    assert(byA(Some("5")).getString(2) === "x y") // control char scrubbed
+    assert(byA(Some("NaN is fine inside a string")).getDouble(1) === 7.5)
+    // fully broken line -> all-null quarantine row
+    assert(out.filter(LogParse.isMalformed(
+      Seq(col("a"), col("b"), col("c")))).count() === 1)
+  }
+
   test("lcov-style coverage parse (T5): per-file line coverage") {
     // deterministic lcov body derived from the orders table: one section
     // per order-status, one DA line per order (hits = totalprice > 150k)

@@ -30,6 +30,22 @@ class RunnerSpec extends SparkSpec {
     assert(out.map(_.getString(0)).toSeq === Seq("O", "F", "P", "ZZZ"))
   }
 
+  test("edges DurationDomain: duration-string bounds, dense buckets") {
+    val out = runner.run(
+      """{"from": "events",
+          "edges": [{"name": "dur", "value": "value",
+                     "domain": {"type": "duration", "min": 0,
+                                "max": "10minute", "interval": "2minute"}}],
+          "select": [{"name": "n", "aggregate": "count"}]}""").collect()
+    assert(out.length === 5) // 600s / 120s, dense
+    assert(out.map(_.getDouble(0)).toSeq ===
+      Seq(0.0, 120.0, 240.0, 360.0, 480.0))
+    // buckets match a direct filter of the fact table
+    val direct = catalog.table("events")
+      .filter("value >= 120 and value < 240").count()
+    assert(out(1).getLong(1) === direct)
+  }
+
   test("edges allowNulls adds an overflow partition") {
     val dense = runner.run(
       """{"from": "orders",
