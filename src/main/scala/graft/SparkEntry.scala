@@ -904,6 +904,144 @@ object SparkEntry {
         .crossJoin(hits.agg(count(lit(1)).as("__hits")))
         .select(col("pairs_exact"),
           (col("__hits") >= col("pairs_exact") * 0.9).as("recall_floor_met"))
+    },
+
+    // --- S2 + T8: partitioned block sink + backfill read-back. The
+    //     events are written as (event_type, day)-partitioned parquet
+    //     blocks to a fresh dir and re-read; the oracle aggregates the
+    //     source directly, so the write->read roundtrip must be
+    //     lossless (incl. the partition-column date typing) ---
+    "q54_sink_blocks" -> rounded("sum_value" -> 4)({ (spark, dir) =>
+      val events = tbl(spark, dir, "events")
+      val out = java.nio.file.Files.createTempDirectory("graft_q54")
+        .toString
+      graft.sources.Sinks.writeBlocks(
+        events.withColumn("day", to_date(col("ts"))), out,
+        Seq("event_type", "day"))
+      spark.read.parquet(out)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"),
+             countDistinct(col("day")).as("n_days"))
+        .orderBy(col("event_type"))
+    }),
+
+    // --- S6: time-rolled sink with retention — rows older than the
+    //     cutoff never reach the partition dirs (epoch-ms "now" so the
+    //     cutoff is TZ-independent: 2024-01-31T00:00Z - 10 days) ---
+    "q55_sink_rollover" -> rounded("sum_value" -> 4)({ (spark, dir) =>
+      val events = tbl(spark, dir, "events")
+      val out = java.nio.file.Files.createTempDirectory("graft_q55")
+        .toString
+      graft.sources.Sinks.writeRollover(events, out, col("ts"),
+        retainDays = 10, now = new java.sql.Timestamp(1706659200000L))
+      spark.read.parquet(out)
+        .groupBy(col("__date"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+        .orderBy(col("__date"))
+    }),
+
+    // --- P2/2i: tuple -> nested struct, then leaves projection
+    //     flattens it back with dotted->underscore names ---
+    "q56_select_leaves" -> jx("""
+      {"from": {"from": "events",
+                "select": ["event_id",
+                           {"name": "kv",
+                            "value": {"tuple": ["event_type", "value"]}}]},
+       "select": {"leaves": "."},
+       "sort": ["event_id"],
+       "limit": 100}"""),
+
+    // --- 2j typed-JSON + S5: encode to type-suffixed JSON lines,
+    //     write them through a TEXT sink (the ES-shaped egress), read
+    //     back, decode, and aggregate; oracle aggregates the source ---
+    "q57_typed_json_sink" -> rounded("sum_v" -> 4)({ (spark, dir) =>
+      val events = tbl(spark, dir, "events")
+      val sel = events.select(col("event_id"), col("event_type"),
+        col("value"), col("ts"))
+      val encSchema = graft.etl.TypedJson.encode(sel).schema
+      val out = java.nio.file.Files.createTempDirectory("graft_q57")
+        .toString
+      graft.etl.TypedJson.encodeJsonLines(sel)
+        .write.mode("overwrite").text(out)
+      val back = spark.read.text(out)
+        .select(from_json(col("value"), encSchema).as("j"))
+        .select(col("j.*"))
+      graft.etl.TypedJson.decode(back)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"),
+             max(col("ts")).as("max_ts_unix"))
+        .orderBy(col("event_type"))
+    }),
+
+    // --- 2d stats bundle: one aggregate producing the full stats
+    //     struct, flattened for the oracle ---
+    "q58_stats_bundle" -> { (spark, dir) =>
+      jx("""{"from": "lineitem", "groupby": ["l_returnflag"],
+            "select": [{"name": "s", "value": "l_quantity",
+                        "aggregate": "stats"}],
+            "sort": ["l_returnflag"]}""")(spark, dir)
+        .select(col("l_returnflag"),
+          col("s.count").as("n"),
+          round(col("s.sum"), 4).as("sum_qty"),
+          round(col("s.min"), 4).as("min_qty"),
+          round(col("s.max"), 4).as("max_qty"),
+          round(col("s.avg"), 6).as("avg_qty"),
+          round(col("s.std"), 6).as("std_qty"),
+          round(col("s.var"), 6).as("var_qty"))
+    },
+
+    // --- 2h: intersect / except over customer key sets ---
+    "q59_intersect_except" -> { (spark, dir) =>
+      val orders = tbl(spark, dir, "orders")
+      val o = orders.filter(col("o_orderstatus") === "O")
+        .select(col("o_custkey"))
+      val f = orders.filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey"))
+      SetOps.intersect(o, f).agg(count(lit(1)).as("n_both"))
+        .crossJoin(SetOps.except(o, f).agg(count(lit(1)).as("n_only_open")))
+    },
+
+    // --- skew: two-phase salted aggregation must equal the plain
+    //     aggregate exactly ---
+    "q60_salted_agg" -> rounded("sum_qty" -> 4)({ (spark, dir) =>
+      val li = tbl(spark, dir, "lineitem")
+      graft.operators.Skew.saltedAgg(li, Seq(col("l_returnflag")), 32,
+          partial = Seq(sum(col("l_quantity")).as("s"),
+            count(lit(1)).as("c")),
+          fin = Seq(sum(col("s")).as("sum_qty"), sum(col("c")).as("n")))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // --- skew: salted replicated join must equal the plain join ---
+    "q61_salted_join" -> { (spark, dir) =>
+      val s = tbl(spark, dir, "supplier")
+      val n = tbl(spark, dir, "nation")
+        .select(col("n_nationkey").as("s_nationkey"), col("n_name"))
+      graft.operators.Skew.saltedJoin(s, n, "s_nationkey", 8)
+        .groupBy(col("n_name")).agg(count(lit(1)).as("n_suppliers"))
+        .orderBy(col("n_name"))
+    },
+
+    // --- S7: split sink — one computed frame fanned out to two sinks
+    //     (full copy + filtered copy), both read back and compared ---
+    "q62_split_sink" -> { (spark, dir) =>
+      val events = tbl(spark, dir, "events")
+      val d1 = java.nio.file.Files.createTempDirectory("graft_q62a")
+        .toString
+      val d2 = java.nio.file.Files.createTempDirectory("graft_q62b")
+        .toString
+      graft.sources.Sinks.split(events, Seq(
+        df => df.write.mode("overwrite").parquet(d1),
+        df => df.filter(col("event_type") =!= "error")
+          .write.mode("overwrite").parquet(d2)))
+      val a = spark.read.parquet(d1).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_all"))
+      val b = spark.read.parquet(d2).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_filtered"))
+      a.join(b, Seq("event_type"), "left")
+        .select(col("event_type"), col("n_all"),
+          coalesce(col("n_filtered"), lit(0L)).as("n_filtered"))
+        .orderBy(col("event_type"))
     }
   )
 
@@ -1687,6 +1825,65 @@ object SparkEntry {
             FROM e)
       SELECT count(*) AS pairs_exact, TRUE AS recall_floor_met
       FROM c a JOIN c b ON a.id < b.id
-      WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.8"""
+      WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.8""",
+
+    "q54_sink_blocks" -> """
+      SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value,
+             count(DISTINCT CAST(ts AS DATE)) AS n_days
+      FROM events GROUP BY 1 ORDER BY 1""",
+
+    // cutoff = 2024-01-31T00:00Z - 10 days
+    "q55_sink_rollover" -> """
+      SELECT CAST(ts AS DATE) AS __date, count(*) AS n,
+             round(sum(value), 4) AS sum_value
+      FROM events WHERE ts >= TIMESTAMP '2024-01-21 00:00:00'
+      GROUP BY 1 ORDER BY 1""",
+
+    "q56_select_leaves" -> """
+      SELECT event_id, event_type AS kv_event_type, value AS kv_value
+      FROM events ORDER BY event_id LIMIT 100""",
+
+    // ts encodes as truncated unix seconds (monotonic, so max commutes)
+    "q57_typed_json_sink" -> """
+      SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_v,
+             CAST(max(epoch_us(ts) // 1000000) AS DOUBLE) AS max_ts_unix
+      FROM events GROUP BY 1 ORDER BY 1""",
+
+    "q58_stats_bundle" -> """
+      SELECT l_returnflag, count(l_quantity) AS n,
+             round(sum(l_quantity), 4) AS sum_qty,
+             round(min(l_quantity), 4) AS min_qty,
+             round(max(l_quantity), 4) AS max_qty,
+             round(avg(l_quantity), 6) AS avg_qty,
+             round(stddev_samp(l_quantity), 6) AS std_qty,
+             round(var_samp(l_quantity), 6) AS var_qty
+      FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "q59_intersect_except" -> """
+      SELECT (SELECT count(*) FROM
+                (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+                 INTERSECT
+                 SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'))
+               AS n_both,
+             (SELECT count(*) FROM
+                (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+                 EXCEPT
+                 SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'))
+               AS n_only_open""",
+
+    "q60_salted_agg" -> """
+      SELECT l_returnflag, round(sum(l_quantity), 4) AS sum_qty,
+             count(*) AS n
+      FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "q61_salted_join" -> """
+      SELECT n_name, count(*) AS n_suppliers
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY 1 ORDER BY 1""",
+
+    "q62_split_sink" -> """
+      SELECT event_type, count(*) AS n_all,
+             count(*) FILTER (WHERE event_type <> 'error') AS n_filtered
+      FROM events GROUP BY 1 ORDER BY 1"""
   )
 }
