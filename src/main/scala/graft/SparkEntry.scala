@@ -1042,6 +1042,59 @@ object SparkEntry {
         .select(col("event_type"), col("n_all"),
           coalesce(col("n_filtered"), lit(0L)).as("n_filtered"))
         .orderBy(col("event_type"))
+    },
+
+    // --- 2k T1/T2: normalization reshape roundtrip — children nested
+    //     into the parent doc (J4 reassemble), then T1-style
+    //     re-normalized by explode with parent fields carried; the
+    //     roundtrip must equal the plain relational join ---
+    "q63_nest_unnest" -> rounded("sum_qty" -> 4)({ (spark, dir) =>
+      val orders = tbl(spark, dir, "orders")
+      val li = tbl(spark, dir, "lineitem")
+        .withColumnRenamed("l_orderkey", "o_orderkey")
+      val nested = Joins.reassemble(orders, li, "o_orderkey", "lines",
+        Seq(col("l_linenumber"), col("l_quantity")))
+      nested
+        .select(col("o_orderstatus"), explode(col("lines")).as("ln"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_lines"),
+             sum(col("ln.l_quantity")).as("sum_qty"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // --- 2d union/list aggregates as deterministic CSV columns (both
+    //     are array_sort'ed, so the CSV is stable under parallelism) ---
+    "q64_union_list_aggs" -> { (spark, dir) =>
+      jx("""{"from": "orders",
+            "where": {"lt": ["o_custkey", 50]},
+            "groupby": ["o_orderstatus"],
+            "select": [
+              {"name": "prios", "value": "o_orderpriority",
+               "aggregate": "union"},
+              {"name": "keys", "value": "o_orderkey", "aggregate": "list"}],
+            "sort": ["o_orderstatus"]}""")(spark, dir)
+        .select(col("o_orderstatus"),
+          array_join(col("prios"), ",").as("prios_csv"),
+          array_join(transform(col("keys"), _.cast(StringType)), ",")
+            .as("keys_csv"))
+    },
+
+    // --- 2i items: object -> [{name, value}] pairs (stringified
+    //     values), through a tuple-built struct ---
+    "q65_items" -> { (spark, dir) =>
+      jx("""{"from": {"from": "events",
+                      "select": ["event_id",
+                                 {"name": "kv",
+                                  "value": {"tuple": ["event_type",
+                                                      "user_id"]}}]},
+            "select": ["event_id",
+                       {"name": "kv_items", "value": {"items": "kv"}}],
+            "sort": ["event_id"],
+            "limit": 50}""")(spark, dir)
+        .select(col("event_id"),
+          array_join(transform(col("kv_items"),
+            s => concat_ws("=", s.getField("name"), s.getField("value"))),
+            ";").as("items_csv"))
     }
   )
 
@@ -1884,6 +1937,26 @@ object SparkEntry {
     "q62_split_sink" -> """
       SELECT event_type, count(*) AS n_all,
              count(*) FILTER (WHERE event_type <> 'error') AS n_filtered
-      FROM events GROUP BY 1 ORDER BY 1"""
+      FROM events GROUP BY 1 ORDER BY 1""",
+
+    "q63_nest_unnest" -> """
+      SELECT o_orderstatus, count(*) AS n_lines,
+             round(sum(l_quantity), 4) AS sum_qty
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY 1 ORDER BY 1""",
+
+    "q64_union_list_aggs" -> """
+      SELECT o_orderstatus,
+             array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',')
+               AS prios_csv,
+             array_to_string(list_sort(list(o_orderkey)), ',') AS keys_csv
+      FROM orders WHERE o_custkey < 50
+      GROUP BY 1 ORDER BY 1""",
+
+    "q65_items" -> """
+      SELECT event_id,
+             'event_type=' || event_type || ';user_id=' || user_id
+               AS items_csv
+      FROM events ORDER BY event_id LIMIT 50"""
   )
 }
