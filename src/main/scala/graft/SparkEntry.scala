@@ -473,7 +473,7 @@ object SparkEntry {
     //     (q28's operator). Deterministic given the fixed hyperplane
     //     seeds; the oracle checks the exact top-k count exactly and
     //     the recall floor as a boolean. Measured recall at
-    //     planes=4/tables=16: 0.875 (sf0.01) / 0.925 (sf0.1); floor
+    //     planes=4/tables=16: 0.825 (sf0.01) / 0.975 (sf0.1); floor
     //     0.6 has margin but catches a broken bucket/candidate path
     //     (single-table LSH measured 0.05 — silently broken, hence
     //     the multi-table rewrite). ---
@@ -915,8 +915,12 @@ object SparkEntry {
       val events = tbl(spark, dir, "events")
       val out = java.nio.file.Files.createTempDirectory("graft_q54")
         .toString
+      // repartition on the block key before the partitioned write: one
+      // file per block instead of (tasks × blocks) small files — the
+      // small-files guard every partitioned 100 TB sink needs
       graft.sources.Sinks.writeBlocks(
-        events.withColumn("day", to_date(col("ts"))), out,
+        events.withColumn("day", to_date(col("ts")))
+          .repartition(col("event_type"), col("day")), out,
         Seq("event_type", "day"))
       spark.read.parquet(out)
         .groupBy(col("event_type"))

@@ -35,5 +35,8 @@ object GraftExtensions {
       es => CosineSim(es.head, es(1))),
     ("graft_text_stats",
       "[n_chars, n_tokens, n_punct, n_upper, sum_token_len] in one pass",
-      es => TextStats(es.head)))
+      es => TextStats(es.head)),
+    ("graft_lsh_buckets",
+      "multi-table random-hyperplane LSH bucket ids (planes=4, tables=8)",
+      es => LshBuckets(es.head, 4, 8)))
 }

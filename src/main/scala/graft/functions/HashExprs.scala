@@ -104,6 +104,29 @@ case class TextStats(child: Expression) extends HashCallExpr {
   override def prettyName: String = "graft_text_stats"
 }
 
+/** array<float|double> -> array<long> of multi-table LSH bucket ids
+  * (table tag in the high bits); one fused loop per row. */
+case class LshBuckets(child: Expression, planes: Int, tables: Int)
+    extends HashCallExpr {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override protected def staticCall =
+    if (isFloat) "graft.functions.HashOps.lshBucketsFloat"
+    else "graft.functions.HashOps.lshBucketsDouble"
+  override protected def extraArgs = s", $planes, $tables"
+  override protected def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    if (isFloat) HashOps.lshBucketsFloat(a, planes, tables)
+    else HashOps.lshBucketsDouble(a, planes, tables)
+  }
+  override protected def withNewChildInternal(c: Expression): LshBuckets =
+    copy(child = c)
+  override def prettyName: String = "graft_lsh_buckets"
+}
+
 /** (array<float|double>, array<float|double>) -> cosine similarity as
   * double; null (not an error) for zero-norm / mismatched inputs. */
 case class CosineSim(left: Expression, right: Expression)

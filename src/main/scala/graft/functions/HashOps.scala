@@ -189,4 +189,53 @@ object HashOps {
     val d = math.sqrt(na) * math.sqrt(nb)
     if (d > 0) dot / d else Double.NaN
   }
+
+  @inline private def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane p,
+    * dim d), uniform in [-1, 1) — fixed seed, identical on every
+    * executor and run. */
+  @inline private def planeComponent(p: Int, d: Int): Double = {
+    val h = splitmix64((p.toLong << 32) ^ (d.toLong * 0x9E3779B97F4A7C15L))
+    (h >>> 11) * (2.0 / (1L << 53)) - 1.0
+  }
+
+  /** Multi-table random-hyperplane LSH buckets in ONE fused loop:
+    * `tables` bucket ids, each from `planes` sign bits (plane index
+    * space partitioned per table), table tag in the high 32 bits so a
+    * plain equi-join never matches across tables. The HOF/Column form
+    * of this is tables×planes interpreted lambda passes per row; this
+    * kernel is the codegen'd replacement. */
+  private def lshBucketsImpl(planes: Int, tables: Int,
+                             dim: Int, at: Int => Double): ArrayData = {
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var bits = 0L
+      var p = 0
+      while (p < planes) {
+        val plane = t * planes + p
+        var proj = 0.0
+        var i = 0
+        while (i < dim) { proj += at(i) * planeComponent(plane, i); i += 1 }
+        if (proj >= 0) bits |= (1L << p)
+        p += 1
+      }
+      out(t) = bits | (t.toLong << 32)
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def lshBucketsFloat(vec: ArrayData, planes: Int, tables: Int): ArrayData =
+    lshBucketsImpl(planes, tables, vec.numElements(),
+      i => vec.getFloat(i).toDouble)
+
+  def lshBucketsDouble(vec: ArrayData, planes: Int, tables: Int): ArrayData =
+    lshBucketsImpl(planes, tables, vec.numElements(), i => vec.getDouble(i))
 }

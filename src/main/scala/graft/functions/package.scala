@@ -23,6 +23,8 @@ package object functions {
     toCol(SimHash64(toExpr(text)))
   def cosine_sim(a: Column, b: Column): Column =
     toCol(CosineSim(toExpr(a), toExpr(b)))
+  def lsh_buckets(vec: Column, planes: Int, tables: Int): Column =
+    toCol(LshBuckets(toExpr(vec), planes, tables))
   def text_stats(text: Column): Column =
     toCol(TextStats(toExpr(text)))
 

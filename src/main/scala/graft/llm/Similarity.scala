@@ -124,18 +124,12 @@ object Similarity {
   /** One bucket id per hash table: `tables` independent sets of `planes`
     * hyperplanes (plane index space is partitioned so tables never share
     * a plane). The table tag lives in the bucket's high bits, so a plain
-    * equi-join on the bucket value never matches across tables. */
+    * equi-join on the bucket value never matches across tables.
+    * Native fused-loop expression (graft.functions.LshBuckets) — the
+    * HOF/Column formulation costs tables×planes interpreted lambda
+    * passes over the vector per row. */
   def lshBuckets(vec: Column, planes: Int, tables: Int): Column =
-    array((0 until tables).map { t =>
-      val bits = (0 until planes).map { p =>
-        val proj = aggregate(
-          zip_with(vec, sequence(lit(0), size(vec) - 1),
-            (x, i) => x * planeComponent(t * planes + p, i)),
-          lit(0.0d), (acc, x) => acc + x)
-        when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
-      }
-      bits.reduce(_.bitwiseOR(_)).bitwiseOR(lit(t.toLong << 32))
-    }: _*)
+    graft.functions.lsh_buckets(vec, planes, tables)
 
   /** Approximate top-k via MULTI-TABLE random-hyperplane LSH: candidates
     * are the union over `tables` hash tables of same-bucket vectors,

@@ -22,7 +22,8 @@ class FunctionsSpec extends SparkSpec {
     // unit-level: the injector runs against a fresh extensions holder
     val e = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(e)
-    assert(GraftExtensions.all.map(_._1).distinct.size === 6)
+    assert(GraftExtensions.all.map(_._1).distinct.size ===
+      GraftExtensions.all.size)
   }
 
   test("native and SQL forms agree") {
