@@ -1083,6 +1083,40 @@ object SparkEntry {
             .as("keys_csv"))
     },
 
+    // --- §2l: the UNBOUNDED-output streaming shape — watermarked
+    //     APPEND-mode tumbling aggregation into a real parquet file
+    //     sink (checkpointed), then read back. The backlog is staged
+    //     as two files (events + a far-future sentinel) streamed one
+    //     file per micro-batch, so the second batch advances the
+    //     watermark past the real windows and flushes them to the
+    //     sink; windows not past the final watermark stay in state ---
+    "q66_stream_file_sink" -> rounded("sum_value" -> 4)(dated("day")({
+      (spark, dir) =>
+        val events = tbl(spark, dir, "events")
+          .select(col("ts"), col("event_type"), col("value"))
+        val src = java.nio.file.Files.createTempDirectory("graft_q66src")
+          .toString
+        events.coalesce(1).write.mode("append").parquet(src)
+        // sentinel: 2024-03-01T00:00Z — far past every real event
+        spark.createDataFrame(Seq(
+            (new java.sql.Timestamp(1709251200000L), "sentinel", 0.0)))
+          .toDF("ts", "event_type", "value")
+          .coalesce(1).write.mode("append").parquet(src)
+        val stream = spark.readStream.schema(events.schema)
+          .option("maxFilesPerTrigger", 1).parquet(src)
+        val agg = EventStream.tumblingAgg(stream, "ts", "1 day", "1 hour",
+          "event_type")
+        val out = java.nio.file.Files.createTempDirectory("graft_q66out")
+          .toString
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_q66ck")
+          .toString
+        EventStream.runToSink(spark, agg, out, ckpt)
+          .filter(col("event_type") =!= "sentinel")
+          .select(col("window.start").as("day"), col("event_type"),
+            col("n"), col("sum_value"))
+          .orderBy(col("day"), col("event_type"))
+    })),
+
     // --- 2i items: object -> [{name, value}] pairs (stringified
     //     values), through a tuple-built struct ---
     "q65_items" -> { (spark, dir) =>
@@ -1961,6 +1995,13 @@ object SparkEntry {
       SELECT event_id,
              'event_type=' || event_type || ';user_id=' || user_id
                AS items_csv
-      FROM events ORDER BY event_id LIMIT 50"""
+      FROM events ORDER BY event_id LIMIT 50""",
+
+    // every real window ends before (sentinel - 1h watermark), so the
+    // append-mode sink holds the complete batch-parity aggregate
+    "q66_stream_file_sink" -> """
+      SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n,
+             round(sum(value), 4) AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 }

@@ -30,17 +30,20 @@ object Multimodal {
            length(payload).cast(LongType).as("n_bytes"),
            xxhash64(payload).as("checksum"))
 
-  /** STUB decode: deterministic fake image properties from the payload
-    * hash (stands in for a real codec; see object doc). Output schema is
-    * the real contract: struct(width, height, channels, ok). */
-  def stubDecodeImage(payload: Column): Column = {
-    val h = xxhash64(payload)
+  /** STUB decode: deterministic fake image properties from payload
+    * hashes (stands in for a real codec; see object doc). Output schema
+    * is the real contract: struct(width, height, channels, ok). Each
+    * property uses its own salted hash — pure integer math, so the
+    * batched [[stubDecoder]] reproduces it bit-for-bit. */
+  def stubDecodeImage(payload: Column): Column =
     struct(
-      (pmod(h, lit(1920L)) + 1L).cast(IntegerType).as("width"),
-      (pmod(h / 7L, lit(1080L)) + 1L).cast(IntegerType).as("height"),
-      (pmod(h / 31L, lit(3L)) + 1L).cast(IntegerType).as("channels"),
+      (pmod(xxhash64(payload), lit(1920L)) + 1L)
+        .cast(IntegerType).as("width"),
+      (pmod(xxhash64(payload, lit(1)), lit(1080L)) + 1L)
+        .cast(IntegerType).as("height"),
+      (pmod(xxhash64(payload, lit(2)), lit(3L)) + 1L)
+        .cast(IntegerType).as("channels"),
       (length(payload) > 0).as("ok"))
-  }
 
   /** STUB feature extraction: a fixed-length deterministic pseudo-feature
     * vector (real contract: Array[Float] of `dim`). */
@@ -71,4 +74,58 @@ object Multimodal {
     df.withColumn("media_meta", withMediaMeta(payload, mime))
       .withColumn("decoded", stubDecodeImage(payload))
       .withColumn("features", stubImageFeatures(payload))
+
+  /** Decoded-image properties produced by a batch decoder. */
+  val DecodedSchema: StructType = StructType(Seq(
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("ok", BooleanType)))
+
+  /** Deterministic stub byte decoder — same hash-derived fake
+    * properties as [[stubDecodeImage]], so the batched and columnar
+    * paths are mutually checkable. A real deployment swaps this
+    * function for a codec call; nothing else changes. */
+  def stubDecoder(bytes: Array[Byte]): (Int, Int, Int, Boolean) = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    // xxhash64(payload) / xxhash64(payload, i): the multi-arg form
+    // seeds the int literal's hash with the payload hash
+    val h0 = XXH64.hashUnsafeBytes(bytes,
+      org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length, 42L)
+    val h1 = XXH64.hashInt(1, h0)
+    val h2 = XXH64.hashInt(2, h0)
+    def pmod(a: Long, m: Long): Long = { val r = a % m; if (r < 0) r + m else r }
+    ((pmod(h0, 1920L) + 1L).toInt, (pmod(h1, 1080L) + 1L).toInt,
+      (pmod(h2, 3L) + 1L).toInt, bytes.length > 0)
+  }
+
+  /** BATCHED decode via `mapPartitions` — the shape a real codec needs:
+    * the decoder (JNI handle, model, …) is initialized ONCE per
+    * partition and fed payloads row by row; output appends a typed
+    * `decoded` struct to the input row. This is the Scala analog of a
+    * pandas `mapInPandas` decode stage (no Python runtime in a Scala
+    * library): row-local, no shuffle, partition-sized batches.
+    * `decoder` defaults to the deterministic stub (no codecs in this
+    * environment); swap in the real codec behind the same signature. */
+  def decodeImagesBatched(df: DataFrame, payload: Column,
+      decoder: Array[Byte] => (Int, Int, Int, Boolean) = stubDecoder)
+      : DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    val withP = df.withColumn("__payload", payload)
+    val outSchema = StructType(
+      df.schema.fields :+ StructField("decoded", DecodedSchema))
+    val pIdx = withP.schema.fieldIndex("__payload")
+    val result = withP.mapPartitions { it =>
+      // per-partition decoder init would go here (JNI/codec handle)
+      val dec = decoder
+      it.map { row =>
+        val bytes = row.getAs[Array[Byte]](pIdx)
+        val (w, h, c, ok) =
+          if (bytes == null) (0, 0, 0, false) else dec(bytes)
+        Row.fromSeq(
+          row.toSeq.patch(pIdx, Nil, 1) :+ Row(w, h, c, ok))
+      }
+    }(Encoders.row(outSchema))
+    result
+  }
 }

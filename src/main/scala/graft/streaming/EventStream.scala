@@ -100,7 +100,9 @@ object EventStream {
     * — Trigger.AvailableNow against a memory sink — and return the final
     * result as a DataFrame. This is the local analog of the reference's
     * drain-the-queue batch mode; on a cluster the same query runs
-    * continuously with a real sink. */
+    * continuously with a real sink. NOTE the memory/complete pair holds
+    * the whole aggregate on the driver — correct for bounded local
+    * parity checks only; unbounded outputs go through [[runToSink]]. */
   def runToCompletion(spark: SparkSession, agg: DataFrame,
                       mode: String = "complete"): DataFrame = {
     val name = s"graft_stream_${runIds.incrementAndGet()}"
@@ -111,5 +113,31 @@ object EventStream {
       .start()
     q.awaitTermination()
     spark.table(name)
+  }
+
+  /** The UNBOUNDED-output shape: run a watermarked APPEND-mode query
+    * against a real parquet file sink (+ checkpoint) and read the sink
+    * back. State lives on executors bounded by the watermark; the sink
+    * is an appendable columnar table — nothing accumulates on the
+    * driver, so this is the form that survives a continuous 100 TB
+    * stream.
+    *
+    * Append-mode semantics to be aware of (and what the harness
+    * exploits): a window is emitted only when a LATER batch advances
+    * the watermark past its end, so a static backlog must arrive in
+    * >=2 micro-batches (`maxFilesPerTrigger=1` + a trailing sentinel
+    * file) for the real windows to flush; windows not yet past the
+    * final watermark stay in state. */
+  def runToSink(spark: SparkSession, agg: DataFrame,
+                outDir: String, checkpointDir: String): DataFrame = {
+    val q = agg.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
   }
 }
