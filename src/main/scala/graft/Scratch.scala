@@ -16,6 +16,16 @@ object Scratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000L).selectExpr("sum(id)").collect()
+    if (args.headOption.contains("__plan")) {
+      for (name <- args.drop(1)) {
+        println(s"===== $name =====")
+        println(SparkEntry.queries(name)(spark, sfDir)
+          .queryExecution.explainString(
+            org.apache.spark.sql.execution.SimpleMode))
+        spark.catalog.clearCache()
+      }
+      spark.stop(); return
+    }
     if (args.contains("__recall")) {
       import org.apache.spark.sql.functions._
       val docs = new graft.tables.Catalog(spark, sfDir).table("documents")

@@ -1117,6 +1117,26 @@ object SparkEntry {
           .orderBy(col("day"), col("event_type"))
     })),
 
+    // --- 2d approx aggregates (the exact=false scale path): HLL
+    //     cardinality and approx percentile, checked against their
+    //     exact twins with relative-error bounds (HLL default rsd is
+    //     5%; bound 10% => deterministic-true unless the sketch path
+    //     breaks; the exact values themselves are SQL-oracled) ---
+    "q67_approx_aggs" -> { (spark, dir) =>
+      val li = tbl(spark, dir, "lineitem")
+      li.agg(
+          countDistinct(col("l_orderkey")).as("n_exact"),
+          approx_count_distinct(col("l_orderkey")).as("__n_approx"),
+          expr("percentile(l_extendedprice, 0.5)").as("__med_exact"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+            .as("__med_approx"))
+        .select(col("n_exact"),
+          (abs(col("__n_approx") - col("n_exact")) <=
+            col("n_exact") * 0.1).as("card_within_10pct"),
+          (abs(col("__med_approx") - col("__med_exact")) <=
+            abs(col("__med_exact")) * 0.05).as("median_within_5pct"))
+    },
+
     // --- 2i items: object -> [{name, value}] pairs (stringified
     //     values), through a tuple-built struct ---
     "q65_items" -> { (spark, dir) =>
@@ -2002,6 +2022,12 @@ object SparkEntry {
     "q66_stream_file_sink" -> """
       SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n,
              round(sum(value), 4) AS sum_value
-      FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q67_approx_aggs" -> """
+      SELECT count(DISTINCT l_orderkey) AS n_exact,
+             TRUE AS card_within_10pct,
+             TRUE AS median_within_5pct
+      FROM lineitem"""
   )
 }

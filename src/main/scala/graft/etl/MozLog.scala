@@ -79,7 +79,13 @@ object MozLog {
     *    failed.
     * One shuffle on the test key. */
   def testDocs(events: Dataset[Line]): DataFrame = {
+    // the parsed lines feed BOTH join sides (test_status aggregation +
+    // test_end extraction); persist so the flatMap parse of the raw log
+    // runs once, not per consumer (plan audit showed the whole parse
+    // subtree duplicated). Parsed lines are a few small columns — at
+    // scale this spills to executor disk like any shuffle block.
     val df = events.toDF()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val subtests = df.filter(col("action") === "test_status")
       .groupBy(col("test"))
       .agg(
