@@ -1137,6 +1137,69 @@ object SparkEntry {
             abs(col("__med_exact")) * 0.05).as("median_within_5pct"))
     },
 
+    // --- 2k T4: perfherder-style marked-JSON extraction from mixed
+    //     log lines (marker lines decoded, plain lines skipped);
+    //     doubles roundtrip losslessly through Spark's shortest-repr
+    //     formatting, so the oracle aggregates the source directly ---
+    "q68_perfherder" -> rounded("avg_value" -> 6)({ (spark, dir) =>
+      val events = tbl(spark, dir, "events")
+      val lines = events.select(
+        when(col("event_id") % 3 === 0,
+          concat(lit("PERFHERDER_DATA: {\"suite\": \""), col("event_type"),
+            lit("\", \"value\": "), col("value"), lit("}")))
+          .otherwise(concat(lit("plain log line "), col("event_id")))
+          .as("line"))
+      LogParse.parseMarkedJson(lines, col("line"), "PERFHERDER_DATA",
+          new StructType().add("suite", StringType)
+            .add("value", DoubleType))
+        .groupBy(col("suite"))
+        .agg(count(lit(1)).as("n"), avg(col("value")).as("avg_value"))
+        .orderBy(col("suite"))
+    }),
+
+    // --- 2k T5: lcov-style DA-line coverage aggregation, sections
+    //     keyed by order status; SF/noise lines filtered out ---
+    "q69_coverage" -> { (spark, dir) =>
+      val orders = tbl(spark, dir, "orders")
+      val da = orders.select(col("o_orderstatus").as("sk"),
+        concat(lit("DA:"), col("o_orderkey") % 1000, lit(","),
+          when(col("o_totalprice") > 150000, 1).otherwise(0)).as("line"))
+      val noise = orders.filter(col("o_orderkey") % 11 === 0)
+        .select(col("o_orderstatus").as("sk"),
+          concat(lit("SF:file_"), col("o_orderstatus")).as("line"))
+      LogParse.coverageFromDaLines(SetOps.concat(Seq(da, noise)),
+          col("sk"), col("line"))
+        .orderBy(col("source_file"))
+    },
+
+    // --- LLM end-to-end corpus prep: score -> quality floor -> exact
+    //     fingerprint dedup -> minhash near-dup removal. The SQL-
+    //     expressible stage counts (quality survivors via the full
+    //     composite score formula, exact-dedup survivors via the
+    //     portable fingerprint) are oracled exactly; the LSH removal
+    //     stage is bounded (can only shrink the corpus, and near-dups
+    //     at jaccard>=0.8 are <10% of these corpora) ---
+    "q70_corpus_prep" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+      val scored = docs
+        .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+        .withColumn("fingerprint",
+          TextAnalysis.fingerprintPortable(col("text")))
+        .filter(col("quality") >= 0.3)
+      val exact = Dedup.exactByKey(scored, Seq(col("fingerprint")),
+        col("doc_id"))
+      val prepared = graft.llm.Pipelines.prepareCorpus(docs, col("doc_id"),
+        col("text"), minQuality = 0.3, nearDupJaccard = 0.8,
+        portableFingerprint = true)
+      scored.agg(count(lit(1)).as("n_quality"))
+        .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+        .crossJoin(prepared.agg(count(lit(1)).as("__n_final")))
+        .select(col("n_quality"), col("n_exact"),
+          (col("__n_final") <= col("n_exact") &&
+            col("__n_final") >= col("n_exact") * 0.9)
+            .as("final_within_bounds"))
+    },
+
     // --- 2i items: object -> [{name, value}] pairs (stringified
     //     values), through a tuple-built struct ---
     "q65_items" -> { (spark, dir) =>
@@ -2028,6 +2091,70 @@ object SparkEntry {
       SELECT count(DISTINCT l_orderkey) AS n_exact,
              TRUE AS card_within_10pct,
              TRUE AS median_within_5pct
-      FROM lineitem"""
+      FROM lineitem""",
+
+    "q68_perfherder" -> """
+      SELECT event_type AS suite, count(*) AS n,
+             round(avg(value), 6) AS avg_value
+      FROM events WHERE event_id % 3 = 0
+      GROUP BY 1 ORDER BY 1""",
+
+    "q69_coverage" -> """
+      SELECT o_orderstatus AS source_file,
+             count(*) AS lines_total,
+             sum(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END)
+               AS lines_covered,
+             round(CAST(sum(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0
+                            END) AS DOUBLE) / count(*), 6) AS coverage
+      FROM orders GROUP BY 1 ORDER BY 1""",
+
+    // the composite quality score replicated term by term (UNROUNDED
+    // ratios feed the score; only the final score rounds to 6), then
+    // exact-dedup survivors = distinct portable fingerprints (+1 if a
+    // null-fingerprint group survives — exactByKey keeps one row of it)
+    "q70_corpus_prep" -> """
+      WITH t AS (
+        SELECT doc_id, text,
+               list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                           x -> length(x) > 0) AS toks
+        FROM documents),
+      r AS (SELECT doc_id, text, toks,
+              CASE WHEN length(text) > 0 THEN
+                CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g'))
+                  AS DOUBLE) / length(text) ELSE 0.0 END AS pr,
+              CASE WHEN len(toks) > 0 THEN
+                CAST(len(list_filter(toks, x -> list_contains(
+                  ['the','a','an','and','or','of','to','in','is','it',
+                   'that','for','on','with','as','was','at','by','be',
+                   'this'], x))) AS DOUBLE) / len(toks)
+                ELSE 0.0 END AS sw,
+              CASE WHEN len(toks) > 0 THEN
+                CAST(list_sum(list_transform(toks, x -> length(x)))
+                  AS DOUBLE) / len(toks) ELSE 0.0 END AS mwl
+            FROM t),
+      q AS (SELECT doc_id, text, toks,
+              round((least(length(text) / 500.0, 1.0)
+                + CASE WHEN pr < 0.1 THEN 1.0
+                       ELSE greatest(1.0 - (pr - 0.1) * 5, 0.0) END
+                + least(sw * 4, 1.0)
+                + CASE WHEN mwl BETWEEN 3.0 AND 10.0 THEN 1.0
+                       ELSE 0.5 END) / 4, 6) AS quality
+            FROM r),
+      pass AS (SELECT doc_id, text, toks FROM q WHERE quality >= 0.3),
+      sh AS (SELECT doc_id,
+               CASE WHEN len(toks) >= 3 THEN
+                      list_transform(generate_series(1, len(toks) - 2),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                    WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+                    ELSE [] END AS s
+             FROM pass),
+      fp AS (SELECT doc_id,
+               list_min(list_transform(s, g -> md5(g))) AS f
+             FROM sh)
+      SELECT (SELECT count(*) FROM pass) AS n_quality,
+             count(DISTINCT f)
+               + max(CASE WHEN f IS NULL THEN 1 ELSE 0 END) AS n_exact,
+             TRUE AS final_within_bounds
+      FROM fp"""
   )
 }

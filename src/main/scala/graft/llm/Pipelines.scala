@@ -19,13 +19,21 @@ import org.apache.spark.sql.functions._
 object Pipelines {
 
   /** Score + filter + dedup a document frame. Returns the surviving
-    * documents with `lang_pred`, `quality`, `fingerprint` columns. */
+    * documents with `lang_pred`, `quality`, `fingerprint` columns.
+    * `portableFingerprint` switches the exact-dedup key to the
+    * md5-based [[TextAnalysis.fingerprintPortable]] so the stage is
+    * differentially verifiable; the default stays the faster native
+    * hash. */
   def prepareCorpus(docs: DataFrame, id: Column, text: Column,
                     minQuality: Double = 0.3,
-                    nearDupJaccard: Double = 0.8): DataFrame = {
+                    nearDupJaccard: Double = 0.8,
+                    portableFingerprint: Boolean = false): DataFrame = {
+    val fp =
+      if (portableFingerprint) TextAnalysis.fingerprintPortable(text)
+      else TextAnalysis.fingerprint(text)
     val scored = TextAnalysis.withLangId(docs, text, "lang_pred")
       .withColumn("quality", TextAnalysis.qualityScore(text))
-      .withColumn("fingerprint", TextAnalysis.fingerprint(text))
+      .withColumn("fingerprint", fp)
       .filter(col("quality") >= minQuality)
     // exact dedup: identical fingerprint keeps lowest id
     val exact = Dedup.exactByKey(scored, Seq(col("fingerprint")), id)
