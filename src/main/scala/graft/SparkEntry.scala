@@ -1200,6 +1200,37 @@ object SparkEntry {
             .as("final_within_bounds"))
     },
 
+    // --- dynamic-schema merge policy: two heterogeneous frames
+    //     (disjoint optional columns + a long-vs-double conflict on
+    //     `value`) merged by the widening rules and unioned; missing
+    //     columns land as null (JX missing semantics) ---
+    "q71_schema_merge" -> rounded("sum_v" -> 4)({ (spark, dir) =>
+      val events = tbl(spark, dir, "events")
+      val a = events.filter(col("event_id") % 2 === 0)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val b = events.filter(col("event_id") % 2 === 1)
+        .select(col("event_id"), col("user_id"),
+          col("value").cast(LongType).as("value"))
+      graft.tables.SchemaMerge.unionAll(Seq(a, b))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"),
+          count(col("user_id")).as("n_user"))
+        .orderBy(col("event_type"))
+    }),
+
+    // --- 2l/2m custom keyed state: mapGroupsWithState running counts
+    //     drained over the event stream; the FINAL count per key must
+    //     equal the batch aggregate (update-mode memory sink keeps the
+    //     latest state emission per key) ---
+    "q72_stream_state" -> { (spark, dir) =>
+      val ev = EventStream.readTable(spark, dir, "events")
+      val counts = EventStream.runningCounts(ev, "user_id")
+      EventStream.runToCompletion(spark, counts, mode = "update")
+        .groupBy(col("user_id"))
+        .agg(max(col("n_events")).as("n_events"))
+        .orderBy(col("user_id"))
+    },
+
     // --- 2i items: object -> [{name, value}] pairs (stringified
     //     values), through a tuple-built struct ---
     "q65_items" -> { (spark, dir) =>
@@ -2155,6 +2186,24 @@ object SparkEntry {
              count(DISTINCT f)
                + max(CASE WHEN f IS NULL THEN 1 ELSE 0 END) AS n_exact,
              TRUE AS final_within_bounds
-      FROM fp"""
+      FROM fp""",
+
+    // widen policy mirrored: value long-vs-double -> double (Spark's
+    // double->long cast truncates toward zero, hence trunc());
+    // columns absent from a frame -> null
+    "q71_schema_merge" -> """
+      WITH u AS (
+        SELECT event_id, event_type, value, NULL AS user_id
+        FROM events WHERE event_id % 2 = 0
+        UNION ALL
+        SELECT event_id, NULL, CAST(trunc(value) AS DOUBLE), user_id
+        FROM events WHERE event_id % 2 = 1)
+      SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_v,
+             count(user_id) AS n_user
+      FROM u GROUP BY 1 ORDER BY 1""",
+
+    "q72_stream_state" -> """
+      SELECT user_id, count(*) AS n_events
+      FROM events GROUP BY 1 ORDER BY 1"""
   )
 }
