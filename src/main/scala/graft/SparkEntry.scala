@@ -1181,11 +1181,13 @@ object SparkEntry {
     //     at jaccard>=0.8 are <10% of these corpora) ---
     "q70_corpus_prep" -> { (spark, dir) =>
       val docs = tbl(spark, dir, "documents")
+      // stage-count recompute shares one scoring pass via persist
       val scored = docs
         .withColumn("quality", TextAnalysis.qualityScore(col("text")))
         .withColumn("fingerprint",
           TextAnalysis.fingerprintPortable(col("text")))
         .filter(col("quality") >= 0.3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val exact = Dedup.exactByKey(scored, Seq(col("fingerprint")),
         col("doc_id"))
       val prepared = graft.llm.Pipelines.prepareCorpus(docs, col("doc_id"),

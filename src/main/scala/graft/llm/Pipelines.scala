@@ -35,8 +35,11 @@ object Pipelines {
       .withColumn("quality", TextAnalysis.qualityScore(text))
       .withColumn("fingerprint", fp)
       .filter(col("quality") >= minQuality)
-    // exact dedup: identical fingerprint keeps lowest id
+    // exact dedup: identical fingerprint keeps lowest id. Persisted —
+    // it feeds BOTH the near-dup pair mining and the final anti-join,
+    // and recomputing it re-runs the whole scoring projection.
     val exact = Dedup.exactByKey(scored, Seq(col("fingerprint")), id)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // near-dup removal: drop the higher id of each verified pair
     val pairs = Dedup.minhashPairs(exact, id, text,
       threshold = nearDupJaccard)
