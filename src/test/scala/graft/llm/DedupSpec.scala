@@ -38,6 +38,29 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => b == 4L || a == 4L })
   }
 
+  test("ngram jaccard df cap prunes boilerplate-driven pairs") {
+    // four docs share a hot boilerplate prefix (shingle df = 4);
+    // only docs 1 and 2 share a genuine near-identical tail
+    val boiler = "terms of service apply to all content here"
+    val corpus = Seq(
+      (1L, s"$boiler alpha beta gamma delta epsilon zeta"),
+      (2L, s"$boiler alpha beta gamma delta epsilon eta"),
+      (3L, s"$boiler one two three four five six"),
+      (4L, s"$boiler red orange yellow green blue violet")
+    ).toDF("doc_id", "text")
+    val uncapped = Dedup.ngramJaccardPairs(corpus, col("doc_id"),
+        col("text"), threshold = 0.3, maxDf = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val capped = Dedup.ngramJaccardPairs(corpus, col("doc_id"),
+        col("text"), threshold = 0.3, maxDf = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // uncapped: the shared boilerplate makes EVERY pair look similar
+    assert(uncapped.size === 6)
+    // capped: boilerplate shingles (df=4 > 3) leave the jaccard space,
+    // so only the true near-dup pair remains
+    assert(capped === Set((1L, 2L)))
+  }
+
   test("jaccard: identical=1, disjoint=0") {
     val j = docs.filter($"doc_id" === 1)
       .select(Dedup.jaccard(TextAnalysis.shingles($"text"),
