@@ -1233,6 +1233,48 @@ object SparkEntry {
         .orderBy(col("user_id"))
     },
 
+    // --- bucketed co-located join: both sides written bucketBy the
+    //     join key, so the join itself needs no exchange (the
+    //     BucketingSpec asserts the exchange-free plan; here the
+    //     results are differentially checked). This is the 100 TB
+    //     fact-to-fact join shape when broadcast is impossible ---
+    "q73_bucketed_join" -> rounded("sum_qty" -> 4)({ (spark, dir) =>
+      val li = tbl(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"))
+      val o = tbl(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      // a fresh session's in-memory metastore doesn't know tables a
+      // previous run left in the warehouse dir — drop both the entry
+      // and any stale location before the bucketed write
+      Seq("q73_li", "q73_o").foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        val wh = spark.conf.get("spark.sql.warehouse.dir")
+          .stripPrefix("file:")
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(); ()
+        }
+        val loc = new java.io.File(wh, t)
+        if (loc.exists()) rm(loc)
+      }
+      li.write.bucketBy(16, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable("q73_li")
+      o.write.bucketBy(16, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable("q73_o")
+      spark.table("q73_li")
+        .join(spark.table("q73_o"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // --- meta.tables: the table inventory as a queryable frame ---
+    "q74_meta_tables" -> { (spark, dir) =>
+      MetaColumns.tables(spark, new Catalog(spark, dir))
+        .orderBy(col("table_name"))
+    },
+
     // --- 2i items: object -> [{name, value}] pairs (stringified
     //     values), through a tuple-built struct ---
     "q65_items" -> { (spark, dir) =>
@@ -2206,6 +2248,37 @@ object SparkEntry {
 
     "q72_stream_state" -> """
       SELECT user_id, count(*) AS n_events
-      FROM events GROUP BY 1 ORDER BY 1"""
+      FROM events GROUP BY 1 ORDER BY 1""",
+
+    "q73_bucketed_join" -> """
+      SELECT o_orderstatus, count(*) AS n,
+             round(sum(l_quantity), 4) AS sum_qty
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1 ORDER BY 1""",
+
+    "q74_meta_tables" -> """
+      SELECT * FROM (
+        SELECT 'customer' AS table_name,
+               CAST((SELECT count(*) FROM (DESCRIBE customer)) AS INT)
+                 AS n_columns
+        UNION ALL SELECT 'documents',
+          CAST((SELECT count(*) FROM (DESCRIBE documents)) AS INT)
+        UNION ALL SELECT 'embeddings',
+          CAST((SELECT count(*) FROM (DESCRIBE embeddings)) AS INT)
+        UNION ALL SELECT 'events',
+          CAST((SELECT count(*) FROM (DESCRIBE events)) AS INT)
+        UNION ALL SELECT 'lineitem',
+          CAST((SELECT count(*) FROM (DESCRIBE lineitem)) AS INT)
+        UNION ALL SELECT 'nation',
+          CAST((SELECT count(*) FROM (DESCRIBE nation)) AS INT)
+        UNION ALL SELECT 'orders',
+          CAST((SELECT count(*) FROM (DESCRIBE orders)) AS INT)
+        UNION ALL SELECT 'part',
+          CAST((SELECT count(*) FROM (DESCRIBE part)) AS INT)
+        UNION ALL SELECT 'region',
+          CAST((SELECT count(*) FROM (DESCRIBE region)) AS INT)
+        UNION ALL SELECT 'supplier',
+          CAST((SELECT count(*) FROM (DESCRIBE supplier)) AS INT))
+      ORDER BY table_name"""
   )
 }
