@@ -159,8 +159,9 @@ object Dedup {
     // pair expansion is row-local array math (≤ C(maxDf,2) per list) —
     // this replaces a sort-merge self-join of the index with a single
     // exchange + codegen'd combination explode
+    // collect_set: a duplicate caller id can never produce a self-pair
     val lists = kept.groupBy(col("g"))
-      .agg(array_sort(collect_list(col("id"))).as("ids"))
+      .agg(array_sort(collect_set(col("id"))).as("ids"))
       .filter(size(col("ids")) > 1)
     val pairs = lists.select(explode(flatten(transform(col("ids"),
       (x, i) => transform(
