@@ -11,10 +11,15 @@ import org.apache.spark.sql.functions._
   *  - [[bruteForceTopK]] is the exact baseline: broadcast the (small)
   *    query set against the corpus, rank per query — one pass over the
   *    corpus, no corpus shuffle;
-  *  - [[lshBucket]] is the scale path: random-hyperplane signs bucket the
-  *    corpus so only same-bucket vectors are compared (the IVF analog
-  *    with hash cells instead of centroids). Hyperplanes are generated
-  *    from a fixed seed — deterministic across runs and executors.
+  *  - [[lshBuckets]] is the scale path: `tables` independent sets of
+  *    random-hyperplane sign bits bucket the corpus so only
+  *    same-(table, bucket) vectors are compared (the IVF analog with
+  *    hash cells instead of centroids); single-table bucketing has
+  *    p^planes recall per neighbor — measured 0.05 on the synthetic
+  *    embeddings — so multi-table is the default, not an option.
+  *    Hyperplanes derive from a fixed seed (native fused-loop kernel,
+  *    graft.functions.lsh_buckets) — deterministic across runs and
+  *    executors.
   */
 object Similarity {
 
@@ -53,26 +58,6 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id"), col("rank"),
               round(col("cosine"), 6).as("cosine"))
-  }
-
-  /** Deterministic pseudo-random unit-ish hyperplane component for
-    * (plane p, dimension d): a fixed-seed hash mapped to [-1, 1). */
-  private def planeComponent(p: Int, d: Column): Column =
-    (pmod(xxhash64(lit(p), d), lit(1000000L)).cast("double") /
-      lit(500000.0)) - lit(1.0)
-
-  /** Random-hyperplane LSH bucket id: one sign bit per plane. Cosine-close
-    * vectors agree on most sign bits, so near-neighbour search only needs
-    * same-bucket (or small-Hamming-neighbour-bucket) comparisons. */
-  def lshBucket(vec: Column, planes: Int = 12): Column = {
-    val bits = (0 until planes).map { p =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x * planeComponent(p, i)),
-        lit(0.0d), (acc, x) => acc + x)
-      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce(_.bitwiseOR(_))
   }
 
   /** IVF-style approximate search: a deterministic coarse quantizer
