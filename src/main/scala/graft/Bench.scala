@@ -27,8 +27,13 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val dt = (System.nanoTime() - t0) / 1e9
         // drop persisted intermediates (outside the timed section) so
-        // cached blocks don't accumulate memory pressure across queries
+        // cached blocks don't accumulate memory pressure across queries;
+        // likewise the streaming queries' memory-sink temp views, which
+        // clearCache does NOT release
         spark.catalog.clearCache()
+        spark.catalog.listTables().collect()
+          .filter(_.name.startsWith("graft_stream_"))
+          .foreach(t => spark.catalog.dropTempView(t.name))
         name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

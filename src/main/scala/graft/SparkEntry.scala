@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType, StructType}
 import graft.etl.{Lineage, LogParse, MozLog}
 import graft.jx.Runner
-import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Contamination, Dedup, Multimodal, Pipelines, Similarity, TextAnalysis}
 import graft.meta.MetaColumns
 import graft.operators.{Joins, Sessionize, SetOps}
 import graft.streaming.EventStream
@@ -1291,6 +1291,107 @@ object SparkEntry {
           array_join(transform(col("kv_items"),
             s => concat_ws("=", s.getField("name"), s.getField("value"))),
             ";").as("items_csv"))
+    },
+
+    // --- dedup clustering: pairwise near-dup output -> transitive
+    //     connected components (min-id label) -> cluster census. The
+    //     edge list is a deterministic chain+cross-link graph over doc
+    //     ids (chains of 7, merged in pairs by a +14 cross edge every
+    //     21 ids) so the closure is genuinely multi-hop; the oracle
+    //     recomputes it with a recursive CTE. ---
+    "q75_dedup_clusters" -> { (spark, dir) =>
+      val ids = tbl(spark, dir, "documents").select(col("doc_id"))
+      val chain = ids.alias("a").join(ids.alias("b"),
+          col("b.doc_id") === col("a.doc_id") + 1 &&
+            pmod(col("a.doc_id"), lit(7)) =!= 6)
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      val cross = ids.alias("a").join(ids.alias("b"),
+          col("b.doc_id") === col("a.doc_id") + 14 &&
+            pmod(col("a.doc_id"), lit(21)) === 3)
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      Dedup.connectedComponents(chain.unionByName(cross),
+          col("id_a"), col("id_b"))
+        .groupBy(col("comp")).agg(count(lit(1)).as("n_members"))
+        .orderBy(col("comp"))
+    },
+
+    // --- Gopher-style repetition quality signals (dup-token /
+    //     dup-2gram / top-token-char fractions), all row-local column
+    //     math; keep-flag computed on the UNROUNDED ratios ---
+    "q76_repetition" -> rounded("dup_tok_frac" -> 6,
+        "dup_2gram_frac" -> 6, "top_tok_frac" -> 6)({ (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+      docs.select(col("doc_id"),
+          TextAnalysis.dupTokenFrac(col("text")).as("dup_tok_frac"),
+          TextAnalysis.dupNgramFrac(col("text"), 2).as("dup_2gram_frac"),
+          TextAnalysis.topTokenCharFrac(col("text")).as("top_tok_frac"))
+        .withColumn("keep",
+          col("dup_2gram_frac") <= 0.03 && col("top_tok_frac") <= 0.1)
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- deterministic train/val/test split: md5-bucket of the id
+    //     (stable under reshuffling/reruns, engine-portable) ---
+    "q77_hash_split" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+      docs.select(Pipelines.splitAssign(col("doc_id")).as("split"),
+          Pipelines.hashBucket(col("doc_id"), 100).as("bucket"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"), min(col("bucket")).as("min_bucket"),
+          max(col("bucket")).as("max_bucket"))
+        .orderBy(col("split"))
+    },
+
+    // --- benchmark decontamination: train docs sharing any word
+    //     8-gram with an eval set (here: 12-token prefixes of every
+    //     97th doc, so the sources are genuinely contaminated) ---
+    "q78_decontaminate" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+      val evalSet = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+        .select(array_join(slice(TextAnalysis.tokens(col("text")), 1, 12),
+          " ").as("etext"))
+      Contamination.sharedGrams(docs, col("doc_id"), col("text"),
+          evalSet, col("etext"), n = 8)
+        .orderBy(col("id"))
+    },
+
+    // --- sequence packing: shard by hash bucket, concatenate docs in
+    //     id order, chunk at a 2048-token budget; each doc reports the
+    //     pack range it spans ---
+    "q79_seq_packing" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+      val withShard = docs.select(col("doc_id"),
+        pmod(Pipelines.hashBucket(col("doc_id"), 100), lit(4)).as("shard"),
+        TextAnalysis.tokenCount(col("text")).as("n_tok"))
+      Pipelines.packSequences(withShard, col("doc_id"), col("shard"),
+          col("n_tok"), budget = 2048)
+        .orderBy(col("id"))
+    },
+
+    // --- PII redaction: synthetic emails/phones/IPs injected into
+    //     every other doc, redacted to typed tags; clean docs must
+    //     pass through byte-identical (the full redacted text is
+    //     hash-compared, not just the counts) ---
+    "q80_redact_pii" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+      val dirty = when(pmod(col("doc_id"), lit(2)) === 0,
+        concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com"),
+          lit(" or 555-"),
+          lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"),
+          lit("-"),
+          lpad(pmod(col("doc_id") * 7, lit(10000)).cast("string"), 4, "0"),
+          lit(" from 10.0."),
+          pmod(col("doc_id"), lit(256)).cast("string"), lit(".77")))
+        .otherwise(col("text"))
+      docs.select(col("doc_id"),
+          TextAnalysis.piiCounts(dirty).as("__p"),
+          TextAnalysis.redactPii(dirty).as("redacted"))
+        .select(col("doc_id"),
+          (col("__p.emails") + col("__p.phones") + col("__p.ips"))
+            .as("n_pii"),
+          col("redacted"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -2177,8 +2278,8 @@ object SparkEntry {
     "q69_coverage" -> """
       SELECT o_orderstatus AS source_file,
              count(*) AS lines_total,
-             sum(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END)
-               AS lines_covered,
+             CAST(sum(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END)
+               AS BIGINT) AS lines_covered,
              round(CAST(sum(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0
                             END) AS DOUBLE) / count(*), 6) AS coverage
       FROM orders GROUP BY 1 ORDER BY 1""",
@@ -2279,6 +2380,147 @@ object SparkEntry {
           CAST((SELECT count(*) FROM (DESCRIBE region)) AS INT)
         UNION ALL SELECT 'supplier',
           CAST((SELECT count(*) FROM (DESCRIBE supplier)) AS INT))
-      ORDER BY table_name"""
+      ORDER BY table_name""",
+
+    // transitive closure recomputed from scratch: recursive reachability
+    // (UNION-dedup'd), component label = min reachable id
+    "q75_dedup_clusters" -> """
+      WITH RECURSIVE
+      ids AS (SELECT doc_id FROM documents),
+      e AS (
+        SELECT a.doc_id AS x, b.doc_id AS y FROM ids a JOIN ids b
+          ON b.doc_id = a.doc_id + 1 AND a.doc_id % 7 <> 6
+        UNION ALL
+        SELECT a.doc_id, b.doc_id FROM ids a JOIN ids b
+          ON b.doc_id = a.doc_id + 14 AND a.doc_id % 21 = 3),
+      ed AS (SELECT x, y FROM e UNION ALL SELECT y, x FROM e),
+      r AS (SELECT x AS id, x AS rr FROM ed
+            UNION
+            SELECT ed.x, r.rr FROM ed JOIN r ON ed.y = r.id),
+      c AS (SELECT id, min(rr) AS comp FROM r GROUP BY id)
+      SELECT comp, count(*) AS n_members FROM c GROUP BY 1 ORDER BY 1""",
+
+    // ratios on the exact integer counts (IEEE division matches Spark
+    // bit-for-bit); keep computed on the UNROUNDED ratios; the top token
+    // is the mode with lexicographically-smallest tiebreak
+    "q76_repetition" -> """
+      WITH t AS (SELECT doc_id,
+          list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                      x -> length(x) > 0) AS toks
+        FROM documents),
+      m AS (SELECT doc_id, len(toks) AS n, len(list_distinct(toks)) AS nd,
+          CASE WHEN len(toks) >= 2 THEN len(list_distinct(
+            list_transform(range(1, len(toks)),
+              i -> toks[i] || ' ' || toks[i+1]))) END AS nd2,
+          list_sum(list_transform(toks, x -> length(x))) AS stl
+        FROM t),
+      cnts AS (SELECT doc_id, tok, count(*) AS c
+               FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+               GROUP BY 1, 2),
+      top AS (SELECT doc_id, tok, c FROM (
+                SELECT doc_id, tok, c, row_number() OVER (
+                  PARTITION BY doc_id ORDER BY c DESC, tok ASC) AS rn
+                FROM cnts) WHERE rn = 1),
+      v AS (SELECT m.doc_id,
+              CASE WHEN n > 0 THEN 1.0 - CAST(nd AS DOUBLE) / n END
+                AS dup_tok_frac,
+              CASE WHEN n >= 2 THEN 1.0 - CAST(nd2 AS DOUBLE) / (n - 1) END
+                AS dup_2gram_frac,
+              CASE WHEN n > 0 THEN
+                CAST(top.c * length(top.tok) AS DOUBLE) / stl END
+                AS top_tok_frac
+            FROM m LEFT JOIN top USING (doc_id))
+      SELECT doc_id, round(dup_tok_frac, 6) AS dup_tok_frac,
+             round(dup_2gram_frac, 6) AS dup_2gram_frac,
+             round(top_tok_frac, 6) AS top_tok_frac,
+             (dup_2gram_frac <= 0.03 AND top_tok_frac <= 0.1) AS keep
+      FROM v ORDER BY doc_id""",
+
+    "q77_hash_split" -> """
+      WITH b AS (SELECT CAST(('0x' ||
+          substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100
+          AS bucket FROM documents),
+      s AS (SELECT CASE WHEN bucket < 80 THEN 'train'
+                        WHEN bucket < 90 THEN 'val'
+                        ELSE 'test' END AS split, bucket FROM b)
+      SELECT split, count(*) AS n, min(bucket) AS min_bucket,
+             max(bucket) AS max_bucket
+      FROM s GROUP BY 1 ORDER BY 1""",
+
+    // eval grams = 8-grams of the 12-token prefixes of every 97th doc;
+    // a short text (< 8 tokens) shingles as its full token string, same
+    // as the Spark operator
+    "q78_decontaminate" -> """
+      WITH t AS (SELECT doc_id,
+          list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                      x -> length(x) > 0) AS toks
+        FROM documents),
+      eg AS (SELECT DISTINCT g FROM (
+               SELECT unnest(CASE WHEN len(toks[1:12]) >= 8 THEN
+                   list_transform(generate_series(1, len(toks[1:12]) - 7),
+                     i -> array_to_string(toks[i:i+7], ' '))
+                 WHEN len(toks[1:12]) > 0 THEN
+                   [array_to_string(toks[1:12], ' ')]
+                 ELSE [] END) AS g
+               FROM t WHERE doc_id % 97 = 0)),
+      tg AS (SELECT DISTINCT doc_id, g FROM (
+               SELECT doc_id, unnest(CASE WHEN len(toks) >= 8 THEN
+                   list_transform(generate_series(1, len(toks) - 7),
+                     i -> array_to_string(toks[i:i+7], ' '))
+                 WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+                 ELSE [] END) AS g
+               FROM t))
+      SELECT doc_id AS id, count(*) AS n_shared_grams
+      FROM tg JOIN eg USING (g)
+      GROUP BY 1 ORDER BY 1""",
+
+    // running token sum per shard (rows-unbounded-preceding-to-1),
+    // pack ids by floor division at the 2048 budget
+    "q79_seq_packing" -> """
+      WITH t AS (SELECT doc_id,
+          CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+            AS INTEGER) % 100 % 4 AS shard,
+          CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                               x -> length(x) > 0)) AS BIGINT) AS n_tok
+        FROM documents),
+      w AS (SELECT doc_id AS id, shard, n_tok,
+              CAST(coalesce(sum(n_tok) OVER (PARTITION BY shard
+                ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                AND 1 PRECEDING), 0) AS BIGINT) AS befor
+            FROM t)
+      SELECT id, shard, n_tok,
+             CAST(floor(befor / 2048) AS BIGINT) AS first_pack,
+             CAST(floor((CASE WHEN n_tok > 0 THEN befor + n_tok - 1
+                              ELSE befor END) / 2048) AS BIGINT)
+               AS last_pack
+      FROM w ORDER BY id""",
+
+    // same dirt construction, same patterns; DuckDB regexp_replace
+    // needs the 'g' flag (Spark replaces globally by default). n_pii
+    // counted per pattern on the ORIGINAL dirty text
+    "q80_redact_pii" -> """
+      WITH d AS (SELECT doc_id,
+          CASE WHEN doc_id % 2 = 0 THEN
+            text || ' contact user' || doc_id || '@example.com'
+                 || ' or 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                 || '-' || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
+                 || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.77'
+          ELSE text END AS t
+        FROM documents)
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(t,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                + len(regexp_extract_all(t,
+                    '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b'))
+                + len(regexp_extract_all(t,
+                    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT)
+               AS n_pii,
+             regexp_replace(regexp_replace(regexp_replace(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g'),
+               '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')
+               AS redacted
+      FROM d ORDER BY doc_id"""
   )
 }

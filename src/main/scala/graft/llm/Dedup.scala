@@ -203,6 +203,80 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** Transitive closure of a near-dup pair list: connected components
+    * with the component labeled by its MINIMUM member id — the step that
+    * turns pairwise dedup output into dedup CLUSTERS (a near-dups b,
+    * b near-dups c => {a,b,c} is one duplicate group even if (a,c) was
+    * never emitted).
+    *
+    * Algorithm: iterative min-label propagation with pointer-jumping
+    * path compression (the DataFrame re-expression of map-reduce
+    * connected components à la Kiveris et al. "Connected Components in
+    * MapReduce and Beyond" — public algorithm, re-derived). Each round:
+    *   1. comp(v) <- min(comp(v), min over neighbors comp(u))   (edge hop)
+    *   2. comp(v) <- comp(comp(v))                              (pointer jump)
+    * The pointer jump halves label-chain depth each round, so rounds =
+    * O(log diameter) — dedup graphs (star-ish clusters) converge in 2-3.
+    *
+    * Scale: state is one (id, comp) row per node and the edge list —
+    * both flat shuffles on long keys, no driver state; the convergence
+    * check is a count on the changed rows only. Labels/edges persist
+    * across rounds (MEMORY_AND_DISK) and intermediates unpersist as
+    * soon as the next round's labels materialize. */
+  def connectedComponents(pairs: DataFrame, a: Column, b: Column,
+                          maxIter: Int = 25): DataFrame = {
+    // localCheckpoint (not persist): an iterative fixpoint REUSES and
+    // SELF-JOINS each round's output — without truncating the lineage
+    // the logical plan doubles per round and the driver dies compiling
+    // it, long before any executor works. Checkpointing pins the rows
+    // on the executors and restarts the plan from them each round.
+    val edges = pairs.select(a.cast("long").as("x"), b.cast("long").as("y"))
+      .union(pairs.select(b.cast("long").as("x"), a.cast("long").as("y")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("x").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("y"), col("comp").as("__nc")), "y")
+        .groupBy(col("x").as("id")).agg(min(col("__nc")).as("__nmin"))
+      val hopped = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("__nmin"), col("comp")))
+            .as("comp"))
+        .localCheckpoint()
+      // pointer jump: follow my label's label (labels are node ids, so
+      // the parent row always exists)
+      val next = hopped.alias("l")
+        .join(hopped.select(col("id").as("__pid"), col("comp").as("__pc"))
+          .alias("p"), col("l.comp") === col("__pid"), "left")
+        .select(col("l.id").as("id"),
+          coalesce(col("__pc"), col("l.comp")).as("comp"))
+        .localCheckpoint()
+      val changed = next.join(
+          labels.select(col("id"), col("comp").as("__old")), "id")
+        .filter(col("comp") =!= col("__old")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /** Dedup by clusters: drop every member of each near-dup cluster
+    * except the minimum-id survivor. Rows never mentioned in `pairs`
+    * are untouched (singleton clusters). */
+  def clusterSurvivors(df: DataFrame, id: Column,
+                       pairs: DataFrame, a: Column, b: Column): DataFrame = {
+    val losers = connectedComponents(pairs, a, b)
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as("__loser"))
+    df.join(losers, id === col("__loser"), "left_anti")
+  }
+
   /** Exact n-gram Jaccard similarity of two shingle-set columns. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

@@ -51,4 +51,52 @@ object Pipelines {
     * downstream per-language training reads prune to one partition. */
   def writeByLanguage(prepared: DataFrame, path: String): Unit =
     prepared.write.mode("overwrite").partitionBy("lang_pred").parquet(path)
+
+  /** Deterministic hash bucket in [0, nBuckets) from an id column: the
+    * first 4 hex chars of md5(id) read as an integer, mod nBuckets.
+    * Stable under repartitioning/reruns (pure function of the id, no
+    * RNG, no row order), portable across engines (md5 everywhere) —
+    * the standard way to split a training corpus so the assignment
+    * never moves when the pipeline is re-run or the data re-sharded. */
+  def hashBucket(id: Column, nBuckets: Int = 100): Column =
+    pmod(conv(substring(md5(id.cast("string").cast(
+        org.apache.spark.sql.types.BinaryType)), 1, 4), 16, 10)
+      .cast("int"), lit(nBuckets))
+
+  /** Train/val/test assignment by hash bucket: bucket < trainPct ->
+    * "train", < trainPct+valPct -> "val", else "test". Row-local
+    * projection — no shuffle, no sampling nondeterminism. */
+  def splitAssign(id: Column, trainPct: Int = 80, valPct: Int = 10)
+      : Column = {
+    val b = hashBucket(id, 100)
+    when(b < trainPct, lit("train"))
+      .when(b < trainPct + valPct, lit("val"))
+      .otherwise(lit("test"))
+  }
+
+  /** Sequence packing for training: concatenate documents (in id order,
+    * within a shard) into fixed-token-budget sequences, documents
+    * spanning pack boundaries (GPT-style chunked concatenation). Emits
+    * per doc the half-open pack range it lands in:
+    * first_pack = floor(tokens_before / budget),
+    * last_pack  = floor((tokens_before + n_tok - 1) / budget).
+    *
+    * Scale: packing is sequential BY CONSTRUCTION, so the global order
+    * is sharded — the window partitions by `shard` (a corpus has
+    * thousands of shards; each window partition is one shard's docs,
+    * not the corpus). One shuffle on the shard key, then a sorted
+    * running sum inside each partition. */
+  def packSequences(docs: DataFrame, id: Column, shard: Column,
+                    nTok: Column, budget: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs
+      .select(id.as("id"), shard.as("shard"), nTok.cast("long").as("n_tok"))
+      .withColumn("__before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .select(col("id"), col("shard"), col("n_tok"),
+        (col("__before") / budget).cast("long").as("first_pack"),
+        (when(col("n_tok") > 0, col("__before") + col("n_tok") - 1)
+          .otherwise(col("__before")) / budget).cast("long").as("last_pack"))
+  }
 }

@@ -192,6 +192,113 @@ object TextAnalysis {
                  out: String): org.apache.spark.sql.DataFrame =
     df.withColumn(out, langIdFast(text))
 
+  // --- repetition signals (Gopher-style quality rules — Rae et al.
+  // 2021 "Scaling Language Models" §A1.1, public recipe re-derived).
+  // All are row-local column math: one projection, no shuffle, so the
+  // per-row cost is the total cost at 100 TB. ---
+
+  /** Fraction of non-blank lines that are duplicates of an earlier
+    * line: 1 - distinct/total. Null on texts with no non-blank lines. */
+  def dupLineFrac(text: Column): Column =
+    dupSegmentFrac(split(text, "\n"))
+
+  /** Duplicate-paragraph fraction (blank-line-separated paragraphs). */
+  def dupParaFrac(text: Column): Column =
+    dupSegmentFrac(split(text, "\n{2,}"))
+
+  private def dupSegmentFrac(segments: Column): Column = {
+    val segs = filter(transform(segments, s => trim(s)),
+      s => length(s) > 0)
+    val n = size(segs)
+    when(n > 0, lit(1.0) -
+      size(array_distinct(segs)).cast(DoubleType) / n.cast(DoubleType))
+      .otherwise(lit(null))
+  }
+
+  /** Duplicate-token fraction: 1 - distinct tokens / tokens. */
+  def dupTokenFrac(text: Column): Column = {
+    val toks = tokens(text)
+    val n = size(toks)
+    when(n > 0, lit(1.0) -
+      size(array_distinct(toks)).cast(DoubleType) / n.cast(DoubleType))
+      .otherwise(lit(null))
+  }
+
+  /** Duplicate word-n-gram fraction: 1 - distinct n-grams / n-grams
+    * (counted over occurrences, the standard repetition signal shape).
+    * Texts with fewer than n tokens yield null. */
+  def dupNgramFrac(text: Column, n: Int = 2): Column = {
+    val toks = tokens(text)
+    val k = size(toks)
+    val grams = transform(sequence(lit(0), k - lit(n)),
+      i => array_join(slice(toks, i + 1, lit(n)), " "))
+    when(k >= n, lit(1.0) -
+      size(array_distinct(grams)).cast(DoubleType) /
+        (k - lit(n) + 1).cast(DoubleType))
+      .otherwise(lit(null))
+  }
+
+  /** Most-frequent token and its occurrence count, row-local: sort the
+    * token array and track the longest run (ties resolve to the
+    * lexicographically smallest token, deterministic). Returns
+    * struct(tok, cnt); null when no tokens. */
+  def topToken(text: Column): Column = {
+    val sorted = array_sort(tokens(text))
+    val zero = struct(lit("").as("prev"), lit(0).as("run"),
+      lit(0).as("best"), lit("").as("btok"))
+    val state = aggregate(sorted, zero, (acc, t) => {
+      val run = when(t === acc.getField("prev"),
+        acc.getField("run") + 1).otherwise(lit(1))
+      val isBetter = run > acc.getField("best")
+      struct(t.as("prev"), run.as("run"),
+        when(isBetter, run).otherwise(acc.getField("best")).as("best"),
+        when(isBetter, t).otherwise(acc.getField("btok")).as("btok"))
+    })
+    when(size(sorted) > 0,
+      struct(state.getField("btok").as("tok"),
+        state.getField("best").as("cnt")))
+      .otherwise(lit(null))
+  }
+
+  /** Fraction of word characters inside occurrences of the most
+    * frequent token (Gopher's "fraction of characters in the most
+    * common word"). Denominator is the sum of token lengths. */
+  def topTokenCharFrac(text: Column): Column = {
+    val toks = tokens(text)
+    val stl = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    val top = topToken(text)
+    when(size(toks) > 0,
+      (top.getField("cnt") * length(top.getField("tok")))
+        .cast(DoubleType) / stl.cast(DoubleType))
+      .otherwise(lit(null))
+  }
+
+  // --- PII redaction (training-data hygiene). Patterns restricted to
+  // constructs with identical semantics in Java regex and RE2 (word
+  // boundaries, ASCII classes, bounded repeats) so redaction is
+  // engine-portable and differentially verifiable. ---
+
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Replace emails / phone numbers / IPv4 addresses with typed
+    * placeholder tags. Row-local regexp chain — codegen'd, no shuffle;
+    * clean text passes through byte-identical. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      Ipv4Re, "<IP>")
+
+  /** Count of PII matches by kind (computed on the original text,
+    * independent per pattern). */
+  def piiCounts(text: Column): Column = struct(
+    size(regexp_extract_all(text, lit(EmailRe), lit(0))).as("emails"),
+    size(regexp_extract_all(text, lit(PhoneRe), lit(0))).as("phones"),
+    size(regexp_extract_all(text, lit(Ipv4Re), lit(0))).as("ips"))
+
   /** Word n-gram shingles (distinct), the unit for Jaccard/minhash dedup. */
   def shingles(text: Column, n: Int = 3): Column = {
     val toks = tokens(text)

@@ -92,4 +92,35 @@ class DedupSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs === Set((1L, 2L)))
   }
+
+  test("connectedComponents: transitive closure with min-id labels") {
+    // two chains (1-2-3-4, 10-11) + a singleton edge (20-21);
+    // (1,4) never appears as a pair yet lands in the same component
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L))
+      .toDF("a", "b")
+    val comp = Dedup.connectedComponents(pairs, col("a"), col("b"))
+      .as[(Long, Long)].collect().toMap
+    assert(comp(1L) === 1L && comp(2L) === 1L &&
+      comp(3L) === 1L && comp(4L) === 1L)
+    assert(comp(10L) === 10L && comp(11L) === 10L)
+    assert(comp(20L) === 20L && comp(21L) === 20L)
+  }
+
+  test("connectedComponents converges on a long chain (pointer jumping)") {
+    // path graph of 40 nodes: worst-case diameter for label propagation;
+    // pointer jumping must still converge well under maxIter
+    val pairs = (0L until 39L).map(i => (i, i + 1)).toDF("a", "b")
+    val comp = Dedup.connectedComponents(pairs, col("a"), col("b"),
+      maxIter = 12).as[(Long, Long)].collect()
+    assert(comp.length === 40)
+    assert(comp.forall(_._2 === 0L))
+  }
+
+  test("clusterSurvivors keeps min-id per cluster and all singletons") {
+    val df = (1L to 8L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
+    val out = Dedup.clusterSurvivors(df, col("id"),
+      pairs, col("a"), col("b")).as[Long].collect().sorted
+    assert(out.toSeq === Seq(1L, 4L, 5L, 7L, 8L))
+  }
 }

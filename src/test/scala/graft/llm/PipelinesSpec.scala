@@ -56,4 +56,45 @@ class PipelinesSpec extends SparkSpec {
     val recall = (exact intersect partial).size.toDouble / exact.size
     assert(recall >= 0.3, s"IVF nprobe=3 recall $recall")
   }
+
+  test("hashBucket: deterministic, in range, order-independent") {
+    val ids = (0L until 500L).toDF("id")
+    val b1 = ids.select($"id", Pipelines.hashBucket($"id", 100).as("b"))
+      .as[(Long, Int)].collect().toMap
+    assert(b1.values.forall(b => b >= 0 && b < 100))
+    // same assignment after a reshuffle (pure function of the id)
+    val b2 = ids.repartition(7)
+      .select($"id", Pipelines.hashBucket($"id", 100).as("b"))
+      .as[(Long, Int)].collect().toMap
+    assert(b1 === b2)
+    // roughly uniform: every decile hit over 500 ids
+    assert(b1.values.map(_ / 10).toSet.size === 10)
+  }
+
+  test("splitAssign proportions approximate 80/10/10") {
+    val ids = (0L until 2000L).toDF("id")
+    val counts = ids.select(Pipelines.splitAssign($"id").as("s"))
+      .groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(counts.keySet === Set("train", "val", "test"))
+    assert(counts("train") > 1400 && counts("train") < 1800)
+    assert(counts("val") > 100 && counts("test") > 100)
+  }
+
+  test("packSequences: contiguous packs, budget respected, spans marked") {
+    val docs = Seq(
+      (1L, 0, 1000L), (2L, 0, 1000L), (3L, 0, 100L), (4L, 0, 2048L),
+      (10L, 1, 3000L)
+    ).toDF("doc_id", "shard", "n_tok")
+    val out = Pipelines.packSequences(docs, $"doc_id", $"shard",
+        $"n_tok", budget = 2048)
+      .select("id", "first_pack", "last_pack")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // shard 0: doc1 tokens 0..999, doc2 1000..1999 -> both inside pack 0
+    assert(out(0) === ((1L, 0L, 0L)))
+    assert(out(1) === ((2L, 0L, 0L)))
+    assert(out(2) === ((3L, 0L, 1L))) // 2000..2099 spans the 2048 boundary
+    assert(out(3) === ((4L, 1L, 2L))) // 2100..4147 spans packs 1-2
+    // shard 1 packs start from 0 independently
+    assert(out(4) === ((10L, 0L, 1L)))
+  }
 }

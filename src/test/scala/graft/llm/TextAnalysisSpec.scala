@@ -98,4 +98,50 @@ class TextAnalysisSpec extends SparkSpec {
       .as[Long].head()
     assert(long === 4L) // ceil(20/6)
   }
+
+  private def rep(text: String, c: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Any =
+    Seq((1L, text)).toDF("id", "text").select(c($"text").as("v"))
+      .collect().head.get(0)
+
+  test("dupLineFrac / dupParaFrac count repeated segments") {
+    val txt = "line one\nline two\nline one\n\nline one"
+    // 4 non-blank lines ("line one" x3), 2 distinct -> 1 - 2/4 = 0.5
+    assert(rep(txt, TextAnalysis.dupLineFrac) === 0.5)
+    // paragraphs: "line one\nline two\nline one" and "line one" -> 0.0
+    assert(rep(txt, TextAnalysis.dupParaFrac) === 0.0)
+    val para = "aaa\n\naaa\n\nbbb"
+    assert(rep(para, TextAnalysis.dupParaFrac) ===
+      1.0 - 2.0 / 3.0) // 3 paras, 2 distinct
+    assert(rep("", TextAnalysis.dupLineFrac) === null)
+  }
+
+  test("dupTokenFrac and dupNgramFrac") {
+    assert(rep("a b a b a", TextAnalysis.dupTokenFrac) ===
+      1.0 - 2.0 / 5.0)
+    // bigrams of (a b a b a): ab ba ab ba -> 2 distinct of 4
+    assert(rep("a b a b a", t => TextAnalysis.dupNgramFrac(t, 2)) === 0.5)
+    assert(rep("one", t => TextAnalysis.dupNgramFrac(t, 2)) === null)
+    assert(rep("all unique words here", TextAnalysis.dupTokenFrac) === 0.0)
+  }
+
+  test("redactPii: emails/phones/ips tagged, clean text untouched") {
+    val dirty = "mail a.user+x@foo-bar.org or 555-123-4567, " +
+      "host 192.168.0.1 done"
+    assert(rep(dirty, TextAnalysis.redactPii) ===
+      "mail <EMAIL> or <PHONE>, host <IP> done")
+    val clean = "no personal data here at all 123"
+    assert(rep(clean, TextAnalysis.redactPii) === clean)
+    val c = rep(dirty, TextAnalysis.piiCounts)
+      .asInstanceOf[org.apache.spark.sql.Row]
+    assert((c.getInt(0), c.getInt(1), c.getInt(2)) === ((1, 1, 1)))
+  }
+
+  test("topToken: mode with lexicographic tiebreak; char fraction") {
+    val t = rep("b b a a c", TextAnalysis.topToken)
+      .asInstanceOf[org.apache.spark.sql.Row]
+    assert(t.getString(0) === "a" && t.getInt(1) === 2) // tie a/b -> a
+    // "xx xx y": top=xx (2 occurrences * 2 chars) / 5 total token chars
+    assert(rep("xx xx y", TextAnalysis.topTokenCharFrac) === 4.0 / 5.0)
+    assert(rep("", TextAnalysis.topTokenCharFrac) === null)
+  }
 }

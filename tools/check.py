@@ -73,6 +73,8 @@ for d in sorted(glob.glob(f"{outdir}/q*")):
 
 fails = 0
 for name, sql in sorted(oracle.items()):
+    if not os.path.isdir(f"{outdir}/{name}"):
+        continue  # subset Verify run (3rd arg): only check what was dumped
     try:
         spark_rel = con.execute(
             f"SELECT * FROM '{outdir}/{name}/*.parquet'")
