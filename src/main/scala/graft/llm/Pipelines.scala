@@ -40,11 +40,14 @@ object Pipelines {
     // and recomputing it re-runs the whole scoring projection.
     val exact = Dedup.exactByKey(scored, Seq(col("fingerprint")), id)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // near-dup removal: drop the higher id of each verified pair
+    // near-dup removal with TRANSITIVE cluster semantics: pairs ->
+    // connected components -> keep the min-id member per cluster.
+    // (Dropping just each pair's higher id under-deletes when the pair
+    // list is partial — e.g. pairs (a,c),(b,c) would keep both a and b
+    // even though they sit in one near-dup cluster through c.)
     val pairs = Dedup.minhashPairs(exact, id, text,
       threshold = nearDupJaccard)
-    val losers = pairs.select(col("id_b").as("__loser")).distinct()
-    exact.join(losers, id === col("__loser"), "left_anti")
+    Dedup.clusterSurvivors(exact, id, pairs, col("id_a"), col("id_b"))
   }
 
   /** Write the prepared corpus partitioned by predicted language —
