@@ -1392,7 +1392,18 @@ object SparkEntry {
             .as("n_pii"),
           col("redacted"))
         .orderBy(col("doc_id"))
-    }
+    },
+
+    // --- TF-IDF relevance: smoothed idf over the corpus, scores for a
+    //     3-term query; output keyed by doc id (no rank column, so
+    //     engine-ulp idf differences cannot reorder the compare) ---
+    "q81_tfidf" -> rounded("score" -> 6)({ (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+      graft.llm.Relevance.tfidfScores(docs, col("doc_id"), col("text"),
+          Seq("spark", "query", "vector"))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    })
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same column names & rounding). */
@@ -2521,6 +2532,24 @@ object SparkEntry {
                '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g'),
                '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')
                AS redacted
-      FROM d ORDER BY doc_id"""
+      FROM d ORDER BY doc_id""",
+
+    // identical formula order: tf * (ln((N+1)/(df+1)) + 1); ln is the
+    // one transcendental in the oracle suite — round(...,6) absorbs
+    // libm ulp differences
+    "q81_tfidf" -> """
+      WITH t AS (SELECT doc_id, unnest(list_filter(
+          string_split_regex(lower(trim(text)), '\s+'),
+          x -> length(x) > 0)) AS tok
+        FROM documents),
+      f AS (SELECT doc_id, tok, count(*) AS tf FROM t
+            WHERE tok IN ('spark', 'query', 'vector') GROUP BY 1, 2),
+      d AS (SELECT tok, count(*) AS df FROM f GROUP BY 1),
+      n AS (SELECT count(*) AS n FROM documents)
+      SELECT doc_id,
+             round(sum(tf * (ln((n.n + 1.0) / (d.df + 1.0)) + 1.0)), 6)
+               AS score
+      FROM f JOIN d USING (tok) CROSS JOIN n
+      GROUP BY doc_id ORDER BY doc_id"""
   )
 }

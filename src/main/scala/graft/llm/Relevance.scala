@@ -1,0 +1,67 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-level term-relevance scoring: TF-IDF and BM25 over a bag of
+  * query terms (public textbook formulas — Robertson/Spärck Jones).
+  *
+  * Scale design (100 TB): the token stream is filtered to the query
+  * terms BEFORE the explode leaves the row (array filter against a
+  * literal set), so the only shuffled rows are (doc, query-term) hits —
+  * a vanishing fraction of the corpus. Document frequencies and the
+  * corpus-size scalars aggregate from that filtered stream (tiny) and
+  * come back as broadcasts; nothing re-shuffles the corpus.
+  */
+object Relevance {
+
+  /** Per-document TF-IDF scores for `terms`: sum over matched terms of
+    * tf × (ln((N+1)/(df+1)) + 1). Docs matching no term are absent. */
+  def tfidfScores(docs: DataFrame, id: Column, text: Column,
+                  terms: Seq[String]): DataFrame = {
+    val tf = termFreqs(docs, id, text, terms)
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("__n"))
+    tf.join(broadcast(dfreq), "tok")
+      .crossJoin(broadcast(n))
+      .withColumn("__idf",
+        log((col("__n") + 1.0) / (col("df") + 1.0)) + 1.0)
+      .groupBy(col("id"))
+      .agg(sum(col("tf") * col("__idf")).as("score"))
+  }
+
+  /** BM25 (k1/b standard defaults): idf_bm25 × tf·(k1+1) /
+    * (tf + k1·(1−b+b·len/avglen)), idf_bm25 = ln(1+(N−df+0.5)/(df+0.5)).
+    * `len` is the doc's token count; avglen the corpus mean. */
+  def bm25Scores(docs: DataFrame, id: Column, text: Column,
+                 terms: Seq[String], k1: Double = 1.2, b: Double = 0.75)
+      : DataFrame = {
+    val lens = docs.select(id.as("id"),
+      TextAnalysis.tokenCount(text).cast("double").as("__len"))
+    val tf = termFreqs(docs, id, text, terms)
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val scal = docs.agg(count(lit(1)).as("__n"),
+      avg(TextAnalysis.tokenCount(text)).as("__avglen"))
+    val idf = log(lit(1.0) +
+      (col("__n") - col("df") + 0.5) / (col("df") + 0.5))
+    val norm = col("tf") * (k1 + 1) /
+      (col("tf") + (col("__len") / col("__avglen") * b + (1 - b)) * k1)
+    tf.join(broadcast(dfreq), "tok")
+      .crossJoin(broadcast(scal))
+      .join(lens, "id")
+      .groupBy(col("id"))
+      .agg(sum(idf * norm).as("score"))
+  }
+
+  /** (id, tok, tf) for tokens ∈ terms — the filter runs inside the
+    * row's token array, so only query-term hits are ever exploded. */
+  private def termFreqs(docs: DataFrame, id: Column, text: Column,
+                        terms: Seq[String]): DataFrame = {
+    val termArr = array(terms.map(lit): _*)
+    docs.select(id.as("id"),
+        explode(filter(TextAnalysis.tokens(text),
+          t => array_contains(termArr, t))).as("tok"))
+      .groupBy(col("id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+  }
+}

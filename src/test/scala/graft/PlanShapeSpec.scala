@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Executable scale claims: assert the PHYSICAL PLAN SHAPE of
+  * representative queries, not just their results — a regression that
+  * silently swaps a broadcast join for a sort-merge join, or adds a
+  * shuffle to a row-local projection, passes every value check and
+  * still ruins the 100 TB story. The bench SF is small; these run on
+  * sf0.001 because plan shape (unlike timing) is SF-independent here
+  * (the broadcast sides are bounded collections: eval-gram index,
+  * domain tables).
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, TestSpark.sfDir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def countOf(s: String, token: String): Int =
+    s.sliding(token.length).count(_ == token)
+
+  test("q76 repetition signals: row-local, no joins, single exchange") {
+    val p = plan("q76_repetition")
+    assert(!p.contains("Join"), "row-local signals must not join")
+    // the only exchange is the final global orderBy
+    assert(countOf(p, "Exchange") <= 1, p.linesIterator.take(5).mkString)
+  }
+
+  test("q78 decontamination: eval-gram index broadcast, never merged") {
+    val p = plan("q78_decontaminate")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"),
+      "train side must stream against a broadcast eval index")
+  }
+
+  test("q79 packing: one shuffle for the shard window + output sort") {
+    val p = plan("q79_seq_packing")
+    assert(p.contains("Window"))
+    assert(countOf(p, "Exchange") <= 2,
+      "packing must shuffle once on the shard key (plus the output sort)")
+  }
+
+  test("q22 text quality: projection only, no shuffle before the sort") {
+    val p = plan("q22_text_quality")
+    assert(!p.contains("Join"))
+    assert(countOf(p, "Exchange") <= 1)
+  }
+
+  test("q14 enrichment join broadcasts the dimension side") {
+    val p = plan("q14_join_enrich")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("q80 redaction: row-local regexp chain, no shuffle before sort") {
+    val p = plan("q80_redact_pii")
+    assert(!p.contains("Join"))
+    assert(countOf(p, "Exchange") <= 1)
+  }
+}
