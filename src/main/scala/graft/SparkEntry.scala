@@ -1403,7 +1403,27 @@ object SparkEntry {
           Seq("spark", "query", "vector"))
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))
-    })
+    }),
+
+    // --- incremental exact dedup: an incoming batch (the odd-id half
+    //     PLUS re-ingested copies of every 50th even-id doc under new
+    //     ids) deduped against the even half's fingerprint store —
+    //     re-ingests must vanish, then the batch dedups internally ---
+    "q82_incremental_dedup" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+        .withColumn("fp", TextAnalysis.fingerprintPortable(col("text")))
+      val old = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+      val replayed = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+        .withColumn("doc_id", col("doc_id") + 100000L)
+      val incoming = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+        .unionByName(replayed)
+      val survivors = Dedup.incrementalExact(incoming, col("doc_id"),
+        col("fp"), old.select(col("fp")).distinct())
+      incoming.agg(count(lit(1)).as("n_incoming"))
+        .crossJoin(survivors.agg(count(lit(1)).as("n_survivors"),
+          coalesce(sum(when(col("doc_id") >= 100000L, 1L).otherwise(0L)),
+            lit(0L)).as("n_replayed_kept")))
+    }
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same column names & rounding). */
@@ -2550,6 +2570,39 @@ object SparkEntry {
              round(sum(tf * (ln((n.n + 1.0) / (d.df + 1.0)) + 1.0)), 6)
                AS score
       FROM f JOIN d USING (tok) CROSS JOIN n
-      GROUP BY doc_id ORDER BY doc_id"""
+      GROUP BY doc_id ORDER BY doc_id""",
+
+    // portable md5 fingerprints as in q70; known-store filter via
+    // NOT EXISTS (null fingerprints never match, like the anti-join);
+    // batch-internal dedup = row_number over the fingerprint
+    "q82_incremental_dedup" -> """
+      WITH t AS (SELECT doc_id,
+          list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                      x -> length(x) > 0) AS toks
+        FROM documents),
+      sh AS (SELECT doc_id,
+               CASE WHEN len(toks) >= 3 THEN
+                      list_transform(generate_series(1, len(toks) - 2),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                    WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+                    ELSE [] END AS s
+             FROM t),
+      fp AS (SELECT doc_id, list_min(list_transform(s, g -> md5(g))) AS f
+             FROM sh),
+      known AS (SELECT DISTINCT f FROM fp WHERE doc_id % 2 = 0),
+      inc AS (SELECT doc_id, f FROM fp WHERE doc_id % 2 = 1
+              UNION ALL
+              SELECT doc_id + 100000, f FROM fp WHERE doc_id % 50 = 0),
+      fresh AS (SELECT i.doc_id, i.f FROM inc i
+                WHERE NOT EXISTS (SELECT 1 FROM known k WHERE k.f = i.f)),
+      surv AS (SELECT doc_id FROM (
+                 SELECT doc_id, row_number() OVER (
+                   PARTITION BY f ORDER BY doc_id) AS rn
+                 FROM fresh) WHERE rn = 1)
+      SELECT (SELECT count(*) FROM inc) AS n_incoming,
+             count(*) AS n_survivors,
+             CAST(coalesce(sum(CASE WHEN doc_id >= 100000 THEN 1 ELSE 0
+                                END), 0) AS BIGINT) AS n_replayed_kept
+      FROM surv"""
   )
 }

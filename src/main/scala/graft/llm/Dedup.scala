@@ -266,6 +266,22 @@ object Dedup {
     labels
   }
 
+  /** Incremental exact dedup for a CONTINUOUSLY GROWING corpus: drop
+    * new docs whose fingerprint already exists in the historical store,
+    * then exact-dedup the surviving batch internally (min id per key).
+    * The historical side needs only the fingerprint column — at 100 TB
+    * that store is a narrow table the anti-join shuffles by fingerprint
+    * (or broadcasts while it fits); the corpus text never re-reads.
+    * This is the batch analog of the streaming dedupByKey: replaying a
+    * block against an already-ingested corpus is a no-op. */
+  def incrementalExact(newDocs: DataFrame, id: Column, fingerprint: Column,
+                       knownFingerprints: DataFrame): DataFrame = {
+    val known = knownFingerprints.toDF("__known_fp")
+    val fresh = newDocs.join(known,
+      fingerprint === col("__known_fp"), "left_anti")
+    exactByKey(fresh, Seq(fingerprint), id)
+  }
+
   /** Dedup by clusters: drop every member of each near-dup cluster
     * except the minimum-id survivor. Rows never mentioned in `pairs`
     * are untouched (singleton clusters). */

@@ -116,6 +116,19 @@ class DedupSpec extends SparkSpec {
     assert(comp.forall(_._2 === 0L))
   }
 
+  test("incrementalExact: known fingerprints vanish, batch dedups, null fp kept") {
+    val incoming = Seq(
+      (10L, Some("aa")), // already in the store -> dropped
+      (11L, Some("bb")), (12L, Some("bb")), // batch-internal dup -> keep 11
+      (13L, Some("cc")),
+      (14L, None) // null fingerprint never matches the store
+    ).toDF("id", "fp")
+    val known = Seq("aa", "zz").toDF("fingerprint")
+    val out = Dedup.incrementalExact(incoming, col("id"), col("fp"), known)
+      .select("id").as[Long].collect().sorted
+    assert(out.toSeq === Seq(11L, 13L, 14L))
+  }
+
   test("clusterSurvivors keeps min-id per cluster and all singletons") {
     val df = (1L to 8L).toDF("id")
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
