@@ -129,6 +129,38 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq === Seq(11L, 13L, 14L))
   }
 
+  test("connectedComponents matches driver-side union-find on random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 60
+      val edges = Seq.fill(50)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // reference: textbook union-find, then relabel roots to min member
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = {
+        var r = x; while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(ra) = rb
+      }
+      val minOfRoot = (0 until n).filter(i =>
+          edges.exists(e => e._1 == i || e._2 == i))
+        .groupBy(find).map { case (r, ms) => r -> ms.min.toLong }
+      val expected = (0 until n).collect {
+        case i if edges.exists(e => e._1 == i || e._2 == i) =>
+          i.toLong -> minOfRoot(find(i))
+      }.toMap
+      val got = Dedup.connectedComponents(
+          edges.toDF("a", "b"), col("a"), col("b"))
+        .as[(Long, Long)].collect().toMap
+      assert(got === expected, s"trial $trial")
+    }
+  }
+
   test("clusterSurvivors keeps min-id per cluster and all singletons") {
     val df = (1L to 8L).toDF("id")
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
