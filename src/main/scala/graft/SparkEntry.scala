@@ -1423,7 +1423,38 @@ object SparkEntry {
         .crossJoin(survivors.agg(count(lit(1)).as("n_survivors"),
           coalesce(sum(when(col("doc_id") >= 100000L, 1L).otherwise(0L)),
             lit(0L)).as("n_replayed_kept")))
-    }
+    },
+
+    // --- BM25 relevance, same 3-term query as q81: tf saturation +
+    //     length normalization; avglen is an exact long-sum/count
+    //     division so only ln() is transcendental (round 6 absorbs) ---
+    "q83_bm25" -> rounded("score" -> 6)({ (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+      graft.llm.Relevance.bm25Scores(docs, col("doc_id"), col("text"),
+          Seq("spark", "query", "vector"))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- line/paragraph repetition fractions, on a constructed
+    //     multi-line corpus (the parquet docs are single-line): every
+    //     doc gets duplicate lines, every third a duplicate paragraph
+    //     and a fully duplicated line-4 ---
+    "q84_dup_lines" -> rounded("dup_line_frac" -> 6,
+        "dup_para_frac" -> 6)({ (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+      val pre = substring(col("text"), 1, 60)
+      val third = pmod(col("doc_id"), lit(3)) === 0
+      val multiA = concat(col("text"), lit("\n"), pre, lit("\n"), pre,
+        lit("\n\n"), when(third, col("text"))
+          .otherwise(concat(pre, lit(" tail"))))
+      val multiB = concat(pre, lit("\n\n"), pre, lit("\n\n"),
+        when(third, pre).otherwise(col("text")))
+      docs.select(col("doc_id"),
+          TextAnalysis.dupLineFrac(multiA).as("dup_line_frac"),
+          TextAnalysis.dupParaFrac(multiB).as("dup_para_frac"))
+        .orderBy(col("doc_id"))
+    })
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same column names & rounding). */
@@ -2603,6 +2634,57 @@ object SparkEntry {
              count(*) AS n_survivors,
              CAST(coalesce(sum(CASE WHEN doc_id >= 100000 THEN 1 ELSE 0
                                 END), 0) AS BIGINT) AS n_replayed_kept
-      FROM surv"""
+      FROM surv""",
+
+    // same arithmetic grouping as the Spark columns: idf =
+    // ln(1 + (N - df + 0.5)/(df + 0.5)); norm denominator
+    // tf + (len/avglen * b + (1-b)) * k1; avglen = sum/count exact
+    "q83_bm25" -> """
+      WITH t AS (SELECT doc_id, list_filter(
+          string_split_regex(lower(trim(text)), '\s+'),
+          x -> length(x) > 0) AS toks
+        FROM documents),
+      f AS (SELECT doc_id, tok, count(*) AS tf FROM (
+              SELECT doc_id, unnest(toks) AS tok FROM t)
+            WHERE tok IN ('spark', 'query', 'vector') GROUP BY 1, 2),
+      d AS (SELECT tok, count(*) AS df FROM f GROUP BY 1),
+      s AS (SELECT count(*) AS n,
+              CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avglen
+            FROM t),
+      l AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS len FROM t)
+      SELECT f.doc_id,
+             round(sum(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+               * (f.tf * 2.2 / (f.tf + (l.len / s.avglen * 0.75 + 0.25)
+                                       * 1.2))), 6) AS score
+      FROM f JOIN d USING (tok) CROSS JOIN s JOIN l ON f.doc_id = l.doc_id
+      GROUP BY f.doc_id ORDER BY f.doc_id""",
+
+    // trim-then-distinct over single-\n lines (multiA) and blank-line
+    // paragraphs (multiB), mirroring the Spark constructions
+    "q84_dup_lines" -> """
+      WITH m AS (SELECT doc_id,
+          text || chr(10) || substring(text, 1, 60) || chr(10)
+               || substring(text, 1, 60) || chr(10) || chr(10)
+               || (CASE WHEN doc_id % 3 = 0 THEN text
+                        ELSE substring(text, 1, 60) || ' tail' END) AS ma,
+          substring(text, 1, 60) || chr(10) || chr(10)
+               || substring(text, 1, 60) || chr(10) || chr(10)
+               || (CASE WHEN doc_id % 3 = 0 THEN substring(text, 1, 60)
+                        ELSE text END) AS mb
+        FROM documents),
+      seg AS (SELECT doc_id,
+          list_filter(list_transform(string_split_regex(ma, '\n'),
+            x -> trim(x)), x -> length(x) > 0) AS lines,
+          list_filter(list_transform(string_split_regex(mb, '\n{2,}'),
+            x -> trim(x)), x -> length(x) > 0) AS paras
+        FROM m)
+      SELECT doc_id,
+             round(CASE WHEN len(lines) > 0 THEN
+               1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines)
+               END, 6) AS dup_line_frac,
+             round(CASE WHEN len(paras) > 0 THEN
+               1.0 - CAST(len(list_distinct(paras)) AS DOUBLE) / len(paras)
+               END, 6) AS dup_para_frac
+      FROM seg ORDER BY doc_id"""
   )
 }

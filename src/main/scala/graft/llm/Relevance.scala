@@ -40,8 +40,12 @@ object Relevance {
       TextAnalysis.tokenCount(text).cast("double").as("__len"))
     val tf = termFreqs(docs, id, text, terms)
     val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    // avglen as explicit long-sum / count (not avg()): both engines
+    // then do ONE double division on exact integers — bit-identical —
+    // where avg()'s internal accumulation order is engine-specific
     val scal = docs.agg(count(lit(1)).as("__n"),
-      avg(TextAnalysis.tokenCount(text)).as("__avglen"))
+      (sum(TextAnalysis.tokenCount(text)).cast("double") /
+        count(lit(1))).as("__avglen"))
     val idf = log(lit(1.0) +
       (col("__n") - col("df") + 0.5) / (col("df") + 0.5))
     val norm = col("tf") * (k1 + 1) /
