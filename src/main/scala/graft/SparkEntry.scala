@@ -1454,7 +1454,24 @@ object SparkEntry {
           TextAnalysis.dupLineFrac(multiA).as("dup_line_frac"),
           TextAnalysis.dupParaFrac(multiB).as("dup_para_frac"))
         .orderBy(col("doc_id"))
-    })
+    }),
+
+    // --- corpus curation: top-3 quality docs per predicted language,
+    //     via the bounded-state top-k Aggregator (map-side combinable;
+    //     a window would sort one whole partition per language).
+    //     quality is pre-rounded to 6, so the rank order is identical
+    //     across engines; ties keep the smaller doc id ---
+    "q85_curation_topk" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+      val scored = docs.select(col("doc_id"),
+        TextAnalysis.langIdFast(col("text")).as("lang_pred"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      graft.llm.Curation.topKPerGroup(scored, col("lang_pred"),
+          col("doc_id"), col("quality"), k = 3)
+        .select(col("grp").as("lang_pred"), col("rk"),
+          col("id").as("doc_id"), col("score").as("quality"))
+        .orderBy(col("lang_pred"), col("rk"))
+    }
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same column names & rounding). */
@@ -2685,6 +2702,71 @@ object SparkEntry {
              round(CASE WHEN len(paras) > 0 THEN
                1.0 - CAST(len(list_distinct(paras)) AS DOUBLE) / len(paras)
                END, 6) AS dup_para_frac
-      FROM seg ORDER BY doc_id"""
+      FROM seg ORDER BY doc_id""",
+
+    // lang_pred replicated as in q24 (argmax tiebreak fr>es>en>de =
+    // struct-max on (hits, lang)); quality replicated as in q70; then
+    // a plain window top-3 — rank order is engine-stable because
+    // quality is pre-rounded and ties break on doc_id
+    "q85_curation_topk" -> """
+      WITH t AS (SELECT doc_id, text,
+          list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                      x -> length(x) > 0) AS toks
+        FROM documents),
+      s AS (SELECT doc_id,
+              len(list_intersect(list_distinct(toks),
+                ['der','die','und','das','ist','von','den','mit',
+                 'nicht','ein'])) AS h_de,
+              len(list_intersect(list_distinct(toks),
+                ['the','and','of','to','in','is','that','it','was',
+                 'for'])) AS h_en,
+              len(list_intersect(list_distinct(toks),
+                ['el','la','de','que','y','en','un','los','del',
+                 'las'])) AS h_es,
+              len(list_intersect(list_distinct(toks),
+                ['le','la','les','de','et','est','un','une','dans',
+                 'que'])) AS h_fr,
+              length(regexp_replace(text, '[^\x{4E00}-\x{9FFF}]', '',
+                'g')) AS cjk,
+              length(text) AS n
+            FROM t),
+      lp AS (SELECT doc_id,
+               CASE WHEN cjk > 0 AND cjk * 2 >= n THEN 'zh'
+                    WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+                    WHEN h_fr = greatest(h_de, h_en, h_es, h_fr) THEN 'fr'
+                    WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+                    WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+                    ELSE 'de' END AS lang_pred
+             FROM s),
+      r AS (SELECT doc_id, text, toks,
+              CASE WHEN length(text) > 0 THEN
+                CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g'))
+                  AS DOUBLE) / length(text) ELSE 0.0 END AS pr,
+              CASE WHEN len(toks) > 0 THEN
+                CAST(len(list_filter(toks, x -> list_contains(
+                  ['the','a','an','and','or','of','to','in','is','it',
+                   'that','for','on','with','as','was','at','by','be',
+                   'this'], x))) AS DOUBLE) / len(toks)
+                ELSE 0.0 END AS sw,
+              CASE WHEN len(toks) > 0 THEN
+                CAST(list_sum(list_transform(toks, x -> length(x)))
+                  AS DOUBLE) / len(toks) ELSE 0.0 END AS mwl
+            FROM t),
+      q AS (SELECT doc_id,
+              round((least(length(text) / 500.0, 1.0)
+                + CASE WHEN pr < 0.1 THEN 1.0
+                       ELSE greatest(1.0 - (pr - 0.1) * 5, 0.0) END
+                + least(sw * 4, 1.0)
+                + CASE WHEN mwl BETWEEN 3.0 AND 10.0 THEN 1.0
+                       ELSE 0.5 END) / 4, 6) AS quality
+            FROM r),
+      j AS (SELECT lp.doc_id, lang_pred, quality
+            FROM lp JOIN q ON lp.doc_id = q.doc_id),
+      w AS (SELECT lang_pred, doc_id, quality,
+              CAST(row_number() OVER (PARTITION BY lang_pred
+                ORDER BY quality DESC, doc_id ASC) AS INT) AS rk
+            FROM j)
+      SELECT lang_pred, rk, doc_id, quality FROM w
+      WHERE rk <= 3 ORDER BY lang_pred, rk"""
   )
 }

@@ -168,4 +168,12 @@ class DedupSpec extends SparkSpec {
       pairs, col("a"), col("b")).as[Long].collect().sorted
     assert(out.toSeq === Seq(1L, 4L, 5L, 7L, 8L))
   }
+
+  test("clusterSurvivors with no pairs is the identity") {
+    val df = (1L to 5L).toDF("id")
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    val out = Dedup.clusterSurvivors(df, col("id"),
+      empty, col("a"), col("b")).as[Long].collect().sorted
+    assert(out.toSeq === (1L to 5L))
+  }
 }

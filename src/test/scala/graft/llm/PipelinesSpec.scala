@@ -80,6 +80,32 @@ class PipelinesSpec extends SparkSpec {
     assert(counts("val") > 100 && counts("test") > 100)
   }
 
+  test("packSequences invariants hold on random token counts") {
+    val rnd = new scala.util.Random(7)
+    val docs = (1L to 300L).map(i =>
+      (i, (i % 3).toInt, rnd.nextInt(900).toLong)).toDF("id", "sh", "n")
+    val out = Pipelines.packSequences(docs, $"id", $"sh", $"n",
+        budget = 1000)
+      .select("id", "shard", "n_tok", "first_pack", "last_pack")
+      .as[(Long, Int, Long, Long, Long)].collect()
+    out.groupBy(_._2).values.foreach { sh =>
+      val docsInOrder = sh.sortBy(_._1)
+      var before = 0L
+      docsInOrder.foreach { case (_, _, n, first, last) =>
+        // pack range follows directly from the running token offset
+        assert(first === before / 1000)
+        assert(last === (if (n > 0) (before + n - 1) / 1000 else before / 1000))
+        assert(first <= last)
+        before += n
+      }
+      // contiguity: consecutive docs never leave a pack gap
+      docsInOrder.sliding(2).foreach {
+        case Array(a, b) => assert(b._4 - a._5 <= 1 && b._4 >= a._4)
+        case _ =>
+      }
+    }
+  }
+
   test("packSequences: contiguous packs, budget respected, spans marked") {
     val docs = Seq(
       (1L, 0, 1000L), (2L, 0, 1000L), (3L, 0, 100L), (4L, 0, 2048L),
