@@ -1471,6 +1471,29 @@ object SparkEntry {
         .select(col("grp").as("lang_pred"), col("rk"),
           col("id").as("doc_id"), col("score").as("quality"))
         .orderBy(col("lang_pred"), col("rk"))
+    },
+
+    // --- M8: product-quantization ANN (PQ-ADC candidates + exact
+    //     re-rank), recall floor vs the brute-force baseline — the
+    //     deterministic codebook (lowest-id vectors) makes the recall
+    //     a fixed number per corpus ---
+    "q86_ann_pq" -> { (spark, dir) =>
+      val emb = tbl(spark, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 8)
+      val exact = Similarity.bruteForceTopK(
+          emb, col("vec_id"), col("embedding"),
+          qs, col("vec_id"), col("embedding"), k = 5)
+        .select(col("query_id"), col("vec_id"))
+      val approx = Similarity.pqTopK(
+          emb, col("vec_id"), col("embedding"),
+          qs, col("vec_id"), col("embedding"),
+          k = 5, m = 8, ksub = 16, refine = 64)
+        .select(col("query_id"), col("vec_id"))
+      val hits = approx.join(exact, Seq("query_id", "vec_id"))
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(hits.agg(count(lit(1)).as("__hits")))
+        .select(col("n_exact"),
+          (col("__hits") >= col("n_exact") * 0.6).as("recall_floor_met"))
     }
   )
 
@@ -2767,6 +2790,20 @@ object SparkEntry {
                 ORDER BY quality DESC, doc_id ASC) AS INT) AS rk
             FROM j)
       SELECT lang_pred, rk, doc_id, quality FROM w
-      WHERE rk <= 3 ORDER BY lang_pred, rk"""
+      WHERE rk <= 3 ORDER BY lang_pred, rk""",
+
+    // exact top-5 per query recomputed; the PQ recall floor is a
+    // deterministic literal (fixed codebook) asserted Spark-side
+    "q86_ann_pq" -> """
+      WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                 FROM embeddings WHERE vec_id < 8),
+      s AS (SELECT q.query_id, e.vec_id,
+                   list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          q.qv) AS cosine
+            FROM embeddings e CROSS JOIN q
+            WHERE e.vec_id <> q.query_id
+            QUALIFY row_number() OVER (PARTITION BY q.query_id
+              ORDER BY cosine DESC, e.vec_id) <= 5)
+      SELECT count(*) AS n_exact, TRUE AS recall_floor_met FROM s"""
   )
 }

@@ -106,6 +106,84 @@ object Similarity {
               round(col("cosine"), 6).as("cosine"))
   }
 
+  /** Product-quantization (PQ-ADC) approximate top-k — the third ANN
+    * path beside [[ivfTopK]] and [[lshTopK]], re-deriving the public
+    * Jégou et al. PQ recipe in DataFrame terms:
+    *
+    *  1. codebook: the `ksub` lowest-id vectors act as sub-centroids
+    *     (deterministic coarse quantizer, same trick as ivfTopK);
+    *     subspace j of a vector is its j-th of `m` equal slices;
+    *  2. encode: each corpus vector becomes `m` small codes (argmin
+    *     sub-L2 against the codebook, ties to the lower index) — the
+    *     index build; at 100 TB the codes (m bytes/vector) replace the
+    *     d-float vector in the scan, which is the point: candidate
+    *     scanning reads ~m bytes instead of 4d;
+    *  3. ADC scan: per query, a lookup table lut[j][s] = dot(q_j,
+    *     cent_j_s) is built query-side (tiny) and broadcast; the
+    *     corpus scan scores a pair in m array lookups (zip_with +
+    *     element_at), no full-dimension math;
+    *  4. the top `refine` ADC candidates per query are re-ranked by
+    *     exact cosine, so precision of the output ranking is exact and
+    *     only recall is approximate (bounded by the candidate set).
+    *
+    * Encoding uses interpreted HOF lambdas (slice/zip_with per
+    * sub-centroid) — acceptable as a one-time index build; a native
+    * fused-loop kernel is the next step if encode ever dominates. */
+  def pqTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+             queries: DataFrame, queryId: Column, queryVec: Column,
+             k: Int, m: Int = 8, ksub: Int = 16, refine: Int = 64)
+      : DataFrame = {
+    val c = corpus.select(corpusId.as("vec_id"),
+      corpusVec.cast("array<double>").as("cv"))
+    // codebook as a single broadcast row: ordered sub-centroid vectors
+    val cents = c.orderBy(col("vec_id")).limit(ksub)
+      .agg(collect_list(col("cv")).as("__cs"))
+    def subSlice(v: Column, j: Column): Column = {
+      val sub = size(v) / m
+      slice(v, j * sub + 1, sub)
+    }
+    def subL2(a: Column, b: Column, j: Column): Column =
+      aggregate(zip_with(subSlice(a, j), subSlice(b, j),
+        (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, x) => acc + x)
+    def subDot(a: Column, b: Column, j: Column): Column =
+      aggregate(zip_with(subSlice(a, j), subSlice(b, j),
+        (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+    // encode: m codes per corpus vector (argmin sub-L2, ties -> lower
+    // code — struct min is (dist, idx) lexicographic)
+    val encoded = c.crossJoin(broadcast(cents))
+      .withColumn("codes", transform(sequence(lit(0), lit(m - 1)), j =>
+        array_min(transform(col("__cs"), (s, i) =>
+          struct(subL2(col("cv"), s, j).as("d"), i.as("i"))))
+          .getField("i")))
+      .select(col("vec_id"), col("cv"), col("codes"))
+    // query-side ADC lookup tables: lut[j][s] = dot(q_j, cent_j_s)
+    val q = queries.select(queryId.as("query_id"),
+        queryVec.cast("array<double>").as("qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("lut", transform(sequence(lit(0), lit(m - 1)), j =>
+        transform(col("__cs"), s => subDot(col("qv"), s, j))))
+      .select(col("query_id"), col("qv"), col("lut"))
+    // ADC scan: m table lookups per (corpus, query) pair
+    val scored = encoded.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adc", aggregate(
+        zip_with(col("codes"), col("lut"),
+          (cd, lj) => element_at(lj, cd + 1)),
+        lit(0.0d), (acc, x) => acc + x))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("vec_id").asc)
+    val cand = scored.withColumn("__r", row_number().over(wAdc))
+      .filter(col("__r") <= refine)
+    // exact re-rank of the candidate set
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    cand.withColumn("cosine", cosine(col("cv"), col("qv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("rank"),
+              round(col("cosine"), 6).as("cosine"))
+  }
+
   /** One bucket id per hash table: `tables` independent sets of `planes`
     * hyperplanes (plane index space is partitioned so tables never share
     * a plane). The table tag lives in the bucket's high bits, so a plain

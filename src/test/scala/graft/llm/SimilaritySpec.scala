@@ -4,6 +4,30 @@ import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
 class SimilaritySpec extends SparkSpec {
+
+  test("PQ top-k: full-codebook refine equals brute force; recall sane") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val emb = catalog.table("embeddings")
+    val qs = emb.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(emb, col("vec_id"),
+        col("embedding"), qs, col("vec_id"), col("embedding"), k = 3)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    // refine >= corpus size: candidate set is everything -> exact output
+    val n = emb.count().toInt
+    val full = Similarity.pqTopK(emb, col("vec_id"), col("embedding"),
+        qs, col("vec_id"), col("embedding"), k = 3, m = 8, ksub = 8,
+        refine = n)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(full === exact)
+    // realistic refine: recall against exact should be high
+    val pq = Similarity.pqTopK(emb, col("vec_id"), col("embedding"),
+        qs, col("vec_id"), col("embedding"), k = 3, m = 8, ksub = 8,
+        refine = 32)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect pq).size.toDouble / exact.size
+    assert(recall >= 0.5, s"PQ refine=32 recall $recall")
+  }
   import spark.implicits._
 
   test("cosine: orthogonal=0, identical=1, opposite=-1") {
