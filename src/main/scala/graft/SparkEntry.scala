@@ -1494,6 +1494,24 @@ object SparkEntry {
         .crossJoin(hits.agg(count(lit(1)).as("__hits")))
         .select(col("n_exact"),
           (col("__hits") >= col("n_exact") * 0.6).as("recall_floor_met"))
+    },
+
+    // --- 2l stream-static anti-join: a document stream deduped
+    //     against a static fingerprint store (even-id docs); only
+    //     odd-id docs with unseen fingerprints reach the sink ---
+    "q87_stream_dedup_store" -> { (spark, dir) =>
+      val stream = EventStream.readTable(spark, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(2)) === 1)
+        .withColumn("fp", TextAnalysis.fingerprintPortable(col("text")))
+      val store = tbl(spark, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(2)) === 0)
+        .select(TextAnalysis.fingerprintPortable(col("text")).as("fp"))
+        .distinct()
+      val survivors = EventStream.dedupAgainstStore(stream, col("fp"),
+        store)
+      EventStream.runToCompletion(spark, survivors, mode = "append")
+        .agg(count(lit(1)).as("n_survivors"),
+          count_distinct(col("fp")).as("n_distinct_fp"))
     }
   )
 
@@ -2804,6 +2822,31 @@ object SparkEntry {
             WHERE e.vec_id <> q.query_id
             QUALIFY row_number() OVER (PARTITION BY q.query_id
               ORDER BY cosine DESC, e.vec_id) <= 5)
-      SELECT count(*) AS n_exact, TRUE AS recall_floor_met FROM s"""
+      SELECT count(*) AS n_exact, TRUE AS recall_floor_met FROM s""",
+
+    // portable md5 fingerprints (q70's CTE); survivors = odd-id docs
+    // whose fingerprint does not appear among even-id docs (NOT EXISTS
+    // = anti-join null semantics)
+    "q87_stream_dedup_store" -> """
+      WITH t AS (SELECT doc_id,
+          list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                      x -> length(x) > 0) AS toks
+        FROM documents),
+      sh AS (SELECT doc_id,
+               CASE WHEN len(toks) >= 3 THEN
+                      list_transform(generate_series(1, len(toks) - 2),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                    WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+                    ELSE [] END AS s
+             FROM t),
+      fp AS (SELECT doc_id, list_min(list_transform(s, g -> md5(g))) AS f
+             FROM sh),
+      surv AS (SELECT o.doc_id, o.f FROM fp o
+               WHERE o.doc_id % 2 = 1
+                 AND NOT EXISTS (SELECT 1 FROM fp k
+                                 WHERE k.doc_id % 2 = 0 AND k.f = o.f))
+      SELECT count(*) AS n_survivors,
+             count(DISTINCT f) AS n_distinct_fp
+      FROM surv"""
   )
 }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
@@ -94,6 +94,21 @@ object EventStream {
         (key, total)
       }
       .toDF(entity, "n_events")
+  }
+
+  /** Streaming ingest deduped against a STATIC store: a stream-static
+    * LEFT ANTI join on the fingerprint column — rows whose fingerprint
+    * already exists in the (batch) store never reach the sink. This is
+    * [[graft.llm.Dedup.incrementalExact]]'s first stage in continuous
+    * form: the store is re-read per micro-batch (so a growing store is
+    * picked up), the join is stateless on the stream side, and the
+    * store side is a narrow one-column frame the planner can broadcast.
+    * Batch-internal duplicate suppression composes via [[dedupByKey]]
+    * downstream when the stream carries event time. */
+  def dedupAgainstStore(stream: DataFrame, fingerprint: Column,
+                        store: DataFrame): DataFrame = {
+    val known = store.toDF("__known_fp")
+    stream.join(known, fingerprint === col("__known_fp"), "left_anti")
   }
 
   /** Run a streaming aggregation to completion over the (static) backlog

@@ -70,4 +70,23 @@ class EventStreamSpec extends SparkSpec {
     // after key+ts dedup, grouping by key counts distinct ts per key
     assert(out.count() > 0)
   }
+
+  test("stream-static anti-join drops rows whose key is in the store") {
+    import spark.implicits._
+    val stream = EventStream.readTable(spark, graft.TestSpark.sfDir,
+      "events")
+    // store = the even user ids seen in the batch table
+    val store = catalog.table("events")
+      .filter(col("user_id") % 2 === 0)
+      .select(col("user_id")).distinct()
+    val survivors = EventStream.dedupAgainstStore(stream,
+      col("user_id"), store)
+    val out = EventStream.runToCompletion(spark, survivors,
+        mode = "append")
+      .select(col("user_id")).as[Long].collect()
+    val batchOdd = catalog.table("events")
+      .filter(col("user_id") % 2 === 1).count()
+    assert(out.nonEmpty && out.forall(_ % 2 == 1))
+    assert(out.length === batchOdd)
+  }
 }
