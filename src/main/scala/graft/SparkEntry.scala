@@ -430,11 +430,17 @@ object SparkEntry {
           greatest(length(col("text")) - 30, lit(1))).as("text"))
       val corpus = docs.select(col("doc_id"), col("text"))
         .unionByName(truncated)
-      val found = Dedup.minhashPairs(corpus, col("doc_id"), col("text"),
+      // both dedup signals share ONE staged shingle-hash scan — the
+      // LSH path and its exact twin otherwise each re-hash the corpus
+      val staged = corpus.select(col("doc_id").as("id"),
+          TextAnalysis.shingleHashes(col("text"), 3).as("sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val found = Dedup.minhashPairsFromShingles(staged,
           numHashes = 64, bands = 16, threshold = 0.5)
         .select(col("id_a"), col("id_b"))
-      val exact = Dedup.ngramJaccardPairs(corpus, col("doc_id"), col("text"),
-          shingleN = 3, threshold = 0.5, maxDf = 16)
+      val exact = Dedup.ngramJaccardPairsFromShingles(
+          staged.select(col("id"), col("sh").as("s")),
+          threshold = 0.5, maxDf = 16)
         .select(col("id_a"), col("id_b"))
       val hits = found.join(exact, Seq("id_a", "id_b"))
       exact.agg(count(lit(1)).as("pairs_exact"))

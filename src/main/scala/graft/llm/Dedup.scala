@@ -60,7 +60,18 @@ object Dedup {
     */
   def minhashPairs(df: DataFrame, id: Column, text: Column,
                    numHashes: Int = 64, bands: Int = 16,
-                   shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+                   shingleN: Int = 3, threshold: Double = 0.5): DataFrame =
+    minhashPairsFromShingles(
+      df.select(id.as("id"),
+        TextAnalysis.shingleHashes(text, shingleN).as("sh")),
+      numHashes, bands, threshold)
+
+  /** [[minhashPairs]] over a PRE-STAGED (id, sh) shingle-hash frame —
+    * pipelines computing several dedup signals (e.g. LSH plus the exact
+    * inverted index) stage the shingle scan once and feed both. */
+  def minhashPairsFromShingles(shingled: DataFrame,
+                               numHashes: Int = 64, bands: Int = 16,
+                               threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     // staged: token hashes -> arithmetic shingle hashes (no n-gram
@@ -70,9 +81,7 @@ object Dedup {
     // pipeline would recompute 4x. At 100 TB this cache is
     // signatures-only (numHashes longs + shingle hashes per doc), a
     // small fraction of corpus size, spilling to executor disk.
-    val withSig = df
-      .select(id.as("id"), TextAnalysis.shingleHashes(text, shingleN)
-        .as("sh"))
+    val withSig = shingled
       .filter(size(col("sh")) > 0)
       .withColumn("sig",
         graft.functions.minhash_sig(col("sh"), numHashes))
@@ -135,11 +144,19 @@ object Dedup {
     val shingleExpr =
       if (hashedShingles) TextAnalysis.shingleHashes(text, shingleN)
       else TextAnalysis.shingles(text, shingleN)
+    ngramJaccardPairsFromShingles(
+      df.select(id.as("id"), shingleExpr.as("s")), threshold, maxDf)
+  }
+
+  /** [[ngramJaccardPairs]] over a PRE-STAGED (id, s) shingle frame
+    * (hashes or strings — only equality is used). */
+  def ngramJaccardPairsFromShingles(shingled: DataFrame,
+                                    threshold: Double = 0.5,
+                                    maxDf: Int = 128): DataFrame = {
     // the shingle-set table feeds two passes (hot-shingle census + index
     // build); persist it — per doc it is one hash per distinct shingle,
     // a small fraction of text bytes, spilling to executor disk at scale
-    val sh = df
-      .select(id.as("id"), shingleExpr.as("s"))
+    val sh = shingled
       .filter(size(col("s")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ex = sh.select(col("id"), explode(col("s")).as("g"))
