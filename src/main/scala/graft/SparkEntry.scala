@@ -1187,18 +1187,17 @@ object SparkEntry {
     //     at jaccard>=0.8 are <10% of these corpora) ---
     "q70_corpus_prep" -> { (spark, dir) =>
       val docs = tbl(spark, dir, "documents")
-      // stage-count recompute shares one scoring pass via persist
-      val scored = docs
-        .withColumn("quality", TextAnalysis.qualityScore(col("text")))
-        .withColumn("fingerprint",
-          TextAnalysis.fingerprintPortable(col("text")))
-        .filter(col("quality") >= 0.3)
+      // ONE pipeline, audited per stage: the staged Pipelines API
+      // (scoreCorpus -> exactByKey -> removeNearDups) lets the query
+      // count each stage without re-running the whole preparation
+      val scored = graft.llm.Pipelines.scoreCorpus(docs, col("text"),
+          minQuality = 0.3, portableFingerprint = true)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val exact = Dedup.exactByKey(scored, Seq(col("fingerprint")),
-        col("doc_id"))
-      val prepared = graft.llm.Pipelines.prepareCorpus(docs, col("doc_id"),
-        col("text"), minQuality = 0.3, nearDupJaccard = 0.8,
-        portableFingerprint = true)
+          col("doc_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val prepared = graft.llm.Pipelines.removeNearDups(exact,
+        col("doc_id"), col("text"), nearDupJaccard = 0.8)
       scored.agg(count(lit(1)).as("n_quality"))
         .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
         .crossJoin(prepared.agg(count(lit(1)).as("__n_final")))

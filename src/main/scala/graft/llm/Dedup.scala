@@ -260,11 +260,14 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("id").as("y"), col("comp").as("__nc")), "y")
         .groupBy(col("x").as("id")).agg(min(col("__nc")).as("__nmin"))
+      // hopped is NOT checkpointed: its lineage is two joins off the
+      // checkpointed labels, so the self-join below re-derives it
+      // cheaply inside ONE job instead of paying an extra
+      // materialization round-trip per iteration
       val hopped = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("__nmin"), col("comp")))
             .as("comp"))
-        .localCheckpoint()
       // pointer jump: follow my label's label (labels are node ids, so
       // the parent row always exists)
       val next = hopped.alias("l")

@@ -28,26 +28,41 @@ object Pipelines {
                     minQuality: Double = 0.3,
                     nearDupJaccard: Double = 0.8,
                     portableFingerprint: Boolean = false): DataFrame = {
-    val fp =
-      if (portableFingerprint) TextAnalysis.fingerprintPortable(text)
-      else TextAnalysis.fingerprint(text)
-    val scored = TextAnalysis.withLangId(docs, text, "lang_pred")
-      .withColumn("quality", TextAnalysis.qualityScore(text))
-      .withColumn("fingerprint", fp)
-      .filter(col("quality") >= minQuality)
+    val scored = scoreCorpus(docs, text, minQuality, portableFingerprint)
     // exact dedup: identical fingerprint keeps lowest id. Persisted —
     // it feeds BOTH the near-dup pair mining and the final anti-join,
     // and recomputing it re-runs the whole scoring projection.
     val exact = Dedup.exactByKey(scored, Seq(col("fingerprint")), id)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // near-dup removal with TRANSITIVE cluster semantics: pairs ->
-    // connected components -> keep the min-id member per cluster.
-    // (Dropping just each pair's higher id under-deletes when the pair
-    // list is partial — e.g. pairs (a,c),(b,c) would keep both a and b
-    // even though they sit in one near-dup cluster through c.)
-    val pairs = Dedup.minhashPairs(exact, id, text,
+    removeNearDups(exact, id, text, nearDupJaccard)
+  }
+
+  /** Stage 1: language id + quality + content fingerprint, quality
+    * floor applied. Pure projection + pushable filter — callers that
+    * also need audit counts persist THIS frame and reuse it instead of
+    * re-running the pipeline. */
+  def scoreCorpus(docs: DataFrame, text: Column,
+                  minQuality: Double = 0.3,
+                  portableFingerprint: Boolean = false): DataFrame = {
+    val fp =
+      if (portableFingerprint) TextAnalysis.fingerprintPortable(text)
+      else TextAnalysis.fingerprint(text)
+    TextAnalysis.withLangId(docs, text, "lang_pred")
+      .withColumn("quality", TextAnalysis.qualityScore(text))
+      .withColumn("fingerprint", fp)
+      .filter(col("quality") >= minQuality)
+  }
+
+  /** Stage 3: near-dup removal with TRANSITIVE cluster semantics:
+    * pairs -> connected components -> keep the min-id member per
+    * cluster. (Dropping just each pair's higher id under-deletes when
+    * the pair list is partial — e.g. pairs (a,c),(b,c) would keep both
+    * a and b even though they sit in one near-dup cluster through c.) */
+  def removeNearDups(deduped: DataFrame, id: Column, text: Column,
+                     nearDupJaccard: Double = 0.8): DataFrame = {
+    val pairs = Dedup.minhashPairs(deduped, id, text,
       threshold = nearDupJaccard)
-    Dedup.clusterSurvivors(exact, id, pairs, col("id_a"), col("id_b"))
+    Dedup.clusterSurvivors(deduped, id, pairs, col("id_a"), col("id_b"))
   }
 
   /** Write the prepared corpus partitioned by predicted language —
