@@ -1517,7 +1517,28 @@ object SparkEntry {
       EventStream.runToCompletion(spark, survivors, mode = "append")
         .agg(count(lit(1)).as("n_survivors"),
           count_distinct(col("fp")).as("n_distinct_fp"))
-    }
+    },
+
+    // --- J2 block co-group proper: typed cogroup of orders and
+    //     lineitem per order key, the per-key imperative-merge form
+    //     (l_quantity is integral, so the in-function double sum is
+    //     order-independent) ---
+    "q88_cogroup" -> rounded("sum_qty" -> 4)({ (spark, dir) =>
+      import spark.implicits._
+      val o = tbl(spark, dir, "orders")
+        .filter(pmod(col("o_orderkey"), lit(10)) === 0)
+        .select(col("o_orderkey").cast("long")).as[Long]
+      val li = tbl(spark, dir, "lineitem")
+        .filter(pmod(col("l_orderkey"), lit(10)) === 0)
+        .select(col("l_orderkey").cast("long"),
+          col("l_quantity").cast("double")).as[(Long, Double)]
+      Joins.coGroup(o, li)(identity, _._1) { (k, os, ls) =>
+        val items = ls.toVector
+        Iterator((k, os.size.toLong, items.size.toLong,
+          items.map(_._2).sum))
+      }.toDF("o_orderkey", "n_orders", "n_items", "sum_qty")
+        .orderBy(col("o_orderkey"))
+    })
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same column names & rounding). */
@@ -2852,6 +2873,22 @@ object SparkEntry {
                                  WHERE k.doc_id % 2 = 0 AND k.f = o.f))
       SELECT count(*) AS n_survivors,
              count(DISTINCT f) AS n_distinct_fp
-      FROM surv"""
+      FROM surv""",
+
+    // full-outer grouped join == cogroup over the union of keys;
+    // missing sides land as zero counts / 0.0 sums like the empty
+    // iterator does
+    "q88_cogroup" -> """
+      WITH o AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 10 = 0),
+      l AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n,
+                   sum(l_quantity) AS s
+            FROM lineitem WHERE l_orderkey % 10 = 0 GROUP BY 1)
+      SELECT coalesce(o.o_orderkey, l.l_orderkey) AS o_orderkey,
+             CAST(CASE WHEN o.o_orderkey IS NULL THEN 0 ELSE 1 END
+               AS BIGINT) AS n_orders,
+             coalesce(l.n, 0) AS n_items,
+             round(coalesce(l.s, 0.0), 4) AS sum_qty
+      FROM o FULL OUTER JOIN l ON o.o_orderkey = l.l_orderkey
+      ORDER BY 1"""
   )
 }

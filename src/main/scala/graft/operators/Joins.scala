@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder}
 import org.apache.spark.sql.functions._
 
 /** Join operators (SURVEY.md §2c). JX itself has no join clause — the
@@ -23,6 +23,19 @@ object Joins {
   def enrich(fact: DataFrame, dim: DataFrame, cond: Column,
              how: String = "left", broadcastDim: Boolean = true): DataFrame =
     fact.join(if (broadcastDim) broadcast(dim) else dim, cond, how)
+
+  /** J2: block co-group proper — both sides shuffle ONCE on the key
+    * and the user function sees each key's two row groups together
+    * (the reference merges two block sources per key this way; public
+    * repo `activedata_etl` co-group transforms). Prefer a join +
+    * aggregation when the merge is expressible relationally — Catalyst
+    * optimizes that form; this is for genuinely per-key imperative
+    * merges (interleaving, custom reconciliation, typed ADT output). */
+  def coGroup[K: Encoder, L, R, O: Encoder](
+      left: Dataset[L], right: Dataset[R])(
+      lk: L => K, rk: R => K)(
+      f: (K, Iterator[L], Iterator[R]) => IterableOnce[O]): Dataset[O] =
+    left.groupByKey(lk).cogroup(right.groupByKey(rk))(f)
 
   def semi(left: DataFrame, right: DataFrame, cond: Column): DataFrame =
     left.join(right, cond, "left_semi")
