@@ -156,6 +156,41 @@ case class LshBuckets(child: Expression, planes: Int, tables: Int)
   override def prettyName: String = "graft_lsh_buckets"
 }
 
+/** (array<double> vec, array<array<double>> codebook) -> array<int> of
+  * m PQ codes (argmin sub-L2 per equal slice, ties to lower index). */
+case class PqEncode(left: Expression, right: Expression, m: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override protected def nullSafeEval(v: Any, c: Any): Any =
+    HashOps.pqEncode(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      c.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], m)
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.HashOps.pqEncode($a, $b, $m)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): PqEncode = copy(left = l, right = r)
+  override def prettyName: String = "graft_pq_encode"
+}
+
+/** (array<int> codes, array<array<double>> lut) -> ADC score double. */
+case class AdcScore(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(cd: Any, lt: Any): Any =
+    HashOps.adcScore(
+      cd.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      lt.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.HashOps.adcScore($a, $b)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): AdcScore = copy(left = l, right = r)
+  override def prettyName: String = "graft_adc_score"
+}
+
 /** (array<float|double>, array<float|double>) -> cosine similarity as
   * double; null (not an error) for zero-norm / mismatched inputs. */
 case class CosineSim(left: Expression, right: Expression)

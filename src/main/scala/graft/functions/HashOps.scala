@@ -292,4 +292,50 @@ object HashOps {
 
   def lshBucketsDouble(vec: ArrayData, planes: Int, tables: Int): ArrayData =
     lshBucketsImpl(planes, tables, vec.numElements(), i => vec.getDouble(i))
+
+  /** Product-quantization encode: m codes, code j = argmin over the
+    * codebook of sub-L2 on the j-th of m equal slices (ties -> lower
+    * index; same accumulation order as the HOF slice/zip_with form, so
+    * results are bit-identical). `cents` is array<array<double>>. */
+  def pqEncode(vec: ArrayData, cents: ArrayData, m: Int): ArrayData = {
+    val d = vec.numElements()
+    val sub = d / m
+    val k = cents.numElements()
+    val codes = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var s = 0
+      while (s < k) {
+        val c = cents.getArray(s)
+        var dist = 0.0
+        var t = 0
+        val off = j * sub
+        while (t < sub) {
+          val diff = vec.getDouble(off + t) - c.getDouble(off + t)
+          dist += diff * diff
+          t += 1
+        }
+        if (dist < bestD) { bestD = dist; best = s }
+        s += 1
+      }
+      codes(j) = best
+      j += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  /** ADC score: sum over subspaces of lut[j][codes[j]] — the PQ
+    * candidate-scan inner loop (m array reads per pair). */
+  def adcScore(codes: ArrayData, lut: ArrayData): Double = {
+    val m = codes.numElements()
+    var acc = 0.0
+    var j = 0
+    while (j < m) {
+      acc += lut.getArray(j).getDouble(codes.getInt(j))
+      j += 1
+    }
+    acc
+  }
 }

@@ -27,6 +27,10 @@ package object functions {
     toCol(LshBuckets(toExpr(vec), planes, tables))
   def md5_fingerprint(text: Column, n: Int = 3): Column =
     toCol(Md5Fingerprint(toExpr(text), n))
+  def pq_encode(vec: Column, cents: Column, m: Int): Column =
+    toCol(PqEncode(toExpr(vec), toExpr(cents), m))
+  def adc_score(codes: Column, lut: Column): Column =
+    toCol(AdcScore(toExpr(codes), toExpr(lut)))
   def text_stats(text: Column): Column =
     toCol(TextStats(toExpr(text)))
 

@@ -126,9 +126,13 @@ object Similarity {
     *     exact cosine, so precision of the output ranking is exact and
     *     only recall is approximate (bounded by the candidate set).
     *
-    * Encoding uses interpreted HOF lambdas (slice/zip_with per
-    * sub-centroid) — acceptable as a one-time index build; a native
-    * fused-loop kernel is the next step if encode ever dominates. */
+    * Encode and the ADC scan are native fused-loop kernels
+    * (graft.functions.pq_encode / adc_score) — the equivalent
+    * slice/zip_with HOF chains run interpreted lambdas per
+    * sub-centroid per row; the kernels are bit-identical (same
+    * accumulation order, same lower-index tie-break) and stay inside
+    * whole-stage codegen. The query-side LUT keeps the HOF form
+    * (queries are tiny). */
   def pqTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
              queries: DataFrame, queryId: Column, queryVec: Column,
              k: Int, m: Int = 8, ksub: Int = 16, refine: Int = 64)
@@ -142,19 +146,14 @@ object Similarity {
       val sub = size(v) / m
       slice(v, j * sub + 1, sub)
     }
-    def subL2(a: Column, b: Column, j: Column): Column =
-      aggregate(zip_with(subSlice(a, j), subSlice(b, j),
-        (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, x) => acc + x)
     def subDot(a: Column, b: Column, j: Column): Column =
       aggregate(zip_with(subSlice(a, j), subSlice(b, j),
         (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
     // encode: m codes per corpus vector (argmin sub-L2, ties -> lower
-    // code — struct min is (dist, idx) lexicographic)
+    // code) via the native kernel
     val encoded = c.crossJoin(broadcast(cents))
-      .withColumn("codes", transform(sequence(lit(0), lit(m - 1)), j =>
-        array_min(transform(col("__cs"), (s, i) =>
-          struct(subL2(col("cv"), s, j).as("d"), i.as("i"))))
-          .getField("i")))
+      .withColumn("codes",
+        graft.functions.pq_encode(col("cv"), col("__cs"), m))
       .select(col("vec_id"), col("cv"), col("codes"))
     // query-side ADC lookup tables: lut[j][s] = dot(q_j, cent_j_s)
     val q = queries.select(queryId.as("query_id"),
@@ -163,13 +162,11 @@ object Similarity {
       .withColumn("lut", transform(sequence(lit(0), lit(m - 1)), j =>
         transform(col("__cs"), s => subDot(col("qv"), s, j))))
       .select(col("query_id"), col("qv"), col("lut"))
-    // ADC scan: m table lookups per (corpus, query) pair
+    // ADC scan: m table lookups per (corpus, query) pair (native)
     val scored = encoded.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("adc", aggregate(
-        zip_with(col("codes"), col("lut"),
-          (cd, lj) => element_at(lj, cd + 1)),
-        lit(0.0d), (acc, x) => acc + x))
+      .withColumn("adc",
+        graft.functions.adc_score(col("codes"), col("lut")))
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").desc, col("vec_id").asc)
     val cand = scored.withColumn("__r", row_number().over(wAdc))
