@@ -41,5 +41,11 @@ object GraftExtensions {
       es => LshBuckets(es.head, 4, 8)),
     ("graft_md5_fingerprint",
       "min md5-hex of word 3-gram shingles (portable fingerprint)",
-      es => Md5Fingerprint(es.head, 3)))
+      es => Md5Fingerprint(es.head, 3)),
+    ("graft_pq_encode",
+      "product-quantization codes vs a codebook (m=8 subspaces)",
+      es => PqEncode(es.head, es(1), 8)),
+    ("graft_adc_score",
+      "PQ asymmetric-distance score: sum of lut[j][codes[j]]",
+      es => AdcScore(es.head, es(1))))
 }
