@@ -1538,7 +1538,32 @@ object SparkEntry {
           items.map(_._2).sum))
       }.toDF("o_orderkey", "n_orders", "n_items", "sum_qty")
         .orderBy(col("o_orderkey"))
-    })
+    }),
+
+    // --- 2l stream-stream interval join: purchases within 30 minutes
+    //     of a view by the same user, both sides watermarked (state
+    //     evicts at watermark + interval); inner matches emit without
+    //     waiting for the watermark, so the backlog drains in one
+    //     AvailableNow pass ---
+    "q89_stream_interval_join" -> { (spark, dir) =>
+      val views = EventStream.readTable(spark, dir, "events")
+        .filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("a_ts"),
+          col("event_id").as("a_id"))
+      val purchases = EventStream.readTable(spark, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("b_user"), col("ts").as("b_ts"))
+      val joined = EventStream.intervalJoin(
+        views, "a_ts", purchases, "b_ts",
+        col("user_id") === col("b_user") &&
+          col("b_ts") >= col("a_ts") &&
+          col("b_ts") <= col("a_ts") + expr("interval 30 minutes"),
+        watermark = "2 hours")
+      EventStream.runToCompletion(spark, joined, mode = "append")
+        .agg(count(lit(1)).as("n_pairs"),
+          count_distinct(col("user_id")).as("n_users"),
+          min(col("a_id")).as("min_view_id"))
+    }
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same column names & rounding). */
@@ -2889,6 +2914,15 @@ object SparkEntry {
              coalesce(l.n, 0) AS n_items,
              round(coalesce(l.s, 0.0), 4) AS sum_qty
       FROM o FULL OUTER JOIN l ON o.o_orderkey = l.l_orderkey
-      ORDER BY 1"""
+      ORDER BY 1""",
+
+    "q89_stream_interval_join" -> """
+      SELECT count(*) AS n_pairs,
+             count(DISTINCT a.user_id) AS n_users,
+             min(a.event_id) AS min_view_id
+      FROM events a JOIN events b
+        ON a.user_id = b.user_id
+       AND a.event_type = 'view' AND b.event_type = 'purchase'
+       AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE"""
   )
 }

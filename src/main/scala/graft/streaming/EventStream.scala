@@ -111,6 +111,18 @@ object EventStream {
     stream.join(known, fingerprint === col("__known_fp"), "left_anti")
   }
 
+  /** Stream-stream INNER interval join: both sides watermarked and the
+    * join condition time-bounded, so each side's buffered state is
+    * evicted once the other side's watermark passes the interval —
+    * bounded state on a continuous stream (the UNBOUNDED form would
+    * buffer both streams forever). Inner-join matches emit as they are
+    * found (no watermark wait), so a static backlog drains in one
+    * AvailableNow batch. */
+  def intervalJoin(a: DataFrame, aTs: String, b: DataFrame, bTs: String,
+                   cond: Column, watermark: String): DataFrame =
+    a.withWatermark(aTs, watermark)
+      .join(b.withWatermark(bTs, watermark), cond)
+
   /** Run a streaming aggregation to completion over the (static) backlog
     * — Trigger.AvailableNow against a memory sink — and return the final
     * result as a DataFrame. This is the local analog of the reference's
