@@ -1546,12 +1546,17 @@ object SparkEntry {
     //     waiting for the watermark, so the backlog drains in one
     //     AvailableNow pass ---
     "q89_stream_interval_join" -> { (spark, dir) =>
+      // every-third-user slice: the interval-join STATE (not the
+      // result) is what the memory-backed local state store pays for —
+      // the slice keeps the capability check while bounding that cost
       val views = EventStream.readTable(spark, dir, "events")
-        .filter(col("event_type") === "view")
+        .filter(col("event_type") === "view" &&
+          pmod(col("user_id"), lit(3)) === 0)
         .select(col("user_id"), col("ts").as("a_ts"),
           col("event_id").as("a_id"))
       val purchases = EventStream.readTable(spark, dir, "events")
-        .filter(col("event_type") === "purchase")
+        .filter(col("event_type") === "purchase" &&
+          pmod(col("user_id"), lit(3)) === 0)
         .select(col("user_id").as("b_user"), col("ts").as("b_ts"))
       val joined = EventStream.intervalJoin(
         views, "a_ts", purchases, "b_ts",
@@ -2923,6 +2928,7 @@ object SparkEntry {
       FROM events a JOIN events b
         ON a.user_id = b.user_id
        AND a.event_type = 'view' AND b.event_type = 'purchase'
+       AND a.user_id % 3 = 0 AND b.user_id % 3 = 0
        AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE"""
   )
 }

@@ -131,15 +131,34 @@ object EventStream {
     * the whole aggregate on the driver — correct for bounded local
     * parity checks only; unbounded outputs go through [[runToSink]]. */
   def runToCompletion(spark: SparkSession, agg: DataFrame,
-                      mode: String = "complete"): DataFrame = {
-    val name = s"graft_stream_${runIds.incrementAndGet()}"
-    val q = agg.writeStream
-      .format("memory").queryName(name)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
+                      mode: String = "complete",
+                      statePartitions: Int = 8): DataFrame =
+    withStatePartitions(spark, statePartitions) {
+      val name = s"graft_stream_${runIds.incrementAndGet()}"
+      val q = agg.writeStream
+        .format("memory").queryName(name)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(name)
+    }
+
+  /** Stateful-operator parallelism for a LOCAL drain: every stateful
+    * streaming op creates `spark.sql.shuffle.partitions` state-store
+    * instances per stateful stage (a stream-stream join keeps FOUR per
+    * partition), each paying checkpoint file I/O per micro-batch — at
+    * local backlog sizes that fixed cost dwarfs the data. Results are
+    * partitioning-independent, so the drain helpers pin a small count
+    * while the query runs and restore the session setting after; a
+    * real cluster deployment sizes state partitions to stream
+    * throughput instead. */
+  private def withStatePartitions[T](spark: SparkSession, n: Int)
+      (f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try f finally spark.conf.set(key, prev)
   }
 
   /** The UNBOUNDED-output shape: run a watermarked APPEND-mode query
@@ -156,15 +175,17 @@ object EventStream {
     * file) for the real windows to flush; windows not yet past the
     * final watermark stay in state. */
   def runToSink(spark: SparkSession, agg: DataFrame,
-                outDir: String, checkpointDir: String): DataFrame = {
-    val q = agg.writeStream
-      .format("parquet")
-      .option("path", outDir)
-      .option("checkpointLocation", checkpointDir)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.read.parquet(outDir)
-  }
+                outDir: String, checkpointDir: String,
+                statePartitions: Int = 8): DataFrame =
+    withStatePartitions(spark, statePartitions) {
+      val q = agg.writeStream
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", checkpointDir)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(outDir)
+    }
 }
