@@ -1568,7 +1568,37 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_pairs"),
           count_distinct(col("user_id")).as("n_users"),
           min(col("a_id")).as("min_view_id"))
-    }
+    },
+
+    // --- tokenizer vocabulary induction: top-20 tokens of the train
+    //     split with stable ids (count desc, token asc), plus the
+    //     held-out split's OOV rate against that vocab. The global
+    //     rank window sorts the VOCAB table (distinct tokens), not the
+    //     corpus — at 100 TB that table is millions of rows, not
+    //     billions ---
+    "q90_vocab" -> rounded("oov_rate" -> 6)({ (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+      val train = docs.filter(pmod(col("doc_id"), lit(10)) =!= 9)
+      val heldout = docs.filter(pmod(col("doc_id"), lit(10)) === 9)
+      val counts = train
+        .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt").desc, col("tok").asc)
+      val vocab = counts
+        .withColumn("tok_id", row_number().over(w).cast("int"))
+        .filter(col("tok_id") <= 20)
+      val ho = heldout
+        .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      val oov = ho.join(vocab.select(col("tok")), Seq("tok"), "left_anti")
+        .agg(count(lit(1)).as("__n_oov"))
+        .crossJoin(ho.agg(count(lit(1)).as("__n_ho")))
+        .select((col("__n_oov").cast("double") / col("__n_ho"))
+          .as("oov_rate"))
+      vocab.crossJoin(oov)
+        .select(col("tok_id"), col("tok"), col("cnt"), col("oov_rate"))
+        .orderBy(col("tok_id"))
+    })
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same column names & rounding). */
@@ -2929,6 +2959,23 @@ object SparkEntry {
         ON a.user_id = b.user_id
        AND a.event_type = 'view' AND b.event_type = 'purchase'
        AND a.user_id % 3 = 0 AND b.user_id % 3 = 0
-       AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE"""
+       AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE""",
+
+    "q90_vocab" -> """
+      WITH t AS (SELECT doc_id, list_filter(
+          string_split_regex(lower(trim(text)), '\s+'),
+          x -> length(x) > 0) AS toks
+        FROM documents),
+      tr AS (SELECT unnest(toks) AS tok FROM t WHERE doc_id % 10 <> 9),
+      cnts AS (SELECT tok, count(*) AS cnt FROM tr GROUP BY 1),
+      vocab AS (SELECT tok, cnt, CAST(row_number() OVER (
+                  ORDER BY cnt DESC, tok ASC) AS INT) AS tok_id
+                FROM cnts QUALIFY tok_id <= 20),
+      ho AS (SELECT unnest(toks) AS tok FROM t WHERE doc_id % 10 = 9),
+      o AS (SELECT CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+                     AS DOUBLE) / count(*) AS oov_rate
+            FROM ho LEFT JOIN vocab v USING (tok))
+      SELECT tok_id, vocab.tok, cnt, round(o.oov_rate, 6) AS oov_rate
+      FROM vocab CROSS JOIN o ORDER BY tok_id"""
   )
 }
