@@ -1598,7 +1598,18 @@ object SparkEntry {
       vocab.crossJoin(oov)
         .select(col("tok_id"), col("tok"), col("cnt"), col("oov_rate"))
         .orderBy(col("tok_id"))
-    })
+    }),
+
+    // --- deterministic stratified sampling: per-source corpus mixing
+    //     ratios (src0 -> 30%, src1 -> 50%, default 80%) via md5
+    //     buckets; kept counts per source are exactly reproducible ---
+    "q91_stratified_sample" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+      Pipelines.stratifiedSample(docs, col("doc_id"), col("source"),
+          pct = Map("src0" -> 30, "src1" -> 50), defaultPct = 80)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+        .orderBy(col("source"))
+    }
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same column names & rounding). */
@@ -2976,6 +2987,16 @@ object SparkEntry {
                      AS DOUBLE) / count(*) AS oov_rate
             FROM ho LEFT JOIN vocab v USING (tok))
       SELECT tok_id, vocab.tok, cnt, round(o.oov_rate, 6) AS oov_rate
-      FROM vocab CROSS JOIN o ORDER BY tok_id"""
+      FROM vocab CROSS JOIN o ORDER BY tok_id""",
+
+    "q91_stratified_sample" -> """
+      WITH b AS (SELECT source,
+          CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+            AS INTEGER) % 100 AS bucket
+        FROM documents)
+      SELECT source, count(*) AS n_kept FROM b
+      WHERE bucket < CASE source WHEN 'src0' THEN 30
+                                 WHEN 'src1' THEN 50 ELSE 80 END
+      GROUP BY 1 ORDER BY 1"""
   )
 }

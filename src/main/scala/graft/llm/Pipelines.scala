@@ -92,6 +92,21 @@ object Pipelines {
       .otherwise(lit("test"))
   }
 
+  /** Deterministic stratified sampling: keep `pct(group)`% of each
+    * group's rows, selected by the id's md5 bucket — per-group mixing
+    * ratios for corpus blending (e.g. downsample web text, keep all
+    * code), stable under reshuffling/reruns like [[hashBucket]], no
+    * RNG. Groups absent from `pct` keep `defaultPct`. Row-local
+    * projection + pushable filter: no shuffle, no sampling state. */
+  def stratifiedSample(docs: DataFrame, id: Column, group: Column,
+                       pct: Map[String, Int],
+                       defaultPct: Int = 100): DataFrame = {
+    val pctCol = pct.foldLeft(lit(defaultPct)) { case (acc, (g, p)) =>
+      when(group === g, lit(p)).otherwise(acc)
+    }
+    docs.filter(hashBucket(id, 100) < pctCol)
+  }
+
   /** Sequence packing for training: concatenate documents (in id order,
     * within a shard) into fixed-token-budget sequences, documents
     * spanning pack boundaries (GPT-style chunked concatenation). Emits

@@ -80,6 +80,23 @@ class PipelinesSpec extends SparkSpec {
     assert(counts("val") > 100 && counts("test") > 100)
   }
 
+  test("stratifiedSample: per-group ratios approximate, deterministic") {
+    val docs = (0L until 2000L).map(i => (i, s"g${i % 2}")).toDF("id", "g")
+    val kept = Pipelines.stratifiedSample(docs, $"id", $"g",
+        Map("g0" -> 20), defaultPct = 90)
+      .groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(kept("g0") > 120 && kept("g0") < 280)  // ~20% of 1000
+    assert(kept("g1") > 830 && kept("g1") < 960)  // ~90% of 1000
+    // rerun after a reshuffle: identical selection
+    val again = Pipelines.stratifiedSample(docs.repartition(13), $"id",
+        $"g", Map("g0" -> 20), defaultPct = 90)
+      .select("id").as[Long].collect().toSet
+    val first = Pipelines.stratifiedSample(docs, $"id", $"g",
+        Map("g0" -> 20), defaultPct = 90)
+      .select("id").as[Long].collect().toSet
+    assert(again === first)
+  }
+
   test("packSequences invariants hold on random token counts") {
     val rnd = new scala.util.Random(7)
     val docs = (1L to 300L).map(i =>
