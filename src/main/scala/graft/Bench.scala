@@ -21,25 +21,42 @@ object Bench {
       .groupBy("l_returnflag")
       .agg(org.apache.spark.sql.functions.sum("l_quantity").as("s"))
       .orderBy("l_returnflag").collect()
+    // Per-query BEST-OF-2 (cache cleared between iterations): a single
+    // timed pass lets one scheduler/GC hiccup dominate a round's
+    // headline — r3 recorded one query at 16.8s and r4 another at
+    // 22.1s, both of which measure 0.5-4s when re-run. The min is the
+    // query's repeatable cost; the per-query max/min spread is reported
+    // alongside so outliers are visible instead of silently averaged.
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
+    def cleanup(): Unit = {
+      // drop persisted intermediates (outside the timed section) so
+      // cached blocks don't accumulate memory pressure across queries;
+      // likewise the streaming queries' memory-sink temp views, which
+      // clearCache does NOT release
+      spark.catalog.clearCache()
+      spark.catalog.listTables().collect()
+        .filter(_.name.startsWith("graft_stream_"))
+        .foreach(t => spark.catalog.dropTempView(t.name))
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        val dt = (System.nanoTime() - t0) / 1e9
-        // drop persisted intermediates (outside the timed section) so
-        // cached blocks don't accumulate memory pressure across queries;
-        // likewise the streaming queries' memory-sink temp views, which
-        // clearCache does NOT release
-        spark.catalog.clearCache()
-        spark.catalog.listTables().collect()
-          .filter(_.name.startsWith("graft_stream_"))
-          .foreach(t => spark.catalog.dropTempView(t.name))
-        name -> dt
+        val times = (1 to iters).map { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          val dt = (System.nanoTime() - t0) / 1e9
+          cleanup()
+          dt
+        }
+        (name, times.min, times.max)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, mn, _) => s"\"" + k + "\":" + mn }
       .mkString("{", ",", "}")
+    // dispersion: max/min per query — ~1.0 means the reading is stable
+    val spread = results.map { case (k, mn, mx) =>
+      s"\"" + k + "\":" + (if (mn > 0) f"${mx / mn}%.2f" else "null")
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"queries":$qs,"spread":$spread,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

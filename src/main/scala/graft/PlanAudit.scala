@@ -21,13 +21,17 @@ object PlanAudit {
     val tokens = Seq("Exchange", "BroadcastHashJoin", "SortMergeJoin",
       "BroadcastNestedLoopJoin", "CartesianProduct", "Window ",
       "WholeStageCodegen")
-    println(f"${"query"}%-26s ${tokens.map(_.take(9)).mkString(" ")}")
+    println(f"${"query"}%-26s ${tokens.map(_.take(9)).mkString(" ")} GLOBWIN")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
-        val p = fn(spark, sfDir).queryExecution.executedPlan.toString
+        val df = fn(spark, sfDir)
+        val p = df.queryExecution.executedPlan.toString
         val counts = tokens.map(t =>
           f"${p.sliding(t.length).count(_ == t)}%9d")
-        println(f"$name%-26s ${counts.mkString(" ")}")
+        // scale-killer census: Window with an EMPTY partition spec and
+        // no limit below it pulls the whole input into one task's sort
+        val gw = globalWindows(df.queryExecution.optimizedPlan)
+        println(f"$name%-26s ${counts.mkString(" ")} $gw%7d")
       } catch { case e: Throwable =>
         println(f"$name%-26s PLAN-ERROR ${e.getMessage.take(60)}")
       }
@@ -37,5 +41,21 @@ object PlanAudit {
         .foreach(t => spark.catalog.dropTempView(t.name))
     }
     spark.stop()
+  }
+
+  /** Count partition-less Windows NOT protected by a limit beneath them
+    * — the "single task sorts the whole table" anti-shape. Windows over
+    * an already-limited frame (top-k then rank) are fine. */
+  def globalWindows(
+      lp: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Int = {
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      GlobalLimit, LocalLimit, Window => LWindow}
+    lp.collect {
+      case w: LWindow if w.partitionSpec.isEmpty &&
+        !w.child.exists {
+          case _: GlobalLimit | _: LocalLimit => true
+          case _ => false
+        } => w
+    }.length
   }
 }

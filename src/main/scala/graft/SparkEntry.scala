@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType, StructType}
 import graft.etl.{Lineage, LogParse, MozLog}
-import graft.jx.Runner
+import graft.jx.{Formats, QueryParser, Runner}
 import graft.llm.{Contamination, Dedup, Multimodal, Pipelines, Similarity, TextAnalysis}
 import graft.meta.MetaColumns
 import graft.operators.{Joins, Sessionize, SetOps}
@@ -1572,10 +1572,11 @@ object SparkEntry {
 
     // --- tokenizer vocabulary induction: top-20 tokens of the train
     //     split with stable ids (count desc, token asc), plus the
-    //     held-out split's OOV rate against that vocab. The global
-    //     rank window sorts the VOCAB table (distinct tokens), not the
-    //     corpus — at 100 TB that table is millions of rows, not
-    //     billions ---
+    //     held-out split's OOV rate against that vocab. Top-k is a
+    //     distributed orderBy().limit() (TakeOrderedAndProject — each
+    //     partition keeps k, the driver merges k×partitions rows); the
+    //     rank window then runs over the 20 survivors only, never over
+    //     the full distinct-token table ---
     "q90_vocab" -> rounded("oov_rate" -> 6)({ (spark, dir) =>
       val docs = tbl(spark, dir, "documents")
       val train = docs.filter(pmod(col("doc_id"), lit(10)) =!= 9)
@@ -1583,11 +1584,11 @@ object SparkEntry {
       val counts = train
         .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
         .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      val top = counts.orderBy(col("cnt").desc, col("tok").asc).limit(20)
       val w = org.apache.spark.sql.expressions.Window
         .orderBy(col("cnt").desc, col("tok").asc)
-      val vocab = counts
+      val vocab = top
         .withColumn("tok_id", row_number().over(w).cast("int"))
-        .filter(col("tok_id") <= 20)
       val ho = heldout
         .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
       val oov = ho.join(vocab.select(col("tok")), Seq("tok"), "left_anti")
@@ -1609,7 +1610,89 @@ object SparkEntry {
           pct = Map("src0" -> 30, "src1" -> 50), defaultPct = 80)
         .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
         .orderBy(col("source"))
-    }
+    },
+
+    // --- cube result format end-to-end: a 2-edge JX query with
+    //     format:"cube" runs through Formats.toCube (the DRIVER-SIDE
+    //     dense N-dim matrix the reference's query service returns),
+    //     then the cube is re-exploded to (edge_a, edge_b, value) rows
+    //     INSIDE the query — coordinate arithmetic, domain order,
+    //     densified empty cells ("X" status never occurs -> n=0 row)
+    //     and the allowNulls overflow partition (2 of 5 priorities are
+    //     outside the domain -> the null prio row) all land in the
+    //     hash-compare. The cube is bounded by the domain product
+    //     (4×4 cells), never by the fact table — driver-safe ---
+    "q92_cube_format" -> rounded("sum_price" -> 2)({ (spark, dir) =>
+      val q = QueryParser.parse("""
+        {"from": "orders",
+         "format": "cube",
+         "edges": [
+           {"name": "status", "value": "o_orderstatus",
+            "domain": {"type": "set",
+                       "partitions": ["O", "F", "P", "X"]}},
+           {"name": "prio", "value": "o_orderpriority", "allowNulls": true,
+            "domain": {"type": "set",
+                       "partitions": ["1-URGENT", "2-HIGH", "3-MEDIUM"]}}],
+         "select": [{"name": "n", "aggregate": "count"},
+                    {"name": "sum_price", "value": "o_totalprice",
+                     "aggregate": "sum"}]}""")
+      val cube = Formats
+        .shaped(new Runner(spark, new Catalog(spark, dir)), q)
+        .asInstanceOf[Formats.JxCube]
+      val nCube = cube.data("n")
+      val pCube = cube.data("sum_price")
+      val rows = for {
+        (a, i) <- cube.domains(0).zipWithIndex
+        (b, j) <- cube.domains(1).zipWithIndex
+      } yield org.apache.spark.sql.Row(a, b,
+          nCube(i).asInstanceOf[IndexedSeq[Any]](j),
+          pCube(i).asInstanceOf[IndexedSeq[Any]](j))
+      val schema = StructType(Seq(
+        org.apache.spark.sql.types.StructField("status", StringType),
+        org.apache.spark.sql.types.StructField("prio", StringType),
+        org.apache.spark.sql.types.StructField("n", LongType),
+        org.apache.spark.sql.types.StructField("sum_price", DoubleType)))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toSeq, 1), schema)
+    }),
+
+    // --- S4 at-least-once REDELIVERY (not just replay): the backlog
+    //     arrives as two blocks in separate micro-batches
+    //     (maxFilesPerTrigger=1, modification-time ordered) and the
+    //     second block re-delivers a subset of block 1's events — the
+    //     visibility-timeout duplicate a queue-driven pipeline must
+    //     absorb. dedupByKey suppresses the redelivered rows (in-state
+    //     duplicates drop against state; rows behind the advanced
+    //     watermark drop as late — either path suppresses), so the
+    //     oracle is the plain single-copy aggregate ---
+    "q93_stream_redelivery" -> rounded("sum_value" -> 4)({ (spark, dir) =>
+      val events = tbl(spark, dir, "events")
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft_q93").toString
+      def stageBlock(df: DataFrame, name: String, modMs: Long): Unit = {
+        val tmp = s"$stage/_$name"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dest = new java.io.File(s"$stage/$name.parquet")
+        java.nio.file.Files.move(part.toPath, dest.toPath)
+        dest.setLastModified(modMs) // file-source batch order = modTime
+      }
+      stageBlock(events, "block1", 1000000L)
+      stageBlock(events.filter(col("event_id") % 5 === 0), "block2",
+        2000000L)
+      val stream = spark.readStream
+        .schema(spark.read.parquet(s"$stage/block1.parquet").schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "block*.parquet")
+        .parquet(stage)
+      val deduped = EventStream.dedupByKey(stream, "ts", "1 day",
+        "event_id")
+      EventStream.runToCompletion(spark, deduped, mode = "append")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+        .orderBy(col("event_type"))
+    })
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same column names & rounding). */
@@ -2997,6 +3080,29 @@ object SparkEntry {
       SELECT source, count(*) AS n_kept FROM b
       WHERE bucket < CASE source WHEN 'src0' THEN 30
                                  WHEN 'src1' THEN 50 ELSE 80 END
-      GROUP BY 1 ORDER BY 1"""
+      GROUP BY 1 ORDER BY 1""",
+
+    // dense 2-edge cube re-exploded to rows: every (status, prio) cell
+    // of the domain product, count coalesced to 0 in empty cells, the
+    // out-of-domain priorities lumped into the null overflow partition
+    "q92_cube_format" -> """
+      WITH da(status) AS (VALUES ('O'), ('F'), ('P'), ('X')),
+      db(prio) AS (VALUES ('1-URGENT'), ('2-HIGH'), ('3-MEDIUM'), (NULL)),
+      s AS (SELECT o_orderstatus AS status,
+                   CASE WHEN o_orderpriority IN
+                          ('1-URGENT', '2-HIGH', '3-MEDIUM')
+                        THEN o_orderpriority END AS prio,
+                   count(*) AS n,
+                   round(sum(o_totalprice), 2) AS sum_price
+            FROM orders GROUP BY 1, 2)
+      SELECT da.status, db.prio, coalesce(s.n, 0) AS n, s.sum_price
+      FROM da CROSS JOIN db
+      LEFT JOIN s ON s.status = da.status
+                 AND s.prio IS NOT DISTINCT FROM db.prio""",
+
+    // redelivered rows are suppressed -> plain single-copy aggregate
+    "q93_stream_redelivery" -> """
+      SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+      FROM events GROUP BY 1 ORDER BY 1"""
   )
 }

@@ -21,10 +21,18 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    val attempted = SparkEntry.queries
       .filter { case (name, _) =>
         only.forall(_.exists(name.startsWith)) }
-      .foreach { case (name, fn) =>
+    // manifest of ATTEMPTED queries, written before any runs: a query
+    // that crashes inside Verify (exception caught below, no parquet
+    // dumped) must count as FAIL in the differential check — without
+    // the manifest a missing output dir is indistinguishable from a
+    // deliberately-skipped subset run and would silently pass
+    Files.writeString(Paths.get(s"$outDir/attempted.json"),
+      attempted.keys.toSeq.sorted
+        .map(n => "\"" + n + "\"").mkString("[", ",", "]"))
+    attempted.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -237,9 +237,15 @@ object Dedup {
     *
     * Scale: state is one (id, comp) row per node and the edge list —
     * both flat shuffles on long keys, no driver state; the convergence
-    * check is a count on the changed rows only. Labels/edges persist
-    * across rounds (MEMORY_AND_DISK) and intermediates unpersist as
-    * soon as the next round's labels materialize. */
+    * check is a count on the changed rows only. Each round's labels are
+    * localCheckpoint'ed (lineage truncation, see below); the superseded
+    * round's checkpoint blocks are explicitly unpersisted once the next
+    * round has materialized, and the edge blocks once the loop exits,
+    * so executor storage holds at most two label generations + edges.
+    * If the loop exits via `maxIter` with changes still flowing the
+    * labels are NOT a fixpoint (clusters may be incompletely merged —
+    * an under-delete in clusterSurvivors); that is loudly warned, never
+    * silent. */
   def connectedComponents(pairs: DataFrame, a: Column, b: Column,
                           maxIter: Int = 25): DataFrame = {
     // localCheckpoint (not persist): an iterative fixpoint REUSES and
@@ -279,12 +285,33 @@ object Dedup {
       val changed = next.join(
           labels.select(col("id"), col("comp").as("__old")), "id")
         .filter(col("comp") =!= col("__old")).count()
+      // `next` is materialized (eager checkpoint) and `changed` counted:
+      // the previous generation's checkpoint blocks are dead — free them
+      // now instead of waiting for GC/ContextCleaner
+      unpersistCheckpoint(labels)
       labels = next
       converged = changed == 0
       iter += 1
     }
+    unpersistCheckpoint(edges)
+    if (!converged)
+      System.err.println(
+        s"[graft] connectedComponents: NOT converged after $maxIter " +
+          "rounds — labels are not a fixpoint and clusters may be " +
+          "incompletely merged; increase maxIter")
     labels
   }
+
+  /** Free the executor blocks behind a localCheckpoint'ed frame (its
+    * logical plan is a LogicalRDD over the persisted RDD — unpersist
+    * that RDD directly; Dataset.unpersist only consults the SQL cache
+    * manager and would miss it). No-op for non-checkpointed frames. */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   /** Incremental exact dedup for a CONTINUOUSLY GROWING corpus: drop
     * new docs whose fingerprint already exists in the historical store,

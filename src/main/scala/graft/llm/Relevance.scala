@@ -36,8 +36,9 @@ object Relevance {
   def bm25Scores(docs: DataFrame, id: Column, text: Column,
                  terms: Seq[String], k1: Double = 1.2, b: Double = 0.75)
       : DataFrame = {
-    val lens = docs.select(id.as("id"),
-      TextAnalysis.tokenCount(text).cast("double").as("__len"))
+    // `__len` rides along from termFreqs' pre-explode projection, so
+    // lengths exist ONLY for docs that matched a query term — no
+    // full-corpus (id, len) frame is ever built or shuffled
     val tf = termFreqs(docs, id, text, terms)
     val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     // avglen as explicit long-sum / count (not avg()): both engines
@@ -52,20 +53,23 @@ object Relevance {
       (col("tf") + (col("__len") / col("__avglen") * b + (1 - b)) * k1)
     tf.join(broadcast(dfreq), "tok")
       .crossJoin(broadcast(scal))
-      .join(lens, "id")
       .groupBy(col("id"))
       .agg(sum(idf * norm).as("score"))
   }
 
-  /** (id, tok, tf) for tokens ∈ terms — the filter runs inside the
-    * row's token array, so only query-term hits are ever exploded. */
+  /** (id, __len, tok, tf) for tokens ∈ terms — the filter runs inside
+    * the row's token array, so only query-term hits are ever exploded;
+    * the doc's token count is emitted from the same projection (`__len`
+    * is functionally dependent on `id`, so grouping by both changes
+    * nothing) for consumers that need length normalization. */
   private def termFreqs(docs: DataFrame, id: Column, text: Column,
                         terms: Seq[String]): DataFrame = {
     val termArr = array(terms.map(lit): _*)
     docs.select(id.as("id"),
+        TextAnalysis.tokenCount(text).cast("double").as("__len"),
         explode(filter(TextAnalysis.tokens(text),
           t => array_contains(termArr, t))).as("tok"))
-      .groupBy(col("id"), col("tok"))
+      .groupBy(col("id"), col("__len"), col("tok"))
       .agg(count(lit(1)).as("tf"))
   }
 }

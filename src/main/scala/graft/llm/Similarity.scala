@@ -139,9 +139,18 @@ object Similarity {
       : DataFrame = {
     val c = corpus.select(corpusId.as("vec_id"),
       corpusVec.cast("array<double>").as("cv"))
-    // codebook as a single broadcast row: ordered sub-centroid vectors
+    // codebook as a single broadcast row: ordered sub-centroid vectors.
+    // The order is made EXPLICIT (array_sort on (vec_id, vec) structs,
+    // vec_id asc) rather than relying on collect_list's arrival order:
+    // this subtree is evaluated independently by the encode side and
+    // the query-LUT side below, and if the two evaluations ever
+    // disagreed on element order the codes would index a
+    // differently-ordered LUT — silently corrupting every ADC score.
     val cents = c.orderBy(col("vec_id")).limit(ksub)
-      .agg(collect_list(col("cv")).as("__cs"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("vec_id").as("i"),
+          col("cv").as("v")))),
+        s => s.getField("v")).as("__cs"))
     def subSlice(v: Column, j: Column): Column = {
       val sub = size(v) / m
       slice(v, j * sub + 1, sub)

@@ -85,6 +85,9 @@ object EventStream {
     val spark = events.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.streaming.GroupStateTimeout
+    // NoTimeout: state never expires — correct for a bounded backlog
+    // drain (q72), unbounded on a continuous stream with unbounded
+    // distinct keys. The continuous form is [[runningCountsTtl]].
     events.select(col(entity).cast("long")).as[Long]
       .groupByKey(identity)
       .mapGroupsWithState[Long, (Long, Long)](
@@ -92,6 +95,47 @@ object EventStream {
         val total = state.getOption.getOrElse(0L) + rows.size
         state.update(total)
         (key, total)
+      }
+      .toDF(entity, "n_events")
+  }
+
+  /** [[runningCounts]] with BOUNDED state: per-key counts whose state
+    * expires `ttl` after the key's last event (EVENT time, enforced by
+    * the stream's watermark — deterministic under replay, unlike a
+    * wall-clock ProcessingTimeTimeout). A key idle past the TTL emits a
+    * `(key, -1)` tombstone as its state is dropped; if it re-appears
+    * later its count restarts from zero. This is the trade a continuous
+    * 100 TB stream must make: total state is bounded by the keys active
+    * within the TTL horizon instead of growing with every key ever
+    * seen, at the cost of counts resetting across idle gaps. */
+  def runningCountsTtl(events: DataFrame, entity: String, tsCol: String,
+                       watermark: String, ttlMs: Long): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    events.withWatermark(tsCol, watermark)
+      .select(col(entity).cast("long"), col(tsCol))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), (Long, Long)](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        (key, rows, state) =>
+          if (state.hasTimedOut) {
+            // watermark passed lastEventTime + ttl with no new data:
+            // drop the state, surface the expiry as a tombstone
+            state.remove()
+            Iterator((key, -1L))
+          } else {
+            val (n, maxTs) = rows.foldLeft((0L, Long.MinValue)) {
+              case ((c, m), (_, ts)) => (c + 1, math.max(m, ts.getTime))
+            }
+            val (prev, prevTs) = state.getOption.getOrElse((0L, Long.MinValue))
+            val total = prev + n
+            val lastTs = math.max(prevTs, maxTs)
+            state.update((total, lastTs))
+            state.setTimeoutTimestamp(lastTs + ttlMs)
+            Iterator((key, total))
+          }
       }
       .toDF(entity, "n_events")
   }
@@ -117,7 +161,19 @@ object EventStream {
     * bounded state on a continuous stream (the UNBOUNDED form would
     * buffer both streams forever). Inner-join matches emit as they are
     * found (no watermark wait), so a static backlog drains in one
-    * AvailableNow batch. */
+    * AvailableNow batch.
+    *
+    * SINGLE-BATCH DRAIN ASSUMPTION (batch-parity callers): when the
+    * whole backlog arrives in ONE micro-batch, no row is ever dropped —
+    * the watermark only advances AFTER the batch. If the same backlog
+    * arrived across several batches (multi-file tables,
+    * maxFilesPerTrigger), rows older than `watermark` behind a later
+    * batch's maximum would be late-dropped — correct streaming
+    * semantics, but it diverges from a batch oracle that joins
+    * everything. [[readTable]] streams a single file (one batch), which
+    * is what keeps q89's oracle parity exact; a multi-batch replay
+    * needs `watermark` >= the data's full event-time span to compare
+    * against a batch join. */
   def intervalJoin(a: DataFrame, aTs: String, b: DataFrame, bTs: String,
                    cond: Column, watermark: String): DataFrame =
     a.withWatermark(aTs, watermark)

@@ -53,6 +53,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"))
   }
 
+  test("q90 vocab: distributed top-k; rank window only over survivors") {
+    val df = SparkEntry.queries("q90_vocab")(spark, TestSpark.sfDir)
+    assert(PlanAudit.globalWindows(df.queryExecution.optimizedPlan) == 0,
+      "a partition-less Window must sit above a limit, never the full " +
+        "token table")
+    assert(df.queryExecution.executedPlan.toString
+        .contains("TakeOrderedAndProject"),
+      "top-k must plan as TakeOrderedAndProject (distributed), not a " +
+        "global sort + filter")
+  }
+
+  test("q83 bm25: only broadcast joins — no full-corpus length shuffle") {
+    val p = plan("q83_bm25")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "doc lengths must ride the term-hit frame, not join the corpus")
+  }
+
   test("q80 redaction: row-local regexp chain, no shuffle before sort") {
     val p = plan("q80_redact_pii")
     assert(!p.contains("Join"))

@@ -44,6 +44,69 @@ class FormatsSpec extends SparkSpec {
     assert(total === truth)
   }
 
+  test("cube format: allowNulls overflow partition is a trailing cell") {
+    // only 1-URGENT/2-HIGH are in-domain; the other three priorities
+    // land in the null overflow partition, which domain-orders LAST
+    val q = QueryParser.parse(
+      """{"from": "orders",
+          "edges": [
+            {"name": "prio", "value": "o_orderpriority",
+             "allowNulls": true,
+             "domain": {"type": "set",
+                        "partitions": ["1-URGENT", "2-HIGH"]}}],
+          "select": [{"name": "n", "aggregate": "count"}],
+          "format": "cube"}""")
+    val c = Formats.shaped(runner, q).asInstanceOf[Formats.JxCube]
+    assert(c.domains(0) === Seq("1-URGENT", "2-HIGH", null))
+    val n = c.data("n").map(_.asInstanceOf[Long])
+    val orders = catalog.table("orders")
+    import org.apache.spark.sql.functions.col
+    assert(n(0) === orders.filter(col("o_orderpriority") === "1-URGENT")
+      .count())
+    assert(n(1) === orders.filter(col("o_orderpriority") === "2-HIGH")
+      .count())
+    // overflow = everything else
+    assert(n(2) === orders.count() - n(0) - n(1))
+  }
+
+  test("cube format: zero-bucket domain yields a well-formed empty cube") {
+    // range [5, 5) has zero buckets: the domain is empty, the dense
+    // product is empty, and the cube must be structurally sound (no
+    // crash, empty axes) — the Matrix degenerate case
+    val q = QueryParser.parse(
+      """{"from": "orders",
+          "edges": [{"name": "b", "value": "o_shippriority",
+                     "domain": {"type": "range", "min": 5, "max": 5,
+                                "interval": 1}}],
+          "select": [{"name": "n", "aggregate": "count"}],
+          "format": "cube"}""")
+    val c = Formats.shaped(runner, q).asInstanceOf[Formats.JxCube]
+    assert(c.domains(0).isEmpty)
+    assert(c.data("n").isEmpty)
+  }
+
+  test("cube format: filter matching nothing still densifies all cells") {
+    val q = QueryParser.parse(
+      """{"from": "orders",
+          "where": {"eq": ["o_orderstatus", "NOPE"]},
+          "edges": [
+            {"name": "st", "value": "o_orderstatus",
+             "domain": {"type": "set", "partitions": ["O", "F"]}},
+            {"name": "p", "value": "o_shippriority",
+             "domain": {"type": "range", "min": 0, "max": 2,
+                        "interval": 1}}],
+          "select": [{"name": "n", "aggregate": "count"}],
+          "format": "cube"}""")
+    val c = Formats.shaped(runner, q).asInstanceOf[Formats.JxCube]
+    assert(c.domains(0) === Seq("O", "F"))
+    assert(c.domains(1) === Seq(0.0, 1.0))
+    // every cell exists and is zero-filled: density is domain-driven,
+    // not data-driven
+    val n = c.data("n").map(_.asInstanceOf[IndexedSeq[Any]])
+    assert(n.size === 2 && n.forall(row =>
+      row.size === 2 && row.forall(_ == 0L)))
+  }
+
   test("leaves select flattens every column") {
     val out = runner.run(
       """{"from": "region", "select": [{"leaves": "."}], "limit": 2}""")

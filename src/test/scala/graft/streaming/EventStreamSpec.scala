@@ -71,6 +71,42 @@ class EventStreamSpec extends SparkSpec {
     assert(out.count() > 0)
   }
 
+  test("runningCountsTtl: idle key expires at event-time TTL, restarts") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:00:00")
+    // zero watermark delay: watermark = each batch's max event time;
+    // TTL 1h of EVENT time — deterministic, no wall-clock dependence
+    val counted = EventStream.runningCountsTtl(
+      input.toDF().toDF("user_id", "ts"), "user_id", "ts",
+      watermark = "0 seconds", ttlMs = 3600L * 1000)
+    val name = "graft_ttl_spec"
+    val q = counted.writeStream.format("memory").queryName(name)
+      .outputMode("update").start()
+    try {
+      input.addData((1L, ts(0)), (2L, ts(0))); q.processAllAvailable()
+      // watermark -> 00:00; both keys counted once
+      input.addData((2L, ts(3))); q.processAllAvailable()
+      // watermark -> 03:00 > key1's 01:00 timeout; fires NEXT batch
+      input.addData((3L, ts(3))); q.processAllAvailable()
+      // key1's expiry tombstone emitted in this batch
+      input.addData((1L, ts(4))); q.processAllAvailable()
+      // key1 re-appears after expiry: count restarts at 1
+    } finally q.stop()
+    val rows = spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows.count(_ == (1L, 1L)) == 2,
+      s"key1 should expire then restart at 1: $rows")
+    assert(rows.contains((1L, -1L)),
+      s"key1 should emit an expiry tombstone: $rows")
+    assert(!rows.contains((1L, 2L)),
+      s"key1 must not carry its count across the TTL gap: $rows")
+    assert(rows.contains((2L, 2L)), s"key2 stayed alive: $rows")
+    spark.catalog.dropTempView(name)
+  }
+
   test("stream-static anti-join drops rows whose key is in the store") {
     import spark.implicits._
     val stream = EventStream.readTable(spark, graft.TestSpark.sfDir,

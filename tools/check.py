@@ -60,21 +60,45 @@ def rows_eq(a, b):
     return len(a) == len(b) and all(val_eq(x, y) for x, y in zip(a, b))
 
 import glob, os
-# rows-only queries (no oracle): output must exist and be non-empty
+
+# manifest of queries Verify ATTEMPTED (written before any runs): a
+# query that crashed inside Verify leaves no output dir — with the
+# manifest that is a FAIL, not a silent skip. Only queries absent from
+# the manifest (subset runs) are legitimately skipped; without a
+# manifest (older dumps) every oracle entry is expected.
+try:
+    attempted = set(json.load(open(f"{outdir}/attempted.json")))
+except FileNotFoundError:
+    attempted = None
+
+fails = 0
+
+# rows-only queries (no oracle): output must exist and be non-empty;
+# an attempted rows-only query with no output dir crashed -> FAIL
+for name in sorted(attempted or []):
+    if name not in oracle and not os.path.isdir(f"{outdir}/{name}"):
+        print(f"FAIL {name} (rows-only): no output dir (crashed in Verify?)")
+        fails += 1
 for d in sorted(glob.glob(f"{outdir}/q*")):
     name = os.path.basename(d)
     if name in oracle or not os.path.isdir(d):
         continue
     try:
         n = con.execute(f"SELECT count(*) FROM '{d}/*.parquet'").fetchone()[0]
-        print(f"{'ROWS' if n > 0 else 'FAIL'} {name} (rows-only, {n} rows)")
+        if n > 0:
+            print(f"ROWS {name} (rows-only, {n} rows)")
+        else:
+            print(f"FAIL {name} (rows-only, 0 rows)")
+            fails += 1
     except Exception as e:
         print(f"FAIL {name} (rows-only): {e}")
-
-fails = 0
+        fails += 1
 for name, sql in sorted(oracle.items()):
     if not os.path.isdir(f"{outdir}/{name}"):
-        continue  # subset Verify run (3rd arg): only check what was dumped
+        if attempted is None or name in attempted:
+            print(f"FAIL {name}: no output dir (query crashed in Verify?)")
+            fails += 1
+        continue  # not attempted: subset Verify run (3rd arg)
     try:
         spark_rel = con.execute(
             f"SELECT * FROM '{outdir}/{name}/*.parquet'")
