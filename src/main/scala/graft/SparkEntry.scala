@@ -1692,7 +1692,33 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
         .orderBy(col("event_type"))
-    })
+    }),
+
+    // --- §2m modern arbitrary state (transformWithState): per-user
+    //     running counts through a named ValueState + event-time
+    //     expiry timer on the RocksDB provider — q72's semantics on
+    //     the API Spark evolves state management on. The TTL is wider
+    //     than the backlog's span, so no timer fires during the drain
+    //     and the last update per key equals the batch count ---
+    "q94_stream_state_tws" -> { (spark, dir) =>
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(providerKey)
+      spark.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+      try {
+        val ev = EventStream.readTable(spark, dir, "events")
+        val counts = EventStream.runningCountsTws(ev, "user_id", "ts",
+          watermark = "1 day", ttlMs = 3650L * 24 * 3600 * 1000)
+        EventStream.runToCompletion(spark, counts, mode = "update")
+          .groupBy(col("user_id"))
+          .agg(max(col("n_events")).as("n_events"))
+          .orderBy(col("user_id"))
+      } finally prev match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None    => spark.conf.unset(providerKey)
+      }
+    }
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same column names & rounding). */
@@ -3103,6 +3129,12 @@ object SparkEntry {
     // redelivered rows are suppressed -> plain single-copy aggregate
     "q93_stream_redelivery" -> """
       SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+      FROM events GROUP BY 1 ORDER BY 1""",
+
+    // last running-count update per key (TTL wider than the backlog)
+    // equals the plain batch count
+    "q94_stream_state_tws" -> """
+      SELECT user_id, count(*) AS n_events
       FROM events GROUP BY 1 ORDER BY 1"""
   )
 }

@@ -74,27 +74,15 @@ object Similarity {
               k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     val c = corpus.select(corpusId.as("vec_id"),
       corpusVec.cast("array<double>").as("cv"))
-    // single-row DF holding the centroid array — broadcast to every task
-    val cents = c.orderBy(col("vec_id")).limit(nlist)
-      .select(col("vec_id").as("cent_id"), col("cv").as("centroid"))
-      .agg(collect_list(struct(col("cent_id"), col("centroid")))
-        .as("__cents"))
-    def assign(df: DataFrame, vec: String, out: String, n: Int) = {
-      // struct sort order = field order: (-cosine) asc ≡ cosine desc,
-      // then cent_id asc — same tie-break as a window rank would give
-      val scored = array_sort(transform(col("__cents"), ct =>
-        struct((-cosine(col(vec), ct.getField("centroid"))).as("negcos"),
-               ct.getField("cent_id").as("cent_id"))))
-      df.crossJoin(broadcast(cents))
-        .select(df.columns.map(col) :+
-          explode(transform(slice(scored, 1, n),
-            s => s.getField("cent_id"))).as(out): _*)
-    }
-    val assigned = assign(c, "cv", "cell", 1)
-    val q = assign(
+    // single-row DF holding the centroid array — broadcast to every
+    // task; struct sort order = field order: (-cosine) asc ≡ cosine
+    // desc, then cent_id asc — same tie-break as a window rank
+    val cents = centroids(c, nlist)
+    val assigned = assignCells(c, cents, "cv", "cell", 1)
+    val q = assignCells(
       queries.select(queryId.as("query_id"),
         queryVec.cast("array<double>").as("qv")),
-      "qv", "cell", nprobe)
+      cents, "qv", "cell", nprobe)
     val scored = assigned.join(broadcast(q), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cosine", cosine(col("cv"), col("qv")))
@@ -104,6 +92,81 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id"), col("rank"),
               round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Materialize the IVF index as a CELL-PARTITIONED parquet table —
+    * the 100 TB form of [[ivfTopK]]'s claim that "assignment is
+    * computed once at ingest and stored as a partition column". Each
+    * corpus vector is written under `cell=<nearest centroid>/`; probe
+    * queries then read only their `nprobe` cell directories
+    * (partition-pruned scans — the filter never touches the other
+    * cells' files). Same deterministic coarse quantizer as ivfTopK
+    * (the `nlist` lowest-id vectors), so the two agree cell-for-cell. */
+  def ivfWriteIndex(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                    path: String, nlist: Int = 16): Unit = {
+    val c = corpus.select(corpusId.as("vec_id"),
+      corpusVec.cast("array<double>").as("cv"))
+    val assigned = assignCells(c, centroids(c, nlist), "cv", "cell", 1)
+    // one file per cell, not (tasks × cells) small files
+    assigned.repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+  }
+
+  /** Probe a materialized IVF index: per query, score only the rows of
+    * its `nprobe` nearest cells. The cell filter is a PARTITION filter
+    * on the index table (directory pruning at the source), so the scan
+    * cost is nprobe/nlist of the corpus regardless of corpus size —
+    * the property [[SimilaritySpec]] asserts on the physical plan. */
+  def ivfProbeIndexed(spark: org.apache.spark.sql.SparkSession,
+                      path: String,
+                      queries: DataFrame, queryId: Column, queryVec: Column,
+                      k: Int, nlist: Int = 16, nprobe: Int = 4)
+      : DataFrame = {
+    val index = spark.read.parquet(path)
+    // rebuild the (tiny, deterministic) centroid set from the index
+    // itself: the nlist lowest-id vectors
+    val cents = centroids(
+      index.select(col("vec_id"), col("cv")), nlist)
+    val q = assignCells(
+      queries.select(queryId.as("query_id"),
+        queryVec.cast("array<double>").as("qv")),
+      cents, "qv", "cell", nprobe)
+    val wanted = q.select(col("cell")).distinct().collect()
+      .map(_.getInt(0))
+    // literal IN-list on the partition column -> directory pruning;
+    // the broadcast q side then matches per-cell candidates
+    val pruned = index.filter(col("cell").isin(wanted.toIndexedSeq: _*))
+    val scored = pruned.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("cv"), col("qv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("rank"),
+              round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Single-row DF holding the ordered centroid (id, vector) structs —
+    * the deterministic coarse quantizer shared by the IVF paths. */
+  private def centroids(c: DataFrame, nlist: Int): DataFrame =
+    c.orderBy(col("vec_id")).limit(nlist)
+      .select(col("vec_id").as("cent_id"), col("cv").as("centroid"))
+      .agg(collect_list(struct(col("cent_id"), col("centroid")))
+        .as("__cents"))
+
+  /** Row-local nearest-cell assignment against the broadcast centroid
+    * array (no shuffle, no window) — shared by ivfTopK and the
+    * materialized-index paths. Emits `n` cells per row (exploded). */
+  private def assignCells(df: DataFrame, cents: DataFrame, vec: String,
+                          out: String, n: Int): DataFrame = {
+    val scored = array_sort(transform(col("__cents"), ct =>
+      struct((-cosine(col(vec), ct.getField("centroid"))).as("negcos"),
+             ct.getField("cent_id").as("cent_id"))))
+    df.crossJoin(broadcast(cents))
+      .select(df.columns.map(col) :+
+        explode(transform(slice(scored, 1, n),
+          s => s.getField("cent_id").cast("int"))).as(out): _*)
   }
 
   /** Product-quantization (PQ-ADC) approximate top-k — the third ANN

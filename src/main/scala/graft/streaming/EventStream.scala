@@ -140,6 +140,75 @@ object EventStream {
       .toDF(entity, "n_events")
   }
 
+  /** [[runningCountsTtl]] on the MODERN arbitrary-state API
+    * (`transformWithState`, Spark 4.x): same semantics — per-key
+    * running counts whose state expires `ttl` after the key's last
+    * event (event time, enforced by the watermark; `(key, -1)`
+    * tombstone on expiry; counts restart after an idle gap) — but the
+    * state is a named, schema'd `ValueState` and the expiry an explicit
+    * event-time TIMER, which is the shape Spark evolves state
+    * (schema migration, state data source reads, multiple typed state
+    * variables) on. Requires the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass` →
+    * `...state.RocksDBStateStoreProvider`) — the provider a 100 TB
+    * deployment runs anyway for state larger than executor heap. */
+  def runningCountsTws(events: DataFrame, entity: String, tsCol: String,
+                       watermark: String, ttlMs: Long): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events.withWatermark(tsCol, watermark)
+      .select(col(entity).cast("long"), col(tsCol))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(new RunningCountProcessor(ttlMs),
+        TimeMode.EventTime(), OutputMode.Update())
+      .toDF(entity, "n_events")
+  }
+
+  /** Keyed processor behind [[runningCountsTws]]: one (total, lastTs)
+    * ValueState per key + one event-time timer at lastTs + ttl,
+    * re-armed on every batch that sees the key. */
+  private class RunningCountProcessor(ttlMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, java.sql.Timestamp), (Long, Long)] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode,
+      TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var state: ValueState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      // timer-driven expiry, not TTLConfig: TTLConfig is
+      // processing-time (wall clock) only — the event-time timer keeps
+      // expiry deterministic under replay, same as runningCountsTtl
+      state = getHandle.getValueState[(Long, Long)]("count",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong),
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, java.sql.Timestamp)],
+        timers: TimerValues): Iterator[(Long, Long)] = {
+      val (n, maxTs) = rows.foldLeft((0L, Long.MinValue)) {
+        case ((c, m), (_, ts)) => (c + 1, math.max(m, ts.getTime))
+      }
+      val (prev, prevTs) =
+        if (state.exists()) state.get() else (0L, Long.MinValue)
+      val total = prev + n
+      val lastTs = math.max(prevTs, maxTs)
+      if (prevTs != Long.MinValue) getHandle.deleteTimer(prevTs + ttlMs)
+      state.update((total, lastTs))
+      getHandle.registerTimer(lastTs + ttlMs)
+      Iterator.single((key, total))
+    }
+
+    override def handleExpiredTimer(key: Long, timers: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[(Long, Long)] = {
+      state.clear()
+      Iterator.single((key, -1L))
+    }
+  }
+
   /** Streaming ingest deduped against a STATIC store: a stream-static
     * LEFT ANTI join on the fingerprint column — rows whose fingerprint
     * already exists in the (batch) store never reach the sink. This is

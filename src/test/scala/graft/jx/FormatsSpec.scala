@@ -69,13 +69,51 @@ class FormatsSpec extends SparkSpec {
     assert(n(2) === orders.count() - n(0) - n(1))
   }
 
+  test("cube format: 3-edge nesting places every cell at its coords") {
+    val q = QueryParser.parse(
+      """{"from": "orders",
+          "edges": [
+            {"name": "st", "value": "o_orderstatus",
+             "domain": {"type": "set", "partitions": ["O", "F", "P"]}},
+            {"name": "p1", "value": {"left": ["o_orderpriority", 1]},
+             "domain": {"type": "set", "partitions": ["1", "2", "5"]}},
+            {"name": "price", "value": "o_totalprice",
+             "domain": {"type": "range", "min": 0, "max": 1000000,
+                        "interval": 500000}}],
+          "select": [{"name": "n", "aggregate": "count"}],
+          "format": "cube"}""")
+    val c = Formats.shaped(runner, q).asInstanceOf[Formats.JxCube]
+    assert(c.domains.map(_.size) === Seq(3, 3, 2))
+    val n = c.data("n")
+    // depth-3 nesting: outer=st, middle=p1, inner=price
+    def cell(i: Int, j: Int, k: Int): Long =
+      n(i).asInstanceOf[IndexedSeq[Any]](j)
+        .asInstanceOf[IndexedSeq[Any]](k).asInstanceOf[Long]
+    import org.apache.spark.sql.functions.col
+    val orders = catalog.table("orders")
+    for ((st, i) <- Seq("O", "F", "P").zipWithIndex;
+         (p, j) <- Seq("1", "2", "5").zipWithIndex;
+         k <- 0 to 1)
+      assert(cell(i, j, k) === orders
+        .filter(col("o_orderstatus") === st &&
+          col("o_orderpriority").startsWith(p) &&
+          col("o_totalprice") >= k * 500000 &&
+          col("o_totalprice") < (k + 1) * 500000).count(),
+        s"cell ($st, $p, $k)")
+    // grand total = rows whose priority is in-domain (no allowNulls)
+    val total = (for (i <- 0 to 2; j <- 0 to 2; k <- 0 to 1)
+      yield cell(i, j, k)).sum
+    assert(total === orders.filter(
+      col("o_orderpriority").rlike("^[125]")).count())
+  }
+
   test("cube format: zero-bucket domain yields a well-formed empty cube") {
     // range [5, 5) has zero buckets: the domain is empty, the dense
     // product is empty, and the cube must be structurally sound (no
     // crash, empty axes) — the Matrix degenerate case
     val q = QueryParser.parse(
       """{"from": "orders",
-          "edges": [{"name": "b", "value": "o_shippriority",
+          "edges": [{"name": "b", "value": "o_totalprice",
                      "domain": {"type": "range", "min": 5, "max": 5,
                                 "interval": 1}}],
           "select": [{"name": "n", "aggregate": "count"}],
@@ -92,7 +130,7 @@ class FormatsSpec extends SparkSpec {
           "edges": [
             {"name": "st", "value": "o_orderstatus",
              "domain": {"type": "set", "partitions": ["O", "F"]}},
-            {"name": "p", "value": "o_shippriority",
+            {"name": "p", "value": "o_custkey",
              "domain": {"type": "range", "min": 0, "max": 2,
                         "interval": 1}}],
           "select": [{"name": "n", "aggregate": "count"}],

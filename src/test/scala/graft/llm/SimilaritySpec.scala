@@ -85,6 +85,35 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("monotonically_increasing_id"))
   }
 
+  test("materialized IVF index: probe matches ivfTopK, scan is pruned") {
+    import spark.implicits._
+    val emb = catalog.table("embeddings")
+    val qs = emb.filter(col("vec_id") < 5)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf_idx").toString
+    Similarity.ivfWriteIndex(emb, col("vec_id"), col("embedding"), path,
+      nlist = 8)
+    val probed = Similarity.ivfProbeIndexed(spark, path,
+      qs, col("vec_id"), col("embedding"), k = 3, nlist = 8, nprobe = 2)
+    val direct = Similarity.ivfTopK(emb, col("vec_id"), col("embedding"),
+      qs, col("vec_id"), col("embedding"), k = 3, nlist = 8, nprobe = 2)
+    assert(probed.select("query_id", "vec_id").as[(Long, Long)]
+        .collect().toSet ===
+      direct.select("query_id", "vec_id").as[(Long, Long)]
+        .collect().toSet)
+    // the probe's cell filter must reach the source as a PARTITION
+    // filter (directory pruning), not a post-scan predicate: the scan
+    // reads nprobe/nlist of the index regardless of corpus size
+    val plan = probed.queryExecution.executedPlan.toString
+    val pf = plan.linesIterator
+      .find(_.contains("PartitionFilters: ["))
+      .getOrElse(fail(s"no PartitionFilters in scan:\n$plan"))
+    assert(pf.contains("cell"),
+      s"cell IN-list should be a partition filter: $pf")
+    assert(pf.contains("IN") || pf.contains("in("),
+      s"expected an IN partition filter: $pf")
+  }
+
   test("LSH top-k recall vs brute force is reasonable at few planes") {
     val emb = catalog.table("embeddings")
     val q = emb.filter(col("vec_id") < 8)

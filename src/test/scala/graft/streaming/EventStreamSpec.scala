@@ -107,6 +107,49 @@ class EventStreamSpec extends SparkSpec {
     spark.catalog.dropTempView(name)
   }
 
+  test("runningCountsTws: transformWithState twin of the TTL semantics") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    // transformWithState requires the RocksDB provider (the one a
+    // large deployment runs anyway); restore the session default after
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(Long, java.sql.Timestamp)]
+      def ts(h: Int) =
+        java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:00:00")
+      val counted = EventStream.runningCountsTws(
+        input.toDF().toDF("user_id", "ts"), "user_id", "ts",
+        watermark = "0 seconds", ttlMs = 3600L * 1000)
+      val name = "graft_tws_spec"
+      val q = counted.writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try {
+        input.addData((1L, ts(0)), (2L, ts(0))); q.processAllAvailable()
+        input.addData((2L, ts(3))); q.processAllAvailable()
+        input.addData((3L, ts(3))); q.processAllAvailable()
+        input.addData((1L, ts(4))); q.processAllAvailable()
+      } finally q.stop()
+      val rows = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(rows.count(_ == (1L, 1L)) == 2,
+        s"key1 should expire then restart at 1: $rows")
+      assert(rows.contains((1L, -1L)),
+        s"key1's timer should emit an expiry tombstone: $rows")
+      assert(!rows.contains((1L, 2L)),
+        s"key1 must not carry its count across the TTL gap: $rows")
+      assert(rows.contains((2L, 2L)), s"key2 stayed alive: $rows")
+      spark.catalog.dropTempView(name)
+    } finally prevProvider match {
+      case Some(p) => spark.conf.set(providerKey, p)
+      case None    => spark.conf.unset(providerKey)
+    }
+  }
+
   test("stream-static anti-join drops rows whose key is in the store") {
     import spark.implicits._
     val stream = EventStream.readTable(spark, graft.TestSpark.sfDir,
