@@ -18,9 +18,11 @@ object PlanAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // "*(" = whole-stage-codegen span marker in executedPlan.toString
+    // (the string "WholeStageCodegen" only appears in formatted explain)
     val tokens = Seq("Exchange", "BroadcastHashJoin", "SortMergeJoin",
       "BroadcastNestedLoopJoin", "CartesianProduct", "Window ",
-      "WholeStageCodegen")
+      "*(")
     println(f"${"query"}%-26s ${tokens.map(_.take(9)).mkString(" ")} GLOBWIN")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
