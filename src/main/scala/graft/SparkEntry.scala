@@ -1718,6 +1718,58 @@ object SparkEntry {
         case Some(p) => spark.conf.set(providerKey, p)
         case None    => spark.conf.unset(providerKey)
       }
+    },
+
+    // --- incremental NEAR-dup dedup against a persisted MinHash
+    //     signature index: 70% of documents are the "historical"
+    //     corpus (only their 64-long signatures are written); the new
+    //     batch is the other 30% plus truncated-tail variants of
+    //     historical docs. Cross-set near-dup pairs are found by the
+    //     banded join + signature-agreement estimate WITHOUT re-reading
+    //     historical text; recall-floored against the exact cross-set
+    //     n-gram-Jaccard twin (computed in full by the DuckDB oracle,
+    //     q26-style) ---
+    "q95_incremental_neardup" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+      val hist = docs.filter(pmod(col("doc_id"), lit(10)) < 7)
+        .select(col("doc_id"), col("text"))
+      val variants = hist.select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        col("text").substr(lit(1),
+          greatest(length(col("text")) - 30, lit(1))).as("text"))
+      val fresh = docs.filter(pmod(col("doc_id"), lit(10)) >= 7)
+        .select(col("doc_id"), col("text"))
+        .unionByName(variants)
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_q95").toString + "/minhash_idx"
+      Dedup.writeMinhashIndex(hist, col("doc_id"), col("text"), idx,
+        numHashes = 64)
+      val found = Dedup.incrementalNearDups(spark, fresh,
+          col("doc_id"), col("text"), idx,
+          numHashes = 64, bands = 16, threshold = 0.5)
+        .select(col("new_id"), col("old_id"))
+      // exact cross-set twin over ONE staged shingle scan of both sets
+      val staged = hist.unionByName(fresh)
+        .select(col("doc_id").as("id"),
+          TextAnalysis.shingleHashes(col("text"), 3).as("sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def isHist(c: Column): Column =
+        c < 1000000L && pmod(c, lit(10)) < 7
+      val exact = Dedup.ngramJaccardPairsFromShingles(
+          staged.select(col("id"), col("sh").as("s")),
+          threshold = 0.5, maxDf = 16)
+        .filter(isHist(col("id_a")) =!= isHist(col("id_b")))
+        .select(
+          when(isHist(col("id_a")), col("id_b"))
+            .otherwise(col("id_a")).as("new_id"),
+          when(isHist(col("id_a")), col("id_a"))
+            .otherwise(col("id_b")).as("old_id"))
+      val hits = found.join(exact, Seq("new_id", "old_id"))
+      exact.agg(count(lit(1)).as("pairs_exact"))
+        .crossJoin(hits.agg(count(lit(1)).as("__hits")))
+        .select(col("pairs_exact"),
+          (col("__hits") >= col("pairs_exact") * 0.9)
+            .as("recall_floor_met"))
     }
   )
 
@@ -3135,6 +3187,48 @@ object SparkEntry {
     // equals the plain batch count
     "q94_stream_state_tws" -> """
       SELECT user_id, count(*) AS n_events
-      FROM events GROUP BY 1 ORDER BY 1"""
+      FROM events GROUP BY 1 ORDER BY 1""",
+
+    // exact CROSS-SET (new batch vs historical 70%) n-gram-Jaccard
+    // pairs, df-capped at 16 like the engine's exact twin; the LSH +
+    // signature-estimate path must recover >= 90% of them
+    "q95_incremental_neardup" -> """
+      WITH base AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000,
+               substring(text, 1, greatest(length(text) - 30, 1))
+        FROM documents WHERE doc_id % 10 < 7),
+      tk AS (SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                           x -> length(x) > 0) AS toks
+             FROM base),
+      sh AS (SELECT doc_id,
+               CASE WHEN len(toks) >= 3 THEN
+                      list_distinct(list_transform(
+                        generate_series(1, len(toks) - 2),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                    WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+                    ELSE [] END AS s
+             FROM tk),
+      ex0 AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      keep AS (SELECT g FROM ex0 GROUP BY g HAVING count(*) <= 16),
+      ex AS (SELECT doc_id, ex0.g FROM ex0 JOIN keep USING (g)),
+      sz AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       count(*) AS n_shared
+                FROM ex a JOIN ex b
+                  ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+      pairs AS (
+        SELECT id_a, id_b FROM inter
+        JOIN sz sa ON sa.doc_id = id_a
+        JOIN sz sb ON sb.doc_id = id_b
+        WHERE round(CAST(n_shared AS DOUBLE)
+                    / (sa.sz + sb.sz - n_shared), 6) >= 0.5
+          AND ((id_a < 1000000 AND id_a % 10 < 7)
+               <> (id_b < 1000000 AND id_b % 10 < 7)))
+      SELECT count(*) AS pairs_exact, TRUE AS recall_floor_met
+      FROM pairs"""
   )
 }

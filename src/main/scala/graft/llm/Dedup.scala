@@ -313,6 +313,75 @@ object Dedup {
       case _ => ()
     }
 
+  /** Persist the MinHash SIGNATURE INDEX of a corpus: one (id, sig) row
+    * per doc, `numHashes` longs each — the only state incremental
+    * near-dup detection ever needs. At 100 TB the index is a small
+    * fraction of corpus bytes (64 longs vs kilobytes of text) and the
+    * historical text is never re-read by later batches. */
+  def writeMinhashIndex(docs: DataFrame, id: Column, text: Column,
+                        path: String, numHashes: Int = 64,
+                        shingleN: Int = 3): Unit =
+    docs.select(id.as("id"),
+        TextAnalysis.shingleHashes(text, shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"),
+        graft.functions.minhash_sig(col("sh"), numHashes).as("sig"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Near-dup pairs of a NEW batch against a persisted signature index
+    * ([[writeMinhashIndex]]) — [[incrementalExact]]'s near-duplicate
+    * sibling: the historical side contributes only its signatures.
+    * Candidates come from the same banded LSH equi-join as
+    * [[minhashPairsFromShingles]] (only (id, band, bh) rows shuffle);
+    * the pair's Jaccard is then ESTIMATED from signature agreement
+    * (matching components / numHashes — the classic MinHash estimator,
+    * std ≈ sqrt(J(1−J)/numHashes) ≈ 0.06 at 64 hashes), so no shingle
+    * set of either side is stored, shuffled, or re-read. Batch-internal
+    * near-dups are out of scope here (compose minhashPairs on the batch
+    * itself); after survivors are chosen, append their signatures to
+    * the index to absorb the batch. */
+  def incrementalNearDups(spark: org.apache.spark.sql.SparkSession,
+                          newDocs: DataFrame, id: Column, text: Column,
+                          indexPath: String,
+                          numHashes: Int = 64, bands: Int = 16,
+                          shingleN: Int = 3, threshold: Double = 0.5)
+      : DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    def banded(df: DataFrame, idName: String) = df.select(
+      col(idName),
+      posexplode(array((0 until bands).map { b =>
+        xxhash64(concat_ws(",",
+          (0 until rows).map(r => col("sig")(b * rows + r)): _*))
+      }: _*)).as(Seq("band", "bh")))
+    // new batch signatures: persisted — read by the band join and again
+    // for the candidate estimate
+    val newSig = newDocs.select(id.as("new_id"),
+        TextAnalysis.shingleHashes(text, shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("new_id"),
+        graft.functions.minhash_sig(col("sh"), numHashes).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val index = spark.read.parquet(indexPath)
+    val cand = banded(newSig, "new_id")
+      .join(banded(index.select(col("id").as("old_id"), col("sig")),
+        "old_id"), Seq("band", "bh"))
+      .select(col("new_id"), col("old_id")).distinct()
+    val matches = aggregate(
+      zip_with(col("__sn"), col("__so"),
+        (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x)
+    cand
+      .join(newSig.select(col("new_id"), col("sig").as("__sn")), "new_id")
+      .join(index.select(col("id").as("old_id"), col("sig").as("__so")),
+        "old_id")
+      .withColumn("est_jaccard",
+        matches.cast("double") / numHashes)
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("new_id"), col("old_id"),
+        round(col("est_jaccard"), 6).as("est_jaccard"))
+  }
+
   /** Incremental exact dedup for a CONTINUOUSLY GROWING corpus: drop
     * new docs whose fingerprint already exists in the historical store,
     * then exact-dedup the surviving batch internally (min id per key).

@@ -29,6 +29,33 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("incremental near-dup vs persisted signature index") {
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_mh_idx").toString + "/idx"
+    // historical corpus = docs 1 and 4; new batch = exact copy of 1,
+    // near-dup of 1, and an unrelated doc
+    Dedup.writeMinhashIndex(
+      docs.filter(col("doc_id").isin(1L, 4L)),
+      col("doc_id"), col("text"), idx, numHashes = 32)
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again"),
+      (11L, "the quick brown fox jumps over the lazy cat again and again"),
+      (12L, "nothing in common with anything stored in the index at all")
+    ).toDF("doc_id", "text")
+    val found = Dedup.incrementalNearDups(spark, batch,
+        col("doc_id"), col("text"), idx,
+        numHashes = 32, bands = 8, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // the exact copy is found with estimated jaccard 1 (all signature
+    // components agree)
+    assert(found.exists { case (n, o, j) => n == 10L && o == 1L && j == 1.0 },
+      s"exact copy vs index: ${found.toSeq}")
+    // the unrelated doc never pairs with anything
+    assert(!found.exists(_._1 == 12L), s"false positive: ${found.toSeq}")
+    // nothing pairs against historical doc 4 (different content)
+    assert(!found.exists(_._2 == 4L), s"false positive: ${found.toSeq}")
+  }
+
   test("near-dup (one word changed) found at threshold 0.5") {
     val pairs = Dedup.minhashPairs(docs, col("doc_id"), col("text"),
       numHashes = 32, bands = 16, threshold = 0.5)
