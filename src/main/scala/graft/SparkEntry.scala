@@ -1770,7 +1770,78 @@ object SparkEntry {
         .select(col("pairs_exact"),
           (col("__hits") >= col("pairs_exact") * 0.9)
             .as("recall_floor_met"))
-    }
+    },
+
+    // --- SemDeDup (Abbas et al. 2023): cluster-bucketed semantic dedup
+    //     over embeddings — same corpus-plus-variants construction as
+    //     q44 so near-identical pairs exist, but pairs are compared
+    //     only WITHIN a quantizer cell (N²/k, the published recipe's
+    //     scale bound) instead of all-pairs. The oracle replays the
+    //     deterministic quantizer (8 lowest-id vectors; ties to the
+    //     lower centroid id) and the within-cell threshold join ---
+    "q96_semdedup" -> { (spark, dir) =>
+      val e = tbl(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val variant = e.select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("v"), (x, i) =>
+          x + when(i.cast("long") === pmod(col("vec_id"), size(col("v"))),
+            lit(0.5)).otherwise(lit(0.0))).as("v"))
+      graft.llm.SemDedup.duplicates(e.unionByName(variant),
+          col("vec_id"), col("v"), nlist = 8, threshold = 0.8)
+        .orderBy(col("dup_id"))
+    },
+
+    // --- model-based quality filtering: linear-classifier inference
+    //     over one text_stats kernel pass; rational features + the
+    //     algebraic sigmoid keep every double bit-identical across
+    //     engines, so score AND keep-decision are hash-compared, not
+    //     just spot-checked ---
+    "q97_quality_classifier" -> rounded("score" -> 6)({ (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+      graft.llm.QualityModel.classify(docs, col("text"))
+        .select(col("doc_id"), col("score"), col("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- overlapping token-window chunking (64-token windows, stride
+    //     48): every chunk's token count and exact text re-derived by
+    //     the oracle from the same whitespace tokenization ---
+    "q98_chunk_docs" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+      Pipelines.chunkDocs(docs, col("doc_id"), col("text"),
+          size = 64, stride = 48)
+        .orderBy(col("doc_id"), col("chunk_ix"))
+    },
+
+    // --- BPE vocabulary induction, round-0 statistic: weighted
+    //     adjacent character-pair counts over the word-frequency table
+    //     (the per-merge-round distributed count; BpeSpec covers the
+    //     iterative train loop the oracle can't express). Top-20 under
+    //     a total order (freq desc, pair asc) so the set is
+    //     deterministic ---
+    "q99_bpe_pairs" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+      val words = graft.llm.Bpe.wordFreqs(docs, col("text"))
+        .select(col("word"), col("freq"),
+          graft.llm.Bpe.initSymbols(col("word")).as("symbols"))
+      graft.llm.Bpe.pairCounts(words, col("symbols"), col("freq"))
+        .orderBy(col("pair_freq").desc, col("a").asc, col("b").asc)
+        .limit(20)
+    },
+
+    // --- temperature-based mixture weighting (sampling ∝ size^τ,
+    //     τ=0.5): per-source sampling probability, document budget and
+    //     repeat rate for corpus blending; p pinned to 9 digits before
+    //     the integer budget so libm pow ULP differences cannot flip a
+    //     document count ---
+    "q100_mixture_weights" -> rounded("p" -> 6, "rate" -> 6)({
+      (spark, dir) =>
+        val docs = tbl(spark, dir, "documents")
+        Pipelines.mixtureWeights(docs, col("source"),
+            temperature = 0.5, budget = 100000L)
+          .orderBy(col("source"))
+    })
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same column names & rounding). */
@@ -3229,6 +3300,133 @@ object SparkEntry {
           AND ((id_a < 1000000 AND id_a % 10 < 7)
                <> (id_b < 1000000 AND id_b % 10 < 7)))
       SELECT count(*) AS pairs_exact, TRUE AS recall_floor_met
-      FROM pairs"""
+      FROM pairs""",
+
+    // SemDeDup replay: same corpus+variants as q44, deterministic
+    // coarse quantizer (8 lowest-id vectors, ties to lower cent_id),
+    // within-cell pairs only, round-then-threshold as the engine
+    "q96_semdedup" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+      c AS (SELECT vec_id AS id, v FROM e
+            UNION ALL
+            SELECT vec_id + 1000000,
+                   list_transform(generate_series(1, len(v)), i ->
+                     v[i] + CASE WHEN i = CAST(vec_id % len(v) AS INT) + 1
+                                 THEN 0.5 ELSE 0.0 END)
+            FROM e),
+      cents AS (SELECT id AS cent_id, v AS cv FROM c ORDER BY id LIMIT 8),
+      scored AS (SELECT c.id, c.v, cents.cent_id,
+                        list_cosine_similarity(c.v, cents.cv) AS cos
+                 FROM c CROSS JOIN cents),
+      assigned AS (SELECT id, v, CAST(cell AS INT) AS cell FROM (
+          SELECT id, v, cent_id AS cell,
+                 row_number() OVER (PARTITION BY id
+                   ORDER BY cos DESC, cent_id ASC) AS rn
+          FROM scored) WHERE rn = 1),
+      pairs AS (SELECT a.cell, b.id AS dup_id, a.id AS kept0,
+                       round(list_cosine_similarity(a.v, b.v), 6) AS cos6
+                FROM assigned a JOIN assigned b
+                  ON a.cell = b.cell AND a.id < b.id
+                WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.8)
+      SELECT cell, dup_id, min(kept0) AS kept_id, max(cos6) AS max_cosine
+      FROM pairs GROUP BY 1, 2 ORDER BY dup_id""",
+
+    // linear quality model: every feature and the algebraic sigmoid
+    // mirrored term-by-term in the engine's evaluation order; keep is
+    // decided on the UNROUNDED score, as in the engine
+    "q97_quality_classifier" -> """
+      WITH t AS (
+        SELECT doc_id, text,
+               list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                           x -> length(x) > 0) AS toks
+        FROM documents),
+      f AS (SELECT doc_id,
+              least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS lenf,
+              CASE WHEN length(text) > 0 THEN
+                CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g'))
+                     AS DOUBLE) / CAST(length(text) AS DOUBLE)
+                ELSE 0.0 END AS punct,
+              CASE WHEN length(text) > 0 THEN
+                CAST(length(regexp_replace(text, '[^A-Z]', '', 'g'))
+                     AS DOUBLE) / CAST(length(text) AS DOUBLE)
+                ELSE 0.0 END AS upper_r,
+              CASE WHEN len(toks) > 0 THEN
+                CAST(len(list_filter(toks, x -> list_contains(
+                  ['the','a','an','and','or','of','to','in','is','it','that',
+                   'for','on','with','as','was','at','by','be','this'], x)))
+                  AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+                ELSE 0.0 END AS swr,
+              CASE WHEN len(toks) > 0 THEN
+                CAST(list_sum(list_transform(toks, x -> length(x)))
+                  AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+                ELSE 0.0 END AS mwl
+            FROM t),
+      l AS (SELECT doc_id,
+              ((((-1.0 + 1.2 * lenf) + -3.0 * punct) + -1.5 * upper_r)
+                + 2.5 * swr) + -0.05 * mwl AS logit
+            FROM f),
+      s AS (SELECT doc_id,
+              0.5 + 0.5 * (logit / (1.0 + abs(logit))) AS score
+            FROM l)
+      SELECT doc_id, round(score, 6) AS score, score >= 0.5 AS keep
+      FROM s ORDER BY doc_id""",
+
+    // 64-token chunks, stride 48: ceil(max(n-64,0)/48)+1 chunks per
+    // doc (none for token-less docs), inclusive 1-based list_slice =
+    // Spark slice(start, length)
+    "q98_chunk_docs" -> """
+      WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                           x -> length(x) > 0) AS toks
+        FROM documents),
+      n AS (SELECT doc_id, toks,
+                   CASE WHEN len(toks) > 0 THEN
+                     CAST(ceil(CAST(greatest(len(toks) - 64, 0) AS DOUBLE)
+                               / 48) AS INT) + 1
+                   ELSE 0 END AS nc
+            FROM t),
+      x AS (SELECT doc_id, toks,
+                   unnest(generate_series(0, nc - 1)) AS ci
+            FROM n WHERE nc > 0)
+      SELECT doc_id, CAST(ci AS INT) AS chunk_ix,
+             CAST(len(list_slice(toks, ci * 48 + 1, ci * 48 + 64)) AS INT)
+               AS n_tokens,
+             array_to_string(list_slice(toks, ci * 48 + 1, ci * 48 + 64), ' ')
+               AS chunk_text
+      FROM x ORDER BY doc_id, chunk_ix""",
+
+    // BPE round-0: adjacent character-pair counts over the word-
+    // frequency table, weighted by word frequency; top-20 under the
+    // total order (freq desc, a asc, b asc)
+    "q99_bpe_pairs" -> """
+      WITH toks AS (SELECT unnest(list_filter(
+                      string_split_regex(lower(trim(text)), '\s+'),
+                      x -> length(x) > 0)) AS word FROM documents),
+      wf AS (SELECT word, count(*) AS freq FROM toks GROUP BY 1),
+      pairs AS (SELECT substring(word, i, 1) AS a,
+                       substring(word, i + 1, 1) AS b, freq
+                FROM (SELECT word, freq,
+                             unnest(generate_series(1, length(word) - 1)) AS i
+                      FROM wf WHERE length(word) >= 2))
+      SELECT a, b, CAST(sum(freq) AS BIGINT) AS pair_freq
+      FROM pairs GROUP BY 1, 2
+      ORDER BY pair_freq DESC, a, b LIMIT 20""",
+
+    // temperature mixture (tau=0.5): p pinned to 9 digits before the
+    // integer budget, exactly as the engine
+    "q100_mixture_weights" -> """
+      WITH c AS (SELECT source, count(*) AS n_docs,
+                        pow(CAST(count(*) AS DOUBLE), 0.5) AS w
+                 FROM documents GROUP BY 1),
+      t AS (SELECT sum(w) AS wsum FROM c),
+      p9 AS (SELECT source, n_docs, round(w / wsum, 9) AS p
+             FROM c CROSS JOIN t)
+      SELECT source, n_docs, round(p, 6) AS p,
+             CAST(round(p * 100000) AS BIGINT) AS target_docs,
+             round(CAST(round(p * 100000) AS BIGINT)
+                   / CAST(n_docs AS DOUBLE), 6) AS rate
+      FROM p9 ORDER BY source"""
   )
 }

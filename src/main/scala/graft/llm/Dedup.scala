@@ -306,7 +306,7 @@ object Dedup {
     * logical plan is a LogicalRDD over the persisted RDD — unpersist
     * that RDD directly; Dataset.unpersist only consults the SQL cache
     * manager and would miss it). No-op for non-checkpointed frames. */
-  private def unpersistCheckpoint(df: DataFrame): Unit =
+  private[llm] def unpersistCheckpoint(df: DataFrame): Unit =
     df.queryExecution.logical match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = false)

@@ -132,4 +132,70 @@ object Pipelines {
         (when(col("n_tok") > 0, col("__before") + col("n_tok") - 1)
           .otherwise(col("__before")) / budget).cast("long").as("last_pack"))
   }
+
+  /** Overlapping token-window chunking — the retrieval/context-window
+    * complement to [[packSequences]]: split each document into windows
+    * of `size` tokens advancing by `stride` (stride < size ⇒ overlap).
+    * Chunk count for n tokens is ceil(max(n-size,0)/stride)+1 (the last
+    * chunk may be short; token-less docs emit nothing), so every token
+    * is covered and starts are the deterministic 0, stride, 2·stride….
+    *
+    * Purely row-local: tokenize once, explode the per-doc chunk index,
+    * slice — no shuffle, and output size is input·(≈size/stride), an
+    * explicitly chosen duplication factor. The guard keeps Spark's
+    * `sequence` from producing a DESCENDING range for empty docs
+    * (sequence(0,-1) = [0,-1], not []). */
+  def chunkDocs(docs: DataFrame, id: Column, text: Column,
+                size: Int, stride: Int): DataFrame = {
+    require(stride > 0 && size >= stride, s"need 0 < stride <= size")
+    val toks = TextAnalysis.tokens(text)
+    val n = org.apache.spark.sql.functions.size(toks)
+    val nChunks = when(n > 0,
+      ceil(greatest(n - size, lit(0)).cast("double") / stride)
+        .cast("int") + 1).otherwise(lit(0))
+    docs
+      .select(id.as("doc_id"), toks.as("__toks"), nChunks.as("__nc"))
+      .select(col("doc_id"),
+        explode(when(col("__nc") > 0,
+          sequence(lit(0), col("__nc") - 1)).otherwise(
+          array().cast("array<int>"))).as("chunk_ix"),
+        col("__toks"))
+      .select(col("doc_id"), col("chunk_ix"),
+        slice(col("__toks"), col("chunk_ix") * stride + 1, lit(size))
+          .as("__chunk"))
+      .select(col("doc_id"), col("chunk_ix"),
+        org.apache.spark.sql.functions.size(col("__chunk")).as("n_tokens"),
+        array_join(col("__chunk"), " ").as("chunk_text"))
+  }
+
+  /** Temperature-based mixture weighting for multi-source corpus
+    * blending (the UnifiedQA/T5 "sampling ∝ size^τ" recipe, τ<1
+    * up-weights small sources): per source, sampling probability
+    * pᵢ = cᵢ^τ / Σ cⱼ^τ and the resulting document budget and
+    * per-source sampling rate (rate > 1 ⇒ the source repeats — epochs
+    * over small sources).
+    *
+    * One narrow groupBy(count) reduces the corpus to #sources rows;
+    * the normalizing Σ is computed by cross-joining that tiny frame
+    * with its own single-row sum (broadcast, no global window). The
+    * per-source `rate` then drives [[stratifiedSample]]/[[hashBucket]]
+    * — weighting stays a metadata computation, never a corpus shuffle. */
+  def mixtureWeights(docs: DataFrame, source: Column,
+                     temperature: Double, budget: Long): DataFrame = {
+    val counts = docs.groupBy(source.as("source")).count()
+      .withColumn("w", pow(col("count").cast("double"), temperature))
+    val total = counts.agg(sum(col("w")).as("__wsum"))
+    counts.crossJoin(broadcast(total))
+      // pin p to 9 digits BEFORE deriving the integer budget: pow is
+      // libm (its last ULP differs between JVM and DuckDB) and
+      // round(p*budget) would amplify a 1-ULP disagreement into an
+      // off-by-one document count under a differential oracle / on a
+      // re-run in a different engine
+      .select(col("source"), col("count").as("n_docs"),
+        round(col("w") / col("__wsum"), 9).as("p"))
+      .withColumn("target_docs",
+        round(col("p") * budget).cast("long"))
+      .withColumn("rate",
+        col("target_docs").cast("double") / col("n_docs"))
+  }
 }

@@ -1,0 +1,92 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Model-based quality filtering: linear-classifier INFERENCE as pure
+  * row-local column math. The reference pipeline has no ML scoring; a
+  * training-data pipeline does (fastText-style quality classifiers in
+  * the CCNet/Gopher recipes) — the engine-side contract is "apply a
+  * trained linear model over cheap text features to every document with
+  * zero shuffle", and that is what this module provides. Weights are a
+  * plain `Seq[(feature, weight)]`; a production model's coefficients
+  * load the same way.
+  *
+  * Two deliberate determinism choices (this scoring sits under a
+  * hash-compared differential oracle, and at 100 TB "same score on
+  * re-run anywhere" is a data-lineage requirement, not a nicety):
+  *   - all features are RATIONAL functions of one
+  *     [[graft.functions.text_stats]] pass (counts and ratios — no
+  *     log/exp whose libm rounding differs across engines);
+  *   - the logistic squash is replaced by the algebraic sigmoid
+  *     x => 0.5 + 0.5 * x/(1+|x|) — same monotone S-shape and the same
+  *     0.5-at-zero decision boundary, but IEEE-exact: +,*,/,abs are
+  *     correctly-rounded everywhere, so Spark and DuckDB produce
+  *     bit-identical doubles given the same evaluation order.
+  */
+object QualityModel {
+
+  /** Algebraic sigmoid: monotone (0,1) squash, 0.5 at logit 0. */
+  def squash(logit: Column): Column =
+    lit(0.5) + lit(0.5) * (logit / (lit(1.0) + abs(logit)))
+
+  /** bias + Σ wᵢ·fᵢ, folded left so the evaluation order is fixed and
+    * an oracle can mirror it term by term. */
+  def linear(bias: Double, terms: Seq[(Column, Double)]): Column =
+    terms.foldLeft(lit(bias).cast(DoubleType): Column) {
+      case (acc, (f, w)) => acc + lit(w) * f
+    }
+
+  /** The named feature columns, all from ONE text_stats kernel pass:
+    * len_feat   = min(n_chars/500, 1)        (longer is better, capped)
+    * punct_ratio, upper_ratio                (per non-ws char signals)
+    * stopword_ratio                          (natural-language signal)
+    * mean_word_len                           (gibberish detector)
+    * Division-by-zero guards return 0.0 (not null): a model scores
+    * every document. */
+  def features(text: Column): Seq[(String, Column)] = {
+    val ts = graft.functions.text_stats(text)
+    val nc = element_at(ts, 1).cast(DoubleType)
+    val nt = element_at(ts, 2).cast(DoubleType)
+    val np = element_at(ts, 3).cast(DoubleType)
+    val nu = element_at(ts, 4).cast(DoubleType)
+    val stl = element_at(ts, 5).cast(DoubleType)
+    val swHits = size(filter(graft.functions.token_hashes(text),
+      h => array_contains(lit(TextAnalysis.EnStopwordHashes), h)))
+      .cast(DoubleType)
+    Seq(
+      "len_feat" -> least(nc / lit(500.0), lit(1.0)),
+      "punct_ratio" -> when(nc > 0, np / nc).otherwise(lit(0.0)),
+      "upper_ratio" -> when(nc > 0, nu / nc).otherwise(lit(0.0)),
+      "stopword_ratio" -> when(nt > 0, swHits / nt).otherwise(lit(0.0)),
+      "mean_word_len" -> when(nt > 0, stl / nt).otherwise(lit(0.0)))
+  }
+
+  /** Demonstration coefficients (hand-set, plausible signs: length and
+    * stopwords up-weight prose; punctuation/caps walls and extreme word
+    * lengths down-weight). A trained model replaces this Seq. */
+  val DefaultBias: Double = -1.0
+  val DefaultWeights: Seq[(String, Double)] = Seq(
+    "len_feat" -> 1.2,
+    "punct_ratio" -> -3.0,
+    "upper_ratio" -> -1.5,
+    "stopword_ratio" -> 2.5,
+    "mean_word_len" -> -0.05)
+
+  /** Score in (0,1); keep-decision at `threshold` (default 0.5 ⟺
+    * logit >= 0). */
+  def score(text: Column,
+            bias: Double = DefaultBias,
+            weights: Seq[(String, Double)] = DefaultWeights): Column = {
+    val f = features(text).toMap
+    squash(linear(bias, weights.map { case (n, w) => (f(n), w) }))
+  }
+
+  /** df + (score, keep) — one narrow projection, no shuffle; the
+    * downstream filter on `keep` pushes to the scan at 100 TB. */
+  def classify(df: DataFrame, text: Column,
+               threshold: Double = 0.5): DataFrame =
+    df.withColumn("score", score(text))
+      .withColumn("keep", col("score") >= threshold)
+}

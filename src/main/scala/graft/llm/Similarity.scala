@@ -148,8 +148,9 @@ object Similarity {
   }
 
   /** Single-row DF holding the ordered centroid (id, vector) structs —
-    * the deterministic coarse quantizer shared by the IVF paths. */
-  private def centroids(c: DataFrame, nlist: Int): DataFrame =
+    * the deterministic coarse quantizer shared by the IVF paths (and by
+    * [[SemDedup]], which buckets with the same quantizer). */
+  private[llm] def centroids(c: DataFrame, nlist: Int): DataFrame =
     c.orderBy(col("vec_id")).limit(nlist)
       .select(col("vec_id").as("cent_id"), col("cv").as("centroid"))
       .agg(collect_list(struct(col("cent_id"), col("centroid")))
@@ -158,8 +159,8 @@ object Similarity {
   /** Row-local nearest-cell assignment against the broadcast centroid
     * array (no shuffle, no window) — shared by ivfTopK and the
     * materialized-index paths. Emits `n` cells per row (exploded). */
-  private def assignCells(df: DataFrame, cents: DataFrame, vec: String,
-                          out: String, n: Int): DataFrame = {
+  private[llm] def assignCells(df: DataFrame, cents: DataFrame, vec: String,
+                               out: String, n: Int): DataFrame = {
     val scored = array_sort(transform(col("__cents"), ct =>
       struct((-cosine(col(vec), ct.getField("centroid"))).as("negcos"),
              ct.getField("cent_id").as("cent_id"))))

@@ -123,7 +123,7 @@ object TextAnalysis {
     round((lenScore + punctScore + swScore + mwlScore) / 4, 6)
   }
 
-  private lazy val EnStopwordHashes: Array[Long] =
+  private[llm] lazy val EnStopwordHashes: Array[Long] =
     EnStopwords.map(hashOf).toArray
 
   private def hashOf(w: String): Long = {

@@ -1,0 +1,69 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("mergePair: greedy left-to-right, no re-fuse within a pass") {
+    val df = Seq(
+      Seq("a", "a", "a"),         // (a,a): first two fuse, third stays
+      Seq("a", "b", "a", "b"),    // (a,b): both adjacencies fuse
+      Seq("b", "a"),              // no (a,b) adjacency
+      Seq.empty[String]
+    ).toDF("s")
+    val out = df.select(Bpe.mergePair($"s", "a", "a").as("m")).as[Seq[String]]
+      .collect()
+    assert(out(0) === Seq("aa", "a"))
+    val out2 = df.select(Bpe.mergePair($"s", "a", "b").as("m")).as[Seq[String]]
+      .collect()
+    assert(out2(1) === Seq("ab", "ab"))
+    assert(out2(2) === Seq("b", "a"))
+    assert(out2(3) === Seq.empty)
+  }
+
+  test("pairCounts: frequency-weighted, single-symbol words emit none") {
+    val words = Seq(
+      (Seq("l", "o", "w"), 5L),
+      (Seq("l", "o", "w", "e", "r"), 2L),
+      (Seq("x"), 100L) // no pairs
+    ).toDF("symbols", "freq")
+    val m = Bpe.pairCounts(words, $"symbols", $"freq")
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+      .toMap
+    assert(m(("l", "o")) === 7L)
+    assert(m(("o", "w")) === 7L)
+    assert(m(("w", "e")) === 2L)
+    assert(m(("e", "r")) === 2L)
+    assert(!m.contains(("x", "x")))
+  }
+
+  test("train: reproduces the classic low/lower/newest merge order") {
+    // Sennrich-style toy corpus as repeated words; freqs via repetition
+    val docs = Seq(
+      ("low " * 5) + ("lower " * 2) + ("newest " * 6) + ("widest " * 3)
+    ).toDF("text")
+    val merges = Bpe.train(spark, docs, $"text", numMerges = 4)
+    // round 1: "es" occurs 6+3=9 times (newest+widest) — the top pair
+    // (ties under (freq desc, a asc, b asc): es=9, st=9 -> "es" wins)
+    assert(merges.head._1 === "e" && merges.head._2 === "s")
+    assert(merges.head._3 === 9L)
+    // round 2: "es"+"t" = 9 again
+    assert(merges(1) === ("es", "t", 9L))
+    // every later merge frequency is <= the earlier one
+    assert(merges.sliding(2).forall(w => w(0)._3 >= w(1)._3))
+    // applying the merge table re-segments "newest" into few symbols
+    val seg = Seq("newest").toDF("w")
+      .select(Bpe.applyMerges(Bpe.initSymbols($"w"), merges).as("s"))
+      .as[Seq[String]].collect().head
+    assert(seg.contains("est"))
+    assert(seg.length < 7)
+  }
+
+  test("train: stops early when no pair repeats") {
+    val docs = Seq("ab cd ef").toDF("text")
+    val merges = Bpe.train(spark, docs, $"text", numMerges = 10)
+    assert(merges.isEmpty)
+  }
+}

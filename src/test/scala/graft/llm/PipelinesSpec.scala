@@ -140,4 +140,44 @@ class PipelinesSpec extends SparkSpec {
     // shard 1 packs start from 0 independently
     assert(out(4) === ((10L, 0L, 1L)))
   }
+
+  test("chunkDocs: full coverage, overlap = size-stride, short tail") {
+    val text = (1 to 25).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, text), (2L, "a b c"), (3L, "")).toDF("doc_id", "text")
+    val out = Pipelines.chunkDocs(docs, $"doc_id", $"text",
+        size = 10, stride = 7)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getString(3)))
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    // 25 tokens, size 10, stride 7 -> ceil(15/7)+1 = 4 chunks
+    assert(d1.length === 4)
+    assert(d1.map(_._3).toSeq === Seq(10, 10, 10, 4)) // short tail
+    assert(d1(0)._4.startsWith("w1 w2") && d1(1)._4.startsWith("w8"))
+    // coverage: every token appears in some chunk
+    val covered = d1.flatMap(_._4.split(" ")).toSet
+    assert(covered === (1 to 25).map(i => s"w$i").toSet)
+    // doc 2: 3 tokens -> one short chunk; doc 3: no tokens -> no chunks
+    assert(out.filter(_._1 == 2L).toSeq === Seq((2L, 0, 3, "a b c")))
+    assert(!out.exists(_._1 == 3L))
+  }
+
+  test("mixtureWeights: tau<1 up-weights small sources, budget adds up") {
+    val docs = (1 to 900).map(i => (i.toLong, "big")) ++
+      (1 to 100).map(i => (i.toLong + 1000, "small"))
+    val out = Pipelines.mixtureWeights(docs.toDF("id", "source"),
+        $"source", temperature = 0.5, budget = 1000L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    val (bigN, bigP, bigT, bigR) = out("big")
+    val (smallN, smallP, smallT, smallR) = out("small")
+    assert(bigN === 900L && smallN === 100L)
+    // raw shares 0.9/0.1 become 0.75/0.25 under tau=0.5
+    assert(math.abs(bigP - 0.75) < 1e-9)
+    assert(math.abs(smallP - 0.25) < 1e-9)
+    assert(bigT + smallT === 1000L)
+    // the small source is sampled at a HIGHER rate than the big one
+    assert(smallR > bigR)
+    assert(math.abs(smallR - 2.5) < 1e-9) // repeats: 250 docs from 100
+  }
 }
