@@ -38,30 +38,39 @@ object QualityModel {
       case (acc, (f, w)) => acc + lit(w) * f
     }
 
-  /** The named feature columns, all from ONE text_stats kernel pass:
+  /** Stopword membership count from the token-hash kernel. */
+  def swHitCount(text: Column): Column =
+    size(filter(graft.functions.token_hashes(text),
+      h => array_contains(lit(TextAnalysis.EnStopwordHashes), h)))
+
+  /** The named feature columns over PRECOMPUTED kernel outputs (`ts` =
+    * text_stats array, `swHits` = stopword hit count):
     * len_feat   = min(n_chars/500, 1)        (longer is better, capped)
     * punct_ratio, upper_ratio                (per non-ws char signals)
     * stopword_ratio                          (natural-language signal)
     * mean_word_len                           (gibberish detector)
     * Division-by-zero guards return 0.0 (not null): a model scores
     * every document. */
-  def features(text: Column): Seq[(String, Column)] = {
-    val ts = graft.functions.text_stats(text)
+  def featuresFromStats(ts: Column, swHits: Column)
+      : Seq[(String, Column)] = {
     val nc = element_at(ts, 1).cast(DoubleType)
     val nt = element_at(ts, 2).cast(DoubleType)
     val np = element_at(ts, 3).cast(DoubleType)
     val nu = element_at(ts, 4).cast(DoubleType)
     val stl = element_at(ts, 5).cast(DoubleType)
-    val swHits = size(filter(graft.functions.token_hashes(text),
-      h => array_contains(lit(TextAnalysis.EnStopwordHashes), h)))
-      .cast(DoubleType)
     Seq(
       "len_feat" -> least(nc / lit(500.0), lit(1.0)),
       "punct_ratio" -> when(nc > 0, np / nc).otherwise(lit(0.0)),
       "upper_ratio" -> when(nc > 0, nu / nc).otherwise(lit(0.0)),
-      "stopword_ratio" -> when(nt > 0, swHits / nt).otherwise(lit(0.0)),
+      "stopword_ratio" -> when(nt > 0, swHits.cast(DoubleType) / nt)
+        .otherwise(lit(0.0)),
       "mean_word_len" -> when(nt > 0, stl / nt).otherwise(lit(0.0)))
   }
+
+  /** One-shot Column form (inlines the kernels; fine for single use —
+    * [[classify]] stages them instead, see its note). */
+  def features(text: Column): Seq[(String, Column)] =
+    featuresFromStats(graft.functions.text_stats(text), swHitCount(text))
 
   /** Demonstration coefficients (hand-set, plausible signs: length and
     * stopwords up-weight prose; punctuation/caps walls and extreme word
@@ -83,10 +92,29 @@ object QualityModel {
     squash(linear(bias, weights.map { case (n, w) => (f(n), w) }))
   }
 
-  /** df + (score, keep) — one narrow projection, no shuffle; the
-    * downstream filter on `keep` pushes to the scan at 100 TB. */
+  /** df + (score, keep) — narrow projections, no shuffle; the
+    * downstream filter on `keep` pushes to the scan at 100 TB.
+    *
+    * The kernel outputs are STAGED as intermediate columns rather than
+    * inlined into every feature: `score` references the logit twice
+    * (squash) and `keep` references `score` again, so the inlined form
+    * plants ~24 copies of the text_stats subtree in the plan and bets
+    * on codegen CSE to deduplicate them. Staged behind projection
+    * boundaries (CollapseProject keeps a multiply-referenced non-cheap
+    * alias), each kernel appears in the plan exactly once —
+    * PlanShapeSpec asserts it. */
   def classify(df: DataFrame, text: Column,
-               threshold: Double = 0.5): DataFrame =
-    df.withColumn("score", score(text))
+               threshold: Double = 0.5,
+               bias: Double = DefaultBias,
+               weights: Seq[(String, Double)] = DefaultWeights)
+      : DataFrame = {
+    val f = featuresFromStats(col("__ts"), col("__sw")).toMap
+    df.withColumn("__ts", graft.functions.text_stats(text))
+      .withColumn("__sw", swHitCount(text))
+      .withColumn("__logit",
+        linear(bias, weights.map { case (n, w) => (f(n), w) }))
+      .withColumn("score", squash(col("__logit")))
       .withColumn("keep", col("score") >= threshold)
+      .drop("__ts", "__sw", "__logit")
+  }
 }

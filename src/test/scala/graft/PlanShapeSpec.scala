@@ -75,4 +75,51 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"))
     assert(countOf(p, "Exchange") <= 1)
   }
+
+  test("q96 semdedup: within-cell equi-join, never a cartesian pair scan") {
+    val p = plan("q96_semdedup")
+    assert(!p.contains("CartesianProduct"),
+      "pairs must come from the cell equi-join, not an all-pairs scan")
+    assert(p.contains("Join"), "expected the within-cell self-join")
+    // the only nested-loop joins are the single-row centroid broadcasts
+    assert(countOf(p, "BroadcastNestedLoopJoin") <= 2,
+      "only the tiny single-row centroid-array broadcasts may nest-loop")
+  }
+
+  test("q97 quality classifier: one kernel pass, no join, no shuffle") {
+    val p = plan("q97_quality_classifier")
+    assert(!p.contains("Join"))
+    assert(countOf(p, "Exchange") <= 1) // output sort only
+    assert(countOf(p, "graft_text_stats") == 1 &&
+           countOf(p, "graft_token_hashes") == 1,
+      "all features must come from ONE pass of each kernel (staged " +
+        "columns, not per-feature re-inlining)")
+  }
+
+  test("q98 chunking: row-local explode, no shuffle before the sort") {
+    val p = plan("q98_chunk_docs")
+    assert(!p.contains("Join"))
+    assert(countOf(p, "Exchange") <= 1)
+  }
+
+  test("q99 bpe pairs: two partial-agg shuffles + distributed top-k") {
+    val p = plan("q99_bpe_pairs")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-20 must be distributed, not a global sort")
+    assert(!p.contains("Join"))
+    // word-freq groupBy + pair groupBy, each with map-side combine
+    assert(countOf(p, "Exchange") <= 2)
+    assert(countOf(p, "HashAggregate") >= 4,
+      "both groupBys must have partial (map-side) aggregation")
+  }
+
+  test("q100 mixture weights: corpus reduced before any join") {
+    val p = plan("q100_mixture_weights")
+    assert(!p.contains("SortMergeJoin"),
+      "the normalizer must broadcast against the tiny counts frame")
+    assert(PlanAudit.globalWindows(
+      SparkEntry.queries("q100_mixture_weights")(spark, TestSpark.sfDir)
+        .queryExecution.optimizedPlan) == 0,
+      "no global window — the Σw normalizer is a broadcast crossJoin")
+  }
 }
