@@ -1841,6 +1841,19 @@ object SparkEntry {
         Pipelines.mixtureWeights(docs, col("source"),
             temperature = 0.5, budget = 100000L)
           .orderBy(col("source"))
+    }),
+
+    // --- one Lloyd k-means update step from the deterministic
+    //     lowest-id init (k=8): row-local assignment + a (cell, dim)
+    //     grouped mean whose key cardinality k·d lets map-side partial
+    //     aggregation collapse the shuffle; the oracle replays assign
+    //     + element-wise per-cell means (KMeansSpec covers the
+    //     multi-round fit loop the oracle can't express) ---
+    "q101_kmeans_step" -> rounded("c" -> 6)({ (spark, dir) =>
+      val emb = tbl(spark, dir, "embeddings")
+      graft.llm.KMeans.updateStep(emb, col("vec_id"), col("embedding"),
+          graft.llm.KMeans.init(emb, col("vec_id"), col("embedding"), 8))
+        .orderBy(col("cell"), col("dim"))
     })
   )
 
@@ -3427,6 +3440,29 @@ object SparkEntry {
              CAST(round(p * 100000) AS BIGINT) AS target_docs,
              round(CAST(round(p * 100000) AS BIGINT)
                    / CAST(n_docs AS DOUBLE), 6) AS rate
-      FROM p9 ORDER BY source"""
+      FROM p9 ORDER BY source""",
+
+    // one Lloyd step: nearest-centroid assignment (8 lowest-id
+    // vectors, ties to lower cent_id) then element-wise per-cell
+    // means; equal-length unnests zip in DuckDB
+    "q101_kmeans_step" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+      cents AS (SELECT vec_id AS cent_id, v AS cv FROM e
+                ORDER BY vec_id LIMIT 8),
+      scored AS (SELECT e.vec_id, e.v, cents.cent_id,
+                        list_cosine_similarity(e.v, cents.cv) AS cos
+                 FROM e CROSS JOIN cents),
+      assigned AS (SELECT vec_id, v, CAST(cell AS INT) AS cell FROM (
+          SELECT vec_id, v, cent_id AS cell,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY cos DESC, cent_id ASC) AS rn
+          FROM scored) WHERE rn = 1),
+      x AS (SELECT cell,
+                   unnest(generate_series(1, len(v))) AS dim,
+                   unnest(v) AS val
+            FROM assigned)
+      SELECT cell, CAST(dim AS INT) AS dim, round(avg(val), 6) AS c
+      FROM x GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 }

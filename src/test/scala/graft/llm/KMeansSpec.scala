@@ -1,0 +1,55 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class KMeansSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two tight clusters around (1,0) and (0,1); ids 0/1 (one from each
+  // cluster) are the deterministic init
+  private def emb = Seq(
+    (0L, Seq(0.9f, 0.1f)), (2L, Seq(1.0f, 0.0f)), (4L, Seq(0.8f, 0.2f)),
+    (1L, Seq(0.1f, 0.9f)), (3L, Seq(0.0f, 1.0f)), (5L, Seq(0.2f, 0.8f))
+  ).toDF("vec_id", "embedding")
+
+  private def meansMap(df: org.apache.spark.sql.DataFrame)
+      : Map[(Int, Int), Double] =
+    df.collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2))
+      .toMap
+
+  test("updateStep: per-cell element-wise means under the init") {
+    val m = meansMap(KMeans.updateStep(emb, $"vec_id", $"embedding",
+      KMeans.init(emb, $"vec_id", $"embedding", 2)))
+    assert(m.size === 4) // 2 cells x 2 dims
+    assert(math.abs(m((0, 1)) - 0.9) < 1e-6) // mean of .9, 1.0, .8
+    assert(math.abs(m((0, 2)) - 0.1) < 1e-6)
+    assert(math.abs(m((1, 1)) - 0.1) < 1e-6)
+    assert(math.abs(m((1, 2)) - 0.9) < 1e-6)
+  }
+
+  test("fit converges to the true cluster means and assign recovers them") {
+    val means = KMeans.fit(emb, $"vec_id", $"embedding", k = 2, iters = 3)
+    val m = meansMap(means)
+    assert(math.abs(m((0, 1)) - 0.9) < 1e-6 &&
+           math.abs(m((1, 2)) - 0.9) < 1e-6)
+    val a = KMeans.assign(emb, $"vec_id", $"embedding", means)
+      .select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    assert(Set(0L, 2L, 4L).map(a) === Set(0))
+    assert(Set(1L, 3L, 5L).map(a) === Set(1))
+  }
+
+  test("empty cells inherit the previous centroid instead of vanishing") {
+    // centroid 1 is an outlier no vector is nearest to after round 1:
+    // all points cluster near (1, 0); id 1 sits at (-1, -1) alone and
+    // IS its own nearest in round 1, but after its centroid moves to
+    // itself and others move away, k stays 2 throughout
+    val skew = Seq(
+      (0L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(1.0f, 0.1f)),
+      (1L, Seq(-1.0f, -1.0f))
+    ).toDF("vec_id", "embedding")
+    val means = KMeans.fit(skew, $"vec_id", $"embedding", k = 2, iters = 4)
+    val cells = means.select("cell").distinct().as[Int].collect().toSet
+    assert(cells === Set(0, 1)) // both cells still present
+  }
+}
