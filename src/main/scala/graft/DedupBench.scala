@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.llm.{Dedup, TextAnalysis}
+
+/** Near-dup dedup scale curve at a synthesized N× documents corpus —
+  * the text-side companion of [[AnnBench]]: exact df-capped n-gram
+  * Jaccard is the ground truth; MinHash+LSH is the approximate path
+  * whose recall and wall time are measured at one order of magnitude
+  * beyond the fixtures, plus transitive clustering over the found
+  * pairs.
+  *
+  *   sbt "runMain graft.DedupBench /root/testdata/sf0.1 10"
+  *
+  * The N× corpus is DETERMINISTIC: copy c of doc d shifts the id by
+  * c·10M and truncates a hash-derived number of tail characters
+  * (xxhash64(id, c) % 60 + 10), so each copy is a NEAR-duplicate of
+  * its original (the q95 construction at scale) — every multiple adds
+  * both corpus volume and real near-dup structure. */
+object DedupBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val mult = if (args.length > 1) args(1).toInt else 10
+    // the df-cap must scale with the synthetic copy multiplicity: every
+    // shingle's document frequency inflates ~mult× (each doc gains mult
+    // near-copies), so a FIXED cap would prune most of the shingle
+    // space at high mult and the "exact" Jaccard would no longer
+    // measure the same space LSH verifies in
+    val maxDf = if (args.length > 2) args(2).toInt else 16 * mult
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val base = new graft.tables.Catalog(spark, sfDir).table("documents")
+      .select(col("doc_id"), col("text"))
+    val copies = (0 until mult).map { c =>
+      if (c == 0) base
+      else base.select(
+        (col("doc_id") + lit(c * 10000000L)).as("doc_id"),
+        col("text").substr(lit(1), greatest(
+          length(col("text")) -
+            (pmod(xxhash64(col("doc_id"), lit(c)), lit(60)) + 10)
+              .cast("int"),
+          lit(1))).as("text"))
+    }
+    val corpus = copies.reduce(_ unionByName _)
+      .repartition(cpus.toInt).localCheckpoint()
+    val nDocs = corpus.count()
+
+    def time[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    def pairs(df: DataFrame): Set[(Long, Long)] =
+      df.select(col("id_a"), col("id_b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // ONE staged shingle scan feeds both methods (the pipeline shape
+    // q95 uses); timed separately so methods are charged only their
+    // own joins
+    val (staged, tStage) = time {
+      val s = corpus.select(col("doc_id").as("id"),
+        TextAnalysis.shingleHashes(col("text"), 3).as("sh"))
+        .localCheckpoint()
+      s.count()
+      s
+    }
+
+    val (exact, tExact) = time(pairs(Dedup.ngramJaccardPairsFromShingles(
+      staged.select(col("id"), col("sh").as("s")),
+      threshold = 0.5, maxDf = maxDf)))
+    val lshDf = Dedup.minhashPairsFromShingles(
+        staged, numHashes = 64, bands = 16, threshold = 0.5)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (found, tLsh) = time(pairs(lshDf))
+    val recall = if (exact.isEmpty) 1.0
+      else found.count(exact).toDouble / exact.size
+
+    // transitive clustering over the (cached) LSH pairs — the
+    // survivor-selection input; rounds are O(log diameter)
+    val (nClusters, tCc) = time {
+      Dedup.connectedComponents(lshDf, col("id_a"), col("id_b"))
+        .select(col("comp")).distinct().count()
+    }
+
+    println(f"corpus=$nDocs docs (${mult}x $sfDir) maxDf=$maxDf")
+    println(f"${"stage shingles"}%-18s $tStage%8.2f s")
+    println(f"${"exact jaccard"}%-18s $tExact%8.2f s  pairs=${exact.size}")
+    println(f"${"minhash+lsh"}%-18s $tLsh%8.2f s  pairs=${found.size} " +
+      f"recall=$recall%.3f")
+    println(f"${"clustering"}%-18s $tCc%8.2f s  clusters=$nClusters")
+    println(s"""{"bench":"dedup","corpus":$nDocs,"mult":$mult,""" +
+      s""""stage_sec":$tStage,"exact_sec":$tExact,""" +
+      s""""exact_pairs":${exact.size},"lsh_sec":$tLsh,""" +
+      s""""lsh_pairs":${found.size},"recall":$recall,""" +
+      s""""cc_sec":$tCc,"clusters":$nClusters}""")
+    spark.stop()
+  }
+}
