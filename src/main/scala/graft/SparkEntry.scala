@@ -1854,7 +1854,34 @@ object SparkEntry {
       graft.llm.KMeans.updateStep(emb, col("vec_id"), col("embedding"),
           graft.llm.KMeans.init(emb, col("vec_id"), col("embedding"), 8))
         .orderBy(col("cell"), col("dim"))
-    })
+    }),
+
+    // --- feature-hashing bridge: hashed bag-of-words vectors over the
+    //     documents table (portable md5 buckets, integer counts — dot
+    //     products exact in doubles, so cosines are bit-identical
+    //     across engines with NO rounding hazard), fed into SemDeDup.
+    //     Near-dups exist by construction (q95-style tail-truncated
+    //     variants); 32 dims means hash collisions also surface some
+    //     natural pairs — the documented hashing trade, identical in
+    //     both engines ---
+    "q102_hashed_bow_semdedup" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val variants = docs.select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        col("text").substr(lit(1),
+          greatest(length(col("text")) - 30, lit(1))).as("text"))
+      val vecs = graft.llm.Featurize.hashedBow(
+        docs.unionByName(variants), col("doc_id"), col("text"), dim = 32)
+      graft.llm.SemDedup.duplicates(vecs, col("doc_id"), col("v"),
+          nlist = 4, threshold = 0.95)
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_dups"),
+             sum(when(col("dup_id") === col("kept_id") + 1000000L, 1L)
+               .otherwise(0L)).as("n_variant_pairs"),
+             round(avg(col("max_cosine")), 6).as("avg_cosine"))
+        .orderBy(col("cell"))
+    }
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same column names & rounding). */
@@ -3463,6 +3490,56 @@ object SparkEntry {
                    unnest(v) AS val
             FROM assigned)
       SELECT cell, CAST(dim AS INT) AS dim, round(avg(val), 6) AS c
-      FROM x GROUP BY 1, 2 ORDER BY 1, 2"""
+      FROM x GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // hashed bag-of-words (md5 slot, integer counts) -> SemDeDup over
+    // the 32-dim vectors; dot products are exact integers in doubles,
+    // so every cosine is bit-identical across engines
+    "q102_hashed_bow_semdedup" -> """
+      WITH base AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000,
+               substring(text, 1, greatest(length(text) - 30, 1))
+        FROM documents),
+      tk AS (SELECT doc_id, unnest(list_filter(
+               string_split_regex(lower(trim(text)), '\s+'),
+               x -> length(x) > 0)) AS t FROM base),
+      contrib AS (SELECT doc_id,
+          CAST(('0x' || substring(md5(t), 1, 4)) AS INTEGER) % 32 AS b
+        FROM tk),
+      grouped AS (SELECT doc_id, b, CAST(count(*) AS DOUBLE) AS val
+                  FROM contrib GROUP BY 1, 2),
+      dims AS (SELECT unnest(generate_series(0, 31)) AS b),
+      docs2 AS (SELECT DISTINCT doc_id FROM grouped),
+      cells0 AS (SELECT doc_id, d.b FROM docs2 CROSS JOIN dims d),
+      dense AS (SELECT c.doc_id, list(coalesce(g.val, 0.0)
+                  ORDER BY c.b) AS v
+                FROM cells0 c LEFT JOIN grouped g USING (doc_id, b)
+                GROUP BY c.doc_id),
+      cents AS (SELECT doc_id AS cent_id, v AS cv FROM dense
+                ORDER BY doc_id LIMIT 4),
+      scored AS (SELECT dense.doc_id, dense.v, cents.cent_id,
+                        list_cosine_similarity(dense.v, cents.cv) AS cos
+                 FROM dense CROSS JOIN cents),
+      assigned AS (SELECT doc_id, v, CAST(cell AS INT) AS cell FROM (
+          SELECT doc_id, v, cent_id AS cell,
+                 row_number() OVER (PARTITION BY doc_id
+                   ORDER BY cos DESC, cent_id ASC) AS rn
+          FROM scored) WHERE rn = 1),
+      pairs AS (SELECT a.cell, b.doc_id AS dup_id, a.doc_id AS kept0,
+                       round(list_cosine_similarity(a.v, b.v), 6) AS cos6
+                FROM assigned a JOIN assigned b
+                  ON a.cell = b.cell AND a.doc_id < b.doc_id
+                WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.95),
+      dups AS (SELECT cell, dup_id, min(kept0) AS kept_id,
+                      max(cos6) AS max_cosine
+               FROM pairs GROUP BY 1, 2)
+      SELECT cell, count(*) AS n_dups,
+             CAST(sum(CASE WHEN dup_id = kept_id + 1000000
+                           THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_variant_pairs,
+             round(avg(max_cosine), 6) AS avg_cosine
+      FROM dups GROUP BY 1 ORDER BY 1"""
   )
 }

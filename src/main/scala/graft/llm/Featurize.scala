@@ -1,0 +1,53 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.BinaryType
+
+/** Text → fixed-dimension vector WITHOUT a model: the feature-hashing
+  * trick (hashed bag-of-words). Each token is md5-bucketed into one of
+  * `dim` slots and the vector holds per-slot token counts — the
+  * classic linear-model/retrieval featurizer, and the bridge from the
+  * `documents` table into every embedding-based operator in this
+  * package ([[SemDedup]], [[Similarity]], [[KMeans]]) when no learned
+  * embedding exists.
+  *
+  * Portable md5 bucketing (same trick as [[Pipelines.hashBucket]]), so
+  * a differential oracle can replay it; counts are small integers, so
+  * dot products and norms are EXACT in doubles — downstream cosines
+  * are bit-identical across engines regardless of summation order.
+  * Counts (not signed hashing): an all-English corpus keeps every
+  * vector nonzero (token-less docs drop out), so no NaN cosines, whose
+  * comparison semantics differ between engines.
+  *
+  * Scale shape: explode to (id, bucket), ONE map-side-combining
+  * groupBy (key cardinality ≤ docs·dim, dominated by the combine), a
+  * per-doc sparse→dense fold that is O(nnz·dim) row-local — the
+  * corpus text is read once and never re-shuffled. */
+object Featurize {
+
+  /** md5 slot for one token (first 4 hex chars mod dim — max 65535,
+    * always non-negative). */
+  def tokenBucket(token: Column, dim: Int): Column =
+    pmod(conv(substring(md5(token.cast(BinaryType)), 1, 4), 16, 10)
+      .cast("int"), lit(dim))
+
+  /** (id, v) hashed bag-of-words vectors; docs with no tokens emit no
+    * row. */
+  def hashedBow(docs: DataFrame, id: Column, text: Column, dim: Int)
+      : DataFrame = {
+    val toks = docs.select(id.as("doc_id"),
+        explode(TextAnalysis.tokens(text)).as("t"))
+      .select(col("doc_id"), tokenBucket(col("t"), dim).as("b"))
+    val grouped = toks.groupBy(col("doc_id"), col("b"))
+      .agg(count(lit(1)).cast("double").as("val"))
+    grouped.groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("b"), col("val"))))
+        .as("__es"))
+      .select(col("doc_id"),
+        aggregate(col("__es"), array_repeat(lit(0.0), dim),
+          (acc, e) => transform(acc, (v, i) =>
+            when(i === e.getField("b"), e.getField("val")).otherwise(v)))
+          .as("v"))
+  }
+}
