@@ -1892,7 +1892,26 @@ object SparkEntry {
              min(col("max_cosine")).as("min_cosine"),
              max(col("max_cosine")).as("top_cosine"))
         .orderBy(col("cell"))
-    }
+    },
+
+    // --- n-gram LM perplexity scoring (CCNet-style quality filter):
+    //     interpolated add-1 unigram+bigram model trained on the md5
+    //     hash-split train docs, scoring the held-out test split by
+    //     average token log-probability. λ=0.5 ON PURPOSE: 1-λ must be
+    //     IEEE-exact in BOTH engines (1-0.7 is 0.30000000000000004 in
+    //     Scala but a different literal in SQL); probabilities are
+    //     exact count ratios, so only ln() (≤1 ULP libm skew) and the
+    //     per-doc avg reorder sit under the 6-digit rounding ---
+    "q103_lm_score" -> rounded("avg_logprob" -> 6)({ (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+      val train = docs.filter(Pipelines.hashBucket(col("doc_id")) < 80)
+      val test = docs.filter(Pipelines.hashBucket(col("doc_id")) >= 90)
+      graft.llm.LangModel.scoreDocs(test, col("doc_id"), col("text"),
+          graft.llm.LangModel.unigrams(train, col("text")),
+          graft.llm.LangModel.bigrams(train, col("text")),
+          lambda = 0.5, k = 1.0)
+        .orderBy(col("doc_id"))
+    })
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same column names & rounding). */
@@ -3552,6 +3571,60 @@ object SparkEntry {
                AS n_variant_pairs,
              min(max_cosine) AS min_cosine,
              max(max_cosine) AS top_cosine
-      FROM dups GROUP BY 1 ORDER BY 1"""
+      FROM dups GROUP BY 1 ORDER BY 1""",
+
+    // interpolated add-1 uni+bigram LM: train on md5 buckets < 80,
+    // score buckets >= 90; first token unigram-only; ln (natural log),
+    // per-doc average rounded to 6
+    "q103_lm_score" -> """
+      WITH b AS (SELECT doc_id, text,
+          CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+               AS INTEGER) % 100 AS bucket
+        FROM documents),
+      train AS (SELECT * FROM b WHERE bucket < 80),
+      test AS (SELECT * FROM b WHERE bucket >= 90),
+      ttok AS (SELECT unnest(list_filter(
+                 string_split_regex(lower(trim(text)), '\s+'),
+                 x -> length(x) > 0)) AS w FROM train),
+      uni AS (SELECT w, count(*) AS c FROM ttok GROUP BY 1),
+      stats AS (SELECT CAST(sum(c) AS DOUBLE) AS n,
+                       CAST(count(*) AS DOUBLE) AS v FROM uni),
+      tbig AS (SELECT list_filter(
+                 string_split_regex(lower(trim(text)), '\s+'),
+                 x -> length(x) > 0) AS toks FROM train),
+      bi0 AS (SELECT unnest(list_transform(
+                       generate_series(1, len(toks) - 1),
+                       i -> toks[i])) AS a,
+                     unnest(list_transform(
+                       generate_series(1, len(toks) - 1),
+                       i -> toks[i + 1])) AS b
+              FROM tbig WHERE len(toks) >= 2),
+      bi AS (SELECT a, b, count(*) AS c FROM bi0 GROUP BY 1, 2),
+      dtok AS (SELECT doc_id, list_filter(
+                 string_split_regex(lower(trim(text)), '\s+'),
+                 x -> length(x) > 0) AS toks FROM test),
+      tr AS (SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(toks)),
+                 i -> CASE WHEN i > 1 THEN toks[i - 1] END)) AS prev,
+               unnest(list_transform(generate_series(1, len(toks)),
+                 i -> toks[i])) AS cur
+             FROM dtok WHERE len(toks) > 0),
+      sc AS (SELECT doc_id,
+               CASE WHEN prev IS NULL THEN
+                 (coalesce(u1.c, 0) + 1.0) / (s.n + 1.0 * s.v)
+               ELSE
+                 0.5 * ((coalesce(bi.c, 0) + 1.0)
+                        / (coalesce(u2.c, 0) + 1.0 * s.v))
+                 + 0.5 * ((coalesce(u1.c, 0) + 1.0)
+                          / (s.n + 1.0 * s.v))
+               END AS p
+             FROM tr
+             LEFT JOIN uni u1 ON tr.cur = u1.w
+             LEFT JOIN uni u2 ON tr.prev = u2.w
+             LEFT JOIN bi ON tr.prev = bi.a AND tr.cur = bi.b
+             CROSS JOIN stats s)
+      SELECT doc_id, count(*) AS n_scored,
+             round(avg(ln(p)), 6) AS avg_logprob
+      FROM sc GROUP BY 1 ORDER BY 1"""
   )
 }
