@@ -13,10 +13,12 @@ import org.apache.spark.sql.functions._
   *  - TRAIN is two word-count groupBys over the train split (map-side
   *    combining; the classic shape);
   *  - SCORE explodes each doc to (prev, cur) token transitions and
-  *    joins the two count tables; vocabulary tables are far smaller
-  *    than the corpus (Heaps' law) so the planner broadcasts them —
-  *    the corpus itself is never shuffled; per-doc aggregation is one
-  *    partial-agg groupBy on doc id.
+  *    joins the two count tables. The unigram table is vocabulary-
+  *    sized (Heaps' law) and broadcasts; the bigram table may not fit
+  *    a broadcast at corpus scale, in which case the TRANSITION frame
+  *    shuffles on the token key — a narrow (doc_id, prev, cur) frame,
+  *    never the document text. Per-doc aggregation is one partial-agg
+  *    groupBy on doc id.
   *  - probabilities are exact count ratios (bit-identical across
   *    engines); only the final log is libm (≤1 ULP skew), averaged
   *    over the doc and rounded — the same FP policy as every avg() in
