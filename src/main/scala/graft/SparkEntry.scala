@@ -1911,7 +1911,26 @@ object SparkEntry {
           graft.llm.LangModel.bigrams(train, col("text")),
           lambda = 0.5, k = 1.0)
         .orderBy(col("doc_id"))
-    })
+    }),
+
+    // --- substring-level duplication (Lee et al. exact-substring
+    //     recipe, rolling 20-token window instead of suffix arrays):
+    //     per doc, the fraction of span starts whose span also occurs
+    //     in another doc. Variants share almost all spans with their
+    //     originals (frac near 1); the base docs measure the corpus's
+    //     natural boilerplate. The fraction is an exact integer ratio
+    //     — bit-identical in both engines ---
+    "q104_dup_spans" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val variants = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          col("text").substr(lit(1),
+            greatest(length(col("text")) - 30, lit(1))).as("text"))
+      Dedup.duplicatedSpans(docs.unionByName(variants),
+          col("doc_id"), col("text"), n = 20, minDocs = 2)
+        .orderBy(col("doc_id"))
+    }
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same column names & rounding). */
@@ -3625,6 +3644,39 @@ object SparkEntry {
              CROSS JOIN stats s)
       SELECT doc_id, count(*) AS n_scored,
              round(avg(ln(p)), 6) AS avg_logprob
-      FROM sc GROUP BY 1 ORDER BY 1"""
+      FROM sc GROUP BY 1 ORDER BY 1""",
+
+    // rolling 20-token spans; a span is duplicated when its text
+    // occurs in >= 2 distinct docs; short docs contribute their whole
+    // text as one span
+    "q104_dup_spans" -> """
+      WITH base AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000,
+               substring(text, 1, greatest(length(text) - 30, 1))
+        FROM documents WHERE doc_id % 5 = 0),
+      tk AS (SELECT doc_id, list_filter(
+               string_split_regex(lower(trim(text)), '\s+'),
+               x -> length(x) > 0) AS toks FROM base),
+      sp AS (SELECT doc_id, unnest(
+               CASE WHEN len(toks) >= 20 THEN
+                      list_transform(generate_series(1, len(toks) - 19),
+                        i -> array_to_string(
+                          list_slice(toks, i, i + 19), ' '))
+                    WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+                    ELSE [] END) AS g
+             FROM tk),
+      hot AS (SELECT g FROM (SELECT DISTINCT doc_id, g FROM sp)
+              GROUP BY g HAVING count(*) >= 2),
+      tot AS (SELECT doc_id, count(*) AS n_spans FROM sp GROUP BY 1),
+      dup AS (SELECT doc_id, count(*) AS nd FROM sp JOIN hot USING (g)
+              GROUP BY 1)
+      SELECT t.doc_id, t.n_spans,
+             coalesce(d.nd, 0) AS n_dup_spans,
+             round(CAST(coalesce(d.nd, 0) AS DOUBLE) / t.n_spans, 6)
+               AS dup_span_frac
+      FROM tot t LEFT JOIN dup d USING (doc_id)
+      ORDER BY t.doc_id"""
   )
 }

@@ -199,6 +199,49 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Substring-level duplication signal — the span-granular flavor of
+    * dedup (re-deriving the public Lee et al. 2022 "exact substring"
+    * recipe in relational form, suffix arrays replaced by a rolling
+    * n-token window): for each document, the fraction of its n-token
+    * span STARTS whose span text also occurs in at least `minDocs`-1
+    * OTHER documents. Doc-level Jaccard ([[ngramJaccardPairs]]) misses
+    * a boilerplate paragraph pasted into thousands of otherwise-unique
+    * docs; this catches it.
+    *
+    * Scale shape: one explode to (doc, span) — a row per token, narrow
+    * — then a map-side-combining census for the cross-doc-hot span set
+    * and one equi-join back; the fraction is an exact integer ratio
+    * (bit-identical across engines). Spans here are n-gram STRINGS so
+    * a DuckDB oracle can replay them; a hot path at 100 TB swaps in
+    * [[TextAnalysis.shingleHashes]] (same semantics, xxhash64 rolling
+    * combine, no string materialization). Docs with fewer than n
+    * tokens contribute their whole text as one span; token-less docs
+    * drop out. */
+  def duplicatedSpans(docs: DataFrame, id: Column, text: Column,
+                      n: Int = 20, minDocs: Int = 2): DataFrame = {
+    val toks = TextAnalysis.tokens(text)
+    val spans = docs.select(id.as("doc_id"), toks.as("__t"))
+      .select(col("doc_id"), explode(
+        when(size(col("__t")) >= n,
+          transform(sequence(lit(0), size(col("__t")) - n),
+            i => array_join(slice(col("__t"), i + 1, lit(n)), " ")))
+        .otherwise(when(size(col("__t")) > 0,
+          array(array_join(col("__t"), " ")))
+          .otherwise(array().cast("array<string>")))).as("g"))
+    val hot = spans.select(col("doc_id"), col("g")).distinct()
+      .groupBy(col("g")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDocs).select(col("g"))
+    val total = spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"))
+    val dup = spans.join(hot, Seq("g"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("__nd"))
+    total.join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("__nd"), lit(0L)).as("n_dup_spans"),
+        round(coalesce(col("__nd"), lit(0L)).cast("double")
+          / col("n_spans"), 6).as("dup_span_frac"))
+  }
+
   /** Exact embedding near-dup pairs: all-pairs cosine over a threshold.
     * O(n²) by construction — the verification baseline / small-corpus
     * form; the 100 TB path is [[embeddingPairs]] (LSH buckets) with this

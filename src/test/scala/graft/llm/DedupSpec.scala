@@ -203,4 +203,26 @@ class DedupSpec extends SparkSpec {
       empty, col("a"), col("b")).as[Long].collect().sorted
     assert(out.toSeq === (1L to 5L))
   }
+
+  test("duplicatedSpans: shared paragraph detected, in-doc repeats not") {
+    val para = (1 to 6).map(i => s"p$i").mkString(" ") // 6 shared tokens
+    val docs = Seq(
+      (1L, s"$para alpha beta gamma"),        // shares para with doc 2
+      (2L, s"$para delta epsilon zeta"),
+      (3L, "unique words only here today"),   // nothing shared
+      (4L, s"rep rep rep rep rep rep rep")    // IN-doc repetition only
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpans(docs, col("doc_id"), col("text"),
+        n = 4, minDocs = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // doc1: 9 tokens -> 6 span starts; starts 0-2 lie inside the
+    // shared paragraph ("p1..p6" windows) and occur in doc2 too
+    assert(out(1L) === ((6L, 3L, 0.5)))
+    assert(out(2L) === ((6L, 3L, 0.5)))
+    assert(out(3L)._2 === 0L) // no cross-doc span
+    // doc4's identical windows repeat only WITHIN the doc: df counts
+    // distinct docs, so nothing is flagged
+    assert(out(4L)._2 === 0L)
+  }
 }
