@@ -47,5 +47,8 @@ object GraftExtensions {
       es => PqEncode(es.head, es(1), 8)),
     ("graft_adc_score",
       "PQ asymmetric-distance score: sum of lut[j][codes[j]]",
-      es => AdcScore(es.head, es(1))))
+      es => AdcScore(es.head, es(1))),
+    ("graft_hashed_bow",
+      "hashed bag-of-words slot counts (md5 slots, dim=32)",
+      es => HashedBow(es.head, 32)))
 }

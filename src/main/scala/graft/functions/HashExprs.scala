@@ -63,6 +63,36 @@ case class MinHashSig(child: Expression, numHashes: Int)
   override def prettyName: String = "graft_minhash_sig"
 }
 
+/** text -> array<double> hashed bag-of-words (md5 slot counts); null
+  * for token-less text. */
+case class HashedBow(child: Expression, dim: Int)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    HashOps.hashedBow(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], dim)
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val code =
+      code"""
+        ${childGen.code}
+        boolean ${ev.isNull} = ${childGen.isNull};
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+        if (!${ev.isNull}) {
+          ${ev.value} =
+            graft.functions.HashOps.hashedBow(${childGen.value}, $dim);
+          if (${ev.value} == null) { ${ev.isNull} = true; }
+        }"""
+    ev.copy(code = code)
+  }
+  override protected def withNewChildInternal(c: Expression): HashedBow =
+    copy(child = c)
+  override def prettyName: String = "graft_hashed_bow"
+}
+
 /** text -> 64-bit simhash (null for token-less text). */
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType

@@ -244,6 +244,36 @@ object HashOps {
     UTF8String.fromString(min)
   }
 
+  /** Hashed bag-of-words: per-token md5 slot counts in one fused loop —
+    * the native form of graft.llm.Featurize.hashedBow's relational
+    * construction (explode → groupBy → sparse→dense fold), bit-identical
+    * to it: slot = first 2 md5 bytes of the lowercased token mod dim
+    * (= the first 4 hex chars, matching Spark/DuckDB
+    * `substring(md5(t),1,4)`), value = occurrence count. Null for
+    * token-less text (the relational form emits no row). */
+  def hashedBow(text: UTF8String, dim: Int): ArrayData = {
+    val s = text.toLowerCase.toString
+    val out = new Array[Double](dim)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val len = s.length
+    var any = false
+    var i = 0
+    while (i < len) {
+      while (i < len && Character.isWhitespace(s.charAt(i))) i += 1
+      val start = i
+      while (i < len && !Character.isWhitespace(s.charAt(i))) i += 1
+      if (i > start) {
+        any = true
+        md.reset()
+        val d = md.digest(s.substring(start, i).getBytes(utf8))
+        val slot = (((d(0) & 0xFF) << 8) | (d(1) & 0xFF)) % dim
+        out(slot) += 1.0
+      }
+    }
+    if (!any) null else new GenericArrayData(out)
+  }
+
   @inline private def splitmix64(seed: Long): Long = {
     var z = seed + 0x9E3779B97F4A7C15L
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L

@@ -33,6 +33,8 @@ package object functions {
     toCol(AdcScore(toExpr(codes), toExpr(lut)))
   def text_stats(text: Column): Column =
     toCol(TextStats(toExpr(text)))
+  def hashed_bow(text: Column, dim: Int): Column =
+    toCol(HashedBow(toExpr(text), dim))
 
   /** Register the native functions for SQL use (idempotent; the
     * session-wide alternative is `spark.sql.extensions=

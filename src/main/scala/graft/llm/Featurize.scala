@@ -33,9 +33,21 @@ object Featurize {
       .cast("int"), lit(dim))
 
   /** (id, v) hashed bag-of-words vectors; docs with no tokens emit no
-    * row. */
+    * row. One fused kernel pass per row (graft.functions.hashed_bow)
+    * — NO shuffle at all; [[hashedBowRelational]] is the pure-DataFrame
+    * twin it is spec-checked against. */
   def hashedBow(docs: DataFrame, id: Column, text: Column, dim: Int)
-      : DataFrame = {
+      : DataFrame =
+    docs.select(id.as("doc_id"),
+        graft.functions.hashed_bow(text, dim).as("v"))
+      .filter(col("v").isNotNull)
+
+  /** Relational construction of the same vectors (explode → map-side-
+    * combining groupBy → row-local sparse→dense fold): the shape a
+    * plain-SQL engine uses, kept as the kernel's differential twin and
+    * for engines without the native expression. */
+  def hashedBowRelational(docs: DataFrame, id: Column, text: Column,
+                          dim: Int): DataFrame = {
     val toks = docs.select(id.as("doc_id"),
         explode(TextAnalysis.tokens(text)).as("t"))
       .select(col("doc_id"), tokenBucket(col("t"), dim).as("b"))

@@ -41,7 +41,12 @@ object SemDedup {
     * leave their cell. */
   def duplicates(emb: DataFrame, id: Column, vec: Column,
                  nlist: Int, threshold: Double): DataFrame = {
+    // both sides of the within-cell self-join read the assignment; an
+    // uncached frame would recompute the featurize/assign chain per
+    // side (same persistence discipline as the minhash signature
+    // table — (id, vector, cell) only, spills to executor disk)
     val assigned = assign(emb, id, vec, nlist)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = assigned.select(col("cell"), col("vec_id").as("kept_id"),
       col("cv").as("va"))
     val b = assigned.select(col("cell"), col("vec_id").as("dup_id"),

@@ -22,6 +22,16 @@ class FeaturizeSpec extends SparkSpec {
     assert(out(2L)(aSlot) === 1.0 && out(1L)(aSlot) === 2.0)
   }
 
+  test("native kernel is bit-identical to the relational construction") {
+    val docs = catalog.table("documents").limit(200)
+      .select($"doc_id", $"text")
+    val kernel = Featurize.hashedBow(docs, $"doc_id", $"text", 32)
+    val relational = Featurize.hashedBowRelational(docs, $"doc_id",
+      $"text", 32)
+    assert(kernel.exceptAll(relational).isEmpty &&
+           relational.exceptAll(kernel).isEmpty)
+  }
+
   test("hashedBow vectors make near-dup text detectable via SemDedup") {
     val base = (1 to 6).map(i => (i.toLong,
       s"document number $i talks about topic$i in many plain words " +
