@@ -1930,6 +1930,28 @@ object SparkEntry {
       Dedup.duplicatedSpans(docs.unionByName(variants),
           col("doc_id"), col("text"), n = 20, minDocs = 2)
         .orderBy(col("doc_id"))
+    },
+
+    // --- corpus snapshot diff: the incremental-refresh primitive —
+    //     one full-outer join of two md5 fingerprint frames classifies
+    //     every id as added/removed/changed/unchanged; the synthetic
+    //     "current" snapshot drops ids ≡3 (mod 17), edits ids ≡1
+    //     (mod 13), and adds +2M copies of ids ≡5 (mod 11) ---
+    "q105_snapshot_diff" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val cur0 = docs.filter(pmod(col("doc_id"), lit(17)) =!= 3)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(13)) === 1,
+            concat(col("text"), lit(" v2"))).otherwise(col("text"))
+            .as("text"))
+      val added = docs.filter(pmod(col("doc_id"), lit(11)) === 5)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+      val fpOf = (df: org.apache.spark.sql.DataFrame) =>
+        Pipelines.withFingerprint(df, col("doc_id"), col("text"))
+      Pipelines.snapshotDiff(fpOf(docs), fpOf(cur0.unionByName(added)))
+        .select(col("id").as("doc_id"), col("status"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -3677,6 +3699,26 @@ object SparkEntry {
              round(CAST(coalesce(d.nd, 0) AS DOUBLE) / t.n_spans, 6)
                AS dup_span_frac
       FROM tot t LEFT JOIN dup d USING (doc_id)
-      ORDER BY t.doc_id"""
+      ORDER BY t.doc_id""",
+
+    // full-outer fingerprint join: added / removed / changed /
+    // unchanged per id
+    "q105_snapshot_diff" -> """
+      WITH prev AS (SELECT doc_id AS id, md5(text) AS fp FROM documents),
+      cur0 AS (SELECT doc_id,
+                 CASE WHEN doc_id % 13 = 1 THEN text || ' v2'
+                      ELSE text END AS text
+               FROM documents WHERE doc_id % 17 <> 3),
+      curadd AS (SELECT doc_id + 2000000 AS doc_id, text
+                 FROM documents WHERE doc_id % 11 = 5),
+      cur AS (SELECT doc_id AS id, md5(text) AS fp FROM
+                (SELECT * FROM cur0 UNION ALL SELECT * FROM curadd)),
+      j AS (SELECT coalesce(p.id, c.id) AS doc_id,
+              CASE WHEN p.id IS NULL THEN 'added'
+                   WHEN c.id IS NULL THEN 'removed'
+                   WHEN p.fp <> c.fp THEN 'changed'
+                   ELSE 'unchanged' END AS status
+            FROM prev p FULL OUTER JOIN cur c ON p.id = c.id)
+      SELECT doc_id, status FROM j ORDER BY doc_id"""
   )
 }

@@ -168,6 +168,32 @@ object Pipelines {
         array_join(col("__chunk"), " ").as("chunk_text"))
   }
 
+  /** (id, fp) content-fingerprint frame for [[snapshotDiff]] — md5 of
+    * the raw text (portable: Spark md5(binary) = DuckDB md5(varchar)
+    * over the same UTF-8 bytes). */
+  def withFingerprint(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id.as("id"),
+      md5(text.cast(org.apache.spark.sql.types.BinaryType)).as("fp"))
+
+  /** Corpus snapshot diff — the incremental-refresh primitive: given
+    * two (id, fp) fingerprint frames (see [[withFingerprint]]), emit
+    * per id whether it was added, removed, changed, or unchanged
+    * between snapshots. One full-outer equi-join on the id — with both
+    * snapshots bucketed/partitioned by id (the natural layout for
+    * fingerprint stores, cf. [[Dedup.incrementalExact]]) the join is
+    * co-located and the fingerprints are the ONLY bytes read: corpus
+    * text is never touched, so the diff costs a fingerprint scan
+    * regardless of document sizes. */
+  def snapshotDiff(prev: DataFrame, cur: DataFrame): DataFrame =
+    prev.select(col("id"), col("fp").as("__fp_prev"))
+      .join(cur.select(col("id"), col("fp").as("__fp_cur")),
+        Seq("id"), "full_outer")
+      .select(col("id"),
+        when(col("__fp_prev").isNull, lit("added"))
+          .when(col("__fp_cur").isNull, lit("removed"))
+          .when(col("__fp_prev") =!= col("__fp_cur"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+
   /** Temperature-based mixture weighting for multi-source corpus
     * blending (the UnifiedQA/T5 "sampling ∝ size^τ" recipe, τ<1
     * up-weights small sources): per source, sampling probability

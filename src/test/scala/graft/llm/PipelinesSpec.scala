@@ -161,6 +161,19 @@ class PipelinesSpec extends SparkSpec {
     assert(!out.exists(_._1 == 3L))
   }
 
+  test("snapshotDiff: added/removed/changed/unchanged classification") {
+    val prev = Seq((1L, "one"), (2L, "two"), (3L, "three"))
+      .toDF("doc_id", "text")
+    val cur = Seq((1L, "one"), (2L, "two EDITED"), (4L, "four"))
+      .toDF("doc_id", "text")
+    val fp = (df: org.apache.spark.sql.DataFrame) =>
+      Pipelines.withFingerprint(df, $"doc_id", $"text")
+    val out = Pipelines.snapshotDiff(fp(prev), fp(cur))
+      .as[(Long, String)].collect().toMap
+    assert(out === Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+  }
+
   test("mixtureWeights: tau<1 up-weights small sources, budget adds up") {
     val docs = (1 to 900).map(i => (i.toLong, "big")) ++
       (1 to 100).map(i => (i.toLong + 1000, "small"))
