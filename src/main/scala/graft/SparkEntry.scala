@@ -1952,6 +1952,31 @@ object SparkEntry {
       Pipelines.snapshotDiff(fpOf(docs), fpOf(cur0.unionByName(added)))
         .select(col("id").as("doc_id"), col("status"))
         .orderBy(col("doc_id"))
+    },
+
+    // --- JX over LLM output (Runner.runOn composes the two halves of
+    //     the library): a dense 2-edge cube — SetDomain on lang ×
+    //     RangeDomain on the quality-model score decile — computed
+    //     over the classifier frame. The decile edge multiplies the
+    //     score by 10 INSIDE JX so bucket arithmetic stays on
+    //     engine-identical doubles (a 0.1-interval domain would join
+    //     on inexact binary fractions) ---
+    "q106_jx_over_llm" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+      val scored = graft.llm.QualityModel.classify(docs, col("text"))
+        .select(col("doc_id"), col("lang"), col("score"))
+      val q = QueryParser.parse("""
+        {"from": "scored",
+         "edges": [
+           {"name": "lang", "value": "lang",
+            "domain": {"type": "set",
+                       "partitions": ["de", "en", "es", "fr"]}},
+           {"name": "score_decile", "value": {"mult": ["score", 10]},
+            "domain": {"type": "range", "min": 0, "max": 10,
+                       "interval": 1}}],
+         "select": [{"name": "n", "aggregate": "count"}]}""")
+      Runner.runOn(scored, q)
+        .orderBy(col("lang"), col("score_decile"))
     }
   )
 
@@ -3719,6 +3744,57 @@ object SparkEntry {
                    WHEN p.fp <> c.fp THEN 'changed'
                    ELSE 'unchanged' END AS status
             FROM prev p FULL OUTER JOIN cur c ON p.id = c.id)
-      SELECT doc_id, status FROM j ORDER BY doc_id"""
+      SELECT doc_id, status FROM j ORDER BY doc_id""",
+
+    // q97's scoring replayed, bucketed into a dense lang x decile cube
+    // (4 x 10 cells, zero-filled); floor(score*10) on the bit-exact
+    // score matches the JX RangeDomain bucket
+    "q106_jx_over_llm" -> """
+      WITH t AS (
+        SELECT doc_id, lang, text,
+               list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                           x -> length(x) > 0) AS toks
+        FROM documents),
+      f AS (SELECT doc_id, lang,
+              least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS lenf,
+              CASE WHEN length(text) > 0 THEN
+                CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g'))
+                     AS DOUBLE) / CAST(length(text) AS DOUBLE)
+                ELSE 0.0 END AS punct,
+              CASE WHEN length(text) > 0 THEN
+                CAST(length(regexp_replace(text, '[^A-Z]', '', 'g'))
+                     AS DOUBLE) / CAST(length(text) AS DOUBLE)
+                ELSE 0.0 END AS upper_r,
+              CASE WHEN len(toks) > 0 THEN
+                CAST(len(list_filter(toks, x -> list_contains(
+                  ['the','a','an','and','or','of','to','in','is','it','that',
+                   'for','on','with','as','was','at','by','be','this'], x)))
+                  AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+                ELSE 0.0 END AS swr,
+              CASE WHEN len(toks) > 0 THEN
+                CAST(list_sum(list_transform(toks, x -> length(x)))
+                  AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+                ELSE 0.0 END AS mwl
+            FROM t),
+      l AS (SELECT doc_id, lang,
+              ((((-1.0 + 1.2 * lenf) + -3.0 * punct) + -1.5 * upper_r)
+                + 2.5 * swr) + -0.05 * mwl AS logit
+            FROM f),
+      s AS (SELECT doc_id, lang,
+              0.5 + 0.5 * (logit / (1.0 + abs(logit))) AS score
+            FROM l),
+      agg AS (SELECT lang, floor(score * 10) AS score_decile,
+                     count(*) AS n
+              FROM s WHERE lang IN ('de', 'en', 'es', 'fr')
+                AND floor(score * 10) >= 0 AND floor(score * 10) <= 9
+              GROUP BY 1, 2),
+      dl(lang) AS (VALUES ('de'), ('en'), ('es'), ('fr')),
+      db AS (SELECT CAST(unnest(generate_series(0, 9)) AS DOUBLE)
+               AS score_decile)
+      SELECT dl.lang, db.score_decile, coalesce(agg.n, 0) AS n
+      FROM dl CROSS JOIN db
+      LEFT JOIN agg ON agg.lang = dl.lang
+                   AND agg.score_decile = db.score_decile
+      ORDER BY dl.lang, db.score_decile"""
   )
 }
