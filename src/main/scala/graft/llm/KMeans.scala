@@ -64,6 +64,7 @@ object KMeans {
     val c = emb.select(id.as("vec_id"), vec.cast("array<double>").as("cv"))
     var cents = Similarity.centroids(c, k)
     var means: DataFrame = null
+    var lastCp: DataFrame = null
     for (_ <- 0 until iters) {
       val prev = cents
       val stepped = updateStep(emb, id, vec, prev)
@@ -73,9 +74,16 @@ object KMeans {
           posexplode(col("ct.centroid")).as(Seq("pos", "x")))
         .select(col("cell"), (col("pos") + 1).as("dim"),
           col("x").as("c_prev"))
+      // localCheckpoint the k·d-row means each round: without it the
+      // next round's plan nests this one's (iterative-lineage blowup,
+      // the connectedComponents lesson); the frame is tiny, the cut
+      // is what matters. Superseded checkpoints are freed eagerly.
       means = prevRows.join(stepped, Seq("cell", "dim"), "left")
         .select(col("cell"), col("dim"),
           coalesce(col("c"), col("c_prev")).as("c"))
+        .localCheckpoint()
+      if (lastCp != null) Dedup.unpersistCheckpoint(lastCp)
+      lastCp = means
       cents = centroidRow(means)
     }
     means

@@ -39,6 +39,16 @@ class KMeansSpec extends SparkSpec {
     assert(Set(1L, 3L, 5L).map(a) === Set(1))
   }
 
+  test("fit at many iterations: lineage stays bounded, result stable") {
+    // without the per-round localCheckpoint this nests 12 plans deep;
+    // convergence reached by round ~2, so rounds 3..12 are fixpoints
+    val m12 = meansMap(KMeans.fit(emb, $"vec_id", $"embedding",
+      k = 2, iters = 12))
+    val m3 = meansMap(KMeans.fit(emb, $"vec_id", $"embedding",
+      k = 2, iters = 3))
+    assert(m12 === m3)
+  }
+
   test("empty cells inherit the previous centroid instead of vanishing") {
     // centroid 1 is an outlier no vector is nearest to after round 1:
     // all points cluster near (1, 0); id 1 sits at (-1, -1) alone and
