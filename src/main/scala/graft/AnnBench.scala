@@ -50,7 +50,11 @@ object AnnBench {
     val corpus = copies.reduce(_ unionByName _)
       .repartition(cpus.toInt).localCheckpoint()
     val nCorpus = corpus.count()
-    val queries = base.filter(col("vec_id") % 100 === 0).limit(20)
+    // orderBy before limit: a bare limit takes whatever rows the scan
+    // yields first, so the benchmarked query set would depend on file
+    // split order — not "reproducible across runs" as claimed above
+    val queries = base.filter(col("vec_id") % 100 === 0)
+      .orderBy(col("vec_id")).limit(20)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
       .localCheckpoint()
     val nQ = queries.count()

@@ -52,8 +52,13 @@ object Bench {
     val qs = results.map { case (k, mn, _) => s"\"" + k + "\":" + mn }
       .mkString("{", ",", "}")
     // dispersion: max/min per query — ~1.0 means the reading is stable
+    // Locale.ROOT: the f-interpolator is locale-sensitive — a
+    // comma-decimal default locale would print 1,23 and corrupt the
+    // JSON line the driver parses
     val spread = results.map { case (k, mn, mx) =>
-      s"\"" + k + "\":" + (if (mn > 0) f"${mx / mn}%.2f" else "null")
+      s"\"" + k + "\":" + (if (mn > 0)
+        String.format(java.util.Locale.ROOT, "%.2f",
+          Double.box(mx / mn)) else "null")
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"queries":$qs,"spread":$spread,"sf":"$sfDir"}""")

@@ -19,6 +19,15 @@ object HashOps {
   final val Seed = 42L
   final val Salt = 0x9E3779B97F4A7C15L
 
+  /** Whitespace in the Java-regex `\\s` sense — ASCII [ \\t\\n\\x0B\\f\\r]
+    * ONLY. The column-side tokenizers (TextAnalysis.tokens: split on
+    * \\s+) and every DuckDB oracle (string_split_regex '\\s+') use this
+    * class; Character.isWhitespace additionally matches Unicode spaces
+    * (U+2028, U+2003, U+001C...), which would silently diverge the
+    * kernels from their relational twins on non-ASCII-whitespace text. */
+  @inline private def isWs(c: Char): Boolean =
+    c == ' ' || (c >= '\t' && c <= '\r')
+
   /** xxhash64 of each lowercased whitespace token, in order. */
   def tokenHashes(text: UTF8String): Array[Long] = {
     val s = text.toLowerCase.toString
@@ -26,9 +35,9 @@ object HashOps {
     val out = new scala.collection.mutable.ArrayBuffer[Long]()
     var i = 0
     while (i < n) {
-      while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
+      while (i < n && isWs(s.charAt(i))) i += 1
       val start = i
-      while (i < n && !Character.isWhitespace(s.charAt(i))) i += 1
+      while (i < n && !isWs(s.charAt(i))) i += 1
       if (i > start) {
         val bytes = s.substring(start, i)
           .getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -135,6 +144,10 @@ object HashOps {
   def textStats(text: UTF8String): ArrayData = {
     val s = text.toString
     val n = s.length
+    // counts are CODE POINTS, not UTF-16 units: SQL length() (the
+    // differential oracles' denominator) counts code points, so an
+    // astral char (emoji) must count 1 here too, not 2
+    var chars = 0L
     var tokens = 0L
     var punct = 0L
     var upper = 0L
@@ -142,19 +155,20 @@ object HashOps {
     var inTok = false
     var i = 0
     while (i < n) {
-      val c = s.charAt(i)
-      if (Character.isWhitespace(c)) inTok = false
+      val cp = s.codePointAt(i)
+      chars += 1
+      if (cp < 0x80 && isWs(cp.toChar)) inTok = false
       else {
         if (!inTok) { tokens += 1; inTok = true }
         tokenChars += 1
         // ASCII punct, matching \p{Punct}
-        if (c >= '!' && c <= '~' &&
-            !Character.isLetterOrDigit(c)) punct += 1
-        if (c >= 'A' && c <= 'Z') upper += 1
+        if (cp >= '!' && cp <= '~' &&
+            !Character.isLetterOrDigit(cp)) punct += 1
+        if (cp >= 'A' && cp <= 'Z') upper += 1
       }
-      i += 1
+      i += Character.charCount(cp)
     }
-    new GenericArrayData(Array(n.toLong, tokens, punct, upper, tokenChars))
+    new GenericArrayData(Array(chars, tokens, punct, upper, tokenChars))
   }
 
   /** Cosine similarity kernels: single fused loop (dot + both norms),
@@ -202,9 +216,9 @@ object HashOps {
     val len = s.length
     var i = 0
     while (i < len) {
-      while (i < len && Character.isWhitespace(s.charAt(i))) i += 1
+      while (i < len && isWs(s.charAt(i))) i += 1
       val start = i
-      while (i < len && !Character.isWhitespace(s.charAt(i))) i += 1
+      while (i < len && !isWs(s.charAt(i))) i += 1
       if (i > start) toks += s.substring(start, i)
     }
     if (toks.isEmpty) return null
@@ -260,9 +274,9 @@ object HashOps {
     var any = false
     var i = 0
     while (i < len) {
-      while (i < len && Character.isWhitespace(s.charAt(i))) i += 1
+      while (i < len && isWs(s.charAt(i))) i += 1
       val start = i
-      while (i < len && !Character.isWhitespace(s.charAt(i))) i += 1
+      while (i < len && !isWs(s.charAt(i))) i += 1
       if (i > start) {
         any = true
         md.reset()

@@ -61,6 +61,7 @@ object KMeans {
     * inherit the previous round's centroid. */
   def fit(emb: DataFrame, id: Column, vec: Column,
           k: Int, iters: Int): DataFrame = {
+    require(iters > 0, "k-means needs at least one Lloyd round")
     val c = emb.select(id.as("vec_id"), vec.cast("array<double>").as("cv"))
     var cents = Similarity.centroids(c, k)
     var means: DataFrame = null

@@ -106,10 +106,17 @@ object Similarity {
                     path: String, nlist: Int = 16): Unit = {
     val c = corpus.select(corpusId.as("vec_id"),
       corpusVec.cast("array<double>").as("cv"))
-    val assigned = assignCells(c, centroids(c, nlist), "cv", "cell", 1)
+    val cents = centroids(c, nlist)
+    val assigned = assignCells(c, cents, "cv", "cell", 1)
     // one file per cell, not (tasks × cells) small files
     assigned.repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
+    // centroid SIDECAR (after the overwrite above, which would wipe
+    // it): probes must not pay a full-index orderBy+limit just to
+    // rebuild nlist rows the writer already had. The underscore
+    // prefix hides the subdir from Spark's file index, so reading the
+    // cell-partitioned table is unaffected.
+    cents.write.mode("overwrite").parquet(path + "/_centroids")
   }
 
   /** Probe a materialized IVF index: per query, score only the rows of
@@ -123,10 +130,11 @@ object Similarity {
                       k: Int, nlist: Int = 16, nprobe: Int = 4)
       : DataFrame = {
     val index = spark.read.parquet(path)
-    // rebuild the (tiny, deterministic) centroid set from the index
-    // itself: the nlist lowest-id vectors
-    val cents = centroids(
-      index.select(col("vec_id"), col("cv")), nlist)
+    // the centroid sidecar written at index-build time — WITHOUT it a
+    // probe would re-derive the quantizer with an orderBy+limit over
+    // the whole index (a full-corpus scan before the pruned scan even
+    // starts, breaking the nprobe/nlist cost claim)
+    val cents = spark.read.parquet(path + "/_centroids")
     val q = assignCells(
       queries.select(queryId.as("query_id"),
         queryVec.cast("array<double>").as("qv")),
