@@ -91,17 +91,54 @@ object DedupBench {
         .select(col("comp")).distinct().count()
     }
 
+    // --- SemDeDup quantizer balance at this corpus size: the Σ|cell|²
+    // within-cell pair bound is only as good as the worst cell, so
+    // measure the histogram under BOTH quantizers on the adversarial
+    // input (stopword-correlated hashed-BoW vectors): lowest-id (zero
+    // training) vs KMeans.fit. `quad` is Σn² normalized by the even
+    // split N²/k — 1.0 means the bound holds exactly; k means the
+    // quantizer degenerated to one cell.
+    val k = 16
+    val vecs = graft.llm.Featurize.hashedBow(corpus, col("doc_id"),
+        col("text"), dim = 32)
+      .localCheckpoint()
+    def balance(hist: Array[(Int, Long)]): (Double, Double) = {
+      val n = hist.map(_._2).sum.toDouble
+      val worst = hist.map(_._2).max / n
+      val quad = hist.map(c => c._2.toDouble * c._2).sum / (n * n / k)
+      (worst, quad)
+    }
+    val (lowHist, tLow) = time(graft.llm.SemDedup.cellHistogram(
+      graft.llm.SemDedup.assign(vecs, col("doc_id"), col("v"), nlist = k)))
+    val (fitRes, tFit) = time {
+      val m = graft.llm.KMeans.fit(vecs, col("doc_id"), col("v"),
+        k = k, iters = 4)
+      graft.llm.SemDedup.cellHistogram(
+        graft.llm.SemDedup.assignFitted(vecs, col("doc_id"), col("v"), m))
+    }
+    val (lowWorst, lowQuad) = balance(lowHist)
+    val (fitWorst, fitQuad) = balance(fitRes)
+
     println(f"corpus=$nDocs docs (${mult}x $sfDir) maxDf=$maxDf")
     println(f"${"stage shingles"}%-18s $tStage%8.2f s")
     println(f"${"exact jaccard"}%-18s $tExact%8.2f s  pairs=${exact.size}")
     println(f"${"minhash+lsh"}%-18s $tLsh%8.2f s  pairs=${found.size} " +
       f"recall=$recall%.3f")
     println(f"${"clustering"}%-18s $tCc%8.2f s  clusters=$nClusters")
+    println(f"${"cells lowest-id"}%-18s $tLow%8.2f s  " +
+      f"worst=$lowWorst%.3f quad=$lowQuad%.2f " +
+      s"hist=${lowHist.map(_._2).sorted.reverse.mkString(",")}")
+    println(f"${"cells fitted"}%-18s $tFit%8.2f s  " +
+      f"worst=$fitWorst%.3f quad=$fitQuad%.2f " +
+      s"hist=${fitRes.map(_._2).sorted.reverse.mkString(",")}")
     println(s"""{"bench":"dedup","corpus":$nDocs,"mult":$mult,""" +
       s""""stage_sec":$tStage,"exact_sec":$tExact,""" +
       s""""exact_pairs":${exact.size},"lsh_sec":$tLsh,""" +
       s""""lsh_pairs":${found.size},"recall":$recall,""" +
-      s""""cc_sec":$tCc,"clusters":$nClusters}""")
+      s""""cc_sec":$tCc,"clusters":$nClusters,""" +
+      s""""cell_worst_lowid":$lowWorst,"cell_quad_lowid":$lowQuad,""" +
+      s""""cell_worst_fitted":$fitWorst,"cell_quad_fitted":$fitQuad,""" +
+      s""""fit_sec":$tFit}""")
     spark.stop()
   }
 }

@@ -1558,12 +1558,19 @@ object SparkEntry {
         .filter(col("event_type") === "purchase" &&
           pmod(col("user_id"), lit(3)) === 0)
         .select(col("user_id").as("b_user"), col("ts").as("b_ts"))
+      // drain watermark DERIVED from the static backlog's event-time
+      // span (EventStream.backlogSpanWatermark): even if the source
+      // delivered the backlog across many micro-batches, no row can be
+      // late-dropped vs the batch oracle — the single-batch assumption
+      // is enforced away, not assumed (EventStreamSpec holds the
+      // multi-batch law at maxFilesPerTrigger=1)
       val joined = EventStream.intervalJoin(
         views, "a_ts", purchases, "b_ts",
         col("user_id") === col("b_user") &&
           col("b_ts") >= col("a_ts") &&
           col("b_ts") <= col("a_ts") + expr("interval 30 minutes"),
-        watermark = "2 hours")
+        watermark = EventStream.backlogSpanWatermark(
+          tbl(spark, dir, "events"), "ts"))
       EventStream.runToCompletion(spark, joined, mode = "append")
         .agg(count(lit(1)).as("n_pairs"),
           count_distinct(col("user_id")).as("n_users"),
@@ -1977,6 +1984,75 @@ object SparkEntry {
          "select": [{"name": "n", "aggregate": "count"}]}""")
       Runner.runOn(scored, q)
         .orderBy(col("lang"), col("score_decile"))
+    },
+
+    // --- SemDeDup under a FITTED quantizer (the paper's own recipe:
+    //     cluster with k-means, then dedup within cells): hashed-BoW
+    //     vectors -> 2 Lloyd rounds from the lowest-id init ->
+    //     within-fitted-cell pairs. BoW counts are integers, so every
+    //     Lloyd mean is an EXACT rational (integer sum / count) —
+    //     bit-identical across engines in any summation order — and
+    //     the whole fit loop is oracle-replayable, not just one step
+    //     (q101). This is the production path that kills q102's hot
+    //     lowest-id cell; the measured cell balance is in
+    //     BENCHMARKS.md ---
+    "q107_semdedup_fitted" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val variants = docs.select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        col("text").substr(lit(1),
+          greatest(length(col("text")) - 30, lit(1))).as("text"))
+      val vecs = graft.llm.Featurize.hashedBow(
+        docs.unionByName(variants), col("doc_id"), col("text"), dim = 32)
+      // fit reads a checkpointed copy so the Lloyd rounds don't
+      // recompute the BoW chain per round; the blocks are freed as
+      // soon as the (itself checkpoint-backed) centroid table exists
+      val vecsCp = vecs.localCheckpoint()
+      val means = graft.llm.KMeans.fit(vecsCp, col("doc_id"), col("v"),
+        k = 16, iters = 2)
+      graft.llm.Lifecycle.release(vecsCp)
+      graft.llm.SemDedup.duplicatesFitted(vecs, col("doc_id"), col("v"),
+          means, threshold = 0.95)
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_dups"),
+             sum(when(col("dup_id") === col("kept_id") + 1000000L, 1L)
+               .otherwise(0L)).as("n_variant_pairs"),
+             min(col("max_cosine")).as("min_cosine"),
+             max(col("max_cosine")).as("top_cosine"))
+        .orderBy(col("cell"))
+    },
+
+    // --- the OTHER hot-cell mitigation: secondary-hash splitting of
+    //     oversized cells under the (deliberately degenerate on BoW)
+    //     lowest-id quantizer. Every subcell is capped at ~200 rows,
+    //     restoring the Σ|cell|² bound; the price — pairs straddling a
+    //     split are not compared — is deterministic (portable md5
+    //     subcell hash) and therefore hash-compared, not hidden:
+    //     variant pairs land in different subcells unless their ids
+    //     hash together, so n_variant_pairs here is a measured recall
+    //     loss vs q102's same pairs ---
+    "q108_semdedup_split" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val variants = docs.select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        col("text").substr(lit(1),
+          greatest(length(col("text")) - 30, lit(1))).as("text"))
+      val vecs = graft.llm.Featurize.hashedBow(
+        docs.unionByName(variants), col("doc_id"), col("text"), dim = 32)
+      val assigned = graft.llm.SemDedup.assign(vecs, col("doc_id"),
+        col("v"), nlist = 16)
+      val split = graft.llm.SemDedup.splitOversizedCells(assigned,
+        cap = 200)
+      graft.llm.SemDedup.duplicatesAssigned(split, threshold = 0.95)
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_dups"),
+             sum(when(col("dup_id") === col("kept_id") + 1000000L, 1L)
+               .otherwise(0L)).as("n_variant_pairs"),
+             min(col("max_cosine")).as("min_cosine"),
+             max(col("max_cosine")).as("top_cosine"))
+        .orderBy(col("cell"))
     }
   )
 
@@ -3795,6 +3871,141 @@ object SparkEntry {
       FROM dl CROSS JOIN db
       LEFT JOIN agg ON agg.lang = dl.lang
                    AND agg.score_decile = db.score_decile
-      ORDER BY dl.lang, db.score_decile"""
+      ORDER BY dl.lang, db.score_decile""",
+
+    "q107_semdedup_fitted" -> q107OracleSql,
+
+    // lowest-id quantizer (deliberately degenerate on BoW), then
+    // oversized cells re-keyed by a portable md5 subcell hash with a
+    // 200-row cap: cell -> cell*1024 + (hash16(doc_id) % ceil(n/200))
+    "q108_semdedup_split" -> s"""
+      WITH $bowDenseSql,
+      cents AS (SELECT doc_id AS cent_id, v AS cv FROM dense
+                ORDER BY doc_id LIMIT 16),
+      scored AS (SELECT dense.doc_id, dense.v, cents.cent_id,
+                        list_cosine_similarity(dense.v, cents.cv) AS cos
+                 FROM dense CROSS JOIN cents),
+      assigned AS (SELECT doc_id, v, CAST(cell AS INT) AS cell FROM (
+          SELECT doc_id, v, cent_id AS cell,
+                 row_number() OVER (PARTITION BY doc_id
+                   ORDER BY cos DESC, cent_id ASC) AS rn
+          FROM scored) WHERE rn = 1),
+      counts AS (SELECT cell, count(*) AS n FROM assigned GROUP BY 1),
+      fac AS (SELECT cell, CAST(ceil(n / 200.0) AS INT) AS s FROM counts),
+      split AS (SELECT a.doc_id, a.v,
+          CAST(a.cell * 1024 + CASE WHEN f.s > 1 THEN
+            CAST(('0x' || substring(md5(CAST(a.doc_id AS VARCHAR)), 1, 4))
+                 AS INTEGER) % f.s
+            ELSE 0 END AS INT) AS cell
+        FROM assigned a JOIN fac f USING (cell)),
+      pairs AS (SELECT a.cell, b.doc_id AS dup_id, a.doc_id AS kept0,
+                       round(list_cosine_similarity(a.v, b.v), 6) AS cos6
+                FROM split a JOIN split b
+                  ON a.cell = b.cell AND a.doc_id < b.doc_id
+                WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.95),
+      dups AS (SELECT cell, dup_id, min(kept0) AS kept_id,
+                      max(cos6) AS max_cosine
+               FROM pairs GROUP BY 1, 2)
+      SELECT cell, count(*) AS n_dups,
+             CAST(sum(CASE WHEN dup_id = kept_id + 1000000
+                           THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_variant_pairs,
+             min(max_cosine) AS min_cosine,
+             max(max_cosine) AS top_cosine
+      FROM dups GROUP BY 1 ORDER BY 1"""
   )
+
+  /** Shared q102/q107/q108 oracle prefix: documents + tail-truncated
+    * variants -> dense 32-dim hashed-BoW vectors (md5 token slots,
+    * integer counts). Emits CTEs `base..dense`; `dense` is
+    * (doc_id, v). */
+  private val bowDenseSql: String = """base AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000,
+               substring(text, 1, greatest(length(text) - 30, 1))
+        FROM documents),
+      tk AS (SELECT doc_id, unnest(list_filter(
+               string_split_regex(lower(trim(text)), '\s+'),
+               x -> length(x) > 0)) AS t FROM base),
+      contrib AS (SELECT doc_id,
+          CAST(('0x' || substring(md5(t), 1, 4)) AS INTEGER) % 32 AS b
+        FROM tk),
+      grouped AS (SELECT doc_id, b, CAST(count(*) AS DOUBLE) AS val
+                  FROM contrib GROUP BY 1, 2),
+      dims AS (SELECT unnest(generate_series(0, 31)) AS b),
+      docs2 AS (SELECT DISTINCT doc_id FROM grouped),
+      cells0 AS (SELECT doc_id, d.b FROM docs2 CROSS JOIN dims d),
+      dense AS (SELECT c.doc_id, list(coalesce(g.val, 0.0)
+                  ORDER BY c.b) AS v
+                FROM cells0 c LEFT JOIN grouped g USING (doc_id, b)
+                GROUP BY c.doc_id)"""
+
+  /** One Lloyd round of the q107 oracle, mirroring [[graft.llm.KMeans
+    * .fit]] exactly: centroid lists from means(r-1) (c ORDER BY dim —
+    * the centroidRow array_sort), reassign (ties to lower cell id),
+    * per-(cell, dim) mean of the ORIGINAL vectors, densify (empty
+    * cells inherit the previous centroid). On integer-count BoW
+    * vectors every mean is an exact integer-sum ratio, so the loop is
+    * bit-identical across engines in any summation order. */
+  private def lloydRoundSql(r: Int): String = {
+    val p = r - 1
+    s"""rc$r AS (SELECT cell, list(c ORDER BY dim) AS cv
+               FROM means$p GROUP BY cell),
+      sc$r AS (SELECT d.doc_id, d.v, r.cell AS cent_id,
+                      list_cosine_similarity(d.v, r.cv) AS cos
+               FROM dense d CROSS JOIN rc$r r),
+      asg$r AS (SELECT doc_id, v, CAST(cell AS INT) AS cell FROM (
+          SELECT doc_id, v, cent_id AS cell,
+                 row_number() OVER (PARTITION BY doc_id
+                   ORDER BY cos DESC, cent_id ASC) AS rn
+          FROM sc$r) WHERE rn = 1),
+      xx$r AS (SELECT cell,
+                      CAST(unnest(generate_series(1, len(v))) AS INT) AS dim,
+                      unnest(v) AS val
+               FROM asg$r),
+      st$r AS (SELECT cell, dim, avg(val) AS c FROM xx$r GROUP BY 1, 2),
+      means$r AS (SELECT p.cell, p.dim, coalesce(s.c, p.c) AS c
+                  FROM means$p p LEFT JOIN st$r s USING (cell, dim))"""
+  }
+
+  /** q107: hashed BoW -> 2-round Lloyd fit from the lowest-id init ->
+    * SemDeDup within the FITTED cells (KMeans.fit -> duplicatesFitted
+    * replayed end-to-end). */
+  private def q107OracleSql: String = s"""
+      WITH $bowDenseSql,
+      cents0 AS (SELECT doc_id AS cent_id, v AS cv FROM dense
+                 ORDER BY doc_id LIMIT 16),
+      means0 AS (SELECT CAST(cent_id AS INT) AS cell,
+                        CAST(unnest(generate_series(1, len(cv))) AS INT)
+                          AS dim,
+                        unnest(cv) AS c
+                 FROM cents0),
+      ${lloydRoundSql(1)},
+      ${lloydRoundSql(2)},
+      rcF AS (SELECT cell, list(c ORDER BY dim) AS cv
+              FROM means2 GROUP BY cell),
+      scF AS (SELECT d.doc_id, d.v, r.cell AS cent_id,
+                     list_cosine_similarity(d.v, r.cv) AS cos
+              FROM dense d CROSS JOIN rcF r),
+      asgF AS (SELECT doc_id, v, CAST(cell AS INT) AS cell FROM (
+          SELECT doc_id, v, cent_id AS cell,
+                 row_number() OVER (PARTITION BY doc_id
+                   ORDER BY cos DESC, cent_id ASC) AS rn
+          FROM scF) WHERE rn = 1),
+      pairs AS (SELECT a.cell, b.doc_id AS dup_id, a.doc_id AS kept0,
+                       round(list_cosine_similarity(a.v, b.v), 6) AS cos6
+                FROM asgF a JOIN asgF b
+                  ON a.cell = b.cell AND a.doc_id < b.doc_id
+                WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.95),
+      dups AS (SELECT cell, dup_id, min(kept0) AS kept_id,
+                      max(cos6) AS max_cosine
+               FROM pairs GROUP BY 1, 2)
+      SELECT cell, count(*) AS n_dups,
+             CAST(sum(CASE WHEN dup_id = kept_id + 1000000
+                           THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_variant_pairs,
+             min(max_cosine) AS min_cosine,
+             max(max_cosine) AS top_cosine
+      FROM dups GROUP BY 1 ORDER BY 1"""
 }

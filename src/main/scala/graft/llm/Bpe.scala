@@ -73,12 +73,44 @@ object Bpe {
   }
 
   /** Train `numMerges` merge rules; returns the ordered merge table.
-    * Each round: distributed weighted pair count → top-1 (freq desc,
-    * then (a,b) asc for determinism) → broadcast re-segmentation.
-    * Stops early when no pair occurs twice. */
+    * Each round: distributed weighted pair count → top-`batchSize`
+    * (freq desc, then (a,b) asc for determinism) → broadcast
+    * re-segmentation applying the accepted batch in one pass. Stops
+    * early when no pair occurs twice.
+    *
+    * BATCHING (the driver-round bottleneck fix): a 30-50k-rule
+    * production vocabulary at one merge per distributed count is
+    * 30-50k Spark jobs regardless of data size. With `batchSize` > 1
+    * a round accepts a PREFIX of the sorted candidate list and applies
+    * it in one re-segmentation pass, cutting rounds ~batchSize×. The
+    * batch is chosen so the result is PROVABLY identical to
+    * one-merge-at-a-time training (BpeSpec holds this as a law, on
+    * the classic corpus and on randomized ones):
+    *
+    *  - merging (a,b) never increases any other current pair's count,
+    *    and leaves counts of pairs DISJOINT from {a,b} unchanged — so
+    *    a disjoint next candidate's rank among OLD pairs is stable;
+    *  - the only counts that can grow are pairs involving the fused
+    *    symbol; a new (x, ab) adjacency consumes an (x, a) one (and
+    *    (ab, y) consumes (b, y)), so each is bounded by the current
+    *    per-symbol maxima — the "ceiling" below (plus the counts
+    *    already on a pre-existing symbol equal to the fused string,
+    *    for the degenerate vocab-collision case);
+    *  - therefore the prefix is extended only while the next candidate
+    *    (i) shares no symbol (nor fused output) with the batch so far,
+    *    and (ii) its frequency is STRICTLY above the batch's new-pair
+    *    ceiling (strict, because a tied new pair could win the
+    *    (a, b) asc tie-break). Any violation ends the round; the
+    *    remaining rules are re-derived from fresh counts next round.
+    *
+    * Per round this costs one extra small aggregation (per-symbol
+    * maxima for ≤ 3·batchSize candidate symbols); `batchSize = 1`
+    * keeps the exact original single-job rounds. */
   def train(spark: SparkSession, docs: DataFrame, text: Column,
-            numMerges: Int, checkpointEvery: Int = 8)
+            numMerges: Int, checkpointEvery: Int = 8,
+            batchSize: Int = 1)
       : Seq[(String, String, Long)] = {
+    require(batchSize >= 1, "batchSize must be >= 1")
     var words = wordFreqs(docs, text)
       .select(col("word"), col("freq"),
         initSymbols(col("word")).as("symbols"))
@@ -90,32 +122,96 @@ object Bpe {
     var lastCp = words
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(String, String, Long)]
-    var round = 0
+    var sinceCp = 0
     var done = false
-    while (round < numMerges && !done) {
-      val top = pairCounts(words, col("symbols"), col("freq"))
+    while (merges.size < numMerges && !done) {
+      val m = math.min(batchSize, numMerges - merges.size)
+      val counts = pairCounts(words, col("symbols"), col("freq"))
         .filter(col("pair_freq") >= 2)
+      val cands = counts
         .orderBy(col("pair_freq").desc, col("a").asc, col("b").asc)
-        .limit(1).collect()
-      if (top.isEmpty) done = true
+        .limit(m).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      if (cands.isEmpty) done = true
       else {
-        val r = top.head
-        val (a, b, f) = (r.getString(0), r.getString(1), r.getLong(2))
-        merges += ((a, b, f))
+        val batch =
+          if (m == 1 || cands.length == 1) cands.take(1)
+          else selectBatch(cands, symbolCaps(counts, cands), m)
+        merges ++= batch
         val next = words.withColumn("symbols",
-          mergePair(col("symbols"), a, b))
+          batch.foldLeft(col("symbols")) { case (s, (a, b, _)) =>
+            mergePair(s, a, b)
+          })
+        sinceCp += batch.size
         words =
-          if ((round + 1) % checkpointEvery == 0) {
+          if (sinceCp >= checkpointEvery) {
             val cp = next.localCheckpoint()
             Dedup.unpersistCheckpoint(lastCp)
             lastCp = cp
+            sinceCp = 0
             cp
           } else next
-        round += 1
       }
     }
     Dedup.unpersistCheckpoint(lastCp)
     merges.toSeq
+  }
+
+  /** Greedy PREFIX acceptance for one batched round (see [[train]]):
+    * candidates arrive in the sequential-greedy total order; accept
+    * while symbols stay disjoint and the frequency clears the
+    * new-pair ceiling. The first violation ends the batch — skipping
+    * past an overlapping candidate could diverge from sequential
+    * order, so the round stops instead. */
+  private def selectBatch(cands: Seq[(String, String, Long)],
+                          caps: (Map[String, Long], Map[String, Long]),
+                          m: Int): Seq[(String, String, Long)] = {
+    val (maxFirst, maxSecond) = caps
+    val used = scala.collection.mutable.Set.empty[String]
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, Long)]
+    var ceiling = 0L
+    var stop = false
+    val it = cands.iterator
+    while (!stop && out.size < m && it.hasNext) {
+      val (a, b, f) = it.next()
+      val fused = a + b
+      if (out.nonEmpty &&
+          (used(a) || used(b) || used(fused) || f <= ceiling)) stop = true
+      else {
+        out += ((a, b, f))
+        used += a; used += b; used += fused
+        // any pair the fused symbol can form is bounded by what its
+        // parents formed — plus whatever a PRE-EXISTING symbol equal
+        // to the fused string already formed (vocab-collision case)
+        val grow = math.max(
+          maxSecond.getOrElse(a, 0L) + maxSecond.getOrElse(fused, 0L),
+          maxFirst.getOrElse(b, 0L) + maxFirst.getOrElse(fused, 0L))
+        ceiling = math.max(ceiling, grow)
+      }
+    }
+    out.toSeq
+  }
+
+  /** Per-symbol maxima over the current pair counts, for the batch
+    * ceiling: max freq of any pair whose FIRST element is s, and of
+    * any pair whose SECOND element is s — one small aggregation
+    * filtered to the ≤ 3·batch candidate symbols. */
+  private def symbolCaps(counts: DataFrame,
+                         cands: Seq[(String, String, Long)])
+      : (Map[String, Long], Map[String, Long]) = {
+    val syms = cands.flatMap { case (a, b, _) => Seq(a, b, a + b) }.distinct
+    val rows = counts.filter(col("a").isin(syms: _*))
+      .groupBy(col("a").as("s")).agg(max(col("pair_freq")).as("mx"))
+      .select(lit(1).as("side"), col("s"), col("mx"))
+      .unionByName(counts.filter(col("b").isin(syms: _*))
+        .groupBy(col("b").as("s")).agg(max(col("pair_freq")).as("mx"))
+        .select(lit(2).as("side"), col("s"), col("mx")))
+      .collect()
+    (rows.filter(_.getInt(0) == 1)
+       .map(r => r.getString(1) -> r.getLong(2)).toMap,
+     rows.filter(_.getInt(0) == 2)
+       .map(r => r.getString(1) -> r.getLong(2)).toMap)
   }
 
   /** Apply an ordered merge table to a symbols column (inference-side

@@ -46,8 +46,10 @@ object KMeans {
 
   /** Rebuild the broadcastable single-row centroid frame from (cell,
     * dim, c) rows — explicit (cent_id asc, dim asc) ordering via
-    * array_sort, never collect_list arrival order. */
-  private def centroidRow(means: DataFrame): DataFrame =
+    * array_sort, never collect_list arrival order. Package-visible so
+    * [[SemDedup]] and [[Similarity]] can consume a fitted table
+    * through the same assignment path as the lowest-id quantizer. */
+  private[llm] def centroidRow(means: DataFrame): DataFrame =
     means.groupBy(col("cell"))
       .agg(transform(array_sort(collect_list(struct(col("dim"),
         col("c")))), s => s.getField("c")).as("centroid"))
@@ -58,7 +60,11 @@ object KMeans {
   /** `iters` Lloyd rounds from the deterministic lowest-id init;
     * returns the final (cell, dim, c) centroid table. Each round is
     * one row-local assign + one k·d-keyed aggregation; empty cells
-    * inherit the previous round's centroid. */
+    * inherit the previous round's centroid.
+    *
+    * The returned frame is localCheckpoint-backed (the checkpoint cuts
+    * the iterative lineage); when a long-running session is done with
+    * it, free the executor blocks with [[Lifecycle.release]]. */
   def fit(emb: DataFrame, id: Column, vec: Column,
           k: Int, iters: Int): DataFrame = {
     require(iters > 0, "k-means needs at least one Lloyd round")

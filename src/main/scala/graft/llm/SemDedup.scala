@@ -2,10 +2,11 @@ package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.BinaryType
 
 /** Semantic deduplication — the SemDeDup recipe (Abbas et al. 2023,
   * arXiv:2303.09540; public recipe re-derived in DataFrame terms):
-  * cluster embeddings into k cells with a cheap coarse quantizer, then
+  * cluster embeddings into k cells with a coarse quantizer, then
   * compare pairs ONLY within a cell and drop every vector that has a
   * near-identical cell-mate.
   *
@@ -13,11 +14,30 @@ import org.apache.spark.sql.functions._
   * cannot: the all-pairs cost N² becomes Σ|cell|² ≈ N²/k — the
   * clustering bounds the quadratic to cell-sized blocks, and the
   * within-cell self-join is a plain equi-join on `cell` (shuffle both
-  * sides by cell id, AQE skew-split handles hot cells). The quantizer
-  * is the SAME deterministic one as [[Similarity.ivfTopK]] (the `nlist`
-  * lowest-id vectors), so at ingest the cell id can be a partition
-  * column shared with the IVF index — one clustering serves both
-  * dedup and search.
+  * sides by cell id, AQE skew-split handles hot cells).
+  *
+  * THE BOUND IS ONLY AS GOOD AS THE CELL BALANCE: a cell holding 30%
+  * of the corpus is ~0.09·N² pair comparisons no matter how the rest
+  * is spread (AQE parallelizes the hot cell but cannot shrink its pair
+  * count). Three quantizers, in decreasing fidelity / increasing
+  * availability:
+  *
+  *  1. FITTED ([[duplicatesFitted]]): a `KMeans.fit` (cell, dim, c)
+  *     centroid table — the published SemDeDup pipeline's own choice
+  *     (the paper clusters with k-means). Use this whenever a fit is
+  *     affordable; it is the only one that adapts to the data's shape.
+  *  2. LOWEST-ID ([[duplicates]]): the `nlist` lowest-id vectors act
+  *     as centroids — deterministic, zero training, shared with
+  *     [[Similarity.ivfTopK]]; adequate for roughly isotropic
+  *     embeddings, degenerate for stopword-correlated BoW vectors.
+  *  3. EITHER + [[splitOversizedCells]]: a portable secondary hash
+  *     re-keys cells past a row cap, restoring the Σ|cell|² bound at
+  *     the cost of missing pairs that straddle a split (the standard
+  *     recall trade, deterministic and oracle-replayable).
+  *
+  * Every `duplicates*` call runs a cheap cell-balance guard (a k-row
+  * aggregate over the already-persisted assignment) and warns on
+  * stderr when the worst cell exceeds ~4/k of the corpus.
   *
   * Determinism contract (what the DuckDB oracle replays): assignment
   * ties break to the lower centroid id; a vector is a duplicate iff
@@ -27,26 +47,60 @@ import org.apache.spark.sql.functions._
   */
 object SemDedup {
 
-  /** Nearest-cell assignment: `(id, cv, cell)` — row-local broadcast
-    * array math, no shuffle (see [[Similarity.assignCells]]). */
+  /** Subcell id space per split cell: [[splitOversizedCells]] re-keys
+    * `cell` to `cell * SplitBase + sub`, so a split factor must stay
+    * below this (validated eagerly against the real histogram). */
+  val SplitBase = 1024
+
+  /** Nearest-cell assignment under the LOWEST-ID quantizer:
+    * `(vec_id, cv, cell)` — row-local broadcast array math, no shuffle
+    * (see [[Similarity.assignCells]]). */
   def assign(emb: DataFrame, id: Column, vec: Column, nlist: Int)
       : DataFrame = {
     val c = emb.select(id.as("vec_id"), vec.cast("array<double>").as("cv"))
     Similarity.assignCells(c, Similarity.centroids(c, nlist), "cv", "cell", 1)
   }
 
-  /** Duplicate pairs: for each duplicate, its cell, lowest-id surviving
-    * neighbour, and best (max) cosine to any lower-id cell-mate above
-    * the threshold. Output is small (duplicates only), inputs never
-    * leave their cell. */
+  /** Nearest-cell assignment under a FITTED quantizer — a (cell, dim,
+    * c) centroid table from [[KMeans.fit]] (or any table in that
+    * shape). Same row-local broadcast math; only the centroids differ. */
+  def assignFitted(emb: DataFrame, id: Column, vec: Column,
+                   means: DataFrame): DataFrame =
+    KMeans.assign(emb, id, vec, means)
+
+  /** Duplicate pairs under the lowest-id quantizer. */
   def duplicates(emb: DataFrame, id: Column, vec: Column,
-                 nlist: Int, threshold: Double): DataFrame = {
-    // both sides of the within-cell self-join read the assignment; an
-    // uncached frame would recompute the featurize/assign chain per
-    // side (same persistence discipline as the minhash signature
-    // table — (id, vector, cell) only, spills to executor disk)
-    val assigned = assign(emb, id, vec, nlist)
+                 nlist: Int, threshold: Double): DataFrame =
+    duplicatesAssigned(assign(emb, id, vec, nlist), threshold)
+
+  /** Duplicate pairs under a fitted (cell, dim, c) centroid table —
+    * the SemDeDup-paper path: `KMeans.fit` the quantizer, then bucket
+    * and compare. This is what kills the hot-cell hazard on
+    * stopword-correlated BoW vectors (measured in BENCHMARKS.md). */
+  def duplicatesFitted(emb: DataFrame, id: Column, vec: Column,
+                       means: DataFrame, threshold: Double): DataFrame =
+    duplicatesAssigned(assignFitted(emb, id, vec, means), threshold)
+
+  /** Duplicate pairs over a pre-assigned `(vec_id, cv, cell)` frame:
+    * for each duplicate, its cell, lowest-id surviving neighbour, and
+    * best (max) cosine to any lower-id cell-mate above the threshold.
+    * Output is small (duplicates only), inputs never leave their cell.
+    *
+    * The assignment is persisted (both sides of the self-join read it;
+    * uncached it would recompute the featurize/assign chain per side)
+    * and stays cached for the session — free it with
+    * [[Lifecycle.release]] on the returned frame once materialized.
+    * Construction also runs the cell-balance guard: one k-row
+    * aggregate (which doubles as a cache warm-up), warning on stderr
+    * when the worst cell exceeds `maxCellFraction` (default ~4/k) —
+    * the signal to switch to [[duplicatesFitted]] or
+    * [[splitOversizedCells]]. */
+  def duplicatesAssigned(assigned0: DataFrame, threshold: Double,
+                         maxCellFraction: Option[Double] = None)
+      : DataFrame = {
+    val assigned = assigned0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    warnOnImbalance(cellHistogram(assigned), maxCellFraction)
     val a = assigned.select(col("cell"), col("vec_id").as("kept_id"),
       col("cv").as("va"))
     val b = assigned.select(col("cell"), col("vec_id").as("dup_id"),
@@ -70,4 +124,81 @@ object SemDedup {
       .select(col("dup_id"))
     emb.join(dups, id === col("dup_id"), "left_anti")
   }
+
+  /** Fitted-quantizer survivors — [[semanticDedup]] with a
+    * [[KMeans.fit]] centroid table. */
+  def semanticDedupFitted(emb: DataFrame, id: Column, vec: Column,
+                          means: DataFrame, threshold: Double): DataFrame = {
+    val dups = duplicatesFitted(emb, id, vec, means, threshold)
+      .select(col("dup_id"))
+    emb.join(dups, id === col("dup_id"), "left_anti")
+  }
+
+  /** Re-key cells that exceed `cap` rows by a PORTABLE secondary hash
+    * (md5 of the id, the [[Pipelines.hashBucket]] trick — an oracle
+    * can replay it): cell c with n rows becomes ceil(n/cap) subcells
+    * `c * SplitBase + sub`, so no subcell holds more than ~cap rows in
+    * expectation and the Σ|cell|² pair bound is restored regardless of
+    * how degenerate the quantizer was. Cells within the cap keep a
+    * single subcell (`sub = 0`) — ALL output cell ids are re-keyed to
+    * the `c * SplitBase` space so split and unsplit cells never
+    * collide.
+    *
+    * The trade, explicitly: a near-duplicate pair whose two members
+    * hash to different subcells is NOT compared (the same in-cell-only
+    * trade the quantizer already makes, applied one level down).
+    * Split factors are computed from the real histogram (one k-row
+    * aggregate, collected eagerly — also validates every factor fits
+    * [[SplitBase]]) and joined back as a broadcast literal frame. */
+  def splitOversizedCells(assigned: DataFrame, cap: Long): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val factors = cellHistogram(assigned).map { case (cell, n) =>
+      (cell, math.ceil(n.toDouble / cap).toInt)
+    }
+    require(factors.forall(_._2 <= SplitBase),
+      s"a cell needs more than $SplitBase subcells at cap=$cap — " +
+        "raise the cap (or fix the quantizer)")
+    val fdf = factors.toSeq.toDF("cell", "__s")
+    assigned.join(broadcast(fdf), Seq("cell"))
+      .withColumn("cell",
+        (col("cell") * SplitBase +
+          when(col("__s") > lit(1), pmod(hash16(col("vec_id")), col("__s")))
+            .otherwise(lit(0))).cast("int"))
+      .drop("__s")
+  }
+
+  /** (cell, rows) histogram of an assignment — k rows, collected. */
+  def cellHistogram(assigned: DataFrame): Array[(Int, Long)] =
+    assigned.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+
+  /** Worst-cell fraction of an assignment histogram (0 for empty). */
+  def worstCellFraction(hist: Array[(Int, Long)]): Double =
+    if (hist.isEmpty) 0.0
+    else hist.map(_._2).max.toDouble / hist.map(_._2).sum
+
+  private def warnOnImbalance(hist: Array[(Int, Long)],
+                              maxCellFraction: Option[Double]): Unit =
+    if (hist.nonEmpty) {
+      val frac = worstCellFraction(hist)
+      val limit = maxCellFraction
+        .getOrElse(math.min(1.0, 4.0 / hist.length))
+      if (frac > limit) {
+        val worst = hist.maxBy(_._2)
+        System.err.println(
+          f"[graft] SemDedup: hot cell ${worst._1} holds ${frac * 100}%.1f%% " +
+            f"of ${hist.map(_._2).sum} vectors (guard ${limit * 100}%.1f%%) — " +
+            "within-cell pair cost is quadratic in the cell; refine the " +
+            "quantizer (KMeans.fit -> duplicatesFitted) or " +
+            "splitOversizedCells")
+      }
+    }
+
+  /** Portable 16-bit md5 hash of an id (same construction as
+    * [[Pipelines.hashBucket]], modulus as a Column). */
+  private def hash16(id: Column): Column =
+    conv(substring(md5(id.cast("string").cast(BinaryType)), 1, 4), 16, 10)
+      .cast("int")
 }

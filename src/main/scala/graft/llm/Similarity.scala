@@ -106,7 +106,26 @@ object Similarity {
                     path: String, nlist: Int = 16): Unit = {
     val c = corpus.select(corpusId.as("vec_id"),
       corpusVec.cast("array<double>").as("cv"))
-    val cents = centroids(c, nlist)
+    writeIndexWith(c, centroids(c, nlist), path)
+  }
+
+  /** FITTED-quantizer index write: same layout and sidecar, centroids
+    * from a [[KMeans.fit]] (cell, dim, c) table instead of the
+    * lowest-id vectors. Because probes read the quantizer from the
+    * sidecar, [[ivfProbeIndexed]] works unchanged — and cell balance
+    * (hence per-probe scan cost) follows the fitted clustering, which
+    * is what keeps cells even on data where the lowest-id quantizer
+    * degenerates (measured in BENCHMARKS.md). */
+  def ivfWriteIndexFitted(corpus: DataFrame, corpusId: Column,
+                          corpusVec: Column, path: String,
+                          means: DataFrame): Unit = {
+    val c = corpus.select(corpusId.as("vec_id"),
+      corpusVec.cast("array<double>").as("cv"))
+    writeIndexWith(c, KMeans.centroidRow(means), path)
+  }
+
+  private def writeIndexWith(c: DataFrame, cents: DataFrame,
+                             path: String): Unit = {
     val assigned = assignCells(c, cents, "cv", "cell", 1)
     // one file per cell, not (tasks × cells) small files
     assigned.repartition(col("cell"))
@@ -133,8 +152,22 @@ object Similarity {
     // the centroid sidecar written at index-build time — WITHOUT it a
     // probe would re-derive the quantizer with an orderBy+limit over
     // the whole index (a full-corpus scan before the pruned scan even
-    // starts, breaking the nprobe/nlist cost claim)
-    val cents = spark.read.parquet(path + "/_centroids")
+    // starts, breaking the nprobe/nlist cost claim). Indexes written
+    // BEFORE the sidecar existed (or whose sidecar was deleted) fall
+    // back to that derivation — every pre-sidecar index used the
+    // lowest-id quantizer, so the rebuilt centroids match the cells
+    // on disk; the warning flags the one-off full scan.
+    val cents =
+      try spark.read.parquet(path + "/_centroids")
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          System.err.println(
+            s"[graft] ivfProbeIndexed: no _centroids sidecar under " +
+              s"$path — rebuilding the lowest-id quantizer with a " +
+              "full-index scan (rewrite the index to restore " +
+              "partition-pruned probe cost)")
+          centroids(index.select(col("vec_id"), col("cv")), nlist)
+      }
     val q = assignCells(
       queries.select(queryId.as("query_id"),
         queryVec.cast("array<double>").as("qv")),

@@ -232,21 +232,43 @@ object EventStream {
     * found (no watermark wait), so a static backlog drains in one
     * AvailableNow batch.
     *
-    * SINGLE-BATCH DRAIN ASSUMPTION (batch-parity callers): when the
-    * whole backlog arrives in ONE micro-batch, no row is ever dropped —
-    * the watermark only advances AFTER the batch. If the same backlog
-    * arrived across several batches (multi-file tables,
-    * maxFilesPerTrigger), rows older than `watermark` behind a later
-    * batch's maximum would be late-dropped — correct streaming
+    * MULTI-BATCH DRAIN SAFETY (batch-parity callers): when the whole
+    * backlog arrives in ONE micro-batch, no row is ever dropped — the
+    * watermark only advances AFTER the batch. If the same backlog
+    * arrives across several batches (multi-file tables,
+    * maxFilesPerTrigger), rows older than `watermark` behind an
+    * earlier batch's maximum are late-DROPPED — correct streaming
     * semantics, but it diverges from a batch oracle that joins
-    * everything. [[readTable]] streams a single file (one batch), which
-    * is what keeps q89's oracle parity exact; a multi-batch replay
-    * needs `watermark` >= the data's full event-time span to compare
-    * against a batch join. */
+    * everything. This is ENFORCED, not just documented: derive the
+    * drain watermark with [[backlogSpanWatermark]] (>= the backlog's
+    * full event-time span, so no in-backlog row can ever be "late")
+    * whenever the source may deliver more than one batch —
+    * EventStreamSpec replays a chronologically interleaved 3-file
+    * backlog at maxFilesPerTrigger=1 and holds parity as a law (and
+    * shows a short watermark really does drop rows). q89 derives its
+    * watermark this way; a production CONTINUOUS stream sizes the
+    * watermark to its real out-of-orderness instead. */
   def intervalJoin(a: DataFrame, aTs: String, b: DataFrame, bTs: String,
                    cond: Column, watermark: String): DataFrame =
     a.withWatermark(aTs, watermark)
       .join(b.withWatermark(bTs, watermark), cond)
+
+  /** Watermark delay covering a STATIC backlog's full event-time span
+    * (+1 s margin): with this delay, no row of the backlog can fall
+    * behind the watermark no matter how files are batched or ordered,
+    * so a drain over any number of micro-batches joins exactly what a
+    * batch join would. One tiny min/max aggregate over the batch twin
+    * of the stream (parquet footer stats make this a metadata-only
+    * scan in the common case). */
+  def backlogSpanWatermark(batch: DataFrame, tsCol: String): String = {
+    val r = batch.agg(min(col(tsCol)), max(col(tsCol))).collect()(0)
+    if (r.isNullAt(0)) "0 seconds"
+    else {
+      val sec = (r.getTimestamp(1).getTime - r.getTimestamp(0).getTime) /
+        1000L + 1
+      s"$sec seconds"
+    }
+  }
 
   /** Run a streaming aggregation to completion over the (static) backlog
     * — Trigger.AvailableNow against a memory sink — and return the final

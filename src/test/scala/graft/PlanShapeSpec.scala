@@ -76,14 +76,37 @@ class PlanShapeSpec extends SparkSpec {
     assert(countOf(p, "Exchange") <= 1)
   }
 
+  // BNLJ counting must walk the TREE, not the rendered string: the
+  // semdedup queries cache their assignment, and a MATERIALIZED
+  // InMemoryRelation renders its cached build plan (which legitimately
+  // contains the tiny single-row centroid crossJoin) into the string —
+  // twice. The pair join itself must never nest-loop.
+  private def topLevelBnlj(name: String): Int = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, TestSpark.sfDir)
+    df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.joins
+          .BroadcastNestedLoopJoinExec => b
+    }.size
+  }
+
   test("q96 semdedup: within-cell equi-join, never a cartesian pair scan") {
     val p = plan("q96_semdedup")
     assert(!p.contains("CartesianProduct"),
       "pairs must come from the cell equi-join, not an all-pairs scan")
     assert(p.contains("Join"), "expected the within-cell self-join")
-    // the only nested-loop joins are the single-row centroid broadcasts
-    assert(countOf(p, "BroadcastNestedLoopJoin") <= 2,
-      "only the tiny single-row centroid-array broadcasts may nest-loop")
+    // the centroid broadcasts sit inside the cached assignment build;
+    // the pair join above the cache must be a pure equi-join
+    assert(topLevelBnlj("q96_semdedup") === 0,
+      "the within-cell pair join must not nest-loop")
+  }
+
+  test("q107 fitted semdedup: within-cell equi-join under fitted cells") {
+    val p = plan("q107_semdedup_fitted")
+    assert(!p.contains("CartesianProduct"),
+      "pairs must come from the fitted-cell equi-join, not all-pairs")
+    assert(p.contains("Join"), "expected the within-cell self-join")
+    assert(topLevelBnlj("q107_semdedup_fitted") === 0,
+      "the within-cell pair join must not nest-loop")
   }
 
   test("q97 quality classifier: one kernel pass, no join, no shuffle") {

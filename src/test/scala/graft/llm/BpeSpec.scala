@@ -66,4 +66,51 @@ class BpeSpec extends SparkSpec {
     val merges = Bpe.train(spark, docs, $"text", numMerges = 10)
     assert(merges.isEmpty)
   }
+
+  test("LAW: batched training reproduces the sequential merge table " +
+      "on the classic corpus") {
+    val docs = Seq(
+      ("low " * 5) + ("lower " * 2) + ("newest " * 6) + ("widest " * 3)
+    ).toDF("text")
+    val sequential = Bpe.train(spark, docs, $"text", numMerges = 8)
+    val batched = Bpe.train(spark, docs, $"text", numMerges = 8,
+      batchSize = 4)
+    assert(batched === sequential,
+      s"batched $batched must equal sequential $sequential")
+  }
+
+  test("LAW: batched == sequential on randomized corpora (seeded)") {
+    // the prefix/ceiling acceptance rule makes batching EXACT, not
+    // approximate — so equality must hold on arbitrary corpora, not
+    // just the classic one. Seeded generator: failures reproduce.
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val letters = "abcde"
+      val words = (1 to 30).map { _ =>
+        val len = 2 + rnd.nextInt(5)
+        (1 to len).map(_ => letters(rnd.nextInt(letters.length))).mkString
+      }
+      val docs = Seq(words.mkString(" ")).toDF("text")
+      val sequential = Bpe.train(spark, docs, $"text", numMerges = 10)
+      val batched = Bpe.train(spark, docs, $"text", numMerges = 10,
+        batchSize = 5)
+      assert(batched === sequential,
+        s"trial $trial diverged: corpus=${words.mkString(" ")}\n" +
+          s"batched   = $batched\nsequential = $sequential")
+    }
+  }
+
+  test("batched rounds actually batch (fewer rounds than merges)") {
+    // count pair-count jobs indirectly: with disjoint high-frequency
+    // pairs the first round must accept several rules at once — the
+    // classic corpus has es=9, st=9 overlapping, so use one where the
+    // top pairs share no symbols
+    val docs = Seq(("ab " * 9) + ("cd " * 7) + ("ef " * 5)).toDF("text")
+    val batched = Bpe.train(spark, docs, $"text", numMerges = 3,
+      batchSize = 3)
+    val sequential = Bpe.train(spark, docs, $"text", numMerges = 3)
+    assert(batched === sequential)
+    assert(batched.map(m => (m._1, m._2)) ===
+      Seq(("a", "b"), ("c", "d"), ("e", "f")))
+  }
 }

@@ -39,6 +39,107 @@ class SemDedupSpec extends SparkSpec {
     assert(ids === Set(0L, 1L, 4L))
   }
 
+  test("duplicatesFitted: fitted cells agree with lowest-id cells here " +
+      "and find the same pairs") {
+    // on this tiny set the k-means fit converges to cluster means that
+    // induce the SAME partition as the lowest-id quantizer, so the
+    // fitted path must reproduce the unfitted result exactly
+    val means = KMeans.fit(emb, $"vec_id", $"embedding", k = 2, iters = 3)
+    val d = SemDedup.duplicatesFitted(emb, $"vec_id", $"embedding",
+        means, threshold = 0.9)
+      .collect().map(r => (r.getAs[Long]("dup_id"),
+        r.getAs[Long]("kept_id"))).toSet
+    assert(d === Set((2L, 0L), (3L, 1L)))
+  }
+
+  test("duplicatesFitted rescues pairs a degenerate quantizer separates") {
+    // DEGENERATE lowest-id quantizer: both init centroids (ids 0, 1)
+    // sit in the +x cluster, ~5.7° apart — the whole +y cluster piles
+    // into centroid 1's cell AND near-dup +x pairs straddling the
+    // 2.9° bisector between the redundant centroids are split. The
+    // fit migrates centroid 1 to the +y mean, after which the +x
+    // cluster is one cell and every near-dup pair is in-cell.
+    val e = Seq(
+      (0L, Seq(1.0f, 0.0f)),      // init centroid A (0°)
+      (1L, Seq(0.995f, 0.1f)),    // init centroid B (5.7°) — redundant
+      (2L, Seq(0.9995f, 0.025f)), // 1.4°: cell A under the degenerate init
+      (3L, Seq(0.9985f, 0.075f)), // 4.3°: cell B — the (2,3) pair splits
+      (10L, Seq(0.0f, 1.0f)),
+      (11L, Seq(0.001f, 0.999f))  // near-dup of 10
+    ).toDF("vec_id", "embedding")
+    val unfitted = SemDedup.duplicates(e, $"vec_id", $"embedding",
+        nlist = 2, threshold = 0.99)
+      .select("dup_id").as[Long].collect().toSet
+    // dup 1 missing: the (0,1)/(0,3)/(1,2) cross-cell pairs are unseen
+    assert(unfitted === Set(2L, 3L, 11L),
+      s"precondition: degenerate cells must split the +x pairs, got " +
+        unfitted.toSeq.sorted.mkString(","))
+    val means = KMeans.fit(e, $"vec_id", $"embedding", k = 2, iters = 3)
+    val fitted = SemDedup.duplicatesFitted(e, $"vec_id", $"embedding",
+        means, threshold = 0.99)
+      .select("dup_id").as[Long].collect().toSet
+    assert(fitted === Set(1L, 2L, 3L, 11L),
+      "the fitted quantizer must put the whole +x cluster in one cell")
+  }
+
+  test("splitOversizedCells: caps subcells, re-keys into the SplitBase " +
+      "space, and split pairs are a subset of unsplit pairs") {
+    val many = (0L until 64L).map(i =>
+      (i, Seq(1.0f, (i % 7).toFloat / 1000f))) // one hot cell
+    val e = many.toDF("vec_id", "embedding")
+    val assigned = SemDedup.assign(e, $"vec_id", $"embedding", nlist = 1)
+    val split = SemDedup.splitOversizedCells(assigned, cap = 16)
+    val hist = SemDedup.cellHistogram(split)
+    assert(hist.length === 4, "64 rows / cap 16 = 4 subcells")
+    assert(hist.forall { case (c, _) => c >= 0 && c < SemDedup.SplitBase },
+      "cell 0 must re-key into [0, SplitBase)")
+    // md5 spread is not exactly even; the cap bounds the EXPECTED size
+    assert(hist.forall(_._2 <= 2 * 16), s"subcell too hot: ${hist.toSeq}")
+    val unsplitDups = SemDedup.duplicatesAssigned(assigned, 0.9)
+      .select("dup_id").as[Long].collect().toSet
+    val splitDups = SemDedup.duplicatesAssigned(split, 0.9)
+      .select("dup_id").as[Long].collect().toSet
+    assert(splitDups.nonEmpty)
+    assert(splitDups.subsetOf(unsplitDups),
+      "every split-found duplicate must be a duplicate without the split")
+  }
+
+  test("small cells keep a single subcell (sub = 0) and never collide") {
+    val e = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)),
+      (2L, Seq(0.9f, 0.1f)), (3L, Seq(0.1f, 0.9f))
+    ).toDF("vec_id", "embedding")
+    val assigned = SemDedup.assign(e, $"vec_id", $"embedding", nlist = 2)
+    val split = SemDedup.splitOversizedCells(assigned, cap = 100)
+    val cells = split.select("cell").distinct().as[Int].collect().toSet
+    assert(cells === Set(0, SemDedup.SplitBase))
+  }
+
+  test("Lifecycle.release frees the persisted assignment and a " +
+      "checkpointed fit") {
+    val sc = spark.sparkContext
+    def cachedRdds: Int = sc.getPersistentRDDs.size
+    val before = cachedRdds
+    // distinct ids from every other test in the suite: the cache
+    // manager dedups identical plans, so reusing `emb` here would
+    // silently reuse an earlier test's cached assignment
+    val e = Seq(
+      (100L, Seq(1.0f, 0.0f)), (101L, Seq(0.0f, 1.0f)),
+      (102L, Seq(0.99f, 0.01f))
+    ).toDF("vec_id", "embedding")
+    val dups = SemDedup.duplicates(e, $"vec_id", $"embedding",
+      nlist = 2, threshold = 0.9)
+    dups.collect()
+    assert(cachedRdds > before, "duplicates must persist its assignment")
+    Lifecycle.release(dups)
+    assert(cachedRdds === before, "release must drop the assignment cache")
+    val means = KMeans.fit(e, $"vec_id", $"embedding", k = 2, iters = 2)
+    means.collect()
+    assert(cachedRdds > before, "fit returns a checkpoint-backed frame")
+    Lifecycle.release(means)
+    assert(cachedRdds === before, "release must drop the checkpoint blocks")
+  }
+
   test("cross-cell near-identical pairs are NOT compared (the recall trade)") {
     // two near-identical vectors straddling the two cells' boundary:
     // brute force finds the pair, SemDedup (by design) does not

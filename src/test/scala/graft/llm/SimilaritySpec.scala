@@ -114,6 +114,55 @@ class SimilaritySpec extends SparkSpec {
       s"expected an IN partition filter: $pf")
   }
 
+  test("fitted IVF index: probe reads the fitted quantizer from the " +
+      "sidecar and cells follow the fit") {
+    import spark.implicits._
+    val emb = catalog.table("embeddings")
+    val qs = emb.filter(col("vec_id") < 5)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf_fit").toString
+    val means = KMeans.fit(emb, col("vec_id"), col("embedding"),
+      k = 8, iters = 2)
+    Similarity.ivfWriteIndexFitted(emb, col("vec_id"), col("embedding"),
+      path, means)
+    // on-disk cells must be the FITTED assignment, not lowest-id
+    val onDisk = spark.read.parquet(path)
+      .select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    val fitted = KMeans.assign(emb, col("vec_id"), col("embedding"), means)
+      .select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    assert(onDisk === fitted)
+    // probing at nprobe = nlist is exact regardless of the quantizer
+    val probed = Similarity.ivfProbeIndexed(spark, path,
+      qs, col("vec_id"), col("embedding"), k = 3, nlist = 8, nprobe = 8)
+    val exact = Similarity.bruteForceTopK(emb, col("vec_id"),
+      col("embedding"), qs, col("vec_id"), col("embedding"), k = 3)
+    assert(probed.select("query_id", "vec_id").as[(Long, Long)]
+        .collect().toSet ===
+      exact.select("query_id", "vec_id").as[(Long, Long)].collect().toSet)
+    Lifecycle.release(means)
+  }
+
+  test("probe falls back to lowest-id centroids when the sidecar is gone") {
+    import spark.implicits._
+    val emb = catalog.table("embeddings")
+    val qs = emb.filter(col("vec_id") < 3)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf_nosc").toString
+    Similarity.ivfWriteIndex(emb, col("vec_id"), col("embedding"), path,
+      nlist = 8)
+    // simulate a pre-sidecar index (or a deleted sidecar)
+    val sc = new java.io.File(path, "_centroids")
+    sc.listFiles().foreach(_.delete()); assert(sc.delete())
+    val probed = Similarity.ivfProbeIndexed(spark, path,
+      qs, col("vec_id"), col("embedding"), k = 3, nlist = 8, nprobe = 2)
+    val direct = Similarity.ivfTopK(emb, col("vec_id"), col("embedding"),
+      qs, col("vec_id"), col("embedding"), k = 3, nlist = 8, nprobe = 2)
+    assert(probed.select("query_id", "vec_id").as[(Long, Long)]
+        .collect().toSet ===
+      direct.select("query_id", "vec_id").as[(Long, Long)]
+        .collect().toSet)
+  }
+
   test("LSH top-k recall vs brute force is reasonable at few planes") {
     val emb = catalog.table("embeddings")
     val q = emb.filter(col("vec_id") < 8)

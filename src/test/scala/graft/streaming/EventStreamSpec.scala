@@ -150,6 +150,77 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("LAW: interval join over a MULTI-batch backlog keeps batch " +
+      "parity when the watermark covers the backlog span — and a " +
+      "short watermark really drops rows") {
+    import spark.implicits._
+    // a 2-user view/purchase backlog split so the MATCHING sides of
+    // the old pairs arrive in DIFFERENT micro-batches, after a newer
+    // batch has already pushed the watermark forward: a same-batch
+    // pair always joins (both rows are present in the batch), so the
+    // late-drop hazard only bites when one side must come from STATE
+    // a short watermark has already evicted
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivj_multi").toString
+    def base(d: Int): Long = 1700000000000L + d.toLong * 86400000L
+    def view(u: Long, t: Long) =
+      (u, new java.sql.Timestamp(t), "view")
+    def purchase(u: Long, t: Long) =
+      (u, new java.sql.Timestamp(t + 600000L), "purchase")
+    val chunks: Seq[Seq[(Long, java.sql.Timestamp, String)]] = Seq(
+      // file 1 (days 10/11): complete pairs — advances the watermark
+      Seq(view(1L, base(10)), purchase(1L, base(10)),
+          view(2L, base(11)), purchase(2L, base(11))),
+      // file 2 (day 0, far OLDER): views only — must survive in state
+      Seq(view(1L, base(0)), view(2L, base(0))),
+      // file 3 (day 0): the matching purchases, one batch later
+      Seq(purchase(1L, base(0)), purchase(2L, base(0))))
+    chunks.foreach { rows =>
+      rows.toDF("user_id", "ts", "event_type")
+        .coalesce(1).write.mode("append").parquet(dir)
+      // distinct modification seconds => deterministic file order
+      Thread.sleep(1100)
+    }
+    val batchDf = spark.read.parquet(dir)
+    val batchPairs = batchDf.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("a_ts"))
+      .join(batchDf.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("b_user"), col("ts").as("b_ts")),
+        col("user_id") === col("b_user") &&
+          col("b_ts") >= col("a_ts") &&
+          col("b_ts") <= col("a_ts") + expr("interval 30 minutes"))
+      .count()
+    assert(batchPairs === 4L,
+      "precondition: 2 same-batch pairs + 2 cross-batch day-0 pairs")
+    // the hazard is real: a 1-hour watermark late-drops file 2's rows
+    val short = drainedWithFilesPerTrigger(dir, batchDf, "1 hour")
+    assert(short < batchPairs,
+      s"expected the short watermark to drop pairs, got $short")
+    // the derived span watermark restores exact batch parity
+    val span = EventStream.backlogSpanWatermark(batchDf, "ts")
+    val safe = drainedWithFilesPerTrigger(dir, batchDf, span)
+    assert(safe === batchPairs)
+  }
+
+  /** Drain the dir's backlog one file per micro-batch through the
+    * interval join at the given watermark; returns emitted pair count. */
+  private def drainedWithFilesPerTrigger(dir: String,
+      batchDf: org.apache.spark.sql.DataFrame, watermark: String): Long = {
+    val stream = spark.readStream.schema(batchDf.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val views = stream.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("a_ts"))
+    val purchases = stream.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("b_user"), col("ts").as("b_ts"))
+    val joined = EventStream.intervalJoin(
+      views, "a_ts", purchases, "b_ts",
+      col("user_id") === col("b_user") &&
+        col("b_ts") >= col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr("interval 30 minutes"),
+      watermark)
+    EventStream.runToCompletion(spark, joined, mode = "append").count()
+  }
+
   test("stream-static anti-join drops rows whose key is in the store") {
     import spark.implicits._
     val stream = EventStream.readTable(spark, graft.TestSpark.sfDir,
