@@ -23,12 +23,24 @@ object Service {
 
   val DefaultLimit = 10000L
 
-  def query(spark: SparkSession, dir: String, json: String): String = {
+  def query(spark: SparkSession, dir: String, json: String): String =
+    query(spark, dir, json, Map.empty)
+
+  /** Service entry with REGISTERED VIEWS: operator-output frames
+    * (e.g. [[graft.llm.QualityModel.classify]] scores, a
+    * [[graft.llm.SemDedup.semanticDedup]] survivor set) become
+    * queryable JX tables for this call — the q106 composition exposed
+    * at the service surface, so a pipeline can publish its stages to
+    * ad-hoc queries without a parquet round-trip. */
+  def query(spark: SparkSession, dir: String, json: String,
+            views: Map[String, org.apache.spark.sql.DataFrame]): String = {
     val q0 = QueryParser.parse(json)
     // service-level default limit for un-limited setop queries
     val q = if (q0.limit.isEmpty && !q0.isAggregate)
       q0.copy(limit = Some(DefaultLimit)) else q0
-    val runner = new Runner(spark, new Catalog(spark, dir))
+    val catalog = new Catalog(spark, dir)
+    views.foreach { case (n, df) => catalog.register(n, df) }
+    val runner = new Runner(spark, catalog)
     render(runner, q)
   }
 

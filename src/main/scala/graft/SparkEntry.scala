@@ -1735,7 +1735,15 @@ object SparkEntry {
     //     banded join + signature-agreement estimate WITHOUT re-reading
     //     historical text; recall-floored against the exact cross-set
     //     n-gram-Jaccard twin (computed in full by the DuckDB oracle,
-    //     q26-style) ---
+    //     q26-style).
+    //     BENCH NOTE — do not chase this query's wall time as a probe
+    //     regression: per bench iteration it pays (a) the minhash
+    //     index PARQUET WRITE (an ingest cost a production pipeline
+    //     pays once per corpus, not per probe) and (b) the full exact
+    //     inverted-index twin, which exists only as the recall oracle.
+    //     The operator under test — the banded LSH probe of the
+    //     signature index — is the small remainder (~1s of the ~4-7s
+    //     headline at sf0.1; see BENCHMARKS.md) ---
     "q95_incremental_neardup" -> { (spark, dir) =>
       val docs = tbl(spark, dir, "documents")
       val hist = docs.filter(pmod(col("doc_id"), lit(10)) < 7)
@@ -1855,11 +1863,19 @@ object SparkEntry {
     //     grouped mean whose key cardinality k·d lets map-side partial
     //     aggregation collapse the shuffle; the oracle replays assign
     //     + element-wise per-cell means (KMeansSpec covers the
-    //     multi-round fit loop the oracle can't express) ---
+    //     multi-round fit loop the oracle can't express; q107 oracles
+    //     the full fit on this same vector family).
+    //     INPUT IS HASHED-BoW, NOT embeddings, on purpose: per-cell
+    //     avg() over arbitrary doubles re-sums in partition-dependent
+    //     order and a last-ULP flip can cross a round-6 boundary;
+    //     integer-count vectors make every mean an EXACT integer-sum
+    //     ratio — order-independent in any engine ---
     "q101_kmeans_step" -> rounded("c" -> 6)({ (spark, dir) =>
-      val emb = tbl(spark, dir, "embeddings")
-      graft.llm.KMeans.updateStep(emb, col("vec_id"), col("embedding"),
-          graft.llm.KMeans.init(emb, col("vec_id"), col("embedding"), 8))
+      val docs = tbl(spark, dir, "documents")
+      val vecs = graft.llm.Featurize.hashedBow(docs, col("doc_id"),
+        col("text"), dim = 32)
+      graft.llm.KMeans.updateStep(vecs, col("doc_id"), col("v"),
+          graft.llm.KMeans.init(vecs, col("doc_id"), col("v"), 8))
         .orderBy(col("cell"), col("dim"))
     }),
 
@@ -1907,8 +1923,11 @@ object SparkEntry {
     //     average token log-probability. λ=0.5 ON PURPOSE: 1-λ must be
     //     IEEE-exact in BOTH engines (1-0.7 is 0.30000000000000004 in
     //     Scala but a different literal in SQL); probabilities are
-    //     exact count ratios, so only ln() (≤1 ULP libm skew) and the
-    //     per-doc avg reorder sit under the 6-digit rounding ---
+    //     exact count ratios, so only ln() (≤1 ULP libm skew) sits
+    //     under the 6-digit rounding: deterministicAvg folds the
+    //     VALUE-SORTED per-doc log-probs (both engines reduce the same
+    //     ordered list), killing the partition-dependent avg() reorder
+    //     that could intermittently flip a rounded digit ---
     "q103_lm_score" -> rounded("avg_logprob" -> 6)({ (spark, dir) =>
       val docs = tbl(spark, dir, "documents")
       val train = docs.filter(Pipelines.hashBucket(col("doc_id")) < 80)
@@ -1916,7 +1935,7 @@ object SparkEntry {
       graft.llm.LangModel.scoreDocs(test, col("doc_id"), col("text"),
           graft.llm.LangModel.unigrams(train, col("text")),
           graft.llm.LangModel.bigrams(train, col("text")),
-          lambda = 0.5, k = 1.0)
+          lambda = 0.5, k = 1.0, deterministicAvg = true)
         .orderBy(col("doc_id"))
     }),
 
@@ -3644,17 +3663,33 @@ object SparkEntry {
     // one Lloyd step: nearest-centroid assignment (8 lowest-id
     // vectors, ties to lower cent_id) then element-wise per-cell
     // means; equal-length unnests zip in DuckDB
+    // hashed-BoW input on purpose: integer-count vectors make every
+    // per-cell mean an exact integer-sum ratio, order-independent in
+    // both engines (the avg-reorder hazard embeddings would carry)
     "q101_kmeans_step" -> """
-      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-                 FROM embeddings),
-      cents AS (SELECT vec_id AS cent_id, v AS cv FROM e
-                ORDER BY vec_id LIMIT 8),
-      scored AS (SELECT e.vec_id, e.v, cents.cent_id,
-                        list_cosine_similarity(e.v, cents.cv) AS cos
-                 FROM e CROSS JOIN cents),
-      assigned AS (SELECT vec_id, v, CAST(cell AS INT) AS cell FROM (
-          SELECT vec_id, v, cent_id AS cell,
-                 row_number() OVER (PARTITION BY vec_id
+      WITH tk AS (SELECT doc_id, unnest(list_filter(
+               string_split_regex(lower(trim(text)), '\s+'),
+               x -> length(x) > 0)) AS t FROM documents),
+      contrib AS (SELECT doc_id,
+          CAST(('0x' || substring(md5(t), 1, 4)) AS INTEGER) % 32 AS b
+        FROM tk),
+      grouped AS (SELECT doc_id, b, CAST(count(*) AS DOUBLE) AS val
+                  FROM contrib GROUP BY 1, 2),
+      dims AS (SELECT unnest(generate_series(0, 31)) AS b),
+      docs2 AS (SELECT DISTINCT doc_id FROM grouped),
+      cells0 AS (SELECT doc_id, d.b FROM docs2 CROSS JOIN dims d),
+      dense AS (SELECT c.doc_id, list(coalesce(g.val, 0.0)
+                  ORDER BY c.b) AS v
+                FROM cells0 c LEFT JOIN grouped g USING (doc_id, b)
+                GROUP BY c.doc_id),
+      cents AS (SELECT doc_id AS cent_id, v AS cv FROM dense
+                ORDER BY doc_id LIMIT 8),
+      scored AS (SELECT dense.doc_id, dense.v, cents.cent_id,
+                        list_cosine_similarity(dense.v, cents.cv) AS cos
+                 FROM dense CROSS JOIN cents),
+      assigned AS (SELECT doc_id, v, CAST(cell AS INT) AS cell FROM (
+          SELECT doc_id, v, cent_id AS cell,
+                 row_number() OVER (PARTITION BY doc_id
                    ORDER BY cos DESC, cent_id ASC) AS rn
           FROM scored) WHERE rn = 1),
       x AS (SELECT cell,
@@ -3766,7 +3801,9 @@ object SparkEntry {
              LEFT JOIN bi ON tr.prev = bi.a AND tr.cur = bi.b
              CROSS JOIN stats s)
       SELECT doc_id, count(*) AS n_scored,
-             round(avg(ln(p)), 6) AS avg_logprob
+             round(list_reduce(list(ln(p) ORDER BY ln(p)),
+                               (acc, x) -> acc + x) / count(*), 6)
+               AS avg_logprob
       FROM sc GROUP BY 1 ORDER BY 1""",
 
     // rolling 20-token spans; a span is duplicated when its text

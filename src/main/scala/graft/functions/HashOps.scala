@@ -19,14 +19,19 @@ object HashOps {
   final val Seed = 42L
   final val Salt = 0x9E3779B97F4A7C15L
 
-  /** Whitespace in the Java-regex `\\s` sense — ASCII [ \\t\\n\\x0B\\f\\r]
-    * ONLY. The column-side tokenizers (TextAnalysis.tokens: split on
-    * \\s+) and every DuckDB oracle (string_split_regex '\\s+') use this
-    * class; Character.isWhitespace additionally matches Unicode spaces
-    * (U+2028, U+2003, U+001C...), which would silently diverge the
-    * kernels from their relational twins on non-ASCII-whitespace text. */
+  /** Whitespace in the RE2 `\\s` sense — ASCII [ \\t\\n\\f\\r] ONLY,
+    * WITHOUT U+000B (vertical tab). The engine's whitespace contract
+    * is pinned to the most restrictive class among its verification
+    * engines: Java regex `\\s` includes \\x0B but DuckDB/RE2 `\\s`
+    * does not (verified empirically: string_split_regex keeps
+    * 'a\\x0Bb' whole), so the column-side tokenizers use the EXPLICIT
+    * class [ \\t\\n\\f\\r]+ (TextAnalysis.tokens) and this kernel
+    * matches it — text containing a vertical tab now tokenizes
+    * identically in the kernels, the relational twins, and every
+    * oracle. Character.isWhitespace is further off (it adds Unicode
+    * spaces U+2028, U+2003, U+001C...). */
   @inline private def isWs(c: Char): Boolean =
-    c == ' ' || (c >= '\t' && c <= '\r')
+    c == ' ' || (c >= '\t' && c <= '\r' && c != '\u000B')
 
   /** xxhash64 of each lowercased whitespace token, in order. */
   def tokenHashes(text: UTF8String): Array[Long] = {

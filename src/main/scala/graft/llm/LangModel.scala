@@ -48,10 +48,24 @@ object LangModel {
 
   /** Per-doc (doc_id, n_scored, avg_logprob): every token transition
     * of `score` docs scored under the interpolated model trained from
-    * the `uni`/`bi` count tables. Token-less docs drop out. */
+    * the `uni`/`bi` count tables. Token-less docs drop out.
+    *
+    * `deterministicAvg`: plain `avg()` re-sums partial aggregates in
+    * partition-dependent order, and a last-ULP difference between two
+    * summation orders can flip the 6th rounded digit of a
+    * hash-compared result (observed once on q102's cosines). With
+    * `deterministicAvg = true` the per-doc mean is instead a fold over
+    * the VALUE-SORTED collected log-probs — order-independent by
+    * construction, replayable in any engine with an ordered-list
+    * reduce. Cost: the shuffle carries the per-doc double list
+    * (8 B/token, same order as the transition join itself) instead of
+    * a (sum, count) pair, and the list is doc-length-bounded — fine
+    * for verification surfaces; the default keeps the cheap shape for
+    * production scoring where a ULP in the mean is immaterial. */
   def scoreDocs(docs: DataFrame, id: Column, text: Column,
                 uni: DataFrame, bi: DataFrame,
-                lambda: Double = 0.7, k: Double = 1.0): DataFrame = {
+                lambda: Double = 0.7, k: Double = 1.0,
+                deterministicAvg: Boolean = false): DataFrame = {
     // scalar train stats as a broadcast single-row frame
     val stats = uni.agg(sum(col("c")).cast("double").as("__n"),
       count(lit(1)).cast("double").as("__v"))
@@ -83,8 +97,16 @@ object LangModel {
         lit(k) * col("__v"))
     val p = when(col("prev").isNull, pUni)
       .otherwise(lit(lambda) * pBi + lit(1.0 - lambda) * pUni)
-    scored.select(col("doc_id"), log(p).as("__lp"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_scored"), avg(col("__lp")).as("avg_logprob"))
+    val perTok = scored.select(col("doc_id"), log(p).as("__lp"))
+    if (deterministicAvg)
+      perTok.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_scored"),
+          (aggregate(array_sort(collect_list(col("__lp"))), lit(0.0d),
+            (acc, x) => acc + x) /
+            count(lit(1)).cast("double")).as("avg_logprob"))
+    else
+      perTok.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_scored"),
+          avg(col("__lp")).as("avg_logprob"))
   }
 }

@@ -13,8 +13,12 @@ import org.apache.spark.sql.types._
 object TextAnalysis {
 
   /** Whitespace tokens, lowercased, empties dropped. */
+  // explicit [ \t\n\f\r]+, NOT \s+: Java \s includes \x0B (vertical
+  // tab) but DuckDB/RE2 \s does not — the explicit class makes the
+  // engine, the native kernels (HashOps.isWs), and every oracle agree
+  // on text containing a vertical tab
   def tokens(text: Column): Column =
-    filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
+    filter(split(lower(trim(text)), "[ \t\n\f\r]+"), t => length(t) > 0)
 
   def tokenCount(text: Column): Column = size(tokens(text))
 

@@ -38,6 +38,15 @@ final class Catalog(spark: SparkSession, dir: String) {
       .getOrElse(s"$dir/$base.parquet")
   }
 
+  /** Register an in-session DataFrame as a queryable VIRTUAL table:
+    * the JX service/runner path then resolves `name` to this frame
+    * like any base table — the hook that exposes operator OUTPUT
+    * frames (quality-classifier scores, SemDedup survivors, any
+    * pipeline stage) to ad-hoc JX queries without materializing them
+    * to parquet first. Dot-path nesting applies to base tables only;
+    * a registered name is resolved whole. */
+  def register(name: String, df: DataFrame): Unit = cache.put(name, df)
+
   def table(name: String): DataFrame = cache.getOrElseUpdate(name, {
     // virtual metadata tables, queryable like any other (JX
     // `from: "meta.columns"` — SURVEY.md §2 dynamic schema)

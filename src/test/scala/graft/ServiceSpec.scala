@@ -42,4 +42,36 @@ class ServiceSpec extends SparkSpec {
     val r = q("""{"from": "lineitem", "select": ["l_orderkey"]}""")
     assert(r.get("data").size <= Service.DefaultLimit)
   }
+
+  test("registered LLM-output views are queryable through the service") {
+    import org.apache.spark.sql.functions._
+    // publish two pipeline stages as JX views: classifier scores and
+    // the SemDeDup survivor set over hashed-BoW vectors
+    val docs = catalog.table("documents")
+    val scored = graft.llm.QualityModel.classify(docs, col("text"))
+      .select(col("doc_id"), col("lang"), col("score"), col("keep"))
+    val vecs = graft.llm.Featurize.hashedBow(docs, col("doc_id"),
+      col("text"), dim = 32)
+    val survivors = graft.llm.SemDedup.semanticDedup(vecs, col("doc_id"),
+      col("v"), nlist = 8, threshold = 0.95).select("doc_id")
+    val views = Map("quality" -> scored, "dedup_survivors" -> survivors)
+    // aggregate JX over the classifier frame
+    val r1 = mapper.readTree(Service.query(spark, TestSpark.sfDir,
+      """{"from": "quality", "groupby": ["keep"],
+          "select": [{"name": "n", "aggregate": "count"}],
+          "sort": ["keep"]}""", views))
+    val total = (0 until r1.get("data").size)
+      .map(i => r1.get("data").get(i).get("n").asLong).sum
+    assert(total === docs.count())
+    // setop JX over the survivor frame, service limit applied
+    val r2 = mapper.readTree(Service.query(spark, TestSpark.sfDir,
+      """{"from": "dedup_survivors", "where": {"lt": ["doc_id", 5]},
+          "sort": ["doc_id"]}""", views))
+    assert(r2.get("data").size > 0)
+    assert(r2.get("data").get(0).get("doc_id").asLong >= 0)
+    // base tables still resolve alongside registered views
+    val r3 = mapper.readTree(Service.query(spark, TestSpark.sfDir,
+      """{"from": "region", "sort": ["r_regionkey"]}""", views))
+    assert(r3.get("data").size === 5)
+  }
 }

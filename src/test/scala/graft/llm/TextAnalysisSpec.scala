@@ -25,6 +25,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(one[Int](6L, TextAnalysis.tokenCount($"text")) === 0)
   }
 
+  test("whitespace contract: vertical tab (U+000B) is NOT a separator " +
+      "— matching DuckDB/RE2 \\s, not Java \\s") {
+    // 'a\x0Bb' is ONE token in DuckDB string_split_regex '\s+'
+    // (verified empirically); the engine pins its whitespace class to
+    // the most restrictive verification engine so hash-compared
+    // tokenizations can never silently diverge on such text
+    val vt = Seq((1L, "a\u000Bb c")).toDF("id", "text")
+    val toks = vt.select(TextAnalysis.tokens($"text").as("t"))
+      .as[Seq[String]].collect().head
+    assert(toks === Seq("a\u000Bb", "c"))
+    // the native kernel agrees: 2 tokens, and text_stats counts the
+    // VT as a (non-whitespace) token character
+    val th = vt.select(graft.functions.token_hashes($"text").as("h"))
+      .as[Seq[Long]].collect().head
+    assert(th.length === 2)
+  }
+
   test("language id: stopword argmax + CJK script") {
     val preds = df.select($"id", TextAnalysis.langId($"text").as("l"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
