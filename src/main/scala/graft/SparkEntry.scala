@@ -2072,6 +2072,45 @@ object SparkEntry {
              min(col("max_cosine")).as("min_cosine"),
              max(col("max_cosine")).as("top_cosine"))
         .orderBy(col("cell"))
+    },
+
+    // --- FITTED-quantizer IVF index, oracled end-to-end: the same
+    //     2-round Lloyd fit as q107 feeds ivfWriteIndexFitted (cell-
+    //     partitioned parquet + centroid sidecar), then queries probe
+    //     their nprobe=4 nearest FITTED cells through the partition-
+    //     pruned path. Integer BoW vectors again make fit AND ranking
+    //     bit-exact; the oracle replays fit -> assignment -> probe-
+    //     cell selection -> within-cell exact ranking. Like q95, the
+    //     bench headline charges the per-iteration index WRITE (an
+    //     ingest cost), not the probe ---
+    "q109_ivf_fitted_probe" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val variants = docs.select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        col("text").substr(lit(1),
+          greatest(length(col("text")) - 30, lit(1))).as("text"))
+      val vecs = graft.llm.Featurize.hashedBow(
+        docs.unionByName(variants), col("doc_id"), col("text"), dim = 32)
+      val vecsCp = vecs.localCheckpoint()
+      val means = graft.llm.KMeans.fit(vecsCp, col("doc_id"), col("v"),
+        k = 16, iters = 2)
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_q109").toString + "/ivf_fitted"
+      graft.llm.Similarity.ivfWriteIndexFitted(vecsCp, col("doc_id"),
+        col("v"), idx, means)
+      // the index (and its centroid sidecar) is on disk now — the fit
+      // and the checkpointed corpus can be freed; queries re-derive
+      // their 4 vectors from the tiny filtered base table
+      graft.llm.Lifecycle.release(vecsCp)
+      graft.llm.Lifecycle.release(means)
+      val queries = graft.llm.Featurize.hashedBow(
+        docs.filter(col("doc_id") < 4), col("doc_id"), col("text"),
+        dim = 32)
+      graft.llm.Similarity.ivfProbeIndexed(spark, idx,
+        queries, col("doc_id"), col("v"),
+        k = 5, nlist = 16, nprobe = 4)
+        .orderBy(col("query_id"), col("rank"))
     }
   )
 
@@ -3912,6 +3951,8 @@ object SparkEntry {
 
     "q107_semdedup_fitted" -> q107OracleSql,
 
+    "q109_ivf_fitted_probe" -> q109OracleSql,
+
     // lowest-id quantizer (deliberately degenerate on BoW), then
     // oversized cells re-keyed by a portable md5 subcell hash with a
     // 200-row cap: cell -> cell*1024 + (hash16(doc_id) % ceil(n/200))
@@ -4045,4 +4086,51 @@ object SparkEntry {
              min(max_cosine) AS min_cosine,
              max(max_cosine) AS top_cosine
       FROM dups GROUP BY 1 ORDER BY 1"""
+
+  /** q109: the same 2-round fit as q107, then the fitted IVF probe —
+    * per query (doc_id < 4), rank the rows of its nprobe=4 nearest
+    * fitted cells by exact cosine, top-5. Replays fit -> corpus
+    * assignment (the on-disk index layout) -> probe-cell selection ->
+    * within-cell ranking. */
+  private def q109OracleSql: String = s"""
+      WITH $bowDenseSql,
+      cents0 AS (SELECT doc_id AS cent_id, v AS cv FROM dense
+                 ORDER BY doc_id LIMIT 16),
+      means0 AS (SELECT CAST(cent_id AS INT) AS cell,
+                        CAST(unnest(generate_series(1, len(cv))) AS INT)
+                          AS dim,
+                        unnest(cv) AS c
+                 FROM cents0),
+      ${lloydRoundSql(1)},
+      ${lloydRoundSql(2)},
+      rcF AS (SELECT cell, list(c ORDER BY dim) AS cv
+              FROM means2 GROUP BY cell),
+      scF AS (SELECT d.doc_id, d.v, r.cell AS cent_id,
+                     list_cosine_similarity(d.v, r.cv) AS cos
+              FROM dense d CROSS JOIN rcF r),
+      asgF AS (SELECT doc_id, v, CAST(cell AS INT) AS cell FROM (
+          SELECT doc_id, v, cent_id AS cell,
+                 row_number() OVER (PARTITION BY doc_id
+                   ORDER BY cos DESC, cent_id ASC) AS rn
+          FROM scF) WHERE rn = 1),
+      queries AS (SELECT doc_id AS query_id, v AS qv FROM dense
+                  WHERE doc_id < 4),
+      qcells AS (SELECT query_id, qv, cell FROM (
+          SELECT q.query_id, q.qv, r.cell,
+                 row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY list_cosine_similarity(q.qv, r.cv) DESC,
+                            r.cell ASC) AS rn
+          FROM queries q CROSS JOIN rcF r) WHERE rn <= 4),
+      cand AS (SELECT qc.query_id, a.doc_id AS vec_id,
+                      list_cosine_similarity(a.v, qc.qv) AS cos
+               FROM qcells qc JOIN asgF a ON a.cell = qc.cell
+               WHERE a.doc_id <> qc.query_id)
+      SELECT query_id, vec_id, CAST(rank AS INT) AS rank,
+             round(cos, 6) AS cosine
+      FROM (SELECT query_id, vec_id, cos,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY cos DESC, vec_id ASC) AS rank
+            FROM cand)
+      WHERE rank <= 5
+      ORDER BY query_id, rank"""
 }

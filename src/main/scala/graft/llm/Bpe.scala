@@ -109,7 +109,18 @@ object Bpe {
   def train(spark: SparkSession, docs: DataFrame, text: Column,
             numMerges: Int, checkpointEvery: Int = 8,
             batchSize: Int = 1)
-      : Seq[(String, String, Long)] = {
+      : Seq[(String, String, Long)] =
+    trainWithStats(spark, docs, text, numMerges, checkpointEvery,
+      batchSize)._1
+
+  /** [[train]] plus the driver-round count: (merges, rounds). Rounds
+    * = distributed pair-count sweeps, the per-merge driver-loop cost
+    * that batching cuts (~batchSize× on merge-rich corpora) — the
+    * measured number behind the batching claim (BpeBench). */
+  def trainWithStats(spark: SparkSession, docs: DataFrame, text: Column,
+                     numMerges: Int, checkpointEvery: Int = 8,
+                     batchSize: Int = 1)
+      : (Seq[(String, String, Long)], Int) = {
     require(batchSize >= 1, "batchSize must be >= 1")
     var words = wordFreqs(docs, text)
       .select(col("word"), col("freq"),
@@ -123,8 +134,10 @@ object Bpe {
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(String, String, Long)]
     var sinceCp = 0
+    var rounds = 0
     var done = false
     while (merges.size < numMerges && !done) {
+      rounds += 1
       val m = math.min(batchSize, numMerges - merges.size)
       val counts = pairCounts(words, col("symbols"), col("freq"))
         .filter(col("pair_freq") >= 2)
@@ -154,7 +167,7 @@ object Bpe {
       }
     }
     Dedup.unpersistCheckpoint(lastCp)
-    merges.toSeq
+    (merges.toSeq, rounds)
   }
 
   /** Greedy PREFIX acceptance for one batched round (see [[train]]):
