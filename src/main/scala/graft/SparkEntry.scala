@@ -2111,7 +2111,24 @@ object SparkEntry {
         queries, col("doc_id"), col("v"),
         k = 5, nlist = 16, nprobe = 4)
         .orderBy(col("query_id"), col("rank"))
-    }
+    },
+
+    // --- quality-model TRAINING, one batch-gradient step (the q97
+    //     inference module's missing half): gradient of the mean
+    //     squared error under the ALGEBRAIC sigmoid, whose derivative
+    //     0.5/(1+|x|)² is rational — every per-row term is exact IEEE
+    //     math, and the per-feature sums fold VALUE-SORTED term lists
+    //     (deterministicSum), so the whole gradient hash-compares with
+    //     no transcendental in sight. Label: lang == 'en' (train an
+    //     English-prose classifier). One pass, map-side partials,
+    //     numFeatures+1 doubles leave the executors ---
+    "q110_quality_grad" -> rounded("g" -> 6)({ (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+      graft.llm.QualityModel.gradient(docs, col("text"),
+          when(col("lang") === "en", lit(1.0)).otherwise(lit(0.0)),
+          deterministicSum = true)
+        .orderBy(col("feature"))
+    })
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same column names & rounding). */
@@ -3952,6 +3969,83 @@ object SparkEntry {
     "q107_semdedup_fitted" -> q107OracleSql,
 
     "q109_ivf_fitted_probe" -> q109OracleSql,
+
+    // one MSE gradient step under the algebraic sigmoid at the q97
+    // default weights; label = (lang == 'en'); per-feature sums are
+    // ordered-list folds (the q103 list_reduce pattern); the trailing
+    // `+ 0.0` normalizes a possible all-negative-zero fold (DuckDB's
+    // list_reduce seeds with the first element, Spark's fold with
+    // +0.0)
+    "q110_quality_grad" -> """
+      WITH t AS (
+        SELECT doc_id, lang, text,
+               list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                           x -> length(x) > 0) AS toks
+        FROM documents),
+      f AS (SELECT doc_id, lang,
+              least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS lenf,
+              CASE WHEN length(text) > 0 THEN
+                CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g'))
+                     AS DOUBLE) / CAST(length(text) AS DOUBLE)
+                ELSE 0.0 END AS punct,
+              CASE WHEN length(text) > 0 THEN
+                CAST(length(regexp_replace(text, '[^A-Z]', '', 'g'))
+                     AS DOUBLE) / CAST(length(text) AS DOUBLE)
+                ELSE 0.0 END AS upper_r,
+              CASE WHEN len(toks) > 0 THEN
+                CAST(len(list_filter(toks, x -> list_contains(
+                  ['the','a','an','and','or','of','to','in','is','it','that',
+                   'for','on','with','as','was','at','by','be','this'], x)))
+                  AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+                ELSE 0.0 END AS swr,
+              CASE WHEN len(toks) > 0 THEN
+                CAST(list_sum(list_transform(toks, x -> length(x)))
+                  AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+                ELSE 0.0 END AS mwl
+            FROM t),
+      l AS (SELECT *,
+              ((((-1.0 + 1.2 * lenf) + -3.0 * punct) + -1.5 * upper_r)
+                + 2.5 * swr) + -0.05 * mwl AS logit
+            FROM f),
+      r AS (SELECT lenf, punct, upper_r, swr, mwl,
+              ((0.5 + 0.5 * (logit / (1.0 + abs(logit))))
+                - CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END)
+              * (0.5 / ((1.0 + abs(logit)) * (1.0 + abs(logit))))
+                AS resid
+            FROM l),
+      n AS (SELECT CAST(count(*) AS DOUBLE) AS cnt FROM r)
+      SELECT feature, g FROM (
+        SELECT 'bias' AS feature,
+               round(list_reduce(list(resid ORDER BY resid),
+                 (a, b) -> a + b) / (SELECT cnt FROM n) + 0.0, 6) AS g
+        FROM r
+        UNION ALL
+        SELECT 'len_feat',
+               round(list_reduce(list(resid * lenf ORDER BY resid * lenf),
+                 (a, b) -> a + b) / (SELECT cnt FROM n) + 0.0, 6)
+        FROM r
+        UNION ALL
+        SELECT 'punct_ratio',
+               round(list_reduce(list(resid * punct ORDER BY resid * punct),
+                 (a, b) -> a + b) / (SELECT cnt FROM n) + 0.0, 6)
+        FROM r
+        UNION ALL
+        SELECT 'upper_ratio',
+               round(list_reduce(list(resid * upper_r
+                   ORDER BY resid * upper_r),
+                 (a, b) -> a + b) / (SELECT cnt FROM n) + 0.0, 6)
+        FROM r
+        UNION ALL
+        SELECT 'stopword_ratio',
+               round(list_reduce(list(resid * swr ORDER BY resid * swr),
+                 (a, b) -> a + b) / (SELECT cnt FROM n) + 0.0, 6)
+        FROM r
+        UNION ALL
+        SELECT 'mean_word_len',
+               round(list_reduce(list(resid * mwl ORDER BY resid * mwl),
+                 (a, b) -> a + b) / (SELECT cnt FROM n) + 0.0, 6)
+        FROM r)
+      ORDER BY feature""",
 
     // lowest-id quantizer (deliberately degenerate on BoW), then
     // oversized cells re-keyed by a portable md5 subcell hash with a

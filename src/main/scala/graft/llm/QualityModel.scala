@@ -92,6 +92,100 @@ object QualityModel {
     squash(linear(bias, weights.map { case (n, w) => (f(n), w) }))
   }
 
+  /** Stage kernels + features + logit/score as named columns (the
+    * CollapseProject discipline [[classify]] documents): each kernel
+    * and each feature appears in the plan exactly once no matter how
+    * many downstream expressions reference it. */
+  private def staged(df: DataFrame, text: Column,
+                     bias: Double, weights: Seq[(String, Double)])
+      : DataFrame = {
+    val withKernels = df
+      .withColumn("__ts", graft.functions.text_stats(text))
+      .withColumn("__sw", swHitCount(text))
+    val withFeats = featuresFromStats(col("__ts"), col("__sw"))
+      .foldLeft(withKernels) { case (d, (n, c)) =>
+        d.withColumn("__f_" + n, c)
+      }
+    withFeats
+      .withColumn("__logit", linear(bias,
+        weights.map { case (n, w) => (col("__f_" + n), w) }))
+      .withColumn("__score", squash(col("__logit")))
+  }
+
+  /** TRAINING, step one: the batch gradient of the mean squared error
+    * ½·avg((σ(xᵀw+b) − y)²) under the algebraic sigmoid, whose
+    * derivative σ'(x) = 0.5/(1+|x|)² is RATIONAL — so every per-row
+    * term is exact IEEE arithmetic an oracle can replay bit-for-bit
+    * (the training counterpart of [[classify]]'s determinism choices).
+    * Returns one (feature, g) row per weight plus the `bias` row.
+    *
+    * Shape for 100 TB: ONE pass — kernels and features staged
+    * row-local, then a single global aggregate whose map-side partials
+    * reduce each task to (numFeatures+1) doubles before the (one-row)
+    * exchange. The corpus is never collected; the model state that
+    * leaves the executors is numFeatures+1 doubles.
+    *
+    * `deterministicSum`: the per-feature Σ resid·fᵢ re-sums in
+    * partition-dependent order (the q103 hazard); with this flag the
+    * sums fold VALUE-SORTED collected term lists instead —
+    * order-independent for hash-compared verification (q110), at the
+    * cost of shuffling the term lists (8 B/doc/feature). Production
+    * steps keep the cheap partial-agg form. */
+  def gradient(df: DataFrame, text: Column, label: Column,
+               bias: Double = DefaultBias,
+               weights: Seq[(String, Double)] = DefaultWeights,
+               deterministicSum: Boolean = false): DataFrame = {
+    val s = staged(df, text, bias, weights)
+      .withColumn("__y", label.cast(DoubleType))
+      // d/dlogit ½(σ−y)² = (σ−y)·σ'(logit); σ' = 0.5/(1+|x|)²
+      .withColumn("__resid",
+        (col("__score") - col("__y")) *
+          (lit(0.5) / ((lit(1.0) + abs(col("__logit"))) *
+                       (lit(1.0) + abs(col("__logit"))))))
+    val terms: Seq[(String, Column)] =
+      ("bias", lit(1.0).cast(DoubleType)) +:
+        weights.map { case (n, _) => (n, col("__f_" + n)) }
+    val aggs = terms.zipWithIndex.map { case ((_, f), i) =>
+      val t = col("__resid") * f
+      val g =
+        if (deterministicSum)
+          aggregate(array_sort(collect_list(t)), lit(0.0d),
+            (acc, x) => acc + x) / count(lit(1)).cast(DoubleType)
+        else sum(t) / count(lit(1)).cast(DoubleType)
+      g.as(s"__g$i")
+    }
+    val one = s.agg(aggs.head, aggs.tail: _*)
+    one.select(explode(array(terms.zipWithIndex.map { case ((n, _), i) =>
+        struct(lit(n).as("feature"), col(s"__g$i").as("g"))
+      }: _*)).as("__fg"))
+      .select(col("__fg.feature").as("feature"), col("__fg.g").as("g"))
+  }
+
+  /** Full batch-gradient-descent TRAINING loop: `steps` gradient
+    * passes, the driver holding only the (bias, weights) vector
+    * between rounds (numFeatures+1 doubles — broadcast back into the
+    * next pass as plan literals, the same state discipline as
+    * [[KMeans.fit]]'s centroid row). No lineage growth: each step
+    * plans fresh over `df` with updated literal weights, so no
+    * checkpointing is needed. Returns (bias, weights). */
+  def fit(df: DataFrame, text: Column, label: Column,
+          steps: Int, lr: Double = 1.0,
+          initBias: Double = 0.0,
+          initWeights: Seq[(String, Double)] =
+            DefaultWeights.map { case (n, _) => (n, 0.0) })
+      : (Double, Seq[(String, Double)]) = {
+    require(steps > 0, "training needs at least one step")
+    var b = initBias
+    var w = initWeights
+    for (_ <- 0 until steps) {
+      val g = gradient(df, text, label, b, w)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      b -= lr * g("bias")
+      w = w.map { case (n, v) => (n, v - lr * g(n)) }
+    }
+    (b, w)
+  }
+
   /** df + (score, keep) — narrow projections, no shuffle; the
     * downstream filter on `keep` pushes to the scan at 100 TB.
     *
@@ -107,14 +201,10 @@ object QualityModel {
                threshold: Double = 0.5,
                bias: Double = DefaultBias,
                weights: Seq[(String, Double)] = DefaultWeights)
-      : DataFrame = {
-    val f = featuresFromStats(col("__ts"), col("__sw")).toMap
-    df.withColumn("__ts", graft.functions.text_stats(text))
-      .withColumn("__sw", swHitCount(text))
-      .withColumn("__logit",
-        linear(bias, weights.map { case (n, w) => (f(n), w) }))
-      .withColumn("score", squash(col("__logit")))
+      : DataFrame =
+    staged(df, text, bias, weights)
+      .withColumn("score", col("__score"))
       .withColumn("keep", col("score") >= threshold)
-      .drop("__ts", "__sw", "__logit")
-  }
+      .drop(Seq("__ts", "__sw", "__logit", "__score") ++
+        weights.map("__f_" + _._1): _*)
 }

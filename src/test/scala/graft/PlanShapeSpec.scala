@@ -119,6 +119,15 @@ class PlanShapeSpec extends SparkSpec {
         "columns, not per-feature re-inlining)")
   }
 
+  test("q110 gradient step: one pass, no join, each kernel staged once") {
+    val p = plan("q110_quality_grad")
+    assert(!p.contains("Join"), "a batch gradient is one corpus pass")
+    assert(countOf(p, "graft_text_stats") == 1 &&
+           countOf(p, "graft_token_hashes") == 1,
+      "features must come from ONE pass of each kernel (staged " +
+        "columns, not per-term re-inlining)")
+  }
+
   test("q98 chunking: row-local explode, no shuffle before the sort") {
     val p = plan("q98_chunk_docs")
     assert(!p.contains("Join"))
