@@ -2128,7 +2128,45 @@ object SparkEntry {
           when(col("lang") === "en", lit(1.0)).otherwise(lit(0.0)),
           deterministicSum = true)
         .orderBy(col("feature"))
-    })
+    }),
+
+    // --- INCREMENTAL semantic dedup against a persisted assignment
+    //     index (the q95 shape on the embedding side): 70% of docs are
+    //     "historical" — a 2-round fit on THEM freezes the quantizer,
+    //     and they persist only as the cell-partitioned (vec_id, cv)
+    //     index + centroid sidecar (the very artifact q109 probes for
+    //     ANN). The new batch (the other 30% plus tail-truncated
+    //     variants of everything) is assigned under the frozen
+    //     quantizer and compared only within its touched cells — the
+    //     historical side is read through a partition-pruned IN-list,
+    //     never rescanned in full. Any historical match dedups a new
+    //     vector (history is canonical); within the batch the lower
+    //     id survives ---
+    "q111_semdedup_incremental" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val variants = docs.select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        col("text").substr(lit(1),
+          greatest(length(col("text")) - 30, lit(1))).as("text"))
+      val vecs = graft.llm.Featurize.hashedBow(
+        docs.unionByName(variants), col("doc_id"), col("text"), dim = 32)
+      val isHist = col("doc_id") < 1000000L &&
+        pmod(col("doc_id"), lit(10)) < 7
+      val histV = vecs.filter(isHist).localCheckpoint()
+      val means = graft.llm.KMeans.fit(histV, col("doc_id"), col("v"),
+        k = 16, iters = 2)
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_q111").toString + "/sem_idx"
+      graft.llm.Similarity.ivfWriteIndexFitted(histV, col("doc_id"),
+        col("v"), idx, means)
+      graft.llm.Lifecycle.release(histV)
+      graft.llm.Lifecycle.release(means)
+      graft.llm.SemDedup.incrementalDuplicates(spark,
+          vecs.filter(!isHist), col("doc_id"), col("v"), idx,
+          threshold = 0.95)
+        .orderBy(col("dup_id"))
+    }
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same column names & rounding). */
@@ -3970,6 +4008,8 @@ object SparkEntry {
 
     "q109_ivf_fitted_probe" -> q109OracleSql,
 
+    "q111_semdedup_incremental" -> q111OracleSql,
+
     // one MSE gradient step under the algebraic sigmoid at the q97
     // default weights; label = (lang == 'en'); per-feature sums are
     // ordered-list folds (the q103 list_reduce pattern); the trailing
@@ -4120,13 +4160,13 @@ object SparkEntry {
     * cells inherit the previous centroid). On integer-count BoW
     * vectors every mean is an exact integer-sum ratio, so the loop is
     * bit-identical across engines in any summation order. */
-  private def lloydRoundSql(r: Int): String = {
+  private def lloydRoundSql(r: Int, src: String = "dense"): String = {
     val p = r - 1
     s"""rc$r AS (SELECT cell, list(c ORDER BY dim) AS cv
                FROM means$p GROUP BY cell),
       sc$r AS (SELECT d.doc_id, d.v, r.cell AS cent_id,
                       list_cosine_similarity(d.v, r.cv) AS cos
-               FROM dense d CROSS JOIN rc$r r),
+               FROM $src d CROSS JOIN rc$r r),
       asg$r AS (SELECT doc_id, v, CAST(cell AS INT) AS cell FROM (
           SELECT doc_id, v, cent_id AS cell,
                  row_number() OVER (PARTITION BY doc_id
@@ -4227,4 +4267,55 @@ object SparkEntry {
             FROM cand)
       WHERE rank <= 5
       ORDER BY query_id, rank"""
+
+  /** q111: fit the quantizer on the HISTORICAL 70% only, assign both
+    * sets under it, then: any same-cell historical match dedups a new
+    * vector; within the new batch the lower id survives. Mirrors
+    * [[graft.llm.SemDedup.incrementalDuplicates]] over the persisted
+    * index exactly (the pruned IN-list read is a physical detail —
+    * the joined rows are identical). */
+  private def q111OracleSql: String = s"""
+      WITH $bowDenseSql,
+      dense_h AS (SELECT * FROM dense
+                  WHERE doc_id < 1000000 AND doc_id % 10 < 7),
+      dense_n AS (SELECT * FROM dense
+                  WHERE NOT (doc_id < 1000000 AND doc_id % 10 < 7)),
+      cents0 AS (SELECT doc_id AS cent_id, v AS cv FROM dense_h
+                 ORDER BY doc_id LIMIT 16),
+      means0 AS (SELECT CAST(cent_id AS INT) AS cell,
+                        CAST(unnest(generate_series(1, len(cv))) AS INT)
+                          AS dim,
+                        unnest(cv) AS c
+                 FROM cents0),
+      ${lloydRoundSql(1, "dense_h")},
+      ${lloydRoundSql(2, "dense_h")},
+      rcF AS (SELECT cell, list(c ORDER BY dim) AS cv
+              FROM means2 GROUP BY cell),
+      asgH AS (SELECT doc_id, v, CAST(cell AS INT) AS cell FROM (
+          SELECT d.doc_id, d.v, r.cell,
+                 row_number() OVER (PARTITION BY d.doc_id
+                   ORDER BY list_cosine_similarity(d.v, r.cv) DESC,
+                            r.cell ASC) AS rn
+          FROM dense_h d CROSS JOIN rcF r) WHERE rn = 1),
+      asgN AS (SELECT doc_id, v, CAST(cell AS INT) AS cell FROM (
+          SELECT d.doc_id, d.v, r.cell,
+                 row_number() OVER (PARTITION BY d.doc_id
+                   ORDER BY list_cosine_similarity(d.v, r.cv) DESC,
+                            r.cell ASC) AS rn
+          FROM dense_n d CROSS JOIN rcF r) WHERE rn = 1),
+      vs_hist AS (SELECT h.cell, n.doc_id AS dup_id,
+                         h.doc_id AS kept0,
+                         round(list_cosine_similarity(h.v, n.v), 6) AS cos6
+                  FROM asgH h JOIN asgN n ON h.cell = n.cell
+                  WHERE round(list_cosine_similarity(h.v, n.v), 6) >= 0.95),
+      in_batch AS (SELECT a.cell, b.doc_id AS dup_id,
+                          a.doc_id AS kept0,
+                          round(list_cosine_similarity(a.v, b.v), 6) AS cos6
+                   FROM asgN a JOIN asgN b
+                     ON a.cell = b.cell AND a.doc_id < b.doc_id
+                   WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.95)
+      SELECT cell, dup_id, min(kept0) AS kept_id,
+             max(cos6) AS max_cosine
+      FROM (SELECT * FROM vs_hist UNION ALL SELECT * FROM in_batch)
+      GROUP BY 1, 2 ORDER BY dup_id"""
 }

@@ -134,6 +134,65 @@ object SemDedup {
     emb.join(dups, id === col("dup_id"), "left_anti")
   }
 
+  /** INCREMENTAL semantic dedup against a PERSISTED assignment index —
+    * the semantic-side twin of [[Dedup.incrementalNearDups]], and the
+    * incremental-corpus shape SemDeDup actually runs in production:
+    * the historical corpus exists only as a cell-partitioned
+    * (vec_id, cv) parquet index with a centroid sidecar (the EXACT
+    * layout [[Similarity.ivfWriteIndex]] / [[Similarity
+    * .ivfWriteIndexFitted]] write — one artifact serves ANN search
+    * and incremental dedup), and each new batch is assigned under the
+    * INDEX's frozen quantizer and compared only within its cells.
+    *
+    * A new vector is a duplicate iff some vector in its cell — ANY
+    * historical one (history is canonical: its survivors were already
+    * chosen, so id order does not apply across sets), or a LOWER-id
+    * new one (the [[duplicates]] rule within the batch) — has rounded
+    * cosine >= threshold; kept_id is the lowest matching id across
+    * both sets. Historical and new id spaces must be disjoint.
+    *
+    * The 100 TB story is the partition pruning: the historical side
+    * is read through a literal IN-list of the cells the new batch
+    * actually touches, so the scan cost is (touched cells)/(nlist) of
+    * the index regardless of history size — historical text and
+    * untouched cells are never read (SemDedupSpec asserts the
+    * PartitionFilters in the plan). */
+  def incrementalDuplicates(spark: org.apache.spark.sql.SparkSession,
+                            newEmb: DataFrame, id: Column, vec: Column,
+                            indexPath: String, threshold: Double,
+                            nlist: Int = 16): DataFrame = {
+    val index = spark.read.parquet(indexPath)
+    val cents = Similarity.indexCentroids(spark, indexPath, index, nlist)
+    val fresh = newEmb.select(id.as("vec_id"),
+      vec.cast("array<double>").as("cv"))
+    val assigned = Similarity.assignCells(fresh, cents, "cv", "cell", 1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    warnOnImbalance(cellHistogram(assigned), None)
+    // literal IN-list on the partition column -> directory pruning
+    val touched = assigned.select(col("cell")).distinct().collect()
+      .map(_.getInt(0))
+    val hist = index.filter(col("cell").isin(touched.toIndexedSeq: _*))
+      .select(col("cell"), col("vec_id").as("kept_id"),
+        col("cv").as("va"))
+    val newKept = assigned.select(col("cell"),
+      col("vec_id").as("kept_id"), col("cv").as("va"))
+    val newSide = assigned.select(col("cell"),
+      col("vec_id").as("dup_id"), col("cv").as("vb"))
+    def scored(pairs: DataFrame): DataFrame = pairs
+      .withColumn("cosine", round(Similarity.cosine(col("va"), col("vb")), 6))
+      .filter(col("cosine") >= threshold)
+    // any historical match makes the new vector a duplicate...
+    val vsHist = scored(hist.join(newSide, Seq("cell")))
+    // ...within the batch, the lower id survives (the duplicates rule)
+    val inBatch = scored(newKept.join(newSide, Seq("cell"))
+      .filter(col("kept_id") < col("dup_id")))
+    vsHist.unionByName(inBatch)
+      .groupBy(col("cell"), col("dup_id"))
+      .agg(min(col("kept_id")).as("kept_id"),
+           max(col("cosine")).as("max_cosine"))
+      .select(col("cell"), col("dup_id"), col("kept_id"), col("max_cosine"))
+  }
+
   /** Re-key cells that exceed `cap` rows by a PORTABLE secondary hash
     * (md5 of the id, the [[Pipelines.hashBucket]] trick — an oracle
     * can replay it): cell c with n rows becomes ceil(n/cap) subcells

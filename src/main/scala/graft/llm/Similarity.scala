@@ -149,25 +149,7 @@ object Similarity {
                       k: Int, nlist: Int = 16, nprobe: Int = 4)
       : DataFrame = {
     val index = spark.read.parquet(path)
-    // the centroid sidecar written at index-build time — WITHOUT it a
-    // probe would re-derive the quantizer with an orderBy+limit over
-    // the whole index (a full-corpus scan before the pruned scan even
-    // starts, breaking the nprobe/nlist cost claim). Indexes written
-    // BEFORE the sidecar existed (or whose sidecar was deleted) fall
-    // back to that derivation — every pre-sidecar index used the
-    // lowest-id quantizer, so the rebuilt centroids match the cells
-    // on disk; the warning flags the one-off full scan.
-    val cents =
-      try spark.read.parquet(path + "/_centroids")
-      catch {
-        case _: org.apache.spark.sql.AnalysisException =>
-          System.err.println(
-            s"[graft] ivfProbeIndexed: no _centroids sidecar under " +
-              s"$path — rebuilding the lowest-id quantizer with a " +
-              "full-index scan (rewrite the index to restore " +
-              "partition-pruned probe cost)")
-          centroids(index.select(col("vec_id"), col("cv")), nlist)
-      }
+    val cents = indexCentroids(spark, path, index, nlist)
     val q = assignCells(
       queries.select(queryId.as("query_id"),
         queryVec.cast("array<double>").as("qv")),
@@ -187,6 +169,29 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("rank"),
               round(col("cosine"), 6).as("cosine"))
   }
+
+  /** The quantizer of a materialized index: the centroid sidecar
+    * written at index-build time — WITHOUT it a probe would re-derive
+    * the quantizer with an orderBy+limit over the whole index (a
+    * full-corpus scan before the pruned scan even starts, breaking
+    * the nprobe/nlist cost claim). Indexes written BEFORE the sidecar
+    * existed (or whose sidecar was deleted) fall back to that
+    * derivation — every pre-sidecar index used the lowest-id
+    * quantizer, so the rebuilt centroids match the cells on disk; the
+    * warning flags the one-off full scan. Shared by [[ivfProbeIndexed]]
+    * and [[SemDedup.incrementalDuplicates]]. */
+  private[llm] def indexCentroids(spark: org.apache.spark.sql.SparkSession,
+                                  path: String, index: DataFrame,
+                                  nlist: Int): DataFrame =
+    try spark.read.parquet(path + "/_centroids")
+    catch {
+      case _: org.apache.spark.sql.AnalysisException =>
+        System.err.println(
+          s"[graft] no _centroids sidecar under $path — rebuilding " +
+            "the lowest-id quantizer with a full-index scan (rewrite " +
+            "the index to restore partition-pruned probe cost)")
+        centroids(index.select(col("vec_id"), col("cv")), nlist)
+    }
 
   /** Single-row DF holding the ordered centroid (id, vector) structs —
     * the deterministic coarse quantizer shared by the IVF paths (and by

@@ -104,6 +104,36 @@ class SemDedupSpec extends SparkSpec {
       "every split-found duplicate must be a duplicate without the split")
   }
 
+  test("incrementalDuplicates: history dedups new vectors through a " +
+      "partition-pruned index read; lower id survives within the batch") {
+    val hist = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (1L, Seq(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_inc_sem").toString + "/idx"
+    Similarity.ivfWriteIndex(hist, $"vec_id", $"embedding", idx, nlist = 2)
+    val fresh = Seq(
+      (10L, Seq(0.99996f, 0.00873f)), // ~0.5° off id 0: dup vs history
+      (11L, Seq(0.99985f, 0.01745f)), // ~1.0° off id 0: matches 0 AND 10
+      (12L, Seq(-1.0f, 0.05f))        // cell 1, no match: survivor
+    ).toDF("vec_id", "embedding")
+    val d = SemDedup.incrementalDuplicates(spark, fresh, $"vec_id",
+      $"embedding", idx, threshold = 0.99, nlist = 2)
+    val got = d.collect().map(r => r.getAs[Long]("dup_id") ->
+      r.getAs[Long]("kept_id")).toMap
+    // 10 and 11 both dedup to HISTORICAL id 0 (min across history and
+    // the lower-id batch match); 12 survives
+    assert(got === Map(10L -> 0L, 11L -> 0L))
+    // the historical side must be read through a PARTITION filter on
+    // the touched cells — directory pruning, not a post-scan predicate
+    val plan = d.queryExecution.executedPlan.toString
+    val pf = plan.linesIterator
+      .find(l => l.contains("PartitionFilters: [") && l.contains("cell"))
+    assert(pf.isDefined,
+      s"expected a cell partition filter on the index scan:\n$plan")
+  }
+
   test("small cells keep a single subcell (sub = 0) and never collide") {
     val e = Seq(
       (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)),
