@@ -2166,7 +2166,22 @@ object SparkEntry {
           vecs.filter(!isHist), col("doc_id"), col("v"), idx,
           threshold = 0.95)
         .orderBy(col("dup_id"))
-    }
+    },
+
+    // --- the quality filter in its PRODUCTION position: on the ingest
+    //     stream. classify is stateless row-local column math, so it
+    //     rides a file stream unchanged (no watermark, no state store)
+    //     and append-mode drains emit every row in one AvailableNow
+    //     pass; the oracle is exactly q97's — the stream must produce
+    //     the BATCH answer bit-for-bit, which is the stream/batch
+    //     parity claim under the same hash gate as everything else ---
+    "q112_stream_classify" -> rounded("score" -> 6)({ (spark, dir) =>
+      val stream = EventStream.readTable(spark, dir, "documents")
+      val scored = graft.llm.QualityModel.classify(stream, col("text"))
+        .select(col("doc_id"), col("score"), col("keep"))
+      EventStream.runToCompletion(spark, scored, mode = "append")
+        .orderBy(col("doc_id"))
+    })
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same column names & rounding). */
@@ -3660,42 +3675,11 @@ object SparkEntry {
     // linear quality model: every feature and the algebraic sigmoid
     // mirrored term-by-term in the engine's evaluation order; keep is
     // decided on the UNROUNDED score, as in the engine
-    "q97_quality_classifier" -> """
-      WITH t AS (
-        SELECT doc_id, text,
-               list_filter(string_split_regex(lower(trim(text)), '\s+'),
-                           x -> length(x) > 0) AS toks
-        FROM documents),
-      f AS (SELECT doc_id,
-              least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS lenf,
-              CASE WHEN length(text) > 0 THEN
-                CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g'))
-                     AS DOUBLE) / CAST(length(text) AS DOUBLE)
-                ELSE 0.0 END AS punct,
-              CASE WHEN length(text) > 0 THEN
-                CAST(length(regexp_replace(text, '[^A-Z]', '', 'g'))
-                     AS DOUBLE) / CAST(length(text) AS DOUBLE)
-                ELSE 0.0 END AS upper_r,
-              CASE WHEN len(toks) > 0 THEN
-                CAST(len(list_filter(toks, x -> list_contains(
-                  ['the','a','an','and','or','of','to','in','is','it','that',
-                   'for','on','with','as','was','at','by','be','this'], x)))
-                  AS DOUBLE) / CAST(len(toks) AS DOUBLE)
-                ELSE 0.0 END AS swr,
-              CASE WHEN len(toks) > 0 THEN
-                CAST(list_sum(list_transform(toks, x -> length(x)))
-                  AS DOUBLE) / CAST(len(toks) AS DOUBLE)
-                ELSE 0.0 END AS mwl
-            FROM t),
-      l AS (SELECT doc_id,
-              ((((-1.0 + 1.2 * lenf) + -3.0 * punct) + -1.5 * upper_r)
-                + 2.5 * swr) + -0.05 * mwl AS logit
-            FROM f),
-      s AS (SELECT doc_id,
-              0.5 + 0.5 * (logit / (1.0 + abs(logit))) AS score
-            FROM l)
-      SELECT doc_id, round(score, 6) AS score, score >= 0.5 AS keep
-      FROM s ORDER BY doc_id""",
+    "q97_quality_classifier" -> q97ClassifySql,
+
+    // stream/batch parity: the streamed classifier must reproduce the
+    // batch answer exactly, so q112 shares q97's oracle verbatim
+    "q112_stream_classify" -> q97ClassifySql,
 
     // 64-token chunks, stride 48: ceil(max(n-64,0)/48)+1 chunks per
     // doc (none for token-less docs), inclusive 1-based list_slice =
@@ -4126,6 +4110,48 @@ object SparkEntry {
              max(max_cosine) AS top_cosine
       FROM dups GROUP BY 1 ORDER BY 1"""
   )
+
+  /** Shared q97/q112 oracle: the linear quality model, every feature
+    * and the algebraic sigmoid mirrored term-by-term in the engine's
+    * evaluation order; keep is decided on the UNROUNDED score, as in
+    * the engine. q112 drains the SAME classifier through a file
+    * stream, so stream/batch parity means sharing this verbatim. */
+  private val q97ClassifySql: String = """
+      WITH t AS (
+        SELECT doc_id, text,
+               list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                           x -> length(x) > 0) AS toks
+        FROM documents),
+      f AS (SELECT doc_id,
+              least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS lenf,
+              CASE WHEN length(text) > 0 THEN
+                CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g'))
+                     AS DOUBLE) / CAST(length(text) AS DOUBLE)
+                ELSE 0.0 END AS punct,
+              CASE WHEN length(text) > 0 THEN
+                CAST(length(regexp_replace(text, '[^A-Z]', '', 'g'))
+                     AS DOUBLE) / CAST(length(text) AS DOUBLE)
+                ELSE 0.0 END AS upper_r,
+              CASE WHEN len(toks) > 0 THEN
+                CAST(len(list_filter(toks, x -> list_contains(
+                  ['the','a','an','and','or','of','to','in','is','it','that',
+                   'for','on','with','as','was','at','by','be','this'], x)))
+                  AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+                ELSE 0.0 END AS swr,
+              CASE WHEN len(toks) > 0 THEN
+                CAST(list_sum(list_transform(toks, x -> length(x)))
+                  AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+                ELSE 0.0 END AS mwl
+            FROM t),
+      l AS (SELECT doc_id,
+              ((((-1.0 + 1.2 * lenf) + -3.0 * punct) + -1.5 * upper_r)
+                + 2.5 * swr) + -0.05 * mwl AS logit
+            FROM f),
+      s AS (SELECT doc_id,
+              0.5 + 0.5 * (logit / (1.0 + abs(logit))) AS score
+            FROM l)
+      SELECT doc_id, round(score, 6) AS score, score >= 0.5 AS keep
+      FROM s ORDER BY doc_id"""
 
   /** Shared q102/q107/q108 oracle prefix: documents + tail-truncated
     * variants -> dense 32-dim hashed-BoW vectors (md5 token slots,
