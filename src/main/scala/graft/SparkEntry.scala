@@ -2181,7 +2181,50 @@ object SparkEntry {
         .select(col("doc_id"), col("score"), col("keep"))
       EventStream.runToCompletion(spark, scored, mode = "append")
         .orderBy(col("doc_id"))
-    })
+    }),
+
+    // --- CONTINUOUS semantic dedup: q111's loop closed. The new set
+    //     arrives as TWO micro-batches (even doc_ids, then odd); each
+    //     batch dedups against the persisted index and appends its
+    //     SURVIVORS before the next batch — so an odd-batch vector
+    //     near-identical to an even-batch survivor is caught even
+    //     though no history ever sits in memory. The oracle replays
+    //     both stages sequentially under the frozen fitted quantizer;
+    //     batch order is pinned by distinct file mtimes ---
+    "q113_stream_semdedup" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val variants = docs.select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        col("text").substr(lit(1),
+          greatest(length(col("text")) - 30, lit(1))).as("text"))
+      val vecs = graft.llm.Featurize.hashedBow(
+        docs.unionByName(variants), col("doc_id"), col("text"), dim = 32)
+      val isHist = col("doc_id") < 1000000L &&
+        pmod(col("doc_id"), lit(10)) < 7
+      val histV = vecs.filter(isHist).localCheckpoint()
+      val means = graft.llm.KMeans.fit(histV, col("doc_id"), col("v"),
+        k = 16, iters = 2)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_q113").toString
+      graft.llm.Similarity.ivfWriteIndexFitted(histV, col("doc_id"),
+        col("v"), tmp + "/idx", means)
+      graft.llm.Lifecycle.release(histV)
+      graft.llm.Lifecycle.release(means)
+      val newV = vecs.filter(!isHist)
+      newV.filter(pmod(col("doc_id"), lit(2)) === 0)
+        .coalesce(1).write.mode("append").parquet(tmp + "/src")
+      Thread.sleep(1100) // distinct mtime second pins the batch order
+      newV.filter(pmod(col("doc_id"), lit(2)) === 1)
+        .coalesce(1).write.mode("append").parquet(tmp + "/src")
+      val schema = spark.read.parquet(tmp + "/src").schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(tmp + "/src")
+      graft.llm.SemDedup.streamingDedup(spark, stream, col("doc_id"),
+          col("v"), tmp + "/idx", tmp + "/dups", tmp + "/cp",
+          threshold = 0.95)
+        .orderBy(col("dup_id"))
+    }
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same column names & rounding). */
@@ -3994,6 +4037,8 @@ object SparkEntry {
 
     "q111_semdedup_incremental" -> q111OracleSql,
 
+    "q113_stream_semdedup" -> q113OracleSql,
+
     // one MSE gradient step under the algebraic sigmoid at the q97
     // default weights; label = (lang == 'en'); per-feature sums are
     // ordered-list folds (the q103 list_reduce pattern); the trailing
@@ -4344,4 +4389,75 @@ object SparkEntry {
              max(cos6) AS max_cosine
       FROM (SELECT * FROM vs_hist UNION ALL SELECT * FROM in_batch)
       GROUP BY 1, 2 ORDER BY dup_id"""
+
+  /** q113: q111's fit/assignment, then TWO sequential dedup stages —
+    * batch 1 (even new ids) against history, batch 2 (odd) against
+    * history PLUS batch 1's survivors — replaying the streaming loop's
+    * grow-the-index semantics exactly. */
+  private def q113OracleSql: String = s"""
+      WITH $bowDenseSql,
+      dense_h AS (SELECT * FROM dense
+                  WHERE doc_id < 1000000 AND doc_id % 10 < 7),
+      dense_n AS (SELECT * FROM dense
+                  WHERE NOT (doc_id < 1000000 AND doc_id % 10 < 7)),
+      cents0 AS (SELECT doc_id AS cent_id, v AS cv FROM dense_h
+                 ORDER BY doc_id LIMIT 16),
+      means0 AS (SELECT CAST(cent_id AS INT) AS cell,
+                        CAST(unnest(generate_series(1, len(cv))) AS INT)
+                          AS dim,
+                        unnest(cv) AS c
+                 FROM cents0),
+      ${lloydRoundSql(1, "dense_h")},
+      ${lloydRoundSql(2, "dense_h")},
+      rcF AS (SELECT cell, list(c ORDER BY dim) AS cv
+              FROM means2 GROUP BY cell),
+      asgH AS (SELECT doc_id, v, CAST(cell AS INT) AS cell FROM (
+          SELECT d.doc_id, d.v, r.cell,
+                 row_number() OVER (PARTITION BY d.doc_id
+                   ORDER BY list_cosine_similarity(d.v, r.cv) DESC,
+                            r.cell ASC) AS rn
+          FROM dense_h d CROSS JOIN rcF r) WHERE rn = 1),
+      asgN AS (SELECT doc_id, v, CAST(cell AS INT) AS cell FROM (
+          SELECT d.doc_id, d.v, r.cell,
+                 row_number() OVER (PARTITION BY d.doc_id
+                   ORDER BY list_cosine_similarity(d.v, r.cv) DESC,
+                            r.cell ASC) AS rn
+          FROM dense_n d CROSS JOIN rcF r) WHERE rn = 1),
+      n1 AS (SELECT * FROM asgN WHERE doc_id % 2 = 0),
+      n2 AS (SELECT * FROM asgN WHERE doc_id % 2 = 1),
+      d1 AS (SELECT cell, dup_id, min(kept0) AS kept_id,
+                    max(cos6) AS max_cosine
+             FROM (
+               SELECT h.cell, b.doc_id AS dup_id, h.doc_id AS kept0,
+                      round(list_cosine_similarity(h.v, b.v), 6) AS cos6
+               FROM asgH h JOIN n1 b ON h.cell = b.cell
+               WHERE round(list_cosine_similarity(h.v, b.v), 6) >= 0.95
+               UNION ALL
+               SELECT a.cell, b.doc_id, a.doc_id,
+                      round(list_cosine_similarity(a.v, b.v), 6)
+               FROM n1 a JOIN n1 b
+                 ON a.cell = b.cell AND a.doc_id < b.doc_id
+               WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.95)
+             GROUP BY 1, 2),
+      hist2 AS (SELECT * FROM asgH
+                UNION ALL
+                SELECT * FROM n1
+                WHERE doc_id NOT IN (SELECT dup_id FROM d1)),
+      d2 AS (SELECT cell, dup_id, min(kept0) AS kept_id,
+                    max(cos6) AS max_cosine
+             FROM (
+               SELECT h.cell, b.doc_id AS dup_id, h.doc_id AS kept0,
+                      round(list_cosine_similarity(h.v, b.v), 6) AS cos6
+               FROM hist2 h JOIN n2 b ON h.cell = b.cell
+               WHERE round(list_cosine_similarity(h.v, b.v), 6) >= 0.95
+               UNION ALL
+               SELECT a.cell, b.doc_id, a.doc_id,
+                      round(list_cosine_similarity(a.v, b.v), 6)
+               FROM n2 a JOIN n2 b
+                 ON a.cell = b.cell AND a.doc_id < b.doc_id
+               WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.95)
+             GROUP BY 1, 2)
+      SELECT cell, dup_id, kept_id, max_cosine
+      FROM (SELECT * FROM d1 UNION ALL SELECT * FROM d2)
+      ORDER BY dup_id"""
 }

@@ -168,7 +168,16 @@ object SemDedup {
     val assigned = Similarity.assignCells(fresh, cents, "cv", "cell", 1)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     warnOnImbalance(cellHistogram(assigned), None)
-    // literal IN-list on the partition column -> directory pruning
+    pairsAgainstIndex(index, assigned, threshold)
+  }
+
+  /** Within-cell pairs of a pre-assigned batch against a persisted
+    * index (+ lower-id pairs within the batch): the shared core of
+    * [[incrementalDuplicates]] and [[streamingDedup]]. The historical
+    * side is read through a literal IN-list of the batch's touched
+    * cells (directory pruning). */
+  private def pairsAgainstIndex(index: DataFrame, assigned: DataFrame,
+                                threshold: Double): DataFrame = {
     val touched = assigned.select(col("cell")).distinct().collect()
       .map(_.getInt(0))
     val hist = index.filter(col("cell").isin(touched.toIndexedSeq: _*))
@@ -191,6 +200,65 @@ object SemDedup {
       .agg(min(col("kept_id")).as("kept_id"),
            max(col("cosine")).as("max_cosine"))
       .select(col("cell"), col("dup_id"), col("kept_id"), col("max_cosine"))
+  }
+
+  /** Append a batch's SURVIVORS to a persisted assignment index: the
+    * rows land under their `cell=` directories (append mode, one file
+    * per touched cell), so the index [[incrementalDuplicates]] and the
+    * ANN probes read keeps growing in place — the mutation half of the
+    * continuous-dedup loop. The quantizer sidecar is untouched: cells
+    * are FROZEN at fit time (re-fitting would re-shuffle history). */
+  def appendToIndex(assignedSurvivors: DataFrame, path: String): Unit =
+    assignedSurvivors.select(col("vec_id"), col("cv"), col("cell"))
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(path)
+
+  /** CONTINUOUS semantic dedup over a stream: each micro-batch is
+    * deduped against the persisted index with [[incrementalDuplicates]]
+    * (any indexed match wins; lower id within the batch), and the
+    * batch's SURVIVORS are appended to the index before the next batch
+    * — so a duplicate of an earlier batch's survivor is caught even
+    * though no full history is ever held in memory. State between
+    * batches lives entirely in the cell-partitioned index on disk
+    * (restart-safe alongside the checkpoint); the driver holds
+    * nothing. Duplicate records accumulate in `dupsOutDir`, which is
+    * returned as a DataFrame once the (AvailableNow) drain finishes.
+    *
+    * Batch-ORDER determinism is the source's: with a file source and
+    * `maxFilesPerTrigger`, files process in listing order, so a
+    * deterministic file split replays identically — q113 holds the
+    * whole loop against a DuckDB oracle that replays the two stages. */
+  def streamingDedup(spark: org.apache.spark.sql.SparkSession,
+                     stream: DataFrame, id: Column, vec: Column,
+                     indexPath: String, dupsOutDir: String,
+                     checkpointDir: String, threshold: Double,
+                     nlist: Int = 16): DataFrame = {
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val index = spark.read.parquet(indexPath)
+        val cents = Similarity.indexCentroids(spark, indexPath, index,
+          nlist)
+        val assigned = Similarity.assignCells(
+            batch.select(id.as("vec_id"),
+              vec.cast("array<double>").as("cv")),
+            cents, "cv", "cell", 1)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // materialize the duplicates BEFORE mutating the index they
+        // were computed against (the parquet write is the barrier)
+        pairsAgainstIndex(index, assigned, threshold)
+          .write.mode("append").parquet(dupsOutDir)
+        val survivors = assigned.join(
+          spark.read.parquet(dupsOutDir).select(col("dup_id")),
+          col("vec_id") === col("dup_id"), "left_anti")
+        appendToIndex(survivors, indexPath)
+        assigned.unpersist(blocking = false)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(dupsOutDir)
   }
 
   /** Re-key cells that exceed `cap` rows by a PORTABLE secondary hash
