@@ -2224,6 +2224,35 @@ object SparkEntry {
           col("v"), tmp + "/idx", tmp + "/dups", tmp + "/cp",
           threshold = 0.95)
         .orderBy(col("dup_id"))
+    },
+
+    // --- cluster-BALANCED corpus subsampling (diversity-preserving
+    //     curation): 20 docs from every fitted k-means cell, picked by
+    //     a portable md5 order (hash asc, id asc — a deterministic
+    //     "random" both engines replay). Composes three operators:
+    //     hashed-BoW featurize -> 2-round Lloyd fit -> bounded-state
+    //     per-group top-k (the q85 Aggregator — map-side combinable,
+    //     never a whole-cell window sort). The balanced pick is what a
+    //     naive global sample can't give: every semantic region keeps
+    //     representation no matter how skewed the corpus ---
+    "q114_cluster_sample" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+      val vecs = graft.llm.Featurize.hashedBow(docs, col("doc_id"),
+        col("text"), dim = 32)
+      val vecsCp = vecs.localCheckpoint()
+      val means = graft.llm.KMeans.fit(vecsCp, col("doc_id"), col("v"),
+        k = 16, iters = 2)
+      val assigned = graft.llm.SemDedup.assignFitted(vecsCp,
+        col("doc_id"), col("v"), means)
+      // means stays checkpoint-backed until the result is consumed
+      // (the plan references it lazily); Lifecycle.release is the
+      // caller-side hook once materialized
+      graft.llm.Curation.topKPerGroup(assigned, col("cell"),
+          col("vec_id"),
+          -Pipelines.hashBucket(col("vec_id"), 65536).cast("double"),
+          k = 20)
+        .select(col("grp").as("cell"), col("rk"), col("id").as("doc_id"))
+        .orderBy(col("cell"), col("rk"))
     }
   )
 
@@ -3787,22 +3816,8 @@ object SparkEntry {
     // hashed-BoW input on purpose: integer-count vectors make every
     // per-cell mean an exact integer-sum ratio, order-independent in
     // both engines (the avg-reorder hazard embeddings would carry)
-    "q101_kmeans_step" -> """
-      WITH tk AS (SELECT doc_id, unnest(list_filter(
-               string_split_regex(lower(trim(text)), '\s+'),
-               x -> length(x) > 0)) AS t FROM documents),
-      contrib AS (SELECT doc_id,
-          CAST(('0x' || substring(md5(t), 1, 4)) AS INTEGER) % 32 AS b
-        FROM tk),
-      grouped AS (SELECT doc_id, b, CAST(count(*) AS DOUBLE) AS val
-                  FROM contrib GROUP BY 1, 2),
-      dims AS (SELECT unnest(generate_series(0, 31)) AS b),
-      docs2 AS (SELECT DISTINCT doc_id FROM grouped),
-      cells0 AS (SELECT doc_id, d.b FROM docs2 CROSS JOIN dims d),
-      dense AS (SELECT c.doc_id, list(coalesce(g.val, 0.0)
-                  ORDER BY c.b) AS v
-                FROM cells0 c LEFT JOIN grouped g USING (doc_id, b)
-                GROUP BY c.doc_id),
+    "q101_kmeans_step" -> s"""
+      WITH $bowDenseDocsSql,
       cents AS (SELECT doc_id AS cent_id, v AS cv FROM dense
                 ORDER BY doc_id LIMIT 8),
       scored AS (SELECT dense.doc_id, dense.v, cents.cent_id,
@@ -4039,6 +4054,39 @@ object SparkEntry {
 
     "q113_stream_semdedup" -> q113OracleSql,
 
+    // 2-round fit over the (no-variant) BoW vectors, then 20 docs per
+    // fitted cell by (md5-hash16 asc, doc_id asc) — the deterministic
+    // balanced sample
+    "q114_cluster_sample" -> s"""
+      WITH $bowDenseDocsSql,
+      cents0 AS (SELECT doc_id AS cent_id, v AS cv FROM dense
+                 ORDER BY doc_id LIMIT 16),
+      means0 AS (SELECT CAST(cent_id AS INT) AS cell,
+                        CAST(unnest(generate_series(1, len(cv))) AS INT)
+                          AS dim,
+                        unnest(cv) AS c
+                 FROM cents0),
+      ${lloydRoundSql(1)},
+      ${lloydRoundSql(2)},
+      rcF AS (SELECT cell, list(c ORDER BY dim) AS cv
+              FROM means2 GROUP BY cell),
+      asgF AS (SELECT doc_id, CAST(cell AS INT) AS cell FROM (
+          SELECT d.doc_id, r.cell,
+                 row_number() OVER (PARTITION BY d.doc_id
+                   ORDER BY list_cosine_similarity(d.v, r.cv) DESC,
+                            r.cell ASC) AS rn
+          FROM dense d CROSS JOIN rcF r) WHERE rn = 1)
+      SELECT cell, CAST(rk AS INT) AS rk, doc_id FROM (
+        SELECT cell, doc_id,
+               row_number() OVER (PARTITION BY cell
+                 ORDER BY CAST(('0x' || substring(
+                     md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
+                     % 65536 ASC,
+                   doc_id ASC) AS rk
+        FROM asgF)
+      WHERE rk <= 20
+      ORDER BY cell, rk""",
+
     // one MSE gradient step under the algebraic sigmoid at the q97
     // default weights; label = (lang == 'en'); per-feature sums are
     // ordered-list folds (the q103 list_reduce pattern); the trailing
@@ -4197,6 +4245,26 @@ object SparkEntry {
             FROM l)
       SELECT doc_id, round(score, 6) AS score, score >= 0.5 AS keep
       FROM s ORDER BY doc_id"""
+
+  /** Shared no-variant BoW prefix (q101/q114): documents -> dense
+    * 32-dim hashed-BoW vectors, same construction as [[bowDenseSql]]
+    * minus the variant rows. Emits CTEs `tk..dense`. */
+  private val bowDenseDocsSql: String = """tk AS (
+        SELECT doc_id, unnest(list_filter(
+               string_split_regex(lower(trim(text)), '\s+'),
+               x -> length(x) > 0)) AS t FROM documents),
+      contrib AS (SELECT doc_id,
+          CAST(('0x' || substring(md5(t), 1, 4)) AS INTEGER) % 32 AS b
+        FROM tk),
+      grouped AS (SELECT doc_id, b, CAST(count(*) AS DOUBLE) AS val
+                  FROM contrib GROUP BY 1, 2),
+      dims AS (SELECT unnest(generate_series(0, 31)) AS b),
+      docs2 AS (SELECT DISTINCT doc_id FROM grouped),
+      cells0 AS (SELECT doc_id, d.b FROM docs2 CROSS JOIN dims d),
+      dense AS (SELECT c.doc_id, list(coalesce(g.val, 0.0)
+                  ORDER BY c.b) AS v
+                FROM cells0 c LEFT JOIN grouped g USING (doc_id, b)
+                GROUP BY c.doc_id)"""
 
   /** Shared q102/q107/q108 oracle prefix: documents + tail-truncated
     * variants -> dense 32-dim hashed-BoW vectors (md5 token slots,
