@@ -2253,6 +2253,25 @@ object SparkEntry {
           k = 20)
         .select(col("grp").as("cell"), col("rk"), col("id").as("doc_id"))
         .orderBy(col("cell"), col("rk"))
+    },
+
+    // --- classifier evaluation: per-source ROC-AUC (tie-corrected
+    //     Mann-Whitney rank estimator) + confusion counts for the q97
+    //     quality model against the lang=='en' label. Every number is
+    //     EXACT: scores are bit-identical rationals, average ranks are
+    //     half-integers, and auc/precision/recall/accuracy are single
+    //     divisions of exact sums — hash-compared UNROUNDED. The rank
+    //     window runs over distinct (source, score) pairs, never the
+    //     corpus ---
+    "q115_classifier_eval" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+      val scored = graft.llm.QualityModel.classify(docs, col("text"))
+      graft.llm.Eval.binaryMetrics(scored, col("source"), col("score"),
+          coalesce(col("lang") === "en", lit(false)))
+        .select(col("grp").as("source"), col("n"), col("npos"),
+          col("nneg"), col("tp"), col("fp"), col("tn"), col("fn"),
+          col("auc"), col("precision"), col("recall"), col("accuracy"))
+        .orderBy(col("source"))
     }
   )
 
@@ -4087,6 +4106,53 @@ object SparkEntry {
       WHERE rk <= 20
       ORDER BY cell, rk""",
 
+    // per-source tie-corrected rank AUC + confusion at 0.5 over the
+    // shared bit-exact score CTE; counts CAST AS BIGINT (duck sum ->
+    // HUGEINT), every ratio a single division of exact sums
+    "q115_classifier_eval" -> s"""
+      WITH $q97ScorePrefixSql,
+      lab AS (SELECT d.source, coalesce(d.lang = 'en', false) AS y,
+                     s.score AS sc
+              FROM documents d JOIN s ON d.doc_id = s.doc_id),
+      per AS (SELECT source, sc, CAST(count(*) AS BIGINT) AS cnt,
+                     CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT)
+                       AS pos
+              FROM lab GROUP BY 1, 2),
+      rk AS (SELECT source, sc, cnt, pos,
+                    sum(cnt) OVER (PARTITION BY source ORDER BY sc)
+                      AS cum
+             FROM per),
+      rk2 AS (SELECT source, sc, cnt, pos,
+                     CAST(cum - cnt AS DOUBLE) + (cnt + 1) / 2.0
+                       AS avg_rank
+              FROM rk),
+      a AS (SELECT source,
+                   CAST(sum(cnt) AS BIGINT) AS n,
+                   CAST(sum(pos) AS BIGINT) AS npos,
+                   CAST(sum(cnt) - sum(pos) AS BIGINT) AS nneg,
+                   sum(pos * avg_rank) AS rank_pos,
+                   CAST(sum(CASE WHEN sc >= 0.5 THEN pos ELSE 0 END)
+                     AS BIGINT) AS tp,
+                   CAST(sum(CASE WHEN sc >= 0.5 THEN cnt - pos ELSE 0
+                     END) AS BIGINT) AS fp,
+                   CAST(sum(CASE WHEN sc < 0.5 THEN cnt - pos ELSE 0
+                     END) AS BIGINT) AS tn,
+                   CAST(sum(CASE WHEN sc < 0.5 THEN pos ELSE 0 END)
+                     AS BIGINT) AS fn
+            FROM rk2 GROUP BY source)
+      SELECT source, n, npos, nneg, tp, fp, tn, fn,
+             CASE WHEN npos > 0 AND nneg > 0 THEN
+               (rank_pos - CAST(npos AS DOUBLE) * (npos + 1) / 2.0)
+                 / CAST(npos * nneg AS DOUBLE) END AS auc,
+             CASE WHEN tp + fp > 0 THEN
+               CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)
+             END AS "precision",
+             CASE WHEN npos > 0 THEN
+               CAST(tp AS DOUBLE) / CAST(npos AS DOUBLE)
+             END AS recall,
+             CAST(tp + tn AS DOUBLE) / CAST(n AS DOUBLE) AS accuracy
+      FROM a ORDER BY source""",
+
     // one MSE gradient step under the algebraic sigmoid at the q97
     // default weights; label = (lang == 'en'); per-feature sums are
     // ordered-list folds (the q103 list_reduce pattern); the trailing
@@ -4209,8 +4275,10 @@ object SparkEntry {
     * evaluation order; keep is decided on the UNROUNDED score, as in
     * the engine. q112 drains the SAME classifier through a file
     * stream, so stream/batch parity means sharing this verbatim. */
-  private val q97ClassifySql: String = """
-      WITH t AS (
+  /** Shared q97/q115 oracle prefix: documents -> bit-exact classifier
+    * scores (rational features + the algebraic sigmoid — no libm).
+    * Emits CTEs `t..s`; `s` is (doc_id, score). */
+  private val q97ScorePrefixSql: String = """t AS (
         SELECT doc_id, text,
                list_filter(string_split_regex(lower(trim(text)), '\s+'),
                            x -> length(x) > 0) AS toks
@@ -4242,7 +4310,10 @@ object SparkEntry {
             FROM f),
       s AS (SELECT doc_id,
               0.5 + 0.5 * (logit / (1.0 + abs(logit))) AS score
-            FROM l)
+            FROM l)"""
+
+  private val q97ClassifySql: String = s"""
+      WITH $q97ScorePrefixSql
       SELECT doc_id, round(score, 6) AS score, score >= 0.5 AS keep
       FROM s ORDER BY doc_id"""
 

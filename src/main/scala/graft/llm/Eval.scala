@@ -1,0 +1,83 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Binary-classifier evaluation over scored corpora — the measurement
+  * half of the quality-model loop ([[QualityModel]] trains and infers;
+  * this grades the result against labels). Public recipe: ROC-AUC as
+  * the Mann–Whitney U statistic with average ranks for ties (the
+  * standard tie-corrected estimator), confusion counts at a fixed
+  * threshold.
+  *
+  * Determinism: every emitted number is EXACT given engine-identical
+  * scores. Average ranks are multiples of 1/2; rank sums stay far below
+  * 2^53 for any per-group cardinality Spark can window, so summation
+  * order cannot perturb them; AUC/precision/recall/accuracy are single
+  * divisions of exact integers (or half-integers) — bit-identical
+  * across engines, no rounding required.
+  *
+  * Scale: one groupBy (grp, score) collapses the corpus to distinct
+  * score values per group BEFORE any window runs — the rank window
+  * partitions by group over that collapsed frame (never a per-row
+  * global sort), and the final per-group reduce is map-side
+  * combinable. A 100 TB corpus with k sources and s distinct scores
+  * per source windows over k·s rows, not N.
+  */
+object Eval {
+
+  /** Per-group metrics for a binary classifier: (grp, n, npos, nneg,
+    * tp, fp, tn, fn, auc, precision, recall, accuracy).
+    *
+    * AUC is the tie-corrected rank estimator
+    *   U = Σ_{positives} avgrank(score) − npos·(npos+1)/2,
+    *   AUC = U / (npos·nneg)
+    * (null when a group lacks both classes). Confusion counts use
+    * `predict = score >= threshold`; precision/recall are null for
+    * empty denominators.
+    */
+  def binaryMetrics(scored: DataFrame, group: Column, score: Column,
+                    label: Column, threshold: Double = 0.5): DataFrame = {
+    val base = scored.select(group.as("grp"), score.as("s"),
+      label.cast("boolean").as("y"))
+    // collapse to distinct scores per group: cnt rows, pos positives
+    val perScore = base.groupBy(col("grp"), col("s")).agg(
+      count(lit(1)).as("cnt"),
+      sum(when(col("y"), lit(1L)).otherwise(lit(0L))).as("pos"))
+    // average rank of a tied block ending at cumulative count `cum`:
+    // cum - cnt + (cnt+1)/2  (1-based, ascending score)
+    val w = Window.partitionBy(col("grp")).orderBy(col("s"))
+    val ranked = perScore
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("avg_rank",
+        (col("cum") - col("cnt")).cast("double")
+          + (col("cnt") + lit(1L)) / lit(2.0))
+    val pred = col("s") >= lit(threshold)
+    val agg = ranked.groupBy(col("grp")).agg(
+      sum(col("cnt")).as("n"),
+      sum(col("pos")).as("npos"),
+      (sum(col("cnt")) - sum(col("pos"))).as("nneg"),
+      sum(col("pos") * col("avg_rank")).as("__rank_pos"),
+      sum(when(pred, col("pos")).otherwise(lit(0L))).as("tp"),
+      sum(when(pred, col("cnt") - col("pos")).otherwise(lit(0L))).as("fp"),
+      sum(when(!pred, col("cnt") - col("pos")).otherwise(lit(0L))).as("tn"),
+      sum(when(!pred, col("pos")).otherwise(lit(0L))).as("fn"))
+    agg.select(
+      col("grp"), col("n"), col("npos"), col("nneg"),
+      col("tp"), col("fp"), col("tn"), col("fn"),
+      when(col("npos") > 0 && col("nneg") > 0,
+        (col("__rank_pos")
+          - col("npos").cast("double") * (col("npos") + lit(1L)) / lit(2.0))
+          / (col("npos") * col("nneg")).cast("double"))
+        .as("auc"),
+      when(col("tp") + col("fp") > 0,
+        col("tp").cast("double") / (col("tp") + col("fp")).cast("double"))
+        .as("precision"),
+      when(col("npos") > 0,
+        col("tp").cast("double") / col("npos").cast("double"))
+        .as("recall"),
+      ((col("tp") + col("tn")).cast("double") / col("n").cast("double"))
+        .as("accuracy"))
+  }
+}

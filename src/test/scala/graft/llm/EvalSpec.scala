@@ -1,0 +1,75 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class EvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def metrics(rows: Seq[(String, Double, Boolean)]) =
+    Eval.binaryMetrics(rows.toDF("g", "s", "y"), $"g", $"s", $"y")
+      .collect().map(r => r.getAs[String]("grp") -> r).toMap
+
+  test("AUC laws: perfect=1, reversed=0, constant-score=0.5") {
+    val m = metrics(Seq(
+      // perfect: every positive outscores every negative
+      ("perf", 0.9, true), ("perf", 0.8, true), ("perf", 0.2, false),
+      ("perf", 0.1, false),
+      // reversed: every negative outscores every positive
+      ("rev", 0.9, false), ("rev", 0.1, true),
+      // constant: one tied block -> average rank -> 0.5 exactly
+      ("const", 0.5, true), ("const", 0.5, false), ("const", 0.5, true)
+    ))
+    assert(m("perf").getAs[Double]("auc") === 1.0)
+    assert(m("rev").getAs[Double]("auc") === 0.0)
+    assert(m("const").getAs[Double]("auc") === 0.5)
+  }
+
+  test("tie correction: half-credit for a pos/neg tied pair") {
+    // pos at .9 beats neg at .1 (1 win); pos at .5 ties neg at .5
+    // (half win) -> U = 1.5 + 1 (the .9 pos also beats the .5 neg)
+    // ... enumerate: pairs = 2 pos x 2 neg = 4; wins: (.9,.1)=1,
+    // (.9,.5)=1, (.5,.1)=1, (.5,.5)=0.5 -> AUC = 3.5/4
+    val m = metrics(Seq(
+      ("t", 0.9, true), ("t", 0.5, true), ("t", 0.5, false),
+      ("t", 0.1, false)))
+    assert(m("t").getAs[Double]("auc") === 3.5 / 4.0)
+  }
+
+  test("confusion counts + derived ratios at threshold 0.5") {
+    val m = metrics(Seq(
+      ("c", 0.9, true), ("c", 0.6, false), ("c", 0.5, true),
+      ("c", 0.4, true), ("c", 0.1, false)))
+    val r = m("c")
+    assert(r.getAs[Long]("tp") === 2 && r.getAs[Long]("fp") === 1 &&
+           r.getAs[Long]("fn") === 1 && r.getAs[Long]("tn") === 1)
+    assert(r.getAs[Long]("npos") === 3 && r.getAs[Long]("nneg") === 2)
+    assert(r.getAs[Double]("precision") === 2.0 / 3.0)
+    assert(r.getAs[Double]("recall") === 2.0 / 3.0)
+    assert(r.getAs[Double]("accuracy") === 3.0 / 5.0)
+  }
+
+  test("degenerate groups: single-class AUC and empty-denominator " +
+       "ratios are null, counts still exact") {
+    val m = metrics(Seq(
+      ("allpos", 0.9, true), ("allpos", 0.1, true),
+      ("allneg", 0.2, false), ("allneg", 0.3, false)))
+    assert(m("allpos").isNullAt(m("allpos").fieldIndex("auc")))
+    assert(m("allneg").isNullAt(m("allneg").fieldIndex("auc")))
+    // allneg at threshold .5: no predicted positives -> precision null
+    assert(m("allneg").isNullAt(m("allneg").fieldIndex("precision")))
+    assert(m("allneg").isNullAt(m("allneg").fieldIndex("recall")))
+    // allpos: the .9 doc clears the threshold, the .1 doc does not
+    assert(m("allpos").getAs[Double]("recall") === 0.5)
+  }
+
+  test("rank window runs over distinct scores, partitioned by group " +
+       "(never a global corpus sort)") {
+    val df = Eval.binaryMetrics(
+      Seq(("a", 0.5, true), ("a", 0.5, false), ("b", 0.7, true))
+        .toDF("g", "s", "y"), $"g", $"s", $"y")
+    val plan = df.queryExecution.executedPlan.toString
+    // the window's partition spec must include the group key
+    assert(plan.contains("windowspecdefinition(grp"))
+  }
+}
