@@ -2272,6 +2272,47 @@ object SparkEntry {
           col("nneg"), col("tp"), col("fp"), col("tn"), col("fn"),
           col("auc"), col("precision"), col("recall"), col("accuracy"))
         .orderBy(col("source"))
+    },
+
+    // --- LARGE-large corpus overlap through a broadcast Bloom
+    //     prefilter: which training docs' exact content (md5
+    //     fingerprint) also appears in a second corpus too big to
+    //     broadcast as rows? The smaller side is sketched executor-
+    //     side (only the bitmap reaches the driver), the big side is
+    //     might_contain-filtered BEFORE its shuffle, then an exact
+    //     semi join confirms — no false negatives, so the result is
+    //     IDENTICAL to the plain semi join the oracle runs. The second
+    //     corpus: every doc_id%3==0 doc verbatim (these overlap) plus
+    //     modified doc_id%3==1 texts (these must not) ---
+    "q116_bloom_overlap" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+      val big = docs.select(col("doc_id"), md5(col("text")).as("fp"))
+      val other = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .select(md5(col("text")).as("fp"))
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(3)) === 1)
+          .select(md5(concat(col("text"), lit(" x2"))).as("fp")))
+      graft.llm.Bloom.prefilteredSemiJoin(big, col("fp"),
+          other, col("fp"), expectedItems = 200000L)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    },
+
+    // --- the decontamination dual: exact anti join with the Bloom
+    //     short-circuit — provably-clean rows (sketch says absent)
+    //     bypass the shuffle entirely; only possible matches join.
+    //     False positives re-checked by the exact anti join, so the
+    //     kept set equals the oracle's NOT EXISTS ---
+    "q117_bloom_decontaminate" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+      val big = docs.select(col("doc_id"), md5(col("text")).as("fp"))
+      val other = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .select(md5(col("text")).as("fp"))
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(3)) === 1)
+          .select(md5(concat(col("text"), lit(" x2"))).as("fp")))
+      graft.llm.Bloom.prefilteredAntiJoin(big, col("fp"),
+          other, col("fp"), expectedItems = 200000L)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -4152,6 +4193,30 @@ object SparkEntry {
              END AS recall,
              CAST(tp + tn AS DOUBLE) / CAST(n AS DOUBLE) AS accuracy
       FROM a ORDER BY source""",
+
+    // the Bloom prefilter is invisible to semantics (no false
+    // negatives): the oracle is the PLAIN exact semi join
+    "q116_bloom_overlap" -> """
+      WITH big AS (SELECT doc_id, md5(text) AS fp FROM documents),
+      other AS (SELECT md5(text) AS fp FROM documents
+                WHERE doc_id % 3 = 0
+                UNION ALL
+                SELECT md5(text || ' x2') AS fp FROM documents
+                WHERE doc_id % 3 = 1)
+      SELECT doc_id FROM big b
+      WHERE EXISTS (SELECT 1 FROM other o WHERE o.fp = b.fp)
+      ORDER BY doc_id""",
+
+    "q117_bloom_decontaminate" -> """
+      WITH big AS (SELECT doc_id, md5(text) AS fp FROM documents),
+      other AS (SELECT md5(text) AS fp FROM documents
+                WHERE doc_id % 3 = 0
+                UNION ALL
+                SELECT md5(text || ' x2') AS fp FROM documents
+                WHERE doc_id % 3 = 1)
+      SELECT doc_id FROM big b
+      WHERE NOT EXISTS (SELECT 1 FROM other o WHERE o.fp = b.fp)
+      ORDER BY doc_id""",
 
     // one MSE gradient step under the algebraic sigmoid at the q97
     // default weights; label = (lang == 'en'); per-feature sums are
