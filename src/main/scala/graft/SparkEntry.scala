@@ -2313,6 +2313,21 @@ object SparkEntry {
           other, col("fp"), expectedItems = 200000L)
         .select(col("doc_id"))
         .orderBy(col("doc_id"))
+    },
+
+    // --- Johnson-Lindenstrauss random projection (Achlioptas ±1
+    //     matrix, md5-derived so any engine replays it): 32-dim
+    //     hashed-BoW -> 8-dim, pure row-local arithmetic with the
+    //     sign matrix embedded as a plan literal — zero shuffle. On
+    //     integer BoW counts every component is an exact ±integer
+    //     sum, hash-compared UNROUNDED ---
+    "q118_random_projection" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+      val vecs = graft.llm.Featurize.hashedBow(docs, col("doc_id"),
+        col("text"), dim = 32)
+      vecs.select(col("doc_id"),
+          graft.llm.Featurize.randomProject(col("v"), 32, 8).as("p"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -4217,6 +4232,19 @@ object SparkEntry {
       SELECT doc_id FROM big b
       WHERE NOT EXISTS (SELECT 1 FROM other o WHERE o.fp = b.fp)
       ORDER BY doc_id""",
+
+    // the same ±1 matrix re-derived from md5 parity; ±integer sums
+    // are exact, so the projected vectors hash-compare unrounded
+    "q118_random_projection" -> s"""
+      WITH $bowDenseDocsSql
+      SELECT doc_id,
+        list_transform(generate_series(0, 7), j ->
+          list_sum(list_transform(generate_series(1, 32), i ->
+            v[i] * CASE WHEN CAST(('0x' || substring(md5(
+                  CAST(i - 1 AS VARCHAR) || '_' || CAST(j AS VARCHAR)),
+                  1, 4)) AS INTEGER) % 2 = 0
+              THEN 1 ELSE -1 END))) AS p
+      FROM dense ORDER BY doc_id""",
 
     // one MSE gradient step under the algebraic sigmoid at the q97
     // default weights; label = (lang == 'en'); per-feature sums are

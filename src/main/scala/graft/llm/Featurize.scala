@@ -42,6 +42,39 @@ object Featurize {
         graft.functions.hashed_bow(text, dim).as("v"))
       .filter(col("v").isNotNull)
 
+  /** Deterministic ±1 sign matrix for [[randomProject]]: sign(i,j) =
+    * parity of the first 16 md5 bits of the string "i_j" — the same
+    * derivation any engine with md5 can replay, so projections are
+    * differentially verifiable (no RNG, no seed state). */
+  def projectionSigns(inDim: Int, outDim: Int): Array[Array[Double]] = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(outDim, inDim) { (j, i) =>
+      val hex = digest.digest(s"${i}_$j".getBytes("UTF-8"))
+        .take(2).map("%02x".format(_)).mkString
+      if (Integer.parseInt(hex, 16) % 2 == 0) 1.0 else -1.0
+    }
+  }
+
+  /** Johnson–Lindenstrauss random projection with the portable ±1
+    * matrix (Achlioptas-style database-friendly projection, public
+    * recipe): out[j] = Σ_i v[i]·sign(i,j). Cuts `inDim`-dim vectors to
+    * `outDim` while approximately preserving pairwise distances —
+    * the cheap front-end for clustering/ANN over wider featurizations.
+    *
+    * The sign matrix is data-independent and tiny (inDim·outDim), so
+    * it is embedded in the plan as a literal and the projection is
+    * pure row-local arithmetic — zero shuffle, codegen-friendly
+    * zip_with/aggregate, nothing leaves the executors. On integer
+    * (BoW) inputs every output component is an exact ±integer sum —
+    * bit-identical across engines in any summation order. */
+  def randomProject(vec: Column, inDim: Int, outDim: Int): Column = {
+    val signs = projectionSigns(inDim, outDim)
+    val rows = array(signs.map(r => array(r.map(lit): _*)): _*)
+    transform(rows, srow =>
+      aggregate(zip_with(vec, srow, (x, s) => x * s), lit(0.0),
+        (acc, t) => acc + t))
+  }
+
   /** Relational construction of the same vectors (explode → map-side-
     * combining groupBy → row-local sparse→dense fold): the shape a
     * plain-SQL engine uses, kept as the kernel's differential twin and
