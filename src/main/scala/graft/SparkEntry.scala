@@ -2328,6 +2328,21 @@ object SparkEntry {
       vecs.select(col("doc_id"),
           graft.llm.Featurize.randomProject(col("v"), 32, 8).as("p"))
         .orderBy(col("doc_id"))
+    },
+
+    // --- full precision-recall sweep in ONE pass (every distinct
+    //     score is a threshold; confusion counts are cumulative sums
+    //     over the score-descending frame — no per-threshold rescan).
+    //     Counts exact, ratios single divisions; thr rounded AFTER
+    //     all computation in both engines ---
+    "q119_pr_curve" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+      val scored = graft.llm.QualityModel.classify(docs, col("text"))
+      graft.llm.Eval.prCurve(scored, col("source"), col("score"),
+          coalesce(col("lang") === "en", lit(false)))
+        .select(col("grp").as("source"), round(col("thr"), 6).as("thr"),
+          col("tp"), col("fp"), col("precision"), col("recall"))
+        .orderBy(col("source"), col("thr"))
     }
   )
 
@@ -4245,6 +4260,32 @@ object SparkEntry {
                   1, 4)) AS INTEGER) % 2 = 0
               THEN 1 ELSE -1 END))) AS p
       FROM dense ORDER BY doc_id""",
+
+    // cumulative confusion counts over score-descending distinct
+    // thresholds; same shared score CTE as q115
+    "q119_pr_curve" -> s"""
+      WITH $q97ScorePrefixSql,
+      lab AS (SELECT d.source, coalesce(d.lang = 'en', false) AS y,
+                     s.score AS sc
+              FROM documents d JOIN s ON d.doc_id = s.doc_id),
+      per AS (SELECT source, sc, CAST(count(*) AS BIGINT) AS cnt,
+                     CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT)
+                       AS pos
+              FROM lab GROUP BY 1, 2),
+      c AS (SELECT source, sc,
+              CAST(sum(pos) OVER (PARTITION BY source ORDER BY sc DESC)
+                AS BIGINT) AS tp,
+              CAST(sum(cnt - pos) OVER (PARTITION BY source
+                ORDER BY sc DESC) AS BIGINT) AS fp,
+              CAST(sum(pos) OVER (PARTITION BY source) AS BIGINT)
+                AS npos
+            FROM per)
+      SELECT source, round(sc, 6) AS thr, tp, fp,
+             CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)
+               AS "precision",
+             CASE WHEN npos > 0 THEN
+               CAST(tp AS DOUBLE) / CAST(npos AS DOUBLE) END AS recall
+      FROM c ORDER BY source, thr""",
 
     // one MSE gradient step under the algebraic sigmoid at the q97
     // default weights; label = (lang == 'en'); per-feature sums are

@@ -80,4 +80,36 @@ object Eval {
       ((col("tp") + col("tn")).cast("double") / col("n").cast("double"))
         .as("accuracy"))
   }
+
+  /** Full precision-recall sweep in ONE pass: for every distinct score
+    * s per group (each a candidate threshold, predict-positive at
+    * score >= s), the confusion counts are cumulative sums over the
+    * score-descending distinct-score frame — no per-threshold rescan.
+    * Emits (grp, thr, tp, fp, precision, recall); exact integer counts
+    * and single-division ratios, same determinism argument as
+    * [[binaryMetrics]].
+    *
+    * Scale: identical shape to [[binaryMetrics]] — the corpus
+    * collapses via one map-side-combining groupBy to distinct
+    * (grp, score) rows before the window touches anything. */
+  def prCurve(scored: DataFrame, group: Column, score: Column,
+              label: Column): DataFrame = {
+    val base = scored.select(group.as("grp"), score.as("thr"),
+      label.cast("boolean").as("y"))
+    val perScore = base.groupBy(col("grp"), col("thr")).agg(
+      count(lit(1)).as("cnt"),
+      sum(when(col("y"), lit(1L)).otherwise(lit(0L))).as("pos"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("thr").desc)
+    val totals = Window.partitionBy(col("grp"))
+    perScore
+      .withColumn("tp", sum(col("pos")).over(w))
+      .withColumn("fp", sum(col("cnt") - col("pos")).over(w))
+      .withColumn("npos", sum(col("pos")).over(totals))
+      .select(col("grp"), col("thr"), col("tp"), col("fp"),
+        (col("tp").cast("double") / (col("tp") + col("fp")).cast("double"))
+          .as("precision"),
+        when(col("npos") > 0,
+          col("tp").cast("double") / col("npos").cast("double"))
+          .as("recall"))
+  }
 }

@@ -63,6 +63,29 @@ class EvalSpec extends SparkSpec {
     assert(m("allpos").getAs[Double]("recall") === 0.5)
   }
 
+  test("prCurve laws: monotone recall, endpoint counts, and agreement " +
+       "with binaryMetrics at threshold 0.5") {
+    val rows = Seq(
+      ("g", 0.9, true), ("g", 0.7, false), ("g", 0.6, true),
+      ("g", 0.5, true), ("g", 0.3, false), ("g", 0.1, false))
+    val df = rows.toDF("g", "s", "y")
+    val curve = Eval.prCurve(df, $"g", $"s", $"y")
+      .orderBy($"thr".desc).collect()
+    // recall is non-decreasing as the threshold drops; final point
+    // has tp = npos and fp = nneg
+    val recalls = curve.map(_.getAs[Double]("recall"))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => b >= a })
+    assert(curve.last.getAs[Long]("tp") === 3 &&
+           curve.last.getAs[Long]("fp") === 3)
+    // the curve point at thr=0.5 is exactly binaryMetrics' confusion
+    val at05 = curve.find(_.getAs[Double]("thr") === 0.5).get
+    val bm = Eval.binaryMetrics(df, $"g", $"s", $"y").collect().head
+    assert(at05.getAs[Long]("tp") === bm.getAs[Long]("tp"))
+    assert(at05.getAs[Long]("fp") === bm.getAs[Long]("fp"))
+    assert(at05.getAs[Double]("precision") ===
+      bm.getAs[Double]("precision"))
+  }
+
   test("rank window runs over distinct scores, partitioned by group " +
        "(never a global corpus sort)") {
     val df = Eval.binaryMetrics(
