@@ -2343,6 +2343,22 @@ object SparkEntry {
         .select(col("grp").as("source"), round(col("thr"), 6).as("thr"),
           col("tp"), col("fp"), col("precision"), col("recall"))
         .orderBy(col("source"), col("thr"))
+    },
+
+    // --- z-order (Morton) layout keys: the bit-interleave that
+    //     drives ZOrder.writeZOrdered's two-column data-skipping
+    //     layout, oracled as plain bit arithmetic (the layout law
+    //     itself — per-file rectangle widths — is ZOrderSpec's job;
+    //     an engine cannot hash-compare file boundaries) ---
+    "q120_zorder_key" -> { (spark, dir) =>
+      val orders = tbl(spark, dir, "orders")
+      orders.select(col("o_orderkey"),
+          pmod(col("o_custkey"), lit(1024)).cast("long").as("a"),
+          pmod(col("o_orderkey"), lit(1024)).cast("long").as("b"))
+        .withColumn("z",
+          graft.operators.ZOrder.zValue(col("a"), col("b"), 10))
+        .orderBy(col("z"), col("o_orderkey"))
+        .limit(200)
     }
   )
 
@@ -4286,6 +4302,19 @@ object SparkEntry {
              CASE WHEN npos > 0 THEN
                CAST(tp AS DOUBLE) / CAST(npos AS DOUBLE) END AS recall
       FROM c ORDER BY source, thr""",
+
+    // Morton interleave as plain bit arithmetic: the per-bit terms
+    // occupy disjoint positions, so summing them == OR-ing them
+    "q120_zorder_key" -> """
+      WITH t AS (SELECT o_orderkey,
+                   CAST(o_custkey % 1024 AS BIGINT) AS a,
+                   CAST(o_orderkey % 1024 AS BIGINT) AS b
+                 FROM orders)
+      SELECT o_orderkey, a, b,
+        CAST(list_sum(list_transform(generate_series(0, 9), i ->
+          (((a >> i) & 1) << (2 * i)) + (((b >> i) & 1) << (2 * i + 1))
+          )) AS BIGINT) AS z
+      FROM t ORDER BY z, o_orderkey LIMIT 200""",
 
     // one MSE gradient step under the algebraic sigmoid at the q97
     // default weights; label = (lang == 'en'); per-feature sums are
