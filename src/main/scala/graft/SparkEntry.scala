@@ -2359,6 +2359,23 @@ object SparkEntry {
           graft.operators.ZOrder.zValue(col("a"), col("b"), 10))
         .orderBy(col("z"), col("o_orderkey"))
         .limit(200)
+    },
+
+    // --- token-BUDGET balanced subsampling: a 10k-token target split
+    //     into equal per-source shares; per-source keep thresholds
+    //     are exact-integer-ratio rationals floor'd to the md5 bucket
+    //     space, membership a pure function of doc_id. Verified via
+    //     per-source kept-doc/kept-token totals ---
+    "q121_token_budget" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+        .withColumn("n_tok",
+          graft.llm.TextAnalysis.tokenCount(col("text")))
+      val kept = Pipelines.sampleToTokenBudget(docs, col("doc_id"),
+        col("source"), col("n_tok"), budgetTokens = 10000L)
+      kept.groupBy(col("source"))
+        .agg(count(lit(1)).as("kept_docs"),
+          sum(col("n_tok").cast("long")).as("kept_tokens"))
+        .orderBy(col("source"))
     }
   )
 
@@ -4315,6 +4332,31 @@ object SparkEntry {
           (((a >> i) & 1) << (2 * i)) + (((b >> i) & 1) << (2 * i + 1))
           )) AS BIGINT) AS z
       FROM t ORDER BY z, o_orderkey LIMIT 200""",
+
+    // per-source thresholds from exact token totals with the engine's
+    // division order (budget/k/tok, left-assoc), md5-bucket membership
+    "q121_token_budget" -> """
+      WITH d AS (SELECT doc_id, source,
+          CAST(len(list_filter(
+            string_split_regex(lower(trim(text)), '\s+'),
+            x -> length(x) > 0)) AS INT) AS n_tok
+        FROM documents),
+      tot AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS tok
+              FROM d GROUP BY source),
+      kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM tot),
+      thr AS (SELECT source,
+                CAST(floor(least(1.0,
+                  CAST(10000 AS DOUBLE) / k / tok) * 65536) AS BIGINT)
+                  AS t
+              FROM tot CROSS JOIN kk),
+      kept AS (SELECT d.doc_id, d.source, d.n_tok
+               FROM d JOIN thr USING (source)
+               WHERE CAST(('0x' || substring(
+                   md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
+                 % 65536 < t)
+      SELECT source, CAST(count(*) AS BIGINT) AS kept_docs,
+             CAST(sum(n_tok) AS BIGINT) AS kept_tokens
+      FROM kept GROUP BY source ORDER BY source""",
 
     // one MSE gradient step under the algebraic sigmoid at the q97
     // default weights; label = (lang == 'en'); per-feature sums are

@@ -107,6 +107,36 @@ object Pipelines {
     docs.filter(hashBucket(id, 100) < pctCol)
   }
 
+  /** Token-BUDGET balanced subsampling — the step that turns a target
+    * training-token count into an actual corpus: give every source an
+    * equal token share (budget/k, capped at keeping everything) and
+    * select docs by the same deterministic md5 threshold as
+    * [[hashBucket]]. Heavy sources are downsampled hard, tiny sources
+    * survive whole — the balanced-mixture recipe, with zero RNG and
+    * full cross-engine replayability.
+    *
+    * Determinism: per-source rates are floor'd to a 16-bit integer
+    * threshold computed from exact integer token totals with a fixed
+    * division order, so engines agree bit-for-bit; membership is a
+    * pure function of the id.
+    *
+    * Scale: one map-side-combining groupBy for the per-source totals
+    * (k rows), a broadcast back, and a row-local pushable filter —
+    * the corpus is never shuffled. */
+  def sampleToTokenBudget(docs: DataFrame, id: Column, source: Column,
+                          nTok: Column, budgetTokens: Long): DataFrame = {
+    val tot = docs.groupBy(source.as("__src"))
+      .agg(sum(nTok.cast("long")).as("__tok"))
+    val k = tot.agg(count(lit(1)).as("__k"))
+    val thr = tot.crossJoin(broadcast(k)).select(col("__src"),
+      floor(least(lit(1.0),
+        lit(budgetTokens).cast("double") / col("__k") / col("__tok"))
+        * lit(65536)).as("__thr"))
+    docs.join(broadcast(thr), source <=> col("__src"), "inner")
+      .filter(hashBucket(id, 65536) < col("__thr"))
+      .drop("__src", "__thr")
+  }
+
   /** Sequence packing for training: concatenate documents (in id order,
     * within a shard) into fixed-token-budget sequences, documents
     * spanning pack boundaries (GPT-style chunked concatenation). Emits

@@ -174,6 +174,39 @@ class PipelinesSpec extends SparkSpec {
       3L -> "removed", 4L -> "added"))
   }
 
+  test("sampleToTokenBudget: heavy sources downsample toward the " +
+       "per-source share, tiny sources survive whole, membership is " +
+       "deterministic") {
+    import org.apache.spark.sql.functions._
+    // heavy: 2000 docs x 10 tokens = 20000 tokens; tiny: 10 x 10 = 100
+    val docs = spark.range(2000)
+      .select($"id".as("doc_id"), lit("heavy").as("src"),
+        lit(10).as("n_tok"))
+      .unionByName(spark.range(2100, 2110)
+        .select($"id".as("doc_id"), lit("tiny").as("src"),
+          lit(10).as("n_tok")))
+    // budget 4000, k=2 -> share 2000 tokens: heavy rate ~0.1,
+    // tiny rate capped at 1
+    val kept = Pipelines.sampleToTokenBudget(docs, $"doc_id", $"src",
+      $"n_tok", budgetTokens = 4000L)
+    val bySrc = kept.groupBy($"src")
+      .agg(sum($"n_tok").as("tok"), count(lit(1)).as("docs"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(bySrc("tiny") === ((100L, 10L)), "tiny source kept whole")
+    val heavyTok = bySrc("heavy")._1
+    // md5 buckets are uniform enough for 3x slack around the share
+    assert(heavyTok > 2000 / 3 && heavyTok < 2000 * 3,
+      s"heavy source should land near its 2000-token share, got $heavyTok")
+    // determinism under reshuffling: same ids kept
+    val again = Pipelines.sampleToTokenBudget(
+        docs.repartition(7, $"doc_id"), $"doc_id", $"src", $"n_tok",
+        budgetTokens = 4000L)
+      .select($"doc_id").collect().map(_.getLong(0)).sorted
+    assert(again.toSeq === kept.select($"doc_id").collect()
+      .map(_.getLong(0)).sorted.toSeq)
+  }
+
   test("mixtureWeights: tau<1 up-weights small sources, budget adds up") {
     val docs = (1 to 900).map(i => (i.toLong, "big")) ++
       (1 to 100).map(i => (i.toLong + 1000, "small"))
