@@ -244,13 +244,19 @@ object SemDedup {
             cents, "cv", "cell", 1)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // materialize the duplicates BEFORE mutating the index they
-        // were computed against (the parquet write is the barrier)
-        pairsAgainstIndex(index, assigned, threshold)
-          .write.mode("append").parquet(dupsOutDir)
-        val survivors = assigned.join(
-          spark.read.parquet(dupsOutDir).select(col("dup_id")),
+        // were computed against (the parquet write is the barrier);
+        // the batch's dups are cached so the survivors filter neither
+        // recomputes the pair join nor re-reads the dups directory —
+        // which GROWS with stream lifetime (only THIS batch's ids can
+        // be this batch's dups, so the historical dups are irrelevant
+        // to the anti join)
+        val dupsB = pairsAgainstIndex(index, assigned, threshold)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        dupsB.write.mode("append").parquet(dupsOutDir)
+        val survivors = assigned.join(dupsB.select(col("dup_id")),
           col("vec_id") === col("dup_id"), "left_anti")
         appendToIndex(survivors, indexPath)
+        dupsB.unpersist(blocking = false)
         assigned.unpersist(blocking = false)
         ()
       }
