@@ -2376,6 +2376,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("kept_docs"),
           sum(col("n_tok").cast("long")).as("kept_tokens"))
         .orderBy(col("source"))
+    },
+
+    // --- chi-squared feature selection: which hashed-BoW slots carry
+    //     the lang=='en' label signal. Contingency cells are exact
+    //     integer counts, chi2 one final division of exact integer
+    //     products — hash-compared unrounded ---
+    "q122_chi2_features" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+      val vecs = graft.llm.Featurize.hashedBow(docs, col("doc_id"),
+          col("text"), dim = 32)
+        .join(docs.select(col("doc_id"),
+          coalesce(col("lang") === "en", lit(false)).as("y")),
+          Seq("doc_id"))
+      graft.llm.Eval.chiSquaredSlots(vecs, col("v"), col("y"))
+        .orderBy(col("b"))
     }
   )
 
@@ -4357,6 +4372,46 @@ object SparkEntry {
       SELECT source, CAST(count(*) AS BIGINT) AS kept_docs,
              CAST(sum(n_tok) AS BIGINT) AS kept_tokens
       FROM kept GROUP BY source ORDER BY source""",
+
+    // 2x2 presence-vs-label contingency per BoW slot; all-integer
+    // numerator/denominator, one final double division
+    "q122_chi2_features" -> """
+      WITH tk AS (SELECT doc_id, unnest(list_filter(
+             string_split_regex(lower(trim(text)), '\s+'),
+             x -> length(x) > 0)) AS t FROM documents),
+      contrib AS (SELECT doc_id,
+          CAST(('0x' || substring(md5(t), 1, 4)) AS INTEGER) % 32 AS b
+        FROM tk),
+      pres AS (SELECT DISTINCT doc_id, b FROM contrib),
+      docs3 AS (SELECT c.doc_id, coalesce(d.lang = 'en', false) AS y
+                FROM (SELECT DISTINCT doc_id FROM contrib) c
+                JOIN documents d USING (doc_id)),
+      tot AS (SELECT
+                CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT)
+                  AS npos,
+                CAST(sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS BIGINT)
+                  AS nneg
+              FROM docs3),
+      slot AS (SELECT p.b,
+                 CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n11,
+                 CAST(sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n10
+               FROM pres p JOIN docs3 USING (doc_id) GROUP BY p.b),
+      cells AS (SELECT b, n11, n10,
+                  npos - n11 AS n01, nneg - n10 AS n00, npos, nneg
+                FROM slot CROSS JOIN tot),
+      stat AS (SELECT b, n11, n10, n01, n00,
+                 n11 * n00 - n10 * n01 AS diff,
+                 (n11 + n10) * (n01 + n00) * (n11 + n01) * (n10 + n00)
+                   AS den,
+                 npos + nneg AS n
+               FROM cells)
+      SELECT b, n11, n10, n01, n00,
+             CASE WHEN den > 0 THEN
+               CAST(n * diff * diff AS DOUBLE) / CAST(den AS DOUBLE)
+             END AS chi2
+      FROM stat ORDER BY b""",
 
     // one MSE gradient step under the algebraic sigmoid at the q97
     // default weights; label = (lang == 'en'); per-feature sums are

@@ -112,4 +112,48 @@ object Eval {
           col("tp").cast("double") / col("npos").cast("double"))
           .as("recall"))
   }
+
+  /** Chi-squared feature selection over hashed-BoW slots: for every
+    * vector slot, the 2×2 presence-vs-label contingency counts and the
+    * chi² statistic
+    *   N·(n11·n00 − n10·n01)² / ((n11+n10)(n01+n00)(n11+n01)(n10+n00))
+    * — the classic filter-method ranking for which hashed features
+    * carry label signal (slot-level, so it composes with
+    * [[Featurize.hashedBow]] and any downstream linear model).
+    *
+    * Determinism: the contingency cells are exact integer counts, the
+    * numerator/denominator are exact integer products (longs hold them
+    * for corpora to ~10⁸ docs; wider engines use exact big integers
+    * and cast the SAME value), and chi² is one final division —
+    * bit-identical across engines, no rounding.
+    *
+    * Scale: one explode bounded by nnz (≤ dim per doc) into a
+    * map-side-combining groupBy with `dim` keys; totals are a scalar
+    * aggregate broadcast back. Nothing shuffles more than dim rows. */
+  def chiSquaredSlots(vecs: DataFrame, vec: Column, label: Column)
+      : DataFrame = {
+    val base = vecs.select(vec.as("v"), label.cast("boolean").as("y"))
+    val slots = base
+      .select(col("y"), posexplode(col("v")).as(Seq("b", "cnt")))
+      .filter(col("cnt") > 0)
+      .groupBy(col("b")).agg(
+        sum(when(col("y"), lit(1L)).otherwise(lit(0L))).as("n11"),
+        sum(when(!col("y"), lit(1L)).otherwise(lit(0L))).as("n10"))
+    val tot = base.agg(
+      sum(when(col("y"), lit(1L)).otherwise(lit(0L))).as("npos"),
+      sum(when(!col("y"), lit(1L)).otherwise(lit(0L))).as("nneg"))
+    slots.crossJoin(broadcast(tot))
+      .withColumn("n01", col("npos") - col("n11"))
+      .withColumn("n00", col("nneg") - col("n10"))
+      .withColumn("__diff",
+        col("n11") * col("n00") - col("n10") * col("n01"))
+      .withColumn("__den",
+        (col("n11") + col("n10")) * (col("n01") + col("n00"))
+          * (col("n11") + col("n01")) * (col("n10") + col("n00")))
+      .select(col("b"), col("n11"), col("n10"), col("n01"), col("n00"),
+        when(col("__den") > 0,
+          ((col("npos") + col("nneg")) * col("__diff") * col("__diff"))
+            .cast("double") / col("__den").cast("double"))
+          .as("chi2"))
+  }
 }

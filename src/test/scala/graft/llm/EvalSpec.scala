@@ -86,6 +86,25 @@ class EvalSpec extends SparkSpec {
       bm.getAs[Double]("precision"))
   }
 
+  test("chiSquaredSlots: hand-computed 2x2 contingency, independent " +
+       "slot scores ~0, perfectly-predictive slot scores N") {
+    // dim 2: slot 0 present iff positive (perfect), slot 1 in all docs
+    // (independent -> den has a zero factor -> chi2 null)
+    val vecs = Seq(
+      (Seq(1.0, 1.0), true), (Seq(2.0, 1.0), true),
+      (Seq(0.0, 3.0), false), (Seq(0.0, 1.0), false))
+      .toDF("v", "y")
+    val m = Eval.chiSquaredSlots(vecs, $"v", $"y")
+      .collect().map(r => r.getAs[Int]("b") -> r).toMap
+    val s0 = m(0)
+    assert(s0.getAs[Long]("n11") === 2 && s0.getAs[Long]("n10") === 0 &&
+           s0.getAs[Long]("n01") === 0 && s0.getAs[Long]("n00") === 2)
+    // perfect association: chi2 = N = 4
+    assert(s0.getAs[Double]("chi2") === 4.0)
+    // slot 1 present everywhere: the (n01+n00) margin is 0
+    assert(m(1).isNullAt(m(1).fieldIndex("chi2")))
+  }
+
   test("rank window runs over distinct scores, partitioned by group " +
        "(never a global corpus sort)") {
     val df = Eval.binaryMetrics(
