@@ -81,7 +81,28 @@ object AnnBench {
         queries, col("query_id"), col("qv"), k, nlist = 32, nprobe = 8)),
       "pq" -> (() => Similarity.pqTopK(corpus, col("vec_id"), col("v"),
         queries, col("query_id"), col("qv"), k, m = 8, ksub = 16,
-        refine = refine)))
+        refine = refine)),
+      // JL route: search in the 16-dim random projection (4x fewer
+      // multiplies per comparison), exact 64-dim re-rank of the top
+      // 4k candidates — the projection cost is charged to the method
+      "jl16" -> (() => {
+        val pc = corpus.select(col("vec_id"),
+          graft.llm.Featurize.randomProject(col("v"), 64, 16).as("v"))
+        val pq = queries.select(col("query_id"),
+          graft.llm.Featurize.randomProject(col("qv"), 64, 16).as("qv"))
+        val cand = Similarity.bruteForceTopK(pc, col("vec_id"),
+          col("v"), pq, col("query_id"), col("qv"), 4 * k)
+        val rer = cand.select(col("query_id"), col("vec_id"))
+          .join(corpus, Seq("vec_id"))
+          .join(queries, Seq("query_id"))
+          .withColumn("sim",
+            graft.functions.cosine_sim(col("v"), col("qv")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("vec_id"))
+        rer.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= k)
+      }))
 
     println(f"corpus=$nCorpus queries=$nQ k=$k dims=64 (${mult}x $sfDir)")
     println(f"${"method"}%-6s ${"recall@10"}%9s ${"sec"}%8s")

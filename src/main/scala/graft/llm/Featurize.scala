@@ -63,10 +63,19 @@ object Featurize {
     *
     * The sign matrix is data-independent and tiny (inDim·outDim), so
     * it is embedded in the plan as a literal and the projection is
-    * pure row-local arithmetic — zero shuffle, codegen-friendly
-    * zip_with/aggregate, nothing leaves the executors. On integer
-    * (BoW) inputs every output component is an exact ±integer sum —
-    * bit-identical across engines in any summation order. */
+    * pure row-local arithmetic — zero shuffle, nothing leaves the
+    * executors. On integer (BoW) inputs every output component is an
+    * exact ±integer sum — bit-identical across engines in any
+    * summation order.
+    *
+    * Where it pays (measured, BENCHMARKS.md "JL-projected ANN"): in
+    * front of ITERATIVE consumers — a k-means fit revisits every
+    * vector k·iters times and amortizes the one-pass projection — or
+    * for very wide featurizations. NOT as a prefilter for a single
+    * fused-kernel scan: at dim=64 the HOF projection costs more than
+    * the native cosine kernel multiplies it saves, and dense near-dup
+    * corpora defeat low-dim candidate ordering (recall 0.63 at the
+    * 100× bench). */
   def randomProject(vec: Column, inDim: Int, outDim: Int): Column = {
     val signs = projectionSigns(inDim, outDim)
     val rows = array(signs.map(r => array(r.map(lit): _*)): _*)
