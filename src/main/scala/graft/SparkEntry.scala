@@ -2391,6 +2391,31 @@ object SparkEntry {
           Seq("doc_id"))
       graft.llm.Eval.chiSquaredSlots(vecs, col("v"), col("y"))
         .orderBy(col("b"))
+    },
+
+    // --- calibration / reliability table for the quality classifier:
+    //     mean predicted score vs empirical positive rate per decile
+    //     bin. The mean rides the value-sorted fold (the q103/q110
+    //     verification surface); counts and the rate are exact ---
+    "q123_calibration" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+      val scored = graft.llm.QualityModel.classify(docs, col("text"))
+      graft.llm.Eval.calibrationBins(scored, col("score"),
+          coalesce(col("lang") === "en", lit(false)),
+          deterministicMean = true)
+        .orderBy(col("bin"))
+    },
+
+    // --- n-gram novelty: fraction of each doc's distinct 3-grams
+    //     that are corpus-unique (df=1) — the boilerplate-vs-fresh-
+    //     prose curation scalar. Engine joins on hashed shingles
+    //     (hash equality ≡ gram equality); the oracle replays the
+    //     string grams — counts agree exactly ---
+    "q124_novelty" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      graft.llm.Curation.noveltyScores(docs, col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -4412,6 +4437,49 @@ object SparkEntry {
                CAST(n * diff * diff AS DOUBLE) / CAST(den AS DOUBLE)
              END AS chi2
       FROM stat ORDER BY b""",
+
+    // decile bins over the shared bit-exact score CTE; mean via the
+    // value-sorted list_reduce fold (+ 0.0 seed normalization)
+    "q123_calibration" -> s"""
+      WITH $q97ScorePrefixSql,
+      lab AS (SELECT coalesce(d.lang = 'en', false) AS y, s.score AS sc
+              FROM documents d JOIN s ON d.doc_id = s.doc_id),
+      b AS (SELECT CAST(least(floor(sc * 10), 9) AS INT) AS bin, y, sc
+            FROM lab),
+      g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT)
+                     AS pos,
+                   list_reduce(list(sc ORDER BY sc),
+                     (a, x) -> a + x) + 0.0 AS ssum
+            FROM b GROUP BY bin)
+      SELECT bin, n, pos,
+             CAST(pos AS DOUBLE) / CAST(n AS DOUBLE) AS pos_rate,
+             ssum / CAST(n AS DOUBLE) AS mean_score
+      FROM g ORDER BY bin""",
+
+    // per-doc distinct 3-grams -> corpus df census -> unique fraction
+    "q124_novelty" -> """
+      WITH t AS (SELECT doc_id,
+          list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                      x -> length(x) > 0) AS toks
+        FROM documents),
+      sh AS (SELECT DISTINCT doc_id, g FROM (
+               SELECT doc_id, unnest(CASE WHEN len(toks) >= 3 THEN
+                   list_transform(generate_series(1, len(toks) - 2),
+                     i -> array_to_string(toks[i:i+2], ' '))
+                 WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+                 ELSE [] END) AS g
+               FROM t)),
+      dfc AS (SELECT g, CAST(count(*) AS BIGINT) AS df
+              FROM sh GROUP BY g),
+      agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                     CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_unique
+              FROM sh JOIN dfc USING (g) GROUP BY doc_id)
+      SELECT doc_id, n_grams, n_unique,
+             CAST(n_unique AS DOUBLE) / CAST(n_grams AS DOUBLE)
+               AS novelty
+      FROM agg ORDER BY doc_id""",
 
     // one MSE gradient step under the algebraic sigmoid at the q97
     // default weights; label = (lang == 'en'); per-feature sums are

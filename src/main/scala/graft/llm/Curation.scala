@@ -53,4 +53,38 @@ object Curation {
       .select(col("grp"), (col("__pos") + 1).cast("int").as("rk"),
         col("e._2").as("id"), col("e._1").as("score"))
   }
+
+  /** N-gram NOVELTY per document: the fraction of a doc's distinct
+    * word n-grams that appear in no other document (corpus df = 1) —
+    * high novelty ≈ fresh prose, low novelty ≈ boilerplate/template
+    * text (the inverse of the duplicated-spans signal, as a per-doc
+    * scalar a curation policy can threshold on).
+    *
+    * `hashedShingles` (default): grams travel as the native 64-bit
+    * shingle hashes, so the df census joins on longs (the
+    * [[Contamination.sharedGrams]] trade — hash equality ≡ gram
+    * equality up to ~1e-19/pair collisions). Counts and the ratio are
+    * exact integers / one division.
+    *
+    * Scale: explode distinct grams, ONE map-side-combining census
+    * groupBy, one equi-join back — the q104/q95 shape; no all-pairs
+    * anything. */
+  def noveltyScores(docs: DataFrame, id: Column, text: Column,
+                    n: Int = 3, hashedShingles: Boolean = true)
+      : DataFrame = {
+    val grams =
+      if (hashedShingles) TextAnalysis.shingleHashes(text, n)
+      else TextAnalysis.shingles(text, n)
+    val sh = docs.select(id.as("doc_id"), explode(grams).as("g"))
+      .distinct()
+    val census = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    sh.join(census, Seq("g"))
+      .groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1, lit(1L)).otherwise(lit(0L)))
+          .as("n_unique"))
+      .select(col("doc_id"), col("n_grams"), col("n_unique"),
+        (col("n_unique").cast("double") / col("n_grams").cast("double"))
+          .as("novelty"))
+  }
 }

@@ -113,6 +113,39 @@ object Eval {
           .as("recall"))
   }
 
+  /** Calibration / reliability table: bucket predictions into
+    * `bins` equal-width score bins and compare the bin's MEAN
+    * PREDICTED score against its EMPIRICAL positive rate — the
+    * reliability-diagram data for "does 0.8 mean 80%?".
+    *
+    * `deterministicMean` (verification surface, same switch as
+    * [[QualityModel.gradient]]): fold the VALUE-SORTED collected
+    * scores so the mean is bit-identical across engines regardless of
+    * partitioning; the default production path is a plain map-side-
+    * combining sum (collect_list of a 100 TB bin is not a thing). */
+  def calibrationBins(scored: DataFrame, score: Column, label: Column,
+                      bins: Int = 10,
+                      deterministicMean: Boolean = false): DataFrame = {
+    val base = scored.select(score.as("s"),
+      label.cast("boolean").as("y"))
+    val meanAgg =
+      if (deterministicMean)
+        aggregate(array_sort(collect_list(col("s"))), lit(0.0d),
+          (acc, x) => acc + x) / count(lit(1)).cast("double")
+      else sum(col("s")) / count(lit(1)).cast("double")
+    base
+      .withColumn("bin",
+        least(floor(col("s") * bins), lit(bins - 1)).cast("int"))
+      .groupBy(col("bin")).agg(
+        count(lit(1)).as("n"),
+        sum(when(col("y"), lit(1L)).otherwise(lit(0L))).as("pos"),
+        meanAgg.as("mean_score"))
+      .select(col("bin"), col("n"), col("pos"),
+        (col("pos").cast("double") / col("n").cast("double"))
+          .as("pos_rate"),
+        col("mean_score"))
+  }
+
   /** Chi-squared feature selection over hashed-BoW slots: for every
     * vector slot, the 2×2 presence-vs-label contingency counts and the
     * chi² statistic

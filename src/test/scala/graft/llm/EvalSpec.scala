@@ -86,6 +86,26 @@ class EvalSpec extends SparkSpec {
       bm.getAs[Double]("precision"))
   }
 
+  test("calibrationBins: bin assignment, exact rates, deterministic " +
+       "mean equals the plain mean") {
+    val df = Seq((0.05, false), (0.12, false), (0.18, true),
+      (0.95, true), (0.99, true)).toDF("s", "y")
+    val bins = Eval.calibrationBins(df, $"s", $"y",
+        deterministicMean = true)
+      .collect().map(r => r.getAs[Int]("bin") -> r).toMap
+    assert(bins.keySet === Set(0, 1, 9))
+    assert(bins(1).getAs[Long]("n") === 2 &&
+           bins(1).getAs[Long]("pos") === 1)
+    assert(bins(1).getAs[Double]("pos_rate") === 0.5)
+    assert(bins(1).getAs[Double]("mean_score") === (0.12 + 0.18) / 2)
+    assert(bins(9).getAs[Double]("mean_score") === (0.95 + 0.99) / 2)
+    val plain = Eval.calibrationBins(df, $"s", $"y")
+      .collect().map(r => r.getAs[Int]("bin") ->
+        r.getAs[Double]("mean_score")).toMap
+    bins.foreach { case (b, r) =>
+      assert(plain(b) === r.getAs[Double]("mean_score")) }
+  }
+
   test("chiSquaredSlots: hand-computed 2x2 contingency, independent " +
        "slot scores ~0, perfectly-predictive slot scores N") {
     // dim 2: slot 0 present iff positive (perfect), slot 1 in all docs
