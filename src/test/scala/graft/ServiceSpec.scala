@@ -74,4 +74,35 @@ class ServiceSpec extends SparkSpec {
       """{"from": "region", "sort": ["r_regionkey"]}""", views))
     assert(r3.get("data").size === 5)
   }
+
+  test("evaluation frames publish as views: JX edges over the " +
+       "calibration table, JX top-k over chi2 features") {
+    import org.apache.spark.sql.functions._
+    val docs = catalog.table("documents")
+    val scored = graft.llm.QualityModel.classify(docs, col("text"))
+    val calib = graft.llm.Eval.calibrationBins(scored, col("score"),
+      coalesce(col("lang") === "en", lit(false)))
+    val vecs = graft.llm.Featurize.hashedBow(docs, col("doc_id"),
+        col("text"), dim = 32)
+      .join(docs.select(col("doc_id"),
+        coalesce(col("lang") === "en", lit(false)).as("y")),
+        Seq("doc_id"))
+    val chi2 = graft.llm.Eval.chiSquaredSlots(vecs, col("v"), col("y"))
+    val views = Map("calibration" -> calib, "chi2_features" -> chi2)
+    // aggregate the calibration table through JX: total docs
+    val r1 = mapper.readTree(Service.query(spark, TestSpark.sfDir,
+      """{"from": "calibration",
+          "select": [{"name": "total", "value": "n",
+                      "aggregate": "sum"}]}""", views))
+    assert(r1.get("data").get(0).get("total").asLong === docs.count())
+    // top-informative slots by JX sort+limit over the chi2 frame
+    val r2 = mapper.readTree(Service.query(spark, TestSpark.sfDir,
+      """{"from": "chi2_features",
+          "sort": [{"value": "chi2", "sort": -1}],
+          "limit": 3}""", views))
+    assert(r2.get("data").size === 3)
+    val top = r2.get("data").get(0).get("chi2").asDouble
+    val third = r2.get("data").get(2).get("chi2").asDouble
+    assert(top >= third)
+  }
 }
