@@ -2416,7 +2416,37 @@ object SparkEntry {
         .select(col("doc_id"), col("text"))
       graft.llm.Curation.noveltyScores(docs, col("doc_id"), col("text"))
         .orderBy(col("doc_id"))
-    }
+    },
+
+    // --- INCREMENTAL n-gram LM training: the 70% history trains a
+    //     model persisted as parquet count tables; the 30% batch's
+    //     counts are merged in WITHOUT re-reading history text (only
+    //     the vocabulary-bounded count tables shuffle). Because
+    //     integer count addition is associative, the merged model is
+    //     bit-identical to a full retrain — the oracle TRAINS FROM
+    //     SCRATCH on the whole corpus and the scores still
+    //     hash-match ---
+    "q125_lm_incremental" -> rounded("avg_logprob" -> 6)({ (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val hist = docs.filter(pmod(col("doc_id"), lit(10)) < 7)
+      val batch = docs.filter(pmod(col("doc_id"), lit(10)) >= 7)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_q125").toString
+      graft.llm.LangModel.writeModel(
+        graft.llm.LangModel.unigrams(hist, col("text")),
+        graft.llm.LangModel.bigrams(hist, col("text")), tmp)
+      val (u0, b0) = graft.llm.LangModel.readModel(spark, tmp)
+      val uni = graft.llm.LangModel.mergeUnigrams(u0,
+        graft.llm.LangModel.unigrams(batch, col("text")))
+      val bi = graft.llm.LangModel.mergeBigrams(b0,
+        graft.llm.LangModel.bigrams(batch, col("text")))
+      graft.llm.LangModel.scoreDocs(
+          docs.filter(pmod(col("doc_id"), lit(7)) === 0),
+          col("doc_id"), col("text"), uni, bi,
+          lambda = 0.5, k = 1.0, deterministicAvg = true)
+        .orderBy(col("doc_id"))
+    })
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same column names & rounding). */
@@ -4480,6 +4510,58 @@ object SparkEntry {
              CAST(n_unique AS DOUBLE) / CAST(n_grams AS DOUBLE)
                AS novelty
       FROM agg ORDER BY doc_id""",
+
+    // the associativity law in oracle form: the engine merges batch
+    // counts into persisted history tables; the oracle trains FROM
+    // SCRATCH on the full corpus — identical integer counts, so the
+    // q103 scoring tail hash-matches
+    "q125_lm_incremental" -> """
+      WITH ttok AS (SELECT unnest(list_filter(
+                 string_split_regex(lower(trim(text)), '\s+'),
+                 x -> length(x) > 0)) AS w FROM documents),
+      uni AS (SELECT w, count(*) AS c FROM ttok GROUP BY 1),
+      stats AS (SELECT CAST(sum(c) AS DOUBLE) AS n,
+                       CAST(count(*) AS DOUBLE) AS v FROM uni),
+      tbig AS (SELECT list_filter(
+                 string_split_regex(lower(trim(text)), '\s+'),
+                 x -> length(x) > 0) AS toks FROM documents),
+      bi0 AS (SELECT unnest(list_transform(
+                       generate_series(1, len(toks) - 1),
+                       i -> toks[i])) AS a,
+                     unnest(list_transform(
+                       generate_series(1, len(toks) - 1),
+                       i -> toks[i + 1])) AS b
+              FROM tbig WHERE len(toks) >= 2),
+      bi AS (SELECT a, b, count(*) AS c FROM bi0 GROUP BY 1, 2),
+      dtok AS (SELECT doc_id, list_filter(
+                 string_split_regex(lower(trim(text)), '\s+'),
+                 x -> length(x) > 0) AS toks
+               FROM documents WHERE doc_id % 7 = 0),
+      tr AS (SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(toks)),
+                 i -> CASE WHEN i > 1 THEN toks[i - 1] END)) AS prev,
+               unnest(list_transform(generate_series(1, len(toks)),
+                 i -> toks[i])) AS cur
+             FROM dtok WHERE len(toks) > 0),
+      sc AS (SELECT doc_id,
+               CASE WHEN prev IS NULL THEN
+                 (coalesce(u1.c, 0) + 1.0) / (s.n + 1.0 * s.v)
+               ELSE
+                 0.5 * ((coalesce(bi.c, 0) + 1.0)
+                        / (coalesce(u2.c, 0) + 1.0 * s.v))
+                 + 0.5 * ((coalesce(u1.c, 0) + 1.0)
+                          / (s.n + 1.0 * s.v))
+               END AS p
+             FROM tr
+             LEFT JOIN uni u1 ON tr.cur = u1.w
+             LEFT JOIN uni u2 ON tr.prev = u2.w
+             LEFT JOIN bi ON tr.prev = bi.a AND tr.cur = bi.b
+             CROSS JOIN stats s)
+      SELECT doc_id, count(*) AS n_scored,
+             round(list_reduce(list(ln(p) ORDER BY ln(p)),
+                               (acc, x) -> acc + x) / count(*), 6)
+               AS avg_logprob
+      FROM sc GROUP BY 1 ORDER BY 1""",
 
     // one MSE gradient step under the algebraic sigmoid at the q97
     // default weights; label = (lang == 'en'); per-feature sums are

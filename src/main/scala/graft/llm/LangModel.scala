@@ -46,6 +46,35 @@ object LangModel {
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("c"))
 
+  /** Merge a new batch's unigram counts into an existing count table.
+    * Integer addition is associative and commutative, so incrementally
+    * merged counts are IDENTICAL to a full retrain over
+    * history ∪ batch — the law q125 verifies end-to-end (scores under
+    * the merged model hash-match a from-scratch oracle). The merge
+    * shuffles only the COUNT TABLES (vocabulary-bounded, Heaps' law),
+    * never historical text — the same incremental-corpus shape as the
+    * minhash index (q95) and the semantic-dedup cell index (q111). */
+  def mergeUnigrams(old: DataFrame, add: DataFrame): DataFrame =
+    old.unionByName(add).groupBy(col("w")).agg(sum(col("c")).as("c"))
+
+  /** [[mergeUnigrams]] for the (a, b, c) bigram table. */
+  def mergeBigrams(old: DataFrame, add: DataFrame): DataFrame =
+    old.unionByName(add).groupBy(col("a"), col("b"))
+      .agg(sum(col("c")).as("c"))
+
+  /** Persist a trained model (unigram + bigram count tables) as two
+    * parquet directories under `dir`. */
+  def writeModel(uni: DataFrame, bi: DataFrame, dir: String): Unit = {
+    uni.write.mode("overwrite").parquet(dir + "/unigrams")
+    bi.write.mode("overwrite").parquet(dir + "/bigrams")
+  }
+
+  /** Read a persisted model back: (unigrams, bigrams). */
+  def readModel(spark: org.apache.spark.sql.SparkSession, dir: String)
+      : (DataFrame, DataFrame) =
+    (spark.read.parquet(dir + "/unigrams"),
+      spark.read.parquet(dir + "/bigrams"))
+
   /** Per-doc (doc_id, n_scored, avg_logprob): every token transition
     * of `score` docs scored under the interpolated model trained from
     * the `uni`/`bi` count tables. Token-less docs drop out.

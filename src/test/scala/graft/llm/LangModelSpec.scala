@@ -39,6 +39,35 @@ class LangModelSpec extends SparkSpec {
       "in-domain text must have higher avg log-probability")
   }
 
+  test("incremental merge == full retrain, exactly (count tables and " +
+       "persisted-model roundtrip)") {
+    import org.apache.spark.sql.functions._
+    val hist = Seq((1L, "the cat sat on the mat"),
+      (2L, "a cat ran")).toDF("doc_id", "text")
+    val batch = Seq((3L, "the cat ran fast"),
+      (4L, "mat the cat")).toDF("doc_id", "text")
+    val full = hist.unionByName(batch)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_lm_merge").toString
+    LangModel.writeModel(LangModel.unigrams(hist, $"text"),
+      LangModel.bigrams(hist, $"text"), dir)
+    val (u0, b0) = LangModel.readModel(spark, dir)
+    val uniM = LangModel.mergeUnigrams(u0,
+      LangModel.unigrams(batch, $"text"))
+    val biM = LangModel.mergeBigrams(b0,
+      LangModel.bigrams(batch, $"text"))
+    val uniF = LangModel.unigrams(full, $"text")
+    val biF = LangModel.bigrams(full, $"text")
+    assert(uniM.exceptAll(uniF).isEmpty && uniF.exceptAll(uniM).isEmpty)
+    assert(biM.exceptAll(biF).isEmpty && biF.exceptAll(biM).isEmpty)
+    // and therefore identical scores
+    val sM = LangModel.scoreDocs(full, $"doc_id", $"text", uniM, biM,
+      lambda = 0.5, deterministicAvg = true)
+    val sF = LangModel.scoreDocs(full, $"doc_id", $"text", uniF, biF,
+      lambda = 0.5, deterministicAvg = true)
+    assert(sM.exceptAll(sF).isEmpty && sF.exceptAll(sM).isEmpty)
+  }
+
   test("hand-computed single-token doc: unigram-only backoff") {
     val test = Seq((20L, "the")).toDF("doc_id", "text")
     val uni = LangModel.unigrams(train, $"text")
