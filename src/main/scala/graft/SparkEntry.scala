@@ -2446,7 +2446,37 @@ object SparkEntry {
           col("doc_id"), col("text"), uni, bi,
           lambda = 0.5, k = 1.0, deterministicAvg = true)
         .orderBy(col("doc_id"))
-    })
+    }),
+
+    // --- streaming TRENDING tokens (windowed heavy hitters): the
+    //     documents stream tumbles on a doc_id-derived event time,
+    //     per-window token counts accumulate in the streaming agg
+    //     (the state the 100 TB deployment keeps: windows × vocab,
+    //     watermark-bounded); the top-5-per-window cut is the batch
+    //     serving pass over the drained counts — chained aggregation
+    //     is not a streaming operator, by Spark's own rules. Oracle
+    //     replays both halves relationally; stream/batch parity is
+    //     the hash gate ---
+    "q126_stream_trending" -> { (spark, dir) =>
+      val stream = EventStream.readTable(spark, dir, "documents")
+      val toks = stream.select(
+        timestamp_seconds(col("doc_id")).as("ts"),
+        explode(graft.llm.TextAnalysis.tokens(col("text"))).as("w"))
+      val counts = toks
+        .groupBy(window(col("ts"), "100 seconds"), col("w"))
+        .agg(count(lit(1)).as("c"))
+      val drained = EventStream.runToCompletion(spark, counts)
+      val rkW = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("win_start"))
+        .orderBy(col("c").desc, col("w"))
+      drained
+        .select(col("window.start").cast("long").as("win_start"),
+          col("w"), col("c"))
+        .withColumn("rk", row_number().over(rkW))
+        .filter(col("rk") <= 5)
+        .select(col("win_start"), col("rk"), col("w"), col("c"))
+        .orderBy(col("win_start"), col("rk"))
+    }
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same column names & rounding). */
@@ -4562,6 +4592,23 @@ object SparkEntry {
                                (acc, x) -> acc + x) / count(*), 6)
                AS avg_logprob
       FROM sc GROUP BY 1 ORDER BY 1""",
+
+    // tumbling windows = epoch-aligned 1000-second buckets of the
+    // doc_id-derived event time; ties in the top-5 break token-asc
+    "q126_stream_trending" -> """
+      WITH tk AS (SELECT CAST(doc_id // 100 * 100 AS BIGINT)
+                    AS win_start,
+                  unnest(list_filter(
+                    string_split_regex(lower(trim(text)), '\s+'),
+                    x -> length(x) > 0)) AS w
+                  FROM documents),
+      c AS (SELECT win_start, w, count(*) AS c FROM tk GROUP BY 1, 2),
+      r AS (SELECT win_start, w, c,
+              row_number() OVER (PARTITION BY win_start
+                ORDER BY c DESC, w ASC) AS rk
+            FROM c)
+      SELECT win_start, CAST(rk AS INT) AS rk, w, c
+      FROM r WHERE rk <= 5 ORDER BY win_start, rk""",
 
     // one MSE gradient step under the algebraic sigmoid at the q97
     // default weights; label = (lang == 'en'); per-feature sums are
