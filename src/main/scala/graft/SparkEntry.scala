@@ -2476,6 +2476,38 @@ object SparkEntry {
         .filter(col("rk") <= 5)
         .select(col("win_start"), col("rk"), col("w"), col("c"))
         .orderBy(col("win_start"), col("rk"))
+    },
+
+    // --- the FULL curation pipeline, one query, every stage an
+    //     operator this library ships: exact dedup (md5 content,
+    //     min-id survivor) -> quality-model filter (keep = score >=
+    //     0.5) -> benchmark decontamination (8-gram overlap with the
+    //     doc_id%97 eval set, hashed-shingle broadcast join) ->
+    //     token-budget balanced sampling (10k tokens, equal source
+    //     shares). The oracle replays all four stages relationally —
+    //     per-source kept docs/tokens hash-match, which pins every
+    //     intermediate frame ---
+    "q127_pipeline" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+      val fp = docs.select(col("doc_id"), col("source"), col("text"),
+        md5(col("text")).as("fp"))
+      val keepIds = fp.groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+      val s1 = fp.join(keepIds, Seq("doc_id"), "left_semi")
+      val s2 = graft.llm.QualityModel.classify(s1, col("text"))
+        .filter(col("keep"))
+        .select(col("doc_id"), col("source"), col("text"))
+      val evalSet = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+      val s3 = graft.llm.Contamination.decontaminate(s2, col("doc_id"),
+        col("text"), evalSet, col("text"), n = 8)
+      val s3t = s3.withColumn("n_tok",
+        graft.llm.TextAnalysis.tokenCount(col("text")))
+      val kept = Pipelines.sampleToTokenBudget(s3t, col("doc_id"),
+        col("source"), col("n_tok"), budgetTokens = 10000L)
+      kept.groupBy(col("source"))
+        .agg(count(lit(1)).as("kept_docs"),
+          sum(col("n_tok").cast("long")).as("kept_tokens"))
+        .orderBy(col("source"))
     }
   )
 
@@ -4609,6 +4641,58 @@ object SparkEntry {
             FROM c)
       SELECT win_start, CAST(rk AS INT) AS rk, w, c
       FROM r WHERE rk <= 5 ORDER BY win_start, rk""",
+
+    // four pipeline stages replayed relationally: md5 dedup ->
+    // score >= 0.5 -> 8-gram eval-overlap drop -> budget sample
+    "q127_pipeline" -> s"""
+      WITH $q97ScorePrefixSql,
+      keep1 AS (SELECT min(doc_id) AS doc_id FROM documents
+                GROUP BY md5(text)),
+      s1 AS (SELECT d.doc_id, d.source, d.text FROM documents d
+             JOIN keep1 k ON d.doc_id = k.doc_id),
+      s2 AS (SELECT s1.doc_id, s1.source, s1.text FROM s1
+             JOIN s ON s1.doc_id = s.doc_id WHERE s.score >= 0.5),
+      t2 AS (SELECT doc_id, source,
+               list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                           x -> length(x) > 0) AS toks
+             FROM s2),
+      te AS (SELECT list_filter(
+               string_split_regex(lower(trim(text)), '\\s+'),
+               x -> length(x) > 0) AS toks
+             FROM documents WHERE doc_id % 97 = 0),
+      eg AS (SELECT DISTINCT g FROM (
+               SELECT unnest(CASE WHEN len(toks) >= 8 THEN
+                   list_transform(generate_series(1, len(toks) - 7),
+                     i -> array_to_string(toks[i:i+7], ' '))
+                 WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+                 ELSE [] END) AS g FROM te)),
+      tg AS (SELECT DISTINCT doc_id, g FROM (
+               SELECT doc_id, unnest(CASE WHEN len(toks) >= 8 THEN
+                   list_transform(generate_series(1, len(toks) - 7),
+                     i -> array_to_string(toks[i:i+7], ' '))
+                 WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+                 ELSE [] END) AS g FROM t2)),
+      contaminated AS (SELECT DISTINCT doc_id FROM tg JOIN eg USING (g)),
+      d3 AS (SELECT t2.doc_id, t2.source, CAST(len(toks) AS INT)
+               AS n_tok
+             FROM t2 WHERE NOT EXISTS (SELECT 1 FROM contaminated c
+               WHERE c.doc_id = t2.doc_id)),
+      tot AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS tok
+              FROM d3 GROUP BY source),
+      kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM tot),
+      thr AS (SELECT source,
+                CAST(floor(least(1.0,
+                  CAST(10000 AS DOUBLE) / k / tok) * 65536) AS BIGINT)
+                  AS th
+              FROM tot CROSS JOIN kk),
+      kept AS (SELECT d3.doc_id, d3.source, d3.n_tok
+               FROM d3 JOIN thr USING (source)
+               WHERE CAST(('0x' || substring(
+                   md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
+                 % 65536 < th)
+      SELECT source, CAST(count(*) AS BIGINT) AS kept_docs,
+             CAST(sum(n_tok) AS BIGINT) AS kept_tokens
+      FROM kept GROUP BY source ORDER BY source""",
 
     // one MSE gradient step under the algebraic sigmoid at the q97
     // default weights; label = (lang == 'en'); per-feature sums are
