@@ -2508,6 +2508,22 @@ object SparkEntry {
         .agg(count(lit(1)).as("kept_docs"),
           sum(col("n_tok").cast("long")).as("kept_tokens"))
         .orderBy(col("source"))
+    },
+
+    // --- sink compaction: the documents table written as 32 tiny
+    //     files (a micro-batch sink's droppings), compacted to
+    //     ~1000-row files with an atomic directory swap. The oracled
+    //     invariant is CONTENT IDENTITY — the compacted table must
+    //     hash-match the original source rows; the file-count
+    //     collapse itself is asserted in SinksSpec ---
+    "q128_compaction" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_q128").toString + "/frag"
+      docs.repartition(32).write.parquet(tmp)
+      graft.sources.Sinks.compact(spark, tmp, targetRowsPerFile = 1000)
+      spark.read.parquet(tmp).orderBy(col("doc_id"))
     }
   )
 
@@ -4489,6 +4505,10 @@ object SparkEntry {
       SELECT source, CAST(count(*) AS BIGINT) AS kept_docs,
              CAST(sum(n_tok) AS BIGINT) AS kept_tokens
       FROM kept GROUP BY source ORDER BY source""",
+
+    // compaction only changes file layout: content == the source
+    "q128_compaction" -> """
+      SELECT doc_id, source, n_chars FROM documents ORDER BY doc_id""",
 
     // 2x2 presence-vs-label contingency per BoW slot; all-integer
     // numerator/denominator, one final double division

@@ -48,7 +48,16 @@ object Bloom {
     * executor-side, merges them in the partial-aggregate tree, and
     * returns ONLY the serialized bitmap (the rows never leave the
     * executors). Keys are hashed to longs with xxhash64 — callers
-    * probe with [[mightContain]] on the same key expression. */
+    * probe with [[mightContain]] on the same key expression.
+    *
+    * Sizing envelope at scale: the bitmap is ~1.2·n·ln(1/fpp)/ln²2
+    * bits — 100 M keys at fpp=0.01 is ~120 MB, comfortably
+    * broadcastable; beyond ~1 B keys either relax fpp (the exact
+    * confirm join absorbs false positives) or shard the sketch by a
+    * key prefix. Spark guards the aggregate with
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` /
+    * `.maxNumBits` (defaults 4 M / 67 M) — raise those session confs
+    * for larger builds; the error is immediate and names the limit. */
   def sketchBytes(df: DataFrame, key: Column, expectedItems: Long,
                   fpp: Double = 0.01): Array[Byte] = {
     val agg = new BloomFilterAggregate(toExpr(xxhash64(key)),

@@ -42,4 +42,41 @@ object Sinks {
     try sinks.foreach(_(cached))
     finally cached.unpersist()
   }
+
+  /** Compaction — the operational answer to the small-files problem
+    * every appending sink (micro-batch streams, per-block writers)
+    * accumulates: rewrite a parquet directory into
+    * ceil(rows / targetRowsPerFile) files and atomically swap it in
+    * (write to `<path>.__compact`, move the old dir aside, rename —
+    * the window without a live dir is two renames). Content is
+    * UNCHANGED — that is the oracled invariant (q128 reads the
+    * compacted table back against the original's oracle) — only the
+    * file layout changes: fewer, larger files mean fewer scan tasks,
+    * fewer open/seek round-trips, and healthier row-group sizes at
+    * 100 TB. Returns (filesBefore, filesAfter). */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+              targetRowsPerFile: Long): (Int, Int) = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    def parquetFiles(p: String): Int = {
+      val d = Paths.get(p)
+      if (!Files.isDirectory(d)) 0
+      else Files.list(d).filter(f =>
+        f.toString.endsWith(".parquet")).count().toInt
+    }
+    val before = parquetFiles(path)
+    val df = spark.read.parquet(path)
+    val n = df.count()
+    val files = math.max(1L, (n + targetRowsPerFile - 1)
+      / targetRowsPerFile).toInt
+    val tmp = path + ".__compact"
+    df.repartition(files).write.mode("overwrite").parquet(tmp)
+    val old = path + ".__old"
+    Files.move(Paths.get(path), Paths.get(old),
+      StandardCopyOption.ATOMIC_MOVE)
+    Files.move(Paths.get(tmp), Paths.get(path),
+      StandardCopyOption.ATOMIC_MOVE)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(old))
+    (before, parquetFiles(path))
+  }
 }

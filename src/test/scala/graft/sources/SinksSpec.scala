@@ -80,4 +80,26 @@ class SinksSpec extends SparkSpec {
                       "aggregate": "sum"}]}"""))
     assert(r.collect().head.getDouble(0) > 0)
   }
+
+  test("compact: file count collapses to ceil(rows/target), content " +
+       "byte-identical, old layout gone") {
+    import spark.implicits._
+    val out = tmpDir() + "/frag"
+    // simulate a micro-batch sink's droppings: 32 tiny files
+    val rows = spark.range(1000).select($"id",
+      concat(lit("v"), $"id").as("payload"))
+    rows.repartition(32).write.parquet(out)
+    val before = rows.collect().map(_.toString).sorted
+    val (nBefore, nAfter) = Sinks.compact(spark, out,
+      targetRowsPerFile = 500)
+    assert(nBefore === 32 && nAfter === 2,
+      s"expected 32 -> 2 files, got $nBefore -> $nAfter")
+    val after = spark.read.parquet(out).collect()
+      .map(_.toString).sorted
+    assert(after.toSeq === before.toSeq, "content must be unchanged")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(out + ".__old")))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(out + ".__compact")))
+  }
 }
