@@ -2524,6 +2524,30 @@ object SparkEntry {
       docs.repartition(32).write.parquet(tmp)
       graft.sources.Sinks.compact(spark, tmp, targetRowsPerFile = 1000)
       spark.read.parquet(tmp).orderBy(col("doc_id"))
+    },
+
+    // --- BPE ENCODE end-to-end: train 10 merge rules on the corpus
+    //     word-frequency table (batchSize=4 exercises the batched
+    //     trainer — this is the first cross-engine hash-compare of
+    //     the batched==sequential law outside BpeSpec), then apply
+    //     the rules to every word and emit the corpus token-frequency
+    //     table under the trained vocabulary. The oracle RETRAINS the
+    //     merges sequentially as 10 chained CTE rounds (pair count ->
+    //     top-1 -> one replace() pass over a space-wrapped symbol
+    //     string, whose non-overlapping left-to-right scan is exactly
+    //     mergePair's greedy fold), then re-encodes. All counts are
+    //     exact integers ---
+    "q129_bpe_encode" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+      val merges = graft.llm.Bpe.train(spark, docs, col("text"),
+        numMerges = 10, batchSize = 4)
+      graft.llm.Bpe.wordFreqs(docs, col("text"))
+        .select(explode(graft.llm.Bpe.applyMerges(
+            graft.llm.Bpe.initSymbols(col("word")), merges)).as("token"),
+          col("freq"))
+        .groupBy(col("token")).agg(sum(col("freq")).as("tok_freq"))
+        .orderBy(col("tok_freq").desc, col("token").asc)
+        .limit(30)
     }
   )
 
@@ -4510,6 +4534,24 @@ object SparkEntry {
     "q128_compaction" -> """
       SELECT doc_id, source, n_chars FROM documents ORDER BY doc_id""",
 
+    // sequential BPE retrain (10 chained rounds over the word-freq
+    // table; see bpeRoundSql) then re-encode: the batched trainer the
+    // engine runs must land on the identical merge table, so the
+    // token-frequency tables hash-match exactly
+    "q129_bpe_encode" -> s"""
+      WITH toks AS (SELECT unnest(list_filter(
+                      string_split_regex(lower(trim(text)), '\\s+'),
+                      x -> length(x) > 0)) AS word FROM documents),
+      wf AS (SELECT word, count(*) AS freq FROM toks GROUP BY 1),
+      m0 AS MATERIALIZED (SELECT word, freq,
+               regexp_replace(word, '(.)', ' \\1 ', 'g') AS s FROM wf),
+      ${(1 to 10).map(bpeRoundSql).mkString(",\n      ")},
+      enc AS (SELECT freq, unnest(list_filter(string_split(s, ' '),
+                x -> x <> '')) AS token FROM m10)
+      SELECT token, CAST(sum(freq) AS BIGINT) AS tok_freq
+      FROM enc GROUP BY 1
+      ORDER BY tok_freq DESC, token ASC LIMIT 30""",
+
     // 2x2 presence-vs-label contingency per BoW slot; all-integer
     // numerator/denominator, one final double division
     "q122_chi2_features" -> """
@@ -4950,6 +4992,41 @@ object SparkEntry {
       st$r AS (SELECT cell, dim, avg(val) AS c FROM xx$r GROUP BY 1, 2),
       means$r AS (SELECT p.cell, p.dim, coalesce(s.c, p.c) AS c
                   FROM means$p p LEFT JOIN st$r s USING (cell, dim))"""
+  }
+
+  /** One sequential BPE training round of the q129 oracle. Word
+    * segmentations ride as SPACE-WRAPPED symbol strings (" a  b  c ":
+    * every symbol wrapped in single spaces, so adjacent symbols meet
+    * at a double space): the round's accepted merge (a,b) is applied
+    * with one `replace(s, ' a  b ', ' ab ')`, whose non-overlapping
+    * left-to-right scan consumes " a  a  a  a " into " aa  aa " —
+    * exactly [[graft.llm.Bpe.mergePair]]'s greedy fold (a just-fused
+    * symbol never re-fuses in the same pass). Candidate selection
+    * mirrors the trainer: weighted adjacent-pair count, freq >= 2,
+    * (freq desc, a asc, b asc) top-1; an empty round leaves every
+    * segmentation unchanged (the trainer's early stop). The per-round
+    * CTEs are MATERIALIZED: each is referenced several times by the
+    * next round, and DuckDB's default CTE inlining would re-expand
+    * the whole chain exponentially (~6^rounds document scans). */
+  private def bpeRoundSql(r: Int): String = {
+    val prev = if (r == 1) "m0" else s"m${r - 1}"
+    s"""p$r AS (SELECT l[i] AS a, l[i + 1] AS b, freq FROM (
+           SELECT freq, l, unnest(generate_series(1, len(l) - 1)) AS i
+           FROM (SELECT freq, list_filter(string_split(s, ' '),
+                          x -> x <> '') AS l FROM $prev)
+           WHERE len(l) >= 2)),
+      c$r AS MATERIALIZED (SELECT a, b FROM (
+           SELECT a, b, sum(freq) AS pf FROM p$r GROUP BY 1, 2
+           HAVING sum(freq) >= 2
+           ORDER BY pf DESC, a ASC, b ASC LIMIT 1)),
+      m$r AS MATERIALIZED (SELECT word, freq,
+           CASE WHEN (SELECT count(*) FROM c$r) = 0 THEN s
+                ELSE replace(s,
+                  ' ' || (SELECT a FROM c$r) || '  ' ||
+                    (SELECT b FROM c$r) || ' ',
+                  ' ' || (SELECT a FROM c$r) ||
+                    (SELECT b FROM c$r) || ' ')
+           END AS s FROM $prev)"""
   }
 
   /** q107: hashed BoW -> 2-round Lloyd fit from the lowest-id init ->

@@ -79,6 +79,30 @@ class BpeSpec extends SparkSpec {
       s"batched $batched must equal sequential $sequential")
   }
 
+  test("LAW: encoding is lossless — symbol concat reproduces the word") {
+    // merges only FUSE adjacent symbols, so however many rules are
+    // applied in whatever order, concatenating a word's encoded
+    // symbols must reproduce the word exactly (q129 leans on this:
+    // the token table is a re-partition of the corpus characters)
+    val rnd = new scala.util.Random(7)
+    val corpus = (1 to 40).map { _ =>
+      (1 to (2 + rnd.nextInt(4))).map { _ =>
+        val len = 1 + rnd.nextInt(6)
+        (1 to len).map(_ => "abcd".charAt(rnd.nextInt(4))).mkString
+      }.mkString(" ")
+    }
+    val docs = corpus.toDF("text")
+    val merges = Bpe.train(spark, docs, $"text", numMerges = 6,
+      batchSize = 3)
+    val bad = Bpe.wordFreqs(docs, $"text")
+      .select($"word",
+        concat_ws("", Bpe.applyMerges(Bpe.initSymbols($"word"), merges))
+          .as("rejoined"))
+      .filter($"word" =!= $"rejoined")
+      .count()
+    assert(bad === 0L)
+  }
+
   test("LAW: batched == sequential on randomized corpora (seeded)") {
     // the prefix/ceiling acceptance rule makes batching EXACT, not
     // approximate — so equality must hold on arbitrary corpora, not
