@@ -2548,7 +2548,31 @@ object SparkEntry {
         .groupBy(col("token")).agg(sum(col("freq")).as("tok_freq"))
         .orderBy(col("tok_freq").desc, col("token").asc)
         .limit(30)
-    }
+    },
+
+    // --- MMR diversified top-k: relevance = cosine to the vec_id=0
+    //     query embedding, candidates = exact top-64, then 8 greedy
+    //     maximal-marginal-relevance picks (λ=0.5 — IEEE-exact in both
+    //     engines, so score arithmetic is exact products on
+    //     bit-identical cosines). The oracle replays the greedy loop
+    //     as chained CTEs; selection compares UNROUNDED, display
+    //     rounds to 6 ---
+    "q130_mmr_select" -> rounded("rel" -> 6, "mmr" -> 6)({ (spark, dir) =>
+      val emb = tbl(spark, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>").as("qv"))
+      val cands = emb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"), col("qv"))
+        .withColumn("rel", Similarity.cosine(col("v"), col("qv")))
+        .drop("qv")
+        .orderBy(col("rel").desc, col("vec_id").asc).limit(64)
+      Similarity.mmrSelect(cands, col("vec_id"), col("v"), col("rel"),
+          k = 8)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy(col("rank"))
+    })
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same column names & rounding). */
@@ -4552,6 +4576,28 @@ object SparkEntry {
       FROM enc GROUP BY 1
       ORDER BY tok_freq DESC, token ASC LIMIT 30""",
 
+    // greedy MMR replay: exact top-64 candidates by cosine to the
+    // vec_id=0 query, then 8 chained argmax rounds (mmrRoundSql);
+    // round 1 scores 0.5*rel (empty-selection similarity term = 0)
+    "q130_mmr_select" -> s"""
+      WITH c0 AS MATERIALIZED (SELECT id, v, rel FROM (
+          SELECT id, v, rel,
+                 row_number() OVER (ORDER BY rel DESC, id ASC) AS rn
+          FROM (SELECT e.vec_id AS id, CAST(e.embedding AS DOUBLE[]) AS v,
+                       list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                              q.qv) AS rel
+                FROM embeddings e,
+                     (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                      FROM embeddings WHERE vec_id = 0) q
+                WHERE e.vec_id <> 0))
+          WHERE rn <= 64),
+      a1 AS MATERIALIZED (SELECT 1 AS rank, id, rel, 0.5 * rel AS mmr, v
+          FROM c0 ORDER BY rel DESC, id ASC LIMIT 1),
+      ${(2 to 8).map(mmrRoundSql).mkString(",\n      ")}
+      SELECT rank, id AS vec_id, round(rel, 6) AS rel,
+             round(mmr, 6) AS mmr
+      FROM a8 ORDER BY rank""",
+
     // 2x2 presence-vs-label contingency per BoW slot; all-integer
     // numerator/denominator, one final double division
     "q122_chi2_features" -> """
@@ -5027,6 +5073,24 @@ object SparkEntry {
                   ' ' || (SELECT a FROM c$r) ||
                     (SELECT b FROM c$r) || ' ')
            END AS s FROM $prev)"""
+  }
+
+  /** One greedy MMR round of the q130 oracle: score every unselected
+    * candidate `0.5·rel − 0.5·max cos(v, selected)`, keep the top-1
+    * (mmr desc, id asc) and append it to the running selection a$r.
+    * MATERIALIZED for the same reason as [[bpeRoundSql]] — each
+    * round's frames are referenced repeatedly downstream. */
+  private def mmrRoundSql(r: Int): String = {
+    val p = r - 1
+    s"""sr$r AS (SELECT c.id, c.rel, c.v,
+             max(list_cosine_similarity(c.v, a$p.v)) AS maxsim
+           FROM c0 c, a$p
+           WHERE c.id NOT IN (SELECT id FROM a$p)
+           GROUP BY c.id, c.rel, c.v),
+      a$r AS MATERIALIZED (SELECT * FROM a$p UNION ALL
+           SELECT * FROM (SELECT $r AS rank, id, rel,
+                  0.5 * rel - 0.5 * maxsim AS mmr, v
+           FROM sr$r ORDER BY mmr DESC, id ASC LIMIT 1))"""
   }
 
   /** q107: hashed BoW -> 2-round Lloyd fit from the lowest-id init ->

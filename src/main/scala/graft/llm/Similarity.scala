@@ -342,4 +342,70 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("rank"),
               round(col("cosine"), 6).as("cosine"))
   }
+
+  /** Maximal-marginal-relevance selection (Carbonell & Goldstein 1998):
+    * greedily pick `k` items maximizing
+    * `lambda·rel − (1−lambda)·max_{s∈selected} cos(v, v_s)` — the
+    * standard retrieval/exemplar diversifier (first pick scores
+    * `lambda·rel`: the empty-set similarity term is 0 by convention).
+    * Ties break to the smaller id at every step.
+    *
+    * MMR is sequential BY DEFINITION (each pick conditions on the
+    * last), so the driver loops k times — but each round is one
+    * distributed scan of the CACHED candidate frame cross-joined with
+    * the ≤k selected vectors (broadcast, tiny) and a top-1
+    * TakeOrdered: cost k·scan with no corpus shuffle, fine for the
+    * small k (tens) diversified selection is used with. Candidates
+    * can be arbitrarily many rows; only the k winners' vectors ever
+    * reach the driver.
+    *
+    * Determinism for differential verification: the max over selected
+    * cosines is order-independent, and with an IEEE-exact `lambda`
+    * (default 0.5, so 1−λ ≡ λ bit-for-bit in any engine) the score
+    * arithmetic is two exact products and a subtract on
+    * engine-identical cosines — q130 hash-compares the full selection
+    * against a chained-CTE replay unrounded until display. */
+  def mmrSelect(cands: DataFrame, id: Column, vec: Column, rel: Column,
+                k: Int, lambda: Double = 0.5): DataFrame = {
+    val spark = cands.sparkSession
+    import spark.implicits._
+    val base = cands.select(id.cast("long").as("id"),
+        vec.cast("array<double>").as("v"), rel.cast("double").as("rel"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // (rank, id, rel, mmr, vector) for each pick so far
+      val picked = scala.collection.mutable.ArrayBuffer
+        .empty[(Int, Long, Double, Double, Seq[Double])]
+      var r = 1
+      var exhausted = false
+      while (r <= k && !exhausted) {
+        val remaining = if (picked.isEmpty) base
+          else base.filter(!col("id").isin(picked.map(_._2).toSeq: _*))
+        val scored =
+          if (picked.isEmpty)
+            remaining.withColumn("mmr", lit(lambda) * col("rel"))
+          else {
+            val sel = picked.map(p => Tuple1(p._5)).toSeq.toDF("sv")
+            remaining.crossJoin(broadcast(sel))
+              .withColumn("__sim", cosine(col("v"), col("sv")))
+              .groupBy(col("id"))
+              .agg(max(col("rel")).as("rel"), first(col("v")).as("v"),
+                max(col("__sim")).as("__maxsim"))
+              .withColumn("mmr", lit(lambda) * col("rel")
+                - lit(1.0 - lambda) * col("__maxsim"))
+          }
+        val win = scored.orderBy(col("mmr").desc, col("id").asc).limit(1)
+          .select(col("id"), col("rel"), col("mmr"), col("v")).collect()
+        if (win.isEmpty) exhausted = true
+        else {
+          val w = win.head
+          picked += ((r, w.getLong(0), w.getDouble(1), w.getDouble(2),
+            w.getSeq[Double](3)))
+          r += 1
+        }
+      }
+      picked.toSeq.map(p => (p._1, p._2, p._3, p._4))
+        .toDF("rank", "id", "rel", "mmr")
+    } finally base.unpersist()
+  }
 }

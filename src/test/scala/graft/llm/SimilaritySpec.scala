@@ -42,6 +42,34 @@ class SimilaritySpec extends SparkSpec {
     assert(out === Seq(0.0, 1.0, -1.0))
   }
 
+  test("MMR: skips the duplicate a pure relevance ranking would keep") {
+    // ids 1,2 are IDENTICAL top-relevance vectors, id 3 is lower
+    // relevance but ORTHOGONAL to them. Relevance top-2 = {1,2}; MMR
+    // picks 1 (tie -> smaller id), then 2 scores 0.5·0.8 − 0.5·1 =
+    // −0.1 while 3 scores 0.5·0.6 − 0.5·0 = 0.3 — diversification
+    // must promote 3 past the duplicate.
+    val cands = Seq(
+      (1L, Seq(0.8, 0.6), 0.8),
+      (2L, Seq(0.8, 0.6), 0.8),
+      (3L, Seq(0.6, -0.8), 0.6)
+    ).toDF("id", "v", "rel")
+    val out = Similarity.mmrSelect(cands, $"id", $"v", $"rel", k = 3)
+      .orderBy($"rank").collect()
+    assert(out.map(_.getLong(1)).toSeq === Seq(1L, 3L, 2L))
+    // first pick scores lambda*rel; the duplicate lands last, its
+    // relevance overwhelmed by similarity 1 to pick #1
+    assert(out.head.getDouble(3) === 0.4)
+    assert(math.abs(out.last.getDouble(3) - -0.1) < 1e-12)
+  }
+
+  test("MMR: stops early when candidates run out") {
+    val cands = Seq((1L, Seq(1.0, 0.0), 1.0), (2L, Seq(0.0, 1.0), 0.5))
+      .toDF("id", "v", "rel")
+    val out = Similarity.mmrSelect(cands, $"id", $"v", $"rel", k = 10)
+      .collect()
+    assert(out.length === 2)
+  }
+
   test("zero vector -> null cosine (missing, not error)") {
     val df = Seq((Array(0.0f, 0.0f), Array(1.0f, 1.0f))).toDF("a", "b")
     val out = df.select(Similarity.cosine($"a", $"b")).collect()
