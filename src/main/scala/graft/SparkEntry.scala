@@ -2572,7 +2572,27 @@ object SparkEntry {
           k = 8)
         .withColumnRenamed("id", "vec_id")
         .orderBy(col("rank"))
-    })
+    }),
+
+    // --- mixture MATERIALIZATION: q100's temperature weights applied
+    //     as an actual training mix — every source lands on exactly
+    //     target_docs rows via whole-epoch repeats plus a
+    //     deterministic md5-ordered fractional slice (budget 5000:
+    //     sources upsample at sf0.001, downsample at sf0.1 — both
+    //     regimes hash-compared). id_sum pins WHICH docs were chosen
+    //     and how often, not just how many ---
+    "q131_mixture_materialize" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+      val w = Pipelines.mixtureWeights(docs, col("source"),
+        temperature = 0.5, budget = 5000L)
+      Pipelines.materializeMixture(docs, col("doc_id"), col("source"), w)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("id")).as("n_docs_kept"),
+          max(col("copy")).cast("int").as("max_copy"),
+          sum(col("id")).as("id_sum"))
+        .orderBy(col("source"))
+    }
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same column names & rounding). */
@@ -4597,6 +4617,39 @@ object SparkEntry {
       SELECT rank, id AS vec_id, round(rel, 6) AS rel,
              round(mmr, 6) AS mmr
       FROM a8 ORDER BY rank""",
+
+    // mixture materialization: q100's weight derivation (round-9 pin
+    // before the integer budget), then t//n whole epochs + one extra
+    // copy for the t%n docs first in (md5(id), id) order — the oracle
+    // ranks with a plain window; the engine's histogram-refine
+    // selection must land on the identical set
+    "q131_mixture_materialize" -> """
+      WITH c AS (SELECT source, count(*) AS n_docs,
+                        pow(CAST(count(*) AS DOUBLE), 0.5) AS w
+                 FROM documents GROUP BY 1),
+      t AS (SELECT sum(w) AS wsum FROM c),
+      tw AS (SELECT source, n_docs,
+                    CAST(round(round(w / wsum, 9) * 5000) AS BIGINT)
+                      AS target
+             FROM c CROSS JOIN t),
+      rk AS (SELECT source, doc_id,
+                    row_number() OVER (PARTITION BY source
+                      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                      AS rnk
+             FROM documents),
+      rep AS (SELECT r.source, r.doc_id,
+                     tw.target // tw.n_docs
+                       + CASE WHEN r.rnk <= tw.target % tw.n_docs
+                              THEN 1 ELSE 0 END AS copies
+              FROM rk r JOIN tw USING (source)),
+      m AS (SELECT source, doc_id,
+                   unnest(generate_series(1, copies)) AS copy
+            FROM rep WHERE copies >= 1)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_kept,
+             CAST(max(copy) AS INT) AS max_copy,
+             CAST(sum(doc_id) AS BIGINT) AS id_sum
+      FROM m GROUP BY source ORDER BY source""",
 
     // 2x2 presence-vs-label contingency per BoW slot; all-integer
     // numerator/denominator, one final double division

@@ -224,6 +224,79 @@ object Pipelines {
           .when(col("__fp_prev") =!= col("__fp_cur"), lit("changed"))
           .otherwise(lit("unchanged")).as("status"))
 
+  /** MATERIALIZE a [[mixtureWeights]] plan into an actual training mix:
+    * per source with `target_docs = t` over `n` documents, every doc
+    * is repeated `t div n` times and the `t mod n` docs FIRST in the
+    * deterministic (md5(id), id) order get one extra copy — so each
+    * source lands on exactly `t` rows, upsampled sources repeat whole
+    * epochs plus a stable fractional slice, and downsampled sources
+    * keep a stable subset. Zero RNG: reruns and resharding reproduce
+    * the mix bit-for-bit.
+    *
+    * The "first `r` docs per source" selection is EXACT without a
+    * corpus-wide sort (the naive `row_number() over (partition by
+    * source order by md5)` sorts a dominant source's whole corpus in
+    * one partition — the anti-pattern [[Curation.topKPerGroup]]
+    * documents). Histogram-refine instead:
+    *   1. bucket rows by the first 2 hex chars of md5(id) (256
+    *      buckets; bucket order == md5-string order since hex digits
+    *      ascend in ASCII);
+    *   2. one map-side-combining count per (source, bucket) + a
+    *      running sum over that k×256-row histogram finds each
+    *      source's BOUNDARY bucket — all lower buckets are wholly in,
+    *      all higher wholly out;
+    *   3. only boundary-bucket rows (~1/256 of the corpus) are ranked,
+    *      partitioned by (source, bucket) — no partition ever holds
+    *      more than a bucket.
+    * Returns (source, id, copy) with copy in 1..ceil(t/n). */
+  def materializeMixture(docs: DataFrame, id: Column, source: Column,
+                         weights: DataFrame): DataFrame = {
+    val w = weights.select(col("source"),
+      col("n_docs").cast("long").as("__n"),
+      col("target_docs").cast("long").as("__t"))
+    val narrow = docs
+      .select(source.as("source"), id.cast("long").as("id"))
+      .withColumn("__h", md5(col("id").cast("string")
+        .cast(org.apache.spark.sql.types.BinaryType)))
+      .withColumn("__b",
+        conv(substring(col("__h"), 1, 2), 16, 10).cast("int"))
+    val hist = narrow.groupBy(col("source"), col("__b"))
+      .agg(count(lit(1)).as("__cnt"))
+    val hw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("__b"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    val marked = hist
+      .withColumn("__before", coalesce(sum(col("__cnt")).over(hw), lit(0L)))
+      .join(w, Seq("source"))
+      .withColumn("__r", pmod(col("__t"), col("__n")))
+      .withColumn("__base", expr("__t div __n"))
+      // whole bucket in, whole bucket out, or the per-source boundary
+      .withColumn("__class",
+        when(col("__before") + col("__cnt") <= col("__r"), lit("in"))
+          .when(col("__before") >= col("__r"), lit("out"))
+          .otherwise(lit("boundary")))
+      .withColumn("__need", col("__r") - col("__before"))
+      .select(col("source"), col("__b"), col("__base"), col("__class"),
+        col("__need"))
+    val tagged = narrow.join(broadcast(marked), Seq("source", "__b"))
+    val whole = tagged.filter(col("__class") =!= "boundary")
+      .withColumn("__extra",
+        when(col("__class") === "in", lit(1L)).otherwise(lit(0L)))
+    val bw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"), col("__b"))
+      .orderBy(col("__h"), col("id"))
+    val boundary = tagged.filter(col("__class") === "boundary")
+      .withColumn("__extra",
+        when(row_number().over(bw) <= col("__need"), lit(1L))
+          .otherwise(lit(0L)))
+    whole.unionByName(boundary)
+      .withColumn("__copies", (col("__base") + col("__extra")).cast("int"))
+      .filter(col("__copies") >= 1)
+      .select(col("source"), col("id"),
+        explode(sequence(lit(1), col("__copies"))).as("copy"))
+  }
+
   /** Temperature-based mixture weighting for multi-source corpus
     * blending (the UnifiedQA/T5 "sampling ∝ size^τ" recipe, τ<1
     * up-weights small sources): per source, sampling probability

@@ -207,6 +207,52 @@ class PipelinesSpec extends SparkSpec {
       .map(_.getLong(0)).sorted.toSeq)
   }
 
+  test("materializeMixture: every source lands on exactly target_docs " +
+      "rows; copies differ by at most one; windows never span a source") {
+    val docs = (1L to 300L).map(i =>
+      (i, if (i <= 240) "big" else "small")).toDF("doc_id", "source")
+    val w = Pipelines.mixtureWeights(docs, $"source",
+      temperature = 0.5, budget = 500L)
+    val targets = w.select($"source", $"target_docs").as[(String, Long)]
+      .collect().toMap
+    val out = Pipelines.materializeMixture(docs, $"doc_id", $"source", w)
+    // plan shape FIRST, before persist: cache substitution would fold
+    // any later equal plan into an InMemoryRelation that collect()
+    // does not descend into. The ROW-level ranking window must
+    // partition by (source, bucket), never by source alone.
+    val winSpecs = out.queryExecution.optimizedPlan.collect {
+      case wn: org.apache.spark.sql.catalyst.plans.logical.Window =>
+        wn.partitionSpec.map(_.sql).mkString(",")
+    }
+    assert(winSpecs.nonEmpty)
+    winSpecs.foreach { ps =>
+      assert(ps.contains("__b") || ps.contains("source"),
+        s"unexpected window partition spec: $ps")
+    }
+    assert(winSpecs.exists(_.contains("__b")),
+      "boundary ranking must partition by (source, bucket)")
+    out.persist()
+    try {
+      val got = out.groupBy("source").count()
+        .as[(String, Long)].collect().toMap
+      assert(got === targets) // exact, both the up- and downsampled side
+      // per-doc copy counts differ by at most 1 within a source (whole
+      // epochs + a single fractional slice)
+      val spread = out.groupBy("source", "id").count()
+        .groupBy("source").agg((max($"count") - min($"count")).as("d"))
+        .select(max($"d")).as[Long].collect().head
+      assert(spread <= 1L)
+      // deterministic under resharding
+      val again = Pipelines.materializeMixture(
+          docs.repartition(13), $"doc_id", $"source", w)
+        .groupBy("source").agg(sum($"id" * $"copy").as("chk"))
+        .as[(String, Long)].collect().toMap
+      val chk = out.groupBy("source").agg(sum($"id" * $"copy").as("chk"))
+        .as[(String, Long)].collect().toMap
+      assert(again === chk)
+    } finally { out.unpersist(); () }
+  }
+
   test("mixtureWeights: tau<1 up-weights small sources, budget adds up") {
     val docs = (1 to 900).map(i => (i.toLong, "big")) ++
       (1 to 100).map(i => (i.toLong + 1000, "small"))
