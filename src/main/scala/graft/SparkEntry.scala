@@ -2592,6 +2592,26 @@ object SparkEntry {
           max(col("copy")).cast("int").as("max_copy"),
           sum(col("id")).as("id_sum"))
         .orderBy(col("source"))
+    },
+
+    // --- CONTAINMENT dedup signal: near-SUBSET pairs (prefix-
+    //     truncated variants of every 5th doc are injected — their
+    //     shingles are a strict subset of the original's, so
+    //     cont_a_in_b lands on exactly 1.0 where Jaccard would sit
+    //     well below any threshold). Ratios are exact integer
+    //     divisions, hash-compared unrounded; the oracle mines the
+    //     same df-capped gram space with string n-grams ---
+    "q132_containment" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val variants = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          col("text").substr(lit(1),
+            greatest(length(col("text")) - 40, lit(1))).as("text"))
+      graft.llm.Dedup.containmentPairs(docs.unionByName(variants),
+          col("doc_id"), col("text"),
+          shingleN = 3, threshold = 0.9, maxDf = 64)
+        .orderBy(col("id_a"), col("id_b"))
     }
   )
 
@@ -4650,6 +4670,51 @@ object SparkEntry {
              CAST(max(copy) AS INT) AS max_copy,
              CAST(sum(doc_id) AS BIGINT) AS id_sum
       FROM m GROUP BY source ORDER BY source""",
+
+    // containment over the df<=64 string-gram space (the engine mines
+    // hashed shingles — hash equality ≡ gram equality); both direction
+    // ratios are exact integer divisions
+    "q132_containment" -> """
+      WITH base AS (SELECT doc_id, text FROM documents
+             UNION ALL
+             SELECT doc_id + 2000000,
+                    substring(text, 1, greatest(length(text) - 40, 1))
+             FROM documents WHERE doc_id % 5 = 0),
+      t AS (SELECT doc_id,
+          list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                      x -> length(x) > 0) AS toks
+        FROM base),
+      sh AS (SELECT DISTINCT doc_id, g FROM (
+               SELECT doc_id, unnest(CASE WHEN len(toks) >= 3 THEN
+                   list_transform(generate_series(1, len(toks) - 2),
+                     i -> array_to_string(toks[i:i+2], ' '))
+                 WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+                 ELSE [] END) AS g
+               FROM t)),
+      dfc AS (SELECT g, count(*) AS df FROM sh GROUP BY g),
+      kept AS (SELECT doc_id, s.g FROM sh s JOIN dfc USING (g)
+               WHERE df <= 64),
+      sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+             FROM kept GROUP BY 1),
+      pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                    CAST(count(*) AS BIGINT) AS n_shared
+             FROM kept a JOIN kept b USING (g)
+             WHERE a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+      j AS (SELECT id_a, id_b, n_shared, sa.n AS sz_a, sb.n AS sz_b
+            FROM pr
+            JOIN sz sa ON sa.doc_id = pr.id_a
+            JOIN sz sb ON sb.doc_id = pr.id_b)
+      SELECT id_a, id_b, n_shared, sz_a, sz_b,
+             CAST(n_shared AS DOUBLE) / CAST(sz_a AS DOUBLE)
+               AS cont_a_in_b,
+             CAST(n_shared AS DOUBLE) / CAST(sz_b AS DOUBLE)
+               AS cont_b_in_a
+      FROM j
+      WHERE greatest(CAST(n_shared AS DOUBLE) / CAST(sz_a AS DOUBLE),
+                     CAST(n_shared AS DOUBLE) / CAST(sz_b AS DOUBLE))
+              >= 0.9
+      ORDER BY id_a, id_b""",
 
     // 2x2 presence-vs-label contingency per BoW slot; all-integer
     // numerator/denominator, one final double division

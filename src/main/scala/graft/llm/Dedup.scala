@@ -153,6 +153,64 @@ object Dedup {
   def ngramJaccardPairsFromShingles(shingled: DataFrame,
                                     threshold: Double = 0.5,
                                     maxDf: Int = 128): DataFrame = {
+    val (inter, sizes) = pairIntersections(shingled, maxDf)
+    val j = col("n_shared").cast("double") /
+      (col("sz_a") + col("sz_b") - col("n_shared")).cast("double")
+    // sizes is per-doc — big at corpus scale; no broadcast hint, AQE
+    // picks broadcast when it fits and shuffle-join otherwise
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("jaccard", round(j, 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** CONTAINMENT pairs — the asymmetric near-subset complement to
+    * Jaccard: containment(A→B) = |g(A) ∩ g(B)| / |g(A)| over the
+    * df-capped shingle space. A short doc pasted whole into a longer
+    * one scores ~1.0 on containment while its Jaccard can be
+    * arbitrarily small — the boilerplate-wrapping / quote-expansion
+    * signal a Jaccard threshold misses by construction. Emits one row
+    * per candidate pair (id_a < id_b) with BOTH directions when
+    * either clears `threshold`; the ratios are exact integer
+    * divisions (bit-identical across engines, no rounding needed).
+    * Same candidate/scale machinery as [[ngramJaccardPairs]]. */
+  def containmentPairs(df: DataFrame, id: Column, text: Column,
+                       shingleN: Int = 3, threshold: Double = 0.9,
+                       hashedShingles: Boolean = true, maxDf: Int = 128)
+      : DataFrame = {
+    val shingleExpr =
+      if (hashedShingles) TextAnalysis.shingleHashes(text, shingleN)
+      else TextAnalysis.shingles(text, shingleN)
+    containmentPairsFromShingles(
+      df.select(id.as("id"), shingleExpr.as("s")), threshold, maxDf)
+  }
+
+  /** [[containmentPairs]] over a pre-staged (id, s) shingle frame. */
+  def containmentPairsFromShingles(shingled: DataFrame,
+                                   threshold: Double = 0.9,
+                                   maxDf: Int = 128): DataFrame = {
+    val (inter, sizes) = pairIntersections(shingled, maxDf)
+    val ca = col("n_shared").cast("double") / col("sz_a").cast("double")
+    val cb = col("n_shared").cast("double") / col("sz_b").cast("double")
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("cont_a_in_b", ca)
+      .withColumn("cont_b_in_a", cb)
+      .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a"))
+        >= threshold)
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        col("sz_a"), col("sz_b"),
+        col("cont_a_in_b"), col("cont_b_in_a"))
+  }
+
+  /** Shared candidate machinery for the n-gram pair miners: df-capped
+    * posting lists -> per-pair intersection counts (id_a < id_b) plus
+    * per-doc set sizes over the SAME df-filtered shingle space. */
+  private def pairIntersections(shingled: DataFrame, maxDf: Int)
+      : (DataFrame, DataFrame) = {
     // the shingle-set table feeds two passes (hot-shingle census + index
     // build); persist it — per doc it is one hash per distinct shingle,
     // a small fraction of text bytes, spilling to executor disk at scale
@@ -187,16 +245,7 @@ object Dedup {
     val inter = pairs.groupBy(col("p.id_a").as("id_a"),
         col("p.id_b").as("id_b"))
       .agg(count(lit(1)).as("n_shared"))
-    val j = col("n_shared").cast("double") /
-      (col("sz_a") + col("sz_b") - col("n_shared")).cast("double")
-    // sizes is per-doc — big at corpus scale; no broadcast hint, AQE
-    // picks broadcast when it fits and shuffle-join otherwise
-    inter
-      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
-      .withColumn("jaccard", round(j, 6))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    (inter, sizes)
   }
 
   /** Substring-level duplication signal — the span-granular flavor of

@@ -88,6 +88,32 @@ class DedupSpec extends SparkSpec {
     assert(capped === Set((1L, 2L)))
   }
 
+  test("containment: a prefix-subset doc scores 1.0 one way, " +
+      "below 1 the other; Jaccard misses the same pair") {
+    // doc 2 is a strict prefix of doc 1: every 3-gram of 2 occurs in
+    // 1, but 1 has plenty 2 lacks — the asymmetric signal
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val rows = Dedup.containmentPairs(corpus, $"doc_id", $"text",
+        threshold = 0.9)
+      .collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert((r.getLong(0), r.getLong(1)) === ((1L, 2L)))
+    // cont_b_in_a: ALL of 2's grams occur in 1
+    assert(r.getDouble(6) === 1.0)
+    // cont_a_in_b strictly below the threshold direction
+    assert(r.getDouble(5) < 0.9)
+    // the same pair is invisible to a 0.9 Jaccard threshold
+    val jac = Dedup.ngramJaccardPairs(corpus, $"doc_id", $"text",
+      threshold = 0.9).collect()
+    assert(jac.isEmpty)
+  }
+
   test("jaccard: identical=1, disjoint=0") {
     val j = docs.filter($"doc_id" === 1)
       .select(Dedup.jaccard(TextAnalysis.shingles($"text"),
