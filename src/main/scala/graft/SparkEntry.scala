@@ -2612,6 +2612,30 @@ object SparkEntry {
           col("doc_id"), col("text"),
           shingleN = 3, threshold = 0.9, maxDf = 64)
         .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // --- ordered-step funnel over the event log: view -> click ->
+    //     purchase, each step strictly after the user's previous-step
+    //     time; per-step reach counts and conversion vs step 1 (exact
+    //     integer ratio). Per step: one pushable type filter + one
+    //     user-keyed join + min() — no windows, no event collection ---
+    "q133_funnel" -> { (spark, dir) =>
+      val ev = tbl(spark, dir, "events")
+      graft.operators.Funnel.summary(ev, col("user_id"), col("ts"),
+          col("event_type"), Seq("view", "click", "purchase"))
+        .orderBy(col("step_ix"))
+    },
+
+    // --- collocation mining: adjacent-token pairs ranked by lift =
+    //     c_ab·N/(c_a·c_b) — PMI's ordering via exact products, no
+    //     libm log in the compare. Top 25 (lift desc, a, b) with pair
+    //     count >= 5 ---
+    "q134_collocations" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+      graft.llm.TextAnalysis.collocations(docs, col("text"),
+          minCount = 5)
+        .orderBy(col("lift").desc, col("a").asc, col("b").asc)
+        .limit(25)
     }
   )
 
@@ -4715,6 +4739,53 @@ object SparkEntry {
                      CAST(n_shared AS DOUBLE) / CAST(sz_b AS DOUBLE))
               >= 0.9
       ORDER BY id_a, id_b""",
+
+    // chained per-step funnel: each step's reach time is the earliest
+    // event of that type strictly after the previous step's time
+    "q133_funnel" -> """
+      WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+                  WHERE event_type = 'view' GROUP BY 1),
+      s2 AS (SELECT e.user_id, min(e.ts) AS t
+             FROM events e JOIN s1 USING (user_id)
+             WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+      s3 AS (SELECT e.user_id, min(e.ts) AS t
+             FROM events e JOIN s2 USING (user_id)
+             WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1),
+      u AS (SELECT 1 AS step_ix, 'view' AS step, count(*) AS n FROM s1
+            UNION ALL
+            SELECT 2, 'click', count(*) FROM s2
+            UNION ALL
+            SELECT 3, 'purchase', count(*) FROM s3),
+      f AS (SELECT n AS n1 FROM u WHERE step_ix = 1)
+      SELECT step_ix, step, CAST(n AS BIGINT) AS n_users,
+             CAST(n AS DOUBLE) / CAST(f.n1 AS DOUBLE) AS conv
+      FROM u CROSS JOIN f ORDER BY step_ix""",
+
+    // bigram lift from the LM count tables; exact products, no log
+    "q134_collocations" -> """
+      WITH t AS (SELECT list_filter(
+                   string_split_regex(lower(trim(text)), '\s+'),
+                   x -> length(x) > 0) AS toks FROM documents),
+      uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM
+                (SELECT unnest(toks) AS w FROM t) GROUP BY 1),
+      n AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM uni),
+      bi AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab FROM (
+               SELECT unnest(list_transform(
+                        generate_series(1, len(toks) - 1),
+                        i -> toks[i])) AS a,
+                      unnest(list_transform(
+                        generate_series(1, len(toks) - 1),
+                        i -> toks[i + 1])) AS b
+               FROM t WHERE len(toks) >= 2)
+             GROUP BY 1, 2 HAVING count(*) >= 5)
+      SELECT bi.a, bi.b, c_ab, ua.c AS c_a, ub.c AS c_b,
+             (CAST(c_ab AS DOUBLE) * CAST(n.total AS DOUBLE))
+               / (CAST(ua.c AS DOUBLE) * CAST(ub.c AS DOUBLE)) AS lift
+      FROM bi
+      JOIN uni ua ON ua.w = bi.a
+      JOIN uni ub ON ub.w = bi.b
+      CROSS JOIN n
+      ORDER BY lift DESC, bi.a ASC, bi.b ASC LIMIT 25""",
 
     // 2x2 presence-vs-label contingency per BoW slot; all-integer
     // numerator/denominator, one final double division

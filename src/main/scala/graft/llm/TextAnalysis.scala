@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -338,4 +338,31 @@ object TextAnalysis {
     * not needed. */
   def fingerprintPortable(text: Column, n: Int = 3): Column =
     graft.functions.md5_fingerprint(text, n)
+
+  /** Collocation mining: adjacent-token pairs ranked by LIFT,
+    * `lift(a,b) = c_ab · N / (c_a · c_b)` — how much more often the
+    * pair occurs than independence predicts (the PMI argument without
+    * the log: same ordering, but exact-product arithmetic instead of
+    * a libm transcendental, so results hash-compare across engines).
+    * `minCount` floors the pair count (rare pairs have unstable lift).
+    *
+    * Reuses the LM count tables ([[LangModel.unigrams]]/[[LangModel
+    * .bigrams]]): two map-side-combining groupBys over the corpus,
+    * then vocabulary-sized equi-joins — the corpus text itself is
+    * read once and never shuffled. */
+  def collocations(docs: DataFrame, text: Column,
+                   minCount: Long = 5): DataFrame = {
+    val uni = LangModel.unigrams(docs, text)
+    val bi = LangModel.bigrams(docs, text)
+    val total = uni.agg(sum(col("c")).as("__n"))
+    bi.filter(col("c") >= minCount)
+      .select(col("a"), col("b"), col("c").as("c_ab"))
+      .join(uni.select(col("w").as("a"), col("c").as("c_a")), Seq("a"))
+      .join(uni.select(col("w").as("b"), col("c").as("c_b")), Seq("b"))
+      .crossJoin(broadcast(total))
+      .select(col("a"), col("b"), col("c_ab"), col("c_a"), col("c_b"),
+        ((col("c_ab").cast("double") * col("__n").cast("double"))
+          / (col("c_a").cast("double") * col("c_b").cast("double")))
+          .as("lift"))
+  }
 }

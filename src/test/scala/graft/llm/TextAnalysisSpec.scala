@@ -161,4 +161,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rep("xx xx y", TextAnalysis.topTokenCharFrac) === 4.0 / 5.0)
     assert(rep("", TextAnalysis.topTokenCharFrac) === null)
   }
+
+  test("collocations: bound pairs out-lift frequent-but-independent " +
+      "ones; lift is the exact product ratio") {
+    // "san francisco" always co-occur (5/5); "the" pairs with many
+    // different successors — high counts, low lift
+    val docs = Seq(
+      "the san francisco fog rolls over the bay every day",
+      "the san francisco bridge spans the bay in fog",
+      "the san francisco hills rise over the water line",
+      "the san francisco ferry crosses the bay at dawn",
+      "the san francisco skyline fades into the fog bank"
+    ).toDF("text")
+    val rows = TextAnalysis.collocations(docs, $"text", minCount = 5)
+      .orderBy($"lift".desc, $"a", $"b").collect()
+    assert(rows.nonEmpty)
+    val top = rows.head
+    assert((top.getString(0), top.getString(1)) === (("san", "francisco")))
+    // c_ab=5, c_a=5, c_b=5, N=46 tokens -> lift = 5*46/(5*5)
+    assert(top.getLong(2) === 5L)
+    assert(top.getDouble(5) === 5.0 * 46.0 / 25.0)
+  }
 }

@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class FunnelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: Long) = new Timestamp(s * 1000L)
+
+  private val ev = Seq(
+    // user 1 converts fully in order
+    (1L, t(1), "view"), (1L, t(2), "click"), (1L, t(3), "purchase"),
+    // user 2's click precedes the view -> stalls at step 1
+    (2L, t(1), "click"), (2L, t(2), "view"), (2L, t(3), "purchase"),
+    // user 3 stops after the click
+    (3L, t(1), "view"), (3L, t(2), "click"),
+    // user 4 never views
+    (4L, t(1), "purchase"),
+    // user 5: click at the SAME instant as the view -> strictly-after
+    // semantics keep them at step 1
+    (5L, t(1), "view"), (5L, t(1), "click")
+  ).toDF("user_id", "ts", "kind")
+
+  test("reachTimes: ordered, strictly-after, drop-off truncates") {
+    val out = Funnel.reachTimes(ev, $"user_id", $"ts", $"kind",
+        Seq("view", "click", "purchase"))
+      .select($"user", $"step_ix").as[(Long, Int)].collect().toSet
+    assert(out === Set(
+      (1L, 1), (1L, 2), (1L, 3),
+      (2L, 1), (3L, 1), (3L, 2), (5L, 1)))
+  }
+
+  test("summary: counts and exact conversion ratios vs step 1") {
+    val out = Funnel.summary(ev, $"user_id", $"ts", $"kind",
+        Seq("view", "click", "purchase"))
+      .orderBy($"step_ix")
+      .as[(Int, String, Long, Double)].collect().toSeq
+    assert(out === Seq(
+      (1, "view", 4L, 1.0),
+      (2, "click", 2L, 0.5),
+      (3, "purchase", 1L, 0.25)))
+  }
+
+  test("an out-of-log step type yields no rows from that step on") {
+    val out = Funnel.summary(ev, $"user_id", $"ts", $"kind",
+        Seq("view", "refund"))
+      .orderBy($"step_ix").collect()
+    assert(out.length === 1 && out.head.getString(1) === "view")
+  }
+}
