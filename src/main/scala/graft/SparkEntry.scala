@@ -2636,6 +2636,16 @@ object SparkEntry {
           minCount = 5)
         .orderBy(col("lift").desc, col("a").asc, col("b").asc)
         .limit(25)
+    },
+
+    // --- cohort retention: entities cohorted by first-event ISO week,
+    //     per-week-offset active fraction (exact integer ratio). One
+    //     user-keyed join + narrow distinct — no windows ---
+    "q135_retention" -> { (spark, dir) =>
+      val ev = tbl(spark, dir, "events")
+      graft.operators.Retention.cohortRetention(ev, col("user_id"),
+          col("ts"), maxWeeks = 3)
+        .orderBy(col("cohort_week"), col("wk"))
     }
   )
 
@@ -4786,6 +4796,29 @@ object SparkEntry {
       JOIN uni ub ON ub.w = bi.b
       CROSS JOIN n
       ORDER BY lift DESC, bi.a ASC, bi.b ASC LIMIT 25""",
+
+    // cohort = Monday-truncated week of first event; offset = whole
+    // weeks of day-difference from the cohort week start
+    "q135_retention" -> """
+      WITH f AS (SELECT user_id, min(ts) AS t0 FROM events GROUP BY 1),
+      c AS (SELECT user_id,
+                   CAST(date_trunc('week', t0) AS DATE) AS cohort_week
+            FROM f),
+      a AS (SELECT DISTINCT e.user_id, c.cohort_week,
+              CAST(date_diff('day', c.cohort_week, CAST(e.ts AS DATE))
+                   // 7 AS INT) AS wk
+            FROM events e JOIN c USING (user_id)
+            WHERE date_diff('day', c.cohort_week, CAST(e.ts AS DATE))
+                   // 7 <= 3),
+      act AS (SELECT cohort_week, wk, CAST(count(*) AS BIGINT)
+                AS n_active FROM a GROUP BY 1, 2),
+      sz AS (SELECT cohort_week, CAST(count(*) AS BIGINT)
+               AS cohort_size FROM c GROUP BY 1)
+      SELECT act.cohort_week, wk, n_active, cohort_size,
+             CAST(n_active AS DOUBLE) / CAST(cohort_size AS DOUBLE)
+               AS retention
+      FROM act JOIN sz USING (cohort_week)
+      ORDER BY cohort_week, wk""",
 
     // 2x2 presence-vs-label contingency per BoW slot; all-integer
     // numerator/denominator, one final double division
