@@ -2646,6 +2646,23 @@ object SparkEntry {
       graft.operators.Retention.cohortRetention(ev, col("user_id"),
           col("ts"), maxWeeks = 3)
         .orderBy(col("cohort_week"), col("wk"))
+    },
+
+    // --- copy-on-write DELETE by key: the documents table written as
+    //     16 range-clustered files, every doc_id ≡ 3 (mod 7) deleted
+    //     — only victim-bearing files are rewritten (SinksSpec holds
+    //     the untouched-files law); the oracled invariant is the
+    //     surviving CONTENT ---
+    "q136_delete_by_key" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_q136").toString + "/tbl"
+      docs.repartitionByRange(16, col("doc_id")).write.parquet(tmp)
+      graft.sources.Sinks.deleteByKey(spark, tmp, "doc_id",
+        docs.filter(pmod(col("doc_id"), lit(7)) === 3)
+          .select(col("doc_id")))
+      spark.read.parquet(tmp).orderBy(col("doc_id"))
     }
   )
 
@@ -4819,6 +4836,11 @@ object SparkEntry {
                AS retention
       FROM act JOIN sz USING (cohort_week)
       ORDER BY cohort_week, wk""",
+
+    // copy-on-write delete: surviving content == source minus victims
+    "q136_delete_by_key" -> """
+      SELECT doc_id, source, n_chars FROM documents
+      WHERE doc_id % 7 <> 3 ORDER BY doc_id""",
 
     // 2x2 presence-vs-label contingency per BoW slot; all-integer
     // numerator/denominator, one final double division

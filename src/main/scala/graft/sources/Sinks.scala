@@ -79,4 +79,55 @@ object Sinks {
       new java.io.File(old))
     (before, parquetFiles(path))
   }
+
+  /** Copy-on-write DELETE by key — the right-to-be-forgotten /
+    * retention-enforcement primitive: remove every row whose `keyCol`
+    * appears in `victims` by REWRITING ONLY THE FILES THAT CONTAIN A
+    * VICTIM. `_metadata.file_path` locates the hit files with one
+    * victim-broadcast semi-join (footer-driven scan of the key column
+    * only, row groups pruned by parquet min/max stats where the layout
+    * allows — [[graft.operators.ZOrder]] writes exactly that layout);
+    * untouched files are never read in full, never rewritten. At
+    * 100 TB with clustered keys, deleting a user costs a handful of
+    * file rewrites, not a table rewrite.
+    *
+    * The swap (write rewritten files to a scratch dir, unlink the hit
+    * files, move the replacements in under fresh names) has a brief
+    * non-transactional window — a production lakehouse closes it with
+    * a manifest/snapshot commit (Iceberg/Delta-style), which is
+    * metadata-layer machinery out of this engine's scope; the content
+    * invariant itself is oracled end-to-end (q136).
+    * Returns (filesRewritten, rowsDeleted). */
+  def deleteByKey(spark: org.apache.spark.sql.SparkSession, path: String,
+                  keyCol: String, victims: DataFrame): (Int, Long) = {
+    import java.nio.file.{Files, Paths}
+    val vict = victims.select(col(keyCol)).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val t = spark.read.parquet(path)
+        .withColumn("__file", col("_metadata.file_path"))
+      val hits = t.join(broadcast(vict), Seq(keyCol), "left_semi")
+      val hitFiles = hits.select(col("__file")).distinct()
+        .collect().map(_.getString(0)).sorted
+      if (hitFiles.isEmpty) (0, 0L)
+      else {
+        val deleted = hits.count()
+        val survivors = spark.read
+          .parquet(hitFiles.toIndexedSeq: _*)
+          .join(broadcast(vict), Seq(keyCol), "left_anti")
+        val tmp = path + ".__cow"
+        survivors.write.mode("overwrite").parquet(tmp)
+        hitFiles.foreach(u => Files.delete(Paths.get(new java.net.URI(u))))
+        val stamp = java.util.UUID.randomUUID().toString.take(8)
+        Files.list(Paths.get(tmp)).filter(_.toString.endsWith(".parquet"))
+          .forEach { f =>
+            Files.move(f,
+              Paths.get(path, s"cow-$stamp-${f.getFileName.toString}"))
+          }
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(tmp))
+        (hitFiles.length, deleted)
+      }
+    } finally { vict.unpersist(); () }
+  }
 }

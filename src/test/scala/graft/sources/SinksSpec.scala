@@ -102,4 +102,39 @@ class SinksSpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(out + ".__compact")))
   }
+
+  test("deleteByKey: only victim-bearing files are rewritten; " +
+       "survivors and untouched bytes are exactly preserved") {
+    import spark.implicits._
+    val out = tmpDir() + "/cow"
+    // range-clustered layout: ids 0..999 over 10 files -> victims
+    // 100..149 live in (at most) two files
+    val rows = spark.range(1000).select($"id",
+      concat(lit("v"), $"id").as("payload"))
+    rows.repartitionByRange(10, $"id").write.parquet(out)
+    def listing() = java.nio.file.Files.list(
+        java.nio.file.Paths.get(out))
+      .filter(_.toString.endsWith(".parquet"))
+      .toArray.map(_.toString).toSet
+    val before = listing()
+    val victims = spark.range(100, 150).toDF("id")
+    val (rewritten, deleted) =
+      Sinks.deleteByKey(spark, out, "id", victims)
+    assert(deleted === 50L)
+    assert(rewritten >= 1 && rewritten <= 2,
+      s"range-clustered victims must hit <=2 files, rewrote $rewritten")
+    val after = listing()
+    // untouched files survive with identical paths
+    assert((before -- after).size === rewritten)
+    assert(after.count(_.contains("cow-")) > 0)
+    // content = source minus victims
+    val got = spark.read.parquet(out).select($"id").as[Long]
+      .collect().sorted.toSeq
+    assert(got === ((0L until 100L) ++ (150L until 1000L)).toSeq)
+    // deleting a key that is absent is a no-op
+    val (r2, d2) = Sinks.deleteByKey(spark, out, "id",
+      spark.range(5000, 5010).toDF("id"))
+    assert(r2 === 0 && d2 === 0L)
+    assert(listing() === after)
+  }
 }
