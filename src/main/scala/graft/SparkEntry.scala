@@ -2663,6 +2663,23 @@ object SparkEntry {
         docs.filter(pmod(col("doc_id"), lit(7)) === 3)
           .select(col("doc_id")))
       spark.read.parquet(tmp).orderBy(col("doc_id"))
+    },
+
+    // --- EXACT per-group quantiles by distributed rank selection
+    //     (histogram refine — no per-group sort buffer, the scale
+    //     path for percentile() on groups that dwarf an executor).
+    //     The selected values are INPUT values, so they hash-compare
+    //     with no rounding; the oracle ranks with a plain window ---
+    "q137_exact_quantile" -> { (spark, dir) =>
+      val li = tbl(spark, dir, "lineitem")
+      val p50 = graft.operators.ExactQuantile.quantileDisc(
+          li, col("l_returnflag"), col("l_extendedprice"), p = 0.5)
+        .select(col("grp").as("l_returnflag"), col("n"),
+          col("q").as("p50"))
+      val p90 = graft.operators.ExactQuantile.quantileDisc(
+          li, col("l_returnflag"), col("l_extendedprice"), p = 0.9)
+        .select(col("grp").as("l_returnflag"), col("q").as("p90"))
+      p50.join(p90, Seq("l_returnflag")).orderBy(col("l_returnflag"))
     }
   )
 
@@ -4841,6 +4858,25 @@ object SparkEntry {
     "q136_delete_by_key" -> """
       SELECT doc_id, source, n_chars FROM documents
       WHERE doc_id % 7 <> 3 ORDER BY doc_id""",
+
+    // rank-window replay of the discrete quantile: the ceil(p*n)-th
+    // smallest value per group (selected values are input values —
+    // no rounding needed)
+    "q137_exact_quantile" -> """
+      WITH x AS (SELECT l_returnflag,
+                        CAST(l_extendedprice AS DOUBLE) AS v
+                 FROM lineitem WHERE l_extendedprice IS NOT NULL),
+      r AS (SELECT l_returnflag, v,
+                   row_number() OVER (PARTITION BY l_returnflag
+                     ORDER BY v) AS rnk,
+                   count(*) OVER (PARTITION BY l_returnflag) AS n
+            FROM x)
+      SELECT l_returnflag, CAST(max(n) AS BIGINT) AS n,
+             max(CASE WHEN rnk = CAST(ceil(0.5 * n) AS BIGINT)
+                      THEN v END) AS p50,
+             max(CASE WHEN rnk = CAST(ceil(0.9 * n) AS BIGINT)
+                      THEN v END) AS p90
+      FROM r GROUP BY 1 ORDER BY 1""",
 
     // 2x2 presence-vs-label contingency per BoW slot; all-integer
     // numerator/denominator, one final double division

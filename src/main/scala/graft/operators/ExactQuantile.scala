@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** EXACT per-group discrete quantile by distributed rank selection —
+  * the scale path for what `percentile()` does with an in-memory
+  * sort buffer per group. Spark's exact percentile aggregate collects
+  * every group value into one executor buffer: at 100 TB a dominant
+  * group overflows it long before the data is "big". Histogram-refine
+  * instead (the [[graft.llm.Pipelines.materializeMixture]] selection
+  * trick, on value ranges):
+  *
+  *   1. one pass: per-group (n, min, max); target rank r = ⌈p·n⌉;
+  *   2. one pass: counts per (group, value-bucket) — bucketing is any
+  *      MONOTONE map of the value (here linear in (v−min)/(max−min),
+  *      floored and clamped; IEEE subtraction/division/floor are all
+  *      monotone, so bucket order respects value order exactly);
+  *   3. a running sum over the tiny (groups × buckets) histogram
+  *      finds each group's BOUNDARY bucket — the one holding rank r;
+  *   4. only boundary-bucket rows (~1/buckets of the group) are
+  *      ranked, partitioned by (group, bucket), and the row at local
+  *      rank r − cum_before supplies the answer.
+  *
+  * No partition ever holds more than one bucket of one group; ties at
+  * the selected rank all carry the selected VALUE, so the result is
+  * deterministic regardless of tie order. Nulls are ignored (SQL
+  * quantile semantics). Exactness does not depend on FP bucket
+  * boundaries — only on monotonicity — which is why the result can be
+  * hash-compared against a plain rank-window oracle (q137).
+  */
+object ExactQuantile {
+
+  /** (group, n, q): q = the ⌈p·n⌉-th smallest value of the group.
+    * p in (0, 1]; p=0.5 is the lower median, p=1 the max. */
+  def quantileDisc(df: DataFrame, group: Column, value: Column,
+                   p: Double, buckets: Int = 256): DataFrame = {
+    require(p > 0.0 && p <= 1.0, s"p must be in (0,1], got $p")
+    require(buckets >= 2, "need at least 2 buckets")
+    val v = df.select(group.as("grp"), value.cast("double").as("v"))
+      .filter(col("v").isNotNull)
+    val stats = v.groupBy(col("grp")).agg(count(lit(1)).as("n"),
+        min(col("v")).as("__mn"), max(col("v")).as("__mx"))
+      .withColumn("__r", ceil(lit(p) * col("n")).cast("long"))
+    val bucketed = v.join(broadcast(stats), Seq("grp"))
+      .withColumn("__b",
+        when(col("__mx") === col("__mn"), lit(0))
+          .otherwise(least(
+            floor((col("v") - col("__mn")) / (col("__mx") - col("__mn"))
+              * buckets).cast("int"), lit(buckets - 1))))
+    val hw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("__b"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    val boundary = bucketed.groupBy(col("grp"), col("__b"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__before", coalesce(sum(col("__cnt")).over(hw), lit(0L)))
+      .join(broadcast(stats.select(col("grp"), col("__r"))), Seq("grp"))
+      .filter(col("__before") < col("__r") &&
+        col("__before") + col("__cnt") >= col("__r"))
+      .select(col("grp"), col("__b"),
+        (col("__r") - col("__before")).as("__local_r"))
+    val bw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp"), col("__b")).orderBy(col("v"))
+    bucketed.join(broadcast(boundary), Seq("grp", "__b"))
+      .withColumn("__rn", row_number().over(bw))
+      .filter(col("__rn") === col("__local_r"))
+      .select(col("grp"), col("n"), col("v").as("q"))
+  }
+}
