@@ -2680,6 +2680,35 @@ object SparkEntry {
           li, col("l_returnflag"), col("l_extendedprice"), p = 0.9)
         .select(col("grp").as("l_returnflag"), col("q").as("p90"))
       p50.join(p90, Seq("l_returnflag")).orderBy(col("l_returnflag"))
+    },
+
+    // --- STREAMING funnel with batch parity: the event log drained
+    //     through the order-insensitive keyed state op, per-user
+    //     deepest-step results re-aggregated to the q133 summary —
+    //     one oracle serves both the batch and streaming forms ---
+    "q138_stream_funnel" -> { (spark, dir) =>
+      val steps = Seq("view", "click", "purchase")
+      val ev = EventStream.readTable(spark, dir, "events")
+      val reached = EventStream.streamingFunnel(ev, "user_id", "ts",
+        "event_type", steps)
+      val fin = EventStream.runToCompletion(spark, reached,
+          mode = "update")
+        .groupBy(col("user_id"))
+        .agg(max(col("reached")).as("reached"))
+      val perStep = fin.filter(col("reached") >= 1)
+        .select(explode(sequence(lit(1), col("reached"))).as("step_ix"))
+        .groupBy(col("step_ix")).agg(count(lit(1)).as("n_users"))
+      val name = steps.zipWithIndex.foldLeft(lit(null).cast("string")) {
+        case (acc, (s, i)) =>
+          when(col("step_ix") === i + 1, lit(s)).otherwise(acc)
+      }
+      val first = perStep.filter(col("step_ix") === 1)
+        .select(col("n_users").as("__n1"))
+      perStep.crossJoin(broadcast(first))
+        .select(col("step_ix"), name.as("step"), col("n_users"),
+          (col("n_users").cast("double") / col("__n1").cast("double"))
+            .as("conv"))
+        .orderBy(col("step_ix"))
     }
   )
 
@@ -4786,24 +4815,11 @@ object SparkEntry {
 
     // chained per-step funnel: each step's reach time is the earliest
     // event of that type strictly after the previous step's time
-    "q133_funnel" -> """
-      WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
-                  WHERE event_type = 'view' GROUP BY 1),
-      s2 AS (SELECT e.user_id, min(e.ts) AS t
-             FROM events e JOIN s1 USING (user_id)
-             WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
-      s3 AS (SELECT e.user_id, min(e.ts) AS t
-             FROM events e JOIN s2 USING (user_id)
-             WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1),
-      u AS (SELECT 1 AS step_ix, 'view' AS step, count(*) AS n FROM s1
-            UNION ALL
-            SELECT 2, 'click', count(*) FROM s2
-            UNION ALL
-            SELECT 3, 'purchase', count(*) FROM s3),
-      f AS (SELECT n AS n1 FROM u WHERE step_ix = 1)
-      SELECT step_ix, step, CAST(n AS BIGINT) AS n_users,
-             CAST(n AS DOUBLE) / CAST(f.n1 AS DOUBLE) AS conv
-      FROM u CROSS JOIN f ORDER BY step_ix""",
+    "q133_funnel" -> funnelSummarySql,
+
+    // the streaming drain must land on the batch funnel exactly —
+    // same oracle
+    "q138_stream_funnel" -> funnelSummarySql,
 
     // bigram lift from the LM count tables; exact products, no log
     "q134_collocations" -> """
@@ -5354,6 +5370,28 @@ object SparkEntry {
                     (SELECT b FROM c$r) || ' ')
            END AS s FROM $prev)"""
   }
+
+  /** Shared q133/q138 oracle — chained per-step funnel over the event
+    * log (view -> click -> purchase, strictly-after semantics): one
+    * SQL truth for both the batch operator and the streaming drain. */
+  private val funnelSummarySql: String = """
+      WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+                  WHERE event_type = 'view' GROUP BY 1),
+      s2 AS (SELECT e.user_id, min(e.ts) AS t
+             FROM events e JOIN s1 USING (user_id)
+             WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+      s3 AS (SELECT e.user_id, min(e.ts) AS t
+             FROM events e JOIN s2 USING (user_id)
+             WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1),
+      u AS (SELECT 1 AS step_ix, 'view' AS step, count(*) AS n FROM s1
+            UNION ALL
+            SELECT 2, 'click', count(*) FROM s2
+            UNION ALL
+            SELECT 3, 'purchase', count(*) FROM s3),
+      f AS (SELECT n AS n1 FROM u WHERE step_ix = 1)
+      SELECT step_ix, step, CAST(n AS BIGINT) AS n_users,
+             CAST(n AS DOUBLE) / CAST(f.n1 AS DOUBLE) AS conv
+      FROM u CROSS JOIN f ORDER BY step_ix"""
 
   /** One greedy MMR round of the q130 oracle: score every unselected
     * candidate `0.5·rel − 0.5·max cos(v, selected)`, keep the top-1

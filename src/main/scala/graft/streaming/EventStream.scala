@@ -140,6 +140,61 @@ object EventStream {
       .toDF(entity, "n_events")
   }
 
+  /** STREAMING funnel — [[graft.operators.Funnel]] semantics kept
+    * incrementally: per entity, the deepest step reached where each
+    * step's event is strictly after the previous step's time. The
+    * state (per step, the sorted times seen so far) is merged
+    * commutatively and the chain re-derived per update, so the final
+    * answer is ORDER-INSENSITIVE: a late-arriving early-step event in
+    * a later micro-batch revises the chain exactly as a batch
+    * computation over the full log would (EventStreamSpec forces this
+    * with maxFilesPerTrigger=1). Emits (entity, reached) in update
+    * mode; `reached` is monotone per key, so `max` over the update
+    * stream is the final value.
+    *
+    * State is bounded by each entity's own FUNNEL-STEP event times
+    * (other event types are filtered before the state op) — the
+    * per-user-analytics bound; a continuous deployment adds the same
+    * event-time TTL as [[runningCountsTtl]]. */
+  def streamingFunnel(events: DataFrame, entity: String, tsCol: String,
+                      kindCol: String, steps: Seq[String]): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val stepIx = steps.zipWithIndex.map { case (s, i) => s -> (i + 1) }
+      .toMap
+    val k = steps.length
+    events
+      .select(col(entity).cast("long"), col(kindCol).cast("string"),
+        col(tsCol))
+      .as[(Long, String, java.sql.Timestamp)]
+      .filter(r => stepIx.contains(r._2))
+      .groupByKey(_._1)
+      .mapGroupsWithState[Map[Int, Seq[Long]], (Long, Int)](
+        GroupStateTimeout.NoTimeout()) { (key, rows, state) =>
+        val merged = rows.foldLeft(
+          state.getOption.getOrElse(Map.empty[Int, Seq[Long]])) {
+          case (m, (_, kind, ts)) =>
+            val ix = stepIx(kind)
+            m.updated(ix, m.getOrElse(ix, Seq.empty) :+ ts.getTime)
+        }.map { case (ix, times) => ix -> times.sorted }
+        state.update(merged)
+        var prev = Long.MinValue
+        var reached = 0
+        var advancing = true
+        for (i <- 1 to k if advancing) {
+          merged.getOrElse(i, Seq.empty)
+            .find(t => i == 1 || t > prev) match {
+            case Some(t) => prev = t; reached = i
+            case None => advancing = false
+          }
+        }
+        (key, reached)
+      }
+      .toDF(entity, "reached")
+  }
+
   /** [[runningCountsTtl]] on the MODERN arbitrary-state API
     * (`transformWithState`, Spark 4.x): same semantics — per-key
     * running counts whose state expires `ttl` after the key's last

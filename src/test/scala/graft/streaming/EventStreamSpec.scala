@@ -221,6 +221,39 @@ class EventStreamSpec extends SparkSpec {
     EventStream.runToCompletion(spark, joined, mode = "append").count()
   }
 
+  test("streaming funnel: a LATE early-step event in a later " +
+      "micro-batch revises the chain to the batch answer") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_funnel_ooo").toString + "/ev"
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // file 1: the user's click and purchase arrive FIRST
+    Seq((1L, ts("2024-01-01 10:10:00"), "click"),
+        (1L, ts("2024-01-01 10:20:00"), "purchase"))
+      .toDF("user_id", "ts", "event_type")
+      .coalesce(1).write.mode("append").parquet(dir)
+    Thread.sleep(1100) // distinct mtime second => deterministic order
+    // file 2: the view that STARTED the funnel arrives late
+    Seq((1L, ts("2024-01-01 10:00:00"), "view"))
+      .toDF("user_id", "ts", "event_type")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val reached = EventStream.streamingFunnel(stream, "user_id", "ts",
+      "event_type", Seq("view", "click", "purchase"))
+    val updates = EventStream.runToCompletion(spark, reached,
+        mode = "update")
+      .select($"user_id", $"reached").as[(Long, Int)].collect().toSeq
+    // batch 1 alone reaches nothing (no view yet); batch 2's late
+    // view unlocks the whole chain
+    assert(updates.contains((1L, 0)))
+    assert(updates.contains((1L, 3)))
+    val finalReached = updates.groupBy(_._1).view
+      .mapValues(_.map(_._2).max).toMap
+    assert(finalReached === Map(1L -> 3))
+  }
+
   test("stream-static anti-join drops rows whose key is in the store") {
     import spark.implicits._
     val stream = EventStream.readTable(spark, graft.TestSpark.sfDir,
