@@ -105,4 +105,32 @@ class ServiceSpec extends SparkSpec {
     val third = r2.get("data").get(2).get("chi2").asDouble
     assert(top >= third)
   }
+
+  test("event-analytics frames publish as views: JX where over the " +
+       "funnel, JX edges over cohort retention") {
+    import org.apache.spark.sql.functions._
+    val ev = catalog.table("events")
+    val views = Map(
+      "funnel" -> graft.operators.Funnel.summary(ev, col("user_id"),
+        col("ts"), col("event_type"), Seq("view", "click", "purchase")),
+      "retention" -> graft.operators.Retention.cohortRetention(ev,
+        col("user_id"), col("ts"), maxWeeks = 3))
+    // funnel through JX: conversion of the final step
+    val r1 = mapper.readTree(Service.query(spark, TestSpark.sfDir,
+      """{"from": "funnel",
+          "where": {"eq": {"step": "purchase"}},
+          "select": ["step_ix", "n_users", "conv"]}""", views))
+    assert(r1.get("data").size === 1)
+    assert(r1.get("data").get(0).get("conv").asDouble > 0.0)
+    // retention through JX edges: per week offset, total active
+    val r2 = mapper.readTree(Service.query(spark, TestSpark.sfDir,
+      """{"from": "retention",
+          "edges": [{"name": "wk", "value": "wk",
+                     "domain": {"type": "set",
+                                "partitions": [0, 1, 2, 3]}}],
+          "select": [{"name": "active", "value": "n_active",
+                      "aggregate": "sum"}]}""", views))
+    assert(r2.get("data").size === 4)
+    assert(r2.get("data").get(0).get("active").asLong > 0L)
+  }
 }
