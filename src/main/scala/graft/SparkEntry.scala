@@ -2709,6 +2709,40 @@ object SparkEntry {
           (col("n_users").cast("double") / col("__n1").cast("double"))
             .as("conv"))
         .orderBy(col("step_ix"))
+    },
+
+    // --- SCD Type-2 dimension build from the raw event log: each
+    //     user's event_type history collapsed into validity intervals
+    //     [valid_from, valid_to) — one row per consecutive run, the
+    //     latest run open-ended. Two windows + a groupBy all riding
+    //     ONE entity-keyed exchange; the oracle replays with the
+    //     same lag/run-sum/lead windows ---
+    "q139_scd2" -> { (spark, dir) =>
+      val ev = tbl(spark, dir, "events")
+      graft.operators.Scd.buildType2(ev, col("user_id"), col("ts"),
+          col("event_type"))
+        .orderBy(col("entity"), col("valid_from"))
+    },
+
+    // --- per-source boilerplate stripping (CCNet-style): docs get a
+    //     synthetic nav header + copyright footer shared across their
+    //     source (and a 25%-frequency subscribe line that must SURVIVE
+    //     the 50% bar); the census explodes distinct lines only, the
+    //     strip is a row-local array filter against a broadcast
+    //     per-source boilerplate list — document text never shuffles ---
+    "q140_boilerplate" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+      val multi = docs.select(col("doc_id"), col("source"),
+        concat(
+          lit("== "), col("source"), lit(" navigation ==\n"),
+          col("text"), lit("\n"),
+          when(pmod(col("doc_id"), lit(4)) === 0,
+            concat(lit("subscribe to "), col("source"), lit("\n")))
+            .otherwise(lit("")),
+          lit("copyright "), col("source")).as("text"))
+      graft.llm.Pipelines.stripBoilerplate(multi, col("doc_id"),
+          col("source"), col("text"), minDocFrac = 0.5, minDocs = 2)
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -5212,7 +5246,65 @@ object SparkEntry {
                AS n_variant_pairs,
              min(max_cosine) AS min_cosine,
              max(max_cosine) AS top_cosine
-      FROM dups GROUP BY 1 ORDER BY 1"""
+      FROM dups GROUP BY 1 ORDER BY 1""",
+
+    // lag flags run starts, a running sum numbers runs, lead closes
+    // each interval — the same three windows the operator uses
+    "q139_scd2" -> """
+      WITH o AS (SELECT user_id AS entity, ts AS t,
+                        event_type AS attr,
+                        CASE WHEN lag(event_type) OVER
+                               (PARTITION BY user_id ORDER BY ts)
+                               IS DISTINCT FROM event_type
+                             THEN 1 ELSE 0 END AS chg
+                 FROM events),
+      r AS (SELECT entity, t, attr,
+                   sum(chg) OVER (PARTITION BY entity ORDER BY t
+                     ROWS UNBOUNDED PRECEDING) AS run
+            FROM o),
+      c AS (SELECT entity, run, min(attr) AS attr,
+                   min(t) AS valid_from, count(*) AS n_events
+            FROM r GROUP BY entity, run)
+      SELECT entity, attr, valid_from,
+             lead(valid_from) OVER
+               (PARTITION BY entity ORDER BY run) AS valid_to,
+             n_events,
+             (lead(valid_from) OVER
+               (PARTITION BY entity ORDER BY run) IS NULL) AS is_current
+      FROM c ORDER BY entity, valid_from""",
+
+    // same synthetic multi-line docs; boilerplate = lines in >= 2 docs
+    // AND >= 50% of the source's docs; strip via an order-preserving
+    // list_filter against the per-source boilerplate list
+    "q140_boilerplate" -> """
+      WITH m AS (SELECT doc_id, source AS grp,
+              '== ' || source || ' navigation ==' || chr(10) ||
+              text || chr(10) ||
+              (CASE WHEN doc_id % 4 = 0
+                    THEN 'subscribe to ' || source || chr(10)
+                    ELSE '' END) ||
+              'copyright ' || source AS txt
+            FROM documents),
+      w AS (SELECT doc_id, grp,
+              list_filter(list_transform(string_split(txt, chr(10)),
+                x -> trim(x)), x -> length(x) > 0) AS lines
+            FROM m),
+      e AS (SELECT grp, unnest(list_distinct(lines)) AS line FROM w),
+      df AS (SELECT grp, line, count(*) AS df FROM e GROUP BY 1, 2),
+      sz AS (SELECT grp, count(*) AS n_docs FROM m GROUP BY 1),
+      b AS (SELECT df.grp, list_sort(list(line)) AS blist
+            FROM df JOIN sz USING (grp)
+            WHERE df >= 2 AND CAST(df AS DOUBLE) >= n_docs * 0.5
+            GROUP BY 1),
+      c AS (SELECT doc_id, w.grp,
+              list_filter(lines,
+                x -> NOT coalesce(list_contains(blist, x), false)) AS clean,
+              lines
+            FROM w LEFT JOIN b ON w.grp = b.grp)
+      SELECT doc_id, grp, array_to_string(clean, chr(10)) AS clean_text,
+             CAST(len(lines) AS BIGINT) AS n_lines,
+             CAST(len(clean) AS BIGINT) AS n_kept
+      FROM c ORDER BY doc_id"""
   )
 
   /** Shared q97/q112 oracle: the linear quality model, every feature

@@ -198,6 +198,60 @@ object Pipelines {
         array_join(col("__chunk"), " ").as("chunk_text"))
   }
 
+  /** Per-group boilerplate line removal (the CCNet recipe re-derived
+    * in DataFrame terms: lines shared by most documents of a source —
+    * headers, footers, nav chrome, cookie banners — carry no training
+    * signal and poison dedup): a line is boilerplate within its group
+    * when it appears in >= `minDocs` documents AND >= `minDocFrac` of
+    * the group's documents; every such line is stripped from every
+    * document of the group, preserving the order of the surviving
+    * lines.
+    *
+    * Shape, and why it scales: the doc-frequency census explodes
+    * DISTINCT lines per document (`array_distinct` before the explode
+    * — a document repeating its own footer counts once) into a narrow
+    * (group, line) frame — one shuffle. The per-group boilerplate
+    * LISTS are tiny by construction (only lines crossing the
+    * `minDocFrac` bar survive), so they broadcast, and the strip
+    * itself is a row-local `filter(lines, !array_contains(blist, _))`
+    * — document text is never shuffled, and the whole strip stage
+    * adds zero exchanges. Output: (doc_id, grp, clean_text, n_lines,
+    * n_kept).
+    *
+    * Determinism contract: lines split on literal '\n', space-trimmed
+    * (Spark trim = DuckDB trim: spaces only), blank lines dropped
+    * before counting; the frequency threshold compares exact integer
+    * counts (`df >= n_docs * minDocFrac` in doubles — both engines
+    * evaluate the identical product). */
+  def stripBoilerplate(docs: DataFrame, docId: Column, group: Column,
+                       text: Column, minDocFrac: Double = 0.5,
+                       minDocs: Int = 2): DataFrame = {
+    val base = docs.select(docId.as("doc_id"), group.as("grp"),
+      text.as("txt"))
+    val withLines = base.withColumn("lines",
+      filter(transform(split(col("txt"), "\n"), l => trim(l)),
+        l => length(l) > 0))
+    val census = withLines
+      .select(col("grp"), explode(array_distinct(col("lines"))).as("line"))
+      .groupBy(col("grp"), col("line"))
+      .agg(count(lit(1)).as("df"))
+    val sizes = base.groupBy(col("grp")).agg(count(lit(1)).as("n_docs"))
+    val boiler = census.join(sizes, Seq("grp"))
+      .filter(col("df") >= minDocs &&
+        col("df").cast("double") >= col("n_docs") * lit(minDocFrac))
+      .groupBy(col("grp"))
+      .agg(sort_array(collect_list(col("line"))).as("blist"))
+    withLines.join(broadcast(boiler), Seq("grp"), "left")
+      .withColumn("blist",
+        coalesce(col("blist"), array().cast("array<string>")))
+      .withColumn("clean",
+        filter(col("lines"), l => !array_contains(col("blist"), l)))
+      .select(col("doc_id"), col("grp"),
+        array_join(col("clean"), "\n").as("clean_text"),
+        size(col("lines")).cast("long").as("n_lines"),
+        size(col("clean")).cast("long").as("n_kept"))
+  }
+
   /** (id, fp) content-fingerprint frame for [[snapshotDiff]] — md5 of
     * the raw text (portable: Spark md5(binary) = DuckDB md5(varchar)
     * over the same UTF-8 bytes). */

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Slowly-changing-dimension (Type 2) construction from a raw change
+  * log: collapse each entity's attribute history into validity
+  * intervals `[valid_from, valid_to)` — one row per RUN of equal
+  * attribute values, open-ended (`valid_to` null, `is_current` true)
+  * for the latest run. The standard warehouse shape for "what was
+  * this entity's state at time t", and the builder half of the as-of
+  * enrichment the engine already has ([[Joins]]' as-of join consumes
+  * exactly this interval table).
+  *
+  * Shape: two entity-partitioned windows (a lag to flag changes and a
+  * running sum to number runs — one shuffle by entity, both windows
+  * share it), a (entity, run) groupBy co-partitioned with that same
+  * shuffle, and a final lead window, again on the same key. One
+  * exchange total; no global window anywhere, so the plan scales with
+  * the entity count, not the log length.
+  *
+  * Determinism contract: rows order by (ts, tiebreak...) within an
+  * entity, so equal-timestamp changes need a tiebreak column to be
+  * replayable; runs collapse CONSECUTIVE equal values only (an
+  * attribute that flips A→B→A yields three intervals, as SCD2
+  * requires).
+  */
+object Scd {
+
+  /** Build the Type-2 interval table: `(entity, attr, valid_from,
+    * valid_to, n_events, is_current)` — one row per consecutive run
+    * of equal `attr`, `valid_to` = the next run's start (null on the
+    * current run), `n_events` = log rows collapsed into the run. */
+  def buildType2(log: DataFrame, entity: Column, ts: Column,
+                 attr: Column, tiebreak: Seq[Column] = Nil): DataFrame = {
+    val cols = Seq(entity.as("entity"), ts.as("t"), attr.as("attr")) ++
+      tiebreak.zipWithIndex.map { case (c, i) => c.as(s"__tb$i") }
+    val ev = log.select(cols: _*)
+    val ord = col("t") +: tiebreak.indices.map(i => col(s"__tb$i"))
+    val w = Window.partitionBy(col("entity")).orderBy(ord: _*)
+    // change flag via lag, then a running sum numbers the runs —
+    // both windows ride one entity-keyed exchange
+    val runs = ev
+      .withColumn("__chg",
+        when(lag(col("attr"), 1).over(w).isNull ||
+             lag(col("attr"), 1).over(w) =!= col("attr"), lit(1))
+          .otherwise(lit(0)))
+      .withColumn("__run", sum(col("__chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val collapsed = runs.groupBy(col("entity"), col("__run"))
+      .agg(first(col("attr")).as("attr"),
+           min(col("t")).as("valid_from"),
+           count(lit(1)).as("n_events"))
+    val wl = Window.partitionBy(col("entity")).orderBy(col("__run"))
+    collapsed
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wl))
+      .select(col("entity"), col("attr"), col("valid_from"),
+        col("valid_to"), col("n_events"),
+        col("valid_to").isNull.as("is_current"))
+  }
+
+  /** Enrich fact rows with the dimension state in force at the fact's
+    * time: facts land in the interval `valid_from <= t < valid_to`
+    * (current rows match any `t >= valid_from`). Facts before the
+    * entity's first interval (or for unknown entities) keep a null
+    * attr (left join). The join is an equi-join on entity with a
+    * range residual — Spark shuffles both sides by entity and the
+    * residual filters within the match group, so no interval
+    * explosion and no cartesian anywhere. */
+  def asOfEnrich(facts: DataFrame, factEntity: Column, factTs: Column,
+                 dim: DataFrame): DataFrame = {
+    val d = dim.select(col("entity").as("__de"), col("attr"),
+      col("valid_from"), col("valid_to"))
+    facts.join(d,
+      factEntity === col("__de") && factTs >= col("valid_from") &&
+        (col("valid_to").isNull || factTs < col("valid_to")),
+      "left")
+      .drop("__de", "valid_from", "valid_to")
+  }
+}

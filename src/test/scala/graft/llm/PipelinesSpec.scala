@@ -272,4 +272,55 @@ class PipelinesSpec extends SparkSpec {
     assert(smallR > bigR)
     assert(math.abs(smallR - 2.5) < 1e-9) // repeats: 250 docs from 100
   }
+
+  test("stripBoilerplate: per-group frequent lines drop, order kept, " +
+      "rare lines and other groups untouched") {
+    val docs = Seq(
+      // group a: header in 3/3 docs, footer in 2/3, rare in 1/3
+      (1L, "a", "HEADER\nbody one\nFOOTER"),
+      (2L, "a", "HEADER\nbody two\nrare line\nFOOTER"),
+      (3L, "a", "HEADER\nbody three"),
+      // group b: the SAME header text appears in only 1/2 docs of b ->
+      // boilerplate decisions are per-group
+      (4L, "b", "HEADER\nbeta body"),
+      (5L, "b", "other content")
+    ).toDF("id", "src", "t")
+    val out = Pipelines.stripBoilerplate(docs, $"id", $"src", $"t",
+        minDocFrac = 0.5, minDocs = 2)
+      .orderBy($"doc_id")
+      .as[(Long, String, String, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (1L, "a", "body one", 3L, 1L),
+      (2L, "a", "body two\nrare line", 4L, 2L),
+      (3L, "a", "body three", 2L, 1L),
+      (4L, "b", "HEADER\nbeta body", 2L, 2L),
+      (5L, "b", "other content", 1L, 1L)))
+  }
+
+  test("stripBoilerplate: a doc repeating its own footer counts once " +
+      "in the census; blank lines never count") {
+    val docs = Seq(
+      (1L, "s", "FOOT\n\n  \nFOOT\nkeep me"),
+      (2L, "s", "body\nFOOT"),
+      (3L, "s", "body2")
+    ).toDF("id", "src", "t")
+    // FOOT df = 2 of 3 docs (doc 1 counts once) -> >= 0.5 -> stripped
+    val out = Pipelines.stripBoilerplate(docs, $"id", $"src", $"t")
+      .orderBy($"doc_id")
+      .as[(Long, String, String, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (1L, "s", "keep me", 3L, 1L),
+      (2L, "s", "body", 2L, 1L),
+      (3L, "s", "body2", 1L, 1L)))
+  }
+
+  test("stripBoilerplate plan: strip stage is a broadcast join — no " +
+      "extra exchange on the document side") {
+    val docs = Seq((1L, "s", "x\ny"), (2L, "s", "x\nz"))
+      .toDF("id", "src", "t")
+    val plan = Pipelines.stripBoilerplate(docs, $"id", $"src", $"t")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"))
+  }
 }

@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class ScdSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: Long) = new Timestamp(s * 1000L)
+
+  private val log = Seq(
+    // entity 1: A,A,B,A -> three runs (A 2 events, B, A again)
+    (1L, t(10), "A"), (1L, t(20), "A"), (1L, t(30), "B"), (1L, t(40), "A"),
+    // entity 2: single run
+    (2L, t(15), "X"),
+    // entity 3: B,B -> one run of two events
+    (3L, t(5), "B"), (3L, t(50), "B")
+  ).toDF("id", "ts", "state")
+
+  private val dim = Scd.buildType2(log, $"id", $"ts", $"state")
+
+  test("runs collapse consecutive equals only; A->B->A keeps 3 rows") {
+    val e1 = dim.filter($"entity" === 1L)
+      .orderBy($"valid_from")
+      .select($"attr", $"valid_from", $"valid_to", $"n_events",
+        $"is_current")
+      .as[(String, Timestamp, Option[Timestamp], Long, Boolean)]
+      .collect().toSeq
+    assert(e1 === Seq(
+      ("A", t(10), Some(t(30)), 2L, false),
+      ("B", t(30), Some(t(40)), 1L, false),
+      ("A", t(40), None, 1L, true)))
+  }
+
+  test("intervals tile: each entity has exactly one current row and " +
+      "valid_to chains to the next valid_from") {
+    val cur = dim.groupBy($"entity")
+      .agg(sum(when($"is_current", 1).otherwise(0)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(cur.values.toSet === Set(1L))
+    val e3 = dim.filter($"entity" === 3L).as[(Long, String, Timestamp,
+      Option[Timestamp], Long, Boolean)].collect().toSeq
+    assert(e3 === Seq((3L, "B", t(5), None, 2L, true)))
+  }
+
+  test("asOfEnrich picks the interval in force; pre-history and " +
+      "unknown entities stay null") {
+    val facts = Seq(
+      (1L, t(10)), // exactly at A's start -> A
+      (1L, t(29)), // inside first A run -> A
+      (1L, t(30)), // boundary: [from, to) -> B
+      (1L, t(99)), // current run -> A
+      (2L, t(1)),  // before entity 2's history -> null
+      (9L, t(50))  // unknown entity -> null
+    ).toDF("id", "ft")
+    val out = Scd.asOfEnrich(facts, $"id", $"ft", dim)
+      .select($"id", $"ft", $"attr")
+      .as[(Long, Timestamp, Option[String])].collect().toSet
+    assert(out === Set(
+      (1L, t(10), Some("A")), (1L, t(29), Some("A")),
+      (1L, t(30), Some("B")), (1L, t(99), Some("A")),
+      (2L, t(1), None), (9L, t(50), None)))
+  }
+
+  test("plan: one entity exchange feeds both windows (no global window)") {
+    val plan = dim.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition") ||
+      !plan.toLowerCase.contains("window partitionby []"))
+  }
+}
