@@ -2743,6 +2743,24 @@ object SparkEntry {
       graft.llm.Pipelines.stripBoilerplate(multi, col("doc_id"),
           col("source"), col("text"), minDocFrac = 0.5, minDocs = 2)
         .orderBy(col("doc_id"))
+    },
+
+    // --- PageRank centrality over the parts-ordered-together graph:
+    //     3 fixed iterations in DETERMINISTIC mode (per-node sums fold
+    //     the value-sorted contribution list, so every iteration is
+    //     bit-exact across engines — the q103 trick applied to a graph
+    //     loop); damping stays 0.85 with the oracle computing
+    //     1 - CAST(0.85 AS DOUBLE) so both engines subtract the same
+    //     IEEE double. Top 50 by rounded rank, node tiebreak ---
+    "q141_pagerank" -> { (spark, dir) =>
+      val li = tbl(spark, dir, "lineitem")
+      val edges = graft.operators.Graph.coOccurrenceEdges(li,
+        col("l_orderkey"), col("l_partkey"))
+      graft.operators.Graph.pageRank(edges, iterations = 3,
+          damping = 0.85, deterministic = true)
+        .select(col("node"), round(col("pr"), 9).as("pr"))
+        .orderBy(col("pr").desc, col("node").asc)
+        .limit(50)
     }
   )
 
@@ -5304,7 +5322,61 @@ object SparkEntry {
       SELECT doc_id, grp, array_to_string(clean, chr(10)) AS clean_text,
              CAST(len(lines) AS BIGINT) AS n_lines,
              CAST(len(clean) AS BIGINT) AS n_kept
-      FROM c ORDER BY doc_id"""
+      FROM c ORDER BY doc_id""",
+
+    // 3 unrolled PageRank iterations; per-node sums fold the
+    // value-sorted contribution list (list_reduce starts from the
+    // first element, Spark's aggregate from 0.0 — IEEE-identical
+    // since 0.0 + x = x); damping constants built from
+    // CAST(0.85 AS DOUBLE) so both engines use the same doubles
+    "q141_pagerank" -> """
+      WITH eg AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+                  FROM lineitem),
+      e AS (SELECT DISTINCT a.i AS src, b.i AS dst
+            FROM eg a JOIN eg b ON a.g = b.g AND a.i <> b.i),
+      n AS (SELECT DISTINCT src AS node FROM e),
+      nn AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM n),
+      deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg
+              FROM e GROUP BY 1),
+      p0 AS (SELECT node, 1.0 / nn.nd AS pr FROM n CROSS JOIN nn),
+      s1 AS (SELECT e.dst AS node,
+               list_reduce(list(p.pr / d.outdeg
+                                ORDER BY p.pr / d.outdeg),
+                           (a, b) -> a + b) AS s
+             FROM e JOIN p0 p ON e.src = p.node
+                    JOIN deg d ON e.src = d.src
+             GROUP BY 1),
+      p1 AS (SELECT n.node,
+               (1.0 - CAST(0.85 AS DOUBLE)) / nn.nd
+                 + CAST(0.85 AS DOUBLE)
+                   * coalesce(s1.s, CAST(0 AS DOUBLE)) AS pr
+             FROM n CROSS JOIN nn LEFT JOIN s1 ON n.node = s1.node),
+      s2 AS (SELECT e.dst AS node,
+               list_reduce(list(p.pr / d.outdeg
+                                ORDER BY p.pr / d.outdeg),
+                           (a, b) -> a + b) AS s
+             FROM e JOIN p1 p ON e.src = p.node
+                    JOIN deg d ON e.src = d.src
+             GROUP BY 1),
+      p2 AS (SELECT n.node,
+               (1.0 - CAST(0.85 AS DOUBLE)) / nn.nd
+                 + CAST(0.85 AS DOUBLE)
+                   * coalesce(s2.s, CAST(0 AS DOUBLE)) AS pr
+             FROM n CROSS JOIN nn LEFT JOIN s2 ON n.node = s2.node),
+      s3 AS (SELECT e.dst AS node,
+               list_reduce(list(p.pr / d.outdeg
+                                ORDER BY p.pr / d.outdeg),
+                           (a, b) -> a + b) AS s
+             FROM e JOIN p2 p ON e.src = p.node
+                    JOIN deg d ON e.src = d.src
+             GROUP BY 1),
+      p3 AS (SELECT n.node,
+               (1.0 - CAST(0.85 AS DOUBLE)) / nn.nd
+                 + CAST(0.85 AS DOUBLE)
+                   * coalesce(s3.s, CAST(0 AS DOUBLE)) AS pr
+             FROM n CROSS JOIN nn LEFT JOIN s3 ON n.node = s3.node)
+      SELECT node, round(pr, 9) AS pr FROM p3
+      ORDER BY round(pr, 9) DESC, node LIMIT 50"""
   )
 
   /** Shared q97/q112 oracle: the linear quality model, every feature

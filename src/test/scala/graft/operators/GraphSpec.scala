@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val star = Seq(
+    // a <-> b, a <-> c : outdeg a=2, b=1, c=1
+    (1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L)
+  ).toDF("src", "dst")
+
+  test("pageRank one iteration: hand-computed values (damping 0.5)") {
+    // init 1/3 each; contribs: a gets 1/3+1/3, b and c get 1/6
+    // pr(a) = 0.5/3 + 0.5*(2/3) = 0.5 ; pr(b) = pr(c) = 1/6 + 1/12 = 0.25
+    val out = Graph.pageRank(star, iterations = 1, damping = 0.5)
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(out(1L) - 0.5) < 1e-12)
+    assert(math.abs(out(2L) - 0.25) < 1e-12)
+    assert(math.abs(out(3L) - 0.25) < 1e-12)
+  }
+
+  test("uniform rank is the fixed point of a regular graph") {
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (2L, 1L), (3L, 2L), (1L, 3L)).toDF("src", "dst")
+    val out = Graph.pageRank(tri, iterations = 4)
+      .as[(Long, Double)].collect().toMap
+    out.values.foreach(v => assert(math.abs(v - 1.0 / 3) < 1e-12))
+  }
+
+  test("mass conserves on symmetric graphs; deterministic fold " +
+      "matches the plain sum") {
+    val edges = Graph.coOccurrenceEdges(
+      Seq((10L, 1L), (10L, 2L), (10L, 3L), (11L, 2L), (11L, 3L),
+        (12L, 3L), (12L, 4L)).toDF("g", "i"), $"g", $"i")
+    val plain = Graph.pageRank(edges, 3).as[(Long, Double)]
+      .collect().toMap
+    val det = Graph.pageRank(edges, 3, deterministic = true)
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(plain.values.sum - 1.0) < 1e-9)
+    plain.foreach { case (k, v) => assert(math.abs(v - det(k)) < 1e-9) }
+    // node 3 sits in every group -> highest centrality
+    assert(plain(3L) === plain.values.max)
+  }
+
+  test("coOccurrenceEdges: distinct, symmetric, no self-loops, and " +
+      "repeated (group, item) rows count once") {
+    val rel = Seq((1L, 10L), (1L, 10L), (1L, 20L), (2L, 20L), (2L, 30L))
+      .toDF("g", "i")
+    val e = Graph.coOccurrenceEdges(rel, $"g", $"i")
+      .as[(Long, Long)].collect().toSet
+    assert(e === Set((10L, 20L), (20L, 10L), (20L, 30L), (30L, 20L)))
+  }
+}
