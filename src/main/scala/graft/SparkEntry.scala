@@ -2761,7 +2761,31 @@ object SparkEntry {
         .select(col("node"), round(col("pr"), 9).as("pr"))
         .orderBy(col("pr").desc, col("node").asc)
         .limit(50)
-    }
+    },
+
+    // --- the two SCD halves composed: a state dimension built from
+    //     the signup/error sub-log (q139's operator), then purchase
+    //     facts enriched with the state in force at purchase time and
+    //     rolled up per state. The per-state value sum folds the
+    //     value-sorted list (engine-identical), rounded to 4 ---
+    "q142_asof_dimension" -> rounded("sum_value" -> 4)({ (spark, dir) =>
+      val ev = tbl(spark, dir, "events")
+      val dim = graft.operators.Scd.buildType2(
+        ev.filter(col("event_type").isin("signup", "error")),
+        col("user_id"), col("ts"), col("event_type"))
+      val facts = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      graft.operators.Scd.asOfEnrich(facts, col("user_id"), col("ts"),
+          dim)
+        .groupBy(col("attr"))
+        .agg(count(lit(1)).as("n_purchases"),
+          countDistinct(col("user_id")).as("n_users"),
+          aggregate(array_sort(collect_list(col("value"))), lit(0.0d),
+            (acc, x) => acc + x).as("sum_value"))
+        .select(col("attr").as("state"), col("n_purchases"),
+          col("n_users"), col("sum_value"))
+        .orderBy(col("state"))
+    })
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same column names & rounding). */
@@ -5376,7 +5400,42 @@ object SparkEntry {
                    * coalesce(s3.s, CAST(0 AS DOUBLE)) AS pr
              FROM n CROSS JOIN nn LEFT JOIN s3 ON n.node = s3.node)
       SELECT node, round(pr, 9) AS pr FROM p3
-      ORDER BY round(pr, 9) DESC, node LIMIT 50"""
+      ORDER BY round(pr, 9) DESC, node LIMIT 50""",
+
+    // SCD2 build over the state sub-log (as q139), then the as-of
+    // range join and a per-state rollup; the value sum is a fold over
+    // the value-sorted list in both engines
+    "q142_asof_dimension" -> """
+      WITH st AS (SELECT user_id AS entity, ts AS t,
+                         event_type AS attr,
+                         CASE WHEN lag(event_type) OVER
+                                (PARTITION BY user_id ORDER BY ts)
+                                IS DISTINCT FROM event_type
+                              THEN 1 ELSE 0 END AS chg
+                  FROM events
+                  WHERE event_type IN ('signup', 'error')),
+      r AS (SELECT entity, t, attr,
+                   sum(chg) OVER (PARTITION BY entity ORDER BY t
+                     ROWS UNBOUNDED PRECEDING) AS run
+            FROM st),
+      c AS (SELECT entity, run, min(attr) AS attr,
+                   min(t) AS valid_from
+            FROM r GROUP BY entity, run),
+      dim AS (SELECT entity, attr, valid_from,
+                lead(valid_from) OVER
+                  (PARTITION BY entity ORDER BY run) AS valid_to
+              FROM c),
+      f AS (SELECT event_id, user_id, ts, value FROM events
+            WHERE event_type = 'purchase'),
+      j AS (SELECT f.user_id, f.value, d.attr AS state
+            FROM f LEFT JOIN dim d ON f.user_id = d.entity
+              AND f.ts >= d.valid_from
+              AND (d.valid_to IS NULL OR f.ts < d.valid_to))
+      SELECT state, count(*) AS n_purchases,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+             round(list_reduce(list(value ORDER BY value),
+                               (a, b) -> a + b), 4) AS sum_value
+      FROM j GROUP BY 1 ORDER BY 1"""
   )
 
   /** Shared q97/q112 oracle: the linear quality model, every feature
