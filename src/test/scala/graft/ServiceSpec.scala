@@ -133,4 +133,37 @@ class ServiceSpec extends SparkSpec {
     assert(r2.get("data").size === 4)
     assert(r2.get("data").get(0).get("active").asLong > 0L)
   }
+
+  test("scd2 dimension and pagerank frames publish as views: JX " +
+       "groupby over current state, JX top-k over centrality") {
+    import org.apache.spark.sql.functions._
+    val ev = catalog.table("events")
+    val li = catalog.table("lineitem")
+    val views = Map(
+      "user_state" -> graft.operators.Scd.buildType2(ev,
+        col("user_id"), col("ts"), col("event_type")),
+      "part_rank" -> graft.operators.Graph.pageRank(
+        graft.operators.Graph.coOccurrenceEdges(li,
+          col("l_orderkey"), col("l_partkey")), iterations = 2))
+    // current state distribution through JX: open intervals only
+    val r1 = mapper.readTree(Service.query(spark, TestSpark.sfDir,
+      """{"from": "user_state",
+          "where": {"missing": "valid_to"},
+          "groupby": ["attr"],
+          "select": [{"name": "n", "aggregate": "count"}]}""", views))
+    assert(r1.get("data").size >= 1)
+    val total = (0 until r1.get("data").size)
+      .map(i => r1.get("data").get(i).get("n").asLong).sum
+    // exactly one current row per entity
+    val nUsers = ev.select(col("user_id")).distinct().count()
+    assert(total === nUsers)
+    // top-central parts through JX sort+limit
+    val r2 = mapper.readTree(Service.query(spark, TestSpark.sfDir,
+      """{"from": "part_rank",
+          "sort": [{"value": "pr", "sort": -1}],
+          "limit": 5}""", views))
+    assert(r2.get("data").size === 5)
+    assert(r2.get("data").get(0).get("pr").asDouble >=
+      r2.get("data").get(4).get("pr").asDouble)
+  }
 }
