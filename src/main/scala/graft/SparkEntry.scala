@@ -2785,7 +2785,24 @@ object SparkEntry {
         .select(col("attr").as("state"), col("n_purchases"),
           col("n_users"), col("sum_value"))
         .orderBy(col("state"))
-    })
+    }),
+
+    // --- incremental SCD2 MERGE, differentially proven: Spark builds
+    //     the dimension from the pre-cutoff log only, then advances it
+    //     with the post-cutoff batch via mergeType2 (historical log
+    //     never re-read; every join batch-bounded + broadcast); the
+    //     oracle REBUILDS from the full log — a hash match proves
+    //     incremental ≡ batch on real data ---
+    "q143_scd2_merge" -> { (spark, dir) =>
+      val ev = tbl(spark, dir, "events")
+      val cut = lit("2024-01-21 00:00:00").cast("timestamp")
+      val dim = graft.operators.Scd.buildType2(
+        ev.filter(col("ts") < cut), col("user_id"), col("ts"),
+        col("event_type"))
+      graft.operators.Scd.mergeType2(dim, ev.filter(col("ts") >= cut),
+          col("user_id"), col("ts"), col("event_type"))
+        .orderBy(col("entity"), col("valid_from"))
+    }
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same column names & rounding). */
@@ -5435,7 +5452,33 @@ object SparkEntry {
              CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
              round(list_reduce(list(value ORDER BY value),
                                (a, b) -> a + b), 4) AS sum_value
-      FROM j GROUP BY 1 ORDER BY 1"""
+      FROM j GROUP BY 1 ORDER BY 1""",
+
+    // FULL REBUILD from the complete log (q139's oracle verbatim) —
+    // the Spark side merges incrementally from a pre-cutoff dimension,
+    // so the hash match is the incremental ≡ batch proof
+    "q143_scd2_merge" -> """
+      WITH o AS (SELECT user_id AS entity, ts AS t,
+                        event_type AS attr,
+                        CASE WHEN lag(event_type) OVER
+                               (PARTITION BY user_id ORDER BY ts)
+                               IS DISTINCT FROM event_type
+                             THEN 1 ELSE 0 END AS chg
+                 FROM events),
+      r AS (SELECT entity, t, attr,
+                   sum(chg) OVER (PARTITION BY entity ORDER BY t
+                     ROWS UNBOUNDED PRECEDING) AS run
+            FROM o),
+      c AS (SELECT entity, run, min(attr) AS attr,
+                   min(t) AS valid_from, count(*) AS n_events
+            FROM r GROUP BY entity, run)
+      SELECT entity, attr, valid_from,
+             lead(valid_from) OVER
+               (PARTITION BY entity ORDER BY run) AS valid_to,
+             n_events,
+             (lead(valid_from) OVER
+               (PARTITION BY entity ORDER BY run) IS NULL) AS is_current
+      FROM c ORDER BY entity, valid_from"""
   )
 
   /** Shared q97/q112 oracle: the linear quality model, every feature

@@ -60,6 +60,75 @@ object Scd {
         col("valid_to").isNull.as("is_current"))
   }
 
+  /** Incremental Type-2 MERGE — apply a NEW batch of change events to
+    * an existing dimension without re-reading the historical log (the
+    * CDC/upsert primitive; at 100 TB the log is append-only and
+    * unreadably large, so the dimension must advance from the batch
+    * alone). Invariant, held by Scd2MergeSpec as a law and by the
+    * q143 oracle differentially (Spark merges incrementally, DuckDB
+    * rebuilds from the full log — a hash match proves incremental ≡
+    * batch):
+    *
+    * {{{ mergeType2(buildType2(old), new) == buildType2(old ∪ new) }}}
+    *
+    * provided every new event is strictly later than all of its
+    * entity's old events (out-of-order arrivals would rewrite closed
+    * history — reject them upstream; [[buildType2]] on the union is
+    * the recovery path).
+    *
+    * Per entity with new events: the batch collapses to runs
+    * ([[buildType2]] on the batch alone); if the first new run
+    * continues the entity's CURRENT attr it is ABSORBED (the current
+    * row keeps its valid_from, extends its event count, and closes
+    * only if more runs follow), otherwise the current row closes at
+    * the first new run's start. Closed historical rows pass through
+    * untouched, as do entities with no new events — the touched set
+    * is bounded by the batch's entities, and every join here is a
+    * narrow entity-keyed equi-join against the (small) batch side. */
+  def mergeType2(dim: DataFrame, newLog: DataFrame, entity: Column,
+                 ts: Column, attr: Column,
+                 tiebreak: Seq[Column] = Nil): DataFrame = {
+    val newRuns = buildType2(newLog, entity, ts, attr, tiebreak)
+    val w = Window.partitionBy(col("entity")).orderBy(col("valid_from"))
+    val nr = newRuns.withColumn("__ix", row_number().over(w))
+    val first = nr.filter(col("__ix") === 1)
+      .select(col("entity"), col("attr").as("__na"),
+        col("valid_from").as("__nf"), col("valid_to").as("__nt"),
+        col("n_events").as("__nn"))
+    val hist = dim.filter(!col("is_current"))
+      .select(col("entity"), col("attr"), col("valid_from"),
+        col("valid_to"), col("n_events"), col("is_current"))
+    val cur = dim.filter(col("is_current"))
+    // the batch side is small by contract — broadcast it so current
+    // rows never shuffle
+    val curAdj = cur.join(broadcast(first), Seq("entity"), "left")
+      .select(col("entity"), col("attr"),
+        col("valid_from"),
+        when(col("__nf").isNull, lit(null).cast("timestamp"))
+          .when(col("__na") === col("attr"), col("__nt"))
+          .otherwise(col("__nf")).as("valid_to"),
+        (col("n_events") +
+          when(col("__na") === col("attr"), col("__nn"))
+            .otherwise(lit(0L))).as("n_events"),
+        (col("__nf").isNull ||
+          (col("__na") === col("attr") && col("__nt").isNull))
+          .as("is_current"))
+    // entities whose first new run was absorbed into the current row
+    // — computed dimension-side (cur ⋈ broadcast batch), so the
+    // result is batch-bounded and itself broadcastable
+    val absorbed = cur.join(broadcast(first), Seq("entity"))
+      .filter(col("attr") === col("__na"))
+      .select(col("entity"))
+    val firstKept = nr.filter(col("__ix") === 1)
+      .join(broadcast(absorbed), Seq("entity"), "left_anti")
+      .select(col("entity"), col("attr"), col("valid_from"),
+        col("valid_to"), col("n_events"), col("is_current"))
+    val rest = nr.filter(col("__ix") > 1)
+      .select(col("entity"), col("attr"), col("valid_from"),
+        col("valid_to"), col("n_events"), col("is_current"))
+    hist.unionByName(curAdj).unionByName(firstKept).unionByName(rest)
+  }
+
   /** Enrich fact rows with the dimension state in force at the fact's
     * time: facts land in the interval `valid_from <= t < valid_to`
     * (current rows match any `t >= valid_from`). Facts before the

@@ -63,6 +63,58 @@ class ScdSpec extends SparkSpec {
       (2L, t(1), None), (9L, t(50), None)))
   }
 
+  test("mergeType2: absorb, close, untouched, and new-entity paths") {
+    val newLog = Seq(
+      // entity 1 (current attr A): first new run A -> ABSORBED and
+      // extended, then B closes it
+      (1L, t(50), "A"), (1L, t(60), "B"),
+      // entity 2 (current X): first new run Y -> current CLOSES at 60
+      (2L, t(60), "Y"),
+      // entity 9: brand new
+      (9L, t(70), "Z")
+      // entity 3: no new events -> untouched
+    ).toDF("id", "ts", "state")
+    val merged = Scd.mergeType2(dim, newLog, $"id", $"ts", $"state")
+      .orderBy($"entity", $"valid_from")
+      .as[(Long, String, Timestamp, Option[Timestamp], Long, Boolean)]
+      .collect().toSeq
+    val full = Scd.buildType2(
+        log.unionByName(newLog), $"id", $"ts", $"state")
+      .orderBy($"entity", $"valid_from")
+      .as[(Long, String, Timestamp, Option[Timestamp], Long, Boolean)]
+      .collect().toSeq
+    assert(merged === full)
+    // spot checks of each path
+    assert(merged.contains((1L, "A", t(40), Some(t(60)), 2L, false)))
+    assert(merged.contains((1L, "B", t(60), None, 1L, true)))
+    assert(merged.contains((2L, "X", t(15), Some(t(60)), 1L, false)))
+    assert(merged.contains((9L, "Z", t(70), None, 1L, true)))
+    assert(merged.contains((3L, "B", t(5), None, 2L, true)))
+  }
+
+  test("mergeType2 law: incremental merge == full rebuild on a " +
+      "generated multi-entity log split at a cutoff") {
+    val gen = for {
+      e <- 1L to 20L
+      i <- 0 to 14
+    } yield (e, t(100 + i * 10 + e), // distinct per entity
+      Seq("P", "Q", "R")(((i * 7 + e) % 3).toInt))
+    val all = gen.toDF("id", "ts", "state")
+    val cut = t(180)
+    val dim0 = Scd.buildType2(all.filter($"ts" < cut),
+      $"id", $"ts", $"state")
+    val merged = Scd.mergeType2(dim0, all.filter($"ts" >= cut),
+        $"id", $"ts", $"state")
+      .orderBy($"entity", $"valid_from")
+      .as[(Long, String, Timestamp, Option[Timestamp], Long, Boolean)]
+      .collect().toSeq
+    val full = Scd.buildType2(all, $"id", $"ts", $"state")
+      .orderBy($"entity", $"valid_from")
+      .as[(Long, String, Timestamp, Option[Timestamp], Long, Boolean)]
+      .collect().toSeq
+    assert(merged === full)
+  }
+
   test("plan: one entity exchange feeds both windows (no global window)") {
     val plan = dim.queryExecution.executedPlan.toString
     assert(!plan.contains("SinglePartition") ||
