@@ -2802,6 +2802,36 @@ object SparkEntry {
       graft.operators.Scd.mergeType2(dim, ev.filter(col("ts") >= cut),
           col("user_id"), col("ts"), col("event_type"))
         .orderBy(col("entity"), col("valid_from"))
+    },
+
+    // --- q143's loop closed as a STREAM: the change log drains as
+    //     three time-ordered micro-batches (file mtimes pin the
+    //     order), each advancing the parquet-persisted dimension via
+    //     mergeType2 with the materialize-then-swap discipline; the
+    //     oracle is STILL the full rebuild — three chained merges must
+    //     reproduce the batch dimension bit-for-bit ---
+    "q144_stream_scd2" -> { (spark, dir) =>
+      val ev = tbl(spark, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_type"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_q144").toString
+      val cuts = Seq("2024-01-11 00:00:00", "2024-01-21 00:00:00")
+        .map(s => lit(s).cast("timestamp"))
+      val parts = Seq(
+        ev.filter(col("ts") < cuts(0)),
+        ev.filter(col("ts") >= cuts(0) && col("ts") < cuts(1)),
+        ev.filter(col("ts") >= cuts(1)))
+      parts.zipWithIndex.foreach { case (p, i) =>
+        if (i > 0) Thread.sleep(1100) // distinct mtime pins batch order
+        p.coalesce(1).write.mode("append").parquet(tmp + "/src")
+      }
+      val schema = spark.read.parquet(tmp + "/src").schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(tmp + "/src")
+      graft.operators.Scd.streamingMergeType2(spark, stream,
+          col("user_id"), col("ts"), col("event_type"),
+          tmp + "/dim", tmp + "/cp")
+        .orderBy(col("entity"), col("valid_from"))
     }
   )
 
@@ -5309,28 +5339,7 @@ object SparkEntry {
 
     // lag flags run starts, a running sum numbers runs, lead closes
     // each interval — the same three windows the operator uses
-    "q139_scd2" -> """
-      WITH o AS (SELECT user_id AS entity, ts AS t,
-                        event_type AS attr,
-                        CASE WHEN lag(event_type) OVER
-                               (PARTITION BY user_id ORDER BY ts)
-                               IS DISTINCT FROM event_type
-                             THEN 1 ELSE 0 END AS chg
-                 FROM events),
-      r AS (SELECT entity, t, attr,
-                   sum(chg) OVER (PARTITION BY entity ORDER BY t
-                     ROWS UNBOUNDED PRECEDING) AS run
-            FROM o),
-      c AS (SELECT entity, run, min(attr) AS attr,
-                   min(t) AS valid_from, count(*) AS n_events
-            FROM r GROUP BY entity, run)
-      SELECT entity, attr, valid_from,
-             lead(valid_from) OVER
-               (PARTITION BY entity ORDER BY run) AS valid_to,
-             n_events,
-             (lead(valid_from) OVER
-               (PARTITION BY entity ORDER BY run) IS NULL) AS is_current
-      FROM c ORDER BY entity, valid_from""",
+    "q139_scd2" -> scd2RebuildSql,
 
     // same synthetic multi-line docs; boilerplate = lines in >= 2 docs
     // AND >= 50% of the source's docs; strip via an order-preserving
@@ -5457,7 +5466,18 @@ object SparkEntry {
     // FULL REBUILD from the complete log (q139's oracle verbatim) —
     // the Spark side merges incrementally from a pre-cutoff dimension,
     // so the hash match is the incremental ≡ batch proof
-    "q143_scd2_merge" -> """
+    "q143_scd2_merge" -> scd2RebuildSql,
+
+    // same full rebuild again: three chained streaming merges must
+    // land on the batch dimension bit-for-bit
+    "q144_stream_scd2" -> scd2RebuildSql
+  )
+
+  /** Full SCD2 rebuild from the complete event log — the shared
+    * oracle of q139 (batch build), q143 (incremental merge) and q144
+    * (streaming merge): lag flags run starts, a running sum numbers
+    * runs, lead closes each interval. */
+  private val scd2RebuildSql: String = """
       WITH o AS (SELECT user_id AS entity, ts AS t,
                         event_type AS attr,
                         CASE WHEN lag(event_type) OVER
@@ -5479,7 +5499,6 @@ object SparkEntry {
              (lead(valid_from) OVER
                (PARTITION BY entity ORDER BY run) IS NULL) AS is_current
       FROM c ORDER BY entity, valid_from"""
-  )
 
   /** Shared q97/q112 oracle: the linear quality model, every feature
     * and the algebraic sigmoid mirrored term-by-term in the engine's
