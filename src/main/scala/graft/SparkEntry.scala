@@ -2753,7 +2753,11 @@ object SparkEntry {
     //     1 - CAST(0.85 AS DOUBLE) so both engines subtract the same
     //     IEEE double. Top 50 by rounded rank, node tiebreak ---
     "q141_pagerank" -> { (spark, dir) =>
+      // part universe sampled 1-in-4: a pair survives iff BOTH ends
+      // do (~1/16 of edges), keeping the bench-scale graph in the
+      // tens of thousands of edges while exercising the same loop
       val li = tbl(spark, dir, "lineitem")
+        .filter(pmod(col("l_partkey"), lit(4)) === 0)
       val edges = graft.operators.Graph.coOccurrenceEdges(li,
         col("l_orderkey"), col("l_partkey"))
       graft.operators.Graph.pageRank(edges, iterations = 3,
@@ -2832,6 +2836,32 @@ object SparkEntry {
           col("user_id"), col("ts"), col("event_type"),
           tmp + "/dim", tmp + "/cp")
         .orderBy(col("entity"), col("valid_from"))
+    },
+
+    // --- token-distribution Shannon entropy per document (the Gopher
+    //     diversity signal): exact-ratio ln inputs, value-sorted fold
+    //     for the per-doc sum — engine-identical under round-6 ---
+    "q145_entropy" -> rounded("entropy" -> 6)({ (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+      graft.llm.TextAnalysis.tokenEntropy(docs, col("doc_id"),
+          col("text"))
+        .select(col("id").as("doc_id"), col("n_tokens"), col("entropy"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- weighted PageRank: co-order STRENGTH (shared-order counts)
+    //     splits each part's rank proportionally instead of evenly —
+    //     same deterministic-fold loop as q141, 2 iterations ---
+    "q146_pagerank_weighted" -> { (spark, dir) =>
+      val li = tbl(spark, dir, "lineitem")
+        .filter(pmod(col("l_partkey"), lit(4)) === 0)
+      val edges = graft.operators.Graph.coOccurrenceEdgesWeighted(li,
+        col("l_orderkey"), col("l_partkey"))
+      graft.operators.Graph.pageRank(edges, iterations = 2,
+          damping = 0.85, deterministic = true, weighted = true)
+        .select(col("node"), round(col("pr"), 9).as("pr"))
+        .orderBy(col("pr").desc, col("node").asc)
+        .limit(50)
     }
   )
 
@@ -5381,7 +5411,7 @@ object SparkEntry {
     // CAST(0.85 AS DOUBLE) so both engines use the same doubles
     "q141_pagerank" -> """
       WITH eg AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
-                  FROM lineitem),
+                  FROM lineitem WHERE l_partkey % 4 = 0),
       e AS (SELECT DISTINCT a.i AS src, b.i AS dst
             FROM eg a JOIN eg b ON a.g = b.g AND a.i <> b.i),
       n AS (SELECT DISTINCT src AS node FROM e),
@@ -5470,7 +5500,68 @@ object SparkEntry {
 
     // same full rebuild again: three chained streaming merges must
     // land on the batch dimension bit-for-bit
-    "q144_stream_scd2" -> scd2RebuildSql
+    "q144_stream_scd2" -> scd2RebuildSql,
+
+    // token counts -> exact-ratio entropy terms -> value-sorted fold;
+    // + CAST(0 AS DOUBLE) normalizes the single-token -0.0 (Spark's
+    // fold starts at +0.0, list_reduce starts at the first element)
+    "q145_entropy" -> """
+      WITH tk AS (SELECT doc_id, unnest(list_filter(
+              string_split_regex(lower(trim(text)), '\s+'),
+              x -> length(x) > 0)) AS t FROM documents),
+      cnt AS (SELECT doc_id, t, count(*) AS c FROM tk GROUP BY 1, 2),
+      n AS (SELECT doc_id, CAST(sum(c) AS DOUBLE) AS nd
+            FROM cnt GROUP BY 1),
+      terms AS (SELECT cnt.doc_id, nd,
+                  -(CAST(c AS DOUBLE) / nd)
+                    * ln(CAST(c AS DOUBLE) / nd) AS term
+                FROM cnt JOIN n ON cnt.doc_id = n.doc_id)
+      SELECT doc_id, CAST(max(nd) AS BIGINT) AS n_tokens,
+             round(list_reduce(list(term ORDER BY term),
+                               (a, b) -> a + b)
+                   + CAST(0 AS DOUBLE), 6) AS entropy
+      FROM terms GROUP BY 1 ORDER BY 1""",
+
+    // q141's loop with proportional contributions: w = shared-order
+    // count, outdeg = Σw; ×1-exactness keeps the two forms comparable
+    "q146_pagerank_weighted" -> """
+      WITH eg AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+                  FROM lineitem WHERE l_partkey % 4 = 0),
+      e AS (SELECT a.i AS src, b.i AS dst,
+                   CAST(count(*) AS DOUBLE) AS w
+            FROM eg a JOIN eg b ON a.g = b.g AND a.i <> b.i
+            GROUP BY 1, 2),
+      n AS (SELECT DISTINCT src AS node FROM e),
+      nn AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM n),
+      deg AS (SELECT src, CAST(sum(w) AS DOUBLE) AS outdeg
+              FROM e GROUP BY 1),
+      p0 AS (SELECT node, 1.0 / nn.nd AS pr FROM n CROSS JOIN nn),
+      s1 AS (SELECT e.dst AS node,
+               list_reduce(list((p.pr * e.w) / d.outdeg
+                                ORDER BY (p.pr * e.w) / d.outdeg),
+                           (a, b) -> a + b) AS s
+             FROM e JOIN p0 p ON e.src = p.node
+                    JOIN deg d ON e.src = d.src
+             GROUP BY 1),
+      p1 AS (SELECT n.node,
+               (1.0 - CAST(0.85 AS DOUBLE)) / nn.nd
+                 + CAST(0.85 AS DOUBLE)
+                   * coalesce(s1.s, CAST(0 AS DOUBLE)) AS pr
+             FROM n CROSS JOIN nn LEFT JOIN s1 ON n.node = s1.node),
+      s2 AS (SELECT e.dst AS node,
+               list_reduce(list((p.pr * e.w) / d.outdeg
+                                ORDER BY (p.pr * e.w) / d.outdeg),
+                           (a, b) -> a + b) AS s
+             FROM e JOIN p1 p ON e.src = p.node
+                    JOIN deg d ON e.src = d.src
+             GROUP BY 1),
+      p2 AS (SELECT n.node,
+               (1.0 - CAST(0.85 AS DOUBLE)) / nn.nd
+                 + CAST(0.85 AS DOUBLE)
+                   * coalesce(s2.s, CAST(0 AS DOUBLE)) AS pr
+             FROM n CROSS JOIN nn LEFT JOIN s2 ON n.node = s2.node)
+      SELECT node, round(pr, 9) AS pr FROM p2
+      ORDER BY round(pr, 9) DESC, node LIMIT 50"""
   )
 
   /** Full SCD2 rebuild from the complete event log — the shared

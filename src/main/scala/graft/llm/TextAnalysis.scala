@@ -365,4 +365,34 @@ object TextAnalysis {
           / (col("c_a").cast("double") * col("c_b").cast("double")))
           .as("lift"))
   }
+
+  /** Per-document Shannon entropy (nats) of the token distribution —
+    * the Gopher-family diversity signal: machine-generated or
+    * keyword-stuffed text concentrates its token mass (low entropy),
+    * natural prose spreads it. Returns `(id, n_tokens, entropy)`.
+    *
+    * Shape: one explode into a narrow (id, token) frame, one
+    * map-side-combining count, one id-keyed sum — text shuffles never,
+    * only (id, token-hashable) rows. Entropy terms `-(c/n)·ln(c/n)`
+    * are exact-ratio inputs to ln (the same portable-libm family q103
+    * relies on), and the per-document sum FOLDS THE VALUE-SORTED term
+    * list so it is engine-identical (the q103 deterministicAvg
+    * discipline); single-token documents give exactly 0. */
+  def tokenEntropy(docs: DataFrame, id: Column, text: Column)
+      : DataFrame = {
+    val tok = docs.select(id.as("id"), explode(tokens(text)).as("t"))
+    val cnt = tok.groupBy(col("id"), col("t"))
+      .agg(count(lit(1)).as("c"))
+    val n = cnt.groupBy(col("id"))
+      .agg(sum(col("c")).cast("double").as("__n"))
+    cnt.join(n, Seq("id"))
+      .select(col("id"),
+        col("__n"),
+        (negate(col("c").cast("double") / col("__n")) *
+          log(col("c").cast("double") / col("__n"))).as("__term"))
+      .groupBy(col("id"))
+      .agg(first(col("__n")).cast("long").as("n_tokens"),
+        aggregate(array_sort(collect_list(col("__term"))), lit(0.0d),
+          (acc, x) => acc + x).as("entropy"))
+  }
 }

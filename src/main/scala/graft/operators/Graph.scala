@@ -34,6 +34,10 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Rounds of lazy lineage between materialization barriers in the
+    * [[pageRank]] loop. */
+  private val MatEvery = 6
+
   /** Distinct directed co-occurrence edges from a (group, item)
     * relation: src and dst co-occur in some group, both directions,
     * never self. Distinct-before-join bounds the pair explosion to
@@ -47,29 +51,64 @@ object Graph {
       .distinct()
   }
 
+  /** [[coOccurrenceEdges]] with an integer co-occurrence strength:
+    * `w` = number of DISTINCT groups the pair shares (exact counts —
+    * the weighted-rank arithmetic stays exact-ratio downstream). */
+  def coOccurrenceEdgesWeighted(rel: DataFrame,
+                                group: org.apache.spark.sql.Column,
+                                item: org.apache.spark.sql.Column)
+      : DataFrame = {
+    val m = rel.select(group.as("g"), item.as("i")).distinct()
+    m.join(m.withColumnRenamed("i", "j"), Seq("g"))
+      .filter(col("i") =!= col("j"))
+      .groupBy(col("i").as("src"), col("j").as("dst"))
+      .agg(count(lit(1)).as("w"))
+  }
+
   /** Fixed-iteration PageRank over a (src, dst) edge list: returns
     * (node, pr) for every node appearing as a source. Uniform init
-    * 1/N, per-iteration pr' = (1-d)/N + d·Σ_in pr(u)/outdeg(u). */
+    * 1/N, per-iteration pr' = (1-d)/N + d·Σ_in pr(u)/outdeg(u).
+    * With `weighted = true` the edge list carries a `w` column and
+    * contributions split proportionally: pr·w(u,v)/Σ_out w(u,·). */
   def pageRank(edges: DataFrame, iterations: Int,
                damping: Double = 0.85,
-               deterministic: Boolean = false): DataFrame = {
+               deterministic: Boolean = false,
+               weighted: Boolean = false): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
-    val e = edges.select(col("src"), col("dst"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val nodes = e.select(col("src").as("node")).distinct()
-    // N as a broadcast single-row frame: the loop stays declarative,
-    // nothing lands on the driver
-    val nN = nodes.agg(count(lit(1)).cast("double").as("__n"))
-    var pr = nodes.crossJoin(broadcast(nN))
-      .select(col("node"), (lit(1.0) / col("__n")).as("pr"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    for (_ <- 1 to iterations) {
+    val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = (if (weighted) edges.select(col("src"), col("dst"), col("w"))
+             else edges.select(col("src"), col("dst"), lit(1L).as("w")))
+      .persist(mad)
+    // deg/nodes/N are referenced EVERY round — stage them once so no
+    // iteration re-shuffles the edge list for its side frames
+    val deg = e.groupBy(col("src")).agg(sum(col("w")).as("outdeg"))
+      .persist(mad)
+    val nodes = e.select(col("src").as("node")).distinct().persist(mad)
+    // N as a loop constant: one scalar action up front (the KMeans/Bpe
+    // loop-constant precedent) instead of a broadcast-crossjoin of a
+    // single-row frame EVERY round — the division itself stays the
+    // same IEEE op the SQL oracle performs on its counted double
+    val n = nodes.count().toDouble
+    var pr = nodes
+      .select(col("node"), (lit(1.0) / lit(n)).as("pr"))
+      .persist(mad)
+    // rank frames persist per round but MATERIALIZE in batches: an
+    // action per round multiplies per-job overhead on k-row frames,
+    // so lineage runs lazily for a few rounds and a count() cuts it
+    // (freeing the accumulated round caches) every `MatEvery` rounds
+    val pending = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    for (i <- 1 to iterations) {
       val contribs = e
+        // rank/degree joins stay unhinted: AQE broadcasts the
+        // node-sized side at runtime when it fits and falls back to
+        // the co-partitioned shuffle when the node set outgrows it
         .join(pr.withColumnRenamed("node", "src"), Seq("src"))
         .join(deg, Seq("src"))
         .select(col("dst").as("node"),
-          (col("pr") / col("outdeg").cast("double")).as("c"))
+          // w=1 on unweighted graphs: ×1.0 is IEEE-exact, so this is
+          // bit-identical to the plain pr/outdeg form
+          ((col("pr") * col("w").cast("double"))
+            / col("outdeg").cast("double")).as("c"))
       val sums =
         if (deterministic)
           contribs.groupBy(col("node")).agg(
@@ -78,16 +117,23 @@ object Graph {
         else
           contribs.groupBy(col("node")).agg(sum(col("c")).as("s"))
       val next = nodes.join(sums, Seq("node"), "left")
-        .crossJoin(broadcast(nN))
         .select(col("node"),
-          (lit(1.0 - damping) / col("__n") +
+          (lit(1.0 - damping) / lit(n) +
             lit(damping) * coalesce(col("s"), lit(0.0))).as("pr"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      next.count() // materialize before freeing the previous round
-      pr.unpersist(blocking = false)
+        .persist(mad)
+      pending += pr
+      if (i % MatEvery == 0) {
+        next.count() // materialize, then free the superseded rounds
+        pending.foreach(_.unpersist(blocking = false))
+        pending.clear()
+      }
       pr = next
     }
+    pr.count()
+    pending.foreach(_.unpersist(blocking = false))
     e.unpersist(blocking = false)
+    deg.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
     pr
   }
 }

@@ -182,4 +182,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(top.getLong(2) === 5L)
     assert(top.getDouble(5) === 5.0 * 46.0 / 25.0)
   }
+
+  test("tokenEntropy: uniform = ln k, repetition = 0, single token " +
+      "= exactly +0.0, empty docs omitted") {
+    val docs = Seq(
+      (1L, "a b c d"),     // uniform over 4 -> ln 4
+      (2L, "a a a a"),     // all mass on one token -> 0
+      (3L, "a a b b"),     // uniform over 2 -> ln 2
+      (4L, "word"),        // single token -> 0 (and not -0.0)
+      (5L, "   ")          // no tokens -> omitted
+    ).toDF("id", "t")
+    val out = TextAnalysis.tokenEntropy(docs, $"id", $"t")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 4L))
+    assert(math.abs(out(1L)._2 - math.log(4)) < 1e-12)
+    assert(out(2L) === ((4L, 0.0)))
+    assert(math.abs(out(3L)._2 - math.log(2)) < 1e-12)
+    assert(out(4L)._1 === 1L)
+    assert(java.lang.Double.doubleToRawLongBits(out(4L)._2) === 0L)
+  }
 }

@@ -44,6 +44,32 @@ class GraphSpec extends SparkSpec {
     assert(plain(3L) === plain.values.max)
   }
 
+  test("weighted pageRank: contributions split by edge weight " +
+      "(hand-computed, damping 0.5)") {
+    val we = Seq(
+      (1L, 2L, 3L), (1L, 3L, 1L), (2L, 1L, 1L), (3L, 1L, 1L)
+    ).toDF("src", "dst", "w")
+    // outw: a=4, b=1, c=1; init 1/3
+    // contribs: b <- (1/3)(3/4), c <- (1/3)(1/4), a <- 1/3 + 1/3
+    val out = Graph.pageRank(we, iterations = 1, damping = 0.5,
+        weighted = true)
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(out(1L) - 0.5) < 1e-12)
+    assert(math.abs(out(2L) - (1.0 / 6 + 0.125)) < 1e-12)
+    assert(math.abs(out(3L) - (1.0 / 6 + 1.0 / 24)) < 1e-12)
+  }
+
+  test("coOccurrenceEdgesWeighted counts DISTINCT shared groups") {
+    val rel = Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L),
+      (2L, 20L), (3L, 20L), (3L, 30L)).toDF("g", "i")
+    val e = Graph.coOccurrenceEdgesWeighted(rel, $"g", $"i")
+      .as[(Long, Long, Long)].collect()
+      .map { case (s, d, w) => (s, d) -> w }.toMap
+    assert(e((10L, 20L)) === 2L) // groups 1 and 2 (dup row counts once)
+    assert(e((20L, 10L)) === 2L)
+    assert(e((20L, 30L)) === 1L)
+  }
+
   test("coOccurrenceEdges: distinct, symmetric, no self-loops, and " +
       "repeated (group, item) rows count once") {
     val rel = Seq((1L, 10L), (1L, 10L), (1L, 20L), (2L, 20L), (2L, 30L))
