@@ -2862,6 +2862,52 @@ object SparkEntry {
         .select(col("node"), round(col("pr"), 9).as("pr"))
         .orderBy(col("pr").desc, col("node").asc)
         .limit(50)
+    },
+
+    // --- per-node triangle counts over the same co-order graph:
+    //     canonical a<b edges, wedge self-join on the lower endpoint,
+    //     one closing equi-join — exact integers end to end ---
+    "q147_triangles" -> { (spark, dir) =>
+      val li = tbl(spark, dir, "lineitem")
+        .filter(pmod(col("l_partkey"), lit(4)) === 0)
+      val edges = graft.operators.Graph.coOccurrenceEdges(li,
+        col("l_orderkey"), col("l_partkey"))
+      graft.operators.Graph.triangleCounts(edges)
+        .orderBy(col("node"))
+    },
+
+    // --- sorted-neighborhood blocking over near-dup titles: variants
+    //     share their source doc's prefix, so the (key, id) sort puts
+    //     them adjacent within the key-prefix block; candidates within
+    //     window 3 score full trigram Jaccard (exact set ratio).
+    //     The third candidate-generation family (sort order) next to
+    //     LSH bands and SemDeDup cells ---
+    "q148_sorted_neighborhood" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val variants = docs.select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        col("text").substr(lit(1),
+          greatest(length(col("text")) - 30, lit(1))).as("text"))
+      val base = docs.unionByName(variants)
+      val pairs = graft.llm.Dedup.sortedNeighborhoodPairs(base,
+        col("doc_id"), lower(substring(trim(col("text")), 1, 24)),
+        window = 3, blockPrefix = 8)
+      // hashed shingles ride the fused native kernel; array_intersect/
+      // array_union dedup internally, so hash-set Jaccard == the
+      // oracle's string-trigram Jaccard (the q43 equivalence)
+      val sh = base.select(col("doc_id"),
+        graft.llm.TextAnalysis.shingleHashes(col("text"), 3).as("s"))
+      pairs
+        .join(sh.select(col("doc_id").as("id_a"), col("s").as("sa")),
+          Seq("id_a"))
+        .join(sh.select(col("doc_id").as("id_b"), col("s").as("sb")),
+          Seq("id_b"))
+        .withColumn("jaccard",
+          round(graft.llm.Dedup.jaccard(col("sa"), col("sb")), 6))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
     }
   )
 
@@ -5561,7 +5607,80 @@ object SparkEntry {
                    * coalesce(s2.s, CAST(0 AS DOUBLE)) AS pr
              FROM n CROSS JOIN nn LEFT JOIN s2 ON n.node = s2.node)
       SELECT node, round(pr, 9) AS pr FROM p2
-      ORDER BY round(pr, 9) DESC, node LIMIT 50"""
+      ORDER BY round(pr, 9) DESC, node LIMIT 50""",
+
+    // canonical edges -> wedges on the lower endpoint -> closing join;
+    // one count per triangle corner — all integers
+    "q147_triangles" -> """
+      WITH eg AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+                  FROM lineitem WHERE l_partkey % 4 = 0),
+      e0 AS (SELECT DISTINCT a.i AS src, b.i AS dst
+             FROM eg a JOIN eg b ON a.g = b.g AND a.i <> b.i),
+      canon AS (SELECT DISTINCT least(src, dst) AS a,
+                                greatest(src, dst) AS b
+                FROM e0 WHERE src <> dst),
+      w AS (SELECT c1.a, c1.b AS x, c2.b AS y
+            FROM canon c1 JOIN canon c2
+              ON c1.a = c2.a AND c1.b < c2.b),
+      t AS (SELECT w.a, w.x, w.y
+            FROM w JOIN canon c ON c.a = w.x AND c.b = w.y),
+      pc AS (SELECT a AS node FROM t
+             UNION ALL SELECT x FROM t
+             UNION ALL SELECT y FROM t)
+      SELECT node, CAST(count(*) AS BIGINT) AS triangles
+      FROM pc GROUP BY 1 ORDER BY 1""",
+
+    // block by key prefix, row_number within block, rank-range self
+    // join = the sliding window; trigram Jaccard replayed with the
+    // q43 shingle construction on both pair sides
+    "q148_sorted_neighborhood" -> """
+      WITH base AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000,
+               substring(text, 1, greatest(length(text) - 30, 1))
+        FROM documents),
+      k AS (SELECT doc_id, text,
+              lower(substring(trim(text), 1, 24)) AS key
+            FROM base),
+      r AS (SELECT doc_id, text, key,
+              substring(key, 1, 8) AS block,
+              row_number() OVER (PARTITION BY substring(key, 1, 8)
+                ORDER BY key, doc_id) AS rn
+            FROM k),
+      p AS (SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+                   a.text AS ta, b2.text AS tb
+            FROM r a JOIN r b2
+              ON a.block = b2.block
+             AND b2.rn > a.rn AND b2.rn <= a.rn + 3),
+      tk AS (SELECT id_a, id_b,
+               list_filter(string_split_regex(lower(trim(ta)), '\s+'),
+                           x -> length(x) > 0) AS toka,
+               list_filter(string_split_regex(lower(trim(tb)), '\s+'),
+                           x -> length(x) > 0) AS tokb
+             FROM p),
+      sh AS (SELECT id_a, id_b,
+               CASE WHEN len(toka) >= 3 THEN
+                      list_distinct(list_transform(
+                        generate_series(1, len(toka) - 2),
+                        i -> toka[i] || ' ' || toka[i+1] || ' '
+                             || toka[i+2]))
+                    WHEN len(toka) > 0 THEN [array_to_string(toka, ' ')]
+                    ELSE [] END AS sa,
+               CASE WHEN len(tokb) >= 3 THEN
+                      list_distinct(list_transform(
+                        generate_series(1, len(tokb) - 2),
+                        i -> tokb[i] || ' ' || tokb[i+1] || ' '
+                             || tokb[i+2]))
+                    WHEN len(tokb) > 0 THEN [array_to_string(tokb, ' ')]
+                    ELSE [] END AS sb
+             FROM tk),
+      j AS (SELECT id_a, id_b,
+              round(CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+                    / len(list_distinct(sa || sb)), 6) AS jaccard
+            FROM sh WHERE len(list_distinct(sa || sb)) > 0)
+      SELECT id_a, id_b, jaccard FROM j
+      WHERE jaccard >= 0.5 ORDER BY id_a, id_b"""
   )
 
   /** Full SCD2 rebuild from the complete event log — the shared

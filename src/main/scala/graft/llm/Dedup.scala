@@ -501,6 +501,46 @@ object Dedup {
     df.join(losers, id === col("__loser"), "left_anti")
   }
 
+  /** Sorted-neighborhood blocking (Hernández-Stolfo windowing) — the
+    * third candidate-generation family next to MinHash-LSH (set
+    * overlap) and SemDeDup cells (vector cells): sort records by a
+    * normalization KEY and compare only records within a sliding
+    * window of the sort order. Near-duplicates with a shared prefix
+    * (titles, names, URLs) land adjacent; the pair budget is
+    * rows × window instead of rows² — the classic entity-resolution
+    * blocking.
+    *
+    * Distributed form: the global sort would be a partition-less
+    * window (the forbidden shape), so records first block by a key
+    * PREFIX (`blockPrefix` chars) and the window slides within each
+    * block — one block-keyed exchange, a row_number per block, one
+    * block-keyed self-join with a rank-range residual. The standard
+    * trade, stated: a near-dup pair whose keys diverge within the
+    * prefix is not compared (multi-pass with a second key is the
+    * textbook recall fix and composes by unioning pair sets).
+    *
+    * Emits (id_a, id_b, key_a, key_b) candidates, id_a before id_b in
+    * the (key, id) sort — ties in `key` order by id, so an oracle
+    * replays the exact pair set. */
+  def sortedNeighborhoodPairs(docs: DataFrame, id: Column, key: Column,
+                              window: Int, blockPrefix: Int = 4)
+      : DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val base = docs.select(id.as("id"), key.as("key"))
+      .withColumn("block", substring(col("key"), 1, blockPrefix))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("block")).orderBy(col("key"), col("id"))
+    val rn = base.withColumn("rn", row_number().over(w))
+    val a = rn.select(col("block"), col("rn"),
+      col("id").as("id_a"), col("key").as("key_a"))
+    val b = rn.select(col("block"), col("rn").as("rn_b"),
+      col("id").as("id_b"), col("key").as("key_b"))
+    a.join(b, Seq("block"))
+      .filter(col("rn_b") > col("rn") &&
+        col("rn_b") <= col("rn") + window)
+      .select(col("id_a"), col("id_b"), col("key_a"), col("key_b"))
+  }
+
   /** Exact n-gram Jaccard similarity of two shingle-set columns. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

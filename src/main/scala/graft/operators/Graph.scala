@@ -65,6 +65,42 @@ object Graph {
       .agg(count(lit(1)).as("w"))
   }
 
+  /** Triangle count per node over an UNDIRECTED edge set (input may
+    * be the symmetric [[coOccurrenceEdges]] output; it is
+    * canonicalized to src < dst internally): the classic cohesion
+    * signal — a node in many triangles sits in a dense community, a
+    * high-degree node in none is a hub/spam shape. Exact integer
+    * counts, so the oracle compares with no rounding anywhere.
+    *
+    * Shape (the standard two-join formulation): canonical edges
+    * (a<b), one self-join on the shared LOWER endpoint builds wedges
+    * (a<b<c from a-b + a-c), one more equi-join against the canonical
+    * edge set closes them. Every join is an equi-join on node ids;
+    * wedge volume is the known Σ deg² bound — the degree-orientation
+    * refinement (point edges at the higher-degree endpoint, bounding
+    * wedges by Σ min-deg²) drops in here if a skewed production graph
+    * needs it. Each closed triangle {a,b,c} counts once per corner.
+    * The canonical edge frame stays cached for the session — free it
+    * with [[graft.llm.Lifecycle.release]] on the result's lineage, or
+    * let the session end reclaim it. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val canon = edges.select(
+        least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wedges = canon.select(col("a"), col("b").as("x"))
+      .join(canon.select(col("a"), col("b").as("y")), Seq("a"))
+      .filter(col("x") < col("y"))
+    val tris = wedges.join(
+      canon.select(col("a").as("x"), col("b").as("y")), Seq("x", "y"))
+    val perCorner = tris.select(col("a").as("node"))
+      .unionAll(tris.select(col("x").as("node")))
+      .unionAll(tris.select(col("y").as("node")))
+    perCorner.groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+  }
+
   /** Fixed-iteration PageRank over a (src, dst) edge list: returns
     * (node, pr) for every node appearing as a source. Uniform init
     * 1/N, per-iteration pr' = (1-d)/N + d·Σ_in pr(u)/outdeg(u).

@@ -251,4 +251,23 @@ class DedupSpec extends SparkSpec {
     // distinct docs, so nothing is flagged
     assert(out(4L)._2 === 0L)
   }
+
+  test("sortedNeighborhoodPairs: window slides within the prefix " +
+      "block, never across; key ties order by id") {
+    val docs = Seq(
+      (1L, "aaaa key one"), (2L, "aaaa key two"), (3L, "aaaa key tre"),
+      (4L, "aaaa key quad"),
+      (5L, "bbbb other"), (6L, "bbbb other") // tie -> ordered by id
+    ).toDF("id", "k")
+    val pairs = Dedup.sortedNeighborhoodPairs(docs, $"id", $"k",
+        window = 2, blockPrefix = 4)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    // block aaaa sort by key: one(1) < quad(4) < tre(3) < two(2)
+    assert(pairs === Set(
+      (1L, 4L), (1L, 3L), (4L, 3L), (4L, 2L), (3L, 2L),
+      (5L, 6L)))
+    // no pair crosses the aaaa/bbbb block boundary
+    assert(!pairs.exists { case (x, y) =>
+      (x <= 4) != (y <= 4) })
+  }
 }

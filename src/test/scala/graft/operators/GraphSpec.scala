@@ -70,6 +70,21 @@ class GraphSpec extends SparkSpec {
     assert(e((20L, 30L)) === 1L)
   }
 
+  test("triangleCounts: triangle + tail, complete graph, symmetric " +
+      "input canonicalized") {
+    // triangle 1-2-3 with a tail 3-4 (symmetric directed input)
+    val tri = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L),
+      (2L, 3L), (3L, 2L), (3L, 4L), (4L, 3L)).toDF("src", "dst")
+    val out = Graph.triangleCounts(tri)
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // K4: every node sits in C(3,2) = 3 triangles
+    val k4 = (for { a <- 1L to 4L; b <- 1L to 4L if a != b }
+      yield (a, b)).toDF("src", "dst")
+    val o4 = Graph.triangleCounts(k4).as[(Long, Long)].collect().toMap
+    assert(o4 === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
   test("coOccurrenceEdges: distinct, symmetric, no self-loops, and " +
       "repeated (group, item) rows count once") {
     val rel = Seq((1L, 10L), (1L, 10L), (1L, 20L), (2L, 20L), (2L, 30L))
