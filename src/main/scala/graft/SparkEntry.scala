@@ -2825,10 +2825,8 @@ object SparkEntry {
         ev.filter(col("ts") < cuts(0)),
         ev.filter(col("ts") >= cuts(0) && col("ts") < cuts(1)),
         ev.filter(col("ts") >= cuts(1)))
-      parts.zipWithIndex.foreach { case (p, i) =>
-        if (i > 0) Thread.sleep(1100) // distinct mtime pins batch order
-        p.coalesce(1).write.mode("append").parquet(tmp + "/src")
-      }
+      // explicit mtime stamps pin batch order with no sleeps
+      EventStream.writeOrderedBatches(parts, tmp + "/src")
       val schema = spark.read.parquet(tmp + "/src").schema
       val stream = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(tmp + "/src")

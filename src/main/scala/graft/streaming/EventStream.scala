@@ -20,6 +20,29 @@ object EventStream {
 
   /** Read a parquet table as a file stream, with the same schema (and
     * TIMESTAMP(NANOS) normalization) as the batch Catalog read. */
+  /** Write a sequence of frames as ONE parquet file each into `dir`,
+    * with sequenced names AND strictly ascending mtimes — so a file
+    * stream over `dir` with `maxFilesPerTrigger=1` replays them as
+    * micro-batches in exactly this order. Replaces the sleep-between-
+    * writes trick (the file source orders by (mtime, path); stamping
+    * both explicitly costs nothing and drops the wall time). */
+  def writeOrderedBatches(parts: Seq[DataFrame], dir: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    Files.createDirectories(Paths.get(dir))
+    val t0 = System.currentTimeMillis() - 1000L * parts.size
+    parts.zipWithIndex.foreach { case (p, i) =>
+      val stage = s"$dir/.stage$i"
+      p.coalesce(1).write.parquet(stage)
+      val f = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = Paths.get(dir, f"part-$i%05d.parquet")
+      Files.move(f.toPath, dst)
+      dst.toFile.setLastModified(t0 + i * 1000L)
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(stage))
+    }
+  }
+
   def readTable(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
