@@ -64,7 +64,12 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q01_groupby_aggs")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2.
+    *
+    * OUTPUT CONTRACT: no raw array/struct columns in a query's final
+    * output — the driver's comparator sorts rows by every column and
+    * cannot sort array cells. Explode (doc_id, j, value) or
+    * array_to_string instead (q118 learned this the hard way). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- M1/M2: filter + groupby + aggregates (SURVEY.md §2b, §2d) ---
     "q01_groupby_aggs" -> rounded(
@@ -761,7 +766,9 @@ object SparkEntry {
     // --- M7/2l: native session_window (batch form of the streaming
     //     session operator; one row per gap-bounded session) ---
     "q46_session_window" -> { (spark, dir) =>
-      val events = tbl(spark, dir, "events")
+      // NTZ-proof: session_window/unix_micros need TimestampType (the
+      // cast is value-preserving under the UTC session tz)
+      val events = EventStream.normalizeEventTime(tbl(spark, dir, "events"))
       events
         .groupBy(session_window(col("ts"), "30 minutes").as("sw"),
                  col("user_id"))
@@ -1098,7 +1105,10 @@ object SparkEntry {
     //     sink; windows not past the final watermark stay in state ---
     "q66_stream_file_sink" -> rounded("sum_value" -> 4)(dated("day")({
       (spark, dir) =>
-        val events = tbl(spark, dir, "events")
+        // normalize BEFORE staging so the staged file and the TZ-typed
+        // sentinel row share one schema and the watermark accepts it
+        val events = EventStream.normalizeEventTime(
+            tbl(spark, dir, "events"))
           .select(col("ts"), col("event_type"), col("value"))
         val src = java.nio.file.Files.createTempDirectory("graft_q66src")
           .toString
@@ -2320,14 +2330,19 @@ object SparkEntry {
     //     hashed-BoW -> 8-dim, pure row-local arithmetic with the
     //     sign matrix embedded as a plan literal — zero shuffle. On
     //     integer BoW counts every component is an exact ±integer
-    //     sum, hash-compared UNROUNDED ---
+    //     sum, hash-compared UNROUNDED. Output is EXPLODED to
+    //     (doc_id, j, component) rows per the output contract — the
+    //     driver's comparator cannot sort raw array cells ---
     "q118_random_projection" -> { (spark, dir) =>
       val docs = tbl(spark, dir, "documents")
       val vecs = graft.llm.Featurize.hashedBow(docs, col("doc_id"),
         col("text"), dim = 32)
       vecs.select(col("doc_id"),
           graft.llm.Featurize.randomProject(col("v"), 32, 8).as("p"))
-        .orderBy(col("doc_id"))
+        .select(col("doc_id"),
+          posexplode(col("p")).as(Seq("j", "component")))
+        .withColumn("j", col("j").cast("long"))
+        .orderBy(col("doc_id"), col("j"))
     },
 
     // --- full precision-recall sweep in ONE pass (every distinct
@@ -2906,6 +2921,23 @@ object SparkEntry {
         .filter(col("jaccard") >= 0.5)
         .select(col("id_a"), col("id_b"), col("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // --- TEXTBOOK PageRank (dangling-mass redistribution) over a
+    //     bipartite customer→order edge list where EVERY order node
+    //     is a sink: without the redistribution its received mass
+    //     would leak each round and ranks drift off-standard. The
+    //     node set is src ∪ dst; deterministic fold keeps the per-
+    //     round dangling sum bit-exact for the oracle's replay ---
+    "q149_pagerank_dangling" -> { (spark, dir) =>
+      val orders = tbl(spark, dir, "orders")
+      val edges = orders.select(col("o_custkey").as("src"),
+        (col("o_orderkey") + 10000000L).as("dst"))
+      graft.operators.Graph.pageRank(edges, iterations = 3,
+          damping = 0.85, deterministic = true, danglingMass = true)
+        .select(col("node"), round(col("pr"), 12).as("pr"))
+        .orderBy(col("pr").desc, col("node").asc)
+        .limit(100)
     }
   )
 
@@ -3205,7 +3237,13 @@ object SparkEntry {
              'rev1' AS etl_rev
       FROM documents ORDER BY doc_id""",
 
+    // The three timestamp-typed cells are DERIVED from the parquet
+    // files via typeof() (DuckDB reads UTC-adjusted parquet timestamps
+    // as TIMESTAMP WITH TIME ZONE, NTZ as TIMESTAMP) — a testdata
+    // regeneration that flips the writer's UTC flag (as 2026-08-13 did
+    // for events.ts) can no longer stale a hard-coded literal.
     "q34_meta_columns" -> """
+      SELECT *, false AS virtual FROM (
       SELECT * FROM (VALUES
         ('customer','c_acctbal','double','number','.'),
         ('customer','c_custkey','bigint','number','.'),
@@ -3223,7 +3261,6 @@ object SparkEntry {
         ('events','event_id','bigint','number','.'),
         ('events','event_type','string','string','.'),
         ('events','props','string','string','.'),
-        ('events','ts','timestamp','time','.'),
         ('events','user_id','bigint','number','.'),
         ('events','value','double','number','.'),
         ('lineitem','l_discount','double','number','.'),
@@ -3234,14 +3271,12 @@ object SparkEntry {
         ('lineitem','l_partkey','bigint','number','.'),
         ('lineitem','l_quantity','double','number','.'),
         ('lineitem','l_returnflag','string','string','.'),
-        ('lineitem','l_shipdate','timestamp_ntz','time','.'),
         ('lineitem','l_suppkey','bigint','number','.'),
         ('lineitem','l_tax','double','number','.'),
         ('nation','n_name','string','string','.'),
         ('nation','n_nationkey','int','number','.'),
         ('nation','n_regionkey','int','number','.'),
         ('orders','o_custkey','bigint','number','.'),
-        ('orders','o_orderdate','timestamp_ntz','time','.'),
         ('orders','o_orderkey','bigint','number','.'),
         ('orders','o_orderpriority','string','string','.'),
         ('orders','o_orderstatus','string','string','.'),
@@ -3259,6 +3294,22 @@ object SparkEntry {
         ('supplier','s_nationkey','int','number','.'),
         ('supplier','s_suppkey','bigint','number','.'))
         AS t(table_name, column_name, spark_type, jx_type, nested_path)
+      UNION ALL
+      SELECT 'events', 'ts',
+             CASE WHEN ty = 'TIMESTAMP WITH TIME ZONE' THEN 'timestamp'
+                  ELSE 'timestamp_ntz' END, 'time', '.'
+      FROM (SELECT typeof(ts) AS ty FROM events LIMIT 1)
+      UNION ALL
+      SELECT 'lineitem', 'l_shipdate',
+             CASE WHEN ty = 'TIMESTAMP WITH TIME ZONE' THEN 'timestamp'
+                  ELSE 'timestamp_ntz' END, 'time', '.'
+      FROM (SELECT typeof(l_shipdate) AS ty FROM lineitem LIMIT 1)
+      UNION ALL
+      SELECT 'orders', 'o_orderdate',
+             CASE WHEN ty = 'TIMESTAMP WITH TIME ZONE' THEN 'timestamp'
+                  ELSE 'timestamp_ntz' END, 'time', '.'
+      FROM (SELECT typeof(o_orderdate) AS ty FROM orders LIMIT 1)
+      )
       ORDER BY table_name, column_name""",
 
     "q35_json_decode" -> """
@@ -3872,7 +3923,7 @@ object SparkEntry {
       GROUP BY 1 ORDER BY 1""",
 
     "q74_meta_tables" -> """
-      SELECT * FROM (
+      SELECT *, false AS virtual FROM (
         SELECT 'customer' AS table_name,
                CAST((SELECT count(*) FROM (DESCRIBE customer)) AS INT)
                  AS n_columns
@@ -4815,14 +4866,14 @@ object SparkEntry {
     // are exact, so the projected vectors hash-compare unrounded
     "q118_random_projection" -> s"""
       WITH $bowDenseDocsSql
-      SELECT doc_id,
-        list_transform(generate_series(0, 7), j ->
-          list_sum(list_transform(generate_series(1, 32), i ->
+      SELECT doc_id, j,
+        CAST(list_sum(list_transform(generate_series(1, 32), i ->
             v[i] * CASE WHEN CAST(('0x' || substring(md5(
                   CAST(i - 1 AS VARCHAR) || '_' || CAST(j AS VARCHAR)),
                   1, 4)) AS INTEGER) % 2 = 0
-              THEN 1 ELSE -1 END))) AS p
-      FROM dense ORDER BY doc_id""",
+              THEN 1 ELSE -1 END)) AS DOUBLE) AS component
+      FROM dense, (SELECT unnest(generate_series(0, 7)) AS j) js
+      ORDER BY doc_id, j""",
 
     // cumulative confusion counts over score-descending distinct
     // thresholds; same shared score CTE as q115
@@ -5678,7 +5729,72 @@ object SparkEntry {
                     / len(list_distinct(sa || sb)), 6) AS jaccard
             FROM sh WHERE len(list_distinct(sa || sb)) > 0)
       SELECT id_a, id_b, jaccard FROM j
-      WHERE jaccard >= 0.5 ORDER BY id_a, id_b"""
+      WHERE jaccard >= 0.5 ORDER BY id_a, id_b""",
+
+    // textbook PageRank with dangling-mass redistribution: per round
+    // the mass on sink nodes (value-sorted fold, bit-exact) splits
+    // uniformly; same IEEE op order as the engine's danglingMass path
+    "q149_pagerank_dangling" -> """
+      WITH e AS (SELECT o_custkey AS src,
+                        o_orderkey + 10000000 AS dst FROM orders),
+      n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      nn AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM n),
+      deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg
+              FROM e GROUP BY 1),
+      p0 AS (SELECT node, 1.0 / nn.nd AS pr FROM n CROSS JOIN nn),
+      d1 AS (SELECT coalesce(list_reduce(list(pr ORDER BY pr),
+                      (a, b) -> a + b), CAST(0 AS DOUBLE)) AS m
+             FROM p0 WHERE node NOT IN (SELECT src FROM deg)),
+      s1 AS (SELECT e.dst AS node,
+               list_reduce(list(p.pr / d.outdeg
+                                ORDER BY p.pr / d.outdeg),
+                           (a, b) -> a + b) AS s
+             FROM e JOIN p0 p ON e.src = p.node
+                    JOIN deg d ON e.src = d.src
+             GROUP BY 1),
+      p1 AS (SELECT n.node,
+               (1.0 - CAST(0.85 AS DOUBLE)) / nn.nd
+                 + CAST(0.85 AS DOUBLE)
+                   * (coalesce(s1.s, CAST(0 AS DOUBLE))
+                      + d1.m / nn.nd) AS pr
+             FROM n CROSS JOIN nn CROSS JOIN d1
+                    LEFT JOIN s1 ON n.node = s1.node),
+      d2 AS (SELECT coalesce(list_reduce(list(pr ORDER BY pr),
+                      (a, b) -> a + b), CAST(0 AS DOUBLE)) AS m
+             FROM p1 WHERE node NOT IN (SELECT src FROM deg)),
+      s2 AS (SELECT e.dst AS node,
+               list_reduce(list(p.pr / d.outdeg
+                                ORDER BY p.pr / d.outdeg),
+                           (a, b) -> a + b) AS s
+             FROM e JOIN p1 p ON e.src = p.node
+                    JOIN deg d ON e.src = d.src
+             GROUP BY 1),
+      p2 AS (SELECT n.node,
+               (1.0 - CAST(0.85 AS DOUBLE)) / nn.nd
+                 + CAST(0.85 AS DOUBLE)
+                   * (coalesce(s2.s, CAST(0 AS DOUBLE))
+                      + d2.m / nn.nd) AS pr
+             FROM n CROSS JOIN nn CROSS JOIN d2
+                    LEFT JOIN s2 ON n.node = s2.node),
+      d3 AS (SELECT coalesce(list_reduce(list(pr ORDER BY pr),
+                      (a, b) -> a + b), CAST(0 AS DOUBLE)) AS m
+             FROM p2 WHERE node NOT IN (SELECT src FROM deg)),
+      s3 AS (SELECT e.dst AS node,
+               list_reduce(list(p.pr / d.outdeg
+                                ORDER BY p.pr / d.outdeg),
+                           (a, b) -> a + b) AS s
+             FROM e JOIN p2 p ON e.src = p.node
+                    JOIN deg d ON e.src = d.src
+             GROUP BY 1),
+      p3 AS (SELECT n.node,
+               (1.0 - CAST(0.85 AS DOUBLE)) / nn.nd
+                 + CAST(0.85 AS DOUBLE)
+                   * (coalesce(s3.s, CAST(0 AS DOUBLE))
+                      + d3.m / nn.nd) AS pr
+             FROM n CROSS JOIN nn CROSS JOIN d3
+                    LEFT JOIN s3 ON n.node = s3.node)
+      SELECT node, round(pr, 12) AS pr FROM p3
+      ORDER BY round(pr, 12) DESC, node LIMIT 100"""
   )
 
   /** Full SCD2 rebuild from the complete event log — the shared

@@ -19,11 +19,17 @@ object Sessionize {
   /** Adds `session_id` (0-based per entity) to each event row. A new
     * session starts when the gap to the previous event exceeds `gapSec`.
     * Gap math is in integer microseconds (`unix_micros`), not truncated
-    * seconds, so sub-second timestamps classify exactly. */
+    * seconds, so sub-second timestamps classify exactly.
+    *
+    * The event-time column is normalized to `TimestampType` first
+    * (`unix_micros` rejects TIMESTAMP_NTZ, which NTZ-flavored parquet
+    * writers deliver; UTC session tz makes the cast value-preserving —
+    * see EventStream.normalizeEventTime). */
   def withSessionIds(events: DataFrame, entity: Column, ts: Column,
                      gapSec: Long): DataFrame = {
-    val w = Window.partitionBy(entity).orderBy(ts)
-    val gap = unix_micros(ts) - unix_micros(lag(ts, 1).over(w))
+    val tsN = ts.cast("timestamp")
+    val w = Window.partitionBy(entity).orderBy(tsN)
+    val gap = unix_micros(tsN) - unix_micros(lag(tsN, 1).over(w))
     val isNew = when(gap.isNull || gap > gapSec * 1000000L, 1L).otherwise(0L)
     events.withColumn("session_id",
       sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1)

@@ -18,6 +18,28 @@ import org.apache.spark.sql.types._
 object EventStream {
   private val runIds = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Normalize a frame's event-time flavor: every top-level
+    * `TIMESTAMP_NTZ` column becomes `TIMESTAMP`. A 100 TB lake contains
+    * BOTH flavors (writers differ on the UTC-adjusted flag — the
+    * 2026-08 testdata regeneration flipped `events.ts` from one to the
+    * other), but Spark's event-time machinery (`withWatermark`,
+    * `window`, `session_window`, `unix_micros`, timestamp encoders)
+    * accepts only `TimestampType`. The session time zone is pinned UTC
+    * everywhere in this engine, so the cast preserves wall-clock values
+    * exactly and batch-parity oracles are unaffected. Applied at every
+    * event-time boundary so no caller can feed an NTZ column into a
+    * watermark and crash at plan time. */
+  def normalizeEventTime(df: DataFrame): DataFrame =
+    df.schema.fields.collect {
+      case f if f.dataType == TimestampNTZType => f.name
+    }.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast(TimestampType)))
+
+  /** Column-level twin of [[normalizeEventTime]] for ops that take the
+    * event-time column by name: identity on TIMESTAMP, value-preserving
+    * (UTC session) cast on TIMESTAMP_NTZ. */
+  private def asEventTime(tsCol: String): Column =
+    col(tsCol).cast(TimestampType)
+
   /** Read a parquet table as a file stream, with the same schema (and
     * TIMESTAMP(NANOS) normalization) as the batch Catalog read. */
   /** Write a sequence of frames as ONE parquet file each into `dir`,
@@ -53,18 +75,21 @@ object EventStream {
     // directories, so stream the parent dir with a glob filter
     val stream = spark.readStream.schema(rawSchema)
       .option("pathGlobFilter", s"$name.parquet").parquet(dir)
-    // convert nanos-long columns to the batch timestamp type
-    batchSchema.fields.foldLeft(stream) { (df, f) =>
-      (f.dataType, rawSchema(f.name).dataType) match {
-        case (TimestampType, LongType) =>
-          // integer `div` (see Catalog): long / long is double division
-          // and rounds the microsecond; `div` truncates toward zero,
-          // correct for post-epoch data only (same note as Catalog)
-          df.withColumn(f.name,
-            timestamp_micros(expr(s"`${f.name}` div 1000")))
-        case _ => df
-      }
-    }
+    // convert nanos-long columns to the batch timestamp type, then
+    // normalize the event-time flavor (NTZ-written files otherwise
+    // crash every downstream watermark/window at plan time)
+    normalizeEventTime(
+      batchSchema.fields.foldLeft(stream) { (df, f) =>
+        (f.dataType, rawSchema(f.name).dataType) match {
+          case (TimestampType, LongType) =>
+            // integer `div` (see Catalog): long / long is double division
+            // and rounds the microsecond; `div` truncates toward zero,
+            // correct for post-epoch data only (same note as Catalog)
+            df.withColumn(f.name,
+              timestamp_micros(expr(s"`${f.name}` div 1000")))
+          case _ => df
+        }
+      })
   }
 
   /** At-least-once replay suppression: drop duplicate keys, with a
@@ -73,13 +98,15 @@ object EventStream {
     * state bound). */
   def dedupByKey(events: DataFrame, tsCol: String, watermark: String,
                  keys: String*): DataFrame =
-    events.withWatermark(tsCol, watermark)
+    events.withColumn(tsCol, asEventTime(tsCol))
+      .withWatermark(tsCol, watermark)
       .dropDuplicates(keys :+ tsCol)
 
   /** Tumbling event-time aggregation. */
   def tumblingAgg(events: DataFrame, tsCol: String, width: String,
                   watermark: String, groupCols: String*): DataFrame =
-    events.withWatermark(tsCol, watermark)
+    events.withColumn(tsCol, asEventTime(tsCol))
+      .withWatermark(tsCol, watermark)
       .groupBy((window(col(tsCol), width) +: groupCols.map(col))
         .toIndexedSeq: _*)
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
@@ -87,7 +114,8 @@ object EventStream {
   /** Sliding event-time aggregation. */
   def slidingAgg(events: DataFrame, tsCol: String, width: String,
                  slide: String, watermark: String): DataFrame =
-    events.withWatermark(tsCol, watermark)
+    events.withColumn(tsCol, asEventTime(tsCol))
+      .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), width, slide))
       .agg(count(lit(1)).as("n"))
 
@@ -95,7 +123,8 @@ object EventStream {
     * operators.Sessionize. */
   def sessionAgg(events: DataFrame, tsCol: String, gap: String,
                  watermark: String, entity: String): DataFrame =
-    events.withWatermark(tsCol, watermark)
+    events.withColumn(tsCol, asEventTime(tsCol))
+      .withWatermark(tsCol, watermark)
       .groupBy(session_window(col(tsCol), gap), col(entity))
       .agg(count(lit(1)).as("n"))
 
@@ -136,7 +165,8 @@ object EventStream {
     val spark = events.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
-    events.withWatermark(tsCol, watermark)
+    events.withColumn(tsCol, asEventTime(tsCol))
+      .withWatermark(tsCol, watermark)
       .select(col(entity).cast("long"), col(tsCol))
       .as[(Long, java.sql.Timestamp)]
       .groupByKey(_._1)
@@ -190,7 +220,7 @@ object EventStream {
     val k = steps.length
     events
       .select(col(entity).cast("long"), col(kindCol).cast("string"),
-        col(tsCol))
+        asEventTime(tsCol))
       .as[(Long, String, java.sql.Timestamp)]
       .filter(r => stepIx.contains(r._2))
       .groupByKey(_._1)
@@ -235,7 +265,8 @@ object EventStream {
     val spark = events.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
-    events.withWatermark(tsCol, watermark)
+    events.withColumn(tsCol, asEventTime(tsCol))
+      .withWatermark(tsCol, watermark)
       .select(col(entity).cast("long"), col(tsCol))
       .as[(Long, java.sql.Timestamp)]
       .groupByKey(_._1)
@@ -328,8 +359,9 @@ object EventStream {
     * watermark to its real out-of-orderness instead. */
   def intervalJoin(a: DataFrame, aTs: String, b: DataFrame, bTs: String,
                    cond: Column, watermark: String): DataFrame =
-    a.withWatermark(aTs, watermark)
-      .join(b.withWatermark(bTs, watermark), cond)
+    a.withColumn(aTs, asEventTime(aTs)).withWatermark(aTs, watermark)
+      .join(b.withColumn(bTs, asEventTime(bTs))
+        .withWatermark(bTs, watermark), cond)
 
   /** Watermark delay covering a STATIC backlog's full event-time span
     * (+1 s margin): with this delay, no row of the backlog can fall
@@ -339,7 +371,8 @@ object EventStream {
     * of the stream (parquet footer stats make this a metadata-only
     * scan in the common case). */
   def backlogSpanWatermark(batch: DataFrame, tsCol: String): String = {
-    val r = batch.agg(min(col(tsCol)), max(col(tsCol))).collect()(0)
+    val r = batch.agg(min(asEventTime(tsCol)), max(asEventTime(tsCol)))
+      .collect()(0)
     if (r.isNullAt(0)) "0 seconds"
     else {
       val sec = (r.getTimestamp(1).getTime - r.getTimestamp(0).getTime) /

@@ -272,4 +272,55 @@ class EventStreamSpec extends SparkSpec {
     assert(out.nonEmpty && out.forall(_ % 2 == 1))
     assert(out.length === batchOdd)
   }
+
+  test("REGRESSION: a TIMESTAMP_NTZ event-time column is normalized, " +
+    "not a plan-time crash, and keeps batch parity") {
+    // the 2026-08 testdata regeneration flipped events.ts to NTZ and
+    // crashed every watermark op; this test feeds an NTZ frame
+    // DELIBERATELY so the next writer change cannot regress silently
+    import spark.implicits._
+    val ntz = Seq(
+      (1L, "click", "2026-01-01 00:05:00", 1.0),
+      (1L, "click", "2026-01-01 00:10:00", 2.0),
+      (2L, "view", "2026-01-01 02:00:00", 3.0),
+      (2L, "view", "2026-01-01 02:01:00", 4.0))
+      .toDF("user_id", "event_type", "s", "value")
+      .withColumn("ts", col("s").cast("timestamp_ntz")).drop("s")
+    assert(ntz.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    // normalizeEventTime: values preserved under the UTC session tz
+    val norm = EventStream.normalizeEventTime(ntz)
+    assert(norm.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    assert(norm.select(unix_micros(col("ts"))).as[Long].collect().sorted
+      === ntz.select(col("ts").cast("timestamp")).select(
+        unix_micros(col("ts"))).as[Long].collect().sorted)
+    // every watermark-taking op accepts the RAW NTZ frame (each
+    // normalizes at its own boundary) — via a real streaming source
+    val dir = java.nio.file.Files.createTempDirectory("graft_ntz")
+      .toString + "/events"
+    ntz.coalesce(1).write.parquet(dir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(dir).schema).parquet(dir)
+    assert(stream.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    val tumbled = EventStream.runToCompletion(spark,
+      EventStream.tumblingAgg(stream, "ts", "1 hour", "1 hour",
+        "event_type"))
+    assert(tumbled.agg(sum("n")).collect().head.getLong(0) === 4L)
+    val sessions = EventStream.runToCompletion(spark,
+      EventStream.sessionAgg(stream, "ts", "30 minutes", "1 day",
+        "user_id"))
+    assert(sessions.count() === 2L) // one gap-bounded burst per user
+    val deduped = EventStream.runToCompletion(spark,
+      EventStream.dedupByKey(stream, "ts", "1 hour", "user_id"),
+      mode = "append")
+    assert(deduped.count() === 4L) // distinct (user, ts) all survive
+    // batch sessionize over the NTZ column: same session split
+    val batchSessions = graft.operators.Sessionize
+      .withSessionIds(ntz, col("user_id"), col("ts"), 1800L)
+      .groupBy(col("user_id")).agg((max(col("session_id")) + 1).as("ns"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(batchSessions === Map(1L -> 1L, 2L -> 1L))
+  }
 }
