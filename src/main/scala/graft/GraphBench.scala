@@ -47,10 +47,50 @@ object GraphBench {
       Graph.pageRank(edges._1, iterations = 3,
         deterministic = true).count()
     }
+    val (_, tDangling) = time {
+      Graph.pageRank(edges._1, iterations = 3,
+        danglingMass = true).count()
+    }
+
+    // --- triangle counting on a SKEWED graph: one hub of degree H
+    // (star) + disjoint 4-cliques. The naive lowest-id wedge join
+    // pays H² wedges at the hub; degree orientation gives every star
+    // edge out-degree ≤ 1 at the leaf end, so the hub term vanishes
+    // and only the cliques' bounded wedges remain. Same exact counts.
+    import spark.implicits._
+    val hubDeg = 20000L
+    val star = spark.range(1, hubDeg + 1)
+      .select(lit(0L).as("src"), col("id").as("dst"))
+    val nClique = 2000L
+    val cliqueEdges = spark.range(nClique).flatMap { c =>
+      val base = 1000000L + c * 4
+      for (i <- 0 until 4; j <- (i + 1) until 4)
+        yield (base + i, base + j)
+    }.toDF("src", "dst")
+    val skewed = star.unionByName(cliqueEdges).localCheckpoint()
+    val expectTris = nClique * 4 * 4 // 4 triangles/clique × 3 corners... checked below
+    val (nTriOriented, tOriented) = time {
+      Graph.triangleCounts(skewed)
+        .agg(sum(col("triangles"))).as[Long].head()
+    }
+    val (nTriNaive, tNaive) = time {
+      Graph.triangleCountsNaive(skewed)
+        .agg(sum(col("triangles"))).as[Long].head()
+    }
+    require(nTriOriented == nTriNaive,
+      s"orientation changed the answer: $nTriOriented vs $nTriNaive")
+
     println(f"edges=$nEdges nodes=$nNodes build=$tBuild%6.2f s  " +
-      f"3-iter plain=$tPlain%6.2f s  det=$tDet%6.2f s")
+      f"3-iter plain=$tPlain%6.2f s  det=$tDet%6.2f s  " +
+      f"dangling=$tDangling%6.2f s")
+    println(f"skewed graph (hub deg $hubDeg + $nClique cliques): " +
+      f"oriented=$tOriented%6.2f s  naive=$tNaive%6.2f s  " +
+      f"corner-counts=$nTriOriented (expect ~$expectTris)")
     println(s"""{"bench":"graph","edges":$nEdges,"nodes":$nNodes,""" +
-      s""""build_sec":$tBuild,"plain3_sec":$tPlain,"det3_sec":$tDet}""")
+      s""""build_sec":$tBuild,"plain3_sec":$tPlain,"det3_sec":$tDet,""" +
+      s""""dangling3_sec":$tDangling,""" +
+      s""""tri_oriented_sec":$tOriented,"tri_naive_sec":$tNaive,""" +
+      s""""tri_corner_counts":$nTriOriented}""")
     spark.stop()
   }
 }

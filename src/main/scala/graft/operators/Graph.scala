@@ -28,9 +28,11 @@ import org.apache.spark.sql.functions._
   * bounded by in-degree, so the fold mode is for verification and
   * moderate-degree graphs.
   *
-  * Simplified (no dangling-mass redistribution): nodes without
-  * out-edges leak their mass, the standard simplification. Symmetric
-  * edge sets ([[coOccurrenceEdges]] output) have no such nodes.
+  * The default fast path skips dangling-mass redistribution (nodes
+  * without out-edges leak their mass — the standard simplification;
+  * symmetric edge sets like [[coOccurrenceEdges]] output have no such
+  * nodes). `danglingMass = true` turns on the textbook redistribution
+  * for arbitrary edge lists at one scalar aggregate per round.
   */
 object Graph {
 
@@ -72,18 +74,67 @@ object Graph {
     * high-degree node in none is a hub/spam shape. Exact integer
     * counts, so the oracle compares with no rounding anywhere.
     *
-    * Shape (the standard two-join formulation): canonical edges
-    * (a<b), one self-join on the shared LOWER endpoint builds wedges
-    * (a<b<c from a-b + a-c), one more equi-join against the canonical
-    * edge set closes them. Every join is an equi-join on node ids;
-    * wedge volume is the known Σ deg² bound — the degree-orientation
-    * refinement (point edges at the higher-degree endpoint, bounding
-    * wedges by Σ min-deg²) drops in here if a skewed production graph
-    * needs it. Each closed triangle {a,b,c} counts once per corner.
-    * The canonical edge frame stays cached for the session — free it
-    * with [[graft.llm.Lifecycle.release]] on the result's lineage, or
-    * let the session end reclaim it. */
+    * DEGREE-ORIENTED (the skew-safe formulation): every canonical
+    * edge is re-pointed from its lower-(degree, id) endpoint to its
+    * higher one, wedges are built only from each node's OUT-neighbor
+    * pairs, and the closing edge is looked up in the same oriented
+    * set. Out-degree under this orientation is ≤ O(√m) on any graph,
+    * so the wedge volume drops from the naive Σ deg² (quadratic in
+    * the hub degree on a power-law graph) to Σ min-deg² ≈ O(m^1.5) —
+    * the difference between "works on co-occurrence graphs" and
+    * "survives the hub nodes of a production graph". Every triangle
+    * {u,x,y} closes exactly once (at its minimum-(deg,id) corner);
+    * per-node counts union the three corners. All joins remain node-
+    * id equi-joins AQE can skew-split. The naive two-join form is
+    * kept as [[triangleCountsNaive]] — GraphBench measures both on a
+    * skewed star+clique graph. */
   def triangleCounts(edges: DataFrame): DataFrame = {
+    val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val canon = edges.select(
+        least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .persist(mad)
+    val deg = canon.select(col("a").as("node"))
+      .unionAll(canon.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    // orient a—b toward the higher (degree, id); carry the endpoint
+    // degrees so the wedge ordering below needs no further join
+    val oriented = canon
+      .join(deg.select(col("node").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("d").as("db")), Seq("b"))
+      .select(
+        when(col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("u"), col("b").as("v"), col("db").as("dv")))
+          .otherwise(
+            struct(col("b").as("u"), col("a").as("v"), col("da").as("dv")))
+          .as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"), col("e.dv").as("dv"))
+      .persist(mad)
+    // wedges at the min-(deg,id) corner: out-neighbor pairs ordered by
+    // (deg, id) so the closing edge's orientation x→y is determined
+    val wedges = oriented.select(col("u"), col("v").as("x"),
+        col("dv").as("dx"))
+      .join(oriented.select(col("u"), col("v").as("y"),
+        col("dv").as("dy")), Seq("u"))
+      .filter(col("dx") < col("dy") ||
+        (col("dx") === col("dy") && col("x") < col("y")))
+    val tris = wedges.join(
+      oriented.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
+    val perCorner = tris.select(col("u").as("node"))
+      .unionAll(tris.select(col("x").as("node")))
+      .unionAll(tris.select(col("y").as("node")))
+    val counts = perCorner.groupBy(col("node"))
+      .agg(count(lit(1)).as("triangles"))
+    counts
+  }
+
+  /** The naive lowest-id two-join triangle formulation (wedge volume
+    * Σ deg²) — kept as the differential/bench baseline for
+    * [[triangleCounts]]; identical output. */
+  def triangleCountsNaive(edges: DataFrame): DataFrame = {
     val canon = edges.select(
         least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
@@ -105,11 +156,22 @@ object Graph {
     * (node, pr) for every node appearing as a source. Uniform init
     * 1/N, per-iteration pr' = (1-d)/N + d·Σ_in pr(u)/outdeg(u).
     * With `weighted = true` the edge list carries a `w` column and
-    * contributions split proportionally: pr·w(u,v)/Σ_out w(u,·). */
+    * contributions split proportionally: pr·w(u,v)/Σ_out w(u,·).
+    *
+    * `danglingMass = true` is the TEXTBOOK variant for arbitrary edge
+    * lists: the node set becomes src ∪ dst, and each round the rank
+    * mass sitting on dangling nodes (no out-edges) is redistributed
+    * uniformly — pr' = (1-d)/N + d·(Σ_in pr/outdeg + dm/N) with
+    * dm = Σ_dangling pr. Costs ONE extra scalar aggregate per round
+    * (which also materializes each round's rank frame, losing the
+    * lazy-batch discipline) — keep the default fast path for
+    * symmetric graphs ([[coOccurrenceEdges]] output has no sinks;
+    * both paths are identical there except the per-round barrier). */
   def pageRank(edges: DataFrame, iterations: Int,
                damping: Double = 0.85,
                deterministic: Boolean = false,
-               weighted: Boolean = false): DataFrame = {
+               weighted: Boolean = false,
+               danglingMass: Boolean = false): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val e = (if (weighted) edges.select(col("src"), col("dst"), col("w"))
@@ -119,7 +181,15 @@ object Graph {
     // iteration re-shuffles the edge list for its side frames
     val deg = e.groupBy(col("src")).agg(sum(col("w")).as("outdeg"))
       .persist(mad)
-    val nodes = e.select(col("src").as("node")).distinct().persist(mad)
+    val nodes = (if (danglingMass)
+        e.select(col("src").as("node"))
+          .unionByName(e.select(col("dst").as("node")))
+      else e.select(col("src").as("node"))).distinct().persist(mad)
+    // dangling = ranked nodes with no out-edges; only they can leak
+    val dangling = if (danglingMass)
+        nodes.join(deg.withColumnRenamed("src", "node"), Seq("node"),
+          "left_anti").persist(mad)
+      else null
     // N as a loop constant: one scalar action up front (the KMeans/Bpe
     // loop-constant precedent) instead of a broadcast-crossjoin of a
     // single-row frame EVERY round — the division itself stays the
@@ -152,10 +222,25 @@ object Graph {
               (acc, x) => acc + x).as("s"))
         else
           contribs.groupBy(col("node")).agg(sum(col("c")).as("s"))
+      // dangling mass this round, as a driver scalar (the loop-constant
+      // discipline): deterministic mode folds the value-sorted list so
+      // an oracle replays the sum bit-for-bit
+      val dmOverN = if (danglingMass) {
+        val prd = pr.join(dangling, Seq("node"), "left_semi")
+        val r = (if (deterministic)
+            prd.agg(aggregate(array_sort(collect_list(col("pr"))),
+              lit(0.0), (acc, x) => acc + x))
+          else prd.agg(sum(col("pr")))).collect()(0)
+        (if (r.isNullAt(0)) 0.0 else r.getDouble(0)) / n
+      } else 0.0
       val next = nodes.join(sums, Seq("node"), "left")
         .select(col("node"),
-          (lit(1.0 - damping) / lit(n) +
-            lit(damping) * coalesce(col("s"), lit(0.0))).as("pr"))
+          (if (danglingMass)
+            lit(1.0 - damping) / lit(n) +
+              lit(damping) * (coalesce(col("s"), lit(0.0)) + lit(dmOverN))
+          else
+            lit(1.0 - damping) / lit(n) +
+              lit(damping) * coalesce(col("s"), lit(0.0))).as("pr"))
         .persist(mad)
       pending += pr
       if (i % MatEvery == 0) {
@@ -170,6 +255,7 @@ object Graph {
     e.unpersist(blocking = false)
     deg.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
+    if (dangling != null) dangling.unpersist(blocking = false)
     pr
   }
 }
