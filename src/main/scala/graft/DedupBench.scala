@@ -119,6 +119,51 @@ object DedupBench {
     val (lowWorst, lowQuad) = balance(lowHist)
     val (fitWorst, fitQuad) = balance(fitRes)
 
+    // --- LSH bucket guard on a DELIBERATELY clustered embedding
+    // corpus: half the vectors are one tight cluster (copies of a
+    // single base vector + tiny id-derived jitter), so every member
+    // shares a bucket in EVERY table and the unguarded per-bucket
+    // self-join degenerates toward (N/2)² candidate pairs. The
+    // bucketCap guard must (a) bound the worst bucket, (b) collapse
+    // Σn² toward the capped bound, (c) keep pair recall ~1 (a split
+    // pair still meets in the other tables).
+    val nVec = 4000
+    val emb = new graft.tables.Catalog(spark, sfDir).table("embeddings")
+      .select(col("vec_id"), col("embedding")).limit(nVec)
+      .localCheckpoint()
+    val baseVec = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).collect()(0).getSeq[Float](0)
+    val clustered = emb.select(col("vec_id"),
+        when(col("vec_id") % 2 === 0,
+          // jitter ~1e-4 on one component: distinct vectors, same bucket
+          transform(lit(baseVec.toArray), (x, i) =>
+            x + when(i === pmod(col("vec_id"), lit(64)).cast("int"),
+              lit(1e-4f) * pmod(col("vec_id"), lit(7)).cast("float"))
+              .otherwise(lit(0.0f))))
+          .otherwise(col("embedding")).as("v"))
+      .localCheckpoint()
+    val cap = 256L
+    def bucketStats(df: DataFrame): (Double, Double, Long) = {
+      val hist = df.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+        .select(col("n")).collect().map(_.getLong(0))
+      val tot = hist.sum.toDouble
+      (hist.max / tot, hist.map(n => n.toDouble * n).sum, hist.length)
+    }
+    val explodedB = clustered.select(col("vec_id").as("id"), col("v"))
+      .withColumn("bucket", explode(
+        graft.llm.Similarity.lshBuckets(col("v"), 4, 8)))
+    val (rawStats, tRawH) = time(bucketStats(explodedB))
+    val (capStats, tCapH) = time(bucketStats(
+      graft.llm.SemDedup.splitOversizedKeys(explodedB, "bucket", "id",
+        cap)))
+    val (rawPairs, tRawP) = time(pairs(Dedup.embeddingPairs(
+      clustered, col("vec_id"), col("v"), threshold = 0.99)))
+    val (capPairs, tCapP) = time(pairs(Dedup.embeddingPairs(
+      clustered, col("vec_id"), col("v"), threshold = 0.99,
+      bucketCap = Some(cap))))
+    val guardRecall = if (rawPairs.isEmpty) 1.0
+      else capPairs.count(rawPairs).toDouble / rawPairs.size
+
     println(f"corpus=$nDocs docs (${mult}x $sfDir) maxDf=$maxDf")
     println(f"${"stage shingles"}%-18s $tStage%8.2f s")
     println(f"${"exact jaccard"}%-18s $tExact%8.2f s  pairs=${exact.size}")
@@ -131,6 +176,14 @@ object DedupBench {
     println(f"${"cells fitted"}%-18s $tFit%8.2f s  " +
       f"worst=$fitWorst%.3f quad=$fitQuad%.2f " +
       s"hist=${fitRes.map(_._2).sorted.reverse.mkString(",")}")
+    println(f"${"buckets raw"}%-18s $tRawH%8.2f s  " +
+      f"worst=${rawStats._1}%.3f sum_n2=${rawStats._2}%.3e " +
+      f"buckets=${rawStats._3} (clustered $nVec vecs, ${tRawP}%.2f s " +
+      f"pair scan, ${rawPairs.size} pairs)")
+    println(f"${"buckets capped"}%-18s $tCapH%8.2f s  " +
+      f"worst=${capStats._1}%.3f sum_n2=${capStats._2}%.3e " +
+      f"buckets=${capStats._3} (cap=$cap, ${tCapP}%.2f s pair scan, " +
+      f"${capPairs.size} pairs, guard_recall=$guardRecall%.3f)")
     println(s"""{"bench":"dedup","corpus":$nDocs,"mult":$mult,""" +
       s""""stage_sec":$tStage,"exact_sec":$tExact,""" +
       s""""exact_pairs":${exact.size},"lsh_sec":$tLsh,""" +
@@ -138,7 +191,16 @@ object DedupBench {
       s""""cc_sec":$tCc,"clusters":$nClusters,""" +
       s""""cell_worst_lowid":$lowWorst,"cell_quad_lowid":$lowQuad,""" +
       s""""cell_worst_fitted":$fitWorst,"cell_quad_fitted":$fitQuad,""" +
-      s""""fit_sec":$tFit}""")
+      s""""fit_sec":$tFit,""" +
+      s""""bucket_worst_raw":${rawStats._1},""" +
+      s""""bucket_sumn2_raw":${rawStats._2},""" +
+      s""""bucket_worst_capped":${capStats._1},""" +
+      s""""bucket_sumn2_capped":${capStats._2},""" +
+      s""""bucket_pairs_raw":${rawPairs.size},""" +
+      s""""bucket_pairs_capped":${capPairs.size},""" +
+      s""""bucket_guard_recall":$guardRecall,""" +
+      s""""bucket_pair_sec_raw":$tRawP,""" +
+      s""""bucket_pair_sec_capped":$tCapP}""")
     spark.stop()
   }
 }

@@ -601,12 +601,26 @@ object Dedup {
     * compared, the pair scan is a plain equi-join AQE can skew-split,
     * and the exact cosine verify keeps precision at 1.0; the duplicate
     * hits across tables collapse in the final distinct. */
+  /** `bucketCap`: optional per-bucket row cap (SemDedup's cap-and-split
+    * guard, [[SemDedup.splitOversizedKeys]]). On a pathologically
+    * clustered corpus every member of the hot cluster shares a bucket
+    * in EVERY table and the per-bucket self-join degenerates to the
+    * Σ|bucket|² all-pairs scan the LSH was supposed to avoid; the cap
+    * splits such buckets by a secondary id hash, restoring the bound.
+    * Recall trade is softer than the cell guard's: a pair split apart
+    * in one table still meets in any of the other `tables-1`
+    * (miss probability (1/s)^tables per split factor s), so the guard
+    * costs little recall while capping the worst-case join. Default
+    * OFF — the exact-twin differential (q53) runs unguarded. */
   def embeddingPairs(df: DataFrame, id: Column, vec: Column,
                      planes: Int = 4, tables: Int = 8,
-                     threshold: Double = 0.95): DataFrame = {
-    val withB = df.select(id.as("id"), vec.as("v"))
+                     threshold: Double = 0.95,
+                     bucketCap: Option[Long] = None): DataFrame = {
+    val exploded = df.select(id.as("id"), vec.as("v"))
       .withColumn("bucket",
         explode(Similarity.lshBuckets(col("v"), planes, tables)))
+    val withB = bucketCap.fold(exploded)(cap =>
+      SemDedup.splitOversizedKeys(exploded, "bucket", "id", cap))
     val l = withB.select(col("bucket"), col("id").as("id_a"),
       col("v").as("v_a"))
     val r = withB.select(col("bucket"), col("id").as("id_b"),

@@ -302,6 +302,44 @@ object SemDedup {
       .drop("__s")
   }
 
+  /** GENERIC form of [[splitOversizedCells]] for any (key, id) column
+    * pair — the same cap-and-split on e.g. LSH band buckets
+    * (Dedup.embeddingPairs), where a pathologically clustered corpus
+    * re-creates the Σ|bucket|² hazard the cell guard kills. The key
+    * column is re-keyed to LONG `key * SplitBase + sub` space (split
+    * and unsplit keys never collide); same recall trade as the cell
+    * version: a pair split across subkeys is not compared.
+    *
+    * The subkey hash mixes the KEY in (md5 of "key_id"), not the id
+    * alone — with multi-table LSH keys an id-only hash would split a
+    * pair apart IDENTICALLY in every table and the tables'
+    * redundancy could never recover it; key-mixed, the splits are
+    * independent across tables and a pair survives any one of them. */
+  def splitOversizedKeys(df: DataFrame, keyCol: String, idCol: String,
+                         cap: Long): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyed = df.withColumn(keyCol, col(keyCol).cast("long"))
+    val factors = keyed.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getLong(0), math.ceil(r.getLong(1).toDouble / cap).toInt))
+    require(factors.forall(_._2 <= SplitBase),
+      s"a key needs more than $SplitBase subkeys at cap=$cap — raise " +
+        "the cap (or add hash tables / planes)")
+    val fdf = factors.toSeq.toDF(keyCol, "__s")
+    val sub = conv(substring(md5(
+        concat_ws("_", col(keyCol).cast("string"),
+          col(idCol).cast("string")).cast(BinaryType)), 1, 4), 16, 10)
+      .cast("int")
+    keyed.join(broadcast(fdf), Seq(keyCol))
+      .withColumn(keyCol,
+        col(keyCol) * SplitBase +
+          when(col("__s") > lit(1), pmod(sub, col("__s")))
+            .otherwise(lit(0)))
+      .drop("__s")
+  }
+
   /** (cell, rows) histogram of an assignment — k rows, collected. */
   def cellHistogram(assigned: DataFrame): Array[(Int, Long)] =
     assigned.groupBy(col("cell")).agg(count(lit(1)).as("n"))

@@ -270,4 +270,39 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (x, y) =>
       (x <= 4) != (y <= 4) })
   }
+
+  test("embeddingPairs bucketCap: guarded pairs are a subset of " +
+      "unguarded, multi-table redundancy keeps near-full recall, and " +
+      "the worst bucket is bounded") {
+    // one tight cluster: 32 near-copies of (1,0) plus distinct
+    // orthogonal vectors — unguarded, the cluster fills one bucket per
+    // table and the per-bucket join is quadratic in 32
+    val cluster = (0L until 32L).map(i =>
+      (i, Seq(1.0f, (i % 5).toFloat / 10000f)))
+    val rest = (100L until 110L).map(i =>
+      (i, Seq(-1.0f, (i % 3).toFloat / 10f)))
+    val df = (cluster ++ rest).toDF("vec_id", "embedding")
+    val raw = Dedup.embeddingPairs(df, $"vec_id", $"embedding",
+        threshold = 0.999)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val capped = Dedup.embeddingPairs(df, $"vec_id", $"embedding",
+        threshold = 0.999, bucketCap = Some(8L))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(raw.count { case (x, y) => x < 32 && y < 32 } === 32 * 31 / 2,
+      "the cluster is all-pairs similar")
+    assert(capped.subsetOf(raw),
+      "the guard may only drop candidates, never invent them")
+    // 8 tables at split factor 4: a pair misses only if split apart in
+    // ALL tables — expect ~ (3/4)^8 ≈ 10% loss worst case; assert a
+    // loose floor so hash-layout shifts don't flake the test
+    assert(capped.size >= raw.size / 2,
+      s"multi-table redundancy should keep most pairs: ${capped.size}")
+    // the split really bounds the worst bucket
+    val exploded = df.select($"vec_id".as("id"), $"embedding".as("v"))
+      .withColumn("bucket", explode(
+        Similarity.lshBuckets($"v", 4, 8)))
+    val worst = SemDedup.splitOversizedKeys(exploded, "bucket", "id", 8L)
+      .groupBy("bucket").count().agg(max("count")).as[Long].head()
+    assert(worst <= 2 * 8, s"subbucket too hot after cap: $worst")
+  }
 }
