@@ -30,7 +30,11 @@ object MetaColumns {
     case _                                => "object"
   }
 
-  /** One row per (table, leaf column): name, spark + jx type, nested path. */
+  /** One row per (table, leaf column): name, spark + jx type, nested
+    * path, plus a `virtual` marker. Registered operator-output views
+    * (Catalog.register) are introspected exactly like base tables —
+    * `from: "meta.columns"` sees every queryable surface, not just
+    * the files on disk. */
   def table(spark: SparkSession, catalog: Catalog): DataFrame = {
     def walk(dt: DataType, path: Seq[String], nestedPath: String)
         : Seq[(String, String, String, String)] = dt match {
@@ -44,22 +48,28 @@ object MetaColumns {
         Seq((path.mkString("."), other.simpleString, jxTypeOf(dt),
           nestedPath))
     }
-    val rows = catalog.baseTables.flatMap { t =>
+    val surfaces =
+      catalog.baseTables.map(t => (t, false)) ++
+        catalog.registeredViews.map(v => (v, true))
+    val rows = surfaces.flatMap { case (t, virt) =>
       walk(catalog.table(t).schema, Nil, ".").map {
         case (name, sparkType, jxType, nestedPath) =>
-          (t, name, sparkType, jxType, nestedPath)
+          (t, name, sparkType, jxType, nestedPath, virt)
       }
     }
     import spark.implicits._
     rows.toDF("table_name", "column_name", "spark_type", "jx_type",
-      "nested_path")
+      "nested_path", "virtual")
   }
 
-  /** `meta.tables`: one row per base table with its column count. */
+  /** `meta.tables`: one row per queryable surface (base table or
+    * registered view) with its column count. */
   def tables(spark: SparkSession, catalog: Catalog): DataFrame = {
     import spark.implicits._
-    catalog.baseTables
-      .map(t => (t, catalog.table(t).schema.fields.length))
-      .toDF("table_name", "n_columns")
+    (catalog.baseTables.map(t => (t, false)) ++
+        catalog.registeredViews.map(v => (v, true)))
+      .map { case (t, virt) =>
+        (t, catalog.table(t).schema.fields.length, virt) }
+      .toDF("table_name", "n_columns", "virtual")
   }
 }

@@ -44,8 +44,19 @@ final class Catalog(spark: SparkSession, dir: String) {
     * frames (quality-classifier scores, SemDedup survivors, any
     * pipeline stage) to ad-hoc JX queries without materializing them
     * to parquet first. Dot-path nesting applies to base tables only;
-    * a registered name is resolved whole. */
-  def register(name: String, df: DataFrame): Unit = cache.put(name, df)
+    * a registered name is resolved whole. Registered views are
+    * visible to `meta.columns` / `meta.tables` introspection with a
+    * `virtual` marker (MetaColumns). */
+  def register(name: String, df: DataFrame): Unit = {
+    registered += name
+    cache.put(name, df)
+  }
+
+  private val registered = scala.collection.mutable.LinkedHashSet[String]()
+
+  /** Names registered via [[register]], in registration order —
+    * distinct from base tables resolved into the same cache. */
+  def registeredViews: Seq[String] = registered.toSeq
 
   def table(name: String): DataFrame = cache.getOrElseUpdate(name, {
     // virtual metadata tables, queryable like any other (JX

@@ -75,6 +75,33 @@ class ServiceSpec extends SparkSpec {
     assert(r3.get("data").size === 5)
   }
 
+  test("meta.columns and meta.tables see registered views with the " +
+      "virtual flag") {
+    import org.apache.spark.sql.functions._
+    val docs = catalog.table("documents")
+    val scored = graft.llm.QualityModel.classify(docs, col("text"))
+      .select(col("doc_id"), col("score"))
+    val views = Map("quality_scores" -> scored)
+    val r = mapper.readTree(Service.query(spark, TestSpark.sfDir,
+      """{"from": "meta.columns",
+          "where": {"eq": ["table_name", {"literal": "quality_scores"}]},
+          "sort": ["column_name"]}""", views))
+    val rows = (0 until r.get("data").size).map(r.get("data").get(_))
+    assert(rows.map(_.get("column_name").asText) ===
+      Seq("doc_id", "score"))
+    assert(rows.forall(_.get("virtual").asBoolean),
+      "registered views must carry virtual=true")
+    // the view also shows in meta.tables; base tables stay virtual=false
+    val r2 = mapper.readTree(Service.query(spark, TestSpark.sfDir,
+      """{"from": "meta.tables", "sort": ["table_name"]}""", views))
+    val byName = (0 until r2.get("data").size)
+      .map(r2.get("data").get(_))
+      .map(n => n.get("table_name").asText -> n).toMap
+    assert(byName("quality_scores").get("virtual").asBoolean)
+    assert(byName("quality_scores").get("n_columns").asInt === 2)
+    assert(!byName("events").get("virtual").asBoolean)
+  }
+
   test("evaluation frames publish as views: JX edges over the " +
        "calibration table, JX top-k over chi2 features") {
     import org.apache.spark.sql.functions._
