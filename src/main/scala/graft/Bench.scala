@@ -40,28 +40,42 @@ object Bench {
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
+        var failed = false
         val times = (1 to iters).map { _ =>
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          try { fn(spark, sfDir).count() }
+          catch { case _: Throwable => failed = true; -1L }
           val dt = (System.nanoTime() - t0) / 1e9
           cleanup()
           dt
         }
-        (name, times.min, times.max)
+        (name, times.min, times.max, failed)
     }
-    val qs = results.map { case (k, mn, _) => s"\"" + k + "\":" + mn }
+    val qs = results.map { case (k, mn, _, _) => s"\"" + k + "\":" + mn }
       .mkString("{", ",", "}")
     // dispersion: max/min per query — ~1.0 means the reading is stable
     // Locale.ROOT: the f-interpolator is locale-sensitive — a
     // comma-decimal default locale would print 1,23 and corrupt the
     // JSON line the driver parses
-    val spread = results.map { case (k, mn, mx) =>
+    val spread = results.map { case (k, mn, mx, _) =>
       s"\"" + k + "\":" + (if (mn > 0)
         String.format(java.util.Locale.ROOT, "%.2f",
           Double.box(mx / mn)) else "null")
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"queries":$qs,"spread":$spread,"sf":"$sfDir"}""")
+    // crashed queries are named OUT LOUD: their "times" are
+    // time-to-throw, not runtimes — without this list a plan-time
+    // crash reads as a fast query (the round-6 lesson)
+    val errs = results.filter(_._4).map("\"" + _._1 + "\"")
+      .mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"queries":$qs,"spread":$spread,"errors":$errs,"sf":"$sfDir"}"""
+    println(line)
+    // the same dict as a standalone artifact: stdout gets interleaved
+    // with sbt/log4j noise and truncation-prone tails (BENCH_r06's
+    // parsed:null) — a file survives intact
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "bench_out.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line)
     spark.stop()
   }
 }
