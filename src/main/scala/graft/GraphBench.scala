@@ -68,7 +68,7 @@ object GraphBench {
         yield (base + i, base + j)
     }.toDF("src", "dst")
     val skewed = star.unionByName(cliqueEdges).localCheckpoint()
-    val expectTris = nClique * 4 * 4 // 4 triangles/clique × 3 corners... checked below
+    val expectTris = nClique * 4 * 3 // 4 triangles/clique × 3 corners
     val (nTriOriented, tOriented) = time {
       Graph.triangleCounts(skewed)
         .agg(sum(col("triangles"))).as[Long].head()

@@ -7,7 +7,7 @@ import graft.etl.{Lineage, LogParse, MozLog}
 import graft.jx.{Formats, QueryParser, Runner}
 import graft.llm.{Contamination, Dedup, Multimodal, Pipelines, Similarity, TextAnalysis}
 import graft.meta.MetaColumns
-import graft.operators.{Joins, Sessionize, SetOps}
+import graft.operators.{CountMin, Joins, Sessionize, SetOps}
 import graft.streaming.EventStream
 import graft.tables.Catalog
 
@@ -2938,6 +2938,77 @@ object SparkEntry {
         .select(col("node"), round(col("pr"), 12).as("pr"))
         .orderBy(col("pr").desc, col("node").asc)
         .limit(100)
+    },
+
+    // --- EXACT all-pairs Jaccard via PREFIX FILTERING (AllPairs/
+    //     PPJoin): q43's corpus with NO df cap — the oracle computes
+    //     the full uncapped truth and the prefix-filtered path must
+    //     equal it exactly (the filter is lossless by pigeonhole;
+    //     the df-cap it replaces silently drops hot shingles) ---
+    "q150_prefix_filter_jaccard" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+      val truncated = docs.select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        col("text").substr(lit(1),
+          greatest(length(col("text")) - 30, lit(1))).as("text"))
+      val corpus = docs.select(col("doc_id"), col("text"))
+        .unionByName(truncated)
+      val staged = corpus.select(col("doc_id").as("id"),
+        TextAnalysis.shingleHashes(col("text"), 3).as("s"))
+      Dedup.prefixFilterJaccardPairs(staged, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // --- reciprocal-rank fusion of the q81 tf-idf and q83 BM25
+    //     rankings (same 3-term query): ranks over ROUNDED scores so
+    //     a libm last-ULP can never flip an order across engines; the
+    //     fused score is a fixed-order sum of exact IEEE divisions,
+    //     hash-compared UNROUNDED ---
+    "q151_rank_fusion" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+      val terms = Seq("spark", "query", "vector")
+      val t = graft.llm.Relevance.tfidfScores(docs, col("doc_id"),
+          col("text"), terms)
+        .select(col("id"), round(col("score"), 6).as("score"))
+      val b = graft.llm.Relevance.bm25Scores(docs, col("doc_id"),
+          col("text"), terms)
+        .select(col("id"), round(col("score"), 6).as("score"))
+      graft.llm.Relevance.reciprocalRankFusion(Seq(t, b), k = 60)
+        .select(col("id").as("doc_id"),
+          col("rank_0").as("rank_tfidf"), col("rank_1").as("rank_bm25"),
+          col("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(50)
+    },
+
+    // --- count-min sketch (d=4, w=1024) over the token stream,
+    //     probed with 20 fixed watchlist tokens: est ≥ true always
+    //     (the sketch never undercounts), and the md5 hashes are
+    //     portable so the oracle rebuilds the SAME sketch and the
+    //     estimates hash-compare exactly — integer arithmetic only ---
+    "q152_count_min" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+      val toks = docs.select(
+        explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      val sketch = CountMin.build(toks, col("tok"), depth = 4,
+        width = 1024)
+      val watch = Seq("the", "and", "spark", "query", "vector", "de",
+        "la", "und", "der", "data", "of", "to", "le", "les", "el",
+        "en", "für", "avec", "con", "zzzabsent")
+      import spark.implicits._
+      val probes = watch.toDF("tok")
+      val truth = toks.join(probes, Seq("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("true_n"))
+      CountMin.estimate(sketch, probes, col("tok"), depth = 4,
+          width = 1024)
+        .withColumnRenamed("key", "tok")
+        .join(probes, Seq("tok"))
+        .join(truth, Seq("tok"), "left")
+        .select(col("tok"), col("est"),
+          coalesce(col("true_n"), lit(0L)).as("true_n"),
+          (col("est") >= coalesce(col("true_n"), lit(0L)))
+            .as("never_undercounts"))
+        .orderBy(col("tok"))
     }
   )
 
@@ -5794,7 +5865,119 @@ object SparkEntry {
              FROM n CROSS JOIN nn CROSS JOIN d3
                     LEFT JOIN s3 ON n.node = s3.node)
       SELECT node, round(pr, 12) AS pr FROM p3
-      ORDER BY round(pr, 12) DESC, node LIMIT 100"""
+      ORDER BY round(pr, 12) DESC, node LIMIT 100""",
+
+    // the UNCAPPED exact Jaccard truth (q43's oracle minus the df
+    // cap): the prefix-filtered engine path must match it exactly
+    "q150_prefix_filter_jaccard" -> """
+      WITH base AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000,
+               substring(text, 1, greatest(length(text) - 30, 1))
+        FROM documents),
+      tk AS (SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                           x -> length(x) > 0) AS toks
+             FROM base),
+      sh AS (SELECT doc_id,
+               CASE WHEN len(toks) >= 3 THEN
+                      list_distinct(list_transform(
+                        generate_series(1, len(toks) - 2),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                    WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+                    ELSE [] END AS s
+             FROM tk),
+      ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      sz AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       count(*) AS n_shared
+                FROM ex a JOIN ex b
+                  ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+      SELECT id_a, id_b,
+             round(CAST(n_shared AS DOUBLE)
+                   / (sa.sz + sb.sz - n_shared), 6) AS jaccard
+      FROM inter
+      JOIN sz sa ON sa.doc_id = id_a
+      JOIN sz sb ON sb.doc_id = id_b
+      WHERE round(CAST(n_shared AS DOUBLE)
+                  / (sa.sz + sb.sz - n_shared), 6) >= 0.5
+      ORDER BY id_a, id_b""",
+
+    // tf-idf and BM25 replicated from q81/q83 (rounded 6), then
+    // row_number ranks (score desc, id) and the RRF sum in fixed
+    // order — every post-rounding op is exact IEEE in both engines
+    "q151_rank_fusion" -> """
+      WITH tt AS (SELECT doc_id, list_filter(
+          string_split_regex(lower(trim(text)), '\s+'),
+          x -> length(x) > 0) AS toks
+        FROM documents),
+      f AS (SELECT doc_id, tok, count(*) AS tf FROM (
+              SELECT doc_id, unnest(toks) AS tok FROM tt)
+            WHERE tok IN ('spark', 'query', 'vector') GROUP BY 1, 2),
+      d AS (SELECT tok, count(*) AS df FROM f GROUP BY 1),
+      n AS (SELECT count(*) AS n FROM documents),
+      tfidf AS (SELECT doc_id,
+                  round(sum(tf * (ln((n.n + 1.0) / (d.df + 1.0))
+                    + 1.0)), 6) AS score
+                FROM f JOIN d USING (tok) CROSS JOIN n
+                GROUP BY doc_id),
+      s AS (SELECT count(*) AS n,
+              CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avglen
+            FROM tt),
+      l AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS len FROM tt),
+      bm25 AS (SELECT f.doc_id,
+                 round(sum(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                   * (f.tf * 2.2 / (f.tf + (l.len / s.avglen * 0.75
+                                            + 0.25) * 1.2))), 6) AS score
+               FROM f JOIN d USING (tok) CROSS JOIN s
+                      JOIN l ON f.doc_id = l.doc_id
+               GROUP BY f.doc_id),
+      rt AS (SELECT doc_id, row_number() OVER
+               (ORDER BY score DESC, doc_id) AS ra FROM tfidf),
+      rb AS (SELECT doc_id, row_number() OVER
+               (ORDER BY score DESC, doc_id) AS rb FROM bm25),
+      fused AS (SELECT coalesce(rt.doc_id, rb.doc_id) AS doc_id,
+                       rt.ra, rb.rb
+                FROM rt FULL OUTER JOIN rb ON rt.doc_id = rb.doc_id)
+      SELECT doc_id, ra AS rank_tfidf, rb AS rank_bm25,
+             coalesce(1.0 / (60 + ra), 0) + coalesce(1.0 / (60 + rb), 0)
+               AS rrf
+      FROM fused ORDER BY rrf DESC, doc_id LIMIT 50""",
+
+    // the SAME sketch rebuilt: md5("j_tok") 16-bit buckets mod 1024,
+    // occupied (j,bucket) cell counts, min over the 4 probed cells —
+    // integer arithmetic end to end, no tolerance anywhere
+    "q152_count_min" -> """
+      WITH toks AS (SELECT unnest(list_filter(
+          string_split_regex(lower(trim(text)), '\s+'),
+          x -> length(x) > 0)) AS tok FROM documents),
+      js AS (SELECT unnest(generate_series(0, 3)) AS j),
+      cells AS (SELECT j,
+                  CAST(('0x' || substring(md5(
+                    CAST(j AS VARCHAR) || '_' || tok), 1, 4))
+                    AS INTEGER) % 1024 AS bucket,
+                  count(*) AS n
+                FROM toks, js GROUP BY 1, 2),
+      watch AS (SELECT unnest(['the','and','spark','query','vector',
+                  'de','la','und','der','data','of','to','le','les',
+                  'el','en','für','avec','con','zzzabsent']) AS tok),
+      probes AS (SELECT tok, j,
+                   CAST(('0x' || substring(md5(
+                     CAST(j AS VARCHAR) || '_' || tok), 1, 4))
+                     AS INTEGER) % 1024 AS bucket
+                 FROM watch, js),
+      est AS (SELECT tok, CAST(min(coalesce(c.n, 0)) AS BIGINT) AS est
+              FROM probes p LEFT JOIN cells c USING (j, bucket)
+              GROUP BY tok),
+      truth AS (SELECT tok, CAST(count(*) AS BIGINT) AS true_n
+                FROM toks JOIN watch USING (tok) GROUP BY 1)
+      SELECT w.tok, est,
+             coalesce(true_n, 0) AS true_n,
+             est >= coalesce(true_n, 0) AS never_undercounts
+      FROM watch w JOIN est USING (tok) LEFT JOIN truth USING (tok)
+      ORDER BY w.tok"""
   )
 
   /** Full SCD2 rebuild from the complete event log — the shared

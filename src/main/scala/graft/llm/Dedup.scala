@@ -166,6 +166,66 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** EXACT all-pairs Jaccard via PREFIX FILTERING — the AllPairs/
+    * PPJoin family recipe (Bayardo et al. 2007 "Scaling Up All Pairs
+    * Similarity Search", Xiao et al. 2008; public recipes re-derived
+    * in DataFrame form): order every doc's shingles by GLOBAL rarity
+    * (df asc, shingle asc); a pair with J ≥ t must share at least one
+    * shingle within each doc's first |d| − ⌈t·|d|⌉ + 1 shingles
+    * (pigeonhole: J ≥ t ⇒ |x∩y| ≥ t·|x∪y| ≥ ⌈t·|x|⌉), so the
+    * candidate join runs over PREFIX postings only and exact
+    * verification recovers precision.
+    *
+    * Unlike the df-cap ([[ngramJaccardPairsFromShingles]]'s maxDf,
+    * which silently DROPS hot boilerplate shingles from the measured
+    * space), this is LOSSLESS: hot shingles sort last per doc, so
+    * they almost never enter a prefix — the boilerplate explosion is
+    * avoided without changing the answer. The length filter
+    * (t·|x| ≤ |y| ≤ |x|/t) prunes size-incompatible candidates
+    * before the verify join.
+    *
+    * Plan: one df census (partial-agg shuffle), one per-doc window
+    * (shuffle by id, bounded by doc shingle count), prefix-postings
+    * equi-join, then the verify join against the staged full sets —
+    * every join an equi-join, no driver state. ⌈t·sz⌉ is computed
+    * with a 1e-9 slack so an FP product landing a hair ABOVE the true
+    * integer can only LENGTHEN a prefix (exactness preserved), never
+    * shorten it. */
+  def prefixFilterJaccardPairs(shingled: DataFrame,
+                               threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingled
+      .select(col("id"), array_distinct(col("s")).as("s"))
+      .filter(size(col("s")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ex = sh.select(col("id"), explode(col("s")).as("g"))
+    val census = ex.groupBy(col("g")).agg(count(lit(1)).as("__df"))
+    val w = Window.partitionBy(col("id")).orderBy(col("__df"), col("g"))
+    val positioned = ex.join(census, Seq("g"))
+      .select(col("id"), col("g"),
+        row_number().over(w).as("__pos"),
+        count(lit(1)).over(Window.partitionBy(col("id"))).as("__sz"))
+    def minOverlap(sz: org.apache.spark.sql.Column) =
+      ceil(lit(threshold) * sz - lit(1e-9))
+    val prefix = positioned
+      .filter(col("__pos") <= col("__sz") - minOverlap(col("__sz")) + 1)
+      .select(col("g"), col("id"), col("__sz"))
+    val cand = prefix.select(col("g"), col("id").as("id_a"),
+        col("__sz").as("__sz_a"))
+      .join(prefix.select(col("g"), col("id").as("id_b"),
+        col("__sz").as("__sz_b")), Seq("g"))
+      .filter(col("id_a") < col("id_b") &&
+        col("__sz_b") >= minOverlap(col("__sz_a")) &&
+        col("__sz_a") >= minOverlap(col("__sz_b")))
+      .select(col("id_a"), col("id_b")).distinct()
+    cand
+      .join(sh.select(col("id").as("id_a"), col("s").as("sa")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("s").as("sb")), Seq("id_b"))
+      .withColumn("jaccard", round(jaccard(col("sa"), col("sb")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** CONTAINMENT pairs — the asymmetric near-subset complement to
     * Jaccard: containment(A→B) = |g(A) ∩ g(B)| / |g(A)| over the
     * df-capped shingle space. A short doc pasted whole into a longer

@@ -57,6 +57,40 @@ object Relevance {
       .agg(sum(idf * norm).as("score"))
   }
 
+  /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009, public
+    * recipe): fuse N (id, score) rankings into one —
+    * rrf(d) = Σ_i 1/(k + rank_i(d)), documents absent from a ranking
+    * contribute nothing. Ranks are row_numbers by (score desc, id asc)
+    * — CALLERS should pre-round engine-dependent scores (ln-based
+    * tf-idf/BM25) so a last-ULP difference can never flip a rank; the
+    * fused score itself is a fixed-order sum of exact IEEE divisions,
+    * hash-comparable unrounded.
+    *
+    * `partitionCols` scopes ranks (and the id join) per group — the
+    * per-query form. Without it the window is GLOBAL: correct only for
+    * bounded rescoring inputs (top-k lists), not corpus-wide frames —
+    * the same single-partition hazard as any global row_number. Output:
+    * (partitionCols…, id, rank_0…rank_{n-1}, rrf). */
+  def reciprocalRankFusion(rankings: Seq[DataFrame], k: Int = 60,
+                           partitionCols: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(rankings.nonEmpty, "need at least one ranking")
+    val w0 = if (partitionCols.isEmpty) Window.partitionBy()
+      else Window.partitionBy(partitionCols.map(col): _*)
+    val ranked = rankings.zipWithIndex.map { case (r, i) =>
+      r.select((partitionCols :+ "id").map(col) :+
+        row_number().over(w0.orderBy(col("score").desc, col("id").asc))
+          .as(s"rank_$i"): _*)
+    }
+    val keys = partitionCols :+ "id"
+    val joined = ranked.reduce((a, b) => a.join(b, keys, "full_outer"))
+    val terms = rankings.indices.map(i =>
+      when(col(s"rank_$i").isNotNull,
+        lit(1.0) / (lit(k.toDouble) + col(s"rank_$i")))
+        .otherwise(lit(0.0)))
+    joined.withColumn("rrf", terms.reduce(_ + _))
+  }
+
   /** (id, __len, tok, tf) for tokens ∈ terms — the filter runs inside
     * the row's token array, so only query-term hits are ever exploded;
     * the doc's token count is emitted from the same projection (`__len`

@@ -271,6 +271,38 @@ class DedupSpec extends SparkSpec {
       (x <= 4) != (y <= 4) })
   }
 
+  test("prefixFilterJaccardPairs: LOSSLESS law — equals the uncapped " +
+      "exact pairs, including pairs a df-cap would drop") {
+    // 6 docs sharing one hot boilerplate sentence + per-pair unique
+    // tails: every pair's similarity flows THROUGH the hot shingles,
+    // so a df-cap (maxDf=4 < 6 docs) drops real pairs — the prefix
+    // filter must keep them while never inventing others
+    val boiler = "all rights reserved contact support for help with this"
+    val corpus = (0L until 6L).map(i =>
+      (i, s"$boiler unique tail ${i % 2} marker")) ++ Seq(
+      (10L, "completely different text about brown foxes and lazy dogs"),
+      (11L, "completely different text about brown foxes and lazy cats"))
+    val staged = corpus.toDF("id", "text")
+      .select($"id", TextAnalysis.shingleHashes($"text", 3).as("s"))
+      .persist()
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+    val uncapped = pairSet(Dedup.ngramJaccardPairsFromShingles(
+      staged, threshold = 0.5, maxDf = 0))
+    val capped = pairSet(Dedup.ngramJaccardPairsFromShingles(
+      staged, threshold = 0.5, maxDf = 4))
+    val prefixed = pairSet(Dedup.prefixFilterJaccardPairs(
+      staged, threshold = 0.5))
+    assert(prefixed === uncapped, "prefix filtering must be lossless")
+    assert(capped.map(p => (p._1, p._2))
+      .subsetOf(uncapped.map(p => (p._1, p._2))))
+    assert(capped.size < uncapped.size,
+      "the fixture must make the df-cap actually lossy " +
+        s"(capped=${capped.size} uncapped=${uncapped.size})")
+    staged.unpersist()
+  }
+
   test("embeddingPairs bucketCap: guarded pairs are a subset of " +
       "unguarded, multi-table redundancy keeps near-full recall, and " +
       "the worst bucket is bounded") {
