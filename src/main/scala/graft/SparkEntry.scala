@@ -7,7 +7,7 @@ import graft.etl.{Lineage, LogParse, MozLog}
 import graft.jx.{Formats, QueryParser, Runner}
 import graft.llm.{Contamination, Dedup, Multimodal, Pipelines, Similarity, TextAnalysis}
 import graft.meta.MetaColumns
-import graft.operators.{CountMin, Joins, Sessionize, SetOps}
+import graft.operators.{CountMin, Joins, Kmv, Sessionize, SetOps}
 import graft.streaming.EventStream
 import graft.tables.Catalog
 
@@ -3009,6 +3009,44 @@ object SparkEntry {
           (col("est") >= coalesce(col("true_n"), lit(0L)))
             .as("never_undercounts"))
         .orderBy(col("tok"))
+    },
+
+    // --- KMV distinct-count sketch (k=256) on l_orderkey: portable
+    //     md5 hashes, so the oracle rebuilds the same k smallest and
+    //     the (k−1)·2⁴⁸/h_k estimate is bit-identical — a sketch
+    //     whose accuracy claim is CHECKED, not assumed ---
+    "q153_kmv_distinct" -> { (spark, dir) =>
+      val li = tbl(spark, dir, "lineitem")
+      val k = 256
+      val est = Kmv.estimate(Kmv.sketch(li, col("l_orderkey"), k), k)
+      val exact = li.agg(
+        countDistinct(col("l_orderkey")).cast("double").as("n_exact"))
+      est.crossJoin(exact)
+        .select(round(col("distinct_est"), 6).as("distinct_est"),
+          col("n_exact"),
+          (abs(col("distinct_est") - col("n_exact")) <=
+            col("n_exact") * 0.2).as("within_20pct"))
+    },
+
+    // --- CMS inner-product JOIN-SIZE estimate: size lineitem ⋈
+    //     orders(⅓ sample) from two fixed d·w sketches without
+    //     touching either table again; never undercounts, and the
+    //     oracle rebuilds both sketches exactly ---
+    "q154_cms_join_size" -> { (spark, dir) =>
+      val li = tbl(spark, dir, "lineitem")
+        .select(col("l_orderkey").as("k"))
+      val ord = tbl(spark, dir, "orders")
+        .filter(pmod(col("o_orderkey"), lit(3)) === 0)
+        .select(col("o_orderkey").as("k"))
+      val est = CountMin.joinSizeEstimate(
+        CountMin.build(li, col("k"), depth = 4, width = 4096),
+        CountMin.build(ord, col("k"), depth = 4, width = 4096))
+      val truth = li.join(ord, Seq("k"))
+        .agg(count(lit(1)).as("true_join"))
+      est.crossJoin(truth)
+        .select(col("join_size_est"), col("true_join"),
+          (col("join_size_est") >= col("true_join"))
+            .as("never_undercounts"))
     }
   )
 
@@ -5977,7 +6015,48 @@ object SparkEntry {
              coalesce(true_n, 0) AS true_n,
              est >= coalesce(true_n, 0) AS never_undercounts
       FROM watch w JOIN est USING (tok) LEFT JOIN truth USING (tok)
-      ORDER BY w.tok"""
+      ORDER BY w.tok""",
+
+    // same 48-bit md5 hashes, same k smallest, same (k-1)*2^48/h_k
+    // division — the estimate is one deterministic IEEE op chain
+    "q153_kmv_distinct" -> """
+      WITH h AS (SELECT DISTINCT CAST(('0x' || substring(md5(
+                   CAST(l_orderkey AS VARCHAR)), 1, 12)) AS BIGINT) AS h
+                 FROM lineitem),
+      k AS (SELECT h FROM h ORDER BY h LIMIT 256),
+      agg AS (SELECT count(*) AS c, max(h) AS hk FROM k),
+      est AS (SELECT CASE WHEN c < 256 THEN CAST(c AS DOUBLE)
+                          ELSE CAST(255 AS DOUBLE)
+                               * CAST(281474976710656 AS DOUBLE)
+                               / CAST(hk AS DOUBLE) END AS e
+              FROM agg),
+      ex AS (SELECT CAST(count(DISTINCT l_orderkey) AS DOUBLE)
+               AS n_exact FROM lineitem)
+      SELECT round(e, 6) AS distinct_est, n_exact,
+             abs(e - n_exact) <= n_exact * 0.2 AS within_20pct
+      FROM est, ex""",
+
+    // both sketches rebuilt cell-for-cell; inner product per hash row,
+    // min over rows — integer arithmetic end to end
+    "q154_cms_join_size" -> """
+      WITH js AS (SELECT unnest(generate_series(0, 3)) AS j),
+      a AS (SELECT j, CAST(('0x' || substring(md5(
+               CAST(j AS VARCHAR) || '_' || CAST(l_orderkey AS VARCHAR)),
+               1, 4)) AS INTEGER) % 4096 AS bucket, count(*) AS na
+            FROM lineitem, js GROUP BY 1, 2),
+      b AS (SELECT j, CAST(('0x' || substring(md5(
+               CAST(j AS VARCHAR) || '_' || CAST(o_orderkey AS VARCHAR)),
+               1, 4)) AS INTEGER) % 4096 AS bucket, count(*) AS nb
+            FROM orders, js WHERE o_orderkey % 3 = 0 GROUP BY 1, 2),
+      ip AS (SELECT a.j, CAST(sum(na * nb) AS BIGINT) AS ip
+             FROM a JOIN b USING (j, bucket) GROUP BY 1),
+      est AS (SELECT CAST(min(ip) AS BIGINT) AS join_size_est FROM ip),
+      t AS (SELECT CAST(count(*) AS BIGINT) AS true_join
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderkey % 3 = 0)
+      SELECT join_size_est, true_join,
+             join_size_est >= true_join AS never_undercounts
+      FROM est, t"""
   )
 
   /** Full SCD2 rebuild from the complete event log — the shared

@@ -44,6 +44,21 @@ object CountMin {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Equi-join SIZE estimate from two sketches built with the same
+    * (depth, width): est = min_j Σ_b a[j][b]·b[j][b] — the sketch
+    * inner product, an upper bound on the true Σ_k f_A(k)·f_B(k)
+    * (AMS/CMS inner-product estimate, Cormode & Muthukrishnan §4.2).
+    * This is the optimizer-facing use: size a prospective join from
+    * two fixed-size synopses without touching either input again.
+    * Cost: one ≤ d·w-row join of the two sketches. */
+  def joinSizeEstimate(sketchA: DataFrame, sketchB: DataFrame)
+      : DataFrame =
+    sketchA.withColumnRenamed("n", "__na")
+      .join(sketchB.withColumnRenamed("n", "__nb"), Seq("j", "bucket"))
+      .groupBy(col("j"))
+      .agg(sum(col("__na") * col("__nb")).as("__ip"))
+      .agg(min(col("__ip")).as("join_size_est"))
+
   /** Point-estimate the frequency of each probe key against a built
     * sketch: est = min over the d cells the key hashes to (an absent
     * cell is 0 — the key was never seen under that hash row). The

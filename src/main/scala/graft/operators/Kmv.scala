@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** K-minimum-values distinct-count sketch (Bar-Yossef et al. 2002 /
+  * Beyer et al. 2007 "Distinct-value synopses", public recipe): hash
+  * every key uniformly into [0, 2⁴⁸), keep the k smallest DISTINCT
+  * hash values; with t = h_k/2⁴⁸ the unbiased estimate is (k−1)/t.
+  * Under k distinct keys the sketch IS the distinct set — exact.
+  *
+  * Where the engine's HLL (`approx_count_distinct`, q67) is the
+  * black-box scale path, KMV is the PORTABLE one: md5-derived hashes
+  * mean a SQL oracle rebuilds the same sketch and the estimate
+  * compares bit-for-bit — no tolerance, no probabilistic assertion.
+  * Sketches MERGE by re-taking the k smallest of the union (the
+  * shard-parallel / streaming form), and the same sketch answers
+  * set-union cardinalities for free.
+  *
+  * Scale shape: the k smallest per partition flow to one TakeOrdered
+  * merge (k·partitions rows on the driver-side merge, like any
+  * top-k); everything else is row-local hashing. */
+object Kmv {
+
+  private val Pow48 = 281474976710656.0 // 2^48 as an exact double
+
+  /** 48-bit md5 hash of a key — uniform, portable, collision odds
+    * ~n²/2⁴⁹ (negligible at sketch scale and identical in the
+    * oracle's replay either way). */
+  def h48(key: Column): Column =
+    conv(substring(md5(key.cast("string")
+        .cast(org.apache.spark.sql.types.BinaryType)), 1, 12), 16, 10)
+      .cast("long")
+
+  /** The sketch: k smallest distinct hash values of the key stream. */
+  def sketch(keys: DataFrame, key: Column, k: Int): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2")
+    keys.select(h48(key).as("h")).distinct()
+      .orderBy(col("h")).limit(k)
+  }
+
+  /** Merge shard sketches: k smallest of the union — identical to
+    * sketching the concatenated stream. */
+  def merge(sketches: Seq[DataFrame], k: Int): DataFrame =
+    sketches.reduce(_ unionAll _).distinct()
+      .orderBy(col("h")).limit(k)
+
+  /** Distinct-count estimate from a sketch built with this `k`:
+    * (k−1)·2⁴⁸/h_k, or the exact count when fewer than k distinct
+    * keys exist. One 1-row aggregate. */
+  def estimate(sk: DataFrame, k: Int): DataFrame =
+    sk.agg(count(lit(1)).as("__c"), max(col("h")).as("__hk"))
+      .select(
+        when(col("__c") < k, col("__c").cast("double"))
+          .otherwise(lit((k - 1).toDouble * Pow48) /
+            col("__hk").cast("double"))
+          .as("distinct_est"))
+}
