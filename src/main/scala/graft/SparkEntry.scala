@@ -3047,6 +3047,30 @@ object SparkEntry {
         .select(col("join_size_est"), col("true_join"),
           (col("join_size_est") >= col("true_join"))
             .as("never_undercounts"))
+    },
+
+    // --- positional phrase search: a marker sentence is appended to
+    //     every 7th doc (self-constructed, so testdata regeneration
+    //     can't invalidate the phrase), the corpus is indexed once as
+    //     (id, pos, tok) postings, and the 3-token phrase resolves by
+    //     aligned-offset postings joins anchored at the rarest token.
+    //     Every 21st doc gets the marker TWICE — occurrence counts,
+    //     not just membership ---
+    "q155_phrase_search" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+      val marker = lit(" needle in the haystack marker")
+      val corpus = docs.select(col("doc_id"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(7)) === 0, marker)
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(21)) === 0, marker)
+            .otherwise(lit(""))).as("text"))
+      val idx = graft.llm.Phrase.postings(corpus, col("doc_id"),
+        col("text"))
+      graft.llm.Phrase.phraseOccurrences(idx,
+          Seq("needle", "in", "the"))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -6056,7 +6080,32 @@ object SparkEntry {
             WHERE o.o_orderkey % 3 = 0)
       SELECT join_size_est, true_join,
              join_size_est >= true_join AS never_undercounts
-      FROM est, t"""
+      FROM est, t""",
+
+    // consecutive-token scan over the same marker-extended corpus:
+    // count start positions where the 3 tokens align
+    "q155_phrase_search" -> """
+      WITH base AS (SELECT doc_id,
+              text
+              || CASE WHEN doc_id % 7 = 0
+                      THEN ' needle in the haystack marker'
+                      ELSE '' END
+              || CASE WHEN doc_id % 21 = 0
+                      THEN ' needle in the haystack marker'
+                      ELSE '' END AS text
+            FROM documents),
+      tk AS (SELECT doc_id, list_filter(
+               string_split_regex(lower(trim(text)), '\s+'),
+               x -> length(x) > 0) AS toks
+             FROM base),
+      occ AS (SELECT doc_id,
+                CAST(len(list_filter(
+                  generate_series(1, greatest(len(toks) - 2, 0)),
+                  i -> toks[i] = 'needle' AND toks[i+1] = 'in'
+                       AND toks[i+2] = 'the')) AS BIGINT) AS n_occ
+              FROM tk)
+      SELECT doc_id, n_occ FROM occ WHERE n_occ > 0
+      ORDER BY doc_id"""
   )
 
   /** Full SCD2 rebuild from the complete event log — the shared
