@@ -2960,19 +2960,24 @@ object SparkEntry {
     },
 
     // --- reciprocal-rank fusion of the q81 tf-idf and q83 BM25
-    //     rankings (same 3-term query): ranks over ROUNDED scores so
-    //     a libm last-ULP can never flip an order across engines; the
-    //     fused score is a fixed-order sum of exact IEEE divisions,
-    //     hash-compared UNROUNDED ---
+    //     rankings (same 3-term query): each input is its TOP-200
+    //     list (the real RRF shape — fusing retrieved lists, and the
+    //     orderBy().limit() is a distributed TakeOrdered, so the rank
+    //     window runs over 200 rows, never the corpus); ranks over
+    //     ROUNDED scores so a libm last-ULP can never flip an order
+    //     across engines; the fused score is a fixed-order sum of
+    //     exact IEEE divisions, hash-compared UNROUNDED ---
     "q151_rank_fusion" -> { (spark, dir) =>
       val docs = tbl(spark, dir, "documents")
       val terms = Seq("spark", "query", "vector")
       val t = graft.llm.Relevance.tfidfScores(docs, col("doc_id"),
           col("text"), terms)
         .select(col("id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("id").asc).limit(200)
       val b = graft.llm.Relevance.bm25Scores(docs, col("doc_id"),
           col("text"), terms)
         .select(col("id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("id").asc).limit(200)
       graft.llm.Relevance.reciprocalRankFusion(Seq(t, b), k = 60)
         .select(col("id").as("doc_id"),
           col("rank_0").as("rank_tfidf"), col("rank_1").as("rank_bm25"),
@@ -5996,10 +6001,14 @@ object SparkEntry {
                FROM f JOIN d USING (tok) CROSS JOIN s
                       JOIN l ON f.doc_id = l.doc_id
                GROUP BY f.doc_id),
+      topt AS (SELECT doc_id, score FROM tfidf
+               ORDER BY score DESC, doc_id LIMIT 200),
+      topb AS (SELECT doc_id, score FROM bm25
+               ORDER BY score DESC, doc_id LIMIT 200),
       rt AS (SELECT doc_id, row_number() OVER
-               (ORDER BY score DESC, doc_id) AS ra FROM tfidf),
+               (ORDER BY score DESC, doc_id) AS ra FROM topt),
       rb AS (SELECT doc_id, row_number() OVER
-               (ORDER BY score DESC, doc_id) AS rb FROM bm25),
+               (ORDER BY score DESC, doc_id) AS rb FROM topb),
       fused AS (SELECT coalesce(rt.doc_id, rb.doc_id) AS doc_id,
                        rt.ra, rb.rb
                 FROM rt FULL OUTER JOIN rb ON rt.doc_id = rb.doc_id)
