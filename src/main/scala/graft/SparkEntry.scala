@@ -3076,6 +3076,155 @@ object SparkEntry {
           Seq("needle", "in", "the"))
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))
+    },
+
+    // --- stream-stream LEFT OUTER interval join: views with no
+    //     purchase by the same user within 30 minutes emit with a
+    //     null right side once the watermark passes their interval.
+    //     The drain needs TWO things the inner join (q89) does not:
+    //     the whole real backlog in ONE micro-batch (single file +
+    //     maxFilesPerTrigger=1 — outer parity breaks if a match lands
+    //     after its view's interval passed the watermark) and a
+    //     far-future sentinel file per side so the FINAL watermark
+    //     passes every view's upper bound (outer state is not flushed
+    //     at stream end). Watermark is small (real out-of-orderness),
+    //     NOT backlogSpanWatermark — see leftOuterIntervalJoin docs.
+    "q156_stream_outer_join" -> { (spark, dir) =>
+      val events = EventStream.normalizeEventTime(
+          tbl(spark, dir, "events"))
+        .filter(pmod(col("user_id"), lit(3)) === 0 &&
+          col("event_type").isin("view", "purchase"))
+        .select(col("ts"), col("event_type"), col("user_id"),
+          col("event_id"))
+      val src = java.nio.file.Files.createTempDirectory("graft_q156src")
+        .toString
+      events.coalesce(1).write.mode("append").parquet(src)
+      // sentinels: 2024-03-01T00:00Z, far past every real event; the
+      // negative user ids can never join and are filtered from output
+      spark.createDataFrame(Seq(
+          (new java.sql.Timestamp(1709251200000L), "view", -1L, -1L),
+          (new java.sql.Timestamp(1709251200000L), "purchase", -2L, -2L)))
+        .toDF("ts", "event_type", "user_id", "event_id")
+        .coalesce(1).write.mode("append").parquet(src)
+      def stream = spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val views = stream.filter(col("event_type") === "view")
+        .select(col("user_id").as("a_user"), col("ts").as("a_ts"),
+          col("event_id").as("a_id"))
+      val purchases = stream.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("b_user"), col("ts").as("b_ts"))
+      val joined = EventStream.leftOuterIntervalJoin(
+        views, "a_ts", purchases, "b_ts",
+        col("a_user") === col("b_user") &&
+          col("b_ts") >= col("a_ts") &&
+          col("b_ts") <= col("a_ts") + expr("interval 30 minutes"),
+        watermark = "1 second")
+      EventStream.runToCompletion(spark, joined, mode = "append")
+        .filter(col("a_user") >= 0)
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("b_ts")).as("n_matched"),
+          sum(when(col("b_ts").isNull, 1L).otherwise(0L))
+            .as("n_unmatched"),
+          count_distinct(col("a_user")).as("n_users"),
+          min(when(col("b_ts").isNull, col("a_id")))
+            .as("min_unmatched_id"))
+    },
+
+    // --- per-entity exponential smoothing (EWMA, α = 1/2): the
+    //     classic streaming smoother as an order-fixed left fold over
+    //     each user's time-ordered values, seeded with the first
+    //     value. α = 1/2 keeps every step exact IEEE (×0.5 is an
+    //     exponent decrement; + is one rounding shared by both
+    //     engines), so the result hash-compares UNROUNDED against the
+    //     oracle's list_reduce over the same ordered list. State is
+    //     bounded by each user's OWN event count (the per-entity
+    //     analytics bound, same as the funnel/session family). ---
+    "q157_ewma" -> { (spark, dir) =>
+      val ev = tbl(spark, dir, "events")
+      ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          array_sort(collect_list(struct(col("ts"), col("event_id"),
+            col("value")))).as("__seq"))
+        .withColumn("__vals", expr("transform(__seq, x -> x.value)"))
+        .select(col("user_id"), col("n_events"),
+          expr("""aggregate(slice(__vals, 2, size(__vals)),
+                    element_at(__vals, 1),
+                    (s, x) -> 0.5 * x + 0.5 * s)""").as("ewma"))
+        .orderBy(col("user_id"))
+    },
+
+    // --- first-order Markov transition mining over per-user event
+    //     sequences: lag inside a user-partitioned window (entity-
+    //     keyed — never global) pairs each event with its
+    //     predecessor kind; transition counts aggregate and the
+    //     conditional probability is an exact integer ratio (one
+    //     IEEE division, bit-identical across engines unrounded).
+    //     The probability window runs over the |kinds|² count frame,
+    //     not the corpus. ---
+    "q158_markov_transitions" -> { (spark, dir) =>
+      val ev = tbl(spark, dir, "events")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val pairs = ev
+        .select(col("user_id"), col("event_type"), col("ts"),
+          col("event_id"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+      val counts = pairs.groupBy(col("prev_type"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val wp = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("prev_type"))
+      counts
+        .withColumn("p", col("n").cast("double") /
+          sum(col("n")).over(wp).cast("double"))
+        .orderBy(col("prev_type"), col("event_type"))
+    },
+
+    // --- calendar gap-fill / resample: the complete per-type daily
+    //     grid (min..max day × distinct types), daily counts
+    //     zero-filled, gap days flagged, and the last observed daily
+    //     count carried forward (last-ignoreNulls over a
+    //     type-partitioned window — the window runs over the
+    //     |days|×|types| grid, never the event log). TimeDomain (q04)
+    //     densifies one dimension; this is the two-dimensional
+    //     product with forward-fill — the time-series resampling
+    //     shape. ---
+    "q159_gap_fill" -> dated("day")({ (spark, dir) =>
+      val ev = tbl(spark, dir, "events")
+      val daily = ev.groupBy(col("event_type"),
+          date_trunc("DAY", col("ts")).as("day"))
+        .agg(count(lit(1)).as("__n"))
+      val days = ev.agg(date_trunc("DAY", min(col("ts"))).as("__lo"),
+          date_trunc("DAY", max(col("ts"))).as("__hi"))
+        .select(explode(sequence(col("__lo"), col("__hi"),
+          expr("interval 1 day"))).as("day"))
+      val types = ev.select(col("event_type")).distinct()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      types.crossJoin(days)
+        .join(daily, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"),
+          coalesce(col("__n"), lit(0L)).as("n"),
+          col("__n").isNull.as("is_gap"),
+          last(col("__n"), ignoreNulls = true).over(w).as("carry_n"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
+    // --- boolean postings retrieval (must / mustNot) over the same
+    //     positional index as q155: rarest-first semi-join
+    //     intersection, anti-join exclusions last (Phrase
+    //     .booleanSearch) ---
+    "q160_boolean_search" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+      val idx = graft.llm.Phrase.postings(docs, col("doc_id"),
+        col("text"))
+      graft.llm.Phrase.booleanSearch(idx,
+          must = Seq("spark", "query"), mustNot = Seq("vector"))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -6114,6 +6263,75 @@ object SparkEntry {
                        AND toks[i+2] = 'the')) AS BIGINT) AS n_occ
               FROM tk)
       SELECT doc_id, n_occ FROM occ WHERE n_occ > 0
+      ORDER BY doc_id""",
+
+    "q156_stream_outer_join" -> """
+      WITH e AS (SELECT * FROM events WHERE user_id % 3 = 0),
+      v AS (SELECT user_id AS a_user, ts AS a_ts, event_id AS a_id
+            FROM e WHERE event_type = 'view'),
+      p AS (SELECT user_id AS b_user, ts AS b_ts
+            FROM e WHERE event_type = 'purchase'),
+      j AS (SELECT v.a_user, v.a_id, p.b_ts
+            FROM v LEFT JOIN p ON v.a_user = p.b_user
+              AND p.b_ts >= v.a_ts
+              AND p.b_ts <= v.a_ts + INTERVAL 30 MINUTE)
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(b_ts) AS BIGINT) AS n_matched,
+             CAST(sum(CASE WHEN b_ts IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_unmatched,
+             CAST(count(DISTINCT a_user) AS BIGINT) AS n_users,
+             min(CASE WHEN b_ts IS NULL THEN a_id END)
+               AS min_unmatched_id
+      FROM j""",
+
+    "q157_ewma" -> """
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             list_reduce(list(value ORDER BY ts, event_id),
+                         (s, x) -> 0.5 * x + 0.5 * s) AS ewma
+      FROM events GROUP BY user_id ORDER BY user_id""",
+
+    "q158_markov_transitions" -> """
+      WITH s AS (SELECT user_id, event_type,
+                        lag(event_type) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS prev_type
+                 FROM events),
+      c AS (SELECT prev_type, event_type, count(*) AS n
+            FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+      SELECT prev_type, event_type, CAST(n AS BIGINT) AS n,
+             CAST(n AS DOUBLE) /
+               CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
+      FROM c ORDER BY prev_type, event_type""",
+
+    "q159_gap_fill" -> """
+      WITH b AS (SELECT date_trunc('day', min(ts)) AS lo,
+                        date_trunc('day', max(ts)) AS hi FROM events),
+      d AS (SELECT unnest(generate_series((SELECT lo FROM b),
+                   (SELECT hi FROM b), INTERVAL 1 DAY)) AS day),
+      t AS (SELECT DISTINCT event_type FROM events),
+      s AS (SELECT event_type, date_trunc('day', ts) AS day,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2)
+      SELECT t.event_type, CAST(d.day AS DATE) AS day,
+             CAST(coalesce(s.n, 0) AS BIGINT) AS n,
+             s.n IS NULL AS is_gap,
+             CAST(last_value(s.n IGNORE NULLS) OVER
+               (PARTITION BY t.event_type ORDER BY d.day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS carry_n
+      FROM t CROSS JOIN d LEFT JOIN s
+        ON s.event_type = t.event_type AND s.day = d.day
+      ORDER BY t.event_type, d.day""",
+
+    "q160_boolean_search" -> """
+      WITH tk AS (SELECT doc_id, unnest(list_filter(
+                    string_split_regex(lower(trim(text)), '\s+'),
+                    x -> length(x) > 0)) AS t FROM documents),
+      d AS (SELECT doc_id,
+                   bool_or(t = 'spark') AS h1,
+                   bool_or(t = 'query') AS h2,
+                   bool_or(t = 'vector') AS h3
+            FROM tk GROUP BY doc_id)
+      SELECT doc_id FROM d WHERE h1 AND h2 AND NOT h3
       ORDER BY doc_id"""
   )
 

@@ -47,4 +47,33 @@ object Phrase {
     joined.filter(col("start") >= 0)
       .groupBy(col("id")).agg(count(lit(1)).as("n_occ"))
   }
+
+  /** Boolean retrieval over the same positional index: ids whose doc
+    * contains EVERY `must` term and NONE of the `mustNot` terms
+    * (IIR ch.1 postings intersection). Must-terms intersect as
+    * semi-joins ordered rarest-first — the candidate set starts at
+    * the min-df term's postings and only shrinks — and mustNot terms
+    * subtract as anti-joins LAST, when the candidate set is already
+    * minimal. Each term's postings are deduped to (id) before
+    * joining, so a term repeated within a doc costs one row, and the
+    * df lookup for the ordering reads |must| rows (loop-constant
+    * discipline, same as [[phraseOccurrences]]). */
+  def booleanSearch(postings: DataFrame, must: Seq[String],
+                    mustNot: Seq[String] = Seq.empty): DataFrame = {
+    require(must.nonEmpty, "boolean search needs at least one must term")
+    def docsWith(t: String) =
+      postings.filter(col("tok") === t).select(col("id")).distinct()
+    val dfs = postings.filter(col("tok").isin(must.distinct: _*))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (must.exists(t => !dfs.contains(t)))
+      return postings.sparkSession.range(0).select(col("id"))
+    val ordered = must.distinct.sortBy(t => (dfs(t), t))
+    val base = ordered.tail.foldLeft(docsWith(ordered.head)) { (acc, t) =>
+      acc.join(docsWith(t), Seq("id"), "left_semi")
+    }
+    mustNot.distinct.foldLeft(base) { (acc, t) =>
+      acc.join(docsWith(t), Seq("id"), "left_anti")
+    }
+  }
 }

@@ -358,10 +358,31 @@ object EventStream {
     * watermark this way; a production CONTINUOUS stream sizes the
     * watermark to its real out-of-orderness instead. */
   def intervalJoin(a: DataFrame, aTs: String, b: DataFrame, bTs: String,
-                   cond: Column, watermark: String): DataFrame =
+                   cond: Column, watermark: String,
+                   joinType: String = "inner"): DataFrame =
     a.withColumn(aTs, asEventTime(aTs)).withWatermark(aTs, watermark)
       .join(b.withColumn(bTs, asEventTime(bTs))
-        .withWatermark(bTs, watermark), cond)
+        .withWatermark(bTs, watermark), cond, joinType)
+
+  /** LEFT OUTER stream-stream interval join: inner matches emit as
+    * found; an UNMATCHED left row emits (with nulls on the right) only
+    * once the watermark passes its join-interval upper bound — before
+    * that, a matching right row could still arrive, so earlier
+    * emission would be wrong, and Spark buffers the row in state.
+    * Consequence for a static drain: the backlog needs a trailing
+    * sentinel batch whose event time pushes the watermark past every
+    * left row's interval (same recipe as the append-mode window flush
+    * in [[runToSink]]) — state at stream end is NOT flushed. The
+    * watermark here must reflect real out-of-orderness (NOT
+    * [[backlogSpanWatermark]]): outer emission waits for the watermark,
+    * so a span-sized delay would hold every unmatched row in state
+    * until a sentinel `span` past the data — deliver the whole real
+    * backlog in one micro-batch instead (single file +
+    * maxFilesPerTrigger) and keep the delay small. */
+  def leftOuterIntervalJoin(a: DataFrame, aTs: String, b: DataFrame,
+                            bTs: String, cond: Column,
+                            watermark: String): DataFrame =
+    intervalJoin(a, aTs, b, bTs, cond, watermark, "left_outer")
 
   /** Watermark delay covering a STATIC backlog's full event-time span
     * (+1 s margin): with this delay, no row of the backlog can fall

@@ -43,4 +43,21 @@ class PhraseSpec extends SparkSpec {
   test("absent token -> empty result, not an error") {
     assert(occ("unicorn", "the").isEmpty)
   }
+
+  private def search(must: Seq[String], not: Seq[String]): Set[Long] =
+    Phrase.booleanSearch(idx, must, not).as[Long].collect().toSet
+
+  test("boolean search: must-intersection, mustNot-exclusion") {
+    assert(search(Seq("the"), Seq.empty) === Set(1L, 3L))
+    assert(search(Seq("the", "cat"), Seq.empty) === Set(1L))
+    assert(search(Seq("the"), Seq("cat")) === Set(3L))
+    assert(search(Seq("the"), Seq("the")) === Set.empty)
+  }
+
+  test("boolean search: repeated doc-internal term still one id; " +
+      "absent must term -> empty; absent mustNot term is a no-op") {
+    assert(search(Seq("cat"), Seq.empty) === Set(1L, 2L))
+    assert(search(Seq("unicorn", "the"), Seq.empty) === Set.empty)
+    assert(search(Seq("cat"), Seq("unicorn")) === Set(1L, 2L))
+  }
 }

@@ -221,6 +221,53 @@ class EventStreamSpec extends SparkSpec {
     EventStream.runToCompletion(spark, joined, mode = "append").count()
   }
 
+  test("LAW: LEFT OUTER interval join — inner matches emit in-batch; " +
+      "unmatched rows flush ONLY once a sentinel batch pushes the " +
+      "watermark past their interval") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_loj").toString
+    def t(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    // ONE real batch: user 1 matches inside 30 min, user 2 never does
+    Seq((1L, t(0), "view"), (1L, t(10), "purchase"), (2L, t(5), "view"))
+      .toDF("user_id", "ts", "event_type")
+      .coalesce(1).write.mode("append").parquet(dir)
+    Thread.sleep(1100)
+    val schema = spark.read.parquet(dir).schema
+    def drain(): Seq[(Long, Boolean)] = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+      val views = stream.filter(col("event_type") === "view")
+        .select(col("user_id").as("a_user"), col("ts").as("a_ts"))
+      val purchases = stream.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("b_user"), col("ts").as("b_ts"))
+      val joined = EventStream.leftOuterIntervalJoin(
+        views, "a_ts", purchases, "b_ts",
+        col("a_user") === col("b_user") &&
+          col("b_ts") >= col("a_ts") &&
+          col("b_ts") <= col("a_ts") + expr("interval 30 minutes"),
+        watermark = "1 second")
+      EventStream.runToCompletion(spark, joined, mode = "append")
+        .filter(col("a_user") >= 0)
+        .select(col("a_user"), col("b_ts").isNotNull)
+        .as[(Long, Boolean)].collect().toSeq
+    }
+    // without a sentinel: the match emits, the unmatched view is
+    // STILL IN STATE at stream end (its interval never passed the
+    // watermark) — this is the trap the sentinel exists for
+    val without = drain()
+    assert(without === Seq((1L, true)),
+      s"only the inner match should emit without a sentinel: $without")
+    // sentinel file (far future, one row per side, negative users):
+    // final watermark passes every real interval -> outer rows flush
+    Seq((-1L, t(100000), "view"), (-2L, t(100000), "purchase"))
+      .toDF("user_id", "ts", "event_type")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val withSentinel = drain().sortBy(_._1)
+    assert(withSentinel === Seq((1L, true), (2L, false)),
+      s"sentinel must flush user 2 as unmatched: $withSentinel")
+  }
+
   test("streaming funnel: a LATE early-step event in a later " +
       "micro-batch revises the chain to the batch answer") {
     import spark.implicits._
