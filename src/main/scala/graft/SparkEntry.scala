@@ -3225,6 +3225,172 @@ object SparkEntry {
           must = Seq("spark", "query"), mustNot = Seq("vector"))
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))
+    },
+
+    // --- data-profiling operator: per-column row/null/distinct
+    //     counts + min/max, melted to one row per column — the
+    //     data-quality census every ingest pipeline runs first. ONE
+    //     pass over the table (a single wide agg; the per-column
+    //     stats ride the same scan), then a row-local explode of the
+    //     5-struct array. The count_distincts expand the agg ~5×; at
+    //     100 TB swap them for approx_count_distinct (the exact/
+    //     approx trade q67 oracles). Strings for min/max use
+    //     type-pinned formats (microsecond-padded timestamps,
+    //     DECIMAL(18,6) doubles) so both engines print identically. ---
+    "q161_profile" -> { (spark, dir) =>
+      val ev = tbl(spark, dir, "events")
+      def nulls(c: String) =
+        sum(when(col(c).isNull, 1L).otherwise(0L))
+      def longCol(c: String) = Seq(nulls(c).as(s"__nn_$c"),
+        count_distinct(col(c)).as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__mn_$c"),
+        max(col(c)).cast("string").as(s"__mx_$c"))
+      val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+      val wide = ev.agg(count(lit(1)).as("__n"),
+        (longCol("event_id") ++ longCol("user_id") ++
+          Seq(nulls("event_type").as("__nn_event_type"),
+            count_distinct(col("event_type")).as("__nd_event_type"),
+            min(col("event_type")).as("__mn_event_type"),
+            max(col("event_type")).as("__mx_event_type"),
+            nulls("ts").as("__nn_ts"),
+            count_distinct(col("ts")).as("__nd_ts"),
+            date_format(min(col("ts")), tsFmt).as("__mn_ts"),
+            date_format(max(col("ts")), tsFmt).as("__mx_ts"),
+            nulls("value").as("__nn_value"),
+            count_distinct(col("value")).as("__nd_value"),
+            min(col("value")).cast("decimal(18,6)").cast("string")
+              .as("__mn_value"),
+            max(col("value")).cast("decimal(18,6)").cast("string")
+              .as("__mx_value"))): _*)
+      def row(c: String) = struct(lit(c).as("col_name"),
+        col("__n").as("n_rows"), col(s"__nn_$c").as("n_nulls"),
+        col(s"__nd_$c").as("n_distinct"), col(s"__mn_$c").as("min_s"),
+        col(s"__mx_$c").as("max_s"))
+      wide.select(explode(array(row("event_id"), row("user_id"),
+          row("event_type"), row("ts"), row("value"))).as("p"))
+        .select(col("p.*")).orderBy(col("col_name"))
+    },
+
+    // --- robust per-group outlier detection (median/MAD): both
+    //     medians via ExactQuantile.quantileDisc — the distributed
+    //     histogram-refine rank selection (q137's scale path), so no
+    //     executor ever buffers a whole group. DISCRETE quantiles
+    //     select an actual data value (no interpolation), making med,
+    //     MAD and every |x−med| comparison bit-exact across engines —
+    //     the outlier count needs no rounding guard. ---
+    "q162_robust_outliers" -> { (spark, dir) =>
+      val ev = tbl(spark, dir, "events")
+        .select(col("event_type"), col("value").cast("double").as("v"))
+        .filter(col("v").isNotNull)
+      val med = graft.operators.ExactQuantile.quantileDisc(ev,
+          col("event_type"), col("v"), 0.5)
+        .select(col("grp").as("event_type"), col("n"),
+          col("q").as("med"))
+      val dev = ev.join(broadcast(med), Seq("event_type"))
+        .withColumn("__ad", abs(col("v") - col("med")))
+      val mad = graft.operators.ExactQuantile.quantileDisc(dev,
+          col("event_type"), col("__ad"), 0.5)
+        .select(col("grp").as("event_type"), col("q").as("mad"))
+      dev.join(broadcast(mad), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(min(col("n")).as("n"), min(col("med")).as("med"),
+          min(col("mad")).as("mad"),
+          sum(when(col("__ad") > lit(3.0) * col("mad"), 1L)
+            .otherwise(0L)).as("n_outliers"))
+        .orderBy(col("event_type"))
+    },
+
+    // --- golden-record survivorship: q75's duplicate clusters
+    //     (connected components over the synthetic match pairs, plus
+    //     every unmatched doc as its own singleton cluster), then
+    //     per-cluster canonicalization — the longest member (ties →
+    //     smallest id) survives as the representative, sources merge
+    //     by min. The survivor pick is a row_number over a
+    //     CLUSTER-partitioned window (entity-keyed, never global) —
+    //     the record-linkage "merge" step after blocking+matching. ---
+    "q163_golden_record" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+      val ids = docs.select(col("doc_id"))
+      val chain = ids.alias("a").join(ids.alias("b"),
+          col("b.doc_id") === col("a.doc_id") + 1 &&
+            pmod(col("a.doc_id"), lit(7)) =!= 6)
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      val cross = ids.alias("a").join(ids.alias("b"),
+          col("b.doc_id") === col("a.doc_id") + 14 &&
+            pmod(col("a.doc_id"), lit(21)) === 3)
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      val comp = Dedup.connectedComponents(chain.unionByName(cross),
+          col("id_a"), col("id_b"))
+        .withColumnRenamed("id", "doc_id")
+      val member = docs.join(comp, Seq("doc_id"), "left")
+        .withColumn("comp", coalesce(col("comp"), col("doc_id")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("comp"))
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      val rep = member.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("comp"), col("doc_id").as("rep_id"),
+          col("n_chars").as("rep_chars"))
+      member.groupBy(col("comp"))
+        .agg(count(lit(1)).as("n_members"),
+          min(col("source")).as("src_min"))
+        .join(rep, Seq("comp"))
+        .orderBy(col("comp"))
+    },
+
+    // --- time-based rolling window: 7-day rolling event counts per
+    //     type via a RANGE frame over the daily-aggregated series —
+    //     the window runs over |days|×|types| rows (pre-aggregated),
+    //     never the event log, and the frame is value-based (a day
+    //     with no preceding data contributes nothing silently —
+    //     unlike a ROWS frame, which would reach back past gaps). ---
+    "q164_rolling_window" -> { (spark, dir) =>
+      val ev = tbl(spark, dir, "events")
+      val daily = ev.groupBy(col("event_type"),
+          to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+        .orderBy(datediff(col("day"), to_date(lit("1970-01-01"))))
+        .rangeBetween(-6, 0)
+      daily.withColumn("roll7", sum(col("n")).over(w))
+        .orderBy(col("event_type"), col("day"))
+    },
+
+    // --- A/B experiment readout: users hash-split into arms by the
+    //     same md5 bucketing as q77 (deterministic, engine-portable),
+    //     conversion = any purchase event; the two-proportion pooled
+    //     z-score is computed in a pinned evaluation order of exact
+    //     ratios, one sqrt (correctly rounded per IEEE in both
+    //     engines) and one division — hash-compared UNROUNDED. ---
+    "q165_ab_test" -> { (spark, dir) =>
+      val ev = tbl(spark, dir, "events")
+      val users = ev.groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L)
+          .otherwise(0L)).as("conv"))
+        .withColumn("arm",
+          when(Pipelines.hashBucket(col("user_id"), 100) < 50, "A")
+            .otherwise("B"))
+      users.agg(
+          sum(when(col("arm") === "A", 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("arm") === "A", col("conv")).otherwise(0L))
+            .as("conv_a"),
+          sum(when(col("arm") === "B", 1L).otherwise(0L)).as("n_b"),
+          sum(when(col("arm") === "B", col("conv")).otherwise(0L))
+            .as("conv_b"))
+        .withColumn("rate_a",
+          col("conv_a").cast("double") / col("n_a").cast("double"))
+        .withColumn("rate_b",
+          col("conv_b").cast("double") / col("n_b").cast("double"))
+        .withColumn("__p",
+          (col("conv_a") + col("conv_b")).cast("double") /
+            (col("n_a") + col("n_b")).cast("double"))
+        .select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+          col("rate_a"), col("rate_b"),
+          ((col("rate_a") - col("rate_b")) /
+            sqrt((col("__p") * (lit(1.0) - col("__p"))) *
+              ((lit(1.0) / col("n_a").cast("double")) +
+                (lit(1.0) / col("n_b").cast("double"))))).as("z"))
     }
   )
 
@@ -6332,7 +6498,149 @@ object SparkEntry {
                    bool_or(t = 'vector') AS h3
             FROM tk GROUP BY doc_id)
       SELECT doc_id FROM d WHERE h1 AND h2 AND NOT h3
-      ORDER BY doc_id"""
+      ORDER BY doc_id""",
+
+    "q161_profile" -> """
+      SELECT 'event_id' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_nulls,
+             CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+             CAST(min(event_id) AS VARCHAR) AS min_s,
+             CAST(max(event_id) AS VARCHAR) AS max_s
+      FROM events
+      UNION ALL
+      SELECT 'user_id', CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT),
+             CAST(count(DISTINCT user_id) AS BIGINT),
+             CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR)
+      FROM events
+      UNION ALL
+      SELECT 'event_type', CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT),
+             CAST(count(DISTINCT event_type) AS BIGINT),
+             min(event_type), max(event_type)
+      FROM events
+      UNION ALL
+      SELECT 'ts', CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(count(DISTINCT ts) AS BIGINT),
+             strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f'),
+             strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f')
+      FROM events
+      UNION ALL
+      SELECT 'value', CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT),
+             CAST(count(DISTINCT value) AS BIGINT),
+             CAST(CAST(min(value) AS DECIMAL(18,6)) AS VARCHAR),
+             CAST(CAST(max(value) AS DECIMAL(18,6)) AS VARCHAR)
+      FROM events
+      ORDER BY col_name""",
+
+    "q162_robust_outliers" -> """
+      WITH e AS (SELECT event_type, CAST(value AS DOUBLE) AS v
+                 FROM events WHERE value IS NOT NULL),
+      r AS (SELECT event_type, v,
+                   row_number() OVER (PARTITION BY event_type
+                     ORDER BY v) AS rnk,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM e),
+      m AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+                   max(CASE WHEN rnk = CAST(ceil(0.5 * n) AS BIGINT)
+                            THEN v END) AS med
+            FROM r GROUP BY 1),
+      d AS (SELECT e.event_type, abs(e.v - m.med) AS ad
+            FROM e JOIN m USING (event_type)),
+      dr AS (SELECT event_type, ad,
+                    row_number() OVER (PARTITION BY event_type
+                      ORDER BY ad) AS rnk,
+                    count(*) OVER (PARTITION BY event_type) AS n
+             FROM d),
+      md AS (SELECT event_type,
+                    max(CASE WHEN rnk = CAST(ceil(0.5 * n) AS BIGINT)
+                             THEN ad END) AS mad
+             FROM dr GROUP BY 1),
+      o AS (SELECT d.event_type,
+                   CAST(sum(CASE WHEN d.ad > 3.0 * md.mad
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_outliers
+            FROM d JOIN md USING (event_type) GROUP BY 1)
+      SELECT m.event_type, m.n, m.med, md.mad, o.n_outliers
+      FROM m JOIN md USING (event_type) JOIN o USING (event_type)
+      ORDER BY m.event_type""",
+
+    "q163_golden_record" -> """
+      WITH RECURSIVE
+      ids AS (SELECT doc_id FROM documents),
+      e AS (
+        SELECT a.doc_id AS x, b.doc_id AS y FROM ids a JOIN ids b
+          ON b.doc_id = a.doc_id + 1 AND a.doc_id % 7 <> 6
+        UNION ALL
+        SELECT a.doc_id, b.doc_id FROM ids a JOIN ids b
+          ON b.doc_id = a.doc_id + 14 AND a.doc_id % 21 = 3),
+      ed AS (SELECT x, y FROM e UNION ALL SELECT y, x FROM e),
+      r AS (SELECT x AS id, x AS rr FROM ed
+            UNION
+            SELECT ed.x, r.rr FROM ed JOIN r ON ed.y = r.id),
+      c AS (SELECT id, min(rr) AS comp FROM r GROUP BY id),
+      m AS (SELECT d.doc_id, d.source, d.n_chars,
+                   coalesce(c.comp, d.doc_id) AS comp
+            FROM documents d LEFT JOIN c ON c.id = d.doc_id),
+      g AS (SELECT comp, CAST(count(*) AS BIGINT) AS n_members,
+                   min(source) AS src_min FROM m GROUP BY 1),
+      rk AS (SELECT comp, doc_id, n_chars, row_number() OVER
+               (PARTITION BY comp ORDER BY n_chars DESC, doc_id ASC)
+               AS rn
+             FROM m)
+      SELECT g.comp, g.n_members, g.src_min, rk.doc_id AS rep_id,
+             rk.n_chars AS rep_chars
+      FROM g JOIN rk ON rk.comp = g.comp AND rk.rn = 1
+      ORDER BY g.comp""",
+
+    "q164_rolling_window" -> """
+      WITH d AS (SELECT event_type,
+                        CAST(date_trunc('day', ts) AS DATE) AS day,
+                        CAST(count(*) AS BIGINT) AS n
+                 FROM events GROUP BY 1, 2)
+      SELECT event_type, day, n,
+             CAST(sum(n) OVER (PARTITION BY event_type ORDER BY day
+               RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS roll7
+      FROM d ORDER BY event_type, day""",
+
+    "q165_ab_test" -> """
+      WITH u AS (SELECT user_id,
+                   max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                       END) AS conv
+                 FROM events GROUP BY 1),
+      a AS (SELECT CASE WHEN CAST(('0x' ||
+                     substring(md5(CAST(user_id AS VARCHAR)), 1, 4))
+                     AS INTEGER) % 100 < 50
+                   THEN 'A' ELSE 'B' END AS arm, conv
+            FROM u),
+      w AS (SELECT
+              CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_a,
+              CAST(sum(CASE WHEN arm = 'A' THEN conv ELSE 0 END)
+                   AS BIGINT) AS conv_a,
+              CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_b,
+              CAST(sum(CASE WHEN arm = 'B' THEN conv ELSE 0 END)
+                   AS BIGINT) AS conv_b
+            FROM a),
+      r AS (SELECT *,
+              CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
+              CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
+              CAST(conv_a + conv_b AS DOUBLE) /
+                CAST(n_a + n_b AS DOUBLE) AS p
+            FROM w)
+      SELECT n_a, conv_a, n_b, conv_b, rate_a, rate_b,
+             (rate_a - rate_b) / sqrt((p * (1.0 - p)) *
+               ((1.0 / CAST(n_a AS DOUBLE)) +
+                (1.0 / CAST(n_b AS DOUBLE)))) AS z
+      FROM r"""
   )
 
   /** Full SCD2 rebuild from the complete event log — the shared
