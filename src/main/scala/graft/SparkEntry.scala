@@ -3391,6 +3391,84 @@ object SparkEntry {
             sqrt((col("__p") * (lit(1.0) - col("__p"))) *
               ((lit(1.0) / col("n_a").cast("double")) +
                 (lit(1.0) / col("n_b").cast("double"))))).as("z"))
+    },
+
+    // --- fuzzy string matching: sorted-neighborhood blocking (q148's
+    //     operator) + exact Levenshtein distance on a fixed-length
+    //     prefix, keep distance <= 8. Edit distance is integer-exact
+    //     in both engines (unit costs); the blocking bounds the
+    //     candidate set at rows × window, so the O(len²) kernel runs
+    //     on a linear number of pairs — the classic record-linkage
+    //     compare step after blocking. ---
+    "q166_edit_distance" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val variants = docs.select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        col("text").substr(lit(1),
+          greatest(length(col("text")) - 30, lit(1))).as("text"))
+      val base = docs.unionByName(variants)
+        .withColumn("pfx", lower(substring(trim(col("text")), 1, 40)))
+      val pairs = graft.llm.Dedup.sortedNeighborhoodPairs(base,
+        col("doc_id"), lower(substring(trim(col("text")), 1, 24)),
+        window = 3, blockPrefix = 8)
+      pairs
+        .join(base.select(col("doc_id").as("id_a"),
+          col("pfx").as("pfx_a")), Seq("id_a"))
+        .join(base.select(col("doc_id").as("id_b"),
+          col("pfx").as("pfx_b")), Seq("id_b"))
+        .withColumn("dist", levenshtein(col("pfx_a"), col("pfx_b")))
+        .filter(col("dist") <= 8)
+        .select(col("id_a"), col("id_b"), col("dist"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // --- rolling distinct actives (DAU / trailing-7-day WAU): the
+    //     distinct (day, user) frame range-joins a broadcast day
+    //     grid (|days| rows — the small side of an inequality join is
+    //     ALWAYS the grid), then one distinct-count per grid day.
+    //     Distinct-over-a-sliding-window cannot ride a window frame
+    //     (no DISTINCT aggs over frames) — the grid join IS the
+    //     textbook shape, and its cost is |active-pairs| × 7, not
+    //     |events| × 7. ---
+    "q167_rolling_dau" -> { (spark, dir) =>
+      val ev = tbl(spark, dir, "events")
+      val du = ev.select(to_date(col("ts")).as("day"), col("user_id"))
+        .distinct()
+      val grid = du.agg(min(col("day")).as("__lo"),
+          max(col("day")).as("__hi"))
+        .select(explode(sequence(col("__lo"), col("__hi"),
+          expr("interval 1 day"))).as("gday"))
+      broadcast(grid)
+        .join(du, col("day").between(date_sub(col("gday"), 6),
+          col("gday")), "left")
+        .groupBy(col("gday"))
+        .agg(count_distinct(when(col("day") === col("gday"),
+          col("user_id"))).as("dau"),
+          count_distinct(col("user_id")).as("wau7"))
+        .withColumnRenamed("gday", "day")
+        .orderBy(col("day"))
+    },
+
+    // --- equi-depth histogram: ntile(10) over a TOTAL order
+    //     (value, event_id) inside type-partitioned windows makes the
+    //     bin assignment deterministic in both engines; per-bin
+    //     count/lo/hi are exact parquet values. The window is
+    //     per-type — at a truly skewed 100 TB corpus the same output
+    //     comes from ExactQuantile boundary selection (q137/q162's
+    //     histogram-refine path) instead of an in-partition sort. ---
+    "q168_equidepth_hist" -> { (spark, dir) =>
+      val ev = tbl(spark, dir, "events")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+        .orderBy(col("v"), col("event_id"))
+      ev.select(col("event_type"), col("value").as("v"),
+          col("event_id"))
+        .withColumn("bin", ntile(10).over(w))
+        .groupBy(col("event_type"), col("bin"))
+        .agg(count(lit(1)).as("n"), min(col("v")).as("lo"),
+          max(col("v")).as("hi"))
+        .orderBy(col("event_type"), col("bin"))
     }
   )
 
@@ -6640,7 +6718,55 @@ object SparkEntry {
              (rate_a - rate_b) / sqrt((p * (1.0 - p)) *
                ((1.0 / CAST(n_a AS DOUBLE)) +
                 (1.0 / CAST(n_b AS DOUBLE)))) AS z
-      FROM r"""
+      FROM r""",
+
+    "q166_edit_distance" -> """
+      WITH base AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000,
+               substring(text, 1, greatest(length(text) - 30, 1))
+        FROM documents),
+      k AS (SELECT doc_id, lower(substring(trim(text), 1, 24)) AS key,
+                   lower(substring(trim(text), 1, 40)) AS pfx
+            FROM base),
+      r AS (SELECT doc_id, key, pfx,
+                   substring(key, 1, 8) AS block,
+                   row_number() OVER (PARTITION BY substring(key, 1, 8)
+                     ORDER BY key, doc_id) AS rn
+            FROM k),
+      p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   a.pfx AS pfx_a, b.pfx AS pfx_b
+            FROM r a JOIN r b ON a.block = b.block
+              AND b.rn > a.rn AND b.rn <= a.rn + 3)
+      SELECT id_a, id_b,
+             CAST(levenshtein(pfx_a, pfx_b) AS INT) AS dist
+      FROM p WHERE levenshtein(pfx_a, pfx_b) <= 8
+      ORDER BY id_a, id_b""",
+
+    "q167_rolling_dau" -> """
+      WITH du AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE)
+                    AS day, user_id FROM events),
+      b AS (SELECT min(day) AS lo, max(day) AS hi FROM du),
+      g AS (SELECT CAST(unnest(generate_series(
+              CAST((SELECT lo FROM b) AS TIMESTAMP),
+              CAST((SELECT hi FROM b) AS TIMESTAMP),
+              INTERVAL 1 DAY)) AS DATE) AS day)
+      SELECT g.day,
+             CAST(count(DISTINCT CASE WHEN du.day = g.day
+               THEN du.user_id END) AS BIGINT) AS dau,
+             CAST(count(DISTINCT du.user_id) AS BIGINT) AS wau7
+      FROM g LEFT JOIN du ON du.day BETWEEN g.day - 6 AND g.day
+      GROUP BY g.day ORDER BY g.day""",
+
+    "q168_equidepth_hist" -> """
+      WITH t AS (SELECT event_type, value AS v,
+                        ntile(10) OVER (PARTITION BY event_type
+                          ORDER BY value, event_id) AS bin
+                 FROM events)
+      SELECT event_type, CAST(bin AS INT) AS bin,
+             CAST(count(*) AS BIGINT) AS n, min(v) AS lo, max(v) AS hi
+      FROM t GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 
   /** Full SCD2 rebuild from the complete event log — the shared
