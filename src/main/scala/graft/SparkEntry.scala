@@ -3469,6 +3469,88 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), min(col("v")).as("lo"),
           max(col("v")).as("hi"))
         .orderBy(col("event_type"), col("bin"))
+    },
+
+    // --- debounce (ingestion de-noising): an event within 5 s of the
+    //     SAME user's previous event of the same kind is noise — one
+    //     lag inside a (user, kind)-partitioned window, integer
+    //     microsecond arithmetic, exact in both engines. (Previous-
+    //     EVENT debounce, the windowable form; previous-KEPT-event
+    //     debounce is inherently sequential per key and belongs to
+    //     the keyed-state streaming family if ever needed.) ---
+    "q169_debounce" -> { (spark, dir) =>
+      val ev = tbl(spark, dir, "events")
+      val us = unix_micros(col("ts").cast("timestamp"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      ev.select(col("user_id"), col("event_type"), col("ts"),
+          col("event_id"), us.as("__us"))
+        .withColumn("__pus", lag(col("__us"), 1).over(w))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("__pus").isNull ||
+            col("__us") - col("__pus") > 5000000L, 1L).otherwise(0L))
+            .as("n_kept"))
+        .orderBy(col("event_type"))
+    },
+
+    // --- time-weighted average (hold-until-next integration) in
+    //     EXACT fixed-point: values are cents (round(value*100) —
+    //     identical in both engines since the product is computed on
+    //     the same doubles), hold durations are integer microseconds,
+    //     so Σ(cents·dt) and Σdt are exact BIGINT sums in ANY
+    //     aggregation order — the order-dependence of double
+    //     summation is engineered away, and the final twa is two
+    //     exact divisions, hash-compared UNROUNDED. Σ(cents·dt) ≤
+    //     max_cents·span_µs ≈ 1.3e17 per user — no i64 overflow. ---
+    "q170_twa" -> { (spark, dir) =>
+      val ev = tbl(spark, dir, "events")
+      val us = unix_micros(col("ts").cast("timestamp"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      ev.select(col("user_id"), col("ts"), col("event_id"),
+          us.as("__us"),
+          round(col("value") * 100).cast("long").as("__cents"))
+        .withColumn("__nus", lead(col("__us"), 1).over(w))
+        .filter(col("__nus").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_intervals"),
+          sum(col("__cents") * (col("__nus") - col("__us")))
+            .as("__num"),
+          sum(col("__nus") - col("__us")).as("__den"))
+        .select(col("user_id"), col("n_intervals"),
+          (col("__num").cast("double") / col("__den").cast("double") /
+            lit(100.0)).as("twa"))
+        .orderBy(col("user_id"))
+    },
+
+    // --- conversion-lag quantiles: each user's first view joined to
+    //     their earliest purchase at-or-after it (micro-second exact),
+    //     then the p50/p90 of the lag via ExactQuantile's distributed
+    //     rank selection — no global sort, no whole-population buffer;
+    //     the oracle replays it with a rank window. Integer
+    //     microseconds end-to-end (doubles only transit quantileDisc's
+    //     value channel, exact below 2^53). ---
+    "q171_time_to_convert" -> { (spark, dir) =>
+      val ev = tbl(spark, dir, "events")
+      val us = unix_micros(col("ts").cast("timestamp"))
+      val vv = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(us).as("v_us"))
+      val pp = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), us.as("p_us"))
+      val conv = vv.join(pp, Seq("user_id"))
+        .filter(col("p_us") >= col("v_us"))
+        .groupBy(col("user_id"))
+        .agg(min(col("p_us") - col("v_us")).as("dt"))
+      val p50 = graft.operators.ExactQuantile.quantileDisc(conv,
+          lit("all"), col("dt"), 0.5)
+        .select(col("n").as("n_users"),
+          col("q").cast("long").as("p50_us"))
+      val p90 = graft.operators.ExactQuantile.quantileDisc(conv,
+          lit("all"), col("dt"), 0.9)
+        .select(col("q").cast("long").as("p90_us"))
+      p50.crossJoin(p90)
     }
   )
 
@@ -6766,7 +6848,49 @@ object SparkEntry {
                  FROM events)
       SELECT event_type, CAST(bin AS INT) AS bin,
              CAST(count(*) AS BIGINT) AS n, min(v) AS lo, max(v) AS hi
-      FROM t GROUP BY 1, 2 ORDER BY 1, 2"""
+      FROM t GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q169_debounce" -> """
+      WITH s AS (SELECT event_type, epoch_us(ts) AS us,
+                        lag(epoch_us(ts)) OVER (
+                          PARTITION BY user_id, event_type
+                          ORDER BY ts, event_id) AS pus
+                 FROM events)
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_total,
+             CAST(sum(CASE WHEN pus IS NULL OR us - pus > 5000000
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      FROM s GROUP BY 1 ORDER BY 1""",
+
+    "q170_twa" -> """
+      WITH s AS (SELECT user_id, epoch_us(ts) AS us,
+                        CAST(round(value * 100) AS BIGINT) AS cents,
+                        lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS nus
+                 FROM events),
+      i AS (SELECT user_id, cents, nus - us AS dt
+            FROM s WHERE nus IS NOT NULL)
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+             CAST(sum(cents * dt) AS DOUBLE) /
+               CAST(sum(dt) AS DOUBLE) / 100.0 AS twa
+      FROM i GROUP BY 1 ORDER BY 1""",
+
+    "q171_time_to_convert" -> """
+      WITH vv AS (SELECT user_id, min(epoch_us(ts)) AS v_us
+                  FROM events WHERE event_type = 'view' GROUP BY 1),
+      pp AS (SELECT user_id, epoch_us(ts) AS p_us
+             FROM events WHERE event_type = 'purchase'),
+      c AS (SELECT vv.user_id, min(p_us - v_us) AS dt
+            FROM vv JOIN pp USING (user_id)
+            WHERE p_us >= v_us GROUP BY 1),
+      r AS (SELECT dt, row_number() OVER (ORDER BY dt) AS rnk,
+                   count(*) OVER () AS n
+            FROM c)
+      SELECT CAST(max(n) AS BIGINT) AS n_users,
+             CAST(max(CASE WHEN rnk = CAST(ceil(0.5 * n) AS BIGINT)
+                           THEN dt END) AS BIGINT) AS p50_us,
+             CAST(max(CASE WHEN rnk = CAST(ceil(0.9 * n) AS BIGINT)
+                           THEN dt END) AS BIGINT) AS p90_us
+      FROM r"""
   )
 
   /** Full SCD2 rebuild from the complete event log — the shared
