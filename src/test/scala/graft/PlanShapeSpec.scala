@@ -154,4 +154,30 @@ class PlanShapeSpec extends SparkSpec {
         .queryExecution.optimizedPlan) == 0,
       "no global window — the Σw normalizer is a broadcast crossJoin")
   }
+
+  test("q167 rolling DAU: the day grid is the broadcast side of the " +
+      "range join; the event log is never nested-loop scanned twice") {
+    val p = plan("q167_rolling_dau")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "an inequality join against a tiny grid must broadcast the grid")
+    assert(!p.contains("CartesianProduct"), p.linesIterator.take(5)
+      .mkString)
+  }
+
+  test("q161 profile: ONE scan feeds the whole per-column census") {
+    // string count, not tree collect: under AQE the executedPlan root
+    // hides its unexecuted subtree from collect()
+    val n = countOf(plan("q161_profile"), "Scan parquet")
+    assert(n == 1, s"profiling must not rescan per column: $n scans")
+  }
+
+  test("q157 ewma / q164 rolling window: entity-partitioned only — " +
+      "no global window anywhere") {
+    for (q <- Seq("q157_ewma", "q164_rolling_window",
+        "q169_debounce", "q170_twa")) {
+      val df = SparkEntry.queries(q)(spark, TestSpark.sfDir)
+      assert(PlanAudit.globalWindows(df.queryExecution.optimizedPlan)
+        == 0, s"$q must keep every window entity-partitioned")
+    }
+  }
 }
