@@ -3551,6 +3551,82 @@ object SparkEntry {
           lit("all"), col("dt"), 0.9)
         .select(col("q").cast("long").as("p90_us"))
       p50.crossJoin(p90)
+    },
+
+    // --- q93's redelivery drain on the MODERN dedup API
+    //     (dropDuplicatesWithinWatermark): replayed keys suppress even
+    //     though only the KEY matches (no ts in the dedup key), and
+    //     the suppression state expires at first-seen + delay instead
+    //     of growing with every key ever seen. Replayed rows are
+    //     either within the horizon (deduped) or behind the watermark
+    //     (late-dropped) — both roads lead to the batch-distinct
+    //     oracle. ---
+    "q172_stream_dedup_modern" -> rounded("sum_value" -> 4)({
+      (spark, dir) =>
+        val events = tbl(spark, dir, "events")
+        val stage = java.nio.file.Files
+          .createTempDirectory("graft_q172").toString
+        def stageBlock(df: DataFrame, name: String, modMs: Long): Unit = {
+          val tmp = s"$stage/_$name"
+          df.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          val dest = new java.io.File(s"$stage/$name.parquet")
+          java.nio.file.Files.move(part.toPath, dest.toPath)
+          dest.setLastModified(modMs)
+        }
+        stageBlock(events, "block1", 1000000L)
+        stageBlock(events.filter(col("event_id") % 5 === 0), "block2",
+          2000000L)
+        val stream = spark.readStream
+          .schema(spark.read.parquet(s"$stage/block1.parquet").schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("pathGlobFilter", "block*.parquet")
+          .parquet(stage)
+        val deduped = EventStream.dedupByKeyWithinWatermark(stream,
+          "ts", "1 day", "event_id")
+        EventStream.runToCompletion(spark, deduped, mode = "append")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+          .orderBy(col("event_type"))
+    }),
+
+    // --- sequence mining: top-10 opening 3-step event paths. The
+    //     per-user prefix is an order-fixed slice of that user's OWN
+    //     events (entity-bounded state, like the funnel family); the
+    //     top-k is a distributed TakeOrdered over the tiny
+    //     distinct-path frame. ---
+    "q173_top_paths" -> { (spark, dir) =>
+      val ev = tbl(spark, dir, "events")
+      ev.groupBy(col("user_id"))
+        .agg(array_sort(collect_list(struct(col("ts"), col("event_id"),
+          col("event_type")))).as("__seq"))
+        .select(array_join(slice(
+          expr("transform(__seq, x -> x.event_type)"), 1, 3), ">")
+          .as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path")).limit(10)
+    },
+
+    // --- min-max feature scaling + decile binning: the normalizer is
+    //     (v - min)/(max - min) against a broadcast per-type min/max
+    //     frame — three IEEE ops on identical inputs, so the
+    //     normalized values (and their per-bin min/max) hash-compare
+    //     UNROUNDED; the bin edge floor(norm*10) is deterministic for
+    //     the same reason. ---
+    "q174_minmax_scale" -> { (spark, dir) =>
+      val ev = tbl(spark, dir, "events")
+      val mm = ev.groupBy(col("event_type"))
+        .agg(min(col("value")).as("__mn"), max(col("value")).as("__mx"))
+      ev.join(broadcast(mm), Seq("event_type"))
+        .withColumn("__norm",
+          (col("value") - col("__mn")) / (col("__mx") - col("__mn")))
+        .withColumn("decile",
+          least(floor(col("__norm") * 10), lit(9L)).cast("int"))
+        .groupBy(col("event_type"), col("decile"))
+        .agg(count(lit(1)).as("n"), min(col("__norm")).as("lo"),
+          max(col("__norm")).as("hi"))
+        .orderBy(col("event_type"), col("decile"))
     }
   )
 
@@ -6890,7 +6966,33 @@ object SparkEntry {
                            THEN dt END) AS BIGINT) AS p50_us,
              CAST(max(CASE WHEN rnk = CAST(ceil(0.9 * n) AS BIGINT)
                            THEN dt END) AS BIGINT) AS p90_us
-      FROM r"""
+      FROM r""",
+
+    // redelivered rows all dedup away -> the batch-distinct aggregate
+    "q172_stream_dedup_modern" -> """
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             round(sum(value), 4) AS sum_value
+      FROM events GROUP BY 1 ORDER BY 1""",
+
+    "q173_top_paths" -> """
+      WITH s AS (SELECT user_id,
+                        list(event_type ORDER BY ts, event_id) AS seq
+                 FROM events GROUP BY 1),
+      p AS (SELECT array_to_string(seq[1:3], '>') AS path FROM s)
+      SELECT path, CAST(count(*) AS BIGINT) AS n
+      FROM p GROUP BY 1 ORDER BY n DESC, path LIMIT 10""",
+
+    "q174_minmax_scale" -> """
+      WITH mm AS (SELECT event_type, min(value) AS mn, max(value) AS mx
+                  FROM events GROUP BY 1),
+      n AS (SELECT e.event_type,
+                   (e.value - mm.mn) / (mm.mx - mm.mn) AS norm
+            FROM events e JOIN mm USING (event_type))
+      SELECT event_type,
+             CAST(least(floor(norm * 10), 9) AS INT) AS decile,
+             CAST(count(*) AS BIGINT) AS n,
+             min(norm) AS lo, max(norm) AS hi
+      FROM n GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 
   /** Full SCD2 rebuild from the complete event log — the shared

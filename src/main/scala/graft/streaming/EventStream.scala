@@ -102,6 +102,22 @@ object EventStream {
       .withWatermark(tsCol, watermark)
       .dropDuplicates(keys :+ tsCol)
 
+  /** [[dedupByKey]] on the MODERN API (`dropDuplicatesWithinWatermark`,
+    * Spark 3.5+): suppression state for a key expires `watermark`
+    * after its FIRST occurrence's event time — state is bounded by
+    * the redelivery horizon, not by distinct-key count. Unlike
+    * `dropDuplicates(keys :+ ts)` the duplicate does NOT need an
+    * identical event time: a redelivered row with a jittered
+    * timestamp still dedups, which is the realistic queue semantics
+    * (the reference's at-least-once redelivery carries the original
+    * doc id but a new delivery time). */
+  def dedupByKeyWithinWatermark(events: DataFrame, tsCol: String,
+                                watermark: String,
+                                keys: String*): DataFrame =
+    events.withColumn(tsCol, asEventTime(tsCol))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keys.toSeq)
+
   /** Tumbling event-time aggregation. */
   def tumblingAgg(events: DataFrame, tsCol: String, width: String,
                   watermark: String, groupCols: String*): DataFrame =
