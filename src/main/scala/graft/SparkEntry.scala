@@ -3627,6 +3627,61 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), min(col("__norm")).as("lo"),
           max(col("__norm")).as("hi"))
         .orderBy(col("event_type"), col("decile"))
+    },
+
+    // --- referential-integrity audit: orphan counts per FK relation
+    //     via LEFT ANTI joins against deliberately-holed parent sets
+    //     (so the audit provably counts, instead of reporting zeros
+    //     on clean TPC-H data). Each relation is one anti-join whose
+    //     parent side is a one-column frame — broadcast when small,
+    //     Bloom-prefiltered when not (q116/q117's path). ---
+    "q175_ref_integrity" -> { (spark, dir) =>
+      val orders = tbl(spark, dir, "orders")
+      val lineitem = tbl(spark, dir, "lineitem")
+      val cust = tbl(spark, dir, "customer")
+        .filter(pmod(col("c_custkey"), lit(10)) =!= 3)
+        .select(col("c_custkey"))
+      val ords = orders.filter(pmod(col("o_orderkey"), lit(17)) =!= 5)
+        .select(col("o_orderkey").as("__pk"))
+      def audit(name: String, child: DataFrame, fk: Column,
+                parent: DataFrame, pk: Column) =
+        child.agg(count(lit(1)).as("n_child"))
+          .crossJoin(child.join(parent, fk === pk, "left_anti")
+            .agg(count(lit(1)).as("n_orphans")))
+          .withColumn("relation", lit(name))
+          .select(col("relation"), col("n_child"), col("n_orphans"))
+      audit("lineitem->orders", lineitem, col("l_orderkey"),
+          ords, col("__pk"))
+        .unionByName(audit("orders->customer", orders,
+          col("o_custkey"), cust, col("c_custkey")))
+        .orderBy(col("relation"))
+    },
+
+    // --- SCD Type 1 / CDC apply (Scd.latestWins): fold an upsert +
+    //     delete change batch into a snapshot, highest version wins,
+    //     a winning delete removes the key. One union + one
+    //     key-partitioned row_number — a single exchange, snapshot
+    //     and changes never join. Keys in both change sets (7·13)
+    //     prove delete-beats-earlier-upsert ordering. ---
+    "q176_cdc_apply" -> { (spark, dir) =>
+      val orders = tbl(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus"))
+      val base = orders.withColumn("__v", lit(0L))
+        .withColumn("__del", lit(false))
+      val upserts = orders.filter(pmod(col("o_orderkey"), lit(7)) === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 100.0)
+        .withColumn("__v", lit(1L)).withColumn("__del", lit(false))
+      val deletes = orders.filter(pmod(col("o_orderkey"), lit(13)) === 0)
+        .withColumn("__v", lit(2L)).withColumn("__del", lit(true))
+      graft.operators.Scd.latestWins(base,
+          upserts.unionByName(deletes),
+          keyCols = Seq("o_orderkey"), versionCol = "__v",
+          deleteCol = "__del")
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"),
+          sum(when(pmod(col("o_orderkey"), lit(7)) === 0, 1L)
+            .otherwise(0L)).as("n_updated"))
     }
   )
 
@@ -6992,7 +7047,36 @@ object SparkEntry {
              CAST(least(floor(norm * 10), 9) AS INT) AS decile,
              CAST(count(*) AS BIGINT) AS n,
              min(norm) AS lo, max(norm) AS hi
-      FROM n GROUP BY 1, 2 ORDER BY 1, 2"""
+      FROM n GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q175_ref_integrity" -> """
+      WITH cust AS (SELECT c_custkey FROM customer
+                    WHERE c_custkey % 10 <> 3),
+      ords AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 17 <> 5)
+      SELECT 'lineitem->orders' AS relation,
+             CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_child,
+             CAST((SELECT count(*) FROM lineitem l
+                   LEFT JOIN ords o ON l.l_orderkey = o.o_orderkey
+                   WHERE o.o_orderkey IS NULL) AS BIGINT) AS n_orphans
+      UNION ALL
+      SELECT 'orders->customer',
+             CAST((SELECT count(*) FROM orders) AS BIGINT),
+             CAST((SELECT count(*) FROM orders x
+                   LEFT JOIN cust c ON x.o_custkey = c.c_custkey
+                   WHERE c.c_custkey IS NULL) AS BIGINT)
+      ORDER BY relation""",
+
+    "q176_cdc_apply" -> """
+      WITH merged AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 100.0
+                    ELSE o_totalprice END AS price
+        FROM orders WHERE o_orderkey % 13 <> 0)
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             round(sum(price), 2) AS sum_price,
+             CAST(sum(CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_updated
+      FROM merged"""
   )
 
   /** Full SCD2 rebuild from the complete event log — the shared

@@ -196,4 +196,35 @@ object Scd {
       "left")
       .drop("__de", "valid_from", "valid_to")
   }
+
+  /** SCD TYPE 1 — CDC apply / latest-wins merge: fold a change batch
+    * (upserts + deletes) into a snapshot. Each key keeps the row with
+    * the highest `(version, tiebreak...)`; a winning row whose
+    * `isDelete` is true removes the key entirely. This is the
+    * compaction a CDC-fed lake table runs continuously (the
+    * history-free sibling of [[mergeType2]] — Type 2 answers "state
+    * at time t", Type 1 answers "state now" and forgets).
+    *
+    * Shape: one union (no shuffle), one key-partitioned row_number
+    * window — a single exchange by key, the minimum any keyed merge
+    * pays; snapshot and changes never join, so a change batch that
+    * touches 0.1% of keys still costs one shuffle of (snapshot +
+    * changes), which is the documented trade vs. a file-pruned
+    * copy-on-write (q136's delete-by-key shows that path).
+    *
+    * Determinism: `(version, tiebreak...)` must totally order each
+    * key's candidates; equal top versions with no tiebreak would make
+    * the survivor nondeterministic, so callers supply a tiebreak when
+    * versions can tie (same contract as [[buildType2]]). */
+  def latestWins(snapshot: DataFrame, changes: DataFrame,
+                 keyCols: Seq[String], versionCol: String,
+                 deleteCol: String,
+                 tiebreak: Seq[String] = Nil): DataFrame = {
+    val all = snapshot.unionByName(changes)
+    val ord = (col(versionCol) +: tiebreak.map(col)).map(_.desc)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(ord: _*)
+    all.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && !col(deleteCol))
+      .drop("__rn")
+  }
 }

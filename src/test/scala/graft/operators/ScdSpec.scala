@@ -120,4 +120,33 @@ class ScdSpec extends SparkSpec {
     assert(!plan.contains("SinglePartition") ||
       !plan.toLowerCase.contains("window partitionby []"))
   }
+
+  test("latestWins: highest version wins, winning delete removes the " +
+      "key, delete beats an earlier upsert, untouched keys survive") {
+    import spark.implicits._
+    val snap = Seq((1L, "a", 0L, false), (2L, "b", 0L, false),
+        (3L, "c", 0L, false))
+      .toDF("k", "v", "ver", "del")
+    val changes = Seq(
+      (1L, "a2", 1L, false),           // plain upsert
+      (2L, "b2", 1L, false),           // upsert...
+      (2L, "b2", 2L, true),            // ...then a later delete wins
+      (4L, "d", 1L, false))            // brand-new key
+      .toDF("k", "v", "ver", "del")
+    val out = Scd.latestWins(snap, changes, Seq("k"), "ver", "del")
+      .select($"k", $"v").as[(Long, String)].collect().toMap
+    assert(out === Map(1L -> "a2", 3L -> "c", 4L -> "d"))
+  }
+
+  test("latestWins determinism: tiebreak column orders equal versions") {
+    import spark.implicits._
+    val snap = Seq.empty[(Long, String, Long, Long, Boolean)]
+      .toDF("k", "v", "ver", "seq", "del")
+    val changes = Seq((1L, "x", 1L, 1L, false), (1L, "y", 1L, 2L, false))
+      .toDF("k", "v", "ver", "seq", "del")
+    val out = Scd.latestWins(snap, changes, Seq("k"), "ver", "del",
+        tiebreak = Seq("seq"))
+      .select($"v").as[String].collect().toSeq
+    assert(out === Seq("y"), "the higher tiebreak must win")
+  }
 }
