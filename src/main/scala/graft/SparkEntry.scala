@@ -3682,6 +3682,37 @@ object SparkEntry {
           round(sum(col("o_totalprice")), 2).as("sum_price"),
           sum(when(pmod(col("o_orderkey"), lit(7)) === 0, 1L)
             .otherwise(0L)).as("n_updated"))
+    },
+
+    // --- int8 scalar quantization of the embedding corpus (the
+    //     compression every large vector store applies before ANN):
+    //     per-DIMENSION affine (min, scale=(max-min)/255) codes,
+    //     reported as a per-dim audit — code count and max
+    //     reconstruction error. Everything after the float->double
+    //     widening (exact) is deterministic IEEE (sub/div/round-half-
+    //     up on non-negatives/mult/abs), so the audit hash-compares
+    //     UNROUNDED. One posexplode + one broadcast of the 64-row
+    //     stats frame; row-count scales as rows x dims, the quantize
+    //     itself is row-local. ---
+    "q177_int8_quantize" -> { (spark, dir) =>
+      val e = tbl(spark, dir, "embeddings")
+      val dims = e.select(col("vec_id"),
+          posexplode(col("embedding")).as(Seq("dim", "__f")))
+        .select(col("dim"), col("__f").cast("double").as("v"))
+      val mm = dims.groupBy(col("dim"))
+        .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+        .withColumn("scale", (col("mx") - col("mn")) / lit(255.0))
+      dims.join(broadcast(mm), Seq("dim"))
+        .withColumn("code",
+          round((col("v") - col("mn")) / col("scale")).cast("int"))
+        .withColumn("err",
+          abs(col("v") - (col("mn") + col("code") * col("scale"))))
+        .groupBy(col("dim"))
+        .agg(count(lit(1)).as("n"), min(col("mn")).as("mn"),
+          min(col("mx")).as("mx"), min(col("scale")).as("scale"),
+          max(col("err")).as("max_err"),
+          count_distinct(col("code")).as("n_codes"))
+        .orderBy(col("dim"))
     }
   )
 
@@ -7076,7 +7107,26 @@ object SparkEntry {
              round(sum(price), 2) AS sum_price,
              CAST(sum(CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END)
                   AS BIGINT) AS n_updated
-      FROM merged"""
+      FROM merged""",
+
+    "q177_int8_quantize" -> """
+      WITH d AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS v,
+                        CAST(generate_subscripts(embedding, 1) - 1
+                             AS INT) AS dim
+                 FROM embeddings),
+      mm AS (SELECT dim, min(v) AS mn, max(v) AS mx,
+                    (max(v) - min(v)) / 255.0 AS scale
+             FROM d GROUP BY 1),
+      q AS (SELECT d.dim, d.v, mm.mn, mm.mx, mm.scale,
+                   CAST(round((d.v - mm.mn) / mm.scale) AS INT) AS code
+            FROM d JOIN mm USING (dim)),
+      e AS (SELECT dim, mn, mx, scale, code,
+                   abs(v - (mn + code * scale)) AS err
+            FROM q)
+      SELECT dim, CAST(count(*) AS BIGINT) AS n, min(mn) AS mn,
+             min(mx) AS mx, min(scale) AS scale, max(err) AS max_err,
+             CAST(count(DISTINCT code) AS BIGINT) AS n_codes
+      FROM e GROUP BY 1 ORDER BY 1"""
   )
 
   /** Full SCD2 rebuild from the complete event log — the shared
