@@ -3713,6 +3713,43 @@ object SparkEntry {
           max(col("err")).as("max_err"),
           count_distinct(col("code")).as("n_codes"))
         .orderBy(col("dim"))
+    },
+
+    // --- STREAMING EWMA with exact batch parity: the event log
+    //     drains as three CHRONOLOGICAL blocks (the ordered-batch
+    //     discipline streamingEwma's contract requires), keyed state
+    //     folds each batch in (ts, id) order, and the final update
+    //     per key hash-matches q157's batch fold — the same
+    //     stream-equals-batch differential oracle as q113/q144. ---
+    "q178_stream_ewma" -> { (spark, dir) =>
+      val events = EventStream.normalizeEventTime(
+          tbl(spark, dir, "events"))
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("value"))
+      val b = events.agg(
+          min(unix_micros(col("ts"))).as("lo"),
+          max(unix_micros(col("ts"))).as("hi"))
+        .collect()(0)
+      val (lo, hi) = (b.getLong(0), b.getLong(1))
+      val cut1 = lo + (hi - lo) / 3
+      val cut2 = lo + 2 * ((hi - lo) / 3)
+      val us = unix_micros(col("ts"))
+      val src = java.nio.file.Files.createTempDirectory("graft_q178")
+        .toString + "/ev"
+      EventStream.writeOrderedBatches(Seq(
+        events.filter(us <= cut1),
+        events.filter(us > cut1 && us <= cut2),
+        events.filter(us > cut2)), src)
+      val stream = spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val updates = EventStream.streamingEwma(stream, "user_id", "ts",
+        "event_id", "value")
+      EventStream.runToCompletion(spark, updates, mode = "update")
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("n_events"), col("ewma"))).as("__f"))
+        .select(col("user_id"), col("__f.n_events").as("n_events"),
+          col("__f.ewma").as("ewma"))
+        .orderBy(col("user_id"))
     }
   )
 
@@ -6772,11 +6809,11 @@ object SparkEntry {
                AS min_unmatched_id
       FROM j""",
 
-    "q157_ewma" -> """
-      SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
-             list_reduce(list(value ORDER BY ts, event_id),
-                         (s, x) -> 0.5 * x + 0.5 * s) AS ewma
-      FROM events GROUP BY user_id ORDER BY user_id""",
+    "q157_ewma" -> ewmaSql,
+
+    // exact stream/batch parity: the drained stream's final state per
+    // key equals the batch fold over the full log
+    "q178_stream_ewma" -> ewmaSql,
 
     "q158_markov_transitions" -> """
       WITH s AS (SELECT user_id, event_type,
@@ -7128,6 +7165,15 @@ object SparkEntry {
              CAST(count(DISTINCT code) AS BIGINT) AS n_codes
       FROM e GROUP BY 1 ORDER BY 1"""
   )
+
+  /** Shared q157/q178 oracle: the order-fixed EWMA left fold, seeded
+    * with each user's first value (list_reduce seeds with the first
+    * element — exactly the engine's aggregate/keyed-state seeding). */
+  private val ewmaSql: String = """
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             list_reduce(list(value ORDER BY ts, event_id),
+                         (s, x) -> 0.5 * x + 0.5 * s) AS ewma
+      FROM events GROUP BY user_id ORDER BY user_id"""
 
   /** Full SCD2 rebuild from the complete event log — the shared
     * oracle of q139 (batch build), q143 (incremental merge) and q144

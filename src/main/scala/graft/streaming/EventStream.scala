@@ -264,6 +264,40 @@ object EventStream {
       .toDF(entity, "reached")
   }
 
+  /** STREAMING EWMA (α = 1/2): per-key exponential smoothing kept
+    * incrementally in keyed state — the continuous twin of the batch
+    * fold (q157). State per key is just (n, s); each batch's rows
+    * sort by (event time, id) within the key before folding, so the
+    * result is exact as long as batches arrive time-ordered per key
+    * (the [[writeOrderedBatches]] discipline — chronological blocks).
+    * A late cross-batch event would need the full merge-and-replay
+    * state of [[streamingFunnel]]; this operator states the cheaper
+    * contract instead of silently approximating. Emits (key, n, ewma)
+    * per update; the highest-n update per key IS the batch answer. */
+  def streamingEwma(events: DataFrame, entity: String, tsCol: String,
+                    idCol: String, valueCol: String): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    events.select(col(entity).cast("long"),
+        asEventTime(tsCol), col(idCol).cast("long"),
+        col(valueCol).cast("double"))
+      .as[(Long, java.sql.Timestamp, Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Double), (Long, Long, Double)](
+        GroupStateTimeout.NoTimeout()) { (key, rows, state) =>
+        val sorted = rows.toSeq.sortBy(r => (r._2.getTime, r._3))
+        var (n, s) = state.getOption.getOrElse((0L, 0.0))
+        sorted.foreach { r =>
+          s = if (n == 0L) r._4 else 0.5 * r._4 + 0.5 * s
+          n += 1
+        }
+        state.update((n, s))
+        (key, n, s)
+      }
+      .toDF(entity, "n_events", "ewma")
+  }
+
   /** [[runningCountsTtl]] on the MODERN arbitrary-state API
     * (`transformWithState`, Spark 4.x): same semantics — per-key
     * running counts whose state expires `ttl` after the key's last
