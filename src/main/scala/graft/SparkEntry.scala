@@ -3750,6 +3750,42 @@ object SparkEntry {
         .select(col("user_id"), col("__f.n_events").as("n_events"),
           col("__f.ewma").as("ewma"))
         .orderBy(col("user_id"))
+    },
+
+    // --- inter-event latency histogram in power-of-two buckets (the
+    //     HdrHistogram shape): bucket = floor(log2(gap_µs)) computed
+    //     EXACTLY as length(bin(gap)) - 1 — a string-length trick
+    //     instead of libm log2, so bucket edges can never waver by a
+    //     ULP between engines. Gaps via one lag in a user-partitioned
+    //     window; the histogram is a tiny bucket-keyed aggregate. ---
+    "q179_gap_histogram" -> { (spark, dir) =>
+      val ev = tbl(spark, dir, "events")
+      val us = unix_micros(col("ts").cast("timestamp"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      ev.select(col("user_id"), col("ts"), col("event_id"),
+          us.as("__us"))
+        .withColumn("__gap", col("__us") - lag(col("__us"), 1).over(w))
+        .filter(col("__gap").isNotNull && col("__gap") > 0)
+        .withColumn("bucket",
+          (length(bin(col("__gap"))) - 1).cast("int"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), min(col("__gap")).as("min_gap"),
+          max(col("__gap")).as("max_gap"))
+        .orderBy(col("bucket"))
+    },
+
+    // --- activity heatmap: weekday × hour event counts (the on-call
+    //     dashboard staple). Day-of-week conventions differ between
+    //     engines (Spark Sunday=1, DuckDB Sunday=0) — pinned
+    //     explicitly rather than discovered in production. ---
+    "q180_activity_heatmap" -> { (spark, dir) =>
+      val ev = tbl(spark, dir, "events")
+      ev.select((dayofweek(col("ts")) - 1).as("dow"),
+          hour(col("ts")).as("hour"))
+        .groupBy(col("dow"), col("hour"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("dow"), col("hour"))
     }
   )
 
@@ -7163,7 +7199,25 @@ object SparkEntry {
       SELECT dim, CAST(count(*) AS BIGINT) AS n, min(mn) AS mn,
              min(mx) AS mx, min(scale) AS scale, max(err) AS max_err,
              CAST(count(DISTINCT code) AS BIGINT) AS n_codes
-      FROM e GROUP BY 1 ORDER BY 1"""
+      FROM e GROUP BY 1 ORDER BY 1""",
+
+    "q179_gap_histogram" -> """
+      WITH s AS (SELECT user_id, epoch_us(ts) AS us,
+                        lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS pus
+                 FROM events),
+      g AS (SELECT us - pus AS gap FROM s
+            WHERE pus IS NOT NULL AND us - pus > 0)
+      SELECT CAST(length(bin(gap)) - 1 AS INT) AS bucket,
+             CAST(count(*) AS BIGINT) AS n,
+             min(gap) AS min_gap, max(gap) AS max_gap
+      FROM g GROUP BY 1 ORDER BY 1""",
+
+    "q180_activity_heatmap" -> """
+      SELECT CAST(dayofweek(ts) AS INT) AS dow,
+             CAST(hour(ts) AS INT) AS hour,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 
   /** Shared q157/q178 oracle: the order-fixed EWMA left fold, seeded
