@@ -3525,13 +3525,15 @@ object SparkEntry {
         .orderBy(col("user_id"))
     },
 
-    // --- conversion-lag quantiles: each user's first view joined to
-    //     their earliest purchase at-or-after it (micro-second exact),
-    //     then the p50/p90 of the lag via ExactQuantile's distributed
-    //     rank selection — no global sort, no whole-population buffer;
-    //     the oracle replays it with a rank window. Integer
-    //     microseconds end-to-end (doubles only transit quantileDisc's
-    //     value channel, exact below 2^53). ---
+    // --- conversion-lag quantiles PER EXPERIMENT ARM: each user's
+    //     first view joined to their earliest purchase at-or-after it
+    //     (micro-second exact), arms assigned by the q165 md5 split,
+    //     then per-arm p50/p90 via ExactQuantile's distributed rank
+    //     selection — no global sort or window anywhere (the group
+    //     column is real data, so every internal window stays
+    //     partitioned); the oracle replays it with arm-partitioned
+    //     rank windows. Integer microseconds end-to-end (doubles only
+    //     transit quantileDisc's value channel, exact below 2^53). ---
     "q171_time_to_convert" -> { (spark, dir) =>
       val ev = tbl(spark, dir, "events")
       val us = unix_micros(col("ts").cast("timestamp"))
@@ -3543,14 +3545,18 @@ object SparkEntry {
         .filter(col("p_us") >= col("v_us"))
         .groupBy(col("user_id"))
         .agg(min(col("p_us") - col("v_us")).as("dt"))
+        .withColumn("arm",
+          when(Pipelines.hashBucket(col("user_id"), 100) < 50, "A")
+            .otherwise("B"))
       val p50 = graft.operators.ExactQuantile.quantileDisc(conv,
-          lit("all"), col("dt"), 0.5)
-        .select(col("n").as("n_users"),
+          col("arm"), col("dt"), 0.5)
+        .select(col("grp").as("arm"), col("n").as("n_users"),
           col("q").cast("long").as("p50_us"))
       val p90 = graft.operators.ExactQuantile.quantileDisc(conv,
-          lit("all"), col("dt"), 0.9)
-        .select(col("q").cast("long").as("p90_us"))
-      p50.crossJoin(p90)
+          col("arm"), col("dt"), 0.9)
+        .select(col("grp").as("arm"),
+          col("q").cast("long").as("p90_us"))
+      p50.join(p90, Seq("arm")).orderBy(col("arm"))
     },
 
     // --- q93's redelivery drain on the MODERN dedup API
@@ -7114,18 +7120,25 @@ object SparkEntry {
                   FROM events WHERE event_type = 'view' GROUP BY 1),
       pp AS (SELECT user_id, epoch_us(ts) AS p_us
              FROM events WHERE event_type = 'purchase'),
-      c AS (SELECT vv.user_id, min(p_us - v_us) AS dt
+      c AS (SELECT vv.user_id,
+                   CASE WHEN CAST(('0x' || substring(md5(
+                       CAST(vv.user_id AS VARCHAR)), 1, 4))
+                       AS INTEGER) % 100 < 50
+                   THEN 'A' ELSE 'B' END AS arm,
+                   min(p_us - v_us) AS dt
             FROM vv JOIN pp USING (user_id)
-            WHERE p_us >= v_us GROUP BY 1),
-      r AS (SELECT dt, row_number() OVER (ORDER BY dt) AS rnk,
-                   count(*) OVER () AS n
+            WHERE p_us >= v_us GROUP BY 1, 2),
+      r AS (SELECT arm, dt,
+                   row_number() OVER (PARTITION BY arm ORDER BY dt)
+                     AS rnk,
+                   count(*) OVER (PARTITION BY arm) AS n
             FROM c)
-      SELECT CAST(max(n) AS BIGINT) AS n_users,
+      SELECT arm, CAST(max(n) AS BIGINT) AS n_users,
              CAST(max(CASE WHEN rnk = CAST(ceil(0.5 * n) AS BIGINT)
                            THEN dt END) AS BIGINT) AS p50_us,
              CAST(max(CASE WHEN rnk = CAST(ceil(0.9 * n) AS BIGINT)
                            THEN dt END) AS BIGINT) AS p90_us
-      FROM r""",
+      FROM r GROUP BY arm ORDER BY arm""",
 
     // redelivered rows all dedup away -> the batch-distinct aggregate
     "q172_stream_dedup_modern" -> """
