@@ -3792,6 +3792,69 @@ object SparkEntry {
         .groupBy(col("dow"), col("hour"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("dow"), col("hour"))
+    },
+
+    // --- per-group OLS trend: the slope/intercept of daily counts
+    //     vs day index, from the four INTEGER power sums (Σx, Σy,
+    //     Σxy, Σx²) — exact in any aggregation order, so the closed-
+    //     form slope = (kΣxy − ΣxΣy) / (kΣx² − (Σx)²) is a division
+    //     of exact integers and hash-compares UNROUNDED. The trend-
+    //     detection shape that scales: one tiny per-type aggregate
+    //     over the daily series, no window at all. ---
+    "q181_trend_slope" -> { (spark, dir) =>
+      val ev = tbl(spark, dir, "events")
+      val daily = ev.groupBy(col("event_type"),
+          to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("y"))
+      val origin = daily.agg(min(col("day")).as("__d0"))
+      val s = daily.crossJoin(broadcast(origin))
+        .withColumn("x", datediff(col("day"), col("__d0")).cast("long"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("k"), sum(col("x")).as("__sx"),
+          sum(col("y")).as("__sy"),
+          sum(col("x") * col("y")).as("__sxy"),
+          sum(col("x") * col("x")).as("__sxx"))
+      s.withColumn("slope",
+          (col("k") * col("__sxy") - col("__sx") * col("__sy"))
+            .cast("double") /
+            (col("k") * col("__sxx") - col("__sx") * col("__sx"))
+              .cast("double"))
+        .withColumn("intercept",
+          (col("__sy").cast("double") -
+            col("slope") * col("__sx").cast("double")) /
+            col("k").cast("double"))
+        .select(col("event_type"), col("k"), col("slope"),
+          col("intercept"))
+        .orderBy(col("event_type"))
+    },
+
+    // --- nearest-in-time join (the sensor-alignment shape): each
+    //     purchase matches the SAME user's closest view within ±1 h —
+    //     an equi-join on the entity with a range residual, then
+    //     top-1 per purchase via a purchase-partitioned row_number
+    //     ordered by (|Δt|, view id) so ties break deterministically.
+    //     The as-of join (q41) looks only backward; this is the
+    //     two-sided variant, same one-exchange plan. ---
+    "q182_nearest_join" -> { (spark, dir) =>
+      val ev = tbl(spark, dir, "events")
+      val us = unix_micros(col("ts").cast("timestamp"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"),
+          us.as("p_us"))
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("v_id"),
+          us.as("v_us"))
+      val cand = p.join(v, Seq("user_id"))
+        .withColumn("abs_dt", abs(col("p_us") - col("v_us")))
+        .filter(col("abs_dt") <= 3600000000L)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("p_id"))
+        .orderBy(col("abs_dt"), col("v_id"))
+      cand.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("p_id"), col("user_id"), col("v_id"),
+          col("abs_dt"))
+        .orderBy(col("p_id"))
     }
   )
 
@@ -7230,7 +7293,48 @@ object SparkEntry {
       SELECT CAST(dayofweek(ts) AS INT) AS dow,
              CAST(hour(ts) AS INT) AS hour,
              CAST(count(*) AS BIGINT) AS n
-      FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q181_trend_slope" -> """
+      WITH daily AS (SELECT event_type,
+                            CAST(date_trunc('day', ts) AS DATE) AS day,
+                            CAST(count(*) AS BIGINT) AS y
+                     FROM events GROUP BY 1, 2),
+      o AS (SELECT min(day) AS d0 FROM daily),
+      s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS k,
+                   CAST(sum(date_diff('day', o.d0, day)) AS BIGINT)
+                     AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(date_diff('day', o.d0, day) * y) AS BIGINT)
+                     AS sxy,
+                   CAST(sum(date_diff('day', o.d0, day) *
+                            date_diff('day', o.d0, day)) AS BIGINT)
+                     AS sxx
+            FROM daily CROSS JOIN o GROUP BY 1),
+      r AS (SELECT event_type, k,
+                   CAST(k * sxy - sx * sy AS DOUBLE) /
+                     CAST(k * sxx - sx * sx AS DOUBLE) AS slope,
+                   sx, sy
+            FROM s)
+      SELECT event_type, k, slope,
+             (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) /
+               CAST(k AS DOUBLE) AS intercept
+      FROM r ORDER BY event_type""",
+
+    "q182_nearest_join" -> """
+      WITH p AS (SELECT user_id, event_id AS p_id, epoch_us(ts) AS p_us
+                 FROM events WHERE event_type = 'purchase'),
+      v AS (SELECT user_id, event_id AS v_id, epoch_us(ts) AS v_us
+            FROM events WHERE event_type = 'view'),
+      c AS (SELECT p.p_id, p.user_id, v.v_id,
+                   abs(p.p_us - v.v_us) AS abs_dt
+            FROM p JOIN v USING (user_id)
+            WHERE abs(p.p_us - v.v_us) <= 3600000000),
+      r AS (SELECT *, row_number() OVER (PARTITION BY p_id
+              ORDER BY abs_dt, v_id) AS rn
+            FROM c)
+      SELECT p_id, user_id, v_id, abs_dt
+      FROM r WHERE rn = 1 ORDER BY p_id"""
   )
 
   /** Shared q157/q178 oracle: the order-fixed EWMA left fold, seeded
