@@ -3855,6 +3855,20 @@ object SparkEntry {
         .select(col("p_id"), col("user_id"), col("v_id"),
           col("abs_dt"))
         .orderBy(col("p_id"))
+    },
+
+    // --- TIMED funnel: q133's view→click→purchase chain with a
+    //     1-hour cap on each step-to-step wait (Funnel.reachTimes
+    //     maxGap) — the product-analytics convention where a
+    //     conversion that takes a day doesn't count. Same greedy
+    //     earliest-time semantics, same one-exchange entity-keyed
+    //     chain; the oracle adds the same bound to each min-join. ---
+    "q183_timed_funnel" -> { (spark, dir) =>
+      val ev = tbl(spark, dir, "events")
+      graft.operators.Funnel.summary(ev, col("user_id"), col("ts"),
+          col("event_type"), Seq("view", "click", "purchase"),
+          maxGap = Some("1 hour"))
+        .orderBy(col("step_ix"))
     }
   )
 
@@ -7334,7 +7348,31 @@ object SparkEntry {
               ORDER BY abs_dt, v_id) AS rn
             FROM c)
       SELECT p_id, user_id, v_id, abs_dt
-      FROM r WHERE rn = 1 ORDER BY p_id"""
+      FROM r WHERE rn = 1 ORDER BY p_id""",
+
+    "q183_timed_funnel" -> """
+      WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+                  WHERE event_type = 'view' GROUP BY 1),
+      s2 AS (SELECT e.user_id, min(e.ts) AS t
+             FROM events e JOIN s1 USING (user_id)
+             WHERE e.event_type = 'click' AND e.ts > s1.t
+               AND e.ts <= s1.t + INTERVAL 1 HOUR GROUP BY 1),
+      s3 AS (SELECT e.user_id, min(e.ts) AS t
+             FROM events e JOIN s2 USING (user_id)
+             WHERE e.event_type = 'purchase' AND e.ts > s2.t
+               AND e.ts <= s2.t + INTERVAL 1 HOUR GROUP BY 1),
+      u AS (SELECT 1 AS step_ix, 'view' AS step, count(*) AS n FROM s1
+            UNION ALL
+            SELECT 2, 'click', count(*) FROM s2
+            UNION ALL
+            SELECT 3, 'purchase', count(*) FROM s3),
+      f AS (SELECT n AS n1 FROM u WHERE step_ix = 1)
+      SELECT step_ix, step, CAST(n AS BIGINT) AS n_users,
+             CAST(n AS DOUBLE) / CAST(f.n1 AS DOUBLE) AS conv
+      FROM u CROSS JOIN f
+      WHERE n > 0 -- engine drop-off TRUNCATES: an unreached step has
+                  -- no row (a small-SF 1-hour funnel can empty out)
+      ORDER BY step_ix"""
   )
 
   /** Shared q157/q178 oracle: the order-fixed EWMA left fold, seeded

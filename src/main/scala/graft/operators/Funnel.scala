@@ -21,9 +21,18 @@ object Funnel {
 
   /** Per-entity step-reach times: (user, step_ix, step, t) — step_ix
     * 1-based, t = earliest qualifying event time. An entity appears
-    * for a prefix of the steps (drop-off truncates the rows). */
+    * for a prefix of the steps (drop-off truncates the rows).
+    *
+    * `maxGap` (an SQL interval string, e.g. "1 hour") bounds each
+    * step-to-step wait: a step counts only within `maxGap` of the
+    * PREVIOUS step's reach time — the timed-funnel convention of
+    * product analytics. Semantics stay GREEDY (each step takes its
+    * earliest qualifying time); a later step-1 occurrence that would
+    * have opened a within-gap path is not explored — the standard
+    * trade, stated, and exactly what the oracle replays. */
   def reachTimes(events: DataFrame, entity: Column, ts: Column,
-                 kind: Column, steps: Seq[String]): DataFrame = {
+                 kind: Column, steps: Seq[String],
+                 maxGap: Option[String] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     val ev = events.select(entity.as("user"), ts.as("t"),
       kind.as("__kind"))
@@ -32,11 +41,14 @@ object Funnel {
     val frames = scala.collection.mutable.ArrayBuffer(
       reached.select(col("user"), lit(1).as("step_ix"),
         lit(steps.head).as("step"), col("t")))
+    val gapOk = (prev: Column, t: Column) => maxGap
+      .map(g => t <= prev + expr(s"interval $g")).getOrElse(lit(true))
     for ((s, i) <- steps.tail.zipWithIndex) {
       reached = ev.filter(col("__kind") === s)
         .join(reached.select(col("user"), col("t").as("__prev")),
           Seq("user"))
-        .filter(col("t") > col("__prev"))
+        .filter(col("t") > col("__prev") &&
+          gapOk(col("__prev"), col("t")))
         .groupBy(col("user")).agg(min(col("t")).as("t"))
       frames += reached.select(col("user"),
         lit(i + 2).as("step_ix"), lit(s).as("step"), col("t"))
@@ -47,8 +59,9 @@ object Funnel {
   /** Funnel summary: per step, entities reached and the conversion
     * rate vs step 1 (an exact integer ratio — engine-portable). */
   def summary(events: DataFrame, entity: Column, ts: Column,
-              kind: Column, steps: Seq[String]): DataFrame = {
-    val counts = reachTimes(events, entity, ts, kind, steps)
+              kind: Column, steps: Seq[String],
+              maxGap: Option[String] = None): DataFrame = {
+    val counts = reachTimes(events, entity, ts, kind, steps, maxGap)
       .groupBy(col("step_ix"), col("step"))
       .agg(count(lit(1)).as("n_users"))
     val first = counts.filter(col("step_ix") === 1)

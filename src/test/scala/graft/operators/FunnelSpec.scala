@@ -49,4 +49,20 @@ class FunnelSpec extends SparkSpec {
       .orderBy($"step_ix").collect()
     assert(out.length === 1 && out.head.getString(1) === "view")
   }
+
+  test("maxGap: a step past the bound no longer counts; within the " +
+      "bound nothing changes") {
+    // user 6: view at t=1, click at t=100 — outside a 10-second gap
+    val ev6 = ev.unionByName(Seq((6L, t(1), "view"),
+      (6L, t(100), "click")).toDF("user_id", "ts", "kind"))
+    val bounded = Funnel.reachTimes(ev6, $"user_id", $"ts", $"kind",
+        Seq("view", "click"), maxGap = Some("10 seconds"))
+      .select($"user", $"step_ix").as[(Long, Int)].collect().toSet
+    assert(!bounded.contains((6L, 2)), "slow click must not count")
+    assert(bounded.contains((1L, 2)), "fast click still counts")
+    val unbounded = Funnel.reachTimes(ev6, $"user_id", $"ts", $"kind",
+        Seq("view", "click"))
+      .select($"user", $"step_ix").as[(Long, Int)].collect().toSet
+    assert(unbounded.contains((6L, 2)), "no gap -> the click counts")
+  }
 }
