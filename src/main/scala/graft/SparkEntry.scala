@@ -3869,6 +3869,20 @@ object SparkEntry {
           col("event_type"), Seq("view", "click", "purchase"),
           maxGap = Some("1 hour"))
         .orderBy(col("step_ix"))
+    },
+
+    // --- local clustering coefficient over the q147 co-occurrence
+    //     graph: 2·tri/(d·(d−1)) per node — exact integer counts
+    //     (degree-oriented triangle enumeration) + one pinned-order
+    //     IEEE division, hash-compared UNROUNDED; degree-<2 nodes
+    //     report 0.0 by convention. ---
+    "q184_clustering_coeff" -> { (spark, dir) =>
+      val li = tbl(spark, dir, "lineitem")
+        .filter(pmod(col("l_partkey"), lit(4)) === 0)
+      val edges = graft.operators.Graph.coOccurrenceEdges(li,
+        col("l_orderkey"), col("l_partkey"))
+      graft.operators.Graph.clusteringCoefficients(edges)
+        .orderBy(col("node"))
     }
   )
 
@@ -7372,7 +7386,37 @@ object SparkEntry {
       FROM u CROSS JOIN f
       WHERE n > 0 -- engine drop-off TRUNCATES: an unreached step has
                   -- no row (a small-SF 1-hour funnel can empty out)
-      ORDER BY step_ix"""
+      ORDER BY step_ix""",
+
+    "q184_clustering_coeff" -> """
+      WITH eg AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+                  FROM lineitem WHERE l_partkey % 4 = 0),
+      e0 AS (SELECT DISTINCT a.i AS src, b.i AS dst
+             FROM eg a JOIN eg b ON a.g = b.g AND a.i <> b.i),
+      canon AS (SELECT DISTINCT least(src, dst) AS a,
+                                greatest(src, dst) AS b
+                FROM e0 WHERE src <> dst),
+      deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d
+              FROM (SELECT a AS node FROM canon
+                    UNION ALL SELECT b FROM canon)
+              GROUP BY 1),
+      w AS (SELECT c1.a, c1.b AS x, c2.b AS y
+            FROM canon c1 JOIN canon c2
+              ON c1.a = c2.a AND c1.b < c2.b),
+      t AS (SELECT w.a, w.x, w.y
+            FROM w JOIN canon c ON c.a = w.x AND c.b = w.y),
+      pc AS (SELECT a AS node FROM t
+             UNION ALL SELECT x FROM t
+             UNION ALL SELECT y FROM t),
+      tc AS (SELECT node, CAST(count(*) AS BIGINT) AS triangles
+             FROM pc GROUP BY 1)
+      SELECT deg.node, deg.d,
+             CAST(coalesce(tc.triangles, 0) AS BIGINT) AS triangles,
+             CASE WHEN deg.d >= 2 THEN
+               (2.0 * CAST(coalesce(tc.triangles, 0) AS DOUBLE)) /
+                 CAST(deg.d * (deg.d - 1) AS DOUBLE)
+             ELSE 0.0 END AS coeff
+      FROM deg LEFT JOIN tc USING (node) ORDER BY deg.node"""
   )
 
   /** Shared q157/q178 oracle: the order-fixed EWMA left fold, seeded

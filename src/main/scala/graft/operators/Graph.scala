@@ -131,6 +131,32 @@ object Graph {
     counts
   }
 
+  /** Local clustering coefficient per node: 2·triangles / (d·(d−1))
+    * over the canonical undirected edge set — the per-node cohesion
+    * ratio (1 = my neighbors all know each other, 0 = hub). Exact
+    * integer counts and one pinned-order IEEE division, so the
+    * coefficient hash-compares UNROUNDED. Degree-<2 nodes report 0.0
+    * (no wedge is possible — the textbook convention). Cost =
+    * [[triangleCounts]] (degree-oriented, Σ min-deg² wedges) + one
+    * node-keyed degree aggregate + one left join. */
+  def clusteringCoefficients(edges: DataFrame): DataFrame = {
+    val canon = edges.select(
+        least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val deg = canon.select(col("a").as("node"))
+      .unionAll(canon.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    deg.join(triangleCounts(edges), Seq("node"), "left")
+      .withColumn("triangles", coalesce(col("triangles"), lit(0L)))
+      .withColumn("coeff",
+        when(col("d") >= 2,
+          (lit(2.0) * col("triangles").cast("double")) /
+            (col("d") * (col("d") - 1)).cast("double"))
+          .otherwise(lit(0.0)))
+  }
+
   /** The naive lowest-id two-join triangle formulation (wedge volume
     * Σ deg²) — kept as the differential/bench baseline for
     * [[triangleCounts]]; identical output. */
