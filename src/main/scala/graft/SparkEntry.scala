@@ -3883,6 +3883,83 @@ object SparkEntry {
         col("l_orderkey"), col("l_partkey"))
       graft.operators.Graph.clusteringCoefficients(edges)
         .orderBy(col("node"))
+    },
+
+    // --- STREAM-STATIC dimensional enrichment: purchases stream
+    //     against the SCD2 state dimension built from each user's
+    //     NON-purchase history (Scd.buildType2), matched as-of the
+    //     purchase time via the interval condition — a stateless
+    //     stream-static left join (no watermark, no state store), the
+    //     warehouse enrichment pattern in continuous form. The final
+    //     count-by-state runs on the drained sink, and the oracle
+    //     rebuilds dim + interval-joins in SQL. ---
+    "q185_stream_asof_enrich" -> { (spark, dir) =>
+      val ev = EventStream.normalizeEventTime(tbl(spark, dir, "events"))
+      val dim = graft.operators.Scd.buildType2(
+        ev.filter(col("event_type") =!= "purchase"),
+        col("user_id"), col("ts"), col("event_type"))
+      val stream = EventStream.readTable(spark, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"))
+      val enriched = graft.operators.Scd.asOfEnrich(stream,
+        col("user_id"), col("ts"), dim)
+      EventStream.runToCompletion(spark, enriched, mode = "append")
+        .groupBy(col("attr").as("state"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("state"))
+    },
+
+    // --- per-group Gini concentration of spend, EXACT: values as
+    //     cents (the q170 fixed-point trick), ranks from a
+    //     type-partitioned window over (value, id) — tie order cannot
+    //     matter because tied ranks carry equal values — and the
+    //     closed form (2·Σi·xᵢ)/(n·Σx) − (n+1)/n is divisions of
+    //     exact integers in a pinned order, hash-compared UNROUNDED. ---
+    "q186_gini" -> { (spark, dir) =>
+      val ev = tbl(spark, dir, "events")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      ev.select(col("event_type"), col("value"), col("event_id"),
+          round(col("value") * 100).cast("long").as("__cents"))
+        .withColumn("__i", row_number().over(w).cast("long"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("__cents")).as("__sx"),
+          sum(col("__i") * col("__cents")).as("__swx"))
+        .select(col("event_type"), col("n"),
+          ((lit(2L) * col("__swx")).cast("double") /
+            (col("n") * col("__sx")).cast("double") -
+            (col("n") + lit(1L)).cast("double") /
+              col("n").cast("double")).as("gini"))
+        .orderBy(col("event_type"))
+    },
+
+    // --- per-doc keyword extraction: top-3 terms by the exact
+    //     tf·N/df relevance ratio (same ORDERING family as tf-idf —
+    //     x↦ln x is monotone — but computed as one exact-integer
+    //     division, so no libm anywhere near the ranking). The rank
+    //     window is DOC-partitioned over that doc's own distinct
+    //     terms; df and N are broadcast-sized census frames. ---
+    "q187_keywords" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+      val toks = docs.select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      val tf = toks.groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("__n"))
+      val scored = tf.join(df, Seq("tok"))
+        .crossJoin(broadcast(n))
+        .withColumn("score",
+          (col("tf") * col("__n")).cast("double") /
+            col("df").cast("double"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("tok").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("tok"), col("score"))
+        .orderBy(col("doc_id"), col("rank"))
     }
   )
 
@@ -7416,7 +7493,69 @@ object SparkEntry {
                (2.0 * CAST(coalesce(tc.triangles, 0) AS DOUBLE)) /
                  CAST(deg.d * (deg.d - 1) AS DOUBLE)
              ELSE 0.0 END AS coeff
-      FROM deg LEFT JOIN tc USING (node) ORDER BY deg.node"""
+      FROM deg LEFT JOIN tc USING (node) ORDER BY deg.node""",
+
+    // SCD2 rebuilt over NON-purchase history, purchases interval-
+    // joined as-of their time (same run-numbering CTE as q139)
+    "q185_stream_asof_enrich" -> """
+      WITH o AS (SELECT user_id AS entity, ts AS t, event_type AS attr,
+                        CASE WHEN lag(event_type) OVER
+                               (PARTITION BY user_id ORDER BY ts)
+                               IS DISTINCT FROM event_type
+                             THEN 1 ELSE 0 END AS chg
+                 FROM events WHERE event_type <> 'purchase'),
+      r AS (SELECT entity, t, attr,
+                   sum(chg) OVER (PARTITION BY entity ORDER BY t
+                     ROWS UNBOUNDED PRECEDING) AS run
+            FROM o),
+      c AS (SELECT entity, run, min(attr) AS attr,
+                   min(t) AS valid_from FROM r GROUP BY entity, run),
+      d AS (SELECT entity, attr, valid_from,
+                   lead(valid_from) OVER
+                     (PARTITION BY entity ORDER BY run) AS valid_to
+            FROM c),
+      p AS (SELECT user_id, ts FROM events
+            WHERE event_type = 'purchase')
+      SELECT d.attr AS state, CAST(count(*) AS BIGINT) AS n
+      FROM p LEFT JOIN d ON d.entity = p.user_id
+        AND p.ts >= d.valid_from
+        AND (d.valid_to IS NULL OR p.ts < d.valid_to)
+      GROUP BY 1 ORDER BY 1""",
+
+    "q186_gini" -> """
+      WITH s AS (SELECT event_type, value, event_id,
+                        CAST(round(value * 100) AS BIGINT) AS cents,
+                        CAST(row_number() OVER (PARTITION BY event_type
+                          ORDER BY value, event_id) AS BIGINT) AS i
+                 FROM events),
+      g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(cents) AS BIGINT) AS sx,
+                   CAST(sum(i * cents) AS BIGINT) AS swx
+            FROM s GROUP BY 1)
+      SELECT event_type, n,
+             CAST(2 * swx AS DOUBLE) / CAST(n * sx AS DOUBLE) -
+               CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE) AS gini
+      FROM g ORDER BY event_type""",
+
+    "q187_keywords" -> """
+      WITH tk AS (SELECT doc_id, unnest(list_filter(
+                    string_split_regex(lower(trim(text)), '\s+'),
+                    x -> length(x) > 0)) AS tok FROM documents),
+      tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+             FROM tk GROUP BY 1, 2),
+      df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+             FROM tf GROUP BY 1),
+      nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+      s AS (SELECT tf.doc_id, tf.tok,
+                   CAST(tf.tf * nn.n AS DOUBLE) / CAST(df.df AS DOUBLE)
+                     AS score
+            FROM tf JOIN df USING (tok) CROSS JOIN nn),
+      r AS (SELECT doc_id, tok, score,
+                   CAST(row_number() OVER (PARTITION BY doc_id
+                     ORDER BY score DESC, tok ASC) AS INT) AS rank
+            FROM s)
+      SELECT doc_id, rank, tok, score
+      FROM r WHERE rank <= 3 ORDER BY doc_id, rank"""
   )
 
   /** Shared q157/q178 oracle: the order-fixed EWMA left fold, seeded
