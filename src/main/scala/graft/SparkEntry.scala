@@ -3960,6 +3960,37 @@ object SparkEntry {
         .filter(col("rank") <= 3)
         .select(col("doc_id"), col("rank"), col("tok"), col("score"))
         .orderBy(col("doc_id"), col("rank"))
+    },
+
+    // --- KMV set-operation estimates (theta-sketch recipe): buyers
+    //     vs positive-balance customers — union, Jaccard and
+    //     intersection estimated from two 512-hash sketches, next to
+    //     their exact truths. The within-20% flags compare the
+    //     UNROUNDED estimates; they hash-match regardless of sketch
+    //     luck because the oracle replays the identical sketch. ---
+    "q188_kmv_setops" -> { (spark, dir) =>
+      val k = 512
+      val orders = tbl(spark, dir, "orders")
+      val cust = tbl(spark, dir, "customer")
+        .filter(col("c_acctbal") > 0)
+      val a = Kmv.sketch(orders, col("o_custkey"), k)
+      val b = Kmv.sketch(cust, col("c_custkey"), k)
+      val ea = orders.select(col("o_custkey").as("key")).distinct()
+      val eb = cust.select(col("c_custkey").as("key")).distinct()
+      val exu = ea.unionByName(eb).distinct()
+        .agg(count(lit(1)).as("n_union"))
+      val exi = ea.join(eb, Seq("key"), "left_semi")
+        .agg(count(lit(1)).as("n_intersect"))
+      Kmv.setEstimates(a, b, k)
+        .crossJoin(exu).crossJoin(exi)
+        .select(round(col("union_est"), 6).as("union_est"),
+          round(col("jaccard_est"), 6).as("jaccard_est"),
+          round(col("intersect_est"), 6).as("intersect_est"),
+          col("n_union"), col("n_intersect"),
+          (abs(col("union_est") - col("n_union")) <=
+            col("n_union") * 0.2).as("union_within_20pct"),
+          (abs(col("intersect_est") - col("n_intersect")) <=
+            col("n_intersect") * 0.2).as("intersect_within_20pct"))
     }
   )
 
@@ -7555,7 +7586,49 @@ object SparkEntry {
                      ORDER BY score DESC, tok ASC) AS INT) AS rank
             FROM s)
       SELECT doc_id, rank, tok, score
-      FROM r WHERE rank <= 3 ORDER BY doc_id, rank"""
+      FROM r WHERE rank <= 3 ORDER BY doc_id, rank""",
+
+    "q188_kmv_setops" -> """
+      WITH sa AS (SELECT DISTINCT CAST(('0x' || substring(md5(
+                    CAST(o_custkey AS VARCHAR)), 1, 12)) AS BIGINT)
+                    AS h FROM orders),
+      ka AS (SELECT h FROM sa ORDER BY h LIMIT 512),
+      sb AS (SELECT DISTINCT CAST(('0x' || substring(md5(
+               CAST(c_custkey AS VARCHAR)), 1, 12)) AS BIGINT) AS h
+             FROM customer WHERE c_acctbal > 0),
+      kb2 AS (SELECT h FROM sb ORDER BY h LIMIT 512),
+      u AS (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb2)
+            ORDER BY h LIMIT 512),
+      uc AS (SELECT count(*) AS ku, max(h) AS hk FROM u),
+      ib AS (SELECT count(*) AS kboth FROM u
+             WHERE h IN (SELECT h FROM ka)
+               AND h IN (SELECT h FROM kb2)),
+      ue AS (SELECT CASE WHEN ku < 512 THEN CAST(ku AS DOUBLE)
+                         ELSE CAST(511 AS DOUBLE)
+                              * CAST(281474976710656 AS DOUBLE)
+                              / CAST(hk AS DOUBLE) END AS uest,
+                    ku
+             FROM uc),
+      exu AS (SELECT CAST(count(*) AS BIGINT) AS n_union FROM
+                (SELECT o_custkey AS k FROM orders
+                 UNION
+                 SELECT c_custkey FROM customer WHERE c_acctbal > 0)),
+      exi AS (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT)
+                AS n_intersect
+              FROM orders WHERE o_custkey IN
+                (SELECT c_custkey FROM customer WHERE c_acctbal > 0))
+      SELECT round(uest, 6) AS union_est,
+             round(CAST(kboth AS DOUBLE) / CAST(ku AS DOUBLE), 6)
+               AS jaccard_est,
+             round(CAST(kboth AS DOUBLE) / CAST(ku AS DOUBLE) * uest,
+               6) AS intersect_est,
+             n_union, n_intersect,
+             abs(uest - n_union) <= n_union * 0.2
+               AS union_within_20pct,
+             abs(CAST(kboth AS DOUBLE) / CAST(ku AS DOUBLE) * uest
+                 - n_intersect) <= n_intersect * 0.2
+               AS intersect_within_20pct
+      FROM ue, ib, exu, exi"""
   )
 
   /** Shared q157/q178 oracle: the order-fixed EWMA left fold, seeded

@@ -55,4 +55,28 @@ object Kmv {
           .otherwise(lit((k - 1).toDouble * Pow48) /
             col("__hk").cast("double"))
           .as("distinct_est"))
+
+  /** Set-operation estimates from two sketches (Beyer et al. §4 —
+    * the theta-sketch recipe): the k smallest of A∪B form the union
+    * sketch; ρ = the fraction of those hashes present in BOTH input
+    * sketches estimates Jaccard; intersection ≈ ρ · |A∪B|. Every
+    * step is a min-k selection or an exact-hash semi-join, so a SQL
+    * oracle replays the ESTIMATES bit-for-bit — the property that
+    * lets approximate set analytics sit under the same hard
+    * correctness gate as exact operators. When both inputs carry
+    * fewer than k distinct keys the sketches are the sets and all
+    * three outputs are exact. */
+  def setEstimates(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+    val u = merge(Seq(a, b), k)
+    val inBoth = u.join(a, Seq("h"), "left_semi")
+      .join(b, Seq("h"), "left_semi")
+    u.agg(count(lit(1)).as("__ku")).crossJoin(
+        inBoth.agg(count(lit(1)).as("__kb")))
+      .crossJoin(estimate(u, k))
+      .select(col("distinct_est").as("union_est"),
+        (col("__kb").cast("double") / col("__ku").cast("double"))
+          .as("jaccard_est"),
+        ((col("__kb").cast("double") / col("__ku").cast("double")) *
+          col("distinct_est")).as("intersect_est"))
+  }
 }

@@ -40,4 +40,17 @@ class KmvSpec extends SparkSpec {
       .as[Long].collect().sorted.toSeq
     assert(merged === whole)
   }
+
+  test("setEstimates: EXACT in the under-k regime (the sketch IS the " +
+      "set): union/jaccard/intersection all come out as truth") {
+    val a = (1 to 60).map(i => s"key_$i").toDF("k")
+    val b = (41 to 100).map(i => s"key_$i").toDF("k") // overlap = 20
+    val k = 512 // > every set involved
+    val out = Kmv.setEstimates(
+        Kmv.sketch(a, $"k", k), Kmv.sketch(b, $"k", k), k)
+      .as[(Double, Double, Double)].collect().head
+    assert(out._1 === 100.0, s"union: $out")
+    assert(out._2 === 0.2, s"jaccard 20/100: $out")
+    assert(out._3 === 20.0, s"intersection: $out")
+  }
 }
