@@ -3991,6 +3991,53 @@ object SparkEntry {
             col("n_union") * 0.2).as("union_within_20pct"),
           (abs(col("intersect_est") - col("n_intersect")) <=
             col("n_intersect") * 0.2).as("intersect_within_20pct"))
+    },
+
+    // --- FULL OUTER stream-stream interval join: q156's harness with
+    //     BOTH sides' unmatched rows flushing after the sentinel —
+    //     completes the supported stream-stream matrix (inner q89 /
+    //     left q156 / full here; Spark has no stream-stream
+    //     semi/anti). Purchases with no view in the PRECEDING 30
+    //     minutes surface as null-left rows — the orphan-detection
+    //     readout an at-least-once pipeline monitors. ---
+    "q189_stream_full_outer" -> { (spark, dir) =>
+      val events = EventStream.normalizeEventTime(
+          tbl(spark, dir, "events"))
+        .filter(pmod(col("user_id"), lit(3)) === 0 &&
+          col("event_type").isin("view", "purchase"))
+        .select(col("ts"), col("event_type"), col("user_id"),
+          col("event_id"))
+      val src = java.nio.file.Files.createTempDirectory("graft_q189src")
+        .toString
+      events.coalesce(1).write.mode("append").parquet(src)
+      spark.createDataFrame(Seq(
+          (new java.sql.Timestamp(1709251200000L), "view", -1L, -1L),
+          (new java.sql.Timestamp(1709251200000L), "purchase", -2L, -2L)))
+        .toDF("ts", "event_type", "user_id", "event_id")
+        .coalesce(1).write.mode("append").parquet(src)
+      def stream = spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val views = stream.filter(col("event_type") === "view")
+        .select(col("user_id").as("a_user"), col("ts").as("a_ts"),
+          col("event_id").as("a_id"))
+      val purchases = stream.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("b_user"), col("ts").as("b_ts"))
+      val joined = EventStream.fullOuterIntervalJoin(
+        views, "a_ts", purchases, "b_ts",
+        col("a_user") === col("b_user") &&
+          col("b_ts") >= col("a_ts") &&
+          col("b_ts") <= col("a_ts") + expr("interval 30 minutes"),
+        watermark = "1 second")
+      EventStream.runToCompletion(spark, joined, mode = "append")
+        .filter(coalesce(col("a_user"), lit(0L)) >= 0 &&
+          coalesce(col("b_user"), lit(0L)) >= 0)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("a_ts").isNotNull && col("b_ts").isNotNull, 1L)
+            .otherwise(0L)).as("n_matched"),
+          sum(when(col("b_ts").isNull, 1L).otherwise(0L))
+            .as("n_unmatched_views"),
+          sum(when(col("a_ts").isNull, 1L).otherwise(0L))
+            .as("n_orphan_purchases"))
     }
   )
 
@@ -7628,7 +7675,26 @@ object SparkEntry {
              abs(CAST(kboth AS DOUBLE) / CAST(ku AS DOUBLE) * uest
                  - n_intersect) <= n_intersect * 0.2
                AS intersect_within_20pct
-      FROM ue, ib, exu, exi"""
+      FROM ue, ib, exu, exi""",
+
+    "q189_stream_full_outer" -> """
+      WITH e AS (SELECT * FROM events WHERE user_id % 3 = 0),
+      v AS (SELECT user_id AS a_user, ts AS a_ts, event_id AS a_id
+            FROM e WHERE event_type = 'view'),
+      p AS (SELECT user_id AS b_user, ts AS b_ts
+            FROM e WHERE event_type = 'purchase'),
+      j AS (SELECT v.a_ts, p.b_ts
+            FROM v FULL OUTER JOIN p ON v.a_user = p.b_user
+              AND p.b_ts >= v.a_ts
+              AND p.b_ts <= v.a_ts + INTERVAL 30 MINUTE)
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN a_ts IS NOT NULL AND b_ts IS NOT NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+             CAST(sum(CASE WHEN b_ts IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_unmatched_views,
+             CAST(sum(CASE WHEN a_ts IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_orphan_purchases
+      FROM j"""
   )
 
   /** Shared q157/q178 oracle: the order-fixed EWMA left fold, seeded

@@ -434,6 +434,17 @@ object EventStream {
                             watermark: String): DataFrame =
     intervalJoin(a, aTs, b, bTs, cond, watermark, "left_outer")
 
+  /** FULL OUTER stream-stream interval join — both sides' unmatched
+    * rows emit with nulls opposite once the watermark passes their
+    * interval; same sentinel-flush drain contract as
+    * [[leftOuterIntervalJoin]], applied to BOTH sides. Completes the
+    * supported stream-stream matrix (inner / left / full — Spark has
+    * no stream-stream semi/anti). */
+  def fullOuterIntervalJoin(a: DataFrame, aTs: String, b: DataFrame,
+                            bTs: String, cond: Column,
+                            watermark: String): DataFrame =
+    intervalJoin(a, aTs, b, bTs, cond, watermark, "full_outer")
+
   /** Watermark delay covering a STATIC backlog's full event-time span
     * (+1 s margin): with this delay, no row of the backlog can fall
     * behind the watermark no matter how files are batched or ordered,
