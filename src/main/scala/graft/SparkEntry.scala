@@ -4038,6 +4038,58 @@ object SparkEntry {
             .as("n_unmatched_views"),
           sum(when(col("a_ts").isNull, 1L).otherwise(0L))
             .as("n_orphan_purchases"))
+    },
+
+    // --- ROLLING distinct actives on the SKETCH path: per-day KMV
+    //     sketches (k smallest user-hashes per day) merged across
+    //     each trailing-7-day window — mergeability is the whole
+    //     point of KMV (q153), and it is what replaces q167's exact
+    //     grid-join when the distinct sets stop fitting: the window
+    //     union handles k·7 rows per day instead of every active
+    //     user. Day-partitioned rank windows only; estimates replay
+    //     bit-for-bit in the oracle, with q167's exact WAU alongside
+    //     as truth. ---
+    "q190_rolling_distinct_kmv" -> { (spark, dir) =>
+      val k = 256
+      val ev = tbl(spark, dir, "events")
+      val dh = ev.select(to_date(col("ts")).as("day"),
+          Kmv.h48(col("user_id")).as("h")).distinct()
+      val wd = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("day")).orderBy(col("h"))
+      val daily = dh.withColumn("__rn", row_number().over(wd))
+        .filter(col("__rn") <= k).drop("__rn")
+      val grid = dh.agg(min(col("day")).as("__lo"),
+          max(col("day")).as("__hi"))
+        .select(explode(sequence(col("__lo"), col("__hi"),
+          expr("interval 1 day"))).as("gday"))
+      val windowed = broadcast(grid)
+        .join(daily, col("day").between(date_sub(col("gday"), 6),
+          col("gday")))
+        .select(col("gday"), col("h")).distinct()
+      val wg = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("gday")).orderBy(col("h"))
+      val est = windowed.withColumn("__rn", row_number().over(wg))
+        .filter(col("__rn") <= k)
+        .groupBy(col("gday"))
+        .agg(count(lit(1)).as("__c"), max(col("h")).as("__hk"))
+        .select(col("gday"),
+          when(col("__c") < k, col("__c").cast("double"))
+            .otherwise(lit((k - 1).toDouble * 281474976710656.0) /
+              col("__hk").cast("double")).as("wau7_est"))
+      val du = ev.select(to_date(col("ts")).as("day"), col("user_id"))
+        .distinct()
+      val exact = broadcast(grid.withColumnRenamed("gday", "g2"))
+        .join(du, col("day").between(date_sub(col("g2"), 6),
+          col("g2")))
+        .groupBy(col("g2"))
+        .agg(count_distinct(col("user_id")).as("wau7_exact"))
+      est.join(exact, col("gday") === col("g2"))
+        .select(col("gday").as("day"),
+          round(col("wau7_est"), 6).as("wau7_est"),
+          col("wau7_exact"),
+          (abs(col("wau7_est") - col("wau7_exact")) <=
+            col("wau7_exact") * 0.2).as("within_20pct"))
+        .orderBy(col("day"))
     }
   )
 
@@ -7694,7 +7746,51 @@ object SparkEntry {
                   AS BIGINT) AS n_unmatched_views,
              CAST(sum(CASE WHEN a_ts IS NULL THEN 1 ELSE 0 END)
                   AS BIGINT) AS n_orphan_purchases
-      FROM j"""
+      FROM j""",
+
+    "q190_rolling_distinct_kmv" -> """
+      WITH dh AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE)
+                    AS day,
+                    CAST(('0x' || substring(md5(
+                      CAST(user_id AS VARCHAR)), 1, 12)) AS BIGINT)
+                      AS h
+                  FROM events),
+      daily AS (SELECT day, h FROM
+                 (SELECT day, h, row_number() OVER (PARTITION BY day
+                    ORDER BY h) AS rn FROM dh)
+                WHERE rn <= 256),
+      b AS (SELECT min(day) AS lo, max(day) AS hi FROM dh),
+      g AS (SELECT CAST(unnest(generate_series(
+              CAST((SELECT lo FROM b) AS TIMESTAMP),
+              CAST((SELECT hi FROM b) AS TIMESTAMP),
+              INTERVAL 1 DAY)) AS DATE) AS gday),
+      wnd AS (SELECT DISTINCT g.gday, d.h
+              FROM g JOIN daily d
+                ON d.day BETWEEN g.gday - 6 AND g.gday),
+      topw AS (SELECT gday, h FROM
+                (SELECT gday, h, row_number() OVER (PARTITION BY gday
+                   ORDER BY h) AS rn FROM wnd)
+               WHERE rn <= 256),
+      est AS (SELECT gday, count(*) AS c, max(h) AS hk
+              FROM topw GROUP BY 1),
+      ee AS (SELECT gday,
+               CASE WHEN c < 256 THEN CAST(c AS DOUBLE)
+                    ELSE CAST(255 AS DOUBLE)
+                         * CAST(281474976710656 AS DOUBLE)
+                         / CAST(hk AS DOUBLE) END AS wau7_est
+             FROM est),
+      du AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE)
+               AS day, user_id FROM events),
+      ex AS (SELECT g.gday, CAST(count(DISTINCT du.user_id) AS BIGINT)
+               AS wau7_exact
+             FROM g JOIN du ON du.day BETWEEN g.gday - 6 AND g.gday
+             GROUP BY 1)
+      SELECT ee.gday AS day, round(ee.wau7_est, 6) AS wau7_est,
+             ex.wau7_exact,
+             abs(ee.wau7_est - ex.wau7_exact) <= ex.wau7_exact * 0.2
+               AS within_20pct
+      FROM ee JOIN ex ON ee.gday = ex.gday
+      ORDER BY ee.gday"""
   )
 
   /** Shared q157/q178 oracle: the order-fixed EWMA left fold, seeded
