@@ -75,6 +75,27 @@ class ServiceSpec extends SparkSpec {
     assert(r3.get("data").size === 5)
   }
 
+  test("round-7 operator outputs publish as JX views: golden records " +
+      "and the profiling census compose with JX aggregation") {
+    import org.apache.spark.sql.functions._
+    val entry = SparkEntry.queries
+    val views = Map(
+      "golden" -> entry("q163_golden_record")(spark, TestSpark.sfDir),
+      "census" -> entry("q161_profile")(spark, TestSpark.sfDir))
+    // JX aggregate over the survivorship frame: cluster-size histogram
+    val r1 = mapper.readTree(Service.query(spark, TestSpark.sfDir,
+      """{"from": "golden", "groupby": ["n_members"],
+          "select": [{"name": "n", "aggregate": "count"}],
+          "sort": ["n_members"]}""", views))
+    assert(r1.get("data").size > 0)
+    // JX filter over the census: columns with any nulls
+    val r2 = mapper.readTree(Service.query(spark, TestSpark.sfDir,
+      """{"from": "census", "where": {"gte": ["n_distinct", 1]},
+          "select": ["col_name", "n_rows"],
+          "sort": ["col_name"]}""", views))
+    assert(r2.get("data").size === 5)
+  }
+
   test("meta.columns and meta.tables see registered views with the " +
       "virtual flag") {
     import org.apache.spark.sql.functions._
