@@ -4090,6 +4090,88 @@ object SparkEntry {
           (abs(col("wau7_est") - col("wau7_exact")) <=
             col("wau7_exact") * 0.2).as("within_20pct"))
         .orderBy(col("day"))
+    },
+
+    // --- hierarchical ratio-to-parent (the OLAP drill-down staple):
+    //     nation sales as a share of their region, sales kept EXACT
+    //     as cents (2-dp money through the q170 fixed-point trick) so
+    //     the shares are single divisions of exact integers —
+    //     unrounded hash match. Dimensions broadcast; one fact
+    //     exchange on the nation grouping. ---
+    "q191_ratio_to_parent" -> { (spark, dir) =>
+      val o = tbl(spark, dir, "orders")
+      val c = tbl(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val n = tbl(spark, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      val r = tbl(spark, dir, "region")
+        .select(col("r_regionkey"), col("r_name"))
+      val sales = o
+        .select(col("o_custkey"),
+          round(col("o_totalprice") * 100).cast("long").as("__cents"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(col("__cents")).as("__nc"), count(lit(1)).as("n_orders"))
+      val wr = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("r_name"))
+      sales
+        .withColumn("__rc", sum(col("__nc")).over(wr))
+        .select(col("r_name"), col("n_name"), col("n_orders"),
+          (col("__nc").cast("double") / lit(100.0)).as("sales"),
+          (col("__nc").cast("double") / col("__rc").cast("double"))
+            .as("share_of_region"))
+        .orderBy(col("r_name"), col("n_name"))
+    },
+
+    // --- Kaplan-Meier survival of user lifetimes (right-censored at
+    //     the observation edge): risk sets and churn counts from the
+    //     lifetime histogram via a reversed cumulative sum, then the
+    //     survival product S(t)=Π(1−dᵤ/nᵤ) as an ORDER-FIXED fold
+    //     over the ≤|days| per-day factors (the q103/q157 fold
+    //     discipline — exact divisions, multiplication order pinned
+    //     by t, so S(t) hash-compares UNROUNDED). Everything before
+    //     the fold is integer arithmetic; the factor frame is
+    //     days-sized, never user-sized. ---
+    "q192_survival" -> { (spark, dir) =>
+      val ev = tbl(spark, dir, "events")
+      val life = ev.groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("__f"),
+          max(to_date(col("ts"))).as("__l"))
+      val edge = ev.agg(max(to_date(col("ts"))).as("__maxd"))
+      val lt = life.crossJoin(broadcast(edge))
+        .select(datediff(col("__l"), col("__f")).as("lifetime"),
+          (col("__l") === col("__maxd")).as("__cens"))
+        .filter(col("lifetime") >= 1)
+      val byLt = lt.groupBy(col("lifetime"))
+        .agg(count(lit(1)).as("__all"),
+          sum(when(!col("__cens"), 1L).otherwise(0L)).as("d"))
+        // the histogram has <= |observation days| rows; the explicit
+        // limit states the bound the global window below rides on
+        .orderBy(col("lifetime")).limit(100000)
+      val wrev = org.apache.spark.sql.expressions.Window
+        .orderBy(col("lifetime").desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val km = byLt
+        .withColumn("n_risk", sum(col("__all")).over(wrev))
+        .select(col("lifetime").as("t"), col("n_risk"), col("d"),
+          (lit(1.0) - col("d").cast("double") /
+            col("n_risk").cast("double")).as("__factor"))
+      km.agg(array_sort(collect_list(struct(col("t"), col("n_risk"),
+          col("d"), col("__factor")))).as("__a"))
+        .select(posexplode(col("__a")).as(Seq("__i", "__r")))
+        .select(col("__r.t").as("t"), col("__r.n_risk").as("n_risk"),
+          col("__r.d").as("d"), col("__i"))
+        .crossJoin(km.agg(array_sort(collect_list(struct(col("t"),
+          col("__factor")))).as("__fs")))
+        .select(col("t"), col("n_risk"), col("d"),
+          expr("""aggregate(slice(transform(__fs, x -> x.__factor),
+                    1, __i + 1), CAST(1.0 AS DOUBLE), (s, x) -> s * x)""")
+            .as("survival"))
+        .orderBy(col("t"))
     }
   )
 
@@ -7790,7 +7872,59 @@ object SparkEntry {
              abs(ee.wau7_est - ex.wau7_exact) <= ex.wau7_exact * 0.2
                AS within_20pct
       FROM ee JOIN ex ON ee.gday = ex.gday
-      ORDER BY ee.gday"""
+      ORDER BY ee.gday""",
+
+    "q191_ratio_to_parent" -> """
+      WITH s AS (SELECT r.r_name, n.n_name,
+                        CAST(sum(CAST(round(o.o_totalprice * 100)
+                          AS BIGINT)) AS BIGINT) AS nc,
+                        CAST(count(*) AS BIGINT) AS n_orders
+                 FROM orders o
+                 JOIN customer c ON o.o_custkey = c.c_custkey
+                 JOIN nation n ON c.c_nationkey = n.n_nationkey
+                 JOIN region r ON n.n_regionkey = r.r_regionkey
+                 GROUP BY 1, 2),
+      t AS (SELECT *, CAST(sum(nc) OVER (PARTITION BY r_name)
+                           AS BIGINT) AS rc
+            FROM s)
+      SELECT r_name, n_name, n_orders,
+             CAST(nc AS DOUBLE) / 100.0 AS sales,
+             CAST(nc AS DOUBLE) / CAST(rc AS DOUBLE)
+               AS share_of_region
+      FROM t ORDER BY r_name, n_name""",
+
+    "q192_survival" -> """
+      WITH life AS (SELECT user_id,
+                      CAST(date_trunc('day', min(ts)) AS DATE) AS f,
+                      CAST(date_trunc('day', max(ts)) AS DATE) AS l
+                    FROM events GROUP BY 1),
+      edge AS (SELECT CAST(date_trunc('day', max(ts)) AS DATE)
+                 AS maxd FROM events),
+      lt AS (SELECT date_diff('day', f, l) AS lifetime,
+                    l = edge.maxd AS cens
+             FROM life CROSS JOIN edge
+             WHERE date_diff('day', f, l) >= 1),
+      bylt AS (SELECT lifetime, CAST(count(*) AS BIGINT) AS alln,
+                      CAST(sum(CASE WHEN cens THEN 0 ELSE 1 END)
+                           AS BIGINT) AS d
+               FROM lt GROUP BY 1),
+      km AS (SELECT lifetime AS t, d,
+                    CAST(sum(alln) OVER (ORDER BY lifetime DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS n_risk
+             FROM bylt),
+      f2 AS (SELECT t, n_risk, d,
+                    1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)
+                      AS factor
+             FROM km),
+      arr AS (SELECT list(factor ORDER BY t) AS fs FROM f2)
+      SELECT f2.t, f2.n_risk, f2.d,
+             list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+               (SELECT fs FROM arr)[1:
+                 (SELECT CAST(count(*) AS INT) FROM f2 x
+                  WHERE x.t <= f2.t)]),
+               (s, x) -> s * x) AS survival
+      FROM f2 ORDER BY f2.t"""
   )
 
   /** Shared q157/q178 oracle: the order-fixed EWMA left fold, seeded
