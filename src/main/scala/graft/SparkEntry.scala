@@ -4172,6 +4172,68 @@ object SparkEntry {
                     1, __i + 1), CAST(1.0 AS DOUBLE), (s, x) -> s * x)""")
             .as("survival"))
         .orderBy(col("t"))
+    },
+
+    // --- item-item collaborative similarity (the co-purchase
+    //     recommender): parts sharing an order score cosine =
+    //     co/√(dᵢ·dⱼ) — one exact integer co-occurrence count, two
+    //     broadcast degree lookups, one IEEE sqrt (correctly rounded
+    //     in both engines) — top-3 neighbors per item via an
+    //     item-partitioned rank window. Unrounded hash match. ---
+    "q193_item_similarity" -> { (spark, dir) =>
+      val li = tbl(spark, dir, "lineitem")
+        .filter(pmod(col("l_partkey"), lit(8)) === 0)
+      val baskets = li.select(col("l_orderkey").as("g"),
+        col("l_partkey").as("i")).distinct()
+      val deg = baskets.groupBy(col("i")).agg(count(lit(1)).as("d"))
+      val pairs = baskets.join(
+          baskets.select(col("g"), col("i").as("j")), Seq("g"))
+        .filter(col("i") < col("j"))
+        .groupBy(col("i"), col("j")).agg(count(lit(1)).as("co"))
+      val sym = pairs.unionByName(pairs.select(col("j").as("i"),
+        col("i").as("j"), col("co")))
+      val scored = sym
+        .join(broadcast(deg.select(col("i"), col("d").as("__di"))),
+          Seq("i"))
+        .join(broadcast(deg.select(col("i").as("j"),
+          col("d").as("__dj"))), Seq("j"))
+        .withColumn("sim", col("co").cast("double") /
+          sqrt((col("__di") * col("__dj")).cast("double")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("i")).orderBy(col("sim").desc, col("j").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("i").as("item"), col("rank"),
+          col("j").as("neighbor"), col("co"), col("sim"))
+        .orderBy(col("item"), col("rank"))
+    },
+
+    // --- trimmed mean per group (the robust-aggregation complement
+    //     of q162's median/MAD): trim outside the discrete [p10,p90]
+    //     values (real data points via ExactQuantile — bit-exact
+    //     bounds), then the mean of survivors as a CENTS ratio —
+    //     exact integer sums in any order, one final division,
+    //     unrounded hash match. ---
+    "q194_trimmed_mean" -> { (spark, dir) =>
+      val ev = tbl(spark, dir, "events")
+        .select(col("event_type"), col("value").cast("double").as("v"),
+          round(col("value") * 100).cast("long").as("__cents"))
+      val p10 = graft.operators.ExactQuantile.quantileDisc(ev,
+          col("event_type"), col("v"), 0.1)
+        .select(col("grp").as("event_type"), col("q").as("__lo"))
+      val p90 = graft.operators.ExactQuantile.quantileDisc(ev,
+          col("event_type"), col("v"), 0.9)
+        .select(col("grp").as("event_type"), col("q").as("__hi"))
+      ev.join(broadcast(p10), Seq("event_type"))
+        .join(broadcast(p90), Seq("event_type"))
+        .filter(col("v") >= col("__lo") && col("v") <= col("__hi"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("__cents")).as("__sc"))
+        .select(col("event_type"), col("n_kept"),
+          (col("__sc").cast("double") / col("n_kept").cast("double") /
+            lit(100.0)).as("trimmed_mean"))
+        .orderBy(col("event_type"))
     }
   )
 
@@ -7924,7 +7986,51 @@ object SparkEntry {
                  (SELECT CAST(count(*) AS INT) FROM f2 x
                   WHERE x.t <= f2.t)]),
                (s, x) -> s * x) AS survival
-      FROM f2 ORDER BY f2.t"""
+      FROM f2 ORDER BY f2.t""",
+
+    "q193_item_similarity" -> """
+      WITH b AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+                 FROM lineitem WHERE l_partkey % 8 = 0),
+      deg AS (SELECT i, CAST(count(*) AS BIGINT) AS d
+              FROM b GROUP BY 1),
+      p AS (SELECT a.i, c.i AS j, CAST(count(*) AS BIGINT) AS co
+            FROM b a JOIN b c ON a.g = c.g AND a.i < c.i
+            GROUP BY 1, 2),
+      sym AS (SELECT i, j, co FROM p
+              UNION ALL SELECT j, i, co FROM p),
+      sc AS (SELECT s.i, s.j, s.co,
+                    CAST(s.co AS DOUBLE) /
+                      sqrt(CAST(di.d * dj.d AS DOUBLE)) AS sim
+             FROM sym s
+             JOIN deg di ON di.i = s.i
+             JOIN deg dj ON dj.i = s.j),
+      r AS (SELECT *, CAST(row_number() OVER (PARTITION BY i
+              ORDER BY sim DESC, j ASC) AS INT) AS rank
+            FROM sc)
+      SELECT i AS item, rank, j AS neighbor, co, sim
+      FROM r WHERE rank <= 3 ORDER BY item, rank""",
+
+    "q194_trimmed_mean" -> """
+      WITH e AS (SELECT event_type, CAST(value AS DOUBLE) AS v,
+                        CAST(round(value * 100) AS BIGINT) AS cents
+                 FROM events),
+      rk AS (SELECT event_type, v,
+                    row_number() OVER (PARTITION BY event_type
+                      ORDER BY v) AS rnk,
+                    count(*) OVER (PARTITION BY event_type) AS n
+             FROM e),
+      q AS (SELECT event_type,
+                   max(CASE WHEN rnk = CAST(ceil(0.1 * n) AS BIGINT)
+                            THEN v END) AS lo,
+                   max(CASE WHEN rnk = CAST(ceil(0.9 * n) AS BIGINT)
+                            THEN v END) AS hi
+            FROM rk GROUP BY 1)
+      SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_kept,
+             CAST(sum(e.cents) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+               / 100.0 AS trimmed_mean
+      FROM e JOIN q USING (event_type)
+      WHERE e.v >= q.lo AND e.v <= q.hi
+      GROUP BY 1 ORDER BY 1"""
   )
 
   /** Shared q157/q178 oracle: the order-fixed EWMA left fold, seeded
