@@ -4234,6 +4234,26 @@ object SparkEntry {
           (col("__sc").cast("double") / col("n_kept").cast("double") /
             lit(100.0)).as("trimmed_mean"))
         .orderBy(col("event_type"))
+    },
+
+    // --- batch sessionization readout (operators.Sessionize): 30-min
+    //     gap sessions per user, then the session-size histogram with
+    //     exact integer duration stats — entity-partitioned windows
+    //     only, integer microseconds end-to-end. ---
+    "q195_session_stats" -> { (spark, dir) =>
+      val ev = tbl(spark, dir, "events")
+      val us = unix_micros(col("ts").cast("timestamp"))
+      val per = Sessionize.withSessionIds(ev, col("user_id"),
+          col("ts"), gapSec = 1800)
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("__ne"),
+          (max(us) - min(us)).as("__dur"))
+      per.groupBy(col("__ne").as("events_per_session"))
+        .agg(count(lit(1)).as("n_sessions"),
+          min(col("__dur")).as("min_dur_us"),
+          max(col("__dur")).as("max_dur_us"),
+          sum(col("__dur")).as("total_dur_us"))
+        .orderBy(col("events_per_session"))
     }
   )
 
@@ -8030,7 +8050,29 @@ object SparkEntry {
                / 100.0 AS trimmed_mean
       FROM e JOIN q USING (event_type)
       WHERE e.v >= q.lo AND e.v <= q.hi
-      GROUP BY 1 ORDER BY 1"""
+      GROUP BY 1 ORDER BY 1""",
+
+    "q195_session_stats" -> """
+      WITH s AS (SELECT user_id, epoch_us(ts) AS us,
+                   CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                          OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                             > 1800000000
+                        THEN 1 ELSE 0 END AS brk
+                 FROM events
+                 WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      g AS (SELECT user_id, us,
+                   sum(brk) OVER (PARTITION BY user_id ORDER BY us
+                     ROWS UNBOUNDED PRECEDING) - 1 AS sid
+            FROM s),
+      p AS (SELECT user_id, sid, count(*) AS ne,
+                   max(us) - min(us) AS dur
+            FROM g GROUP BY 1, 2)
+      SELECT CAST(ne AS BIGINT) AS events_per_session,
+             CAST(count(*) AS BIGINT) AS n_sessions,
+             CAST(min(dur) AS BIGINT) AS min_dur_us,
+             CAST(max(dur) AS BIGINT) AS max_dur_us,
+             CAST(sum(dur) AS BIGINT) AS total_dur_us
+      FROM p GROUP BY 1 ORDER BY 1"""
   )
 
   /** Shared q157/q178 oracle: the order-fixed EWMA left fold, seeded
