@@ -4254,6 +4254,29 @@ object SparkEntry {
           max(col("__dur")).as("max_dur_us"),
           sum(col("__dur")).as("total_dur_us"))
         .orderBy(col("events_per_session"))
+    },
+
+    // --- corrupt-record quarantine (robust ingestion): a mixed
+    //     JSON-lines feed where every 7th line is truncated;
+    //     PERMISSIVE from_json nulls the malformed rows and the
+    //     census groups them under the null key — the
+    //     quarantine-don't-crash contract every lake ingest needs,
+    //     mirrored by json_valid in the oracle. Row-local except the
+    //     tiny census aggregate. ---
+    "q196_json_quarantine" -> { (spark, dir) =>
+      val ev = tbl(spark, dir, "events")
+      val lines = ev.select(
+        when(pmod(col("event_id"), lit(7)) === 0,
+          concat(lit("{\"k\": "), col("event_id")))
+          .otherwise(concat(lit("{\"k\": "), col("event_id"),
+            lit(", \"t\": \""), col("event_type"), lit("\"}")))
+          .as("line"))
+      lines
+        .withColumn("__j", from_json(col("line"),
+          new StructType().add("k", LongType).add("t", StringType)))
+        .select(col("__j.t").as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("n"))
+        .orderBy(col("t"))
     }
   )
 
@@ -8072,7 +8095,19 @@ object SparkEntry {
              CAST(min(dur) AS BIGINT) AS min_dur_us,
              CAST(max(dur) AS BIGINT) AS max_dur_us,
              CAST(sum(dur) AS BIGINT) AS total_dur_us
-      FROM p GROUP BY 1 ORDER BY 1"""
+      FROM p GROUP BY 1 ORDER BY 1""",
+
+    "q196_json_quarantine" -> """
+      WITH l AS (SELECT event_id,
+                   CASE WHEN event_id % 7 = 0
+                        THEN '{"k": ' || event_id
+                        ELSE '{"k": ' || event_id || ', "t": "'
+                             || event_type || '"}' END AS line
+                 FROM events)
+      SELECT CASE WHEN json_valid(line)
+                  THEN json_extract_string(line, '$.t') END AS t,
+             CAST(count(*) AS BIGINT) AS n
+      FROM l GROUP BY 1 ORDER BY 1"""
   )
 
   /** Shared q157/q178 oracle: the order-fixed EWMA left fold, seeded
