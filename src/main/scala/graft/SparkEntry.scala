@@ -4277,6 +4277,63 @@ object SparkEntry {
         .select(col("__j.t").as("t"))
         .groupBy(col("t")).agg(count(lit(1)).as("n"))
         .orderBy(col("t"))
+    },
+
+    // --- empirical CDF readout at fixed thresholds: P(v <= t) per
+    //     type for t ∈ {100, 200, 300} — conditional counts over one
+    //     scan, exact integer ratios, no window at all (the
+    //     cume_dist-at-a-point form that actually scales). ---
+    "q198_cdf_at" -> { (spark, dir) =>
+      val ev = tbl(spark, dir, "events")
+      def le(t: Int) = sum(when(col("value") <= t.toDouble, 1L)
+        .otherwise(0L))
+      ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), le(100).as("__c100"),
+          le(200).as("__c200"), le(300).as("__c300"))
+        .select(col("event_type"), col("n"),
+          (col("__c100").cast("double") / col("n").cast("double"))
+            .as("cdf_100"),
+          (col("__c200").cast("double") / col("n").cast("double"))
+            .as("cdf_200"),
+          (col("__c300").cast("double") / col("n").cast("double"))
+            .as("cdf_300"))
+        .orderBy(col("event_type"))
+    },
+
+    // --- trailing-window anomaly days: each day's count vs the
+    //     TRAILING-7-day mean/std of its type, z-scored. Variance
+    //     from integer power sums over a value-based RANGE frame
+    //     ending at -1 (the current day never contaminates its own
+    //     baseline) — exact in any order; mean/var/z are pinned-order
+    //     IEEE divisions + one sqrt, so the flags and z hash-compare
+    //     UNROUNDED. Window over the |days|×|types| daily frame. ---
+    "q199_anomaly_days" -> { (spark, dir) =>
+      val ev = tbl(spark, dir, "events")
+      val daily = ev.groupBy(col("event_type"),
+          to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+        .orderBy(datediff(col("day"), to_date(lit("1970-01-01"))))
+        .rangeBetween(-7, -1)
+      daily
+        .withColumn("__k", count(col("n")).over(w))
+        .withColumn("__sx", sum(col("n")).over(w))
+        .withColumn("__sxx", sum(col("n") * col("n")).over(w))
+        .filter(col("__k") >= 3)
+        .withColumn("__mean",
+          col("__sx").cast("double") / col("__k").cast("double"))
+        .withColumn("__var",
+          (col("__k") * col("__sxx") - col("__sx") * col("__sx"))
+            .cast("double") /
+            (col("__k") * (col("__k") - 1)).cast("double"))
+        .filter(col("__var") > 0)
+        .withColumn("z",
+          (col("n").cast("double") - col("__mean")) /
+            sqrt(col("__var")))
+        .select(col("event_type"), col("day"), col("n"), col("z"),
+          (abs(col("z")) > 2.0).as("is_anomaly"))
+        .orderBy(col("event_type"), col("day"))
     }
   )
 
@@ -8107,7 +8164,41 @@ object SparkEntry {
       SELECT CASE WHEN json_valid(line)
                   THEN json_extract_string(line, '$.t') END AS t,
              CAST(count(*) AS BIGINT) AS n
-      FROM l GROUP BY 1 ORDER BY 1"""
+      FROM l GROUP BY 1 ORDER BY 1""",
+
+    "q198_cdf_at" -> """
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN value <= 100 THEN 1 ELSE 0 END)
+                  AS DOUBLE) / CAST(count(*) AS DOUBLE) AS cdf_100,
+             CAST(sum(CASE WHEN value <= 200 THEN 1 ELSE 0 END)
+                  AS DOUBLE) / CAST(count(*) AS DOUBLE) AS cdf_200,
+             CAST(sum(CASE WHEN value <= 300 THEN 1 ELSE 0 END)
+                  AS DOUBLE) / CAST(count(*) AS DOUBLE) AS cdf_300
+      FROM events GROUP BY 1 ORDER BY 1""",
+
+    "q199_anomaly_days" -> """
+      WITH daily AS (SELECT event_type,
+                       CAST(date_trunc('day', ts) AS DATE) AS day,
+                       CAST(count(*) AS BIGINT) AS n
+                     FROM events GROUP BY 1, 2),
+      wn AS (SELECT event_type, day, n,
+               CAST(count(n) OVER tw AS BIGINT) AS k,
+               CAST(sum(n) OVER tw AS BIGINT) AS sx,
+               CAST(sum(n * n) OVER tw AS BIGINT) AS sxx
+             FROM daily
+             WINDOW tw AS (PARTITION BY event_type ORDER BY day
+               RANGE BETWEEN INTERVAL 7 DAY PRECEDING
+                 AND INTERVAL 1 DAY PRECEDING)),
+      v AS (SELECT event_type, day, n, k,
+              CAST(sx AS DOUBLE) / CAST(k AS DOUBLE) AS mean,
+              CAST(k * sxx - sx * sx AS DOUBLE) /
+                CAST(k * (k - 1) AS DOUBLE) AS var
+            FROM wn WHERE k >= 3)
+      SELECT event_type, day, n,
+             (CAST(n AS DOUBLE) - mean) / sqrt(var) AS z,
+             abs((CAST(n AS DOUBLE) - mean) / sqrt(var)) > 2.0
+               AS is_anomaly
+      FROM v WHERE var > 0 ORDER BY event_type, day"""
   )
 
   /** Shared q157/q178 oracle: the order-fixed EWMA left fold, seeded
