@@ -4334,6 +4334,37 @@ object SparkEntry {
         .select(col("event_type"), col("day"), col("n"), col("z"),
           (abs(col("z")) > 2.0).as("is_anomaly"))
         .orderBy(col("event_type"), col("day"))
+    },
+
+    // --- incremental materialized-view maintenance
+    //     (IncrementalAgg.merge): the daily (type, day) -> (n, cents)
+    //     aggregate maintained across three OVERLAPPING-KEY deltas
+    //     (users split by id mod 3, so every delta touches every key
+    //     and the sums must truly combine), each round persisted to
+    //     parquet and re-read — history merged, never recomputed. The
+    //     oracle recomputes from the full log: hash equality proves
+    //     the incremental path exact (the q143/q125 differential
+    //     pattern). ---
+    "q200_incremental_mv" -> { (spark, dir) =>
+      val ev = tbl(spark, dir, "events")
+        .select(col("event_type"), to_date(col("ts")).as("day"),
+          col("user_id"),
+          round(col("value") * 100).cast("long").as("__cents"))
+      val store = java.nio.file.Files
+        .createTempDirectory("graft_q200").toString
+      var current: DataFrame = null
+      for (i <- 0 until 3) {
+        val delta = ev.filter(pmod(col("user_id"), lit(3)) === i)
+          .groupBy(col("event_type"), col("day"))
+          .agg(count(lit(1)).as("n"), sum(col("__cents")).as("cents"))
+        val merged =
+          if (current == null) delta
+          else graft.operators.IncrementalAgg.merge(current, delta,
+            keys = Seq("event_type", "day"), sums = Seq("n", "cents"))
+        merged.write.mode("overwrite").parquet(s"$store/v$i")
+        current = spark.read.parquet(s"$store/v$i")
+      }
+      current.orderBy(col("event_type"), col("day"))
     }
   )
 
@@ -8198,7 +8229,16 @@ object SparkEntry {
              (CAST(n AS DOUBLE) - mean) / sqrt(var) AS z,
              abs((CAST(n AS DOUBLE) - mean) / sqrt(var)) > 2.0
                AS is_anomaly
-      FROM v WHERE var > 0 ORDER BY event_type, day"""
+      FROM v WHERE var > 0 ORDER BY event_type, day""",
+
+    // full recompute from the raw log — hash equality proves the
+    // three-delta incremental merge exact
+    "q200_incremental_mv" -> """
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 
   /** Shared q157/q178 oracle: the order-fixed EWMA left fold, seeded
