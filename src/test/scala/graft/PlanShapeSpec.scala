@@ -180,4 +180,19 @@ class PlanShapeSpec extends SparkSpec {
         == 0, s"$q must keep every window entity-partitioned")
     }
   }
+
+  test("round-7 analytics cohort: partitioned windows only, and " +
+      "q191's dimensions broadcast") {
+    for (q <- Seq("q186_gini", "q187_keywords", "q193_item_similarity",
+        "q194_trimmed_mean", "q195_session_stats",
+        "q199_anomaly_days")) {
+      val df = SparkEntry.queries(q)(spark, TestSpark.sfDir)
+      assert(PlanAudit.globalWindows(df.queryExecution.optimizedPlan)
+        == 0, s"$q must keep every window partitioned")
+    }
+    val p = plan("q191_ratio_to_parent")
+    assert(p.contains("BroadcastHashJoin"),
+      "nation/region dims must broadcast against the fact side")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
