@@ -4279,6 +4279,28 @@ object SparkEntry {
         .orderBy(col("t"))
     },
 
+    // --- deterministic per-group MODE: the most frequent value
+    //     bucket per type, ties broken by the smaller bucket — the
+    //     aggregate SQL's mode() leaves tie order unspecified, pinned
+    //     here on BOTH sides via an explicit (count desc, bucket asc)
+    //     rank over the tiny per-type bucket census. ---
+    "q197_mode" -> { (spark, dir) =>
+      val ev = tbl(spark, dir, "events")
+      val buckets = ev
+        .select(col("event_type"),
+          (floor(col("value") / 50) * 50).cast("long").as("bucket"))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+        .orderBy(col("n").desc, col("bucket").asc)
+      buckets.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("event_type"), col("bucket").as("mode_bucket"),
+          col("n").as("n_mode"))
+        .orderBy(col("event_type"))
+    },
+
     // --- empirical CDF readout at fixed thresholds: P(v <= t) per
     //     type for t ∈ {100, 200, 300} — conditional counts over one
     //     scan, exact integer ratios, no window at all (the
@@ -8196,6 +8218,19 @@ object SparkEntry {
                   THEN json_extract_string(line, '$.t') END AS t,
              CAST(count(*) AS BIGINT) AS n
       FROM l GROUP BY 1 ORDER BY 1""",
+
+    "q197_mode" -> """
+      WITH b AS (SELECT event_type,
+                        CAST(floor(value / 50) * 50 AS BIGINT)
+                          AS bucket,
+                        count(*) AS n
+                 FROM events GROUP BY 1, 2),
+      r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+              ORDER BY n DESC, bucket ASC) AS rn
+            FROM b)
+      SELECT event_type, bucket AS mode_bucket,
+             CAST(n AS BIGINT) AS n_mode
+      FROM r WHERE rn = 1 ORDER BY event_type""",
 
     "q198_cdf_at" -> """
       SELECT event_type, CAST(count(*) AS BIGINT) AS n,
