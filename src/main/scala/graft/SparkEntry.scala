@@ -4387,6 +4387,68 @@ object SparkEntry {
         current = spark.read.parquet(s"$store/v$i")
       }
       current.orderBy(col("event_type"), col("day"))
+    },
+
+    // --- multi-touch LINEAR attribution: every view in the hour
+    //     before a purchase shares that conversion equally (1/k
+    //     each); daily credit totals fold the credits VALUE-SORTED
+    //     (the q103 deterministic-sum discipline), so mixed-
+    //     denominator rational credits sum identically in both
+    //     engines and the result hash-compares UNROUNDED. ---
+    "q201_attribution" -> { (spark, dir) =>
+      val ev = tbl(spark, dir, "events")
+      val us = unix_micros(col("ts").cast("timestamp"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"),
+          us.as("p_us"))
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          us.as("v_us"))
+      val cand = p.join(v, Seq("user_id"))
+        .filter(col("v_us") <= col("p_us") &&
+          col("v_us") >= col("p_us") - 3600000000L)
+      val wk = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("p_id"))
+      cand.withColumn("__credit",
+          lit(1.0) / count(lit(1)).over(wk).cast("double"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_touches"),
+          array_sort(collect_list(col("__credit"))).as("__cs"))
+        .select(col("day"), col("n_touches"),
+          expr("aggregate(__cs, CAST(0.0 AS DOUBLE), (s, x) -> s + x)")
+            .as("credit"))
+        .orderBy(col("day"))
+    },
+
+    // --- Pareto concentration: the spend share of each type's top
+    //     10% of users — exact cents per user, a type-partitioned
+    //     rank, and ONE division of exact integer sums (unrounded
+    //     hash match). The "how concentrated is this metric" readout
+    //     next to q186's Gini. ---
+    "q202_pareto" -> { (spark, dir) =>
+      val ev = tbl(spark, dir, "events")
+      val perUser = ev.groupBy(col("event_type"), col("user_id"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("__cents"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+        .orderBy(col("__cents").desc, col("user_id").asc)
+      perUser
+        .withColumn("__rn", row_number().over(w))
+        .withColumn("__nu", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("event_type"))))
+        // integer ceil(n/10): (n+9) div 10 — FP 0.1 would misround
+        // exact decile boundaries (30 × 0.1 = 3.0000000000000004)
+        .withColumn("__cut", expr("(__nu + 9) div 10"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("__cents")).as("__total"),
+          sum(when(col("__rn") <= col("__cut"), col("__cents"))
+            .otherwise(0L)).as("__top"))
+        .select(col("event_type"), col("n_users"),
+          (col("__top").cast("double") / col("__total").cast("double"))
+            .as("top10_share"))
+        .orderBy(col("event_type"))
     }
   )
 
@@ -8273,7 +8335,40 @@ object SparkEntry {
              CAST(count(*) AS BIGINT) AS n,
              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
                AS cents
-      FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q201_attribution" -> """
+      WITH p AS (SELECT user_id, event_id AS p_id, epoch_us(ts) AS p_us
+                 FROM events WHERE event_type = 'purchase'),
+      v AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+                   epoch_us(ts) AS v_us
+            FROM events WHERE event_type = 'view'),
+      c AS (SELECT p.p_id, v.day,
+                   count(*) OVER (PARTITION BY p.p_id) AS k
+            FROM p JOIN v ON p.user_id = v.user_id
+              AND v.v_us <= p.p_us
+              AND v.v_us >= p.p_us - 3600000000),
+      cr AS (SELECT day, 1.0 / CAST(k AS DOUBLE) AS credit FROM c)
+      SELECT day, CAST(count(*) AS BIGINT) AS n_touches,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(credit ORDER BY credit)), (s, x) -> s + x)
+               AS credit
+      FROM cr GROUP BY day ORDER BY day""",
+
+    "q202_pareto" -> """
+      WITH pu AS (SELECT event_type, user_id,
+                    CAST(sum(CAST(round(value * 100) AS BIGINT))
+                         AS BIGINT) AS cents
+                  FROM events GROUP BY 1, 2),
+      r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+              ORDER BY cents DESC, user_id ASC) AS rn,
+              count(*) OVER (PARTITION BY event_type) AS nu
+            FROM pu)
+      SELECT event_type, CAST(max(nu) AS BIGINT) AS n_users,
+             CAST(sum(CASE WHEN rn <= (nu + 9) // 10 THEN cents
+                           ELSE 0 END) AS DOUBLE) /
+               CAST(sum(cents) AS DOUBLE) AS top10_share
+      FROM r GROUP BY event_type ORDER BY event_type"""
   )
 
   /** Shared q157/q178 oracle: the order-fixed EWMA left fold, seeded
