@@ -4449,6 +4449,33 @@ object SparkEntry {
           (col("__top").cast("double") / col("__total").cast("double"))
             .as("top10_share"))
         .orderBy(col("event_type"))
+    },
+
+    // --- data-contract rule evaluation (the dbt-tests shape):
+    //     uniqueness / not-null / accepted-values / range rules, each
+    //     one narrow scan + a violation count, melted to one row per
+    //     rule with a pass flag — the declarative DQ readout that
+    //     complements the q161 census and q175 FK audit. An
+    //     accepted-values rule is deliberately violated ('X' status
+    //     exists) so the evaluator provably counts. ---
+    "q203_dq_rules" -> { (spark, dir) =>
+      val orders = tbl(spark, dir, "orders")
+      val ev = tbl(spark, dir, "events")
+      def rule(name: String, violations: DataFrame) =
+        violations.agg(count(lit(1)).as("n_violations"))
+          .withColumn("rule", lit(name))
+          .select(col("rule"), col("n_violations"),
+            (col("n_violations") === 0).as("passed"))
+      rule("orders.o_orderkey unique",
+          orders.groupBy(col("o_orderkey"))
+            .agg(count(lit(1)).as("__c")).filter(col("__c") > 1))
+        .unionByName(rule("events.value not_null",
+          ev.filter(col("value").isNull)))
+        .unionByName(rule("orders.o_orderstatus accepted[O,F,P]",
+          orders.filter(!col("o_orderstatus").isin("O", "F", "P"))))
+        .unionByName(rule("events.value range[0,)",
+          ev.filter(col("value") < 0)))
+        .orderBy(col("rule"))
     }
   )
 
@@ -8368,7 +8395,29 @@ object SparkEntry {
              CAST(sum(CASE WHEN rn <= (nu + 9) // 10 THEN cents
                            ELSE 0 END) AS DOUBLE) /
                CAST(sum(cents) AS DOUBLE) AS top10_share
-      FROM r GROUP BY event_type ORDER BY event_type"""
+      FROM r GROUP BY event_type ORDER BY event_type""",
+
+    "q203_dq_rules" -> """
+      WITH u AS (
+        SELECT 'orders.o_orderkey unique' AS rule,
+               CAST((SELECT count(*) FROM (SELECT o_orderkey
+                     FROM orders GROUP BY 1 HAVING count(*) > 1))
+                    AS BIGINT) AS n_violations
+        UNION ALL
+        SELECT 'events.value not_null',
+               CAST((SELECT count(*) FROM events WHERE value IS NULL)
+                    AS BIGINT)
+        UNION ALL
+        SELECT 'orders.o_orderstatus accepted[O,F,P]',
+               CAST((SELECT count(*) FROM orders
+                     WHERE o_orderstatus NOT IN ('O', 'F', 'P'))
+                    AS BIGINT)
+        UNION ALL
+        SELECT 'events.value range[0,)',
+               CAST((SELECT count(*) FROM events WHERE value < 0)
+                    AS BIGINT))
+      SELECT rule, n_violations, n_violations = 0 AS passed
+      FROM u ORDER BY rule"""
   )
 
   /** Shared q157/q178 oracle: the order-fixed EWMA left fold, seeded
