@@ -4476,6 +4476,38 @@ object SparkEntry {
         .unionByName(rule("events.value range[0,)",
           ev.filter(col("value") < 0)))
         .orderBy(col("rule"))
+    },
+
+    // --- funnel step-gap quantiles (where do users stall): per-user
+    //     reach times from Funnel.reachTimes pivoted to legs, then
+    //     p50/p90 per leg via ExactQuantile's distributed rank
+    //     selection — integer microseconds, leg-partitioned
+    //     everything; composes the funnel and quantile operators the
+    //     way a product dashboard actually does. ---
+    "q204_funnel_gaps" -> { (spark, dir) =>
+      val ev = tbl(spark, dir, "events")
+      val rt = graft.operators.Funnel.reachTimes(ev, col("user_id"),
+        col("ts"), col("event_type"), Seq("view", "click", "purchase"))
+      val us = unix_micros(col("t").cast("timestamp"))
+      val byUser = rt.groupBy(col("user"))
+        .agg(max(when(col("step_ix") === 1, us)).as("__t1"),
+          max(when(col("step_ix") === 2, us)).as("__t2"),
+          max(when(col("step_ix") === 3, us)).as("__t3"))
+      val gaps = byUser.select(explode(array(
+          struct(lit("view->click").as("leg"),
+            (col("__t2") - col("__t1")).as("gap")),
+          struct(lit("click->purchase").as("leg"),
+            (col("__t3") - col("__t2")).as("gap")))).as("g"))
+        .select(col("g.leg").as("leg"), col("g.gap").as("gap"))
+        .filter(col("gap").isNotNull)
+      val p50 = graft.operators.ExactQuantile.quantileDisc(gaps,
+          col("leg"), col("gap"), 0.5)
+        .select(col("grp").as("leg"), col("n").as("n_users"),
+          col("q").cast("long").as("p50_us"))
+      val p90 = graft.operators.ExactQuantile.quantileDisc(gaps,
+          col("leg"), col("gap"), 0.9)
+        .select(col("grp").as("leg"), col("q").cast("long").as("p90_us"))
+      p50.join(p90, Seq("leg")).orderBy(col("leg"))
     }
   )
 
@@ -8417,7 +8449,36 @@ object SparkEntry {
                CAST((SELECT count(*) FROM events WHERE value < 0)
                     AS BIGINT))
       SELECT rule, n_violations, n_violations = 0 AS passed
-      FROM u ORDER BY rule"""
+      FROM u ORDER BY rule""",
+
+    "q204_funnel_gaps" -> """
+      WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+                  WHERE event_type = 'view' GROUP BY 1),
+      s2 AS (SELECT e.user_id, min(e.ts) AS t
+             FROM events e JOIN s1 USING (user_id)
+             WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+      s3 AS (SELECT e.user_id, min(e.ts) AS t
+             FROM events e JOIN s2 USING (user_id)
+             WHERE e.event_type = 'purchase' AND e.ts > s2.t
+             GROUP BY 1),
+      g AS (SELECT 'view->click' AS leg,
+                   epoch_us(s2.t) - epoch_us(s1.t) AS gap
+            FROM s2 JOIN s1 USING (user_id)
+            UNION ALL
+            SELECT 'click->purchase',
+                   epoch_us(s3.t) - epoch_us(s2.t)
+            FROM s3 JOIN s2 USING (user_id)),
+      r AS (SELECT leg, gap,
+                   row_number() OVER (PARTITION BY leg ORDER BY gap)
+                     AS rnk,
+                   count(*) OVER (PARTITION BY leg) AS n
+            FROM g)
+      SELECT leg, CAST(max(n) AS BIGINT) AS n_users,
+             CAST(max(CASE WHEN rnk = CAST(ceil(0.5 * n) AS BIGINT)
+                           THEN gap END) AS BIGINT) AS p50_us,
+             CAST(max(CASE WHEN rnk = CAST(ceil(0.9 * n) AS BIGINT)
+                           THEN gap END) AS BIGINT) AS p90_us
+      FROM r GROUP BY leg ORDER BY leg"""
   )
 
   /** Shared q157/q178 oracle: the order-fixed EWMA left fold, seeded

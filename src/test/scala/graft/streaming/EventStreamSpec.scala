@@ -268,6 +268,46 @@ class EventStreamSpec extends SparkSpec {
       s"sentinel must flush user 2 as unmatched: $withSentinel")
   }
 
+  test("LAW: FULL OUTER interval join flushes BOTH sides' unmatched " +
+      "rows after the sentinel") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_foj").toString
+    def t(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    // user 1 matches; user 2: view only; user 3: purchase only
+    Seq((1L, t(0), "view"), (1L, t(10), "purchase"),
+        (2L, t(5), "view"), (3L, t(7), "purchase"))
+      .toDF("user_id", "ts", "event_type")
+      .coalesce(1).write.mode("append").parquet(dir)
+    Thread.sleep(1100)
+    Seq((-1L, t(100000), "view"), (-2L, t(100000), "purchase"))
+      .toDF("user_id", "ts", "event_type")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val views = stream.filter(col("event_type") === "view")
+      .select(col("user_id").as("a_user"), col("ts").as("a_ts"))
+    val purchases = stream.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("b_user"), col("ts").as("b_ts"))
+    val joined = EventStream.fullOuterIntervalJoin(
+      views, "a_ts", purchases, "b_ts",
+      col("a_user") === col("b_user") &&
+        col("b_ts") >= col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr("interval 30 minutes"),
+      watermark = "1 second")
+    val rows = EventStream.runToCompletion(spark, joined,
+        mode = "append")
+      .filter(coalesce(col("a_user"), lit(0L)) >= 0 &&
+        coalesce(col("b_user"), lit(0L)) >= 0)
+      .select(coalesce(col("a_user"), col("b_user")),
+        col("a_ts").isNotNull, col("b_ts").isNotNull)
+      .as[(Long, Boolean, Boolean)].collect().toSeq.sorted
+    assert(rows === Seq((1L, true, true), (2L, true, false),
+      (3L, false, true)),
+      s"both unmatched sides must flush: $rows")
+  }
+
   test("streaming funnel: a LATE early-step event in a later " +
       "micro-batch revises the chain to the batch answer") {
     import spark.implicits._
