@@ -4508,6 +4508,42 @@ object SparkEntry {
           col("leg"), col("gap"), 0.9)
         .select(col("grp").as("leg"), col("q").cast("long").as("p90_us"))
       p50.join(p90, Seq("leg")).orderBy(col("leg"))
+    },
+
+    // --- multi-source BFS reach ("blast radius") over the part
+    //     co-purchase graph: seeds at hop 0, min-hop per node, capped
+    //     depth. The engine runs frontier iteration (one edge equi-
+    //     join + one visited anti-join per round, operators/
+    //     Graph.bfsHops) so per-round work is |frontier|·deg — the
+    //     path-multiplicity blowup lives only in the oracle's
+    //     recursive CTE, which dedups (node, hop) pairs per step. ---
+    "q205_bfs_hops" -> { (spark, dir) =>
+      val li = tbl(spark, dir, "lineitem")
+      val edges = graft.operators.Graph.coOccurrenceEdges(li,
+        col("l_orderkey"), col("l_partkey"))
+      val seeds = edges.select(col("src").as("node"))
+        .filter(col("node") % 100 === 0).distinct()
+      graft.operators.Graph.bfsHops(edges, seeds, maxHops = 3)
+        .orderBy(col("node"))
+    },
+
+    // --- common-neighbor link prediction ("frequently bought with
+    //     the same things") over the REPEAT co-purchase graph (pairs
+    //     sharing >= 2 distinct orders — the w-filter keeps the graph
+    //     sparse at every scale: sum deg^2 is ~120k at sf0.001 and
+    //     FALLS with sf as repeat pairs thin out). Non-adjacent pairs
+    //     ranked by shared-neighbor count; neighborhood Jaccard as an
+    //     exact integer ratio. maxWedgeDegree=40 exercises the hub
+    //     cap (binds only at sf0.001), mirrored exactly in the
+    //     oracle; surviving pairs keep UNCAPPED exact degrees. ---
+    "q206_link_predict" -> { (spark, dir) =>
+      val li = tbl(spark, dir, "lineitem")
+      val edges = graft.operators.Graph.coOccurrenceEdgesWeighted(li,
+          col("l_orderkey"), col("l_partkey"))
+        .filter(col("w") >= 2).select(col("src"), col("dst"))
+      graft.operators.Graph.linkPrediction(edges, topK = 100,
+          maxWedgeDegree = Some(40L))
+        .orderBy(col("jac_num").desc, col("x"), col("y"))
     }
   )
 
@@ -8478,7 +8514,46 @@ object SparkEntry {
                            THEN gap END) AS BIGINT) AS p50_us,
              CAST(max(CASE WHEN rnk = CAST(ceil(0.9 * n) AS BIGINT)
                            THEN gap END) AS BIGINT) AS p90_us
-      FROM r GROUP BY leg ORDER BY leg"""
+      FROM r GROUP BY leg ORDER BY leg""",
+
+    "q205_bfs_hops" -> """
+      WITH RECURSIVE m AS (
+        SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+      e AS (SELECT DISTINCT a.i AS src, b.i AS dst
+            FROM m a JOIN m b ON a.g = b.g AND a.i <> b.i),
+      r AS (
+        SELECT DISTINCT src AS node, 0 AS hop FROM e WHERE src % 100 = 0
+        UNION
+        SELECT e.dst, r.hop + 1 FROM r JOIN e ON e.src = r.node
+        WHERE r.hop < 3)
+      SELECT node, CAST(min(hop) AS INT) AS hop
+      FROM r GROUP BY node ORDER BY node""",
+
+    "q206_link_predict" -> """
+      WITH m AS (
+        SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+      w AS (SELECT a.i AS src, b.i AS dst, count(*) AS w
+            FROM m a JOIN m b ON a.g = b.g AND a.i <> b.i
+            GROUP BY 1, 2),
+      canon AS (SELECT DISTINCT least(src, dst) AS a,
+                       greatest(src, dst) AS b
+                FROM w WHERE w >= 2),
+      adj AS (SELECT a AS n, b AS nbr FROM canon
+              UNION ALL SELECT b, a FROM canon),
+      deg AS (SELECT n, count(*) AS d FROM adj GROUP BY 1),
+      ctr AS (SELECT adj.n, adj.nbr FROM adj JOIN deg USING (n)
+              WHERE deg.d <= 40),
+      cn AS (SELECT l.nbr AS x, r.nbr AS y, count(*) AS cn
+             FROM ctr l JOIN ctr r ON l.n = r.n AND l.nbr < r.nbr
+             GROUP BY 1, 2),
+      cand AS (SELECT cn.x, cn.y, cn.cn FROM cn
+               LEFT JOIN canon ON canon.a = cn.x AND canon.b = cn.y
+               WHERE canon.a IS NULL)
+      SELECT cand.x, cand.y, cand.cn AS jac_num,
+             dx.d + dy.d - cand.cn AS jac_den
+      FROM cand JOIN deg dx ON dx.n = cand.x
+                JOIN deg dy ON dy.n = cand.y
+      ORDER BY jac_num DESC, x, y LIMIT 100"""
   )
 
   /** Shared q157/q178 oracle: the order-fixed EWMA left fold, seeded

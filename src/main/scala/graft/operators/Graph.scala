@@ -157,6 +157,101 @@ object Graph {
           .otherwise(lit(0.0)))
   }
 
+  /** Multi-source BFS hop distance over a DIRECTED (src, dst) edge
+    * list: returns (node, hop) — the minimum number of edges from any
+    * seed node, seeds at hop 0, exploration capped at `maxHops`.
+    * The "blast radius" primitive: reachability from a flagged seed
+    * set (compromised accounts, recalled parts, seed URLs for crawl
+    * frontier scheduling).
+    *
+    * Scale shape: classic frontier iteration — each round ONE
+    * frontier-by-src equi-join against the edge list plus ONE
+    * anti-join against the visited set, both node-id shuffles AQE can
+    * skew-split; the frontier is distinct-ed before the join so a
+    * round's work is bounded by |frontier|·avg-deg, never by path
+    * multiplicity (the path-counting blowup stays in the oracle's
+    * recursive CTE, not here). Early exit on an empty frontier; the
+    * per-round isEmpty action doubles as the materialization barrier
+    * so lineage stays flat (the [[pageRank]] loop discipline). */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int)
+      : DataFrame = {
+    require(maxHops >= 0, "maxHops must be >= 0")
+    val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(col("src"), col("dst")).distinct().persist(mad)
+    var visited = seeds.select(col("node")).distinct()
+      .withColumn("hop", lit(0)).persist(mad)
+    visited.count()
+    var frontier = visited.select(col("node"))
+    var hop = 0
+    var done = hop >= maxHops
+    val spent = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    while (!done) {
+      hop += 1
+      val next = frontier.join(e, frontier("node") === e("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .withColumn("hop", lit(hop))
+        .persist(mad)
+      if (next.isEmpty) { next.unpersist(blocking = false); done = true }
+      else {
+        val nv = visited.unionByName(next).persist(mad)
+        nv.count() // barrier: cut lineage, then free superseded frames
+        spent += visited; spent += next
+        spent.foreach(_.unpersist(blocking = false)); spent.clear()
+        visited = nv
+        frontier = next.select(col("node"))
+        done = hop >= maxHops
+      }
+    }
+    e.unpersist(blocking = false)
+    visited
+  }
+
+  /** Common-neighbor link prediction over an UNDIRECTED edge set:
+    * for node pairs NOT already connected, count shared neighbors and
+    * report the neighborhood-Jaccard as an exact integer ratio
+    * (jac_num = |N(x)∩N(y)|, jac_den = |N(x)∪N(y)| = dx + dy − cn) —
+    * the "people you may know" / related-item candidate generator,
+    * and the integer core of Adamic-Adar-family scores. Top `topK`
+    * by (common-neighbors desc, x, y) for a deterministic surface.
+    *
+    * Scale shape: wedge generation is one adjacency self-join keyed
+    * by the shared neighbor — Σ deg² pairs, the same volume bound as
+    * [[triangleCountsNaive]]. `maxWedgeDegree` is the skew escape
+    * hatch: hub nodes above the cap are excluded as WEDGE CENTERS
+    * (standard candidate-generation practice — a 10⁶-degree hub
+    * certifies no meaningful similarity and would alone contribute
+    * 10¹² pairs). Capped runs are approximate-by-contract: pairs
+    * whose only common neighbors are hubs are missed; cn/jaccard for
+    * surviving pairs count UNCAPPED degrees, so scores are exact. */
+  def linkPrediction(edges: DataFrame, topK: Int,
+                     maxWedgeDegree: Option[Long] = None): DataFrame = {
+    val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val canon = edges.select(
+        least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .persist(mad)
+    val adj = canon.select(col("a").as("n"), col("b").as("nbr"))
+      .unionAll(canon.select(col("b").as("n"), col("a").as("nbr")))
+    val deg = adj.groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val centers = maxWedgeDegree.fold(adj)(cap =>
+      adj.join(deg.filter(col("d") <= cap).select(col("n")), Seq("n")))
+    val cn = centers.select(col("n"), col("nbr").as("x"))
+      .join(centers.select(col("n"), col("nbr").as("y")), Seq("n"))
+      .filter(col("x") < col("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("cn"))
+    val candidates = cn.join(canon,
+        cn("x") === canon("a") && cn("y") === canon("b"), "left_anti")
+      .join(deg.select(col("n").as("x"), col("d").as("dx")), Seq("x"))
+      .join(deg.select(col("n").as("y"), col("d").as("dy")), Seq("y"))
+      .select(col("x"), col("y"), col("cn").as("jac_num"),
+        (col("dx") + col("dy") - col("cn")).as("jac_den"))
+    candidates.orderBy(col("jac_num").desc, col("x"), col("y"))
+      .limit(topK)
+  }
+
   /** The naive lowest-id two-join triangle formulation (wedge volume
     * Σ deg²) — kept as the differential/bench baseline for
     * [[triangleCounts]]; identical output. */

@@ -85,6 +85,48 @@ class GraphSpec extends SparkSpec {
     assert(o4 === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
   }
 
+  test("bfsHops: min hop wins, cap respected, unreachable absent, " +
+      "cycles terminate") {
+    // path 1->2->3->4 plus shortcut 1->3, cycle 4->1; 9 isolated
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L), (4L, 1L),
+      (8L, 9L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val out = Graph.bfsHops(e, seeds, maxHops = 10)
+      .as[(Long, Int)].collect().toMap
+    // 3 is reachable at hop 2 via 2, but hop 1 via the shortcut wins
+    assert(out === Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2))
+    val capped = Graph.bfsHops(e, seeds, maxHops = 1)
+      .as[(Long, Int)].collect().toMap
+    assert(capped === Map(1L -> 0, 2L -> 1, 3L -> 1))
+    // multi-source: the closer seed claims the node
+    val multi = Graph.bfsHops(e, Seq(1L, 4L).toDF("node"), 10)
+      .as[(Long, Int)].collect().toMap
+    assert(multi(4L) === 0 && multi(1L) === 0 && multi(2L) === 1)
+  }
+
+  test("linkPrediction: exact cn/jaccard, existing edges excluded, " +
+      "hub cap drops hub-centered wedges but keeps true degrees") {
+    // square 1-2-3-4-1: each diagonal pair (1,3),(2,4) shares 2
+    // neighbors, no edge between them; deg all 2 -> jaccard 2/2
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+      .toDF("src", "dst")
+    val out = Graph.linkPrediction(sq, topK = 10)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (x, y, n, d) => (x, y) -> ((n, d)) }.toMap
+    assert(out === Map((1L, 3L) -> ((2L, 2L)), (2L, 4L) -> ((2L, 2L))))
+    // star center 9 connects 1..4: every leaf pair shares only the
+    // hub. Cap below the hub degree -> no candidates at all, because
+    // the only wedge centers are the hub itself.
+    val starE = (1L to 4L).map(i => (9L, i)).toDF("src", "dst")
+    assert(Graph.linkPrediction(starE, 10, maxWedgeDegree = Some(3L))
+      .count() === 0L)
+    // uncapped: leaf pairs get cn=1, jac_den = 1+1-1 = 1
+    val full = Graph.linkPrediction(starE, 10)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(full.length === 6 && full.forall {
+      case (_, _, n, d) => n === 1L && d === 1L })
+  }
+
   test("coOccurrenceEdges: distinct, symmetric, no self-loops, and " +
       "repeated (group, item) rows count once") {
     val rel = Seq((1L, 10L), (1L, 10L), (1L, 20L), (2L, 20L), (2L, 30L))
