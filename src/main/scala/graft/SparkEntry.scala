@@ -4544,6 +4544,75 @@ object SparkEntry {
       graft.operators.Graph.linkPrediction(edges, topK = 100,
           maxWedgeDegree = Some(40L))
         .orderBy(col("jac_num").desc, col("x"), col("y"))
+    },
+
+    // --- word-packed bitmap index for audience overlap: which buyer
+    //     populations do order priorities share? Membership packs 64
+    //     customers per word (operators/Bitmap), so the pairwise
+    //     intersection joins |sets|²·(members/64) word rows instead
+    //     of member-grain pairs, and every count is exact-integer
+    //     popcount — the segment-overlap matrix at 1/64th the
+    //     bandwidth of a distinct-pair self-join. ---
+    "q207_bitmap_overlap" -> { (spark, dir) =>
+      val o = tbl(spark, dir, "orders")
+      val words = graft.operators.Bitmap.bitmapWords(o,
+        col("o_orderpriority"), col("o_custkey"))
+      graft.operators.Bitmap.overlap(words)
+        .orderBy(col("sa"), col("sb"))
+    },
+
+    // --- RFM segmentation: per-customer recency (days since last
+    //     order vs the corpus max date), frequency (order count),
+    //     monetary (exact cents) -> quintile scores via ntile(5)
+    //     WITHIN the customer's market segment (entity-partitioned
+    //     windows with a custkey tiebreak — deterministic and never
+    //     global), rolled up to cell counts. ntile is SQL-standard
+    //     identical across engines given the same total order. ---
+    "q208_rfm" -> { (spark, dir) =>
+      val o = tbl(spark, dir, "orders")
+      val c = tbl(spark, dir, "customer")
+      val ref = o.agg(max(to_date(col("o_orderdate"))).as("__ref"))
+      val per = o.groupBy(col("o_custkey"))
+        .agg(max(to_date(col("o_orderdate"))).as("__last"),
+          count(lit(1)).as("__f"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("__m"))
+        .join(c.select(col("c_custkey").as("o_custkey"),
+          col("c_mktsegment").as("segment")), Seq("o_custkey"))
+        .crossJoin(broadcast(ref))
+        .withColumn("__r", datediff(col("__ref"), col("__last")))
+      val w = (m: Column) => org.apache.spark.sql.expressions.Window
+        .partitionBy(col("segment")).orderBy(m, col("o_custkey"))
+      per
+        .withColumn("r_q", ntile(5).over(w(col("__r"))))
+        .withColumn("f_q", ntile(5).over(w(col("__f"))))
+        .withColumn("m_q", ntile(5).over(w(col("__m"))))
+        .groupBy(col("segment"), col("r_q"), col("f_q"), col("m_q"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("__m")).as("sum_m_cents"))
+        .orderBy(col("segment"), col("r_q"), col("f_q"), col("m_q"))
+    },
+
+    // --- Benford first-digit audit (fraud/data-entry screening):
+    //     leading-digit distribution of the two money columns, as
+    //     exact integer counts plus the per-source total (the
+    //     log10-expected curve is analysis-side — keeping the output
+    //     integer keeps the hash-compare exact). The share window
+    //     runs over the 18-row digit census, not the corpus. ---
+    "q209_benford" -> { (spark, dir) =>
+      def digits(df: DataFrame, c: String, src: String) =
+        df.select(substring(floor(col(c)).cast("long").cast("string"),
+            1, 1).cast("int").as("digit"))
+          .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+          .withColumn("source", lit(src))
+      val g = digits(tbl(spark, dir, "orders"), "o_totalprice",
+          "orders.o_totalprice")
+        .unionByName(digits(tbl(spark, dir, "lineitem"),
+          "l_extendedprice", "lineitem.l_extendedprice"))
+      g.withColumn("n_total", sum(col("n")).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("source"))))
+        .select(col("source"), col("digit"), col("n"), col("n_total"))
+        .orderBy(col("source"), col("digit"))
     }
   )
 
@@ -8553,7 +8622,71 @@ object SparkEntry {
              dx.d + dy.d - cand.cn AS jac_den
       FROM cand JOIN deg dx ON dx.n = cand.x
                 JOIN deg dy ON dy.n = cand.y
-      ORDER BY jac_num DESC, x, y LIMIT 100"""
+      ORDER BY jac_num DESC, x, y LIMIT 100""",
+
+    "q207_bitmap_overlap" -> """
+      WITH w AS (SELECT o_orderpriority AS s, o_custkey // 64 AS word,
+                        -- DuckDB range-checks 1::BIGINT << 63; the
+                        -- sign-bit word is its literal two's-complement
+                        -- value (Spark's shiftleft wraps silently)
+                        bit_or(CASE WHEN o_custkey % 64 = 63
+                          THEN -9223372036854775807 - 1
+                          ELSE 1::BIGINT << CAST(o_custkey % 64 AS INT)
+                          END) AS bits
+                 FROM orders GROUP BY 1, 2),
+      tot AS (SELECT s, CAST(sum(bit_count(bits)) AS BIGINT) AS n
+              FROM w GROUP BY 1),
+      p AS (SELECT a.s AS sa, b.s AS sb,
+                   CAST(sum(bit_count(a.bits & b.bits)) AS BIGINT)
+                     AS n_common
+            FROM w a JOIN w b ON a.word = b.word AND a.s < b.s
+            GROUP BY 1, 2)
+      SELECT sa, sb, ta.n AS n_a, tb.n AS n_b, p.n_common
+      FROM p JOIN tot ta ON ta.s = p.sa JOIN tot tb ON tb.s = p.sb
+      ORDER BY sa, sb""",
+
+    "q208_rfm" -> """
+      WITH per AS (
+        SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS last_d,
+               count(*) AS f,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS m
+        FROM orders GROUP BY 1),
+      j AS (SELECT per.*, c_mktsegment AS segment,
+                   date_diff('day', last_d,
+                     (SELECT max(CAST(o_orderdate AS DATE)) FROM orders))
+                     AS r
+            FROM per JOIN customer ON c_custkey = o_custkey),
+      s AS (SELECT segment,
+                   ntile(5) OVER (PARTITION BY segment
+                                  ORDER BY r, o_custkey) AS r_q,
+                   ntile(5) OVER (PARTITION BY segment
+                                  ORDER BY f, o_custkey) AS f_q,
+                   ntile(5) OVER (PARTITION BY segment
+                                  ORDER BY m, o_custkey) AS m_q,
+                   m
+            FROM j)
+      SELECT segment, r_q, f_q, m_q,
+             CAST(count(*) AS BIGINT) AS n_customers,
+             CAST(sum(m) AS BIGINT) AS sum_m_cents
+      FROM s GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""",
+
+    "q209_benford" -> """
+      WITH d AS (
+        SELECT 'orders.o_totalprice' AS source,
+               CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                 AS VARCHAR), 1, 1) AS INT) AS digit
+        FROM orders
+        UNION ALL
+        SELECT 'lineitem.l_extendedprice',
+               CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT)
+                 AS VARCHAR), 1, 1) AS INT)
+        FROM lineitem),
+      g AS (SELECT source, digit, count(*) AS n FROM d GROUP BY 1, 2)
+      SELECT source, digit, n,
+             CAST(sum(n) OVER (PARTITION BY source) AS BIGINT)
+               AS n_total
+      FROM g ORDER BY source, digit"""
   )
 
   /** Shared q157/q178 oracle: the order-fixed EWMA left fold, seeded
