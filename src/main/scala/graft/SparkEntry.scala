@@ -4613,6 +4613,65 @@ object SparkEntry {
             .partitionBy(col("source"))))
         .select(col("source"), col("digit"), col("n"), col("n_total"))
         .orderBy(col("source"), col("digit"))
+    },
+
+    // --- CUSUM change detection on daily revenue per region: the
+    //     max(0, s+d) recursion via its closed form (prefix sum minus
+    //     running min — two windows sharing ONE region-partitioned
+    //     sort, operators/ChangeDetect). Deviations stay integer
+    //     (n·cents − total), so the n×-scaled statistic hash-compares
+    //     exactly; every threshold crossing/reset is preserved. ---
+    "q210_cusum" -> { (spark, dir) =>
+      val o = tbl(spark, dir, "orders")
+      val c = tbl(spark, dir, "customer")
+      val n = tbl(spark, dir, "nation")
+      val r = tbl(spark, dir, "region")
+      val daily = o
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name").as("region"),
+          to_date(col("o_orderdate")).as("day"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+          .as("cents"))
+      graft.operators.ChangeDetect.cusum(daily, col("region"),
+          col("day"), col("cents"))
+        .select(col("k").as("region"), col("o").as("day"), col("cusum"))
+        .orderBy(col("region"), col("day"))
+    },
+
+    // --- streaming CUSUM against a FIXED target (the online form —
+    //     a stream can't center on a mean it hasn't seen): keyed
+    //     state is three longs (n, p, min p); the final update per
+    //     user equals the batch windowed closed form over the full
+    //     log, which is exactly what the oracle computes. ---
+    "q211_stream_cusum" -> { (spark, dir) =>
+      val events = EventStream.normalizeEventTime(
+          tbl(spark, dir, "events"))
+        .select(col("user_id"), col("ts"), col("event_id"),
+          (round(col("value") * 100).cast("long") - 5000).as("d"))
+      val us = unix_micros(col("ts"))
+      val b = events.agg(min(us).as("lo"), max(us).as("hi"))
+        .collect()(0)
+      val (lo, hi) = (b.getLong(0), b.getLong(1))
+      val cut1 = lo + (hi - lo) / 3
+      val cut2 = lo + 2 * ((hi - lo) / 3)
+      val src = java.nio.file.Files.createTempDirectory("graft_q211")
+        .toString + "/ev"
+      EventStream.writeOrderedBatches(Seq(
+        events.filter(us <= cut1),
+        events.filter(us > cut1 && us <= cut2),
+        events.filter(us > cut2)), src)
+      val stream = spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val updates = EventStream.streamingCusum(stream, "user_id", "ts",
+        "event_id", "d")
+      EventStream.runToCompletion(spark, updates, mode = "update")
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("n_events"), col("cusum"))).as("__f"))
+        .select(col("user_id"), col("__f.n_events").as("n_events"),
+          col("__f.cusum").as("cusum"))
+        .orderBy(col("user_id"))
     }
   )
 
@@ -8686,7 +8745,47 @@ object SparkEntry {
       SELECT source, digit, n,
              CAST(sum(n) OVER (PARTITION BY source) AS BIGINT)
                AS n_total
-      FROM g ORDER BY source, digit"""
+      FROM g ORDER BY source, digit""",
+
+    "q210_cusum" -> """
+      WITH daily AS (
+        SELECT r_name AS region, CAST(o_orderdate AS DATE) AS day,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders JOIN customer ON o_custkey = c_custkey
+             JOIN nation ON c_nationkey = n_nationkey
+             JOIN region ON n_regionkey = r_regionkey
+        GROUP BY 1, 2),
+      st AS (SELECT region, count(*) AS n,
+                    CAST(sum(cents) AS BIGINT) AS tot
+             FROM daily GROUP BY 1),
+      p AS (SELECT daily.region, day,
+                   CAST(sum(st.n * cents - st.tot) OVER (
+                     PARTITION BY daily.region ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS p
+            FROM daily JOIN st USING (region))
+      SELECT region, day,
+             CAST(p - least(min(p) OVER (
+               PARTITION BY region ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+               AS BIGINT) AS cusum
+      FROM p ORDER BY region, day""",
+
+    "q211_stream_cusum" -> """
+      WITH d AS (SELECT user_id, ts, event_id,
+                        CAST(round(value * 100) AS BIGINT) - 5000 AS d
+                 FROM events),
+      p AS (SELECT user_id, d,
+                   CAST(sum(d) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS p
+            FROM d)
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(d) AS BIGINT)
+               - least(CAST(min(p) AS BIGINT), 0) AS cusum
+      FROM p GROUP BY user_id ORDER BY user_id"""
   )
 
   /** Shared q157/q178 oracle: the order-fixed EWMA left fold, seeded

@@ -298,6 +298,39 @@ object EventStream {
       .toDF(entity, "n_events", "ewma")
   }
 
+  /** Streaming one-sided CUSUM against a FIXED integer target — the
+    * online form of [[graft.operators.ChangeDetect.cusum]] (the batch
+    * operator centers on the key's own mean, which needs the whole
+    * series; a stream monitors drift against a configured baseline).
+    * Keyed state is three longs (n, prefix sum p, running min of p);
+    * the emitted statistic is the closed form p − min(0, min_j p_j),
+    * so the final update per key equals the batch windowed answer
+    * over the full log — exact integers end-to-end. Same intra-key
+    * ordering contract as [[streamingEwma]]: events fold sorted
+    * within a batch, batches arrive chronologically per key. */
+  def streamingCusum(events: DataFrame, entity: String, tsCol: String,
+                     idCol: String, dCol: String): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    events.select(col(entity).cast("long"),
+        asEventTime(tsCol), col(idCol).cast("long"),
+        col(dCol).cast("long"))
+      .as[(Long, java.sql.Timestamp, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long, Long), (Long, Long, Long)](
+        GroupStateTimeout.NoTimeout()) { (key, rows, state) =>
+        val sorted = rows.toSeq.sortBy(r => (r._2.getTime, r._3))
+        var (n, p, minp) = state.getOption.getOrElse((0L, 0L, 0L))
+        sorted.foreach { r =>
+          n += 1; p += r._4; if (p < minp) minp = p
+        }
+        state.update((n, p, minp))
+        (key, n, p - math.min(minp, 0L))
+      }
+      .toDF(entity, "n_events", "cusum")
+  }
+
   /** [[runningCountsTtl]] on the MODERN arbitrary-state API
     * (`transformWithState`, Spark 4.x): same semantics — per-key
     * running counts whose state expires `ttl` after the key's last
