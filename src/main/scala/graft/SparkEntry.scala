@@ -4672,6 +4672,66 @@ object SparkEntry {
         .select(col("user_id"), col("__f.n_events").as("n_events"),
           col("__f.cusum").as("cusum"))
         .orderBy(col("user_id"))
+    },
+
+    // --- deterministic global shuffle + fixed-size training shards:
+    //     every doc's exact global rank under the (md5(seed:id), id)
+    //     order and its contiguous shard — WITHOUT a global window
+    //     (256 hash-prefix range-buckets + a triangular census
+    //     prefix-sum + bucket-partitioned row_number, llm/Sharding).
+    //     The oracle replays the rank with a plain global row_number
+    //     — equality proves the bucket decomposition is exact. ---
+    "q212_shuffle_shards" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+      graft.llm.Sharding.globalShuffleShards(docs, col("doc_id"),
+          seed = "s42", shardSize = 64L)
+        .select(col("id").as("doc_id"), col("h"), col("rn"),
+          col("shard"))
+        .orderBy(col("rn"))
+    },
+
+    // --- hash-based negative sampling for contrastive pairs: 3
+    //     pseudo-random English negatives per non-English query doc,
+    //     via bucket-representative hashing (pool bucketed by md5,
+    //     min-hash member represents; query picks buckets by
+    //     md5(seed:q:i)) — no RNG, no pool-wide ranking; rerun- and
+    //     repartition-stable by construction (llm/Sharding). ---
+    "q213_negative_sampling" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+      graft.llm.Sharding.negativeSamples(
+          docs.filter(col("lang") =!= "en"), col("doc_id"),
+          docs.filter(col("lang") === "en"), col("doc_id"),
+          k = 3, buckets = 64, seed = "s7")
+        .orderBy(col("qid"), col("i"))
+    },
+
+    // --- Holt double-exponential smoothing (level + trend) per user,
+    //     α = β = 1/2: the EWMA fold's trend-aware sibling. Both
+    //     state updates are sums halved (×0.5 is exponent
+    //     arithmetic), evaluated in a pinned order, so the final
+    //     (level, trend, one-step forecast) hash-compares UNROUNDED
+    //     against the oracle's list_reduce over the same
+    //     (ts, event_id)-sorted sequence. ---
+    "q214_holt" -> { (spark, dir) =>
+      val ev = tbl(spark, dir, "events")
+      ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          array_sort(collect_list(struct(col("ts"), col("event_id"),
+            col("value")))).as("__seq"))
+        .withColumn("__vals", expr("transform(__seq, x -> x.value)"))
+        .withColumn("__st", expr("""
+          aggregate(slice(__vals, 2, size(__vals)),
+            array(element_at(__vals, 1), cast(0.0 as double)),
+            (s, x) -> array(
+              ((x + element_at(s, 1)) + element_at(s, 2)) / 2.0,
+              ((((x + element_at(s, 1)) + element_at(s, 2)) / 2.0
+                 - element_at(s, 1)) + element_at(s, 2)) / 2.0))"""))
+        .select(col("user_id"), col("n_events"),
+          element_at(col("__st"), 1).as("level"),
+          element_at(col("__st"), 2).as("trend"),
+          (element_at(col("__st"), 1) + element_at(col("__st"), 2))
+            .as("forecast"))
+        .orderBy(col("user_id"))
     }
   )
 
@@ -8785,7 +8845,57 @@ object SparkEntry {
       SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
              CAST(sum(d) AS BIGINT)
                - least(CAST(min(p) AS BIGINT), 0) AS cusum
-      FROM p GROUP BY user_id ORDER BY user_id"""
+      FROM p GROUP BY user_id ORDER BY user_id""",
+
+    "q212_shuffle_shards" -> """
+      WITH h AS (SELECT doc_id,
+                        md5('s42:' || CAST(doc_id AS VARCHAR)) AS h
+                 FROM documents),
+      r AS (SELECT doc_id, h,
+                   CAST(row_number() OVER (ORDER BY h, doc_id)
+                        AS BIGINT) AS rn
+            FROM h)
+      SELECT doc_id, h, rn, (rn - 1) // 64 AS shard
+      FROM r ORDER BY rn""",
+
+    "q213_negative_sampling" -> """
+      WITH p AS (SELECT doc_id AS neg_id,
+                        md5('s7:p:' || CAST(doc_id AS VARCHAR)) AS ph
+                 FROM documents WHERE lang = 'en'),
+      pb AS (SELECT CAST(('0x' || substring(ph, 1, 4)) AS INTEGER)
+                      % 64 AS bucket, ph, neg_id
+             FROM p),
+      reps AS (SELECT bucket, min_by(neg_id, ph) AS neg_id
+               FROM pb GROUP BY bucket),
+      q AS (SELECT doc_id AS qid FROM documents WHERE lang <> 'en'),
+      w AS (SELECT qid, CAST(i AS INT) AS i,
+                   CAST(('0x' || substring(md5('s7:q:'
+                     || CAST(qid AS VARCHAR) || ':'
+                     || CAST(i AS VARCHAR)), 1, 4)) AS INTEGER)
+                     % 64 AS bucket
+            FROM q CROSS JOIN
+                 (SELECT unnest(generate_series(1, 3)) AS i))
+      SELECT w.qid, w.i, r.neg_id
+      FROM w JOIN reps r USING (bucket)
+      WHERE r.neg_id <> w.qid
+      ORDER BY qid, i""",
+
+    "q214_holt" -> """
+      WITH f AS (SELECT user_id, count(*) AS n_events,
+                        list_reduce(list([value] ORDER BY ts, event_id),
+                          (s, x) -> CASE WHEN len(s) = 1
+                            THEN [((x[1] + s[1]) + 0) / 2.0,
+                                  ((((x[1] + s[1]) + 0) / 2.0 - s[1])
+                                    + 0) / 2.0]
+                            ELSE [((x[1] + s[1]) + s[2]) / 2.0,
+                                  ((((x[1] + s[1]) + s[2]) / 2.0
+                                    - s[1]) + s[2]) / 2.0]
+                            END) AS st
+                 FROM events GROUP BY user_id)
+      SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+             st[1] AS level, COALESCE(st[2], 0.0) AS trend,
+             st[1] + COALESCE(st[2], 0.0) AS forecast
+      FROM f ORDER BY user_id"""
   )
 
   /** Shared q157/q178 oracle: the order-fixed EWMA left fold, seeded
