@@ -4732,6 +4732,67 @@ object SparkEntry {
           (element_at(col("__st"), 1) + element_at(col("__st"), 2))
             .as("forecast"))
         .orderBy(col("user_id"))
+    },
+
+    // --- smoothed target encoding of p_brand by line revenue (the
+    //     micci-barreca tabular-ML feature): category mean shrunk
+    //     toward the global mean with pseudo-count m=100. Integer
+    //     cent sums + three pinned-order IEEE ops -> unrounded hash
+    //     gate (llm/Featurize.targetEncode). ---
+    "q215_target_encoding" -> { (spark, dir) =>
+      val li = tbl(spark, dir, "lineitem")
+      val p = tbl(spark, dir, "part")
+      val joined = li.join(p, col("l_partkey") === col("p_partkey"))
+      graft.llm.Featurize.targetEncode(joined, col("p_brand"),
+          round(col("l_extendedprice") * 100).cast("long"), m = 100)
+        .orderBy(col("cat"))
+    },
+
+    // --- hierarchy rollup over materialized-path keys (BOM / org /
+    //     category-tree subtree totals): ancestors of a div-10 path
+    //     key enumerate ROW-LOCALLY (explode of <= depth values), so
+    //     the whole rollup is scan -> explode -> one ancestor-keyed
+    //     agg — no per-level edge joins, no recursion
+    //     (operators/Hierarchy). The oracle walks the same chain
+    //     arithmetically; totals land on existing parts only. ---
+    "q216_bom_rollup" -> { (spark, dir) =>
+      val p = tbl(spark, dir, "part")
+      graft.operators.Hierarchy.subtreeRollup(p, col("p_partkey"),
+          round(col("p_retailprice") * 100).cast("long"),
+          base = 10, depth = 5)
+        .orderBy(col("node"))
+    },
+
+    // --- join-key skew audit (the detection side of q60/q61's
+    //     salting): the 20 heaviest l_partkey keys with the table
+    //     totals alongside — the census a planner/operator consults
+    //     before choosing salting or AQE skew-split. Distributed
+    //     top-k (TakeOrdered), never a global sort. ---
+    "q217_skew_audit" -> { (spark, dir) =>
+      val li = tbl(spark, dir, "lineitem")
+      val counts = li.groupBy(col("l_partkey").as("key"))
+        .agg(count(lit(1)).as("n"))
+      val tot = li.agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("l_partkey")).as("n_keys"))
+      counts.orderBy(col("n").desc, col("key")).limit(20)
+        .crossJoin(broadcast(tot))
+        .orderBy(col("n").desc, col("key"))
+    },
+
+    // --- deterministic Poisson bootstrap (Chamandy-style, the
+    //     resampling that works distributed): 20 replicates of the
+    //     mean order value per priority, weights = Poisson(1) via
+    //     md5 uniforms against FIXED integer CDF thresholds — no
+    //     RNG, engine-replayable; exact integer Σw / Σw·x per
+    //     replicate, one final division (operators/Resample). The
+    //     replicate spread IS the sampling uncertainty. ---
+    "q218_bootstrap_ci" -> { (spark, dir) =>
+      val o = tbl(spark, dir, "orders")
+      graft.operators.Resample.bootstrapMeans(o,
+          col("o_orderpriority"), col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("long"),
+          replicates = 20, seed = "ci")
+        .orderBy(col("g"), col("r"))
     }
   )
 
@@ -8895,7 +8956,74 @@ object SparkEntry {
       SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
              st[1] AS level, COALESCE(st[2], 0.0) AS trend,
              st[1] + COALESCE(st[2], 0.0) AS forecast
-      FROM f ORDER BY user_id"""
+      FROM f ORDER BY user_id""",
+
+    "q215_target_encoding" -> """
+      WITH b AS (SELECT p_brand AS cat,
+                        CAST(round(l_extendedprice * 100) AS BIGINT)
+                          AS t
+                 FROM lineitem JOIN part ON l_partkey = p_partkey),
+      per AS (SELECT cat, count(*) AS n, CAST(sum(t) AS BIGINT) AS s
+              FROM b GROUP BY 1),
+      g AS (SELECT CAST(count(*) AS BIGINT) AS gn,
+                   CAST(sum(t) AS BIGINT) AS gs FROM b)
+      SELECT cat, CAST(n AS BIGINT) AS n,
+             (CAST(s AS DOUBLE)
+               + 100 * (CAST(g.gs AS DOUBLE) / CAST(g.gn AS DOUBLE)))
+               / CAST(n + 100 AS DOUBLE) AS enc
+      FROM per, g ORDER BY cat""",
+
+    "q216_bom_rollup" -> """
+      WITH pr AS (SELECT p_partkey AS node,
+                         CAST(round(p_retailprice * 100) AS BIGINT)
+                           AS cents
+                  FROM part),
+      anc AS (SELECT node // d AS anc, cents
+              FROM pr CROSS JOIN
+                   (SELECT unnest([1, 10, 100, 1000, 10000, 100000])
+                      AS d) dd
+              WHERE node // d >= 1)
+      SELECT a.anc AS node, CAST(count(*) AS BIGINT) AS n_subtree,
+             CAST(sum(cents) AS BIGINT) AS sum_subtree
+      FROM anc a
+      WHERE a.anc IN (SELECT node FROM pr)
+      GROUP BY 1 ORDER BY 1""",
+
+    "q217_skew_audit" -> """
+      WITH c AS (SELECT l_partkey AS key, count(*) AS n
+                 FROM lineitem GROUP BY 1),
+      t AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_keys
+            FROM lineitem)
+      SELECT key, CAST(n AS BIGINT) AS n, t.n_rows, t.n_keys
+      FROM c, t ORDER BY n DESC, key LIMIT 20""",
+
+    "q218_bootstrap_ci" -> """
+      WITH b AS (SELECT o_orderpriority AS g, o_orderkey AS id,
+                        CAST(round(o_totalprice * 100) AS BIGINT) AS x
+                 FROM orders),
+      e AS (SELECT g, id, x, CAST(r AS INT) AS r
+            FROM b CROSS JOIN
+                 (SELECT unnest(generate_series(1, 20)) AS r) rr),
+      u AS (SELECT g, r, x,
+                   CAST(('0x' || substring(md5('ci:'
+                     || CAST(id AS VARCHAR) || ':'
+                     || CAST(r AS VARCHAR)), 1, 8)) AS BIGINT) AS u
+            FROM e),
+      w AS (SELECT g, r, x,
+              (CASE WHEN u >= 1580030168 THEN 1 ELSE 0 END)
+              + (CASE WHEN u >= 3160060337 THEN 1 ELSE 0 END)
+              + (CASE WHEN u >= 3950075421 THEN 1 ELSE 0 END)
+              + (CASE WHEN u >= 4213413783 THEN 1 ELSE 0 END)
+              + (CASE WHEN u >= 4279248373 THEN 1 ELSE 0 END)
+              + (CASE WHEN u >= 4292415291 THEN 1 ELSE 0 END)
+              + (CASE WHEN u >= 4294609777 THEN 1 ELSE 0 END) AS w
+            FROM u)
+      SELECT g, r, CAST(sum(w) AS BIGINT) AS sum_w,
+             CAST(sum(w * x) AS BIGINT) AS sum_wx,
+             CAST(sum(w * x) AS DOUBLE) / CAST(sum(w) AS DOUBLE)
+               AS mean
+      FROM w GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 
   /** Shared q157/q178 oracle: the order-fixed EWMA left fold, seeded

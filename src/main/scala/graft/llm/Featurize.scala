@@ -104,4 +104,34 @@ object Featurize {
             when(i === e.getField("b"), e.getField("val")).otherwise(v)))
           .as("v"))
   }
+
+  /** Smoothed target encoding of a categorical column — the standard
+    * tabular-ML feature (micci-barreca 2001): each category's encoded
+    * value is its target mean shrunk toward the global mean with
+    * pseudo-count `m`, enc = (Σ_cat + m·μ) / (n_cat + m), μ = S/N.
+    * Rare categories land near μ (no overfit on 3-row categories),
+    * frequent ones near their own mean.
+    *
+    * Determinism: `target` must be INTEGER-valued (cents etc.) so
+    * every sum is exact in any aggregation order; the encoding is
+    * then three pinned-order IEEE ops (one division for μ, one
+    * multiply-add, one final division) — bit-identical across
+    * engines, hash-comparable unrounded. Scale shape: one
+    * category-keyed aggregation + a broadcast of the 2-scalar global
+    * frame; the encoder table is |categories| rows, broadcast back
+    * cheaply wherever the feature is applied. */
+  def targetEncode(rel: DataFrame, category: Column, target: Column,
+                   m: Int): DataFrame = {
+    val base = rel.select(category.as("cat"), target.as("t"))
+    val per = base.groupBy(col("cat"))
+      .agg(count(lit(1)).as("n"), sum(col("t")).as("__sum"))
+    val glob = base.agg(count(lit(1)).as("__N"),
+      sum(col("t")).as("__S"))
+    per.crossJoin(broadcast(glob))
+      .select(col("cat"), col("n"),
+        ((col("__sum").cast("double")
+            + lit(m.toDouble) * (col("__S").cast("double")
+              / col("__N").cast("double")))
+          / (col("n") + lit(m)).cast("double")).as("enc"))
+  }
 }
