@@ -195,4 +195,47 @@ class PlanShapeSpec extends SparkSpec {
       "nation/region dims must broadcast against the fact side")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q212 shuffle-sharding: NO global window — the whole point of " +
+      "the bucket decomposition; windows stay bucket-partitioned") {
+    val df = SparkEntry.queries("q212_shuffle_shards")(spark,
+      TestSpark.sfDir)
+    assert(PlanAudit.globalWindows(df.queryExecution.optimizedPlan)
+      == 0, "the exact global rank must come from bucket offsets + " +
+      "bucket-partitioned row_number, never a partition-less window")
+    assert(!plan("q212_shuffle_shards").contains("CartesianProduct"))
+  }
+
+  test("q210 cusum: both windows share ONE region sort (single " +
+      "window exchange), none global") {
+    val df = SparkEntry.queries("q210_cusum")(spark, TestSpark.sfDir)
+    assert(PlanAudit.globalWindows(df.queryExecution.optimizedPlan)
+      == 0)
+    // prefix-sum and running-min fold into Window nodes over the same
+    // (k, o) sort order — no second sort between them
+    val p = plan("q210_cusum")
+    assert(countOf(p, "Window") <= 2 &&
+      p.contains("Window"), "closed form must stay windowed")
+  }
+
+  test("q207 bitmap overlap: word-aligned equi-joins only — never a " +
+      "member-grain pair join") {
+    val p = plan("q207_bitmap_overlap")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("HashAggregate"),
+      "bitmap build must be a word-keyed aggregate")
+  }
+
+  test("q205 bfs / q216 rollup / q218 bootstrap: no cartesian, no " +
+      "global window") {
+    for (q <- Seq("q205_bfs_hops", "q216_bom_rollup",
+        "q218_bootstrap_ci", "q213_negative_sampling",
+        "q208_rfm", "q215_target_encoding")) {
+      val df = SparkEntry.queries(q)(spark, TestSpark.sfDir)
+      assert(PlanAudit.globalWindows(df.queryExecution.optimizedPlan)
+        == 0, s"$q must keep every window partitioned")
+      assert(!df.queryExecution.executedPlan.toString
+        .contains("CartesianProduct"), s"$q planned a cartesian")
+    }
+  }
 }
