@@ -80,17 +80,41 @@ object GraphBench {
     require(nTriOriented == nTriNaive,
       s"orientation changed the answer: $nTriOriented vs $nTriNaive")
 
+    // --- PPR / BFS / link prediction on the same staged edge list ---
+    val (_, tPpr) = time {
+      val seeds = edges._1.select(col("src").as("node"))
+        .filter(col("node") % 100 === 0).distinct()
+      Graph.pageRank(edges._1, iterations = 3,
+        restart = Some(seeds)).count()
+    }
+    val (nReach, tBfs) = time {
+      val seeds = edges._1.select(col("src").as("node"))
+        .filter(col("node") % 100 === 0).distinct()
+      Graph.bfsHops(edges._1, seeds, maxHops = 3).count()
+    }
+    // link prediction runs on the SKEWED graph to show the hub cap:
+    // uncapped, the hub alone contributes H² ≈ 4·10⁸ wedges; capped,
+    // only the cliques' bounded wedges remain
+    val (nCand, tLpCapped) = time {
+      Graph.linkPrediction(skewed, topK = 100,
+        maxWedgeDegree = Some(64L)).count()
+    }
+
     println(f"edges=$nEdges nodes=$nNodes build=$tBuild%6.2f s  " +
       f"3-iter plain=$tPlain%6.2f s  det=$tDet%6.2f s  " +
-      f"dangling=$tDangling%6.2f s")
+      f"dangling=$tDangling%6.2f s  ppr=$tPpr%6.2f s")
+    println(f"bfs(3 hops, %%100 seeds): reach=$nReach $tBfs%6.2f s")
     println(f"skewed graph (hub deg $hubDeg + $nClique cliques): " +
       f"oriented=$tOriented%6.2f s  naive=$tNaive%6.2f s  " +
-      f"corner-counts=$nTriOriented (expect ~$expectTris)")
+      f"corner-counts=$nTriOriented (expect ~$expectTris)  " +
+      f"linkpred-capped=$tLpCapped%6.2f s ($nCand cands)")
     println(s"""{"bench":"graph","edges":$nEdges,"nodes":$nNodes,""" +
       s""""build_sec":$tBuild,"plain3_sec":$tPlain,"det3_sec":$tDet,""" +
-      s""""dangling3_sec":$tDangling,""" +
+      s""""dangling3_sec":$tDangling,"ppr3_sec":$tPpr,""" +
+      s""""bfs3_sec":$tBfs,"bfs_reach":$nReach,""" +
       s""""tri_oriented_sec":$tOriented,"tri_naive_sec":$tNaive,""" +
-      s""""tri_corner_counts":$nTriOriented}""")
+      s""""tri_corner_counts":$nTriOriented,""" +
+      s""""linkpred_capped_sec":$tLpCapped}""")
     spark.stop()
   }
 }

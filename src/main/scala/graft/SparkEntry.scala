@@ -4793,6 +4793,63 @@ object SparkEntry {
           round(col("o_totalprice") * 100).cast("long"),
           replicates = 20, seed = "ci")
         .orderBy(col("g"), col("r"))
+    },
+
+    // --- PERSONALIZED PageRank (random walk with restart — the
+    //     related-items / trust-propagation form): teleport mass
+    //     concentrates on the q205 seed set, so rank measures
+    //     proximity to the seeds, not global centrality. Same staged
+    //     loop as q141 (one edge equi-join + node agg per round),
+    //     deterministic value-sorted folds; oracle replays 3 rounds
+    //     as chained CTEs with the seed-indicator teleport vector. ---
+    "q219_ppr" -> { (spark, dir) =>
+      val li = tbl(spark, dir, "lineitem")
+        .filter(pmod(col("l_partkey"), lit(4)) === 0)
+      val edges = graft.operators.Graph.coOccurrenceEdges(li,
+        col("l_orderkey"), col("l_partkey"))
+      val seeds = edges.select(col("src").as("node"))
+        .filter(col("node") % 100 === 0).distinct()
+      graft.operators.Graph.pageRank(edges, iterations = 3,
+          damping = 0.85, deterministic = true, restart = Some(seeds))
+        .select(col("node"), round(col("pr"), 9).as("pr"))
+        .orderBy(col("pr").desc, col("node").asc)
+        .limit(50)
+    },
+
+    // --- cohort LTV curves (the money complement of q135's
+    //     retention): users cohorted by first-event week, purchase
+    //     cents accumulated by cohort age in weeks (cohort-
+    //     partitioned cumulative window over the pre-aggregated
+    //     (cohort, age) frame), LTV-per-user as one exact-integer
+    //     division. ---
+    "q220_cohort_ltv" -> { (spark, dir) =>
+      val ev = tbl(spark, dir, "events")
+      val first = ev.groupBy(col("user_id"))
+        .agg(to_date(date_trunc("week", min(col("ts").cast("timestamp"))))
+          .as("cohort"))
+      val sizes = first.groupBy(col("cohort"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          to_date(col("ts").cast("timestamp")).as("day"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .join(first, Seq("user_id"))
+        .groupBy(col("cohort"),
+          expr("cast(datediff(day, cohort) as bigint) div 7")
+            .as("age_week"))
+        .agg(sum(col("cents")).as("cents"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cohort")).orderBy(col("age_week"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, org.apache.spark.sql.expressions.Window
+          .currentRow)
+      purch.withColumn("cum_cents", sum(col("cents")).over(w))
+        .join(sizes, Seq("cohort"))
+        .select(col("cohort"), col("age_week"), col("n_users"),
+          col("cum_cents"),
+          (col("cum_cents").cast("double")
+            / col("n_users").cast("double")).as("ltv_cents"))
+        .orderBy(col("cohort"), col("age_week"))
     }
   )
 
@@ -9023,7 +9080,90 @@ object SparkEntry {
              CAST(sum(w * x) AS BIGINT) AS sum_wx,
              CAST(sum(w * x) AS DOUBLE) / CAST(sum(w) AS DOUBLE)
                AS mean
-      FROM w GROUP BY 1, 2 ORDER BY 1, 2"""
+      FROM w GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q219_ppr" -> """
+      WITH eg AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+                  FROM lineitem WHERE l_partkey % 4 = 0),
+      e AS (SELECT DISTINCT a.i AS src, b.i AS dst
+            FROM eg a JOIN eg b ON a.g = b.g AND a.i <> b.i),
+      n AS (SELECT DISTINCT src AS node FROM e),
+      seeds AS (SELECT DISTINCT src AS node FROM e WHERE src % 100 = 0),
+      sn AS (SELECT CAST(count(*) AS DOUBLE) AS sd FROM seeds),
+      rv AS (SELECT n.node,
+                    CASE WHEN s.node IS NOT NULL THEN 1.0 / sn.sd
+                         ELSE CAST(0 AS DOUBLE) END AS r
+             FROM n CROSS JOIN sn LEFT JOIN seeds s ON n.node = s.node),
+      deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg
+              FROM e GROUP BY 1),
+      p0 AS (SELECT node, r AS pr FROM rv),
+      s1 AS (SELECT e.dst AS node,
+               list_reduce(list(p.pr / d.outdeg
+                                ORDER BY p.pr / d.outdeg),
+                           (a, b) -> a + b) AS s
+             FROM e JOIN p0 p ON e.src = p.node
+                    JOIN deg d ON e.src = d.src
+             GROUP BY 1),
+      p1 AS (SELECT rv.node,
+               (1.0 - CAST(0.85 AS DOUBLE)) * rv.r
+                 + CAST(0.85 AS DOUBLE)
+                   * coalesce(s1.s, CAST(0 AS DOUBLE)) AS pr
+             FROM rv LEFT JOIN s1 ON rv.node = s1.node),
+      s2 AS (SELECT e.dst AS node,
+               list_reduce(list(p.pr / d.outdeg
+                                ORDER BY p.pr / d.outdeg),
+                           (a, b) -> a + b) AS s
+             FROM e JOIN p1 p ON e.src = p.node
+                    JOIN deg d ON e.src = d.src
+             GROUP BY 1),
+      p2 AS (SELECT rv.node,
+               (1.0 - CAST(0.85 AS DOUBLE)) * rv.r
+                 + CAST(0.85 AS DOUBLE)
+                   * coalesce(s2.s, CAST(0 AS DOUBLE)) AS pr
+             FROM rv LEFT JOIN s2 ON rv.node = s2.node),
+      s3 AS (SELECT e.dst AS node,
+               list_reduce(list(p.pr / d.outdeg
+                                ORDER BY p.pr / d.outdeg),
+                           (a, b) -> a + b) AS s
+             FROM e JOIN p2 p ON e.src = p.node
+                    JOIN deg d ON e.src = d.src
+             GROUP BY 1),
+      p3 AS (SELECT rv.node,
+               (1.0 - CAST(0.85 AS DOUBLE)) * rv.r
+                 + CAST(0.85 AS DOUBLE)
+                   * coalesce(s3.s, CAST(0 AS DOUBLE)) AS pr
+             FROM rv LEFT JOIN s3 ON rv.node = s3.node)
+      SELECT node, round(pr, 9) AS pr FROM p3
+      ORDER BY pr DESC, node LIMIT 50""",
+
+    "q220_cohort_ltv" -> """
+      WITH fst AS (SELECT user_id,
+                          CAST(date_trunc('week', min(ts)) AS DATE)
+                            AS cohort
+                   FROM events GROUP BY 1),
+      sizes AS (SELECT cohort,
+                       CAST(count(DISTINCT user_id) AS BIGINT)
+                         AS n_users
+                FROM fst GROUP BY 1),
+      p AS (SELECT f.cohort,
+                   date_diff('day', f.cohort, CAST(e.ts AS DATE)) // 7
+                     AS age_week,
+                   CAST(sum(CAST(round(e.value * 100) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM events e JOIN fst f USING (user_id)
+            WHERE e.event_type = 'purchase'
+            GROUP BY 1, 2),
+      c AS (SELECT cohort, CAST(age_week AS BIGINT) AS age_week,
+                   CAST(sum(cents) OVER (PARTITION BY cohort
+                     ORDER BY age_week
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cum_cents
+            FROM p)
+      SELECT c.cohort, c.age_week, s.n_users, c.cum_cents,
+             CAST(c.cum_cents AS DOUBLE) / CAST(s.n_users AS DOUBLE)
+               AS ltv_cents
+      FROM c JOIN sizes s USING (cohort)
+      ORDER BY cohort, age_week"""
   )
 
   /** Shared q157/q178 oracle: the order-fixed EWMA left fold, seeded

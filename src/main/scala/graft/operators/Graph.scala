@@ -287,12 +287,22 @@ object Graph {
     * (which also materializes each round's rank frame, losing the
     * lazy-batch discipline) — keep the default fast path for
     * symmetric graphs ([[coOccurrenceEdges]] output has no sinks;
-    * both paths are identical there except the per-round barrier). */
+    * both paths are identical there except the per-round barrier).
+    *
+    * `restart = Some(seeds)` makes it PERSONALIZED PageRank (the
+    * recommendation/trust-propagation form): the teleport vector
+    * concentrates on the seed set instead of being uniform —
+    * r_i = 1/|S| for seeds, 0 elsewhere; init pr = r and each round
+    * pr' = (1-d)·r + d·(Σ_in + dm·r). Rank mass then measures
+    * proximity TO THE SEEDS, not global centrality. Costs one extra
+    * left-semi-derived column on the staged node frame — the loop
+    * shape is unchanged. Seeds must be nodes of the graph. */
   def pageRank(edges: DataFrame, iterations: Int,
                damping: Double = 0.85,
                deterministic: Boolean = false,
                weighted: Boolean = false,
-               danglingMass: Boolean = false): DataFrame = {
+               danglingMass: Boolean = false,
+               restart: Option[DataFrame] = None): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val e = (if (weighted) edges.select(col("src"), col("dst"), col("w"))
@@ -316,8 +326,23 @@ object Graph {
     // single-row frame EVERY round — the division itself stays the
     // same IEEE op the SQL oracle performs on its counted double
     val n = nodes.count().toDouble
-    var pr = nodes
-      .select(col("node"), (lit(1.0) / lit(n)).as("pr"))
+    // personalized teleport vector r staged ONCE on the node frame;
+    // null (not a column) in the uniform case so the uniform path's
+    // arithmetic stays literally the (1-d)/N form existing oracles
+    // replay (r·(1-d) would differ by a ULP from (1-d)/N)
+    val nodesR = restart.map { seeds =>
+      val s = seeds.select(col(seeds.columns.head).as("node")).distinct()
+      val sn = s.count().toDouble
+      nodes.join(s.withColumn("__seed", lit(1)), Seq("node"), "left")
+        .select(col("node"),
+          when(col("__seed").isNotNull, lit(1.0) / lit(sn))
+            .otherwise(lit(0.0)).as("r"))
+        .persist(mad)
+    }
+    var pr = nodesR
+      .map(_.select(col("node"), col("r").as("pr")))
+      .getOrElse(nodes.select(col("node"),
+        (lit(1.0) / lit(n)).as("pr")))
       .persist(mad)
     // rank frames persist per round but MATERIALIZE in batches: an
     // action per round multiplies per-job overhead on k-row frames,
@@ -346,23 +371,37 @@ object Graph {
       // dangling mass this round, as a driver scalar (the loop-constant
       // discipline): deterministic mode folds the value-sorted list so
       // an oracle replays the sum bit-for-bit
-      val dmOverN = if (danglingMass) {
+      val dm = if (danglingMass) {
         val prd = pr.join(dangling, Seq("node"), "left_semi")
         val r = (if (deterministic)
             prd.agg(aggregate(array_sort(collect_list(col("pr"))),
               lit(0.0), (acc, x) => acc + x))
           else prd.agg(sum(col("pr")))).collect()(0)
-        (if (r.isNullAt(0)) 0.0 else r.getDouble(0)) / n
+        if (r.isNullAt(0)) 0.0 else r.getDouble(0)
       } else 0.0
-      val next = nodes.join(sums, Seq("node"), "left")
-        .select(col("node"),
-          (if (danglingMass)
-            lit(1.0 - damping) / lit(n) +
-              lit(damping) * (coalesce(col("s"), lit(0.0)) + lit(dmOverN))
-          else
-            lit(1.0 - damping) / lit(n) +
-              lit(damping) * coalesce(col("s"), lit(0.0))).as("pr"))
-        .persist(mad)
+      val next = nodesR match {
+        case Some(nr) => // personalized: teleport + dangling go to r
+          val inner =
+            if (danglingMass)
+              coalesce(col("s"), lit(0.0)) + lit(dm) * col("r")
+            else coalesce(col("s"), lit(0.0))
+          nr.join(sums, Seq("node"), "left")
+            .select(col("node"),
+              (lit(1.0 - damping) * col("r") + lit(damping) * inner)
+                .as("pr"))
+            .persist(mad)
+        case None =>
+          nodes.join(sums, Seq("node"), "left")
+            .select(col("node"),
+              (if (danglingMass)
+                lit(1.0 - damping) / lit(n) +
+                  lit(damping) * (coalesce(col("s"), lit(0.0)) +
+                    lit(dm / n))
+              else
+                lit(1.0 - damping) / lit(n) +
+                  lit(damping) * coalesce(col("s"), lit(0.0))).as("pr"))
+            .persist(mad)
+      }
       pending += pr
       if (i % MatEvery == 0) {
         next.count() // materialize, then free the superseded rounds
@@ -376,6 +415,7 @@ object Graph {
     e.unpersist(blocking = false)
     deg.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
+    nodesR.foreach(_.unpersist(blocking = false))
     if (dangling != null) dangling.unpersist(blocking = false)
     pr
   }

@@ -85,6 +85,28 @@ class GraphSpec extends SparkSpec {
     assert(o4 === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
   }
 
+  test("personalized pageRank: teleport concentrates on the seed, " +
+      "hand-computed one iteration; mass conserves on symmetric " +
+      "graphs") {
+    // star: 1 <-> 2, 1 <-> 3; seed {2}: r = (0, 1, 0); init pr = r
+    // contribs: node1 <- pr(2)/1 = 1; others 0
+    // pr'(1) = 0.5*0 + 0.5*1 = 0.5 ; pr'(2) = 0.5*1 + 0 = 0.5 ; pr'(3) = 0
+    val seeds = Seq(2L).toDF("node")
+    val out = Graph.pageRank(star, iterations = 1, damping = 0.5,
+        restart = Some(seeds))
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(out(1L) - 0.5) < 1e-12)
+    assert(math.abs(out(2L) - 0.5) < 1e-12)
+    assert(out(3L) === 0.0)
+    // multi-round mass conservation (no sinks): sum pr = 1
+    val o3 = Graph.pageRank(star, iterations = 3, damping = 0.85,
+        restart = Some(seeds))
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(o3.values.sum - 1.0) < 1e-9)
+    // proximity: seed 2 and its hub 1 outrank the far leaf 3
+    assert(o3(2L) > o3(3L) && o3(1L) > o3(3L))
+  }
+
   test("bfsHops: min hop wins, cap respected, unreachable absent, " +
       "cycles terminate") {
     // path 1->2->3->4 plus shortcut 1->3, cycle 4->1; 9 isolated
