@@ -4518,7 +4518,10 @@ object SparkEntry {
     //     path-multiplicity blowup lives only in the oracle's
     //     recursive CTE, which dedups (node, hop) pairs per step. ---
     "q205_bfs_hops" -> { (spark, dir) =>
+      // q141's 1-in-4 part sampling: same frontier loop, bench-scale
+      // edge list (the full sf0.1 graph is 2.4M edges and 8+ s)
       val li = tbl(spark, dir, "lineitem")
+        .filter(pmod(col("l_partkey"), lit(4)) === 0)
       val edges = graft.operators.Graph.coOccurrenceEdges(li,
         col("l_orderkey"), col("l_partkey"))
       val seeds = edges.select(col("src").as("node"))
@@ -8824,7 +8827,8 @@ object SparkEntry {
 
     "q205_bfs_hops" -> """
       WITH RECURSIVE m AS (
-        SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+        SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem
+        WHERE l_partkey % 4 = 0),
       e AS (SELECT DISTINCT a.i AS src, b.i AS dst
             FROM m a JOIN m b ON a.g = b.g AND a.i <> b.i),
       r AS (

@@ -178,13 +178,17 @@ object Graph {
     require(maxHops >= 0, "maxHops must be >= 0")
     val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val e = edges.select(col("src"), col("dst")).distinct().persist(mad)
-    var visited = seeds.select(col("node")).distinct()
+    val seed = seeds.select(col("node")).distinct()
       .withColumn("hop", lit(0)).persist(mad)
-    visited.count()
-    var frontier = visited.select(col("node"))
+    seed.count()
+    // visited = lazy union of MATERIALIZED per-hop frontier caches —
+    // each round costs exactly ONE action (the frontier count that
+    // doubles as the lineage barrier); the anti-join unions k cached
+    // frames, never recomputes them
+    var visited = seed
+    var frontier = seed.select(col("node"))
     var hop = 0
     var done = hop >= maxHops
-    val spent = scala.collection.mutable.ArrayBuffer[DataFrame]()
     while (!done) {
       hop += 1
       val next = frontier.join(e, frontier("node") === e("src"))
@@ -192,13 +196,10 @@ object Graph {
         .join(visited, Seq("node"), "left_anti")
         .withColumn("hop", lit(hop))
         .persist(mad)
-      if (next.isEmpty) { next.unpersist(blocking = false); done = true }
-      else {
-        val nv = visited.unionByName(next).persist(mad)
-        nv.count() // barrier: cut lineage, then free superseded frames
-        spent += visited; spent += next
-        spent.foreach(_.unpersist(blocking = false)); spent.clear()
-        visited = nv
+      if (next.count() == 0L) {
+        next.unpersist(blocking = false); done = true
+      } else {
+        visited = visited.unionByName(next)
         frontier = next.select(col("node"))
         done = hop >= maxHops
       }
