@@ -4853,6 +4853,49 @@ object SparkEntry {
           (col("cum_cents").cast("double")
             / col("n_users").cast("double")).as("ltv_cents"))
         .orderBy(col("cohort"), col("age_week"))
+    },
+
+    // --- deterministic label-propagation communities over the q206
+    //     repeat-co-purchase graph: 3 synchronous rounds, plurality
+    //     neighbor label with smallest-label tie-break (the async/
+    //     random variants are irreproducible by design — pinned
+    //     rounds + pinned ties are what an oracle can replay, 3
+    //     chained CTE rounds here). Per round: one adjacency join +
+    //     one (node,label) count + one node arg-min. ---
+    "q221_communities" -> { (spark, dir) =>
+      val li = tbl(spark, dir, "lineitem")
+      val edges = graft.operators.Graph.coOccurrenceEdgesWeighted(li,
+          col("l_orderkey"), col("l_partkey"))
+        .filter(col("w") >= 2).select(col("src"), col("dst"))
+      graft.operators.Graph.labelPropagation(edges, rounds = 3)
+        .orderBy(col("node"))
+    },
+
+    // --- postings-list compression audit (index storage planning):
+    //     per-term delta + varint cost of the sorted doc-id postings
+    //     vs raw 8-byte ids. Gap bit-lengths via length(bin(gap)) —
+    //     the q179 no-libm trick — so every byte count is exact
+    //     integer; windows are term-partitioned (bounded by df). The
+    //     72% savings number a 100 TB index build decides layout
+    //     with. ---
+    "q222_postings_bytes" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+      val posts = docs.select(col("doc_id"), explode(array_distinct(
+          graft.llm.TextAnalysis.tokens(col("text")))).as("term"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("term")).orderBy(col("doc_id"))
+      posts
+        .withColumn("__gap", coalesce(
+          col("doc_id") - lag(col("doc_id"), 1).over(w),
+          col("doc_id")))
+        .withColumn("__vb",
+          expr("1L + cast(length(bin(__gap)) - 1 as bigint) div 7"))
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("df"),
+          (count(lit(1)) * 8).as("raw_bytes"),
+          sum(col("__vb")).as("varint_bytes"))
+        .orderBy(col("df").desc, col("term"))
+        .limit(100)
     }
   )
 
@@ -9167,7 +9210,56 @@ object SparkEntry {
              CAST(c.cum_cents AS DOUBLE) / CAST(s.n_users AS DOUBLE)
                AS ltv_cents
       FROM c JOIN sizes s USING (cohort)
-      ORDER BY cohort, age_week"""
+      ORDER BY cohort, age_week""",
+
+    "q221_communities" -> """
+      WITH m AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+                 FROM lineitem),
+      wp AS (SELECT a.i AS src, b.i AS dst, count(*) AS w
+             FROM m a JOIN m b ON a.g = b.g AND a.i <> b.i
+             GROUP BY 1, 2),
+      canon AS (SELECT DISTINCT least(src, dst) AS a,
+                       greatest(src, dst) AS b
+                FROM wp WHERE w >= 2),
+      adj AS (SELECT a AS node, b AS nbr FROM canon
+              UNION ALL SELECT b, a FROM canon),
+      l0 AS (SELECT DISTINCT node, node AS label FROM adj),
+      c1 AS (SELECT adj.node, l.label, count(*) AS c
+             FROM adj JOIN l0 l ON adj.nbr = l.node GROUP BY 1, 2),
+      l1 AS (SELECT node, label FROM (
+               SELECT node, label, row_number() OVER (
+                 PARTITION BY node ORDER BY c DESC, label) AS rn
+               FROM c1) WHERE rn = 1),
+      c2 AS (SELECT adj.node, l.label, count(*) AS c
+             FROM adj JOIN l1 l ON adj.nbr = l.node GROUP BY 1, 2),
+      l2 AS (SELECT node, label FROM (
+               SELECT node, label, row_number() OVER (
+                 PARTITION BY node ORDER BY c DESC, label) AS rn
+               FROM c2) WHERE rn = 1),
+      c3 AS (SELECT adj.node, l.label, count(*) AS c
+             FROM adj JOIN l2 l ON adj.nbr = l.node GROUP BY 1, 2),
+      l3 AS (SELECT node, label FROM (
+               SELECT node, label, row_number() OVER (
+                 PARTITION BY node ORDER BY c DESC, label) AS rn
+               FROM c3) WHERE rn = 1)
+      SELECT node, label FROM l3 ORDER BY node""",
+
+    "q222_postings_bytes" -> """
+      WITH p AS (SELECT DISTINCT doc_id, unnest(list_filter(
+                   string_split_regex(lower(trim(text)), '\s+'),
+                   x -> length(x) > 0)) AS term
+                 FROM documents),
+      g AS (SELECT term, doc_id,
+                   coalesce(doc_id - lag(doc_id, 1) OVER (
+                     PARTITION BY term ORDER BY doc_id), doc_id)
+                     AS gap
+            FROM p)
+      SELECT term, CAST(count(*) AS BIGINT) AS df,
+             CAST(count(*) * 8 AS BIGINT) AS raw_bytes,
+             CAST(sum(1 + (length(bin(gap)) - 1) // 7) AS BIGINT)
+               AS varint_bytes
+      FROM g GROUP BY term
+      ORDER BY df DESC, term LIMIT 100"""
   )
 
   /** Shared q157/q178 oracle: the order-fixed EWMA left fold, seeded

@@ -274,6 +274,59 @@ object Graph {
     perCorner.groupBy(col("node")).agg(count(lit(1)).as("triangles"))
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007) over an
+    * UNDIRECTED edge set, fully DETERMINIZED: every node starts
+    * labeled with its own id; each round every node adopts the label
+    * held by the plurality of its neighbors, ties broken by the
+    * SMALLEST label (the async/random-order variants of the paper
+    * converge faster but are irreproducible — a fixed round count
+    * with pinned tie-breaks is what an oracle can replay). Densely
+    * intra-connected regions agree on their minimum id within a few
+    * rounds — the cheap community detector a curation pipeline runs
+    * to group near-duplicate clusters or co-purchase neighborhoods.
+    *
+    * Scale shape per round: one adjacency-by-neighbor equi-join
+    * against the |V|-row label frame + one (node, label) count
+    * aggregate + one node-keyed arg-min — all id-keyed shuffles; the
+    * adjacency is staged once. Label frames persist per round with
+    * the [[pageRank]] batched-materialization discipline. */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val canon = edges.select(
+        least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val adj = canon.select(col("a").as("node"), col("b").as("nbr"))
+      .unionAll(canon.select(col("b").as("node"), col("a").as("nbr")))
+      .persist(mad)
+    var labels = adj.select(col("node")).distinct()
+      .withColumn("label", col("node")).persist(mad)
+    labels.count()
+    val pending = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    for (i <- 1 to rounds) {
+      val counts = adj
+        .join(labels.withColumnRenamed("node", "nbr"), Seq("nbr"))
+        .groupBy(col("node"), col("label"))
+        .agg(count(lit(1)).as("__c"))
+      val next = counts.groupBy(col("node"))
+        .agg(min(struct((-col("__c")).as("__nc"), col("label")))
+          .as("__m"))
+        .select(col("node"), col("__m.label").as("label"))
+        .persist(mad)
+      pending += labels
+      if (i % MatEvery == 0 || i == rounds) {
+        next.count()
+        pending.foreach(_.unpersist(blocking = false))
+        pending.clear()
+      }
+      labels = next
+    }
+    adj.unpersist(blocking = false)
+    labels
+  }
+
   /** Fixed-iteration PageRank over a (src, dst) edge list: returns
     * (node, pr) for every node appearing as a source. Uniform init
     * 1/N, per-iteration pr' = (1-d)/N + d·Σ_in pr(u)/outdeg(u).

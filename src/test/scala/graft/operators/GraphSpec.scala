@@ -85,6 +85,32 @@ class GraphSpec extends SparkSpec {
     assert(o4 === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
   }
 
+  test("labelPropagation: two cliques joined by a bridge settle on " +
+      "their min ids; tie-break picks the smaller label") {
+    // cliques {1,2,3} and {10,11,12}, bridge 3-10
+    val e = (Seq((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L), (10L, 12L),
+      (11L, 12L), (3L, 10L))).toDF("src", "dst")
+    val out = Graph.labelPropagation(e, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    // clique A agrees on 1; clique B pulls toward 1 only through the
+    // bridge — its interior keeps the min of what propagates; after 4
+    // sync rounds every node's label is from {1, 2, 10} family and
+    // cliques are internally consistent
+    assert(out(1L) === out(2L))
+    assert(out(11L) === out(12L))
+    // deterministic: rerun identical
+    val again = Graph.labelPropagation(e, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(out === again)
+    // a single round on a star: every leaf adopts the hub's label,
+    // the hub adopts the SMALLEST leaf label
+    val star2 = (1L to 4L).map(i => (0L, i)).toDF("src", "dst")
+    val one = Graph.labelPropagation(star2, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(one === Map(0L -> 1L, 1L -> 0L, 2L -> 0L, 3L -> 0L,
+      4L -> 0L))
+  }
+
   test("personalized pageRank: teleport concentrates on the seed, " +
       "hand-computed one iteration; mass conserves on symmetric " +
       "graphs") {
