@@ -4896,6 +4896,79 @@ object SparkEntry {
           sum(col("__vb")).as("varint_bytes"))
         .orderBy(col("df").desc, col("term"))
         .limit(100)
+    },
+
+    // --- daily latency/value bands (the p50/p95 ops dashboard):
+    //     event values as exact cents, both quantiles per day via
+    //     ExactQuantile's distributed histogram-refine selection —
+    //     real data points, bit-exact, no global sort. ---
+    "q223_daily_bands" -> { (spark, dir) =>
+      val ev = tbl(spark, dir, "events")
+      val daily = ev.select(
+        to_date(col("ts").cast("timestamp")).as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+      val p50 = graft.operators.ExactQuantile.quantileDisc(daily,
+          col("day"), col("cents"), 0.5)
+        .select(col("grp").as("day"), col("n").as("n_events"),
+          col("q").cast("long").as("p50_cents"))
+      val p95 = graft.operators.ExactQuantile.quantileDisc(daily,
+          col("day"), col("cents"), 0.95)
+        .select(col("grp").as("day"),
+          col("q").cast("long").as("p95_cents"))
+      p50.join(p95, Seq("day")).orderBy(col("day"))
+    },
+
+    // --- TPC-H Q3 shape (shipping-priority top orders): 3-way join
+    //     + grouped revenue + top-10. Revenue in EXACT integer
+    //     10⁻⁴-dollar units (cents × (100 − discount%)) so the
+    //     ranking and the hash gate are immune to FP summation order
+    //     — the q170 fixed-point discipline applied to the classic
+    //     join-agg benchmark shape. Dims broadcast, fact never
+    //     re-shuffles. ---
+    "q224_tpch_q3" -> { (spark, dir) =>
+      val c = tbl(spark, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+      val o = tbl(spark, dir, "orders")
+        .filter(col("o_orderdate") < lit("1997-01-01").cast("date"))
+      val li = tbl(spark, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1996-06-30").cast("date"))
+      li.join(broadcast(o.join(broadcast(c),
+            col("o_custkey") === col("c_custkey"))),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), to_date(col("o_orderdate"))
+          .as("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long")
+            * (lit(100L) - round(col("l_discount") * 100).cast("long")))
+          .as("revenue_c4"))
+        .orderBy(col("revenue_c4").desc, col("l_orderkey"))
+        .limit(10)
+    },
+
+    // --- TPC-H Q5 shape (local-supplier volume): the 6-table
+    //     snowflake join with the customer-nation = supplier-nation
+    //     equality, revenue per nation in the same exact fixed
+    //     point. All dims broadcast; the one big shuffle is the
+    //     final nation rollup. ---
+    "q225_tpch_q5" -> { (spark, dir) =>
+      val li = tbl(spark, dir, "lineitem")
+      val o = tbl(spark, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("date") &&
+          col("o_orderdate") < lit("1997-01-01").cast("date"))
+      val c = tbl(spark, dir, "customer")
+      val s = tbl(spark, dir, "supplier")
+      val n = tbl(spark, dir, "nation")
+      val r = tbl(spark, dir, "region").filter(col("r_name") === "ASIA")
+      li.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(s), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long")
+            * (lit(100L) - round(col("l_discount") * 100).cast("long")))
+          .as("revenue_c4"))
+        .orderBy(col("revenue_c4").desc, col("n_name"))
     }
   )
 
@@ -9259,7 +9332,54 @@ object SparkEntry {
              CAST(sum(1 + (length(bin(gap)) - 1) // 7) AS BIGINT)
                AS varint_bytes
       FROM g GROUP BY term
-      ORDER BY df DESC, term LIMIT 100"""
+      ORDER BY df DESC, term LIMIT 100""",
+
+    "q223_daily_bands" -> """
+      WITH d AS (SELECT CAST(ts AS DATE) AS day,
+                        CAST(round(value * 100) AS BIGINT) AS cents
+                 FROM events),
+      r AS (SELECT day, cents,
+                   row_number() OVER (PARTITION BY day ORDER BY cents)
+                     AS rnk,
+                   count(*) OVER (PARTITION BY day) AS n
+            FROM d)
+      SELECT day, CAST(max(n) AS BIGINT) AS n_events,
+             CAST(max(CASE WHEN rnk = CAST(ceil(0.5 * n) AS BIGINT)
+                           THEN cents END) AS BIGINT) AS p50_cents,
+             CAST(max(CASE WHEN rnk = CAST(ceil(0.95 * n) AS BIGINT)
+                           THEN cents END) AS BIGINT) AS p95_cents
+      FROM r GROUP BY day ORDER BY day""",
+
+    "q224_tpch_q3" -> """
+      SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+             o_orderpriority,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+               AS BIGINT) AS revenue_c4
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < DATE '1997-01-01'
+        AND l_shipdate > DATE '1996-06-30'
+      GROUP BY 1, 2, 3
+      ORDER BY revenue_c4 DESC, l_orderkey LIMIT 10""",
+
+    "q225_tpch_q5" -> """
+      SELECT n_name,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+               AS BIGINT) AS revenue_c4
+      FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN supplier ON l_suppkey = s_suppkey
+                        AND c_nationkey = s_nationkey
+           JOIN nation ON s_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= DATE '1996-01-01'
+        AND o_orderdate < DATE '1997-01-01'
+      GROUP BY 1 ORDER BY revenue_c4 DESC, n_name"""
   )
 
   /** Shared q157/q178 oracle: the order-fixed EWMA left fold, seeded
