@@ -4969,6 +4969,41 @@ object SparkEntry {
             * (lit(100L) - round(col("l_discount") * 100).cast("long")))
           .as("revenue_c4"))
         .orderBy(col("revenue_c4").desc, col("n_name"))
+    },
+
+    // --- FK / inclusion-dependency DISCOVERY via KMV containment
+    //     probes (data-catalog profiling): each candidate child
+    //     column's 256-hash sketch is probed exactly against the
+    //     parent column — true FKs report containment 1.0 (the
+    //     parent side is never sketched); the deliberate reverse
+    //     pair (orderkey probed against partkey) reports only the
+    //     accidental value overlap of the two dense id ranges —
+    //     the asymmetry that tells parent from child. The whole matrix costs
+    //     |pairs| tiny probes, never a table join
+    //     (operators/Kmv.containmentProbe). ---
+    "q226_fk_discovery" -> { (spark, dir) =>
+      val li = tbl(spark, dir, "lineitem")
+      val o = tbl(spark, dir, "orders")
+      val p = tbl(spark, dir, "part")
+      val s = tbl(spark, dir, "supplier")
+      val c = tbl(spark, dir, "customer")
+      def pair(cn: String, chi: DataFrame, ck: Column,
+               pn: String, par: DataFrame, pk: Column) =
+        graft.operators.Kmv.containmentProbe(chi, ck, par, pk, 256)
+          .select(lit(cn).as("child_col"), lit(pn).as("parent_col"),
+            col("k_child"), col("probe_hits"),
+            col("child_distinct_est"), col("containment"))
+      pair("lineitem.l_orderkey", li, col("l_orderkey"),
+          "orders.o_orderkey", o, col("o_orderkey"))
+        .unionByName(pair("lineitem.l_partkey", li, col("l_partkey"),
+          "part.p_partkey", p, col("p_partkey")))
+        .unionByName(pair("lineitem.l_suppkey", li, col("l_suppkey"),
+          "supplier.s_suppkey", s, col("s_suppkey")))
+        .unionByName(pair("orders.o_custkey", o, col("o_custkey"),
+          "customer.c_custkey", c, col("c_custkey")))
+        .unionByName(pair("orders.o_orderkey", o, col("o_orderkey"),
+          "part.p_partkey", p, col("p_partkey")))
+        .orderBy(col("child_col"), col("parent_col"))
     }
   )
 
@@ -9379,7 +9414,94 @@ object SparkEntry {
       WHERE r_name = 'ASIA'
         AND o_orderdate >= DATE '1996-01-01'
         AND o_orderdate < DATE '1997-01-01'
-      GROUP BY 1 ORDER BY revenue_c4 DESC, n_name"""
+      GROUP BY 1 ORDER BY revenue_c4 DESC, n_name""",
+
+    "q226_fk_discovery" -> """
+      WITH
+      sk1 AS (SELECT h FROM (SELECT DISTINCT CAST(('0x' || substring(
+                md5(CAST(l_orderkey AS VARCHAR)), 1, 12)) AS BIGINT)
+                AS h FROM lineitem) ORDER BY h LIMIT 256),
+      ph1 AS (SELECT DISTINCT CAST(('0x' || substring(
+                md5(CAST(o_orderkey AS VARCHAR)), 1, 12)) AS BIGINT)
+                AS h FROM orders),
+      r1 AS (SELECT 'lineitem.l_orderkey' AS child_col,
+                    'orders.o_orderkey' AS parent_col,
+                    CAST((SELECT count(*) FROM sk1) AS BIGINT)
+                      AS k_child,
+                    CAST((SELECT count(*) FROM sk1
+                          WHERE h IN (SELECT h FROM ph1)) AS BIGINT)
+                      AS probe_hits,
+                    (SELECT CASE WHEN count(*) < 256
+                       THEN CAST(count(*) AS DOUBLE)
+                       ELSE CAST(255 AS DOUBLE)
+                            * CAST(281474976710656 AS DOUBLE)
+                            / CAST(max(h) AS DOUBLE) END FROM sk1)
+                      AS child_distinct_est),
+      sk2 AS (SELECT h FROM (SELECT DISTINCT CAST(('0x' || substring(
+                md5(CAST(l_partkey AS VARCHAR)), 1, 12)) AS BIGINT)
+                AS h FROM lineitem) ORDER BY h LIMIT 256),
+      ph2 AS (SELECT DISTINCT CAST(('0x' || substring(
+                md5(CAST(p_partkey AS VARCHAR)), 1, 12)) AS BIGINT)
+                AS h FROM part),
+      r2 AS (SELECT 'lineitem.l_partkey', 'part.p_partkey',
+                    CAST((SELECT count(*) FROM sk2) AS BIGINT),
+                    CAST((SELECT count(*) FROM sk2
+                          WHERE h IN (SELECT h FROM ph2)) AS BIGINT),
+                    (SELECT CASE WHEN count(*) < 256
+                       THEN CAST(count(*) AS DOUBLE)
+                       ELSE CAST(255 AS DOUBLE)
+                            * CAST(281474976710656 AS DOUBLE)
+                            / CAST(max(h) AS DOUBLE) END FROM sk2)),
+      sk3 AS (SELECT h FROM (SELECT DISTINCT CAST(('0x' || substring(
+                md5(CAST(l_suppkey AS VARCHAR)), 1, 12)) AS BIGINT)
+                AS h FROM lineitem) ORDER BY h LIMIT 256),
+      ph3 AS (SELECT DISTINCT CAST(('0x' || substring(
+                md5(CAST(s_suppkey AS VARCHAR)), 1, 12)) AS BIGINT)
+                AS h FROM supplier),
+      r3 AS (SELECT 'lineitem.l_suppkey', 'supplier.s_suppkey',
+                    CAST((SELECT count(*) FROM sk3) AS BIGINT),
+                    CAST((SELECT count(*) FROM sk3
+                          WHERE h IN (SELECT h FROM ph3)) AS BIGINT),
+                    (SELECT CASE WHEN count(*) < 256
+                       THEN CAST(count(*) AS DOUBLE)
+                       ELSE CAST(255 AS DOUBLE)
+                            * CAST(281474976710656 AS DOUBLE)
+                            / CAST(max(h) AS DOUBLE) END FROM sk3)),
+      sk4 AS (SELECT h FROM (SELECT DISTINCT CAST(('0x' || substring(
+                md5(CAST(o_custkey AS VARCHAR)), 1, 12)) AS BIGINT)
+                AS h FROM orders) ORDER BY h LIMIT 256),
+      ph4 AS (SELECT DISTINCT CAST(('0x' || substring(
+                md5(CAST(c_custkey AS VARCHAR)), 1, 12)) AS BIGINT)
+                AS h FROM customer),
+      r4 AS (SELECT 'orders.o_custkey', 'customer.c_custkey',
+                    CAST((SELECT count(*) FROM sk4) AS BIGINT),
+                    CAST((SELECT count(*) FROM sk4
+                          WHERE h IN (SELECT h FROM ph4)) AS BIGINT),
+                    (SELECT CASE WHEN count(*) < 256
+                       THEN CAST(count(*) AS DOUBLE)
+                       ELSE CAST(255 AS DOUBLE)
+                            * CAST(281474976710656 AS DOUBLE)
+                            / CAST(max(h) AS DOUBLE) END FROM sk4)),
+      sk5 AS (SELECT h FROM (SELECT DISTINCT CAST(('0x' || substring(
+                md5(CAST(o_orderkey AS VARCHAR)), 1, 12)) AS BIGINT)
+                AS h FROM orders) ORDER BY h LIMIT 256),
+      r5 AS (SELECT 'orders.o_orderkey', 'part.p_partkey',
+                    CAST((SELECT count(*) FROM sk5) AS BIGINT),
+                    CAST((SELECT count(*) FROM sk5
+                          WHERE h IN (SELECT h FROM ph2)) AS BIGINT),
+                    (SELECT CASE WHEN count(*) < 256
+                       THEN CAST(count(*) AS DOUBLE)
+                       ELSE CAST(255 AS DOUBLE)
+                            * CAST(281474976710656 AS DOUBLE)
+                            / CAST(max(h) AS DOUBLE) END FROM sk5)),
+      u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2
+            UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r4
+            UNION ALL SELECT * FROM r5)
+      SELECT child_col, parent_col, k_child, probe_hits,
+             child_distinct_est,
+             CAST(probe_hits AS DOUBLE) / CAST(k_child AS DOUBLE)
+               AS containment
+      FROM u ORDER BY child_col, parent_col"""
   )
 
   /** Shared q157/q178 oracle: the order-fixed EWMA left fold, seeded

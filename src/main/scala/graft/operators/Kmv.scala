@@ -56,6 +56,37 @@ object Kmv {
             col("__hk").cast("double"))
           .as("distinct_est"))
 
+  /** Containment probe — the FK/inclusion-dependency discovery
+    * primitive (Bauckmann et al. / data-profiling practice): the
+    * child column's KMV sketch is a uniform sample of its DISTINCT
+    * values, so the fraction of its k hashes found in the parent
+    * column estimates |child ∩ parent| / |child| — ≈ 1.0 exactly when
+    * child ⊆ parent (a foreign key), and near the chance level for
+    * unrelated columns. The parent is probed EXACTLY (one k-row
+    * semi-join against its hashed values — the parent is never
+    * sketched, so a true FK reports containment 1.0 with no sketch
+    * error at all); the only estimate is the child's distinct count.
+    * Scale shape: one distinct + top-k per child column, one
+    * broadcast k-row semi-join per pair — the whole cross-column
+    * discovery matrix costs |pairs| tiny probes, never a join of the
+    * tables themselves. */
+  def containmentProbe(child: DataFrame, childKey: Column,
+                       parent: DataFrame, parentKey: Column, k: Int)
+      : DataFrame = {
+    val sk = sketch(child, childKey, k)
+    val hits = sk.join(
+      parent.select(h48(parentKey).as("h")).distinct(),
+      Seq("h"), "left_semi")
+    sk.agg(count(lit(1)).as("k_child")).crossJoin(
+        hits.agg(count(lit(1)).as("probe_hits")))
+      .crossJoin(estimate(sk, k)
+        .withColumnRenamed("distinct_est", "child_distinct_est"))
+      .select(col("k_child"), col("probe_hits"),
+        col("child_distinct_est"),
+        (col("probe_hits").cast("double")
+          / col("k_child").cast("double")).as("containment"))
+  }
+
   /** Set-operation estimates from two sketches (Beyer et al. §4 —
     * the theta-sketch recipe): the k smallest of A∪B form the union
     * sketch; ρ = the fraction of those hashes present in BOTH input
