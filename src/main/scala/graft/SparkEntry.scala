@@ -5004,6 +5004,54 @@ object SparkEntry {
         .unionByName(pair("orders.o_orderkey", o, col("o_orderkey"),
           "part.p_partkey", p, col("p_partkey")))
         .orderBy(col("child_col"), col("parent_col"))
+    },
+
+    // --- quantile normalization (the rank-based feature transform):
+    //     value -> percent_rank within its event type, competition
+    //     rank over the raw value (ties share a rank, so the
+    //     transform is a pure function of the VALUE — deterministic
+    //     without an id tiebreak), summarized per decile with the
+    //     decile cut as an exact INTEGER comparison
+    //     ((rank-1)·10 div (n-1)) so no boundary can waver. ---
+    "q227_quantile_norm" -> { (spark, dir) =>
+      val ev = tbl(spark, dir, "events")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("cents"))
+      ev.select(col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .withColumn("__rk", rank().over(w))
+        .withColumn("__n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("event_type"))))
+        .withColumn("decile", least(
+          expr("((__rk - 1) * 10) div (__n - 1)"), lit(9L)))
+        .groupBy(col("event_type"), col("decile"))
+        .agg(count(lit(1)).as("n"),
+          min(col("cents")).as("min_cents"),
+          max(col("cents")).as("max_cents"))
+        .orderBy(col("event_type"), col("decile"))
+    },
+
+    // --- data-freshness audit (ingestion ops): per event type, the
+    //     latest event time, its lag behind the corpus watermark in
+    //     exact minutes, and a staleness flag — the "is this feed
+    //     still flowing" census every pipeline dashboard runs. One
+    //     scan + a broadcast 1-row max frame. ---
+    "q228_freshness" -> { (spark, dir) =>
+      val ev = tbl(spark, dir, "events")
+      val per = ev.groupBy(col("event_type"))
+        .agg(max(unix_micros(col("ts").cast("timestamp")))
+          .as("__last_us"), count(lit(1)).as("n_events"))
+      val glob = per.agg(max(col("__last_us")).as("__wm_us"))
+      per.crossJoin(broadcast(glob))
+        .select(col("event_type"), col("n_events"),
+          date_format(expr("timestamp_micros(__last_us)"),
+            "yyyy-MM-dd HH:mm:ss").as("last_event"),
+          expr("(__wm_us - __last_us) div 60000000")
+            .as("lag_minutes"),
+          (col("__wm_us") - col("__last_us") >
+            lit(7L * 24 * 3600 * 1000000L)).as("stale_7d"))
+        .orderBy(col("event_type"))
     }
   )
 
@@ -9501,7 +9549,35 @@ object SparkEntry {
              child_distinct_est,
              CAST(probe_hits AS DOUBLE) / CAST(k_child AS DOUBLE)
                AS containment
-      FROM u ORDER BY child_col, parent_col"""
+      FROM u ORDER BY child_col, parent_col""",
+
+    "q227_quantile_norm" -> """
+      WITH r AS (SELECT event_type,
+                        CAST(round(value * 100) AS BIGINT) AS cents,
+                        rank() OVER (PARTITION BY event_type
+                                     ORDER BY round(value * 100)) AS rk,
+                        count(*) OVER (PARTITION BY event_type) AS n
+                 FROM events),
+      d AS (SELECT event_type, cents,
+                   least((rk - 1) * 10 // (n - 1), 9) AS decile
+            FROM r)
+      SELECT event_type, CAST(decile AS BIGINT) AS decile,
+             CAST(count(*) AS BIGINT) AS n,
+             min(cents) AS min_cents, max(cents) AS max_cents
+      FROM d GROUP BY 1, 2 ORDER BY event_type, decile""",
+
+    "q228_freshness" -> """
+      WITH agg AS (SELECT event_type, max(epoch_us(ts)) AS last_us,
+                          CAST(count(*) AS BIGINT) AS n_events
+                   FROM events GROUP BY 1),
+      g AS (SELECT max(last_us) AS wm_us FROM agg)
+      SELECT event_type, n_events,
+             strftime(make_timestamp(last_us), '%Y-%m-%d %H:%M:%S')
+               AS last_event,
+             CAST((g.wm_us - last_us) // 60000000 AS BIGINT)
+               AS lag_minutes,
+             (g.wm_us - last_us) > 604800000000 AS stale_7d
+      FROM agg, g ORDER BY event_type"""
   )
 
   /** Shared q157/q178 oracle: the order-fixed EWMA left fold, seeded
