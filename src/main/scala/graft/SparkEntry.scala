@@ -5052,6 +5052,79 @@ object SparkEntry {
           (col("__wm_us") - col("__last_us") >
             lit(7L * 24 * 3600 * 1000000L)).as("stale_7d"))
         .orderBy(col("event_type"))
+    },
+
+    // --- EXACT two-sample Kolmogorov-Smirnov drift per event type:
+    //     early vs late half of the time range (integer-µs midpoint
+    //     split), D = max |F_a − F_b| computed as an INTEGER ratio
+    //     (max |cum_a·n_b − cum_b·n_a| over n_a·n_b) — the
+    //     distribution-drift monitor with no libm and no tolerance.
+    //     Cumulative counts run over the per-type DISTINCT value
+    //     frame (type-partitioned windows, bounded by cardinality),
+    //     never the event grain. ---
+    "q229_ks_drift" -> { (spark, dir) =>
+      val ev = tbl(spark, dir, "events")
+      val us = unix_micros(col("ts").cast("timestamp"))
+      val b = ev.agg(min(us).as("lo"), max(us).as("hi")).collect()(0)
+      val mid = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 2
+      val tagged = ev.select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"),
+        when(us <= mid, lit(1L)).otherwise(lit(0L)).as("__a"))
+      val byVal = tagged.groupBy(col("event_type"), col("cents"))
+        .agg(sum(col("__a")).as("__ca"),
+          sum(lit(1L) - col("__a")).as("__cb"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("cents"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, org.apache.spark.sql.expressions.Window
+          .currentRow)
+      val wt = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+      byVal
+        .withColumn("__cuma", sum(col("__ca")).over(w))
+        .withColumn("__cumb", sum(col("__cb")).over(w))
+        .withColumn("__na", sum(col("__ca")).over(wt))
+        .withColumn("__nb", sum(col("__cb")).over(wt))
+        .groupBy(col("event_type"))
+        .agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+          max(abs(col("__cuma") * col("__nb")
+            - col("__cumb") * col("__na"))).as("d_num"))
+        .withColumn("d_den", col("n_a") * col("n_b"))
+        .withColumn("d", col("d_num").cast("double")
+          / col("d_den").cast("double"))
+        .orderBy(col("event_type"))
+    },
+
+    // --- Markov next-event prediction hit rate (in-sample
+    //     resubstitution readout of q158's transition model): the
+    //     predicted successor of each event kind is its argmax
+    //     transition (ties -> lexicographically smallest), and every
+    //     observed transition scores a hit iff it matches — exact
+    //     integer hit ratios per antecedent kind. ---
+    "q230_markov_hitrate" -> { (spark, dir) =>
+      val ev = tbl(spark, dir, "events")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val pairs = ev
+        .select(col("user_id"), col("event_type"), col("ts"),
+          col("event_id"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .select(col("event_type").as("prev_type"), col("next_type"))
+      val counts = pairs.groupBy(col("prev_type"), col("next_type"))
+        .agg(count(lit(1)).as("__c"))
+      val pred = counts.groupBy(col("prev_type"))
+        .agg(min(struct((-col("__c")).as("__nc"),
+          col("next_type").as("__nt"))).as("__m"))
+        .select(col("prev_type"), col("__m.__nt").as("predicted"))
+      pairs.join(broadcast(pred), Seq("prev_type"))
+        .groupBy(col("prev_type"), col("predicted"))
+        .agg(count(lit(1)).as("n_transitions"),
+          sum(when(col("next_type") === col("predicted"), 1L)
+            .otherwise(0L)).as("n_hits"))
+        .withColumn("hit_rate", col("n_hits").cast("double")
+          / col("n_transitions").cast("double"))
+        .orderBy(col("prev_type"))
     }
   )
 
@@ -9577,7 +9650,61 @@ object SparkEntry {
              CAST((g.wm_us - last_us) // 60000000 AS BIGINT)
                AS lag_minutes,
              (g.wm_us - last_us) > 604800000000 AS stale_7d
-      FROM agg, g ORDER BY event_type"""
+      FROM agg, g ORDER BY event_type""",
+
+    "q229_ks_drift" -> """
+      WITH b AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+                 FROM events),
+      t AS (SELECT event_type,
+                   CAST(round(value * 100) AS BIGINT) AS cents,
+                   CASE WHEN epoch_us(ts) <= b.lo + (b.hi - b.lo) // 2
+                        THEN 1 ELSE 0 END AS a
+            FROM events, b),
+      v AS (SELECT event_type, cents, CAST(sum(a) AS BIGINT) AS ca,
+                   CAST(sum(1 - a) AS BIGINT) AS cb
+            FROM t GROUP BY 1, 2),
+      c AS (SELECT event_type,
+                   CAST(sum(ca) OVER (PARTITION BY event_type
+                     ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS BIGINT) AS cuma,
+                   CAST(sum(cb) OVER (PARTITION BY event_type
+                     ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS BIGINT) AS cumb,
+                   CAST(sum(ca) OVER (PARTITION BY event_type)
+                     AS BIGINT) AS na,
+                   CAST(sum(cb) OVER (PARTITION BY event_type)
+                     AS BIGINT) AS nb
+            FROM v)
+      SELECT event_type, max(na) AS n_a, max(nb) AS n_b,
+             CAST(max(abs(cuma * nb - cumb * na)) AS BIGINT) AS d_num,
+             max(na) * max(nb) AS d_den,
+             CAST(max(abs(cuma * nb - cumb * na)) AS DOUBLE)
+               / CAST(max(na) * max(nb) AS DOUBLE) AS d
+      FROM c GROUP BY 1 ORDER BY 1""",
+
+    "q230_markov_hitrate" -> """
+      WITH s AS (SELECT user_id, event_type,
+                        lead(event_type) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS next_type
+                 FROM events),
+      p AS (SELECT event_type AS prev_type, next_type FROM s
+            WHERE next_type IS NOT NULL),
+      c AS (SELECT prev_type, next_type, count(*) AS c
+            FROM p GROUP BY 1, 2),
+      pr AS (SELECT prev_type, next_type AS predicted FROM (
+               SELECT prev_type, next_type, row_number() OVER (
+                 PARTITION BY prev_type ORDER BY c DESC, next_type)
+                 AS rn
+               FROM c) WHERE rn = 1)
+      SELECT p.prev_type, pr.predicted,
+             CAST(count(*) AS BIGINT) AS n_transitions,
+             CAST(sum(CASE WHEN p.next_type = pr.predicted
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+             CAST(sum(CASE WHEN p.next_type = pr.predicted
+                           THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS hit_rate
+      FROM p JOIN pr USING (prev_type)
+      GROUP BY 1, 2 ORDER BY prev_type"""
   )
 
   /** Shared q157/q178 oracle: the order-fixed EWMA left fold, seeded
