@@ -5125,6 +5125,56 @@ object SparkEntry {
         .withColumn("hit_rate", col("n_hits").cast("double")
           / col("n_transitions").cast("double"))
         .orderBy(col("prev_type"))
+    },
+
+    // --- EXACT WEIGHTED quantiles (quantity-weighted price points):
+    //     for q = num/den, the smallest price whose cumulative quantity
+    //     weight reaches q of the total — every comparison an integer
+    //     product (cw·den ≥ num·tw), so the selection is hash-exact.
+    //     The event grain collapses to the per-group distinct-value
+    //     grid before any window runs (ExactQuantile scale note). ---
+    "q231_weighted_quantiles" -> { (spark, dir) =>
+      val li = tbl(spark, dir, "lineitem")
+      graft.operators.ExactQuantile.weightedQuantileDisc(
+          li, col("l_returnflag"),
+          round(col("l_extendedprice") * 100).cast("long"),
+          col("l_quantity").cast("long"),
+          Seq(("p25_cents", 1, 4), ("p50_cents", 1, 2),
+            ("p75_cents", 3, 4), ("p90_cents", 9, 10)))
+        .withColumnRenamed("grp", "l_returnflag")
+        .orderBy(col("l_returnflag"))
+    },
+
+    // --- Seasonal decomposition by moving averages (the classical
+    //     trend/seasonal split, all-integer until one final division):
+    //     trend at day d = centered 7-day sum of daily cents (RANGE
+    //     window over the epoch-day axis, so calendar gaps disqualify
+    //     a window instead of silently shifting it — only days with a
+    //     FULL ±3 neighborhood contribute); detrended·7 = 7·cents −
+    //     trend_num stays integer; the weekday seasonal is
+    //     Σ detrended·7 / (7·n_days) — one division of exact integer
+    //     sums, order-independent, unrounded hash match. ---
+    "q232_seasonal_decomp" -> { (spark, dir) =>
+      val ev = tbl(spark, dir, "events")
+      val daily = ev
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+        .withColumn("__eday", datediff(col("day"), lit("1970-01-01")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("__eday"))
+        .rangeBetween(-3, 3)
+      daily
+        .withColumn("__wn", count(lit(1)).over(w))
+        .withColumn("__ws", sum(col("cents")).over(w))
+        .filter(col("__wn") === 7)
+        .withColumn("dow", dayofweek(col("day")) - 1)
+        .withColumn("__d7", col("cents") * 7 - col("__ws"))
+        .groupBy(col("event_type"), col("dow"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("__d7")).as("seasonal_num"))
+        .withColumn("seasonal_cents", col("seasonal_num").cast("double")
+          / (col("n_days") * 7).cast("double"))
+        .orderBy(col("event_type"), col("dow"))
     }
   )
 
@@ -9704,7 +9754,50 @@ object SparkEntry {
                            THEN 1 ELSE 0 END) AS DOUBLE)
                / CAST(count(*) AS DOUBLE) AS hit_rate
       FROM p JOIN pr USING (prev_type)
-      GROUP BY 1, 2 ORDER BY prev_type"""
+      GROUP BY 1, 2 ORDER BY prev_type""",
+
+    "q231_weighted_quantiles" -> """
+      WITH pv AS (SELECT l_returnflag, CAST(round(l_extendedprice * 100)
+                           AS BIGINT) AS v,
+                         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                           AS w
+                  FROM lineitem GROUP BY 1, 2),
+      c AS (SELECT l_returnflag, v,
+                   CAST(sum(w) OVER (PARTITION BY l_returnflag ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cw,
+                   CAST(sum(w) OVER (PARTITION BY l_returnflag)
+                     AS BIGINT) AS tw
+            FROM pv)
+      SELECT l_returnflag, max(tw) AS total_w,
+             min(CASE WHEN cw * 4 >= tw * 1 THEN v END) AS p25_cents,
+             min(CASE WHEN cw * 2 >= tw * 1 THEN v END) AS p50_cents,
+             min(CASE WHEN cw * 4 >= tw * 3 THEN v END) AS p75_cents,
+             min(CASE WHEN cw * 10 >= tw * 9 THEN v END) AS p90_cents
+      FROM c GROUP BY 1 ORDER BY 1""",
+
+    "q232_seasonal_decomp" -> """
+      WITH daily AS (SELECT event_type,
+                            CAST(date_trunc('day', ts) AS DATE) AS day,
+                            CAST(sum(CAST(round(value * 100) AS BIGINT))
+                              AS BIGINT) AS cents
+                     FROM events GROUP BY 1, 2),
+      d2 AS (SELECT event_type, day, cents,
+                    date_diff('day', DATE '1970-01-01', day) AS eday
+             FROM daily),
+      t AS (SELECT event_type, day, cents,
+                   count(*) OVER (PARTITION BY event_type ORDER BY eday
+                     RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS wn,
+                   CAST(sum(cents) OVER (PARTITION BY event_type
+                     ORDER BY eday RANGE BETWEEN 3 PRECEDING AND
+                     3 FOLLOWING) AS BIGINT) AS ws
+            FROM d2)
+      SELECT event_type, CAST(dayofweek(day) AS INT) AS dow,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(cents * 7 - ws) AS BIGINT) AS seasonal_num,
+             CAST(sum(cents * 7 - ws) AS DOUBLE)
+               / CAST(count(*) * 7 AS DOUBLE) AS seasonal_cents
+      FROM t WHERE wn = 7 GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 
   /** Shared q157/q178 oracle: the order-fixed EWMA left fold, seeded

@@ -67,4 +67,52 @@ object ExactQuantile {
       .filter(col("__rn") === col("__local_r"))
       .select(col("grp"), col("n"), col("v").as("q"))
   }
+
+  /** EXACT per-group WEIGHTED discrete quantiles, all-integer: for each
+    * requested fraction num/den, the smallest value v whose cumulative
+    * weight satisfies W(≤v)·den ≥ num·W_total. With integer weights the
+    * comparison never touches floating point, so the result is
+    * hash-exact across engines (the q229 KS-drift discipline applied to
+    * selection instead of distance).
+    *
+    * Scale shape: the event grain collapses to the per-group DISTINCT
+    * value grid first (map-side combinable sum of weights), and the
+    * window cumsum runs over that grid only — per-partition state is
+    * bounded by a group's value cardinality, not its row count. A
+    * measure with unbounded distinct values wants [[quantileDisc]]'s
+    * histogram-refine instead; weighted measures in practice (prices in
+    * cents, durations in ms buckets) have bounded grids.
+    *
+    * `qs` = (output column name, numerator, denominator); output is one
+    * row per group: (grp, total_w, <one column per requested q>).
+    */
+  def weightedQuantileDisc(df: DataFrame, group: Column, value: Column,
+                           weight: Column,
+                           qs: Seq[(String, Int, Int)]): DataFrame = {
+    require(qs.nonEmpty, "need at least one quantile")
+    qs.foreach { case (n, num, den) =>
+      require(num > 0 && den >= num, s"fraction $n=$num/$den not in (0,1]")
+    }
+    val perVal = df
+      .select(group.as("grp"), value.cast("long").as("v"),
+        weight.cast("long").as("w"))
+      .filter(col("v").isNotNull && col("w").isNotNull)
+      .groupBy(col("grp"), col("v")).agg(sum(col("w")).as("w"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, org.apache.spark.sql.expressions.Window
+        .currentRow)
+    val wt = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp"))
+    val cum = perVal
+      .withColumn("__cw", sum(col("w")).over(wc))
+      .withColumn("__tw", sum(col("w")).over(wt))
+    val picks = qs.map { case (name, num, den) =>
+      min(when(col("__cw") * den >= col("__tw") * num, col("v")))
+        .as(name)
+    }
+    cum.groupBy(col("grp"))
+      .agg(max(col("__tw")).as("total_w"), picks: _*)
+  }
 }

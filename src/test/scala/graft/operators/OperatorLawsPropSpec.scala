@@ -99,4 +99,35 @@ class OperatorLawsPropSpec extends SparkSpec {
     assert(out.keySet === keys.filter(a =>
       nodes.exists { case (k, _) => ancestors(k).contains(a) }))
   }
+
+  test("weighted-quantile law: integer-threshold selection == the " +
+      "plain quantile of the weight-expanded multiset") {
+    val groups = samples(
+      Gen.choose(3, 30).flatMap(n => Gen.listOfN(n,
+        Gen.zip(Gen.choose(-500L, 500L), Gen.choose(1L, 9L)))),
+      20, seed = 9500L)
+    val rows = groups.zipWithIndex.flatMap { case (vw, g) =>
+      vw.map { case (v, w) => (s"g$g", v, w) }
+    }.toDF("k", "v", "w")
+    val qs = Seq(("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4),
+      ("p90", 9, 10), ("p100", 1, 1))
+    val out = ExactQuantile.weightedQuantileDisc(rows, $"k", $"v",
+        $"w", qs)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    groups.zipWithIndex.foreach { case (vw, g) =>
+      // expand each value w times; quantile num/den of the sorted
+      // multiset is element at rank ceil(num*N/den)
+      val expanded = vw.flatMap { case (v, w) =>
+        Seq.fill(w.toInt)(v) }.sorted
+      val n = expanded.length.toLong
+      val got = out(s"g$g")
+      assert(got._2 === n, s"total_w g$g")
+      val expect = qs.map { case (_, num, den) =>
+        expanded(((num.toLong * n + den - 1) / den - 1).toInt)
+      }
+      assert(Seq(got._3, got._4, got._5, got._6, got._7) === expect,
+        s"quantiles g$g")
+    }
+  }
 }
