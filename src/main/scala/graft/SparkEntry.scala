@@ -5175,6 +5175,146 @@ object SparkEntry {
         .withColumn("seasonal_cents", col("seasonal_num").cast("double")
           / (col("n_days") * 7).cast("double"))
         .orderBy(col("event_type"), col("dow"))
+    },
+
+    // --- STREAMING LATE-DATA CENSUS, oracled as a differential: the
+    //     event log replays as four mtime-pinned micro-batches keyed
+    //     event_id%4 (each spans the full month, so later batches carry
+    //     rows far behind the watermark the earlier batches advanced),
+    //     drains through the watermarked dedup with a deliberately
+    //     SHORT 1-day delay, and the per-batch survivor counts are
+    //     hash-compared against the SQL replay of Spark's EXACT drop
+    //     rule as the AvailableNow drain executes it: the watermark in
+    //     effect during batch k reflects event times through batch k−2
+    //     (one propagation batch — measured, not assumed: batch 1 runs
+    //     at the epoch watermark, batch 2 at max(b0)−delay), so a row
+    //     survives iff its event time ≥ cummax_us(batches ≤ k−2) −
+    //     delay, all in integer µs. Doubles as a streaming-semantics
+    //     regression detector — a Spark change to watermark
+    //     propagation turns this row red. The "how much am I losing
+    //     to this watermark" readout every continuous deployment needs
+    //     before tightening a delay. ---
+    "q233_late_drop_census" -> { (spark, dir) =>
+      val ev = tbl(spark, dir, "events")
+        .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+          pmod(col("event_id"), lit(4)).cast("int").as("batch"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_q233").toString
+      EventStream.writeOrderedBatches(
+        (0 until 4).map(b => ev.filter(col("batch") === b)),
+        tmp + "/src")
+      val schema = spark.read.parquet(tmp + "/src").schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(tmp + "/src")
+      val survivors = EventStream.dedupByKey(stream, "ts", "1 day",
+        "event_id")
+      val drained = EventStream.runToCompletion(spark, survivors,
+        mode = "append")
+      val totals = ev.groupBy(col("batch"))
+        .agg(count(lit(1)).as("n_in"))
+      drained.groupBy(col("batch"))
+        .agg(count(lit(1)).as("n_kept"))
+        .join(totals, Seq("batch"))
+        .select(col("batch"), col("n_in"), col("n_kept"),
+          (col("n_in") - col("n_kept")).as("n_late"))
+        .orderBy(col("batch"))
+    },
+
+    // --- INCREMENTAL retrieval-index statistics (q125's merge-into-
+    //     model discipline on the search side): the history corpus's
+    //     (term, df, cf) table is PERSISTED to parquet; the new batch
+    //     contributes only its own stats, merged by additive sums —
+    //     history text is never re-tokenized. The oracle REBUILDS the
+    //     stats from the full corpus: a hash match on the top-100 df
+    //     terms proves incremental ≡ batch on real data. Exact
+    //     integer counts end to end. ---
+    "q234_incr_term_stats" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val hist = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_q234").toString
+      graft.llm.Relevance.termStats(hist, col("doc_id"), col("text"))
+        .write.parquet(tmp + "/stats")
+      val base = spark.read.parquet(tmp + "/stats")
+      graft.llm.Relevance.mergeTermStats(base,
+          graft.llm.Relevance.termStats(batch, col("doc_id"),
+            col("text")))
+        .orderBy(col("df").desc, col("term").asc)
+        .limit(100)
+    },
+
+    // --- exact k-NN CLASSIFICATION over the embedding corpus: every
+    //     20th vector is held out as a query, its label predicted by
+    //     majority vote of its 10 nearest neighbors (cosine, double
+    //     precision; ties -> more votes, then smaller label). The
+    //     brute-force scorer is the labeled exact baseline — the
+    //     serving path at 100 TB swaps in the IVF probe (q109) with
+    //     identical vote logic. Vote counts and the argmax are exact
+    //     integers; only the neighbor RANKING touches FP, and the
+    //     sequential-order dot product is engine-identical (q44/q45
+    //     evidence). ---
+    "q235_knn_classify" -> { (spark, dir) =>
+      val emb = tbl(spark, dir, "embeddings")
+      val queries = emb.filter(pmod(col("vec_id"), lit(20)) === 0)
+      val corpus = emb.filter(pmod(col("vec_id"), lit(20)) =!= 0)
+      val topk = Similarity.bruteForceTopK(
+        corpus, col("vec_id"), col("embedding"),
+        queries, col("vec_id"), col("embedding"), k = 10)
+      val votes = topk
+        .join(corpus.select(col("vec_id"),
+          col("label").cast("int").as("nbr_label")), Seq("vec_id"))
+        .groupBy(col("query_id"), col("nbr_label"))
+        .agg(count(lit(1)).as("votes"))
+      val pred = votes.groupBy(col("query_id"))
+        .agg(min(struct((-col("votes")).as("__nv"),
+          col("nbr_label").as("__lb"))).as("__m"))
+        .select(col("query_id"), col("__m.__lb").as("predicted"),
+          (-col("__m.__nv")).as("n_votes"))
+      pred
+        .join(queries.select(col("vec_id").as("query_id"),
+          col("label").cast("int").as("true_label")), Seq("query_id"))
+        .select(col("query_id"), col("true_label"), col("predicted"),
+          col("n_votes"),
+          (col("true_label") === col("predicted")).as("correct"))
+        .orderBy(col("query_id"))
+    },
+
+    // --- TIME-DECAY multi-touch attribution (q201's linear credit
+    //     replaced by a dyadic half-life): a view m whole minutes
+    //     before the purchase weighs 2^−m — exact IEEE, the weight is
+    //     a power of two — and each conversion's credits normalize by
+    //     the value-sorted fold of its weights, so every FP operation
+    //     happens in an identical pinned order in both engines and
+    //     the daily credit column hash-matches UNROUNDED. ---
+    "q236_decay_attribution" -> { (spark, dir) =>
+      val ev = tbl(spark, dir, "events")
+      val us = unix_micros(col("ts").cast("timestamp"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"),
+          us.as("p_us"))
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          us.as("v_us"))
+      val cand = p.join(v, Seq("user_id"))
+        .filter(col("v_us") <= col("p_us") &&
+          col("v_us") >= col("p_us") - 3600000000L)
+        .withColumn("__m", expr("(p_us - v_us) div 60000000"))
+        .withColumn("__w", lit(1.0)
+          / expr("CAST(shiftleft(CAST(1 AS BIGINT), __m) AS DOUBLE)"))
+      val tot = cand.groupBy(col("p_id"))
+        .agg(expr("aggregate(array_sort(collect_list(__w)), " +
+          "CAST(0.0 AS DOUBLE), (s, x) -> s + x)").as("__tw"))
+      cand.join(tot, Seq("p_id"))
+        .withColumn("__credit", col("__w") / col("__tw"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_touches"),
+          array_sort(collect_list(col("__credit"))).as("__cs"))
+        .select(col("day"), col("n_touches"),
+          expr("aggregate(__cs, CAST(0.0 AS DOUBLE), (s, x) -> s + x)")
+            .as("credit"))
+        .orderBy(col("day"))
     }
   )
 
@@ -9797,7 +9937,86 @@ object SparkEntry {
              CAST(sum(cents * 7 - ws) AS BIGINT) AS seasonal_num,
              CAST(sum(cents * 7 - ws) AS DOUBLE)
                / CAST(count(*) * 7 AS DOUBLE) AS seasonal_cents
-      FROM t WHERE wn = 7 GROUP BY 1, 2 ORDER BY 1, 2"""
+      FROM t WHERE wn = 7 GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q233_late_drop_census" -> """
+      WITH e AS (SELECT event_id, epoch_us(ts) AS us,
+                        CAST(event_id % 4 AS INT) AS batch
+                 FROM events),
+      mx AS (SELECT batch, max(us) AS bmax FROM e GROUP BY 1),
+      wm AS (SELECT batch,
+                    max(bmax) OVER (ORDER BY batch
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+                      - 86400000000 AS wm_us
+             FROM mx)
+      SELECT e.batch, CAST(count(*) AS BIGINT) AS n_in,
+             CAST(sum(CASE WHEN wm.wm_us IS NULL OR e.us >= wm.wm_us
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             CAST(sum(CASE WHEN wm.wm_us IS NULL OR e.us >= wm.wm_us
+                           THEN 0 ELSE 1 END) AS BIGINT) AS n_late
+      FROM e JOIN wm USING (batch)
+      GROUP BY 1 ORDER BY 1""",
+
+    "q234_incr_term_stats" -> """
+      WITH tk AS (SELECT doc_id, unnest(list_filter(
+                    string_split_regex(lower(trim(text)), '\s+'),
+                    x -> length(x) > 0)) AS term
+                  FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf
+             FROM tk GROUP BY 1, 2)
+      SELECT term, CAST(count(*) AS BIGINT) AS df,
+             CAST(sum(tf) AS BIGINT) AS cf
+      FROM tf GROUP BY term
+      ORDER BY df DESC, term ASC LIMIT 100""",
+
+    "q235_knn_classify" -> """
+      WITH q AS (SELECT vec_id AS query_id,
+                        CAST(embedding AS DOUBLE[]) AS qv,
+                        CAST(label AS INT) AS true_label
+                 FROM embeddings WHERE vec_id % 20 = 0),
+      c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv,
+                   CAST(label AS INT) AS nbr_label
+            FROM embeddings WHERE vec_id % 20 <> 0),
+      s AS (SELECT q.query_id, q.true_label, c.nbr_label, c.vec_id,
+                   list_cosine_similarity(c.cv, q.qv) AS cos
+            FROM c CROSS JOIN q),
+      t AS (SELECT * FROM s QUALIFY row_number() OVER (
+              PARTITION BY query_id ORDER BY cos DESC, vec_id ASC)
+              <= 10),
+      v AS (SELECT query_id, true_label, nbr_label,
+                   CAST(count(*) AS BIGINT) AS votes
+            FROM t GROUP BY 1, 2, 3),
+      p AS (SELECT query_id, true_label, nbr_label AS predicted,
+                   votes AS n_votes
+            FROM v QUALIFY row_number() OVER (PARTITION BY query_id
+              ORDER BY votes DESC, nbr_label ASC) = 1)
+      SELECT query_id, true_label, predicted, n_votes,
+             true_label = predicted AS correct
+      FROM p ORDER BY query_id""",
+
+    "q236_decay_attribution" -> """
+      WITH p AS (SELECT user_id, event_id AS p_id, epoch_us(ts) AS p_us
+                 FROM events WHERE event_type = 'purchase'),
+      v AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+                   epoch_us(ts) AS v_us
+            FROM events WHERE event_type = 'view'),
+      c AS (SELECT p.p_id, v.day,
+                   1.0 / CAST(1::BIGINT <<
+                     ((p.p_us - v.v_us) // 60000000) AS DOUBLE) AS w
+            FROM p JOIN v ON p.user_id = v.user_id
+              AND v.v_us <= p.p_us
+              AND v.v_us >= p.p_us - 3600000000),
+      tw AS (SELECT p_id,
+                    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                      list(w ORDER BY w)), (s, x) -> s + x) AS twv
+             FROM c GROUP BY p_id),
+      cr AS (SELECT c.day, c.w / tw.twv AS credit
+             FROM c JOIN tw USING (p_id))
+      SELECT day, CAST(count(*) AS BIGINT) AS n_touches,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(credit ORDER BY credit)), (s, x) -> s + x)
+               AS credit
+      FROM cr GROUP BY day ORDER BY day"""
   )
 
   /** Shared q157/q178 oracle: the order-fixed EWMA left fold, seeded

@@ -15,6 +15,29 @@ import org.apache.spark.sql.functions._
   */
 object Relevance {
 
+  /** Full-vocabulary corpus term statistics: (term, df, cf) — document
+    * frequency and collection frequency, the serving tables behind
+    * idf/BM25 and index-size planning. One explode + one term-keyed
+    * aggregate (map-side combinable); the result is VOCABULARY-sized,
+    * not corpus-sized. */
+  def termStats(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs.select(id.as("id"),
+        explode(TextAnalysis.tokens(text)).as("term"))
+      .groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("__tf"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("__tf")).as("cf"))
+
+  /** Merge a persisted stats table with a new batch's stats: both df
+    * and cf are plain sums as long as a doc never spans batches — the
+    * additive-count merge that lets a 100 TB index absorb a daily
+    * delta without re-reading history ([[LangModel.mergeUnigrams]]'s
+    * discipline applied to the retrieval index). */
+  def mergeTermStats(base: DataFrame, delta: DataFrame): DataFrame =
+    base.unionByName(delta)
+      .groupBy(col("term"))
+      .agg(sum(col("df")).as("df"), sum(col("cf")).as("cf"))
+
   /** Per-document TF-IDF scores for `terms`: sum over matched terms of
     * tf × (ln((N+1)/(df+1)) + 1). Docs matching no term are absent. */
   def tfidfScores(docs: DataFrame, id: Column, text: Column,
