@@ -5315,6 +5315,151 @@ object SparkEntry {
           expr("aggregate(__cs, CAST(0.0 AS DOUBLE), (s, x) -> s + x)")
             .as("credit"))
         .orderBy(col("day"))
+    },
+
+    // --- wide→long reshaping with the NATIVE unpivot operator (the
+    //     inverse of q48's pivot): per-flag count metrics melt to
+    //     (flag, metric, value) rows — row-local, no shuffle beyond
+    //     the feeding aggregate. ---
+    "q237_unpivot" -> { (spark, dir) =>
+      val li = tbl(spark, dir, "lineitem")
+      li.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("n_rows"), col("n_parts"), col("n_supps")),
+          "metric", "value")
+        .orderBy(col("l_returnflag"), col("metric"))
+    },
+
+    // --- INCREMENTAL distinct-actives maintenance on persisted KMV
+    //     sketches (q234's merge-into-index discipline on the sketch
+    //     side): the nightly job persists one 128-hash sketch per day;
+    //     the monthly estimate merges the SKETCH TABLE (k smallest of
+    //     the union — identical to sketching the whole stream), never
+    //     re-reading event history. KMV is a deterministic data
+    //     function (md5 order), so the estimate itself sits under the
+    //     hash gate, with the exact count alongside. ---
+    "q238_incr_kmv_actives" -> { (spark, dir) =>
+      val k = 128
+      val ev = tbl(spark, dir, "events")
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_q238").toString
+      val wd = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("day")).orderBy(col("h"))
+      ev.select(col("day"),
+          graft.operators.Kmv.h48(col("user_id")).as("h"))
+        .distinct()
+        .withColumn("__rn", row_number().over(wd))
+        .filter(col("__rn") <= k)
+        .select(col("day"), col("h"))
+        .write.parquet(tmp + "/sketches")
+      val persisted = spark.read.parquet(tmp + "/sketches")
+      val merged = graft.operators.Kmv.merge(
+        Seq(persisted.select(col("h"))), k)
+      val exact = ev.agg(countDistinct(col("user_id")).cast("double")
+        .as("n_exact"))
+      graft.operators.Kmv.estimate(merged, k).crossJoin(exact)
+        .select(round(col("distinct_est"), 6).as("distinct_est"),
+          col("n_exact"),
+          (abs(col("distinct_est") - col("n_exact")) <=
+            col("n_exact") * 0.2).as("within_20pct"))
+    },
+
+    // --- WINSORIZED means per event type: clip cents at the exact
+    //     discrete p05/p95 (the q231 integer-threshold rule with unit
+    //     weights), then one integer sum / one division — the robust
+    //     mean that, unlike the trimmed mean (q194), keeps n constant.
+    //     ---
+    "q239_winsorize" -> { (spark, dir) =>
+      val ev = tbl(spark, dir, "events")
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val cuts = graft.operators.ExactQuantile.weightedQuantileDisc(
+          ev, col("event_type"), col("cents"), lit(1L),
+          Seq(("p05", 1, 20), ("p95", 19, 20)))
+        .select(col("grp").as("event_type"), col("p05"), col("p95"))
+      ev.join(broadcast(cuts), Seq("event_type"))
+        .withColumn("__wv",
+          least(greatest(col("cents"), col("p05")), col("p95")))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), max(col("p05")).as("p05_cents"),
+          max(col("p95")).as("p95_cents"),
+          sum(col("__wv")).as("wsum_cents"))
+        .withColumn("winsorized_mean_cents",
+          col("wsum_cents").cast("double") / col("n").cast("double"))
+        .orderBy(col("event_type"))
+    },
+
+    // --- deterministic STRATIFIED holdout split: within each source
+    //     stratum, the ceil(n/5) docs smallest in (md5(doc_id),
+    //     doc_id) order form the test fold — reproducible from the
+    //     data alone, exact 20% per stratum, no RNG state. Window per
+    //     stratum (bounded); the unbounded-stratum form is q212's
+    //     hash-prefix global rank. ---
+    "q240_stratified_split" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      docs
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .withColumn("__rn", row_number().over(w))
+        .withColumn("__n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("source"))))
+        .withColumn("__is_test", col("__rn") <= expr("(__n + 4) div 5"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("__is_test"), 1L).otherwise(0L)).as("n_test"),
+          sum(when(col("__is_test"), col("n_chars")).otherwise(0L))
+            .as("test_chars"),
+          sum(when(!col("__is_test"), col("n_chars")).otherwise(0L))
+            .as("train_chars"))
+        .orderBy(col("source"))
+    },
+
+    // --- REGRESSION evaluation (q115's readout for continuous
+    //     targets): the model predicts each type's ROUNDED-cent train
+    //     mean (round-half-up integer division, so the prediction is
+    //     an integer and every residual stays integer); MAE / MSE /
+    //     R² on the held-out half are ratios of exact integer sums —
+    //     unrounded hash match, no overflow (|res| ≤ 5·10⁴ cents,
+    //     squared ≤ 2.5·10⁹, summed ≪ 2⁶³). ---
+    "q241_regression_metrics" -> { (spark, dir) =>
+      val ev = tbl(spark, dir, "events")
+        .select(col("event_type"), col("event_id"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val train = ev.filter(pmod(col("event_id"), lit(2)) === 0)
+      val test = ev.filter(pmod(col("event_id"), lit(2)) === 1)
+      val model = train.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_train"), sum(col("cents")).as("__s"))
+        .withColumn("pred_cents",
+          expr("(2 * __s + n_train) div (2 * n_train)"))
+        .select(col("event_type"), col("n_train"), col("pred_cents"))
+      val tm = test.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_test"), sum(col("cents")).as("__ts"))
+        .withColumn("__tmean",
+          expr("(2 * __ts + n_test) div (2 * n_test)"))
+        .select(col("event_type"), col("n_test"), col("__tmean"))
+      test.join(broadcast(model), Seq("event_type"))
+        .join(broadcast(tm), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(max(col("n_train")).as("n_train"),
+          max(col("n_test")).as("n_test"),
+          max(col("pred_cents")).as("pred_cents"),
+          sum(abs(col("cents") - col("pred_cents"))).as("mae_num"),
+          sum((col("cents") - col("pred_cents"))
+            * (col("cents") - col("pred_cents"))).as("sse"),
+          sum((col("cents") - col("__tmean"))
+            * (col("cents") - col("__tmean"))).as("sst"))
+        .withColumn("mae_cents", col("mae_num").cast("double")
+          / col("n_test").cast("double"))
+        .withColumn("r2", lit(1.0) - col("sse").cast("double")
+          / col("sst").cast("double"))
+        .orderBy(col("event_type"))
     }
   )
 
@@ -10016,7 +10161,129 @@ object SparkEntry {
              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
                list(credit ORDER BY credit)), (s, x) -> s + x)
                AS credit
-      FROM cr GROUP BY day ORDER BY day"""
+      FROM cr GROUP BY day ORDER BY day""",
+
+    "q237_unpivot" -> """
+      WITH w AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+                        CAST(count(DISTINCT l_partkey) AS BIGINT)
+                          AS n_parts,
+                        CAST(count(DISTINCT l_suppkey) AS BIGINT)
+                          AS n_supps
+                 FROM lineitem GROUP BY 1)
+      SELECT l_returnflag, metric, value FROM (
+        SELECT l_returnflag, 'n_rows' AS metric, n_rows AS value FROM w
+        UNION ALL
+        SELECT l_returnflag, 'n_parts', n_parts FROM w
+        UNION ALL
+        SELECT l_returnflag, 'n_supps', n_supps FROM w)
+      ORDER BY l_returnflag, metric""",
+
+    "q238_incr_kmv_actives" -> """
+      WITH d AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE)
+                   AS day,
+                        CAST(('0x' || substring(md5(
+                          CAST(user_id AS VARCHAR)), 1, 12)) AS BIGINT)
+                          AS h
+                 FROM events),
+      s AS (SELECT day, h FROM d QUALIFY row_number() OVER (
+              PARTITION BY day ORDER BY h) <= 128),
+      u AS (SELECT DISTINCT h FROM s),
+      k AS (SELECT h FROM u ORDER BY h LIMIT 128),
+      agg AS (SELECT count(*) AS c, max(h) AS hk FROM k),
+      est AS (SELECT CASE WHEN c < 128 THEN CAST(c AS DOUBLE)
+                          ELSE CAST(127 AS DOUBLE)
+                               * CAST(281474976710656 AS DOUBLE)
+                               / CAST(hk AS DOUBLE) END AS e
+              FROM agg),
+      ex AS (SELECT CAST(count(DISTINCT user_id) AS DOUBLE)
+               AS n_exact FROM events)
+      SELECT round(e, 6) AS distinct_est, n_exact,
+             abs(e - n_exact) <= n_exact * 0.2 AS within_20pct
+      FROM est, ex""",
+
+    "q239_winsorize" -> """
+      WITH e AS (SELECT event_type,
+                        CAST(round(value * 100) AS BIGINT) AS cents
+                 FROM events),
+      pv AS (SELECT event_type, cents AS v,
+                    CAST(count(*) AS BIGINT) AS w
+             FROM e GROUP BY 1, 2),
+      c AS (SELECT event_type, v,
+                   CAST(sum(w) OVER (PARTITION BY event_type ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cw,
+                   CAST(sum(w) OVER (PARTITION BY event_type)
+                     AS BIGINT) AS tw
+            FROM pv),
+      cuts AS (SELECT event_type,
+                      min(CASE WHEN cw * 20 >= tw * 1 THEN v END)
+                        AS p05,
+                      min(CASE WHEN cw * 20 >= tw * 19 THEN v END)
+                        AS p95
+               FROM c GROUP BY 1)
+      SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+             max(cuts.p05) AS p05_cents, max(cuts.p95) AS p95_cents,
+             CAST(sum(least(greatest(e.cents, cuts.p05), cuts.p95))
+               AS BIGINT) AS wsum_cents,
+             CAST(sum(least(greatest(e.cents, cuts.p05), cuts.p95))
+               AS DOUBLE) / CAST(count(*) AS DOUBLE)
+               AS winsorized_mean_cents
+      FROM e JOIN cuts USING (event_type)
+      GROUP BY 1 ORDER BY 1""",
+
+    "q240_stratified_split" -> """
+      WITH r AS (SELECT source, doc_id, n_chars,
+                        row_number() OVER (PARTITION BY source
+                          ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                          doc_id) AS rn,
+                        count(*) OVER (PARTITION BY source) AS n
+                 FROM documents),
+      f AS (SELECT source, n_chars,
+                   rn <= (n + 4) // 5 AS is_test
+            FROM r)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN is_test THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_test,
+             CAST(sum(CASE WHEN is_test THEN n_chars ELSE 0 END)
+               AS BIGINT) AS test_chars,
+             CAST(sum(CASE WHEN is_test THEN 0 ELSE n_chars END)
+               AS BIGINT) AS train_chars
+      FROM f GROUP BY 1 ORDER BY 1""",
+
+    "q241_regression_metrics" -> """
+      WITH e AS (SELECT event_type, event_id,
+                        CAST(round(value * 100) AS BIGINT) AS cents
+                 FROM events),
+      tr AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_train,
+                    CAST(sum(cents) AS BIGINT) AS s
+             FROM e WHERE event_id % 2 = 0 GROUP BY 1),
+      m AS (SELECT event_type, n_train,
+                   (2 * s + n_train) // (2 * n_train) AS pred_cents
+            FROM tr),
+      te AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_test,
+                    CAST(sum(cents) AS BIGINT) AS ts
+             FROM e WHERE event_id % 2 = 1 GROUP BY 1),
+      tm AS (SELECT event_type, n_test,
+                    (2 * ts + n_test) // (2 * n_test) AS tmean
+             FROM te)
+      SELECT e.event_type, max(m.n_train) AS n_train,
+             max(tm.n_test) AS n_test,
+             max(m.pred_cents) AS pred_cents,
+             CAST(sum(abs(e.cents - m.pred_cents)) AS BIGINT)
+               AS mae_num,
+             CAST(sum((e.cents - m.pred_cents)
+               * (e.cents - m.pred_cents)) AS BIGINT) AS sse,
+             CAST(sum((e.cents - tm.tmean)
+               * (e.cents - tm.tmean)) AS BIGINT) AS sst,
+             CAST(sum(abs(e.cents - m.pred_cents)) AS DOUBLE)
+               / CAST(max(tm.n_test) AS DOUBLE) AS mae_cents,
+             1.0 - CAST(sum((e.cents - m.pred_cents)
+                     * (e.cents - m.pred_cents)) AS DOUBLE)
+                   / CAST(sum((e.cents - tm.tmean)
+                     * (e.cents - tm.tmean)) AS DOUBLE) AS r2
+      FROM e JOIN m USING (event_type) JOIN tm USING (event_type)
+      WHERE e.event_id % 2 = 1
+      GROUP BY 1 ORDER BY 1"""
   )
 
   /** Shared q157/q178 oracle: the order-fixed EWMA left fold, seeded
