@@ -5460,6 +5460,105 @@ object SparkEntry {
         .withColumn("r2", lit(1.0) - col("sse").cast("double")
           / col("sst").cast("double"))
         .orderBy(col("event_type"))
+    },
+
+    // --- pipeline OBSERVABILITY via the Observation API: per-stage
+    //     row/char counters piggyback on the write job itself (observe()
+    //     metrics are accumulator-backed — NO second scan of the
+    //     data), which is how a 100 TB curation run affords its
+    //     circuit-breaker ("did this filter eat 90% of the corpus?")
+    //     on every stage. The filter stage writes to a real sink; the
+    //     observed metrics become the result frame; the oracle
+    //     replays the counts relationally. ---
+    "q242_observed_pipeline" -> { (spark, dir) =>
+      import org.apache.spark.sql.Observation
+      val docs = tbl(spark, dir, "documents")
+      val obsIn = Observation()
+      val obsKept = Observation()
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_q242").toString
+      docs
+        .observe(obsIn, count(lit(1)).as("rows"),
+          sum(col("n_chars")).as("chars"))
+        .filter(col("n_chars") >= 200)
+        .observe(obsKept, count(lit(1)).as("rows"),
+          sum(col("n_chars")).as("chars"))
+        .write.parquet(tmp + "/kept")
+      val in = obsIn.get
+      val kept = obsKept.get
+      import spark.implicits._
+      Seq((in("rows").asInstanceOf[Long],
+          in("chars").asInstanceOf[Long],
+          kept("rows").asInstanceOf[Long],
+          kept("chars").asInstanceOf[Long]))
+        .toDF("n_in", "chars_in", "n_kept", "chars_kept")
+        .withColumn("kept_frac", col("n_kept").cast("double")
+          / col("n_in").cast("double"))
+    },
+
+    // --- LONGEST CONSECUTIVE-DAY STREAK per user (gaps-and-islands):
+    //     distinct purchase days per user, island id = epoch_day −
+    //     row_number (constant within a run of consecutive days),
+    //     longest island per user with the EARLIEST start as the tie
+    //     break — exact integers and dates end to end. The engagement
+    //     readout behind "N-day streak" product features. ---
+    "q243_longest_streak" -> { (spark, dir) =>
+      val ev = tbl(spark, dir, "events")
+      val days = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("day"))
+      val islands = days
+        .withColumn("__isl",
+          datediff(col("day"), lit("1970-01-01"))
+            - row_number().over(w))
+        .groupBy(col("user_id"), col("__isl"))
+        .agg(count(lit(1)).as("streak_days"),
+          min(col("day")).as("streak_start"))
+      islands.groupBy(col("user_id"))
+        .agg(max(struct(col("streak_days").as("__l"),
+          (-datediff(col("streak_start"), lit("1970-01-01")))
+            .as("__negstart"),
+          col("streak_start").as("__s"))).as("__m"))
+        .select(col("user_id"), col("__m.__l").as("streak_days"),
+          col("__m.__s").as("streak_start"))
+        .filter(col("streak_days") >= 3)
+        .orderBy(col("user_id"))
+    },
+
+    // --- EVENT-TIME DISORDER CENSUS — the measurement that SIZES a
+    //     watermark (q233 shows what a delay drops; this shows what
+    //     the data needs): in arrival order (event_id), each event's
+    //     lateness = running-max(event time) − event time; per type,
+    //     the share of out-of-order events and exact integer-minute
+    //     lateness quantiles via the q231 threshold rule. ---
+    "q244_disorder_census" -> { (spark, dir) =>
+      val ev = tbl(spark, dir, "events")
+        .select(col("event_type"), col("event_id"),
+          unix_micros(col("ts").cast("timestamp")).as("us"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, -1)
+      val late = ev
+        .withColumn("__late_us", greatest(
+          coalesce(max(col("us")).over(w) - col("us"), lit(0L)),
+          lit(0L)))
+        .withColumn("late_min", expr("__late_us div 60000000"))
+      val qs = graft.operators.ExactQuantile.weightedQuantileDisc(
+          late, col("event_type"), col("late_min"), lit(1L),
+          Seq(("p50_late_min", 1, 2), ("p90_late_min", 9, 10),
+            ("p99_late_min", 99, 100)))
+        .select(col("grp").as("event_type"), col("p50_late_min"),
+          col("p90_late_min"), col("p99_late_min"))
+      late.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("late_min") > 0, 1L).otherwise(0L))
+            .as("n_disordered"),
+          max(col("late_min")).as("max_late_min"))
+        .join(qs, Seq("event_type"))
+        .orderBy(col("event_type"))
     }
   )
 
