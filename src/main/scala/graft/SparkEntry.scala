@@ -10382,7 +10382,79 @@ object SparkEntry {
                      * (e.cents - tm.tmean)) AS DOUBLE) AS r2
       FROM e JOIN m USING (event_type) JOIN tm USING (event_type)
       WHERE e.event_id % 2 = 1
-      GROUP BY 1 ORDER BY 1"""
+      GROUP BY 1 ORDER BY 1""",
+
+    // Relational replay of the two observe() checkpoints: the engine's
+    // accumulator metrics must equal a plain filtered aggregate.
+    "q242_observed_pipeline" -> """
+      SELECT CAST(count(*) AS BIGINT) AS n_in,
+             CAST(sum(n_chars) AS BIGINT) AS chars_in,
+             CAST(sum(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_kept,
+             CAST(sum(CASE WHEN n_chars >= 200 THEN n_chars ELSE 0 END)
+               AS BIGINT) AS chars_kept,
+             CAST(sum(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END)
+               AS DOUBLE) / CAST(count(*) AS DOUBLE) AS kept_frac
+      FROM documents""",
+
+    "q243_longest_streak" -> """
+      WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                    FROM events WHERE event_type = 'purchase'),
+      i AS (SELECT user_id, day,
+                   date_diff('day', DATE '1970-01-01', day)
+                     - row_number() OVER (PARTITION BY user_id
+                         ORDER BY day) AS isl
+            FROM days),
+      g AS (SELECT user_id, isl,
+                   CAST(count(*) AS BIGINT) AS streak_days,
+                   min(day) AS streak_start
+            FROM i GROUP BY 1, 2),
+      b AS (SELECT user_id, streak_days, streak_start,
+                   row_number() OVER (PARTITION BY user_id
+                     ORDER BY streak_days DESC, streak_start ASC) AS rn
+            FROM g)
+      SELECT user_id, streak_days, streak_start
+      FROM b WHERE rn = 1 AND streak_days >= 3
+      ORDER BY user_id""",
+
+    // Running-max lateness replay + the q231 integer-threshold
+    // quantile rule over per-minute lateness (weight = row count).
+    "q244_disorder_census" -> """
+      WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS us
+                 FROM events),
+      l AS (SELECT event_type,
+                   greatest(coalesce(max(us) OVER (PARTITION BY
+                     event_type ORDER BY event_id ROWS BETWEEN
+                     UNBOUNDED PRECEDING AND 1 PRECEDING) - us,
+                     0), 0) // 60000000 AS late_min
+            FROM e),
+      pv AS (SELECT event_type, late_min AS v,
+                    CAST(count(*) AS BIGINT) AS w
+             FROM l GROUP BY 1, 2),
+      c AS (SELECT event_type, v,
+                   CAST(sum(w) OVER (PARTITION BY event_type ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cw,
+                   CAST(sum(w) OVER (PARTITION BY event_type)
+                     AS BIGINT) AS tw
+            FROM pv),
+      qs AS (SELECT event_type,
+                    min(CASE WHEN cw * 2 >= tw * 1 THEN v END)
+                      AS p50_late_min,
+                    min(CASE WHEN cw * 10 >= tw * 9 THEN v END)
+                      AS p90_late_min,
+                    min(CASE WHEN cw * 100 >= tw * 99 THEN v END)
+                      AS p99_late_min
+             FROM c GROUP BY 1),
+      agg AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CASE WHEN late_min > 0 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_disordered,
+                     CAST(max(late_min) AS BIGINT) AS max_late_min
+              FROM l GROUP BY 1)
+      SELECT agg.event_type, agg.n, agg.n_disordered, agg.max_late_min,
+             qs.p50_late_min, qs.p90_late_min, qs.p99_late_min
+      FROM agg JOIN qs USING (event_type)
+      ORDER BY agg.event_type"""
   )
 
   /** Shared q157/q178 oracle: the order-fixed EWMA left fold, seeded
