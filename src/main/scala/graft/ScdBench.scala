@@ -54,8 +54,7 @@ object ScdBench {
       ("slow", (weekofyear(col("ts")) % 3).cast("string")))
 
     Seq(1, mult).foreach { m =>
-      val root = java.nio.file.Files
-        .createTempDirectory(s"graft_scdbench_$m").toString
+      val root = Scratch.dir(s"graft_scdbench_$m").toString
       (0 until m).map { c =>
         if (c == 0) base
         else base.select((col("user_id") + lit(c * 10000000L))

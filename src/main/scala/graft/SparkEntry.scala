@@ -926,7 +926,7 @@ object SparkEntry {
     //     lossless (incl. the partition-column date typing) ---
     "q54_sink_blocks" -> rounded("sum_value" -> 4)({ (spark, dir) =>
       val events = tbl(spark, dir, "events")
-      val out = java.nio.file.Files.createTempDirectory("graft_q54")
+      val out = Scratch.dir("graft_q54")
         .toString
       // repartition on the block key before the partitioned write: one
       // file per block instead of (tasks × blocks) small files — the
@@ -947,7 +947,7 @@ object SparkEntry {
     //     cutoff is TZ-independent: 2024-01-31T00:00Z - 10 days) ---
     "q55_sink_rollover" -> rounded("sum_value" -> 4)({ (spark, dir) =>
       val events = tbl(spark, dir, "events")
-      val out = java.nio.file.Files.createTempDirectory("graft_q55")
+      val out = Scratch.dir("graft_q55")
         .toString
       graft.sources.Sinks.writeRollover(events, out, col("ts"),
         retainDays = 10, now = new java.sql.Timestamp(1706659200000L))
@@ -976,7 +976,7 @@ object SparkEntry {
       val sel = events.select(col("event_id"), col("event_type"),
         col("value"), col("ts"))
       val encSchema = graft.etl.TypedJson.encode(sel).schema
-      val out = java.nio.file.Files.createTempDirectory("graft_q57")
+      val out = Scratch.dir("graft_q57")
         .toString
       graft.etl.TypedJson.encodeJsonLines(sel)
         .write.mode("overwrite").text(out)
@@ -1043,9 +1043,9 @@ object SparkEntry {
     //     (full copy + filtered copy), both read back and compared ---
     "q62_split_sink" -> { (spark, dir) =>
       val events = tbl(spark, dir, "events")
-      val d1 = java.nio.file.Files.createTempDirectory("graft_q62a")
+      val d1 = Scratch.dir("graft_q62a")
         .toString
-      val d2 = java.nio.file.Files.createTempDirectory("graft_q62b")
+      val d2 = Scratch.dir("graft_q62b")
         .toString
       graft.sources.Sinks.split(events, Seq(
         df => df.write.mode("overwrite").parquet(d1),
@@ -1110,7 +1110,7 @@ object SparkEntry {
         val events = EventStream.normalizeEventTime(
             tbl(spark, dir, "events"))
           .select(col("ts"), col("event_type"), col("value"))
-        val src = java.nio.file.Files.createTempDirectory("graft_q66src")
+        val src = Scratch.dir("graft_q66src")
           .toString
         events.coalesce(1).write.mode("append").parquet(src)
         // sentinel: 2024-03-01T00:00Z — far past every real event
@@ -1122,9 +1122,9 @@ object SparkEntry {
           .option("maxFilesPerTrigger", 1).parquet(src)
         val agg = EventStream.tumblingAgg(stream, "ts", "1 day", "1 hour",
           "event_type")
-        val out = java.nio.file.Files.createTempDirectory("graft_q66out")
+        val out = Scratch.dir("graft_q66out")
           .toString
-        val ckpt = java.nio.file.Files.createTempDirectory("graft_q66ck")
+        val ckpt = Scratch.dir("graft_q66ck")
           .toString
         EventStream.runToSink(spark, agg, out, ckpt)
           .filter(col("event_type") =!= "sentinel")
@@ -1684,8 +1684,7 @@ object SparkEntry {
     //     oracle is the plain single-copy aggregate ---
     "q93_stream_redelivery" -> rounded("sum_value" -> 4)({ (spark, dir) =>
       val events = tbl(spark, dir, "events")
-      val stage = java.nio.file.Files
-        .createTempDirectory("graft_q93").toString
+      val stage = Scratch.dir("graft_q93").toString
       def stageBlock(df: DataFrame, name: String, modMs: Long): Unit = {
         val tmp = s"$stage/_$name"
         df.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -1765,8 +1764,7 @@ object SparkEntry {
       val fresh = docs.filter(pmod(col("doc_id"), lit(10)) >= 7)
         .select(col("doc_id"), col("text"))
         .unionByName(variants)
-      val idx = java.nio.file.Files
-        .createTempDirectory("graft_q95").toString + "/minhash_idx"
+      val idx = Scratch.dir("graft_q95").toString + "/minhash_idx"
       Dedup.writeMinhashIndex(hist, col("doc_id"), col("text"), idx,
         numHashes = 64)
       val found = Dedup.incrementalNearDups(spark, fresh,
@@ -2105,8 +2103,7 @@ object SparkEntry {
       val vecsCp = vecs.localCheckpoint()
       val means = graft.llm.KMeans.fit(vecsCp, col("doc_id"), col("v"),
         k = 16, iters = 2)
-      val idx = java.nio.file.Files
-        .createTempDirectory("graft_q109").toString + "/ivf_fitted"
+      val idx = Scratch.dir("graft_q109").toString + "/ivf_fitted"
       graft.llm.Similarity.ivfWriteIndexFitted(vecsCp, col("doc_id"),
         col("v"), idx, means)
       // the index (and its centroid sidecar) is on disk now — the fit
@@ -2166,8 +2163,7 @@ object SparkEntry {
       val histV = vecs.filter(isHist).localCheckpoint()
       val means = graft.llm.KMeans.fit(histV, col("doc_id"), col("v"),
         k = 16, iters = 2)
-      val idx = java.nio.file.Files
-        .createTempDirectory("graft_q111").toString + "/sem_idx"
+      val idx = Scratch.dir("graft_q111").toString + "/sem_idx"
       graft.llm.Similarity.ivfWriteIndexFitted(histV, col("doc_id"),
         col("v"), idx, means)
       graft.llm.Lifecycle.release(histV)
@@ -2215,8 +2211,7 @@ object SparkEntry {
       val histV = vecs.filter(isHist).localCheckpoint()
       val means = graft.llm.KMeans.fit(histV, col("doc_id"), col("v"),
         k = 16, iters = 2)
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_q113").toString
+      val tmp = Scratch.dir("graft_q113").toString
       graft.llm.Similarity.ivfWriteIndexFitted(histV, col("doc_id"),
         col("v"), tmp + "/idx", means)
       graft.llm.Lifecycle.release(histV)
@@ -2446,8 +2441,7 @@ object SparkEntry {
         .select(col("doc_id"), col("text"))
       val hist = docs.filter(pmod(col("doc_id"), lit(10)) < 7)
       val batch = docs.filter(pmod(col("doc_id"), lit(10)) >= 7)
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_q125").toString
+      val tmp = Scratch.dir("graft_q125").toString
       graft.llm.LangModel.writeModel(
         graft.llm.LangModel.unigrams(hist, col("text")),
         graft.llm.LangModel.bigrams(hist, col("text")), tmp)
@@ -2534,8 +2528,7 @@ object SparkEntry {
     "q128_compaction" -> { (spark, dir) =>
       val docs = tbl(spark, dir, "documents")
         .select(col("doc_id"), col("source"), col("n_chars"))
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_q128").toString + "/frag"
+      val tmp = Scratch.dir("graft_q128").toString + "/frag"
       docs.repartition(32).write.parquet(tmp)
       graft.sources.Sinks.compact(spark, tmp, targetRowsPerFile = 1000)
       spark.read.parquet(tmp).orderBy(col("doc_id"))
@@ -2671,8 +2664,7 @@ object SparkEntry {
     "q136_delete_by_key" -> { (spark, dir) =>
       val docs = tbl(spark, dir, "documents")
         .select(col("doc_id"), col("source"), col("n_chars"))
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_q136").toString + "/tbl"
+      val tmp = Scratch.dir("graft_q136").toString + "/tbl"
       docs.repartitionByRange(16, col("doc_id")).write.parquet(tmp)
       graft.sources.Sinks.deleteByKey(spark, tmp, "doc_id",
         docs.filter(pmod(col("doc_id"), lit(7)) === 3)
@@ -2832,8 +2824,7 @@ object SparkEntry {
     "q144_stream_scd2" -> { (spark, dir) =>
       val ev = tbl(spark, dir, "events")
         .select(col("user_id"), col("ts"), col("event_type"))
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_q144").toString
+      val tmp = Scratch.dir("graft_q144").toString
       val cuts = Seq("2024-01-11 00:00:00", "2024-01-21 00:00:00")
         .map(s => lit(s).cast("timestamp"))
       val parts = Seq(
@@ -3096,7 +3087,7 @@ object SparkEntry {
           col("event_type").isin("view", "purchase"))
         .select(col("ts"), col("event_type"), col("user_id"),
           col("event_id"))
-      val src = java.nio.file.Files.createTempDirectory("graft_q156src")
+      val src = Scratch.dir("graft_q156src")
         .toString
       events.coalesce(1).write.mode("append").parquet(src)
       // sentinels: 2024-03-01T00:00Z, far past every real event; the
@@ -3570,8 +3561,7 @@ object SparkEntry {
     "q172_stream_dedup_modern" -> rounded("sum_value" -> 4)({
       (spark, dir) =>
         val events = tbl(spark, dir, "events")
-        val stage = java.nio.file.Files
-          .createTempDirectory("graft_q172").toString
+        val stage = Scratch.dir("graft_q172").toString
         def stageBlock(df: DataFrame, name: String, modMs: Long): Unit = {
           val tmp = s"$stage/_$name"
           df.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -3740,7 +3730,7 @@ object SparkEntry {
       val cut1 = lo + (hi - lo) / 3
       val cut2 = lo + 2 * ((hi - lo) / 3)
       val us = unix_micros(col("ts"))
-      val src = java.nio.file.Files.createTempDirectory("graft_q178")
+      val src = Scratch.dir("graft_q178")
         .toString + "/ev"
       EventStream.writeOrderedBatches(Seq(
         events.filter(us <= cut1),
@@ -4007,7 +3997,7 @@ object SparkEntry {
           col("event_type").isin("view", "purchase"))
         .select(col("ts"), col("event_type"), col("user_id"),
           col("event_id"))
-      val src = java.nio.file.Files.createTempDirectory("graft_q189src")
+      val src = Scratch.dir("graft_q189src")
         .toString
       events.coalesce(1).write.mode("append").parquet(src)
       spark.createDataFrame(Seq(
@@ -4372,8 +4362,7 @@ object SparkEntry {
         .select(col("event_type"), to_date(col("ts")).as("day"),
           col("user_id"),
           round(col("value") * 100).cast("long").as("__cents"))
-      val store = java.nio.file.Files
-        .createTempDirectory("graft_q200").toString
+      val store = Scratch.dir("graft_q200").toString
       var current: DataFrame = null
       for (i <- 0 until 3) {
         val delta = ev.filter(pmod(col("user_id"), lit(3)) === i)
@@ -4659,7 +4648,7 @@ object SparkEntry {
       val (lo, hi) = (b.getLong(0), b.getLong(1))
       val cut1 = lo + (hi - lo) / 3
       val cut2 = lo + 2 * ((hi - lo) / 3)
-      val src = java.nio.file.Files.createTempDirectory("graft_q211")
+      val src = Scratch.dir("graft_q211")
         .toString + "/ev"
       EventStream.writeOrderedBatches(Seq(
         events.filter(us <= cut1),
@@ -5198,8 +5187,7 @@ object SparkEntry {
       val ev = tbl(spark, dir, "events")
         .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
           pmod(col("event_id"), lit(4)).cast("int").as("batch"))
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_q233").toString
+      val tmp = Scratch.dir("graft_q233").toString
       EventStream.writeOrderedBatches(
         (0 until 4).map(b => ev.filter(col("batch") === b)),
         tmp + "/src")
@@ -5233,8 +5221,7 @@ object SparkEntry {
         .select(col("doc_id"), col("text"))
       val hist = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
       val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_q234").toString
+      val tmp = Scratch.dir("graft_q234").toString
       graft.llm.Relevance.termStats(hist, col("doc_id"), col("text"))
         .write.parquet(tmp + "/stats")
       val base = spark.read.parquet(tmp + "/stats")
@@ -5345,8 +5332,7 @@ object SparkEntry {
       val k = 128
       val ev = tbl(spark, dir, "events")
         .select(to_date(col("ts")).as("day"), col("user_id"))
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_q238").toString
+      val tmp = Scratch.dir("graft_q238").toString
       val wd = org.apache.spark.sql.expressions.Window
         .partitionBy(col("day")).orderBy(col("h"))
       ev.select(col("day"),
@@ -5475,8 +5461,7 @@ object SparkEntry {
       val docs = tbl(spark, dir, "documents")
       val obsIn = Observation()
       val obsKept = Observation()
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_q242").toString
+      val tmp = Scratch.dir("graft_q242").toString
       docs
         .observe(obsIn, count(lit(1)).as("rows"),
           sum(col("n_chars")).as("chars"))
@@ -5559,6 +5544,47 @@ object SparkEntry {
           max(col("late_min")).as("max_late_min"))
         .join(qs, Seq("event_type"))
         .orderBy(col("event_type"))
+    },
+
+    // --- the q127 curation composition with PER-STAGE OBSERVABILITY:
+    //     a PipelineObserver checkpoint at every stage boundary
+    //     (exact dedup -> quality classifier -> decontamination ->
+    //     token budget), all riding the single terminal write as
+    //     accumulators — no re-scan per stage. Boundaries the
+    //     downstream consumes twice (decontaminate's n-gram mine +
+    //     anti-join; the budget's census + join) are persisted above
+    //     the checkpoint so each counter fires exactly once. The
+    //     oracle replays every stage count relationally from the
+    //     q127 CTE chain. ---
+    "q245_pipeline_metrics" -> { (spark, dir) =>
+      val po = new graft.llm.PipelineObserver
+      val docs0 = tbl(spark, dir, "documents")
+      val raw = po.checkpoint("raw",
+          docs0.select(col("doc_id"), col("source"), col("text")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val fp = raw.withColumn("fp", md5(col("text")))
+      val keepIds = fp.groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+      val s1 = po.checkpoint("exact_dedup",
+        fp.join(keepIds, Seq("doc_id"), "left_semi"))
+      val s2 = po.checkpoint("quality",
+          graft.llm.QualityModel.classify(s1, col("text"))
+            .filter(col("keep"))
+            .select(col("doc_id"), col("source"), col("text")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val evalSet = docs0.filter(pmod(col("doc_id"), lit(97)) === 0)
+      val s3 = po.checkpoint("decontaminate",
+          graft.llm.Contamination.decontaminate(s2, col("doc_id"),
+            col("text"), evalSet, col("text"), n = 8))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val s3t = s3.withColumn("n_tok",
+        graft.llm.TextAnalysis.tokenCount(col("text")))
+      val kept = po.checkpoint("token_budget",
+        Pipelines.sampleToTokenBudget(s3t, col("doc_id"),
+          col("source"), col("n_tok"), budgetTokens = 10000L))
+      kept.write.mode("overwrite")
+        .parquet(Scratch.dir("graft_q245").toString + "/out")
+      po.metricsDF(spark).orderBy(col("stage_ix"))
     }
   )
 
@@ -10454,7 +10480,70 @@ object SparkEntry {
       SELECT agg.event_type, agg.n, agg.n_disordered, agg.max_late_min,
              qs.p50_late_min, qs.p90_late_min, qs.p99_late_min
       FROM agg JOIN qs USING (event_type)
-      ORDER BY agg.event_type"""
+      ORDER BY agg.event_type""",
+
+    // per-stage counts replayed from the q127 CTE chain: the engine's
+    // accumulator-observed metrics must equal the relational censuses
+    "q245_pipeline_metrics" -> s"""
+      WITH $q97ScorePrefixSql,
+      keep1 AS (SELECT min(doc_id) AS doc_id FROM documents
+                GROUP BY md5(text)),
+      s1 AS (SELECT d.doc_id, d.source, d.text FROM documents d
+             JOIN keep1 k ON d.doc_id = k.doc_id),
+      s2 AS (SELECT s1.doc_id, s1.source, s1.text FROM s1
+             JOIN s ON s1.doc_id = s.doc_id WHERE s.score >= 0.5),
+      t2 AS (SELECT doc_id, source,
+               list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                           x -> length(x) > 0) AS toks
+             FROM s2),
+      te AS (SELECT list_filter(
+               string_split_regex(lower(trim(text)), '\\s+'),
+               x -> length(x) > 0) AS toks
+             FROM documents WHERE doc_id % 97 = 0),
+      eg AS (SELECT DISTINCT g FROM (
+               SELECT unnest(CASE WHEN len(toks) >= 8 THEN
+                   list_transform(generate_series(1, len(toks) - 7),
+                     i -> array_to_string(toks[i:i+7], ' '))
+                 WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+                 ELSE [] END) AS g FROM te)),
+      tg AS (SELECT DISTINCT doc_id, g FROM (
+               SELECT doc_id, unnest(CASE WHEN len(toks) >= 8 THEN
+                   list_transform(generate_series(1, len(toks) - 7),
+                     i -> array_to_string(toks[i:i+7], ' '))
+                 WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+                 ELSE [] END) AS g FROM t2)),
+      contaminated AS (SELECT DISTINCT doc_id FROM tg JOIN eg USING (g)),
+      d3 AS (SELECT t2.doc_id, t2.source, CAST(len(toks) AS INT)
+               AS n_tok
+             FROM t2 WHERE NOT EXISTS (SELECT 1 FROM contaminated c
+               WHERE c.doc_id = t2.doc_id)),
+      tot AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS tok
+              FROM d3 GROUP BY source),
+      kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM tot),
+      thr AS (SELECT source,
+                CAST(floor(least(1.0,
+                  CAST(10000 AS DOUBLE) / k / tok) * 65536) AS BIGINT)
+                  AS th
+              FROM tot CROSS JOIN kk),
+      kept AS (SELECT d3.doc_id, d3.source, d3.n_tok
+               FROM d3 JOIN thr USING (source)
+               WHERE CAST(('0x' || substring(
+                   md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
+                 % 65536 < th),
+      cn AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents)
+                      AS n0,
+                    (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n1,
+                    (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n2,
+                    (SELECT CAST(count(*) AS BIGINT) FROM d3) AS n3,
+                    (SELECT CAST(count(*) AS BIGINT) FROM kept) AS n4)
+      SELECT stage_ix, stage, n_in, n_kept,
+             CAST(n_kept AS DOUBLE) / CAST(n_in AS DOUBLE) AS kept_frac
+      FROM (SELECT 0 AS stage_ix, 'exact_dedup' AS stage,
+                   n0 AS n_in, n1 AS n_kept FROM cn
+            UNION ALL SELECT 1, 'quality', n1, n2 FROM cn
+            UNION ALL SELECT 2, 'decontaminate', n2, n3 FROM cn
+            UNION ALL SELECT 3, 'token_budget', n3, n4 FROM cn)
+      ORDER BY stage_ix"""
   )
 
   /** Shared q157/q178 oracle: the order-fixed EWMA left fold, seeded

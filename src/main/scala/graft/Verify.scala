@@ -45,6 +45,9 @@ object Verify {
       spark.catalog.listTables().collect()
         .filter(_.name.startsWith("graft_stream_"))
         .foreach(t => spark.catalog.dropTempView(t.name))
+      // the result parquet is fully written at this point, so any
+      // scratch dirs the query persisted are safe to delete
+      Scratch.sweep()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

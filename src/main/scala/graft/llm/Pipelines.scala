@@ -37,6 +37,51 @@ object Pipelines {
     removeNearDups(exact, id, text, nearDupJaccard)
   }
 
+  /** [[prepareCorpus]] with per-stage observability and a circuit
+    * breaker: runs score -> quality floor -> exact dedup -> near-dup
+    * removal with a [[PipelineObserver]] checkpoint at every stage
+    * boundary, writes the surviving corpus to `outPath`, and returns
+    * the per-stage metrics frame (stage_ix, stage, n_in, n_kept,
+    * kept_frac). The counters are accumulator-backed observe() points
+    * riding the write job itself — no second scan of the corpus.
+    *
+    * `abortBelowKeptFrac` is the breaker floor: any stage keeping less
+    * than that fraction of its input throws [[CurationAborted]] — the
+    * "did this filter eat 90% of the corpus?" guard a 100 TB run wants
+    * BEFORE downstream training consumes the output. The corpus is
+    * already written when the breaker fires (metrics ride the write);
+    * callers treat the exception as "do not promote the output". */
+  def curateObserved(docs: DataFrame, id: Column, text: Column,
+                     outPath: String,
+                     minQuality: Double = 0.3,
+                     nearDupJaccard: Double = 0.8,
+                     abortBelowKeptFrac: Double = 0.0,
+                     portableFingerprint: Boolean = false): DataFrame = {
+    val po = new PipelineObserver
+    val raw = po.checkpoint("raw", docs)
+    val scored = scoreCorpus(raw, text, minQuality, portableFingerprint)
+    val q = po.checkpoint("quality_floor", scored)
+    // persist ABOVE the checkpoint: near-dup removal consumes this
+    // frame twice (pair mining + survivor anti-join); the cache makes
+    // the CollectMetrics node execute exactly once, at materialization
+    val exact = po.checkpoint("exact_dedup",
+        Dedup.exactByKey(q, Seq(col("fingerprint")), id))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize the cache with ONE full scan before the iterative
+    // near-dup consumer touches it: an Observation latches the FIRST
+    // execution containing its node, and connected-components'
+    // convergence checks short-circuit (take/limit) — a partial scan
+    // would latch partial counts for every checkpoint below the cache.
+    // This is the same materialization scan the first consumer would
+    // trigger anyway, so no extra pass over the corpus.
+    exact.count()
+    val fin = po.checkpoint("near_dedup",
+      removeNearDups(exact, id, text, nearDupJaccard))
+    fin.write.mode("overwrite").parquet(outPath)
+    po.assertKeptFloor(abortBelowKeptFrac)
+    po.metricsDF(docs.sparkSession)
+  }
+
   /** Stage 1: language id + quality + content fingerprint, quality
     * floor applied. Pure projection + pushable filter — callers that
     * also need audit counts persist THIS frame and reuse it instead of

@@ -96,7 +96,11 @@ object ExactQuantile {
     val perVal = df
       .select(group.as("grp"), value.cast("long").as("v"),
         weight.cast("long").as("w"))
-      .filter(col("v").isNotNull && col("w").isNotNull)
+      // w > 0, not just non-null: a zero weight would let its value be
+      // selected as a quantile (cw unchanged but the row exists), and a
+      // negative weight makes the cumulative sum non-monotone, breaking
+      // the "min v with cw·den ≥ num·tw" selection rule entirely
+      .filter(col("v").isNotNull && col("w").isNotNull && col("w") > 0)
       .groupBy(col("grp"), col("v")).agg(sum(col("w")).as("w"))
     val wc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("grp")).orderBy(col("v"))

@@ -26,6 +26,44 @@ class PipelinesSpec extends SparkSpec {
       out.columns.contains("quality"))
   }
 
+  test("curateObserved: per-stage metrics match recomputed counts; " +
+      "breaker fires below the floor") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and then it was done for the day"),
+      (2L, "the quick brown fox jumps over the lazy dog and then it was done for the day"),
+      (3L, "the quick brown fox jumps over the lazy dog and then it was done for the"),
+      (4L, "a completely different document that is about the spark engine and its catalyst optimizer for it was a good engine"),
+      (5L, "xq")
+    ).toDF("doc_id", "text")
+    val out = java.nio.file.Files.createTempDirectory("graft_curobs")
+      .toString
+    val m = Pipelines.curateObserved(docs, $"doc_id", $"text",
+        out + "/corpus", minQuality = 0.4, nearDupJaccard = 0.6)
+      .as[(Int, String, Long, Long, Double)].collect()
+      .map(r => r._2 -> r).toMap
+    // stage metrics must agree with the recomputed stage outputs
+    // (same fixture as the prepareCorpus case): 5 raw -> 4 past
+    // quality -> 2 past the fingerprint dedup (the winnowing min-hash
+    // fingerprint collapses doc 3, a prefix of doc 1, along with the
+    // exact copy doc 2) -> 2 survivors
+    assert(m("quality_floor")._3 === 5L && m("quality_floor")._4 === 4L)
+    assert(m("exact_dedup")._3 === 4L && m("exact_dedup")._4 === 2L)
+    assert(m("near_dedup")._3 === 2L && m("near_dedup")._4 === 2L)
+    // the written corpus is the survivors
+    assert(spark.read.parquet(out + "/corpus").count() === 2L)
+    // breaker: quality keeps 4/5 = 0.8 — a floor of 0.9 aborts at the
+    // FIRST stage under the floor, which is quality_floor
+    val ex = intercept[CurationAborted] {
+      Pipelines.curateObserved(docs, $"doc_id", $"text",
+        out + "/corpus2", minQuality = 0.4, nearDupJaccard = 0.6,
+        abortBelowKeptFrac = 0.9)
+    }
+    assert(ex.stage === "quality_floor")
+    assert(ex.nIn === 5L && ex.nKept === 4L)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(out))
+  }
+
   test("writeByLanguage partitions on disk by lang_pred") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_corpus")
       .toString

@@ -130,4 +130,40 @@ class OperatorLawsPropSpec extends SparkSpec {
         s"quantiles g$g")
     }
   }
+
+  test("weighted-quantile law: zero-weight rows are invisible (their " +
+      "values never selected; all-zero groups absent)") {
+    // weights drawn from 0..9, so ~10% of rows are zero-weight; the
+    // weight-expanded multiset drops them naturally (fill(0) = empty),
+    // and the engine must agree — a zero-weight value returned as a
+    // quantile is exactly the corruption the w>0 guard prevents
+    val groups = samples(
+      Gen.choose(3, 30).flatMap(n => Gen.listOfN(n,
+        Gen.zip(Gen.choose(-500L, 500L), Gen.choose(0L, 9L)))),
+      20, seed = 9600L)
+    val rows = groups.zipWithIndex.flatMap { case (vw, g) =>
+      vw.map { case (v, w) => (s"g$g", v, w) }
+    } :+ (("gz", 123L, 0L)) // an ALL-zero group: must vanish entirely
+    val df = rows.toDF("k", "v", "w")
+    val qs = Seq(("p50", 1, 2), ("p100", 1, 1))
+    val out = ExactQuantile.weightedQuantileDisc(df, $"k", $"v",
+        $"w", qs)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(!out.contains("gz"), "all-zero-weight group must be absent")
+    groups.zipWithIndex.foreach { case (vw, g) =>
+      val expanded = vw.flatMap { case (v, w) =>
+        Seq.fill(w.toInt)(v) }.sorted
+      if (expanded.isEmpty) assert(!out.contains(s"g$g"))
+      else {
+        val n = expanded.length.toLong
+        val got = out(s"g$g")
+        assert(got._2 === n, s"total_w g$g")
+        val expect = qs.map { case (_, num, den) =>
+          expanded(((num.toLong * n + den - 1) / den - 1).toInt)
+        }
+        assert(Seq(got._3, got._4) === expect, s"quantiles g$g")
+      }
+    }
+  }
 }
