@@ -164,6 +164,43 @@ object DedupBench {
     val guardRecall = if (rawPairs.isEmpty) 1.0
       else capPairs.count(rawPairs).toDouble / rawPairs.size
 
+    // --- PPJoin skew evidence: a DELIBERATELY boilerplate-heavy
+    // corpus — a fixed 16-word footer appended to every even doc_id,
+    // so each footer shingle lands in ~50% of documents. The claim
+    // under test is the prefix-filter comment's "hot shingles sort
+    // last per doc, so they almost never enter a prefix": measured as
+    // the prefix-join candidate count vs the naive postings-join
+    // bound Σ df·(df−1)/2 (what joining EVERY shingle's posting list
+    // would generate — the hot shingles alone contribute ~(N/2)²/2
+    // pairs each). Run at 1× and at mult× so the gap's growth rate is
+    // visible, not just its size.
+    val footer = " please subscribe to our newsletter and accept the" +
+      " cookie policy to continue reading this free article today"
+    def withFooter(c: DataFrame): DataFrame = c.select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(2)) === 0,
+        concat(col("text"), lit(footer)))
+        .otherwise(col("text")).as("text"))
+    // (docs, naive postings bound, hot-shingle df, candidates, sec)
+    def ppjoin(c: DataFrame): (Long, Long, Long, Long, Double) = {
+      val shing = c.select(col("doc_id").as("id"),
+          TextAnalysis.shingleHashes(col("text"), 3).as("s"))
+        .localCheckpoint()
+      val census = shing
+        .select(col("id"), explode(array_distinct(col("s"))).as("g"))
+        .groupBy(col("g")).agg(count(lit(1)).as("df"))
+      val Array(bound, hot) = census
+        .agg(sum(col("df") * (col("df") - 1) / 2).cast("long"),
+          max(col("df")).cast("long"))
+        .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+      val (nCand, t) = time(
+        Dedup.prefixFilterCandidates(shing, 0.5).count())
+      (c.count(), bound, hot, nCand, t)
+    }
+    val pp1c = ppjoin(base) // clean baselines: same corpora, no footer
+    val ppNc = ppjoin(corpus)
+    val pp1 = ppjoin(withFooter(base))
+    val ppN = ppjoin(withFooter(corpus))
+
     println(f"corpus=$nDocs docs (${mult}x $sfDir) maxDf=$maxDf")
     println(f"${"stage shingles"}%-18s $tStage%8.2f s")
     println(f"${"exact jaccard"}%-18s $tExact%8.2f s  pairs=${exact.size}")
@@ -184,7 +221,25 @@ object DedupBench {
       f"worst=${capStats._1}%.3f sum_n2=${capStats._2}%.3e " +
       f"buckets=${capStats._3} (cap=$cap, ${tCapP}%.2f s pair scan, " +
       f"${capPairs.size} pairs, guard_recall=$guardRecall%.3f)")
+    println(f"${"ppjoin 1x clean"}%-18s ${pp1c._5}%8.2f s  " +
+      f"docs=${pp1c._1} cand=${pp1c._4} naive_bound=${pp1c._2} " +
+      f"hot_df=${pp1c._3}")
+    println(f"${"ppjoin 1x+footer"}%-18s ${pp1._5}%8.2f s  " +
+      f"docs=${pp1._1} cand=${pp1._4} naive_bound=${pp1._2} " +
+      f"hot_df=${pp1._3}")
+    println(f"${"ppjoin Nx clean"}%-18s ${ppNc._5}%8.2f s  " +
+      f"docs=${ppNc._1} cand=${ppNc._4} naive_bound=${ppNc._2} " +
+      f"hot_df=${ppNc._3}")
+    println(f"${"ppjoin Nx+footer"}%-18s ${ppN._5}%8.2f s  " +
+      f"docs=${ppN._1} cand=${ppN._4} naive_bound=${ppN._2} " +
+      f"hot_df=${ppN._3}")
     println(s"""{"bench":"dedup","corpus":$nDocs,"mult":$mult,""" +
+      s""""ppjoin_cand_1x_clean":${pp1c._4},""" +
+      s""""ppjoin_cand_1x":${pp1._4},"ppjoin_bound_1x":${pp1._2},""" +
+      s""""ppjoin_hotdf_1x":${pp1._3},"ppjoin_sec_1x":${pp1._5},""" +
+      s""""ppjoin_cand_nx_clean":${ppNc._4},""" +
+      s""""ppjoin_cand_nx":${ppN._4},"ppjoin_bound_nx":${ppN._2},""" +
+      s""""ppjoin_hotdf_nx":${ppN._3},"ppjoin_sec_nx":${ppN._5},""" +
       s""""stage_sec":$tStage,"exact_sec":$tExact,""" +
       s""""exact_pairs":${exact.size},"lsh_sec":$tLsh,""" +
       s""""lsh_pairs":${found.size},"recall":$recall,""" +

@@ -193,11 +193,36 @@ object Dedup {
     * shorten it. */
   def prefixFilterJaccardPairs(shingled: DataFrame,
                                threshold: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val sh = shingled
       .select(col("id"), array_distinct(col("s")).as("s"))
       .filter(size(col("s")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = prefixCandidates(sh, threshold)
+    cand
+      .join(sh.select(col("id").as("id_a"), col("s").as("sa")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("s").as("sb")), Seq("id_b"))
+      .withColumn("jaccard", round(jaccard(col("sa"), col("sb")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** The candidate stage of [[prefixFilterJaccardPairs]] alone, from a
+    * raw (id, s) shingle frame — exposed so benches can MEASURE the
+    * prefix filter's candidate count against the naive postings-join
+    * bound (DedupBench's boilerplate-skew evidence). */
+  def prefixFilterCandidates(shingled: DataFrame,
+                             threshold: Double): DataFrame =
+    prefixCandidates(shingled
+      .select(col("id"), array_distinct(col("s")).as("s"))
+      .filter(size(col("s")) > 0), threshold)
+
+  /** PPJoin candidate generation over a prepared distinct-shingle
+    * frame: df-ascending prefix ordering (hot shingles sort LAST per
+    * doc, so they almost never enter a prefix), prefix-postings
+    * equi-join, length filter. */
+  private def prefixCandidates(sh: DataFrame,
+                               threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val ex = sh.select(col("id"), explode(col("s")).as("g"))
     val census = ex.groupBy(col("g")).agg(count(lit(1)).as("__df"))
     val w = Window.partitionBy(col("id")).orderBy(col("__df"), col("g"))
@@ -210,7 +235,7 @@ object Dedup {
     val prefix = positioned
       .filter(col("__pos") <= col("__sz") - minOverlap(col("__sz")) + 1)
       .select(col("g"), col("id"), col("__sz"))
-    val cand = prefix.select(col("g"), col("id").as("id_a"),
+    prefix.select(col("g"), col("id").as("id_a"),
         col("__sz").as("__sz_a"))
       .join(prefix.select(col("g"), col("id").as("id_b"),
         col("__sz").as("__sz_b")), Seq("g"))
@@ -218,12 +243,6 @@ object Dedup {
         col("__sz_b") >= minOverlap(col("__sz_a")) &&
         col("__sz_a") >= minOverlap(col("__sz_b")))
       .select(col("id_a"), col("id_b")).distinct()
-    cand
-      .join(sh.select(col("id").as("id_a"), col("s").as("sa")), Seq("id_a"))
-      .join(sh.select(col("id").as("id_b"), col("s").as("sb")), Seq("id_b"))
-      .withColumn("jaccard", round(jaccard(col("sa"), col("sb")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
   /** CONTAINMENT pairs — the asymmetric near-subset complement to
