@@ -5585,6 +5585,198 @@ object SparkEntry {
       kept.write.mode("overwrite")
         .parquet(Scratch.dir("graft_q245").toString + "/out")
       po.metricsDF(spark).orderBy(col("stage_ix"))
+    },
+
+    // --- SWEEP-LINE MAX CONCURRENCY: each event opens a session of
+    //     (cents % 3600 + 60) seconds; per type, the peak number of
+    //     simultaneously-open sessions and the earliest time it is
+    //     reached. ±1 endpoint explode (one scan), running sum over
+    //     a type-partitioned window — the resource-sizing census
+    //     behind pool/limit/autoscale decisions. ---
+    "q246_max_concurrency" -> { (spark, dir) =>
+      val ev = tbl(spark, dir, "events")
+        .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+        .withColumn("dur_s",
+          expr("CAST(round(value * 100) AS BIGINT) % 3600 + 60"))
+      graft.operators.Sweep.maxConcurrent(ev, col("event_type"),
+          col("us"), col("us") + col("dur_s") * lit(1000000L))
+        .select(col("grp").as("event_type"), col("max_concurrent"),
+          col("at_us"))
+        .orderBy(col("event_type"))
+    },
+
+    // --- LOG TEMPLATE MINING (Drain-style): events rendered as log
+    //     lines; clusters keyed by (token count, first token), a
+    //     position becomes <*> when >1 distinct token appears there.
+    //     Two narrow exchanges ((cluster, pos) census + cluster
+    //     reassembly), the line text never self-joins. ---
+    "q247_log_templates" -> { (spark, dir) =>
+      val ev = tbl(spark, dir, "events")
+      val lines = ev.select(concat(
+          format_string("%s user=%d took %d ms", col("event_type"),
+            col("user_id"),
+            expr("CAST(round(value * 100) AS BIGINT) % 1000")),
+          when(pmod(col("user_id"), lit(10)) === 0, lit(" flagged"))
+            .otherwise(lit(""))).as("line"))
+      graft.etl.LogTemplate.mine(lines, col("line"), minSupport = 2L)
+        .orderBy(col("n_lines").desc, col("template"))
+    },
+
+    // --- COLUMN-LEVEL RECONCILIATION: documents vs a deterministic
+    //     "v2" snapshot (doc_id%13 deleted, %7 source rewritten, %11
+    //     n_chars bumped, %17 re-inserted under a shifted id); one
+    //     full-outer join on the key, melted per-column change
+    //     census with IS DISTINCT FROM null semantics. ---
+    "q248_reconcile_columns" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+        .select(col("doc_id"), col("source"), col("lang"),
+          col("n_chars"))
+      val v2 = docs.filter(pmod(col("doc_id"), lit(13)) =!= 0)
+        .withColumn("source",
+          when(pmod(col("doc_id"), lit(7)) === 0, lit("migrated"))
+            .otherwise(col("source")))
+        .withColumn("n_chars",
+          when(pmod(col("doc_id"), lit(11)) === 0, col("n_chars") + 1)
+            .otherwise(col("n_chars")))
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(17)) === 0)
+          .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+            col("source"), col("lang"), col("n_chars")))
+      graft.operators.Reconcile.columnDiffCensus(docs, v2, "doc_id",
+        Seq("source", "lang", "n_chars"))
+    },
+
+    // --- LAG-k AUTOCORRELATION of the per-type daily count series
+    //     (calendar-aligned: day d joins day d+k on the day grid, so
+    //     gaps pair only where both ends exist): Pearson r from
+    //     exact integer power sums (the q181 OLS discipline); num /
+    //     den ints are the hash gate, r divides once at the end. ---
+    "q249_autocorr" -> { (spark, dir) =>
+      val daily = tbl(spark, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+        .select(col("event_type"),
+          datediff(col("day"), lit("1970-01-01")).cast("long")
+            .as("eday"),
+          col("x"))
+      val withLag = daily.withColumn("lag",
+        explode(array(lit(1), lit(2), lit(3), lit(7))))
+      val pairs = withLag.alias("a").join(daily.alias("b"),
+          col("a.event_type") === col("b.event_type") &&
+          col("b.eday") === col("a.eday") + col("a.lag"))
+        .select(col("a.event_type").as("event_type"), col("a.lag").as("lag"),
+          col("a.x").as("x"), col("b.x").as("y"))
+      pairs.groupBy(col("event_type"), col("lag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("__sx"), sum(col("y")).as("__sy"),
+          sum(col("x") * col("x")).as("__sxx"),
+          sum(col("y") * col("y")).as("__syy"),
+          sum(col("x") * col("y")).as("__sxy"))
+        .select(col("event_type"), col("lag"), col("n"),
+          (col("n") * col("__sxy") - col("__sx") * col("__sy"))
+            .as("num"),
+          (col("n") * col("__sxx") - col("__sx") * col("__sx"))
+            .as("den_x"),
+          (col("n") * col("__syy") - col("__sy") * col("__sy"))
+            .as("den_y"))
+        .withColumn("r",
+          when(col("den_x") > 0 && col("den_y") > 0,
+            col("num").cast("double") /
+              (sqrt(col("den_x").cast("double")) *
+                sqrt(col("den_y").cast("double")))))
+        .orderBy(col("event_type"), col("lag"))
+    },
+
+    // --- TOKEN-BUCKET RATE-LIMITER REPLAY: per user, which events a
+    //     3-token bucket (1 token/minute refill, 1/event) would have
+    //     accepted — all-integer lazy-refill fold, replayed in the
+    //     oracle as a DuckDB list_reduce over a BIGINT[4] state
+    //     (list-shaped: v1.0.0 list_reduce mutates STRUCT
+    //     accumulator fields in place, field-by-field). ---
+    "q250_rate_limit" -> { (spark, dir) =>
+      val ev = tbl(spark, dir, "events")
+      graft.operators.RateLimit.tokenBucket(ev, col("user_id"),
+          unix_micros(col("ts").cast("timestamp")), col("event_id"),
+          capacity = 3L)
+        .select(col("entity").as("user_id"), col("n_events"),
+          col("n_accepted"), col("n_rejected"), col("tokens_left"))
+        .orderBy(col("user_id"))
+    },
+
+    // --- SOURCE SIMILARITY MATRIX: cosine between sources' unigram
+    //     count vectors — the corpus-mixture design readout ("which
+    //     sources are near-duplicates of each other"). Integer dot
+    //     products and norms via a vocabulary-keyed join of the
+    //     (source, term, c) census (≤ k rows per term — a metadata
+    //     join, the corpus itself is scanned once and never
+    //     self-joined); cosine divides once at the end. ---
+    "q251_source_similarity" -> { (spark, dir) =>
+      val counts = tbl(spark, dir, "documents")
+        .select(col("source"),
+          explode(graft.llm.TextAnalysis.tokens(col("text"))).as("tok"))
+        .groupBy(col("source"), col("tok"))
+        .agg(count(lit(1)).as("c"))
+      val norms = counts.groupBy(col("source"))
+        .agg(sum(col("c") * col("c")).as("norm2"))
+      counts.alias("a").join(counts.alias("b"),
+          col("a.tok") === col("b.tok") &&
+          col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"),
+          col("b.source").as("source_b"))
+        .agg(sum(col("a.c") * col("b.c")).as("dot"))
+        .join(broadcast(norms.select(col("source").as("source_a"),
+          col("norm2").as("norm2_a"))), Seq("source_a"))
+        .join(broadcast(norms.select(col("source").as("source_b"),
+          col("norm2").as("norm2_b"))), Seq("source_b"))
+        .withColumn("cosine", col("dot").cast("double") /
+          (sqrt(col("norm2_a").cast("double")) *
+            sqrt(col("norm2_b").cast("double"))))
+        .select(col("source_a"), col("source_b"), col("dot"),
+          col("norm2_a"), col("norm2_b"), col("cosine"))
+        .orderBy(col("source_a"), col("source_b"))
+    },
+
+    // --- ABC / PARETO CLASSIFICATION of parts by revenue: cumulative
+    //     revenue share in (cents desc, partkey) order; A ≤ 80%,
+    //     B ≤ 95%, C rest — integer threshold compares (cum·5 ≤
+    //     tot·4), no division. The global cumsum runs WITHOUT a
+    //     global window: bit-length revenue bands (cents desc ⇔
+    //     (band desc, cents desc) — band boundaries are exact), a
+    //     ≤64-row band census prefix-sum, and an intra-band window
+    //     partitioned by band (the q212 histogram-offset shape). ---
+    "q252_abc_pareto" -> { (spark, dir) =>
+      val rev = tbl(spark, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+          .as("cents"))
+      val banded = rev.withColumn("band", length(bin(col("cents"))))
+      val bandTot = banded.groupBy(col("band"))
+        .agg(sum(col("cents")).as("__bc"))
+      // prefix over the ≤64-row band census WITHOUT a global window:
+      // strictly-higher bands (larger revenue, earlier in the cum
+      // order) sum via a tiny non-equi self-join
+      val bandBefore = bandTot.alias("x")
+        .join(broadcast(bandTot.select(col("band").as("__b2"),
+          col("__bc").as("__bc2"))), col("__b2") > col("band"), "left")
+        .groupBy(col("band"))
+        .agg(coalesce(sum(col("__bc2")), lit(0L)).as("__before"))
+      val iw = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("band"))
+        .orderBy(col("cents").desc, col("l_partkey"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, org.apache.spark.sql.expressions.Window
+          .currentRow)
+      val tot = rev.agg(sum(col("cents")).as("__tot"))
+      banded.join(broadcast(bandBefore), Seq("band"))
+        .withColumn("__cum", col("__before") + sum(col("cents")).over(iw))
+        .crossJoin(broadcast(tot))
+        .withColumn("class",
+          when(col("__cum") * 5 <= col("__tot") * 4, lit("A"))
+            .when(col("__cum") * 20 <= col("__tot") * 19, lit("B"))
+            .otherwise(lit("C")))
+        .groupBy(col("class"))
+        .agg(count(lit(1)).as("n_parts"),
+          sum(col("cents")).as("class_cents"))
+        .orderBy(col("class"))
     }
   )
 
@@ -10543,7 +10735,213 @@ object SparkEntry {
             UNION ALL SELECT 1, 'quality', n1, n2 FROM cn
             UNION ALL SELECT 2, 'decontaminate', n2, n3 FROM cn
             UNION ALL SELECT 3, 'token_budget', n3, n4 FROM cn)
-      ORDER BY stage_ix"""
+      ORDER BY stage_ix""",
+
+    // sweep-line replay: ±1 endpoints, running sum; at equal t the -1
+    // sorts first (d ascending) exactly as the engine pins it
+    "q246_max_concurrency" -> """
+      WITH e AS (SELECT event_type, epoch_us(ts) AS us,
+                        CAST(round(value * 100) AS BIGINT) % 3600 + 60
+                          AS dur_s
+                 FROM events),
+      p AS (SELECT event_type, us AS t, 1 AS d FROM e
+            UNION ALL
+            SELECT event_type, us + dur_s * 1000000, -1 FROM e),
+      r AS (SELECT event_type, t,
+                   CAST(sum(d) OVER (PARTITION BY event_type
+                     ORDER BY t, d ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS BIGINT) AS run
+            FROM p),
+      m AS (SELECT event_type, max(run) AS max_concurrent
+            FROM r GROUP BY 1)
+      SELECT r.event_type, m.max_concurrent,
+             CAST(min(r.t) AS BIGINT) AS at_us
+      FROM r JOIN m ON r.event_type = m.event_type
+                   AND r.run = m.max_concurrent
+      GROUP BY 1, 2 ORDER BY 1""",
+
+    "q247_log_templates" -> """
+      WITH lines AS (SELECT event_type || ' user=' ||
+                            CAST(user_id AS VARCHAR) || ' took ' ||
+                            CAST(CAST(round(value * 100) AS BIGINT)
+                              % 1000 AS VARCHAR) || ' ms' ||
+                            CASE WHEN user_id % 10 = 0 THEN ' flagged'
+                                 ELSE '' END AS line
+                     FROM events),
+      toks AS (SELECT list_filter(string_split_regex(trim(line),
+                 '[ \t\n\f\r]+'), x -> length(x) > 0) AS tk
+               FROM lines),
+      t2 AS (SELECT tk, len(tk) AS nt, tk[1] AS t0
+             FROM toks WHERE len(tk) > 0),
+      pos AS (SELECT nt, t0, generate_subscripts(tk, 1) AS pos,
+                     unnest(tk) AS tok
+              FROM t2),
+      census AS (SELECT nt, t0, pos, CAST(count(*) AS BIGINT)
+                          AS n_lines,
+                        count(DISTINCT tok) = 1 AS fixed,
+                        min(tok) AS tok
+                 FROM pos GROUP BY 1, 2, 3),
+      tmpl AS (SELECT nt, t0, max(n_lines) AS n_lines,
+                      CAST(sum(CASE WHEN fixed THEN 0 ELSE 1 END)
+                        AS BIGINT) AS n_wild,
+                      string_agg(CASE WHEN fixed THEN tok
+                                      ELSE '<*>' END, ' '
+                        ORDER BY pos) AS template
+               FROM census GROUP BY 1, 2)
+      SELECT template, n_lines, n_wild FROM tmpl WHERE n_lines >= 2
+      ORDER BY n_lines DESC, template""",
+
+    "q248_reconcile_columns" -> """
+      WITH prev AS (SELECT doc_id, source, lang, n_chars
+                    FROM documents),
+      v2 AS (SELECT doc_id,
+                    CASE WHEN doc_id % 7 = 0 THEN 'migrated'
+                         ELSE source END AS source,
+                    lang,
+                    CASE WHEN doc_id % 11 = 0 THEN n_chars + 1
+                         ELSE n_chars END AS n_chars
+             FROM documents WHERE doc_id % 13 <> 0
+             UNION ALL
+             SELECT doc_id + 1000000, source, lang, n_chars
+             FROM documents WHERE doc_id % 17 = 0),
+      j AS (SELECT p.doc_id AS pk, c.doc_id AS ck,
+                   p.source AS ps, c.source AS cs,
+                   p.lang AS pl, c.lang AS cl,
+                   p.n_chars AS pn, c.n_chars AS cn
+            FROM prev p FULL OUTER JOIN v2 c ON p.doc_id = c.doc_id)
+      SELECT metric, n FROM (
+        SELECT 'added' AS metric, CAST(sum(CASE WHEN pk IS NULL
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n FROM j
+        UNION ALL SELECT 'removed', CAST(sum(CASE WHEN ck IS NULL
+                 THEN 1 ELSE 0 END) AS BIGINT) FROM j
+        UNION ALL SELECT 'matched', CAST(sum(CASE WHEN pk IS NOT NULL
+                 AND ck IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 FROM j
+        UNION ALL SELECT 'changed_any', CAST(sum(CASE WHEN
+                 pk IS NOT NULL AND ck IS NOT NULL AND
+                 (ps IS DISTINCT FROM cs OR pl IS DISTINCT FROM cl
+                  OR pn IS DISTINCT FROM cn) THEN 1 ELSE 0 END)
+                 AS BIGINT) FROM j
+        UNION ALL SELECT 'changed:source', CAST(sum(CASE WHEN
+                 pk IS NOT NULL AND ck IS NOT NULL AND
+                 ps IS DISTINCT FROM cs THEN 1 ELSE 0 END) AS BIGINT)
+                 FROM j
+        UNION ALL SELECT 'changed:lang', CAST(sum(CASE WHEN
+                 pk IS NOT NULL AND ck IS NOT NULL AND
+                 pl IS DISTINCT FROM cl THEN 1 ELSE 0 END) AS BIGINT)
+                 FROM j
+        UNION ALL SELECT 'changed:n_chars', CAST(sum(CASE WHEN
+                 pk IS NOT NULL AND ck IS NOT NULL AND
+                 pn IS DISTINCT FROM cn THEN 1 ELSE 0 END) AS BIGINT)
+                 FROM j)
+      ORDER BY metric""",
+
+    "q249_autocorr" -> """
+      WITH daily AS (SELECT event_type,
+                            date_diff('day', DATE '1970-01-01',
+                              CAST(ts AS DATE)) AS eday,
+                            CAST(count(*) AS BIGINT) AS x
+                     FROM events GROUP BY 1, 2),
+      lags(lag) AS (VALUES (1), (2), (3), (7)),
+      pr AS (SELECT a.event_type, l.lag, a.x AS x, b.x AS y
+             FROM daily a CROSS JOIN lags l
+             JOIN daily b ON b.event_type = a.event_type
+                         AND b.eday = a.eday + l.lag),
+      s AS (SELECT event_type, lag, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x * x) AS BIGINT) AS sxx,
+                   CAST(sum(y * y) AS BIGINT) AS syy,
+                   CAST(sum(x * y) AS BIGINT) AS sxy
+            FROM pr GROUP BY 1, 2)
+      SELECT event_type, lag, n,
+             n * sxy - sx * sy AS num,
+             n * sxx - sx * sx AS den_x,
+             n * syy - sy * sy AS den_y,
+             CASE WHEN n * sxx - sx * sx > 0 AND
+                       n * syy - sy * sy > 0 THEN
+               CAST(n * sxy - sx * sy AS DOUBLE) /
+                 (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+                  sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+             END AS r
+      FROM s ORDER BY event_type, lag""",
+
+    // lazy-refill token bucket replayed as a list_reduce over a
+    // BIGINT[4] state [tokens, last_minute, accepted, rejected] — a
+    // LIST, not a struct: DuckDB v1.0.0 list_reduce mutates struct
+    // accumulator fields IN PLACE field-by-field (a later field
+    // reading s.x sees the new value); list construction evaluates
+    // all elements against the old state. The engine's explicit-init
+    // aggregate() is mirrored by prepending a state-shaped sentinel.
+    "q250_rate_limit" -> """
+      WITH e AS (SELECT user_id, epoch_us(ts) AS u, event_id,
+                        epoch_us(ts) // 60000000 AS m
+                 FROM events),
+      l AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                   list_prepend([CAST(3 AS BIGINT), -1, 0, 0],
+                     list([CAST(0 AS BIGINT), m, 0, 0]
+                       ORDER BY u, event_id)) AS xs
+            FROM e GROUP BY user_id),
+      f AS (SELECT user_id, n_events,
+                   list_reduce(xs, (s, x) -> [
+                     least(3, s[1] + CASE WHEN s[2] < 0 THEN 0
+                         ELSE x[2] - s[2] END)
+                       - CASE WHEN least(3, s[1] + CASE WHEN s[2] < 0
+                           THEN 0 ELSE x[2] - s[2] END) >= 1
+                         THEN 1 ELSE 0 END,
+                     x[2],
+                     s[3] + CASE WHEN least(3, s[1] + CASE WHEN
+                         s[2] < 0 THEN 0 ELSE x[2] - s[2] END) >= 1
+                       THEN 1 ELSE 0 END,
+                     s[4] + CASE WHEN least(3, s[1] + CASE WHEN
+                         s[2] < 0 THEN 0 ELSE x[2] - s[2] END) >= 1
+                       THEN 0 ELSE 1 END]) AS st
+            FROM l)
+      SELECT user_id, n_events, st[3] AS n_accepted,
+             st[4] AS n_rejected, st[1] AS tokens_left
+      FROM f ORDER BY user_id""",
+
+    "q251_source_similarity" -> """
+      WITH tk AS (SELECT source, unnest(list_filter(
+                    string_split_regex(lower(trim(text)), '\s+'),
+                    x -> length(x) > 0)) AS tok
+                  FROM documents),
+      c AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+            FROM tk GROUP BY 1, 2),
+      norms AS (SELECT source, CAST(sum(c * c) AS BIGINT) AS norm2
+                FROM c GROUP BY 1),
+      dots AS (SELECT a.source AS source_a, b.source AS source_b,
+                      CAST(sum(a.c * b.c) AS BIGINT) AS dot
+               FROM c a JOIN c b ON a.tok = b.tok
+                                AND a.source < b.source
+               GROUP BY 1, 2)
+      SELECT d.source_a, d.source_b, d.dot,
+             na.norm2 AS norm2_a, nb.norm2 AS norm2_b,
+             CAST(d.dot AS DOUBLE) /
+               (sqrt(CAST(na.norm2 AS DOUBLE)) *
+                sqrt(CAST(nb.norm2 AS DOUBLE))) AS cosine
+      FROM dots d
+      JOIN norms na ON na.source = d.source_a
+      JOIN norms nb ON nb.source = d.source_b
+      ORDER BY d.source_a, d.source_b""",
+
+    "q252_abc_pareto" -> """
+      WITH rev AS (SELECT l_partkey,
+                          CAST(sum(CAST(round(l_extendedprice * 100)
+                            AS BIGINT)) AS BIGINT) AS cents
+                   FROM lineitem GROUP BY 1),
+      c AS (SELECT l_partkey, cents,
+                   CAST(sum(cents) OVER (ORDER BY cents DESC,
+                     l_partkey ROWS BETWEEN UNBOUNDED PRECEDING AND
+                     CURRENT ROW) AS BIGINT) AS cum,
+                   CAST(sum(cents) OVER () AS BIGINT) AS tot
+            FROM rev)
+      SELECT CASE WHEN cum * 5 <= tot * 4 THEN 'A'
+                  WHEN cum * 20 <= tot * 19 THEN 'B'
+                  ELSE 'C' END AS class,
+             CAST(count(*) AS BIGINT) AS n_parts,
+             CAST(sum(cents) AS BIGINT) AS class_cents
+      FROM c GROUP BY 1 ORDER BY 1"""
   )
 
   /** Shared q157/q178 oracle: the order-fixed EWMA left fold, seeded
