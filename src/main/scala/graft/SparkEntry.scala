@@ -5777,6 +5777,99 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_parts"),
           sum(col("cents")).as("class_cents"))
         .orderBy(col("class"))
+    },
+
+    // --- STREAMING token-bucket admission (q250's online twin): the
+    //     same lazy-refill arithmetic in mapGroupsWithState keyed
+    //     state, the backlog drained as 3 chronological micro-batches
+    //     (the q211 drain shape); the final update per key must equal
+    //     the batch replay, so the oracle is q250's SQL verbatim. ---
+    "q253_stream_rate_limit" -> { (spark, dir) =>
+      val events = EventStream.normalizeEventTime(
+          tbl(spark, dir, "events"))
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val us = unix_micros(col("ts"))
+      val b = events.agg(min(us).as("lo"), max(us).as("hi"))
+        .collect()(0)
+      val (lo, hi) = (b.getLong(0), b.getLong(1))
+      val cut1 = lo + (hi - lo) / 3
+      val cut2 = lo + 2 * ((hi - lo) / 3)
+      val src = Scratch.dir("graft_q253").toString + "/ev"
+      EventStream.writeOrderedBatches(Seq(
+        events.filter(us <= cut1),
+        events.filter(us > cut1 && us <= cut2),
+        events.filter(us > cut2)), src)
+      val stream = spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val updates = EventStream.streamingTokenBucket(stream, "user_id",
+        "ts", "event_id", capacity = 3L)
+      EventStream.runToCompletion(spark, updates, mode = "update")
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("n_events"), col("n_accepted"),
+          col("n_rejected"), col("tokens_left"))).as("__f"))
+        .select(col("user_id"), col("__f.n_events").as("n_events"),
+          col("__f.n_accepted").as("n_accepted"),
+          col("__f.n_rejected").as("n_rejected"),
+          col("__f.tokens_left").as("tokens_left"))
+        .orderBy(col("user_id"))
+    },
+
+    // --- INTER-ARRIVAL BURSTINESS census (bot/abuse shape signal):
+    //     per user, integer-minute gaps between consecutive events
+    //     (entity-partitioned lag), exact power sums, and the
+    //     coefficient-of-variation² as an exact integer num/den pair
+    //     (cv2 = (n·Σd²−(Σd)²) / (Σd)²) with the double dividing
+    //     once at the end. High cv² = bursty, ~0 = metronomic. ---
+    "q254_burstiness" -> { (spark, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      val gaps = tbl(spark, dir, "events")
+        .select(col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("us"),
+          col("event_id"))
+        .withColumn("__prev", lag(col("us"), 1).over(w))
+        .filter(col("__prev").isNotNull)
+        .select(col("user_id"), expr("(us - __prev) div 60000000")
+          .as("d"))
+      gaps.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_gaps"),
+          sum(col("d")).as("sum_min"),
+          sum(col("d") * col("d")).as("__sdd"),
+          max(col("d")).as("max_gap_min"))
+        .withColumn("var_num",
+          col("n_gaps") * col("__sdd") - col("sum_min") * col("sum_min"))
+        .withColumn("cv2",
+          when(col("sum_min") > 0, col("var_num").cast("double") /
+            (col("sum_min") * col("sum_min")).cast("double")))
+        .select(col("user_id"), col("n_gaps"), col("sum_min"),
+          col("max_gap_min"), col("var_num"), col("cv2"))
+        .orderBy(col("user_id"))
+    },
+
+    // --- ORDER-INDEPENDENT CONTENT FINGERPRINT per source (the
+    //     partition-manifest primitive: compare fingerprints, row-diff
+    //     only what moved): modular md5 content sum — commutative, so
+    //     partitioning/row order never changes it. ---
+    "q255_table_fingerprint" -> { (spark, dir) =>
+      graft.operators.Fingerprint.contentFingerprint(
+          tbl(spark, dir, "documents"), col("source"),
+          Seq(col("doc_id"), col("lang"), col("n_chars")))
+        .select(col("grp").as("source"), col("n_rows"), col("fp"))
+        .orderBy(col("source"))
+    },
+
+    // --- k-CORE PEELING (4 fixed rounds, k=8) on the q147 part
+    //     co-occurrence graph: rounds drop nodes with degree < k and
+    //     recompute — the dense-subgraph / hub-spam separator. The
+    //     bounded-round contract makes the oracle a 4×-chained CTE
+    //     replay (the q219/q221 discipline). ---
+    "q256_kcore" -> { (spark, dir) =>
+      val li = tbl(spark, dir, "lineitem")
+        .filter(pmod(col("l_partkey"), lit(4)) === 0)
+      val edges = graft.operators.Graph.coOccurrenceEdges(li,
+        col("l_orderkey"), col("l_partkey"))
+      graft.operators.Graph.kCorePeel(edges, k = 8, rounds = 4)
+        .orderBy(col("node"))
     }
   )
 
@@ -10866,40 +10959,12 @@ object SparkEntry {
              END AS r
       FROM s ORDER BY event_type, lag""",
 
-    // lazy-refill token bucket replayed as a list_reduce over a
-    // BIGINT[4] state [tokens, last_minute, accepted, rejected] — a
-    // LIST, not a struct: DuckDB v1.0.0 list_reduce mutates struct
-    // accumulator fields IN PLACE field-by-field (a later field
-    // reading s.x sees the new value); list construction evaluates
-    // all elements against the old state. The engine's explicit-init
-    // aggregate() is mirrored by prepending a state-shaped sentinel.
-    "q250_rate_limit" -> """
-      WITH e AS (SELECT user_id, epoch_us(ts) AS u, event_id,
-                        epoch_us(ts) // 60000000 AS m
-                 FROM events),
-      l AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
-                   list_prepend([CAST(3 AS BIGINT), -1, 0, 0],
-                     list([CAST(0 AS BIGINT), m, 0, 0]
-                       ORDER BY u, event_id)) AS xs
-            FROM e GROUP BY user_id),
-      f AS (SELECT user_id, n_events,
-                   list_reduce(xs, (s, x) -> [
-                     least(3, s[1] + CASE WHEN s[2] < 0 THEN 0
-                         ELSE x[2] - s[2] END)
-                       - CASE WHEN least(3, s[1] + CASE WHEN s[2] < 0
-                           THEN 0 ELSE x[2] - s[2] END) >= 1
-                         THEN 1 ELSE 0 END,
-                     x[2],
-                     s[3] + CASE WHEN least(3, s[1] + CASE WHEN
-                         s[2] < 0 THEN 0 ELSE x[2] - s[2] END) >= 1
-                       THEN 1 ELSE 0 END,
-                     s[4] + CASE WHEN least(3, s[1] + CASE WHEN
-                         s[2] < 0 THEN 0 ELSE x[2] - s[2] END) >= 1
-                       THEN 0 ELSE 1 END]) AS st
-            FROM l)
-      SELECT user_id, n_events, st[3] AS n_accepted,
-             st[4] AS n_rejected, st[1] AS tokens_left
-      FROM f ORDER BY user_id""",
+    "q250_rate_limit" -> rateLimitSql,
+
+    // the streaming twin folds the SAME arithmetic in keyed state
+    // across chronological micro-batches — stream/batch parity means
+    // sharing the batch replay oracle verbatim (the q143/q144 pattern)
+    "q253_stream_rate_limit" -> rateLimitSql,
 
     "q251_source_similarity" -> """
       WITH tk AS (SELECT source, unnest(list_filter(
@@ -10941,8 +11006,100 @@ object SparkEntry {
                   ELSE 'C' END AS class,
              CAST(count(*) AS BIGINT) AS n_parts,
              CAST(sum(cents) AS BIGINT) AS class_cents
-      FROM c GROUP BY 1 ORDER BY 1"""
+      FROM c GROUP BY 1 ORDER BY 1""",
+
+    "q254_burstiness" -> """
+      WITH g AS (SELECT user_id,
+                        (epoch_us(ts) - lag(epoch_us(ts)) OVER
+                          (PARTITION BY user_id
+                           ORDER BY epoch_us(ts), event_id))
+                          // 60000000 AS d
+                 FROM events),
+      s AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+                   CAST(sum(d) AS BIGINT) AS sum_min,
+                   CAST(sum(d * d) AS BIGINT) AS sdd,
+                   CAST(max(d) AS BIGINT) AS max_gap_min
+            FROM g WHERE d IS NOT NULL GROUP BY 1)
+      SELECT user_id, n_gaps, sum_min, max_gap_min,
+             n_gaps * sdd - sum_min * sum_min AS var_num,
+             CASE WHEN sum_min > 0 THEN
+               CAST(n_gaps * sdd - sum_min * sum_min AS DOUBLE) /
+                 CAST(sum_min * sum_min AS DOUBLE)
+             END AS cv2
+      FROM s ORDER BY user_id""",
+
+    "q255_table_fingerprint" -> """
+      SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CAST(('0x' || substring(md5(
+                 CAST(doc_id AS VARCHAR) || '|' || lang || '|' ||
+                 CAST(n_chars AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 2147483647) % 2147483647 AS BIGINT) AS fp
+      FROM documents GROUP BY source ORDER BY source""",
+
+    "q256_kcore" -> """
+      WITH m AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+                 FROM lineitem WHERE l_partkey % 4 = 0),
+      e0 AS (SELECT DISTINCT a.i AS src, b.i AS dst
+             FROM m a JOIN m b USING (g) WHERE a.i <> b.i),
+      b1 AS (SELECT src FROM (SELECT src, count(*) AS deg FROM e0
+               GROUP BY 1) WHERE deg < 8),
+      e1 AS (SELECT * FROM e0
+             WHERE src NOT IN (SELECT src FROM b1)
+               AND dst NOT IN (SELECT src FROM b1)),
+      b2 AS (SELECT src FROM (SELECT src, count(*) AS deg FROM e1
+               GROUP BY 1) WHERE deg < 8),
+      e2 AS (SELECT * FROM e1
+             WHERE src NOT IN (SELECT src FROM b2)
+               AND dst NOT IN (SELECT src FROM b2)),
+      b3 AS (SELECT src FROM (SELECT src, count(*) AS deg FROM e2
+               GROUP BY 1) WHERE deg < 8),
+      e3 AS (SELECT * FROM e2
+             WHERE src NOT IN (SELECT src FROM b3)
+               AND dst NOT IN (SELECT src FROM b3)),
+      b4 AS (SELECT src FROM (SELECT src, count(*) AS deg FROM e3
+               GROUP BY 1) WHERE deg < 8),
+      e4 AS (SELECT * FROM e3
+             WHERE src NOT IN (SELECT src FROM b4)
+               AND dst NOT IN (SELECT src FROM b4))
+      SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+      FROM e4 GROUP BY 1 ORDER BY 1"""
   )
+
+  /** Shared q250/q253 oracle — lazy-refill token bucket replayed as a
+    * list_reduce over a BIGINT[4] state [tokens, last_minute,
+    * accepted, rejected]. A LIST, not a struct: DuckDB v1.0.0
+    * list_reduce mutates STRUCT accumulator fields in place,
+    * field-by-field (a later field reading s.x sees the new value);
+    * list construction evaluates every element against the old state.
+    * The engine's explicit-init aggregate() (batch) / keyed-state fold
+    * (stream) is mirrored by prepending a state-shaped sentinel. */
+  private val rateLimitSql: String = """
+      WITH e AS (SELECT user_id, epoch_us(ts) AS u, event_id,
+                        epoch_us(ts) // 60000000 AS m
+                 FROM events),
+      l AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                   list_prepend([CAST(3 AS BIGINT), -1, 0, 0],
+                     list([CAST(0 AS BIGINT), m, 0, 0]
+                       ORDER BY u, event_id)) AS xs
+            FROM e GROUP BY user_id),
+      f AS (SELECT user_id, n_events,
+                   list_reduce(xs, (s, x) -> [
+                     least(3, s[1] + CASE WHEN s[2] < 0 THEN 0
+                         ELSE x[2] - s[2] END)
+                       - CASE WHEN least(3, s[1] + CASE WHEN s[2] < 0
+                           THEN 0 ELSE x[2] - s[2] END) >= 1
+                         THEN 1 ELSE 0 END,
+                     x[2],
+                     s[3] + CASE WHEN least(3, s[1] + CASE WHEN
+                         s[2] < 0 THEN 0 ELSE x[2] - s[2] END) >= 1
+                       THEN 1 ELSE 0 END,
+                     s[4] + CASE WHEN least(3, s[1] + CASE WHEN
+                         s[2] < 0 THEN 0 ELSE x[2] - s[2] END) >= 1
+                       THEN 0 ELSE 1 END]) AS st
+            FROM l)
+      SELECT user_id, n_events, st[3] AS n_accepted,
+             st[4] AS n_rejected, st[1] AS tokens_left
+      FROM f ORDER BY user_id"""
 
   /** Shared q157/q178 oracle: the order-fixed EWMA left fold, seeded
     * with each user's first value (list_reduce seeds with the first

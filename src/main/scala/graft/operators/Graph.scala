@@ -473,4 +473,32 @@ object Graph {
     if (dangling != null) dangling.unpersist(blocking = false)
     pr
   }
+
+  /** FIXED-ROUND k-core peeling over a symmetric edge set (the
+    * [[coOccurrenceEdges]] shape): each round drops every node whose
+    * current degree is < k, with its edges, and the survivors'
+    * degrees are recomputed — the standard dense-subgraph /
+    * spam-hub separator. Exact k-core peels to a fixpoint; the round
+    * count here is PART OF THE OPERATOR CONTRACT (the bounded-round
+    * discipline of q219/q221's PageRank and label propagation) so a
+    * relational oracle can replay it as R chained CTEs. On real
+    * graphs peeling converges in a handful of rounds; callers needing
+    * the fixpoint raise `rounds` until the output stops changing.
+    *
+    * Shape per round: one map-side-combining degree census + two
+    * anti-joins on the (small, shrinking) dropped-node set — no
+    * broadcast hints (AQE decides; the round-6 PageRank lesson), no
+    * node ever holds more than its own adjacency. Emits surviving
+    * (node, deg) after R rounds. */
+  def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, "need k >= 1 and rounds >= 1")
+    var e = edges.select(col("src"), col("dst"))
+    for (_ <- 1 to rounds) {
+      val bad = e.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
+        .filter(col("__deg") < k).select(col("src").as("__bad"))
+      e = e.join(bad, col("src") === col("__bad"), "left_anti")
+        .join(bad, col("dst") === col("__bad"), "left_anti")
+    }
+    e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+  }
 }

@@ -331,6 +331,47 @@ object EventStream {
       .toDF(entity, "n_events", "cusum")
   }
 
+  /** Streaming token-bucket admission — the ONLINE twin of
+    * [[graft.operators.RateLimit.tokenBucket]]: per-key state is four
+    * longs (tokens, last-minute, accepted, rejected); each micro-batch
+    * folds its rows in (event-time, id) order with the identical
+    * lazy-refill arithmetic, so the final update per key equals the
+    * batch replay over the full log and the two share one SQL oracle.
+    * This is the shape an ingestion edge actually runs at stream
+    * rates: admission state bounded per key, decisions in-line with
+    * arrival, no log scan. Same intra-key ordering contract as
+    * [[streamingEwma]] (batches chronological per key). */
+  def streamingTokenBucket(events: DataFrame, entity: String,
+                           tsCol: String, idCol: String, capacity: Long,
+                           refillPerMin: Long = 1L,
+                           cost: Long = 1L): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    events.select(col(entity).cast("long"),
+        unix_micros(asEventTime(tsCol)), col(idCol).cast("long"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long, Long, Long),
+          (Long, Long, Long, Long, Long)](
+        GroupStateTimeout.NoTimeout()) { (key, rows, state) =>
+        val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+        var (tokens, last, acc, rej) =
+          state.getOption.getOrElse((capacity, -1L, 0L, 0L))
+        sorted.foreach { r =>
+          val m = r._2 / 60000000L // epoch us are non-negative
+          val gain = if (last < 0) 0L else (m - last) * refillPerMin
+          tokens = math.min(capacity, tokens + gain)
+          if (tokens >= cost) { tokens -= cost; acc += 1 } else rej += 1
+          last = m
+        }
+        state.update((tokens, last, acc, rej))
+        (key, acc + rej, acc, rej, tokens)
+      }
+      .toDF(entity, "n_events", "n_accepted", "n_rejected",
+        "tokens_left")
+  }
+
   /** [[runningCountsTtl]] on the MODERN arbitrary-state API
     * (`transformWithState`, Spark 4.x): same semantics — per-key
     * running counts whose state expires `ttl` after the key's last

@@ -183,4 +183,22 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(e === Set((10L, 20L), (20L, 10L), (20L, 30L), (30L, 20L)))
   }
+
+  test("kCorePeel: matches the sequential peel; a clique survives, " +
+      "its pendant tail peels away round by round") {
+    // K4 on {1,2,3,4} (degree 3 inside) + tail 4-5-6: 6 peels in
+    // round 1 (deg 1), 5 in round 2 — peeling CASCADES, a one-shot
+    // degree filter would keep 5
+    val und = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val out = Graph.kCorePeel(edges, k = 2, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // one round only: 6 dropped, 5 still present (deg 1 by then —
+    // the not-yet-converged state the fixed-round contract exposes)
+    val r1 = Graph.kCorePeel(edges, k = 2, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1.contains(5L) && !r1.contains(6L))
+  }
 }

@@ -107,6 +107,41 @@ class EventStreamSpec extends SparkSpec {
     spark.catalog.dropTempView(name)
   }
 
+  test("streamingTokenBucket: state carries across micro-batches — " +
+      "burst drains the bucket, idle minutes refill it") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    def ts(m: Int, s: Int) =
+      java.sql.Timestamp.valueOf(f"2026-01-01 00:$m%02d:$s%02d")
+    val limited = EventStream.streamingTokenBucket(
+      input.toDF().toDF("user_id", "ts", "event_id"),
+      "user_id", "ts", "event_id", capacity = 2L)
+    val name = "graft_bucket_spec"
+    val q = limited.writeStream.format("memory").queryName(name)
+      .outputMode("update").start()
+    try {
+      // batch 1: 3 events in minute 0 against capacity 2 -> 1 reject
+      input.addData((1L, ts(0, 1), 1L), (1L, ts(0, 2), 2L),
+        (1L, ts(0, 3), 3L))
+      q.processAllAvailable()
+      // batch 2: minute 2 (2 idle minutes refill to cap... the bucket
+      // was at 0, +2 -> 2): both events of the new burst accepted,
+      // PROVING the (tokens, last) state crossed the batch boundary
+      input.addData((1L, ts(2, 1), 4L), (1L, ts(2, 2), 5L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(rows.contains((1L, 3L, 2L, 1L, 0L)),
+      s"after batch 1: 2 accepted, 1 rejected, bucket empty: $rows")
+    assert(rows.contains((1L, 5L, 4L, 1L, 0L)),
+      s"after batch 2: refill let both through (acc 4), no new " +
+        s"rejects — state crossed the batch boundary: $rows")
+  }
+
   test("runningCountsTws: transformWithState twin of the TTL semantics") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
