@@ -5870,6 +5870,132 @@ object SparkEntry {
         col("l_orderkey"), col("l_partkey"))
       graft.operators.Graph.kCorePeel(edges, k = 8, rounds = 4)
         .orderBy(col("node"))
+    },
+
+    // --- INCREMENTAL MANIFEST MERGE law on real data: fingerprint the
+    //     even/odd doc_id halves separately, merge additively, and
+    //     compare against fingerprinting the whole table — the oracle
+    //     replays both paths, so a hash match PROVES the additive
+    //     composition (what lets a 100 TB manifest update per
+    //     partition without re-scanning history). ---
+    "q257_fingerprint_merge" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+      val cols = Seq(col("doc_id"), col("lang"), col("n_chars"))
+      def fp(d: org.apache.spark.sql.DataFrame) =
+        graft.operators.Fingerprint.contentFingerprint(d,
+          col("source"), cols)
+      val whole = fp(docs)
+      val merged = graft.operators.Fingerprint.merge(
+        fp(docs.filter(pmod(col("doc_id"), lit(2)) === 0)),
+        fp(docs.filter(pmod(col("doc_id"), lit(2)) =!= 0)))
+      whole.join(merged.select(col("grp"),
+          col("n_rows").as("n_rows_merged"),
+          col("fp").as("fp_merged")), Seq("grp"))
+        .select(col("grp").as("source"), col("n_rows"), col("fp"),
+          col("n_rows_merged"), col("fp_merged"),
+          (col("fp") === col("fp_merged") &&
+            col("n_rows") === col("n_rows_merged")).as("merge_ok"))
+        .orderBy(col("source"))
+    },
+
+    // --- SESSION RUN-LENGTH ENCODING census: per user, consecutive
+    //     same-event-type runs (the sequence-compression readout for
+    //     training-data prep: how redundant are raw event streams).
+    //     Lag-change flags + running sum = run ids (the SCD2 island
+    //     machinery), exact integer ratio emitted as num/den. ---
+    "q258_session_rle" -> { (spark, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      val runs = tbl(spark, dir, "events")
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_micros(col("ts").cast("timestamp")).as("us"))
+        .withColumn("__chg",
+          when(lag(col("event_type"), 1).over(w).isNull ||
+            lag(col("event_type"), 1).over(w) =!= col("event_type"),
+            1L).otherwise(0L))
+        .withColumn("__run", sum(col("__chg")).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id"))
+            .orderBy(col("us"), col("event_id"))
+            .rowsBetween(org.apache.spark.sql.expressions.Window
+              .unboundedPreceding, org.apache.spark.sql.expressions
+              .Window.currentRow)))
+      val perRun = runs.groupBy(col("user_id"), col("__run"))
+        .agg(count(lit(1)).as("__len"))
+      perRun.groupBy(col("user_id"))
+        .agg(sum(col("__len")).as("n_events"),
+          count(lit(1)).as("n_runs"),
+          max(col("__len")).as("longest_run"))
+        .withColumn("compression",
+          col("n_events").cast("double") / col("n_runs").cast("double"))
+        .orderBy(col("user_id"))
+    },
+
+    // --- ASSOCIATION RULES over order baskets: directed part pairs
+    //     with support (shared-basket count), confidence = supp(a,b)
+    //     / supp(a) and lift = supp(a,b)·N / (supp(a)·supp(b)) — all
+    //     exact integer numerators/denominators, the doubles divide
+    //     once. Pair volume is Σ|basket|² (baskets are small), never
+    //     catalog². Top 100 by support with a full deterministic
+    //     tiebreak. ---
+    "q259_assoc_rules" -> { (spark, dir) =>
+      val li = tbl(spark, dir, "lineitem")
+      val pairs = graft.operators.Graph.coOccurrenceEdgesWeighted(li,
+        col("l_orderkey"), col("l_partkey"))
+      val item = li.select(col("l_orderkey").as("g"),
+          col("l_partkey").as("i")).distinct()
+        .groupBy(col("i")).agg(count(lit(1)).as("n_i"))
+      val baskets = li.agg(
+        count_distinct(col("l_orderkey")).as("__nb"))
+      pairs.filter(col("w") >= 3)
+        .join(item.select(col("i").as("src"), col("n_i").as("n_src")),
+          Seq("src"))
+        .join(item.select(col("i").as("dst"), col("n_i").as("n_dst")),
+          Seq("dst"))
+        .crossJoin(broadcast(baskets))
+        .select(col("src"), col("dst"), col("w").as("support"),
+          col("n_src"), col("n_dst"),
+          (col("w") * col("__nb")).as("lift_num"),
+          (col("n_src") * col("n_dst")).as("lift_den"),
+          (col("w").cast("double") / col("n_src").cast("double"))
+            .as("confidence"),
+          ((col("w") * col("__nb")).cast("double") /
+            (col("n_src") * col("n_dst")).cast("double")).as("lift"))
+        .orderBy(col("support").desc, col("src"), col("dst"))
+        .limit(100)
+    },
+
+    // --- SEQUENCE NOVELTY (distribution shift on event ORDER, not
+    //     values): per user, the fraction of second-half event-type
+    //     bigram occurrences whose bigram never appeared in that
+    //     user's first half — halves split at the backlog's time
+    //     midpoint, bigrams formed within each half. Exact integer
+    //     counts; the anti-join is per-user keyed. ---
+    "q260_seq_novelty" -> { (spark, dir) =>
+      val ev = tbl(spark, dir, "events")
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_micros(col("ts").cast("timestamp")).as("us"))
+      val b = ev.agg(min(col("us")).as("lo"), max(col("us")).as("hi"))
+        .collect()(0)
+      val mid = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 2
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      def bigrams(half: org.apache.spark.sql.DataFrame) = half
+        .withColumn("__prev", lag(col("event_type"), 1).over(w))
+        .filter(col("__prev").isNotNull)
+        .select(col("user_id"), col("__prev").as("a"),
+          col("event_type").as("b"))
+      val train = bigrams(ev.filter(col("us") <= mid)).distinct()
+      val test = bigrams(ev.filter(col("us") > mid))
+      val novel = test.join(train, Seq("user_id", "a", "b"),
+        "left_anti")
+      test.groupBy(col("user_id")).agg(count(lit(1)).as("n_test"))
+        .join(novel.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_novel")), Seq("user_id"), "left")
+        .withColumn("n_novel", coalesce(col("n_novel"), lit(0L)))
+        .withColumn("novelty",
+          col("n_novel").cast("double") / col("n_test").cast("double"))
+        .orderBy(col("user_id"))
     }
   )
 
@@ -11062,7 +11188,110 @@ object SparkEntry {
              WHERE src NOT IN (SELECT src FROM b4)
                AND dst NOT IN (SELECT src FROM b4))
       SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
-      FROM e4 GROUP BY 1 ORDER BY 1"""
+      FROM e4 GROUP BY 1 ORDER BY 1""",
+
+    "q257_fingerprint_merge" -> """
+      WITH h AS (SELECT source, doc_id,
+                        CAST(('0x' || substring(md5(
+                          CAST(doc_id AS VARCHAR) || '|' || lang ||
+                          '|' || CAST(n_chars AS VARCHAR)), 1, 8))
+                          AS BIGINT) % 2147483647 AS hh
+                 FROM documents),
+      whole AS (SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+                       CAST(sum(hh) % 2147483647 AS BIGINT) AS fp
+                FROM h GROUP BY 1),
+      ev AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(hh) % 2147483647 AS BIGINT) AS f
+             FROM h WHERE doc_id % 2 = 0 GROUP BY 1),
+      od AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(hh) % 2147483647 AS BIGINT) AS f
+             FROM h WHERE doc_id % 2 <> 0 GROUP BY 1),
+      m AS (SELECT coalesce(ev.source, od.source) AS source,
+                   CAST(coalesce(ev.n, 0) + coalesce(od.n, 0)
+                     AS BIGINT) AS n_rows_merged,
+                   CAST((coalesce(ev.f, 0) + coalesce(od.f, 0))
+                     % 2147483647 AS BIGINT) AS fp_merged
+            FROM ev FULL OUTER JOIN od ON ev.source = od.source)
+      SELECT w.source, w.n_rows, w.fp, m.n_rows_merged, m.fp_merged,
+             (w.fp = m.fp_merged AND w.n_rows = m.n_rows_merged)
+               AS merge_ok
+      FROM whole w JOIN m USING (source) ORDER BY source""",
+
+    "q258_session_rle" -> """
+      WITH e AS (SELECT user_id, event_type, event_id,
+                        epoch_us(ts) AS us
+                 FROM events),
+      r AS (SELECT user_id, us, event_id,
+                   CASE WHEN lag(event_type) OVER (PARTITION BY
+                       user_id ORDER BY us, event_id)
+                     IS DISTINCT FROM event_type THEN 1 ELSE 0 END
+                     AS chg
+            FROM e),
+      rr AS (SELECT user_id, CAST(sum(chg) OVER (PARTITION BY user_id
+               ORDER BY us, event_id ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS run
+             FROM r),
+      pr AS (SELECT user_id, run, CAST(count(*) AS BIGINT) AS len
+             FROM rr GROUP BY 1, 2)
+      SELECT user_id, CAST(sum(len) AS BIGINT) AS n_events,
+             CAST(count(*) AS BIGINT) AS n_runs,
+             CAST(max(len) AS BIGINT) AS longest_run,
+             CAST(sum(len) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+               AS compression
+      FROM pr GROUP BY 1 ORDER BY 1""",
+
+    "q259_assoc_rules" -> """
+      WITH m AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+                 FROM lineitem),
+      p AS (SELECT a.i AS src, b.i AS dst,
+                   CAST(count(*) AS BIGINT) AS support
+            FROM m a JOIN m b USING (g) WHERE a.i <> b.i
+            GROUP BY 1, 2),
+      it AS (SELECT i, CAST(count(*) AS BIGINT) AS n_i
+             FROM m GROUP BY 1),
+      nb AS (SELECT CAST(count(DISTINCT g) AS BIGINT) AS n FROM m)
+      SELECT p.src, p.dst, p.support, a.n_i AS n_src, d.n_i AS n_dst,
+             p.support * nb.n AS lift_num,
+             a.n_i * d.n_i AS lift_den,
+             CAST(p.support AS DOUBLE) / CAST(a.n_i AS DOUBLE)
+               AS confidence,
+             CAST(p.support * nb.n AS DOUBLE) /
+               CAST(a.n_i * d.n_i AS DOUBLE) AS lift
+      FROM p JOIN it a ON a.i = p.src JOIN it d ON d.i = p.dst
+      CROSS JOIN nb
+      WHERE p.support >= 3
+      ORDER BY p.support DESC, p.src, p.dst LIMIT 100""",
+
+    "q260_seq_novelty" -> """
+      WITH e AS (SELECT user_id, event_type, event_id,
+                        epoch_us(ts) AS us
+                 FROM events),
+      bounds AS (SELECT min(us) + (max(us) - min(us)) // 2 AS mid
+                 FROM e),
+      tr AS (SELECT DISTINCT user_id, a, b FROM (
+               SELECT user_id, lag(event_type) OVER (PARTITION BY
+                   user_id ORDER BY us, event_id) AS a,
+                 event_type AS b
+               FROM e, bounds WHERE us <= mid)
+             WHERE a IS NOT NULL),
+      te AS (SELECT user_id, a, b FROM (
+               SELECT user_id, lag(event_type) OVER (PARTITION BY
+                   user_id ORDER BY us, event_id) AS a,
+                 event_type AS b
+               FROM e, bounds WHERE us > mid)
+             WHERE a IS NOT NULL),
+      nt AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_test
+             FROM te GROUP BY 1),
+      nv AS (SELECT te.user_id, CAST(count(*) AS BIGINT) AS n_novel
+             FROM te WHERE NOT EXISTS (SELECT 1 FROM tr
+               WHERE tr.user_id = te.user_id AND tr.a = te.a
+                 AND tr.b = te.b)
+             GROUP BY te.user_id)
+      SELECT nt.user_id, nt.n_test,
+             CAST(coalesce(nv.n_novel, 0) AS BIGINT) AS n_novel,
+             CAST(coalesce(nv.n_novel, 0) AS DOUBLE) /
+               CAST(nt.n_test AS DOUBLE) AS novelty
+      FROM nt LEFT JOIN nv USING (user_id) ORDER BY user_id"""
   )
 
   /** Shared q250/q253 oracle — lazy-refill token bucket replayed as a

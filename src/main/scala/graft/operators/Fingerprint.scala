@@ -38,4 +38,18 @@ object Fingerprint {
       .groupBy(col("grp"))
       .agg(count(lit(1)).as("n_rows"),
         pmod(sum(col("__h")), lit(M)).as("fp"))
+
+  /** Merge two fingerprint manifests: disjoint row sets compose
+    * ADDITIVELY ((fp₁+fp₂) mod M), which is what makes the scheme
+    * incremental — fingerprint only the new partition, fold it into
+    * the manifest, never re-scan history. */
+  def merge(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("grp"), col("n_rows").as("__n1"), col("fp").as("__f1"))
+      .join(b.select(col("grp"), col("n_rows").as("__n2"),
+        col("fp").as("__f2")), Seq("grp"), "full_outer")
+      .select(col("grp"),
+        (coalesce(col("__n1"), lit(0L)) + coalesce(col("__n2"), lit(0L)))
+          .as("n_rows"),
+        pmod(coalesce(col("__f1"), lit(0L)) +
+          coalesce(col("__f2"), lit(0L)), lit(M)).as("fp"))
 }
