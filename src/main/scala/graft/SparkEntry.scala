@@ -5996,6 +5996,28 @@ object SparkEntry {
         .withColumn("novelty",
           col("n_novel").cast("double") / col("n_test").cast("double"))
         .orderBy(col("user_id"))
+    },
+
+    // --- MAGIC-BYTE FORMAT SNIFFING census over synthesized media
+    //     blobs (doc_id%4 picks the container signature, text bytes
+    //     are the opaque body): the engine routes by ACTUAL bytes
+    //     (Multimodal.sniffFormat — codegen'd substring/hex, no
+    //     codec); the oracle derives expected formats and byte sizes
+    //     from the construction rule — independent ground truth. ---
+    "q261_media_sniff" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+      val magic = when(pmod(col("doc_id"), lit(4)) === 0,
+          lit("89504E470D0A1A0A"))
+        .when(pmod(col("doc_id"), lit(4)) === 1, lit("FFD8FFE0"))
+        .when(pmod(col("doc_id"), lit(4)) === 2, lit("52494646"))
+        .otherwise(lit("47494638"))
+      val payload = concat(unhex(magic), encode(col("text"), "UTF-8"))
+      docs.select(col("lang"),
+          graft.llm.Multimodal.sniffFormat(payload).as("format"),
+          length(payload).cast("long").as("n_bytes"))
+        .groupBy(col("format"), col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_bytes")).as("total_bytes"))
+        .orderBy(col("format"), col("lang"))
     }
   )
 
@@ -11291,7 +11313,17 @@ object SparkEntry {
              CAST(coalesce(nv.n_novel, 0) AS BIGINT) AS n_novel,
              CAST(coalesce(nv.n_novel, 0) AS DOUBLE) /
                CAST(nt.n_test AS DOUBLE) AS novelty
-      FROM nt LEFT JOIN nv USING (user_id) ORDER BY user_id"""
+      FROM nt LEFT JOIN nv USING (user_id) ORDER BY user_id""",
+
+    // ground truth from the construction rule, not a sniff replay:
+    // doc_id%4 chose the signature, so the oracle KNOWS the format
+    "q261_media_sniff" -> """
+      SELECT CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                  WHEN 2 THEN 'riff' ELSE 'gif' END AS format,
+             lang, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN doc_id % 4 = 0 THEN 8 ELSE 4 END
+               + octet_length(encode(text))) AS BIGINT) AS total_bytes
+      FROM documents GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 
   /** Shared q250/q253 oracle — lazy-refill token bucket replayed as a

@@ -30,6 +30,21 @@ object Multimodal {
            length(payload).cast(LongType).as("n_bytes"),
            xxhash64(payload).as("checksum"))
 
+  /** Container-format sniffing from MAGIC BYTES — the real first
+    * stage of any media ingest (route by actual content, never trust
+    * the extension/mime column): hex of the first 8 payload bytes
+    * matched against the public signatures. Pure byte ops on the
+    * binary column (codegen'd substring/hex — no codec, no UDF), so
+    * unlike the decode stubs this path is NOT environment-blocked. */
+  def sniffFormat(payload: Column): Column = {
+    val h = hex(substring(payload, 1, 8))
+    when(h.startsWith("89504E47"), lit("png"))
+      .when(h.startsWith("FFD8FF"), lit("jpeg"))
+      .when(h.startsWith("47494638"), lit("gif"))
+      .when(h.startsWith("52494646"), lit("riff"))
+      .otherwise(lit("unknown"))
+  }
+
   /** STUB decode: deterministic fake image properties from payload
     * hashes (stands in for a real codec; see object doc). Output schema
     * is the real contract: struct(width, height, channels, ok). Each
