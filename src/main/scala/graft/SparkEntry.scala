@@ -6018,6 +6018,102 @@ object SparkEntry {
         .groupBy(col("format"), col("lang"))
         .agg(count(lit(1)).as("n"), sum(col("n_bytes")).as("total_bytes"))
         .orderBy(col("format"), col("lang"))
+    },
+
+    // --- CONTINUOUS (interpolated) percentiles — the SQL-standard
+    //     percentile_cont complement to the discrete q231 rule: exact
+    //     per-group percentile() at DYADIC fractions over integer
+    //     cents, so index = (n−1)·p and the linear interpolation are
+    //     exact IEEE in both engines (dyadic products of ints < 2^53)
+    //     and the doubles hash-match unrounded. The per-group exact
+    //     aggregate is the small-group form; unbounded value grids
+    //     use ExactQuantile's histogram-refine instead. ---
+    "q262_percentile_cont" -> { (spark, dir) =>
+      tbl(spark, dir, "lineitem")
+        .select(col("l_returnflag"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          expr("percentile(v, array(0.25D, 0.5D, 0.75D))").as("__p"))
+        .select(col("l_returnflag"), col("n"),
+          col("__p").getItem(0).as("p25_cents"),
+          col("__p").getItem(1).as("p50_cents"),
+          col("__p").getItem(2).as("p75_cents"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // --- EQUI-WIDTH HISTOGRAM profiling: per event type, 10 integer
+    //     bins over the cents range [min, max] — bin edges and
+    //     assignment in pure integer arithmetic (bin = (v−lo)·10 div
+    //     (hi−lo+1)), the numeric-distribution census a profiler
+    //     (q161) reports next to its null/distinct counts. Two
+    //     passes: a per-type min/max census (broadcast back), then
+    //     the binned count — the corpus shuffles once on the type. ---
+    "q263_histogram_bins" -> { (spark, dir) =>
+      val ev = tbl(spark, dir, "events")
+        .select(col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+      val bounds = ev.groupBy(col("event_type"))
+        .agg(min(col("v")).as("__lo"), max(col("v")).as("__hi"))
+      ev.join(broadcast(bounds), Seq("event_type"))
+        .withColumn("bin",
+          expr("(v - __lo) * 10 div (__hi - __lo + 1)").cast("int"))
+        .groupBy(col("event_type"), col("bin"))
+        .agg(count(lit(1)).as("n"),
+          min(col("v")).as("bin_min"), max(col("v")).as("bin_max"))
+        .orderBy(col("event_type"), col("bin"))
+    },
+
+    // --- VOCABULARY OVERLAP matrix (set complement of q251's
+    //     frequency cosine — overlap predicts near-dup density when
+    //     planning dedup): per source pair, |A∩B| via the distinct
+    //     (source, token) census self-join, Jaccard and BOTH
+    //     containments as exact integer ratios. ---
+    "q264_vocab_overlap" -> { (spark, dir) =>
+      val vocab = tbl(spark, dir, "documents")
+        .select(col("source"),
+          explode(graft.llm.TextAnalysis.tokens(col("text"))).as("tok"))
+        .distinct()
+      val sizes = vocab.groupBy(col("source"))
+        .agg(count(lit(1)).as("sz"))
+      vocab.alias("a").join(vocab.alias("b"),
+          col("a.tok") === col("b.tok") &&
+          col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"),
+          col("b.source").as("source_b"))
+        .agg(count(lit(1)).as("n_common"))
+        .join(broadcast(sizes.select(col("source").as("source_a"),
+          col("sz").as("sz_a"))), Seq("source_a"))
+        .join(broadcast(sizes.select(col("source").as("source_b"),
+          col("sz").as("sz_b"))), Seq("source_b"))
+        .withColumn("jaccard", col("n_common").cast("double") /
+          (col("sz_a") + col("sz_b") - col("n_common")).cast("double"))
+        .withColumn("cont_a", col("n_common").cast("double") /
+          col("sz_a").cast("double"))
+        .select(col("source_a"), col("source_b"), col("n_common"),
+          col("sz_a"), col("sz_b"), col("jaccard"), col("cont_a"))
+        .orderBy(col("source_a"), col("source_b"))
+    },
+
+    // --- GROUPING SETS (the general form behind q47's rollup and
+    //     q92's cube): explicit set list (type, dow) / (type) /
+    //     (dow) / () with grouping_id disambiguating which NULLs are
+    //     subtotal markers vs data — one pass, Spark expands sets
+    //     map-side. ---
+    "q265_grouping_sets" -> { (spark, dir) =>
+      val ev = tbl(spark, dir, "events")
+        .select(col("event_type"),
+          (dayofweek(col("ts")) - 1).cast("long").as("dow"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      ev.createOrReplaceTempView("graft_q265_ev")
+      spark.sql("""
+        SELECT event_type, dow, grouping_id() AS gid,
+               CAST(count(*) AS BIGINT) AS n,
+               sum(cents) AS sum_cents
+        FROM graft_q265_ev
+        GROUP BY GROUPING SETS ((event_type, dow), (event_type),
+          (dow), ())
+        ORDER BY gid, event_type, dow""")
     }
   )
 
@@ -11323,7 +11419,73 @@ object SparkEntry {
              lang, CAST(count(*) AS BIGINT) AS n,
              CAST(sum(CASE WHEN doc_id % 4 = 0 THEN 8 ELSE 4 END
                + octet_length(encode(text))) AS BIGINT) AS total_bytes
-      FROM documents GROUP BY 1, 2 ORDER BY 1, 2"""
+      FROM documents GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q262_percentile_cont" -> """
+      WITH v AS (SELECT l_returnflag,
+                        CAST(round(l_extendedprice * 100) AS BIGINT)
+                          AS v
+                 FROM lineitem)
+      SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+             quantile_cont(v, 0.25) AS p25_cents,
+             quantile_cont(v, 0.5) AS p50_cents,
+             quantile_cont(v, 0.75) AS p75_cents
+      FROM v GROUP BY 1 ORDER BY 1""",
+
+    "q263_histogram_bins" -> """
+      WITH e AS (SELECT event_type,
+                        CAST(round(value * 100) AS BIGINT) AS v
+                 FROM events),
+      b AS (SELECT event_type, min(v) AS lo, max(v) AS hi
+            FROM e GROUP BY 1)
+      SELECT e.event_type,
+             CAST((e.v - b.lo) * 10 // (b.hi - b.lo + 1) AS INT)
+               AS bin,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(min(e.v) AS BIGINT) AS bin_min,
+             CAST(max(e.v) AS BIGINT) AS bin_max
+      FROM e JOIN b USING (event_type)
+      GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q264_vocab_overlap" -> """
+      WITH vocab AS (SELECT DISTINCT source, unnest(list_filter(
+                       string_split_regex(lower(trim(text)), '\s+'),
+                       x -> length(x) > 0)) AS tok
+                     FROM documents),
+      sz AS (SELECT source, CAST(count(*) AS BIGINT) AS sz
+             FROM vocab GROUP BY 1),
+      ov AS (SELECT a.source AS source_a, b.source AS source_b,
+                    CAST(count(*) AS BIGINT) AS n_common
+             FROM vocab a JOIN vocab b ON a.tok = b.tok
+                                      AND a.source < b.source
+             GROUP BY 1, 2)
+      SELECT o.source_a, o.source_b, o.n_common,
+             sa.sz AS sz_a, sb.sz AS sz_b,
+             CAST(o.n_common AS DOUBLE) /
+               CAST(sa.sz + sb.sz - o.n_common AS DOUBLE) AS jaccard,
+             CAST(o.n_common AS DOUBLE) / CAST(sa.sz AS DOUBLE)
+               AS cont_a
+      FROM ov o JOIN sz sa ON sa.source = o.source_a
+                JOIN sz sb ON sb.source = o.source_b
+      ORDER BY o.source_a, o.source_b""",
+
+    // gid derived from subtotal NULLs (the grouped columns are never
+    // null in the data, so NULL == subtotal marker): matches Spark's
+    // grouping_id() bit order (first GROUP BY column = MSB)
+    "q265_grouping_sets" -> """
+      WITH e AS (SELECT event_type, dayofweek(ts) AS dow,
+                        CAST(round(value * 100) AS BIGINT) AS cents
+                 FROM events)
+      SELECT event_type, dow,
+             CAST(CASE WHEN event_type IS NULL THEN 2 ELSE 0 END +
+                  CASE WHEN dow IS NULL THEN 1 ELSE 0 END AS BIGINT)
+               AS gid,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS sum_cents
+      FROM e
+      GROUP BY GROUPING SETS ((event_type, dow), (event_type),
+        (dow), ())
+      ORDER BY gid, event_type, dow"""
   )
 
   /** Shared q250/q253 oracle — lazy-refill token bucket replayed as a
