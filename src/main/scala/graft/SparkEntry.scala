@@ -6114,6 +6114,67 @@ object SparkEntry {
         GROUP BY GROUPING SETS ((event_type, dow), (event_type),
           (dow), ())
         ORDER BY gid, event_type, dow""")
+    },
+
+    // --- DETERMINISTIC PPS (probability-proportional-to-size)
+    //     SAMPLING: a fixed step-S grid over the cumulative revenue
+    //     line — part p is drawn n_hits = cum div S − (cum−cents)
+    //     div S times (big spenders can be drawn multiply, the PPS
+    //     contract). Zero RNG, exact integers, and the cumulative
+    //     line is built WITHOUT a global window via q252's bit-length
+    //     band decomposition. The audit-sampling primitive. ---
+    "q266_pps_sample" -> { (spark, dir) =>
+      val rev = tbl(spark, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+          .as("cents"))
+      val banded = rev.withColumn("band", length(bin(col("cents"))))
+      val bandTot = banded.groupBy(col("band"))
+        .agg(sum(col("cents")).as("__bc"))
+      val bandBefore = bandTot.alias("x")
+        .join(broadcast(bandTot.select(col("band").as("__b2"),
+          col("__bc").as("__bc2"))), col("__b2") > col("band"), "left")
+        .groupBy(col("band"))
+        .agg(coalesce(sum(col("__bc2")), lit(0L)).as("__before"))
+      val iw = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("band"))
+        .orderBy(col("cents").desc, col("l_partkey"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, org.apache.spark.sql.expressions.Window
+          .currentRow)
+      val tot = rev.agg(sum(col("cents")).as("__tot"))
+      banded.join(broadcast(bandBefore), Seq("band"))
+        .withColumn("__cum", col("__before") + sum(col("cents")).over(iw))
+        .crossJoin(broadcast(tot))
+        .withColumn("__s", expr("__tot div 200 + 1"))
+        .withColumn("n_hits",
+          expr("__cum div __s - (__cum - cents) div __s"))
+        .filter(col("n_hits") >= 1)
+        .select(col("l_partkey"), col("cents"), col("__cum").as("cum"),
+          col("n_hits"))
+        .orderBy(col("l_partkey"))
+    },
+
+    // --- CALENDAR GAP FILL (series densification): each type's daily
+    //     count series completed onto its full [min, max] day grid
+    //     with explicit zeros — the precondition for q232/q249-style
+    //     window math to mean what it says. The grid generates from
+    //     a per-type census row (sequence + explode), never from a
+    //     driver loop. ---
+    "q267_gap_fill" -> { (spark, dir) =>
+      val daily = tbl(spark, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val grid = daily.groupBy(col("event_type"))
+        .agg(min(col("day")).as("__lo"), max(col("day")).as("__hi"))
+        .select(col("event_type"),
+          explode(expr("sequence(__lo, __hi, interval 1 day)"))
+            .as("day"))
+      grid.join(daily, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          col("n").isNull.as("filled"))
+        .orderBy(col("event_type"), col("day"))
     }
   )
 
@@ -11485,7 +11546,45 @@ object SparkEntry {
       FROM e
       GROUP BY GROUPING SETS ((event_type, dow), (event_type),
         (dow), ())
-      ORDER BY gid, event_type, dow"""
+      ORDER BY gid, event_type, dow""",
+
+    "q266_pps_sample" -> """
+      WITH rev AS (SELECT l_partkey,
+                          CAST(sum(CAST(round(l_extendedprice * 100)
+                            AS BIGINT)) AS BIGINT) AS cents
+                   FROM lineitem GROUP BY 1),
+      c AS (SELECT l_partkey, cents,
+                   CAST(sum(cents) OVER (ORDER BY cents DESC,
+                     l_partkey ROWS BETWEEN UNBOUNDED PRECEDING AND
+                     CURRENT ROW) AS BIGINT) AS cum,
+                   CAST(sum(cents) OVER () AS BIGINT) AS tot
+            FROM rev),
+      s AS (SELECT l_partkey, cents, cum, tot // 200 + 1 AS step
+            FROM c)
+      SELECT l_partkey, cents, cum,
+             CAST(cum // step - (cum - cents) // step AS BIGINT)
+               AS n_hits
+      FROM s
+      WHERE cum // step - (cum - cents) // step >= 1
+      ORDER BY l_partkey""",
+
+    "q267_gap_fill" -> """
+      WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                            CAST(count(*) AS BIGINT) AS n
+                     FROM events GROUP BY 1, 2),
+      bounds AS (SELECT event_type, min(day) AS lo, max(day) AS hi
+                 FROM daily GROUP BY 1),
+      grid AS (SELECT event_type,
+                      CAST(unnest(generate_series(CAST(lo AS
+                        TIMESTAMP), CAST(hi AS TIMESTAMP),
+                        INTERVAL 1 DAY)) AS DATE) AS day
+               FROM bounds)
+      SELECT g.event_type, g.day,
+             CAST(coalesce(d.n, 0) AS BIGINT) AS n,
+             d.n IS NULL AS filled
+      FROM grid g LEFT JOIN daily d
+        ON d.event_type = g.event_type AND d.day = g.day
+      ORDER BY g.event_type, g.day"""
   )
 
   /** Shared q250/q253 oracle — lazy-refill token bucket replayed as a
