@@ -6175,6 +6175,64 @@ object SparkEntry {
           coalesce(col("n"), lit(0L)).as("n"),
           col("n").isNull.as("filled"))
         .orderBy(col("event_type"), col("day"))
+    },
+
+    // --- SFT PROMPT ASSEMBLY: each user's event history rendered as
+    //     a chat-format training string (ordered fold of
+    //     type=cents pieces between role markers), with the token
+    //     budget check that decides truncation BEFORE tokenization
+    //     cost is paid. Row-local after one collect per user; the
+    //     oracle is an ORDER BY string_agg — byte-identical strings
+    //     or nothing. ---
+    "q268_chat_render" -> { (spark, dir) =>
+      val ev = tbl(spark, dir, "events")
+        .select(col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("us"),
+          col("event_id"), col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      ev.groupBy(col("user_id"))
+        .agg(array_sort(collect_list(struct(col("us"), col("event_id"),
+          col("event_type"), col("cents")))).as("__xs"))
+        .select(col("user_id"),
+          size(col("__xs")).cast("long").as("n_events"),
+          concat(lit("<|user|> "),
+            array_join(transform(col("__xs"), e =>
+              concat(e.getField("event_type"), lit("="),
+                e.getField("cents").cast("string"))), " "),
+            lit(" <|end|>")).as("prompt"))
+        .select(col("user_id"), col("n_events"),
+          length(col("prompt")).cast("long").as("prompt_chars"),
+          graft.llm.TextAnalysis.tokenCount(col("prompt"))
+            .cast("long").as("n_tok"),
+          (graft.llm.TextAnalysis.tokenCount(col("prompt")) > 64)
+            .as("over_budget"),
+          substring(col("prompt"), 1, 80).as("prompt_head"))
+        .orderBy(col("user_id"))
+    },
+
+    // --- DPO PAIR ASSEMBLY: per source, the (chosen, rejected)
+    //     document pair by quality score — chosen = argmax(score,
+    //     tie→lowest id), rejected = argmin(score, tie→lowest id) —
+    //     via single-pass min/max struct aggregation (no per-source
+    //     sort), margins on the bit-exact q97 score. The preference-
+    //     pair construction step of RLHF data prep. ---
+    "q269_dpo_pairs" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+      val scored = graft.llm.QualityModel.classify(docs, col("text"))
+        .select(col("doc_id"), col("source"), col("score"))
+      scored.groupBy(col("source"))
+        .agg(
+          max(struct(col("score"), (-col("doc_id")).as("__nid"),
+            col("doc_id").as("__id"))).as("__c"),
+          min(struct(col("score"), col("doc_id").as("__id")))
+            .as("__r"))
+        .select(col("source"),
+          col("__c.__id").as("chosen_id"),
+          round(col("__c.score"), 6).as("chosen_score"),
+          col("__r.__id").as("rejected_id"),
+          round(col("__r.score"), 6).as("rejected_score"),
+          round(col("__c.score") - col("__r.score"), 6).as("margin"))
+        .orderBy(col("source"))
     }
   )
 
@@ -11584,7 +11642,49 @@ object SparkEntry {
              d.n IS NULL AS filled
       FROM grid g LEFT JOIN daily d
         ON d.event_type = g.event_type AND d.day = g.day
-      ORDER BY g.event_type, g.day"""
+      ORDER BY g.event_type, g.day""",
+
+    "q268_chat_render" -> """
+      WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+                        event_type,
+                        CAST(round(value * 100) AS BIGINT) AS cents
+                 FROM events),
+      p AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                   '<|user|> ' || string_agg(event_type || '=' ||
+                     CAST(cents AS VARCHAR), ' '
+                     ORDER BY us, event_id) || ' <|end|>' AS prompt
+            FROM e GROUP BY user_id),
+      tk AS (SELECT user_id, n_events, prompt,
+                    CAST(len(list_filter(string_split_regex(
+                      lower(trim(prompt)), '\s+'),
+                      x -> length(x) > 0)) AS BIGINT) AS n_tok
+             FROM p)
+      SELECT user_id, n_events,
+             CAST(length(prompt) AS BIGINT) AS prompt_chars,
+             n_tok, n_tok > 64 AS over_budget,
+             substring(prompt, 1, 80) AS prompt_head
+      FROM tk ORDER BY user_id""",
+
+    "q269_dpo_pairs" -> s"""
+      WITH $q97ScorePrefixSql,
+      sc AS (SELECT s.doc_id, d.source, s.score
+             FROM s JOIN documents d USING (doc_id)),
+      ch AS (SELECT source, doc_id, score, row_number() OVER
+               (PARTITION BY source ORDER BY score DESC, doc_id ASC)
+               AS rn
+             FROM sc),
+      rj AS (SELECT source, doc_id, score, row_number() OVER
+               (PARTITION BY source ORDER BY score ASC, doc_id ASC)
+               AS rn
+             FROM sc)
+      SELECT c.source, c.doc_id AS chosen_id,
+             round(c.score, 6) AS chosen_score,
+             r.doc_id AS rejected_id,
+             round(r.score, 6) AS rejected_score,
+             round(c.score - r.score, 6) AS margin
+      FROM ch c JOIN rj r ON c.source = r.source
+      WHERE c.rn = 1 AND r.rn = 1
+      ORDER BY c.source"""
   )
 
   /** Shared q250/q253 oracle — lazy-refill token bucket replayed as a
