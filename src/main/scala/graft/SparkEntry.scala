@@ -6233,6 +6233,57 @@ object SparkEntry {
           round(col("__r.score"), 6).as("rejected_score"),
           round(col("__c.score") - col("__r.score"), 6).as("margin"))
         .orderBy(col("source"))
+    },
+
+    // --- TOKENIZER FERTILITY per language (tokens per 100 chars —
+    //     the budget planner's conversion rate between corpus bytes
+    //     and training tokens): exact integer sums, one division. ---
+    "q270_token_fertility" -> { (spark, dir) =>
+      tbl(spark, dir, "documents")
+        .select(col("lang"), col("n_chars"),
+          graft.llm.TextAnalysis.tokenCount(col("text")).cast("long")
+            .as("__tok"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(col("__tok")).as("sum_tokens"))
+        .withColumn("fertility_per_100c",
+          (col("sum_tokens") * 100).cast("double") /
+            col("sum_chars").cast("double"))
+        .orderBy(col("lang"))
+    },
+
+    // --- WATERMARK ADVISOR: q244's disorder census turned into the
+    //     operational decision — per type, the p99-lateness watermark
+    //     and the EXACT fraction of events that watermark would drop
+    //     (integer-threshold quantile + an integer census, so the
+    //     recommendation is replayable, not estimated). ---
+    "q271_watermark_advisor" -> { (spark, dir) =>
+      val ev = tbl(spark, dir, "events")
+        .select(col("event_type"), col("event_id"),
+          unix_micros(col("ts").cast("timestamp")).as("us"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, -1)
+      val late2 = ev
+        .withColumn("__mx", max(col("us")).over(w))
+        .withColumn("late_min", greatest(
+          coalesce(col("__mx") - col("us"), lit(0L)), lit(0L)))
+        .withColumn("late_min", expr("late_min div 60000000"))
+      val qs = graft.operators.ExactQuantile.weightedQuantileDisc(
+          late2, col("event_type"), col("late_min"), lit(1L),
+          Seq(("wm_min", 99, 100)))
+        .select(col("grp").as("event_type"), col("wm_min"))
+      late2.join(broadcast(qs), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          max(col("wm_min")).as("wm_min"),
+          sum(when(col("late_min") > col("wm_min"), 1L).otherwise(0L))
+            .as("n_dropped"))
+        .withColumn("drop_frac", col("n_dropped").cast("double") /
+          col("n").cast("double"))
+        .orderBy(col("event_type"))
     }
   )
 
@@ -11684,7 +11735,52 @@ object SparkEntry {
              round(c.score - r.score, 6) AS margin
       FROM ch c JOIN rj r ON c.source = r.source
       WHERE c.rn = 1 AND r.rn = 1
-      ORDER BY c.source"""
+      ORDER BY c.source""",
+
+    "q270_token_fertility" -> """
+      WITH d AS (SELECT lang, n_chars,
+                        CAST(len(list_filter(string_split_regex(
+                          lower(trim(text)), '\s+'),
+                          x -> length(x) > 0)) AS BIGINT) AS tok
+                 FROM documents)
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             CAST(sum(tok) AS BIGINT) AS sum_tokens,
+             CAST(sum(tok) * 100 AS DOUBLE) /
+               CAST(sum(n_chars) AS DOUBLE) AS fertility_per_100c
+      FROM d GROUP BY 1 ORDER BY 1""",
+
+    "q271_watermark_advisor" -> """
+      WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS us
+                 FROM events),
+      l AS (SELECT event_type,
+                   greatest(coalesce(max(us) OVER (PARTITION BY
+                     event_type ORDER BY event_id ROWS BETWEEN
+                     UNBOUNDED PRECEDING AND 1 PRECEDING) - us,
+                     0), 0) // 60000000 AS late_min
+            FROM e),
+      pv AS (SELECT event_type, late_min AS v,
+                    CAST(count(*) AS BIGINT) AS w
+             FROM l GROUP BY 1, 2),
+      c AS (SELECT event_type, v,
+                   CAST(sum(w) OVER (PARTITION BY event_type ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cw,
+                   CAST(sum(w) OVER (PARTITION BY event_type)
+                     AS BIGINT) AS tw
+            FROM pv),
+      qs AS (SELECT event_type,
+                    min(CASE WHEN cw * 100 >= tw * 99 THEN v END)
+                      AS wm_min
+             FROM c GROUP BY 1)
+      SELECT l.event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(max(qs.wm_min) AS BIGINT) AS wm_min,
+             CAST(sum(CASE WHEN l.late_min > qs.wm_min THEN 1 ELSE 0
+               END) AS BIGINT) AS n_dropped,
+             CAST(sum(CASE WHEN l.late_min > qs.wm_min THEN 1 ELSE 0
+               END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS drop_frac
+      FROM l JOIN qs USING (event_type)
+      GROUP BY 1 ORDER BY 1"""
   )
 
   /** Shared q250/q253 oracle — lazy-refill token bucket replayed as a
