@@ -238,4 +238,21 @@ class PlanShapeSpec extends SparkSpec {
         .contains("CartesianProduct"), s"$q planned a cartesian")
     }
   }
+
+  test("round-8 cohort: every window partitioned (ABC/PPS via band " +
+      "decomposition, sweep/burstiness/RLE entity-keyed), no " +
+      "cartesian anywhere") {
+    for (q <- Seq("q246_max_concurrency", "q248_reconcile_columns",
+        "q249_autocorr", "q252_abc_pareto", "q254_burstiness",
+        "q256_kcore", "q258_session_rle", "q259_assoc_rules",
+        "q263_histogram_bins", "q264_vocab_overlap",
+        "q266_pps_sample", "q267_gap_fill", "q269_dpo_pairs",
+        "q271_watermark_advisor")) {
+      val df = SparkEntry.queries(q)(spark, TestSpark.sfDir)
+      assert(PlanAudit.globalWindows(df.queryExecution.optimizedPlan)
+        == 0, s"$q must keep every window partitioned")
+      assert(!df.queryExecution.executedPlan.toString
+        .contains("CartesianProduct"), s"$q planned a cartesian")
+    }
+  }
 }
