@@ -6284,6 +6284,59 @@ object SparkEntry {
         .withColumn("drop_frac", col("n_dropped").cast("double") /
           col("n").cast("double"))
         .orderBy(col("event_type"))
+    },
+
+    // --- VOCABULARY GROWTH CURVE (Heaps' law readout — how fast new
+    //     types appear as the corpus grows in doc_id order): NOT k
+    //     prefix-distinct scans; ONE census of each token's FIRST
+    //     document (min doc_id per token), then vocab(N) = #tokens
+    //     with first_doc ≤ N — the growth curve for every checkpoint
+    //     from a single corpus pass + a tiny broadcast join. ---
+    "q272_vocab_growth" -> { (spark, dir) =>
+      val first = tbl(spark, dir, "documents")
+        .select(col("doc_id"),
+          explode(graft.llm.TextAnalysis.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(min(col("doc_id")).as("__first"))
+      val checkpoints = Seq(100L, 200L, 400L, 800L, 1600L, 3200L,
+        6400L, 12800L)
+      val cps = spark.createDataFrame(
+        checkpoints.map(Tuple1(_))).toDF("n_docs")
+      first.crossJoin(broadcast(cps))
+        .filter(col("__first") <= col("n_docs"))
+        .groupBy(col("n_docs"))
+        .agg(count(lit(1)).as("vocab_size"))
+        .orderBy(col("n_docs"))
+    },
+
+    // --- LSH PARAMETER PLANNER: the (bands b, rows r) collision
+    //     curve P(candidate | s) = 1 − (1 − s^r)^b on a similarity
+    //     grid s = i/20 — the table an engineer reads to pick the
+    //     q26/q53 banding. s^r is EXACT integer arithmetic (i^r/20^r);
+    //     the outer power folds by REPEATED MULTIPLICATION over
+    //     sequence(1, b) in both engines — same order, same IEEE
+    //     doubles, no libm pow anywhere. ---
+    "q273_lsh_planner" -> { (spark, dir) =>
+      val grid = spark.range(1, 20)
+        .select(col("id").cast("long").as("i"))
+      // r capped at 12: s^r runs in exact integers and 20^12 = 4·10^15
+      // stays inside a long (20^16 would overflow)
+      val configs = Seq((16, 4), (8, 8), (32, 2), (4, 12))
+      val cfg = spark.createDataFrame(configs).toDF("b", "r")
+      grid.crossJoin(broadcast(cfg))
+        .withColumn("__num", expr(
+          "aggregate(sequence(1, r), CAST(1 AS BIGINT), (a, x) -> a * i)"))
+        .withColumn("__den", expr(
+          "aggregate(sequence(1, r), CAST(1 AS BIGINT), " +
+            "(a, x) -> a * CAST(20 AS BIGINT))"))
+        .withColumn("__miss",
+          lit(1.0) - col("__num").cast("double") /
+            col("__den").cast("double"))
+        .withColumn("p_candidate", lit(1.0) - expr(
+          "aggregate(sequence(1, b), CAST(1.0 AS DOUBLE), " +
+            "(a, x) -> a * __miss)"))
+        .select((col("i").cast("double") / 20.0).as("s"),
+          col("b"), col("r"), col("p_candidate"))
+        .orderBy(col("s"), col("b"))
     }
   )
 
@@ -11780,7 +11833,47 @@ object SparkEntry {
              CAST(sum(CASE WHEN l.late_min > qs.wm_min THEN 1 ELSE 0
                END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS drop_frac
       FROM l JOIN qs USING (event_type)
-      GROUP BY 1 ORDER BY 1"""
+      GROUP BY 1 ORDER BY 1""",
+
+    "q272_vocab_growth" -> """
+      WITH tk AS (SELECT doc_id, unnest(list_filter(
+                    string_split_regex(lower(trim(text)), '\s+'),
+                    x -> length(x) > 0)) AS tok
+                  FROM documents),
+      fst AS (SELECT tok, min(doc_id) AS f FROM tk GROUP BY tok),
+      cps(n_docs) AS (VALUES (100), (200), (400), (800), (1600),
+        (3200), (6400), (12800))
+      SELECT CAST(n_docs AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS vocab_size
+      FROM fst JOIN cps ON fst.f <= cps.n_docs
+      GROUP BY 1 ORDER BY 1""",
+
+    // s^r exact-integer, outer power by the SAME repeated-multiply
+    // fold order as the engine (list_reduce with a prepended seed) —
+    // identical IEEE doubles, no libm pow
+    "q273_lsh_planner" -> """
+      WITH grid AS (SELECT unnest(generate_series(1, 19)) AS i),
+      cfg(b, r) AS (VALUES (16, 4), (8, 8), (32, 2), (4, 12)),
+      t AS (SELECT i, b, r,
+                   list_reduce(list_prepend(CAST(1 AS BIGINT),
+                     list_transform(generate_series(1, r),
+                       x -> CAST(i AS BIGINT))), (a, x) -> a * x)
+                     AS num,
+                   list_reduce(list_prepend(CAST(1 AS BIGINT),
+                     list_transform(generate_series(1, r),
+                       x -> CAST(20 AS BIGINT))), (a, x) -> a * x)
+                     AS den
+            FROM grid CROSS JOIN cfg),
+      m AS (SELECT i, b, r,
+                   CAST(1 AS DOUBLE) - CAST(num AS DOUBLE) /
+                     CAST(den AS DOUBLE) AS miss
+            FROM t)
+      SELECT CAST(i AS DOUBLE) / 20.0 AS s, b, r,
+             CAST(1 AS DOUBLE) - list_reduce(list_prepend(
+               CAST(1 AS DOUBLE), list_transform(
+                 generate_series(1, b), x -> miss)),
+               (a, x) -> a * x) AS p_candidate
+      FROM m ORDER BY s, b"""
   )
 
   /** Shared q250/q253 oracle — lazy-refill token bucket replayed as a
