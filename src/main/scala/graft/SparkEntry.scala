@@ -6337,6 +6337,55 @@ object SparkEntry {
         .select((col("i").cast("double") / 20.0).as("s"),
           col("b"), col("r"), col("p_candidate"))
         .orderBy(col("s"), col("b"))
+    },
+
+    // --- COMPACTION PLANNER (next-fit bin packing): per source, how
+    //     many ~4000-char output files a size-DESC next-fit pass
+    //     would produce from its documents — the planning census a
+    //     small-file compactor (Sinks.compact) runs before touching
+    //     data. Ordered integer fold per source (the q250 state
+    //     machinery; next-fit is the O(1)-state streaming packing,
+    //     honest 2× bound vs optimal). ---
+    "q274_compaction_planner" -> { (spark, dir) =>
+      val cap = 4000L
+      val lists = tbl(spark, dir, "documents")
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .groupBy(col("source"))
+        .agg(sum(col("n_chars")).as("total_chars"),
+          count(lit(1)).as("n_files"),
+          array_sort(collect_list(struct((-col("n_chars")).as("__neg"),
+            col("doc_id").as("__id"), col("n_chars").as("__sz"))))
+            .as("__xs"))
+      val init = array(lit(0L), lit(cap))
+      val st = org.apache.spark.sql.functions.aggregate(col("__xs"),
+        init, (s, e) => {
+          val sz = e.getField("__sz")
+          when(element_at(s, 2) + sz <= cap,
+            array(element_at(s, 1), element_at(s, 2) + sz))
+            .otherwise(array(element_at(s, 1) + 1, sz))
+        })
+      lists.select(col("source"), col("n_files"), col("total_chars"),
+          st.as("__st"))
+        .select(col("source"), col("n_files"), col("total_chars"),
+          element_at(col("__st"), 1).as("n_bins"))
+        .withColumn("fill_frac", col("total_chars").cast("double") /
+          (col("n_bins") * cap).cast("double"))
+        .orderBy(col("source"))
+    },
+
+    // --- SURROGATE KEY ASSIGNMENT without a global window: dense
+    //     deterministic ids for the distinct (source, lang) dimension
+    //     tuples via the q212 bucket-offset rank over the md5 order —
+    //     the conformed-dimension build step, reproducible across
+    //     reruns and resharding. ---
+    "q275_surrogate_keys" -> { (spark, dir) =>
+      val dims = tbl(spark, dir, "documents")
+        .select(concat_ws("|", col("source"), col("lang")).as("dim"))
+        .distinct()
+      graft.llm.Sharding.globalShuffleShards(dims, col("dim"),
+          seed = "dim1", shardSize = 1000000L)
+        .select(col("id").as("dim"), col("rn").as("sk"))
+        .orderBy(col("sk"))
     }
   )
 
@@ -11873,7 +11922,35 @@ object SparkEntry {
                CAST(1 AS DOUBLE), list_transform(
                  generate_series(1, b), x -> miss)),
                (a, x) -> a * x) AS p_candidate
-      FROM m ORDER BY s, b"""
+      FROM m ORDER BY s, b""",
+
+    // next-fit fold over size-desc docs, [bins, last_fill] list state
+    // (the q250 list-not-struct discipline), cap 4000 chars
+    "q274_compaction_planner" -> """
+      WITH l AS (SELECT source, CAST(count(*) AS BIGINT) AS n_files,
+                        CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                        list_prepend([CAST(0 AS BIGINT), 4000],
+                          list([CAST(0 AS BIGINT), n_chars]
+                            ORDER BY n_chars DESC, doc_id)) AS xs
+                 FROM documents GROUP BY source),
+      f AS (SELECT source, n_files, total_chars,
+                   list_reduce(xs, (s, x) -> CASE
+                     WHEN s[2] + x[2] <= 4000
+                       THEN [s[1], s[2] + x[2]]
+                     ELSE [s[1] + 1, x[2]] END) AS st
+            FROM l)
+      SELECT source, n_files, total_chars, st[1] AS n_bins,
+             CAST(total_chars AS DOUBLE) /
+               CAST(st[1] * 4000 AS DOUBLE) AS fill_frac
+      FROM f ORDER BY source""",
+
+    "q275_surrogate_keys" -> """
+      WITH d AS (SELECT DISTINCT source || '|' || lang AS dim
+                 FROM documents),
+      h AS (SELECT dim, md5('dim1:' || dim) AS h FROM d)
+      SELECT dim, CAST(row_number() OVER (ORDER BY h, dim)
+               AS BIGINT) AS sk
+      FROM h ORDER BY sk"""
   )
 
   /** Shared q250/q253 oracle — lazy-refill token bucket replayed as a
