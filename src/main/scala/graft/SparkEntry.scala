@@ -6386,6 +6386,68 @@ object SparkEntry {
           seed = "dim1", shardSize = 1000000L)
         .select(col("id").as("dim"), col("rn").as("sk"))
         .orderBy(col("sk"))
+    },
+
+    // --- VALUE-DOMAIN DRIFT: exact median cents per type, first half
+    //     of the backlog vs second (time midpoint) — the value-shift
+    //     complement to q260's order drift and q229's KS distance,
+    //     via the integer-threshold quantile rule twice. ---
+    "q276_quantile_shift" -> { (spark, dir) =>
+      val ev = tbl(spark, dir, "events")
+        .select(col("event_type"),
+          unix_micros(col("ts").cast("timestamp")).as("us"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val b = ev.agg(min(col("us")).as("lo"), max(col("us")).as("hi"))
+        .collect()(0)
+      val mid = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 2
+      def med(half: org.apache.spark.sql.DataFrame, name: String) =
+        graft.operators.ExactQuantile.weightedQuantileDisc(half,
+            col("event_type"), col("cents"), lit(1L),
+            Seq((name, 1, 2)))
+          .select(col("grp").as("event_type"),
+            col("total_w").as(name + "_n"), col(name))
+      med(ev.filter(col("us") <= mid), "p50_first")
+        .join(med(ev.filter(col("us") > mid), "p50_second"),
+          Seq("event_type"))
+        .withColumn("shift_cents",
+          col("p50_second") - col("p50_first"))
+        .orderBy(col("event_type"))
+    },
+
+    // --- REFERENTIAL-INTEGRITY CENSUS across the star schema (the
+    //     FK complement to q203's unique/null/range rules): per
+    //     relation, child rows, distinct child keys, orphans (keys
+    //     with no parent) — left-anti joins on the keys only. ---
+    "q277_fk_orphans" -> { (spark, dir) =>
+      def fk(name: String, child: org.apache.spark.sql.DataFrame,
+             ck: String, parent: org.apache.spark.sql.DataFrame,
+             pk: String) = {
+        val orphan = child.select(col(ck)).join(
+          parent.select(col(pk).as(ck)), Seq(ck), "left_anti")
+        child.agg(count(lit(1)).as("n_child"),
+            count_distinct(col(ck)).as("n_keys"))
+          .crossJoin(broadcast(
+            orphan.agg(count(lit(1)).as("n_orphan_rows"))))
+          .withColumn("relation", lit(name))
+          .select(col("relation"), col("n_child"), col("n_keys"),
+            col("n_orphan_rows"),
+            (col("n_orphan_rows") === 0).as("intact"))
+      }
+      val li = tbl(spark, dir, "lineitem")
+      val orders = tbl(spark, dir, "orders")
+      val cust = tbl(spark, dir, "customer")
+      val nation = tbl(spark, dir, "nation")
+      fk("lineitem.l_orderkey->orders", li, "l_orderkey",
+          orders.select(col("o_orderkey").as("l_orderkey")),
+          "l_orderkey")
+        .unionByName(fk("orders.o_custkey->customer", orders,
+          "o_custkey", cust.select(col("c_custkey").as("o_custkey")),
+          "o_custkey"))
+        .unionByName(fk("customer.c_nationkey->nation", cust,
+          "c_nationkey",
+          nation.select(col("n_nationkey").as("c_nationkey")),
+          "c_nationkey"))
+        .orderBy(col("relation"))
     }
   )
 
@@ -11950,7 +12012,77 @@ object SparkEntry {
       h AS (SELECT dim, md5('dim1:' || dim) AS h FROM d)
       SELECT dim, CAST(row_number() OVER (ORDER BY h, dim)
                AS BIGINT) AS sk
-      FROM h ORDER BY sk"""
+      FROM h ORDER BY sk""",
+
+    "q276_quantile_shift" -> """
+      WITH e AS (SELECT event_type, epoch_us(ts) AS us,
+                        CAST(round(value * 100) AS BIGINT) AS cents
+                 FROM events),
+      bounds AS (SELECT min(us) + (max(us) - min(us)) // 2 AS mid
+                 FROM e),
+      pv1 AS (SELECT event_type, cents AS v,
+                     CAST(count(*) AS BIGINT) AS w
+              FROM e, bounds WHERE us <= mid GROUP BY 1, 2),
+      c1 AS (SELECT event_type, v,
+                    CAST(sum(w) OVER (PARTITION BY event_type
+                      ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS BIGINT) AS cw,
+                    CAST(sum(w) OVER (PARTITION BY event_type)
+                      AS BIGINT) AS tw
+             FROM pv1),
+      q1 AS (SELECT event_type, max(tw) AS p50_first_n,
+                    min(CASE WHEN cw * 2 >= tw THEN v END)
+                      AS p50_first
+             FROM c1 GROUP BY 1),
+      pv2 AS (SELECT event_type, cents AS v,
+                     CAST(count(*) AS BIGINT) AS w
+              FROM e, bounds WHERE us > mid GROUP BY 1, 2),
+      c2 AS (SELECT event_type, v,
+                    CAST(sum(w) OVER (PARTITION BY event_type
+                      ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS BIGINT) AS cw,
+                    CAST(sum(w) OVER (PARTITION BY event_type)
+                      AS BIGINT) AS tw
+             FROM pv2),
+      q2 AS (SELECT event_type, max(tw) AS p50_second_n,
+                    min(CASE WHEN cw * 2 >= tw THEN v END)
+                      AS p50_second
+             FROM c2 GROUP BY 1)
+      SELECT q1.event_type, q1.p50_first_n, q1.p50_first,
+             q2.p50_second_n, q2.p50_second,
+             q2.p50_second - q1.p50_first AS shift_cents
+      FROM q1 JOIN q2 USING (event_type)
+      ORDER BY q1.event_type""",
+
+    "q277_fk_orphans" -> """
+      WITH r1 AS (SELECT 'lineitem.l_orderkey->orders' AS relation,
+                         CAST(count(*) AS BIGINT) AS n_child,
+                         CAST(count(DISTINCT l_orderkey) AS BIGINT)
+                           AS n_keys,
+                         CAST(sum(CASE WHEN o.o_orderkey IS NULL
+                           THEN 1 ELSE 0 END) AS BIGINT)
+                           AS n_orphan_rows
+                  FROM lineitem l LEFT JOIN orders o
+                    ON l.l_orderkey = o.o_orderkey),
+      r2 AS (SELECT 'orders.o_custkey->customer',
+                    CAST(count(*) AS BIGINT),
+                    CAST(count(DISTINCT o_custkey) AS BIGINT),
+                    CAST(sum(CASE WHEN c.c_custkey IS NULL
+                      THEN 1 ELSE 0 END) AS BIGINT)
+             FROM orders o LEFT JOIN customer c
+               ON o.o_custkey = c.c_custkey),
+      r3 AS (SELECT 'customer.c_nationkey->nation',
+                    CAST(count(*) AS BIGINT),
+                    CAST(count(DISTINCT c_nationkey) AS BIGINT),
+                    CAST(sum(CASE WHEN n.n_nationkey IS NULL
+                      THEN 1 ELSE 0 END) AS BIGINT)
+             FROM customer c LEFT JOIN nation n
+               ON c.c_nationkey = n.n_nationkey),
+      u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2
+            UNION ALL SELECT * FROM r3)
+      SELECT relation, n_child, n_keys, n_orphan_rows,
+             n_orphan_rows = 0 AS intact
+      FROM u ORDER BY relation"""
   )
 
   /** Shared q250/q253 oracle — lazy-refill token bucket replayed as a
