@@ -6448,6 +6448,62 @@ object SparkEntry {
           nation.select(col("n_nationkey").as("c_nationkey")),
           "c_nationkey"))
         .orderBy(col("relation"))
+    },
+
+    // --- K-ANONYMITY / L-DIVERSITY AUDIT over quasi-identifiers
+    //     (source, n_chars div 100) with `lang` as the sensitive
+    //     attribute: equivalence-class census, min class size (the
+    //     k), share of rows in classes below k=5, and min distinct
+    //     sensitive values per class (the l) — the privacy readout a
+    //     training corpus release runs before publication. Exact
+    //     integers end to end. ---
+    "q278_k_anonymity" -> { (spark, dir) =>
+      val classes = tbl(spark, dir, "documents")
+        .select(col("source"), expr("n_chars div 100").as("len_bucket"),
+          col("lang"))
+        .groupBy(col("source"), col("len_bucket"))
+        .agg(count(lit(1)).as("__sz"),
+          count_distinct(col("lang")).as("__l"))
+      classes.agg(
+          count(lit(1)).as("n_classes"),
+          sum(col("__sz")).as("n_rows"),
+          min(col("__sz")).as("k_anonymity"),
+          min(col("__l")).as("l_diversity"),
+          sum(when(col("__sz") < 5, col("__sz")).otherwise(0L))
+            .as("rows_below_k5"))
+        .withColumn("frac_below_k5",
+          col("rows_below_k5").cast("double") /
+            col("n_rows").cast("double"))
+    },
+
+    // --- RESHARD MOVEMENT CENSUS (the resharding-cost planner):
+    //     going from k=8 to 9 shards, what fraction of keys moves
+    //     under (a) mod placement (≈ 8/9 move — the naive scheme's
+    //     cliff) vs (b) RANGE placement on the md5 space (only ≈ 1/9
+    //     move — why consistent/range sharding wins). Pure integer
+    //     hash math, one scan. ---
+    "q279_reshard_census" -> { (spark, dir) =>
+      val k = 8
+      val h = conv(substring(md5(col("doc_id").cast("string")
+        .cast(org.apache.spark.sql.types.BinaryType)), 1, 8), 16, 10)
+        .cast("long")
+      tbl(spark, dir, "documents")
+        .select(col("doc_id"), h.as("__h"))
+        .select(col("doc_id"),
+          pmod(col("__h"), lit(k.toLong)).as("__m8"),
+          pmod(col("__h"), lit((k + 1).toLong)).as("__m9"),
+          expr(s"__h * $k div 4294967296").as("__r8"),
+          expr(s"__h * ${k + 1} div 4294967296").as("__r9"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(when(col("__m8") =!= col("__m9"), 1L).otherwise(0L))
+            .as("moved_mod"),
+          sum(when(col("__r8") =!= col("__r9"), 1L).otherwise(0L))
+            .as("moved_range"))
+        .withColumn("frac_moved_mod", col("moved_mod").cast("double")
+          / col("n_keys").cast("double"))
+        .withColumn("frac_moved_range",
+          col("moved_range").cast("double") /
+            col("n_keys").cast("double"))
     }
   )
 
@@ -12082,7 +12138,45 @@ object SparkEntry {
             UNION ALL SELECT * FROM r3)
       SELECT relation, n_child, n_keys, n_orphan_rows,
              n_orphan_rows = 0 AS intact
-      FROM u ORDER BY relation"""
+      FROM u ORDER BY relation""",
+
+    "q278_k_anonymity" -> """
+      WITH cls AS (SELECT source, n_chars // 100 AS len_bucket,
+                          CAST(count(*) AS BIGINT) AS sz,
+                          CAST(count(DISTINCT lang) AS BIGINT) AS l
+                   FROM documents GROUP BY 1, 2)
+      SELECT CAST(count(*) AS BIGINT) AS n_classes,
+             CAST(sum(sz) AS BIGINT) AS n_rows,
+             CAST(min(sz) AS BIGINT) AS k_anonymity,
+             CAST(min(l) AS BIGINT) AS l_diversity,
+             CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+               AS rows_below_k5,
+             CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS DOUBLE)
+               / CAST(sum(sz) AS DOUBLE) AS frac_below_k5
+      FROM cls""",
+
+    "q279_reshard_census" -> """
+      WITH h AS (SELECT doc_id,
+                        CAST(('0x' || substring(md5(
+                          CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                          AS hh
+                 FROM documents),
+      s AS (SELECT doc_id, hh % 8 AS m8, hh % 9 AS m9,
+                   hh * 8 // 4294967296 AS r8,
+                   hh * 9 // 4294967296 AS r9
+            FROM h)
+      SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(CASE WHEN m8 <> m9 THEN 1 ELSE 0 END)
+               AS BIGINT) AS moved_mod,
+             CAST(sum(CASE WHEN r8 <> r9 THEN 1 ELSE 0 END)
+               AS BIGINT) AS moved_range,
+             CAST(sum(CASE WHEN m8 <> m9 THEN 1 ELSE 0 END)
+               AS DOUBLE) / CAST(count(*) AS DOUBLE)
+               AS frac_moved_mod,
+             CAST(sum(CASE WHEN r8 <> r9 THEN 1 ELSE 0 END)
+               AS DOUBLE) / CAST(count(*) AS DOUBLE)
+               AS frac_moved_range
+      FROM s"""
   )
 
   /** Shared q250/q253 oracle — lazy-refill token bucket replayed as a
