@@ -6504,6 +6504,62 @@ object SparkEntry {
         .withColumn("frac_moved_range",
           col("moved_range").cast("double") /
             col("n_keys").cast("double"))
+    },
+
+    // --- SAMPLE REPRESENTATIVENESS audit: does the deterministic 10%
+    //     md5 sample (Pipelines.hashBucket < 10) preserve the
+    //     language mix? Per lang: population/sample counts, expected
+    //     sample count, chi² term — exact integer counts, the
+    //     expected/term doubles computed by the identical pinned
+    //     expression both engines. ---
+    "q280_sample_representativeness" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          (Pipelines.hashBucket(col("doc_id"), 100) < 10)
+            .as("__in_sample"))
+      val per = docs.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_pop"),
+          sum(when(col("__in_sample"), 1L).otherwise(0L))
+            .as("n_samp"))
+      val tot = per.agg(sum(col("n_pop")).as("__tp"),
+        sum(col("n_samp")).as("__ts"))
+      per.crossJoin(broadcast(tot))
+        .withColumn("expected",
+          col("n_pop").cast("double") * col("__ts").cast("double") /
+            col("__tp").cast("double"))
+        .withColumn("chi2_term",
+          (col("n_samp").cast("double") - col("expected")) *
+            (col("n_samp").cast("double") - col("expected")) /
+            col("expected"))
+        .select(col("lang"), col("n_pop"), col("n_samp"),
+          col("expected"), col("chi2_term"))
+        .orderBy(col("lang"))
+    },
+
+    // --- NEAR-DUP CLUSTER SIZE DISTRIBUTION (sizing the dedup
+    //     budget: how much of the corpus sits in big clusters):
+    //     q75's synthetic edge set -> connected components ->
+    //     singleton completion -> size histogram; the oracle extends
+    //     q75's recursive-CTE replay with the same two censuses. ---
+    "q281_cluster_sizes" -> { (spark, dir) =>
+      val ids = tbl(spark, dir, "documents").select(col("doc_id"))
+      val chain = ids.alias("a").join(ids.alias("b"),
+          col("b.doc_id") === col("a.doc_id") + 1 &&
+            pmod(col("a.doc_id"), lit(7)) =!= 6)
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      val cross = ids.alias("a").join(ids.alias("b"),
+          col("b.doc_id") === col("a.doc_id") + 14 &&
+            pmod(col("a.doc_id"), lit(21)) === 3)
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      val comp = Dedup.connectedComponents(
+        chain.unionByName(cross), col("id_a"), col("id_b"))
+      ids.join(comp, ids("doc_id") === comp("id"), "left")
+        .select(coalesce(col("comp"), col("doc_id")).as("comp"))
+        .groupBy(col("comp")).agg(count(lit(1)).as("__sz"))
+        .groupBy(col("__sz"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .select(col("__sz").as("cluster_size"), col("n_clusters"))
+        .orderBy(col("cluster_size"))
     }
   )
 
@@ -12176,7 +12232,52 @@ object SparkEntry {
              CAST(sum(CASE WHEN r8 <> r9 THEN 1 ELSE 0 END)
                AS DOUBLE) / CAST(count(*) AS DOUBLE)
                AS frac_moved_range
-      FROM s"""
+      FROM s""",
+
+    "q280_sample_representativeness" -> """
+      WITH d AS (SELECT lang,
+                        CAST(('0x' || substring(md5(
+                          CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
+                          % 100 < 10 AS in_sample
+                 FROM documents),
+      per AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_pop,
+                     CAST(sum(CASE WHEN in_sample THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_samp
+              FROM d GROUP BY 1),
+      tot AS (SELECT CAST(sum(n_pop) AS BIGINT) AS tp,
+                     CAST(sum(n_samp) AS BIGINT) AS ts
+              FROM per)
+      SELECT lang, n_pop, n_samp,
+             CAST(n_pop AS DOUBLE) * CAST(ts AS DOUBLE) /
+               CAST(tp AS DOUBLE) AS expected,
+             (CAST(n_samp AS DOUBLE) - CAST(n_pop AS DOUBLE) *
+                CAST(ts AS DOUBLE) / CAST(tp AS DOUBLE)) *
+             (CAST(n_samp AS DOUBLE) - CAST(n_pop AS DOUBLE) *
+                CAST(ts AS DOUBLE) / CAST(tp AS DOUBLE)) /
+             (CAST(n_pop AS DOUBLE) * CAST(ts AS DOUBLE) /
+                CAST(tp AS DOUBLE)) AS chi2_term
+      FROM per CROSS JOIN tot ORDER BY lang""",
+
+    "q281_cluster_sizes" -> """
+      WITH RECURSIVE
+      ids AS (SELECT doc_id FROM documents),
+      e AS (
+        SELECT a.doc_id AS x, b.doc_id AS y FROM ids a JOIN ids b
+          ON b.doc_id = a.doc_id + 1 AND a.doc_id % 7 <> 6
+        UNION ALL
+        SELECT a.doc_id, b.doc_id FROM ids a JOIN ids b
+          ON b.doc_id = a.doc_id + 14 AND a.doc_id % 21 = 3),
+      ed AS (SELECT x, y FROM e UNION ALL SELECT y, x FROM e),
+      r AS (SELECT x AS id, x AS rr FROM ed
+            UNION
+            SELECT ed.x, r.rr FROM ed JOIN r ON ed.y = r.id),
+      c AS (SELECT id, min(rr) AS comp FROM r GROUP BY id),
+      fl AS (SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS comp
+             FROM documents d LEFT JOIN c ON c.id = d.doc_id),
+      sz AS (SELECT comp, CAST(count(*) AS BIGINT) AS cluster_size
+             FROM fl GROUP BY 1)
+      SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+      FROM sz GROUP BY 1 ORDER BY 1"""
   )
 
   /** Shared q250/q253 oracle — lazy-refill token bucket replayed as a
