@@ -6560,6 +6560,49 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_clusters"))
         .select(col("__sz").as("cluster_size"), col("n_clusters"))
         .orderBy(col("cluster_size"))
+    },
+
+    // --- STREAMING CURATION PIPELINE end-to-end (the composed
+    //     flagship of the streaming surface): documents arrive as 3
+    //     chronological micro-batches; each batch flows through the
+    //     bit-exact quality classifier, survivors dedup by portable
+    //     content fingerprint in KEYED STATE (min-id keeper, copy
+    //     count — update mode), and the final state censuses per
+    //     language. Stream/batch parity: the oracle replays
+    //     classify -> fingerprint-group -> census relationally over
+    //     the whole corpus — a hash match proves the micro-batched
+    //     pipeline converges to the batch answer. ---
+    "q282_stream_curate" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+      val mx = docs.agg(max(col("doc_id")).as("m")).collect()(0)
+        .getLong(0)
+      val src = Scratch.dir("graft_q282").toString + "/docs"
+      EventStream.writeOrderedBatches(Seq(
+        docs.filter(col("doc_id") * 3 <= mx),
+        docs.filter(col("doc_id") * 3 > mx &&
+          col("doc_id") * 3 <= 2 * mx),
+        docs.filter(col("doc_id") * 3 > 2 * mx)), src)
+      val stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val kept = graft.llm.QualityModel.classify(stream, col("text"))
+        .filter(col("keep"))
+      val agg = kept.groupBy(
+          graft.llm.TextAnalysis.fingerprintPortable(col("text"))
+            .as("fp"), col("lang"))
+        .agg(min(col("doc_id")).as("keeper_id"),
+          count(lit(1)).as("n_copies"))
+      // update mode emits one row per (fp, lang) per changing batch;
+      // the LAST state has the max copy count (monotone) and its
+      // keeper (min doc_id seen, which only moves when count does)
+      EventStream.runToCompletion(spark, agg, mode = "update")
+        .groupBy(col("fp"), col("lang"))
+        .agg(max(struct(col("n_copies"),
+          (-col("keeper_id")).as("__nk"))).as("__f"))
+        .select(col("lang"), col("__f.n_copies").as("n_copies"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_unique"),
+          sum(col("n_copies")).as("n_docs"))
+        .orderBy(col("lang"))
     }
   )
 
@@ -12277,7 +12320,39 @@ object SparkEntry {
       sz AS (SELECT comp, CAST(count(*) AS BIGINT) AS cluster_size
              FROM fl GROUP BY 1)
       SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
-      FROM sz GROUP BY 1 ORDER BY 1"""
+      FROM sz GROUP BY 1 ORDER BY 1""",
+
+    // batch replay of the whole streamed pipeline: classifier scores
+    // (q97 prefix), keep >= 0.5, portable min-md5-shingle fingerprint
+    // (q30 recipe), min-id/count per (fp, lang), per-lang census
+    "q282_stream_curate" -> s"""
+      WITH $q97ScorePrefixSql,
+      kept AS (SELECT d.doc_id, d.lang, d.text
+               FROM documents d JOIN s ON d.doc_id = s.doc_id
+               WHERE s.score >= 0.5),
+      tk2 AS (SELECT doc_id, lang,
+                     list_filter(string_split_regex(lower(trim(text)),
+                       '\\s+'), x -> length(x) > 0) AS toks
+              FROM kept),
+      sh2 AS (SELECT doc_id, lang,
+                     CASE WHEN len(toks) >= 3 THEN
+                            list_transform(
+                              generate_series(1, len(toks) - 2),
+                              i -> toks[i] || ' ' || toks[i+1] ||
+                                   ' ' || toks[i+2])
+                          WHEN len(toks) > 0 THEN
+                            [array_to_string(toks, ' ')]
+                          ELSE [] END AS sg
+              FROM tk2),
+      fp AS (SELECT doc_id, lang,
+                    list_min(list_transform(sg, g -> md5(g))) AS fp
+             FROM sh2),
+      g AS (SELECT fp, lang, min(doc_id) AS keeper,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM fp GROUP BY 1, 2)
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_unique,
+             CAST(sum(n) AS BIGINT) AS n_docs
+      FROM g GROUP BY 1 ORDER BY 1"""
   )
 
   /** Shared q250/q253 oracle — lazy-refill token bucket replayed as a
