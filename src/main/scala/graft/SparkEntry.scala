@@ -6603,6 +6603,37 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_unique"),
           sum(col("n_copies")).as("n_docs"))
         .orderBy(col("lang"))
+    },
+
+    // --- INCREMENTAL CURATION (q282's other twin): day-1 half is
+    //     curated and its (fp, lang, keeper, count) state PERSISTED;
+    //     day-2 curates ONLY its own documents and merges additively
+    //     into the store (min keeper, summed counts) — history is
+    //     never re-classified or re-fingerprinted. Same full-rebuild
+    //     oracle as q282: incremental ≡ batch, proven by hash. ---
+    "q283_incremental_curate" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+      val mx = docs.agg(max(col("doc_id")).as("m")).collect()(0)
+        .getLong(0)
+      def curate(d: org.apache.spark.sql.DataFrame) =
+        graft.llm.QualityModel.classify(d, col("text"))
+          .filter(col("keep"))
+          .groupBy(graft.llm.TextAnalysis
+            .fingerprintPortable(col("text")).as("fp"), col("lang"))
+          .agg(min(col("doc_id")).as("keeper_id"),
+            count(lit(1)).as("n_copies"))
+      val store = Scratch.dir("graft_q283").toString + "/store"
+      curate(docs.filter(col("doc_id") * 2 <= mx))
+        .write.parquet(store)
+      spark.read.parquet(store)
+        .unionByName(curate(docs.filter(col("doc_id") * 2 > mx)))
+        .groupBy(col("fp"), col("lang"))
+        .agg(min(col("keeper_id")).as("keeper_id"),
+          sum(col("n_copies")).as("n_copies"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_unique"),
+          sum(col("n_copies")).as("n_docs"))
+        .orderBy(col("lang"))
     }
   )
 
@@ -12322,10 +12353,19 @@ object SparkEntry {
       SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
       FROM sz GROUP BY 1 ORDER BY 1""",
 
-    // batch replay of the whole streamed pipeline: classifier scores
+    // batch replay of the whole curation pipeline: classifier scores
     // (q97 prefix), keep >= 0.5, portable min-md5-shingle fingerprint
-    // (q30 recipe), min-id/count per (fp, lang), per-lang census
-    "q282_stream_curate" -> s"""
+    // (q30 recipe), min-id/count per (fp, lang), per-lang census —
+    // shared by the STREAMED (q282) and INCREMENTAL (q283) twins:
+    // both must converge to this full-rebuild answer
+    "q282_stream_curate" -> curateCensusSql,
+    "q283_incremental_curate" -> curateCensusSql
+  )
+
+  /** Shared q282/q283 oracle (see comment above). lazy: it
+    * interpolates q97ScorePrefixSql, which is declared LATER in this
+    * object — an eager val would capture null at object init. */
+  private lazy val curateCensusSql: String = s"""
       WITH $q97ScorePrefixSql,
       kept AS (SELECT d.doc_id, d.lang, d.text
                FROM documents d JOIN s ON d.doc_id = s.doc_id
@@ -12353,7 +12393,6 @@ object SparkEntry {
       SELECT lang, CAST(count(*) AS BIGINT) AS n_unique,
              CAST(sum(n) AS BIGINT) AS n_docs
       FROM g GROUP BY 1 ORDER BY 1"""
-  )
 
   /** Shared q250/q253 oracle — lazy-refill token bucket replayed as a
     * list_reduce over a BIGINT[4] state [tokens, last_minute,
