@@ -6634,6 +6634,61 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_unique"),
           sum(col("n_copies")).as("n_docs"))
         .orderBy(col("lang"))
+    },
+
+    // --- RETENTION FORECAST (storage-reclaim planning): events
+    //     bucketed by age in 7-day steps behind the backlog's max
+    //     event time; per bucket, rows and value-cents, plus the
+    //     cumulative share a "drop buckets older than this" TTL
+    //     would reclaim — exact integers, the cumulative via a tiny
+    //     bucket-keyed non-equi self-join (≤ a few dozen rows), not
+    //     a global window. ---
+    "q284_retention_forecast" -> { (spark, dir) =>
+      val ev = tbl(spark, dir, "events")
+        .select(unix_micros(col("ts").cast("timestamp")).as("us"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val mx = ev.agg(max(col("us")).as("__mx"))
+      val buckets = ev.crossJoin(broadcast(mx))
+        .withColumn("age_bucket",
+          expr("(__mx - us) div (7L * 86400000000)"))
+        .groupBy(col("age_bucket"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("cents"))
+      val older = buckets.select(col("age_bucket").as("__b2"),
+        col("n_rows").as("__n2"))
+      buckets.join(broadcast(older), col("__b2") >= col("age_bucket"),
+          "left")
+        .groupBy(col("age_bucket"))
+        .agg(max(col("n_rows")).as("n_rows"), max(col("cents")).as("cents"),
+          sum(col("__n2")).as("rows_reclaimed_if_ttl_here"))
+        .orderBy(col("age_bucket"))
+    },
+
+    // --- DICTIONARY-ENCODING PLANNER (columnar layout sizing): per
+    //     string column of documents, cardinality vs row count and
+    //     the exact byte arithmetic of plain vs dictionary encoding
+    //     (distinct-value bytes + a 4-byte code per row) — the
+    //     decision table behind parquet encoding choices. One scan
+    //     per column over a melted projection. ---
+    "q285_dict_encoding_planner" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+      val melted = docs.select(explode(array(
+          struct(lit("lang").as("column"), col("lang").as("v")),
+          struct(lit("source").as("column"), col("source").as("v"))))
+          .as("m"))
+        .select(col("m.column").as("column"), col("m.v").as("v"))
+      melted.groupBy(col("column"))
+        .agg(count(lit(1)).as("n_rows"),
+          count_distinct(col("v")).as("n_distinct"),
+          sum(expr("octet_length(v)")).as("bytes_plain"))
+        .join(melted.distinct().groupBy(col("column"))
+          .agg(sum(expr("octet_length(v)")).as("__dict_bytes")),
+          Seq("column"))
+        .withColumn("bytes_dict",
+          col("__dict_bytes") + col("n_rows") * 4)
+        .withColumn("dict_wins", col("bytes_dict") < col("bytes_plain"))
+        .select(col("column"), col("n_rows"), col("n_distinct"),
+          col("bytes_plain"), col("bytes_dict"), col("dict_wins"))
+        .orderBy(col("column"))
     }
   )
 
@@ -12359,7 +12414,9 @@ object SparkEntry {
     // shared by the STREAMED (q282) and INCREMENTAL (q283) twins:
     // both must converge to this full-rebuild answer
     "q282_stream_curate" -> curateCensusSql,
-    "q283_incremental_curate" -> curateCensusSql
+    "q283_incremental_curate" -> curateCensusSql,
+    "q284_retention_forecast" -> retentionForecastSql,
+    "q285_dict_encoding_planner" -> dictPlannerSql
   )
 
   /** Shared q282/q283 oracle (see comment above). lazy: it
@@ -12393,6 +12450,43 @@ object SparkEntry {
       SELECT lang, CAST(count(*) AS BIGINT) AS n_unique,
              CAST(sum(n) AS BIGINT) AS n_docs
       FROM g GROUP BY 1 ORDER BY 1"""
+
+  private val retentionForecastSql: String = """
+      WITH e AS (SELECT epoch_us(ts) AS us,
+                        CAST(round(value * 100) AS BIGINT) AS cents
+                 FROM events),
+      mx AS (SELECT max(us) AS m FROM e),
+      b AS (SELECT (mx.m - e.us) // (7 * 86400000000) AS age_bucket,
+                   cents
+            FROM e CROSS JOIN mx),
+      g AS (SELECT age_bucket, CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(cents) AS BIGINT) AS cents
+            FROM b GROUP BY 1)
+      SELECT g.age_bucket, g.n_rows, g.cents,
+             CAST((SELECT sum(g2.n_rows) FROM g g2
+                   WHERE g2.age_bucket >= g.age_bucket) AS BIGINT)
+               AS rows_reclaimed_if_ttl_here
+      FROM g ORDER BY g.age_bucket"""
+
+  private val dictPlannerSql: String = """
+      WITH m AS (SELECT 'lang' AS col_name, lang AS v FROM documents
+                 UNION ALL
+                 SELECT 'source', source FROM documents),
+      agg AS (SELECT col_name, CAST(count(*) AS BIGINT) AS n_rows,
+                     CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+                     CAST(sum(octet_length(encode(v))) AS BIGINT)
+                       AS bytes_plain
+              FROM m GROUP BY 1),
+      d AS (SELECT col_name,
+                   CAST(sum(octet_length(encode(v))) AS BIGINT)
+                     AS dict_bytes
+            FROM (SELECT DISTINCT col_name, v FROM m) GROUP BY 1)
+      SELECT agg.col_name AS "column", agg.n_rows, agg.n_distinct,
+             agg.bytes_plain,
+             d.dict_bytes + agg.n_rows * 4 AS bytes_dict,
+             d.dict_bytes + agg.n_rows * 4 < agg.bytes_plain
+               AS dict_wins
+      FROM agg JOIN d USING (col_name) ORDER BY 1"""
 
   /** Shared q250/q253 oracle — lazy-refill token bucket replayed as a
     * list_reduce over a BIGINT[4] state [tokens, last_minute,
