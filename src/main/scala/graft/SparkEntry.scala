@@ -6689,6 +6689,60 @@ object SparkEntry {
         .select(col("column"), col("n_rows"), col("n_distinct"),
           col("bytes_plain"), col("bytes_dict"), col("dict_wins"))
         .orderBy(col("column"))
+    },
+
+    // --- SHIP-DELAY SLA census: order-date -> ship-date lag per
+    //     priority class, with exact integer-day p50/p90 (the q231
+    //     threshold rule) and the share beyond a 90-day SLA — exact
+    //     integers, one broadcast-ready fact-dim equi-join. ---
+    "q286_ship_delay_sla" -> { (spark, dir) =>
+      val delays = tbl(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate"))
+        .join(tbl(spark, dir, "orders")
+          .select(col("o_orderkey").as("l_orderkey"),
+            col("o_orderdate"), col("o_orderpriority")),
+          Seq("l_orderkey"))
+        .select(col("o_orderpriority"),
+          datediff(col("l_shipdate"), col("o_orderdate")).cast("long")
+            .as("delay_days"))
+      val qs = graft.operators.ExactQuantile.weightedQuantileDisc(
+          delays, col("o_orderpriority"), col("delay_days"), lit(1L),
+          Seq(("p50_days", 1, 2), ("p90_days", 9, 10)))
+        .select(col("grp").as("o_orderpriority"), col("p50_days"),
+          col("p90_days"))
+      delays.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          max(col("delay_days")).as("max_days"),
+          sum(when(col("delay_days") > 90, 1L).otherwise(0L))
+            .as("n_breach"))
+        .join(broadcast(qs), Seq("o_orderpriority"))
+        .withColumn("breach_frac", col("n_breach").cast("double") /
+          col("n").cast("double"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // --- SUPPLIER CONCENTRATION (HHI) per part: revenue shares
+    //     squared and summed — emitted as the EXACT integer pair
+    //     (Σ rᵢ², (Σ rᵢ)²) plus the double dividing once, so the
+    //     concentration index hash-matches unrounded. Top 50 most
+    //     concentrated multi-supplier parts, full tiebreak. ---
+    "q287_hhi_concentration" -> { (spark, dir) =>
+      val rev = tbl(spark, dir, "lineitem")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+          .as("r"))
+      rev.groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum(col("r") * col("r")).as("hhi_num"),
+          sum(col("r")).as("__tot"))
+        .filter(col("n_suppliers") >= 2)
+        .withColumn("hhi_den", col("__tot") * col("__tot"))
+        .withColumn("hhi", col("hhi_num").cast("double") /
+          col("hhi_den").cast("double"))
+        .select(col("l_partkey"), col("n_suppliers"), col("hhi_num"),
+          col("hhi_den"), col("hhi"))
+        .orderBy(col("hhi").desc, col("l_partkey"))
+        .limit(50)
     }
   )
 
@@ -12416,7 +12470,58 @@ object SparkEntry {
     "q282_stream_curate" -> curateCensusSql,
     "q283_incremental_curate" -> curateCensusSql,
     "q284_retention_forecast" -> retentionForecastSql,
-    "q285_dict_encoding_planner" -> dictPlannerSql
+    "q285_dict_encoding_planner" -> dictPlannerSql,
+
+    "q286_ship_delay_sla" -> """
+      WITH d AS (SELECT o.o_orderpriority,
+                        CAST(date_diff('day',
+                          CAST(o.o_orderdate AS DATE),
+                          CAST(l.l_shipdate AS DATE)) AS BIGINT)
+                          AS delay_days
+                 FROM lineitem l JOIN orders o
+                   ON o.o_orderkey = l.l_orderkey),
+      pv AS (SELECT o_orderpriority, delay_days AS v,
+                    CAST(count(*) AS BIGINT) AS w
+             FROM d GROUP BY 1, 2),
+      c AS (SELECT o_orderpriority, v,
+                   CAST(sum(w) OVER (PARTITION BY o_orderpriority
+                     ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND
+                     CURRENT ROW) AS BIGINT) AS cw,
+                   CAST(sum(w) OVER (PARTITION BY o_orderpriority)
+                     AS BIGINT) AS tw
+            FROM pv),
+      qs AS (SELECT o_orderpriority,
+                    min(CASE WHEN cw * 2 >= tw THEN v END) AS p50_days,
+                    min(CASE WHEN cw * 10 >= tw * 9 THEN v END)
+                      AS p90_days
+             FROM c GROUP BY 1),
+      agg AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+                     CAST(max(delay_days) AS BIGINT) AS max_days,
+                     CAST(sum(CASE WHEN delay_days > 90 THEN 1 ELSE 0
+                       END) AS BIGINT) AS n_breach
+              FROM d GROUP BY 1)
+      SELECT a.o_orderpriority, a.n, a.max_days, a.n_breach,
+             q.p50_days, q.p90_days,
+             CAST(a.n_breach AS DOUBLE) / CAST(a.n AS DOUBLE)
+               AS breach_frac
+      FROM agg a JOIN qs q USING (o_orderpriority)
+      ORDER BY a.o_orderpriority""",
+
+    "q287_hhi_concentration" -> """
+      WITH rev AS (SELECT l_partkey, l_suppkey,
+                          CAST(sum(CAST(round(l_extendedprice * 100)
+                            AS BIGINT)) AS BIGINT) AS r
+                   FROM lineitem GROUP BY 1, 2),
+      h AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_suppliers,
+                   CAST(sum(r * r) AS BIGINT) AS hhi_num,
+                   CAST(sum(r) AS BIGINT) AS tot
+            FROM rev GROUP BY 1)
+      SELECT l_partkey, n_suppliers, hhi_num,
+             tot * tot AS hhi_den,
+             CAST(hhi_num AS DOUBLE) / CAST(tot * tot AS DOUBLE)
+               AS hhi
+      FROM h WHERE n_suppliers >= 2
+      ORDER BY hhi DESC, l_partkey LIMIT 50"""
   )
 
   /** Shared q282/q283 oracle (see comment above). lazy: it
