@@ -6743,6 +6743,67 @@ object SparkEntry {
           col("hhi_den"), col("hhi"))
         .orderBy(col("hhi").desc, col("l_partkey"))
         .limit(50)
+    },
+
+    // --- COHORT LTV CURVES: users cohorted by first-event ISO week;
+    //     per (cohort, weeks-since) the active users, value cents,
+    //     and the cohort's CUMULATIVE cents — the lifetime-value
+    //     readout behind retention economics. Cohort-partitioned
+    //     window over a weeks-grain frame (dozens of rows per
+    //     cohort), exact integers. ---
+    "q288_cohort_ltv" -> { (spark, dir) =>
+      val ev = tbl(spark, dir, "events")
+        .select(col("user_id"),
+          to_date(date_trunc("week", col("ts"))).as("wk"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val cohorts = ev.groupBy(col("user_id"))
+        .agg(min(col("wk")).as("cohort_week"))
+      val grid = ev.join(cohorts, Seq("user_id"))
+        .withColumn("weeks_since",
+          expr("datediff(wk, cohort_week) div 7"))
+        .groupBy(col("cohort_week"), col("weeks_since"))
+        .agg(count_distinct(col("user_id")).as("n_users"),
+          sum(col("cents")).as("cents"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cohort_week")).orderBy(col("weeks_since"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, org.apache.spark.sql.expressions.Window
+          .currentRow)
+      grid.withColumn("cum_cents", sum(col("cents")).over(w))
+        .orderBy(col("cohort_week"), col("weeks_since"))
+    },
+
+    // --- DISCOUNT-RESPONSE correlation per priority class: Pearson r
+    //     between discount basis points and quantity, from exact
+    //     integer power sums (the q249 discipline) — does a deeper
+    //     discount move volume. num/den ints are the hash gate. ---
+    "q289_discount_response" -> { (spark, dir) =>
+      val rows = tbl(spark, dir, "lineitem")
+        .select(col("l_orderkey"),
+          expr("CAST(round(l_discount * 10000) AS BIGINT)").as("x"),
+          expr("CAST(round(l_quantity) AS BIGINT)").as("y"))
+        .join(tbl(spark, dir, "orders")
+          .select(col("o_orderkey").as("l_orderkey"),
+            col("o_orderpriority")), Seq("l_orderkey"))
+      rows.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("__sx"), sum(col("y")).as("__sy"),
+          sum(col("x") * col("x")).as("__sxx"),
+          sum(col("y") * col("y")).as("__syy"),
+          sum(col("x") * col("y")).as("__sxy"))
+        .select(col("o_orderpriority"), col("n"),
+          (col("n") * col("__sxy") - col("__sx") * col("__sy"))
+            .as("num"),
+          (col("n") * col("__sxx") - col("__sx") * col("__sx"))
+            .as("den_x"),
+          (col("n") * col("__syy") - col("__sy") * col("__sy"))
+            .as("den_y"))
+        .withColumn("r",
+          when(col("den_x") > 0 && col("den_y") > 0,
+            col("num").cast("double") /
+              (sqrt(col("den_x").cast("double")) *
+                sqrt(col("den_y").cast("double")))))
+        .orderBy(col("o_orderpriority"))
     }
   )
 
@@ -12521,7 +12582,52 @@ object SparkEntry {
              CAST(hhi_num AS DOUBLE) / CAST(tot * tot AS DOUBLE)
                AS hhi
       FROM h WHERE n_suppliers >= 2
-      ORDER BY hhi DESC, l_partkey LIMIT 50"""
+      ORDER BY hhi DESC, l_partkey LIMIT 50""",
+
+    "q288_cohort_ltv" -> """
+      WITH e AS (SELECT user_id,
+                        CAST(date_trunc('week', ts) AS DATE) AS wk,
+                        CAST(round(value * 100) AS BIGINT) AS cents
+                 FROM events),
+      c AS (SELECT user_id, min(wk) AS cohort_week FROM e GROUP BY 1),
+      g AS (SELECT c.cohort_week,
+                   date_diff('day', c.cohort_week, e.wk) // 7
+                     AS weeks_since,
+                   CAST(count(DISTINCT e.user_id) AS BIGINT)
+                     AS n_users,
+                   CAST(sum(e.cents) AS BIGINT) AS cents
+            FROM e JOIN c USING (user_id) GROUP BY 1, 2)
+      SELECT cohort_week, weeks_since, n_users, cents,
+             CAST(sum(cents) OVER (PARTITION BY cohort_week
+               ORDER BY weeks_since ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS cum_cents
+      FROM g ORDER BY 1, 2""",
+
+    "q289_discount_response" -> """
+      WITH rws AS (SELECT o.o_orderpriority,
+                          CAST(round(l.l_discount * 10000) AS BIGINT)
+                            AS x,
+                          CAST(round(l.l_quantity) AS BIGINT) AS y
+                   FROM lineitem l JOIN orders o
+                     ON o.o_orderkey = l.l_orderkey),
+      s AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x * x) AS BIGINT) AS sxx,
+                   CAST(sum(y * y) AS BIGINT) AS syy,
+                   CAST(sum(x * y) AS BIGINT) AS sxy
+            FROM rws GROUP BY 1)
+      SELECT o_orderpriority, n,
+             n * sxy - sx * sy AS num,
+             n * sxx - sx * sx AS den_x,
+             n * syy - sy * sy AS den_y,
+             CASE WHEN n * sxx - sx * sx > 0 AND
+                       n * syy - sy * sy > 0 THEN
+               CAST(n * sxy - sx * sy AS DOUBLE) /
+                 (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+                  sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+             END AS r
+      FROM s ORDER BY o_orderpriority"""
   )
 
   /** Shared q282/q283 oracle (see comment above). lazy: it
