@@ -6804,6 +6804,44 @@ object SparkEntry {
               (sqrt(col("den_x").cast("double")) *
                 sqrt(col("den_y").cast("double")))))
         .orderBy(col("o_orderpriority"))
+    },
+
+    // --- DEDUP SAVINGS ESTIMATOR: q281's clusters priced in BYTES —
+    //     per near-dup cluster keep the min-id member, count the
+    //     docs and chars removed; the "is the dedup pass worth the
+    //     compute" answer. One census join over the component map;
+    //     exact integers. ---
+    "q290_dedup_savings" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+        .select(col("doc_id"), col("n_chars"))
+      val ids = docs.select(col("doc_id"))
+      val chain = ids.alias("a").join(ids.alias("b"),
+          col("b.doc_id") === col("a.doc_id") + 1 &&
+            pmod(col("a.doc_id"), lit(7)) =!= 6)
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      val cross = ids.alias("a").join(ids.alias("b"),
+          col("b.doc_id") === col("a.doc_id") + 14 &&
+            pmod(col("a.doc_id"), lit(21)) === 3)
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      val comp = Dedup.connectedComponents(
+        chain.unionByName(cross), col("id_a"), col("id_b"))
+      val mapped = docs.join(comp, docs("doc_id") === comp("id"),
+          "left")
+        .select(col("doc_id"), col("n_chars"),
+          coalesce(col("comp"), col("doc_id")).as("comp"))
+      val perCluster = mapped.groupBy(col("comp"))
+        .agg(count(lit(1)).as("__n"), sum(col("n_chars")).as("__chars"),
+          min(struct(col("doc_id"), col("n_chars"))).as("__keep"))
+      perCluster.agg(
+          count(lit(1)).as("n_clusters"),
+          sum(col("__n")).as("n_docs"),
+          sum(col("__n") - 1).as("n_removed"),
+          sum(col("__chars") - col("__keep.n_chars"))
+            .as("chars_removed"),
+          sum(col("__chars")).as("chars_total"))
+        .withColumn("savings_frac",
+          col("chars_removed").cast("double") /
+            col("chars_total").cast("double"))
     }
   )
 
@@ -12627,7 +12665,38 @@ object SparkEntry {
                  (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
                   sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
              END AS r
-      FROM s ORDER BY o_orderpriority"""
+      FROM s ORDER BY o_orderpriority""",
+
+    "q290_dedup_savings" -> """
+      WITH RECURSIVE
+      ids AS (SELECT doc_id FROM documents),
+      e AS (
+        SELECT a.doc_id AS x, b.doc_id AS y FROM ids a JOIN ids b
+          ON b.doc_id = a.doc_id + 1 AND a.doc_id % 7 <> 6
+        UNION ALL
+        SELECT a.doc_id, b.doc_id FROM ids a JOIN ids b
+          ON b.doc_id = a.doc_id + 14 AND a.doc_id % 21 = 3),
+      ed AS (SELECT x, y FROM e UNION ALL SELECT y, x FROM e),
+      r AS (SELECT x AS id, x AS rr FROM ed
+            UNION
+            SELECT ed.x, r.rr FROM ed JOIN r ON ed.y = r.id),
+      c AS (SELECT id, min(rr) AS comp FROM r GROUP BY id),
+      fl AS (SELECT d.doc_id, d.n_chars,
+                    coalesce(c.comp, d.doc_id) AS comp
+             FROM documents d LEFT JOIN c ON c.id = d.doc_id),
+      pc AS (SELECT comp, CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(n_chars) AS BIGINT) AS chars,
+                    CAST(min_by(n_chars, doc_id) AS BIGINT)
+                      AS keep_chars
+             FROM fl GROUP BY 1)
+      SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+             CAST(sum(n) AS BIGINT) AS n_docs,
+             CAST(sum(n - 1) AS BIGINT) AS n_removed,
+             CAST(sum(chars - keep_chars) AS BIGINT) AS chars_removed,
+             CAST(sum(chars) AS BIGINT) AS chars_total,
+             CAST(sum(chars - keep_chars) AS DOUBLE) /
+               CAST(sum(chars) AS DOUBLE) AS savings_frac
+      FROM pc"""
   )
 
   /** Shared q282/q283 oracle (see comment above). lazy: it
