@@ -132,7 +132,7 @@ class RunnerSpec extends SparkSpec {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     // build a nested table on the fly and register via a temp dir
-    val tmp = java.nio.file.Files.createTempDirectory("graft_nested")
+    val tmp = graft.Scratch.dir("graft_nested")
     val nested = spark.range(3).select(col("id"),
       array(struct(col("id").as("x"), (col("id") * 2).as("y")))
         .as("children"))
@@ -146,7 +146,7 @@ class RunnerSpec extends SparkSpec {
 
   test("two-level snowflake: from a.b.c digs two array levels") {
     import org.apache.spark.sql.functions._
-    val tmp = java.nio.file.Files.createTempDirectory("graft_nested2")
+    val tmp = graft.Scratch.dir("graft_nested2")
     // task -> runs[] -> artifacts[] (the reference's task shape)
     val tasks = spark.range(2).select(col("id").as("task_id"),
       array(struct(col("id").as("run_no"),
@@ -173,7 +173,7 @@ class RunnerSpec extends SparkSpec {
 
   test("items op turns a struct column into name/value pairs") {
     import org.apache.spark.sql.functions._
-    val tmp = java.nio.file.Files.createTempDirectory("graft_items")
+    val tmp = graft.Scratch.dir("graft_items")
     spark.range(2).select(col("id"),
         struct(col("id").as("x"), lit("v").as("y")).as("obj"))
       .coalesce(1).write.mode("overwrite")

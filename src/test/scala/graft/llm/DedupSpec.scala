@@ -30,8 +30,7 @@ class DedupSpec extends SparkSpec {
   }
 
   test("incremental near-dup vs persisted signature index") {
-    val idx = java.nio.file.Files
-      .createTempDirectory("graft_mh_idx").toString + "/idx"
+    val idx = graft.Scratch.dir("graft_mh_idx").toString + "/idx"
     // historical corpus = docs 1 and 4; new batch = exact copy of 1,
     // near-dup of 1, and an unrelated doc
     Dedup.writeMinhashIndex(

@@ -47,8 +47,7 @@ class LangModelSpec extends SparkSpec {
     val batch = Seq((3L, "the cat ran fast"),
       (4L, "mat the cat")).toDF("doc_id", "text")
     val full = hist.unionByName(batch)
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft_lm_merge").toString
+    val dir = graft.Scratch.dir("graft_lm_merge").toString
     LangModel.writeModel(LangModel.unigrams(hist, $"text"),
       LangModel.bigrams(hist, $"text"), dir)
     val (u0, b0) = LangModel.readModel(spark, dir)

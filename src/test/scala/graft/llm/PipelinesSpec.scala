@@ -35,7 +35,7 @@ class PipelinesSpec extends SparkSpec {
       (4L, "a completely different document that is about the spark engine and its catalyst optimizer for it was a good engine"),
       (5L, "xq")
     ).toDF("doc_id", "text")
-    val out = java.nio.file.Files.createTempDirectory("graft_curobs")
+    val out = graft.Scratch.dir("graft_curobs")
       .toString
     val m = Pipelines.curateObserved(docs, $"doc_id", $"text",
         out + "/corpus", minQuality = 0.4, nearDupJaccard = 0.6)
@@ -65,7 +65,7 @@ class PipelinesSpec extends SparkSpec {
   }
 
   test("writeByLanguage partitions on disk by lang_pred") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_corpus")
+    val tmp = graft.Scratch.dir("graft_corpus")
       .toString
     val docs = catalog.table("documents").limit(200)
     val prepared = Pipelines.prepareCorpus(docs, $"doc_id", $"text",

@@ -110,8 +110,7 @@ class SemDedupSpec extends SparkSpec {
       (0L, Seq(1.0f, 0.0f)),
       (1L, Seq(0.0f, 1.0f))
     ).toDF("vec_id", "embedding")
-    val idx = java.nio.file.Files
-      .createTempDirectory("graft_inc_sem").toString + "/idx"
+    val idx = graft.Scratch.dir("graft_inc_sem").toString + "/idx"
     Similarity.ivfWriteIndex(hist, $"vec_id", $"embedding", idx, nlist = 2)
     val fresh = Seq(
       (10L, Seq(0.99996f, 0.00873f)), // ~0.5° off id 0: dup vs history
@@ -137,11 +136,9 @@ class SemDedupSpec extends SparkSpec {
   test("streamingDedup: later batches dedup against earlier batches' " +
       "survivors through the growing on-disk index") {
     val hist = Seq((0L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
-    val idx = java.nio.file.Files
-      .createTempDirectory("graft_stream_sem").toString + "/idx"
+    val idx = graft.Scratch.dir("graft_stream_sem").toString + "/idx"
     Similarity.ivfWriteIndex(hist, $"vec_id", $"embedding", idx, nlist = 1)
-    val srcDir = java.nio.file.Files
-      .createTempDirectory("graft_stream_sem_src").toString
+    val srcDir = graft.Scratch.dir("graft_stream_sem_src").toString
     // batch 1: a survivor orthogonal to history
     Seq((10L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")
       .coalesce(1).write.mode("append").parquet(srcDir)
@@ -154,8 +151,7 @@ class SemDedupSpec extends SparkSpec {
     val schema = spark.read.parquet(srcDir).schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
-    val out = java.nio.file.Files
-      .createTempDirectory("graft_stream_sem_out").toString
+    val out = graft.Scratch.dir("graft_stream_sem_out").toString
     val dups = SemDedup.streamingDedup(spark, stream, $"vec_id",
       $"embedding", idx, out + "/dups", out + "/cp",
       threshold = 0.99, nlist = 1)

@@ -117,8 +117,7 @@ class SimilaritySpec extends SparkSpec {
     import spark.implicits._
     val emb = catalog.table("embeddings")
     val qs = emb.filter(col("vec_id") < 5)
-    val path = java.nio.file.Files
-      .createTempDirectory("graft_ivf_idx").toString
+    val path = graft.Scratch.dir("graft_ivf_idx").toString
     Similarity.ivfWriteIndex(emb, col("vec_id"), col("embedding"), path,
       nlist = 8)
     val probed = Similarity.ivfProbeIndexed(spark, path,
@@ -147,8 +146,7 @@ class SimilaritySpec extends SparkSpec {
     import spark.implicits._
     val emb = catalog.table("embeddings")
     val qs = emb.filter(col("vec_id") < 5)
-    val path = java.nio.file.Files
-      .createTempDirectory("graft_ivf_fit").toString
+    val path = graft.Scratch.dir("graft_ivf_fit").toString
     val means = KMeans.fit(emb, col("vec_id"), col("embedding"),
       k = 8, iters = 2)
     Similarity.ivfWriteIndexFitted(emb, col("vec_id"), col("embedding"),
@@ -174,8 +172,7 @@ class SimilaritySpec extends SparkSpec {
     import spark.implicits._
     val emb = catalog.table("embeddings")
     val qs = emb.filter(col("vec_id") < 3)
-    val path = java.nio.file.Files
-      .createTempDirectory("graft_ivf_nosc").toString
+    val path = graft.Scratch.dir("graft_ivf_nosc").toString
     Similarity.ivfWriteIndex(emb, col("vec_id"), col("embedding"), path,
       nlist = 8)
     // simulate a pre-sidecar index (or a deleted sidecar)

@@ -31,7 +31,7 @@ class ZOrderSpec extends SparkSpec {
     val pts = spark.range(n).select(
       pmod(xxhash64($"id"), lit(1024L)).as("a"),
       pmod(xxhash64($"id", lit(1)), lit(1024L)).as("b"))
-    val dir = java.nio.file.Files.createTempDirectory("graft_zorder")
+    val dir = graft.Scratch.dir("graft_zorder")
       .toString
 
     ZOrder.writeZOrdered(pts, dir + "/z", $"a", $"b", bits = 10,

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 class SinksSpec extends SparkSpec {
 
   private def tmpDir(): String =
-    java.nio.file.Files.createTempDirectory("graft_sink").toString
+    graft.Scratch.dir("graft_sink").toString
 
   test("rollover sink: date partitions on disk, retention filter applied") {
     val out = tmpDir()

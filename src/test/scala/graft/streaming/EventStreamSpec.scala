@@ -195,8 +195,7 @@ class EventStreamSpec extends SparkSpec {
     // pair always joins (both rows are present in the batch), so the
     // late-drop hazard only bites when one side must come from STATE
     // a short watermark has already evicted
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft_ivj_multi").toString
+    val dir = graft.Scratch.dir("graft_ivj_multi").toString
     def base(d: Int): Long = 1700000000000L + d.toLong * 86400000L
     def view(u: Long, t: Long) =
       (u, new java.sql.Timestamp(t), "view")
@@ -260,8 +259,7 @@ class EventStreamSpec extends SparkSpec {
       "unmatched rows flush ONLY once a sentinel batch pushes the " +
       "watermark past their interval") {
     import spark.implicits._
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft_loj").toString
+    val dir = graft.Scratch.dir("graft_loj").toString
     def t(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
     // ONE real batch: user 1 matches inside 30 min, user 2 never does
     Seq((1L, t(0), "view"), (1L, t(10), "purchase"), (2L, t(5), "view"))
@@ -306,8 +304,7 @@ class EventStreamSpec extends SparkSpec {
   test("LAW: FULL OUTER interval join flushes BOTH sides' unmatched " +
       "rows after the sentinel") {
     import spark.implicits._
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft_foj").toString
+    val dir = graft.Scratch.dir("graft_foj").toString
     def t(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
     // user 1 matches; user 2: view only; user 3: purchase only
     Seq((1L, t(0), "view"), (1L, t(10), "purchase"),
@@ -346,8 +343,7 @@ class EventStreamSpec extends SparkSpec {
   test("streaming funnel: a LATE early-step event in a later " +
       "micro-batch revises the chain to the batch answer") {
     import spark.implicits._
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft_funnel_ooo").toString + "/ev"
+    val dir = graft.Scratch.dir("graft_funnel_ooo").toString + "/ev"
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     // file 1: the user's click and purchase arrive FIRST
     Seq((1L, ts("2024-01-01 10:10:00"), "click"),
@@ -419,7 +415,7 @@ class EventStreamSpec extends SparkSpec {
         unix_micros(col("ts"))).as[Long].collect().sorted)
     // every watermark-taking op accepts the RAW NTZ frame (each
     // normalizes at its own boundary) — via a real streaming source
-    val dir = java.nio.file.Files.createTempDirectory("graft_ntz")
+    val dir = graft.Scratch.dir("graft_ntz")
       .toString + "/events"
     ntz.coalesce(1).write.parquet(dir)
     val stream = spark.readStream
