@@ -6842,6 +6842,76 @@ object SparkEntry {
         .withColumn("savings_frac",
           col("chars_removed").cast("double") /
             col("chars_total").cast("double"))
+    },
+
+    // --- CONVERSION LATENCY with CENSORING: per user, days from
+    //     first view to the first purchase AT OR AFTER it; users who
+    //     never purchase after their first view are CENSORED and
+    //     counted, not dropped (the survival-analysis bookkeeping a
+    //     naive join silently gets wrong). Integer-day census +
+    //     exact median among converters. ---
+    "q291_conversion_latency" -> { (spark, dir) =>
+      val ev = tbl(spark, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts").cast("timestamp")).as("us"))
+      val firstView = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("us")).as("__v"))
+      // conditional MIN inside the aggregation, NOT a filter on the
+      // join: a user whose only purchases precede their first view
+      // must stay as a censored row, not vanish
+      val conv = firstView.join(
+          ev.filter(col("event_type") === "purchase")
+            .select(col("user_id"), col("us").as("__p")),
+          Seq("user_id"), "left")
+        .groupBy(col("user_id"))
+        .agg(max(col("__v")).as("__v"),
+          min(when(col("__p") >= col("__v"), col("__p"))).as("__fp"))
+        .select(col("user_id"),
+          expr("CASE WHEN __fp IS NULL THEN NULL " +
+            "ELSE (__fp - __v) div 86400000000 END").as("delay_days"))
+      // global median among converters WITHOUT a constant-group
+      // window (the q171 lesson): tiny day-value census + a non-equi
+      // cumulative join + the integer threshold rule
+      val cen = conv.filter(col("delay_days").isNotNull)
+        .groupBy(col("delay_days")).agg(count(lit(1)).as("__w"))
+      val cum = cen.join(broadcast(cen.select(
+          col("delay_days").as("__v2"), col("__w").as("__w2"))),
+          col("__v2") <= col("delay_days"))
+        .groupBy(col("delay_days")).agg(sum(col("__w2")).as("__cw"))
+      val qs = cum.crossJoin(broadcast(
+          cen.agg(sum(col("__w")).as("__tw"))))
+        .filter(col("__cw") * 2 >= col("__tw"))
+        .agg(min(col("delay_days")).as("p50_days"))
+      conv.agg(count(lit(1)).as("n_viewers"),
+          sum(when(col("delay_days").isNotNull, 1L).otherwise(0L))
+            .as("n_converted"),
+          max(col("delay_days")).as("max_days"))
+        .crossJoin(broadcast(qs))
+        .withColumn("conversion_frac",
+          col("n_converted").cast("double") /
+            col("n_viewers").cast("double"))
+    },
+
+    // --- REVENUE WATERFALL per return flag: gross -> discount ->
+    //     tax -> net decomposition in exact cents (the reconciliation
+    //     view finance closes the books with). ---
+    "q292_revenue_waterfall" -> { (spark, dir) =>
+      tbl(spark, dir, "lineitem")
+        .select(col("l_returnflag"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+            .as("__gross"),
+          expr("CAST(round(l_extendedprice * l_discount * 100) " +
+            "AS BIGINT)").as("__disc"),
+          expr("CAST(round(l_extendedprice * (1 - l_discount) * " +
+            "l_tax * 100) AS BIGINT)").as("__tax"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("__gross")).as("gross_cents"),
+          sum(col("__disc")).as("discount_cents"),
+          sum(col("__tax")).as("tax_cents"),
+          sum(col("__gross") - col("__disc") + col("__tax"))
+            .as("net_cents"))
+        .orderBy(col("l_returnflag"))
     }
   )
 
@@ -12696,7 +12766,54 @@ object SparkEntry {
              CAST(sum(chars) AS BIGINT) AS chars_total,
              CAST(sum(chars - keep_chars) AS DOUBLE) /
                CAST(sum(chars) AS DOUBLE) AS savings_frac
-      FROM pc"""
+      FROM pc""",
+
+    "q291_conversion_latency" -> """
+      WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+                 FROM events),
+      fv AS (SELECT user_id, min(us) AS v FROM e
+             WHERE event_type = 'view' GROUP BY 1),
+      c AS (SELECT fv.user_id, fv.v,
+                   min(CASE WHEN p.us >= fv.v THEN p.us END) AS fp
+            FROM fv LEFT JOIN (SELECT user_id, us FROM e
+              WHERE event_type = 'purchase') p
+              ON p.user_id = fv.user_id
+            GROUP BY 1, 2),
+      d AS (SELECT user_id, CASE WHEN fp IS NULL THEN NULL
+                   ELSE (fp - v) // 86400000000 END AS delay_days
+            FROM c),
+      cen AS (SELECT delay_days AS v, CAST(count(*) AS BIGINT) AS w
+              FROM d WHERE delay_days IS NOT NULL GROUP BY 1),
+      cum AS (SELECT x.v, CAST(sum(y.w) AS BIGINT) AS cw
+              FROM cen x JOIN cen y ON y.v <= x.v GROUP BY 1),
+      tw AS (SELECT CAST(sum(w) AS BIGINT) AS t FROM cen),
+      p AS (SELECT CAST(min(v) AS BIGINT) AS p50_days
+            FROM cum CROSS JOIN tw WHERE cw * 2 >= t)
+      SELECT CAST(count(*) AS BIGINT) AS n_viewers,
+             CAST(sum(CASE WHEN delay_days IS NOT NULL THEN 1 ELSE 0
+               END) AS BIGINT) AS n_converted,
+             CAST(max(delay_days) AS BIGINT) AS max_days,
+             (SELECT p50_days FROM p) AS p50_days,
+             CAST(sum(CASE WHEN delay_days IS NOT NULL THEN 1 ELSE 0
+               END) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+               AS conversion_frac
+      FROM d""",
+
+    "q292_revenue_waterfall" -> """
+      WITH l AS (SELECT l_returnflag,
+                        CAST(round(l_extendedprice * 100) AS BIGINT)
+                          AS gross,
+                        CAST(round(l_extendedprice * l_discount * 100)
+                          AS BIGINT) AS disc,
+                        CAST(round(l_extendedprice * (1 - l_discount)
+                          * l_tax * 100) AS BIGINT) AS tax
+                 FROM lineitem)
+      SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(sum(gross) AS BIGINT) AS gross_cents,
+             CAST(sum(disc) AS BIGINT) AS discount_cents,
+             CAST(sum(tax) AS BIGINT) AS tax_cents,
+             CAST(sum(gross - disc + tax) AS BIGINT) AS net_cents
+      FROM l GROUP BY 1 ORDER BY 1"""
   )
 
   /** Shared q282/q283 oracle (see comment above). lazy: it
