@@ -12071,12 +12071,20 @@ object SparkEntry {
       FROM s ORDER BY user_id""",
 
     "q255_table_fingerprint" -> """
+      WITH r AS (SELECT source,
+        (CASE WHEN doc_id IS NULL THEN 'N'
+              ELSE CAST(strlen(CAST(doc_id AS VARCHAR)) AS VARCHAR)
+                   || ':' || CAST(doc_id AS VARCHAR) END) ||
+        (CASE WHEN lang IS NULL THEN 'N'
+              ELSE CAST(strlen(lang) AS VARCHAR) || ':' || lang END) ||
+        (CASE WHEN n_chars IS NULL THEN 'N'
+              ELSE CAST(strlen(CAST(n_chars AS VARCHAR)) AS VARCHAR)
+                   || ':' || CAST(n_chars AS VARCHAR) END) AS rend
+        FROM documents)
       SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
-             CAST(sum(CAST(('0x' || substring(md5(
-                 CAST(doc_id AS VARCHAR) || '|' || lang || '|' ||
-                 CAST(n_chars AS VARCHAR)), 1, 8)) AS BIGINT)
-               % 2147483647) % 2147483647 AS BIGINT) AS fp
-      FROM documents GROUP BY source ORDER BY source""",
+             CAST(sum(CAST(('0x' || substring(md5(rend), 1, 8))
+                 AS BIGINT) % 2147483647) % 2147483647 AS BIGINT) AS fp
+      FROM r GROUP BY source ORDER BY source""",
 
     "q256_kcore" -> """
       WITH m AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
@@ -12107,12 +12115,20 @@ object SparkEntry {
       FROM e4 GROUP BY 1 ORDER BY 1""",
 
     "q257_fingerprint_merge" -> """
-      WITH h AS (SELECT source, doc_id,
-                        CAST(('0x' || substring(md5(
-                          CAST(doc_id AS VARCHAR) || '|' || lang ||
-                          '|' || CAST(n_chars AS VARCHAR)), 1, 8))
-                          AS BIGINT) % 2147483647 AS hh
-                 FROM documents),
+      WITH r AS (SELECT source, doc_id,
+        (CASE WHEN doc_id IS NULL THEN 'N'
+              ELSE CAST(strlen(CAST(doc_id AS VARCHAR)) AS VARCHAR)
+                   || ':' || CAST(doc_id AS VARCHAR) END) ||
+        (CASE WHEN lang IS NULL THEN 'N'
+              ELSE CAST(strlen(lang) AS VARCHAR) || ':' || lang END) ||
+        (CASE WHEN n_chars IS NULL THEN 'N'
+              ELSE CAST(strlen(CAST(n_chars AS VARCHAR)) AS VARCHAR)
+                   || ':' || CAST(n_chars AS VARCHAR) END) AS rend
+        FROM documents),
+      h AS (SELECT source, doc_id,
+                   CAST(('0x' || substring(md5(rend), 1, 8))
+                     AS BIGINT) % 2147483647 AS hh
+            FROM r),
       whole AS (SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
                        CAST(sum(hh) % 2147483647 AS BIGINT) AS fp
                 FROM h GROUP BY 1),

@@ -64,18 +64,30 @@ object StreamBench {
     }
     val one = runs.find(_._1 == 16).get
     val full = runs.find(_._1 == 1).get
-    val perBatch = (one._3 - full._3) / (one._2 - full._2)
+    // AvailableNow may merge triggers differently across Spark
+    // versions; if both drains report the same batch count the slope
+    // is undefined — emit null rather than an Infinity/NaN that would
+    // break the JSON line.
+    val perBatch: Option[Double] =
+      if (one._2 == full._2) None
+      else Some((one._3 - full._3) / (one._2 - full._2))
 
     println(f"backlog=$nRows rows, $nFiles files ($sfDir)")
     runs.foreach { case (mf, b, t) =>
       println(f"maxFilesPerTrigger=$mf%-3d batches=$b%-3d wall=$t%6.2f s")
     }
-    println(f"per-batch fixed cost ≈ $perBatch%.2f s " +
-      f"(same data every run; spread is machinery, not operator work)")
+    perBatch match {
+      case Some(pb) =>
+        println(f"per-batch fixed cost ≈ $pb%.2f s " +
+          f"(same data every run; spread is machinery, not operator work)")
+      case None =>
+        println("per-batch fixed cost: undefined (drains produced " +
+          "equal batch counts)")
+    }
     println(s"""{"bench":"stream","rows":$nRows,"files":$nFiles,""" +
       runs.map { case (mf, b, t) =>
         s""""mf$mf":{"batches":$b,"sec":$t}""" }.mkString(",") +
-      s""","per_batch_sec":$perBatch}""")
+      s""","per_batch_sec":${perBatch.map(_.toString).getOrElse("null")}}""")
     Scratch.sweep()
     spark.stop()
   }

@@ -11,21 +11,39 @@ import org.apache.spark.sql.functions._
   * row-diff (cf. [[Reconcile.columnDiffCensus]]) the partitions whose
   * fingerprints moved.
   *
-  * Construction (portable, exact): md5 over a '|'-joined canonical
+  * Construction (portable, exact): md5 over an INJECTIVE canonical
   * row rendering → first 8 hex chars as a 32-bit integer → modular
   * SUM over the group, mod 2³¹−1. Addition commutes, so the
   * fingerprint is invariant under row order and partitioning — a
   * map-side-combinable aggregate, one narrow exchange on the group
   * key, replayable bit-for-bit in any engine with md5. (A content
   * SUM, not a hash chain: chains need an order; sums don't.)
+  *
+  * The rendering is length-prefixed, not separator-joined: each cell
+  * becomes `N` for NULL or `<utf8-byte-length>:<value>`, and cells
+  * concatenate with no separator. A value rendering always starts
+  * with a digit, so `N` can never collide with one, and the length
+  * prefix makes the concatenation parse unambiguously — distinct
+  * rows like ('a|b','c') vs ('a','b|c'), or (NULL,'x') vs ('x',NULL),
+  * get distinct renderings. (A change-detection fingerprint that can
+  * confuse two different snapshots is worse than none; a '|' join
+  * does exactly that, and silently drops NULL cells besides.)
   */
 object Fingerprint {
 
   private val M = 2147483647L // 2^31 - 1
 
-  /** 32-bit content hash of one row rendering. */
+  /** Injective rendering of one cell: `N` for NULL, else
+    * `<octet_length>:<string value>`. */
+  private def cell(c: Column): Column = {
+    val s = c.cast("string")
+    when(s.isNull, lit("N"))
+      .otherwise(concat(octet_length(s).cast("string"), lit(":"), s))
+  }
+
+  /** 32-bit content hash of one row's injective rendering. */
   def rowHash(cols: Seq[Column]): Column =
-    conv(substring(md5(concat_ws("|", cols.map(_.cast("string")): _*)
+    conv(substring(md5(concat(cols.map(cell): _*)
       .cast(org.apache.spark.sql.types.BinaryType)), 1, 8), 16, 10)
       .cast("long")
 

@@ -23,9 +23,16 @@ object Reconcile {
 
   /** (metric, n) rows: `added`, `removed`, `matched`,
     * `changed_any`, and one `changed:<col>` per compared column —
-    * deterministic order by metric name. */
+    * deterministic order by metric name.
+    *
+    * Precondition: `key` must be UNIQUE within each snapshot — a
+    * duplicated key fans out the full-outer join and inflates
+    * matched/changed counts multiplicatively. Deduplicate or
+    * aggregate to the key grain first if the store allows dupes. */
   def columnDiffCensus(prev: DataFrame, cur: DataFrame,
                        key: String, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty,
+      "columnDiffCensus needs at least one column to compare")
     val p = prev.select(col(key).as("__k") +:
       cols.map(c => col(c).as(s"__p_$c")): _*)
     val c = cur.select(col(key).as("__k") +:

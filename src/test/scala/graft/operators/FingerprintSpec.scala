@@ -25,4 +25,33 @@ class FingerprintSpec extends SparkSpec {
     assert(diff.map(_._1) === Set(s"g${250L % 3}"),
       "only the touched group's fingerprint changes")
   }
+
+  test("rowHash rendering is injective: NULL position and separator " +
+      "characters cannot collide") {
+    // the two classic '|'-join collision families
+    def h(a: Option[String], b: Option[String]): Long =
+      Seq((a.orNull, b.orNull)).toDF("a", "b")
+        .select(Fingerprint.rowHash(Seq($"a", $"b")).as("h"))
+        .as[Long].head()
+    assert(h(None, Some("x")) !== h(Some("x"), None),
+      "(NULL,'x') vs ('x',NULL) must differ")
+    assert(h(Some("a|b"), Some("c")) !== h(Some("a"), Some("b|c")),
+      "separator chars in values must not shift cell boundaries")
+    assert(h(Some("12"), Some("3")) !== h(Some("1"), Some("23")),
+      "digit spill across cells must not collide")
+    assert(h(None, None) !== h(Some(""), Some("")),
+      "NULL vs empty string must differ")
+  }
+
+  test("contentFingerprint distinguishes snapshots that differ only " +
+      "by a NULL cell") {
+    val a = Seq(("g", Some("x"), Option.empty[String]))
+      .toDF("g", "k", "v")
+    val b = Seq(("g", Option.empty[String], Some("x")))
+      .toDF("g", "k", "v")
+    def fp(df: org.apache.spark.sql.DataFrame) =
+      Fingerprint.contentFingerprint(df, $"g", Seq($"k", $"v"))
+        .select($"fp").as[Long].head()
+    assert(fp(a) !== fp(b))
+  }
 }

@@ -34,4 +34,12 @@ class ReconcileSpec extends SparkSpec {
     assert(out.keySet === Set("added", "removed", "matched",
       "changed_any", "changed:s", "changed:n"))
   }
+
+  test("columnDiffCensus rejects an empty column list up front") {
+    val df = Seq((1L, "a")).toDF("k", "s")
+    val e = intercept[IllegalArgumentException] {
+      Reconcile.columnDiffCensus(df, df, "k", Seq.empty)
+    }
+    assert(e.getMessage.contains("at least one column"))
+  }
 }
