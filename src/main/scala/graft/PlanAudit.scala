@@ -1,12 +1,47 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Dev harness: physical-plan census over every query — join strategy
-  * counts, exchange counts, cartesian products — so "is this the plan
-  * you'd want at 100x scale" is a table, not 82 manual explains.
+/** Physical-plan census over every query — join strategy counts,
+  * exchange counts, cartesian products, unprotected global windows —
+  * so "is this the plan you'd want at 100x scale" is a table, not 292
+  * manual explains. The census is both a dev harness (this main) and
+  * a permanent CI gate ([[graft.PlanAuditSpec]] asserts zero plan
+  * errors / cartesians / global windows on every `sbt test`).
   *   sbt "runMain graft.PlanAudit /root/testdata/sf0.01"
   */
 object PlanAudit {
+
+  /** Census token order: Exchange, BHJ, SMJ, BNLJ, CartesianProduct,
+    * Window, whole-stage-codegen spans. "*(" is the codegen span
+    * marker in executedPlan.toString (the string "WholeStageCodegen"
+    * only appears in formatted explain). */
+  val tokens: Seq[String] = Seq("Exchange", "BroadcastHashJoin",
+    "SortMergeJoin", "BroadcastNestedLoopJoin", "CartesianProduct",
+    "Window ", "*(")
+
+  final case class Census(name: String, counts: Seq[Int],
+                          globalWins: Int, error: Option[String]) {
+    def cartesians: Int = counts(tokens.indexOf("CartesianProduct"))
+  }
+
+  /** Build one query's plan and count the census tokens. Never
+    * throws: a plan-construction failure is reported as
+    * `error = Some(...)` so the caller can decide (the spec fails the
+    * build; the main prints PLAN-ERROR). */
+  def censusOne(spark: SparkSession, sfDir: String, name: String,
+                fn: (SparkSession, String) =>
+                  org.apache.spark.sql.DataFrame): Census =
+    try {
+      val df = fn(spark, sfDir)
+      val p = df.queryExecution.executedPlan.toString
+      Census(name,
+        tokens.map(t => p.sliding(t.length).count(_ == t)),
+        globalWindows(df.queryExecution.optimizedPlan), None)
+    } catch { case e: Throwable =>
+      Census(name, tokens.map(_ => 0), 0,
+        Some(Option(e.getMessage).getOrElse(e.getClass.getName)))
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
     val spark = SparkSession.builder()
@@ -18,24 +53,14 @@ object PlanAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // "*(" = whole-stage-codegen span marker in executedPlan.toString
-    // (the string "WholeStageCodegen" only appears in formatted explain)
-    val tokens = Seq("Exchange", "BroadcastHashJoin", "SortMergeJoin",
-      "BroadcastNestedLoopJoin", "CartesianProduct", "Window ",
-      "*(")
     println(f"${"query"}%-26s ${tokens.map(_.take(9)).mkString(" ")} GLOBWIN")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      try {
-        val df = fn(spark, sfDir)
-        val p = df.queryExecution.executedPlan.toString
-        val counts = tokens.map(t =>
-          f"${p.sliding(t.length).count(_ == t)}%9d")
-        // scale-killer census: Window with an EMPTY partition spec and
-        // no limit below it pulls the whole input into one task's sort
-        val gw = globalWindows(df.queryExecution.optimizedPlan)
-        println(f"$name%-26s ${counts.mkString(" ")} $gw%7d")
-      } catch { case e: Throwable =>
-        println(f"$name%-26s PLAN-ERROR ${e.getMessage.take(60)}")
+      censusOne(spark, sfDir, name, fn) match {
+        case Census(_, _, _, Some(err)) =>
+          println(f"$name%-26s PLAN-ERROR ${err.take(60)}")
+        case c =>
+          println(f"$name%-26s ${c.counts.map(n => f"$n%9d").mkString(" ")} " +
+            f"${c.globalWins}%7d")
       }
       spark.catalog.clearCache()
       spark.catalog.listTables().collect()
