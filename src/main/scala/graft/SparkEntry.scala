@@ -6912,6 +6912,23 @@ object SparkEntry {
           sum(col("__gross") - col("__disc") + col("__tax"))
             .as("net_cents"))
         .orderBy(col("l_returnflag"))
+    },
+
+    // --- CHUNKED token-bucket replay (q250's bounded-memory twin):
+    //     the same lazy-refill fold, but events segment into
+    //     16-element position chunks folded with carry-over state —
+    //     no row ever holds a full entity history, the hot-entity
+    //     (bot-traffic) offline-replay shape. The oracle is q250's
+    //     whole-list SQL verbatim: a hash match PROVES the chunked
+    //     chain replays the unsegmented fold on real data. ---
+    "q293_rate_limit_chunked" -> { (spark, dir) =>
+      val ev = tbl(spark, dir, "events")
+      graft.operators.RateLimit.tokenBucketChunked(ev, col("user_id"),
+          unix_micros(col("ts").cast("timestamp")), col("event_id"),
+          capacity = 3L, chunkSize = 16)
+        .select(col("entity").as("user_id"), col("n_events"),
+          col("n_accepted"), col("n_rejected"), col("tokens_left"))
+        .orderBy(col("user_id"))
     }
   )
 
@@ -12829,7 +12846,11 @@ object SparkEntry {
              CAST(sum(disc) AS BIGINT) AS discount_cents,
              CAST(sum(tax) AS BIGINT) AS tax_cents,
              CAST(sum(gross - disc + tax) AS BIGINT) AS net_cents
-      FROM l GROUP BY 1 ORDER BY 1"""
+      FROM l GROUP BY 1 ORDER BY 1""",
+
+    // chunked fold ≡ whole fold: the oracle replays the UNSEGMENTED
+    // list_reduce — a hash match proves the carry-over chain
+    "q293_rate_limit_chunked" -> rateLimitSql
   )
 
   /** Shared q282/q283 oracle (see comment above). lazy: it

@@ -69,4 +69,29 @@ class RateLimitSpec extends SparkSpec {
       assert(got._5 >= 0L && got._5 <= 4L)
     }
   }
+
+  test("tokenBucketChunked law: chunked fold with carry-over state " +
+      "== whole-list fold, for chunk sizes that split, straddle, and " +
+      "exceed every entity") {
+    val users = samples(
+      Gen.choose(2, 60).flatMap(n => Gen.listOfN(n,
+        Gen.choose(0L, 50L))),
+      25, seed = 4177L)
+    val rows = users.zipWithIndex.flatMap { case (ms, u) =>
+      ms.zipWithIndex.map { case (m, i) =>
+        (u.toLong, m * MinUs + i, i.toLong)
+      }
+    }.toDF("u", "us", "id")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Long, Long)].collect().toSet
+    val whole = norm(RateLimit.tokenBucket(rows, $"u", $"us", $"id",
+      capacity = 4L, refillPerMin = 2L))
+    // 3: every entity spans many chunks; 7: chunk boundaries straddle
+    // minute boundaries arbitrarily; 1000: degenerate single chunk
+    for (cs <- Seq(3, 7, 1000)) {
+      val chunked = norm(RateLimit.tokenBucketChunked(rows, $"u",
+        $"us", $"id", capacity = 4L, refillPerMin = 2L, chunkSize = cs))
+      assert(chunked === whole, s"chunkSize=$cs")
+    }
+  }
 }
