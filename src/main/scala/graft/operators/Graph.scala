@@ -501,4 +501,51 @@ object Graph {
     }
     e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
   }
+
+  /** [[kCorePeel]] to the FIXPOINT: peel until a round removes no
+    * node (the true k-core), bounded by `maxRounds` as a runaway
+    * guard. Each surviving edge set is localCheckpoint-ed per round
+    * (the Dedup.connectedComponents discipline): a deep peel on a
+    * real graph otherwise stacks two anti-joins of logical plan per
+    * round and dies in the driver compiling it long before the
+    * executors work. The convergence probe is the SAME degree census
+    * the round already computes — counting `bad` adds no extra scan
+    * shape, just the one action that round would run anyway.
+    * Emits surviving (node, deg); [[kCorePeel]] with sufficient
+    * rounds is the oracled bounded-round twin (GraphSpec law). */
+  def kCorePeelConverged(edges: DataFrame, k: Int,
+                         maxRounds: Int = 50): DataFrame = {
+    require(k >= 1 && maxRounds >= 1, "need k >= 1 and maxRounds >= 1")
+    var e = edges.select(col("src"), col("dst")).localCheckpoint()
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val bad = e.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
+        .filter(col("__deg") < k).select(col("src").as("__bad"))
+        .localCheckpoint() // eager: one census job, reused by both anti-joins
+      if (bad.isEmpty) converged = true
+      else {
+        val next = e
+          .join(bad, col("src") === col("__bad"), "left_anti")
+          .join(bad, col("dst") === col("__bad"), "left_anti")
+          .localCheckpoint()
+        unpersistCheckpoint(e)
+        e = next
+      }
+      unpersistCheckpoint(bad)
+      round += 1
+    }
+    if (!converged)
+      System.err.println(s"[graft] kCorePeelConverged: NOT a fixpoint " +
+        s"after $maxRounds rounds — raise maxRounds")
+    val out = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    out
+  }
+
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

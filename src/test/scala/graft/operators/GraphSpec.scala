@@ -201,4 +201,31 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(r1.contains(5L) && !r1.contains(6L))
   }
+
+  test("kCorePeelConverged law: fixpoint == fixed-round peel at " +
+      "sufficient rounds; output is a genuine fixpoint; a long peel " +
+      "chain converges past any small round budget") {
+    // chain 1-2-3-...-10 + K4 on {20,21,22,23}: the chain needs 5
+    // rounds to fully peel at k=2 (cascade from both ends), the K4
+    // survives untouched
+    val chain = (1L to 9L).map(i => (i, i + 1))
+    val k4 = Seq((20L, 21L), (20L, 22L), (20L, 23L), (21L, 22L),
+      (21L, 23L), (22L, 23L))
+    val und = chain ++ k4
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long)].collect().toMap
+    val conv = m(Graph.kCorePeelConverged(edges, k = 2))
+    assert(conv === Map(20L -> 3L, 21L -> 3L, 22L -> 3L, 23L -> 3L))
+    // fixed-round twin agrees once given enough rounds
+    assert(conv === m(Graph.kCorePeel(edges, k = 2, rounds = 8)))
+    // a 3-round budget is NOT yet the fixpoint on this graph —
+    // the convergence loop is doing real extra work
+    assert(conv !== m(Graph.kCorePeel(edges, k = 2, rounds = 3)))
+    // fixpoint property: every surviving degree >= k
+    assert(conv.values.forall(_ >= 2L))
+    // empty survivor set converges cleanly (chain only, k=2)
+    val chainOnly = (chain ++ chain.map(_.swap)).toDF("src", "dst")
+    assert(m(Graph.kCorePeelConverged(chainOnly, k = 2)).isEmpty)
+  }
 }
