@@ -6584,8 +6584,15 @@ object SparkEntry {
         docs.filter(col("doc_id") * 3 > 2 * mx)), src)
       val stream = spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1).parquet(src)
-      val kept = graft.llm.QualityModel.classify(stream, col("text"))
-        .filter(col("keep"))
+      // per-batch observability rides the drain (StreamObserve): a
+      // quality stage eating a micro-batch below the floor stops the
+      // stream and aborts loudly instead of censusing a gutted corpus
+      val obs = new graft.streaming.StreamPipelineObserver(
+        keptFloor = Some(0.05))
+      val kept = obs.checkpoint("quality",
+        graft.llm.QualityModel.classify(
+            obs.checkpoint("raw", stream), col("text"))
+          .filter(col("keep")))
       val agg = kept.groupBy(
           graft.llm.TextAnalysis.fingerprintPortable(col("text"))
             .as("fp"), col("lang"))
@@ -6594,7 +6601,8 @@ object SparkEntry {
       // update mode emits one row per (fp, lang) per changing batch;
       // the LAST state has the max copy count (monotone) and its
       // keeper (min doc_id seen, which only moves when count does)
-      EventStream.runToCompletion(spark, agg, mode = "update")
+      EventStream.runToCompletionObserved(spark, agg, obs,
+          mode = "update")
         .groupBy(col("fp"), col("lang"))
         .agg(max(struct(col("n_copies"),
           (-col("keeper_id")).as("__nk"))).as("__f"))

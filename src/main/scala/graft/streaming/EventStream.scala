@@ -558,6 +558,39 @@ object EventStream {
       spark.table(name)
     }
 
+  /** [[runToCompletion]] with per-batch pipeline observability: the
+    * observer's listener folds every micro-batch's stage metrics as
+    * it commits and STOPS the query mid-stream on a kept-floor
+    * violation, which this helper then rethrows as
+    * [[graft.llm.CurationAborted]]. Listener delivery is async, so
+    * after termination the query's own progress log is re-ingested
+    * (idempotent) — a violation on the FINAL batch is caught even if
+    * its event hasn't reached the bus yet. Returns the rows the sink
+    * received BEFORE the stop — the at-least-once contract: on abort,
+    * inspect `observer.history`, fix the floor or the stage, and
+    * re-run; committed batches are replayed from the source, not
+    * trusted from the aborted sink. */
+  def runToCompletionObserved(spark: SparkSession, agg: DataFrame,
+                              observer: StreamPipelineObserver,
+                              mode: String = "complete",
+                              statePartitions: Int = 8): DataFrame =
+    withStatePartitions(spark, statePartitions) {
+      val l = observer.listener(spark)
+      spark.streams.addListener(l)
+      try {
+        val name = s"graft_stream_${runIds.incrementAndGet()}"
+        val q = agg.writeStream
+          .format("memory").queryName(name)
+          .outputMode(mode)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        q.recentProgress.foreach(observer.ingest)
+        observer.violation.foreach(throw _)
+        spark.table(name)
+      } finally spark.streams.removeListener(l)
+    }
+
   /** Stateful-operator parallelism for a LOCAL drain: every stateful
     * streaming op creates `spark.sql.shuffle.partitions` state-store
     * instances per stateful stage (a stream-stream join keeps FOUR per

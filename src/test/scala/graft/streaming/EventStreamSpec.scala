@@ -441,4 +441,61 @@ class EventStreamSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(batchSessions === Map(1L -> 1L, 2L -> 1L))
   }
+
+  test("streaming pipeline observability: per-batch stage metrics " +
+      "ride each micro-batch; a healthy run completes with full " +
+      "history") {
+    import spark.implicits._
+    val dir = graft.Scratch.dir("graft_sobs_ok").toString + "/docs"
+    // 3 chronological batches, each keeps exactly half
+    val mk = (base: Long) => (0L until 10L)
+      .map(i => (base + i, if (i % 2 == 0) 1L else -1L, "en"))
+      .toDF("doc_id", "v", "lang")
+    EventStream.writeOrderedBatches(Seq(mk(0), mk(100), mk(200)), dir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(dir).schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val obs = new StreamPipelineObserver(keptFloor = Some(0.2))
+    val kept = obs.checkpoint("quality",
+      obs.checkpoint("raw", stream).filter(col("v") > 0))
+    val out = EventStream.runToCompletionObserved(spark,
+      kept.groupBy(col("lang")).agg(count(lit(1)).as("n")), obs)
+    assert(out.select(max(col("n"))).collect().head.getLong(0) === 15L)
+    // one (quality) stage row per micro-batch, each 10 -> 5
+    val h = obs.history
+    assert(h.map(_._1).distinct.size === 3, s"history=$h")
+    assert(h.forall { case (_, stage, nIn, nKept, frac) =>
+      stage == "quality" && nIn == 10L && nKept == 5L && frac == 0.5
+    }, s"history=$h")
+    assert(obs.violation.isEmpty)
+  }
+
+  test("streaming circuit breaker: a batch below the kept floor " +
+      "stops the query mid-stream and rethrows CurationAborted") {
+    import spark.implicits._
+    val dir = graft.Scratch.dir("graft_sobs_trip").toString + "/docs"
+    val good = (base: Long) => (0L until 10L)
+      .map(i => (base + i, 1L, "en")).toDF("doc_id", "v", "lang")
+    val poison = (100L until 110L)
+      .map(i => (i, -1L, "en")).toDF("doc_id", "v", "lang")
+    EventStream.writeOrderedBatches(
+      Seq(good(0), poison, good(200)), dir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(dir).schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val obs = new StreamPipelineObserver(keptFloor = Some(0.2))
+    val kept = obs.checkpoint("quality",
+      obs.checkpoint("raw", stream).filter(col("v") > 0))
+    val e = intercept[graft.llm.CurationAborted] {
+      EventStream.runToCompletionObserved(spark,
+        kept.groupBy(col("lang")).agg(count(lit(1)).as("n")), obs)
+    }
+    assert(e.stage.contains("quality") && e.stage.contains("batch 1"),
+      e.toString)
+    assert(e.nIn === 10L && e.nKept === 0L)
+    // the healthy first batch's metrics were recorded before the trip
+    assert(obs.history.exists { case (b, _, nIn, nKept, _) =>
+      b == 0L && nIn == 10L && nKept == 10L })
+    assert(obs.violation.nonEmpty)
+  }
 }
