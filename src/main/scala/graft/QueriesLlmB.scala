@@ -1,0 +1,1597 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType, StructType}
+import graft.etl.{Lineage, LogParse, MozLog}
+import graft.jx.{Formats, QueryParser, Runner}
+import graft.llm.{Contamination, Dedup, Multimodal, Pipelines, Similarity, TextAnalysis}
+import graft.meta.MetaColumns
+import graft.operators.{CountMin, Joins, Kmv, Sessionize, SetOps}
+import graft.streaming.EventStream
+import graft.tables.Catalog
+
+/** Query + oracle definitions — LLM training-data pipeline: dedup families, ANN, text analysis, corpus prep, relevance, model-prep.
+  * Concatenated into SparkEntry.queries / SparkEntry.oracleSql (the
+  * driver contract); see SparkEntry's scaladoc for the output and
+  * floating-point conventions every entry follows. */
+private[graft] object QueriesLlmB {
+  import QueryShared._
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- CONTAINMENT dedup signal: near-SUBSET pairs (prefix-
+    //     truncated variants of every 5th doc are injected — their
+    //     shingles are a strict subset of the original's, so
+    //     cont_a_in_b lands on exactly 1.0 where Jaccard would sit
+    //     well below any threshold). Ratios are exact integer
+    //     divisions, hash-compared unrounded; the oracle mines the
+    //     same df-capped gram space with string n-grams ---
+    "q132_containment" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val variants = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          col("text").substr(lit(1),
+            greatest(length(col("text")) - 40, lit(1))).as("text"))
+      graft.llm.Dedup.containmentPairs(docs.unionByName(variants),
+          col("doc_id"), col("text"),
+          shingleN = 3, threshold = 0.9, maxDf = 64)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+
+    // --- collocation mining: adjacent-token pairs ranked by lift =
+    //     c_ab·N/(c_a·c_b) — PMI's ordering via exact products, no
+    //     libm log in the compare. Top 25 (lift desc, a, b) with pair
+    //     count >= 5 ---
+    "q134_collocations" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+      graft.llm.TextAnalysis.collocations(docs, col("text"),
+          minCount = 5)
+        .orderBy(col("lift").desc, col("a").asc, col("b").asc)
+        .limit(25)
+    },
+
+
+    // --- per-source boilerplate stripping (CCNet-style): docs get a
+    //     synthetic nav header + copyright footer shared across their
+    //     source (and a 25%-frequency subscribe line that must SURVIVE
+    //     the 50% bar); the census explodes distinct lines only, the
+    //     strip is a row-local array filter against a broadcast
+    //     per-source boilerplate list — document text never shuffles ---
+    "q140_boilerplate" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+      val multi = docs.select(col("doc_id"), col("source"),
+        concat(
+          lit("== "), col("source"), lit(" navigation ==\n"),
+          col("text"), lit("\n"),
+          when(pmod(col("doc_id"), lit(4)) === 0,
+            concat(lit("subscribe to "), col("source"), lit("\n")))
+            .otherwise(lit("")),
+          lit("copyright "), col("source")).as("text"))
+      graft.llm.Pipelines.stripBoilerplate(multi, col("doc_id"),
+          col("source"), col("text"), minDocFrac = 0.5, minDocs = 2)
+        .orderBy(col("doc_id"))
+    },
+
+
+    // --- sorted-neighborhood blocking over near-dup titles: variants
+    //     share their source doc's prefix, so the (key, id) sort puts
+    //     them adjacent within the key-prefix block; candidates within
+    //     window 3 score full trigram Jaccard (exact set ratio).
+    //     The third candidate-generation family (sort order) next to
+    //     LSH bands and SemDeDup cells ---
+    "q148_sorted_neighborhood" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val variants = docs.select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        col("text").substr(lit(1),
+          greatest(length(col("text")) - 30, lit(1))).as("text"))
+      val base = docs.unionByName(variants)
+      val pairs = graft.llm.Dedup.sortedNeighborhoodPairs(base,
+        col("doc_id"), lower(substring(trim(col("text")), 1, 24)),
+        window = 3, blockPrefix = 8)
+      // hashed shingles ride the fused native kernel; array_intersect/
+      // array_union dedup internally, so hash-set Jaccard == the
+      // oracle's string-trigram Jaccard (the q43 equivalence)
+      val sh = base.select(col("doc_id"),
+        graft.llm.TextAnalysis.shingleHashes(col("text"), 3).as("s"))
+      pairs
+        .join(sh.select(col("doc_id").as("id_a"), col("s").as("sa")),
+          Seq("id_a"))
+        .join(sh.select(col("doc_id").as("id_b"), col("s").as("sb")),
+          Seq("id_b"))
+        .withColumn("jaccard",
+          round(graft.llm.Dedup.jaccard(col("sa"), col("sb")), 6))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+
+    // --- EXACT all-pairs Jaccard via PREFIX FILTERING (AllPairs/
+    //     PPJoin): q43's corpus with NO df cap — the oracle computes
+    //     the full uncapped truth and the prefix-filtered path must
+    //     equal it exactly (the filter is lossless by pigeonhole;
+    //     the df-cap it replaces silently drops hot shingles) ---
+    "q150_prefix_filter_jaccard" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+      val truncated = docs.select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        col("text").substr(lit(1),
+          greatest(length(col("text")) - 30, lit(1))).as("text"))
+      val corpus = docs.select(col("doc_id"), col("text"))
+        .unionByName(truncated)
+      val staged = corpus.select(col("doc_id").as("id"),
+        TextAnalysis.shingleHashes(col("text"), 3).as("s"))
+      Dedup.prefixFilterJaccardPairs(staged, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+
+    // --- reciprocal-rank fusion of the q81 tf-idf and q83 BM25
+    //     rankings (same 3-term query): each input is its TOP-200
+    //     list (the real RRF shape — fusing retrieved lists, and the
+    //     orderBy().limit() is a distributed TakeOrdered, so the rank
+    //     window runs over 200 rows, never the corpus); ranks over
+    //     ROUNDED scores so a libm last-ULP can never flip an order
+    //     across engines; the fused score is a fixed-order sum of
+    //     exact IEEE divisions, hash-compared UNROUNDED ---
+    "q151_rank_fusion" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+      val terms = Seq("spark", "query", "vector")
+      val t = graft.llm.Relevance.tfidfScores(docs, col("doc_id"),
+          col("text"), terms)
+        .select(col("id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("id").asc).limit(200)
+      val b = graft.llm.Relevance.bm25Scores(docs, col("doc_id"),
+          col("text"), terms)
+        .select(col("id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("id").asc).limit(200)
+      graft.llm.Relevance.reciprocalRankFusion(Seq(t, b), k = 60)
+        .select(col("id").as("doc_id"),
+          col("rank_0").as("rank_tfidf"), col("rank_1").as("rank_bm25"),
+          col("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(50)
+    },
+
+
+    // --- positional phrase search: a marker sentence is appended to
+    //     every 7th doc (self-constructed, so testdata regeneration
+    //     can't invalidate the phrase), the corpus is indexed once as
+    //     (id, pos, tok) postings, and the 3-token phrase resolves by
+    //     aligned-offset postings joins anchored at the rarest token.
+    //     Every 21st doc gets the marker TWICE — occurrence counts,
+    //     not just membership ---
+    "q155_phrase_search" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+      val marker = lit(" needle in the haystack marker")
+      val corpus = docs.select(col("doc_id"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(7)) === 0, marker)
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(21)) === 0, marker)
+            .otherwise(lit(""))).as("text"))
+      val idx = graft.llm.Phrase.postings(corpus, col("doc_id"),
+        col("text"))
+      graft.llm.Phrase.phraseOccurrences(idx,
+          Seq("needle", "in", "the"))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+
+
+    // --- boolean postings retrieval (must / mustNot) over the same
+    //     positional index as q155: rarest-first semi-join
+    //     intersection, anti-join exclusions last (Phrase
+    //     .booleanSearch) ---
+    "q160_boolean_search" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+      val idx = graft.llm.Phrase.postings(docs, col("doc_id"),
+        col("text"))
+      graft.llm.Phrase.booleanSearch(idx,
+          must = Seq("spark", "query"), mustNot = Seq("vector"))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+
+
+    // --- per-doc keyword extraction: top-3 terms by the exact
+    //     tf·N/df relevance ratio (same ORDERING family as tf-idf —
+    //     x↦ln x is monotone — but computed as one exact-integer
+    //     division, so no libm anywhere near the ranking). The rank
+    //     window is DOC-partitioned over that doc's own distinct
+    //     terms; df and N are broadcast-sized census frames. ---
+    "q187_keywords" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+      val toks = docs.select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      val tf = toks.groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("__n"))
+      val scored = tf.join(df, Seq("tok"))
+        .crossJoin(broadcast(n))
+        .withColumn("score",
+          (col("tf") * col("__n")).cast("double") /
+            col("df").cast("double"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("tok").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("tok"), col("score"))
+        .orderBy(col("doc_id"), col("rank"))
+    },
+
+
+    // --- item-item collaborative similarity (the co-purchase
+    //     recommender): parts sharing an order score cosine =
+    //     co/√(dᵢ·dⱼ) — one exact integer co-occurrence count, two
+    //     broadcast degree lookups, one IEEE sqrt (correctly rounded
+    //     in both engines) — top-3 neighbors per item via an
+    //     item-partitioned rank window. Unrounded hash match. ---
+    "q193_item_similarity" -> { (spark, dir) =>
+      val li = tbl(spark, dir, "lineitem")
+        .filter(pmod(col("l_partkey"), lit(8)) === 0)
+      val baskets = li.select(col("l_orderkey").as("g"),
+        col("l_partkey").as("i")).distinct()
+      val deg = baskets.groupBy(col("i")).agg(count(lit(1)).as("d"))
+      val pairs = baskets.join(
+          baskets.select(col("g"), col("i").as("j")), Seq("g"))
+        .filter(col("i") < col("j"))
+        .groupBy(col("i"), col("j")).agg(count(lit(1)).as("co"))
+      val sym = pairs.unionByName(pairs.select(col("j").as("i"),
+        col("i").as("j"), col("co")))
+      val scored = sym
+        .join(broadcast(deg.select(col("i"), col("d").as("__di"))),
+          Seq("i"))
+        .join(broadcast(deg.select(col("i").as("j"),
+          col("d").as("__dj"))), Seq("j"))
+        .withColumn("sim", col("co").cast("double") /
+          sqrt((col("__di") * col("__dj")).cast("double")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("i")).orderBy(col("sim").desc, col("j").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("i").as("item"), col("rank"),
+          col("j").as("neighbor"), col("co"), col("sim"))
+        .orderBy(col("item"), col("rank"))
+    },
+
+
+    // --- deterministic global shuffle + fixed-size training shards:
+    //     every doc's exact global rank under the (md5(seed:id), id)
+    //     order and its contiguous shard — WITHOUT a global window
+    //     (256 hash-prefix range-buckets + a triangular census
+    //     prefix-sum + bucket-partitioned row_number, llm/Sharding).
+    //     The oracle replays the rank with a plain global row_number
+    //     — equality proves the bucket decomposition is exact. ---
+    "q212_shuffle_shards" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+      graft.llm.Sharding.globalShuffleShards(docs, col("doc_id"),
+          seed = "s42", shardSize = 64L)
+        .select(col("id").as("doc_id"), col("h"), col("rn"),
+          col("shard"))
+        .orderBy(col("rn"))
+    },
+
+
+    // --- hash-based negative sampling for contrastive pairs: 3
+    //     pseudo-random English negatives per non-English query doc,
+    //     via bucket-representative hashing (pool bucketed by md5,
+    //     min-hash member represents; query picks buckets by
+    //     md5(seed:q:i)) — no RNG, no pool-wide ranking; rerun- and
+    //     repartition-stable by construction (llm/Sharding). ---
+    "q213_negative_sampling" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+      graft.llm.Sharding.negativeSamples(
+          docs.filter(col("lang") =!= "en"), col("doc_id"),
+          docs.filter(col("lang") === "en"), col("doc_id"),
+          k = 3, buckets = 64, seed = "s7")
+        .orderBy(col("qid"), col("i"))
+    },
+
+
+    // --- smoothed target encoding of p_brand by line revenue (the
+    //     micci-barreca tabular-ML feature): category mean shrunk
+    //     toward the global mean with pseudo-count m=100. Integer
+    //     cent sums + three pinned-order IEEE ops -> unrounded hash
+    //     gate (llm/Featurize.targetEncode). ---
+    "q215_target_encoding" -> { (spark, dir) =>
+      val li = tbl(spark, dir, "lineitem")
+      val p = tbl(spark, dir, "part")
+      val joined = li.join(p, col("l_partkey") === col("p_partkey"))
+      graft.llm.Featurize.targetEncode(joined, col("p_brand"),
+          round(col("l_extendedprice") * 100).cast("long"), m = 100)
+        .orderBy(col("cat"))
+    },
+
+
+    // --- postings-list compression audit (index storage planning):
+    //     per-term delta + varint cost of the sorted doc-id postings
+    //     vs raw 8-byte ids. Gap bit-lengths via length(bin(gap)) —
+    //     the q179 no-libm trick — so every byte count is exact
+    //     integer; windows are term-partitioned (bounded by df). The
+    //     72% savings number a 100 TB index build decides layout
+    //     with. ---
+    "q222_postings_bytes" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+      val posts = docs.select(col("doc_id"), explode(array_distinct(
+          graft.llm.TextAnalysis.tokens(col("text")))).as("term"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("term")).orderBy(col("doc_id"))
+      posts
+        .withColumn("__gap", coalesce(
+          col("doc_id") - lag(col("doc_id"), 1).over(w),
+          col("doc_id")))
+        .withColumn("__vb",
+          expr("1L + cast(length(bin(__gap)) - 1 as bigint) div 7"))
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("df"),
+          (count(lit(1)) * 8).as("raw_bytes"),
+          sum(col("__vb")).as("varint_bytes"))
+        .orderBy(col("df").desc, col("term"))
+        .limit(100)
+    },
+
+
+    // --- exact k-NN CLASSIFICATION over the embedding corpus: every
+    //     20th vector is held out as a query, its label predicted by
+    //     majority vote of its 10 nearest neighbors (cosine, double
+    //     precision; ties -> more votes, then smaller label). The
+    //     brute-force scorer is the labeled exact baseline — the
+    //     serving path at 100 TB swaps in the IVF probe (q109) with
+    //     identical vote logic. Vote counts and the argmax are exact
+    //     integers; only the neighbor RANKING touches FP, and the
+    //     sequential-order dot product is engine-identical (q44/q45
+    //     evidence). ---
+    "q235_knn_classify" -> { (spark, dir) =>
+      val emb = tbl(spark, dir, "embeddings")
+      val queries = emb.filter(pmod(col("vec_id"), lit(20)) === 0)
+      val corpus = emb.filter(pmod(col("vec_id"), lit(20)) =!= 0)
+      val topk = Similarity.bruteForceTopK(
+        corpus, col("vec_id"), col("embedding"),
+        queries, col("vec_id"), col("embedding"), k = 10)
+      val votes = topk
+        .join(corpus.select(col("vec_id"),
+          col("label").cast("int").as("nbr_label")), Seq("vec_id"))
+        .groupBy(col("query_id"), col("nbr_label"))
+        .agg(count(lit(1)).as("votes"))
+      val pred = votes.groupBy(col("query_id"))
+        .agg(min(struct((-col("votes")).as("__nv"),
+          col("nbr_label").as("__lb"))).as("__m"))
+        .select(col("query_id"), col("__m.__lb").as("predicted"),
+          (-col("__m.__nv")).as("n_votes"))
+      pred
+        .join(queries.select(col("vec_id").as("query_id"),
+          col("label").cast("int").as("true_label")), Seq("query_id"))
+        .select(col("query_id"), col("true_label"), col("predicted"),
+          col("n_votes"),
+          (col("true_label") === col("predicted")).as("correct"))
+        .orderBy(col("query_id"))
+    },
+
+
+    // --- deterministic STRATIFIED holdout split: within each source
+    //     stratum, the ceil(n/5) docs smallest in (md5(doc_id),
+    //     doc_id) order form the test fold — reproducible from the
+    //     data alone, exact 20% per stratum, no RNG state. Window per
+    //     stratum (bounded); the unbounded-stratum form is q212's
+    //     hash-prefix global rank. ---
+    "q240_stratified_split" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      docs
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .withColumn("__rn", row_number().over(w))
+        .withColumn("__n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("source"))))
+        .withColumn("__is_test", col("__rn") <= expr("(__n + 4) div 5"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("__is_test"), 1L).otherwise(0L)).as("n_test"),
+          sum(when(col("__is_test"), col("n_chars")).otherwise(0L))
+            .as("test_chars"),
+          sum(when(!col("__is_test"), col("n_chars")).otherwise(0L))
+            .as("train_chars"))
+        .orderBy(col("source"))
+    },
+
+
+    // --- pipeline OBSERVABILITY via the Observation API: per-stage
+    //     row/char counters piggyback on the write job itself (observe()
+    //     metrics are accumulator-backed — NO second scan of the
+    //     data), which is how a 100 TB curation run affords its
+    //     circuit-breaker ("did this filter eat 90% of the corpus?")
+    //     on every stage. The filter stage writes to a real sink; the
+    //     observed metrics become the result frame; the oracle
+    //     replays the counts relationally. ---
+    "q242_observed_pipeline" -> { (spark, dir) =>
+      import org.apache.spark.sql.Observation
+      val docs = tbl(spark, dir, "documents")
+      val obsIn = Observation()
+      val obsKept = Observation()
+      val tmp = Scratch.dir("graft_q242").toString
+      docs
+        .observe(obsIn, count(lit(1)).as("rows"),
+          sum(col("n_chars")).as("chars"))
+        .filter(col("n_chars") >= 200)
+        .observe(obsKept, count(lit(1)).as("rows"),
+          sum(col("n_chars")).as("chars"))
+        .write.parquet(tmp + "/kept")
+      val in = obsIn.get
+      val kept = obsKept.get
+      import spark.implicits._
+      Seq((in("rows").asInstanceOf[Long],
+          in("chars").asInstanceOf[Long],
+          kept("rows").asInstanceOf[Long],
+          kept("chars").asInstanceOf[Long]))
+        .toDF("n_in", "chars_in", "n_kept", "chars_kept")
+        .withColumn("kept_frac", col("n_kept").cast("double")
+          / col("n_in").cast("double"))
+    },
+
+
+    // --- the q127 curation composition with PER-STAGE OBSERVABILITY:
+    //     a PipelineObserver checkpoint at every stage boundary
+    //     (exact dedup -> quality classifier -> decontamination ->
+    //     token budget), all riding the single terminal write as
+    //     accumulators — no re-scan per stage. Boundaries the
+    //     downstream consumes twice (decontaminate's n-gram mine +
+    //     anti-join; the budget's census + join) are persisted above
+    //     the checkpoint so each counter fires exactly once. The
+    //     oracle replays every stage count relationally from the
+    //     q127 CTE chain. ---
+    "q245_pipeline_metrics" -> { (spark, dir) =>
+      val po = new graft.llm.PipelineObserver
+      val docs0 = tbl(spark, dir, "documents")
+      val raw = po.checkpoint("raw",
+          docs0.select(col("doc_id"), col("source"), col("text")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val fp = raw.withColumn("fp", md5(col("text")))
+      val keepIds = fp.groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+      val s1 = po.checkpoint("exact_dedup",
+        fp.join(keepIds, Seq("doc_id"), "left_semi"))
+      val s2 = po.checkpoint("quality",
+          graft.llm.QualityModel.classify(s1, col("text"))
+            .filter(col("keep"))
+            .select(col("doc_id"), col("source"), col("text")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val evalSet = docs0.filter(pmod(col("doc_id"), lit(97)) === 0)
+      val s3 = po.checkpoint("decontaminate",
+          graft.llm.Contamination.decontaminate(s2, col("doc_id"),
+            col("text"), evalSet, col("text"), n = 8))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val s3t = s3.withColumn("n_tok",
+        graft.llm.TextAnalysis.tokenCount(col("text")))
+      val kept = po.checkpoint("token_budget",
+        Pipelines.sampleToTokenBudget(s3t, col("doc_id"),
+          col("source"), col("n_tok"), budgetTokens = 10000L))
+      kept.write.mode("overwrite")
+        .parquet(Scratch.dir("graft_q245").toString + "/out")
+      po.metricsDF(spark).orderBy(col("stage_ix"))
+    },
+
+
+    // --- SOURCE SIMILARITY MATRIX: cosine between sources' unigram
+    //     count vectors — the corpus-mixture design readout ("which
+    //     sources are near-duplicates of each other"). Integer dot
+    //     products and norms via a vocabulary-keyed join of the
+    //     (source, term, c) census (≤ k rows per term — a metadata
+    //     join, the corpus itself is scanned once and never
+    //     self-joined); cosine divides once at the end. ---
+    "q251_source_similarity" -> { (spark, dir) =>
+      val counts = tbl(spark, dir, "documents")
+        .select(col("source"),
+          explode(graft.llm.TextAnalysis.tokens(col("text"))).as("tok"))
+        .groupBy(col("source"), col("tok"))
+        .agg(count(lit(1)).as("c"))
+      val norms = counts.groupBy(col("source"))
+        .agg(sum(col("c") * col("c")).as("norm2"))
+      counts.alias("a").join(counts.alias("b"),
+          col("a.tok") === col("b.tok") &&
+          col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"),
+          col("b.source").as("source_b"))
+        .agg(sum(col("a.c") * col("b.c")).as("dot"))
+        .join(broadcast(norms.select(col("source").as("source_a"),
+          col("norm2").as("norm2_a"))), Seq("source_a"))
+        .join(broadcast(norms.select(col("source").as("source_b"),
+          col("norm2").as("norm2_b"))), Seq("source_b"))
+        .withColumn("cosine", col("dot").cast("double") /
+          (sqrt(col("norm2_a").cast("double")) *
+            sqrt(col("norm2_b").cast("double"))))
+        .select(col("source_a"), col("source_b"), col("dot"),
+          col("norm2_a"), col("norm2_b"), col("cosine"))
+        .orderBy(col("source_a"), col("source_b"))
+    },
+
+
+    // --- SEQUENCE NOVELTY (distribution shift on event ORDER, not
+    //     values): per user, the fraction of second-half event-type
+    //     bigram occurrences whose bigram never appeared in that
+    //     user's first half — halves split at the backlog's time
+    //     midpoint, bigrams formed within each half. Exact integer
+    //     counts; the anti-join is per-user keyed. ---
+    "q260_seq_novelty" -> { (spark, dir) =>
+      val ev = tbl(spark, dir, "events")
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_micros(col("ts").cast("timestamp")).as("us"))
+      val b = ev.agg(min(col("us")).as("lo"), max(col("us")).as("hi"))
+        .collect()(0)
+      val mid = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 2
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      def bigrams(half: org.apache.spark.sql.DataFrame) = half
+        .withColumn("__prev", lag(col("event_type"), 1).over(w))
+        .filter(col("__prev").isNotNull)
+        .select(col("user_id"), col("__prev").as("a"),
+          col("event_type").as("b"))
+      val train = bigrams(ev.filter(col("us") <= mid)).distinct()
+      val test = bigrams(ev.filter(col("us") > mid))
+      val novel = test.join(train, Seq("user_id", "a", "b"),
+        "left_anti")
+      test.groupBy(col("user_id")).agg(count(lit(1)).as("n_test"))
+        .join(novel.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_novel")), Seq("user_id"), "left")
+        .withColumn("n_novel", coalesce(col("n_novel"), lit(0L)))
+        .withColumn("novelty",
+          col("n_novel").cast("double") / col("n_test").cast("double"))
+        .orderBy(col("user_id"))
+    },
+
+
+    // --- MAGIC-BYTE FORMAT SNIFFING census over synthesized media
+    //     blobs (doc_id%4 picks the container signature, text bytes
+    //     are the opaque body): the engine routes by ACTUAL bytes
+    //     (Multimodal.sniffFormat — codegen'd substring/hex, no
+    //     codec); the oracle derives expected formats and byte sizes
+    //     from the construction rule — independent ground truth. ---
+    "q261_media_sniff" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+      val magic = when(pmod(col("doc_id"), lit(4)) === 0,
+          lit("89504E470D0A1A0A"))
+        .when(pmod(col("doc_id"), lit(4)) === 1, lit("FFD8FFE0"))
+        .when(pmod(col("doc_id"), lit(4)) === 2, lit("52494646"))
+        .otherwise(lit("47494638"))
+      val payload = concat(unhex(magic), encode(col("text"), "UTF-8"))
+      docs.select(col("lang"),
+          graft.llm.Multimodal.sniffFormat(payload).as("format"),
+          length(payload).cast("long").as("n_bytes"))
+        .groupBy(col("format"), col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_bytes")).as("total_bytes"))
+        .orderBy(col("format"), col("lang"))
+    },
+
+
+    // --- VOCABULARY OVERLAP matrix (set complement of q251's
+    //     frequency cosine — overlap predicts near-dup density when
+    //     planning dedup): per source pair, |A∩B| via the distinct
+    //     (source, token) census self-join, Jaccard and BOTH
+    //     containments as exact integer ratios. ---
+    "q264_vocab_overlap" -> { (spark, dir) =>
+      val vocab = tbl(spark, dir, "documents")
+        .select(col("source"),
+          explode(graft.llm.TextAnalysis.tokens(col("text"))).as("tok"))
+        .distinct()
+      val sizes = vocab.groupBy(col("source"))
+        .agg(count(lit(1)).as("sz"))
+      vocab.alias("a").join(vocab.alias("b"),
+          col("a.tok") === col("b.tok") &&
+          col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"),
+          col("b.source").as("source_b"))
+        .agg(count(lit(1)).as("n_common"))
+        .join(broadcast(sizes.select(col("source").as("source_a"),
+          col("sz").as("sz_a"))), Seq("source_a"))
+        .join(broadcast(sizes.select(col("source").as("source_b"),
+          col("sz").as("sz_b"))), Seq("source_b"))
+        .withColumn("jaccard", col("n_common").cast("double") /
+          (col("sz_a") + col("sz_b") - col("n_common")).cast("double"))
+        .withColumn("cont_a", col("n_common").cast("double") /
+          col("sz_a").cast("double"))
+        .select(col("source_a"), col("source_b"), col("n_common"),
+          col("sz_a"), col("sz_b"), col("jaccard"), col("cont_a"))
+        .orderBy(col("source_a"), col("source_b"))
+    },
+
+
+    // --- SFT PROMPT ASSEMBLY: each user's event history rendered as
+    //     a chat-format training string (ordered fold of
+    //     type=cents pieces between role markers), with the token
+    //     budget check that decides truncation BEFORE tokenization
+    //     cost is paid. Row-local after one collect per user; the
+    //     oracle is an ORDER BY string_agg — byte-identical strings
+    //     or nothing. ---
+    "q268_chat_render" -> { (spark, dir) =>
+      val ev = tbl(spark, dir, "events")
+        .select(col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("us"),
+          col("event_id"), col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      ev.groupBy(col("user_id"))
+        .agg(array_sort(collect_list(struct(col("us"), col("event_id"),
+          col("event_type"), col("cents")))).as("__xs"))
+        .select(col("user_id"),
+          size(col("__xs")).cast("long").as("n_events"),
+          concat(lit("<|user|> "),
+            array_join(transform(col("__xs"), e =>
+              concat(e.getField("event_type"), lit("="),
+                e.getField("cents").cast("string"))), " "),
+            lit(" <|end|>")).as("prompt"))
+        .select(col("user_id"), col("n_events"),
+          length(col("prompt")).cast("long").as("prompt_chars"),
+          graft.llm.TextAnalysis.tokenCount(col("prompt"))
+            .cast("long").as("n_tok"),
+          (graft.llm.TextAnalysis.tokenCount(col("prompt")) > 64)
+            .as("over_budget"),
+          substring(col("prompt"), 1, 80).as("prompt_head"))
+        .orderBy(col("user_id"))
+    },
+
+
+    // --- DPO PAIR ASSEMBLY: per source, the (chosen, rejected)
+    //     document pair by quality score — chosen = argmax(score,
+    //     tie→lowest id), rejected = argmin(score, tie→lowest id) —
+    //     via single-pass min/max struct aggregation (no per-source
+    //     sort), margins on the bit-exact q97 score. The preference-
+    //     pair construction step of RLHF data prep. ---
+    "q269_dpo_pairs" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+      val scored = graft.llm.QualityModel.classify(docs, col("text"))
+        .select(col("doc_id"), col("source"), col("score"))
+      scored.groupBy(col("source"))
+        .agg(
+          max(struct(col("score"), (-col("doc_id")).as("__nid"),
+            col("doc_id").as("__id"))).as("__c"),
+          min(struct(col("score"), col("doc_id").as("__id")))
+            .as("__r"))
+        .select(col("source"),
+          col("__c.__id").as("chosen_id"),
+          round(col("__c.score"), 6).as("chosen_score"),
+          col("__r.__id").as("rejected_id"),
+          round(col("__r.score"), 6).as("rejected_score"),
+          round(col("__c.score") - col("__r.score"), 6).as("margin"))
+        .orderBy(col("source"))
+    },
+
+
+    // --- TOKENIZER FERTILITY per language (tokens per 100 chars —
+    //     the budget planner's conversion rate between corpus bytes
+    //     and training tokens): exact integer sums, one division. ---
+    "q270_token_fertility" -> { (spark, dir) =>
+      tbl(spark, dir, "documents")
+        .select(col("lang"), col("n_chars"),
+          graft.llm.TextAnalysis.tokenCount(col("text")).cast("long")
+            .as("__tok"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(col("__tok")).as("sum_tokens"))
+        .withColumn("fertility_per_100c",
+          (col("sum_tokens") * 100).cast("double") /
+            col("sum_chars").cast("double"))
+        .orderBy(col("lang"))
+    },
+
+
+    // --- VOCABULARY GROWTH CURVE (Heaps' law readout — how fast new
+    //     types appear as the corpus grows in doc_id order): NOT k
+    //     prefix-distinct scans; ONE census of each token's FIRST
+    //     document (min doc_id per token), then vocab(N) = #tokens
+    //     with first_doc ≤ N — the growth curve for every checkpoint
+    //     from a single corpus pass + a tiny broadcast join. ---
+    "q272_vocab_growth" -> { (spark, dir) =>
+      val first = tbl(spark, dir, "documents")
+        .select(col("doc_id"),
+          explode(graft.llm.TextAnalysis.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(min(col("doc_id")).as("__first"))
+      val checkpoints = Seq(100L, 200L, 400L, 800L, 1600L, 3200L,
+        6400L, 12800L)
+      val cps = spark.createDataFrame(
+        checkpoints.map(Tuple1(_))).toDF("n_docs")
+      first.crossJoin(broadcast(cps))
+        .filter(col("__first") <= col("n_docs"))
+        .groupBy(col("n_docs"))
+        .agg(count(lit(1)).as("vocab_size"))
+        .orderBy(col("n_docs"))
+    },
+
+
+    // --- LSH PARAMETER PLANNER: the (bands b, rows r) collision
+    //     curve P(candidate | s) = 1 − (1 − s^r)^b on a similarity
+    //     grid s = i/20 — the table an engineer reads to pick the
+    //     q26/q53 banding. s^r is EXACT integer arithmetic (i^r/20^r);
+    //     the outer power folds by REPEATED MULTIPLICATION over
+    //     sequence(1, b) in both engines — same order, same IEEE
+    //     doubles, no libm pow anywhere. ---
+    "q273_lsh_planner" -> { (spark, dir) =>
+      val grid = spark.range(1, 20)
+        .select(col("id").cast("long").as("i"))
+      // r capped at 12: s^r runs in exact integers and 20^12 = 4·10^15
+      // stays inside a long (20^16 would overflow)
+      val configs = Seq((16, 4), (8, 8), (32, 2), (4, 12))
+      val cfg = spark.createDataFrame(configs).toDF("b", "r")
+      grid.crossJoin(broadcast(cfg))
+        .withColumn("__num", expr(
+          "aggregate(sequence(1, r), CAST(1 AS BIGINT), (a, x) -> a * i)"))
+        .withColumn("__den", expr(
+          "aggregate(sequence(1, r), CAST(1 AS BIGINT), " +
+            "(a, x) -> a * CAST(20 AS BIGINT))"))
+        .withColumn("__miss",
+          lit(1.0) - col("__num").cast("double") /
+            col("__den").cast("double"))
+        .withColumn("p_candidate", lit(1.0) - expr(
+          "aggregate(sequence(1, b), CAST(1.0 AS DOUBLE), " +
+            "(a, x) -> a * __miss)"))
+        .select((col("i").cast("double") / 20.0).as("s"),
+          col("b"), col("r"), col("p_candidate"))
+        .orderBy(col("s"), col("b"))
+    },
+
+
+    // --- NEAR-DUP CLUSTER SIZE DISTRIBUTION (sizing the dedup
+    //     budget: how much of the corpus sits in big clusters):
+    //     q75's synthetic edge set -> connected components ->
+    //     singleton completion -> size histogram; the oracle extends
+    //     q75's recursive-CTE replay with the same two censuses. ---
+    "q281_cluster_sizes" -> { (spark, dir) =>
+      val ids = tbl(spark, dir, "documents").select(col("doc_id"))
+      val chain = ids.alias("a").join(ids.alias("b"),
+          col("b.doc_id") === col("a.doc_id") + 1 &&
+            pmod(col("a.doc_id"), lit(7)) =!= 6)
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      val cross = ids.alias("a").join(ids.alias("b"),
+          col("b.doc_id") === col("a.doc_id") + 14 &&
+            pmod(col("a.doc_id"), lit(21)) === 3)
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      val comp = Dedup.connectedComponents(
+        chain.unionByName(cross), col("id_a"), col("id_b"))
+      ids.join(comp, ids("doc_id") === comp("id"), "left")
+        .select(coalesce(col("comp"), col("doc_id")).as("comp"))
+        .groupBy(col("comp")).agg(count(lit(1)).as("__sz"))
+        .groupBy(col("__sz"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .select(col("__sz").as("cluster_size"), col("n_clusters"))
+        .orderBy(col("cluster_size"))
+    },
+
+
+    // --- DEDUP SAVINGS ESTIMATOR: q281's clusters priced in BYTES —
+    //     per near-dup cluster keep the min-id member, count the
+    //     docs and chars removed; the "is the dedup pass worth the
+    //     compute" answer. One census join over the component map;
+    //     exact integers. ---
+    "q290_dedup_savings" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+        .select(col("doc_id"), col("n_chars"))
+      val ids = docs.select(col("doc_id"))
+      val chain = ids.alias("a").join(ids.alias("b"),
+          col("b.doc_id") === col("a.doc_id") + 1 &&
+            pmod(col("a.doc_id"), lit(7)) =!= 6)
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      val cross = ids.alias("a").join(ids.alias("b"),
+          col("b.doc_id") === col("a.doc_id") + 14 &&
+            pmod(col("a.doc_id"), lit(21)) === 3)
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      val comp = Dedup.connectedComponents(
+        chain.unionByName(cross), col("id_a"), col("id_b"))
+      val mapped = docs.join(comp, docs("doc_id") === comp("id"),
+          "left")
+        .select(col("doc_id"), col("n_chars"),
+          coalesce(col("comp"), col("doc_id")).as("comp"))
+      val perCluster = mapped.groupBy(col("comp"))
+        .agg(count(lit(1)).as("__n"), sum(col("n_chars")).as("__chars"),
+          min(struct(col("doc_id"), col("n_chars"))).as("__keep"))
+      perCluster.agg(
+          count(lit(1)).as("n_clusters"),
+          sum(col("__n")).as("n_docs"),
+          sum(col("__n") - 1).as("n_removed"),
+          sum(col("__chars") - col("__keep.n_chars"))
+            .as("chars_removed"),
+          sum(col("__chars")).as("chars_total"))
+        .withColumn("savings_frac",
+          col("chars_removed").cast("double") /
+            col("chars_total").cast("double"))
+    },
+
+
+    // --- CHUNKED token-bucket replay (q250's bounded-memory twin):
+    //     the same lazy-refill fold, but events segment into
+    //     16-element position chunks folded with carry-over state —
+    //     no row ever holds a full entity history, the hot-entity
+    //     (bot-traffic) offline-replay shape. The oracle is q250's
+    //     whole-list SQL verbatim: a hash match PROVES the chunked
+    //     chain replays the unsegmented fold on real data. ---
+    "q293_rate_limit_chunked" -> { (spark, dir) =>
+      val ev = tbl(spark, dir, "events")
+      graft.operators.RateLimit.tokenBucketChunked(ev, col("user_id"),
+          unix_micros(col("ts").cast("timestamp")), col("event_id"),
+          capacity = 3L, chunkSize = 16)
+        .select(col("entity").as("user_id"), col("n_events"),
+          col("n_accepted"), col("n_rejected"), col("tokens_left"))
+        .orderBy(col("user_id"))
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+
+    // containment over the df<=64 string-gram space (the engine mines
+    // hashed shingles — hash equality ≡ gram equality); both direction
+    // ratios are exact integer divisions
+    "q132_containment" -> """
+      WITH base AS (SELECT doc_id, text FROM documents
+             UNION ALL
+             SELECT doc_id + 2000000,
+                    substring(text, 1, greatest(length(text) - 40, 1))
+             FROM documents WHERE doc_id % 5 = 0),
+      t AS (SELECT doc_id,
+          list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                      x -> length(x) > 0) AS toks
+        FROM base),
+      sh AS (SELECT DISTINCT doc_id, g FROM (
+               SELECT doc_id, unnest(CASE WHEN len(toks) >= 3 THEN
+                   list_transform(generate_series(1, len(toks) - 2),
+                     i -> array_to_string(toks[i:i+2], ' '))
+                 WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+                 ELSE [] END) AS g
+               FROM t)),
+      dfc AS (SELECT g, count(*) AS df FROM sh GROUP BY g),
+      kept AS (SELECT doc_id, s.g FROM sh s JOIN dfc USING (g)
+               WHERE df <= 64),
+      sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+             FROM kept GROUP BY 1),
+      pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                    CAST(count(*) AS BIGINT) AS n_shared
+             FROM kept a JOIN kept b USING (g)
+             WHERE a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+      j AS (SELECT id_a, id_b, n_shared, sa.n AS sz_a, sb.n AS sz_b
+            FROM pr
+            JOIN sz sa ON sa.doc_id = pr.id_a
+            JOIN sz sb ON sb.doc_id = pr.id_b)
+      SELECT id_a, id_b, n_shared, sz_a, sz_b,
+             CAST(n_shared AS DOUBLE) / CAST(sz_a AS DOUBLE)
+               AS cont_a_in_b,
+             CAST(n_shared AS DOUBLE) / CAST(sz_b AS DOUBLE)
+               AS cont_b_in_a
+      FROM j
+      WHERE greatest(CAST(n_shared AS DOUBLE) / CAST(sz_a AS DOUBLE),
+                     CAST(n_shared AS DOUBLE) / CAST(sz_b AS DOUBLE))
+              >= 0.9
+      ORDER BY id_a, id_b""",
+
+
+    // bigram lift from the LM count tables; exact products, no log
+    "q134_collocations" -> """
+      WITH t AS (SELECT list_filter(
+                   string_split_regex(lower(trim(text)), '\s+'),
+                   x -> length(x) > 0) AS toks FROM documents),
+      uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM
+                (SELECT unnest(toks) AS w FROM t) GROUP BY 1),
+      n AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM uni),
+      bi AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab FROM (
+               SELECT unnest(list_transform(
+                        generate_series(1, len(toks) - 1),
+                        i -> toks[i])) AS a,
+                      unnest(list_transform(
+                        generate_series(1, len(toks) - 1),
+                        i -> toks[i + 1])) AS b
+               FROM t WHERE len(toks) >= 2)
+             GROUP BY 1, 2 HAVING count(*) >= 5)
+      SELECT bi.a, bi.b, c_ab, ua.c AS c_a, ub.c AS c_b,
+             (CAST(c_ab AS DOUBLE) * CAST(n.total AS DOUBLE))
+               / (CAST(ua.c AS DOUBLE) * CAST(ub.c AS DOUBLE)) AS lift
+      FROM bi
+      JOIN uni ua ON ua.w = bi.a
+      JOIN uni ub ON ub.w = bi.b
+      CROSS JOIN n
+      ORDER BY lift DESC, bi.a ASC, bi.b ASC LIMIT 25""",
+
+
+    // same synthetic multi-line docs; boilerplate = lines in >= 2 docs
+    // AND >= 50% of the source's docs; strip via an order-preserving
+    // list_filter against the per-source boilerplate list
+    "q140_boilerplate" -> """
+      WITH m AS (SELECT doc_id, source AS grp,
+              '== ' || source || ' navigation ==' || chr(10) ||
+              text || chr(10) ||
+              (CASE WHEN doc_id % 4 = 0
+                    THEN 'subscribe to ' || source || chr(10)
+                    ELSE '' END) ||
+              'copyright ' || source AS txt
+            FROM documents),
+      w AS (SELECT doc_id, grp,
+              list_filter(list_transform(string_split(txt, chr(10)),
+                x -> trim(x)), x -> length(x) > 0) AS lines
+            FROM m),
+      e AS (SELECT grp, unnest(list_distinct(lines)) AS line FROM w),
+      df AS (SELECT grp, line, count(*) AS df FROM e GROUP BY 1, 2),
+      sz AS (SELECT grp, count(*) AS n_docs FROM m GROUP BY 1),
+      b AS (SELECT df.grp, list_sort(list(line)) AS blist
+            FROM df JOIN sz USING (grp)
+            WHERE df >= 2 AND CAST(df AS DOUBLE) >= n_docs * 0.5
+            GROUP BY 1),
+      c AS (SELECT doc_id, w.grp,
+              list_filter(lines,
+                x -> NOT coalesce(list_contains(blist, x), false)) AS clean,
+              lines
+            FROM w LEFT JOIN b ON w.grp = b.grp)
+      SELECT doc_id, grp, array_to_string(clean, chr(10)) AS clean_text,
+             CAST(len(lines) AS BIGINT) AS n_lines,
+             CAST(len(clean) AS BIGINT) AS n_kept
+      FROM c ORDER BY doc_id""",
+
+
+    // block by key prefix, row_number within block, rank-range self
+    // join = the sliding window; trigram Jaccard replayed with the
+    // q43 shingle construction on both pair sides
+    "q148_sorted_neighborhood" -> """
+      WITH base AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000,
+               substring(text, 1, greatest(length(text) - 30, 1))
+        FROM documents),
+      k AS (SELECT doc_id, text,
+              lower(substring(trim(text), 1, 24)) AS key
+            FROM base),
+      r AS (SELECT doc_id, text, key,
+              substring(key, 1, 8) AS block,
+              row_number() OVER (PARTITION BY substring(key, 1, 8)
+                ORDER BY key, doc_id) AS rn
+            FROM k),
+      p AS (SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+                   a.text AS ta, b2.text AS tb
+            FROM r a JOIN r b2
+              ON a.block = b2.block
+             AND b2.rn > a.rn AND b2.rn <= a.rn + 3),
+      tk AS (SELECT id_a, id_b,
+               list_filter(string_split_regex(lower(trim(ta)), '\s+'),
+                           x -> length(x) > 0) AS toka,
+               list_filter(string_split_regex(lower(trim(tb)), '\s+'),
+                           x -> length(x) > 0) AS tokb
+             FROM p),
+      sh AS (SELECT id_a, id_b,
+               CASE WHEN len(toka) >= 3 THEN
+                      list_distinct(list_transform(
+                        generate_series(1, len(toka) - 2),
+                        i -> toka[i] || ' ' || toka[i+1] || ' '
+                             || toka[i+2]))
+                    WHEN len(toka) > 0 THEN [array_to_string(toka, ' ')]
+                    ELSE [] END AS sa,
+               CASE WHEN len(tokb) >= 3 THEN
+                      list_distinct(list_transform(
+                        generate_series(1, len(tokb) - 2),
+                        i -> tokb[i] || ' ' || tokb[i+1] || ' '
+                             || tokb[i+2]))
+                    WHEN len(tokb) > 0 THEN [array_to_string(tokb, ' ')]
+                    ELSE [] END AS sb
+             FROM tk),
+      j AS (SELECT id_a, id_b,
+              round(CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+                    / len(list_distinct(sa || sb)), 6) AS jaccard
+            FROM sh WHERE len(list_distinct(sa || sb)) > 0)
+      SELECT id_a, id_b, jaccard FROM j
+      WHERE jaccard >= 0.5 ORDER BY id_a, id_b""",
+
+
+    // the UNCAPPED exact Jaccard truth (q43's oracle minus the df
+    // cap): the prefix-filtered engine path must match it exactly
+    "q150_prefix_filter_jaccard" -> """
+      WITH base AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000,
+               substring(text, 1, greatest(length(text) - 30, 1))
+        FROM documents),
+      tk AS (SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                           x -> length(x) > 0) AS toks
+             FROM base),
+      sh AS (SELECT doc_id,
+               CASE WHEN len(toks) >= 3 THEN
+                      list_distinct(list_transform(
+                        generate_series(1, len(toks) - 2),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                    WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+                    ELSE [] END AS s
+             FROM tk),
+      ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      sz AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       count(*) AS n_shared
+                FROM ex a JOIN ex b
+                  ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+      SELECT id_a, id_b,
+             round(CAST(n_shared AS DOUBLE)
+                   / (sa.sz + sb.sz - n_shared), 6) AS jaccard
+      FROM inter
+      JOIN sz sa ON sa.doc_id = id_a
+      JOIN sz sb ON sb.doc_id = id_b
+      WHERE round(CAST(n_shared AS DOUBLE)
+                  / (sa.sz + sb.sz - n_shared), 6) >= 0.5
+      ORDER BY id_a, id_b""",
+
+
+    // tf-idf and BM25 replicated from q81/q83 (rounded 6), then
+    // row_number ranks (score desc, id) and the RRF sum in fixed
+    // order — every post-rounding op is exact IEEE in both engines
+    "q151_rank_fusion" -> """
+      WITH tt AS (SELECT doc_id, list_filter(
+          string_split_regex(lower(trim(text)), '\s+'),
+          x -> length(x) > 0) AS toks
+        FROM documents),
+      f AS (SELECT doc_id, tok, count(*) AS tf FROM (
+              SELECT doc_id, unnest(toks) AS tok FROM tt)
+            WHERE tok IN ('spark', 'query', 'vector') GROUP BY 1, 2),
+      d AS (SELECT tok, count(*) AS df FROM f GROUP BY 1),
+      n AS (SELECT count(*) AS n FROM documents),
+      tfidf AS (SELECT doc_id,
+                  round(sum(tf * (ln((n.n + 1.0) / (d.df + 1.0))
+                    + 1.0)), 6) AS score
+                FROM f JOIN d USING (tok) CROSS JOIN n
+                GROUP BY doc_id),
+      s AS (SELECT count(*) AS n,
+              CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avglen
+            FROM tt),
+      l AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS len FROM tt),
+      bm25 AS (SELECT f.doc_id,
+                 round(sum(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                   * (f.tf * 2.2 / (f.tf + (l.len / s.avglen * 0.75
+                                            + 0.25) * 1.2))), 6) AS score
+               FROM f JOIN d USING (tok) CROSS JOIN s
+                      JOIN l ON f.doc_id = l.doc_id
+               GROUP BY f.doc_id),
+      topt AS (SELECT doc_id, score FROM tfidf
+               ORDER BY score DESC, doc_id LIMIT 200),
+      topb AS (SELECT doc_id, score FROM bm25
+               ORDER BY score DESC, doc_id LIMIT 200),
+      rt AS (SELECT doc_id, row_number() OVER
+               (ORDER BY score DESC, doc_id) AS ra FROM topt),
+      rb AS (SELECT doc_id, row_number() OVER
+               (ORDER BY score DESC, doc_id) AS rb FROM topb),
+      fused AS (SELECT coalesce(rt.doc_id, rb.doc_id) AS doc_id,
+                       rt.ra, rb.rb
+                FROM rt FULL OUTER JOIN rb ON rt.doc_id = rb.doc_id)
+      SELECT doc_id, ra AS rank_tfidf, rb AS rank_bm25,
+             coalesce(1.0 / (60 + ra), 0) + coalesce(1.0 / (60 + rb), 0)
+               AS rrf
+      FROM fused ORDER BY rrf DESC, doc_id LIMIT 50""",
+
+
+    // consecutive-token scan over the same marker-extended corpus:
+    // count start positions where the 3 tokens align
+    "q155_phrase_search" -> """
+      WITH base AS (SELECT doc_id,
+              text
+              || CASE WHEN doc_id % 7 = 0
+                      THEN ' needle in the haystack marker'
+                      ELSE '' END
+              || CASE WHEN doc_id % 21 = 0
+                      THEN ' needle in the haystack marker'
+                      ELSE '' END AS text
+            FROM documents),
+      tk AS (SELECT doc_id, list_filter(
+               string_split_regex(lower(trim(text)), '\s+'),
+               x -> length(x) > 0) AS toks
+             FROM base),
+      occ AS (SELECT doc_id,
+                CAST(len(list_filter(
+                  generate_series(1, greatest(len(toks) - 2, 0)),
+                  i -> toks[i] = 'needle' AND toks[i+1] = 'in'
+                       AND toks[i+2] = 'the')) AS BIGINT) AS n_occ
+              FROM tk)
+      SELECT doc_id, n_occ FROM occ WHERE n_occ > 0
+      ORDER BY doc_id""",
+
+
+    "q160_boolean_search" -> """
+      WITH tk AS (SELECT doc_id, unnest(list_filter(
+                    string_split_regex(lower(trim(text)), '\s+'),
+                    x -> length(x) > 0)) AS t FROM documents),
+      d AS (SELECT doc_id,
+                   bool_or(t = 'spark') AS h1,
+                   bool_or(t = 'query') AS h2,
+                   bool_or(t = 'vector') AS h3
+            FROM tk GROUP BY doc_id)
+      SELECT doc_id FROM d WHERE h1 AND h2 AND NOT h3
+      ORDER BY doc_id""",
+
+
+    "q187_keywords" -> """
+      WITH tk AS (SELECT doc_id, unnest(list_filter(
+                    string_split_regex(lower(trim(text)), '\s+'),
+                    x -> length(x) > 0)) AS tok FROM documents),
+      tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+             FROM tk GROUP BY 1, 2),
+      df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+             FROM tf GROUP BY 1),
+      nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+      s AS (SELECT tf.doc_id, tf.tok,
+                   CAST(tf.tf * nn.n AS DOUBLE) / CAST(df.df AS DOUBLE)
+                     AS score
+            FROM tf JOIN df USING (tok) CROSS JOIN nn),
+      r AS (SELECT doc_id, tok, score,
+                   CAST(row_number() OVER (PARTITION BY doc_id
+                     ORDER BY score DESC, tok ASC) AS INT) AS rank
+            FROM s)
+      SELECT doc_id, rank, tok, score
+      FROM r WHERE rank <= 3 ORDER BY doc_id, rank""",
+
+
+    "q193_item_similarity" -> """
+      WITH b AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+                 FROM lineitem WHERE l_partkey % 8 = 0),
+      deg AS (SELECT i, CAST(count(*) AS BIGINT) AS d
+              FROM b GROUP BY 1),
+      p AS (SELECT a.i, c.i AS j, CAST(count(*) AS BIGINT) AS co
+            FROM b a JOIN b c ON a.g = c.g AND a.i < c.i
+            GROUP BY 1, 2),
+      sym AS (SELECT i, j, co FROM p
+              UNION ALL SELECT j, i, co FROM p),
+      sc AS (SELECT s.i, s.j, s.co,
+                    CAST(s.co AS DOUBLE) /
+                      sqrt(CAST(di.d * dj.d AS DOUBLE)) AS sim
+             FROM sym s
+             JOIN deg di ON di.i = s.i
+             JOIN deg dj ON dj.i = s.j),
+      r AS (SELECT *, CAST(row_number() OVER (PARTITION BY i
+              ORDER BY sim DESC, j ASC) AS INT) AS rank
+            FROM sc)
+      SELECT i AS item, rank, j AS neighbor, co, sim
+      FROM r WHERE rank <= 3 ORDER BY item, rank""",
+
+
+    "q212_shuffle_shards" -> """
+      WITH h AS (SELECT doc_id,
+                        md5('s42:' || CAST(doc_id AS VARCHAR)) AS h
+                 FROM documents),
+      r AS (SELECT doc_id, h,
+                   CAST(row_number() OVER (ORDER BY h, doc_id)
+                        AS BIGINT) AS rn
+            FROM h)
+      SELECT doc_id, h, rn, (rn - 1) // 64 AS shard
+      FROM r ORDER BY rn""",
+
+
+    "q213_negative_sampling" -> """
+      WITH p AS (SELECT doc_id AS neg_id,
+                        md5('s7:p:' || CAST(doc_id AS VARCHAR)) AS ph
+                 FROM documents WHERE lang = 'en'),
+      pb AS (SELECT CAST(('0x' || substring(ph, 1, 4)) AS INTEGER)
+                      % 64 AS bucket, ph, neg_id
+             FROM p),
+      reps AS (SELECT bucket, min_by(neg_id, ph) AS neg_id
+               FROM pb GROUP BY bucket),
+      q AS (SELECT doc_id AS qid FROM documents WHERE lang <> 'en'),
+      w AS (SELECT qid, CAST(i AS INT) AS i,
+                   CAST(('0x' || substring(md5('s7:q:'
+                     || CAST(qid AS VARCHAR) || ':'
+                     || CAST(i AS VARCHAR)), 1, 4)) AS INTEGER)
+                     % 64 AS bucket
+            FROM q CROSS JOIN
+                 (SELECT unnest(generate_series(1, 3)) AS i))
+      SELECT w.qid, w.i, r.neg_id
+      FROM w JOIN reps r USING (bucket)
+      WHERE r.neg_id <> w.qid
+      ORDER BY qid, i""",
+
+
+    "q215_target_encoding" -> """
+      WITH b AS (SELECT p_brand AS cat,
+                        CAST(round(l_extendedprice * 100) AS BIGINT)
+                          AS t
+                 FROM lineitem JOIN part ON l_partkey = p_partkey),
+      per AS (SELECT cat, count(*) AS n, CAST(sum(t) AS BIGINT) AS s
+              FROM b GROUP BY 1),
+      g AS (SELECT CAST(count(*) AS BIGINT) AS gn,
+                   CAST(sum(t) AS BIGINT) AS gs FROM b)
+      SELECT cat, CAST(n AS BIGINT) AS n,
+             (CAST(s AS DOUBLE)
+               + 100 * (CAST(g.gs AS DOUBLE) / CAST(g.gn AS DOUBLE)))
+               / CAST(n + 100 AS DOUBLE) AS enc
+      FROM per, g ORDER BY cat""",
+
+
+    "q222_postings_bytes" -> """
+      WITH p AS (SELECT DISTINCT doc_id, unnest(list_filter(
+                   string_split_regex(lower(trim(text)), '\s+'),
+                   x -> length(x) > 0)) AS term
+                 FROM documents),
+      g AS (SELECT term, doc_id,
+                   coalesce(doc_id - lag(doc_id, 1) OVER (
+                     PARTITION BY term ORDER BY doc_id), doc_id)
+                     AS gap
+            FROM p)
+      SELECT term, CAST(count(*) AS BIGINT) AS df,
+             CAST(count(*) * 8 AS BIGINT) AS raw_bytes,
+             CAST(sum(1 + (length(bin(gap)) - 1) // 7) AS BIGINT)
+               AS varint_bytes
+      FROM g GROUP BY term
+      ORDER BY df DESC, term LIMIT 100""",
+
+
+    "q235_knn_classify" -> """
+      WITH q AS (SELECT vec_id AS query_id,
+                        CAST(embedding AS DOUBLE[]) AS qv,
+                        CAST(label AS INT) AS true_label
+                 FROM embeddings WHERE vec_id % 20 = 0),
+      c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv,
+                   CAST(label AS INT) AS nbr_label
+            FROM embeddings WHERE vec_id % 20 <> 0),
+      s AS (SELECT q.query_id, q.true_label, c.nbr_label, c.vec_id,
+                   list_cosine_similarity(c.cv, q.qv) AS cos
+            FROM c CROSS JOIN q),
+      t AS (SELECT * FROM s QUALIFY row_number() OVER (
+              PARTITION BY query_id ORDER BY cos DESC, vec_id ASC)
+              <= 10),
+      v AS (SELECT query_id, true_label, nbr_label,
+                   CAST(count(*) AS BIGINT) AS votes
+            FROM t GROUP BY 1, 2, 3),
+      p AS (SELECT query_id, true_label, nbr_label AS predicted,
+                   votes AS n_votes
+            FROM v QUALIFY row_number() OVER (PARTITION BY query_id
+              ORDER BY votes DESC, nbr_label ASC) = 1)
+      SELECT query_id, true_label, predicted, n_votes,
+             true_label = predicted AS correct
+      FROM p ORDER BY query_id""",
+
+
+    "q240_stratified_split" -> """
+      WITH r AS (SELECT source, doc_id, n_chars,
+                        row_number() OVER (PARTITION BY source
+                          ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                          doc_id) AS rn,
+                        count(*) OVER (PARTITION BY source) AS n
+                 FROM documents),
+      f AS (SELECT source, n_chars,
+                   rn <= (n + 4) // 5 AS is_test
+            FROM r)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN is_test THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_test,
+             CAST(sum(CASE WHEN is_test THEN n_chars ELSE 0 END)
+               AS BIGINT) AS test_chars,
+             CAST(sum(CASE WHEN is_test THEN 0 ELSE n_chars END)
+               AS BIGINT) AS train_chars
+      FROM f GROUP BY 1 ORDER BY 1""",
+
+
+    // Relational replay of the two observe() checkpoints: the engine's
+    // accumulator metrics must equal a plain filtered aggregate.
+    "q242_observed_pipeline" -> """
+      SELECT CAST(count(*) AS BIGINT) AS n_in,
+             CAST(sum(n_chars) AS BIGINT) AS chars_in,
+             CAST(sum(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_kept,
+             CAST(sum(CASE WHEN n_chars >= 200 THEN n_chars ELSE 0 END)
+               AS BIGINT) AS chars_kept,
+             CAST(sum(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END)
+               AS DOUBLE) / CAST(count(*) AS DOUBLE) AS kept_frac
+      FROM documents""",
+
+
+    // per-stage counts replayed from the q127 CTE chain: the engine's
+    // accumulator-observed metrics must equal the relational censuses
+    "q245_pipeline_metrics" -> s"""
+      WITH $q97ScorePrefixSql,
+      keep1 AS (SELECT min(doc_id) AS doc_id FROM documents
+                GROUP BY md5(text)),
+      s1 AS (SELECT d.doc_id, d.source, d.text FROM documents d
+             JOIN keep1 k ON d.doc_id = k.doc_id),
+      s2 AS (SELECT s1.doc_id, s1.source, s1.text FROM s1
+             JOIN s ON s1.doc_id = s.doc_id WHERE s.score >= 0.5),
+      t2 AS (SELECT doc_id, source,
+               list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                           x -> length(x) > 0) AS toks
+             FROM s2),
+      te AS (SELECT list_filter(
+               string_split_regex(lower(trim(text)), '\\s+'),
+               x -> length(x) > 0) AS toks
+             FROM documents WHERE doc_id % 97 = 0),
+      eg AS (SELECT DISTINCT g FROM (
+               SELECT unnest(CASE WHEN len(toks) >= 8 THEN
+                   list_transform(generate_series(1, len(toks) - 7),
+                     i -> array_to_string(toks[i:i+7], ' '))
+                 WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+                 ELSE [] END) AS g FROM te)),
+      tg AS (SELECT DISTINCT doc_id, g FROM (
+               SELECT doc_id, unnest(CASE WHEN len(toks) >= 8 THEN
+                   list_transform(generate_series(1, len(toks) - 7),
+                     i -> array_to_string(toks[i:i+7], ' '))
+                 WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+                 ELSE [] END) AS g FROM t2)),
+      contaminated AS (SELECT DISTINCT doc_id FROM tg JOIN eg USING (g)),
+      d3 AS (SELECT t2.doc_id, t2.source, CAST(len(toks) AS INT)
+               AS n_tok
+             FROM t2 WHERE NOT EXISTS (SELECT 1 FROM contaminated c
+               WHERE c.doc_id = t2.doc_id)),
+      tot AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS tok
+              FROM d3 GROUP BY source),
+      kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM tot),
+      thr AS (SELECT source,
+                CAST(floor(least(1.0,
+                  CAST(10000 AS DOUBLE) / k / tok) * 65536) AS BIGINT)
+                  AS th
+              FROM tot CROSS JOIN kk),
+      kept AS (SELECT d3.doc_id, d3.source, d3.n_tok
+               FROM d3 JOIN thr USING (source)
+               WHERE CAST(('0x' || substring(
+                   md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
+                 % 65536 < th),
+      cn AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents)
+                      AS n0,
+                    (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n1,
+                    (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n2,
+                    (SELECT CAST(count(*) AS BIGINT) FROM d3) AS n3,
+                    (SELECT CAST(count(*) AS BIGINT) FROM kept) AS n4)
+      SELECT stage_ix, stage, n_in, n_kept,
+             CAST(n_kept AS DOUBLE) / CAST(n_in AS DOUBLE) AS kept_frac
+      FROM (SELECT 0 AS stage_ix, 'exact_dedup' AS stage,
+                   n0 AS n_in, n1 AS n_kept FROM cn
+            UNION ALL SELECT 1, 'quality', n1, n2 FROM cn
+            UNION ALL SELECT 2, 'decontaminate', n2, n3 FROM cn
+            UNION ALL SELECT 3, 'token_budget', n3, n4 FROM cn)
+      ORDER BY stage_ix""",
+
+
+    "q251_source_similarity" -> """
+      WITH tk AS (SELECT source, unnest(list_filter(
+                    string_split_regex(lower(trim(text)), '\s+'),
+                    x -> length(x) > 0)) AS tok
+                  FROM documents),
+      c AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+            FROM tk GROUP BY 1, 2),
+      norms AS (SELECT source, CAST(sum(c * c) AS BIGINT) AS norm2
+                FROM c GROUP BY 1),
+      dots AS (SELECT a.source AS source_a, b.source AS source_b,
+                      CAST(sum(a.c * b.c) AS BIGINT) AS dot
+               FROM c a JOIN c b ON a.tok = b.tok
+                                AND a.source < b.source
+               GROUP BY 1, 2)
+      SELECT d.source_a, d.source_b, d.dot,
+             na.norm2 AS norm2_a, nb.norm2 AS norm2_b,
+             CAST(d.dot AS DOUBLE) /
+               (sqrt(CAST(na.norm2 AS DOUBLE)) *
+                sqrt(CAST(nb.norm2 AS DOUBLE))) AS cosine
+      FROM dots d
+      JOIN norms na ON na.source = d.source_a
+      JOIN norms nb ON nb.source = d.source_b
+      ORDER BY d.source_a, d.source_b""",
+
+
+    "q260_seq_novelty" -> """
+      WITH e AS (SELECT user_id, event_type, event_id,
+                        epoch_us(ts) AS us
+                 FROM events),
+      bounds AS (SELECT min(us) + (max(us) - min(us)) // 2 AS mid
+                 FROM e),
+      tr AS (SELECT DISTINCT user_id, a, b FROM (
+               SELECT user_id, lag(event_type) OVER (PARTITION BY
+                   user_id ORDER BY us, event_id) AS a,
+                 event_type AS b
+               FROM e, bounds WHERE us <= mid)
+             WHERE a IS NOT NULL),
+      te AS (SELECT user_id, a, b FROM (
+               SELECT user_id, lag(event_type) OVER (PARTITION BY
+                   user_id ORDER BY us, event_id) AS a,
+                 event_type AS b
+               FROM e, bounds WHERE us > mid)
+             WHERE a IS NOT NULL),
+      nt AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_test
+             FROM te GROUP BY 1),
+      nv AS (SELECT te.user_id, CAST(count(*) AS BIGINT) AS n_novel
+             FROM te WHERE NOT EXISTS (SELECT 1 FROM tr
+               WHERE tr.user_id = te.user_id AND tr.a = te.a
+                 AND tr.b = te.b)
+             GROUP BY te.user_id)
+      SELECT nt.user_id, nt.n_test,
+             CAST(coalesce(nv.n_novel, 0) AS BIGINT) AS n_novel,
+             CAST(coalesce(nv.n_novel, 0) AS DOUBLE) /
+               CAST(nt.n_test AS DOUBLE) AS novelty
+      FROM nt LEFT JOIN nv USING (user_id) ORDER BY user_id""",
+
+
+    // ground truth from the construction rule, not a sniff replay:
+    // doc_id%4 chose the signature, so the oracle KNOWS the format
+    "q261_media_sniff" -> """
+      SELECT CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                  WHEN 2 THEN 'riff' ELSE 'gif' END AS format,
+             lang, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN doc_id % 4 = 0 THEN 8 ELSE 4 END
+               + octet_length(encode(text))) AS BIGINT) AS total_bytes
+      FROM documents GROUP BY 1, 2 ORDER BY 1, 2""",
+
+
+    "q264_vocab_overlap" -> """
+      WITH vocab AS (SELECT DISTINCT source, unnest(list_filter(
+                       string_split_regex(lower(trim(text)), '\s+'),
+                       x -> length(x) > 0)) AS tok
+                     FROM documents),
+      sz AS (SELECT source, CAST(count(*) AS BIGINT) AS sz
+             FROM vocab GROUP BY 1),
+      ov AS (SELECT a.source AS source_a, b.source AS source_b,
+                    CAST(count(*) AS BIGINT) AS n_common
+             FROM vocab a JOIN vocab b ON a.tok = b.tok
+                                      AND a.source < b.source
+             GROUP BY 1, 2)
+      SELECT o.source_a, o.source_b, o.n_common,
+             sa.sz AS sz_a, sb.sz AS sz_b,
+             CAST(o.n_common AS DOUBLE) /
+               CAST(sa.sz + sb.sz - o.n_common AS DOUBLE) AS jaccard,
+             CAST(o.n_common AS DOUBLE) / CAST(sa.sz AS DOUBLE)
+               AS cont_a
+      FROM ov o JOIN sz sa ON sa.source = o.source_a
+                JOIN sz sb ON sb.source = o.source_b
+      ORDER BY o.source_a, o.source_b""",
+
+
+    "q268_chat_render" -> """
+      WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+                        event_type,
+                        CAST(round(value * 100) AS BIGINT) AS cents
+                 FROM events),
+      p AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                   '<|user|> ' || string_agg(event_type || '=' ||
+                     CAST(cents AS VARCHAR), ' '
+                     ORDER BY us, event_id) || ' <|end|>' AS prompt
+            FROM e GROUP BY user_id),
+      tk AS (SELECT user_id, n_events, prompt,
+                    CAST(len(list_filter(string_split_regex(
+                      lower(trim(prompt)), '\s+'),
+                      x -> length(x) > 0)) AS BIGINT) AS n_tok
+             FROM p)
+      SELECT user_id, n_events,
+             CAST(length(prompt) AS BIGINT) AS prompt_chars,
+             n_tok, n_tok > 64 AS over_budget,
+             substring(prompt, 1, 80) AS prompt_head
+      FROM tk ORDER BY user_id""",
+
+
+    "q269_dpo_pairs" -> s"""
+      WITH $q97ScorePrefixSql,
+      sc AS (SELECT s.doc_id, d.source, s.score
+             FROM s JOIN documents d USING (doc_id)),
+      ch AS (SELECT source, doc_id, score, row_number() OVER
+               (PARTITION BY source ORDER BY score DESC, doc_id ASC)
+               AS rn
+             FROM sc),
+      rj AS (SELECT source, doc_id, score, row_number() OVER
+               (PARTITION BY source ORDER BY score ASC, doc_id ASC)
+               AS rn
+             FROM sc)
+      SELECT c.source, c.doc_id AS chosen_id,
+             round(c.score, 6) AS chosen_score,
+             r.doc_id AS rejected_id,
+             round(r.score, 6) AS rejected_score,
+             round(c.score - r.score, 6) AS margin
+      FROM ch c JOIN rj r ON c.source = r.source
+      WHERE c.rn = 1 AND r.rn = 1
+      ORDER BY c.source""",
+
+
+    "q270_token_fertility" -> """
+      WITH d AS (SELECT lang, n_chars,
+                        CAST(len(list_filter(string_split_regex(
+                          lower(trim(text)), '\s+'),
+                          x -> length(x) > 0)) AS BIGINT) AS tok
+                 FROM documents)
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             CAST(sum(tok) AS BIGINT) AS sum_tokens,
+             CAST(sum(tok) * 100 AS DOUBLE) /
+               CAST(sum(n_chars) AS DOUBLE) AS fertility_per_100c
+      FROM d GROUP BY 1 ORDER BY 1""",
+
+
+    "q272_vocab_growth" -> """
+      WITH tk AS (SELECT doc_id, unnest(list_filter(
+                    string_split_regex(lower(trim(text)), '\s+'),
+                    x -> length(x) > 0)) AS tok
+                  FROM documents),
+      fst AS (SELECT tok, min(doc_id) AS f FROM tk GROUP BY tok),
+      cps(n_docs) AS (VALUES (100), (200), (400), (800), (1600),
+        (3200), (6400), (12800))
+      SELECT CAST(n_docs AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS vocab_size
+      FROM fst JOIN cps ON fst.f <= cps.n_docs
+      GROUP BY 1 ORDER BY 1""",
+
+
+    // s^r exact-integer, outer power by the SAME repeated-multiply
+    // fold order as the engine (list_reduce with a prepended seed) —
+    // identical IEEE doubles, no libm pow
+    "q273_lsh_planner" -> """
+      WITH grid AS (SELECT unnest(generate_series(1, 19)) AS i),
+      cfg(b, r) AS (VALUES (16, 4), (8, 8), (32, 2), (4, 12)),
+      t AS (SELECT i, b, r,
+                   list_reduce(list_prepend(CAST(1 AS BIGINT),
+                     list_transform(generate_series(1, r),
+                       x -> CAST(i AS BIGINT))), (a, x) -> a * x)
+                     AS num,
+                   list_reduce(list_prepend(CAST(1 AS BIGINT),
+                     list_transform(generate_series(1, r),
+                       x -> CAST(20 AS BIGINT))), (a, x) -> a * x)
+                     AS den
+            FROM grid CROSS JOIN cfg),
+      m AS (SELECT i, b, r,
+                   CAST(1 AS DOUBLE) - CAST(num AS DOUBLE) /
+                     CAST(den AS DOUBLE) AS miss
+            FROM t)
+      SELECT CAST(i AS DOUBLE) / 20.0 AS s, b, r,
+             CAST(1 AS DOUBLE) - list_reduce(list_prepend(
+               CAST(1 AS DOUBLE), list_transform(
+                 generate_series(1, b), x -> miss)),
+               (a, x) -> a * x) AS p_candidate
+      FROM m ORDER BY s, b""",
+
+
+    "q281_cluster_sizes" -> """
+      WITH RECURSIVE
+      ids AS (SELECT doc_id FROM documents),
+      e AS (
+        SELECT a.doc_id AS x, b.doc_id AS y FROM ids a JOIN ids b
+          ON b.doc_id = a.doc_id + 1 AND a.doc_id % 7 <> 6
+        UNION ALL
+        SELECT a.doc_id, b.doc_id FROM ids a JOIN ids b
+          ON b.doc_id = a.doc_id + 14 AND a.doc_id % 21 = 3),
+      ed AS (SELECT x, y FROM e UNION ALL SELECT y, x FROM e),
+      r AS (SELECT x AS id, x AS rr FROM ed
+            UNION
+            SELECT ed.x, r.rr FROM ed JOIN r ON ed.y = r.id),
+      c AS (SELECT id, min(rr) AS comp FROM r GROUP BY id),
+      fl AS (SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS comp
+             FROM documents d LEFT JOIN c ON c.id = d.doc_id),
+      sz AS (SELECT comp, CAST(count(*) AS BIGINT) AS cluster_size
+             FROM fl GROUP BY 1)
+      SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+      FROM sz GROUP BY 1 ORDER BY 1""",
+
+
+    "q290_dedup_savings" -> """
+      WITH RECURSIVE
+      ids AS (SELECT doc_id FROM documents),
+      e AS (
+        SELECT a.doc_id AS x, b.doc_id AS y FROM ids a JOIN ids b
+          ON b.doc_id = a.doc_id + 1 AND a.doc_id % 7 <> 6
+        UNION ALL
+        SELECT a.doc_id, b.doc_id FROM ids a JOIN ids b
+          ON b.doc_id = a.doc_id + 14 AND a.doc_id % 21 = 3),
+      ed AS (SELECT x, y FROM e UNION ALL SELECT y, x FROM e),
+      r AS (SELECT x AS id, x AS rr FROM ed
+            UNION
+            SELECT ed.x, r.rr FROM ed JOIN r ON ed.y = r.id),
+      c AS (SELECT id, min(rr) AS comp FROM r GROUP BY id),
+      fl AS (SELECT d.doc_id, d.n_chars,
+                    coalesce(c.comp, d.doc_id) AS comp
+             FROM documents d LEFT JOIN c ON c.id = d.doc_id),
+      pc AS (SELECT comp, CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(n_chars) AS BIGINT) AS chars,
+                    CAST(min_by(n_chars, doc_id) AS BIGINT)
+                      AS keep_chars
+             FROM fl GROUP BY 1)
+      SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+             CAST(sum(n) AS BIGINT) AS n_docs,
+             CAST(sum(n - 1) AS BIGINT) AS n_removed,
+             CAST(sum(chars - keep_chars) AS BIGINT) AS chars_removed,
+             CAST(sum(chars) AS BIGINT) AS chars_total,
+             CAST(sum(chars - keep_chars) AS DOUBLE) /
+               CAST(sum(chars) AS DOUBLE) AS savings_frac
+      FROM pc""",
+
+
+    // chunked fold ≡ whole fold: the oracle replays the UNSEGMENTED
+    // list_reduce — a hash match proves the carry-over chain
+    "q293_rate_limit_chunked" -> rateLimitSql
+  )
+}

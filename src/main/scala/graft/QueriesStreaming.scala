@@ -1,0 +1,1154 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType, StructType}
+import graft.etl.{Lineage, LogParse, MozLog}
+import graft.jx.{Formats, QueryParser, Runner}
+import graft.llm.{Contamination, Dedup, Multimodal, Pipelines, Similarity, TextAnalysis}
+import graft.meta.MetaColumns
+import graft.operators.{CountMin, Joins, Kmv, Sessionize, SetOps}
+import graft.streaming.EventStream
+import graft.tables.Catalog
+
+/** Query + oracle definitions — Structured Streaming: micro-batch drains, keyed state, stream joins, watermarks, streaming curation.
+  * Concatenated into SparkEntry.queries / SparkEntry.oracleSql (the
+  * driver contract); see SparkEntry's scaladoc for the output and
+  * floating-point conventions every entry follows. */
+private[graft] object QueriesStreaming {
+  import QueryShared._
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- M7: Structured Streaming tumbling agg (batch/stream parity:
+    //     the oracle is the equivalent BATCH SQL over the same data) ---
+    "q31_stream_tumbling" -> rounded("sum_value" -> 4)(dated("day")({
+      (spark, dir) =>
+        val ev = EventStream.readTable(spark, dir, "events")
+        val agg = EventStream.tumblingAgg(ev, "ts", "1 day", "1 day",
+          "event_type")
+        EventStream.runToCompletion(spark, agg)
+          .select(col("window.start").as("day"), col("event_type"),
+                  col("n"), col("sum_value"))
+          .orderBy(col("day"), col("event_type"))
+    })),
+
+
+    // --- M7/2l: sliding event-time windows (batch form, dense) ---
+    "q37_events_sliding" -> rounded("sum_value" -> 4)({ (spark, dir) =>
+      val events = tbl(spark, dir, "events")
+      events
+        .filter(col("ts") >= lit(java.sql.Timestamp.valueOf(
+          "2024-01-01 00:00:00")) &&
+          col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-04 00:00:00")))
+        .groupBy(window(col("ts"), "12 hours", "6 hours"))
+        .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+        .select(col("window.start").as("win_start"), col("n"),
+                col("sum_value"))
+        .filter(col("win_start") >= lit(java.sql.Timestamp.valueOf(
+          "2024-01-01 00:00:00")))
+        .orderBy(col("win_start"))
+    }),
+
+
+    // --- M7/2l: native session_window (batch form of the streaming
+    //     session operator; one row per gap-bounded session) ---
+    "q46_session_window" -> { (spark, dir) =>
+      // NTZ-proof: session_window/unix_micros need TimestampType (the
+      // cast is value-preserving under the UTC session tz)
+      val events = EventStream.normalizeEventTime(tbl(spark, dir, "events"))
+      events
+        .groupBy(session_window(col("ts"), "30 minutes").as("sw"),
+                 col("user_id"))
+        .agg(count(lit(1)).as("n_ev"))
+        .select(col("user_id"),
+                unix_micros(col("sw.start")).as("session_start_us"),
+                col("n_ev"))
+        .orderBy(col("user_id"), col("session_start_us"))
+    },
+
+
+    // --- §2l: watermarked streaming dedup end-to-end. The events table
+    //     is streamed TWICE (an at-least-once replay), dedupByKey
+    //     suppresses the duplicates with watermark-bounded state, and
+    //     the batch-parity oracle is the plain single-copy aggregate ---
+    "q51_stream_dedup" -> rounded("sum_value" -> 4)({ (spark, dir) =>
+      val replayed = EventStream.readTable(spark, dir, "events")
+        .unionByName(EventStream.readTable(spark, dir, "events"))
+      val deduped = EventStream.dedupByKey(replayed, "ts", "1 day",
+        "event_id")
+      EventStream.runToCompletion(spark, deduped, mode = "append")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+        .orderBy(col("event_type"))
+    }),
+
+
+    // --- §2l: the UNBOUNDED-output streaming shape — watermarked
+    //     APPEND-mode tumbling aggregation into a real parquet file
+    //     sink (checkpointed), then read back. The backlog is staged
+    //     as two files (events + a far-future sentinel) streamed one
+    //     file per micro-batch, so the second batch advances the
+    //     watermark past the real windows and flushes them to the
+    //     sink; windows not past the final watermark stay in state ---
+    "q66_stream_file_sink" -> rounded("sum_value" -> 4)(dated("day")({
+      (spark, dir) =>
+        // normalize BEFORE staging so the staged file and the TZ-typed
+        // sentinel row share one schema and the watermark accepts it
+        val events = EventStream.normalizeEventTime(
+            tbl(spark, dir, "events"))
+          .select(col("ts"), col("event_type"), col("value"))
+        val src = Scratch.dir("graft_q66src")
+          .toString
+        events.coalesce(1).write.mode("append").parquet(src)
+        // sentinel: 2024-03-01T00:00Z — far past every real event
+        spark.createDataFrame(Seq(
+            (new java.sql.Timestamp(1709251200000L), "sentinel", 0.0)))
+          .toDF("ts", "event_type", "value")
+          .coalesce(1).write.mode("append").parquet(src)
+        val stream = spark.readStream.schema(events.schema)
+          .option("maxFilesPerTrigger", 1).parquet(src)
+        val agg = EventStream.tumblingAgg(stream, "ts", "1 day", "1 hour",
+          "event_type")
+        val out = Scratch.dir("graft_q66out")
+          .toString
+        val ckpt = Scratch.dir("graft_q66ck")
+          .toString
+        EventStream.runToSink(spark, agg, out, ckpt)
+          .filter(col("event_type") =!= "sentinel")
+          .select(col("window.start").as("day"), col("event_type"),
+            col("n"), col("sum_value"))
+          .orderBy(col("day"), col("event_type"))
+    })),
+
+
+    // --- 2l/2m custom keyed state: mapGroupsWithState running counts
+    //     drained over the event stream; the FINAL count per key must
+    //     equal the batch aggregate (update-mode memory sink keeps the
+    //     latest state emission per key) ---
+    "q72_stream_state" -> { (spark, dir) =>
+      val ev = EventStream.readTable(spark, dir, "events")
+      val counts = EventStream.runningCounts(ev, "user_id")
+      EventStream.runToCompletion(spark, counts, mode = "update")
+        .groupBy(col("user_id"))
+        .agg(max(col("n_events")).as("n_events"))
+        .orderBy(col("user_id"))
+    },
+
+
+    // --- 2l stream-static anti-join: a document stream deduped
+    //     against a static fingerprint store (even-id docs); only
+    //     odd-id docs with unseen fingerprints reach the sink ---
+    "q87_stream_dedup_store" -> { (spark, dir) =>
+      val stream = EventStream.readTable(spark, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(2)) === 1)
+        .withColumn("fp", TextAnalysis.fingerprintPortable(col("text")))
+      val store = tbl(spark, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(2)) === 0)
+        .select(TextAnalysis.fingerprintPortable(col("text")).as("fp"))
+        .distinct()
+      val survivors = EventStream.dedupAgainstStore(stream, col("fp"),
+        store)
+      EventStream.runToCompletion(spark, survivors, mode = "append")
+        .agg(count(lit(1)).as("n_survivors"),
+          count_distinct(col("fp")).as("n_distinct_fp"))
+    },
+
+
+    // --- 2l stream-stream interval join: purchases within 30 minutes
+    //     of a view by the same user, both sides watermarked (state
+    //     evicts at watermark + interval); inner matches emit without
+    //     waiting for the watermark, so the backlog drains in one
+    //     AvailableNow pass ---
+    "q89_stream_interval_join" -> { (spark, dir) =>
+      // every-third-user slice: the interval-join STATE (not the
+      // result) is what the memory-backed local state store pays for —
+      // the slice keeps the capability check while bounding that cost
+      val views = EventStream.readTable(spark, dir, "events")
+        .filter(col("event_type") === "view" &&
+          pmod(col("user_id"), lit(3)) === 0)
+        .select(col("user_id"), col("ts").as("a_ts"),
+          col("event_id").as("a_id"))
+      val purchases = EventStream.readTable(spark, dir, "events")
+        .filter(col("event_type") === "purchase" &&
+          pmod(col("user_id"), lit(3)) === 0)
+        .select(col("user_id").as("b_user"), col("ts").as("b_ts"))
+      // drain watermark DERIVED from the static backlog's event-time
+      // span (EventStream.backlogSpanWatermark): even if the source
+      // delivered the backlog across many micro-batches, no row can be
+      // late-dropped vs the batch oracle — the single-batch assumption
+      // is enforced away, not assumed (EventStreamSpec holds the
+      // multi-batch law at maxFilesPerTrigger=1)
+      val joined = EventStream.intervalJoin(
+        views, "a_ts", purchases, "b_ts",
+        col("user_id") === col("b_user") &&
+          col("b_ts") >= col("a_ts") &&
+          col("b_ts") <= col("a_ts") + expr("interval 30 minutes"),
+        watermark = EventStream.backlogSpanWatermark(
+          tbl(spark, dir, "events"), "ts"))
+      EventStream.runToCompletion(spark, joined, mode = "append")
+        .agg(count(lit(1)).as("n_pairs"),
+          count_distinct(col("user_id")).as("n_users"),
+          min(col("a_id")).as("min_view_id"))
+    },
+
+
+    // --- S4 at-least-once REDELIVERY (not just replay): the backlog
+    //     arrives as two blocks in separate micro-batches
+    //     (maxFilesPerTrigger=1, modification-time ordered) and the
+    //     second block re-delivers a subset of block 1's events — the
+    //     visibility-timeout duplicate a queue-driven pipeline must
+    //     absorb. dedupByKey suppresses the redelivered rows (in-state
+    //     duplicates drop against state; rows behind the advanced
+    //     watermark drop as late — either path suppresses), so the
+    //     oracle is the plain single-copy aggregate ---
+    "q93_stream_redelivery" -> rounded("sum_value" -> 4)({ (spark, dir) =>
+      val events = tbl(spark, dir, "events")
+      val stage = Scratch.dir("graft_q93").toString
+      def stageBlock(df: DataFrame, name: String, modMs: Long): Unit = {
+        val tmp = s"$stage/_$name"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dest = new java.io.File(s"$stage/$name.parquet")
+        java.nio.file.Files.move(part.toPath, dest.toPath)
+        dest.setLastModified(modMs) // file-source batch order = modTime
+      }
+      stageBlock(events, "block1", 1000000L)
+      stageBlock(events.filter(col("event_id") % 5 === 0), "block2",
+        2000000L)
+      val stream = spark.readStream
+        .schema(spark.read.parquet(s"$stage/block1.parquet").schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "block*.parquet")
+        .parquet(stage)
+      val deduped = EventStream.dedupByKey(stream, "ts", "1 day",
+        "event_id")
+      EventStream.runToCompletion(spark, deduped, mode = "append")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+        .orderBy(col("event_type"))
+    }),
+
+
+    // --- §2m modern arbitrary state (transformWithState): per-user
+    //     running counts through a named ValueState + event-time
+    //     expiry timer on the RocksDB provider — q72's semantics on
+    //     the API Spark evolves state management on. The TTL is wider
+    //     than the backlog's span, so no timer fires during the drain
+    //     and the last update per key equals the batch count ---
+    "q94_stream_state_tws" -> { (spark, dir) =>
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(providerKey)
+      spark.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+      try {
+        val ev = EventStream.readTable(spark, dir, "events")
+        val counts = EventStream.runningCountsTws(ev, "user_id", "ts",
+          watermark = "1 day", ttlMs = 3650L * 24 * 3600 * 1000)
+        EventStream.runToCompletion(spark, counts, mode = "update")
+          .groupBy(col("user_id"))
+          .agg(max(col("n_events")).as("n_events"))
+          .orderBy(col("user_id"))
+      } finally prev match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None    => spark.conf.unset(providerKey)
+      }
+    },
+
+
+    // --- the quality filter in its PRODUCTION position: on the ingest
+    //     stream. classify is stateless row-local column math, so it
+    //     rides a file stream unchanged (no watermark, no state store)
+    //     and append-mode drains emit every row in one AvailableNow
+    //     pass; the oracle is exactly q97's — the stream must produce
+    //     the BATCH answer bit-for-bit, which is the stream/batch
+    //     parity claim under the same hash gate as everything else ---
+    "q112_stream_classify" -> rounded("score" -> 6)({ (spark, dir) =>
+      val stream = EventStream.readTable(spark, dir, "documents")
+      val scored = graft.llm.QualityModel.classify(stream, col("text"))
+        .select(col("doc_id"), col("score"), col("keep"))
+      EventStream.runToCompletion(spark, scored, mode = "append")
+        .orderBy(col("doc_id"))
+    }),
+
+
+    // --- CONTINUOUS semantic dedup: q111's loop closed. The new set
+    //     arrives as TWO micro-batches (even doc_ids, then odd); each
+    //     batch dedups against the persisted index and appends its
+    //     SURVIVORS before the next batch — so an odd-batch vector
+    //     near-identical to an even-batch survivor is caught even
+    //     though no history ever sits in memory. The oracle replays
+    //     both stages sequentially under the frozen fitted quantizer;
+    //     batch order is pinned by distinct file mtimes ---
+    "q113_stream_semdedup" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val variants = docs.select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        col("text").substr(lit(1),
+          greatest(length(col("text")) - 30, lit(1))).as("text"))
+      val vecs = graft.llm.Featurize.hashedBow(
+        docs.unionByName(variants), col("doc_id"), col("text"), dim = 32)
+      val isHist = col("doc_id") < 1000000L &&
+        pmod(col("doc_id"), lit(10)) < 7
+      val histV = vecs.filter(isHist).localCheckpoint()
+      val means = graft.llm.KMeans.fit(histV, col("doc_id"), col("v"),
+        k = 16, iters = 2)
+      val tmp = Scratch.dir("graft_q113").toString
+      graft.llm.Similarity.ivfWriteIndexFitted(histV, col("doc_id"),
+        col("v"), tmp + "/idx", means)
+      graft.llm.Lifecycle.release(histV)
+      graft.llm.Lifecycle.release(means)
+      val newV = vecs.filter(!isHist)
+      newV.filter(pmod(col("doc_id"), lit(2)) === 0)
+        .coalesce(1).write.mode("append").parquet(tmp + "/src")
+      Thread.sleep(1100) // distinct mtime second pins the batch order
+      newV.filter(pmod(col("doc_id"), lit(2)) === 1)
+        .coalesce(1).write.mode("append").parquet(tmp + "/src")
+      val schema = spark.read.parquet(tmp + "/src").schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(tmp + "/src")
+      graft.llm.SemDedup.streamingDedup(spark, stream, col("doc_id"),
+          col("v"), tmp + "/idx", tmp + "/dups", tmp + "/cp",
+          threshold = 0.95)
+        .orderBy(col("dup_id"))
+    },
+
+
+    // --- streaming TRENDING tokens (windowed heavy hitters): the
+    //     documents stream tumbles on a doc_id-derived event time,
+    //     per-window token counts accumulate in the streaming agg
+    //     (the state the 100 TB deployment keeps: windows × vocab,
+    //     watermark-bounded); the top-5-per-window cut is the batch
+    //     serving pass over the drained counts — chained aggregation
+    //     is not a streaming operator, by Spark's own rules. Oracle
+    //     replays both halves relationally; stream/batch parity is
+    //     the hash gate ---
+    "q126_stream_trending" -> { (spark, dir) =>
+      val stream = EventStream.readTable(spark, dir, "documents")
+      val toks = stream.select(
+        timestamp_seconds(col("doc_id")).as("ts"),
+        explode(graft.llm.TextAnalysis.tokens(col("text"))).as("w"))
+      val counts = toks
+        .groupBy(window(col("ts"), "100 seconds"), col("w"))
+        .agg(count(lit(1)).as("c"))
+      val drained = EventStream.runToCompletion(spark, counts)
+      val rkW = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("win_start"))
+        .orderBy(col("c").desc, col("w"))
+      drained
+        .select(col("window.start").cast("long").as("win_start"),
+          col("w"), col("c"))
+        .withColumn("rk", row_number().over(rkW))
+        .filter(col("rk") <= 5)
+        .select(col("win_start"), col("rk"), col("w"), col("c"))
+        .orderBy(col("win_start"), col("rk"))
+    },
+
+
+    // --- STREAMING funnel with batch parity: the event log drained
+    //     through the order-insensitive keyed state op, per-user
+    //     deepest-step results re-aggregated to the q133 summary —
+    //     one oracle serves both the batch and streaming forms ---
+    "q138_stream_funnel" -> { (spark, dir) =>
+      val steps = Seq("view", "click", "purchase")
+      val ev = EventStream.readTable(spark, dir, "events")
+      val reached = EventStream.streamingFunnel(ev, "user_id", "ts",
+        "event_type", steps)
+      val fin = EventStream.runToCompletion(spark, reached,
+          mode = "update")
+        .groupBy(col("user_id"))
+        .agg(max(col("reached")).as("reached"))
+      val perStep = fin.filter(col("reached") >= 1)
+        .select(explode(sequence(lit(1), col("reached"))).as("step_ix"))
+        .groupBy(col("step_ix")).agg(count(lit(1)).as("n_users"))
+      val name = steps.zipWithIndex.foldLeft(lit(null).cast("string")) {
+        case (acc, (s, i)) =>
+          when(col("step_ix") === i + 1, lit(s)).otherwise(acc)
+      }
+      val first = perStep.filter(col("step_ix") === 1)
+        .select(col("n_users").as("__n1"))
+      perStep.crossJoin(broadcast(first))
+        .select(col("step_ix"), name.as("step"), col("n_users"),
+          (col("n_users").cast("double") / col("__n1").cast("double"))
+            .as("conv"))
+        .orderBy(col("step_ix"))
+    },
+
+
+    // --- q143's loop closed as a STREAM: the change log drains as
+    //     three time-ordered micro-batches (file mtimes pin the
+    //     order), each advancing the parquet-persisted dimension via
+    //     mergeType2 with the materialize-then-swap discipline; the
+    //     oracle is STILL the full rebuild — three chained merges must
+    //     reproduce the batch dimension bit-for-bit ---
+    "q144_stream_scd2" -> { (spark, dir) =>
+      val ev = tbl(spark, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_type"))
+      val tmp = Scratch.dir("graft_q144").toString
+      val cuts = Seq("2024-01-11 00:00:00", "2024-01-21 00:00:00")
+        .map(s => lit(s).cast("timestamp"))
+      val parts = Seq(
+        ev.filter(col("ts") < cuts(0)),
+        ev.filter(col("ts") >= cuts(0) && col("ts") < cuts(1)),
+        ev.filter(col("ts") >= cuts(1)))
+      // explicit mtime stamps pin batch order with no sleeps
+      EventStream.writeOrderedBatches(parts, tmp + "/src")
+      val schema = spark.read.parquet(tmp + "/src").schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(tmp + "/src")
+      graft.operators.Scd.streamingMergeType2(spark, stream,
+          col("user_id"), col("ts"), col("event_type"),
+          tmp + "/dim", tmp + "/cp")
+        .orderBy(col("entity"), col("valid_from"))
+    },
+
+
+    // --- stream-stream LEFT OUTER interval join: views with no
+    //     purchase by the same user within 30 minutes emit with a
+    //     null right side once the watermark passes their interval.
+    //     The drain needs TWO things the inner join (q89) does not:
+    //     the whole real backlog in ONE micro-batch (single file +
+    //     maxFilesPerTrigger=1 — outer parity breaks if a match lands
+    //     after its view's interval passed the watermark) and a
+    //     far-future sentinel file per side so the FINAL watermark
+    //     passes every view's upper bound (outer state is not flushed
+    //     at stream end). Watermark is small (real out-of-orderness),
+    //     NOT backlogSpanWatermark — see leftOuterIntervalJoin docs.
+    "q156_stream_outer_join" -> { (spark, dir) =>
+      val events = EventStream.normalizeEventTime(
+          tbl(spark, dir, "events"))
+        .filter(pmod(col("user_id"), lit(3)) === 0 &&
+          col("event_type").isin("view", "purchase"))
+        .select(col("ts"), col("event_type"), col("user_id"),
+          col("event_id"))
+      val src = Scratch.dir("graft_q156src")
+        .toString
+      events.coalesce(1).write.mode("append").parquet(src)
+      // sentinels: 2024-03-01T00:00Z, far past every real event; the
+      // negative user ids can never join and are filtered from output
+      spark.createDataFrame(Seq(
+          (new java.sql.Timestamp(1709251200000L), "view", -1L, -1L),
+          (new java.sql.Timestamp(1709251200000L), "purchase", -2L, -2L)))
+        .toDF("ts", "event_type", "user_id", "event_id")
+        .coalesce(1).write.mode("append").parquet(src)
+      def stream = spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val views = stream.filter(col("event_type") === "view")
+        .select(col("user_id").as("a_user"), col("ts").as("a_ts"),
+          col("event_id").as("a_id"))
+      val purchases = stream.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("b_user"), col("ts").as("b_ts"))
+      val joined = EventStream.leftOuterIntervalJoin(
+        views, "a_ts", purchases, "b_ts",
+        col("a_user") === col("b_user") &&
+          col("b_ts") >= col("a_ts") &&
+          col("b_ts") <= col("a_ts") + expr("interval 30 minutes"),
+        watermark = "1 second")
+      EventStream.runToCompletion(spark, joined, mode = "append")
+        .filter(col("a_user") >= 0)
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("b_ts")).as("n_matched"),
+          sum(when(col("b_ts").isNull, 1L).otherwise(0L))
+            .as("n_unmatched"),
+          count_distinct(col("a_user")).as("n_users"),
+          min(when(col("b_ts").isNull, col("a_id")))
+            .as("min_unmatched_id"))
+    },
+
+
+    // --- q93's redelivery drain on the MODERN dedup API
+    //     (dropDuplicatesWithinWatermark): replayed keys suppress even
+    //     though only the KEY matches (no ts in the dedup key), and
+    //     the suppression state expires at first-seen + delay instead
+    //     of growing with every key ever seen. Replayed rows are
+    //     either within the horizon (deduped) or behind the watermark
+    //     (late-dropped) — both roads lead to the batch-distinct
+    //     oracle. ---
+    "q172_stream_dedup_modern" -> rounded("sum_value" -> 4)({
+      (spark, dir) =>
+        val events = tbl(spark, dir, "events")
+        val stage = Scratch.dir("graft_q172").toString
+        def stageBlock(df: DataFrame, name: String, modMs: Long): Unit = {
+          val tmp = s"$stage/_$name"
+          df.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          val dest = new java.io.File(s"$stage/$name.parquet")
+          java.nio.file.Files.move(part.toPath, dest.toPath)
+          dest.setLastModified(modMs)
+        }
+        stageBlock(events, "block1", 1000000L)
+        stageBlock(events.filter(col("event_id") % 5 === 0), "block2",
+          2000000L)
+        val stream = spark.readStream
+          .schema(spark.read.parquet(s"$stage/block1.parquet").schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("pathGlobFilter", "block*.parquet")
+          .parquet(stage)
+        val deduped = EventStream.dedupByKeyWithinWatermark(stream,
+          "ts", "1 day", "event_id")
+        EventStream.runToCompletion(spark, deduped, mode = "append")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+          .orderBy(col("event_type"))
+    }),
+
+
+    // --- STREAMING EWMA with exact batch parity: the event log
+    //     drains as three CHRONOLOGICAL blocks (the ordered-batch
+    //     discipline streamingEwma's contract requires), keyed state
+    //     folds each batch in (ts, id) order, and the final update
+    //     per key hash-matches q157's batch fold — the same
+    //     stream-equals-batch differential oracle as q113/q144. ---
+    "q178_stream_ewma" -> { (spark, dir) =>
+      val events = EventStream.normalizeEventTime(
+          tbl(spark, dir, "events"))
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("value"))
+      val b = events.agg(
+          min(unix_micros(col("ts"))).as("lo"),
+          max(unix_micros(col("ts"))).as("hi"))
+        .collect()(0)
+      val (lo, hi) = (b.getLong(0), b.getLong(1))
+      val cut1 = lo + (hi - lo) / 3
+      val cut2 = lo + 2 * ((hi - lo) / 3)
+      val us = unix_micros(col("ts"))
+      val src = Scratch.dir("graft_q178")
+        .toString + "/ev"
+      EventStream.writeOrderedBatches(Seq(
+        events.filter(us <= cut1),
+        events.filter(us > cut1 && us <= cut2),
+        events.filter(us > cut2)), src)
+      val stream = spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val updates = EventStream.streamingEwma(stream, "user_id", "ts",
+        "event_id", "value")
+      EventStream.runToCompletion(spark, updates, mode = "update")
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("n_events"), col("ewma"))).as("__f"))
+        .select(col("user_id"), col("__f.n_events").as("n_events"),
+          col("__f.ewma").as("ewma"))
+        .orderBy(col("user_id"))
+    },
+
+
+    // --- STREAM-STATIC dimensional enrichment: purchases stream
+    //     against the SCD2 state dimension built from each user's
+    //     NON-purchase history (Scd.buildType2), matched as-of the
+    //     purchase time via the interval condition — a stateless
+    //     stream-static left join (no watermark, no state store), the
+    //     warehouse enrichment pattern in continuous form. The final
+    //     count-by-state runs on the drained sink, and the oracle
+    //     rebuilds dim + interval-joins in SQL. ---
+    "q185_stream_asof_enrich" -> { (spark, dir) =>
+      val ev = EventStream.normalizeEventTime(tbl(spark, dir, "events"))
+      val dim = graft.operators.Scd.buildType2(
+        ev.filter(col("event_type") =!= "purchase"),
+        col("user_id"), col("ts"), col("event_type"))
+      val stream = EventStream.readTable(spark, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"))
+      val enriched = graft.operators.Scd.asOfEnrich(stream,
+        col("user_id"), col("ts"), dim)
+      EventStream.runToCompletion(spark, enriched, mode = "append")
+        .groupBy(col("attr").as("state"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("state"))
+    },
+
+
+    // --- FULL OUTER stream-stream interval join: q156's harness with
+    //     BOTH sides' unmatched rows flushing after the sentinel —
+    //     completes the supported stream-stream matrix (inner q89 /
+    //     left q156 / full here; Spark has no stream-stream
+    //     semi/anti). Purchases with no view in the PRECEDING 30
+    //     minutes surface as null-left rows — the orphan-detection
+    //     readout an at-least-once pipeline monitors. ---
+    "q189_stream_full_outer" -> { (spark, dir) =>
+      val events = EventStream.normalizeEventTime(
+          tbl(spark, dir, "events"))
+        .filter(pmod(col("user_id"), lit(3)) === 0 &&
+          col("event_type").isin("view", "purchase"))
+        .select(col("ts"), col("event_type"), col("user_id"),
+          col("event_id"))
+      val src = Scratch.dir("graft_q189src")
+        .toString
+      events.coalesce(1).write.mode("append").parquet(src)
+      spark.createDataFrame(Seq(
+          (new java.sql.Timestamp(1709251200000L), "view", -1L, -1L),
+          (new java.sql.Timestamp(1709251200000L), "purchase", -2L, -2L)))
+        .toDF("ts", "event_type", "user_id", "event_id")
+        .coalesce(1).write.mode("append").parquet(src)
+      def stream = spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val views = stream.filter(col("event_type") === "view")
+        .select(col("user_id").as("a_user"), col("ts").as("a_ts"),
+          col("event_id").as("a_id"))
+      val purchases = stream.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("b_user"), col("ts").as("b_ts"))
+      val joined = EventStream.fullOuterIntervalJoin(
+        views, "a_ts", purchases, "b_ts",
+        col("a_user") === col("b_user") &&
+          col("b_ts") >= col("a_ts") &&
+          col("b_ts") <= col("a_ts") + expr("interval 30 minutes"),
+        watermark = "1 second")
+      EventStream.runToCompletion(spark, joined, mode = "append")
+        .filter(coalesce(col("a_user"), lit(0L)) >= 0 &&
+          coalesce(col("b_user"), lit(0L)) >= 0)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("a_ts").isNotNull && col("b_ts").isNotNull, 1L)
+            .otherwise(0L)).as("n_matched"),
+          sum(when(col("b_ts").isNull, 1L).otherwise(0L))
+            .as("n_unmatched_views"),
+          sum(when(col("a_ts").isNull, 1L).otherwise(0L))
+            .as("n_orphan_purchases"))
+    },
+
+
+    // --- streaming CUSUM against a FIXED target (the online form —
+    //     a stream can't center on a mean it hasn't seen): keyed
+    //     state is three longs (n, p, min p); the final update per
+    //     user equals the batch windowed closed form over the full
+    //     log, which is exactly what the oracle computes. ---
+    "q211_stream_cusum" -> { (spark, dir) =>
+      val events = EventStream.normalizeEventTime(
+          tbl(spark, dir, "events"))
+        .select(col("user_id"), col("ts"), col("event_id"),
+          (round(col("value") * 100).cast("long") - 5000).as("d"))
+      val us = unix_micros(col("ts"))
+      val b = events.agg(min(us).as("lo"), max(us).as("hi"))
+        .collect()(0)
+      val (lo, hi) = (b.getLong(0), b.getLong(1))
+      val cut1 = lo + (hi - lo) / 3
+      val cut2 = lo + 2 * ((hi - lo) / 3)
+      val src = Scratch.dir("graft_q211")
+        .toString + "/ev"
+      EventStream.writeOrderedBatches(Seq(
+        events.filter(us <= cut1),
+        events.filter(us > cut1 && us <= cut2),
+        events.filter(us > cut2)), src)
+      val stream = spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val updates = EventStream.streamingCusum(stream, "user_id", "ts",
+        "event_id", "d")
+      EventStream.runToCompletion(spark, updates, mode = "update")
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("n_events"), col("cusum"))).as("__f"))
+        .select(col("user_id"), col("__f.n_events").as("n_events"),
+          col("__f.cusum").as("cusum"))
+        .orderBy(col("user_id"))
+    },
+
+
+    // --- STREAMING LATE-DATA CENSUS, oracled as a differential: the
+    //     event log replays as four mtime-pinned micro-batches keyed
+    //     event_id%4 (each spans the full month, so later batches carry
+    //     rows far behind the watermark the earlier batches advanced),
+    //     drains through the watermarked dedup with a deliberately
+    //     SHORT 1-day delay, and the per-batch survivor counts are
+    //     hash-compared against the SQL replay of Spark's EXACT drop
+    //     rule as the AvailableNow drain executes it: the watermark in
+    //     effect during batch k reflects event times through batch k−2
+    //     (one propagation batch — measured, not assumed: batch 1 runs
+    //     at the epoch watermark, batch 2 at max(b0)−delay), so a row
+    //     survives iff its event time ≥ cummax_us(batches ≤ k−2) −
+    //     delay, all in integer µs. Doubles as a streaming-semantics
+    //     regression detector — a Spark change to watermark
+    //     propagation turns this row red. The "how much am I losing
+    //     to this watermark" readout every continuous deployment needs
+    //     before tightening a delay. ---
+    "q233_late_drop_census" -> { (spark, dir) =>
+      val ev = tbl(spark, dir, "events")
+        .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+          pmod(col("event_id"), lit(4)).cast("int").as("batch"))
+      val tmp = Scratch.dir("graft_q233").toString
+      EventStream.writeOrderedBatches(
+        (0 until 4).map(b => ev.filter(col("batch") === b)),
+        tmp + "/src")
+      val schema = spark.read.parquet(tmp + "/src").schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(tmp + "/src")
+      val survivors = EventStream.dedupByKey(stream, "ts", "1 day",
+        "event_id")
+      val drained = EventStream.runToCompletion(spark, survivors,
+        mode = "append")
+      val totals = ev.groupBy(col("batch"))
+        .agg(count(lit(1)).as("n_in"))
+      drained.groupBy(col("batch"))
+        .agg(count(lit(1)).as("n_kept"))
+        .join(totals, Seq("batch"))
+        .select(col("batch"), col("n_in"), col("n_kept"),
+          (col("n_in") - col("n_kept")).as("n_late"))
+        .orderBy(col("batch"))
+    },
+
+
+    // --- STREAMING token-bucket admission (q250's online twin): the
+    //     same lazy-refill arithmetic in mapGroupsWithState keyed
+    //     state, the backlog drained as 3 chronological micro-batches
+    //     (the q211 drain shape); the final update per key must equal
+    //     the batch replay, so the oracle is q250's SQL verbatim. ---
+    "q253_stream_rate_limit" -> { (spark, dir) =>
+      val events = EventStream.normalizeEventTime(
+          tbl(spark, dir, "events"))
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val us = unix_micros(col("ts"))
+      val b = events.agg(min(us).as("lo"), max(us).as("hi"))
+        .collect()(0)
+      val (lo, hi) = (b.getLong(0), b.getLong(1))
+      val cut1 = lo + (hi - lo) / 3
+      val cut2 = lo + 2 * ((hi - lo) / 3)
+      val src = Scratch.dir("graft_q253").toString + "/ev"
+      EventStream.writeOrderedBatches(Seq(
+        events.filter(us <= cut1),
+        events.filter(us > cut1 && us <= cut2),
+        events.filter(us > cut2)), src)
+      val stream = spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val updates = EventStream.streamingTokenBucket(stream, "user_id",
+        "ts", "event_id", capacity = 3L)
+      EventStream.runToCompletion(spark, updates, mode = "update")
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("n_events"), col("n_accepted"),
+          col("n_rejected"), col("tokens_left"))).as("__f"))
+        .select(col("user_id"), col("__f.n_events").as("n_events"),
+          col("__f.n_accepted").as("n_accepted"),
+          col("__f.n_rejected").as("n_rejected"),
+          col("__f.tokens_left").as("tokens_left"))
+        .orderBy(col("user_id"))
+    },
+
+
+    // --- WATERMARK ADVISOR: q244's disorder census turned into the
+    //     operational decision — per type, the p99-lateness watermark
+    //     and the EXACT fraction of events that watermark would drop
+    //     (integer-threshold quantile + an integer census, so the
+    //     recommendation is replayable, not estimated). ---
+    "q271_watermark_advisor" -> { (spark, dir) =>
+      val ev = tbl(spark, dir, "events")
+        .select(col("event_type"), col("event_id"),
+          unix_micros(col("ts").cast("timestamp")).as("us"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, -1)
+      val late2 = ev
+        .withColumn("__mx", max(col("us")).over(w))
+        .withColumn("late_min", greatest(
+          coalesce(col("__mx") - col("us"), lit(0L)), lit(0L)))
+        .withColumn("late_min", expr("late_min div 60000000"))
+      val qs = graft.operators.ExactQuantile.weightedQuantileDisc(
+          late2, col("event_type"), col("late_min"), lit(1L),
+          Seq(("wm_min", 99, 100)))
+        .select(col("grp").as("event_type"), col("wm_min"))
+      late2.join(broadcast(qs), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          max(col("wm_min")).as("wm_min"),
+          sum(when(col("late_min") > col("wm_min"), 1L).otherwise(0L))
+            .as("n_dropped"))
+        .withColumn("drop_frac", col("n_dropped").cast("double") /
+          col("n").cast("double"))
+        .orderBy(col("event_type"))
+    },
+
+
+    // --- STREAMING CURATION PIPELINE end-to-end (the composed
+    //     flagship of the streaming surface): documents arrive as 3
+    //     chronological micro-batches; each batch flows through the
+    //     bit-exact quality classifier, survivors dedup by portable
+    //     content fingerprint in KEYED STATE (min-id keeper, copy
+    //     count — update mode), and the final state censuses per
+    //     language. Stream/batch parity: the oracle replays
+    //     classify -> fingerprint-group -> census relationally over
+    //     the whole corpus — a hash match proves the micro-batched
+    //     pipeline converges to the batch answer. ---
+    "q282_stream_curate" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+      val mx = docs.agg(max(col("doc_id")).as("m")).collect()(0)
+        .getLong(0)
+      val src = Scratch.dir("graft_q282").toString + "/docs"
+      EventStream.writeOrderedBatches(Seq(
+        docs.filter(col("doc_id") * 3 <= mx),
+        docs.filter(col("doc_id") * 3 > mx &&
+          col("doc_id") * 3 <= 2 * mx),
+        docs.filter(col("doc_id") * 3 > 2 * mx)), src)
+      val stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      // per-batch observability rides the drain (StreamObserve): a
+      // quality stage eating a micro-batch below the floor stops the
+      // stream and aborts loudly instead of censusing a gutted corpus
+      val obs = new graft.streaming.StreamPipelineObserver(
+        keptFloor = Some(0.05))
+      val kept = obs.checkpoint("quality",
+        graft.llm.QualityModel.classify(
+            obs.checkpoint("raw", stream), col("text"))
+          .filter(col("keep")))
+      val agg = kept.groupBy(
+          graft.llm.TextAnalysis.fingerprintPortable(col("text"))
+            .as("fp"), col("lang"))
+        .agg(min(col("doc_id")).as("keeper_id"),
+          count(lit(1)).as("n_copies"))
+      // update mode emits one row per (fp, lang) per changing batch;
+      // the LAST state has the max copy count (monotone) and its
+      // keeper (min doc_id seen, which only moves when count does)
+      EventStream.runToCompletionObserved(spark, agg, obs,
+          mode = "update")
+        .groupBy(col("fp"), col("lang"))
+        .agg(max(struct(col("n_copies"),
+          (-col("keeper_id")).as("__nk"))).as("__f"))
+        .select(col("lang"), col("__f.n_copies").as("n_copies"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_unique"),
+          sum(col("n_copies")).as("n_docs"))
+        .orderBy(col("lang"))
+    },
+
+
+    // --- INCREMENTAL CURATION (q282's other twin): day-1 half is
+    //     curated and its (fp, lang, keeper, count) state PERSISTED;
+    //     day-2 curates ONLY its own documents and merges additively
+    //     into the store (min keeper, summed counts) — history is
+    //     never re-classified or re-fingerprinted. Same full-rebuild
+    //     oracle as q282: incremental ≡ batch, proven by hash. ---
+    "q283_incremental_curate" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+      val mx = docs.agg(max(col("doc_id")).as("m")).collect()(0)
+        .getLong(0)
+      def curate(d: org.apache.spark.sql.DataFrame) =
+        graft.llm.QualityModel.classify(d, col("text"))
+          .filter(col("keep"))
+          .groupBy(graft.llm.TextAnalysis
+            .fingerprintPortable(col("text")).as("fp"), col("lang"))
+          .agg(min(col("doc_id")).as("keeper_id"),
+            count(lit(1)).as("n_copies"))
+      val store = Scratch.dir("graft_q283").toString + "/store"
+      curate(docs.filter(col("doc_id") * 2 <= mx))
+        .write.parquet(store)
+      spark.read.parquet(store)
+        .unionByName(curate(docs.filter(col("doc_id") * 2 > mx)))
+        .groupBy(col("fp"), col("lang"))
+        .agg(min(col("keeper_id")).as("keeper_id"),
+          sum(col("n_copies")).as("n_copies"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_unique"),
+          sum(col("n_copies")).as("n_docs"))
+        .orderBy(col("lang"))
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q31_stream_tumbling" -> """
+      SELECT CAST(ts AS DATE) AS day, event_type,
+             count(*) AS n, round(sum(value), 4) AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+
+    "q37_events_sliding" -> """
+      WITH w AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+                   TIMESTAMP '2024-01-03 18:00:00', INTERVAL 6 HOUR))
+                   AS win_start)
+      SELECT w.win_start, count(*) AS n, round(sum(value), 4) AS sum_value
+      FROM w JOIN events e
+        ON e.ts >= w.win_start AND e.ts < w.win_start + INTERVAL 12 HOUR
+      WHERE e.ts >= TIMESTAMP '2024-01-01'
+        AND e.ts < TIMESTAMP '2024-01-04'
+      GROUP BY 1 ORDER BY 1""",
+
+
+    // gap-based session reconstruction; Spark's session_window starts a
+    // new session when the gap REACHES the 30-minute bound (window is
+    // [start, last+gap)), hence >= here (q20's running-ordinal form
+    // uses > — both are valid semantics, pinned per operator)
+    "q46_session_window" -> """
+      WITH g AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                            >= 1800 * 1000000 THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      s AS (SELECT user_id, ts,
+                   sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS UNBOUNDED PRECEDING) AS sid
+            FROM g)
+      SELECT user_id, min(epoch_us(ts)) AS session_start_us,
+             count(*) AS n_ev
+      FROM s GROUP BY user_id, sid
+      ORDER BY user_id, session_start_us""",
+
+
+    // replaying the stream twice and deduplicating by event id must
+    // reproduce the single-copy batch aggregate exactly
+    "q51_stream_dedup" -> """
+      SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+      FROM events GROUP BY 1 ORDER BY 1""",
+
+
+    // every real window ends before (sentinel - 1h watermark), so the
+    // append-mode sink holds the complete batch-parity aggregate
+    "q66_stream_file_sink" -> """
+      SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n,
+             round(sum(value), 4) AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+
+    "q72_stream_state" -> """
+      SELECT user_id, count(*) AS n_events
+      FROM events GROUP BY 1 ORDER BY 1""",
+
+
+    // portable md5 fingerprints (q70's CTE); survivors = odd-id docs
+    // whose fingerprint does not appear among even-id docs (NOT EXISTS
+    // = anti-join null semantics)
+    "q87_stream_dedup_store" -> """
+      WITH t AS (SELECT doc_id,
+          list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                      x -> length(x) > 0) AS toks
+        FROM documents),
+      sh AS (SELECT doc_id,
+               CASE WHEN len(toks) >= 3 THEN
+                      list_transform(generate_series(1, len(toks) - 2),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                    WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+                    ELSE [] END AS s
+             FROM t),
+      fp AS (SELECT doc_id, list_min(list_transform(s, g -> md5(g))) AS f
+             FROM sh),
+      surv AS (SELECT o.doc_id, o.f FROM fp o
+               WHERE o.doc_id % 2 = 1
+                 AND NOT EXISTS (SELECT 1 FROM fp k
+                                 WHERE k.doc_id % 2 = 0 AND k.f = o.f))
+      SELECT count(*) AS n_survivors,
+             count(DISTINCT f) AS n_distinct_fp
+      FROM surv""",
+
+
+    "q89_stream_interval_join" -> """
+      SELECT count(*) AS n_pairs,
+             count(DISTINCT a.user_id) AS n_users,
+             min(a.event_id) AS min_view_id
+      FROM events a JOIN events b
+        ON a.user_id = b.user_id
+       AND a.event_type = 'view' AND b.event_type = 'purchase'
+       AND a.user_id % 3 = 0 AND b.user_id % 3 = 0
+       AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE""",
+
+
+    // redelivered rows are suppressed -> plain single-copy aggregate
+    "q93_stream_redelivery" -> """
+      SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+      FROM events GROUP BY 1 ORDER BY 1""",
+
+
+    // last running-count update per key (TTL wider than the backlog)
+    // equals the plain batch count
+    "q94_stream_state_tws" -> """
+      SELECT user_id, count(*) AS n_events
+      FROM events GROUP BY 1 ORDER BY 1""",
+
+
+    // stream/batch parity: the streamed classifier must reproduce the
+    // batch answer exactly, so q112 shares q97's oracle verbatim
+    "q112_stream_classify" -> q97ClassifySql,
+
+
+    "q113_stream_semdedup" -> q113OracleSql,
+
+
+    // tumbling windows = epoch-aligned 1000-second buckets of the
+    // doc_id-derived event time; ties in the top-5 break token-asc
+    "q126_stream_trending" -> """
+      WITH tk AS (SELECT CAST(doc_id // 100 * 100 AS BIGINT)
+                    AS win_start,
+                  unnest(list_filter(
+                    string_split_regex(lower(trim(text)), '\s+'),
+                    x -> length(x) > 0)) AS w
+                  FROM documents),
+      c AS (SELECT win_start, w, count(*) AS c FROM tk GROUP BY 1, 2),
+      r AS (SELECT win_start, w, c,
+              row_number() OVER (PARTITION BY win_start
+                ORDER BY c DESC, w ASC) AS rk
+            FROM c)
+      SELECT win_start, CAST(rk AS INT) AS rk, w, c
+      FROM r WHERE rk <= 5 ORDER BY win_start, rk""",
+
+
+    // the streaming drain must land on the batch funnel exactly —
+    // same oracle
+    "q138_stream_funnel" -> funnelSummarySql,
+
+
+    // same full rebuild again: three chained streaming merges must
+    // land on the batch dimension bit-for-bit
+    "q144_stream_scd2" -> scd2RebuildSql,
+
+
+    "q156_stream_outer_join" -> """
+      WITH e AS (SELECT * FROM events WHERE user_id % 3 = 0),
+      v AS (SELECT user_id AS a_user, ts AS a_ts, event_id AS a_id
+            FROM e WHERE event_type = 'view'),
+      p AS (SELECT user_id AS b_user, ts AS b_ts
+            FROM e WHERE event_type = 'purchase'),
+      j AS (SELECT v.a_user, v.a_id, p.b_ts
+            FROM v LEFT JOIN p ON v.a_user = p.b_user
+              AND p.b_ts >= v.a_ts
+              AND p.b_ts <= v.a_ts + INTERVAL 30 MINUTE)
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(b_ts) AS BIGINT) AS n_matched,
+             CAST(sum(CASE WHEN b_ts IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_unmatched,
+             CAST(count(DISTINCT a_user) AS BIGINT) AS n_users,
+             min(CASE WHEN b_ts IS NULL THEN a_id END)
+               AS min_unmatched_id
+      FROM j""",
+
+
+    // redelivered rows all dedup away -> the batch-distinct aggregate
+    "q172_stream_dedup_modern" -> """
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             round(sum(value), 4) AS sum_value
+      FROM events GROUP BY 1 ORDER BY 1""",
+
+
+    // exact stream/batch parity: the drained stream's final state per
+    // key equals the batch fold over the full log
+    "q178_stream_ewma" -> ewmaSql,
+
+
+    // SCD2 rebuilt over NON-purchase history, purchases interval-
+    // joined as-of their time (same run-numbering CTE as q139)
+    "q185_stream_asof_enrich" -> """
+      WITH o AS (SELECT user_id AS entity, ts AS t, event_type AS attr,
+                        CASE WHEN lag(event_type) OVER
+                               (PARTITION BY user_id ORDER BY ts)
+                               IS DISTINCT FROM event_type
+                             THEN 1 ELSE 0 END AS chg
+                 FROM events WHERE event_type <> 'purchase'),
+      r AS (SELECT entity, t, attr,
+                   sum(chg) OVER (PARTITION BY entity ORDER BY t
+                     ROWS UNBOUNDED PRECEDING) AS run
+            FROM o),
+      c AS (SELECT entity, run, min(attr) AS attr,
+                   min(t) AS valid_from FROM r GROUP BY entity, run),
+      d AS (SELECT entity, attr, valid_from,
+                   lead(valid_from) OVER
+                     (PARTITION BY entity ORDER BY run) AS valid_to
+            FROM c),
+      p AS (SELECT user_id, ts FROM events
+            WHERE event_type = 'purchase')
+      SELECT d.attr AS state, CAST(count(*) AS BIGINT) AS n
+      FROM p LEFT JOIN d ON d.entity = p.user_id
+        AND p.ts >= d.valid_from
+        AND (d.valid_to IS NULL OR p.ts < d.valid_to)
+      GROUP BY 1 ORDER BY 1""",
+
+
+    "q189_stream_full_outer" -> """
+      WITH e AS (SELECT * FROM events WHERE user_id % 3 = 0),
+      v AS (SELECT user_id AS a_user, ts AS a_ts, event_id AS a_id
+            FROM e WHERE event_type = 'view'),
+      p AS (SELECT user_id AS b_user, ts AS b_ts
+            FROM e WHERE event_type = 'purchase'),
+      j AS (SELECT v.a_ts, p.b_ts
+            FROM v FULL OUTER JOIN p ON v.a_user = p.b_user
+              AND p.b_ts >= v.a_ts
+              AND p.b_ts <= v.a_ts + INTERVAL 30 MINUTE)
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN a_ts IS NOT NULL AND b_ts IS NOT NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+             CAST(sum(CASE WHEN b_ts IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_unmatched_views,
+             CAST(sum(CASE WHEN a_ts IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_orphan_purchases
+      FROM j""",
+
+
+    "q211_stream_cusum" -> """
+      WITH d AS (SELECT user_id, ts, event_id,
+                        CAST(round(value * 100) AS BIGINT) - 5000 AS d
+                 FROM events),
+      p AS (SELECT user_id, d,
+                   CAST(sum(d) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS p
+            FROM d)
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(d) AS BIGINT)
+               - least(CAST(min(p) AS BIGINT), 0) AS cusum
+      FROM p GROUP BY user_id ORDER BY user_id""",
+
+
+    "q233_late_drop_census" -> """
+      WITH e AS (SELECT event_id, epoch_us(ts) AS us,
+                        CAST(event_id % 4 AS INT) AS batch
+                 FROM events),
+      mx AS (SELECT batch, max(us) AS bmax FROM e GROUP BY 1),
+      wm AS (SELECT batch,
+                    max(bmax) OVER (ORDER BY batch
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+                      - 86400000000 AS wm_us
+             FROM mx)
+      SELECT e.batch, CAST(count(*) AS BIGINT) AS n_in,
+             CAST(sum(CASE WHEN wm.wm_us IS NULL OR e.us >= wm.wm_us
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             CAST(sum(CASE WHEN wm.wm_us IS NULL OR e.us >= wm.wm_us
+                           THEN 0 ELSE 1 END) AS BIGINT) AS n_late
+      FROM e JOIN wm USING (batch)
+      GROUP BY 1 ORDER BY 1""",
+
+
+    // the streaming twin folds the SAME arithmetic in keyed state
+    // across chronological micro-batches — stream/batch parity means
+    // sharing the batch replay oracle verbatim (the q143/q144 pattern)
+    "q253_stream_rate_limit" -> rateLimitSql,
+
+
+    "q271_watermark_advisor" -> """
+      WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS us
+                 FROM events),
+      l AS (SELECT event_type,
+                   greatest(coalesce(max(us) OVER (PARTITION BY
+                     event_type ORDER BY event_id ROWS BETWEEN
+                     UNBOUNDED PRECEDING AND 1 PRECEDING) - us,
+                     0), 0) // 60000000 AS late_min
+            FROM e),
+      pv AS (SELECT event_type, late_min AS v,
+                    CAST(count(*) AS BIGINT) AS w
+             FROM l GROUP BY 1, 2),
+      c AS (SELECT event_type, v,
+                   CAST(sum(w) OVER (PARTITION BY event_type ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cw,
+                   CAST(sum(w) OVER (PARTITION BY event_type)
+                     AS BIGINT) AS tw
+            FROM pv),
+      qs AS (SELECT event_type,
+                    min(CASE WHEN cw * 100 >= tw * 99 THEN v END)
+                      AS wm_min
+             FROM c GROUP BY 1)
+      SELECT l.event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(max(qs.wm_min) AS BIGINT) AS wm_min,
+             CAST(sum(CASE WHEN l.late_min > qs.wm_min THEN 1 ELSE 0
+               END) AS BIGINT) AS n_dropped,
+             CAST(sum(CASE WHEN l.late_min > qs.wm_min THEN 1 ELSE 0
+               END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS drop_frac
+      FROM l JOIN qs USING (event_type)
+      GROUP BY 1 ORDER BY 1""",
+
+
+    // batch replay of the whole curation pipeline: classifier scores
+    // (q97 prefix), keep >= 0.5, portable min-md5-shingle fingerprint
+    // (q30 recipe), min-id/count per (fp, lang), per-lang census —
+    // shared by the STREAMED (q282) and INCREMENTAL (q283) twins:
+    // both must converge to this full-rebuild answer
+    "q282_stream_curate" -> curateCensusSql,
+
+    "q283_incremental_curate" -> curateCensusSql
+  )
+}

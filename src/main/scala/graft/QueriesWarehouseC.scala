@@ -1,0 +1,297 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType, StructType}
+import graft.etl.{Lineage, LogParse, MozLog}
+import graft.jx.{Formats, QueryParser, Runner}
+import graft.llm.{Contamination, Dedup, Multimodal, Pipelines, Similarity, TextAnalysis}
+import graft.meta.MetaColumns
+import graft.operators.{CountMin, Joins, Kmv, Sessionize, SetOps}
+import graft.streaming.EventStream
+import graft.tables.Catalog
+
+/** Query + oracle definitions — warehouse analytics: TPC-H-ish BI, time series, stats, DQ, dimensional/CDC.
+  * Concatenated into SparkEntry.queries / SparkEntry.oracleSql (the
+  * driver contract); see SparkEntry's scaladoc for the output and
+  * floating-point conventions every entry follows. */
+private[graft] object QueriesWarehouseC {
+  import QueryShared._
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- SUPPLIER CONCENTRATION (HHI) per part: revenue shares
+    //     squared and summed — emitted as the EXACT integer pair
+    //     (Σ rᵢ², (Σ rᵢ)²) plus the double dividing once, so the
+    //     concentration index hash-matches unrounded. Top 50 most
+    //     concentrated multi-supplier parts, full tiebreak. ---
+    "q287_hhi_concentration" -> { (spark, dir) =>
+      val rev = tbl(spark, dir, "lineitem")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+          .as("r"))
+      rev.groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum(col("r") * col("r")).as("hhi_num"),
+          sum(col("r")).as("__tot"))
+        .filter(col("n_suppliers") >= 2)
+        .withColumn("hhi_den", col("__tot") * col("__tot"))
+        .withColumn("hhi", col("hhi_num").cast("double") /
+          col("hhi_den").cast("double"))
+        .select(col("l_partkey"), col("n_suppliers"), col("hhi_num"),
+          col("hhi_den"), col("hhi"))
+        .orderBy(col("hhi").desc, col("l_partkey"))
+        .limit(50)
+    },
+
+
+    // --- COHORT LTV CURVES: users cohorted by first-event ISO week;
+    //     per (cohort, weeks-since) the active users, value cents,
+    //     and the cohort's CUMULATIVE cents — the lifetime-value
+    //     readout behind retention economics. Cohort-partitioned
+    //     window over a weeks-grain frame (dozens of rows per
+    //     cohort), exact integers. ---
+    "q288_cohort_ltv" -> { (spark, dir) =>
+      val ev = tbl(spark, dir, "events")
+        .select(col("user_id"),
+          to_date(date_trunc("week", col("ts"))).as("wk"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val cohorts = ev.groupBy(col("user_id"))
+        .agg(min(col("wk")).as("cohort_week"))
+      val grid = ev.join(cohorts, Seq("user_id"))
+        .withColumn("weeks_since",
+          expr("datediff(wk, cohort_week) div 7"))
+        .groupBy(col("cohort_week"), col("weeks_since"))
+        .agg(count_distinct(col("user_id")).as("n_users"),
+          sum(col("cents")).as("cents"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cohort_week")).orderBy(col("weeks_since"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, org.apache.spark.sql.expressions.Window
+          .currentRow)
+      grid.withColumn("cum_cents", sum(col("cents")).over(w))
+        .orderBy(col("cohort_week"), col("weeks_since"))
+    },
+
+
+    // --- DISCOUNT-RESPONSE correlation per priority class: Pearson r
+    //     between discount basis points and quantity, from exact
+    //     integer power sums (the q249 discipline) — does a deeper
+    //     discount move volume. num/den ints are the hash gate. ---
+    "q289_discount_response" -> { (spark, dir) =>
+      val rows = tbl(spark, dir, "lineitem")
+        .select(col("l_orderkey"),
+          expr("CAST(round(l_discount * 10000) AS BIGINT)").as("x"),
+          expr("CAST(round(l_quantity) AS BIGINT)").as("y"))
+        .join(tbl(spark, dir, "orders")
+          .select(col("o_orderkey").as("l_orderkey"),
+            col("o_orderpriority")), Seq("l_orderkey"))
+      rows.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("__sx"), sum(col("y")).as("__sy"),
+          sum(col("x") * col("x")).as("__sxx"),
+          sum(col("y") * col("y")).as("__syy"),
+          sum(col("x") * col("y")).as("__sxy"))
+        .select(col("o_orderpriority"), col("n"),
+          (col("n") * col("__sxy") - col("__sx") * col("__sy"))
+            .as("num"),
+          (col("n") * col("__sxx") - col("__sx") * col("__sx"))
+            .as("den_x"),
+          (col("n") * col("__syy") - col("__sy") * col("__sy"))
+            .as("den_y"))
+        .withColumn("r",
+          when(col("den_x") > 0 && col("den_y") > 0,
+            col("num").cast("double") /
+              (sqrt(col("den_x").cast("double")) *
+                sqrt(col("den_y").cast("double")))))
+        .orderBy(col("o_orderpriority"))
+    },
+
+
+    // --- CONVERSION LATENCY with CENSORING: per user, days from
+    //     first view to the first purchase AT OR AFTER it; users who
+    //     never purchase after their first view are CENSORED and
+    //     counted, not dropped (the survival-analysis bookkeeping a
+    //     naive join silently gets wrong). Integer-day census +
+    //     exact median among converters. ---
+    "q291_conversion_latency" -> { (spark, dir) =>
+      val ev = tbl(spark, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts").cast("timestamp")).as("us"))
+      val firstView = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("us")).as("__v"))
+      // conditional MIN inside the aggregation, NOT a filter on the
+      // join: a user whose only purchases precede their first view
+      // must stay as a censored row, not vanish
+      val conv = firstView.join(
+          ev.filter(col("event_type") === "purchase")
+            .select(col("user_id"), col("us").as("__p")),
+          Seq("user_id"), "left")
+        .groupBy(col("user_id"))
+        .agg(max(col("__v")).as("__v"),
+          min(when(col("__p") >= col("__v"), col("__p"))).as("__fp"))
+        .select(col("user_id"),
+          expr("CASE WHEN __fp IS NULL THEN NULL " +
+            "ELSE (__fp - __v) div 86400000000 END").as("delay_days"))
+      // global median among converters WITHOUT a constant-group
+      // window (the q171 lesson): tiny day-value census + a non-equi
+      // cumulative join + the integer threshold rule
+      val cen = conv.filter(col("delay_days").isNotNull)
+        .groupBy(col("delay_days")).agg(count(lit(1)).as("__w"))
+      val cum = cen.join(broadcast(cen.select(
+          col("delay_days").as("__v2"), col("__w").as("__w2"))),
+          col("__v2") <= col("delay_days"))
+        .groupBy(col("delay_days")).agg(sum(col("__w2")).as("__cw"))
+      val qs = cum.crossJoin(broadcast(
+          cen.agg(sum(col("__w")).as("__tw"))))
+        .filter(col("__cw") * 2 >= col("__tw"))
+        .agg(min(col("delay_days")).as("p50_days"))
+      conv.agg(count(lit(1)).as("n_viewers"),
+          sum(when(col("delay_days").isNotNull, 1L).otherwise(0L))
+            .as("n_converted"),
+          max(col("delay_days")).as("max_days"))
+        .crossJoin(broadcast(qs))
+        .withColumn("conversion_frac",
+          col("n_converted").cast("double") /
+            col("n_viewers").cast("double"))
+    },
+
+
+    // --- REVENUE WATERFALL per return flag: gross -> discount ->
+    //     tax -> net decomposition in exact cents (the reconciliation
+    //     view finance closes the books with). ---
+    "q292_revenue_waterfall" -> { (spark, dir) =>
+      tbl(spark, dir, "lineitem")
+        .select(col("l_returnflag"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+            .as("__gross"),
+          expr("CAST(round(l_extendedprice * l_discount * 100) " +
+            "AS BIGINT)").as("__disc"),
+          expr("CAST(round(l_extendedprice * (1 - l_discount) * " +
+            "l_tax * 100) AS BIGINT)").as("__tax"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("__gross")).as("gross_cents"),
+          sum(col("__disc")).as("discount_cents"),
+          sum(col("__tax")).as("tax_cents"),
+          sum(col("__gross") - col("__disc") + col("__tax"))
+            .as("net_cents"))
+        .orderBy(col("l_returnflag"))
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q287_hhi_concentration" -> """
+      WITH rev AS (SELECT l_partkey, l_suppkey,
+                          CAST(sum(CAST(round(l_extendedprice * 100)
+                            AS BIGINT)) AS BIGINT) AS r
+                   FROM lineitem GROUP BY 1, 2),
+      h AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_suppliers,
+                   CAST(sum(r * r) AS BIGINT) AS hhi_num,
+                   CAST(sum(r) AS BIGINT) AS tot
+            FROM rev GROUP BY 1)
+      SELECT l_partkey, n_suppliers, hhi_num,
+             tot * tot AS hhi_den,
+             CAST(hhi_num AS DOUBLE) / CAST(tot * tot AS DOUBLE)
+               AS hhi
+      FROM h WHERE n_suppliers >= 2
+      ORDER BY hhi DESC, l_partkey LIMIT 50""",
+
+
+    "q288_cohort_ltv" -> """
+      WITH e AS (SELECT user_id,
+                        CAST(date_trunc('week', ts) AS DATE) AS wk,
+                        CAST(round(value * 100) AS BIGINT) AS cents
+                 FROM events),
+      c AS (SELECT user_id, min(wk) AS cohort_week FROM e GROUP BY 1),
+      g AS (SELECT c.cohort_week,
+                   date_diff('day', c.cohort_week, e.wk) // 7
+                     AS weeks_since,
+                   CAST(count(DISTINCT e.user_id) AS BIGINT)
+                     AS n_users,
+                   CAST(sum(e.cents) AS BIGINT) AS cents
+            FROM e JOIN c USING (user_id) GROUP BY 1, 2)
+      SELECT cohort_week, weeks_since, n_users, cents,
+             CAST(sum(cents) OVER (PARTITION BY cohort_week
+               ORDER BY weeks_since ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS cum_cents
+      FROM g ORDER BY 1, 2""",
+
+
+    "q289_discount_response" -> """
+      WITH rws AS (SELECT o.o_orderpriority,
+                          CAST(round(l.l_discount * 10000) AS BIGINT)
+                            AS x,
+                          CAST(round(l.l_quantity) AS BIGINT) AS y
+                   FROM lineitem l JOIN orders o
+                     ON o.o_orderkey = l.l_orderkey),
+      s AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x * x) AS BIGINT) AS sxx,
+                   CAST(sum(y * y) AS BIGINT) AS syy,
+                   CAST(sum(x * y) AS BIGINT) AS sxy
+            FROM rws GROUP BY 1)
+      SELECT o_orderpriority, n,
+             n * sxy - sx * sy AS num,
+             n * sxx - sx * sx AS den_x,
+             n * syy - sy * sy AS den_y,
+             CASE WHEN n * sxx - sx * sx > 0 AND
+                       n * syy - sy * sy > 0 THEN
+               CAST(n * sxy - sx * sy AS DOUBLE) /
+                 (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+                  sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+             END AS r
+      FROM s ORDER BY o_orderpriority""",
+
+
+    "q291_conversion_latency" -> """
+      WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+                 FROM events),
+      fv AS (SELECT user_id, min(us) AS v FROM e
+             WHERE event_type = 'view' GROUP BY 1),
+      c AS (SELECT fv.user_id, fv.v,
+                   min(CASE WHEN p.us >= fv.v THEN p.us END) AS fp
+            FROM fv LEFT JOIN (SELECT user_id, us FROM e
+              WHERE event_type = 'purchase') p
+              ON p.user_id = fv.user_id
+            GROUP BY 1, 2),
+      d AS (SELECT user_id, CASE WHEN fp IS NULL THEN NULL
+                   ELSE (fp - v) // 86400000000 END AS delay_days
+            FROM c),
+      cen AS (SELECT delay_days AS v, CAST(count(*) AS BIGINT) AS w
+              FROM d WHERE delay_days IS NOT NULL GROUP BY 1),
+      cum AS (SELECT x.v, CAST(sum(y.w) AS BIGINT) AS cw
+              FROM cen x JOIN cen y ON y.v <= x.v GROUP BY 1),
+      tw AS (SELECT CAST(sum(w) AS BIGINT) AS t FROM cen),
+      p AS (SELECT CAST(min(v) AS BIGINT) AS p50_days
+            FROM cum CROSS JOIN tw WHERE cw * 2 >= t)
+      SELECT CAST(count(*) AS BIGINT) AS n_viewers,
+             CAST(sum(CASE WHEN delay_days IS NOT NULL THEN 1 ELSE 0
+               END) AS BIGINT) AS n_converted,
+             CAST(max(delay_days) AS BIGINT) AS max_days,
+             (SELECT p50_days FROM p) AS p50_days,
+             CAST(sum(CASE WHEN delay_days IS NOT NULL THEN 1 ELSE 0
+               END) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+               AS conversion_frac
+      FROM d""",
+
+
+    "q292_revenue_waterfall" -> """
+      WITH l AS (SELECT l_returnflag,
+                        CAST(round(l_extendedprice * 100) AS BIGINT)
+                          AS gross,
+                        CAST(round(l_extendedprice * l_discount * 100)
+                          AS BIGINT) AS disc,
+                        CAST(round(l_extendedprice * (1 - l_discount)
+                          * l_tax * 100) AS BIGINT) AS tax
+                 FROM lineitem)
+      SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(sum(gross) AS BIGINT) AS gross_cents,
+             CAST(sum(disc) AS BIGINT) AS discount_cents,
+             CAST(sum(tax) AS BIGINT) AS tax_cents,
+             CAST(sum(gross - disc + tax) AS BIGINT) AS net_cents
+      FROM l GROUP BY 1 ORDER BY 1"""
+  )
+}

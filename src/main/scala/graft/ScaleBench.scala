@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-shape evidence for the TOP OF THE BENCH PROFILE: run the
+  * most expensive non-streaming queries — unchanged, through their
+  * own SparkEntry closures — against a synthesized mult× SF dir and
+  * report wall(1×) vs wall(mult×). A near-linear ratio is the "would
+  * survive 100×" evidence; a super-linear one is a caught
+  * accidentally-quadratic shape (AnnBench/DedupBench do this for
+  * their domains; this covers the profile's head).
+  *
+  *   sbt "runMain graft.ScaleBench /root/testdata/sf0.1 10"
+  *
+  * The mult× corpus scales VOLUME, not density — mult disjoint
+  * isomorphic copies, so the true answer grows linearly and any
+  * super-linear wall is the PLAN's fault, not the data's:
+  *  - documents: copy c shifts doc_id by c·100k (multiple of 10, so
+  *    every pmod-10 split — q95's hist/fresh — keeps its meaning,
+  *    and max id stays < 1e6, below the variant-id band) and renames
+  *    every whitespace token with a copy prefix — a BIJECTION on
+  *    tokens, so within-copy shingle/n-gram similarity structure is
+  *    exactly the 1× corpus's, while cross-copy Jaccard is 0 (no
+  *    synthetic near-dup quadratics; DedupBench measures that
+  *    regime separately).
+  *  - lineitem: copy c shifts l_orderkey by c·1M and l_partkey by
+  *    c·100k (multiple of 4 and 100 — the graph queries' pmod-4
+  *    sample and %100 seed sets keep their meaning), so the
+  *    co-occurrence graph becomes mult disjoint copies: mult× nodes
+  *    and edges, same degree distribution.
+  */
+object ScaleBench {
+
+  val targets: Seq[String] = Seq(
+    "q70_corpus_prep", "q95_incremental_neardup", "q141_pagerank",
+    "q146_pagerank_weighted", "q147_triangles",
+    "q149_pagerank_dangling", "q150_prefix_filter_jaccard",
+    "q206_link_predict", "q219_ppr", "q221_communities")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val mult = if (args.length > 1) args(1).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // ---- synthesize the mult× dir (documents + lineitem: the only
+    //      tables the targets read) ----
+    val big = Scratch.dir("graft_scalebench").toString
+    val docs = new graft.tables.Catalog(spark, sfDir).table("documents")
+    val docCols = docs.columns
+    (0 until mult).map { c =>
+      if (c == 0) docs
+      else docs
+        .withColumn("doc_id", col("doc_id") + lit(c * 100000L))
+        .withColumn("text", array_join(transform(
+          split(col("text"), " "),
+          x => concat(lit(s"c${c}x"), x)), " "))
+        .select(docCols.map(col): _*)
+    }.reduce(_ unionByName _)
+      .repartition(cpus.toInt)
+      .write.parquet(s"$big/documents.parquet")
+    val li = new graft.tables.Catalog(spark, sfDir).table("lineitem")
+    val liCols = li.columns
+    (0 until mult).map { c =>
+      if (c == 0) li
+      else li
+        .withColumn("l_orderkey", col("l_orderkey") + lit(c * 1000000L))
+        .withColumn("l_partkey", col("l_partkey") + lit(c * 100000L))
+        .select(liCols.map(col): _*)
+    }.reduce(_ unionByName _)
+      .repartition(cpus.toInt)
+      .write.parquet(s"$big/lineitem.parquet")
+    // orders (q149's dangling-mass graph): shift BOTH keys by
+    // copy-disjoint offsets — custkey+1M and orderkey+1M keep the
+    // bipartite src/dst bands (dst = orderkey + 10M) disjoint per copy
+    val ord = new graft.tables.Catalog(spark, sfDir).table("orders")
+    val ordCols = ord.columns
+    (0 until mult).map { c =>
+      if (c == 0) ord
+      else ord
+        .withColumn("o_orderkey", col("o_orderkey") + lit(c * 1000000L))
+        .withColumn("o_custkey", col("o_custkey") + lit(c * 1000000L))
+        .select(ordCols.map(col): _*)
+    }.reduce(_ unionByName _)
+      .repartition(cpus.toInt)
+      .write.parquet(s"$big/orders.parquet")
+
+    // warmup (the Bench discipline): scan + agg + sort codegen once
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+
+    def cleanup(): Unit = {
+      spark.catalog.clearCache()
+      spark.catalog.listTables().collect()
+        .filter(_.name.startsWith("graft_stream_"))
+        .foreach(t => spark.catalog.dropTempView(t.name))
+      Scratch.sweepExcept(big)
+    }
+    def best2(fn: => DataFrame): Double = (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      fn.count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      cleanup()
+      dt
+    }.min
+
+    println(f"${"query"}%-28s ${"1x"}%8s ${mult + "x"}%8s ratio")
+    val rows = targets.map { name =>
+      val fn = SparkEntry.queries(name)
+      val t1 = best2(fn(spark, sfDir))
+      val tN = best2(fn(spark, big))
+      println(f"$name%-28s $t1%8.2f $tN%8.2f ${tN / t1}%5.1fx")
+      (name, t1, tN)
+    }
+    val line = rows.map { case (n, t1, tN) =>
+      String.format(java.util.Locale.ROOT,
+        "\"%s\":{\"t1\":%.2f,\"tN\":%.2f,\"ratio\":%.2f}",
+        n, Double.box(t1), Double.box(tN), Double.box(tN / t1))
+    }.mkString(s"""{"bench":"scale","mult":$mult,"sf":"$sfDir",""", ",",
+      "}")
+    println(line)
+    Scratch.sweep()
+    spark.stop()
+  }
+}

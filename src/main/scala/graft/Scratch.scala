@@ -38,4 +38,20 @@ object Scratch {
       p = dirs.poll()
     }
   }
+
+  /** [[sweep]], but keep the dir whose string path is `keep`
+    * registered and on disk — for a bench that sweeps per-query
+    * scratch while its own synthesized input dir must survive the
+    * whole run. */
+  def sweepExcept(keep: String): Unit = {
+    var kept: java.nio.file.Path = null
+    var p = dirs.poll()
+    while (p != null) {
+      if (p.toString == keep) kept = p
+      else try org.apache.commons.io.FileUtils.deleteDirectory(p.toFile)
+      catch { case _: Throwable => () }
+      p = dirs.poll()
+    }
+    if (kept != null) dirs.add(kept)
+  }
 }
