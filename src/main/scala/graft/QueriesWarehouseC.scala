@@ -177,6 +177,64 @@ private[graft] object QueriesWarehouseC {
           sum(col("__gross") - col("__disc") + col("__tax"))
             .as("net_cents"))
         .orderBy(col("l_returnflag"))
+    },
+
+    // --- MERGEABLE QUANTILE MANIFESTS (the distribution member of
+    //     the partition-manifest family: Fingerprint = equality,
+    //     KMV = distinct, this = quantiles): per-batch rank-spaced
+    //     weighted summaries (every 16th order statistic per shard),
+    //     merged across two ingest halves by UNION, answering
+    //     p50/p90/p99 per event type from summary rows only — the
+    //     100 TB shape where "p95 across any partition subset" never
+    //     re-scans history. The oracle replays the summaries, the
+    //     merge, the quantile selection, the exact twin, AND the
+    //     rank-error-bound check relationally — a hash match proves
+    //     the whole construction, bound included. ---
+    "q294_quantile_manifest" -> { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val qsum = graft.operators.QuantileSummary
+      val ev = tbl(spark, dir, "events").select(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+        col("event_id"))
+      def summ(d: DataFrame) = qsum.shardSummary(d, col("event_type"),
+        col("cents"), col("event_id"), shards = 8, k = 16)
+      val merged = qsum.merge(Seq(
+        summ(ev.filter(pmod(col("event_id"), lit(2)) === 0)),
+        summ(ev.filter(pmod(col("event_id"), lit(2)) =!= 0))))
+      val withTgt = qsum.quantiles(merged, Seq(0.5, 0.9, 0.99))
+        .select(col("grp"), col("q"), col("value").as("approx_cents"),
+          col("n"))
+        .withColumn("tgt",
+          ceil(col("q") * col("n") - lit(1e-9)).cast("long"))
+      // exact twin + bound flags from the raw table (distinct-value
+      // cumulative frame: the window runs over value census rows)
+      val counts = ev.groupBy(col("event_type").as("grp"),
+          col("cents").as("v")).agg(count(lit(1)).as("c"))
+      val cum = counts.withColumn("cum", sum(col("c")).over(
+        Window.partitionBy(col("grp")).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val exact = withTgt.select(col("grp"), col("q"), col("tgt"))
+        .join(cum, Seq("grp"))
+        .filter(col("cum") >= greatest(col("tgt"), lit(1L)))
+        .groupBy(col("grp"), col("q"))
+        .agg(min(col("v")).as("exact_cents"))
+      val cumR = cum.select(col("grp").as("__g"), col("v"),
+        col("c").as("c_at"), col("cum").as("rank_le"))
+      val le = withTgt.join(cumR, withTgt("grp") === cumR("__g") &&
+          col("approx_cents") === cumR("v"))
+        .select(col("grp"), col("q"), col("approx_cents"), col("n"),
+          col("tgt"), col("rank_le"), col("c_at"))
+      val parts = ev.groupBy(col("event_type").as("grp"))
+        .agg(countDistinct(pmod(col("event_id"), lit(2)) * 10 +
+          pmod(col("event_id"), lit(8))).as("np"))
+      le.join(exact, Seq("grp", "q")).join(parts, Seq("grp"))
+        .select(col("grp").as("event_type"), col("q"),
+          col("approx_cents"), col("exact_cents"), col("n"),
+          col("rank_le"), col("tgt"),
+          (col("rank_le") - col("c_at") < col("tgt") &&
+            col("rank_le") >= col("tgt") - col("np") * 15L)
+            .as("within_bound"))
+        .orderBy(col("event_type"), col("q"))
     }
   )
 
@@ -292,6 +350,64 @@ private[graft] object QueriesWarehouseC {
              CAST(sum(disc) AS BIGINT) AS discount_cents,
              CAST(sum(tax) AS BIGINT) AS tax_cents,
              CAST(sum(gross - disc + tax) AS BIGINT) AS net_cents
-      FROM l GROUP BY 1 ORDER BY 1"""
+      FROM l GROUP BY 1 ORDER BY 1""",
+
+    // full relational replay: per-(half, shard) rank-spaced summaries
+    // -> union merge -> integer-threshold selection -> exact twin ->
+    // rank-error-bound flag, all exact integers
+    "q294_quantile_manifest" -> """
+      WITH b AS (SELECT event_type AS grp,
+                        CAST(round(value * 100) AS BIGINT) AS v,
+                        event_id AS t,
+                        event_id % 2 AS half, event_id % 8 AS sh
+                 FROM events),
+      r AS (SELECT grp, v, half, sh,
+                   row_number() OVER (PARTITION BY grp, half, sh
+                     ORDER BY v, t) AS rn,
+                   count(*) OVER (PARTITION BY grp, half, sh) AS nn
+            FROM b),
+      s AS (SELECT grp, v AS value, least(16, nn - rn + 1) AS w
+            FROM r WHERE (rn - 1) % 16 = 0),
+      agg AS (SELECT grp, value, CAST(sum(w) AS BIGINT) AS w
+              FROM s GROUP BY 1, 2),
+      c AS (SELECT grp, value,
+                   CAST(sum(w) OVER (PARTITION BY grp ORDER BY value
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw,
+                   CAST(sum(w) OVER (PARTITION BY grp) AS BIGINT) AS n
+            FROM agg),
+      qq AS (SELECT * FROM (VALUES (0.5), (0.9), (0.99)) AS t(q)),
+      appx AS (SELECT grp, q, min(value) AS approx_cents, max(n) AS n
+               FROM c CROSS JOIN qq
+               WHERE cw >= greatest(
+                 CAST(ceil(q * n - 1e-9) AS BIGINT), 1)
+               GROUP BY 1, 2),
+      wt AS (SELECT grp, q, approx_cents, n,
+                    CAST(ceil(q * n - 1e-9) AS BIGINT) AS tgt
+             FROM appx),
+      rawc AS (SELECT grp, v, CAST(count(*) AS BIGINT) AS c
+               FROM b GROUP BY 1, 2),
+      rcum AS (SELECT grp, v, c,
+                      CAST(sum(c) OVER (PARTITION BY grp ORDER BY v
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+               FROM rawc),
+      ex AS (SELECT w2.grp, w2.q, min(r2.v) AS exact_cents
+             FROM wt w2 JOIN rcum r2 ON r2.grp = w2.grp
+               AND r2.cum >= greatest(w2.tgt, 1)
+             GROUP BY 1, 2),
+      le AS (SELECT w2.grp, w2.q, r2.cum AS rank_le, r2.c AS c_at
+             FROM wt w2 JOIN rcum r2 ON r2.grp = w2.grp
+               AND r2.v = w2.approx_cents),
+      parts AS (SELECT grp, CAST(count(DISTINCT half * 10 + sh)
+                  AS BIGINT) AS np
+                FROM b GROUP BY 1)
+      SELECT w2.grp AS event_type, w2.q AS q, w2.approx_cents,
+             e.exact_cents, w2.n, l.rank_le, w2.tgt,
+             (l.rank_le - l.c_at < w2.tgt
+              AND l.rank_le >= w2.tgt - p.np * 15) AS within_bound
+      FROM wt w2
+      JOIN ex e ON e.grp = w2.grp AND e.q = w2.q
+      JOIN le l ON l.grp = w2.grp AND l.q = w2.q
+      JOIN parts p ON p.grp = w2.grp
+      ORDER BY 1, 2"""
   )
 }
