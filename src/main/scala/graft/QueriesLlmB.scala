@@ -819,6 +819,44 @@ private[graft] object QueriesLlmB {
         .select(col("entity").as("user_id"), col("n_events"),
           col("n_accepted"), col("n_rejected"), col("tokens_left"))
         .orderBy(col("user_id"))
+    },
+
+    // --- MERGEABLE VOCABULARY MANIFESTS (Misra–Gries heavy hitters;
+    //     the frequency member of the manifest family next to q255
+    //     fingerprints, q153 KMV, q294 quantile summaries): each
+    //     (lang, shard) keeps its top-12 tokens with the 13th count
+    //     subtracted; two ingest halves' manifests merge by summed
+    //     counts, and the top-10 merged estimates carry the proven
+    //     bracket est ≤ true ≤ est + Σ thresholds. The oracle
+    //     replays census → threshold → merge → bracket check — the
+    //     hash match proves the bound itself, per token. ---
+    "q295_vocab_manifest" -> { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val hh = graft.operators.HeavyHitters
+      val occ = tbl(spark, dir, "documents")
+        .select(col("lang"), col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      def summ(h: Int) = hh.shardSummaries(
+        occ.filter(pmod(col("doc_id"), lit(2)) === h),
+        col("lang"), col("tok"), pmod(col("doc_id"), lit(4)), m = 12)
+      val (s1, l1) = summ(0)
+      val (s2, l2) = summ(1)
+      val (ms, ml) = hh.merge(Seq(s1, s2), Seq(l1, l2))
+      val w = Window.partitionBy(col("grp"))
+        .orderBy(col("est").desc, col("value").asc)
+      val top = ms.withColumn("rnk", row_number().over(w).cast("int"))
+        .filter(col("rnk") <= 10)
+      val exact = occ.groupBy(col("lang").as("grp"),
+          col("tok").as("value"))
+        .agg(count(lit(1)).as("exact"))
+      top.join(exact, Seq("grp", "value"))
+        .join(ml, Seq("grp"))
+        .select(col("grp").as("lang"), col("rnk"),
+          col("value").as("token"), col("est"), col("exact"),
+          col("slack"),
+          (col("est") <= col("exact") &&
+            col("exact") <= col("est") + col("slack")).as("bounded"))
+        .orderBy(col("lang"), col("rnk"))
     }
   )
 
@@ -1592,6 +1630,49 @@ private[graft] object QueriesLlmB {
 
     // chunked fold ≡ whole fold: the oracle replays the UNSEGMENTED
     // list_reduce — a hash match proves the carry-over chain
-    "q293_rate_limit_chunked" -> rateLimitSql
+    "q293_rate_limit_chunked" -> rateLimitSql,
+
+    // census -> MG threshold per (lang, half, shard) -> merged
+    // estimates -> bracket flags, all exact integers
+    "q295_vocab_manifest" -> """
+      WITH t AS (SELECT lang, doc_id, unnest(list_filter(
+                   string_split_regex(lower(trim(text)), '\s+'),
+                   x -> length(x) > 0)) AS tok
+                 FROM documents),
+      occ AS (SELECT lang AS grp, tok AS v, doc_id % 2 AS half,
+                     doc_id % 4 AS sh
+              FROM t),
+      census AS (SELECT grp, half, sh, v,
+                        CAST(count(*) AS BIGINT) AS c
+                 FROM occ GROUP BY 1, 2, 3, 4),
+      ranked AS (SELECT grp, half, sh, v, c,
+                        row_number() OVER (PARTITION BY grp, half, sh
+                          ORDER BY c DESC, v ASC) AS rn
+                 FROM census),
+      thr AS (SELECT grp, half, sh,
+                     coalesce(max(CASE WHEN rn = 13 THEN c END), 0)
+                       AS th
+              FROM ranked GROUP BY 1, 2, 3),
+      summ AS (SELECT r.grp, r.v,
+                      CAST(sum(r.c - t2.th) AS BIGINT) AS est
+               FROM ranked r JOIN thr t2 USING (grp, half, sh)
+               WHERE r.rn <= 12 AND r.c - t2.th > 0
+               GROUP BY 1, 2),
+      slack AS (SELECT grp, CAST(sum(th) AS BIGINT) AS slack
+                FROM thr GROUP BY 1),
+      top AS (SELECT grp, v, est,
+                     CAST(row_number() OVER (PARTITION BY grp
+                       ORDER BY est DESC, v ASC) AS INT) AS rnk
+              FROM summ QUALIFY rnk <= 10),
+      exact AS (SELECT grp, v, CAST(count(*) AS BIGINT) AS exact
+                FROM occ GROUP BY 1, 2)
+      SELECT t3.grp AS lang, t3.rnk, t3.v AS token, t3.est, e.exact,
+             s.slack,
+             (t3.est <= e.exact AND e.exact <= t3.est + s.slack)
+               AS bounded
+      FROM top t3
+      JOIN exact e ON e.grp = t3.grp AND e.v = t3.v
+      JOIN slack s ON s.grp = t3.grp
+      ORDER BY 1, 2"""
   )
 }
