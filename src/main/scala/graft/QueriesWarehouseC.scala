@@ -235,6 +235,51 @@ private[graft] object QueriesWarehouseC {
             col("rank_le") >= col("tgt") - col("np") * 15L)
             .as("within_bound"))
         .orderBy(col("event_type"), col("q"))
+    },
+
+    // --- ZONE-MAP SKIP ESTIMATOR (the data-skipping planner q120's
+    //     z-order layout feeds): model each candidate layout as
+    //     value-range zones (zone ≅ one file's parquet min/max
+    //     footer), census per-zone min/max of BOTH predicate
+    //     columns, and count what a (date band AND partkey band)
+    //     scan could skip under each layout — natural insertion
+    //     order skips ~nothing, date-linear skips on date only,
+    //     z-order skips on both at the sqrt rate. The "sort your
+    //     100 TB table along the curve of its two scan keys"
+    //     decision, quantified in exact integers. ---
+    "q296_zone_skip" -> { (spark, dir) =>
+      val base = tbl(spark, dir, "lineitem").select(
+          col("l_orderkey"),
+          datediff(to_date(col("l_shipdate")),
+            to_date(lit("1992-01-01"))).cast("long").as("dy"),
+          pmod(col("l_partkey"), lit(1024)).cast("long").as("pk"))
+        .withColumn("z",
+          graft.operators.ZOrder.zValue(col("dy"), col("pk"), 12))
+      def skip(mnd: Column, mxd: Column, mnp: Column, mxp: Column) =
+        mxd < 1500L || mnd > 1600L || mxp < 100L || mnp > 200L
+      def census(layout: String, zone: Column) = base
+        .groupBy(zone.as("zone"))
+        .agg(min(col("dy")).as("mnd"), max(col("dy")).as("mxd"),
+          min(col("pk")).as("mnp"), max(col("pk")).as("mxp"),
+          count(lit(1)).as("nr"))
+        .withColumn("__skip", skip(col("mnd"), col("mxd"),
+          col("mnp"), col("mxp")))
+        .groupBy(lit(layout).as("layout"))
+        .agg(count(lit(1)).as("n_zones"),
+          sum(when(col("__skip"), 1L).otherwise(0L))
+            .as("zones_skipped"),
+          sum(col("nr")).as("rows_total"),
+          sum(when(col("__skip"), col("nr")).otherwise(0L))
+            .as("rows_skipped"))
+      val matching = base.agg(sum(when(
+          col("dy").between(1500L, 1600L) &&
+          col("pk").between(100L, 200L), 1L).otherwise(0L))
+        .as("rows_matching"))
+      census("natural", expr("l_orderkey div 2048"))
+        .unionByName(census("bydate", expr("dy div 32")))
+        .unionByName(census("zorder", expr("z div 65536")))
+        .crossJoin(broadcast(matching))
+        .orderBy(col("layout"))
     }
   )
 
@@ -408,6 +453,47 @@ private[graft] object QueriesWarehouseC {
       JOIN ex e ON e.grp = w2.grp AND e.q = w2.q
       JOIN le l ON l.grp = w2.grp AND l.q = w2.q
       JOIN parts p ON p.grp = w2.grp
-      ORDER BY 1, 2"""
+      ORDER BY 1, 2""",
+
+    // zones = value ranges; skip = any conjunct's band disjoint from
+    // the zone's min/max box — exact integer censuses per layout
+    "q296_zone_skip" -> """
+      WITH b AS (SELECT l_orderkey,
+                   CAST(date_diff('day', DATE '1992-01-01',
+                     CAST(l_shipdate AS DATE)) AS BIGINT) AS dy,
+                   CAST(l_partkey % 1024 AS BIGINT) AS pk
+                 FROM lineitem),
+      zz AS (SELECT l_orderkey, dy, pk,
+               CAST(list_sum(list_transform(generate_series(0, 11),
+                 i -> (((dy >> i) & 1) << (2 * i)) +
+                      (((pk >> i) & 1) << (2 * i + 1)))) AS BIGINT)
+                 AS z
+             FROM b),
+      lay AS (SELECT 'natural' AS layout, l_orderkey // 2048 AS zone,
+                     dy, pk FROM zz
+              UNION ALL
+              SELECT 'bydate', dy // 32, dy, pk FROM zz
+              UNION ALL
+              SELECT 'zorder', z // 65536, dy, pk FROM zz),
+      zc AS (SELECT layout, zone, min(dy) AS mnd, max(dy) AS mxd,
+                    min(pk) AS mnp, max(pk) AS mxp,
+                    CAST(count(*) AS BIGINT) AS nr
+             FROM lay GROUP BY 1, 2),
+      cen AS (SELECT layout, CAST(count(*) AS BIGINT) AS n_zones,
+                CAST(sum(CASE WHEN mxd < 1500 OR mnd > 1600
+                    OR mxp < 100 OR mnp > 200 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS zones_skipped,
+                CAST(sum(nr) AS BIGINT) AS rows_total,
+                CAST(sum(CASE WHEN mxd < 1500 OR mnd > 1600
+                    OR mxp < 100 OR mnp > 200 THEN nr ELSE 0 END)
+                  AS BIGINT) AS rows_skipped
+              FROM zc GROUP BY 1),
+      m AS (SELECT CAST(sum(CASE WHEN dy BETWEEN 1500 AND 1600
+                AND pk BETWEEN 100 AND 200 THEN 1 ELSE 0 END)
+              AS BIGINT) AS rows_matching
+            FROM b)
+      SELECT layout, n_zones, zones_skipped, rows_total,
+             rows_skipped, m.rows_matching
+      FROM cen CROSS JOIN m ORDER BY layout"""
   )
 }
