@@ -280,6 +280,55 @@ private[graft] object QueriesWarehouseC {
         .unionByName(census("zorder", expr("z div 65536")))
         .crossJoin(broadcast(matching))
         .orderBy(col("layout"))
+    },
+
+    // --- JOIN-CARDINALITY ESTIMATION from 64-row histograms (the
+    //     ANALYZE-statistics planner input as data): per join key, a
+    //     bucketed (rows, ndv) histogram built in one scan; any
+    //     equi-join's size estimated by the containment rule
+    //     Σ_b rows_A·rows_B / max(ndv_A, ndv_B) — the number a
+    //     join-order / broadcast decision reads BEFORE touching
+    //     100 TB. Estimates AND true sizes (key-census products, no
+    //     join materialized) are emitted with their ratio, so the
+    //     estimation error itself is hash-gated. ---
+    "q297_join_cardinality" -> { (spark, dir) =>
+      val js = graft.operators.JoinStats
+      def actual(a: DataFrame, ka: Column, b: DataFrame,
+                 kb: Column) = {
+        val ca = a.groupBy(ka.cast("long").as("k"))
+          .agg(count(lit(1)).as("__ca"))
+        val cb = b.groupBy(kb.cast("long").as("k"))
+          .agg(count(lit(1)).as("__cb"))
+        ca.join(cb, "k")
+          .agg(coalesce(sum(col("__ca") * col("__cb")), lit(0L))
+            .as("actual"))
+      }
+      def edge(name: String, a: DataFrame, ka: Column, b: DataFrame,
+               kb: Column) =
+        js.estimateEquiJoin(js.bucketHistogram(a, ka, 64),
+            js.bucketHistogram(b, kb, 64))
+          .crossJoin(actual(a, ka, b, kb))
+          .select(lit(name).as("join_name"), col("est"),
+            col("actual"),
+            round(col("est").cast("double") /
+              col("actual").cast("double"), 6).as("ratio"))
+      val li = tbl(spark, dir, "lineitem")
+      val ord = tbl(spark, dir, "orders")
+      val cust = tbl(spark, dir, "customer")
+      // a many-to-many edge where per-bucket uniformity genuinely
+      // errs (the FK edges estimate exactly — the easy case): the
+      // Cauchy-Schwarz direction makes the histogram UNDERestimate
+      // under within-bucket skew, and the ratio shows by how much
+      val ev = tbl(spark, dir, "events")
+      edge("lineitem_orders", li, col("l_orderkey"), ord,
+          col("o_orderkey"))
+        .unionByName(edge("orders_customer", ord, col("o_custkey"),
+          cust, col("c_custkey")))
+        .unionByName(edge("lineitem_suppkey_self", li,
+          col("l_suppkey"), li, col("l_suppkey")))
+        .unionByName(edge("events_user_self", ev, col("user_id"),
+          ev, col("user_id")))
+        .orderBy(col("join_name"))
     }
   )
 
@@ -494,6 +543,77 @@ private[graft] object QueriesWarehouseC {
             FROM b)
       SELECT layout, n_zones, zones_skipped, rows_total,
              rows_skipped, m.rows_matching
-      FROM cen CROSS JOIN m ORDER BY layout"""
+      FROM cen CROSS JOIN m ORDER BY layout""",
+
+    // histogram containment estimates vs exact key-census products;
+    // // is DuckDB integer floor-div, matching Spark's div on the
+    // same non-negative longs
+    "q297_join_cardinality" -> """
+      WITH h1a AS (SELECT l_orderkey % 64 AS bucket,
+                     CAST(count(*) AS BIGINT) AS ra,
+                     CAST(count(DISTINCT l_orderkey) AS BIGINT) AS ka
+                   FROM lineitem GROUP BY 1),
+      h1b AS (SELECT o_orderkey % 64 AS bucket,
+                CAST(count(*) AS BIGINT) AS rb,
+                CAST(count(DISTINCT o_orderkey) AS BIGINT) AS kb
+              FROM orders GROUP BY 1),
+      e1 AS (SELECT CAST(sum((ra * rb) // greatest(ka, kb))
+               AS BIGINT) AS est
+             FROM h1a JOIN h1b USING (bucket)),
+      a1 AS (SELECT CAST(sum(ca * cb) AS BIGINT) AS actual
+             FROM (SELECT l_orderkey AS k, count(*) AS ca
+                   FROM lineitem GROUP BY 1) x
+             JOIN (SELECT o_orderkey AS k, count(*) AS cb
+                   FROM orders GROUP BY 1) y USING (k)),
+      h2a AS (SELECT o_custkey % 64 AS bucket,
+                CAST(count(*) AS BIGINT) AS ra,
+                CAST(count(DISTINCT o_custkey) AS BIGINT) AS ka
+              FROM orders GROUP BY 1),
+      h2b AS (SELECT c_custkey % 64 AS bucket,
+                CAST(count(*) AS BIGINT) AS rb,
+                CAST(count(DISTINCT c_custkey) AS BIGINT) AS kb
+              FROM customer GROUP BY 1),
+      e2 AS (SELECT CAST(sum((ra * rb) // greatest(ka, kb))
+               AS BIGINT) AS est
+             FROM h2a JOIN h2b USING (bucket)),
+      a2 AS (SELECT CAST(sum(ca * cb) AS BIGINT) AS actual
+             FROM (SELECT o_custkey AS k, count(*) AS ca
+                   FROM orders GROUP BY 1) x
+             JOIN (SELECT c_custkey AS k, count(*) AS cb
+                   FROM customer GROUP BY 1) y USING (k))
+      SELECT 'lineitem_orders' AS join_name, e1.est, a1.actual,
+             round(CAST(e1.est AS DOUBLE) / CAST(a1.actual AS DOUBLE),
+               6) AS ratio
+      FROM e1 CROSS JOIN a1
+      UNION ALL
+      SELECT 'orders_customer', e2.est, a2.actual,
+             round(CAST(e2.est AS DOUBLE) / CAST(a2.actual AS DOUBLE),
+               6)
+      FROM e2 CROSS JOIN a2
+      UNION ALL
+      SELECT 'lineitem_suppkey_self', e3.est, a3.actual,
+             round(CAST(e3.est AS DOUBLE) / CAST(a3.actual AS DOUBLE),
+               6)
+      FROM (SELECT CAST(sum((ra * ra) // ka) AS BIGINT) AS est
+            FROM (SELECT l_suppkey % 64 AS bucket,
+                    CAST(count(*) AS BIGINT) AS ra,
+                    CAST(count(DISTINCT l_suppkey) AS BIGINT) AS ka
+                  FROM lineitem GROUP BY 1)) e3
+      CROSS JOIN (SELECT CAST(sum(ca * ca) AS BIGINT) AS actual
+                  FROM (SELECT l_suppkey, count(*) AS ca
+                        FROM lineitem GROUP BY 1)) a3
+      UNION ALL
+      SELECT 'events_user_self', e4.est, a4.actual,
+             round(CAST(e4.est AS DOUBLE) / CAST(a4.actual AS DOUBLE),
+               6)
+      FROM (SELECT CAST(sum((ra * ra) // ka) AS BIGINT) AS est
+            FROM (SELECT user_id % 64 AS bucket,
+                    CAST(count(*) AS BIGINT) AS ra,
+                    CAST(count(DISTINCT user_id) AS BIGINT) AS ka
+                  FROM events GROUP BY 1)) e4
+      CROSS JOIN (SELECT CAST(sum(ca * ca) AS BIGINT) AS actual
+                  FROM (SELECT user_id, count(*) AS ca
+                        FROM events GROUP BY 1)) a4
+      ORDER BY 1"""
   )
 }
