@@ -329,6 +329,34 @@ private[graft] object QueriesWarehouseC {
         .unionByName(edge("events_user_self", ev, col("user_id"),
           ev, col("user_id")))
         .orderBy(col("join_name"))
+    },
+
+    // --- FUNCTIONAL-DEPENDENCY DISCOVERY (the schema-profiling
+    //     complement of q226's FK discovery): A → B holds iff
+    //     ndv(A) = ndv(A,B); the violation count ndv(A,B) − ndv(A)
+    //     says how many determinant values break it — what tells a
+    //     100 TB warehouse which columns can be normalized out,
+    //     which "id" columns are dirty, and which dimension
+    //     attributes are safe to denormalize. One exact
+    //     count_distinct pass per candidate, no joins. ---
+    "q298_fd_discovery" -> { (spark, dir) =>
+      val ord = tbl(spark, dir, "orders")
+      val li = tbl(spark, dir, "lineitem")
+      def fd(table: String, df: DataFrame, a: String, b: String) =
+        df.agg(count_distinct(col(a)).as("ndv_a"),
+            count_distinct(struct(col(a), col(b))).as("ndv_ab"))
+          .select(lit(s"$table.$a->$b").as("candidate"),
+            col("ndv_a"), col("ndv_ab"),
+            (col("ndv_ab") === col("ndv_a")).as("fd_holds"),
+            (col("ndv_ab") - col("ndv_a")).as("violations"))
+      fd("orders", ord, "o_orderkey", "o_custkey")
+        .unionByName(fd("orders", ord, "o_orderkey",
+          "o_orderpriority"))
+        .unionByName(fd("orders", ord, "o_custkey",
+          "o_orderpriority"))
+        .unionByName(fd("lineitem", li, "l_orderkey", "l_returnflag"))
+        .unionByName(fd("lineitem", li, "l_partkey", "l_suppkey"))
+        .orderBy(col("candidate"))
     }
   )
 
@@ -614,6 +642,44 @@ private[graft] object QueriesWarehouseC {
       CROSS JOIN (SELECT CAST(sum(ca * ca) AS BIGINT) AS actual
                   FROM (SELECT user_id, count(*) AS ca
                         FROM events GROUP BY 1)) a4
-      ORDER BY 1"""
+      ORDER BY 1""",
+
+    // A -> B iff ndv(A) = ndv(A,B); DuckDB's count(DISTINCT (a, b))
+    // over a row-tuple mirrors Spark's count_distinct(struct(a, b))
+    "q298_fd_discovery" -> """
+      WITH c AS (
+        SELECT 'orders.o_orderkey->o_custkey' AS candidate,
+               CAST(count(DISTINCT o_orderkey) AS BIGINT) AS ndv_a,
+               CAST(count(DISTINCT (o_orderkey, o_custkey))
+                 AS BIGINT) AS ndv_ab
+        FROM orders
+        UNION ALL
+        SELECT 'orders.o_orderkey->o_orderpriority',
+               CAST(count(DISTINCT o_orderkey) AS BIGINT),
+               CAST(count(DISTINCT (o_orderkey, o_orderpriority))
+                 AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'orders.o_custkey->o_orderpriority',
+               CAST(count(DISTINCT o_custkey) AS BIGINT),
+               CAST(count(DISTINCT (o_custkey, o_orderpriority))
+                 AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'lineitem.l_orderkey->l_returnflag',
+               CAST(count(DISTINCT l_orderkey) AS BIGINT),
+               CAST(count(DISTINCT (l_orderkey, l_returnflag))
+                 AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'lineitem.l_partkey->l_suppkey',
+               CAST(count(DISTINCT l_partkey) AS BIGINT),
+               CAST(count(DISTINCT (l_partkey, l_suppkey))
+                 AS BIGINT)
+        FROM lineitem)
+      SELECT candidate, ndv_a, ndv_ab,
+             (ndv_ab = ndv_a) AS fd_holds,
+             (ndv_ab - ndv_a) AS violations
+      FROM c ORDER BY candidate"""
   )
 }
