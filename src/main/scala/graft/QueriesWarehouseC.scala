@@ -357,6 +357,47 @@ private[graft] object QueriesWarehouseC {
         .unionByName(fd("lineitem", li, "l_orderkey", "l_returnflag"))
         .unionByName(fd("lineitem", li, "l_partkey", "l_suppkey"))
         .orderBy(col("candidate"))
+    },
+
+    // --- LAYOUT DECAY under append (q296's operational sequel: WHEN
+    //     to re-optimize): the same zone-skip census on a FRESH
+    //     z-order layout vs an AGED one where the latest 10% of rows
+    //     arrived unsorted into tail zones — the universal fate of
+    //     an optimized 100 TB table under continuous ingest. The
+    //     scanned-row delta between the two layouts is the exact
+    //     price of deferring the re-layout, which is what a
+    //     compaction scheduler weighs against the re-sort cost. ---
+    "q299_zone_decay" -> { (spark, dir) =>
+      val base = tbl(spark, dir, "lineitem").select(
+          col("l_orderkey"),
+          datediff(to_date(col("l_shipdate")),
+            to_date(lit("1992-01-01"))).cast("long").as("dy"),
+          pmod(col("l_partkey"), lit(1024)).cast("long").as("pk"))
+        .withColumn("z",
+          graft.operators.ZOrder.zValue(col("dy"), col("pk"), 12))
+      val isTail = pmod(col("l_orderkey"), lit(10)) === 9
+      def census(layout: String, zone: Column) = base
+        .groupBy(zone.as("zone"))
+        .agg(min(col("dy")).as("mnd"), max(col("dy")).as("mxd"),
+          min(col("pk")).as("mnp"), max(col("pk")).as("mxp"),
+          count(lit(1)).as("nr"))
+        .withColumn("__skip", col("mxd") < 1500L ||
+          col("mnd") > 1600L || col("mxp") < 100L || col("mnp") > 200L)
+        .groupBy(lit(layout).as("layout"))
+        .agg(count(lit(1)).as("n_zones"),
+          sum(when(col("__skip"), 1L).otherwise(0L))
+            .as("zones_skipped"),
+          sum(when(col("__skip"), col("nr")).otherwise(0L))
+            .as("rows_skipped"),
+          sum(when(col("__skip"), 0L).otherwise(col("nr")))
+            .as("rows_scanned"))
+      // fresh: every row in its z-curve zone; aged: the newest 10%
+      // landed in arrival-order tail zones instead
+      census("fresh", expr("z div 65536"))
+        .unionByName(census("aged", when(isTail,
+          expr("10000 + l_orderkey div 2048"))
+          .otherwise(expr("z div 65536"))))
+        .orderBy(col("layout"))
     }
   )
 
@@ -680,6 +721,44 @@ private[graft] object QueriesWarehouseC {
       SELECT candidate, ndv_a, ndv_ab,
              (ndv_ab = ndv_a) AS fd_holds,
              (ndv_ab - ndv_a) AS violations
-      FROM c ORDER BY candidate"""
+      FROM c ORDER BY candidate""",
+
+    // fresh z-zones vs aged (10% unsorted tail) under the q296 band
+    "q299_zone_decay" -> """
+      WITH b AS (SELECT l_orderkey,
+                   CAST(date_diff('day', DATE '1992-01-01',
+                     CAST(l_shipdate AS DATE)) AS BIGINT) AS dy,
+                   CAST(l_partkey % 1024 AS BIGINT) AS pk
+                 FROM lineitem),
+      zz AS (SELECT l_orderkey, dy, pk,
+               CAST(list_sum(list_transform(generate_series(0, 11),
+                 i -> (((dy >> i) & 1) << (2 * i)) +
+                      (((pk >> i) & 1) << (2 * i + 1)))) AS BIGINT)
+                 AS z
+             FROM b),
+      lay AS (SELECT 'fresh' AS layout, z // 65536 AS zone, dy, pk
+              FROM zz
+              UNION ALL
+              SELECT 'aged',
+                     CASE WHEN l_orderkey % 10 = 9
+                          THEN 10000 + l_orderkey // 2048
+                          ELSE z // 65536 END,
+                     dy, pk
+              FROM zz),
+      zc AS (SELECT layout, zone, min(dy) AS mnd, max(dy) AS mxd,
+                    min(pk) AS mnp, max(pk) AS mxp,
+                    CAST(count(*) AS BIGINT) AS nr
+             FROM lay GROUP BY 1, 2)
+      SELECT layout, CAST(count(*) AS BIGINT) AS n_zones,
+             CAST(sum(CASE WHEN mxd < 1500 OR mnd > 1600
+                 OR mxp < 100 OR mnp > 200 THEN 1 ELSE 0 END)
+               AS BIGINT) AS zones_skipped,
+             CAST(sum(CASE WHEN mxd < 1500 OR mnd > 1600
+                 OR mxp < 100 OR mnp > 200 THEN nr ELSE 0 END)
+               AS BIGINT) AS rows_skipped,
+             CAST(sum(CASE WHEN mxd < 1500 OR mnd > 1600
+                 OR mxp < 100 OR mnp > 200 THEN 0 ELSE nr END)
+               AS BIGINT) AS rows_scanned
+      FROM zc GROUP BY 1 ORDER BY 1"""
   )
 }
