@@ -398,6 +398,77 @@ private[graft] object QueriesWarehouseC {
           expr("10000 + l_orderkey div 2048"))
           .otherwise(expr("z div 65536"))))
         .orderBy(col("layout"))
+    },
+
+    // --- MANIFEST-ONLY HEALTH REPORT (the capstone composing all
+    //     four manifest families): two ingest halves each write
+    //     per-partition manifests — additive content fingerprints
+    //     (equality), KMV sketches (distinct), rank-spaced summaries
+    //     (distribution), MG top-m (frequency) — and the morning
+    //     health dashboard (row counts + fps per type, distinct
+    //     users, p50/p95 value, top user per type) is answered from
+    //     MERGED MANIFESTS ONLY: at 100 TB this report costs a few
+    //     thousand manifest rows, zero data scans, history never
+    //     re-read. The oracle rebuilds every family relationally —
+    //     one hash gate over the whole composition. ---
+    "q300_manifest_health" -> { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val fpOp = graft.operators.Fingerprint
+      val qsOp = graft.operators.QuantileSummary
+      val hhOp = graft.operators.HeavyHitters
+      val kmvOp = graft.operators.Kmv
+      val ev = tbl(spark, dir, "events").select(col("event_type"),
+        col("user_id"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      def half(h: Int) = ev.filter(pmod(col("event_id"), lit(2)) === h)
+      // volume: additive content fingerprints per event type
+      def fpr(d: DataFrame) = fpOp.contentFingerprint(d,
+        col("event_type"), Seq(col("event_id"), col("cents")))
+      val vol = fpOp.merge(fpr(half(0)), fpr(half(1)))
+      val volRows = vol.select(lit("volume").as("section"), col("grp"),
+          lit("n_rows").as("metric"),
+          col("n_rows").cast("double").as("value"))
+        .unionByName(vol.select(lit("volume").as("section"),
+          col("grp"), lit("fp").as("metric"),
+          col("fp").cast("double").as("value")))
+      // distinct users: merged KMV sketches
+      val sk = kmvOp.merge(Seq(
+        kmvOp.sketch(half(0), col("user_id"), 256),
+        kmvOp.sketch(half(1), col("user_id"), 256)), 256)
+      val duRows = kmvOp.estimate(sk, 256)
+        .select(lit("distinct").as("section"), lit("all").as("grp"),
+          lit("users_est").as("metric"),
+          round(col("distinct_est"), 6).as("value"))
+      // distribution: merged rank-spaced summaries, p50/p95 cents
+      def qsum(d: DataFrame) = qsOp.shardSummary(d, col("event_type"),
+        col("cents"), col("event_id"), shards = 4, k = 32)
+      val qRows = qsOp.quantiles(
+          qsOp.merge(Seq(qsum(half(0)), qsum(half(1)))),
+          Seq(0.5, 0.95))
+        .select(lit("distribution").as("section"), col("grp"),
+          when(col("q") === 0.5, "p50_cents").otherwise("p95_cents")
+            .as("metric"),
+          col("value").cast("double").as("value"))
+      // frequency: merged MG summaries, top user per event type
+      def hsum(d: DataFrame) = hhOp.shardSummaries(d,
+        col("event_type"), col("user_id"),
+        pmod(col("event_id"), lit(4)), m = 8)
+      val (h1, l1) = hsum(half(0))
+      val (h2, l2) = hsum(half(1))
+      val (ms, _) = hhOp.merge(Seq(h1, h2), Seq(l1, l2))
+      val w = Window.partitionBy(col("grp"))
+        .orderBy(col("est").desc, col("value").asc)
+      val top = ms.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 1)
+      val hhRows = top.select(lit("frequency").as("section"),
+          col("grp"), lit("top_user_id").as("metric"),
+          col("value").cast("double").as("value"))
+        .unionByName(top.select(lit("frequency").as("section"),
+          col("grp"), lit("top_user_est").as("metric"),
+          col("est").cast("double").as("value")))
+      volRows.unionByName(duRows).unionByName(qRows)
+        .unionByName(hhRows)
+        .orderBy(col("section"), col("grp"), col("metric"))
     }
   )
 
@@ -759,6 +830,98 @@ private[graft] object QueriesWarehouseC {
              CAST(sum(CASE WHEN mxd < 1500 OR mnd > 1600
                  OR mxp < 100 OR mnp > 200 THEN 0 ELSE nr END)
                AS BIGINT) AS rows_scanned
-      FROM zc GROUP BY 1 ORDER BY 1"""
+      FROM zc GROUP BY 1 ORDER BY 1""",
+
+    // every manifest family replayed relationally; halves merge
+    // additively (fingerprints/KMV proved half-merge ≡ whole by
+    // construction; quantile/MG partitions keyed by event_id % 4,
+    // which implies the % 2 half split)
+    "q300_manifest_health" -> """
+      WITH ev AS (SELECT event_type AS grp, user_id, event_id,
+                         CAST(round(value * 100) AS BIGINT) AS cents,
+                         event_id % 4 AS sh
+                  FROM events),
+      r AS (SELECT grp,
+              (CAST(strlen(CAST(event_id AS VARCHAR)) AS VARCHAR)
+               || ':' || CAST(event_id AS VARCHAR)) ||
+              (CAST(strlen(CAST(cents AS VARCHAR)) AS VARCHAR)
+               || ':' || CAST(cents AS VARCHAR)) AS rend
+            FROM ev),
+      vol AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_rows,
+                     CAST(sum(CAST(('0x' || substring(md5(rend), 1, 8))
+                       AS BIGINT) % 2147483647) % 2147483647
+                       AS BIGINT) AS fp
+              FROM r GROUP BY 1),
+      kh AS (SELECT DISTINCT CAST(('0x' || substring(md5(
+               CAST(user_id AS VARCHAR)), 1, 12)) AS BIGINT) AS h
+             FROM ev),
+      kk AS (SELECT h FROM kh ORDER BY h LIMIT 256),
+      kagg AS (SELECT count(*) AS c, max(h) AS hk FROM kk),
+      kest AS (SELECT CASE WHEN c < 256 THEN CAST(c AS DOUBLE)
+                           ELSE CAST(255 AS DOUBLE)
+                                * CAST(281474976710656 AS DOUBLE)
+                                / CAST(hk AS DOUBLE) END AS e
+               FROM kagg),
+      qr AS (SELECT grp, cents AS v, event_id AS t, sh,
+                    row_number() OVER (PARTITION BY grp, sh
+                      ORDER BY cents, event_id) AS rn,
+                    count(*) OVER (PARTITION BY grp, sh) AS nn
+             FROM ev),
+      qs AS (SELECT grp, v AS value, least(32, nn - rn + 1) AS w
+             FROM qr WHERE (rn - 1) % 32 = 0),
+      qa AS (SELECT grp, value, CAST(sum(w) AS BIGINT) AS w
+             FROM qs GROUP BY 1, 2),
+      qc AS (SELECT grp, value,
+                    CAST(sum(w) OVER (PARTITION BY grp ORDER BY value
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw,
+                    CAST(sum(w) OVER (PARTITION BY grp) AS BIGINT)
+                      AS n
+             FROM qa),
+      qq AS (SELECT * FROM (VALUES (0.5), (0.95)) AS t(q)),
+      qans AS (SELECT grp, q, min(value) AS value
+               FROM qc CROSS JOIN qq
+               WHERE cw >= greatest(
+                 CAST(ceil(q * n - 1e-9) AS BIGINT), 1)
+               GROUP BY 1, 2),
+      fc AS (SELECT grp, sh, user_id AS v,
+                    CAST(count(*) AS BIGINT) AS c
+             FROM ev GROUP BY 1, 2, 3),
+      fr AS (SELECT grp, sh, v, c,
+                    row_number() OVER (PARTITION BY grp, sh
+                      ORDER BY c DESC, v ASC) AS rn
+             FROM fc),
+      ft AS (SELECT grp, sh,
+                    coalesce(max(CASE WHEN rn = 9 THEN c END), 0)
+                      AS th
+             FROM fr GROUP BY 1, 2),
+      fs AS (SELECT r2.grp, r2.v,
+                    CAST(sum(r2.c - t2.th) AS BIGINT) AS est
+             FROM fr r2 JOIN ft t2 USING (grp, sh)
+             WHERE r2.rn <= 8 AND r2.c - t2.th > 0
+             GROUP BY 1, 2),
+      ftop AS (SELECT grp, v, est FROM
+                 (SELECT grp, v, est, row_number() OVER (
+                    PARTITION BY grp ORDER BY est DESC, v ASC) AS rnk
+                  FROM fs)
+               WHERE rnk <= 1)
+      SELECT * FROM (
+        SELECT 'volume' AS section, grp, 'n_rows' AS metric,
+               CAST(n_rows AS DOUBLE) AS value FROM vol
+        UNION ALL
+        SELECT 'volume', grp, 'fp', CAST(fp AS DOUBLE) FROM vol
+        UNION ALL
+        SELECT 'distinct', 'all', 'users_est', round(e, 6) FROM kest
+        UNION ALL
+        SELECT 'distribution', grp,
+               CASE WHEN q = 0.5 THEN 'p50_cents'
+                    ELSE 'p95_cents' END,
+               CAST(value AS DOUBLE) FROM qans
+        UNION ALL
+        SELECT 'frequency', grp, 'top_user_id', CAST(v AS DOUBLE)
+        FROM ftop
+        UNION ALL
+        SELECT 'frequency', grp, 'top_user_est', CAST(est AS DOUBLE)
+        FROM ftop
+      ) ORDER BY section, grp, metric"""
   )
 }
