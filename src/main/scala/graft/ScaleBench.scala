@@ -36,7 +36,11 @@ object ScaleBench {
     "q70_corpus_prep", "q95_incremental_neardup", "q141_pagerank",
     "q146_pagerank_weighted", "q147_triangles",
     "q149_pagerank_dangling", "q150_prefix_filter_jaccard",
-    "q206_link_predict", "q219_ppr", "q221_communities")
+    "q206_link_predict", "q219_ppr", "q221_communities",
+    // the manifest family: per-partition manifest BUILD cost is the
+    // part that scales with data (answers read manifest rows only)
+    "q294_quantile_manifest", "q295_vocab_manifest",
+    "q300_manifest_health")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
@@ -93,6 +97,20 @@ object ScaleBench {
     }.reduce(_ unionByName _)
       .repartition(cpus.toInt)
       .write.parquet(s"$big/orders.parquet")
+    // events (manifest-family queries): event_id shifts by 1M (a
+    // multiple of every pmod the queries use: 2, 4, 8, 10), user_id
+    // by 100k — mult disjoint user populations, same per-user shape
+    val evt = new graft.tables.Catalog(spark, sfDir).table("events")
+    val evtCols = evt.columns
+    (0 until mult).map { c =>
+      if (c == 0) evt
+      else evt
+        .withColumn("event_id", col("event_id") + lit(c * 1000000L))
+        .withColumn("user_id", col("user_id") + lit(c * 100000L))
+        .select(evtCols.map(col): _*)
+    }.reduce(_ unionByName _)
+      .repartition(cpus.toInt)
+      .write.parquet(s"$big/events.parquet")
 
     // warmup (the Bench discipline): scan + agg + sort codegen once
     spark.range(1000000L).selectExpr("sum(id)").collect()
