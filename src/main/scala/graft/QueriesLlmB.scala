@@ -857,6 +857,40 @@ private[graft] object QueriesLlmB {
           (col("est") <= col("exact") &&
             col("exact") <= col("est") + col("slack")).as("bounded"))
         .orderBy(col("lang"), col("rnk"))
+    },
+
+    // --- REAL IMAGE DECODE end-to-end (the JDK ships PNG/JPEG
+    //     codecs — javax.imageio — so the decode stage is NOT
+    //     environment-blocked for those formats): per sampled doc, a
+    //     genuine PNG is ENCODED with dimensions derived from doc_id,
+    //     flows through magic-byte sniffing and a REAL
+    //     bytes→pixels→properties decode (mapPartitions, row-local,
+    //     payloads never shuffled), and the census is gated against
+    //     an oracle that knows the encoded dimensions WITHOUT any
+    //     codec — n_verified = n_imgs proves every real decode
+    //     recovered exactly what was encoded. ---
+    "q301_image_decode" -> { (spark, dir) =>
+      val mm = graft.llm.Multimodal
+      val docs = tbl(spark, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(100)) === 0)
+        .select(col("doc_id"),
+          (lit(8) + pmod(col("doc_id"), lit(24))).cast("int").as("w"),
+          (lit(8) + pmod(col("doc_id"), lit(16))).cast("int").as("h"))
+      val enc = mm.encodePngBatched(docs, col("w"), col("h"),
+          col("doc_id"))
+        .withColumn("fmt", mm.sniffFormat(col("payload")))
+      val dec = mm.decodeImagesBatched(enc, col("payload"),
+        mm.imageIoDecoder)
+      dec.groupBy(col("decoded.width").as("width"),
+          col("decoded.height").as("height"))
+        .agg(count(lit(1)).as("n_imgs"),
+          sum(when(col("decoded.ok") &&
+            col("decoded.channels") === 3 &&
+            col("fmt") === "png" &&
+            col("decoded.width") === col("w") &&
+            col("decoded.height") === col("h"), 1L).otherwise(0L))
+            .as("n_verified"))
+        .orderBy(col("width"), col("height"))
     }
   )
 
@@ -1673,6 +1707,18 @@ private[graft] object QueriesLlmB {
       FROM top t3
       JOIN exact e ON e.grp = t3.grp AND e.v = t3.v
       JOIN slack s ON s.grp = t3.grp
-      ORDER BY 1, 2"""
+      ORDER BY 1, 2""",
+
+    // the oracle knows the ENCODED dimensions from doc_id alone (no
+    // codec): n_verified = n_imgs proves the engine's real ImageIO
+    // decode recovered exactly what was encoded, per sampled doc
+    "q301_image_decode" -> """
+      WITH d AS (SELECT doc_id,
+                        CAST(8 + doc_id % 24 AS INT) AS width,
+                        CAST(8 + doc_id % 16 AS INT) AS height
+                 FROM documents WHERE doc_id % 100 = 0)
+      SELECT width, height, CAST(count(*) AS BIGINT) AS n_imgs,
+             CAST(count(*) AS BIGINT) AS n_verified
+      FROM d GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 }

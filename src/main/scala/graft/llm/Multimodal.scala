@@ -8,15 +8,18 @@ import org.apache.spark.sql.types._
   * `binary` columns plus a typed metadata struct, with decode /
   * feature-extract / frame-sample stages.
   *
-  * The Spark-side plumbing (schemas, batching, partition sizing) is real;
-  * the actual media DECODE IS A STUB — this container has no image/audio
-  * codecs, so [[stubDecodeImage]] derives deterministic fake
-  * width/height/channels from a hash of the payload. Swap the stub for a
-  * real codec behind the same schema in production (e.g. a
-  * `mapPartitions` over batches with a JNI decoder, or `mapInArrow` from
-  * PySpark). Everything downstream of the decode schema is codec-agnostic.
+  * The Spark-side plumbing (schemas, batching, partition sizing) is
+  * real, and since round 9 so is the IMAGE decode: the JDK's
+  * javax.imageio ships PNG/JPEG/GIF/BMP codecs, so
+  * [[imageIoDecoder]] is a genuine bytes→pixels→properties pass
+  * (exercised end-to-end by q301 against an oracle that knows the
+  * encoded dimensions). The [[stubDecodeImage]] family remains as
+  * the deterministic fixture and as the stand-in for codecs the JDK
+  * lacks (video, audio, webp) — swap those behind the same schema in
+  * production (a `mapPartitions` JNI decoder or `mapInArrow`).
+  * Everything downstream of the decode schema is codec-agnostic.
   */
-object Multimodal {
+object Multimodal extends Serializable {
 
   /** Media metadata schema attached next to every binary payload. */
   val MediaMetaSchema: StructType = StructType(Seq(
@@ -142,5 +145,76 @@ object Multimodal {
       }
     }(Encoders.row(outSchema))
     result
+  }
+
+  // ---------------------------------------------------------------
+  // REAL codec path (round 9): the JDK SHIPS image codecs —
+  // javax.imageio reads/writes PNG, JPEG, GIF and BMP with no
+  // external dependency — so for those formats the decode stage is
+  // NOT environment-blocked after all. The stubs above remain as the
+  // deterministic fixtures (and as the stand-in for codecs the JDK
+  // lacks: video, audio, webp), but the production-shaped pipeline
+  // below is a genuine bytes -> pixels -> properties pass.
+  // ---------------------------------------------------------------
+
+  /** REAL image decoder on the JDK's ImageIO: returns (width, height,
+    * color components, ok). Undecodable or truncated payloads report
+    * ok = false rather than throwing — a media ingest must quarantine
+    * bad bytes, not die on them. */
+  def imageIoDecoder(bytes: Array[Byte]): (Int, Int, Int, Boolean) =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null) (0, 0, 0, false)
+      else (img.getWidth, img.getHeight,
+        img.getColorModel.getNumComponents, true)
+    } catch { case _: Throwable => (0, 0, 0, false) }
+
+  /** Deterministic REAL PNG payload: a w×h RGB image whose pixels are
+    * a fixed function of (seed, x, y), encoded by the JDK's PNG
+    * writer. Used to synthesize genuine binary media columns from
+    * the test tables (which carry none) — the bytes then flow through
+    * [[sniffFormat]] and [[imageIoDecoder]] exactly as ingest bytes
+    * would. */
+  def pngBytes(w: Int, h: Int, seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y,
+          (seed * 31 + x * 7 + y * 131).toInt & 0xffffff)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Distributed media synthesis: append a REAL PNG `payload` column
+    * with per-row dimensions — `mapPartitions`, row-local, the same
+    * batched shape as [[decodeImagesBatched]] (payload bytes never
+    * leave their partition). */
+  def encodePngBatched(df: DataFrame, w: Column, h: Column,
+                       seed: Column): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    val withC = df.withColumn("__w", w.cast(IntegerType))
+      .withColumn("__h", h.cast(IntegerType))
+      .withColumn("__s", seed.cast(LongType))
+    val outSchema = StructType(
+      df.schema.fields :+ StructField("payload", BinaryType))
+    val wi = withC.schema.fieldIndex("__w")
+    val hi = withC.schema.fieldIndex("__h")
+    val si = withC.schema.fieldIndex("__s")
+    withC.mapPartitions { it =>
+      it.map { row =>
+        val bytes = pngBytes(row.getInt(wi), row.getInt(hi),
+          row.getLong(si))
+        Row.fromSeq(row.toSeq.dropRight(3) :+ bytes)
+      }
+    }(Encoders.row(outSchema))
   }
 }

@@ -49,4 +49,45 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.length === 4)
     assert(frames.forall(_.nonEmpty))
   }
+
+  test("REAL codec roundtrip: JDK ImageIO decodes the PNG the " +
+      "pipeline encoded — dimensions, channels, magic bytes") {
+    val rows = Seq((1L, 17, 9), (2L, 64, 48), (3L, 8, 8))
+      .toDF("id", "w", "h")
+    val withPayload = Multimodal.encodePngBatched(rows, $"w", $"h",
+      $"id")
+    val decoded = Multimodal.decodeImagesBatched(withPayload,
+        col("payload"), Multimodal.imageIoDecoder)
+      .select($"id",
+        col("decoded.width"), col("decoded.height"),
+        col("decoded.channels"), col("decoded.ok"))
+      .as[(Long, Int, Int, Int, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(decoded(1L) === ((1L, 17, 9, 3, true)))
+    assert(decoded(2L) === ((2L, 64, 48, 3, true)))
+    assert(decoded(3L) === ((3L, 8, 8, 3, true)))
+    // magic bytes say png
+    val fmts = Multimodal.encodePngBatched(rows, $"w", $"h", $"id")
+      .select(Multimodal.sniffFormat(col("payload")))
+      .as[String].collect().toSet
+    assert(fmts === Set("png"))
+  }
+
+  test("REAL codec quarantine: truncated and garbage payloads " +
+      "report ok = false instead of throwing") {
+    val png = Multimodal.pngBytes(16, 16, 7L)
+    assert(Multimodal.imageIoDecoder(png) === ((16, 16, 3, true)))
+    assert(Multimodal.imageIoDecoder(png.take(10))._4 === false)
+    assert(Multimodal.imageIoDecoder("not an image".getBytes)._4
+      === false)
+    assert(Multimodal.imageIoDecoder(Array.emptyByteArray)._4
+      === false)
+    // JPEG also ships with the JDK: encode one, decode it back
+    val img = new java.awt.image.BufferedImage(20, 12,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    val (jw, jh, jc, jok) = Multimodal.imageIoDecoder(out.toByteArray)
+    assert((jw, jh, jc, jok) === ((20, 12, 3, true)))
+  }
 }
