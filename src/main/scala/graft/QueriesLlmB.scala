@@ -891,6 +891,34 @@ private[graft] object QueriesLlmB {
             col("decoded.height") === col("h"), 1L).otherwise(0L))
             .as("n_verified"))
         .orderBy(col("width"), col("height"))
+    },
+
+    // --- REAL pixel feature extraction, oracled to PIXEL EXACTNESS:
+    //     the synthesized PNGs' pixels are a pure function of
+    //     (doc_id, x, y), so the oracle recomputes the per-channel
+    //     integer sums from the formula with NO codec — a hash match
+    //     proves the engine's ImageIO decode + raster walk recovered
+    //     every pixel value bit-for-bit (PNG is lossless; TYPE_INT_RGB
+    //     stores channels verbatim). Exact integer sums: divide once
+    //     downstream for mean-color features. ---
+    "q302_image_pixel_stats" -> { (spark, dir) =>
+      val mm = graft.llm.Multimodal
+      val docs = tbl(spark, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(100)) === 0)
+        .select(col("doc_id"),
+          (lit(8) + pmod(col("doc_id"), lit(24))).cast("int").as("w"),
+          (lit(8) + pmod(col("doc_id"), lit(16))).cast("int").as("h"))
+      val enc = mm.encodePngBatched(docs, col("w"), col("h"),
+        col("doc_id"))
+      mm.featurizeImagesBatched(enc, col("payload"))
+        .groupBy(col("w"), col("h"))
+        .agg(count(lit(1)).as("n_imgs"),
+          sum(col("px.sum_r")).as("sum_r"),
+          sum(col("px.sum_g")).as("sum_g"),
+          sum(col("px.sum_b")).as("sum_b"),
+          sum(col("px.n_px")).as("n_px"),
+          sum(when(col("px.ok"), 1L).otherwise(0L)).as("n_ok"))
+        .orderBy(col("w"), col("h"))
     }
   )
 
@@ -1719,6 +1747,36 @@ private[graft] object QueriesLlmB {
                  FROM documents WHERE doc_id % 100 = 0)
       SELECT width, height, CAST(count(*) AS BIGINT) AS n_imgs,
              CAST(count(*) AS BIGINT) AS n_verified
-      FROM d GROUP BY 1, 2 ORDER BY 1, 2"""
+      FROM d GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // pixel values replayed from the (doc_id, x, y) formula — the
+    // oracle needs no codec; low 24 bits are unaffected by the
+    // engine's int truncation, so & 16777215 on BIGINT matches
+    "q302_image_pixel_stats" -> """
+      WITH d AS (SELECT doc_id,
+                        CAST(8 + doc_id % 24 AS INT) AS w,
+                        CAST(8 + doc_id % 16 AS INT) AS h
+                 FROM documents WHERE doc_id % 100 = 0),
+      px AS (SELECT d.doc_id, d.w, d.h,
+                    ((d.doc_id * 31 + xs.x * 7 + ys.y * 131)
+                      & 16777215) AS v
+             FROM d
+             JOIN (SELECT unnest(generate_series(0, 30)) AS x) xs
+               ON xs.x < d.w
+             JOIN (SELECT unnest(generate_series(0, 22)) AS y) ys
+               ON ys.y < d.h),
+      s AS (SELECT doc_id, w, h,
+                   CAST(sum((v >> 16) & 255) AS BIGINT) AS r,
+                   CAST(sum((v >> 8) & 255) AS BIGINT) AS g,
+                   CAST(sum(v & 255) AS BIGINT) AS b,
+                   CAST(count(*) AS BIGINT) AS npx
+            FROM px GROUP BY 1, 2, 3)
+      SELECT w, h, CAST(count(*) AS BIGINT) AS n_imgs,
+             CAST(sum(r) AS BIGINT) AS sum_r,
+             CAST(sum(g) AS BIGINT) AS sum_g,
+             CAST(sum(b) AS BIGINT) AS sum_b,
+             CAST(sum(npx) AS BIGINT) AS n_px,
+             CAST(count(*) AS BIGINT) AS n_ok
+      FROM s GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 }

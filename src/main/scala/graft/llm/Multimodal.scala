@@ -194,6 +194,64 @@ object Multimodal extends Serializable {
     out.toByteArray
   }
 
+  /** REAL feature extraction from decoded pixels: per-channel INTEGER
+    * sums over the raster (plus pixel count) — the exact-arithmetic
+    * core of mean-color / brightness features, emitted as sums so the
+    * numbers are order-independent and bit-replayable (divide once
+    * downstream if a mean is wanted). Undecodable payloads report
+    * ok = false with zero sums. */
+  def pixelChannelSums(bytes: Array[Byte])
+      : (Long, Long, Long, Long, Boolean) =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null) (0L, 0L, 0L, 0L, false)
+      else {
+        var (r, g, b) = (0L, 0L, 0L)
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val px = img.getRGB(x, y)
+            r += (px >> 16) & 0xff
+            g += (px >> 8) & 0xff
+            b += px & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        (r, g, b, img.getWidth.toLong * img.getHeight, true)
+      }
+    } catch { case _: Throwable => (0L, 0L, 0L, 0L, false) }
+
+  /** Schema of [[featurizeImagesBatched]]'s appended struct. */
+  val PixelSumsSchema: StructType = StructType(Seq(
+    StructField("sum_r", LongType), StructField("sum_g", LongType),
+    StructField("sum_b", LongType), StructField("n_px", LongType),
+    StructField("ok", BooleanType)))
+
+  /** Batched REAL featurize via `mapPartitions` (same shape as
+    * [[decodeImagesBatched]]): appends a `px` struct of exact
+    * per-channel sums. */
+  def featurizeImagesBatched(df: DataFrame, payload: Column)
+      : DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    val withP = df.withColumn("__payload", payload)
+    val outSchema = StructType(
+      df.schema.fields :+ StructField("px", PixelSumsSchema))
+    val pIdx = withP.schema.fieldIndex("__payload")
+    withP.mapPartitions { it =>
+      it.map { row =>
+        val bytes = row.getAs[Array[Byte]](pIdx)
+        val (r, g, b, n, ok) =
+          if (bytes == null) (0L, 0L, 0L, 0L, false)
+          else pixelChannelSums(bytes)
+        Row.fromSeq(
+          row.toSeq.patch(pIdx, Nil, 1) :+ Row(r, g, b, n, ok))
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Distributed media synthesis: append a REAL PNG `payload` column
     * with per-row dimensions — `mapPartitions`, row-local, the same
     * batched shape as [[decodeImagesBatched]] (payload bytes never
