@@ -919,6 +919,35 @@ private[graft] object QueriesLlmB {
           sum(col("px.n_px")).as("n_px"),
           sum(when(col("px.ok"), 1L).otherwise(0L)).as("n_ok"))
         .orderBy(col("w"), col("h"))
+    },
+
+    // --- REAL image resize (the thumbnail / model-input
+    //     normalization stage): every synthesized PNG is resized to
+    //     8×8 by a pinned nearest-neighbor rule
+    //     out(x2,y2) = in((x2·w) div 8, (y2·h) div 8), RE-ENCODED as
+    //     PNG, and the resized raster's channel sums are gated
+    //     against the oracle replaying the pixel formula AT THE
+    //     MAPPED INDICES — decode → resize → re-encode → decode
+    //     again, all real, proven to the pixel. ---
+    "q303_image_resize" -> { (spark, dir) =>
+      val mm = graft.llm.Multimodal
+      val docs = tbl(spark, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(100)) === 0)
+        .select(col("doc_id"),
+          (lit(8) + pmod(col("doc_id"), lit(24))).cast("int").as("w"),
+          (lit(8) + pmod(col("doc_id"), lit(16))).cast("int").as("h"))
+      val enc = mm.encodePngBatched(docs, col("w"), col("h"),
+        col("doc_id"))
+      val rz = mm.resizeImagesBatched(enc, col("payload"), 8, 8)
+      mm.featurizeImagesBatched(rz, col("resized"))
+        .groupBy(col("w"), col("h"))
+        .agg(count(lit(1)).as("n_imgs"),
+          sum(col("px.sum_r")).as("sum_r"),
+          sum(col("px.sum_g")).as("sum_g"),
+          sum(col("px.sum_b")).as("sum_b"),
+          sum(col("px.n_px")).as("n_px"),
+          sum(when(col("px.ok"), 1L).otherwise(0L)).as("n_ok"))
+        .orderBy(col("w"), col("h"))
     }
   )
 
@@ -1765,6 +1794,34 @@ private[graft] object QueriesLlmB {
                ON xs.x < d.w
              JOIN (SELECT unnest(generate_series(0, 22)) AS y) ys
                ON ys.y < d.h),
+      s AS (SELECT doc_id, w, h,
+                   CAST(sum((v >> 16) & 255) AS BIGINT) AS r,
+                   CAST(sum((v >> 8) & 255) AS BIGINT) AS g,
+                   CAST(sum(v & 255) AS BIGINT) AS b,
+                   CAST(count(*) AS BIGINT) AS npx
+            FROM px GROUP BY 1, 2, 3)
+      SELECT w, h, CAST(count(*) AS BIGINT) AS n_imgs,
+             CAST(sum(r) AS BIGINT) AS sum_r,
+             CAST(sum(g) AS BIGINT) AS sum_g,
+             CAST(sum(b) AS BIGINT) AS sum_b,
+             CAST(sum(npx) AS BIGINT) AS n_px,
+             CAST(count(*) AS BIGINT) AS n_ok
+      FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // the resize oracle samples the pixel FORMULA at the nearest-
+    // neighbor mapped indices sx = (x2*w)//8, sy = (y2*h)//8
+    "q303_image_resize" -> """
+      WITH d AS (SELECT doc_id,
+                        CAST(8 + doc_id % 24 AS INT) AS w,
+                        CAST(8 + doc_id % 16 AS INT) AS h
+                 FROM documents WHERE doc_id % 100 = 0),
+      px AS (SELECT d.doc_id, d.w, d.h,
+                    ((d.doc_id * 31
+                      + ((xs.x * d.w) // 8) * 7
+                      + ((ys.y * d.h) // 8) * 131) & 16777215) AS v
+             FROM d
+             CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS x) xs
+             CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS y) ys),
       s AS (SELECT doc_id, w, h,
                    CAST(sum((v >> 16) & 255) AS BIGINT) AS r,
                    CAST(sum((v >> 8) & 255) AS BIGINT) AS g,

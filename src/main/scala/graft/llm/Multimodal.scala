@@ -252,6 +252,58 @@ object Multimodal extends Serializable {
     }(Encoders.row(outSchema))
   }
 
+  /** REAL nearest-neighbor resize: decode, sample
+    * out(x2, y2) = in((x2·w) / w2, (y2·h) / h2) with integer floor
+    * division (the replayable mapping), re-encode as PNG. The manual
+    * raster walk — not an AWT scaling op — pins the sampling rule so
+    * a relational oracle can replay it. Undecodable input yields an
+    * empty payload (downstream featurize reports ok = false). */
+  def resizeNearest(bytes: Array[Byte], w2: Int, h2: Int)
+      : Array[Byte] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null) Array.emptyByteArray
+      else {
+        val out = new java.awt.image.BufferedImage(w2, h2,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y2 = 0
+        while (y2 < h2) {
+          var x2 = 0
+          while (x2 < w2) {
+            out.setRGB(x2, y2,
+              img.getRGB(x2 * img.getWidth / w2,
+                y2 * img.getHeight / h2))
+            x2 += 1
+          }
+          y2 += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        bos.toByteArray
+      }
+    } catch { case _: Throwable => Array.emptyByteArray }
+
+  /** Batched REAL resize via `mapPartitions`: appends a `resized`
+    * binary column (a genuine re-encoded PNG — the thumbnail /
+    * model-input-normalization stage). */
+  def resizeImagesBatched(df: DataFrame, payload: Column,
+                          w2: Int, h2: Int): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    val withP = df.withColumn("__payload", payload)
+    val outSchema = StructType(
+      df.schema.fields :+ StructField("resized", BinaryType))
+    val pIdx = withP.schema.fieldIndex("__payload")
+    withP.mapPartitions { it =>
+      it.map { row =>
+        val bytes = row.getAs[Array[Byte]](pIdx)
+        val rz = if (bytes == null) Array.emptyByteArray
+          else resizeNearest(bytes, w2, h2)
+        Row.fromSeq(row.toSeq.patch(pIdx, Nil, 1) :+ rz)
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Distributed media synthesis: append a REAL PNG `payload` column
     * with per-row dimensions — `mapPartitions`, row-local, the same
     * batched shape as [[decodeImagesBatched]] (payload bytes never

@@ -90,4 +90,20 @@ class MultimodalSpec extends SparkSpec {
     val (jw, jh, jc, jok) = Multimodal.imageIoDecoder(out.toByteArray)
     assert((jw, jh, jc, jok) === ((20, 12, 3, true)))
   }
+
+  test("REAL resize: pinned nearest-neighbor sampling — the 8x8 " +
+      "thumbnail's pixels equal the source at the mapped indices") {
+    val src = Multimodal.pngBytes(24, 16, 5L)
+    val rz = Multimodal.resizeNearest(src, 8, 8)
+    assert(Multimodal.imageIoDecoder(rz) === ((8, 8, 3, true)))
+    val srcImg = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(src))
+    val rzImg = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(rz))
+    for (y2 <- 0 until 8; x2 <- 0 until 8)
+      assert(rzImg.getRGB(x2, y2) ===
+        srcImg.getRGB(x2 * 24 / 8, y2 * 16 / 8), s"($x2,$y2)")
+    // garbage input resizes to the empty quarantine payload
+    assert(Multimodal.resizeNearest("junk".getBytes, 8, 8).isEmpty)
+  }
 }
