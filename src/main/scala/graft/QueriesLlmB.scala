@@ -948,6 +948,34 @@ private[graft] object QueriesLlmB {
           sum(col("px.n_px")).as("n_px"),
           sum(when(col("px.ok"), 1L).otherwise(0L)).as("n_ok"))
         .orderBy(col("w"), col("h"))
+    },
+
+    // --- REAL AUDIO decode (the JDK ships a WAV parser —
+    //     javax.sound.sampled — so PCM audio is not environment-
+    //     blocked either): genuine PCM-16 WAV clips are synthesized
+    //     with samples that are a pure function of (doc_id, i),
+    //     parsed back through AudioSystem (header properties + the
+    //     exact signed-sample sum), and gated against the oracle
+    //     replaying the sample formula — the audio twin of
+    //     q301/q302's image proof. ---
+    "q304_audio_decode" -> { (spark, dir) =>
+      val mm = graft.llm.Multimodal
+      val docs = tbl(spark, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(100)) === 0)
+        .select(col("doc_id"),
+          (lit(64) + pmod(col("doc_id"), lit(256))).cast("int")
+            .as("n"))
+      val enc = mm.encodeWavBatched(docs, col("n"), lit(8000),
+        col("doc_id"))
+      mm.featurizeAudioBatched(enc, col("payload"))
+        .groupBy(col("audio.rate").as("rate"),
+          col("audio.channels").as("channels"),
+          col("audio.bits").as("bits"))
+        .agg(count(lit(1)).as("n_clips"),
+          sum(when(col("audio.ok"), 1L).otherwise(0L)).as("n_ok"),
+          sum(col("audio.n_samples")).as("n_samples"),
+          sum(col("audio.sum_samples")).as("sum_samples"))
+        .orderBy(col("rate"))
     }
   )
 
@@ -1834,6 +1862,24 @@ private[graft] object QueriesLlmB {
              CAST(sum(b) AS BIGINT) AS sum_b,
              CAST(sum(npx) AS BIGINT) AS n_px,
              CAST(count(*) AS BIGINT) AS n_ok
-      FROM s GROUP BY 1, 2 ORDER BY 1, 2"""
+      FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // signed-16-bit samples replayed from the (doc_id, i) formula;
+    // header properties are constants of the synthesis
+    "q304_audio_decode" -> """
+      WITH d AS (SELECT doc_id, CAST(64 + doc_id % 256 AS INT) AS n
+                 FROM documents WHERE doc_id % 100 = 0),
+      sm AS (SELECT d.doc_id, d.n,
+                    ((d.doc_id * 31 + xs.i * 7) & 65535) - 32768 AS v
+             FROM d
+             JOIN (SELECT unnest(generate_series(0, 318)) AS i) xs
+               ON xs.i < d.n)
+      SELECT CAST(8000 AS INT) AS rate, CAST(1 AS INT) AS channels,
+             CAST(16 AS INT) AS bits,
+             CAST((SELECT count(*) FROM d) AS BIGINT) AS n_clips,
+             CAST((SELECT count(*) FROM d) AS BIGINT) AS n_ok,
+             CAST(count(*) AS BIGINT) AS n_samples,
+             CAST(sum(v) AS BIGINT) AS sum_samples
+      FROM sm"""
   )
 }

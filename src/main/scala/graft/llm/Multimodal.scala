@@ -304,6 +304,103 @@ object Multimodal extends Serializable {
     }(Encoders.row(outSchema))
   }
 
+  // --- audio: the JDK also ships a WAV/AIFF/AU parser
+  //     (javax.sound.sampled), so PCM audio decode is real too ---
+
+  /** Deterministic REAL WAV payload: PCM 16-bit mono little-endian,
+    * sample i = ((seed·31 + i·7) & 0xffff) − 32768 — a pure function
+    * of (seed, i), so feature oracles replay it with no codec. */
+  def wavBytes(nSamples: Int, sampleRate: Int, seed: Long)
+      : Array[Byte] = {
+    val data = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val v = (((seed * 31 + i * 7) & 0xffffL) - 32768L).toInt
+      data(2 * i) = (v & 0xff).toByte
+      data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nSamples.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** REAL audio decode + feature extraction via the JDK's
+    * AudioSystem: parses the container header (sample rate, channels,
+    * bits), streams the PCM frames, and sums the signed 16-bit
+    * samples — exact integers, order-fixed by the stream. Bad bytes
+    * quarantine as ok = false. */
+  def audioFeatures(bytes: Array[Byte])
+      : (Int, Int, Int, Long, Long, Boolean) =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val f = ais.getFormat
+      val raw = ais.readAllBytes()
+      var (sum, n) = (0L, 0L)
+      var i = 0
+      while (i + 1 < raw.length) {
+        sum += ((raw(i + 1) << 8) | (raw(i) & 0xff)).toShort.toLong
+        n += 1
+        i += 2
+      }
+      (f.getSampleRate.toInt, f.getChannels,
+        f.getSampleSizeInBits, n, sum, true)
+    } catch { case _: Throwable => (0, 0, 0, 0L, 0L, false) }
+
+  /** Schema of [[featurizeAudioBatched]]'s appended struct. */
+  val AudioSchema: StructType = StructType(Seq(
+    StructField("rate", IntegerType), StructField("channels", IntegerType),
+    StructField("bits", IntegerType), StructField("n_samples", LongType),
+    StructField("sum_samples", LongType), StructField("ok", BooleanType)))
+
+  /** Batched REAL audio decode/featurize via `mapPartitions`. */
+  def featurizeAudioBatched(df: DataFrame, payload: Column)
+      : DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    val withP = df.withColumn("__payload", payload)
+    val outSchema = StructType(
+      df.schema.fields :+ StructField("audio", AudioSchema))
+    val pIdx = withP.schema.fieldIndex("__payload")
+    withP.mapPartitions { it =>
+      it.map { row =>
+        val bytes = row.getAs[Array[Byte]](pIdx)
+        val (r, c, b, n, s, ok) =
+          if (bytes == null) (0, 0, 0, 0L, 0L, false)
+          else audioFeatures(bytes)
+        Row.fromSeq(
+          row.toSeq.patch(pIdx, Nil, 1) :+ Row(r, c, b, n, s, ok))
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Batched REAL WAV synthesis via `mapPartitions` (the audio analog
+    * of [[encodePngBatched]]). */
+  def encodeWavBatched(df: DataFrame, nSamples: Column, rate: Column,
+                       seed: Column): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    val withC = df.withColumn("__n", nSamples.cast(IntegerType))
+      .withColumn("__r", rate.cast(IntegerType))
+      .withColumn("__s", seed.cast(LongType))
+    val outSchema = StructType(
+      df.schema.fields :+ StructField("payload", BinaryType))
+    val ni = withC.schema.fieldIndex("__n")
+    val ri = withC.schema.fieldIndex("__r")
+    val si = withC.schema.fieldIndex("__s")
+    withC.mapPartitions { it =>
+      it.map { row =>
+        val bytes = wavBytes(row.getInt(ni), row.getInt(ri),
+          row.getLong(si))
+        Row.fromSeq(row.toSeq.dropRight(3) :+ bytes)
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Distributed media synthesis: append a REAL PNG `payload` column
     * with per-row dimensions — `mapPartitions`, row-local, the same
     * batched shape as [[decodeImagesBatched]] (payload bytes never

@@ -106,4 +106,18 @@ class MultimodalSpec extends SparkSpec {
     // garbage input resizes to the empty quarantine payload
     assert(Multimodal.resizeNearest("junk".getBytes, 8, 8).isEmpty)
   }
+
+  test("REAL audio roundtrip: AudioSystem parses the synthesized WAV " +
+      "and the signed-sample sum matches the formula") {
+    val n = 100
+    val wav = Multimodal.wavBytes(n, 8000, seed = 9L)
+    val (rate, ch, bits, frames, sum, ok) = Multimodal.audioFeatures(wav)
+    assert((rate, ch, bits, frames, ok) === ((8000, 1, 16, n.toLong,
+      true)))
+    val expected = (0 until n).map(i =>
+      ((9L * 31 + i * 7) & 0xffffL) - 32768L).sum
+    assert(sum === expected)
+    // quarantine on garbage
+    assert(Multimodal.audioFeatures("nope".getBytes)._6 === false)
+  }
 }
