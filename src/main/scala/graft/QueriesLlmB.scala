@@ -976,6 +976,35 @@ private[graft] object QueriesLlmB {
           sum(col("audio.n_samples")).as("n_samples"),
           sum(col("audio.sum_samples")).as("sum_samples"))
         .orderBy(col("rate"))
+    },
+
+    // --- REAL FRAME SAMPLING over multi-frame containers (ImageIO
+    //     reads ANIMATED GIFs frame by frame — the video-stage
+    //     keyframe extraction, de-stubbed): per sampled doc, a
+    //     genuine animated GIF with 256-gray frames whose pixels are
+    //     a pure (doc_id, frame, x, y) function; every 2nd frame is
+    //     decoded (flatMap fan-out: clip → keyframes) and the
+    //     per-frame gray sums are gated against the oracle replaying
+    //     the formula — frame counts, dimensions, and pixel values
+    //     all proven, no codec oracle-side. ---
+    "q305_frame_sample" -> { (spark, dir) =>
+      val mm = graft.llm.Multimodal
+      val docs = tbl(spark, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(100)) === 0)
+        .select(col("doc_id"),
+          (lit(8) + pmod(col("doc_id"), lit(9))).cast("int").as("w"),
+          (lit(8) + pmod(col("doc_id"), lit(5))).cast("int").as("h"),
+          (lit(3) + pmod(col("doc_id"), lit(6))).cast("int").as("nf"))
+      val enc = mm.encodeGifBatched(docs, col("w"), col("h"),
+        col("nf"), col("doc_id"))
+      mm.sampleFramesBatched(enc, col("payload"), every = 2)
+        .groupBy(col("frame.frame_ix").as("frame_ix"))
+        .agg(count(lit(1)).as("n_frames"),
+          sum(col("frame.sum_gray")).as("sum_gray"),
+          sum(col("frame.width").cast("long") *
+            col("frame.height")).as("n_px"),
+          sum(when(col("frame.ok"), 1L).otherwise(0L)).as("n_ok"))
+        .orderBy(col("frame_ix"))
     }
   )
 
@@ -1880,6 +1909,36 @@ private[graft] object QueriesLlmB {
              CAST((SELECT count(*) FROM d) AS BIGINT) AS n_ok,
              CAST(count(*) AS BIGINT) AS n_samples,
              CAST(sum(v) AS BIGINT) AS sum_samples
-      FROM sm"""
+      FROM sm""",
+
+    // sampled frames (every 2nd, below each clip's frame count)
+    // replayed from the (doc_id, f, x, y) gray formula
+    "q305_frame_sample" -> """
+      WITH d AS (SELECT doc_id,
+                        CAST(8 + doc_id % 9 AS INT) AS w,
+                        CAST(8 + doc_id % 5 AS INT) AS h,
+                        CAST(3 + doc_id % 6 AS INT) AS nf
+                 FROM documents WHERE doc_id % 100 = 0),
+      fr AS (SELECT d.doc_id, d.w, d.h, fs.f
+             FROM d
+             JOIN (SELECT unnest(generate_series(0, 7)) AS f) fs
+               ON fs.f < d.nf AND fs.f % 2 = 0),
+      px AS (SELECT fr.doc_id, fr.f,
+                    ((fr.doc_id * 31 + fr.f * 17 + xs.x * 7
+                      + ys.y * 131) & 255) AS v
+             FROM fr
+             JOIN (SELECT unnest(generate_series(0, 16)) AS x) xs
+               ON xs.x < fr.w
+             JOIN (SELECT unnest(generate_series(0, 12)) AS y) ys
+               ON ys.y < fr.h),
+      s AS (SELECT doc_id, f, CAST(sum(v) AS BIGINT) AS sg,
+                   CAST(count(*) AS BIGINT) AS npx
+            FROM px GROUP BY 1, 2)
+      SELECT CAST(f AS INT) AS frame_ix,
+             CAST(count(*) AS BIGINT) AS n_frames,
+             CAST(sum(sg) AS BIGINT) AS sum_gray,
+             CAST(sum(npx) AS BIGINT) AS n_px,
+             CAST(count(*) AS BIGINT) AS n_ok
+      FROM s GROUP BY 1 ORDER BY 1"""
   )
 }

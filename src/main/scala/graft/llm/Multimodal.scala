@@ -401,6 +401,135 @@ object Multimodal extends Serializable {
     }(Encoders.row(outSchema))
   }
 
+  // --- multi-frame (video-like) payloads: ImageIO reads ANIMATED
+  //     GIFs frame by frame, so frame SAMPLING — the video stage this
+  //     object used to stub — is real for GIF containers. 256-gray
+  //     frames keep the palette lossless, so frame pixels are
+  //     formula-replayable like the PNG path. ---
+
+  /** Deterministic REAL animated GIF: `nFrames` w×h 256-level-gray
+    * frames, pixel (f, x, y) = (seed·31 + f·17 + x·7 + y·131) & 0xff
+    * — a pure function, losslessly preserved by the GIF palette. */
+  def gifBytes(w: Int, h: Int, nFrames: Int, seed: Long)
+      : Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    var f = 0
+    while (f < nFrames) {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.getRaster.setSample(x, y, 0,
+            ((seed * 31 + f * 17 + x * 7 + y * 131) & 0xff).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      writer.writeToSequence(
+        new javax.imageio.IIOImage(img, null, null), null)
+      f += 1
+    }
+    writer.endWriteSequence()
+    ios.close()
+    out.toByteArray
+  }
+
+  /** REAL frame sampling: decode every `every`-th frame of a
+    * multi-frame container and return (frame_ix, width, height,
+    * gray-sum) per sampled frame — the keyframe-extraction shape.
+    * Undecodable payloads return an empty seq (quarantine). */
+  def gifFrameStats(bytes: Array[Byte], every: Int)
+      : Seq[(Int, Int, Int, Long)] =
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) Seq.empty
+      else {
+        val reader = readers.next()
+        reader.setInput(iis)
+        val n = reader.getNumImages(true)
+        (0 until n by every).map { f =>
+          val img = reader.read(f)
+          var s = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              s += img.getRGB(x, y) & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          (f, img.getWidth, img.getHeight, s)
+        }
+      }
+    } catch { case _: Throwable => Seq.empty }
+
+  /** Schema of [[sampleFramesBatched]]'s appended struct. */
+  val FrameSchema: StructType = StructType(Seq(
+    StructField("frame_ix", IntegerType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("sum_gray", LongType),
+    StructField("ok", BooleanType)))
+
+  /** Batched REAL frame sampling via `mapPartitions`: one OUTPUT row
+    * per sampled frame (flatMap shape — a clip fans out to its
+    * keyframes), `frame.ok = false` single row for undecodable
+    * payloads. */
+  def sampleFramesBatched(df: DataFrame, payload: Column,
+                          every: Int): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    val withP = df.withColumn("__payload", payload)
+    val outSchema = StructType(
+      df.schema.fields :+ StructField("frame", FrameSchema))
+    val pIdx = withP.schema.fieldIndex("__payload")
+    withP.mapPartitions { it =>
+      it.flatMap { row =>
+        val bytes = row.getAs[Array[Byte]](pIdx)
+        val rest = row.toSeq.patch(pIdx, Nil, 1)
+        val frames =
+          if (bytes == null) Seq.empty else gifFrameStats(bytes, every)
+        if (frames.isEmpty)
+          Iterator(Row.fromSeq(rest :+ Row(-1, 0, 0, 0L, false)))
+        else frames.iterator.map { case (f, w, h, s) =>
+          Row.fromSeq(rest :+ Row(f, w, h, s, true))
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Batched REAL animated-GIF synthesis via `mapPartitions`. */
+  def encodeGifBatched(df: DataFrame, w: Column, h: Column,
+                       nFrames: Column, seed: Column): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    val withC = df.withColumn("__w", w.cast(IntegerType))
+      .withColumn("__h", h.cast(IntegerType))
+      .withColumn("__f", nFrames.cast(IntegerType))
+      .withColumn("__s", seed.cast(LongType))
+    val outSchema = StructType(
+      df.schema.fields :+ StructField("payload", BinaryType))
+    val wi = withC.schema.fieldIndex("__w")
+    val hi = withC.schema.fieldIndex("__h")
+    val fi = withC.schema.fieldIndex("__f")
+    val si = withC.schema.fieldIndex("__s")
+    withC.mapPartitions { it =>
+      it.map { row =>
+        val bytes = gifBytes(row.getInt(wi), row.getInt(hi),
+          row.getInt(fi), row.getLong(si))
+        Row.fromSeq(row.toSeq.dropRight(4) :+ bytes)
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Distributed media synthesis: append a REAL PNG `payload` column
     * with per-row dimensions — `mapPartitions`, row-local, the same
     * batched shape as [[decodeImagesBatched]] (payload bytes never

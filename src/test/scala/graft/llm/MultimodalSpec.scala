@@ -120,4 +120,18 @@ class MultimodalSpec extends SparkSpec {
     // quarantine on garbage
     assert(Multimodal.audioFeatures("nope".getBytes)._6 === false)
   }
+
+  test("REAL frame sampling: every 2nd frame of the animated GIF, " +
+      "gray pixels lossless against the formula") {
+    val bytes = Multimodal.gifBytes(11, 7, nFrames = 5, seed = 42L)
+    val frames = Multimodal.gifFrameStats(bytes, every = 2)
+    assert(frames.map(_._1) === Seq(0, 2, 4))
+    frames.foreach { case (f, w, h, sum) =>
+      assert((w, h) === ((11, 7)))
+      val expect = (for (y <- 0 until 7; x <- 0 until 11)
+        yield (42L * 31 + f * 17 + x * 7 + y * 131) & 0xff).sum
+      assert(sum === expect, s"frame $f")
+    }
+    assert(Multimodal.gifFrameStats("junk".getBytes, 2).isEmpty)
+  }
 }
