@@ -1005,6 +1005,34 @@ private[graft] object QueriesLlmB {
             col("frame.height")).as("n_px"),
           sum(when(col("frame.ok"), 1L).otherwise(0L)).as("n_ok"))
         .orderBy(col("frame_ix"))
+    },
+
+    // --- IMAGE DEDUP by perceptual hash (the multimodal twin of
+    //     MinHash dedup, on the REAL codec path): seed groups share
+    //     one image re-encoded under several doc_ids; every payload
+    //     is decoded for real, aHash-ed (8×8 resize → green channel
+    //     → mean-threshold bits), and hash-grouped — one shuffle on
+    //     a 64-bit key regardless of image bytes, the 100 TB image-
+    //     corpus dedup shape. The oracle replays decode, resize
+    //     mapping, thresholding, and clustering from the pixel
+    //     formula — cluster sizes proven with no codec. ---
+    "q306_image_dedup" -> { (spark, dir) =>
+      val mm = graft.llm.Multimodal
+      val docs = tbl(spark, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(100)) === 0)
+        .select(col("doc_id"), expr("doc_id div 300").as("seed"))
+        .withColumn("w",
+          (lit(8) + pmod(col("seed"), lit(24))).cast("int"))
+        .withColumn("h",
+          (lit(8) + pmod(col("seed"), lit(16))).cast("int"))
+      val enc = mm.encodePngBatched(docs, col("w"), col("h"),
+        col("seed") * lit(99991L))
+      mm.aHashBatched(enc, col("payload"))
+        .groupBy(col("ahash")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("sz") - 1).as("n_dupes_removable"))
+        .orderBy(col("cluster_size"))
     }
   )
 
@@ -1939,6 +1967,40 @@ private[graft] object QueriesLlmB {
              CAST(sum(sg) AS BIGINT) AS sum_gray,
              CAST(sum(npx) AS BIGINT) AS n_px,
              CAST(count(*) AS BIGINT) AS n_ok
-      FROM s GROUP BY 1 ORDER BY 1"""
+      FROM s GROUP BY 1 ORDER BY 1""",
+
+    // aHash replayed from the pixel formula: green channel at the
+    // 8x8 nearest-neighbor indices, integer-floor mean threshold,
+    // bits in (y, x) raster order
+    "q306_image_dedup" -> """
+      WITH d AS (SELECT doc_id, doc_id // 300 AS seed
+                 FROM documents WHERE doc_id % 100 = 0),
+      dd AS (SELECT doc_id, seed,
+                    CAST(8 + seed % 24 AS INT) AS w,
+                    CAST(8 + seed % 16 AS INT) AS h
+             FROM d),
+      cells AS (SELECT dd.doc_id, ys.y, xs.x,
+                  (((dd.seed * 99991 * 31 + ((xs.x * dd.w) // 8) * 7
+                     + ((ys.y * dd.h) // 8) * 131) & 16777215)
+                    >> 8) & 255 AS gr
+                FROM dd
+                CROSS JOIN (SELECT unnest(generate_series(0, 7))
+                  AS x) xs
+                CROSS JOIN (SELECT unnest(generate_series(0, 7))
+                  AS y) ys),
+      hs AS (SELECT doc_id,
+                    string_agg(CASE WHEN gr > mean THEN '1'
+                      ELSE '0' END, '' ORDER BY y, x) AS ahash
+             FROM (SELECT doc_id, x, y, gr,
+                          CAST(sum(gr) OVER (PARTITION BY doc_id)
+                            AS BIGINT) // 64 AS mean
+                   FROM cells)
+             GROUP BY doc_id),
+      cl AS (SELECT ahash, CAST(count(*) AS BIGINT) AS sz
+             FROM hs GROUP BY 1)
+      SELECT sz AS cluster_size, CAST(count(*) AS BIGINT)
+               AS n_clusters,
+             CAST(sum(sz - 1) AS BIGINT) AS n_dupes_removable
+      FROM cl GROUP BY 1 ORDER BY 1"""
   )
 }

@@ -530,6 +530,63 @@ object Multimodal extends Serializable {
     }(Encoders.row(outSchema))
   }
 
+  /** REAL perceptual hash (aHash) from decoded pixels: decode,
+    * nearest-neighbor-resize to 8×8 with the [[resizeNearest]]
+    * mapping, take the GREEN channel (one exact integer per cell —
+    * no luminance-weighting rounding hazards), threshold each cell
+    * against the integer-floor mean, and emit the 64 bits as a
+    * '0'/'1' string in (y, x) raster order. A string, not a packed
+    * long: bit 63 shifts range-check differently across engines (the
+    * q207 lesson) while a char sequence replays anywhere. Identical
+    * images hash identically; near-dups differ in few bits — the
+    * image twin of MinHash for multimodal corpus dedup. Undecodable
+    * payloads return null (quarantine). */
+  def aHash64(bytes: Array[Byte]): String =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null) null
+      else {
+        val g = new Array[Long](64)
+        var sum = 0L
+        var i = 0
+        while (i < 64) {
+          val x2 = i % 8
+          val y2 = i / 8
+          val px = img.getRGB(x2 * img.getWidth / 8,
+            y2 * img.getHeight / 8)
+          g(i) = (px >> 8) & 0xff
+          sum += g(i)
+          i += 1
+        }
+        val mean = sum / 64
+        val sb = new StringBuilder(64)
+        var j = 0
+        while (j < 64) {
+          sb.append(if (g(j) > mean) '1' else '0')
+          j += 1
+        }
+        sb.toString
+      }
+    } catch { case _: Throwable => null }
+
+  /** Batched REAL perceptual hashing via `mapPartitions`: appends an
+    * `ahash` string column. */
+  def aHashBatched(df: DataFrame, payload: Column): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    val withP = df.withColumn("__payload", payload)
+    val outSchema = StructType(
+      df.schema.fields :+ StructField("ahash", StringType))
+    val pIdx = withP.schema.fieldIndex("__payload")
+    withP.mapPartitions { it =>
+      it.map { row =>
+        val bytes = row.getAs[Array[Byte]](pIdx)
+        val hsh = if (bytes == null) null else aHash64(bytes)
+        Row.fromSeq(row.toSeq.patch(pIdx, Nil, 1) :+ hsh)
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Distributed media synthesis: append a REAL PNG `payload` column
     * with per-row dimensions — `mapPartitions`, row-local, the same
     * batched shape as [[decodeImagesBatched]] (payload bytes never

@@ -134,4 +134,16 @@ class MultimodalSpec extends SparkSpec {
     }
     assert(Multimodal.gifFrameStats("junk".getBytes, 2).isEmpty)
   }
+
+  test("perceptual hash: identical images hash identically across " +
+      "re-encodes; different images differ; garbage is null") {
+    val a1 = Multimodal.aHash64(Multimodal.pngBytes(24, 16, 77777L))
+    val a2 = Multimodal.aHash64(Multimodal.pngBytes(24, 16, 77777L))
+    val b = Multimodal.aHash64(Multimodal.pngBytes(24, 16, 1234567L))
+    assert(a1 !== null)
+    assert(a1.length === 64 && a1.forall(c => c == '0' || c == '1'))
+    assert(a1 === a2, "same pixels must hash identically")
+    assert(a1 !== b, "different images must (here) differ")
+    assert(Multimodal.aHash64("junk".getBytes) === null)
+  }
 }
