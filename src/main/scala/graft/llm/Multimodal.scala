@@ -341,16 +341,26 @@ object Multimodal extends Serializable {
       val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(bytes))
       val f = ais.getFormat
-      val raw = ais.readAllBytes()
-      var (sum, n) = (0L, 0L)
-      var i = 0
-      while (i + 1 < raw.length) {
-        sum += ((raw(i + 1) << 8) | (raw(i) & 0xff)).toShort.toLong
-        n += 1
-        i += 2
+      // the sample fold below assumes signed 16-bit little-endian PCM;
+      // other parseable containers (AIFF/AU big-endian, 8-bit, float)
+      // must quarantine rather than report a silently wrong sum
+      if (f.getSampleSizeInBits != 16 || f.isBigEndian ||
+          f.getEncoding !=
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) {
+        (f.getSampleRate.toInt, f.getChannels,
+          f.getSampleSizeInBits, 0L, 0L, false)
+      } else {
+        val raw = ais.readAllBytes()
+        var (sum, n) = (0L, 0L)
+        var i = 0
+        while (i + 1 < raw.length) {
+          sum += ((raw(i + 1) << 8) | (raw(i) & 0xff)).toShort.toLong
+          n += 1
+          i += 2
+        }
+        (f.getSampleRate.toInt, f.getChannels,
+          f.getSampleSizeInBits, n, sum, true)
       }
-      (f.getSampleRate.toInt, f.getChannels,
-        f.getSampleSizeInBits, n, sum, true)
     } catch { case _: Throwable => (0, 0, 0, 0L, 0L, false) }
 
   /** Schema of [[featurizeAudioBatched]]'s appended struct. */
@@ -379,11 +389,25 @@ object Multimodal extends Serializable {
     }(Encoders.row(outSchema))
   }
 
+  /** The encode*Batched builders append temp columns then strip them
+    * by position with `dropRight`; if the input ALREADY has a column
+    * with one of the temp names, `withColumn` replaces in place
+    * instead of appending and the positional strip would silently
+    * drop the wrong (caller-owned) columns. Fail loudly instead. */
+  private def requireTempNamesFree(df: DataFrame,
+                                   names: String*): Unit = {
+    val clash = names.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"input columns ${clash.mkString(",")} collide with reserved " +
+        "temp names; rename them before calling encode*Batched")
+  }
+
   /** Batched REAL WAV synthesis via `mapPartitions` (the audio analog
     * of [[encodePngBatched]]). */
   def encodeWavBatched(df: DataFrame, nSamples: Column, rate: Column,
                        seed: Column): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
+    requireTempNamesFree(df, "__n", "__r", "__s")
     val withC = df.withColumn("__n", nSamples.cast(IntegerType))
       .withColumn("__r", rate.cast(IntegerType))
       .withColumn("__s", seed.cast(LongType))
@@ -511,6 +535,7 @@ object Multimodal extends Serializable {
   def encodeGifBatched(df: DataFrame, w: Column, h: Column,
                        nFrames: Column, seed: Column): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
+    requireTempNamesFree(df, "__w", "__h", "__f", "__s")
     val withC = df.withColumn("__w", w.cast(IntegerType))
       .withColumn("__h", h.cast(IntegerType))
       .withColumn("__f", nFrames.cast(IntegerType))
@@ -594,6 +619,7 @@ object Multimodal extends Serializable {
   def encodePngBatched(df: DataFrame, w: Column, h: Column,
                        seed: Column): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
+    requireTempNamesFree(df, "__w", "__h", "__s")
     val withC = df.withColumn("__w", w.cast(IntegerType))
       .withColumn("__h", h.cast(IntegerType))
       .withColumn("__s", seed.cast(LongType))

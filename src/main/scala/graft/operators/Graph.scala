@@ -186,6 +186,8 @@ object Graph {
     // doubles as the lineage barrier); the anti-join unions k cached
     // frames, never recomputes them
     var visited = seed
+    val cached =
+      scala.collection.mutable.ArrayBuffer[DataFrame](seed)
     var frontier = seed.select(col("node"))
     var hop = 0
     var done = hop >= maxHops
@@ -200,12 +202,19 @@ object Graph {
         next.unpersist(blocking = false); done = true
       } else {
         visited = visited.unionByName(next)
+        cached += next
         frontier = next.select(col("node"))
         done = hop >= maxHops
       }
     }
+    // detach the result from the per-hop caches (localCheckpoint
+    // materializes the union once) so every intermediate persist can
+    // be released HERE — callers get a self-contained frame and no
+    // MEMORY_AND_DISK residue accumulates across repeated calls
+    val out = visited.localCheckpoint()
+    cached.foreach(_.unpersist(blocking = false))
     e.unpersist(blocking = false)
-    visited
+    out
   }
 
   /** Common-neighbor link prediction over an UNDIRECTED edge set:

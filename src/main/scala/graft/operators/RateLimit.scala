@@ -108,8 +108,19 @@ object RateLimit {
       .agg(array_sort(collect_list(
         struct(col("u"), col("i"), col("m")))).as("xs"))
       .persist()
-    // bounded scalar pull: the round count, not data
-    val nChunks = chunks.agg(max(col("ck"))).head().getInt(0) + 1
+    // bounded scalar pull: the round count, not data. max() over zero
+    // rows is NULL — an empty input must yield the empty result frame
+    // (same contract as the unchunked tokenBucket), not a getInt NPE.
+    val maxCkRow = chunks.agg(max(col("ck"))).head()
+    if (maxCkRow.isNullAt(0)) {
+      chunks.unpersist()
+      // zero-row frame derived from `chunks` so `entity` keeps the
+      // caller's type — same contract as the unchunked tokenBucket
+      return chunks.select(col("entity"), lit(0L).as("n_events"),
+        lit(0L).as("n_accepted"), lit(0L).as("n_rejected"),
+        lit(0L).as("tokens_left"))
+    }
+    val nChunks = maxCkRow.getInt(0) + 1
     // every entity has a chunk 0, so round 0 seeds the state frame
     var state = chunks.filter(col("ck") === 0)
       .select(col("entity"),

@@ -60,26 +60,43 @@ final class StreamPipelineObserver(keptFloor: Option[Double] = None) {
     * (runId, batchId)); latches and returns the first floor
     * violation found in it. */
   def ingest(p: StreamingQueryProgress): Option[CurationAborted] =
+    ingestMetrics(p.runId, p.batchId, p.observedMetrics)
+
+  /** [[ingest]]'s core on the raw observed-metrics map — separated so
+    * the pairing/skip logic is testable without fabricating a
+    * [[StreamingQueryProgress]] (its constructor is Spark-private). */
+  private[streaming] def ingestMetrics(runId: java.util.UUID,
+      batchId: Long,
+      om: java.util.Map[String, org.apache.spark.sql.Row])
+      : Option[CurationAborted] =
     batches.synchronized {
-      if (!seen.add((p.runId, p.batchId))) None
+      if (!seen.add((runId, batchId))) None
       else {
-        val om = p.observedMetrics
         val counts = names.toSeq.flatMap { n =>
           Option(om.get(Prefix + n)).map(r => (n, r.getLong(0)))
         }
-        val rows = counts.sliding(2).collect {
-          case Seq((_, nIn), (name, nKept)) =>
-            (p.batchId, name, nIn, nKept,
-              if (nIn == 0) 1.0 else nKept.toDouble / nIn)
-        }.toSeq
-        batches ++= rows
-        val v = keptFloor.flatMap(floor => rows.find(_._5 < floor).map {
-          case (_, name, nIn, nKept, _) =>
-            CurationAborted(s"batch ${p.batchId}/$name", nIn, nKept,
-              floor)
-        })
-        v.foreach(ca => if (tripped.isEmpty) tripped = Some(ca))
-        v
+        // pairing below is positional: a batch missing ANY registered
+        // metric would shift adjacent pairs and mislabel n_in/n_kept
+        // across non-adjacent stages — skip such batches entirely
+        // (they stay in `seen`, so a post-hoc re-ingest of the same
+        // incomplete event also skips)
+        if (counts.size != names.size) None
+        else {
+          val rows = counts.sliding(2).collect {
+            case Seq((_, nIn), (name, nKept)) =>
+              (batchId, name, nIn, nKept,
+                if (nIn == 0) 1.0 else nKept.toDouble / nIn)
+          }.toSeq
+          batches ++= rows
+          val v = keptFloor.flatMap(floor =>
+            rows.find(_._5 < floor).map {
+              case (_, name, nIn, nKept, _) =>
+                CurationAborted(s"batch $batchId/$name", nIn,
+                  nKept, floor)
+            })
+          v.foreach(ca => if (tripped.isEmpty) tripped = Some(ca))
+          v
+        }
       }
     }
 

@@ -121,6 +121,49 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.audioFeatures("nope".getBytes)._6 === false)
   }
 
+  test("audioFeatures quarantines parseable-but-unsupported formats " +
+      "(big-endian AIFF) instead of summing bytes as LE16") {
+    // same PCM samples, AIFF container (big-endian by spec)
+    val n = 50
+    val data = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val v = (((9L * 31 + i * 7) & 0xffffL) - 32768L).toInt
+      data(2 * i) = ((v >> 8) & 0xff).toByte // big-endian
+      data(2 * i + 1) = (v & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      8000f, 16, 1, true, true)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.AIFF, out)
+    val (rate, ch, bits, frames, sum, ok) =
+      Multimodal.audioFeatures(out.toByteArray)
+    // header parses (it's a valid AIFF) but the LE16 fold would be
+    // byte-swapped garbage, so the row must quarantine
+    assert((rate, ch, bits) === ((8000, 1, 16)))
+    assert((frames, sum, ok) === ((0L, 0L, false)))
+  }
+
+  test("encode*Batched refuses inputs whose columns collide with the " +
+      "reserved temp names (positional strip would eat them)") {
+    val clash = Seq((1L, 9)).toDF("id", "__w")
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.encodePngBatched(clash, lit(8), lit(8), $"id")
+    }
+    assert(e.getMessage.contains("__w"))
+    val clash2 = Seq((1L, 9)).toDF("id", "__n")
+    intercept[IllegalArgumentException] {
+      Multimodal.encodeWavBatched(clash2, lit(4), lit(8000), $"id")
+    }
+    val clash3 = Seq((1L, 9)).toDF("id", "__f")
+    intercept[IllegalArgumentException] {
+      Multimodal.encodeGifBatched(clash3, lit(4), lit(4), lit(2),
+        $"id")
+    }
+  }
+
   test("REAL frame sampling: every 2nd frame of the animated GIF, " +
       "gray pixels lossless against the formula") {
     val bytes = Multimodal.gifBytes(11, 7, nFrames = 5, seed = 42L)

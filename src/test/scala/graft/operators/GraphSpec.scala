@@ -152,6 +152,19 @@ class GraphSpec extends SparkSpec {
     assert(multi(4L) === 0 && multi(1L) === 0 && multi(2L) === 1)
   }
 
+  test("bfsHops releases its per-hop frontier caches before " +
+      "returning (no MEMORY_AND_DISK residue across repeated calls)") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val out = Graph.bfsHops(e, Seq(1L).toDF("node"), maxHops = 5)
+    assert(out.count() === 4L) // result survives the unpersists
+    // localCheckpoint keeps exactly one materialized RDD (the
+    // result's own lineage barrier); the k per-hop persists + seed +
+    // edge cache must all be gone
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after <= before + 1, s"before=$before after=$after")
+  }
+
   test("linkPrediction: exact cn/jaccard, existing edges excluded, " +
       "hub cap drops hub-centered wedges but keeps true degrees") {
     // square 1-2-3-4-1: each diagonal pair (1,3),(2,4) shares 2

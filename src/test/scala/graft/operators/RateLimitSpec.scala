@@ -94,4 +94,16 @@ class RateLimitSpec extends SparkSpec {
       assert(chunked === whole, s"chunkSize=$cs")
     }
   }
+
+  test("tokenBucketChunked on an empty input returns an empty frame " +
+      "(same contract as tokenBucket), not a null-aggregate error") {
+    val empty = Seq.empty[(Long, Long, Long)].toDF("u", "us", "id")
+    val out = RateLimit.tokenBucketChunked(empty, $"u", $"us", $"id",
+      capacity = 3L)
+    assert(out.columns.toSeq === Seq("entity", "n_events",
+      "n_accepted", "n_rejected", "tokens_left"))
+    assert(out.count() === 0L)
+    assert(out.schema("entity").dataType ===
+      org.apache.spark.sql.types.LongType)
+  }
 }

@@ -498,4 +498,40 @@ class EventStreamSpec extends SparkSpec {
       b == 0L && nIn == 10L && nKept == 10L })
     assert(obs.violation.nonEmpty)
   }
+
+  test("observer ingest skips a batch missing any registered metric " +
+      "instead of shifting the positional stage pairing") {
+    import org.apache.spark.sql.Row
+    val obs = new StreamPipelineObserver(keptFloor = Some(0.2))
+    // register 3 checkpoints against a dummy (batch) frame — only the
+    // names matter for the pairing logic under test
+    import spark.implicits._
+    val dummy = Seq(1L).toDF("x")
+    obs.checkpoint("raw",
+      obs.checkpoint("quality", obs.checkpoint("dedup", dummy)))
+    val run = java.util.UUID.randomUUID()
+    def om(pairs: (String, Long)*) = {
+      val m = new java.util.HashMap[String, Row]()
+      pairs.foreach { case (n, v) =>
+        m.put("graft_sobs_" + n, Row(v)) }
+      m
+    }
+    // batch 0: all three present -> two stage rows, no violation
+    assert(obs.ingestMetrics(run, 0L,
+      om("dedup" -> 100L, "quality" -> 80L, "raw" -> 60L)).isEmpty)
+    // NOTE registration order above is dedup -> quality -> raw
+    assert(obs.history.map(t => (t._1, t._2, t._3, t._4)) ===
+      Seq((0L, "quality", 100L, 80L), (0L, "raw", 80L, 60L)))
+    // batch 1: the middle metric is absent; naive sliding(2) would
+    // pair (dedup 100, raw 1) as a fake 1% "quality" stage and trip
+    // the breaker — the fix skips the batch entirely
+    assert(obs.ingestMetrics(run, 1L,
+      om("dedup" -> 100L, "raw" -> 1L)).isEmpty)
+    assert(obs.history.count(_._1 == 1L) === 0)
+    assert(obs.violation.isEmpty)
+    // batch 2: complete again -> recorded normally
+    assert(obs.ingestMetrics(run, 2L,
+      om("dedup" -> 10L, "quality" -> 10L, "raw" -> 10L)).isEmpty)
+    assert(obs.history.count(_._1 == 2L) === 2)
+  }
 }
