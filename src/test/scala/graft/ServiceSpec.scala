@@ -43,6 +43,26 @@ class ServiceSpec extends SparkSpec {
     assert(r.get("data").size <= Service.DefaultLimit)
   }
 
+  test("service default limit also bounds unlimited AGGREGATE " +
+      "queries (no unbounded driver collect from a raw groupby)") {
+    import org.apache.spark.sql.functions._
+    // a view with > DefaultLimit distinct group keys
+    val wide = spark.range(Service.DefaultLimit * 2 + 500)
+      .select(col("id").as("k"), (col("id") % 7).as("v"))
+    val views = Map("wide" -> wide)
+    val r1 = mapper.readTree(Service.query(spark, TestSpark.sfDir,
+      """{"from": "wide", "groupby": ["k"],
+          "select": [{"name": "n", "aggregate": "count"}],
+          "sort": ["k"]}""", views))
+    assert(r1.get("data").size === Service.DefaultLimit.toInt)
+    // an explicit limit still wins
+    val r2 = mapper.readTree(Service.query(spark, TestSpark.sfDir,
+      """{"from": "wide", "groupby": ["k"],
+          "select": [{"name": "n", "aggregate": "count"}],
+          "sort": ["k"], "limit": 3}""", views))
+    assert(r2.get("data").size === 3)
+  }
+
   test("registered LLM-output views are queryable through the service") {
     import org.apache.spark.sql.functions._
     // publish two pipeline stages as JX views: classifier scores and
