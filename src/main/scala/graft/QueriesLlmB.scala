@@ -1033,6 +1033,69 @@ private[graft] object QueriesLlmB {
         .agg(count(lit(1)).as("n_clusters"),
           sum(col("sz") - 1).as("n_dupes_removable"))
         .orderBy(col("cluster_size"))
+    },
+
+    // --- CORRUPT-MEDIA QUARANTINE, oracled: a deterministic subset
+    //     of real payloads is DAMAGED — r35=21 rows are truncated
+    //     mid-stream (magic bytes survive, data is cut in half),
+    //     r35=28 rows lose their first 8 bytes (header smash) — then
+    //     everything flows through the REAL codecs. The per-format
+    //     quarantine census is hash-gated against an oracle that
+    //     knows which rows were damaged from doc_id arithmetic ALONE:
+    //     a match proves the engine's ok/quarantine verdicts
+    //     (including the WAV declared-vs-delivered frame-count check
+    //     that catches header-valid short reads) exactly separate
+    //     clean bytes from damaged bytes, with zero false passes.
+    //     At 100 TB this branch IS the ingest: payloads stay in
+    //     their partitions (mapPartitions codec calls), the census
+    //     is one tiny two-row aggregate. ---
+    "q307_media_quarantine" -> { (spark, dir) =>
+      val mm = graft.llm.Multimodal
+      val docs = tbl(spark, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select(col("doc_id"), pmod(col("doc_id"), lit(35)).as("r35"))
+      val pngs = mm.encodePngBatched(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+          .withColumn("w",
+            (lit(8) + pmod(col("doc_id"), lit(24))).cast("int"))
+          .withColumn("h",
+            (lit(8) + pmod(col("doc_id"), lit(16))).cast("int")),
+        col("w"), col("h"), col("doc_id"))
+        .select(col("doc_id"), col("r35"), col("payload"),
+          lit("png").as("fmt_declared"))
+      val wavs = mm.encodeWavBatched(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+          .withColumn("ns",
+            (lit(50) + pmod(col("doc_id"), lit(100))).cast("int")),
+        col("ns"), lit(8000), col("doc_id"))
+        .select(col("doc_id"), col("r35"), col("payload"),
+          lit("riff").as("fmt_declared"))
+      def damaged(df: DataFrame): DataFrame = df.withColumn("payload",
+        when(col("r35") === 21, expr(
+          "substring(payload, 1, CAST(octet_length(payload) / 2 AS INT))"))
+          .when(col("r35") === 28,
+            expr("substring(payload, 9, octet_length(payload))"))
+          .otherwise(col("payload")))
+      val pd = mm.decodeImagesBatched(damaged(pngs), col("payload"),
+          mm.imageIoDecoder)
+        .select(col("r35"), col("fmt_declared"),
+          mm.sniffFormat(col("payload")).as("fmt_sniffed"),
+          col("decoded.ok").as("ok"))
+      val wd = mm.featurizeAudioBatched(damaged(wavs), col("payload"))
+        .select(col("r35"), col("fmt_declared"),
+          mm.sniffFormat(col("payload")).as("fmt_sniffed"),
+          col("audio.ok").as("ok"))
+      pd.unionByName(wd)
+        .groupBy(col("fmt_declared"))
+        .agg(count(lit(1)).as("n_media"),
+          sum(when(col("r35") === 21, 1L).otherwise(0L))
+            .as("n_truncated"),
+          sum(when(col("r35") === 28, 1L).otherwise(0L))
+            .as("n_smashed"),
+          sum(when(col("ok"), 1L).otherwise(0L)).as("n_ok"),
+          sum(when(col("fmt_sniffed") === col("fmt_declared"), 1L)
+            .otherwise(0L)).as("n_sniffed"))
+        .orderBy(col("fmt_declared"))
     }
   )
 
@@ -2001,6 +2064,27 @@ private[graft] object QueriesLlmB {
       SELECT sz AS cluster_size, CAST(count(*) AS BIGINT)
                AS n_clusters,
              CAST(sum(sz - 1) AS BIGINT) AS n_dupes_removable
-      FROM cl GROUP BY 1 ORDER BY 1"""
+      FROM cl GROUP BY 1 ORDER BY 1""",
+
+    // the oracle knows which rows were damaged from doc_id
+    // arithmetic alone — no codec: the engine's decode verdicts must
+    // land exactly on the clean subset (n_ok) and its sniff verdicts
+    // on the non-smashed subset (n_sniffed) for the hash to match
+    "q307_media_quarantine" -> """
+      WITH s AS (SELECT doc_id, doc_id % 35 AS r35,
+                        CASE WHEN doc_id % 2 = 0 THEN 'png'
+                             ELSE 'riff' END AS fmt_declared
+                 FROM documents WHERE doc_id % 7 = 0)
+      SELECT fmt_declared,
+             CAST(count(*) AS BIGINT) AS n_media,
+             CAST(sum(CASE WHEN r35 = 21 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_truncated,
+             CAST(sum(CASE WHEN r35 = 28 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_smashed,
+             CAST(sum(CASE WHEN r35 NOT IN (21, 28) THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_ok,
+             CAST(sum(CASE WHEN r35 <> 28 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_sniffed
+      FROM s GROUP BY 1 ORDER BY 1"""
   )
 }

@@ -358,8 +358,14 @@ object Multimodal extends Serializable {
           n += 1
           i += 2
         }
+        // a mid-stream-truncated payload can still parse its header:
+        // the container then DECLARES more frames than the bytes
+        // deliver. Silent short reads are the worst media-ingest
+        // failure mode — quarantine them, don't report a wrong sum.
+        val declared = ais.getFrameLength * f.getChannels
+        val complete = declared < 0 || n == declared
         (f.getSampleRate.toInt, f.getChannels,
-          f.getSampleSizeInBits, n, sum, true)
+          f.getSampleSizeInBits, n, sum, complete)
       }
     } catch { case _: Throwable => (0, 0, 0, 0L, 0L, false) }
 

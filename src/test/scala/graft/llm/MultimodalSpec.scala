@@ -146,6 +146,25 @@ class MultimodalSpec extends SparkSpec {
     assert((frames, sum, ok) === ((0L, 0L, false)))
   }
 
+  test("corrupt-media quarantine kernel: mid-stream truncation and " +
+      "header smash both quarantine deterministically, per format") {
+    // PNG halved mid-IDAT: magic sniffs, decode fails
+    val png = Multimodal.pngBytes(20, 12, seed = 7L)
+    val pngHalf = png.take(png.length / 2)
+    assert(Multimodal.imageIoDecoder(png)._4 === true)
+    assert(Multimodal.imageIoDecoder(pngHalf)._4 === false)
+    // WAV halved: header (44 bytes) survives, data chunk delivers
+    // fewer frames than declared -> the completeness check trips
+    val wav = Multimodal.wavBytes(100, 8000, seed = 7L)
+    val wavHalf = wav.take(wav.length / 2)
+    assert(Multimodal.audioFeatures(wav)._6 === true)
+    val (_, _, _, nHalf, _, okHalf) = Multimodal.audioFeatures(wavHalf)
+    assert(okHalf === false, s"read $nHalf frames from truncated wav")
+    // header smash (drop the first 8 bytes): neither sniffs nor decodes
+    assert(Multimodal.imageIoDecoder(png.drop(8))._4 === false)
+    assert(Multimodal.audioFeatures(wav.drop(8))._6 === false)
+  }
+
   test("encode*Batched refuses inputs whose columns collide with the " +
       "reserved temp names (positional strip would eat them)") {
     val clash = Seq((1L, 9)).toDF("id", "__w")
