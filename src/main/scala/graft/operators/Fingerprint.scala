@@ -28,6 +28,17 @@ import org.apache.spark.sql.functions._
   * get distinct renderings. (A change-detection fingerprint that can
   * confuse two different snapshots is worse than none; a '|' join
   * does exactly that, and silently drops NULL cells besides.)
+  *
+  * Collision contract: the fingerprint is 31 bits, so two DIFFERENT
+  * group contents compare equal with probability ≈ 2⁻³¹ per group
+  * comparison (~0.5 per billion) — negligible for change-detection at
+  * partition grain (a false "unchanged" costs one skipped re-diff of
+  * one partition, caught on its next change), but NOT audit-grade
+  * equality evidence. Anything composing this into a user-facing
+  * equal/unequal verdict (e.g. the q300 manifest health report)
+  * inherits that rate; if audit-grade certainty is ever needed, widen
+  * to two independent 32-bit sums (e.g. md5 chars 1-8 and 9-16),
+  * which squares the rate to ≈ 2⁻⁶².
   */
 object Fingerprint {
 
