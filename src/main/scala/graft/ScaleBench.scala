@@ -12,6 +12,11 @@ import org.apache.spark.sql.functions._
   * their domains; this covers the profile's head).
   *
   *   sbt "runMain graft.ScaleBench /root/testdata/sf0.1 10"
+  *   sbt "runMain graft.ScaleBench /root/testdata/sf0.1 100 q147,q150"
+  *
+  * An optional third arg restricts to a prefix-matched subset of the
+  * targets (the 100× runs focus on the candidate-pair generators;
+  * only the tables that subset reads are synthesized).
   *
   * The mult× corpus scales VOLUME, not density — mult disjoint
   * isomorphic copies, so the true answer grows linearly and any
@@ -42,9 +47,34 @@ object ScaleBench {
     "q294_quantile_manifest", "q295_vocab_manifest",
     "q300_manifest_health")
 
+  /** Tables each target reads — lets a subset run skip synthesizing
+    * (and paying for) the others at high mults. */
+  private val reads: Map[String, Set[String]] = Map(
+    "q70_corpus_prep" -> Set("documents"),
+    "q95_incremental_neardup" -> Set("documents"),
+    "q141_pagerank" -> Set("lineitem"),
+    "q146_pagerank_weighted" -> Set("lineitem"),
+    "q147_triangles" -> Set("lineitem"),
+    "q149_pagerank_dangling" -> Set("orders"),
+    "q150_prefix_filter_jaccard" -> Set("documents"),
+    "q206_link_predict" -> Set("lineitem"),
+    "q219_ppr" -> Set("lineitem"),
+    "q221_communities" -> Set("lineitem"),
+    "q294_quantile_manifest" -> Set("events"),
+    "q295_vocab_manifest" -> Set("documents"),
+    "q300_manifest_health" -> Set("events"))
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val mult = if (args.length > 1) args(1).toInt else 10
+    val chosen: Seq[String] =
+      if (args.length > 2)
+        args(2).split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+          .map(p => targets.find(_.startsWith(p)).getOrElse(
+            sys.error(s"no ScaleBench target matches '$p'")))
+      else targets
+    val needed: Set[String] =
+      chosen.flatMap(n => reads.getOrElse(n, Set.empty[String])).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -59,58 +89,74 @@ object ScaleBench {
     // ---- synthesize the mult× dir (documents + lineitem: the only
     //      tables the targets read) ----
     val big = Scratch.dir("graft_scalebench").toString
-    val docs = new graft.tables.Catalog(spark, sfDir).table("documents")
-    val docCols = docs.columns
-    (0 until mult).map { c =>
-      if (c == 0) docs
-      else docs
-        .withColumn("doc_id", col("doc_id") + lit(c * 100000L))
-        .withColumn("text", array_join(transform(
-          split(col("text"), " "),
-          x => concat(lit(s"c${c}x"), x)), " "))
-        .select(docCols.map(col): _*)
-    }.reduce(_ unionByName _)
-      .repartition(cpus.toInt)
-      .write.parquet(s"$big/documents.parquet")
-    val li = new graft.tables.Catalog(spark, sfDir).table("lineitem")
-    val liCols = li.columns
-    (0 until mult).map { c =>
-      if (c == 0) li
-      else li
-        .withColumn("l_orderkey", col("l_orderkey") + lit(c * 1000000L))
-        .withColumn("l_partkey", col("l_partkey") + lit(c * 100000L))
-        .select(liCols.map(col): _*)
-    }.reduce(_ unionByName _)
-      .repartition(cpus.toInt)
-      .write.parquet(s"$big/lineitem.parquet")
+    // copy stride for doc_id: must stay below the variant-id bands
+    // (q150 adds +1M, q95/q132 +2M) at mult<=9; past that the copies
+    // move to 10M-wide slots so each copy's variants stay INSIDE its
+    // own slot (10M is a multiple of every pmod the queries use)
+    val docStride = if (mult <= 10) 100000L else 10000000L
+    if (needed("documents")) {
+      val docs =
+        new graft.tables.Catalog(spark, sfDir).table("documents")
+      val docCols = docs.columns
+      (0 until mult).map { c =>
+        if (c == 0) docs
+        else docs
+          .withColumn("doc_id", col("doc_id") + lit(c * docStride))
+          .withColumn("text", array_join(transform(
+            split(col("text"), " "),
+            x => concat(lit(s"c${c}x"), x)), " "))
+          .select(docCols.map(col): _*)
+      }.reduce(_ unionByName _)
+        .repartition(cpus.toInt)
+        .write.parquet(s"$big/documents.parquet")
+    }
+    if (needed("lineitem")) {
+      val li = new graft.tables.Catalog(spark, sfDir).table("lineitem")
+      val liCols = li.columns
+      (0 until mult).map { c =>
+        if (c == 0) li
+        else li
+          .withColumn("l_orderkey",
+            col("l_orderkey") + lit(c * 1000000L))
+          .withColumn("l_partkey", col("l_partkey") + lit(c * 100000L))
+          .select(liCols.map(col): _*)
+      }.reduce(_ unionByName _)
+        .repartition(cpus.toInt)
+        .write.parquet(s"$big/lineitem.parquet")
+    }
     // orders (q149's dangling-mass graph): shift BOTH keys by
     // copy-disjoint offsets — custkey+1M and orderkey+1M keep the
     // bipartite src/dst bands (dst = orderkey + 10M) disjoint per copy
-    val ord = new graft.tables.Catalog(spark, sfDir).table("orders")
-    val ordCols = ord.columns
-    (0 until mult).map { c =>
-      if (c == 0) ord
-      else ord
-        .withColumn("o_orderkey", col("o_orderkey") + lit(c * 1000000L))
-        .withColumn("o_custkey", col("o_custkey") + lit(c * 1000000L))
-        .select(ordCols.map(col): _*)
-    }.reduce(_ unionByName _)
-      .repartition(cpus.toInt)
-      .write.parquet(s"$big/orders.parquet")
+    if (needed("orders")) {
+      val ord = new graft.tables.Catalog(spark, sfDir).table("orders")
+      val ordCols = ord.columns
+      (0 until mult).map { c =>
+        if (c == 0) ord
+        else ord
+          .withColumn("o_orderkey",
+            col("o_orderkey") + lit(c * 1000000L))
+          .withColumn("o_custkey", col("o_custkey") + lit(c * 1000000L))
+          .select(ordCols.map(col): _*)
+      }.reduce(_ unionByName _)
+        .repartition(cpus.toInt)
+        .write.parquet(s"$big/orders.parquet")
+    }
     // events (manifest-family queries): event_id shifts by 1M (a
     // multiple of every pmod the queries use: 2, 4, 8, 10), user_id
     // by 100k — mult disjoint user populations, same per-user shape
-    val evt = new graft.tables.Catalog(spark, sfDir).table("events")
-    val evtCols = evt.columns
-    (0 until mult).map { c =>
-      if (c == 0) evt
-      else evt
-        .withColumn("event_id", col("event_id") + lit(c * 1000000L))
-        .withColumn("user_id", col("user_id") + lit(c * 100000L))
-        .select(evtCols.map(col): _*)
-    }.reduce(_ unionByName _)
-      .repartition(cpus.toInt)
-      .write.parquet(s"$big/events.parquet")
+    if (needed("events")) {
+      val evt = new graft.tables.Catalog(spark, sfDir).table("events")
+      val evtCols = evt.columns
+      (0 until mult).map { c =>
+        if (c == 0) evt
+        else evt
+          .withColumn("event_id", col("event_id") + lit(c * 1000000L))
+          .withColumn("user_id", col("user_id") + lit(c * 100000L))
+          .select(evtCols.map(col): _*)
+      }.reduce(_ unionByName _)
+        .repartition(cpus.toInt)
+        .write.parquet(s"$big/events.parquet")
+    }
 
     // warmup (the Bench discipline): scan + agg + sort codegen once
     spark.range(1000000L).selectExpr("sum(id)").collect()
@@ -131,7 +177,7 @@ object ScaleBench {
     }.min
 
     println(f"${"query"}%-28s ${"1x"}%8s ${mult + "x"}%8s ratio")
-    val rows = targets.map { name =>
+    val rows = chosen.map { name =>
       val fn = SparkEntry.queries(name)
       val t1 = best2(fn(spark, sfDir))
       val tN = best2(fn(spark, big))
