@@ -837,6 +837,50 @@ private[graft] object QueriesStreaming {
         .agg(count(lit(1)).as("n_unique"),
           sum(col("n_copies")).as("n_docs"))
         .orderBy(col("lang"))
+    },
+
+
+    // --- OFFLINE STATE AUDIT, oracled end-to-end: the q253 token-
+    //     bucket backlog drains with a persisted checkpoint, and the
+    //     query's ANSWER is then read from the STATE-STORE FILES
+    //     (Spark's `statestore` data source via StateAudit) — not
+    //     from the sink. The oracle is the same relational rate-
+    //     limiter replay as q250/q253, so a hash match proves the
+    //     offline audit path returns EXACTLY the live keyed state —
+    //     the "what is in the state store right now" question a
+    //     100 TB continuous deployment must answer without stopping
+    //     the stream. ---
+    "q308_state_audit" -> { (spark, dir) =>
+      val events = EventStream.normalizeEventTime(
+          tbl(spark, dir, "events"))
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val us = unix_micros(col("ts"))
+      val b = events.agg(min(us).as("lo"), max(us).as("hi"))
+        .collect()(0)
+      val (lo, hi) = (b.getLong(0), b.getLong(1))
+      val cut1 = lo + (hi - lo) / 3
+      val cut2 = lo + 2 * ((hi - lo) / 3)
+      val src = Scratch.dir("graft_q308").toString + "/ev"
+      EventStream.writeOrderedBatches(Seq(
+        events.filter(us <= cut1),
+        events.filter(us > cut1 && us <= cut2),
+        events.filter(us > cut2)), src)
+      val stream = spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val updates = EventStream.streamingTokenBucket(stream,
+        "user_id", "ts", "event_id", capacity = 3L)
+      val cp = Scratch.dir("graft_q308_cp").toString
+      EventStream.drainWithCheckpoint(spark, updates, cp,
+        mode = "update")
+      // state tuple is (tokens, last_minute, accepted, rejected)
+      graft.streaming.StateAudit.store(spark, cp)
+        .select(col("key.value").as("user_id"),
+          (col("value.groupState._3") + col("value.groupState._4"))
+            .as("n_events"),
+          col("value.groupState._3").as("n_accepted"),
+          col("value.groupState._4").as("n_rejected"),
+          col("value.groupState._1").as("tokens_left"))
+        .orderBy(col("user_id"))
     }
   )
 
@@ -1149,6 +1193,10 @@ private[graft] object QueriesStreaming {
     // both must converge to this full-rebuild answer
     "q282_stream_curate" -> curateCensusSql,
 
-    "q283_incremental_curate" -> curateCensusSql
+    "q283_incremental_curate" -> curateCensusSql,
+
+    // offline state-store read must equal the live keyed state —
+    // same replay oracle as the sink-side twins q250/q253
+    "q308_state_audit" -> rateLimitSql
   )
 }

@@ -635,4 +635,22 @@ object EventStream {
       q.awaitTermination()
       spark.read.parquet(outDir)
     }
+
+  /** Drain `agg` to a NO-OP sink while persisting the checkpoint at
+    * `checkpoint` — nothing is kept from the OUTPUT; the point is the
+    * checkpoint's state-store files, which [[StateAudit]] then reads
+    * offline. The production shape for "audit the live state": the
+    * stream keeps its own checkpoint anyway, the audit job just
+    * points at it. */
+  def drainWithCheckpoint(spark: SparkSession, agg: DataFrame,
+                          checkpoint: String, mode: String = "update",
+                          statePartitions: Int = 8): Unit =
+    withStatePartitions(spark, statePartitions) {
+      val q = agg.writeStream.format("noop")
+        .option("checkpointLocation", checkpoint)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
 }
