@@ -881,6 +881,48 @@ private[graft] object QueriesStreaming {
           col("value.groupState._4").as("n_rejected"),
           col("value.groupState._1").as("tokens_left"))
         .orderBy(col("user_id"))
+    },
+
+
+    // --- STREAMING MANIFEST UPKEEP: the partition-manifest family
+    //     (q255 fingerprints + q153 KMV) maintained in KEYED STATE as
+    //     documents stream in — manifests stay fresh with zero
+    //     rescans, state bounded at 2 longs + k hashes per shard.
+    //     Every manifest component is an order-independent set
+    //     function, so the streamed result must be BIT-IDENTICAL to a
+    //     batch build; the oracle builds the manifest relationally
+    //     from the whole table and the hash gate proves the
+    //     equivalence. ---
+    "q309_stream_manifest" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+      val mx = docs.agg(max(col("doc_id")).as("m")).collect()(0)
+        .getLong(0)
+      val src = Scratch.dir("graft_q309").toString + "/docs"
+      EventStream.writeOrderedBatches(Seq(
+        docs.filter(col("doc_id") * 3 <= mx),
+        docs.filter(col("doc_id") * 3 > mx &&
+          col("doc_id") * 3 <= 2 * mx),
+        docs.filter(col("doc_id") * 3 > 2 * mx)), src)
+      val stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val k = 16
+      val staged = stream.select(
+        pmod(col("doc_id"), lit(4)).as("shard"),
+        pmod(graft.operators.Fingerprint.rowHash(Seq(col("doc_id"),
+          col("lang"), col("n_chars"))), lit(2147483647L)).as("h"),
+        graft.operators.Kmv.h48(col("doc_id")).as("kh"))
+      val updates = EventStream.streamingManifest(staged, k)
+      EventStream.runToCompletion(spark, updates, mode = "update")
+        .groupBy(col("shard"))
+        .agg(max(struct(col("n_rows"), col("fp"), col("k_count"),
+          col("h_k"))).as("__f"))
+        .select(col("shard"), col("__f.n_rows").as("n_rows"),
+          col("__f.fp").as("fp"),
+          round(when(col("__f.k_count") < k,
+              col("__f.k_count").cast("double"))
+            .otherwise(lit((k - 1).toDouble * 281474976710656.0) /
+              col("__f.h_k").cast("double")), 6).as("distinct_est"))
+        .orderBy(col("shard"))
     }
   )
 
@@ -1197,6 +1239,44 @@ private[graft] object QueriesStreaming {
 
     // offline state-store read must equal the live keyed state —
     // same replay oracle as the sink-side twins q250/q253
-    "q308_state_audit" -> rateLimitSql
+    "q308_state_audit" -> rateLimitSql,
+
+    // batch-built manifest (q255 fingerprint rendering + q153 KMV
+    // recipe) — the streamed keyed-state manifest must match by hash
+    "q309_stream_manifest" -> """
+      WITH d AS (SELECT doc_id % 4 AS shard, doc_id, lang, n_chars
+                 FROM documents),
+      r AS (SELECT shard, doc_id,
+        (CASE WHEN doc_id IS NULL THEN 'N'
+              ELSE CAST(strlen(CAST(doc_id AS VARCHAR)) AS VARCHAR)
+                   || ':' || CAST(doc_id AS VARCHAR) END) ||
+        (CASE WHEN lang IS NULL THEN 'N'
+              ELSE CAST(strlen(lang) AS VARCHAR) || ':' || lang END) ||
+        (CASE WHEN n_chars IS NULL THEN 'N'
+              ELSE CAST(strlen(CAST(n_chars AS VARCHAR)) AS VARCHAR)
+                   || ':' || CAST(n_chars AS VARCHAR) END) AS rend
+        FROM d),
+      fp AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_rows,
+                    CAST(sum(CAST(('0x' || substring(md5(rend), 1, 8))
+                        AS BIGINT) % 2147483647) % 2147483647
+                      AS BIGINT) AS fp
+             FROM r GROUP BY shard),
+      kh AS (SELECT DISTINCT shard,
+                    CAST(('0x' || substring(md5(
+                      CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
+                      AS kv
+             FROM d),
+      tk AS (SELECT shard, kv, row_number() OVER (PARTITION BY shard
+               ORDER BY kv) AS rn FROM kh),
+      km AS (SELECT shard, CAST(count(*) AS BIGINT) AS kc,
+                    max(kv) AS hk
+             FROM tk WHERE rn <= 16 GROUP BY shard)
+      SELECT f.shard, f.n_rows, f.fp,
+             round(CASE WHEN km.kc < 16 THEN CAST(km.kc AS DOUBLE)
+                   ELSE CAST(15 AS DOUBLE)
+                        * CAST(281474976710656 AS DOUBLE)
+                        / CAST(km.hk AS DOUBLE) END, 6)
+               AS distinct_est
+      FROM fp f JOIN km USING (shard) ORDER BY f.shard"""
   )
 }

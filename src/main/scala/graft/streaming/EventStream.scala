@@ -636,6 +636,46 @@ object EventStream {
       spark.read.parquet(outDir)
     }
 
+  /** STREAMING MANIFEST UPKEEP — the partition-manifest family
+    * (Fingerprint / KMV, q255/q294-q300) maintained in keyed state as
+    * data streams in, so manifests stay fresh with ZERO rescans of
+    * history. Every component is an ORDER-INDEPENDENT set function —
+    * row count, modular content-hash sum, k-smallest-distinct-hashes
+    * — so the streamed manifest is BIT-IDENTICAL to one built by a
+    * batch scan of the same rows (the q309 oracle proves it by hash).
+    * State per shard is bounded: two longs + at most k hashes,
+    * regardless of row volume.
+    *
+    * `staged` must carry: `shard` (the manifest grain), `h` (the
+    * row's content-hash term, already mod 2³¹−1 — compose with
+    * [[graft.operators.Fingerprint.rowHash]]), `kh` (the row's KMV
+    * hash — [[graft.operators.Kmv.h48]] of the distinct-count key).
+    * Emits per shard per changed batch: (shard, n_rows, fp, k_count,
+    * h_k); update-mode drain + last-state pick gives the final
+    * manifest. */
+  def streamingManifest(staged: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2")
+    val spark = staged.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    staged.select(col("shard").cast("long"), col("h").cast("long"),
+        col("kh").cast("long"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long, Seq[Long]),
+          (Long, Long, Long, Long, Long)](
+        GroupStateTimeout.NoTimeout()) { (key, rows, state) =>
+        var (n, fp, mk) =
+          state.getOption.getOrElse((0L, 0L, Seq.empty[Long]))
+        val rs = rows.toSeq
+        rs.foreach { r => n += 1; fp = (fp + r._2) % 2147483647L }
+        mk = (mk ++ rs.map(_._3)).distinct.sorted.take(k)
+        state.update((n, fp, mk))
+        (key, n, fp, mk.size.toLong, if (mk.isEmpty) 0L else mk.last)
+      }
+      .toDF("shard", "n_rows", "fp", "k_count", "h_k")
+  }
+
   /** Drain `agg` to a NO-OP sink while persisting the checkpoint at
     * `checkpoint` — nothing is kept from the OUTPUT; the point is the
     * checkpoint's state-store files, which [[StateAudit]] then reads

@@ -499,6 +499,40 @@ class EventStreamSpec extends SparkSpec {
     assert(obs.violation.nonEmpty)
   }
 
+  test("streamingManifest: k-cap holds, duplicate KMV hashes dedup, " +
+      "and the streamed manifest equals a single-batch build") {
+    import spark.implicits._
+    val mk = (ids: Seq[Long]) => ids.map(i =>
+        (i % 2, (i * 37) % 2147483647L, i % 5 + 1)) // kh collides: 5 distinct
+      .toDF("shard", "h", "kh")
+    val all = (0L until 40L)
+    val src1 = graft.Scratch.dir("graft_smf1").toString + "/a"
+    EventStream.writeOrderedBatches(
+      Seq(mk(all.take(20)), mk(all.drop(20))), src1)
+    def drain(dir: String) = {
+      val schema = spark.read.parquet(dir).schema
+      val s = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir)
+      EventStream.runToCompletion(spark,
+          EventStream.streamingManifest(s, k = 3), mode = "update")
+        .groupBy(col("shard"))
+        .agg(max(struct(col("n_rows"), col("fp"), col("k_count"),
+          col("h_k"))).as("f"))
+        .select(col("shard"), col("f.n_rows"), col("f.fp"),
+          col("f.k_count"), col("f.h_k"))
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+    }
+    val streamed = drain(src1)
+    // only 5 distinct kh values exist but k=3 caps the sketch
+    assert(streamed.forall(_._4 == 3L))
+    // same rows as ONE batch -> identical manifest (order-independent
+    // set functions; this is the law the q309 oracle proves on real
+    // data against DuckDB)
+    val src2 = graft.Scratch.dir("graft_smf2").toString + "/b"
+    EventStream.writeOrderedBatches(Seq(mk(all)), src2)
+    assert(drain(src2) === streamed)
+  }
+
   test("observer ingest skips a batch missing any registered metric " +
       "instead of shifting the positional stage pairing") {
     import org.apache.spark.sql.Row
