@@ -43,14 +43,24 @@ object StreamScaleBench {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val mult = if (args.length > 1) args(1).toInt else 10
+    // arg 3 = "rocksdb": run the whole matrix on the RocksDB state
+    // store — the provider a 100 TB deployment uses anyway (state
+    // larger than executor heap lives on local disk, with changelog
+    // checkpointing); compare walls/state against the default
+    // HDFS-backed in-memory provider to price that insurance
+    val rocksdb = args.length > 2 && args(2) == "rocksdb"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
+    val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = (if (rocksdb)
+      b.config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+    else b).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     val es = graft.streaming.EventStream
@@ -180,7 +190,7 @@ object StreamScaleBench {
           math.max(r1.peakState, 1L)),
         Int.box(r1.batches), Int.box(rN.batches))
     }.mkString(
-      s"""{"bench":"stream_scale","mult":$mult,"users":$nUsers,""",
+      s"""{"bench":"stream_scale","provider":"${if (rocksdb) "rocksdb" else "hdfs"}","mult":$mult,"users":$nUsers,""",
       ",", "}")
     println(line)
     Scratch.sweep()
