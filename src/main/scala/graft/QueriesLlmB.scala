@@ -1096,6 +1096,37 @@ private[graft] object QueriesLlmB {
           sum(when(col("fmt_sniffed") === col("fmt_declared"), 1L)
             .otherwise(0L)).as("n_sniffed"))
         .orderBy(col("fmt_declared"))
+    },
+
+    // --- REAL JPEG decode (the third JDK image codec): genuine
+    //     JPEGs are encoded with doc_id-derived dimensions and
+    //     decoded back through the same sniff -> ImageIO path as
+    //     q301. JPEG is LOSSY, so unlike the PNG/GIF paths the
+    //     PIXELS are not formula-replayable — the oracle gates what
+    //     IS exact (container geometry, decodability, magic-byte
+    //     routing), the honest boundary for a lossy codec. ---
+    "q311_jpeg_decode" -> { (spark, dir) =>
+      val mm = graft.llm.Multimodal
+      val docs = tbl(spark, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(100)) === 0)
+        .select(col("doc_id"),
+          (lit(8) + pmod(col("doc_id"), lit(24))).cast("int").as("w"),
+          (lit(8) + pmod(col("doc_id"), lit(16))).cast("int").as("h"))
+      val enc = mm.encodeJpegBatched(docs, col("w"), col("h"),
+          col("doc_id"))
+        .withColumn("fmt", mm.sniffFormat(col("payload")))
+      val dec = mm.decodeImagesBatched(enc, col("payload"),
+        mm.imageIoDecoder)
+      dec.groupBy(col("decoded.width").as("width"),
+          col("decoded.height").as("height"))
+        .agg(count(lit(1)).as("n_imgs"),
+          sum(when(col("decoded.ok") &&
+            col("decoded.channels") === 3 &&
+            col("fmt") === "jpeg" &&
+            col("decoded.width") === col("w") &&
+            col("decoded.height") === col("h"), 1L).otherwise(0L))
+            .as("n_verified"))
+        .orderBy(col("width"), col("height"))
     }
   )
 
@@ -2085,6 +2116,17 @@ private[graft] object QueriesLlmB {
                AS BIGINT) AS n_ok,
              CAST(sum(CASE WHEN r35 <> 28 THEN 1 ELSE 0 END)
                AS BIGINT) AS n_sniffed
-      FROM s GROUP BY 1 ORDER BY 1"""
+      FROM s GROUP BY 1 ORDER BY 1""",
+
+    // container geometry/decodability are exact for JPEG even though
+    // the pixels are lossy — same arithmetic oracle as q301
+    "q311_jpeg_decode" -> """
+      WITH d AS (SELECT doc_id,
+                        CAST(8 + doc_id % 24 AS INT) AS width,
+                        CAST(8 + doc_id % 16 AS INT) AS height
+                 FROM documents WHERE doc_id % 100 = 0)
+      SELECT width, height, CAST(count(*) AS BIGINT) AS n_imgs,
+             CAST(count(*) AS BIGINT) AS n_verified
+      FROM d GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 }

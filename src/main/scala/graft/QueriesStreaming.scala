@@ -923,6 +923,60 @@ private[graft] object QueriesStreaming {
             .otherwise(lit((k - 1).toDouble * 281474976710656.0) /
               col("__f.h_k").cast("double")), 6).as("distinct_est"))
         .orderBy(col("shard"))
+    },
+
+
+    // --- STATE DRIFT between two TIME-TRAVELED checkpoint reads:
+    //     "what did this entity's state do between batch 1 and the
+    //     end" — the incident-debugging primitive (which keys moved,
+    //     by how much) answered entirely from checkpoint files, no
+    //     replay, no stream restart. The oracle computes both points
+    //     relationally (the rate-limiter fold over events ≤ cut2 and
+    //     over all events) and the hash gate proves the time-traveled
+    //     state reads land EXACTLY on the live state at both batch
+    //     boundaries. ---
+    "q310_state_drift" -> { (spark, dir) =>
+      val events = EventStream.normalizeEventTime(
+          tbl(spark, dir, "events"))
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val us = unix_micros(col("ts"))
+      val b = events.agg(min(us).as("lo"), max(us).as("hi"))
+        .collect()(0)
+      val (lo, hi) = (b.getLong(0), b.getLong(1))
+      val cut1 = lo + (hi - lo) / 3
+      val cut2 = lo + 2 * ((hi - lo) / 3)
+      val src = Scratch.dir("graft_q310").toString + "/ev"
+      EventStream.writeOrderedBatches(Seq(
+        events.filter(us <= cut1),
+        events.filter(us > cut1 && us <= cut2),
+        events.filter(us > cut2)), src)
+      val stream = spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val updates = EventStream.streamingTokenBucket(stream,
+        "user_id", "ts", "event_id", capacity = 3L)
+      val cp = Scratch.dir("graft_q310_cp").toString
+      EventStream.drainWithCheckpoint(spark, updates, cp,
+        mode = "update")
+      val sa = graft.streaming.StateAudit
+      def shape(df: DataFrame, tag: String): DataFrame =
+        df.select(col("key.value").as("user_id"),
+          (col("value.groupState._3") + col("value.groupState._4"))
+            .as(s"n_${tag}"),
+          col("value.groupState._3").as(s"acc_${tag}"))
+      // batch ids are 0,1,2; "mid" = state after batch 1 (events
+      // through cut2), "fin" = final state
+      val mid = shape(sa.store(spark, cp, batchId = Some(1L)), "mid")
+      val fin = shape(sa.store(spark, cp), "fin")
+      fin.join(mid, Seq("user_id"), "left")
+        .select(col("user_id"),
+          coalesce(col("n_mid"), lit(0L)).as("n_mid"),
+          col("n_fin"),
+          (col("acc_fin") - coalesce(col("acc_mid"), lit(0L)))
+            .as("d_accepted"),
+          (col("n_fin") - coalesce(col("n_mid"), lit(0L)) -
+            (col("acc_fin") - coalesce(col("acc_mid"), lit(0L))))
+            .as("d_rejected"))
+        .orderBy(col("user_id"))
     }
   )
 
@@ -1277,6 +1331,69 @@ private[graft] object QueriesStreaming {
                         * CAST(281474976710656 AS DOUBLE)
                         / CAST(km.hk AS DOUBLE) END, 6)
                AS distinct_est
-      FROM fp f JOIN km USING (shard) ORDER BY f.shard"""
+      FROM fp f JOIN km USING (shard) ORDER BY f.shard""",
+
+    // both state points replayed relationally: the rate-limiter fold
+    // over events <= cut2 (the engine's batch-1 boundary) and over
+    // the whole log; drift = the difference
+    "q310_state_drift" -> """
+      WITH bounds AS (SELECT min(epoch_us(ts)) AS lo,
+                             max(epoch_us(ts)) AS hi FROM events),
+      e AS (SELECT user_id, epoch_us(ts) AS u, event_id,
+                   epoch_us(ts) // 60000000 AS m
+            FROM events),
+      mid_l AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_mid,
+                   list_prepend([CAST(3 AS BIGINT), -1, 0, 0],
+                     list([CAST(0 AS BIGINT), m, 0, 0]
+                       ORDER BY u, event_id)) AS xs
+                FROM e, bounds
+                WHERE u <= bounds.lo
+                  + 2 * ((bounds.hi - bounds.lo) // 3)
+                GROUP BY user_id),
+      mid AS (SELECT user_id, n_mid,
+                   list_reduce(xs, (s, x) -> [
+                     least(3, s[1] + CASE WHEN s[2] < 0 THEN 0
+                         ELSE x[2] - s[2] END)
+                       - CASE WHEN least(3, s[1] + CASE WHEN s[2] < 0
+                           THEN 0 ELSE x[2] - s[2] END) >= 1
+                         THEN 1 ELSE 0 END,
+                     x[2],
+                     s[3] + CASE WHEN least(3, s[1] + CASE WHEN
+                         s[2] < 0 THEN 0 ELSE x[2] - s[2] END) >= 1
+                       THEN 1 ELSE 0 END,
+                     s[4] + CASE WHEN least(3, s[1] + CASE WHEN
+                         s[2] < 0 THEN 0 ELSE x[2] - s[2] END) >= 1
+                       THEN 0 ELSE 1 END])[3] AS acc_mid
+              FROM mid_l),
+      fin_l AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_fin,
+                   list_prepend([CAST(3 AS BIGINT), -1, 0, 0],
+                     list([CAST(0 AS BIGINT), m, 0, 0]
+                       ORDER BY u, event_id)) AS xs
+                FROM e GROUP BY user_id),
+      fin AS (SELECT user_id, n_fin,
+                   list_reduce(xs, (s, x) -> [
+                     least(3, s[1] + CASE WHEN s[2] < 0 THEN 0
+                         ELSE x[2] - s[2] END)
+                       - CASE WHEN least(3, s[1] + CASE WHEN s[2] < 0
+                           THEN 0 ELSE x[2] - s[2] END) >= 1
+                         THEN 1 ELSE 0 END,
+                     x[2],
+                     s[3] + CASE WHEN least(3, s[1] + CASE WHEN
+                         s[2] < 0 THEN 0 ELSE x[2] - s[2] END) >= 1
+                       THEN 1 ELSE 0 END,
+                     s[4] + CASE WHEN least(3, s[1] + CASE WHEN
+                         s[2] < 0 THEN 0 ELSE x[2] - s[2] END) >= 1
+                       THEN 0 ELSE 1 END])[3] AS acc_fin
+              FROM fin_l)
+      SELECT f.user_id,
+             CAST(coalesce(m.n_mid, 0) AS BIGINT) AS n_mid,
+             f.n_fin,
+             CAST(f.acc_fin - coalesce(m.acc_mid, 0) AS BIGINT)
+               AS d_accepted,
+             CAST((f.n_fin - coalesce(m.n_mid, 0))
+               - (f.acc_fin - coalesce(m.acc_mid, 0)) AS BIGINT)
+               AS d_rejected
+      FROM fin f LEFT JOIN mid m USING (user_id)
+      ORDER BY f.user_id"""
   )
 }

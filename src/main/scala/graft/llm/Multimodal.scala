@@ -623,7 +623,41 @@ object Multimodal extends Serializable {
     * batched shape as [[decodeImagesBatched]] (payload bytes never
     * leave their partition). */
   def encodePngBatched(df: DataFrame, w: Column, h: Column,
-                       seed: Column): DataFrame = {
+                       seed: Column): DataFrame =
+    encodeImageBatched(df, w, h, seed)(pngBytes)
+
+  /** Deterministic REAL JPEG payload: the [[pngBytes]] raster pushed
+    * through the JDK's JPEG writer. JPEG is LOSSY — pixel values are
+    * NOT formula-replayable (the honest boundary: q311 gates
+    * dimensions/decodability only) — but the container geometry and
+    * decodability are exact, which is what the ingest-side routing
+    * and quarantine logic depend on. */
+  def jpegBytes(w: Int, h: Int, seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y,
+          (seed * 31 + x * 7 + y * 131).toInt & 0xffffff)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    out.toByteArray
+  }
+
+  /** [[encodePngBatched]]'s JPEG sibling. */
+  def encodeJpegBatched(df: DataFrame, w: Column, h: Column,
+                        seed: Column): DataFrame =
+    encodeImageBatched(df, w, h, seed)(jpegBytes)
+
+  private def encodeImageBatched(df: DataFrame, w: Column, h: Column,
+                                 seed: Column)
+      (codec: (Int, Int, Long) => Array[Byte]): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     requireTempNamesFree(df, "__w", "__h", "__s")
     val withC = df.withColumn("__w", w.cast(IntegerType))
@@ -636,7 +670,7 @@ object Multimodal extends Serializable {
     val si = withC.schema.fieldIndex("__s")
     withC.mapPartitions { it =>
       it.map { row =>
-        val bytes = pngBytes(row.getInt(wi), row.getInt(hi),
+        val bytes = codec(row.getInt(wi), row.getInt(hi),
           row.getLong(si))
         Row.fromSeq(row.toSeq.dropRight(3) :+ bytes)
       }
