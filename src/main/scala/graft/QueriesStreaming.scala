@@ -977,6 +977,45 @@ private[graft] object QueriesStreaming {
             (col("acc_fin") - coalesce(col("acc_mid"), lit(0L))))
             .as("d_rejected"))
         .orderBy(col("user_id"))
+    },
+
+
+    // --- CHAINED STATEFUL OPERATORS (multi-stateful pipeline): an
+    //     hourly windowed count feeding a SECOND windowed aggregation
+    //     (6 h roll-up of the hourly counts, keeping the PEAK hourly
+    //     count — not derivable from a single 6 h aggregation), both
+    //     stateful stages in ONE streaming query via window_time().
+    //     The 100 TB shape: pre-aggregate at fine grain near the
+    //     source, roll up downstream, never re-shuffle raw events.
+    //     Append mode + far-future sentinel flushes the final
+    //     windows; the oracle replays both levels relationally. ---
+    "q312_chained_windows" -> { (spark, dir) =>
+      val events = EventStream.normalizeEventTime(
+          tbl(spark, dir, "events"))
+        .select(col("ts"), col("event_type"))
+      val src = Scratch.dir("graft_q312").toString + "/ev"
+      val sentinel = spark.createDataFrame(Seq(
+          (new java.sql.Timestamp(1709251200000L), "sentinel")))
+        .toDF("ts", "event_type")
+      EventStream.writeOrderedBatches(Seq(events, sentinel), src)
+      val stream = spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val lvl1 = stream.withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n1"))
+      val lvl2 = lvl1
+        .groupBy(window(window_time(col("window")), "6 hours"),
+          col("event_type"))
+        .agg(sum(col("n1")).as("n_events"),
+          max(col("n1")).as("peak_hour"))
+      val out = Scratch.dir("graft_q312out").toString
+      val ckpt = Scratch.dir("graft_q312ck").toString
+      EventStream.runToSink(spark, lvl2, out, ckpt)
+        .filter(col("event_type") =!= "sentinel")
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm")
+            .as("w_start"),
+          col("event_type"), col("n_events"), col("peak_hour"))
+        .orderBy(col("w_start"), col("event_type"))
     }
   )
 
@@ -1394,6 +1433,21 @@ private[graft] object QueriesStreaming {
                - (f.acc_fin - coalesce(m.acc_mid, 0)) AS BIGINT)
                AS d_rejected
       FROM fin f LEFT JOIN mid m USING (user_id)
-      ORDER BY f.user_id"""
+      ORDER BY f.user_id""",
+
+    // two-level relational replay: hourly counts, then the 6 h
+    // roll-up keeping the peak hourly count (time_bucket's 2000-01-01
+    // origin is 6h-aligned with Spark's epoch-aligned windows)
+    "q312_chained_windows" -> """
+      WITH h AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS h1,
+                        event_type, CAST(count(*) AS BIGINT) AS n1
+                 FROM events GROUP BY 1, 2),
+      s AS (SELECT time_bucket(INTERVAL '6 hours', h1) AS w6,
+                   event_type, CAST(sum(n1) AS BIGINT) AS n_events,
+                   CAST(max(n1) AS BIGINT) AS peak_hour
+            FROM h GROUP BY 1, 2)
+      SELECT strftime(w6, '%Y-%m-%d %H:%M') AS w_start, event_type,
+             n_events, peak_hour
+      FROM s ORDER BY 1, 2"""
   )
 }
