@@ -1016,7 +1016,56 @@ private[graft] object QueriesStreaming {
             .as("w_start"),
           col("event_type"), col("n_events"), col("peak_hour"))
         .orderBy(col("w_start"), col("event_type"))
-    }
+    },
+
+
+    // --- CHECKPOINT RESUME across a RESTART, oracled: the first
+    //     query incarnation drains HALF the backlog to a parquet sink
+    //     and terminates; more data arrives while nothing runs; a
+    //     SECOND incarnation starts from the SAME checkpoint and
+    //     drains the rest. The sink must end up EXACTLY the batch
+    //     answer — no window lost, none emitted twice (append-mode
+    //     windows emit once, watermark+state carried across the
+    //     restart by the checkpoint; the file sink's metadata log
+    //     makes the handoff exactly-once). This is the operational
+    //     contract a 100 TB deployment restarts on every day. ---
+    "q313_stream_resume" -> rounded("sum_value" -> 4)(dated("day")({
+      (spark, dir) =>
+        val events = EventStream.normalizeEventTime(
+            tbl(spark, dir, "events"))
+          .select(col("ts"), col("event_type"), col("value"))
+        val us = unix_micros(col("ts"))
+        val b = events.agg(min(us).as("lo"), max(us).as("hi"))
+          .collect()(0)
+        val midUs = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 2
+        val src = Scratch.dir("graft_q313").toString + "/ev"
+        val out = Scratch.dir("graft_q313out").toString
+        val ckpt = Scratch.dir("graft_q313ck").toString
+        def drain(): DataFrame =
+          EventStream.runToSink(spark,
+            EventStream.tumblingAgg(
+              spark.readStream.schema(events.schema)
+                .option("maxFilesPerTrigger", 1).parquet(src),
+              "ts", "1 day", "1 hour", "event_type"),
+            out, ckpt)
+        // incarnation 1: only the first half exists
+        EventStream.writeOrderedBatches(
+          Seq(events.filter(us <= midUs)), src)
+        drain()
+        // stopped. The second half + flush sentinel arrive.
+        val sentinel = spark.createDataFrame(Seq(
+            (new java.sql.Timestamp(1709251200000L), "sentinel", 0.0)))
+          .toDF("ts", "event_type", "value")
+        EventStream.writeOrderedBatches(
+          Seq(events.filter(us > midUs), sentinel), src,
+          startIndex = 8)
+        // incarnation 2: same checkpoint, same sink
+        drain()
+          .filter(col("event_type") =!= "sentinel")
+          .select(col("window.start").as("day"), col("event_type"),
+            col("n"), col("sum_value"))
+          .orderBy(col("day"), col("event_type"))
+    }))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1448,6 +1497,13 @@ private[graft] object QueriesStreaming {
             FROM h GROUP BY 1, 2)
       SELECT strftime(w6, '%Y-%m-%d %H:%M') AS w_start, event_type,
              n_events, peak_hour
-      FROM s ORDER BY 1, 2"""
+      FROM s ORDER BY 1, 2""",
+
+    // the restart must converge to the plain batch aggregation —
+    // same oracle as the single-incarnation file sink (q66)
+    "q313_stream_resume" -> """
+      SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n,
+             round(sum(value), 4) AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 }

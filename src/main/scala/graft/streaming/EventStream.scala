@@ -48,18 +48,23 @@ object EventStream {
     * micro-batches in exactly this order. Replaces the sleep-between-
     * writes trick (the file source orders by (mtime, path); stamping
     * both explicitly costs nothing and drops the wall time). */
-  def writeOrderedBatches(parts: Seq[DataFrame], dir: String): Unit = {
+  /** `startIndex` lets a LATER call append more batches to the same
+    * source dir (distinct file names; mtimes are naturally later) —
+    * the arrives-while-stopped half of a checkpoint-resume drain. */
+  def writeOrderedBatches(parts: Seq[DataFrame], dir: String,
+                          startIndex: Int = 0): Unit = {
     import java.nio.file.{Files, Paths}
     Files.createDirectories(Paths.get(dir))
     val t0 = System.currentTimeMillis() - 1000L * parts.size
-    parts.zipWithIndex.foreach { case (p, i) =>
+    parts.zipWithIndex.foreach { case (p, i0) =>
+      val i = startIndex + i0
       val stage = s"$dir/.stage$i"
       p.coalesce(1).write.parquet(stage)
       val f = new java.io.File(stage).listFiles()
         .filter(_.getName.endsWith(".parquet")).head
       val dst = Paths.get(dir, f"part-$i%05d.parquet")
       Files.move(f.toPath, dst)
-      dst.toFile.setLastModified(t0 + i * 1000L)
+      dst.toFile.setLastModified(t0 + i0 * 1000L)
       org.apache.commons.io.FileUtils.deleteDirectory(
         new java.io.File(stage))
     }
