@@ -1127,6 +1127,90 @@ private[graft] object QueriesLlmB {
             col("decoded.height") === col("h"), 1L).otherwise(0L))
             .as("n_verified"))
         .orderBy(col("width"), col("height"))
+    },
+
+    // --- MULTI-FORMAT ROUTED INGEST (the composed multimodal
+    //     capstone): one mixed lake of PNG/JPEG/GIF/WAV payloads is
+    //     ROUTED purely by magic bytes (never by the label that made
+    //     them), each route runs its REAL decoder, and the unified
+    //     census carries a per-format exact integer the oracle
+    //     replays — pixel-channel sums for PNG, dims-verified count
+    //     for JPEG (lossy-honest), sampled-frame gray sums for GIF,
+    //     signed-sample sums for WAV. Payloads are encoded once
+    //     (localCheckpoint) and never shuffled; each route is one
+    //     partition-local pass + a one-row aggregate. ---
+    "q314_media_router" -> { (spark, dir) =>
+      val mm = graft.llm.Multimodal
+      val docs = tbl(spark, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select(col("doc_id"), pmod(col("doc_id"), lit(40)).as("r40"))
+      def dims(df: DataFrame): DataFrame = df
+        .withColumn("w",
+          (lit(8) + pmod(col("doc_id"), lit(24))).cast("int"))
+        .withColumn("h",
+          (lit(8) + pmod(col("doc_id"), lit(16))).cast("int"))
+      val png = mm.encodePngBatched(dims(docs.filter(col("r40") === 0)),
+        col("w"), col("h"), col("doc_id"))
+        .select(col("doc_id"), col("payload"))
+      val jpg = mm.encodeJpegBatched(
+        dims(docs.filter(col("r40") === 10)),
+        col("w"), col("h"), col("doc_id"))
+        .select(col("doc_id"), col("payload"))
+      val gif = mm.encodeGifBatched(
+        docs.filter(col("r40") === 20)
+          .withColumn("w",
+            (lit(8) + pmod(col("doc_id"), lit(9))).cast("int"))
+          .withColumn("h",
+            (lit(8) + pmod(col("doc_id"), lit(5))).cast("int"))
+          .withColumn("nf",
+            (lit(3) + pmod(col("doc_id"), lit(6))).cast("int")),
+        col("w"), col("h"), col("nf"), col("doc_id"))
+        .select(col("doc_id"), col("payload"))
+      val wav = mm.encodeWavBatched(
+        docs.filter(col("r40") === 30)
+          .withColumn("ns",
+            (lit(64) + pmod(col("doc_id"), lit(256))).cast("int")),
+        col("ns"), lit(8000), col("doc_id"))
+        .select(col("doc_id"), col("payload"))
+      val lake = png.unionByName(jpg).unionByName(gif)
+        .unionByName(wav)
+        .withColumn("fmt", mm.sniffFormat(col("payload")))
+        .localCheckpoint() // encode once; four routed passes read it
+      val pngC = mm.featurizeImagesBatched(
+          lake.filter(col("fmt") === "png"), col("payload"))
+        .groupBy(lit("png").as("fmt"))
+        .agg(count(lit(1)).as("n_media"),
+          sum(when(col("px.ok"), 1L).otherwise(0L)).as("n_ok"),
+          sum(col("px.sum_r") + col("px.sum_g") + col("px.sum_b"))
+            .as("exact_sum"))
+      val jpgC = mm.decodeImagesBatched(
+          lake.filter(col("fmt") === "jpeg"), col("payload"),
+          mm.imageIoDecoder)
+        .groupBy(lit("jpeg").as("fmt"))
+        .agg(count(lit(1)).as("n_media"),
+          sum(when(col("decoded.ok"), 1L).otherwise(0L)).as("n_ok"),
+          sum(when(col("decoded.ok") &&
+            col("decoded.width") ===
+              (lit(8) + pmod(col("doc_id"), lit(24))).cast("int") &&
+            col("decoded.height") ===
+              (lit(8) + pmod(col("doc_id"), lit(16))).cast("int"),
+            1L).otherwise(0L)).as("exact_sum"))
+      val gifC = mm.sampleFramesBatched(
+          lake.filter(col("fmt") === "gif"), col("payload"),
+          every = 2)
+        .groupBy(lit("gif").as("fmt"))
+        .agg(countDistinct(col("doc_id")).as("n_media"),
+          countDistinct(when(col("frame.ok"), col("doc_id")))
+            .as("n_ok"),
+          sum(col("frame.sum_gray")).as("exact_sum"))
+      val wavC = mm.featurizeAudioBatched(
+          lake.filter(col("fmt") === "riff"), col("payload"))
+        .groupBy(lit("riff").as("fmt"))
+        .agg(count(lit(1)).as("n_media"),
+          sum(when(col("audio.ok"), 1L).otherwise(0L)).as("n_ok"),
+          sum(col("audio.sum_samples")).as("exact_sum"))
+      pngC.unionByName(jpgC).unionByName(gifC).unionByName(wavC)
+        .orderBy(col("fmt"))
     }
   )
 
@@ -2127,6 +2211,73 @@ private[graft] object QueriesLlmB {
                  FROM documents WHERE doc_id % 100 = 0)
       SELECT width, height, CAST(count(*) AS BIGINT) AS n_imgs,
              CAST(count(*) AS BIGINT) AS n_verified
-      FROM d GROUP BY 1, 2 ORDER BY 1, 2"""
+      FROM d GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // every route's exact integer replayed with NO codec: PNG channel
+    // sums and GIF frame gray sums from the synthesis formulas
+    // (lossless paths), WAV signed-sample sums from the PCM formula,
+    // JPEG the dims-verified count (lossy-honest)
+    "q314_media_router" -> """
+      WITH s AS (SELECT doc_id, doc_id % 40 AS r40
+                 FROM documents WHERE doc_id % 10 = 0),
+      png AS (
+        SELECT 'png' AS fmt,
+               CAST(count(DISTINCT p.doc_id) AS BIGINT) AS n_media,
+               CAST(count(DISTINCT p.doc_id) AS BIGINT) AS n_ok,
+               CAST(sum(p.rgb) AS BIGINT) AS exact_sum
+        FROM (SELECT d.doc_id,
+                ((((d.doc_id * 31 + xs.x * 7 + ys.y * 131)
+                   & 16777215) >> 16) & 255)
+                + ((((d.doc_id * 31 + xs.x * 7 + ys.y * 131)
+                   & 16777215) >> 8) & 255)
+                + (((d.doc_id * 31 + xs.x * 7 + ys.y * 131)
+                   & 16777215) & 255) AS rgb
+              FROM (SELECT doc_id,
+                           CAST(8 + doc_id % 24 AS INT) AS w,
+                           CAST(8 + doc_id % 16 AS INT) AS h
+                    FROM s WHERE r40 = 0) d
+              JOIN (SELECT unnest(generate_series(0, 30)) AS x) xs
+                ON xs.x < d.w
+              JOIN (SELECT unnest(generate_series(0, 22)) AS y) ys
+                ON ys.y < d.h) p),
+      jpeg AS (
+        SELECT 'jpeg' AS fmt, CAST(count(*) AS BIGINT) AS n_media,
+               CAST(count(*) AS BIGINT) AS n_ok,
+               CAST(count(*) AS BIGINT) AS exact_sum
+        FROM s WHERE r40 = 10),
+      gif AS (
+        SELECT 'gif' AS fmt,
+               CAST(count(DISTINCT g.doc_id) AS BIGINT) AS n_media,
+               CAST(count(DISTINCT g.doc_id) AS BIGINT) AS n_ok,
+               CAST(sum(g.v) AS BIGINT) AS exact_sum
+        FROM (SELECT d.doc_id,
+                ((d.doc_id * 31 + fs.f * 17 + xs.x * 7
+                  + ys.y * 131) & 255) AS v
+              FROM (SELECT doc_id,
+                           CAST(8 + doc_id % 9 AS INT) AS w,
+                           CAST(8 + doc_id % 5 AS INT) AS h,
+                           CAST(3 + doc_id % 6 AS INT) AS nf
+                    FROM s WHERE r40 = 20) d
+              JOIN (SELECT unnest(generate_series(0, 7)) AS f) fs
+                ON fs.f < d.nf AND fs.f % 2 = 0
+              JOIN (SELECT unnest(generate_series(0, 16)) AS x) xs
+                ON xs.x < d.w
+              JOIN (SELECT unnest(generate_series(0, 12)) AS y) ys
+                ON ys.y < d.h) g),
+      wav AS (
+        SELECT 'riff' AS fmt,
+               CAST(count(DISTINCT a.doc_id) AS BIGINT) AS n_media,
+               CAST(count(DISTINCT a.doc_id) AS BIGINT) AS n_ok,
+               CAST(sum(a.v) AS BIGINT) AS exact_sum
+        FROM (SELECT d.doc_id,
+                ((d.doc_id * 31 + xs.i * 7) & 65535) - 32768 AS v
+              FROM (SELECT doc_id,
+                           CAST(64 + doc_id % 256 AS INT) AS n
+                    FROM s WHERE r40 = 30) d
+              JOIN (SELECT unnest(generate_series(0, 318)) AS i) xs
+                ON xs.i < d.n) a)
+      SELECT * FROM png UNION ALL SELECT * FROM jpeg
+      UNION ALL SELECT * FROM gif UNION ALL SELECT * FROM wav
+      ORDER BY fmt"""
   )
 }
