@@ -219,7 +219,20 @@ object Dedup {
   /** PPJoin candidate generation over a prepared distinct-shingle
     * frame: df-ascending prefix ordering (hot shingles sort LAST per
     * doc, so they almost never enter a prefix), prefix-postings
-    * equi-join, length filter. */
+    * equi-join, length filter, then PPJoin's POSITIONAL filter.
+    *
+    * The positional filter is lossless here because BOTH docs order
+    * their shingles by the same global (df, shingle) key: common
+    * tokens therefore appear in the same relative order in both docs,
+    * so the first shared prefix token w attains min(pos_a) AND
+    * min(pos_b) simultaneously, and no token common to both docs can
+    * precede w in either (it would rank below w in both and hence sit
+    * inside both prefixes, contradicting w being first). That gives
+    * the classic bound overlap ≤ 1 + min(sz_a − p_a, sz_b − p_b),
+    * checked against the Jaccard overlap requirement
+    * α = ⌈t/(1+t)·(sz_a+sz_b)⌉ (|x∩y| ≥ t·|x∪y| rearranged). The
+    * 1e-9 slack is SUBTRACTED inside the ceil so FP error can only
+    * weaken the prune, never drop a true pair. */
   private def prefixCandidates(sh: DataFrame,
                                threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -234,15 +247,21 @@ object Dedup {
       ceil(lit(threshold) * sz - lit(1e-9))
     val prefix = positioned
       .filter(col("__pos") <= col("__sz") - minOverlap(col("__sz")) + 1)
-      .select(col("g"), col("id"), col("__sz"))
+      .select(col("g"), col("id"), col("__sz"), col("__pos"))
+    val alpha = ceil(lit(threshold / (1.0 + threshold)) *
+      (col("__sz_a") + col("__sz_b")) - lit(1e-9))
     prefix.select(col("g"), col("id").as("id_a"),
-        col("__sz").as("__sz_a"))
+        col("__sz").as("__sz_a"), col("__pos").as("__pos_a"))
       .join(prefix.select(col("g"), col("id").as("id_b"),
-        col("__sz").as("__sz_b")), Seq("g"))
+        col("__sz").as("__sz_b"), col("__pos").as("__pos_b")), Seq("g"))
       .filter(col("id_a") < col("id_b") &&
         col("__sz_b") >= minOverlap(col("__sz_a")) &&
         col("__sz_a") >= minOverlap(col("__sz_b")))
-      .select(col("id_a"), col("id_b")).distinct()
+      .groupBy(col("id_a"), col("id_b"), col("__sz_a"), col("__sz_b"))
+      .agg(min(col("__pos_a")).as("__mpa"), min(col("__pos_b")).as("__mpb"))
+      .filter(lit(1) + least(col("__sz_a") - col("__mpa"),
+        col("__sz_b") - col("__mpb")) >= alpha)
+      .select(col("id_a"), col("id_b"))
   }
 
   /** CONTAINMENT pairs — the asymmetric near-subset complement to
