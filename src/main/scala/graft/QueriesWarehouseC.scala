@@ -469,6 +469,46 @@ private[graft] object QueriesWarehouseC {
       volRows.unionByName(duRows).unionByName(qRows)
         .unionByName(hhRows)
         .orderBy(col("section"), col("grp"), col("metric"))
+    },
+
+    // --- STATS-DRIVEN BROADCAST PLANNING (the decision Spark's
+    //     file-size heuristic can't make): post-filter cardinality of
+    //     a dimension estimated from a 22-row equi-width value
+    //     histogram — manifest data, one scan to build, additively
+    //     maintainable — converted to bytes and checked against two
+    //     broadcast thresholds. The census emits, per filter cut, the
+    //     estimate, the TRUE filtered count (so the estimation error
+    //     is itself hash-gated, q297-style), and both decisions; all
+    //     arithmetic is exact floor-division integers the oracle
+    //     replays. JoinPlannerSpec proves the decisions drive REAL
+    //     physical plans (BroadcastHashJoin vs SortMergeJoin with
+    //     Spark's own heuristic disabled). ---
+    "q315_join_planner" -> { (spark, dir) =>
+      val jp = graft.operators.JoinPlanner
+      val lo = -1000L; val w = 500L; val nb = 22
+      val cuts = Seq(-500L, 0L, 1000L, 3000L, 9000L, 11000L)
+      val cust = tbl(spark, dir, "customer")
+      // the manifest: built once, read per scenario (22 rows)
+      val hist = jp.valueHistogram(cust, col("c_acctbal"), lo, w, nb)
+        .localCheckpoint()
+      val ests = cuts.map { c =>
+        jp.estimateBelow(hist, lo, w, nb, c)
+          .select(lit(c).as("cut"), col("est").as("est_rows"))
+      }.reduce(_ unionByName _)
+      // true filtered counts in ONE scan: conditional sums, unstacked
+      val tAggs = cuts.zipWithIndex.map { case (c, i) =>
+        coalesce(sum(when(floor(col("c_acctbal")) < lit(c), lit(1L))),
+          lit(0L)).as(s"t$i")
+      }
+      val truths = cust.agg(tAggs.head, tAggs.tail: _*)
+        .selectExpr("stack(" + cuts.size + ", " +
+          cuts.zipWithIndex.map { case (c, i) => s"${c}L, t$i" }
+            .mkString(", ") + ") AS (cut, true_rows)")
+      ests.join(truths, "cut")
+        .withColumn("est_bytes", col("est_rows") * lit(200L))
+        .withColumn("bcast_100kb", col("est_bytes") <= lit(100000L))
+        .withColumn("bcast_1mb", col("est_bytes") <= lit(1000000L))
+        .orderBy(col("cut"))
     }
   )
 
@@ -922,6 +962,39 @@ private[graft] object QueriesWarehouseC {
         UNION ALL
         SELECT 'frequency', grp, 'top_user_est', CAST(est AS DOUBLE)
         FROM ftop
-      ) ORDER BY section, grp, metric"""
+      ) ORDER BY section, grp, metric""",
+
+
+    "q315_join_planner" -> """
+      WITH h AS (SELECT greatest(0, least(21,
+                     (CAST(floor(c_acctbal) AS BIGINT) - (-1000)) // 500
+                   )) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_rows
+                 FROM customer WHERE c_acctbal IS NOT NULL GROUP BY 1),
+      cuts AS (SELECT CAST(cut AS BIGINT) AS cut FROM (VALUES (-500),
+                 (0), (1000), (3000), (9000), (11000)) AS t(cut)),
+      prm AS (SELECT cut,
+                greatest(0, least(21, (cut - (-1000)) // 500)) AS cb
+              FROM cuts),
+      prm2 AS (SELECT cut, cb,
+                 greatest(0, least(500, cut - (-1000 + cb * 500)))
+                   AS frac
+               FROM prm),
+      est AS (SELECT p.cut,
+                CAST(sum(CASE WHEN h.bucket < p.cb THEN h.n_rows
+                              WHEN h.bucket = p.cb
+                                THEN (h.n_rows * p.frac) // 500
+                              ELSE 0 END) AS BIGINT) AS est_rows
+              FROM prm2 p CROSS JOIN h GROUP BY 1),
+      tr AS (SELECT c.cut,
+               CAST(count(*) FILTER (
+                 WHERE floor(cu.c_acctbal) < c.cut) AS BIGINT)
+                 AS true_rows
+             FROM cuts c CROSS JOIN customer cu GROUP BY 1)
+      SELECT e.cut, e.est_rows, t.true_rows,
+             e.est_rows * 200 AS est_bytes,
+             e.est_rows * 200 <= 100000 AS bcast_100kb,
+             e.est_rows * 200 <= 1000000 AS bcast_1mb
+      FROM est e JOIN tr t USING (cut) ORDER BY cut"""
   )
 }
