@@ -302,11 +302,11 @@ private[graft] object QueriesStreaming {
       graft.llm.Lifecycle.release(histV)
       graft.llm.Lifecycle.release(means)
       val newV = vecs.filter(!isHist)
-      newV.filter(pmod(col("doc_id"), lit(2)) === 0)
-        .coalesce(1).write.mode("append").parquet(tmp + "/src")
-      Thread.sleep(1100) // distinct mtime second pins the batch order
-      newV.filter(pmod(col("doc_id"), lit(2)) === 1)
-        .coalesce(1).write.mode("append").parquet(tmp + "/src")
+      // sequenced names + stamped ascending mtimes pin the batch
+      // order without sleeping a wall-clock second between writes
+      EventStream.writeOrderedBatches(Seq(
+        newV.filter(pmod(col("doc_id"), lit(2)) === 0),
+        newV.filter(pmod(col("doc_id"), lit(2)) === 1)), tmp + "/src")
       val schema = spark.read.parquet(tmp + "/src").schema
       val stream = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(tmp + "/src")
