@@ -509,6 +509,49 @@ private[graft] object QueriesWarehouseC {
         .withColumn("bcast_100kb", col("est_bytes") <= lit(100000L))
         .withColumn("bcast_1mb", col("est_bytes") <= lit(1000000L))
         .orderBy(col("cut"))
+    },
+
+    // --- SELECTIVE RECOMPUTATION driven by the fingerprint manifest
+    //     (the 100 TB refresh story end-to-end): a snapshot v2
+    //     mutates a deterministic subset of rows confined to shards
+    //     3 and 7; per-shard content fingerprints of v1 and v2 are
+    //     diffed, ONLY the stale shards are recomputed from v2, and
+    //     the spliced materialized view (carried v1 shards + fresh
+    //     stale shards) rolls up to the answer. The oracle rebuilds
+    //     from v2 in full AND replays the manifest diff — a hash
+    //     match proves the diff caught exactly the changed shards
+    //     and the splice is exact; a single missed shard would carry
+    //     stale cents into the rollup and go red. History is never
+    //     re-scanned: v1 appears only through its MV and manifest. ---
+    "q316_selective_recompute" -> { (spark, dir) =>
+      val fpOp = graft.operators.Fingerprint
+      val base = tbl(spark, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .withColumn("shard", pmod(col("event_id"), lit(16L)))
+      val v2 = base.withColumn("cents",
+        when((col("shard") === 3 || col("shard") === 7) &&
+          pmod(col("event_id"), lit(5)) === 0, col("cents") + 1)
+          .otherwise(col("cents")))
+      def man(d: DataFrame) = fpOp.contentFingerprint(d, col("shard"),
+        Seq(col("event_id"), col("event_type"), col("cents")))
+      // the stale set drives two branches (anti + semi): checkpoint it
+      val stale = man(base)
+        .join(man(v2).select(col("grp"), col("n_rows").as("__n2"),
+          col("fp").as("__f2")), Seq("grp"))
+        .filter(col("fp") =!= col("__f2") ||
+          col("n_rows") =!= col("__n2"))
+        .select(col("grp").as("shard"))
+        .localCheckpoint()
+      def mv(d: DataFrame) = d.groupBy(col("shard"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      val spliced = mv(base).join(stale, Seq("shard"), "left_anti")
+        .unionByName(mv(v2.join(stale, Seq("shard"), "left_semi")))
+      spliced.groupBy(col("event_type"))
+        .agg(sum(col("n")).as("n"), sum(col("cents")).as("cents"))
+        .crossJoin(broadcast(
+          stale.agg(count(lit(1)).as("n_stale_shards"))))
+        .orderBy(col("event_type"))
     }
   )
 
@@ -995,6 +1038,54 @@ private[graft] object QueriesWarehouseC {
              e.est_rows * 200 AS est_bytes,
              e.est_rows * 200 <= 100000 AS bcast_100kb,
              e.est_rows * 200 <= 1000000 AS bcast_1mb
-      FROM est e JOIN tr t USING (cut) ORDER BY cut"""
+      FROM est e JOIN tr t USING (cut) ORDER BY cut""",
+
+
+    "q316_selective_recompute" -> """
+      WITH b AS (SELECT event_id, event_type,
+                   CAST(round(value * 100) AS BIGINT) AS cents,
+                   event_id % 16 AS shard
+                 FROM events),
+      v2 AS (SELECT event_id, event_type, shard,
+               CASE WHEN (shard = 3 OR shard = 7) AND event_id % 5 = 0
+                    THEN cents + 1 ELSE cents END AS cents
+             FROM b),
+      h1 AS (SELECT shard,
+               CAST(('0x' || substring(md5(
+                 CAST(strlen(CAST(event_id AS VARCHAR)) AS VARCHAR)
+                   || ':' || CAST(event_id AS VARCHAR) ||
+                 (CASE WHEN event_type IS NULL THEN 'N'
+                       ELSE CAST(strlen(event_type) AS VARCHAR)
+                            || ':' || event_type END) ||
+                 CAST(strlen(CAST(cents AS VARCHAR)) AS VARCHAR)
+                   || ':' || CAST(cents AS VARCHAR)), 1, 8))
+                 AS BIGINT) % 2147483647 AS hh
+             FROM b),
+      h2 AS (SELECT shard,
+               CAST(('0x' || substring(md5(
+                 CAST(strlen(CAST(event_id AS VARCHAR)) AS VARCHAR)
+                   || ':' || CAST(event_id AS VARCHAR) ||
+                 (CASE WHEN event_type IS NULL THEN 'N'
+                       ELSE CAST(strlen(event_type) AS VARCHAR)
+                            || ':' || event_type END) ||
+                 CAST(strlen(CAST(cents AS VARCHAR)) AS VARCHAR)
+                   || ':' || CAST(cents AS VARCHAR)), 1, 8))
+                 AS BIGINT) % 2147483647 AS hh
+             FROM v2),
+      m1 AS (SELECT shard, CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(hh) % 2147483647 AS BIGINT) AS fp
+             FROM h1 GROUP BY 1),
+      m2 AS (SELECT shard, CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(hh) % 2147483647 AS BIGINT) AS fp
+             FROM h2 GROUP BY 1),
+      stale AS (SELECT m1.shard FROM m1 JOIN m2 USING (shard)
+                WHERE m1.fp <> m2.fp OR m1.n <> m2.n),
+      ns AS (SELECT CAST(count(*) AS BIGINT) AS n_stale_shards
+             FROM stale)
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS cents, ns.n_stale_shards
+      FROM v2 CROSS JOIN ns
+      GROUP BY event_type, ns.n_stale_shards
+      ORDER BY event_type"""
   )
 }
