@@ -302,6 +302,35 @@ class DedupSpec extends SparkSpec {
     staged.unpersist()
   }
 
+  test("prefixFilterJaccardPairs: randomized lossless law — seeded " +
+      "corpora with a tiny alphabet (hot shingles, ties, size spread)") {
+    // the positional filter's batch formulation leans on the shared
+    // global (df, shingle) ordering; random corpora with heavy hash
+    // collisions and duplicate docs probe the argument's edge cases
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    for (case_ <- 0 until 4; threshold <- Seq(0.4, 0.7)) {
+      val corpus = (0L until 14L).map { i =>
+        val len = 3 + rnd.nextInt(10)
+        (i, Seq.fill(len)(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" "))
+      }
+      val staged = corpus.toDF("id", "text")
+        .select($"id", TextAnalysis.shingleHashes($"text", 2).as("s"))
+        .persist()
+      def pairSet(df: org.apache.spark.sql.DataFrame) =
+        df.select("id_a", "id_b", "jaccard")
+          .as[(Long, Long, Double)].collect().toSet
+      val exact = pairSet(Dedup.ngramJaccardPairsFromShingles(
+        staged, threshold = threshold, maxDf = 0))
+      val prefixed = pairSet(Dedup.prefixFilterJaccardPairs(
+        staged, threshold = threshold))
+      staged.unpersist()
+      assert(prefixed === exact,
+        s"case $case_ t=$threshold: prefix+positional must be lossless")
+    }
+  }
+
   test("embeddingPairs bucketCap: guarded pairs are a subset of " +
       "unguarded, multi-table redundancy keeps near-full recall, and " +
       "the worst bucket is bounded") {
