@@ -1211,6 +1211,87 @@ private[graft] object QueriesLlmB {
           sum(col("audio.sum_samples")).as("exact_sum"))
       pngC.unionByName(jpgC).unionByName(gifC).unionByName(wavC)
         .orderBy(col("fmt"))
+    },
+
+    // --- CROSS-MODAL TRANSITIVE DEDUP: a page is a duplicate if its
+    //     TEXT is a near-dup (exact prefix-filtered Jaccard ≥ 0.5)
+    //     OR its IMAGE has an identical decoded raster (exact
+    //     channel-sum content key over the REAL codec path; aHash is
+    //     deliberately not used here — on this synthetic family its
+    //     per-image constant shifts pixels and mean together, so its
+    //     clusters collapse to dimension groups, q306's census) —
+    //     the union of both edge sets closed under connected
+    //     components, which is how a curation pipeline catches "same
+    //     article, different stock photo" AND "same photo,
+    //     paraphrased caption" as ONE cluster. Constructed corpus:
+    //     each sampled doc gets a truncated-text variant (text edge
+    //     only — fresh image seed) and an image twin (identical
+    //     pixels, unique single-shingle text), so size-3+ components
+    //     can only exist if BOTH modalities merged; every 300th doc
+    //     shares one banner image, splicing many triples into one
+    //     component. The oracle replays the Jaccard truth, the
+    //     channel sums from the pixel formula, and the closure
+    //     (recursive CTE) — the census hash-gates every edge of both
+    //     modalities at once. ---
+    "q317_crossmodal_dedup" -> { (spark, dir) =>
+      val mm = graft.llm.Multimodal
+      // per-doc token rename: the documents corpus carries intrinsic
+      // near-copy families that would chain every page into one blob;
+      // the rename bijection keeps each page's own structure (orig ↔
+      // truncated variant still J ≥ 0.5) while zeroing cross-doc
+      // Jaccard, so the only edges are the CONSTRUCTED ones and the
+      // census discriminates (the ScaleBench corpus discipline)
+      val base = tbl(spark, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(20)) === 0)
+        .select(col("doc_id"),
+          array_join(transform(split(col("text"), "[ \t\n\f\r]+"),
+            x => concat(lit("d"), col("doc_id").cast("string"),
+              lit("x"), x)), " ").as("text"))
+      def bannerSeed(id: Column) =
+        when(pmod(id, lit(300)) === 0, lit(0L)).otherwise(id)
+      val orig = base.select(col("doc_id").as("page_id"), col("text"),
+        bannerSeed(col("doc_id")).as("seed"))
+      val variant = base.select(
+        (col("doc_id") + 1000000L).as("page_id"),
+        col("text").substr(lit(1),
+          greatest(length(col("text")) - 30, lit(1))).as("text"),
+        (col("doc_id") + 1000000L).as("seed"))
+      val twin = base.select((col("doc_id") + 2000000L).as("page_id"),
+        concat(lit("twin"), (col("doc_id") + 2000000L).cast("string"))
+          .as("text"),
+        bannerSeed(col("doc_id")).as("seed"))
+      val pages = orig.unionByName(variant).unionByName(twin)
+        .localCheckpoint() // feeds the text branch AND the codec branch
+      val textEdges = Dedup.prefixFilterJaccardPairs(
+        pages.select(col("page_id").as("id"),
+          TextAnalysis.shingleHashes(col("text"), 3).as("s")),
+        threshold = 0.5)
+        .select(col("id_a"), col("id_b"))
+      val key = Seq("w", "h", "sr", "sg", "sb")
+      val feats = mm.featurizeImagesBatched(
+        mm.encodePngBatched(
+          pages.select(col("page_id"), col("seed"))
+            .withColumn("w",
+              (lit(8) + pmod(col("seed"), lit(24))).cast("int"))
+            .withColumn("h",
+              (lit(8) + pmod(col("seed"), lit(16))).cast("int")),
+          col("w"), col("h"), col("seed")),
+        col("payload"))
+        .select(col("page_id"), col("w"), col("h"),
+          col("px.sum_r").as("sr"), col("px.sum_g").as("sg"),
+          col("px.sum_b").as("sb"))
+        .localCheckpoint() // two consumers; never re-run the codecs
+      val gmin = feats.groupBy(key.map(col): _*)
+        .agg(min(col("page_id")).as("root"))
+      val imgEdges = feats.join(gmin, key)
+        .filter(col("page_id") =!= col("root"))
+        .select(col("root").as("id_a"), col("page_id").as("id_b"))
+      Dedup.connectedComponents(textEdges.unionByName(imgEdges),
+          col("id_a"), col("id_b"))
+        .groupBy(col("comp")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .orderBy(col("cluster_size"))
     }
   )
 
@@ -2278,6 +2359,95 @@ private[graft] object QueriesLlmB {
                 ON xs.i < d.n) a)
       SELECT * FROM png UNION ALL SELECT * FROM jpeg
       UNION ALL SELECT * FROM gif UNION ALL SELECT * FROM wav
-      ORDER BY fmt"""
+      ORDER BY fmt""",
+
+
+    // text edges replay q150's uncapped Jaccard truth over the page
+    // corpus; image edges replay the aHash from the pixel formula
+    // (q306's machinery); the closure is the q75 recursive-CTE CC
+    "q317_crossmodal_dedup" -> """
+      WITH RECURSIVE
+      b AS (SELECT doc_id,
+              array_to_string(list_transform(
+                string_split_regex(text, '[ \t\n\f\r]+'),
+                x -> 'd' || CAST(doc_id AS VARCHAR) || 'x' || x),
+                ' ') AS text
+            FROM documents WHERE doc_id % 20 = 0),
+      pages AS (
+        SELECT doc_id AS page_id, text,
+               CASE WHEN doc_id % 300 = 0 THEN 0 ELSE doc_id END
+                 AS seed
+        FROM b
+        UNION ALL
+        SELECT doc_id + 1000000,
+               substring(text, 1, greatest(length(text) - 30, 1)),
+               doc_id + 1000000
+        FROM b
+        UNION ALL
+        SELECT doc_id + 2000000,
+               'twin' || CAST(doc_id + 2000000 AS VARCHAR),
+               CASE WHEN doc_id % 300 = 0 THEN 0 ELSE doc_id END
+        FROM b),
+      tk AS (SELECT page_id,
+               list_filter(string_split_regex(lower(trim(text)),
+                 '\s+'), x -> length(x) > 0) AS toks
+             FROM pages),
+      sh AS (SELECT page_id,
+               CASE WHEN len(toks) >= 3 THEN
+                      list_distinct(list_transform(
+                        generate_series(1, len(toks) - 2),
+                        i -> toks[i] || ' ' || toks[i+1] || ' '
+                          || toks[i+2]))
+                    WHEN len(toks) > 0
+                      THEN [array_to_string(toks, ' ')]
+                    ELSE [] END AS s
+             FROM tk),
+      ex AS (SELECT page_id, unnest(s) AS g FROM sh),
+      sz AS (SELECT page_id, count(*) AS sz FROM ex GROUP BY 1),
+      te AS (SELECT i.id_a, i.id_b FROM (
+               SELECT a.page_id AS id_a, b2.page_id AS id_b,
+                      count(*) AS n_shared
+               FROM ex a JOIN ex b2
+                 ON a.g = b2.g AND a.page_id < b2.page_id
+               GROUP BY 1, 2) i
+             JOIN sz sa ON sa.page_id = i.id_a
+             JOIN sz sb ON sb.page_id = i.id_b
+             WHERE round(CAST(i.n_shared AS DOUBLE)
+                   / (sa.sz + sb.sz - i.n_shared), 6) >= 0.5),
+      dims AS (SELECT page_id, seed,
+                 CAST(8 + seed % 24 AS INT) AS w,
+                 CAST(8 + seed % 16 AS INT) AS h
+               FROM pages),
+      px AS (SELECT d.page_id, d.w, d.h,
+                    ((d.seed * 31 + xs.x * 7 + ys.y * 131)
+                      & 16777215) AS v
+             FROM dims d
+             JOIN (SELECT unnest(generate_series(0, 30)) AS x) xs
+               ON xs.x < d.w
+             JOIN (SELECT unnest(generate_series(0, 22)) AS y) ys
+               ON ys.y < d.h),
+      fs AS (SELECT page_id, w, h,
+                    CAST(sum((v >> 16) & 255) AS BIGINT) AS sr,
+                    CAST(sum((v >> 8) & 255) AS BIGINT) AS sg,
+                    CAST(sum(v & 255) AS BIGINT) AS sb
+             FROM px GROUP BY 1, 2, 3),
+      gm AS (SELECT w, h, sr, sg, sb, min(page_id) AS root
+             FROM fs GROUP BY 1, 2, 3, 4, 5),
+      ie AS (SELECT gm.root AS id_a, fs.page_id AS id_b
+             FROM fs JOIN gm USING (w, h, sr, sg, sb)
+             WHERE fs.page_id <> gm.root),
+      alled AS (SELECT id_a, id_b FROM te
+                UNION ALL SELECT id_a, id_b FROM ie),
+      ed AS (SELECT id_a AS x, id_b AS y FROM alled
+             UNION ALL SELECT id_b, id_a FROM alled),
+      r AS (SELECT x AS id, x AS rr FROM ed
+            UNION
+            SELECT ed.x, r.rr FROM ed JOIN r ON ed.y = r.id),
+      c AS (SELECT id, min(rr) AS comp FROM r GROUP BY id),
+      szs AS (SELECT comp, CAST(count(*) AS BIGINT) AS csz
+              FROM c GROUP BY 1)
+      SELECT csz AS cluster_size, CAST(count(*) AS BIGINT)
+               AS n_clusters
+      FROM szs GROUP BY 1 ORDER BY 1"""
   )
 }
