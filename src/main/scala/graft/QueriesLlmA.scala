@@ -1171,6 +1171,75 @@ private[graft] object QueriesLlmA {
           max(col("copy")).cast("int").as("max_copy"),
           sum(col("id")).as("id_sum"))
         .orderBy(col("source"))
+    },
+
+    // --- QUANTIZER-DRIFT HEALTH CHECK (manifest-driven ANN index
+    //     maintenance): the IVF quantizer was fitted on history; two
+    //     new-batch regimes arrive — MILD (each new doc gains a
+    //     2-token hot block; distribution barely moves) and HEAVY
+    //     (a 200-token block dominates every new vector, funneling
+    //     the batch into few cells). The maintenance decision reads
+    //     only the per-cell ASSIGNMENT CENSUS — k rows, additively
+    //     maintainable per ingest batch — never the vectors:
+    //     worst-cell overload (max n·k > 2·N) and distribution drift
+    //     (Σ|n_hist·N_all − n_all·N_hist| ·5 > N_hist·N_all, i.e. L1
+    //     distance > 0.4) as exact integer cross-multiplications;
+    //     the two regimes exercise BOTH flag states (a decision rule
+    //     that never fires proves nothing — the q295 lesson). The
+    //     oracle refits the same 2-round Lloyd loop (chained CTEs,
+    //     q107's machinery), replays both censuses and all four
+    //     flags — the hash gates the fit, the assignments, and the
+    //     refit decisions at once. ---
+    "q318_quantizer_drift" -> { (spark, dir) =>
+      import spark.implicits._
+      val docs = tbl(spark, dir, "documents")
+      val hist = docs.filter(pmod(col("doc_id"), lit(10)) < 7)
+        .select(col("doc_id"), col("text"))
+      val hv = graft.llm.Featurize.hashedBow(hist, col("doc_id"),
+        col("text"), dim = 32).localCheckpoint()
+      val means = graft.llm.KMeans.fit(hv, col("doc_id"), col("v"),
+        k = 16, iters = 2)
+      def census(d: DataFrame) =
+        graft.llm.KMeans.assign(d, col("doc_id"), col("v"), means)
+          .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      val scen = Seq(("mild", 2), ("heavy", 200))
+      val censA = scen.map { case (nm, rep) =>
+        val d = docs.filter(pmod(col("doc_id"), lit(10)) >= 7)
+          .select(col("doc_id"),
+            concat(col("text"), lit(" drift" * rep)).as("text"))
+        census(hv.unionByName(graft.llm.Featurize.hashedBow(d,
+            col("doc_id"), col("text"), dim = 32)))
+          .select(lit(nm).as("scenario"), col("cell"),
+            col("n").as("n_all"))
+      }.reduce(_ unionByName _)
+      val per = means.select(col("cell")).distinct()
+        .crossJoin(scen.map(_._1).toDF("scenario"))
+        .join(census(hv).withColumnRenamed("n", "n_hist"),
+          Seq("cell"), "left")
+        .join(censA, Seq("scenario", "cell"), "left")
+        .select(col("scenario"), col("cell"),
+          coalesce(col("n_hist"), lit(0L)).as("n_hist"),
+          coalesce(col("n_all"), lit(0L)).as("n_all"))
+        .localCheckpoint() // three consumers below
+      val g = per.groupBy(col("scenario"))
+        .agg(sum(col("n_hist")).as("__N1"),
+          sum(col("n_all")).as("__N2"), max(col("n_all")).as("__mx"))
+      val g2 = per.join(broadcast(g), Seq("scenario"))
+        .groupBy(col("scenario"))
+        .agg(sum(abs(col("n_hist") * col("__N2") -
+          col("n_all") * col("__N1"))).as("drift_num"),
+          min(col("__N1")).as("n_hist_total"),
+          min(col("__N2")).as("n_all_total"),
+          min(col("__mx")).as("worst_cell_n"))
+        .select(col("scenario"), col("drift_num"),
+          col("n_hist_total"), col("n_all_total"),
+          col("worst_cell_n"),
+          (col("worst_cell_n") * 16 > col("n_all_total") * 2)
+            .as("refit_worst"),
+          (col("drift_num") * 5 >
+            col("n_hist_total") * col("n_all_total")).as("refit_drift"))
+      per.join(broadcast(g2), Seq("scenario"))
+        .orderBy(col("scenario"), col("cell"))
     }
   )
 
@@ -2710,6 +2779,134 @@ private[graft] object QueriesLlmA {
              CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_kept,
              CAST(max(copy) AS INT) AS max_copy,
              CAST(sum(doc_id) AS BIGINT) AS id_sum
-      FROM m GROUP BY source ORDER BY source"""
+      FROM m GROUP BY source ORDER BY source""",
+
+
+    // the same 2-round Lloyd replay as q107/q111 (fit on history),
+    // then both assignment censuses and the exact integer
+    // cross-multiplication flags
+    "q318_quantizer_drift" -> s"""
+      WITH tkh AS (SELECT doc_id, unnest(list_filter(
+             string_split_regex(lower(trim(text)), '\\s+'),
+             x -> length(x) > 0)) AS t
+           FROM documents WHERE doc_id % 10 < 7),
+      tm AS (SELECT doc_id, unnest(list_filter(
+             string_split_regex(lower(trim(text ||
+               repeat(' drift', 2))), '\\s+'),
+             x -> length(x) > 0)) AS t
+           FROM documents WHERE doc_id % 10 >= 7),
+      tv AS (SELECT doc_id, unnest(list_filter(
+             string_split_regex(lower(trim(text ||
+               repeat(' drift', 200))), '\\s+'),
+             x -> length(x) > 0)) AS t
+           FROM documents WHERE doc_id % 10 >= 7),
+      ch AS (SELECT doc_id,
+               CAST(('0x' || substring(md5(t), 1, 4)) AS INTEGER) % 32
+                 AS b
+             FROM tkh),
+      cm AS (SELECT doc_id,
+               CAST(('0x' || substring(md5(t), 1, 4)) AS INTEGER) % 32
+                 AS b
+             FROM tm),
+      cv2 AS (SELECT doc_id,
+               CAST(('0x' || substring(md5(t), 1, 4)) AS INTEGER) % 32
+                 AS b
+             FROM tv),
+      gh AS (SELECT doc_id, b, CAST(count(*) AS DOUBLE) AS val
+             FROM ch GROUP BY 1, 2),
+      gm0 AS (SELECT doc_id, b, CAST(count(*) AS DOUBLE) AS val
+              FROM cm GROUP BY 1, 2),
+      gv AS (SELECT doc_id, b, CAST(count(*) AS DOUBLE) AS val
+             FROM cv2 GROUP BY 1, 2),
+      dims0 AS (SELECT unnest(generate_series(0, 31)) AS b),
+      dense_h AS (SELECT c.doc_id,
+                    list(coalesce(g.val, 0.0) ORDER BY c.b) AS v
+                  FROM (SELECT doc_id, d.b FROM
+                          (SELECT DISTINCT doc_id FROM gh)
+                        CROSS JOIN dims0 d) c
+                  LEFT JOIN gh g USING (doc_id, b)
+                  GROUP BY c.doc_id),
+      dense_m AS (SELECT c.doc_id,
+                    list(coalesce(g.val, 0.0) ORDER BY c.b) AS v
+                  FROM (SELECT doc_id, d.b FROM
+                          (SELECT DISTINCT doc_id FROM gm0)
+                        CROSS JOIN dims0 d) c
+                  LEFT JOIN gm0 g USING (doc_id, b)
+                  GROUP BY c.doc_id),
+      dense_v AS (SELECT c.doc_id,
+                    list(coalesce(g.val, 0.0) ORDER BY c.b) AS v
+                  FROM (SELECT doc_id, d.b FROM
+                          (SELECT DISTINCT doc_id FROM gv)
+                        CROSS JOIN dims0 d) c
+                  LEFT JOIN gv g USING (doc_id, b)
+                  GROUP BY c.doc_id),
+      dense_am AS (SELECT * FROM dense_h
+                   UNION ALL SELECT * FROM dense_m),
+      dense_av AS (SELECT * FROM dense_h
+                   UNION ALL SELECT * FROM dense_v),
+      cents0 AS (SELECT doc_id AS cent_id, v AS cv FROM dense_h
+                 ORDER BY doc_id LIMIT 16),
+      means0 AS (SELECT CAST(cent_id AS INT) AS cell,
+                        CAST(unnest(generate_series(1, len(cv)))
+                          AS INT) AS dim,
+                        unnest(cv) AS c
+                 FROM cents0),
+      ${lloydRoundSql(1, "dense_h")},
+      ${lloydRoundSql(2, "dense_h")},
+      rcF AS (SELECT cell, list(c ORDER BY dim) AS cv
+              FROM means2 GROUP BY cell),
+      asgH AS (SELECT doc_id, CAST(cell AS INT) AS cell FROM (
+          SELECT d.doc_id, r.cell,
+                 row_number() OVER (PARTITION BY d.doc_id
+                   ORDER BY list_cosine_similarity(d.v, r.cv) DESC,
+                            r.cell ASC) AS rn
+          FROM dense_h d CROSS JOIN rcF r) WHERE rn = 1),
+      asgM AS (SELECT doc_id, CAST(cell AS INT) AS cell FROM (
+          SELECT d.doc_id, r.cell,
+                 row_number() OVER (PARTITION BY d.doc_id
+                   ORDER BY list_cosine_similarity(d.v, r.cv) DESC,
+                            r.cell ASC) AS rn
+          FROM dense_am d CROSS JOIN rcF r) WHERE rn = 1),
+      asgV AS (SELECT doc_id, CAST(cell AS INT) AS cell FROM (
+          SELECT d.doc_id, r.cell,
+                 row_number() OVER (PARTITION BY d.doc_id
+                   ORDER BY list_cosine_similarity(d.v, r.cv) DESC,
+                            r.cell ASC) AS rn
+          FROM dense_av d CROSS JOIN rcF r) WHERE rn = 1),
+      censH AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_hist
+                FROM asgH GROUP BY 1),
+      censA AS (SELECT 'mild' AS scenario, cell,
+                       CAST(count(*) AS BIGINT) AS n_all
+                FROM asgM GROUP BY 1, 2
+                UNION ALL
+                SELECT 'heavy', cell, CAST(count(*) AS BIGINT)
+                FROM asgV GROUP BY 1, 2),
+      per AS (SELECT s.scenario, f.cell,
+                coalesce(h.n_hist, CAST(0 AS BIGINT)) AS n_hist,
+                coalesce(a.n_all, CAST(0 AS BIGINT)) AS n_all
+              FROM (SELECT DISTINCT cell FROM rcF) f
+              CROSS JOIN (SELECT unnest(['mild', 'heavy'])
+                AS scenario) s
+              LEFT JOIN censH h USING (cell)
+              LEFT JOIN censA a USING (scenario, cell)),
+      g1 AS (SELECT scenario, CAST(sum(n_hist) AS BIGINT) AS n1,
+                    CAST(sum(n_all) AS BIGINT) AS n2,
+                    CAST(max(n_all) AS BIGINT) AS mx
+             FROM per GROUP BY 1),
+      g2 AS (SELECT p.scenario,
+                    CAST(sum(abs(p.n_hist * g1.n2 -
+                      p.n_all * g1.n1)) AS BIGINT) AS drift_num,
+                    CAST(min(g1.n1) AS BIGINT) AS n_hist_total,
+                    CAST(min(g1.n2) AS BIGINT) AS n_all_total,
+                    CAST(min(g1.mx) AS BIGINT) AS worst_cell_n
+             FROM per p JOIN g1 USING (scenario) GROUP BY 1)
+      SELECT per.scenario, per.cell, per.n_hist, per.n_all,
+             g2.drift_num, g2.n_hist_total, g2.n_all_total,
+             g2.worst_cell_n,
+             g2.worst_cell_n * 16 > g2.n_all_total * 2 AS refit_worst,
+             g2.drift_num * 5 >
+               g2.n_hist_total * g2.n_all_total AS refit_drift
+      FROM per JOIN g2 USING (scenario)
+      ORDER BY per.scenario, per.cell"""
   )
 }
