@@ -722,6 +722,29 @@ private[graft] object QueriesLlmA {
     },
 
 
+    // --- EXACT-SUBSTRING DEDUP REMOVAL census (q104's accounting
+    //     complement — the Lee et al. removal pass): duplicated
+    //     20-token spans keep their lowest-id occurrence; every other
+    //     doc's removed-token count is the interval-union length of
+    //     its marked spans (per-doc window over sorted starts, exact
+    //     integers, no string surgery). The truncated variants are
+    //     wholly contained in their originals, so each variant's
+    //     n_removed ≈ its full length with the original as keeper —
+    //     and the corpus's intrinsic near-copy families contribute
+    //     their true cross-doc spans on top. ---
+    "q319_span_removal" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val variants = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          col("text").substr(lit(1),
+            greatest(length(col("text")) - 30, lit(1))).as("text"))
+      Dedup.spanRemovalCensus(docs.unionByName(variants),
+          col("doc_id"), col("text"), n = 20, minDocs = 2)
+        .orderBy(col("doc_id"))
+    },
+
+
     // --- SemDeDup under a FITTED quantizer (the paper's own recipe:
     //     cluster with k-means, then dedup within cells): hashed-BoW
     //     vectors -> 2 Lloyd rounds from the lowest-id init ->
@@ -2213,6 +2236,54 @@ private[graft] object QueriesLlmA {
                AS dup_span_frac
       FROM tot t LEFT JOIN dup d USING (doc_id)
       ORDER BY t.doc_id""",
+
+
+    // same span machinery as q104 with START positions (unnest +
+    // generate_subscripts), then keeper = min doc_id per duplicated
+    // span and the per-doc interval-union window
+    "q319_span_removal" -> """
+      WITH base AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000,
+               substring(text, 1, greatest(length(text) - 30, 1))
+        FROM documents WHERE doc_id % 5 = 0),
+      tk AS (SELECT doc_id, list_filter(
+               string_split_regex(lower(trim(text)), '\s+'),
+               x -> length(x) > 0) AS toks FROM base),
+      sl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok,
+               CASE WHEN len(toks) >= 20 THEN
+                      list_transform(generate_series(1, len(toks) - 19),
+                        i -> array_to_string(
+                          list_slice(toks, i, i + 19), ' '))
+                    WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+                    ELSE [] END AS spanlist
+             FROM tk),
+      sp AS (SELECT doc_id, n_tok, unnest(spanlist) AS g,
+               CAST(generate_subscripts(spanlist, 1) - 1 AS BIGINT)
+                 AS strt
+             FROM sl),
+      hot AS (SELECT g, min(doc_id) AS keeper
+              FROM (SELECT DISTINCT doc_id, g FROM sp)
+              GROUP BY g HAVING count(*) >= 2),
+      mk AS (SELECT sp.doc_id, sp.n_tok, sp.strt
+             FROM sp JOIN hot USING (g)
+             WHERE sp.doc_id <> hot.keeper),
+      iv AS (SELECT doc_id, n_tok, strt,
+               lead(strt) OVER (PARTITION BY doc_id
+                 ORDER BY strt) AS nxt
+             FROM mk),
+      rm AS (SELECT doc_id, CAST(sum(least(20, n_tok - strt,
+                 coalesce(nxt - strt, 20))) AS BIGINT) AS n_removed
+             FROM iv GROUP BY 1),
+      alln AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok
+               FROM tk)
+      SELECT a.doc_id, a.n_tok,
+             coalesce(r.n_removed, CAST(0 AS BIGINT)) AS n_removed,
+             a.n_tok - coalesce(r.n_removed, CAST(0 AS BIGINT))
+               AS n_kept
+      FROM alln a LEFT JOIN rm r USING (doc_id)
+      ORDER BY a.doc_id""",
 
 
     "q107_semdedup_fitted" -> q107OracleSql,

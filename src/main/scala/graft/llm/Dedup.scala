@@ -389,6 +389,59 @@ object Dedup {
           / col("n_spans"), 6).as("dup_span_frac"))
   }
 
+  /** EXACT-SUBSTRING DEDUP ACCOUNTING — the removal pass of
+    * "Deduplicating Training Data Makes Language Models Better"
+    * (Lee et al. 2022, public recipe) as a census: every rolling
+    * n-token span shared by ≥ minDocs distinct docs is duplicated;
+    * the lowest-id doc containing a span is its keeper, and every
+    * OTHER doc's occurrence is marked for removal. A doc's removed
+    * token count is the length of the UNION of its marked
+    * [start, start+n) intervals (clipped at doc end): with starts
+    * sorted per doc, interval i contributes
+    * least(n, n_tok − sᵢ, sᵢ₊₁ − sᵢ) — one per-doc window, exact
+    * integers end-to-end, no string surgery. At 100 TB: one
+    * partial-agg shuffle for the span census, one equi-join back,
+    * one doc-keyed window — the same shapes as [[duplicatedSpans]],
+    * plus nothing. Emits (doc_id, n_tok, n_removed, n_kept) per doc
+    * (token-less docs included with zeros). */
+  def spanRemovalCensus(docs: DataFrame, id: Column, text: Column,
+                        n: Int = 20, minDocs: Int = 2): DataFrame = {
+    val toks = TextAnalysis.tokens(text)
+    val base = docs.select(id.as("doc_id"), toks.as("__t"))
+      .select(col("doc_id"),
+        size(col("__t")).cast("long").as("n_tok"), col("__t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val spans = base.select(col("doc_id"), col("n_tok"),
+      posexplode(
+        when(size(col("__t")) >= n,
+          transform(sequence(lit(0), size(col("__t")) - n),
+            i => array_join(slice(col("__t"), i + 1, lit(n)), " ")))
+        .otherwise(when(size(col("__t")) > 0,
+          array(array_join(col("__t"), " ")))
+          .otherwise(array().cast("array<string>"))))
+        .as(Seq("start", "g")))
+    val hot = spans.select(col("doc_id"), col("g")).distinct()
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("__df"), min(col("doc_id")).as("__keeper"))
+      .filter(col("__df") >= minDocs)
+      .select(col("g"), col("__keeper"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("start"))
+    val removed = spans.join(hot, Seq("g"))
+      .filter(col("doc_id") =!= col("__keeper"))
+      .select(col("doc_id"), col("n_tok"),
+        col("start").cast("long").as("start"))
+      .withColumn("__next", lead(col("start"), 1).over(w))
+      .withColumn("__c", least(lit(n.toLong),
+        col("n_tok") - col("start"),
+        coalesce(col("__next") - col("start"), lit(n.toLong))))
+      .groupBy(col("doc_id")).agg(sum(col("__c")).as("__rm"))
+    base.select(col("doc_id"), col("n_tok"))
+      .join(removed, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"),
+        coalesce(col("__rm"), lit(0L)).as("n_removed"),
+        (col("n_tok") - coalesce(col("__rm"), lit(0L))).as("n_kept"))
+  }
+
   /** Exact embedding near-dup pairs: all-pairs cosine over a threshold.
     * O(n²) by construction — the verification baseline / small-corpus
     * form; the 100 TB path is [[embeddingPairs]] (LSH buckets) with this

@@ -302,6 +302,25 @@ class DedupSpec extends SparkSpec {
     staged.unpersist()
   }
 
+  test("spanRemovalCensus: interval union clips overlaps and doc ends, " +
+      "keeper keeps everything, short docs remove whole-text spans") {
+    val corpus = Seq(
+      (1L, "a b c d e f"),             // keeper of the identical pair
+      (2L, "a b c d e f"),             // fully removed via 3 overlapping spans
+      (3L, "x y z a b c d q r s t u"), // one shared 4-span at start 3
+      (4L, "p q"),                     // short-doc span, keeper
+      (5L, "p q"))                     // short-doc span, removed whole
+      .toDF("doc_id", "text")
+    val out = Dedup.spanRemovalCensus(corpus, $"doc_id", $"text",
+        n = 4, minDocs = 2)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (id, a, b, c) => id -> ((a, b, c)) }.toMap
+    // doc 2's marked starts 0,1,2 contribute 1+1+4 (lead-clipped), not 12
+    assert(out === Map(
+      1L -> (6L, 0L, 6L), 2L -> (6L, 6L, 0L), 3L -> (12L, 4L, 8L),
+      4L -> (2L, 0L, 2L), 5L -> (2L, 2L, 0L)))
+  }
+
   test("prefixFilterJaccardPairs: randomized lossless law — seeded " +
       "corpora with a tiny alphabet (hot shingles, ties, size spread)") {
     // the positional filter's batch formulation leans on the shared
