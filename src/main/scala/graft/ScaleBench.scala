@@ -45,7 +45,11 @@ object ScaleBench {
     // the manifest family: per-partition manifest BUILD cost is the
     // part that scales with data (answers read manifest rows only)
     "q294_quantile_manifest", "q295_vocab_manifest",
-    "q300_manifest_health")
+    "q300_manifest_health",
+    // round-10 continuation: manifest-diff selective recompute (two
+    // fingerprint scans + stale-only recompute) and the span-removal
+    // census (span index + doc-keyed window)
+    "q316_selective_recompute", "q319_span_removal")
 
   /** Tables each target reads — lets a subset run skip synthesizing
     * (and paying for) the others at high mults. */
@@ -62,7 +66,9 @@ object ScaleBench {
     "q221_communities" -> Set("lineitem"),
     "q294_quantile_manifest" -> Set("events"),
     "q295_vocab_manifest" -> Set("documents"),
-    "q300_manifest_health" -> Set("events"))
+    "q300_manifest_health" -> Set("events"),
+    "q316_selective_recompute" -> Set("events"),
+    "q319_span_removal" -> Set("documents"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
@@ -170,7 +176,12 @@ object ScaleBench {
     }
     def best2(fn: => DataFrame): Double = (1 to 2).map { _ =>
       val t0 = System.nanoTime()
-      fn.count()
+      // rdd.count() deserializes FULL rows: a bare count() lets
+      // Catalyst prune every column and then ELIMINATE branches the
+      // row count doesn't need (observed: q319's unique-keyed left
+      // join — and with it the whole span index — optimized away,
+      // measuring fixed overhead as the wall)
+      fn.rdd.count()
       val dt = (System.nanoTime() - t0) / 1e9
       cleanup()
       dt
