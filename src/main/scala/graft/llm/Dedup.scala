@@ -407,10 +407,13 @@ object Dedup {
   def spanRemovalCensus(docs: DataFrame, id: Column, text: Column,
                         n: Int = 20, minDocs: Int = 2): DataFrame = {
     val toks = TextAnalysis.tokens(text)
+    // localCheckpoint, not persist: three consumers (span explode,
+    // final join) would re-tokenize, and a persist here would outlive
+    // the call (the bfsHops caller-must-unpersist hazard)
     val base = docs.select(id.as("doc_id"), toks.as("__t"))
       .select(col("doc_id"),
         size(col("__t")).cast("long").as("n_tok"), col("__t"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val spans = base.select(col("doc_id"), col("n_tok"),
       posexplode(
         when(size(col("__t")) >= n,
