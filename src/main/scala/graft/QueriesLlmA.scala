@@ -745,6 +745,30 @@ private[graft] object QueriesLlmA {
     },
 
 
+    // --- INCREMENTAL span removal (q319's streaming-shaped twin):
+    //     history is tokenized ONCE, only its span-index manifest
+    //     (span → df, lowest doc) is persisted, and the new batch is
+    //     marked against index ∪ its own spans. New ids exceed every
+    //     history id, so the global keeper of any span equals
+    //     coalesce(keeper_hist, keeper_new) and incremental ≡ batch
+    //     is an exact theorem — the oracle IS q319's full rebuild
+    //     over the same corpus, making the hash match prove the
+    //     equivalence on real data (the q143/q200 differential
+    //     pattern, at sub-document granularity). ---
+    "q320_incremental_span_removal" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val variants = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          col("text").substr(lit(1),
+            greatest(length(col("text")) - 30, lit(1))).as("text"))
+      val idxPath = Scratch.dir("graft_q320").toString + "/span_idx"
+      Dedup.spanRemovalIncremental(docs, variants,
+          col("doc_id"), col("text"), idxPath, n = 20)
+        .orderBy(col("doc_id"))
+    },
+
+
     // --- SemDeDup under a FITTED quantizer (the paper's own recipe:
     //     cluster with k-means, then dedup within cells): hashed-BoW
     //     vectors -> 2 Lloyd rounds from the lowest-id init ->
@@ -1265,6 +1289,50 @@ private[graft] object QueriesLlmA {
         .orderBy(col("scenario"), col("cell"))
     }
   )
+
+  private val spanRemovalBatchSql: String = """
+      WITH base AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000,
+               substring(text, 1, greatest(length(text) - 30, 1))
+        FROM documents WHERE doc_id % 5 = 0),
+      tk AS (SELECT doc_id, list_filter(
+               string_split_regex(lower(trim(text)), '\s+'),
+               x -> length(x) > 0) AS toks FROM base),
+      sl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok,
+               CASE WHEN len(toks) >= 20 THEN
+                      list_transform(generate_series(1, len(toks) - 19),
+                        i -> array_to_string(
+                          list_slice(toks, i, i + 19), ' '))
+                    WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+                    ELSE [] END AS spanlist
+             FROM tk),
+      sp AS (SELECT doc_id, n_tok, unnest(spanlist) AS g,
+               CAST(generate_subscripts(spanlist, 1) - 1 AS BIGINT)
+                 AS strt
+             FROM sl),
+      hot AS (SELECT g, min(doc_id) AS keeper
+              FROM (SELECT DISTINCT doc_id, g FROM sp)
+              GROUP BY g HAVING count(*) >= 2),
+      mk AS (SELECT sp.doc_id, sp.n_tok, sp.strt
+             FROM sp JOIN hot USING (g)
+             WHERE sp.doc_id <> hot.keeper),
+      iv AS (SELECT doc_id, n_tok, strt,
+               lead(strt) OVER (PARTITION BY doc_id
+                 ORDER BY strt) AS nxt
+             FROM mk),
+      rm AS (SELECT doc_id, CAST(sum(least(20, n_tok - strt,
+                 coalesce(nxt - strt, 20))) AS BIGINT) AS n_removed
+             FROM iv GROUP BY 1),
+      alln AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok
+               FROM tk)
+      SELECT a.doc_id, a.n_tok,
+             coalesce(r.n_removed, CAST(0 AS BIGINT)) AS n_removed,
+             a.n_tok - coalesce(r.n_removed, CAST(0 AS BIGINT))
+               AS n_kept
+      FROM alln a LEFT JOIN rm r USING (doc_id)
+      ORDER BY a.doc_id"""
 
   def oracleSql: Map[String, String] = Map(
 
@@ -2240,50 +2308,12 @@ private[graft] object QueriesLlmA {
 
     // same span machinery as q104 with START positions (unnest +
     // generate_subscripts), then keeper = min doc_id per duplicated
-    // span and the per-doc interval-union window
-    "q319_span_removal" -> """
-      WITH base AS (
-        SELECT doc_id, text FROM documents
-        UNION ALL
-        SELECT doc_id + 1000000,
-               substring(text, 1, greatest(length(text) - 30, 1))
-        FROM documents WHERE doc_id % 5 = 0),
-      tk AS (SELECT doc_id, list_filter(
-               string_split_regex(lower(trim(text)), '\s+'),
-               x -> length(x) > 0) AS toks FROM base),
-      sl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok,
-               CASE WHEN len(toks) >= 20 THEN
-                      list_transform(generate_series(1, len(toks) - 19),
-                        i -> array_to_string(
-                          list_slice(toks, i, i + 19), ' '))
-                    WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
-                    ELSE [] END AS spanlist
-             FROM tk),
-      sp AS (SELECT doc_id, n_tok, unnest(spanlist) AS g,
-               CAST(generate_subscripts(spanlist, 1) - 1 AS BIGINT)
-                 AS strt
-             FROM sl),
-      hot AS (SELECT g, min(doc_id) AS keeper
-              FROM (SELECT DISTINCT doc_id, g FROM sp)
-              GROUP BY g HAVING count(*) >= 2),
-      mk AS (SELECT sp.doc_id, sp.n_tok, sp.strt
-             FROM sp JOIN hot USING (g)
-             WHERE sp.doc_id <> hot.keeper),
-      iv AS (SELECT doc_id, n_tok, strt,
-               lead(strt) OVER (PARTITION BY doc_id
-                 ORDER BY strt) AS nxt
-             FROM mk),
-      rm AS (SELECT doc_id, CAST(sum(least(20, n_tok - strt,
-                 coalesce(nxt - strt, 20))) AS BIGINT) AS n_removed
-             FROM iv GROUP BY 1),
-      alln AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok
-               FROM tk)
-      SELECT a.doc_id, a.n_tok,
-             coalesce(r.n_removed, CAST(0 AS BIGINT)) AS n_removed,
-             a.n_tok - coalesce(r.n_removed, CAST(0 AS BIGINT))
-               AS n_kept
-      FROM alln a LEFT JOIN rm r USING (doc_id)
-      ORDER BY a.doc_id""",
+    // span and the per-doc interval-union window. q320 (the
+    // incremental path over a persisted span index) shares this SQL
+    // VERBATIM: its oracle is the full rebuild, so the hash match
+    // proves incremental ≡ batch.
+    "q319_span_removal" -> spanRemovalBatchSql,
+    "q320_incremental_span_removal" -> spanRemovalBatchSql,
 
 
     "q107_semdedup_fitted" -> q107OracleSql,

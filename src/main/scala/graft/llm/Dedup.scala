@@ -406,10 +406,69 @@ object Dedup {
     * (token-less docs included with zeros). */
   def spanRemovalCensus(docs: DataFrame, id: Column, text: Column,
                         n: Int = 20, minDocs: Int = 2): DataFrame = {
+    val (base, spans) = spanStarts(docs, id, text, n)
+    val hot = spans.select(col("doc_id"), col("g")).distinct()
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("__df"), min(col("doc_id")).as("__keeper"))
+      .filter(col("__df") >= minDocs)
+      .select(col("g"), col("__keeper"))
+    val marked = spans.join(hot, Seq("g"))
+      .filter(col("doc_id") =!= col("__keeper"))
+    removalRows(base, marked, n)
+  }
+
+  /** INCREMENTAL span-removal: history is processed once and only its
+    * SPAN INDEX (span → distinct-doc df, lowest containing doc)
+    * survives; a new batch is marked against index ∪ its own spans
+    * and history is never re-tokenized. Requires every new id to
+    * exceed every history id — then the global keeper of any span is
+    * min(keeper_hist, keeper_new) = coalesce(keeper_hist, keeper_new)
+    * and a history doc can only be a non-keeper to ANOTHER history
+    * doc, so the history rows of the full batch recompute are exactly
+    * the history-only pass. That makes incremental ≡ batch an exact
+    * theorem at minDocs = 2 (q320's oracle IS the full rebuild). The
+    * index is the mergeable manifest: df sums and keepers min across
+    * batches, so the next increment folds the same way. */
+  def spanRemovalIncremental(hist: DataFrame, fresh: DataFrame,
+                             id: Column, text: Column,
+                             indexPath: String,
+                             n: Int = 20): DataFrame = {
+    // one history pass: the same span index serves the history
+    // marking AND persists as the manifest the next batch reads
+    val (bh, sh) = spanStarts(hist, id, text, n)
+    sh.select(col("doc_id"), col("g")).distinct()
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("__dfh"), min(col("doc_id")).as("__kh"))
+      .write.mode("overwrite").parquet(indexPath)
+    val idx = bh.sparkSession.read.parquet(indexPath)
+    val histMarked = sh
+      .join(idx.filter(col("__dfh") >= 2), Seq("g"))
+      .filter(col("doc_id") =!= col("__kh"))
+    val histRows = removalRows(bh, histMarked, n)
+    val (bn, sn) = spanStarts(fresh, id, text, n)
+    val newIdx = sn.select(col("doc_id"), col("g")).distinct()
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("__dfn"), min(col("doc_id")).as("__kn"))
+    val merged = newIdx.join(idx, Seq("g"), "left")
+      .select(col("g"),
+        (col("__dfn") + coalesce(col("__dfh"), lit(0L))).as("__df"),
+        coalesce(col("__kh"), col("__kn")).as("__keeper"))
+      .filter(col("__df") >= 2)
+    val marked = sn.join(merged, Seq("g"))
+      .filter(col("doc_id") =!= col("__keeper"))
+    histRows.unionByName(removalRows(bn, marked, n))
+  }
+
+  /** Rolling n-token spans WITH their 0-based start positions:
+    * returns (base = (doc_id, n_tok, __t) localCheckpointed for its
+    * multiple consumers, spans = (doc_id, n_tok, start, g)). Docs
+    * shorter than n contribute their whole text as one span at 0;
+    * token-less docs contribute none (but stay in base). */
+  private def spanStarts(docs: DataFrame, id: Column, text: Column,
+                         n: Int): (DataFrame, DataFrame) = {
     val toks = TextAnalysis.tokens(text)
-    // localCheckpoint, not persist: three consumers (span explode,
-    // final join) would re-tokenize, and a persist here would outlive
-    // the call (the bfsHops caller-must-unpersist hazard)
+    // localCheckpoint, not persist: a persist here would outlive the
+    // call (the bfsHops caller-must-unpersist hazard)
     val base = docs.select(id.as("doc_id"), toks.as("__t"))
       .select(col("doc_id"),
         size(col("__t")).cast("long").as("n_tok"), col("__t"))
@@ -423,14 +482,16 @@ object Dedup {
           array(array_join(col("__t"), " ")))
           .otherwise(array().cast("array<string>"))))
         .as(Seq("start", "g")))
-    val hot = spans.select(col("doc_id"), col("g")).distinct()
-      .groupBy(col("g"))
-      .agg(count(lit(1)).as("__df"), min(col("doc_id")).as("__keeper"))
-      .filter(col("__df") >= minDocs)
-      .select(col("g"), col("__keeper"))
+    (base, spans)
+  }
+
+  /** Interval-union removal accounting over marked span occurrences:
+    * per doc, sorted starts, contribution least(n, n_tok − s, s' − s);
+    * docs with nothing marked report zero. */
+  private def removalRows(base: DataFrame, marked: DataFrame,
+                          n: Int): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("start"))
-    val removed = spans.join(hot, Seq("g"))
-      .filter(col("doc_id") =!= col("__keeper"))
+    val removed = marked
       .select(col("doc_id"), col("n_tok"),
         col("start").cast("long").as("start"))
       .withColumn("__next", lead(col("start"), 1).over(w))
