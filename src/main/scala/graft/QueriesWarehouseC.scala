@@ -552,6 +552,71 @@ private[graft] object QueriesWarehouseC {
         .crossJoin(broadcast(
           stale.agg(count(lit(1)).as("n_stale_shards"))))
         .orderBy(col("event_type"))
+    },
+
+    // --- JOIN-ORDER SELECTION from histogram manifests (the q297 →
+    //     q315 planner story completed): for the 4-table star
+    //     lineitem ⋈ orders ⋈ customer + supplier, the dominant
+    //     left-deep cost term is the FIRST join's cardinality — each
+    //     candidate first edge is estimated from the 64-row bucket
+    //     histograms (exact containment-rule integers), the smallest
+    //     estimate wins (tie: edge name asc), and the full join then
+    //     executes with the chosen pair leftmost (Spark's CBO join
+    //     reorder is off by default, so the DataFrame order IS the
+    //     plan order). The census hash-gates every estimate, the
+    //     TRUE pairwise sizes (key-census products, no join
+    //     materialized), the choice, and the executed result count. ---
+    "q321_join_order" -> { (spark, dir) =>
+      val js = graft.operators.JoinStats
+      val li = tbl(spark, dir, "lineitem")
+      val ord = tbl(spark, dir, "orders")
+      val cust = tbl(spark, dir, "customer")
+      val supp = tbl(spark, dir, "supplier")
+      def actual(a: DataFrame, ka: Column, b: DataFrame, kb: Column) = {
+        val ca = a.groupBy(ka.cast("long").as("k"))
+          .agg(count(lit(1)).as("__ca"))
+        val cb = b.groupBy(kb.cast("long").as("k"))
+          .agg(count(lit(1)).as("__cb"))
+        ca.join(cb, "k")
+          .agg(coalesce(sum(col("__ca") * col("__cb")), lit(0L))
+            .as("actual"))
+      }
+      def edge(name: String, a: DataFrame, ka: Column,
+               b: DataFrame, kb: Column) =
+        js.estimateEquiJoin(js.bucketHistogram(a, ka, 64),
+            js.bucketHistogram(b, kb, 64))
+          .crossJoin(actual(a, ka, b, kb))
+          .select(lit(name).as("edge"), col("est"), col("actual"))
+      val census = edge("li_orders", li, col("l_orderkey"),
+          ord, col("o_orderkey"))
+        .unionByName(edge("li_supplier", li, col("l_suppkey"),
+          supp, col("s_suppkey")))
+        .unionByName(edge("orders_customer", ord, col("o_custkey"),
+          cust, col("c_custkey")))
+        .localCheckpoint() // feeds the choice, the plan, the output
+      val chosen = census
+        .orderBy(col("est").asc, col("edge").asc)
+        .select(col("edge")).head().getString(0) // one bounded pull:
+        // the planner reads 3 manifest rows, never data
+      val joined = chosen match {
+        case "li_orders" =>
+          li.join(ord, col("l_orderkey") === col("o_orderkey"))
+            .join(cust, col("o_custkey") === col("c_custkey"))
+            .join(supp, col("l_suppkey") === col("s_suppkey"))
+        case "li_supplier" =>
+          li.join(supp, col("l_suppkey") === col("s_suppkey"))
+            .join(ord, col("l_orderkey") === col("o_orderkey"))
+            .join(cust, col("o_custkey") === col("c_custkey"))
+        case _ =>
+          ord.join(cust, col("o_custkey") === col("c_custkey"))
+            .join(li, col("l_orderkey") === col("o_orderkey"))
+            .join(supp, col("l_suppkey") === col("s_suppkey"))
+      }
+      census
+        .withColumn("chosen", col("edge") === lit(chosen))
+        .crossJoin(broadcast(
+          joined.agg(count(lit(1)).as("final_rows"))))
+        .orderBy(col("edge"))
     }
   )
 
@@ -1086,6 +1151,78 @@ private[graft] object QueriesWarehouseC {
              CAST(sum(cents) AS BIGINT) AS cents, ns.n_stale_shards
       FROM v2 CROSS JOIN ns
       GROUP BY event_type, ns.n_stale_shards
-      ORDER BY event_type"""
+      ORDER BY event_type""",
+
+
+    "q321_join_order" -> """
+      WITH h1a AS (SELECT l_orderkey % 64 AS bucket,
+                     CAST(count(*) AS BIGINT) AS ra,
+                     CAST(count(DISTINCT l_orderkey) AS BIGINT) AS ka
+                   FROM lineitem GROUP BY 1),
+      h1b AS (SELECT o_orderkey % 64 AS bucket,
+                CAST(count(*) AS BIGINT) AS rb,
+                CAST(count(DISTINCT o_orderkey) AS BIGINT) AS kb
+              FROM orders GROUP BY 1),
+      e1 AS (SELECT CAST(sum((ra * rb) // greatest(ka, kb))
+               AS BIGINT) AS est
+             FROM h1a JOIN h1b USING (bucket)),
+      a1 AS (SELECT CAST(sum(ca * cb) AS BIGINT) AS actual
+             FROM (SELECT l_orderkey AS k, count(*) AS ca
+                   FROM lineitem GROUP BY 1) x
+             JOIN (SELECT o_orderkey AS k, count(*) AS cb
+                   FROM orders GROUP BY 1) y USING (k)),
+      h2a AS (SELECT l_suppkey % 64 AS bucket,
+                CAST(count(*) AS BIGINT) AS ra,
+                CAST(count(DISTINCT l_suppkey) AS BIGINT) AS ka
+              FROM lineitem GROUP BY 1),
+      h2b AS (SELECT s_suppkey % 64 AS bucket,
+                CAST(count(*) AS BIGINT) AS rb,
+                CAST(count(DISTINCT s_suppkey) AS BIGINT) AS kb
+              FROM supplier GROUP BY 1),
+      e2 AS (SELECT CAST(sum((ra * rb) // greatest(ka, kb))
+               AS BIGINT) AS est
+             FROM h2a JOIN h2b USING (bucket)),
+      a2 AS (SELECT CAST(sum(ca * cb) AS BIGINT) AS actual
+             FROM (SELECT l_suppkey AS k, count(*) AS ca
+                   FROM lineitem GROUP BY 1) x
+             JOIN (SELECT s_suppkey AS k, count(*) AS cb
+                   FROM supplier GROUP BY 1) y USING (k)),
+      h3a AS (SELECT o_custkey % 64 AS bucket,
+                CAST(count(*) AS BIGINT) AS ra,
+                CAST(count(DISTINCT o_custkey) AS BIGINT) AS ka
+              FROM orders GROUP BY 1),
+      h3b AS (SELECT c_custkey % 64 AS bucket,
+                CAST(count(*) AS BIGINT) AS rb,
+                CAST(count(DISTINCT c_custkey) AS BIGINT) AS kb
+              FROM customer GROUP BY 1),
+      e3 AS (SELECT CAST(sum((ra * rb) // greatest(ka, kb))
+               AS BIGINT) AS est
+             FROM h3a JOIN h3b USING (bucket)),
+      a3 AS (SELECT CAST(sum(ca * cb) AS BIGINT) AS actual
+             FROM (SELECT o_custkey AS k, count(*) AS ca
+                   FROM orders GROUP BY 1) x
+             JOIN (SELECT c_custkey AS k, count(*) AS cb
+                   FROM customer GROUP BY 1) y USING (k)),
+      census AS (
+        SELECT 'li_orders' AS edge, e1.est, a1.actual
+        FROM e1 CROSS JOIN a1
+        UNION ALL
+        SELECT 'li_supplier', e2.est, a2.actual
+        FROM e2 CROSS JOIN a2
+        UNION ALL
+        SELECT 'orders_customer', e3.est, a3.actual
+        FROM e3 CROSS JOIN a3),
+      pick AS (SELECT edge AS chosen_edge FROM census
+               ORDER BY est ASC, edge ASC LIMIT 1),
+      fin AS (SELECT CAST(count(*) AS BIGINT) AS final_rows
+              FROM lineitem l
+              JOIN orders o ON l.l_orderkey = o.o_orderkey
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              JOIN supplier s ON l.l_suppkey = s.s_suppkey)
+      SELECT census.edge, census.est, census.actual,
+             census.edge = pick.chosen_edge AS chosen,
+             fin.final_rows
+      FROM census CROSS JOIN pick CROSS JOIN fin
+      ORDER BY census.edge"""
   )
 }
