@@ -617,6 +617,52 @@ private[graft] object QueriesWarehouseC {
         .crossJoin(broadcast(
           joined.agg(count(lit(1)).as("final_rows"))))
         .orderBy(col("edge"))
+    },
+
+    // --- BACKFILL PLANNER (manifests × lineage): after a bad
+    //     upstream batch, which derived tables must recompute, and in
+    //     what order? Stale SOURCES come from the q316 fingerprint
+    //     manifest diff (shards 3 and 7 mutate); staleness then
+    //     propagates through a derivation DAG by frontier BFS
+    //     (Graph.bfsHops — the existing operator), and the min-hop
+    //     is the backfill WAVE: wave-0 sources re-ingest, wave-1
+    //     dailies rebuild from them, wave-2+ roll up. Fresh nodes
+    //     (wave −1) are exactly what selective recomputation skips.
+    //     The oracle replays the manifest diff AND the closure as a
+    //     recursive CTE over the same literal DAG. ---
+    "q322_backfill_planner" -> { (spark, dir) =>
+      import spark.implicits._
+      val fpOp = graft.operators.Fingerprint
+      val base = tbl(spark, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .withColumn("shard", pmod(col("event_id"), lit(16L)))
+      val v2 = base.withColumn("cents",
+        when((col("shard") === 3 || col("shard") === 7) &&
+          pmod(col("event_id"), lit(5)) === 0, col("cents") + 1)
+          .otherwise(col("cents")))
+      def man(d: DataFrame) = fpOp.contentFingerprint(d, col("shard"),
+        Seq(col("event_id"), col("event_type"), col("cents")))
+      val seeds = man(base)
+        .join(man(v2).select(col("grp"), col("n_rows").as("__n2"),
+          col("fp").as("__f2")), Seq("grp"))
+        .filter(col("fp") =!= col("__f2") ||
+          col("n_rows") =!= col("__n2"))
+        .select(concat(lit("shard_"), col("grp").cast("string"))
+          .as("node"))
+      val edges = ((0 to 7).map(i => (s"shard_$i", "daily_lo")) ++
+        (8 to 15).map(i => (s"shard_$i", "daily_hi")) ++
+        Seq(("daily_lo", "weekly"), ("daily_hi", "weekly"),
+          ("weekly", "dashboard"), ("daily_lo", "quality_report"),
+          ("shard_12", "audit_extract"))).toDF("src", "dst")
+      val nodes = edges.select(col("src").as("node"))
+        .unionByName(edges.select(col("dst").as("node"))).distinct()
+      val reach = graft.operators.Graph.bfsHops(edges, seeds,
+        maxHops = 4)
+      nodes.join(reach, Seq("node"), "left")
+        .select(col("node"), col("hop").isNotNull.as("stale"),
+          coalesce(col("hop"), lit(-1)).cast("int").as("wave"))
+        .orderBy(col("node"))
     }
   )
 
@@ -1223,6 +1269,74 @@ private[graft] object QueriesWarehouseC {
              census.edge = pick.chosen_edge AS chosen,
              fin.final_rows
       FROM census CROSS JOIN pick CROSS JOIN fin
-      ORDER BY census.edge"""
+      ORDER BY census.edge""",
+
+
+    "q322_backfill_planner" -> """
+      WITH RECURSIVE
+      b AS (SELECT event_id, event_type,
+              CAST(round(value * 100) AS BIGINT) AS cents,
+              event_id % 16 AS shard
+            FROM events),
+      v2 AS (SELECT event_id, event_type, shard,
+               CASE WHEN (shard = 3 OR shard = 7) AND event_id % 5 = 0
+                    THEN cents + 1 ELSE cents END AS cents
+             FROM b),
+      h1 AS (SELECT shard,
+               CAST(('0x' || substring(md5(
+                 CAST(strlen(CAST(event_id AS VARCHAR)) AS VARCHAR)
+                   || ':' || CAST(event_id AS VARCHAR) ||
+                 (CASE WHEN event_type IS NULL THEN 'N'
+                       ELSE CAST(strlen(event_type) AS VARCHAR)
+                            || ':' || event_type END) ||
+                 CAST(strlen(CAST(cents AS VARCHAR)) AS VARCHAR)
+                   || ':' || CAST(cents AS VARCHAR)), 1, 8))
+                 AS BIGINT) % 2147483647 AS hh
+             FROM b),
+      h2 AS (SELECT shard,
+               CAST(('0x' || substring(md5(
+                 CAST(strlen(CAST(event_id AS VARCHAR)) AS VARCHAR)
+                   || ':' || CAST(event_id AS VARCHAR) ||
+                 (CASE WHEN event_type IS NULL THEN 'N'
+                       ELSE CAST(strlen(event_type) AS VARCHAR)
+                            || ':' || event_type END) ||
+                 CAST(strlen(CAST(cents AS VARCHAR)) AS VARCHAR)
+                   || ':' || CAST(cents AS VARCHAR)), 1, 8))
+                 AS BIGINT) % 2147483647 AS hh
+             FROM v2),
+      m1 AS (SELECT shard, CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(hh) % 2147483647 AS BIGINT) AS fp
+             FROM h1 GROUP BY 1),
+      m2 AS (SELECT shard, CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(hh) % 2147483647 AS BIGINT) AS fp
+             FROM h2 GROUP BY 1),
+      seeds AS (SELECT 'shard_' || CAST(m1.shard AS VARCHAR) AS node
+                FROM m1 JOIN m2 USING (shard)
+                WHERE m1.fp <> m2.fp OR m1.n <> m2.n),
+      edges AS (SELECT * FROM (VALUES
+        ('shard_0', 'daily_lo'), ('shard_1', 'daily_lo'),
+        ('shard_2', 'daily_lo'), ('shard_3', 'daily_lo'),
+        ('shard_4', 'daily_lo'), ('shard_5', 'daily_lo'),
+        ('shard_6', 'daily_lo'), ('shard_7', 'daily_lo'),
+        ('shard_8', 'daily_hi'), ('shard_9', 'daily_hi'),
+        ('shard_10', 'daily_hi'), ('shard_11', 'daily_hi'),
+        ('shard_12', 'daily_hi'), ('shard_13', 'daily_hi'),
+        ('shard_14', 'daily_hi'), ('shard_15', 'daily_hi'),
+        ('daily_lo', 'weekly'), ('daily_hi', 'weekly'),
+        ('weekly', 'dashboard'), ('daily_lo', 'quality_report'),
+        ('shard_12', 'audit_extract')) AS t(src, dst)),
+      nodes AS (SELECT DISTINCT node FROM (
+                  SELECT src AS node FROM edges
+                  UNION ALL SELECT dst FROM edges)),
+      r AS (SELECT node, 0 AS hop FROM seeds
+            UNION
+            SELECT e.dst, r.hop + 1 FROM edges e
+            JOIN r ON e.src = r.node),
+      mh AS (SELECT node, CAST(min(hop) AS INT) AS hop
+             FROM r GROUP BY 1)
+      SELECT n.node, mh.hop IS NOT NULL AS stale,
+             CAST(coalesce(mh.hop, -1) AS INT) AS wave
+      FROM nodes n LEFT JOIN mh USING (node)
+      ORDER BY n.node"""
   )
 }
