@@ -1292,7 +1292,125 @@ private[graft] object QueriesLlmB {
         .groupBy(col("sz").as("cluster_size"))
         .agg(count(lit(1)).as("n_clusters"))
         .orderBy(col("cluster_size"))
-    }
+    },
+
+
+    // --- UNIMAX language-budget allocation (the UniMax sampler,
+    //     Chung et al. 2023, closed form): split a byte budget
+    //     B = 70% of the corpus across languages so no language
+    //     repeats beyond E=1 epoch — small languages are CAPPED at
+    //     their full size, the rest share the remainder evenly.
+    //     Instead of the paper's sequential loop, the capped set is
+    //     found in ONE window pass (languages ascending by size:
+    //     capped_i ⇔ sz_i·(n−i+1) ≤ B − Σ_{j<i} sz_j, a prefix by
+    //     water-filling monotonicity) and the even split uses the
+    //     largest-remainder rule (floor share +1 for the first
+    //     R mod L languages in rank order) so every byte of B is
+    //     allocated in exact integers. No collect: the language
+    //     table stays a DataFrame end-to-end; the `limit` documents
+    //     the bounded language universe (ISO codes) and protects the
+    //     global windows. Uncapped languages always exist when
+    //     B < total (all-capped would give Σ alloc = total ≤ B,
+    //     a contradiction), so the R div L branch never divides by
+    //     zero. ---
+    "q323_unimax_alloc" -> rounded("epochs" -> 6)({ (spark, dir) =>
+      val W = org.apache.spark.sql.expressions.Window
+        .orderBy(col("sz"), col("lang"))
+      val sizes = tbl(spark, dir, "documents")
+        .groupBy(col("lang")).agg(sum(col("n_chars")).as("sz"))
+      val tot = sizes.agg(sum(col("sz")).as("__tot"),
+        count(lit(1)).as("__n"))
+      val f = sizes.crossJoin(broadcast(tot))
+        .withColumn("__b", expr("(__tot * 7) div 10"))
+        .limit(10000)
+        .withColumn("__rn", row_number().over(W))
+        .withColumn("__cum", sum(col("sz")).over(W.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .withColumn("__raw",
+          col("sz") * (col("__n") - col("__rn") + 1) <=
+            col("__b") - (col("__cum") - col("sz")))
+      val ff = f.agg(
+          min(when(!col("__raw"), col("__rn"))).as("__ff0"),
+          max(col("__n")).as("__nn"))
+        .select(coalesce(col("__ff0"), col("__nn") + 1).as("__ff"))
+      val f2 = f.crossJoin(broadcast(ff))
+      val ck = f2.agg(coalesce(max(when(col("__rn") === col("__ff") - 1,
+          col("__cum"))), lit(0L)).as("__cumk"))
+      f2.crossJoin(broadcast(ck))
+        .withColumn("__r", col("__b") - col("__cumk"))
+        .withColumn("__l", col("__n") - (col("__ff") - 1))
+        .withColumn("capped", col("__rn") < col("__ff"))
+        .withColumn("alloc_bytes", when(col("capped"), col("sz"))
+          .otherwise(expr("__r div __l") +
+            when(col("__rn") - (col("__ff") - 1) <= pmod(col("__r"),
+              col("__l")), 1L).otherwise(0L)))
+        .select(col("lang"), col("sz").as("n_bytes"), col("capped"),
+          col("alloc_bytes"),
+          (col("alloc_bytes").cast("double") /
+            col("sz").cast("double")).as("epochs"))
+        .orderBy(col("lang"))
+    }),
+
+
+    // --- WAND upper-bound skip census (Broder et al.'s document-
+    //     at-a-time pruning, measured as a planner decision): for
+    //     ten 2-term disjunctive queries over the English postings
+    //     (term ranks 1..10 paired with 11..20 by document
+    //     frequency), a candidate can be SKIPPED without scoring
+    //     when the sum of its terms' per-term max-score upper
+    //     bounds is below the top-10 threshold θ. The census
+    //     reports exactly how much of each posting union the
+    //     bounds eliminate — the decision that makes top-k
+    //     retrieval over a 100 TB index read-bounded. The postings
+    //     table shuffles ONCE (term,doc grain); the 20-term query
+    //     table and every derived stat are broadcast back, so scan
+    //     count stays O(1) regardless of corpus size; the rank
+    //     window sits above a limit(20). English-only keeps the
+    //     rank tie-break inside binary-safe ASCII in both engines. ---
+    "q324_wand_bounds" -> rounded("skip_frac" -> 6)({ (spark, dir) =>
+      val tf = tbl(spark, dir, "documents")
+        .filter(col("lang") === "en")
+        .select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .groupBy(col("term"), col("doc_id"))
+        .agg(count(lit(1)).as("tf"))
+        .localCheckpoint() // feeds rank + candidate passes once
+      val ranks = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("term").asc).limit(20)
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("df").desc, col("term").asc)))
+      val qs = ranks.filter(col("rn") <= 10)
+        .select(col("rn").cast("long").as("qid"), col("term").as("t1"))
+        .join(ranks.filter(col("rn") > 10)
+          .select((col("rn") - 10).cast("long").as("qid"),
+            col("term").as("t2")), Seq("qid"))
+      val qterms = qs.select(col("qid"), col("t1").as("term"))
+        .unionByName(qs.select(col("qid"), col("t2").as("term")))
+      val m = tf.join(broadcast(qterms), Seq("term"))
+      val ub = m.groupBy(col("term")).agg(max(col("tf")).as("ub"))
+      val cand = m.join(broadcast(ub), Seq("term"))
+        .groupBy(col("qid"), col("doc_id"))
+        .agg(sum(col("tf")).as("score"), sum(col("ub")).as("ubound"))
+      val th = cand.withColumn("__rw", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+            .orderBy(col("score").desc, col("doc_id").asc)))
+        .groupBy(col("qid"))
+        .agg(min(when(col("__rw") <= 10, col("score"))).as("theta"),
+          count(lit(1)).as("n_candidates"))
+      cand.join(broadcast(th), Seq("qid"))
+        .groupBy(col("qid"))
+        .agg(max(col("theta")).as("theta"),
+          max(col("n_candidates")).as("n_candidates"),
+          sum(when(col("ubound") < col("theta"), 1L).otherwise(0L))
+            .as("n_skippable"))
+        .join(broadcast(qs), Seq("qid"))
+        .select(col("qid"), col("t1"), col("t2"), col("n_candidates"),
+          col("theta"), col("n_skippable"),
+          (col("n_skippable").cast("double") /
+            col("n_candidates").cast("double")).as("skip_frac"))
+        .orderBy(col("qid"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2448,6 +2566,83 @@ private[graft] object QueriesLlmB {
               FROM c GROUP BY 1)
       SELECT csz AS cluster_size, CAST(count(*) AS BIGINT)
                AS n_clusters
-      FROM szs GROUP BY 1 ORDER BY 1"""
+      FROM szs GROUP BY 1 ORDER BY 1""",
+
+
+    "q323_unimax_alloc" -> """
+      WITH s AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS sz
+                 FROM documents GROUP BY 1),
+      t AS (SELECT CAST((sum(sz) * 7) // 10 AS BIGINT) AS b,
+                   CAST(count(*) AS BIGINT) AS n FROM s),
+      o AS (SELECT lang, sz, b, n,
+                   row_number() OVER (ORDER BY sz, lang) AS rn,
+                   sum(sz) OVER (ORDER BY sz, lang
+                     ROWS UNBOUNDED PRECEDING) AS cum
+            FROM s CROSS JOIN t),
+      f AS (SELECT *,
+                   (sz * (n - rn + 1) <= b - (cum - sz)) AS raw
+            FROM o),
+      ff AS (SELECT coalesce(min(CASE WHEN NOT raw THEN rn END),
+                             max(n) + 1) AS ff FROM f),
+      ck AS (SELECT coalesce(max(CASE WHEN f.rn = ff.ff - 1
+                                      THEN f.cum END), 0) AS cumk
+             FROM f CROSS JOIN ff),
+      p AS (SELECT f.lang, f.sz, f.rn, ff.ff,
+                   f.b - ck.cumk AS r, f.n - (ff.ff - 1) AS l
+            FROM f CROSS JOIN ff CROSS JOIN ck),
+      q AS (SELECT lang, sz, (rn < ff) AS capped,
+                   CAST(CASE WHEN rn < ff THEN sz
+                        ELSE (r // l) + (CASE WHEN rn - (ff - 1)
+                          <= (r % l) THEN 1 ELSE 0 END)
+                   END AS BIGINT) AS alloc_bytes
+            FROM p)
+      SELECT lang, sz AS n_bytes, capped, alloc_bytes,
+             round(alloc_bytes * 1.0 / sz, 6) AS epochs
+      FROM q ORDER BY lang""",
+
+
+    "q324_wand_bounds" -> """
+      WITH tk AS (SELECT doc_id, unnest(list_filter(
+                    string_split_regex(lower(trim(text)), '\s+'),
+                    x -> length(x) > 0)) AS term
+                  FROM documents WHERE lang = 'en'),
+      tf AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+             FROM tk GROUP BY 1, 2),
+      rk0 AS (SELECT term, count(*) AS df FROM tf GROUP BY 1
+              ORDER BY df DESC, term ASC LIMIT 20),
+      rk AS (SELECT term,
+                    row_number() OVER (ORDER BY df DESC, term ASC)
+                      AS rn
+             FROM rk0),
+      qs AS (SELECT CAST(a.rn AS BIGINT) AS qid, a.term AS t1,
+                    b.term AS t2
+             FROM rk a JOIN rk b ON b.rn = a.rn + 10
+             WHERE a.rn <= 10),
+      qt AS (SELECT qid, t1 AS term FROM qs
+             UNION ALL SELECT qid, t2 FROM qs),
+      m AS (SELECT q.qid, f.doc_id, f.term, f.tf
+            FROM qt q JOIN tf f USING (term)),
+      ub AS (SELECT term, max(tf) AS ub FROM m GROUP BY 1),
+      cand AS (SELECT m.qid, m.doc_id,
+                      CAST(sum(m.tf) AS BIGINT) AS score,
+                      CAST(sum(u.ub) AS BIGINT) AS ubound
+               FROM m JOIN ub u USING (term) GROUP BY 1, 2),
+      rw AS (SELECT *, row_number() OVER (PARTITION BY qid
+               ORDER BY score DESC, doc_id ASC) AS r FROM cand),
+      th AS (SELECT qid,
+                    CAST(min(CASE WHEN r <= 10 THEN score END)
+                      AS BIGINT) AS theta,
+                    CAST(count(*) AS BIGINT) AS n_candidates
+             FROM rw GROUP BY 1),
+      sk AS (SELECT c.qid,
+                    CAST(sum(CASE WHEN c.ubound < t.theta
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_skippable
+             FROM cand c JOIN th t USING (qid) GROUP BY 1)
+      SELECT qs.qid, qs.t1, qs.t2, th.n_candidates, th.theta,
+             sk.n_skippable,
+             round(sk.n_skippable * 1.0 / th.n_candidates, 6)
+               AS skip_frac
+      FROM qs JOIN th USING (qid) JOIN sk USING (qid)
+      ORDER BY qs.qid"""
   )
 }
