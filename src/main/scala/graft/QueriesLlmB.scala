@@ -1410,6 +1410,35 @@ private[graft] object QueriesLlmB {
           (col("n_skippable").cast("double") /
             col("n_candidates").cast("double")).as("skip_frac"))
         .orderBy(col("qid"))
+    }),
+
+
+    // --- CONTAMINATION SPAN PROFILE (q78's doc-level flag, refined
+    //     to token grain): per eval doc, the token count covered by
+    //     train-shared 8-grams and the longest contiguous
+    //     contaminated run — the "eval doc is 84% contained,
+    //     longest verbatim run 212 tokens" release-review report.
+    //     Train plants a truncated copy of every eval doc (id
+    //     +2000000), so eval prefixes show long planted runs on top
+    //     of the corpus's natural boilerplate overlap. The train
+    //     corpus never shuffles (both joins broadcast the tiny eval
+    //     side — see Contamination.spanProfile). frac is exact
+    //     integer division, rounded 6 both sides. ---
+    "q327_contamination_spans" -> rounded("frac" -> 6)({ (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val evalDocs = docs.filter(pmod(col("doc_id"), lit(37)) === 0)
+      val train = docs.filter(pmod(col("doc_id"), lit(37)) =!= 0)
+        .unionByName(evalDocs.select(
+          (col("doc_id") + 2000000L).as("doc_id"),
+          col("text").substr(lit(1),
+            greatest(length(col("text")) - 25, lit(1))).as("text")))
+      Contamination.spanProfile(train, col("text"),
+          evalDocs, col("doc_id"), col("text"), n = 8)
+        .withColumn("frac", when(col("n_tok") > 0,
+          col("n_contaminated").cast("double") /
+            col("n_tok").cast("double")).otherwise(lit(0.0)))
+        .orderBy(col("id"))
     })
   )
 
@@ -2643,6 +2672,72 @@ private[graft] object QueriesLlmB {
              round(sk.n_skippable * 1.0 / th.n_candidates, 6)
                AS skip_frac
       FROM qs JOIN th USING (qid) JOIN sk USING (qid)
-      ORDER BY qs.qid"""
+      ORDER BY qs.qid""",
+
+
+    "q327_contamination_spans" -> """
+      WITH ev AS (SELECT doc_id, list_filter(
+                    string_split_regex(lower(trim(text)), '\s+'),
+                    x -> length(x) > 0) AS toks
+                  FROM documents WHERE doc_id % 37 = 0),
+      tr AS (SELECT text FROM documents WHERE doc_id % 37 <> 0
+             UNION ALL
+             SELECT substring(text, 1, greatest(length(text) - 25, 1))
+             FROM documents WHERE doc_id % 37 = 0),
+      trg AS (SELECT DISTINCT unnest(CASE WHEN len(toks) >= 8 THEN
+                  list_transform(generate_series(1, len(toks) - 7),
+                    i -> array_to_string(list_slice(toks, i, i + 7),
+                      ' '))
+                WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+                ELSE [] END) AS g
+              FROM (SELECT list_filter(string_split_regex(
+                      lower(trim(text)), '\s+'),
+                      x -> length(x) > 0) AS toks FROM tr)),
+      el AS (SELECT doc_id, toks,
+                    CASE WHEN len(toks) >= 8 THEN
+                      list_transform(generate_series(1, len(toks) - 7),
+                        i -> array_to_string(
+                          list_slice(toks, i, i + 7), ' '))
+                    WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+                    ELSE [] END AS spanlist
+             FROM ev),
+      eg AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok,
+                    unnest(spanlist) AS g,
+                    CAST(generate_subscripts(spanlist, 1) - 1
+                      AS BIGINT) AS strt
+             FROM el),
+      mk AS (SELECT eg.doc_id, eg.n_tok, eg.strt
+             FROM eg JOIN trg USING (g)),
+      iv AS (SELECT doc_id, n_tok, strt,
+                    lead(strt) OVER (PARTITION BY doc_id
+                      ORDER BY strt) AS nxt,
+                    CASE WHEN lag(strt) OVER (PARTITION BY doc_id
+                           ORDER BY strt) IS NULL
+                         OR strt > least(lag(strt) OVER (PARTITION BY
+                           doc_id ORDER BY strt) + 7, n_tok - 1) + 1
+                    THEN 1 ELSE 0 END AS ni
+             FROM mk),
+      iv2 AS (SELECT *, sum(ni) OVER (PARTITION BY doc_id
+                ORDER BY strt ROWS UNBOUNDED PRECEDING) AS isl
+              FROM iv),
+      cov AS (SELECT doc_id, CAST(sum(least(8, n_tok - strt,
+                coalesce(nxt - strt, 8))) AS BIGINT) AS n_cont
+              FROM iv2 GROUP BY 1),
+      sp AS (SELECT doc_id, isl, min(strt) AS a,
+                    max(least(strt + 7, n_tok - 1)) AS b
+             FROM iv2 GROUP BY 1, 2),
+      lg AS (SELECT doc_id, CAST(max(b - a + 1) AS BIGINT)
+               AS longest_span FROM sp GROUP BY 1),
+      alln AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok
+               FROM ev)
+      SELECT a.doc_id AS id, a.n_tok,
+             coalesce(c.n_cont, 0) AS n_contaminated,
+             coalesce(l.longest_span, 0) AS longest_span,
+             CASE WHEN a.n_tok > 0 THEN
+               round(coalesce(c.n_cont, 0) * 1.0 / a.n_tok, 6)
+             ELSE 0.0 END AS frac
+      FROM alln a LEFT JOIN cov c USING (doc_id)
+                  LEFT JOIN lg l USING (doc_id)
+      ORDER BY a.doc_id"""
   )
 }

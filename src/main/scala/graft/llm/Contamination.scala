@@ -46,6 +46,81 @@ object Contamination {
       .agg(count(lit(1)).as("n_shared_grams"))
   }
 
+  /** Per-EVAL-doc contamination SPAN profile (the GPT-3-appendix-style
+    * report, token-grain): for each eval/benchmark document, how many of
+    * its tokens are covered by word n-grams that also occur in the train
+    * corpus, and the longest contiguous contaminated token run. This is
+    * the report a release review reads — "eval doc X is 84% contained in
+    * the training set, longest verbatim run 212 tokens" — where
+    * [[sharedGrams]] only answers "shares ≥1 gram".
+    *
+    * Scale design (100 TB train, small eval): the eval side is tiny, so
+    * its distinct grams broadcast OUT to the train scan; the train side
+    * contributes only the grams it has IN COMMON with the eval set
+    * (bounded by the eval gram count), which broadcast BACK onto the
+    * eval positions. The train corpus is scanned exactly once and never
+    * shuffles — both joins are broadcast-hash. Span accounting is the
+    * interval-union window (per-doc sort over match positions): covered
+    * tokens via the lead-gap formula, longest run via island detection
+    * (fixed-length sorted intervals ⇒ running max end = previous end,
+    * so adjacency-merge needs only lag).
+    *
+    * Returns (id, n_tok, n_contaminated, longest_span) — one row per
+    * eval doc, zeros for clean docs. */
+  def spanProfile(train: DataFrame, trainText: Column,
+                  eval: DataFrame, evalId: Column, evalText: Column,
+                  n: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val evalTok = eval.select(evalId.as("id"),
+        TextAnalysis.tokens(evalText).as("__toks"))
+      .select(col("id"), size(col("__toks")).cast("long").as("n_tok"),
+        col("__toks"))
+      .localCheckpoint() // tiny; feeds positions AND the all-docs frame
+    // positional grams: one row per span start (docs shorter than n
+    // tokens shingle as their full token string, matching
+    // TextAnalysis.shingles short-doc semantics)
+    val evalGrams = evalTok.select(col("id"), col("n_tok"),
+        posexplode(when(col("n_tok") >= n,
+          transform(sequence(lit(0), col("n_tok").cast("int") - n),
+            i => array_join(slice(col("__toks"), i + 1, lit(n)), " ")))
+          .otherwise(when(col("n_tok") > 0,
+            array(array_join(col("__toks"), " ")))
+            .otherwise(array(lit(null).cast("string"))))))
+      .filter(col("col").isNotNull)
+      .select(col("id"), col("n_tok"), col("pos").cast("long").as("strt"),
+        col("col").as("g"))
+    val evalSet = evalGrams.select(col("g")).distinct()
+    // train grams present in the eval set: bounded by |evalSet|
+    val hot = train
+      .select(explode(TextAnalysis.shingles(trainText, n)).as("g"))
+      .join(broadcast(evalSet), Seq("g"))
+      .distinct()
+    val wDoc = Window.partitionBy(col("id")).orderBy(col("strt"))
+    val marked = evalGrams.join(broadcast(hot), Seq("g"))
+      .withColumn("__end",
+        least(col("strt") + (n - 1), col("n_tok") - 1))
+      .withColumn("__nxt", lead(col("strt"), 1).over(wDoc))
+      .withColumn("__ni",
+        when(lag(col("strt"), 1).over(wDoc).isNull ||
+          col("strt") > least(lag(col("strt"), 1).over(wDoc) + (n - 1),
+            col("n_tok") - 1) + 1, 1L).otherwise(0L))
+      .withColumn("__isl", sum(col("__ni")).over(
+        wDoc.rowsBetween(Window.unboundedPreceding, 0)))
+    val covered = marked.groupBy(col("id"))
+      .agg(sum(least(lit(n.toLong), col("n_tok") - col("strt"),
+        coalesce(col("__nxt") - col("strt"), lit(n.toLong))))
+        .as("__cov"))
+    val longest = marked.groupBy(col("id"), col("__isl"))
+      .agg((max(col("__end")) - min(col("strt")) + 1).as("__run"))
+      .groupBy(col("id")).agg(max(col("__run")).as("__longest"))
+    evalTok.select(col("id"), col("n_tok"))
+      .join(covered, Seq("id"), "left")
+      .join(longest, Seq("id"), "left")
+      .select(col("id"), col("n_tok"),
+        coalesce(col("__cov"), lit(0L)).as("n_contaminated"),
+        coalesce(col("__longest"), lit(0L)).as("longest_span"))
+  }
+
   /** Decontaminate: drop training docs sharing any word n-gram with the
     * eval set; everything else passes through untouched. */
   def decontaminate(train: DataFrame, trainId: Column, trainText: Column,
