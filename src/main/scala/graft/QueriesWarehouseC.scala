@@ -663,7 +663,216 @@ private[graft] object QueriesWarehouseC {
         .select(col("node"), col("hop").isNotNull.as("stale"),
           coalesce(col("hop"), lit(-1)).cast("int").as("wave"))
         .orderBy(col("node"))
-    }
+    },
+
+
+    // --- ENCODING ADVISOR (q285's dict-vs-plain decision, grown to
+    //     the full Parquet scheme menu over NUMERIC columns): per
+    //     512-key row group in the pinned (l_orderkey, l_linenumber)
+    //     layout, estimate encoded bytes under plain / RLE / dict /
+    //     delta from exact per-group stats (run count via lag, max
+    //     abs delta, distinct count; bit widths via length(bin(x)) —
+    //     the libm-free floor(log2)+1) and pick the argmin per
+    //     column. Plain is BIT-PACKED at the max-value width (a
+    //     64-bit plain is a strawman every scheme beats), so delta
+    //     wins only where deltas are genuinely narrower than values
+    //     (sorted keys), dict only where few large values repeat
+    //     (the enum-code column), RLE only on long runs (the
+    //     rowgroup-constant batch-id column) — all four regimes are
+    //     exercised. Ties prefer the simpler scheme (plain < rle <
+    //     dict < delta). This is the decision a columnar writer
+    //     makes per page at 100 TB; estimating it from ONE windowed
+    //     scan of the melted table (partitioned windows only — the
+    //     row group is the partition, exactly how pages bound
+    //     encoder state) makes layout policy a query, not a rewrite
+    //     experiment. All arithmetic is exact integers. ---
+    "q325_encoding_advisor" -> { (spark, dir) =>
+      val src = tbl(spark, dir, "lineitem").select(
+        expr("l_orderkey div 512").as("rg"),
+        col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+        col("l_orderkey").as("v1"), col("l_partkey").as("v2"),
+        col("l_suppkey").as("v3"),
+        expr("CAST(round(l_quantity) AS BIGINT)").as("v4"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v5"),
+        datediff(to_date(col("l_shipdate")), lit("1970-01-01"))
+          .cast("long").as("v6"),
+        expr("(l_suppkey % 4) * 1000003 + 7").as("v7"),
+        expr("(l_orderkey div 512) * 1000").as("v8"))
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic
+      // corpus — the pinned layout orders by the full value tuple so
+      // any remaining ties are fully identical rows and every
+      // column's run sequence is engine-deterministic
+      val m = src.select(col("rg"), col("ok"), col("ln"),
+          col("v2").as("t2"), col("v3").as("t3"), col("v4").as("t4"),
+          col("v5").as("t5"), col("v6").as("t6"), explode(array(
+          struct(lit("l_orderkey").as("colname"), col("v1").as("v")),
+          struct(lit("l_partkey").as("colname"), col("v2").as("v")),
+          struct(lit("l_suppkey").as("colname"), col("v3").as("v")),
+          struct(lit("l_quantity").as("colname"), col("v4").as("v")),
+          struct(lit("l_extendedprice").as("colname"),
+            col("v5").as("v")),
+          struct(lit("l_shipdate").as("colname"), col("v6").as("v")),
+          struct(lit("status_code").as("colname"), col("v7").as("v")),
+          struct(lit("batch_id").as("colname"), col("v8").as("v"))
+        )).as("e"))
+        .select(col("rg"), col("ok"), col("ln"), col("t2"), col("t3"),
+          col("t4"), col("t5"), col("t6"),
+          col("e.colname").as("colname"), col("e.v").as("v"))
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("colname"), col("rg"))
+        .orderBy(col("ok"), col("ln"), col("t2"), col("t3"),
+          col("t4"), col("t5"), col("t6"))
+      val g = m.withColumn("__lag", lag(col("v"), 1).over(win))
+        .withColumn("chg", when(col("__lag").isNotNull &&
+          col("v") =!= col("__lag"), 1L).otherwise(0L))
+        .withColumn("ad", abs(col("v") - col("__lag")))
+        .groupBy(col("colname"), col("rg"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("v")).as("nd"),
+          (sum(col("chg")) + 1).as("runs"), max(col("ad")).as("maxd"),
+          max(col("v")).as("maxv"))
+      g.select(col("colname"),
+          expr("(n * length(bin(maxv)) + 7) div 8").as("bp"),
+          expr("runs * ((length(bin(maxv)) + 7) div 8 + 2)").as("br"),
+          expr("""nd * ((length(bin(maxv)) + 7) div 8) +
+            (n * length(bin(nd - 1)) + 7) div 8""").as("bd"),
+          expr("""(length(bin(maxv)) + 7) div 8 + CASE WHEN n = 1
+            THEN 0 ELSE
+            ((n - 1) * (length(bin(maxd)) + 1) + 7) div 8 END""")
+            .as("bdel"))
+        .groupBy(col("colname"))
+        .agg(count(lit(1)).as("n_rowgroups"),
+          sum(col("bp")).as("bytes_plain"),
+          sum(col("br")).as("bytes_rle"),
+          sum(col("bd")).as("bytes_dict"),
+          sum(col("bdel")).as("bytes_delta"))
+        .withColumn("best", expr("""CASE
+          WHEN bytes_plain <= least(bytes_rle, bytes_dict, bytes_delta)
+            THEN 'plain'
+          WHEN bytes_rle <= least(bytes_dict, bytes_delta) THEN 'rle'
+          WHEN bytes_dict <= bytes_delta THEN 'dict'
+          ELSE 'delta' END"""))
+        .orderBy(col("colname"))
+    },
+
+
+    // --- MATERIALIZED-VIEW ADVISOR (the workload side of the q296/
+    //     q321 planner family): candidate MVs are the 7 non-empty
+    //     grouping sets over (event_type, day, user_bucket); their
+    //     cardinalities come from ONE cube pass (grouping_id maps
+    //     each cube row to its candidate bitmask — no per-candidate
+    //     rescans), a literal workload of 8 query shapes joins by
+    //     bitmask subsumption (a query is answerable from an MV iff
+    //     its dims ⊆ the MV's), and utility = rows-saved-per-
+    //     MV-row picks the winner. At 100 TB this is the "which
+    //     rollup do we maintain" decision made entirely from one
+    //     aggregate scan. Benefit/utility are exact integer sums
+    //     and one exact division. ---
+    "q326_mv_advisor" -> rounded("utility" -> 6)({ (spark, dir) =>
+      import spark.implicits._
+      val ev = tbl(spark, dir, "events").select(
+        col("event_type").as("et"), to_date(col("ts")).as("day"),
+        pmod(col("user_id"), lit(16L)).as("ub"))
+      val base = ev.agg(count(lit(1)).as("__base"))
+      val cands = ev.cube(col("et"), col("day"), col("ub"))
+        .agg(grouping_id().as("__gid"), count(lit(1)).as("__cnt"))
+        .withColumn("mask",
+          when(expr("__gid & 4") === 0, 1L).otherwise(0L) +
+          when(expr("__gid & 2") === 0, 2L).otherwise(0L) +
+          when(expr("__gid & 1") === 0, 4L).otherwise(0L))
+        .filter(col("mask") =!= 0)
+        .groupBy(col("mask")).agg(count(lit(1)).as("mv_rows"))
+      val wl = Seq((0L, 30L), (1L, 20L), (2L, 10L), (3L, 15L),
+          (4L, 5L), (5L, 4L), (6L, 3L), (7L, 2L))
+        .toDF("qmask", "freq")
+      val scored = cands.crossJoin(broadcast(wl))
+        .filter(expr("(qmask & mask) = qmask"))
+        .crossJoin(broadcast(base))
+        .groupBy(col("mask"), col("mv_rows"))
+        .agg(count(lit(1)).as("n_queries"),
+          sum(col("freq") * (col("__base") - col("mv_rows")))
+            .as("benefit"))
+        .withColumn("utility", col("benefit").cast("double") /
+          col("mv_rows").cast("double"))
+      val bu = scored.agg(max(col("utility")).as("__bu"))
+      val s2 = scored.crossJoin(broadcast(bu))
+      val bm = s2.filter(col("utility") === col("__bu"))
+        .agg(min(col("mask")).as("__bm"))
+      s2.crossJoin(broadcast(bm))
+        .withColumn("chosen", col("mask") === col("__bm"))
+        .withColumn("dims", expr("""CASE mask
+          WHEN 1 THEN 'event_type' WHEN 2 THEN 'day'
+          WHEN 3 THEN 'event_type+day' WHEN 4 THEN 'user_bucket'
+          WHEN 5 THEN 'event_type+user_bucket'
+          WHEN 6 THEN 'day+user_bucket'
+          ELSE 'event_type+day+user_bucket' END"""))
+        .select(col("mask"), col("dims"), col("mv_rows"),
+          col("n_queries"), col("benefit"), col("utility"),
+          col("chosen"))
+        .orderBy(col("mask"))
+    }),
+
+
+    // --- SORT-KEY ADVISOR (q296's zone-map skip estimate, turned
+    //     into the decision it exists for): for each candidate sort
+    //     key, simulate the post-sort layout as 64 equal-WIDTH value
+    //     zones (a broadcast min/max plus integer bucketing — no
+    //     global sort, no global window), collect per-zone min/max
+    //     manifests for every predicate column, and replay a literal
+    //     workload of range scans against them: a zone is skipped
+    //     iff its [min,max] misses the predicate range. The
+    //     freq-weighted scanned-row total picks which sort order to
+    //     maintain — the "which curve do we sort 100 TB along"
+    //     decision, answered from manifests. Exact integers
+    //     throughout; the fraction divides once. ---
+    "q328_sortkey_advisor" -> rounded("scan_frac" -> 6)({ (spark, dir) =>
+      import spark.implicits._
+      val li = tbl(spark, dir, "lineitem").select(
+        datediff(to_date(col("l_shipdate")), lit("1970-01-01"))
+          .cast("long").as("sd"),
+        col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+        .localCheckpoint() // three candidate passes + three min/max
+      def zonesFor(c: String, name: String): DataFrame = {
+        val mm = li.agg(min(col(c)).as("__mn"), max(col(c)).as("__mx"))
+        li.crossJoin(broadcast(mm))
+          .withColumn("zone",
+            expr(s"(($c - __mn) * 64) div (__mx - __mn + 1)"))
+          .groupBy(col("zone"))
+          .agg(count(lit(1)).as("zn"),
+            min(col("sd")).as("mn_sd"), max(col("sd")).as("mx_sd"),
+            min(col("pk")).as("mn_pk"), max(col("pk")).as("mx_pk"),
+            min(col("sk")).as("mn_sk"), max(col("sk")).as("mx_sk"))
+          .withColumn("candidate", lit(name))
+      }
+      val zs = zonesFor("sd", "l_shipdate")
+        .unionByName(zonesFor("pk", "l_partkey"))
+        .unionByName(zonesFor("sk", "l_suppkey"))
+      val wl = Seq((1L, "sd", 8766L, 9130L, 10L),
+          (2L, "sd", 9496L, 9586L, 8L), (3L, "pk", 100L, 500L, 4L),
+          (4L, "sk", 10L, 20L, 3L), (5L, "sd", 9282L, 9311L, 6L))
+        .toDF("wid", "pcol", "lo", "hi", "freq")
+      val per = zs.crossJoin(broadcast(wl))
+        .withColumn("mnp", expr(
+          "CASE pcol WHEN 'sd' THEN mn_sd WHEN 'pk' THEN mn_pk ELSE mn_sk END"))
+        .withColumn("mxp", expr(
+          "CASE pcol WHEN 'sd' THEN mx_sd WHEN 'pk' THEN mx_pk ELSE mx_sk END"))
+        .withColumn("scan", when(col("mxp") < col("lo") ||
+          col("mnp") > col("hi"), 0L).otherwise(col("zn")))
+        .groupBy(col("candidate"))
+        .agg(sum(col("freq") * col("scan")).as("weighted_scanned"),
+          sum(col("freq") * col("zn")).as("weighted_total"))
+        .withColumn("scan_frac",
+          col("weighted_scanned").cast("double") /
+            col("weighted_total").cast("double"))
+      val bw = per.agg(min(col("weighted_scanned")).as("__bw"))
+      val p2 = per.crossJoin(broadcast(bw))
+      val bc = p2.filter(col("weighted_scanned") === col("__bw"))
+        .agg(min(col("candidate")).as("__bc"))
+      p2.crossJoin(broadcast(bc))
+        .withColumn("chosen", col("candidate") === col("__bc"))
+        .select(col("candidate"), col("weighted_scanned"),
+          col("weighted_total"), col("scan_frac"), col("chosen"))
+        .orderBy(col("candidate"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1337,6 +1546,175 @@ private[graft] object QueriesWarehouseC {
       SELECT n.node, mh.hop IS NOT NULL AS stale,
              CAST(coalesce(mh.hop, -1) AS INT) AS wave
       FROM nodes n LEFT JOIN mh USING (node)
-      ORDER BY n.node"""
+      ORDER BY n.node""",
+
+
+    "q325_encoding_advisor" -> """
+      WITH src AS (SELECT l_orderkey // 512 AS rg, l_orderkey AS ok,
+                          l_linenumber AS ln, l_orderkey AS v1,
+                          l_partkey AS v2, l_suppkey AS v3,
+                          CAST(round(l_quantity) AS BIGINT) AS v4,
+                          CAST(round(l_extendedprice * 100) AS BIGINT)
+                            AS v5,
+                          CAST(date_diff('day', DATE '1970-01-01',
+                            CAST(l_shipdate AS DATE)) AS BIGINT) AS v6,
+                          (l_suppkey % 4) * 1000003 + 7 AS v7,
+                          (l_orderkey // 512) * 1000 AS v8
+                   FROM lineitem),
+      m AS (SELECT rg, ok, ln, v2 AS t2, v3 AS t3, v4 AS t4,
+                   v5 AS t5, v6 AS t6, 'l_orderkey' AS colname,
+                   v1 AS v
+              FROM src
+            UNION ALL SELECT rg, ok, ln, v2, v3, v4, v5, v6,
+              'l_partkey', v2 FROM src
+            UNION ALL SELECT rg, ok, ln, v2, v3, v4, v5, v6,
+              'l_suppkey', v3 FROM src
+            UNION ALL SELECT rg, ok, ln, v2, v3, v4, v5, v6,
+              'l_quantity', v4 FROM src
+            UNION ALL SELECT rg, ok, ln, v2, v3, v4, v5, v6,
+              'l_extendedprice', v5 FROM src
+            UNION ALL SELECT rg, ok, ln, v2, v3, v4, v5, v6,
+              'l_shipdate', v6 FROM src
+            UNION ALL SELECT rg, ok, ln, v2, v3, v4, v5, v6,
+              'status_code', v7 FROM src
+            UNION ALL SELECT rg, ok, ln, v2, v3, v4, v5, v6,
+              'batch_id', v8 FROM src),
+      w AS (SELECT rg, colname, v,
+                   CASE WHEN lag(v) OVER win IS NOT NULL
+                         AND v <> lag(v) OVER win THEN 1 ELSE 0 END
+                     AS chg,
+                   abs(v - lag(v) OVER win) AS ad
+            FROM m WINDOW win AS (PARTITION BY colname, rg
+              ORDER BY ok, ln, t2, t3, t4, t5, t6)),
+      g AS (SELECT colname, rg, CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(DISTINCT v) AS BIGINT) AS nd,
+                   CAST(sum(chg) + 1 AS BIGINT) AS runs,
+                   max(ad) AS maxd, max(v) AS maxv
+            FROM w GROUP BY 1, 2),
+      b AS (SELECT colname,
+                   (n * length(bin(maxv)) + 7) // 8 AS bp,
+                   runs * ((length(bin(maxv)) + 7) // 8 + 2) AS br,
+                   nd * ((length(bin(maxv)) + 7) // 8) +
+                     (n * length(bin(nd - 1)) + 7) // 8 AS bd,
+                   (length(bin(maxv)) + 7) // 8 + CASE WHEN n = 1
+                     THEN 0 ELSE
+                     ((n - 1) * (length(bin(maxd)) + 1) + 7) // 8
+                   END AS bdel
+            FROM g),
+      s AS (SELECT colname, CAST(count(*) AS BIGINT) AS n_rowgroups,
+                   CAST(sum(bp) AS BIGINT) AS bytes_plain,
+                   CAST(sum(br) AS BIGINT) AS bytes_rle,
+                   CAST(sum(bd) AS BIGINT) AS bytes_dict,
+                   CAST(sum(bdel) AS BIGINT) AS bytes_delta
+            FROM b GROUP BY 1)
+      SELECT colname, n_rowgroups, bytes_plain, bytes_rle,
+             bytes_dict, bytes_delta,
+             CASE WHEN bytes_plain <= least(bytes_rle, bytes_dict,
+                    bytes_delta) THEN 'plain'
+                  WHEN bytes_rle <= least(bytes_dict, bytes_delta)
+                    THEN 'rle'
+                  WHEN bytes_dict <= bytes_delta THEN 'dict'
+                  ELSE 'delta' END AS best
+      FROM s ORDER BY colname""",
+
+
+    "q326_mv_advisor" -> """
+      WITH e AS (SELECT event_type AS et, CAST(ts AS DATE) AS day,
+                        user_id % 16 AS ub FROM events),
+      base AS (SELECT CAST(count(*) AS BIGINT) AS b FROM e),
+      cands AS (
+        SELECT 1 AS mask, CAST(count(*) AS BIGINT) AS mv_rows
+          FROM (SELECT DISTINCT et FROM e)
+        UNION ALL SELECT 2, CAST(count(*) AS BIGINT)
+          FROM (SELECT DISTINCT day FROM e)
+        UNION ALL SELECT 3, CAST(count(*) AS BIGINT)
+          FROM (SELECT DISTINCT et, day FROM e)
+        UNION ALL SELECT 4, CAST(count(*) AS BIGINT)
+          FROM (SELECT DISTINCT ub FROM e)
+        UNION ALL SELECT 5, CAST(count(*) AS BIGINT)
+          FROM (SELECT DISTINCT et, ub FROM e)
+        UNION ALL SELECT 6, CAST(count(*) AS BIGINT)
+          FROM (SELECT DISTINCT day, ub FROM e)
+        UNION ALL SELECT 7, CAST(count(*) AS BIGINT)
+          FROM (SELECT DISTINCT et, day, ub FROM e)),
+      wl(qmask, freq) AS (VALUES (0, 30), (1, 20), (2, 10), (3, 15),
+        (4, 5), (5, 4), (6, 3), (7, 2)),
+      sc AS (SELECT c.mask, c.mv_rows,
+                    CAST(count(*) AS BIGINT) AS n_queries,
+                    CAST(sum(w.freq * (base.b - c.mv_rows))
+                      AS BIGINT) AS benefit
+             FROM cands c CROSS JOIN base
+             JOIN wl w ON (w.qmask & c.mask) = w.qmask
+             GROUP BY 1, 2),
+      ut AS (SELECT *, benefit * 1.0 / mv_rows AS u FROM sc),
+      best AS (SELECT mask AS bm FROM ut
+               ORDER BY u DESC, mask ASC LIMIT 1)
+      SELECT CAST(ut.mask AS BIGINT) AS mask,
+             CASE ut.mask WHEN 1 THEN 'event_type' WHEN 2 THEN 'day'
+               WHEN 3 THEN 'event_type+day' WHEN 4 THEN 'user_bucket'
+               WHEN 5 THEN 'event_type+user_bucket'
+               WHEN 6 THEN 'day+user_bucket'
+               ELSE 'event_type+day+user_bucket' END AS dims,
+             ut.mv_rows, ut.n_queries, ut.benefit,
+             round(ut.u, 6) AS utility,
+             (ut.mask = best.bm) AS chosen
+      FROM ut CROSS JOIN best ORDER BY ut.mask""",
+
+
+    "q328_sortkey_advisor" -> """
+      WITH li AS (SELECT CAST(date_diff('day', DATE '1970-01-01',
+                    CAST(l_shipdate AS DATE)) AS BIGINT) AS sd,
+                    l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+      z1 AS (SELECT 'l_shipdate' AS candidate,
+                    ((l.sd - m.mn) * 64) // (m.mx - m.mn + 1) AS zone,
+                    CAST(count(*) AS BIGINT) AS zn,
+                    min(l.sd) AS mn_sd, max(l.sd) AS mx_sd,
+                    min(l.pk) AS mn_pk, max(l.pk) AS mx_pk,
+                    min(l.sk) AS mn_sk, max(l.sk) AS mx_sk
+             FROM li l CROSS JOIN
+               (SELECT min(sd) AS mn, max(sd) AS mx FROM li) m
+             GROUP BY 1, 2),
+      z2 AS (SELECT 'l_partkey',
+                    ((l.pk - m.mn) * 64) // (m.mx - m.mn + 1),
+                    CAST(count(*) AS BIGINT),
+                    min(l.sd), max(l.sd), min(l.pk), max(l.pk),
+                    min(l.sk), max(l.sk)
+             FROM li l CROSS JOIN
+               (SELECT min(pk) AS mn, max(pk) AS mx FROM li) m
+             GROUP BY 1, 2),
+      z3 AS (SELECT 'l_suppkey',
+                    ((l.sk - m.mn) * 64) // (m.mx - m.mn + 1),
+                    CAST(count(*) AS BIGINT),
+                    min(l.sd), max(l.sd), min(l.pk), max(l.pk),
+                    min(l.sk), max(l.sk)
+             FROM li l CROSS JOIN
+               (SELECT min(sk) AS mn, max(sk) AS mx FROM li) m
+             GROUP BY 1, 2),
+      zs AS (SELECT * FROM z1 UNION ALL SELECT * FROM z2
+             UNION ALL SELECT * FROM z3),
+      wl(wid, pcol, lo, hi, freq) AS (VALUES
+        (1, 'sd', 8766, 9130, 10), (2, 'sd', 9496, 9586, 8),
+        (3, 'pk', 100, 500, 4), (4, 'sk', 10, 20, 3),
+        (5, 'sd', 9282, 9311, 6)),
+      fl AS (SELECT z.candidate, w.freq, z.zn,
+                    CASE w.pcol WHEN 'sd' THEN z.mn_sd
+                      WHEN 'pk' THEN z.mn_pk ELSE z.mn_sk END AS mnp,
+                    CASE w.pcol WHEN 'sd' THEN z.mx_sd
+                      WHEN 'pk' THEN z.mx_pk ELSE z.mx_sk END AS mxp,
+                    w.lo, w.hi
+             FROM zs z CROSS JOIN wl w),
+      per AS (SELECT candidate,
+                     CAST(sum(freq * CASE WHEN mxp < lo OR mnp > hi
+                       THEN 0 ELSE zn END) AS BIGINT)
+                       AS weighted_scanned,
+                     CAST(sum(freq * zn) AS BIGINT) AS weighted_total
+              FROM fl GROUP BY 1),
+      best AS (SELECT candidate AS bc FROM per
+               ORDER BY weighted_scanned ASC, candidate ASC LIMIT 1)
+      SELECT per.candidate, per.weighted_scanned, per.weighted_total,
+             round(per.weighted_scanned * 1.0 / per.weighted_total, 6)
+               AS scan_frac,
+             (per.candidate = best.bc) AS chosen
+      FROM per CROSS JOIN best ORDER BY per.candidate"""
   )
 }
