@@ -1439,6 +1439,49 @@ private[graft] object QueriesLlmB {
           col("n_contaminated").cast("double") /
             col("n_tok").cast("double")).otherwise(lit(0.0)))
         .orderBy(col("id"))
+    }),
+
+
+    // --- PADDING-WASTE vs BATCH ORDER (the "sort by length before
+    //     batching" decision, measured): ragged 32-doc batches are
+    //     padded to their longest member, so arrival-order batching
+    //     pays max-len for every short doc sharing a batch with a
+    //     long one, while length-sorted batching packs near-equal
+    //     lengths together. Both policies are simulated per hash
+    //     shard in ONE pass each (row_number + batch-max windows,
+    //     partitioned by shard — exactly how a 1000-executor
+    //     pre-tokenize stage would bucket), and the census reports
+    //     real vs padded token totals per policy. Utilization is an
+    //     exact integer ratio; the gap IS the training-throughput
+    //     argument for the sort. ---
+    "q331_padding_order" -> rounded("utilization" -> 6)({
+      (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = tbl(spark, dir, "documents").select(col("doc_id"),
+        pmod(col("doc_id"), lit(8L)).as("shard"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("len"))
+        .localCheckpoint() // two policy passes over one tokenization
+      def policy(name: String, ord: Seq[Column]): DataFrame = {
+        val w = Window.partitionBy(col("shard")).orderBy(ord: _*)
+        docs.withColumn("__rn", row_number().over(w))
+          .withColumn("bid", expr("(__rn - 1) div 32"))
+          .groupBy(col("shard"), col("bid"))
+          .agg(count(lit(1)).as("bn"), max(col("len")).as("mx"),
+            sum(col("len")).as("real"))
+          .groupBy()
+          .agg(count(lit(1)).as("n_batches"),
+            sum(col("real")).as("real_tokens"),
+            sum(col("bn") * col("mx")).as("padded_tokens"))
+          .withColumn("policy", lit(name))
+      }
+      policy("arrival", Seq(col("doc_id")))
+        .unionByName(policy("length_sorted",
+          Seq(col("len"), col("doc_id"))))
+        .withColumn("utilization", col("real_tokens").cast("double") /
+          col("padded_tokens").cast("double"))
+        .select(col("policy"), col("n_batches"), col("real_tokens"),
+          col("padded_tokens"), col("utilization"))
+        .orderBy(col("policy"))
     })
   )
 
@@ -2738,6 +2781,41 @@ private[graft] object QueriesLlmB {
              ELSE 0.0 END AS frac
       FROM alln a LEFT JOIN cov c USING (doc_id)
                   LEFT JOIN lg l USING (doc_id)
-      ORDER BY a.doc_id"""
+      ORDER BY a.doc_id""",
+
+
+    "q331_padding_order" -> """
+      WITH d AS (SELECT doc_id, doc_id % 8 AS shard,
+                        CAST(len(list_filter(string_split_regex(
+                          lower(trim(text)), '\s+'),
+                          x -> length(x) > 0)) AS BIGINT) AS l
+                 FROM documents),
+      pa AS (SELECT shard, (row_number() OVER (PARTITION BY shard
+               ORDER BY doc_id) - 1) // 32 AS bid, l
+             FROM d),
+      ba AS (SELECT shard, bid, CAST(count(*) AS BIGINT) AS bn,
+                    max(l) AS mx, CAST(sum(l) AS BIGINT) AS rl
+             FROM pa GROUP BY 1, 2),
+      sa AS (SELECT 'arrival' AS policy,
+                    CAST(count(*) AS BIGINT) AS n_batches,
+                    CAST(sum(rl) AS BIGINT) AS real_tokens,
+                    CAST(sum(bn * mx) AS BIGINT) AS padded_tokens
+             FROM ba),
+      pl AS (SELECT shard, (row_number() OVER (PARTITION BY shard
+               ORDER BY l, doc_id) - 1) // 32 AS bid, l
+             FROM d),
+      bl AS (SELECT shard, bid, CAST(count(*) AS BIGINT) AS bn,
+                    max(l) AS mx, CAST(sum(l) AS BIGINT) AS rl
+             FROM pl GROUP BY 1, 2),
+      sl AS (SELECT 'length_sorted' AS policy,
+                    CAST(count(*) AS BIGINT) AS n_batches,
+                    CAST(sum(rl) AS BIGINT) AS real_tokens,
+                    CAST(sum(bn * mx) AS BIGINT) AS padded_tokens
+             FROM bl),
+      u AS (SELECT * FROM sa UNION ALL SELECT * FROM sl)
+      SELECT policy, n_batches, real_tokens, padded_tokens,
+             round(real_tokens * 1.0 / padded_tokens, 6)
+               AS utilization
+      FROM u ORDER BY policy"""
   )
 }

@@ -872,6 +872,110 @@ private[graft] object QueriesWarehouseC {
         .select(col("candidate"), col("weighted_scanned"),
           col("weighted_total"), col("scan_frac"), col("chosen"))
         .orderBy(col("candidate"))
+    }),
+
+
+    // --- RANGE-PARTITION PLANNER from quantile manifests (what the
+    //     q294 summaries exist FOR): per return-flag stream, derive
+    //     P=8 range boundaries from the mergeable rank-spaced
+    //     summary (integer rank targets (i·n) div 8 — no doubles at
+    //     all), assign every row by boundary comparison, and gate
+    //     the resulting balance against the summary's PROVEN rank-
+    //     error bound: each partition must sit within 2·shards·(k−1)
+    //     + max-tie + rounding of n/8. At 100 TB this is how a range
+    //     shuffle (or a sorted rewrite) picks its split points
+    //     WITHOUT a global sort — the manifest is read, the bound
+    //     certifies the plan before any data moves. The composite
+    //     value (partkey, orderkey, linenumber) keeps ties rare and
+    //     the bound tight. ---
+    "q329_range_partition_planner" -> { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val qsum = graft.operators.QuantileSummary
+      val li = tbl(spark, dir, "lineitem").select(
+        col("l_returnflag").as("rf"),
+        (col("l_partkey") * 131072L + col("l_orderkey") * 8L +
+          col("l_linenumber")).as("vv"),
+        (col("l_orderkey") * 8L + col("l_linenumber")).as("t"))
+      val summary = qsum.shardSummary(li, col("rf"), col("vv"),
+        col("t"), shards = 8, k = 16)
+      val agg = summary.groupBy(col("grp"), col("value"))
+        .agg(sum(col("w")).as("w"))
+      val cum = agg
+        .withColumn("cw", sum(col("w")).over(
+          Window.partitionBy(col("grp")).orderBy(col("value"))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("n", sum(col("w")).over(
+          Window.partitionBy(col("grp"))))
+      val cuts = cum.crossJoin(broadcast(
+          spark.range(1, 8).select(col("id").as("i"))))
+        .filter(col("cw") >= greatest(expr("(i * n) div 8"), lit(1L)))
+        .groupBy(col("grp"), col("i")).agg(min(col("value")).as("bnd"))
+      val cen = li.groupBy(col("rf").as("grp"), col("vv"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint() // census feeds totals, ties, assignment
+      val tot = cen.groupBy(col("grp")).agg(sum(col("c")).as("n"),
+        max(col("c")).as("maxc"))
+      val parts = cen.join(broadcast(cuts), Seq("grp"))
+        .groupBy(col("grp"), col("vv"), col("c"))
+        .agg(sum(when(col("bnd") < col("vv"), 1L).otherwise(0L))
+          .as("pid"))
+        .groupBy(col("grp"), col("pid"))
+        .agg(sum(col("c")).as("n_rows"))
+      parts.join(broadcast(tot), Seq("grp"))
+        .withColumn("expected", expr("n div 8"))
+        .withColumn("dev", col("n_rows") - col("expected"))
+        // 2 boundaries x shards*(k-1)=120 rank error, + the largest
+        // value-tie (a boundary value lands whole), + 7 for the
+        // floor(n/8) vs exact-eighths rounding drift
+        .withColumn("within_bound",
+          abs(col("dev")) <= lit(240L) + col("maxc") + 7)
+        .select(col("grp").as("l_returnflag"), col("pid"),
+          col("n_rows"), col("expected"), col("dev"),
+          col("within_bound"))
+        .orderBy(col("l_returnflag"), col("pid"))
+    },
+
+
+    // --- CACHE-TIER ADVISOR (the q326 utility rule pointed at the
+    //     buffer pool): rank tables by access-weighted density
+    //     (workload frequency per row), admit the density-ordered
+    //     prefix that fits a 60%-of-corpus capacity, and report the
+    //     workload fraction the cached tier captures. The 100 TB
+    //     shape: table sizes are one metadata read each (here exact
+    //     counts), the decision table is 10 rows, and the hot-tier
+    //     placement that usually gets hand-tuned becomes a query.
+    //     Density is an exact integer ratio; the prefix rule is one
+    //     limit-protected cumulative window over the 10-row frame. ---
+    "q330_cache_advisor" -> rounded("density" -> 6, "hit_frac" -> 6)({
+      (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val freqs = Seq("lineitem" -> 50L, "orders" -> 40L,
+        "events" -> 30L, "documents" -> 12L, "embeddings" -> 9L,
+        "customer" -> 8L, "part" -> 6L, "supplier" -> 4L,
+        "nation" -> 2L, "region" -> 1L)
+      val sizes = freqs.map { case (name, fq) =>
+        tbl(spark, dir, name).agg(count(lit(1)).as("n_rows"))
+          .select(lit(name).as("tname"), col("n_rows"),
+            lit(fq).as("freq"))
+      }.reduce(_ unionByName _)
+      val cap = sizes.agg(expr("(sum(n_rows) * 6) div 10").as("__cap"),
+        sum(col("freq")).as("__totf"))
+      val ranked = sizes.crossJoin(broadcast(cap))
+        .limit(100) // catalog-bounded frame; protects the windows
+        .withColumn("density", col("freq").cast("double") /
+          col("n_rows").cast("double"))
+        .withColumn("cum_rows", sum(col("n_rows")).over(
+          Window.orderBy(col("density").desc, col("tname").asc)
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("cached", col("cum_rows") <= col("__cap"))
+      val hit = ranked.agg((sum(when(col("cached"), col("freq"))
+          .otherwise(0L)).cast("double") /
+          max(col("__totf")).cast("double")).as("__hit"))
+      ranked.crossJoin(broadcast(hit))
+        .select(col("tname"), col("n_rows"), col("freq"),
+          col("density"), col("cum_rows"), col("cached"),
+          col("__cap").as("cap_rows"), col("__hit").as("hit_frac"))
+        .orderBy(col("tname"))
     })
   )
 
@@ -1715,6 +1819,93 @@ private[graft] object QueriesWarehouseC {
              round(per.weighted_scanned * 1.0 / per.weighted_total, 6)
                AS scan_frac,
              (per.candidate = best.bc) AS chosen
-      FROM per CROSS JOIN best ORDER BY per.candidate"""
+      FROM per CROSS JOIN best ORDER BY per.candidate""",
+
+
+    "q329_range_partition_planner" -> """
+      WITH b AS (SELECT l_returnflag AS grp,
+                        l_partkey * 131072 + l_orderkey * 8 +
+                          l_linenumber AS vv,
+                        l_orderkey * 8 + l_linenumber AS t
+                 FROM lineitem),
+      r AS (SELECT grp, vv,
+                   row_number() OVER (PARTITION BY grp, t % 8
+                     ORDER BY vv, t) AS rn,
+                   count(*) OVER (PARTITION BY grp, t % 8) AS nn
+            FROM b),
+      s AS (SELECT grp, vv AS value, least(16, nn - rn + 1) AS w
+            FROM r WHERE (rn - 1) % 16 = 0),
+      agg AS (SELECT grp, value, CAST(sum(w) AS BIGINT) AS w
+              FROM s GROUP BY 1, 2),
+      c AS (SELECT grp, value,
+                   CAST(sum(w) OVER (PARTITION BY grp ORDER BY value
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw,
+                   CAST(sum(w) OVER (PARTITION BY grp) AS BIGINT)
+                     AS n
+            FROM agg),
+      ii AS (SELECT unnest(generate_series(1, 7)) AS i),
+      cuts AS (SELECT grp, i, min(value) AS bnd
+               FROM c CROSS JOIN ii
+               WHERE cw >= greatest((i * n) // 8, 1)
+               GROUP BY 1, 2),
+      cen AS (SELECT grp, vv, CAST(count(*) AS BIGINT) AS c
+              FROM b GROUP BY 1, 2),
+      tot AS (SELECT grp, CAST(sum(c) AS BIGINT) AS n,
+                     CAST(max(c) AS BIGINT) AS maxc
+              FROM cen GROUP BY 1),
+      pidc AS (SELECT cen.grp, cen.vv, cen.c,
+                      CAST(sum(CASE WHEN cuts.bnd < cen.vv
+                        THEN 1 ELSE 0 END) AS BIGINT) AS pid
+               FROM cen JOIN cuts USING (grp) GROUP BY 1, 2, 3),
+      parts AS (SELECT grp, pid, CAST(sum(c) AS BIGINT) AS n_rows
+                FROM pidc GROUP BY 1, 2)
+      SELECT p.grp AS l_returnflag, p.pid, p.n_rows,
+             t.n // 8 AS expected,
+             p.n_rows - t.n // 8 AS dev,
+             (abs(p.n_rows - t.n // 8) <= 240 + t.maxc + 7)
+               AS within_bound
+      FROM parts p JOIN tot t USING (grp)
+      ORDER BY 1, 2""",
+
+
+    "q330_cache_advisor" -> """
+      WITH sz AS (
+        SELECT 'lineitem' AS tname, CAST(count(*) AS BIGINT) AS rows_,
+               50 AS freq FROM lineitem
+        UNION ALL SELECT 'orders', CAST(count(*) AS BIGINT), 40
+          FROM orders
+        UNION ALL SELECT 'events', CAST(count(*) AS BIGINT), 30
+          FROM events
+        UNION ALL SELECT 'documents', CAST(count(*) AS BIGINT), 12
+          FROM documents
+        UNION ALL SELECT 'embeddings', CAST(count(*) AS BIGINT), 9
+          FROM embeddings
+        UNION ALL SELECT 'customer', CAST(count(*) AS BIGINT), 8
+          FROM customer
+        UNION ALL SELECT 'part', CAST(count(*) AS BIGINT), 6
+          FROM part
+        UNION ALL SELECT 'supplier', CAST(count(*) AS BIGINT), 4
+          FROM supplier
+        UNION ALL SELECT 'nation', CAST(count(*) AS BIGINT), 2
+          FROM nation
+        UNION ALL SELECT 'region', CAST(count(*) AS BIGINT), 1
+          FROM region),
+      cap AS (SELECT (sum(rows_) * 6) // 10 AS cap_rows,
+                     CAST(sum(freq) AS BIGINT) AS totf FROM sz),
+      rk AS (SELECT sz.tname, sz.rows_, sz.freq, cap.cap_rows,
+                    cap.totf, sz.freq * 1.0 / sz.rows_ AS density,
+                    CAST(sum(sz.rows_) OVER (ORDER BY
+                      sz.freq * 1.0 / sz.rows_ DESC, sz.tname ASC
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                      AS cum_rows
+             FROM sz CROSS JOIN cap),
+      fl AS (SELECT *, (cum_rows <= cap_rows) AS cached FROM rk),
+      hit AS (SELECT sum(CASE WHEN cached THEN freq ELSE 0 END)
+                * 1.0 / max(totf) AS hit_frac FROM fl)
+      SELECT fl.tname, fl.rows_ AS n_rows, fl.freq,
+             round(fl.density, 6) AS density, fl.cum_rows, fl.cached,
+             CAST(fl.cap_rows AS BIGINT) AS cap_rows,
+             round(hit.hit_frac, 6) AS hit_frac
+      FROM fl CROSS JOIN hit ORDER BY fl.tname"""
   )
 }
