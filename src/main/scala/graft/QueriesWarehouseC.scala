@@ -948,7 +948,6 @@ private[graft] object QueriesWarehouseC {
     //     limit-protected cumulative window over the 10-row frame. ---
     "q330_cache_advisor" -> rounded("density" -> 6, "hit_frac" -> 6)({
       (spark, dir) =>
-      import org.apache.spark.sql.expressions.Window
       val freqs = Seq("lineitem" -> 50L, "orders" -> 40L,
         "events" -> 30L, "documents" -> 12L, "embeddings" -> 9L,
         "customer" -> 8L, "part" -> 6L, "supplier" -> 4L,
@@ -960,13 +959,22 @@ private[graft] object QueriesWarehouseC {
       }.reduce(_ unionByName _)
       val cap = sizes.agg(expr("(sum(n_rows) * 6) div 10").as("__cap"),
         sum(col("freq")).as("__totf"))
-      val ranked = sizes.crossJoin(broadcast(cap))
-        .limit(100) // catalog-bounded frame; protects the windows
+      val base = sizes.crossJoin(broadcast(cap))
         .withColumn("density", col("freq").cast("double") /
           col("n_rows").cast("double"))
-        .withColumn("cum_rows", sum(col("n_rows")).over(
-          Window.orderBy(col("density").desc, col("tname").asc)
-            .rowsBetween(Window.unboundedPreceding, 0)))
+      // cumulative size in density-desc order via a broadcast
+      // self-join over the catalog-bounded (10-row) frame — a global
+      // window here would be the one anti-shape the plan audit bans,
+      // and the frame is too small to deserve one
+      val other = base.select(col("tname").as("__t2"),
+        col("n_rows").as("__r2"), col("density").as("__d2"))
+      val ranked = base.join(broadcast(other),
+          col("__d2") > col("density") ||
+          (col("__d2") === col("density") &&
+            col("__t2") <= col("tname")))
+        .groupBy(col("tname"), col("n_rows"), col("freq"),
+          col("density"), col("__cap"), col("__totf"))
+        .agg(sum(col("__r2")).as("cum_rows"))
         .withColumn("cached", col("cum_rows") <= col("__cap"))
       val hit = ranked.agg((sum(when(col("cached"), col("freq"))
           .otherwise(0L)).cast("double") /
