@@ -197,7 +197,69 @@ private[graft] object QueriesGraph {
         col("l_orderkey"), col("l_partkey"))
       graft.operators.Graph.kCorePeel(edges, k = 8, rounds = 4)
         .orderBy(col("node"))
-    }
+    },
+
+
+    // --- MODULARITY of the q221 label-propagation communities (the
+    //     standard Newman-Girvan quality score the detection step is
+    //     judged by): Q = Σ_c [ m_c/m − (d_c/2m)² ] computed as ONE
+    //     exact integer expression per community (4·m·m_c − d_c²)
+    //     over 4m², divided once — no accumulation of doubles, so
+    //     the score hash-matches the oracle's full 3-round replay.
+    //     Emits the 20 largest communities with their contributions
+    //     plus the global score; at 100 TB the whole computation is
+    //     two broadcast joins of the (tiny) label table against the
+    //     canonical edge list. ---
+    "q333_modularity" -> rounded("contrib" -> 6, "modularity" -> 6)({
+      (spark, dir) =>
+      val li = tbl(spark, dir, "lineitem")
+      val edges = graft.operators.Graph.coOccurrenceEdgesWeighted(li,
+          col("l_orderkey"), col("l_partkey"))
+        .filter(col("w") >= 2).select(col("src"), col("dst"))
+      val labels = graft.operators.Graph
+        .labelPropagation(edges, rounds = 3)
+        .localCheckpoint() // loop output; three downstream joins
+      val canon = edges
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b")).distinct()
+        .localCheckpoint() // feeds m, degrees, and intra-edge counts
+      val m = canon.agg(count(lit(1)).as("me"))
+      val deg = canon.select(col("a").as("node"))
+        .unionByName(canon.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("d"))
+      val intra = canon
+        .join(labels.select(col("node").as("a"),
+          col("label").as("la")), Seq("a"))
+        .join(labels.select(col("node").as("b"),
+          col("label").as("lb")), Seq("b"))
+        .filter(col("la") === col("lb"))
+        .groupBy(col("la").as("label"))
+        .agg(count(lit(1)).as("intra_edges"))
+      val per = deg.join(labels, Seq("node"))
+        .groupBy(col("label"))
+        .agg(sum(col("d")).as("degree_sum"),
+          count(lit(1)).as("n_nodes"))
+        .join(intra, Seq("label"), "left")
+        .withColumn("intra_edges",
+          coalesce(col("intra_edges"), lit(0L)))
+        .crossJoin(broadcast(m))
+        .withColumn("__cnum", lit(4L) * col("me") * col("intra_edges")
+          - col("degree_sum") * col("degree_sum"))
+      val glob = per.agg(sum(col("__cnum")).as("__qnum"),
+        max(col("me")).as("__me"))
+      per.orderBy(col("n_nodes").desc, col("label").asc).limit(20)
+        .crossJoin(broadcast(glob))
+        .select(col("label"), col("n_nodes"), col("intra_edges"),
+          col("degree_sum"),
+          (col("__cnum").cast("double") /
+            (lit(4L) * col("me") * col("me")).cast("double"))
+            .as("contrib"),
+          col("me").as("m_edges"),
+          (col("__qnum").cast("double") /
+            (lit(4L) * col("__me") * col("__me")).cast("double"))
+            .as("modularity"))
+        .orderBy(col("label"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -574,6 +636,64 @@ private[graft] object QueriesGraph {
              WHERE src NOT IN (SELECT src FROM b4)
                AND dst NOT IN (SELECT src FROM b4))
       SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
-      FROM e4 GROUP BY 1 ORDER BY 1"""
+      FROM e4 GROUP BY 1 ORDER BY 1""",
+
+
+    "q333_modularity" -> """
+      WITH mm AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+                  FROM lineitem),
+      wp AS (SELECT a.i AS src, b.i AS dst, count(*) AS w
+             FROM mm a JOIN mm b ON a.g = b.g AND a.i <> b.i
+             GROUP BY 1, 2),
+      canon AS (SELECT DISTINCT least(src, dst) AS a,
+                       greatest(src, dst) AS b
+                FROM wp WHERE w >= 2),
+      adj AS (SELECT a AS node, b AS nbr FROM canon
+              UNION ALL SELECT b, a FROM canon),
+      l0 AS (SELECT DISTINCT node, node AS label FROM adj),
+      c1 AS (SELECT adj.node, l.label, count(*) AS c
+             FROM adj JOIN l0 l ON adj.nbr = l.node GROUP BY 1, 2),
+      l1 AS (SELECT node, label FROM (
+               SELECT node, label, row_number() OVER (
+                 PARTITION BY node ORDER BY c DESC, label) AS rn
+               FROM c1) WHERE rn = 1),
+      c2 AS (SELECT adj.node, l.label, count(*) AS c
+             FROM adj JOIN l1 l ON adj.nbr = l.node GROUP BY 1, 2),
+      l2 AS (SELECT node, label FROM (
+               SELECT node, label, row_number() OVER (
+                 PARTITION BY node ORDER BY c DESC, label) AS rn
+               FROM c2) WHERE rn = 1),
+      c3 AS (SELECT adj.node, l.label, count(*) AS c
+             FROM adj JOIN l2 l ON adj.nbr = l.node GROUP BY 1, 2),
+      l3 AS (SELECT node, label FROM (
+               SELECT node, label, row_number() OVER (
+                 PARTITION BY node ORDER BY c DESC, label) AS rn
+               FROM c3) WHERE rn = 1),
+      me AS (SELECT CAST(count(*) AS BIGINT) AS me FROM canon),
+      deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d
+              FROM adj GROUP BY 1),
+      ie AS (SELECT la.label, CAST(count(*) AS BIGINT) AS mc
+             FROM canon c
+             JOIN l3 la ON la.node = c.a
+             JOIN l3 lb ON lb.node = c.b
+             WHERE la.label = lb.label GROUP BY 1),
+      ds AS (SELECT l3.label, CAST(sum(deg.d) AS BIGINT) AS dc,
+                    CAST(count(*) AS BIGINT) AS sz
+             FROM deg JOIN l3 USING (node) GROUP BY 1),
+      pc AS (SELECT ds.label, ds.sz, coalesce(ie.mc, 0) AS mc, ds.dc,
+                    4 * me.me * coalesce(ie.mc, 0) - ds.dc * ds.dc
+                      AS cnum
+             FROM ds LEFT JOIN ie USING (label) CROSS JOIN me),
+      gl AS (SELECT CAST(sum(cnum) AS BIGINT) AS qnum FROM pc),
+      top AS (SELECT * FROM pc
+              ORDER BY sz DESC, label ASC LIMIT 20)
+      SELECT t.label, t.sz AS n_nodes, t.mc AS intra_edges,
+             t.dc AS degree_sum,
+             round(t.cnum * 1.0 / (4 * me.me * me.me), 6) AS contrib,
+             me.me AS m_edges,
+             round(gl.qnum * 1.0 / (4 * me.me * me.me), 6)
+               AS modularity
+      FROM top t CROSS JOIN me CROSS JOIN gl
+      ORDER BY t.label"""
   )
 }

@@ -984,6 +984,71 @@ private[graft] object QueriesWarehouseC {
           col("density"), col("cum_rows"), col("cached"),
           col("__cap").as("cap_rows"), col("__hit").as("hit_frac"))
         .orderBy(col("tname"))
+    }),
+
+
+    // --- BLOOM-PREFILTER SIZING from KMV manifests (join prefilters
+    //     are how a 100 TB fact scan skips rows whose key can't
+    //     match a FILTERED dimension): each filtered dim's key count
+    //     comes from its deterministic KMV sketch (exact under k
+    //     keys, the (k−1)/t estimate above — both paths exercised
+    //     across SFs), the bits-per-key menu carries the standard
+    //     optimal-k false-positive rates, and each filter gets the
+    //     best bpk whose table fits its bit share — or NO filter
+    //     (bpk 0, fpp 1) when even 4 bpk doesn't fit, which the
+    //     sf0.1 part/customer filters genuinely hit at this budget.
+    //     Expected wasted fetches = fpp × true-negative probes. The
+    //     decision reads three sketches and three count aggregates;
+    //     no data is rescanned per candidate. ---
+    "q332_bloom_planner" -> rounded("n_keys_est" -> 6,
+        "expected_false" -> 6)({ (spark, dir) =>
+      import spark.implicits._
+      val k = 256
+      def estF(name: String, d: DataFrame, key: Column) =
+        Kmv.estimate(Kmv.sketch(d, key, k), k)
+          .select(lit(name).as("fname"),
+            col("distinct_est").as("n_keys_est"))
+      val ests = estF("part", tbl(spark, dir, "part")
+          .filter(pmod(col("p_partkey"), lit(10)) === 0),
+          col("p_partkey"))
+        .unionByName(estF("supplier", tbl(spark, dir, "supplier")
+          .filter(pmod(col("s_suppkey"), lit(10)) === 0),
+          col("s_suppkey")))
+        .unionByName(estF("customer", tbl(spark, dir, "customer")
+          .filter(pmod(col("c_custkey"), lit(10)) === 0),
+          col("c_custkey")))
+      val li = tbl(spark, dir, "lineitem")
+      def pr(name: String, d: DataFrame, hitc: Column) =
+        d.agg(count(lit(1)).as("probes"),
+            sum(when(hitc, 1L).otherwise(0L)).as("matches"))
+          .select(lit(name).as("fname"), col("probes"),
+            col("matches"))
+      val probes = pr("part", li,
+          pmod(col("l_partkey"), lit(10)) === 0)
+        .unionByName(pr("supplier", li,
+          pmod(col("l_suppkey"), lit(10)) === 0))
+        .unionByName(pr("customer", tbl(spark, dir, "orders"),
+          pmod(col("o_custkey"), lit(10)) === 0))
+      val menu = Seq((4L, 0.146), (8L, 0.0215), (12L, 0.00314),
+        (16L, 0.000458)).toDF("bpk", "fpp")
+      val fits = ests.crossJoin(broadcast(menu))
+        .filter(ceil(col("n_keys_est") * col("bpk")) <= lit(2048L))
+        .groupBy(col("fname")).agg(max(col("bpk")).as("bpk"))
+      ests.join(fits, Seq("fname"), "left")
+        .withColumn("bpk", coalesce(col("bpk"), lit(0L)))
+        .join(broadcast(menu.withColumnRenamed("bpk", "__b")),
+          col("bpk") === col("__b"), "left")
+        .withColumn("fpp", coalesce(col("fpp"), lit(1.0)))
+        .withColumn("bits", when(col("bpk") > 0,
+          ceil(col("n_keys_est") * col("bpk"))).otherwise(0L))
+        .join(probes, Seq("fname"))
+        .withColumn("negatives", col("probes") - col("matches"))
+        .withColumn("expected_false",
+          col("fpp") * col("negatives").cast("double"))
+        .select(col("fname"), col("n_keys_est"), col("bpk"),
+          col("bits"), col("fpp"), col("probes"), col("negatives"),
+          col("expected_false"))
+        .orderBy(col("fname"))
     })
   )
 
@@ -1914,6 +1979,80 @@ private[graft] object QueriesWarehouseC {
              round(fl.density, 6) AS density, fl.cum_rows, fl.cached,
              CAST(fl.cap_rows AS BIGINT) AS cap_rows,
              round(hit.hit_frac, 6) AS hit_frac
-      FROM fl CROSS JOIN hit ORDER BY fl.tname"""
+      FROM fl CROSS JOIN hit ORDER BY fl.tname""",
+
+
+    "q332_bloom_planner" -> """
+      WITH menu AS (
+        SELECT 4 AS bpk, CAST(0.146 AS DOUBLE) AS fpp
+        UNION ALL SELECT 8, CAST(0.0215 AS DOUBLE)
+        UNION ALL SELECT 12, CAST(0.00314 AS DOUBLE)
+        UNION ALL SELECT 16, CAST(0.000458 AS DOUBLE)),
+      hp AS (SELECT DISTINCT CAST(('0x' || substring(md5(
+               CAST(p_partkey AS VARCHAR)), 1, 12)) AS BIGINT) AS h
+             FROM part WHERE p_partkey % 10 = 0),
+      kp AS (SELECT h FROM hp ORDER BY h LIMIT 256),
+      ep AS (SELECT 'part' AS fname,
+               CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+                    ELSE CAST(255 AS DOUBLE)
+                         * CAST(281474976710656 AS DOUBLE)
+                         / CAST(max(h) AS DOUBLE) END AS n_keys_est
+             FROM kp),
+      hs AS (SELECT DISTINCT CAST(('0x' || substring(md5(
+               CAST(s_suppkey AS VARCHAR)), 1, 12)) AS BIGINT) AS h
+             FROM supplier WHERE s_suppkey % 10 = 0),
+      ks AS (SELECT h FROM hs ORDER BY h LIMIT 256),
+      es AS (SELECT 'supplier' AS fname,
+               CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+                    ELSE CAST(255 AS DOUBLE)
+                         * CAST(281474976710656 AS DOUBLE)
+                         / CAST(max(h) AS DOUBLE) END AS n_keys_est
+             FROM ks),
+      hc AS (SELECT DISTINCT CAST(('0x' || substring(md5(
+               CAST(c_custkey AS VARCHAR)), 1, 12)) AS BIGINT) AS h
+             FROM customer WHERE c_custkey % 10 = 0),
+      kc AS (SELECT h FROM hc ORDER BY h LIMIT 256),
+      ec AS (SELECT 'customer' AS fname,
+               CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+                    ELSE CAST(255 AS DOUBLE)
+                         * CAST(281474976710656 AS DOUBLE)
+                         / CAST(max(h) AS DOUBLE) END AS n_keys_est
+             FROM kc),
+      ests AS (SELECT * FROM ep UNION ALL SELECT * FROM es
+               UNION ALL SELECT * FROM ec),
+      pr AS (
+        SELECT 'part' AS fname, CAST(count(*) AS BIGINT) AS probes,
+               CAST(sum(CASE WHEN l_partkey % 10 = 0 THEN 1 ELSE 0
+                 END) AS BIGINT) AS matches
+        FROM lineitem
+        UNION ALL
+        SELECT 'supplier', CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN l_suppkey % 10 = 0 THEN 1 ELSE 0
+                 END) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'customer', CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN o_custkey % 10 = 0 THEN 1 ELSE 0
+                 END) AS BIGINT)
+        FROM orders),
+      fits AS (SELECT e.fname, CAST(max(m.bpk) AS BIGINT) AS bpk
+               FROM ests e JOIN menu m
+                 ON ceil(e.n_keys_est * m.bpk) <= 2048
+               GROUP BY 1),
+      ch AS (SELECT e.fname, e.n_keys_est,
+                    coalesce(f.bpk, 0) AS bpk
+             FROM ests e LEFT JOIN fits f USING (fname)),
+      ch2 AS (SELECT ch.fname, ch.n_keys_est, ch.bpk,
+                     coalesce(m.fpp, CAST(1.0 AS DOUBLE)) AS fpp,
+                     CASE WHEN ch.bpk > 0 THEN
+                       CAST(ceil(ch.n_keys_est * ch.bpk) AS BIGINT)
+                     ELSE 0 END AS bits
+              FROM ch LEFT JOIN menu m ON m.bpk = ch.bpk)
+      SELECT ch2.fname, round(ch2.n_keys_est, 6) AS n_keys_est,
+             CAST(ch2.bpk AS BIGINT) AS bpk, ch2.bits, ch2.fpp,
+             pr.probes, pr.probes - pr.matches AS negatives,
+             round(ch2.fpp * (pr.probes - pr.matches), 6)
+               AS expected_false
+      FROM ch2 JOIN pr USING (fname) ORDER BY fname"""
   )
 }
