@@ -49,7 +49,13 @@ object ScaleBench {
     // round-10 continuation: manifest-diff selective recompute (two
     // fingerprint scans + stale-only recompute) and the span-removal
     // census (span index + doc-keyed window)
-    "q316_selective_recompute", "q319_span_removal")
+    "q316_selective_recompute", "q319_span_removal",
+    // round-10 second continuation: the posting/plan family — WAND
+    // bound census (one postings shuffle), per-rowgroup encoding
+    // advisor (melted windowed scan), eval-span contamination (train
+    // side never shuffles), manifest-driven range partitioner
+    "q324_wand_bounds", "q325_encoding_advisor",
+    "q327_contamination_spans", "q329_range_partition_planner")
 
   /** Tables each target reads — lets a subset run skip synthesizing
     * (and paying for) the others at high mults. */
@@ -68,7 +74,11 @@ object ScaleBench {
     "q295_vocab_manifest" -> Set("documents"),
     "q300_manifest_health" -> Set("events"),
     "q316_selective_recompute" -> Set("events"),
-    "q319_span_removal" -> Set("documents"))
+    "q319_span_removal" -> Set("documents"),
+    "q324_wand_bounds" -> Set("documents"),
+    "q325_encoding_advisor" -> Set("lineitem"),
+    "q327_contamination_spans" -> Set("documents"),
+    "q329_range_partition_planner" -> Set("lineitem"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
