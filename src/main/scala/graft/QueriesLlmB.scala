@@ -1482,7 +1482,82 @@ private[graft] object QueriesLlmB {
         .select(col("policy"), col("n_batches"), col("real_tokens"),
           col("padded_tokens"), col("utilization"))
         .orderBy(col("policy"))
-    })
+    }),
+
+
+    // --- QUALITY-SELECTION FRONTIER (the quality-vs-quantity curve
+    //     every data-selection decision reads): for nine keep
+    //     thresholds over the q97 quality score, the docs and tokens
+    //     retained, the token fraction, and the kept-score envelope.
+    //     min/max are ORDER-INDEPENDENT selections (no double
+    //     accumulation anywhere — the softsign score itself is exact
+    //     IEEE in both engines, the q97 precedent), so the whole
+    //     curve hash-matches. One scored scan fans out against nine
+    //     broadcast thresholds; at 100 TB the frontier costs the
+    //     same single pass the classifier already pays. ---
+    "q334_selection_frontier" -> rounded("tok_frac" -> 6,
+        "min_score" -> 6, "max_score" -> 6)({ (spark, dir) =>
+      import spark.implicits._
+      val base = graft.llm.QualityModel.classify(
+          tbl(spark, dir, "documents"), col("text"))
+        .select(col("doc_id"), col("score"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("ntok"))
+      val thrs = Seq(0.30, 0.35, 0.40, 0.45, 0.50, 0.55, 0.60, 0.65,
+        0.70).toDF("thr")
+      val tot = base.agg(sum(col("ntok")).as("__tot"))
+      base.crossJoin(broadcast(thrs)).crossJoin(broadcast(tot))
+        .groupBy(col("thr"))
+        .agg(sum(when(col("score") >= col("thr"), 1L).otherwise(0L))
+            .as("n_docs"),
+          coalesce(sum(when(col("score") >= col("thr"), col("ntok"))),
+            lit(0L)).as("n_tokens"),
+          min(when(col("score") >= col("thr"), col("score")))
+            .as("min_score"),
+          max(when(col("score") >= col("thr"), col("score")))
+            .as("max_score"),
+          max(col("__tot")).as("__tot"))
+        .withColumn("tok_frac", col("n_tokens").cast("double") /
+          col("__tot").cast("double"))
+        .select(col("thr"), col("n_docs"), col("n_tokens"),
+          col("tok_frac"), col("min_score"), col("max_score"))
+        .orderBy(col("thr"))
+    }),
+
+
+    // --- GROUP-AWARE FOLD LEAKAGE (eval-split hygiene, measured):
+    //     hashing ROWS into k=5 folds scatters almost every user
+    //     across multiple folds (train/test leakage for any
+    //     user-level signal), while hashing the GROUP key puts each
+    //     user wholly in one fold by construction. Both assignments
+    //     use the portable 48-bit md5 hash (the KMV idiom) so the
+    //     census replays exactly; the leaky-user counts quantify
+    //     what the naive split would contaminate. One scan, two
+    //     small aggregates — split policy for a 100 TB corpus is
+    //     decided from this table, not re-shuffled by trial. ---
+    "q335_fold_leakage" -> { (spark, dir) =>
+      val kmv = graft.operators.Kmv
+      val ev = tbl(spark, dir, "events").select(
+        pmod(kmv.h48(col("event_id")), lit(5L)).as("row_fold"),
+        pmod(kmv.h48(col("user_id")), lit(5L)).as("group_fold"),
+        col("user_id"))
+        .localCheckpoint() // one hash pass feeds all three censuses
+      val byRow = ev.groupBy(col("row_fold").as("fold"))
+        .agg(count(lit(1)).as("rows_rowfold"),
+          countDistinct(col("user_id")).as("users_rowfold"))
+      val byGrp = ev.groupBy(col("group_fold").as("fold"))
+        .agg(count(lit(1)).as("rows_groupfold"),
+          countDistinct(col("user_id")).as("users_groupfold"))
+      val leaks = ev.groupBy(col("user_id"))
+        .agg(countDistinct(col("row_fold")).as("__nrf"),
+          countDistinct(col("group_fold")).as("__ngf"))
+        .agg(sum(when(col("__nrf") > 1, 1L).otherwise(0L))
+            .as("leaky_users_rowfold"),
+          sum(when(col("__ngf") > 1, 1L).otherwise(0L))
+            .as("leaky_users_groupfold"))
+      byRow.join(byGrp, Seq("fold"))
+        .crossJoin(broadcast(leaks))
+        .orderBy(col("fold"))
+    }
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2816,6 +2891,66 @@ private[graft] object QueriesLlmB {
       SELECT policy, n_batches, real_tokens, padded_tokens,
              round(real_tokens * 1.0 / padded_tokens, 6)
                AS utilization
-      FROM u ORDER BY policy"""
+      FROM u ORDER BY policy""",
+
+
+    "q334_selection_frontier" -> s"""
+      WITH $q97ScorePrefixSql,
+      nt AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS ntok
+             FROM t),
+      sc AS (SELECT s.doc_id, s.score, nt.ntok
+             FROM s JOIN nt USING (doc_id)),
+      tot AS (SELECT CAST(sum(ntok) AS BIGINT) AS tt FROM sc),
+      th AS (SELECT CAST(thr AS DOUBLE) AS thr
+             FROM (VALUES (0.30), (0.35), (0.40), (0.45), (0.50),
+               (0.55), (0.60), (0.65), (0.70)) AS v(thr)),
+      fr AS (SELECT th.thr,
+                    CAST(sum(CASE WHEN sc.score >= th.thr
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+                    CAST(coalesce(sum(CASE WHEN sc.score >= th.thr
+                      THEN sc.ntok END), 0) AS BIGINT) AS n_tokens,
+                    min(CASE WHEN sc.score >= th.thr
+                      THEN sc.score END) AS mn,
+                    max(CASE WHEN sc.score >= th.thr
+                      THEN sc.score END) AS mx
+             FROM sc CROSS JOIN th GROUP BY 1)
+      SELECT fr.thr, fr.n_docs, fr.n_tokens,
+             round(fr.n_tokens * 1.0 / tot.tt, 6) AS tok_frac,
+             round(fr.mn, 6) AS min_score,
+             round(fr.mx, 6) AS max_score
+      FROM fr CROSS JOIN tot ORDER BY fr.thr""",
+
+
+    "q335_fold_leakage" -> """
+      WITH e AS (SELECT
+          CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)),
+            1, 12)) AS BIGINT) % 5 AS row_fold,
+          CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+            1, 12)) AS BIGINT) % 5 AS group_fold,
+          user_id
+        FROM events),
+      br AS (SELECT row_fold AS fold,
+                    CAST(count(*) AS BIGINT) AS rows_rowfold,
+                    CAST(count(DISTINCT user_id) AS BIGINT)
+                      AS users_rowfold
+             FROM e GROUP BY 1),
+      bg AS (SELECT group_fold AS fold,
+                    CAST(count(*) AS BIGINT) AS rows_groupfold,
+                    CAST(count(DISTINCT user_id) AS BIGINT)
+                      AS users_groupfold
+             FROM e GROUP BY 1),
+      pu AS (SELECT user_id, count(DISTINCT row_fold) AS nrf,
+                    count(DISTINCT group_fold) AS ngf
+             FROM e GROUP BY 1),
+      lk AS (SELECT CAST(sum(CASE WHEN nrf > 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS leaky_users_rowfold,
+                    CAST(sum(CASE WHEN ngf > 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS leaky_users_groupfold
+             FROM pu)
+      SELECT br.fold, br.rows_rowfold, br.users_rowfold,
+             bg.rows_groupfold, bg.users_groupfold,
+             lk.leaky_users_rowfold, lk.leaky_users_groupfold
+      FROM br JOIN bg USING (fold) CROSS JOIN lk
+      ORDER BY br.fold"""
   )
 }
