@@ -213,9 +213,13 @@ private[graft] object QueriesGraph {
     "q333_modularity" -> rounded("contrib" -> 6, "modularity" -> 6)({
       (spark, dir) =>
       val li = tbl(spark, dir, "lineitem")
+      // the co-occurrence self-join is the expensive stage: stage it
+      // ONCE and feed both the propagation loop and the modularity
+      // censuses (unstaged, it would run twice)
       val edges = graft.operators.Graph.coOccurrenceEdgesWeighted(li,
           col("l_orderkey"), col("l_partkey"))
         .filter(col("w") >= 2).select(col("src"), col("dst"))
+        .localCheckpoint()
       val labels = graft.operators.Graph
         .labelPropagation(edges, rounds = 3)
         .localCheckpoint() // loop output; three downstream joins
