@@ -1557,7 +1557,45 @@ private[graft] object QueriesLlmB {
       byRow.join(byGrp, Seq("fold"))
         .crossJoin(broadcast(leaks))
         .orderBy(col("fold"))
-    }
+    },
+
+
+    // --- EMBEDDING-DIMENSION TRUNCATION census (the "how many dims
+    //     does retrieval actually need" decision — Matryoshka-style
+    //     prefix truncation, measured): for prefix lengths 4/8/16/64
+    //     over a deterministic pair sample, how far truncated cosine
+    //     drifts from full cosine. min/max/threshold-count only (no
+    //     double accumulation across rows); the cosine kernel is the
+    //     same left-to-right fold DuckDB's double-list cosine
+    //     computes, so every deviation is bit-identical and the
+    //     census hash-matches. At 100 TB a 4× dim cut is 4× less
+    //     index I/O — this table says what it costs in fidelity. ---
+    "q337_dim_truncation" -> rounded("close_frac" -> 6,
+        "min_dev" -> 6, "max_dev" -> 6)({ (spark, dir) =>
+      import spark.implicits._
+      val sim = graft.llm.Similarity
+      val emb = tbl(spark, dir, "embeddings")
+      val pairs = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+        .select(col("vec_id").as("ida"), col("embedding").as("va"))
+        .join(emb.select((col("vec_id") - 1).as("ida"),
+          col("embedding").as("vb")), Seq("ida"))
+      val ks = Seq(4, 8, 16, 64).toDF("k")
+      pairs.withColumn("cf", sim.cosine(col("va"), col("vb")))
+        .crossJoin(broadcast(ks))
+        .withColumn("dev", abs(sim.cosine(
+          slice(col("va"), lit(1), col("k")),
+          slice(col("vb"), lit(1), col("k"))) - col("cf")))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("dev") <= 0.05, 1L).otherwise(0L))
+            .as("n_close"),
+          min(col("dev")).as("min_dev"), max(col("dev")).as("max_dev"))
+        .withColumn("close_frac", col("n_close").cast("double") /
+          col("n_pairs").cast("double"))
+        .select(col("k"), col("n_pairs"), col("n_close"),
+          col("close_frac"), col("min_dev"), col("max_dev"))
+        .orderBy(col("k"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2951,6 +2989,31 @@ private[graft] object QueriesLlmB {
              bg.rows_groupfold, bg.users_groupfold,
              lk.leaky_users_rowfold, lk.leaky_users_groupfold
       FROM br JOIN bg USING (fold) CROSS JOIN lk
-      ORDER BY br.fold"""
+      ORDER BY br.fold""",
+
+
+    "q337_dim_truncation" -> """
+      WITH p AS (SELECT a.vec_id AS ida, a.embedding AS va,
+                        b.embedding AS vb
+                 FROM embeddings a JOIN embeddings b
+                   ON b.vec_id = a.vec_id + 1
+                 WHERE a.vec_id % 2 = 0),
+      ks AS (SELECT unnest([4, 8, 16, 64]) AS k),
+      d AS (SELECT ks.k,
+                   abs(list_cosine_similarity(
+                         CAST(list_slice(p.va, 1, ks.k) AS DOUBLE[]),
+                         CAST(list_slice(p.vb, 1, ks.k) AS DOUBLE[]))
+                     - list_cosine_similarity(
+                         CAST(p.va AS DOUBLE[]),
+                         CAST(p.vb AS DOUBLE[]))) AS dev
+            FROM p CROSS JOIN ks)
+      SELECT k, CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(CASE WHEN dev <= 0.05 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_close,
+             round(sum(CASE WHEN dev <= 0.05 THEN 1 ELSE 0 END)
+               * 1.0 / count(*), 6) AS close_frac,
+             round(min(dev), 6) AS min_dev,
+             round(max(dev), 6) AS max_dev
+      FROM d GROUP BY 1 ORDER BY 1"""
   )
 }

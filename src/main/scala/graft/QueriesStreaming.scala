@@ -1065,7 +1065,56 @@ private[graft] object QueriesStreaming {
           .select(col("window.start").as("day"), col("event_type"),
             col("n"), col("sum_value"))
           .orderBy(col("day"), col("event_type"))
-    }))
+    })),
+
+
+    // --- STREAM-STATE BUDGET from per-minute manifests (size the
+    //     state store BEFORE deploying the join): an interval join
+    //     holding each event for 5 minutes keeps, at any instant in
+    //     minute m, only events from the last 5 minutes — so the
+    //     6-minute-bucket sliding sum over the per-minute rate
+    //     manifest is a GUARANTEED upper bound on instantaneous
+    //     keyed state, while the exact peak is the classic +1/−1
+    //     sweep (ends before starts at equal timestamps). The census
+    //     gates the bound per key and reports its tightness — what a
+    //     capacity plan reads instead of deploying to find out. The
+    //     manifest side is one aggregate; the sweep sorts within
+    //     keys only. ---
+    "q336_stream_state_budget" -> rounded("tightness" -> 6)({
+      (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val holdUs = 300000000L // 5 minutes
+      val ev = tbl(spark, dir, "events").select(col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("t"),
+        col("event_id"))
+      val rates = ev
+        .withColumn("minute", expr("t div 60000000"))
+        .groupBy(col("event_type"), col("minute"))
+        .agg(count(lit(1)).as("c"))
+      val est = rates.withColumn("win6", sum(col("c")).over(
+          Window.partitionBy(col("event_type")).orderBy(col("minute"))
+            .rangeBetween(-5, 0)))
+        .groupBy(col("event_type"))
+        .agg(max(col("win6")).as("est_peak_state"))
+      val sweep = ev.select(col("event_type"), col("t"),
+          lit(1L).as("d"), col("event_id"))
+        .unionByName(ev.select(col("event_type"),
+          (col("t") + holdUs).as("t"), lit(-1L).as("d"),
+          col("event_id")))
+      val actual = sweep.withColumn("run", sum(col("d")).over(
+          Window.partitionBy(col("event_type"))
+            .orderBy(col("t"), col("d"), col("event_id"))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("event_type"))
+        .agg(max(col("run")).as("actual_peak_state"))
+      est.join(actual, Seq("event_type"))
+        .withColumn("bound_holds",
+          col("est_peak_state") >= col("actual_peak_state"))
+        .withColumn("tightness",
+          col("actual_peak_state").cast("double") /
+            col("est_peak_state").cast("double"))
+        .orderBy(col("event_type"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1504,6 +1553,44 @@ private[graft] object QueriesStreaming {
     "q313_stream_resume" -> """
       SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n,
              round(sum(value), 4) AS sum_value
-      FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+
+    "q336_stream_state_budget" -> """
+      WITH e AS (SELECT event_type, epoch_us(ts) AS t, event_id
+                 FROM events),
+      rates AS (SELECT event_type, t // 60000000 AS minute,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM e GROUP BY 1, 2),
+      est AS (SELECT event_type, CAST(max(win6) AS BIGINT)
+                AS est_peak_state
+              FROM (SELECT event_type,
+                      sum(c) OVER (PARTITION BY event_type
+                        ORDER BY minute
+                        RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
+                        AS win6
+                    FROM rates)
+              GROUP BY 1),
+      sweep AS (SELECT event_type, t, CAST(1 AS BIGINT) AS d,
+                       event_id FROM e
+                UNION ALL
+                SELECT event_type, t + 300000000, CAST(-1 AS BIGINT),
+                       event_id FROM e),
+      actual AS (SELECT event_type, CAST(max(run) AS BIGINT)
+                   AS actual_peak_state
+                 FROM (SELECT event_type,
+                         sum(d) OVER (PARTITION BY event_type
+                           ORDER BY t, d, event_id
+                           ROWS UNBOUNDED PRECEDING) AS run
+                       FROM sweep)
+                 GROUP BY 1)
+      SELECT est.event_type, est.est_peak_state,
+             actual.actual_peak_state,
+             (est.est_peak_state >= actual.actual_peak_state)
+               AS bound_holds,
+             round(actual.actual_peak_state * 1.0
+               / est.est_peak_state, 6) AS tightness
+      FROM est JOIN actual USING (event_type)
+      ORDER BY est.event_type"""
   )
 }
