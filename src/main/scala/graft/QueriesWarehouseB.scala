@@ -1476,7 +1476,85 @@ private[graft] object QueriesWarehouseB {
         .withColumn("breach_frac", col("n_breach").cast("double") /
           col("n").cast("double"))
         .orderBy(col("o_orderpriority"))
-    }
+    },
+
+
+    // --- SHUFFLE-PARTITION SIZING census (the
+    //     spark.sql.shuffle.partitions decision, measured instead of
+    //     guessed): hash lineitem's join key into the P=32 reduce
+    //     buckets a shuffle would build (portable 48-bit md5 — the
+    //     planner's view of hash partitioning), estimate per-bucket
+    //     bytes at a 64 B/row width, and flag buckets exceeding a
+    //     4 MiB task budget. Emits the bucket table plus the skew
+    //     ratio (max·P/total — 1.0 is perfectly even); at 100 TB this
+    //     one aggregate answers "does P need to grow, and is the key
+    //     skewed or just big". ---
+    "q338_shuffle_sizing" -> rounded("skew_ratio" -> 6)({
+      (spark, dir) =>
+      val kmv = graft.operators.Kmv
+      val buckets = tbl(spark, dir, "lineitem")
+        .select(pmod(kmv.h48(col("l_orderkey")), lit(32L))
+          .as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_rows"))
+        .withColumn("bytes", col("n_rows") * 64L)
+        .withColumn("spills", col("bytes") > lit(4L * 1024 * 1024))
+      val tot = buckets.agg(sum(col("n_rows")).as("__tot"),
+        max(col("n_rows")).as("__mx"),
+        sum(when(col("spills"), 1L).otherwise(0L)).as("__nspill"))
+      buckets.crossJoin(broadcast(tot))
+        .withColumn("skew_ratio",
+          (col("__mx") * 32L).cast("double") /
+            col("__tot").cast("double"))
+        .select(col("bucket"), col("n_rows"), col("bytes"),
+          col("spills"), col("__mx").as("max_bucket_rows"),
+          col("__nspill").as("n_spilling"), col("skew_ratio"))
+        .orderBy(col("bucket"))
+    }),
+
+
+    // --- SALT PLANNER with realized balance (the q60/q61 salted
+    //     operators' missing WHY: how much salt does each hot key
+    //     need?): per event_type, salt_factor = ceil(n / target)
+    //     rows-per-task, then the plan is PROVEN on the data — rows
+    //     are salted by the portable md5 hash and the realized
+    //     largest sub-task is compared to the ceil bound, with
+    //     imbalance = realized·salt/n (1.0 = perfectly even). The
+    //     before/after max-task columns are the headline: what the
+    //     straggler task costs now vs under the plan. One aggregate
+    //     over the salted grain; no data rewrite to find out. ---
+    "q339_salt_planner" -> rounded("imbalance" -> 6)({ (spark, dir) =>
+      val kmv = graft.operators.Kmv
+      val target = 2000L
+      val ev = tbl(spark, dir, "events").select(col("event_type"),
+        col("event_id"))
+      val plan = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("salt_factor",
+          expr(s"(n + $target - 1) div $target"))
+        .withColumn("ceil_bound",
+          expr("(n + salt_factor - 1) div salt_factor"))
+      val realized = ev.join(broadcast(plan), Seq("event_type"))
+        .withColumn("salt",
+          pmod(kmv.h48(col("event_id")), col("salt_factor")))
+        .groupBy(col("event_type"), col("salt"))
+        .agg(count(lit(1)).as("__sub"))
+        .groupBy(col("event_type"))
+        .agg(max(col("__sub")).as("actual_max_subtask"))
+      val heads = plan.agg(max(col("n")).as("__before"))
+      plan.join(realized, Seq("event_type"))
+        .crossJoin(broadcast(heads))
+        .crossJoin(broadcast(realized
+          .agg(max(col("actual_max_subtask")).as("__after"))))
+        .withColumn("imbalance",
+          (col("actual_max_subtask") * col("salt_factor"))
+            .cast("double") / col("n").cast("double"))
+        .select(col("event_type"), col("n"), col("salt_factor"),
+          col("ceil_bound"), col("actual_max_subtask"),
+          col("imbalance"), col("__before").as("max_task_before"),
+          col("__after").as("max_task_after"))
+        .orderBy(col("event_type"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2682,6 +2760,61 @@ private[graft] object QueriesWarehouseB {
              CAST(a.n_breach AS DOUBLE) / CAST(a.n AS DOUBLE)
                AS breach_frac
       FROM agg a JOIN qs q USING (o_orderpriority)
-      ORDER BY a.o_orderpriority"""
+      ORDER BY a.o_orderpriority""",
+
+
+    "q338_shuffle_sizing" -> """
+      WITH b AS (SELECT CAST(('0x' || substring(md5(
+                   CAST(l_orderkey AS VARCHAR)), 1, 12)) AS BIGINT)
+                   % 32 AS bucket
+                 FROM lineitem),
+      bk AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows
+             FROM b GROUP BY 1),
+      bb AS (SELECT bucket, n_rows, n_rows * 64 AS bytes,
+                    (n_rows * 64 > 4194304) AS spills
+             FROM bk),
+      t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS tot,
+                   CAST(max(n_rows) AS BIGINT) AS mx,
+                   CAST(sum(CASE WHEN spills THEN 1 ELSE 0 END)
+                     AS BIGINT) AS nspill
+            FROM bb)
+      SELECT bb.bucket, bb.n_rows, CAST(bb.bytes AS BIGINT) AS bytes,
+             bb.spills, t.mx AS max_bucket_rows,
+             t.nspill AS n_spilling,
+             round(t.mx * 32 * 1.0 / t.tot, 6) AS skew_ratio
+      FROM bb CROSS JOIN t ORDER BY bb.bucket""",
+
+
+    "q339_salt_planner" -> """
+      WITH p AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+                 FROM events GROUP BY 1),
+      pl AS (SELECT event_type, n,
+                    (n + 1999) // 2000 AS salt_factor
+             FROM p),
+      pl2 AS (SELECT *, (n + salt_factor - 1) // salt_factor
+                AS ceil_bound FROM pl),
+      r AS (SELECT e.event_type,
+                   CAST(('0x' || substring(md5(
+                     CAST(e.event_id AS VARCHAR)), 1, 12)) AS BIGINT)
+                     % pl2.salt_factor AS salt
+            FROM events e JOIN pl2 USING (event_type)),
+      sub AS (SELECT event_type, salt, CAST(count(*) AS BIGINT) AS c
+              FROM r GROUP BY 1, 2),
+      rz AS (SELECT event_type, CAST(max(c) AS BIGINT)
+               AS actual_max_subtask
+             FROM sub GROUP BY 1),
+      hb AS (SELECT CAST(max(n) AS BIGINT) AS before_ FROM pl2),
+      ha AS (SELECT CAST(max(actual_max_subtask) AS BIGINT) AS after_
+             FROM rz)
+      SELECT pl2.event_type, pl2.n,
+             CAST(pl2.salt_factor AS BIGINT) AS salt_factor,
+             CAST(pl2.ceil_bound AS BIGINT) AS ceil_bound,
+             rz.actual_max_subtask,
+             round(rz.actual_max_subtask * pl2.salt_factor * 1.0
+               / pl2.n, 6) AS imbalance,
+             hb.before_ AS max_task_before, ha.after_ AS max_task_after
+      FROM pl2 JOIN rz USING (event_type)
+      CROSS JOIN hb CROSS JOIN ha
+      ORDER BY pl2.event_type"""
   )
 }
