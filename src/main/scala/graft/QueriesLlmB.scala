@@ -1595,6 +1595,51 @@ private[graft] object QueriesLlmB {
         .select(col("k"), col("n_pairs"), col("n_close"),
           col("close_frac"), col("min_dev"), col("max_dev"))
         .orderBy(col("k"))
+    }),
+
+
+    // --- DEDUP-THRESHOLD SENSITIVITY sweep (the Jaccard τ knob,
+    //     measured end to end): the exact near-dup pairs are mined
+    //     ONCE (df-capped inverted index, τ=0.5 floor), then each
+    //     candidate threshold re-filters the pair set and closes it
+    //     transitively — pairs, clusters, removable docs, and the
+    //     kept fraction per τ. This is the "how aggressive is our
+    //     dedup" table: at 100 TB the sweep costs three closures
+    //     over an already-tiny pair set, never a second corpus
+    //     scan. ---
+    "q342_dedup_threshold_sweep" -> rounded("keep_frac" -> 6)({
+      (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val variants = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          col("text").substr(lit(1),
+            greatest(length(col("text")) - 20, lit(1))).as("text"))
+      val corpus = docs.unionByName(variants)
+      val pairs = Dedup.ngramJaccardPairs(corpus, col("doc_id"),
+          col("text"), shingleN = 3, threshold = 0.5, maxDf = 16)
+        .localCheckpoint() // three tau sweeps over one pair mining
+      val nd = corpus.agg(count(lit(1)).as("__nd"))
+      def sweep(tau: Double): DataFrame = {
+        val sel = pairs.filter(col("jaccard") >= tau)
+          .select(col("id_a"), col("id_b"))
+        val cl = Dedup.connectedComponents(sel, col("id_a"),
+          col("id_b"))
+        sel.agg(count(lit(1)).as("n_pairs"))
+          .crossJoin(cl.agg(
+            countDistinct(col("comp")).as("n_clusters"),
+            (count(lit(1)) - countDistinct(col("comp")))
+              .as("n_removable")))
+          .withColumn("tau", lit(tau))
+      }
+      sweep(0.5).unionByName(sweep(0.7)).unionByName(sweep(0.9))
+        .crossJoin(broadcast(nd))
+        .withColumn("keep_frac",
+          (col("__nd") - col("n_removable")).cast("double") /
+            col("__nd").cast("double"))
+        .select(col("tau"), col("n_pairs"), col("n_clusters"),
+          col("n_removable"), col("keep_frac"))
+        .orderBy(col("tau"))
     })
   )
 
@@ -3014,6 +3059,98 @@ private[graft] object QueriesLlmB {
                * 1.0 / count(*), 6) AS close_frac,
              round(min(dev), 6) AS min_dev,
              round(max(dev), 6) AS max_dev
-      FROM d GROUP BY 1 ORDER BY 1"""
+      FROM d GROUP BY 1 ORDER BY 1""",
+
+
+    "q342_dedup_threshold_sweep" -> """
+      WITH RECURSIVE
+      base AS (SELECT doc_id, text FROM documents
+               UNION ALL
+               SELECT doc_id + 1000000,
+                      substring(text, 1,
+                        greatest(length(text) - 20, 1))
+               FROM documents WHERE doc_id % 3 = 0),
+      tk AS (SELECT doc_id, list_filter(
+               string_split_regex(lower(trim(text)), '\s+'),
+               x -> length(x) > 0) AS toks FROM base),
+      sh AS (SELECT doc_id,
+               CASE WHEN len(toks) >= 3 THEN
+                      list_distinct(list_transform(
+                        generate_series(1, len(toks) - 2),
+                        i -> toks[i] || ' ' || toks[i+1] || ' '
+                          || toks[i+2]))
+                    WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+                    ELSE [] END AS s
+             FROM tk),
+      ex0 AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      keep AS (SELECT g FROM ex0 GROUP BY g HAVING count(*) <= 16),
+      ex AS (SELECT doc_id, ex0.g FROM ex0 JOIN keep USING (g)),
+      sz AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       count(*) AS ns
+                FROM ex a JOIN ex b
+                  ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+      pr AS (SELECT i.id_a, i.id_b,
+                    round(CAST(i.ns AS DOUBLE)
+                      / (sa.sz + sb.sz - i.ns), 6) AS j
+             FROM inter i
+             JOIN sz sa ON sa.doc_id = i.id_a
+             JOIN sz sb ON sb.doc_id = i.id_b
+             WHERE round(CAST(i.ns AS DOUBLE)
+               / (sa.sz + sb.sz - i.ns), 6) >= 0.5),
+      p5 AS (SELECT id_a, id_b FROM pr WHERE j >= 0.5),
+      e5 AS (SELECT id_a AS x, id_b AS y FROM p5
+             UNION ALL SELECT id_b, id_a FROM p5),
+      r5 AS (SELECT x AS id, x AS rr FROM e5
+             UNION
+             SELECT e5.x, r5.rr FROM e5 JOIN r5 ON e5.y = r5.id),
+      c5 AS (SELECT id, min(rr) AS comp FROM r5 GROUP BY id),
+      k5 AS (SELECT CAST((SELECT count(*) FROM p5) AS BIGINT)
+                      AS n_pairs,
+                    CAST(count(DISTINCT comp) AS BIGINT)
+                      AS n_clusters,
+                    CAST(count(*) - count(DISTINCT comp) AS BIGINT)
+                      AS n_removable
+             FROM c5),
+      p7 AS (SELECT id_a, id_b FROM pr WHERE j >= 0.7),
+      e7 AS (SELECT id_a AS x, id_b AS y FROM p7
+             UNION ALL SELECT id_b, id_a FROM p7),
+      r7 AS (SELECT x AS id, x AS rr FROM e7
+             UNION
+             SELECT e7.x, r7.rr FROM e7 JOIN r7 ON e7.y = r7.id),
+      c7 AS (SELECT id, min(rr) AS comp FROM r7 GROUP BY id),
+      k7 AS (SELECT CAST((SELECT count(*) FROM p7) AS BIGINT)
+                      AS n_pairs,
+                    CAST(count(DISTINCT comp) AS BIGINT)
+                      AS n_clusters,
+                    CAST(count(*) - count(DISTINCT comp) AS BIGINT)
+                      AS n_removable
+             FROM c7),
+      p9 AS (SELECT id_a, id_b FROM pr WHERE j >= 0.9),
+      e9 AS (SELECT id_a AS x, id_b AS y FROM p9
+             UNION ALL SELECT id_b, id_a FROM p9),
+      r9 AS (SELECT x AS id, x AS rr FROM e9
+             UNION
+             SELECT e9.x, r9.rr FROM e9 JOIN r9 ON e9.y = r9.id),
+      c9 AS (SELECT id, min(rr) AS comp FROM r9 GROUP BY id),
+      k9 AS (SELECT CAST((SELECT count(*) FROM p9) AS BIGINT)
+                      AS n_pairs,
+                    CAST(count(DISTINCT comp) AS BIGINT)
+                      AS n_clusters,
+                    CAST(count(*) - count(DISTINCT comp) AS BIGINT)
+                      AS n_removable
+             FROM c9),
+      nd AS (SELECT CAST(count(*) AS BIGINT) AS ndocs FROM base),
+      u AS (SELECT CAST(0.5 AS DOUBLE) AS tau, n_pairs, n_clusters,
+                   n_removable FROM k5
+            UNION ALL SELECT CAST(0.7 AS DOUBLE), n_pairs,
+                   n_clusters, n_removable FROM k7
+            UNION ALL SELECT CAST(0.9 AS DOUBLE), n_pairs,
+                   n_clusters, n_removable FROM k9)
+      SELECT u.tau, u.n_pairs, u.n_clusters, u.n_removable,
+             round((nd.ndocs - u.n_removable) * 1.0 / nd.ndocs, 6)
+               AS keep_frac
+      FROM u CROSS JOIN nd ORDER BY u.tau"""
   )
 }

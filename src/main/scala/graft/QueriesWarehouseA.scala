@@ -1603,7 +1603,98 @@ private[graft] object QueriesWarehouseA {
         .unionByName(rule("events.value range[0,)",
           ev.filter(col("value") < 0)))
         .orderBy(col("rule"))
-    }
+    },
+
+
+    // --- SESSION-GAP SENSITIVITY sweep (pick the sessionize gap
+    //     FROM the data, not folklore): one scan of the event stream
+    //     fans out against four candidate inactivity gaps; per gap,
+    //     the session count, singleton share, and largest session.
+    //     The elbow in this table is where the gap stops splitting
+    //     real visits — the parameter every sessionized metric
+    //     downstream inherits. Windows stay partitioned by
+    //     (user, gap); integers end to end. ---
+    "q340_session_gap_sweep" -> { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import spark.implicits._
+      val ev = tbl(spark, dir, "events").select(col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("t"),
+        col("event_id"))
+      val gapsDf = Seq(300L, 900L, 1800L, 3600L)
+        .map(_ * 1000000L).toDF("gap_us")
+      val wU = Window.partitionBy(col("user_id"), col("gap_us"))
+        .orderBy(col("t"), col("event_id"))
+      val marked = ev.crossJoin(broadcast(gapsDf))
+        .withColumn("__lag", lag(col("t"), 1).over(wU))
+        .withColumn("__st", when(col("__lag").isNull ||
+          col("t") - col("__lag") > col("gap_us"), 1L).otherwise(0L))
+        .withColumn("__sid", sum(col("__st")).over(
+          wU.rowsBetween(Window.unboundedPreceding, 0)))
+      marked.groupBy(col("gap_us"), col("user_id"), col("__sid"))
+        .agg(count(lit(1)).as("__ev"))
+        .groupBy(col("gap_us"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(when(col("__ev") === 1, 1L).otherwise(0L))
+            .as("n_singletons"),
+          max(col("__ev")).as("max_session_events"))
+        .withColumn("gap_minutes", expr("gap_us div 60000000"))
+        .select(col("gap_minutes"), col("n_sessions"),
+          col("n_singletons"), col("max_session_events"))
+        .orderBy(col("gap_minutes"))
+    },
+
+
+    // --- FUNNEL-WINDOW SENSITIVITY sweep (q183's attribution window
+    //     as the swept knob): per candidate step window (1 h / 6 h /
+    //     24 h), the users converting view→click and click→purchase
+    //     under first-qualifying-event semantics. The window is the
+    //     most litigated constant in funnel reporting — this is the
+    //     table that settles it. First events are per-user minima
+    //     (order-independent); the tiny per-user frame broadcasts
+    //     against each event scan. ---
+    "q341_funnel_window_sweep" -> rounded("purchase_rate" -> 6)({
+      (spark, dir) =>
+      import spark.implicits._
+      val ev = tbl(spark, dir, "events").select(col("user_id"),
+        col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("t"))
+      val ws = Seq(3600L, 21600L, 86400L).map(_ * 1000000L)
+        .toDF("w_us")
+      val v1 = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("t")).as("t1"))
+      val t2 = ev.filter(col("event_type") === "click")
+        .join(broadcast(v1), Seq("user_id"))
+        .crossJoin(broadcast(ws))
+        .filter(col("t") > col("t1") &&
+          col("t") <= col("t1") + col("w_us"))
+        .groupBy(col("user_id"), col("w_us"))
+        .agg(min(col("t")).as("t2"))
+      val t3 = ev.filter(col("event_type") === "purchase")
+        .join(broadcast(t2), Seq("user_id"))
+        .filter(col("t") > col("t2") &&
+          col("t") <= col("t2") + col("w_us"))
+        .groupBy(col("user_id"), col("w_us"))
+        .agg(min(col("t")).as("t3"))
+      val nv = v1.agg(count(lit(1)).as("n_view_users"))
+      ws.crossJoin(broadcast(nv))
+        .join(t2.groupBy(col("w_us"))
+          .agg(count(lit(1)).as("n_click_conv")), Seq("w_us"), "left")
+        .join(t3.groupBy(col("w_us"))
+          .agg(count(lit(1)).as("n_purchase_conv")), Seq("w_us"),
+          "left")
+        .withColumn("n_click_conv",
+          coalesce(col("n_click_conv"), lit(0L)))
+        .withColumn("n_purchase_conv",
+          coalesce(col("n_purchase_conv"), lit(0L)))
+        .withColumn("w_hours", expr("w_us div 3600000000"))
+        .withColumn("purchase_rate",
+          col("n_purchase_conv").cast("double") /
+            col("n_view_users").cast("double"))
+        .select(col("w_hours"), col("n_view_users"),
+          col("n_click_conv"), col("n_purchase_conv"),
+          col("purchase_rate"))
+        .orderBy(col("w_hours"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2730,6 +2821,66 @@ private[graft] object QueriesWarehouseA {
                CAST((SELECT count(*) FROM events WHERE value < 0)
                     AS BIGINT))
       SELECT rule, n_violations, n_violations = 0 AS passed
-      FROM u ORDER BY rule"""
+      FROM u ORDER BY rule""",
+
+
+    "q340_session_gap_sweep" -> """
+      WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id
+                 FROM events),
+      g AS (SELECT CAST(m AS BIGINT) * 60000000 AS gap_us
+            FROM (VALUES (5), (15), (30), (60)) AS v(m)),
+      mk AS (SELECT e.user_id, g.gap_us, e.t, e.event_id,
+                    CASE WHEN lag(e.t) OVER w IS NULL
+                          OR e.t - lag(e.t) OVER w > g.gap_us
+                    THEN 1 ELSE 0 END AS st
+             FROM e CROSS JOIN g
+             WINDOW w AS (PARTITION BY e.user_id, g.gap_us
+               ORDER BY e.t, e.event_id)),
+      sid AS (SELECT user_id, gap_us,
+                     sum(st) OVER (PARTITION BY user_id, gap_us
+                       ORDER BY t, event_id ROWS UNBOUNDED PRECEDING)
+                       AS sid
+              FROM mk),
+      ses AS (SELECT gap_us, user_id, sid,
+                     CAST(count(*) AS BIGINT) AS ev
+              FROM sid GROUP BY 1, 2, 3)
+      SELECT gap_us // 60000000 AS gap_minutes,
+             CAST(count(*) AS BIGINT) AS n_sessions,
+             CAST(sum(CASE WHEN ev = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_singletons,
+             CAST(max(ev) AS BIGINT) AS max_session_events
+      FROM ses GROUP BY 1 ORDER BY 1""",
+
+
+    "q341_funnel_window_sweep" -> """
+      WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t
+                 FROM events),
+      ws AS (SELECT CAST(h * 3600000000 AS BIGINT) AS w_us
+             FROM (VALUES (1), (6), (24)) AS v(h)),
+      v1 AS (SELECT user_id, min(t) AS t1 FROM e
+             WHERE event_type = 'view' GROUP BY 1),
+      t2 AS (SELECT e.user_id, ws.w_us, min(e.t) AS t2
+             FROM e JOIN v1 USING (user_id) CROSS JOIN ws
+             WHERE e.event_type = 'click' AND e.t > v1.t1
+               AND e.t <= v1.t1 + ws.w_us
+             GROUP BY 1, 2),
+      t3 AS (SELECT e.user_id, t2.w_us, min(e.t) AS t3
+             FROM e JOIN t2 USING (user_id)
+             WHERE e.event_type = 'purchase' AND e.t > t2.t2
+               AND e.t <= t2.t2 + t2.w_us
+             GROUP BY 1, 2),
+      nv AS (SELECT CAST(count(*) AS BIGINT) AS n_view_users FROM v1),
+      c2 AS (SELECT w_us, CAST(count(*) AS BIGINT) AS n_click_conv
+             FROM t2 GROUP BY 1),
+      c3 AS (SELECT w_us, CAST(count(*) AS BIGINT) AS n_purchase_conv
+             FROM t3 GROUP BY 1)
+      SELECT ws.w_us // 3600000000 AS w_hours, nv.n_view_users,
+             coalesce(c2.n_click_conv, 0) AS n_click_conv,
+             coalesce(c3.n_purchase_conv, 0) AS n_purchase_conv,
+             round(coalesce(c3.n_purchase_conv, 0) * 1.0
+               / nv.n_view_users, 6) AS purchase_rate
+      FROM ws CROSS JOIN nv
+      LEFT JOIN c2 USING (w_us) LEFT JOIN c3 USING (w_us)
+      ORDER BY 1"""
   )
 }
