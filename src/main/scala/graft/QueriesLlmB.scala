@@ -1640,6 +1640,53 @@ private[graft] object QueriesLlmB {
         .select(col("tau"), col("n_pairs"), col("n_clusters"),
           col("n_removable"), col("keep_frac"))
         .orderBy(col("tau"))
+    }),
+
+
+    // --- CROSS-SOURCE DUPLICATION census ("which sources copy each
+    //     other" — the input to mixture weighting and crawl
+    //     dedup-ordering): exact near-dup pairs are attributed to
+    //     their (source_a, source_b) pair; a planted mirror (every
+    //     4th doc re-published under mirror_<source>) shows up as
+    //     the cross-source block, the corpus's natural near-copies
+    //     as the within-source diagonal. One pair-mining pass (the
+    //     df-capped inverted index), one broadcast source map — the
+    //     census never rescans text. ---
+    "q343_cross_source_dups" -> rounded("cross_frac" -> 6)({
+      (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+        .select(col("doc_id"), col("text"), col("source"))
+      val variants = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          col("text").substr(lit(1),
+            greatest(length(col("text")) - 15, lit(1))).as("text"),
+          concat(lit("mirror_"), col("source")).as("source"))
+      val corpus = docs.unionByName(variants)
+        .localCheckpoint() // feeds pair mining AND the source map
+      val pairs = Dedup.ngramJaccardPairs(corpus, col("doc_id"),
+          col("text"), shingleN = 3, threshold = 0.5, maxDf = 16)
+        .select(col("id_a"), col("id_b"))
+      val srcs = corpus.select(col("doc_id"), col("source"))
+      val attributed = pairs
+        .join(broadcast(srcs.select(col("doc_id").as("id_a"),
+          col("source").as("__sa"))), Seq("id_a"))
+        .join(broadcast(srcs.select(col("doc_id").as("id_b"),
+          col("source").as("__sb"))), Seq("id_b"))
+        .select(least(col("__sa"), col("__sb")).as("source_a"),
+          greatest(col("__sa"), col("__sb")).as("source_b"))
+      val tot = attributed.agg(count(lit(1)).as("__tot"),
+        sum(when(col("source_a") =!= col("source_b"), 1L)
+          .otherwise(0L)).as("__cross"))
+      attributed.groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .crossJoin(broadcast(tot))
+        .withColumn("cross_source", col("source_a") =!= col("source_b"))
+        .withColumn("cross_frac", col("__cross").cast("double") /
+          col("__tot").cast("double"))
+        .select(col("source_a"), col("source_b"), col("n_pairs"),
+          col("cross_source"), col("__tot").as("total_pairs"),
+          col("cross_frac"))
+        .orderBy(col("source_a"), col("source_b"))
     })
   )
 
@@ -3151,6 +3198,60 @@ private[graft] object QueriesLlmB {
       SELECT u.tau, u.n_pairs, u.n_clusters, u.n_removable,
              round((nd.ndocs - u.n_removable) * 1.0 / nd.ndocs, 6)
                AS keep_frac
-      FROM u CROSS JOIN nd ORDER BY u.tau"""
+      FROM u CROSS JOIN nd ORDER BY u.tau""",
+
+
+    "q343_cross_source_dups" -> """
+      WITH base AS (SELECT doc_id, text, source FROM documents
+                    UNION ALL
+                    SELECT doc_id + 1000000,
+                           substring(text, 1,
+                             greatest(length(text) - 15, 1)),
+                           'mirror_' || source
+                    FROM documents WHERE doc_id % 4 = 0),
+      tk AS (SELECT doc_id, list_filter(
+               string_split_regex(lower(trim(text)), '\s+'),
+               x -> length(x) > 0) AS toks FROM base),
+      sh AS (SELECT doc_id,
+               CASE WHEN len(toks) >= 3 THEN
+                      list_distinct(list_transform(
+                        generate_series(1, len(toks) - 2),
+                        i -> toks[i] || ' ' || toks[i+1] || ' '
+                          || toks[i+2]))
+                    WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+                    ELSE [] END AS s
+             FROM tk),
+      ex0 AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      keep AS (SELECT g FROM ex0 GROUP BY g HAVING count(*) <= 16),
+      ex AS (SELECT doc_id, ex0.g FROM ex0 JOIN keep USING (g)),
+      sz AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       count(*) AS ns
+                FROM ex a JOIN ex b
+                  ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+      pr AS (SELECT i.id_a, i.id_b
+             FROM inter i
+             JOIN sz sa ON sa.doc_id = i.id_a
+             JOIN sz sb ON sb.doc_id = i.id_b
+             WHERE round(CAST(i.ns AS DOUBLE)
+               / (sa.sz + sb.sz - i.ns), 6) >= 0.5),
+      att AS (SELECT least(ba.source, bb.source) AS source_a,
+                     greatest(ba.source, bb.source) AS source_b
+              FROM pr
+              JOIN base ba ON ba.doc_id = pr.id_a
+              JOIN base bb ON bb.doc_id = pr.id_b),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS tp,
+                     CAST(sum(CASE WHEN source_a <> source_b
+                       THEN 1 ELSE 0 END) AS BIGINT) AS cp
+              FROM att)
+      SELECT att.source_a, att.source_b,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             (att.source_a <> att.source_b) AS cross_source,
+             tot.tp AS total_pairs,
+             round(tot.cp * 1.0 / tot.tp, 6) AS cross_frac
+      FROM att CROSS JOIN tot
+      GROUP BY 1, 2, 4, 5, 6
+      ORDER BY 1, 2"""
   )
 }

@@ -166,4 +166,39 @@ class OperatorLawsPropSpec extends SparkSpec {
       }
     }
   }
+
+  test("range-partition law: cuts derived from the rank-spaced " +
+      "summary balance partitions within 2*shards*(k-1) + maxTie + " +
+      "(P-1) on random tied multisets (the q329 certificate)") {
+    val shards = 4; val kk = 8; val pParts = 8
+    val series = samples(Gen.choose(200, 700).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0L, 300L))), 8, seed = 9900L)
+    series.zipWithIndex.foreach { case (xs, si) =>
+      val rows = xs.zipWithIndex
+        .map { case (v, i) => ("g", v, i.toLong) }
+        .toDF("g0", "vv", "t")
+      val summ = QuantileSummary.shardSummary(rows, $"g0", $"vv",
+        $"t", shards, kk)
+      val srows = summ.groupBy($"value").agg(sum($"w").as("w"))
+        .as[(Long, Long)].collect().sortBy(_._1)
+      val n = xs.length.toLong
+      // boundary i = smallest summary value whose cumulative weight
+      // reaches max(1, (i*n) div P) — exactly q329's integer rule
+      val targets = (1 until pParts).map(i => math.max(1L, i * n / pParts))
+      val cuts = targets.map { t =>
+        var cw = 0L
+        srows.collectFirst {
+          case (v, w) if { cw += w; cw >= t } => v
+        }.getOrElse(srows.last._1)
+      }
+      val maxTie = xs.groupBy(identity).values.map(_.size).max.toLong
+      val bound = 2L * shards * (kk - 1) + maxTie + (pParts - 1)
+      val counts = new Array[Long](pParts)
+      xs.foreach { v => counts(cuts.count(_ < v)) += 1L }
+      counts.zipWithIndex.foreach { case (c, i) =>
+        assert(math.abs(c - n / pParts) <= bound,
+          s"series $si partition $i: $c vs ${n / pParts}, bound $bound")
+      }
+    }
+  }
 }
