@@ -1049,6 +1049,131 @@ private[graft] object QueriesWarehouseC {
           col("bits"), col("fpp"), col("probes"), col("negatives"),
           col("expected_false"))
         .orderBy(col("fname"))
+    }),
+
+
+    // --- SNAPSHOT-RETENTION planner (GFS-style keep-7-daily /
+    //     4-weekly / 12-monthly, applied to table snapshots — the
+    //     VACUUM/expire decision a lakehouse table makes): each day
+    //     of the event stream is one snapshot; the policy keeps the
+    //     last 7 days, the last day of each of the last 4 weeks, and
+    //     the last day of each of the last 12 months, expiring
+    //     everything else. Emits the full keep/expire manifest with
+    //     per-rule attribution and the reclaimed-bytes headline —
+    //     all date arithmetic and integer byte math, no data read
+    //     beyond one day-grain aggregate. ---
+    "q344_snapshot_retention" -> { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val snaps = tbl(spark, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_rows"))
+        .withColumn("bytes", col("n_rows") * 64L)
+      val mx = snaps.agg(max(col("day")).as("__dmax"))
+      val flagged = snaps.crossJoin(broadcast(mx))
+        .withColumn("__wk", date_trunc("week", col("day")))
+        .withColumn("__mo", date_trunc("month", col("day")))
+        .withColumn("__wmax", max(col("day")).over(
+          Window.partitionBy(col("__wk"))))
+        .withColumn("__mmax", max(col("day")).over(
+          Window.partitionBy(col("__mo"))))
+        .withColumn("keep_daily",
+          datediff(col("__dmax"), col("day")) < 7)
+        .withColumn("keep_weekly",
+          col("day") === col("__wmax") &&
+            datediff(col("__dmax"), col("day")) < 28)
+        .withColumn("keep_monthly",
+          col("day") === col("__mmax") &&
+            datediff(col("__dmax"), col("day")) < 365)
+        .withColumn("kept", col("keep_daily") || col("keep_weekly") ||
+          col("keep_monthly"))
+      val heads = flagged.agg(
+        sum(when(!col("kept"), col("bytes")).otherwise(0L))
+          .as("__reclaimed"),
+        sum(when(col("kept"), col("bytes")).otherwise(0L))
+          .as("__kept"))
+      flagged.crossJoin(broadcast(heads))
+        .select(col("day"), col("n_rows"), col("bytes"),
+          col("keep_daily"), col("keep_weekly"), col("keep_monthly"),
+          col("kept"), col("__reclaimed").as("reclaimed_bytes"),
+          col("__kept").as("kept_bytes"))
+        .orderBy(col("day"))
+    },
+
+
+    // --- PARTITION-GRAIN advisor (the Iceberg/Hive partition-spec
+    //     decision): bucket the stream at hour/day/week grain,
+    //     estimate per-partition bytes, and pick the grain whose
+    //     partitions mostly land in the target file-size band —
+    //     too-fine grains drown in small files, too-coarse ones
+    //     blow past the band, and the SWEET SPOT MOVES WITH VOLUME
+    //     (a different grain wins at sf0.1 than at sf0.01, which is
+    //     exactly why this is computed, not configured). One scan
+    //     per grain over the same aggregate shape. ---
+    "q345_partition_grain" -> rounded("in_band_frac" -> 6)({
+      (spark, dir) =>
+      val ev = tbl(spark, dir, "events").select(col("ts"))
+      def grain(name: String): DataFrame =
+        ev.groupBy(date_trunc(name, col("ts")).as("__p"))
+          .agg(count(lit(1)).as("__n"))
+          .withColumn("__bytes", col("__n") * 64L)
+          .groupBy()
+          .agg(count(lit(1)).as("n_partitions"),
+            min(col("__bytes")).as("min_bytes"),
+            max(col("__bytes")).as("max_bytes"),
+            sum(when(col("__bytes").between(4096L, 65536L), 1L)
+              .otherwise(0L)).as("n_in_band"))
+          .withColumn("grain", lit(name))
+      val per = grain("hour").unionByName(grain("day"))
+        .unionByName(grain("week"))
+        .withColumn("in_band_frac", col("n_in_band").cast("double") /
+          col("n_partitions").cast("double"))
+      val bf = per.agg(max(col("in_band_frac")).as("__bf"))
+      val p2 = per.crossJoin(broadcast(bf))
+      val bg = p2.filter(col("in_band_frac") === col("__bf"))
+        .agg(min(col("grain")).as("__bg"))
+      p2.crossJoin(broadcast(bg))
+        .withColumn("chosen", col("grain") === col("__bg"))
+        .select(col("grain"), col("n_partitions"), col("min_bytes"),
+          col("max_bytes"), col("n_in_band"), col("in_band_frac"),
+          col("chosen"))
+        .orderBy(col("grain"))
+    }),
+
+
+    // --- ERASURE-IMPACT manifest (right-to-be-forgotten, planned
+    //     before executed): for the deletion cohort (every 97th
+    //     customer/user), the rows and bytes each table must erase —
+    //     customers directly, orders by key, lineitems through the
+    //     order semi-join, events by user. The manifest is what a
+    //     deletion job and its auditor both read; at 100 TB it costs
+    //     four counting scans (the lineitem one a key semi-join),
+    //     never a rewrite. ---
+    "q346_erasure_impact" -> rounded("frac" -> 6)({ (spark, dir) =>
+      val cust = tbl(spark, dir, "customer")
+        .filter(pmod(col("c_custkey"), lit(97)) === 0)
+        .select(col("c_custkey"))
+      val ord = tbl(spark, dir, "orders")
+        .join(broadcast(cust),
+          col("o_custkey") === col("c_custkey"), "left_semi")
+      def census(name: String, hit: DataFrame, total: DataFrame) =
+        hit.agg(count(lit(1)).as("n_erase"))
+          .crossJoin(total.agg(count(lit(1)).as("__tot")))
+          .select(lit(name).as("tname"), col("n_erase"),
+            (col("n_erase") * 64L).as("bytes"),
+            (col("n_erase").cast("double") /
+              col("__tot").cast("double")).as("frac"))
+      census("customer", cust, tbl(spark, dir, "customer"))
+        .unionByName(census("orders", ord, tbl(spark, dir, "orders")))
+        .unionByName(census("lineitem",
+          tbl(spark, dir, "lineitem").join(
+            broadcast(ord.select(col("o_orderkey"))),
+            col("l_orderkey") === col("o_orderkey"), "left_semi"),
+          tbl(spark, dir, "lineitem")))
+        .unionByName(census("events",
+          tbl(spark, dir, "events")
+            .filter(pmod(col("user_id"), lit(97)) === 0),
+          tbl(spark, dir, "events")))
+        .orderBy(col("tname"))
     })
   )
 
@@ -2053,6 +2178,107 @@ private[graft] object QueriesWarehouseC {
              pr.probes, pr.probes - pr.matches AS negatives,
              round(ch2.fpp * (pr.probes - pr.matches), 6)
                AS expected_false
-      FROM ch2 JOIN pr USING (fname) ORDER BY fname"""
+      FROM ch2 JOIN pr USING (fname) ORDER BY fname""",
+
+
+    "q344_snapshot_retention" -> """
+      WITH s AS (SELECT CAST(ts AS DATE) AS day,
+                        CAST(count(*) AS BIGINT) AS n_rows,
+                        CAST(count(*) * 64 AS BIGINT) AS bytes
+                 FROM events GROUP BY 1),
+      mx AS (SELECT max(day) AS dmax FROM s),
+      f AS (SELECT s.*, mx.dmax,
+                   max(s.day) OVER (PARTITION BY
+                     date_trunc('week', s.day)) AS wmax,
+                   max(s.day) OVER (PARTITION BY
+                     date_trunc('month', s.day)) AS mmax
+            FROM s CROSS JOIN mx),
+      g AS (SELECT day, n_rows, bytes,
+                   (date_diff('day', day, dmax) < 7) AS keep_daily,
+                   (day = wmax AND date_diff('day', day, dmax) < 28)
+                     AS keep_weekly,
+                   (day = mmax AND date_diff('day', day, dmax) < 365)
+                     AS keep_monthly
+            FROM f),
+      g2 AS (SELECT *, (keep_daily OR keep_weekly OR keep_monthly)
+               AS kept FROM g),
+      h AS (SELECT CAST(sum(CASE WHEN NOT kept THEN bytes ELSE 0 END)
+                     AS BIGINT) AS reclaimed_bytes,
+                   CAST(sum(CASE WHEN kept THEN bytes ELSE 0 END)
+                     AS BIGINT) AS kept_bytes
+            FROM g2)
+      SELECT g2.day, g2.n_rows, g2.bytes, g2.keep_daily,
+             g2.keep_weekly, g2.keep_monthly, g2.kept,
+             h.reclaimed_bytes, h.kept_bytes
+      FROM g2 CROSS JOIN h ORDER BY g2.day""",
+
+
+    "q345_partition_grain" -> """
+      WITH ph AS (SELECT date_trunc('hour', ts) AS p,
+                         CAST(count(*) * 64 AS BIGINT) AS b
+                  FROM events GROUP BY 1),
+      pd AS (SELECT date_trunc('day', ts) AS p,
+                    CAST(count(*) * 64 AS BIGINT) AS b
+             FROM events GROUP BY 1),
+      pw AS (SELECT date_trunc('week', ts) AS p,
+                    CAST(count(*) * 64 AS BIGINT) AS b
+             FROM events GROUP BY 1),
+      per AS (
+        SELECT 'hour' AS grain, CAST(count(*) AS BIGINT)
+                 AS n_partitions,
+               CAST(min(b) AS BIGINT) AS min_bytes,
+               CAST(max(b) AS BIGINT) AS max_bytes,
+               CAST(sum(CASE WHEN b BETWEEN 4096 AND 65536
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_in_band
+        FROM ph
+        UNION ALL
+        SELECT 'day', CAST(count(*) AS BIGINT), CAST(min(b) AS BIGINT),
+               CAST(max(b) AS BIGINT),
+               CAST(sum(CASE WHEN b BETWEEN 4096 AND 65536
+                 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM pd
+        UNION ALL
+        SELECT 'week', CAST(count(*) AS BIGINT),
+               CAST(min(b) AS BIGINT), CAST(max(b) AS BIGINT),
+               CAST(sum(CASE WHEN b BETWEEN 4096 AND 65536
+                 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM pw),
+      pf AS (SELECT *, n_in_band * 1.0 / n_partitions AS ibf
+             FROM per),
+      best AS (SELECT grain AS bg FROM pf
+               ORDER BY ibf DESC, grain ASC LIMIT 1)
+      SELECT pf.grain, pf.n_partitions, pf.min_bytes, pf.max_bytes,
+             pf.n_in_band, round(pf.ibf, 6) AS in_band_frac,
+             (pf.grain = best.bg) AS chosen
+      FROM pf CROSS JOIN best ORDER BY pf.grain""",
+
+
+    "q346_erasure_impact" -> """
+      WITH dc AS (SELECT c_custkey FROM customer
+                  WHERE c_custkey % 97 = 0),
+      do_ AS (SELECT o_orderkey FROM orders
+              WHERE o_custkey IN (SELECT c_custkey FROM dc)),
+      u AS (
+        SELECT 'customer' AS tname,
+               CAST((SELECT count(*) FROM dc) AS BIGINT) AS n_erase,
+               CAST((SELECT count(*) FROM customer) AS BIGINT) AS tot
+        UNION ALL
+        SELECT 'orders',
+               CAST((SELECT count(*) FROM do_) AS BIGINT),
+               CAST((SELECT count(*) FROM orders) AS BIGINT)
+        UNION ALL
+        SELECT 'lineitem',
+               CAST((SELECT count(*) FROM lineitem
+                     WHERE l_orderkey IN
+                       (SELECT o_orderkey FROM do_)) AS BIGINT),
+               CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+        UNION ALL
+        SELECT 'events',
+               CAST((SELECT count(*) FROM events
+                     WHERE user_id % 97 = 0) AS BIGINT),
+               CAST((SELECT count(*) FROM events) AS BIGINT))
+      SELECT tname, n_erase, n_erase * 64 AS bytes,
+             round(n_erase * 1.0 / tot, 6) AS frac
+      FROM u ORDER BY tname"""
   )
 }
