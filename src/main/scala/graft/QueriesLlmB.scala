@@ -1687,7 +1687,48 @@ private[graft] object QueriesLlmB {
           col("cross_source"), col("__tot").as("total_pairs"),
           col("cross_frac"))
         .orderBy(col("source_a"), col("source_b"))
-    })
+    }),
+
+
+    // --- QUALITY-AWARE DEDUP KEEPER selection (min-id keeps
+    //     WHATEVER arrived first; a curation pipeline should keep
+    //     the BEST copy): near-dup clusters are closed once, then
+    //     two keeper policies are compared per cluster — lowest id
+    //     vs highest q97 quality score (tie: lowest id, as a
+    //     max(struct(score, -id)) single aggregate). The truncated
+    //     variants score below their originals, so the policies
+    //     genuinely diverge and `differs` marks every cluster where
+    //     quality-keeping changes the corpus. Scores are the exact
+    //     IEEE softsign both engines compute; the argmax is
+    //     order-independent. ---
+    "q347_dedup_keeper_policy" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val variants = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          col("text").substr(lit(1),
+            greatest(length(col("text")) - 20, lit(1))).as("text"))
+      val corpus = docs.unionByName(variants)
+        .localCheckpoint() // feeds pair mining AND scoring
+      val pairs = Dedup.ngramJaccardPairs(corpus, col("doc_id"),
+          col("text"), shingleN = 3, threshold = 0.5, maxDf = 16)
+        .select(col("id_a"), col("id_b"))
+      val comps = Dedup.connectedComponents(pairs, col("id_a"),
+        col("id_b"))
+      val scored = graft.llm.QualityModel.classify(corpus, col("text"))
+        .select(col("doc_id").as("id"), col("score"))
+      comps.join(broadcast(scored), Seq("id"))
+        .groupBy(col("comp"))
+        .agg(count(lit(1)).as("cluster_size"),
+          min(col("id")).as("keeper_minid"),
+          (-max(struct(col("score"), (-col("id")).as("__nid")))
+            .getField("__nid")).as("keeper_quality"))
+        .withColumn("differs",
+          col("keeper_minid") =!= col("keeper_quality"))
+        .select(col("comp"), col("cluster_size"), col("keeper_minid"),
+          col("keeper_quality"), col("differs"))
+        .orderBy(col("comp"))
+    }
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3252,6 +3293,92 @@ private[graft] object QueriesLlmB {
              round(tot.cp * 1.0 / tot.tp, 6) AS cross_frac
       FROM att CROSS JOIN tot
       GROUP BY 1, 2, 4, 5, 6
-      ORDER BY 1, 2"""
+      ORDER BY 1, 2""",
+
+
+    "q347_dedup_keeper_policy" -> """
+      WITH RECURSIVE
+      base AS (SELECT doc_id, text FROM documents
+               UNION ALL
+               SELECT doc_id + 1000000,
+                      substring(text, 1,
+                        greatest(length(text) - 20, 1))
+               FROM documents WHERE doc_id % 3 = 0),
+      tk AS (SELECT doc_id, text, list_filter(
+               string_split_regex(lower(trim(text)), '\s+'),
+               x -> length(x) > 0) AS toks FROM base),
+      sh AS (SELECT doc_id,
+               CASE WHEN len(toks) >= 3 THEN
+                      list_distinct(list_transform(
+                        generate_series(1, len(toks) - 2),
+                        i -> toks[i] || ' ' || toks[i+1] || ' '
+                          || toks[i+2]))
+                    WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+                    ELSE [] END AS s
+             FROM tk),
+      ex0 AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      keep AS (SELECT g FROM ex0 GROUP BY g HAVING count(*) <= 16),
+      ex AS (SELECT doc_id, ex0.g FROM ex0 JOIN keep USING (g)),
+      sz AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       count(*) AS ns
+                FROM ex a JOIN ex b
+                  ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+      pr AS (SELECT i.id_a, i.id_b
+             FROM inter i
+             JOIN sz sa ON sa.doc_id = i.id_a
+             JOIN sz sb ON sb.doc_id = i.id_b
+             WHERE round(CAST(i.ns AS DOUBLE)
+               / (sa.sz + sb.sz - i.ns), 6) >= 0.5),
+      ed AS (SELECT id_a AS x, id_b AS y FROM pr
+             UNION ALL SELECT id_b, id_a FROM pr),
+      r AS (SELECT x AS id, x AS rr FROM ed
+            UNION
+            SELECT ed.x, r.rr FROM ed JOIN r ON ed.y = r.id),
+      c AS (SELECT id, min(rr) AS comp FROM r GROUP BY id),
+      fe AS (SELECT doc_id,
+               least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+                 AS lenf,
+               CASE WHEN length(text) > 0 THEN
+                 CAST(length(regexp_replace(text, '[^[:punct:]]', '',
+                   'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
+                 ELSE 0.0 END AS punct,
+               CASE WHEN length(text) > 0 THEN
+                 CAST(length(regexp_replace(text, '[^A-Z]', '', 'g'))
+                   AS DOUBLE) / CAST(length(text) AS DOUBLE)
+                 ELSE 0.0 END AS upper_r,
+               CASE WHEN len(toks) > 0 THEN
+                 CAST(len(list_filter(toks, x -> list_contains(
+                   ['the','a','an','and','or','of','to','in','is',
+                    'it','that','for','on','with','as','was','at',
+                    'by','be','this'], x)))
+                   AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+                 ELSE 0.0 END AS swr,
+               CASE WHEN len(toks) > 0 THEN
+                 CAST(list_sum(list_transform(toks, x -> length(x)))
+                   AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+                 ELSE 0.0 END AS mwl
+             FROM tk),
+      sc AS (SELECT doc_id AS id,
+               0.5 + 0.5 * (lg / (1.0 + abs(lg))) AS score
+             FROM (SELECT doc_id,
+                     ((((-1.0 + 1.2 * lenf) + -3.0 * punct)
+                       + -1.5 * upper_r) + 2.5 * swr) + -0.05 * mwl
+                       AS lg
+                   FROM fe)),
+      j AS (SELECT c.comp, c.id, sc.score
+            FROM c JOIN sc USING (id)),
+      kq AS (SELECT comp, id AS keeper_quality FROM (
+               SELECT comp, id, row_number() OVER (
+                 PARTITION BY comp
+                 ORDER BY score DESC, id ASC) AS rn
+               FROM j) WHERE rn = 1)
+      SELECT j.comp, CAST(count(*) AS BIGINT) AS cluster_size,
+             CAST(min(j.id) AS BIGINT) AS keeper_minid,
+             CAST(max(kq.keeper_quality) AS BIGINT) AS keeper_quality,
+             (min(j.id) <> max(kq.keeper_quality)) AS differs
+      FROM j JOIN kq USING (comp)
+      GROUP BY 1 ORDER BY 1"""
   )
 }
