@@ -1728,7 +1728,55 @@ private[graft] object QueriesLlmB {
         .select(col("comp"), col("cluster_size"), col("keeper_minid"),
           col("keeper_quality"), col("differs"))
         .orderBy(col("comp"))
-    }
+    },
+
+
+    // --- BATCH SOURCE-MIXING audit, loader order vs shuffle (a
+    //     gradient step over a batch dominated by one source is a
+    //     biased step): the FILE-ORDERED loader (docs arrive grouped
+    //     by source, the default when reading a per-source layout)
+    //     produces almost entirely single-source-dominated batches,
+    //     while hash-shuffled batching spreads every batch across
+    //     sources — this census batches the corpus both ways (32-doc
+    //     ragged batches per hash shard, the q331 shape) and reports
+    //     per policy the dominated-batch fraction and the
+    //     source-diversity envelope. One scan per policy, windows
+    //     partitioned by shard. ---
+    "q349_batch_mixing" -> rounded("dominated_frac" -> 6)({
+      (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val kmv = graft.operators.Kmv
+      val docs = tbl(spark, dir, "documents").select(col("doc_id"),
+        pmod(col("doc_id"), lit(8L)).as("shard"), col("source"),
+        kmv.h48(col("doc_id")).as("h"))
+        .localCheckpoint() // one hash pass feeds both policies
+      def policy(name: String, ord: Seq[Column]): DataFrame = {
+        val w = Window.partitionBy(col("shard")).orderBy(ord: _*)
+        docs.withColumn("__rn", row_number().over(w))
+          .withColumn("bid", expr("(__rn - 1) div 8"))
+          .groupBy(col("shard"), col("bid"), col("source"))
+          .agg(count(lit(1)).as("__c"))
+          .groupBy(col("shard"), col("bid"))
+          .agg(count(lit(1)).as("__ns"), max(col("__c")).as("__top"),
+            sum(col("__c")).as("__n"))
+          .groupBy()
+          .agg(count(lit(1)).as("n_batches"),
+            sum(when(col("__top") * 2 > col("__n"), 1L).otherwise(0L))
+              .as("n_dominated"),
+            min(col("__ns")).as("min_sources"),
+            max(col("__ns")).as("max_sources"))
+          .withColumn("policy", lit(name))
+      }
+      policy("file_ordered", Seq(col("source"), col("doc_id")))
+        .unionByName(policy("shuffled", Seq(col("h"), col("doc_id"))))
+        .withColumn("dominated_frac",
+          col("n_dominated").cast("double") /
+            col("n_batches").cast("double"))
+        .select(col("policy"), col("n_batches"), col("n_dominated"),
+          col("dominated_frac"), col("min_sources"),
+          col("max_sources"))
+        .orderBy(col("policy"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3379,6 +3427,54 @@ private[graft] object QueriesLlmB {
              CAST(max(kq.keeper_quality) AS BIGINT) AS keeper_quality,
              (min(j.id) <> max(kq.keeper_quality)) AS differs
       FROM j JOIN kq USING (comp)
-      GROUP BY 1 ORDER BY 1"""
+      GROUP BY 1 ORDER BY 1""",
+
+
+    "q349_batch_mixing" -> """
+      WITH d AS (SELECT doc_id, doc_id % 8 AS shard, source,
+                        CAST(('0x' || substring(md5(
+                          CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
+                          AS h
+                 FROM documents),
+      bf AS (SELECT shard, source,
+                    (row_number() OVER (PARTITION BY shard
+                      ORDER BY source, doc_id) - 1) // 8 AS bid
+             FROM d),
+      bs AS (SELECT shard, source,
+                    (row_number() OVER (PARTITION BY shard
+                      ORDER BY h, doc_id) - 1) // 8 AS bid
+             FROM d),
+      pf AS (SELECT shard, bid, CAST(count(DISTINCT source) AS BIGINT)
+               AS ns,
+               max(c) AS topc, CAST(sum(c) AS BIGINT) AS n
+             FROM (SELECT shard, bid, source,
+                     CAST(count(*) AS BIGINT) AS c
+                   FROM bf GROUP BY 1, 2, 3)
+             GROUP BY 1, 2),
+      ps AS (SELECT shard, bid, CAST(count(DISTINCT source) AS BIGINT)
+               AS ns,
+               max(c) AS topc, CAST(sum(c) AS BIGINT) AS n
+             FROM (SELECT shard, bid, source,
+                     CAST(count(*) AS BIGINT) AS c
+                   FROM bs GROUP BY 1, 2, 3)
+             GROUP BY 1, 2),
+      u AS (SELECT 'file_ordered' AS policy,
+                   CAST(count(*) AS BIGINT) AS n_batches,
+                   CAST(sum(CASE WHEN topc * 2 > n THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_dominated,
+                   CAST(min(ns) AS BIGINT) AS min_sources,
+                   CAST(max(ns) AS BIGINT) AS max_sources
+            FROM pf
+            UNION ALL
+            SELECT 'shuffled', CAST(count(*) AS BIGINT),
+                   CAST(sum(CASE WHEN topc * 2 > n THEN 1 ELSE 0 END)
+                     AS BIGINT),
+                   CAST(min(ns) AS BIGINT), CAST(max(ns) AS BIGINT)
+            FROM ps)
+      SELECT policy, n_batches, n_dominated,
+             round(n_dominated * 1.0 / n_batches, 6)
+               AS dominated_frac,
+             min_sources, max_sources
+      FROM u ORDER BY policy"""
   )
 }

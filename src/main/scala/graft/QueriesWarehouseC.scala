@@ -1174,6 +1174,50 @@ private[graft] object QueriesWarehouseC {
             .filter(pmod(col("user_id"), lit(97)) === 0),
           tbl(spark, dir, "events")))
         .orderBy(col("tname"))
+    }),
+
+
+    // --- REPLICA-PLACEMENT census (3-way replication over 4 racks,
+    //     hash-homed): each of the 16 key shards gets a primary rack
+    //     from its portable hash and two replicas on the next racks
+    //     around the ring (never co-racked with the primary by
+    //     construction). The census is what a placement audit reads:
+    //     per rack, the homed shards, replica count, and total bytes
+    //     hosted, with the balance flag (max/min hosted bytes ≤ 2×)
+    //     that pages someone when a rack runs hot. Data contributes
+    //     only the per-shard sizes — one aggregate. ---
+    "q348_replica_placement" -> rounded("bytes_frac" -> 6)({
+      (spark, dir) =>
+      val kmv = graft.operators.Kmv
+      val shards = tbl(spark, dir, "lineitem")
+        .groupBy(pmod(col("l_orderkey"), lit(16L)).as("shard"))
+        .agg((count(lit(1)) * 64L).as("bytes"))
+        .withColumn("p", pmod(kmv.h48(col("shard")), lit(4L)))
+      val placed = shards
+        .select(col("shard"), col("bytes"), col("p").as("rack"),
+          lit("primary").as("role"))
+        .unionByName(shards.select(col("shard"), col("bytes"),
+          pmod(col("p") + 1, lit(4L)).as("rack"),
+          lit("replica").as("role")))
+        .unionByName(shards.select(col("shard"), col("bytes"),
+          pmod(col("p") + 2, lit(4L)).as("rack"),
+          lit("replica").as("role")))
+      val racks = placed.groupBy(col("rack"))
+        .agg(sum(when(col("role") === "primary", 1L).otherwise(0L))
+            .as("n_primary"),
+          sum(when(col("role") === "replica", 1L).otherwise(0L))
+            .as("n_replica"),
+          sum(col("bytes")).as("hosted_bytes"))
+      val tot = racks.agg(sum(col("hosted_bytes")).as("__tot"),
+        max(col("hosted_bytes")).as("__mx"),
+        min(col("hosted_bytes")).as("__mn"))
+      racks.crossJoin(broadcast(tot))
+        .withColumn("bytes_frac", col("hosted_bytes").cast("double") /
+          col("__tot").cast("double"))
+        .withColumn("balanced", col("__mx") <= col("__mn") * 2)
+        .select(col("rack"), col("n_primary"), col("n_replica"),
+          col("hosted_bytes"), col("bytes_frac"), col("balanced"))
+        .orderBy(col("rack"))
     })
   )
 
@@ -2279,6 +2323,39 @@ private[graft] object QueriesWarehouseC {
                CAST((SELECT count(*) FROM events) AS BIGINT))
       SELECT tname, n_erase, n_erase * 64 AS bytes,
              round(n_erase * 1.0 / tot, 6) AS frac
-      FROM u ORDER BY tname"""
+      FROM u ORDER BY tname""",
+
+
+    "q348_replica_placement" -> """
+      WITH s AS (SELECT l_orderkey % 16 AS shard,
+                        CAST(count(*) * 64 AS BIGINT) AS bytes
+                 FROM lineitem GROUP BY 1),
+      sp AS (SELECT shard, bytes,
+                    CAST(('0x' || substring(md5(
+                      CAST(shard AS VARCHAR)), 1, 12)) AS BIGINT) % 4
+                      AS p
+             FROM s),
+      placed AS (
+        SELECT shard, bytes, p AS rack, 'primary' AS role FROM sp
+        UNION ALL
+        SELECT shard, bytes, (p + 1) % 4, 'replica' FROM sp
+        UNION ALL
+        SELECT shard, bytes, (p + 2) % 4, 'replica' FROM sp),
+      racks AS (SELECT rack,
+                       CAST(sum(CASE WHEN role = 'primary'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_primary,
+                       CAST(sum(CASE WHEN role = 'replica'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_replica,
+                       CAST(sum(bytes) AS BIGINT) AS hosted_bytes
+                FROM placed GROUP BY 1),
+      t AS (SELECT CAST(sum(hosted_bytes) AS BIGINT) AS tot,
+                   CAST(max(hosted_bytes) AS BIGINT) AS mx,
+                   CAST(min(hosted_bytes) AS BIGINT) AS mn
+            FROM racks)
+      SELECT racks.rack, racks.n_primary, racks.n_replica,
+             racks.hosted_bytes,
+             round(racks.hosted_bytes * 1.0 / t.tot, 6) AS bytes_frac,
+             (t.mx <= t.mn * 2) AS balanced
+      FROM racks CROSS JOIN t ORDER BY racks.rack"""
   )
 }
