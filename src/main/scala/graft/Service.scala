@@ -35,15 +35,18 @@ object Service {
   def query(spark: SparkSession, dir: String, json: String,
             views: Map[String, org.apache.spark.sql.DataFrame]): String = {
     val q0 = QueryParser.parse(json)
-    // service-level default limit for ALL un-limited queries. The
-    // reference applies its default to setop queries only, but an
+    // service-level default limit for un-limited NON-EDGES queries.
+    // The reference applies its default to setop queries only, but an
     // un-limited groupby over a high-cardinality key would collect
     // every group onto the driver (render() serializes the whole
-    // result) — so the aggregate path gets the same cap: a driver-
-    // protection bound, not engine semantics. Declared-domain edges
-    // are already bounded by their domain; only raw groupbys above
-    // the cap are truncated (pass an explicit "limit" to raise it).
-    val q = if (q0.limit.isEmpty)
+    // result) — so the raw-groupby aggregate path gets the same cap: a
+    // driver-protection bound, not engine semantics. EDGES queries are
+    // exempt: their output is bounded by the declared/derived domain
+    // (DefaultDomain caps at its own limit), and Formats.toCube
+    // requires a DENSE input — an injected limit would hand toCube an
+    // arbitrary plan-dependent row subset and corrupt the cube. toCube
+    // itself now fails loudly on non-dense input as a backstop.
+    val q = if (q0.limit.isEmpty && q0.edges.isEmpty)
       q0.copy(limit = Some(DefaultLimit)) else q0
     val catalog = new Catalog(spark, dir)
     views.foreach { case (n, df) => catalog.register(n, df) }

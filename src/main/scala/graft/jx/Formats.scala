@@ -50,6 +50,14 @@ object Formats {
       rows.foreach(r => seen += r.get(i))
       seen.toSeq
     }
+    // density backstop: a dense cube has exactly one row per domain
+    // combination. A truncated/filtered input would derive domains
+    // from an arbitrary row subset and silently mis-shape the cube —
+    // fail loudly instead (Service exempts edges queries from its
+    // injected default limit for the same reason).
+    require(rows.size.toLong == domains.map(_.size.toLong).product,
+      s"toCube requires a dense input: got ${rows.size} rows for " +
+        s"domain product ${domains.map(_.size.toLong).product}")
     val index = domains.map(_.zipWithIndex.toMap)
     def build(valueIdx: Int): IndexedSeq[Any] = {
       def shape(level: Int): IndexedSeq[Any] =

@@ -426,37 +426,83 @@ object Dedup {
     * and a history doc can only be a non-keeper to ANOTHER history
     * doc, so the history rows of the full batch recompute are exactly
     * the history-only pass. That makes incremental ≡ batch an exact
-    * theorem at minDocs = 2 (q320's oracle IS the full rebuild). The
-    * index is the mergeable manifest: df sums and keepers min across
-    * batches, so the next increment folds the same way. */
+    * theorem at minDocs = 2 (q320's oracle IS the full rebuild).
+    *
+    * MANIFEST CONTRACT (r10 advice fix): `indexPath` holds a VERSIONED
+    * span-index manifest — `indexPath/v0` is the history-only index,
+    * `indexPath/v1` the MERGED index after this call (history ∪ fresh,
+    * df SUMS, keeper MINS, UNFILTERED — df=1 singletons must survive,
+    * because a singleton can reach df ≥ 2 in a later batch). The next
+    * batch folds from the latest version alone via [[spanRemovalFold]]
+    * — history is never re-tokenized again. Versions are append-only
+    * because the returned DataFrame lazily re-reads the files it was
+    * planned over: overwriting `indexPath` in place would corrupt the
+    * not-yet-consumed result (and at 100 TB, version dirs double as
+    * the manifest's snapshot history). */
   def spanRemovalIncremental(hist: DataFrame, fresh: DataFrame,
                              id: Column, text: Column,
                              indexPath: String,
                              n: Int = 20): DataFrame = {
     // one history pass: the same span index serves the history
-    // marking AND persists as the manifest the next batch reads
+    // marking AND persists as manifest v0
     val (bh, sh) = spanStarts(hist, id, text, n)
     sh.select(col("doc_id"), col("g")).distinct()
       .groupBy(col("g"))
-      .agg(count(lit(1)).as("__dfh"), min(col("doc_id")).as("__kh"))
-      .write.mode("overwrite").parquet(indexPath)
-    val idx = bh.sparkSession.read.parquet(indexPath)
+      .agg(count(lit(1)).as("__df"), min(col("doc_id")).as("__keeper"))
+      .write.mode("overwrite").parquet(s"$indexPath/v0")
+    val idx = bh.sparkSession.read.parquet(s"$indexPath/v0")
     val histMarked = sh
-      .join(idx.filter(col("__dfh") >= 2), Seq("g"))
-      .filter(col("doc_id") =!= col("__kh"))
+      .join(idx.filter(col("__df") >= 2), Seq("g"))
+      .filter(col("doc_id") =!= col("__keeper"))
     val histRows = removalRows(bh, histMarked, n)
+    histRows.unionByName(
+      foldAgainstManifest(fresh, id, text, indexPath,
+        prevVersion = 0, n))
+  }
+
+  /** Fold ONE MORE batch against the persisted manifest from a prior
+    * [[spanRemovalIncremental]] / [[spanRemovalFold]] call — history
+    * is read as the span-index file only, never re-tokenized. Same
+    * id-monotonicity precondition (every new id exceeds every indexed
+    * id). Returns removal rows for the fresh batch ONLY (history rows
+    * were already emitted by the call that indexed them) and writes
+    * manifest version k+1 (merged, unfiltered). */
+  def spanRemovalFold(fresh: DataFrame, id: Column, text: Column,
+                      indexPath: String, n: Int = 20): DataFrame = {
+    val fs = new java.io.File(indexPath)
+    val latest = Option(fs.list()).toSeq.flatten
+      .filter(_.matches("v\\d+")).map(_.drop(1).toInt)
+      .reduceOption(_ max _)
+      .getOrElse(throw new IllegalStateException(
+        s"no manifest versions under $indexPath"))
+    foldAgainstManifest(fresh, id, text, indexPath, latest, n)
+  }
+
+  /** Shared fold step: read manifest v`prevVersion`, merge the fresh
+    * batch's span index into it (df sums, keeper = coalesce(old, new)
+    * = min under the id-monotonicity precondition), persist the FULL
+    * merge as v`prevVersion+1`, and mark the fresh batch against the
+    * merged index read back FROM THE PERSISTED FILE — so the marking
+    * provably uses the same manifest the next batch will fold from. */
+  private def foldAgainstManifest(fresh: DataFrame, id: Column,
+                                  text: Column, indexPath: String,
+                                  prevVersion: Int, n: Int): DataFrame = {
+    val spark = fresh.sparkSession
+    val idx = spark.read.parquet(s"$indexPath/v$prevVersion")
     val (bn, sn) = spanStarts(fresh, id, text, n)
     val newIdx = sn.select(col("doc_id"), col("g")).distinct()
       .groupBy(col("g"))
       .agg(count(lit(1)).as("__dfn"), min(col("doc_id")).as("__kn"))
-    val merged = newIdx.join(idx, Seq("g"), "left")
+    newIdx.join(idx, Seq("g"), "full_outer")
       .select(col("g"),
-        (col("__dfn") + coalesce(col("__dfh"), lit(0L))).as("__df"),
-        coalesce(col("__kh"), col("__kn")).as("__keeper"))
-      .filter(col("__df") >= 2)
-    val marked = sn.join(merged, Seq("g"))
+        (coalesce(col("__dfn"), lit(0L)) +
+          coalesce(col("__df"), lit(0L))).as("__df"),
+        coalesce(col("__keeper"), col("__kn")).as("__keeper"))
+      .write.mode("overwrite").parquet(s"$indexPath/v${prevVersion + 1}")
+    val merged = spark.read.parquet(s"$indexPath/v${prevVersion + 1}")
+    val marked = sn.join(merged.filter(col("__df") >= 2), Seq("g"))
       .filter(col("doc_id") =!= col("__keeper"))
-    histRows.unionByName(removalRows(bn, marked, n))
+    removalRows(bn, marked, n)
   }
 
   /** Rolling n-token spans WITH their 0-based start positions:

@@ -49,13 +49,24 @@ object EventStream {
     * writes trick (the file source orders by (mtime, path); stamping
     * both explicitly costs nothing and drops the wall time). */
   /** `startIndex` lets a LATER call append more batches to the same
-    * source dir (distinct file names; mtimes are naturally later) —
-    * the arrives-while-stopped half of a checkpoint-resume drain. */
+    * source dir (distinct file names) — the arrives-while-stopped half
+    * of a checkpoint-resume drain. Appended stamps are FLOORED at
+    * max(existing mtime) + 1 s (r10 advice): without the floor, a
+    * large appended batch written shortly after the first call could
+    * back-date its fresh `now − 1000·size` base below the original
+    * files' stamps and interleave the (mtime, path) order for a reader
+    * that had not yet consumed the earlier files. */
   def writeOrderedBatches(parts: Seq[DataFrame], dir: String,
                           startIndex: Int = 0): Unit = {
     import java.nio.file.{Files, Paths}
     Files.createDirectories(Paths.get(dir))
-    val t0 = System.currentTimeMillis() - 1000L * parts.size
+    val existing = Option(new java.io.File(dir).listFiles()).toSeq
+      .flatten.filter(_.getName.endsWith(".parquet"))
+      .map(_.lastModified())
+    val floor = existing.reduceOption(_ max _).map(_ + 1000L)
+      .getOrElse(Long.MinValue)
+    val t0 = math.max(
+      System.currentTimeMillis() - 1000L * parts.size, floor)
     parts.zipWithIndex.foreach { case (p, i0) =>
       val i = startIndex + i0
       val stage = s"$dir/.stage$i"

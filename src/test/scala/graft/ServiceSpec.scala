@@ -63,6 +63,34 @@ class ServiceSpec extends SparkSpec {
     assert(r2.get("data").size === 3)
   }
 
+  test("edges/cube queries are EXEMPT from the service default limit: " +
+      "a cube whose domain product exceeds the cap stays dense and " +
+      "correct (r10 advice: injected limit corrupted large cubes)") {
+    import org.apache.spark.sql.functions._
+    val n = 30000L // 150 x 100 = 15000 cells > DefaultLimit = 10000
+    val wide = spark.range(n).select(
+      (col("id") % 150).as("a"), expr("(id div 150) % 100").as("b"))
+    val views = Map("wide_cube" -> wide)
+    val aParts = (0 until 150).mkString("[", ",", "]")
+    val bParts = (0 until 100).mkString("[", ",", "]")
+    val r = mapper.readTree(Service.query(spark, TestSpark.sfDir,
+      s"""{"from": "wide_cube",
+           "edges": [
+             {"name": "a", "value": "a",
+              "domain": {"type": "set", "partitions": $aParts}},
+             {"name": "b", "value": "b",
+              "domain": {"type": "set", "partitions": $bParts}}],
+           "select": [{"name": "n", "aggregate": "count"}],
+           "format": "cube"}""", views))
+    val data = r.get("data").get("n")
+    assert(data.size === 150)
+    assert(data.get(0).size === 100)
+    // every row of the input is accounted for — nothing was truncated
+    val total = (0 until 150).flatMap(i => (0 until 100).map(j =>
+      data.get(i).get(j).asLong)).sum
+    assert(total === n)
+  }
+
   test("registered LLM-output views are queryable through the service") {
     import org.apache.spark.sql.functions._
     // publish two pipeline stages as JX views: classifier scores and

@@ -321,6 +321,46 @@ class DedupSpec extends SparkSpec {
       4L -> (2L, 0L, 2L), 5L -> (2L, 2L, 0L)))
   }
 
+  test("spanRemovalFold: a later batch folds from the PERSISTED " +
+      "manifest alone (history never re-tokenized) and matches the " +
+      "full batch census; manifest versions are append-only") {
+    val hist = Seq(
+      (1L, "a b c d e f g"),
+      (2L, "a b c d e f g"),
+      (3L, "m n o p q r s")).toDF("doc_id", "text")
+    val f1 = Seq(
+      (10L, "a b c d x y z"),   // shares one span with hist docs 1/2
+      (11L, "u v w u v w u v")).toDF("doc_id", "text")
+    val f2 = Seq(
+      (20L, "m n o p q r s"),   // duplicate of hist doc 3 — the
+                                //   fold must see it THROUGH the file
+      (21L, "u v w u v w u v"), // duplicate of f1 doc 11 — merged df
+      (22L, "totally fresh tokens only here")).toDF("doc_id", "text")
+    val idxPath = graft.Scratch.dir("graft_span_fold").toString
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Long)].collect()
+        .map { case (id, a, b, c) => id -> ((a, b, c)) }.toMap
+    val incRows = toMap(Dedup.spanRemovalIncremental(hist, f1,
+      $"doc_id", $"text", idxPath, n = 4))
+    val foldRows = toMap(Dedup.spanRemovalFold(f2,
+      $"doc_id", $"text", idxPath, n = 4))
+    val batchRows = toMap(Dedup.spanRemovalCensus(
+      hist.unionByName(f1).unionByName(f2),
+      $"doc_id", $"text", n = 4, minDocs = 2))
+    assert(incRows.keySet === Set(1L, 2L, 3L, 10L, 11L))
+    assert(foldRows.keySet === Set(20L, 21L, 22L))
+    // the id-monotone theorem extends across the persisted manifest:
+    // incremental rows ∪ fold rows == the full three-batch rebuild
+    assert(incRows ++ foldRows === batchRows)
+    // doc 20 is fully removed against a keeper it only meets via v1
+    assert(foldRows(20L) === ((7L, 7L, 0L)))
+    assert(foldRows(21L) === ((8L, 8L, 0L)))
+    assert(foldRows(22L) === ((5L, 0L, 5L)))
+    // versions are append-only: v0 (hist), v1 (hist∪f1), v2 (∪f2)
+    assert(new java.io.File(idxPath).list().toSet ===
+      Set("v0", "v1", "v2"))
+  }
+
   test("prefixFilterJaccardPairs: randomized lossless law — seeded " +
       "corpora with a tiny alphabet (hot shingles, ties, size spread)") {
     // the positional filter's batch formulation leans on the shared

@@ -442,6 +442,31 @@ class EventStreamSpec extends SparkSpec {
     assert(batchSessions === Map(1L -> 1L, 2L -> 1L))
   }
 
+  test("writeOrderedBatches: appended batches never back-date below " +
+      "existing files — the mtime floor keeps (mtime, path) replay " +
+      "order even when the earlier files carry later stamps") {
+    import spark.implicits._
+    val dir = graft.Scratch.dir("graft_wob_floor").toString + "/src"
+    val mk = (i: Long) => Seq((i, i)).toDF("a", "b")
+    EventStream.writeOrderedBatches(Seq(mk(0), mk(1)), dir)
+    // simulate the hazard: the existing files carry stamps LATER than
+    // the fresh t0 = now − 1000·size an append would compute
+    val future = System.currentTimeMillis() + 3600L * 1000L
+    new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      .zipWithIndex
+      .foreach { case (f, i) => f.setLastModified(future + i * 1000L) }
+    EventStream.writeOrderedBatches(Seq(mk(2), mk(3), mk(4)), dir,
+      startIndex = 2)
+    val all = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    assert(all.map(_.getName).toSeq === (0 until 5)
+      .map(i => f"part-$i%05d.parquet"))
+    val stamps = all.map(_.lastModified()).toSeq
+    assert(stamps.zip(stamps.tail).forall { case (a, b) => a < b },
+      s"mtimes must ascend strictly in name order: $stamps")
+  }
+
   test("streaming pipeline observability: per-batch stage metrics " +
       "ride each micro-batch; a healthy run completes with full " +
       "history") {
