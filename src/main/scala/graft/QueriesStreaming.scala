@@ -1114,10 +1114,75 @@ private[graft] object QueriesStreaming {
           col("actual_peak_state").cast("double") /
             col("est_peak_state").cast("double"))
         .orderBy(col("event_type"))
-    })
+    }),
+
+
+    // --- OFFLINE STATE AUDIT of the MODERN transformWithState store
+    //     (q308's contract extended to the API a new 100 TB
+    //     deployment would use): the q94 running-counts pipeline
+    //     (named ValueState + event-time timers, RocksDB provider)
+    //     drains a 3-batch backlog with a persisted checkpoint, and
+    //     the ANSWER is read from the checkpoint files — the "count"
+    //     state variable by name AND the registered timer per key —
+    //     never from the sink. The oracle replays relationally:
+    //     per-user event count, last-event epoch-ms, and the timer =
+    //     last_ms + ttl; a hash match proves the offline reads land
+    //     EXACTLY on the live keyed state and its expiry schedule. ---
+    "q350_state_audit_tws" -> { (spark, dir) =>
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(providerKey)
+      spark.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+      try {
+        val events = EventStream.normalizeEventTime(
+            tbl(spark, dir, "events"))
+          .select(col("user_id"), col("ts"))
+        val us = unix_micros(col("ts"))
+        val b = events.agg(min(us).as("lo"), max(us).as("hi"))
+          .collect()(0)
+        val (lo, hi) = (b.getLong(0), b.getLong(1))
+        val cut1 = lo + (hi - lo) / 3
+        val cut2 = lo + 2 * ((hi - lo) / 3)
+        val src = Scratch.dir("graft_q350").toString + "/ev"
+        EventStream.writeOrderedBatches(Seq(
+          events.filter(us <= cut1),
+          events.filter(us > cut1 && us <= cut2),
+          events.filter(us > cut2)), src)
+        val stream = spark.readStream.schema(events.schema)
+          .option("maxFilesPerTrigger", 1).parquet(src)
+        val ttlMs = 3650L * 24 * 3600 * 1000 // far past the data
+        val counts = EventStream.runningCountsTws(stream, "user_id",
+          "ts", watermark = "1 day", ttlMs = ttlMs)
+        val cp = Scratch.dir("graft_q350_cp").toString
+        EventStream.drainWithCheckpoint(spark, counts, cp,
+          mode = "update")
+        val sa = graft.streaming.StateAudit
+        val state = sa.storeVar(spark, cp, "count")
+          .select(col("key.value").as("user_id"),
+            col("value._1").as("n_events"),
+            col("value._2").as("last_ms"))
+        val timers = sa.timers(spark, cp)
+          .select(col("key.value").as("user_id"),
+            col("expiration_timestamp_ms").as("timer_ms"))
+        state.join(timers, Seq("user_id"))
+          .orderBy(col("user_id"))
+      } finally prev match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None    => spark.conf.unset(providerKey)
+      }
+    }
   )
 
   def oracleSql: Map[String, String] = Map(
+
+    "q350_state_audit_tws" -> """
+      SELECT CAST(user_id AS BIGINT) AS user_id,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(epoch_ms(max(ts)) AS BIGINT) AS last_ms,
+             CAST(epoch_ms(max(ts)) + 315360000000 AS BIGINT)
+               AS timer_ms
+      FROM events GROUP BY user_id ORDER BY user_id""",
 
     "q31_stream_tumbling" -> """
       SELECT CAST(ts AS DATE) AS day, event_type,

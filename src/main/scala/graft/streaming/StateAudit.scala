@@ -45,6 +45,34 @@ object StateAudit {
     r.load()
   }
 
+  /** State rows of a NAMED transformWithState variable — the modern
+    * arbitrary-state API (Spark 4.x) keeps each typed state variable
+    * in its own column family, so offline reads are addressed by
+    * `stateVarName` (the name passed to `getValueState`/etc. in the
+    * processor), not by store name. The q94-flavor deployment path: a
+    * new 100 TB stream runs transformWithState on RocksDB, and its
+    * incident audit reads arrive through this method. */
+  def storeVar(spark: SparkSession, checkpoint: String,
+               stateVar: String, operatorId: Int = 0,
+               batchId: Option[Long] = None): DataFrame = {
+    var r = spark.read.format("statestore")
+      .option("path", checkpoint)
+      .option("operatorId", operatorId.toString)
+      .option("stateVarName", stateVar)
+    batchId.foreach(b => r = r.option("batchId", b.toString))
+    r.load()
+  }
+
+  /** Registered event-time timers of a transformWithState operator —
+    * the expiry schedule, readable beside the state itself. */
+  def timers(spark: SparkSession, checkpoint: String,
+             operatorId: Int = 0): DataFrame =
+    spark.read.format("statestore")
+      .option("path", checkpoint)
+      .option("operatorId", operatorId.toString)
+      .option("readRegisteredTimers", "true")
+      .load()
+
   /** Per-partition state-row census for one operator — the state SKEW
     * audit: a partition holding far more than rows/numPartitions
     * means a hot key range, the precursor of the one-executor-dies
