@@ -702,34 +702,46 @@ private[graft] object QueriesWarehouseC {
       // corpus — the pinned layout orders by the full value tuple so
       // any remaining ties are fully identical rows and every
       // column's run sequence is engine-deterministic
-      val m = src.select(col("rg"), col("ok"), col("ln"),
-          col("v2").as("t2"), col("v3").as("t3"), col("v4").as("t4"),
-          col("v5").as("t5"), col("v6").as("t6"), explode(array(
-          struct(lit("l_orderkey").as("colname"), col("v1").as("v")),
-          struct(lit("l_partkey").as("colname"), col("v2").as("v")),
-          struct(lit("l_suppkey").as("colname"), col("v3").as("v")),
-          struct(lit("l_quantity").as("colname"), col("v4").as("v")),
-          struct(lit("l_extendedprice").as("colname"),
-            col("v5").as("v")),
-          struct(lit("l_shipdate").as("colname"), col("v6").as("v")),
-          struct(lit("status_code").as("colname"), col("v7").as("v")),
-          struct(lit("batch_id").as("colname"), col("v8").as("v"))
-        )).as("e"))
-        .select(col("rg"), col("ok"), col("ln"), col("t2"), col("t3"),
-          col("t4"), col("t5"), col("t6"),
-          col("e.colname").as("colname"), col("e.v").as("v"))
+      // r10 verdict ask #6 — the 8-way ROW melt used to be the
+      // heaviest 100x wall in the repo (382.9 s): the 8 per-column
+      // lag sequences now share ONE window over the UN-MELTED table
+      // (all lag/chg/delta expressions ride the same partitioned
+      // sort), the per-rowgroup stats aggregate in one pass (the 8
+      // countDistincts expand map-side and partial-aggregate before
+      // the shuffle), and only the TINY per-rowgroup stats frame
+      // (rows = rowgroups, not rows x columns) is melted for the
+      // per-column rollup. Windowed rows drop 8x, melt input ~4000x.
+      val names = Seq("l_orderkey" -> "v1", "l_partkey" -> "v2",
+        "l_suppkey" -> "v3", "l_quantity" -> "v4",
+        "l_extendedprice" -> "v5", "l_shipdate" -> "v6",
+        "status_code" -> "v7", "batch_id" -> "v8")
       val win = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("colname"), col("rg"))
-        .orderBy(col("ok"), col("ln"), col("t2"), col("t3"),
-          col("t4"), col("t5"), col("t6"))
-      val g = m.withColumn("__lag", lag(col("v"), 1).over(win))
-        .withColumn("chg", when(col("__lag").isNotNull &&
-          col("v") =!= col("__lag"), 1L).otherwise(0L))
-        .withColumn("ad", abs(col("v") - col("__lag")))
-        .groupBy(col("colname"), col("rg"))
-        .agg(count(lit(1)).as("n"), countDistinct(col("v")).as("nd"),
-          (sum(col("chg")) + 1).as("runs"), max(col("ad")).as("maxd"),
-          max(col("v")).as("maxv"))
+        .partitionBy(col("rg"))
+        .orderBy(col("ok"), col("ln"), col("v2"), col("v3"),
+          col("v4"), col("v5"), col("v6"))
+      val lagged = names.foldLeft(src) { case (d, (_, v)) =>
+        d.withColumn(s"__lag_$v", lag(col(v), 1).over(win))
+      }
+      val staged = names.foldLeft(lagged) { case (d, (_, v)) =>
+        d.withColumn(s"__chg_$v", when(col(s"__lag_$v").isNotNull &&
+            col(v) =!= col(s"__lag_$v"), 1L).otherwise(0L))
+          .withColumn(s"__ad_$v", abs(col(v) - col(s"__lag_$v")))
+      }
+      val aggCols = names.flatMap { case (_, v) => Seq(
+        (sum(col(s"__chg_$v")) + 1).as(s"runs_$v"),
+        max(col(s"__ad_$v")).as(s"maxd_$v"),
+        max(col(v)).as(s"maxv_$v"),
+        countDistinct(col(v)).as(s"nd_$v")) }
+      val perRg = staged.groupBy(col("rg"))
+        .agg(count(lit(1)).as("n"), aggCols: _*)
+      val g = perRg.select(col("rg"), col("n"), explode(array(
+          names.map { case (cn, v) =>
+            struct(lit(cn).as("colname"), col(s"nd_$v").as("nd"),
+              col(s"runs_$v").as("runs"), col(s"maxd_$v").as("maxd"),
+              col(s"maxv_$v").as("maxv")) }: _*)).as("e"))
+        .select(col("rg"), col("n"), col("e.colname").as("colname"),
+          col("e.nd").as("nd"), col("e.runs").as("runs"),
+          col("e.maxd").as("maxd"), col("e.maxv").as("maxv"))
       g.select(col("colname"),
           expr("(n * length(bin(maxv)) + 7) div 8").as("bp"),
           expr("runs * ((length(bin(maxv)) + 7) div 8 + 2)").as("br"),
