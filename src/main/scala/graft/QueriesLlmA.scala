@@ -769,6 +769,36 @@ private[graft] object QueriesLlmA {
     },
 
 
+    // --- span-removal FOLD from the PERSISTED manifest (round 11 —
+    //     the r10-advice contract made real): batch 3 arrives after
+    //     the q320-style increment already wrote its merged span
+    //     index; spanRemovalFold marks it against the manifest FILE
+    //     alone (history and batch 2 are never re-tokenized) and
+    //     appends manifest v2. The oracle is the full THREE-batch
+    //     rebuild, so the hash match proves the fold ≡ batch theorem
+    //     across a persisted manifest generation — the 100 TB "every
+    //     nightly batch folds in O(batch), never O(history)"
+    //     contract, proven on real data. ---
+    "q351_span_fold" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val f1 = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          col("text").substr(lit(1),
+            greatest(length(col("text")) - 30, lit(1))).as("text"))
+      val f2 = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          col("text").substr(lit(1),
+            greatest(length(col("text")) - 40, lit(1))).as("text"))
+      val idxPath = Scratch.dir("graft_q351").toString + "/span_idx"
+      val incRows = Dedup.spanRemovalIncremental(docs, f1,
+        col("doc_id"), col("text"), idxPath, n = 20)
+      val foldRows = Dedup.spanRemovalFold(f2,
+        col("doc_id"), col("text"), idxPath, n = 20)
+      incRows.unionByName(foldRows).orderBy(col("doc_id"))
+    },
+
+
     // --- SemDeDup under a FITTED quantizer (the paper's own recipe:
     //     cluster with k-means, then dedup within cells): hashed-BoW
     //     vectors -> 2 Lloyd rounds from the lowest-id init ->
@@ -1290,15 +1320,22 @@ private[graft] object QueriesLlmA {
     }
   )
 
-  private val spanRemovalBatchSql: String = """
+  /** Full-rebuild span-removal oracle over documents ∪ the +1M
+    * truncated variants ∪ `extraBatches` (more UNION ALL arms for
+    * later increments) — shared verbatim by q319 (batch), q320
+    * (incremental) and q351 (fold from the persisted manifest), so
+    * each hash match proves incremental ≡ batch on real data.
+    * NOTE s-interpolation processes escapes: regex classes below are
+    * '\\s+' where the plain-string version wrote '\s+'. */
+  private def spanRemovalSql(extraBatches: String): String = s"""
       WITH base AS (
         SELECT doc_id, text FROM documents
         UNION ALL
         SELECT doc_id + 1000000,
                substring(text, 1, greatest(length(text) - 30, 1))
-        FROM documents WHERE doc_id % 5 = 0),
+        FROM documents WHERE doc_id % 5 = 0$extraBatches),
       tk AS (SELECT doc_id, list_filter(
-               string_split_regex(lower(trim(text)), '\s+'),
+               string_split_regex(lower(trim(text)), '\\s+'),
                x -> length(x) > 0) AS toks FROM base),
       sl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok,
                CASE WHEN len(toks) >= 20 THEN
@@ -1333,6 +1370,14 @@ private[graft] object QueriesLlmA {
                AS n_kept
       FROM alln a LEFT JOIN rm r USING (doc_id)
       ORDER BY a.doc_id"""
+
+  private val spanRemovalBatchSql: String = spanRemovalSql("")
+
+  private val spanRemovalFoldSql: String = spanRemovalSql("""
+        UNION ALL
+        SELECT doc_id + 2000000,
+               substring(text, 1, greatest(length(text) - 40, 1))
+        FROM documents WHERE doc_id % 7 = 0""")
 
   def oracleSql: Map[String, String] = Map(
 
@@ -2314,6 +2359,7 @@ private[graft] object QueriesLlmA {
     // proves incremental ≡ batch.
     "q319_span_removal" -> spanRemovalBatchSql,
     "q320_incremental_span_removal" -> spanRemovalBatchSql,
+    "q351_span_fold" -> spanRemovalFoldSql,
 
 
     "q107_semdedup_fitted" -> q107OracleSql,

@@ -55,7 +55,13 @@ object ScaleBench {
     // advisor (melted windowed scan), eval-span contamination (train
     // side never shuffles), manifest-driven range partitioner
     "q324_wand_bounds", "q325_encoding_advisor",
-    "q327_contamination_spans", "q329_range_partition_planner")
+    "q327_contamination_spans", "q329_range_partition_planner",
+    // round-11: the new profile heads — the staged co-occurrence
+    // graph loop and the two pair-mining consumers (Staged.clear in
+    // cleanup() makes every repeat pay the FULL mining cost, so the
+    // ratio measures the mining exponent, not a staged parquet read)
+    "q333_modularity", "q342_dedup_threshold_sweep",
+    "q347_dedup_keeper_policy")
 
   /** Tables each target reads — lets a subset run skip synthesizing
     * (and paying for) the others at high mults. */
@@ -78,7 +84,10 @@ object ScaleBench {
     "q324_wand_bounds" -> Set("documents"),
     "q325_encoding_advisor" -> Set("lineitem"),
     "q327_contamination_spans" -> Set("documents"),
-    "q329_range_partition_planner" -> Set("lineitem"))
+    "q329_range_partition_planner" -> Set("lineitem"),
+    "q333_modularity" -> Set("lineitem"),
+    "q342_dedup_threshold_sweep" -> Set("documents"),
+    "q347_dedup_keeper_policy" -> Set("documents"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
@@ -183,6 +192,8 @@ object ScaleBench {
         .filter(_.name.startsWith("graft_stream_"))
         .foreach(t => spark.catalog.dropTempView(t.name))
       Scratch.sweepExcept(big)
+      // every repeat pays the FULL build (see targets note)
+      graft.operators.Staged.clear()
     }
     def best2(fn: => DataFrame): Double = (1 to 2).map { _ =>
       val t0 = System.nanoTime()

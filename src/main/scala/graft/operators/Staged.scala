@@ -56,6 +56,19 @@ object Staged {
     spark.read.parquet(path.toString)
   }
 
+  /** Drop every staged artifact (the root survives for reuse).
+    * For harnesses that MEASURE build cost (ScaleBench) — a staged
+    * hit on repeat 2 would report the parquet-read wall as the
+    * query's cost and hide the mining exponent. Production runs and
+    * Verify/Bench never call this. */
+  def clear(): Unit = synchronized {
+    if (rootDir != null) {
+      Option(rootDir.toFile.listFiles()).toSeq.flatten.foreach(f =>
+        try org.apache.commons.io.FileUtils.deleteDirectory(f)
+        catch { case _: Throwable => () })
+    }
+  }
+
   /** Path-shaped artifact (multi-file indexes with sidecars — the
     * q109 IVF shape): `buildTo(path)` must write the artifact under
     * the given directory and drop it atomically enough that a later
