@@ -36,10 +36,19 @@ object Staged {
     rootDir
   }
 
-  private def sanitize(key: String): String =
-    key.map(c =>
+  /** Filesystem-safe dir name for a key. The readable prefix is the
+    * sanitized key; the suffix is an MD5 prefix of the RAW key so two
+    * keys that sanitize identically ("a::b" vs "a__b") can never
+    * share an artifact dir. */
+  private def sanitize(key: String): String = {
+    val safe = key.map(c =>
       if (c.isLetterOrDigit || c == '-' || c == '_' || c == '.') c
       else '_')
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8"))
+      .take(4).map(b => f"$b%02x").mkString
+    s"${safe.take(120)}_$h"
+  }
 
   /** DataFrame-shaped artifact: build + persist on first request for
     * `key`, read-from-parquet on every request. The returned frame is

@@ -20,6 +20,17 @@ class StagedSpec extends SparkSpec {
     assert(builds === 2, "a distinct key is a distinct artifact")
   }
 
+  test("keys that sanitize identically still get distinct artifacts " +
+      "(raw-key hash suffix)") {
+    var builds = 0
+    def f(n: Long) = { builds += 1; spark.range(n).select($"id") }
+    val a = Staged.getOrBuild(spark, "collide::key")(f(3))
+    val b = Staged.getOrBuild(spark, "collide__key")(f(7))
+    assert(builds === 2)
+    assert(a.count() === 3L)
+    assert(b.count() === 7L)
+  }
+
   test("staged artifacts survive Scratch.sweep — the per-query " +
       "cleanup Verify/Bench run between queries") {
     var builds = 0
