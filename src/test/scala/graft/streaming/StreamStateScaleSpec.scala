@@ -66,6 +66,34 @@ class StreamStateScaleSpec extends SparkSpec {
     assert(peak2 === nUsers.toLong)
   }
 
+  test("keyed state is |keys|-flat on the MODERN API too: " +
+      "transformWithState (RocksDB) running counts hold one state " +
+      "row and one timer per user at both densities") {
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try {
+      def run(dir: String): Long = peakState(dir, "update")(s =>
+        es.runningCountsTws(s, "user_id", "ts", watermark = "1 day",
+          ttlMs = 3650L * 24 * 3600 * 1000))
+      val peak1 = run(dir1)
+      val peak2 = run(dir2)
+      // numRowsTotal spans the operator's column families (value
+      // state + timer index) — the invariant is per-key flatness:
+      // identical at both densities, bounded by a small per-key
+      // constant, never tracking event volume
+      assert(peak1 === peak2,
+        s"tws state must not grow with events: $peak1 vs $peak2")
+      assert(peak1 >= nUsers.toLong && peak1 <= 4L * nUsers,
+        s"tws state should be O(|users|)=$nUsers rows: $peak1")
+    } finally prev match {
+      case Some(p) => spark.conf.set(providerKey, p)
+      case None    => spark.conf.unset(providerKey)
+    }
+  }
+
   test("watermark-evicted state scales with rows-per-batch, not with " +
       "total events: doubling density ~doubles dedup state while " +
       "staying far below the id count") {
