@@ -1787,10 +1787,361 @@ private[graft] object QueriesLlmB {
           col("dominated_frac"), col("min_sources"),
           col("max_sources"))
         .orderBy(col("policy"))
-    })
+    }),
+
+
+    // --- EXECUTABLE UniMax mixture sampling (round 11 — q323's
+    //     allocation, RUN): the water-filled doc-count budget per
+    //     SOURCE (B = 60% of the corpus, small sources capped at
+    //     availability, the rest sharing the remainder by largest-
+    //     remainder — q323's closed form on the k-row source census)
+    //     is executed by a DETERMINISTIC md5-ranked selection per
+    //     source. Ranks come from the Sharding bucket-offset trick
+    //     (per-(source, 2-hex-prefix) windows + a 256-row triangular
+    //     prefix join), never a per-source single-task window, so the
+    //     selection scales to any source size. Output pins the EXACT
+    //     sampled corpus: per source, availability, allocation,
+    //     realized count, and an order-independent id checksum of the
+    //     selected set — the reproducible-training-mix contract. ---
+    "q352_mixture_sample" -> { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val W = Window.orderBy(col("n_docs"), col("source"))
+      val docs = tbl(spark, dir, "documents")
+        .select(col("doc_id"), col("source"))
+      val sizes = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+      val tot = sizes.agg(sum(col("n_docs")).as("__tot"),
+        count(lit(1)).as("__n"))
+      val f = sizes.crossJoin(broadcast(tot))
+        .withColumn("__b", expr("(__tot * 6) div 10"))
+        .limit(10000) // bounded source universe protects the windows
+        .withColumn("__rn", row_number().over(W))
+        .withColumn("__cum", sum(col("n_docs")).over(
+          W.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("__raw",
+          col("n_docs") * (col("__n") - col("__rn") + 1) <=
+            col("__b") - (col("__cum") - col("n_docs")))
+      val ff = f.agg(
+          min(when(!col("__raw"), col("__rn"))).as("__ff0"),
+          max(col("__n")).as("__nn"))
+        .select(coalesce(col("__ff0"), col("__nn") + 1).as("__ff"))
+      val f2 = f.crossJoin(broadcast(ff))
+      val ck = f2.agg(coalesce(max(when(col("__rn") === col("__ff") - 1,
+          col("__cum"))), lit(0L)).as("__cumk"))
+      val alloc = f2.crossJoin(broadcast(ck))
+        .withColumn("__r", col("__b") - col("__cumk"))
+        .withColumn("__l", col("__n") - (col("__ff") - 1))
+        .withColumn("alloc_docs",
+          when(col("__rn") < col("__ff"), col("n_docs"))
+            .otherwise(expr("__r div __l") +
+              when(col("__rn") - (col("__ff") - 1) <=
+                pmod(col("__r"), col("__l")), 1L).otherwise(0L)))
+        .select(col("source"), col("n_docs"), col("alloc_docs"))
+        .localCheckpoint() // tiny; feeds selection AND the output join
+      val based = docs
+        .withColumn("h", md5(concat(lit("mix1:"),
+          col("doc_id").cast("string")).cast("binary")))
+        .withColumn("__bk", substring(col("h"), 1, 2))
+      val census = based.groupBy(col("source"), col("__bk"))
+        .agg(count(lit(1)).as("__c"))
+      val offs = census
+        .join(census.select(col("source").as("__s2"),
+            col("__bk").as("__b2"), col("__c").as("__c2")),
+          col("__s2") === col("source") && col("__b2") < col("__bk"),
+          "left")
+        .groupBy(col("source"), col("__bk"))
+        .agg(coalesce(sum(col("__c2")), lit(0L)).as("__off"))
+      val iw = Window.partitionBy(col("source"), col("__bk"))
+        .orderBy(col("h"), col("doc_id"))
+      val selected = based.join(offs, Seq("source", "__bk"))
+        .withColumn("__rk", col("__off") + row_number().over(iw))
+        .join(broadcast(alloc.select(col("source"),
+          col("alloc_docs"))), Seq("source"))
+        .filter(col("__rk") <= col("alloc_docs"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("__nsel"),
+          sum(col("doc_id")).as("__csum"))
+      alloc.join(selected, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("alloc_docs"),
+          coalesce(col("__nsel"), lit(0L)).as("n_selected"),
+          coalesce(col("__csum"), lit(0L)).as("sel_checksum"))
+        .orderBy(col("source"))
+    },
+
+
+    // --- CONTEXT-WINDOW PACKING census (round 11 — the GPT-style
+    //     "concatenate and cut every L tokens" batch-prep): docs in
+    //     pinned doc_id order lie head-to-tail on the token axis;
+    //     chunk c owns tokens [c·L, (c+1)·L). Per chunk: docs
+    //     present, docs STARTING there (the rest are boundary
+    //     continuations — the attention-masking cost axis), and the
+    //     chunk's token fill (L everywhere but the tail). Prefix
+    //     sums come from max-id-scaled range buckets + a 256-row
+    //     triangular offset join + per-bucket windows — no global
+    //     window, and the per-doc explode emits one row per chunk
+    //     the doc TOUCHES (≤ len/L + 1), so total rows stay ∝
+    //     tokens/L. Exact integers end to end. ---
+    "q353_context_packing" -> { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val L = 512L
+      val docs = tbl(spark, dir, "documents")
+        .select(col("doc_id"),
+          size(TextAnalysis.tokens(col("text"))).cast("long")
+            .as("n_tok"))
+        .filter(col("n_tok") > 0)
+        .localCheckpoint() // feeds the stride scalar AND the spans
+      // ~256 ORDER-RANGE buckets regardless of id density: the
+      // bucket census triangular join stays O(256 squared) at any SF
+      val mx = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
+      val stride = mx / 256L + 1L
+      val based = docs.withColumn("__bk",
+        expr(s"doc_id div $stride"))
+      val census = based.groupBy(col("__bk"))
+        .agg(sum(col("n_tok")).as("__c"))
+      val offs = census
+        .join(census.select(col("__bk").as("__b2"),
+          col("__c").as("__c2")), col("__b2") < col("__bk"), "left")
+        .groupBy(col("__bk"))
+        .agg(coalesce(sum(col("__c2")), lit(0L)).as("__off"))
+      val iw = Window.partitionBy(col("__bk")).orderBy(col("doc_id"))
+      val spans = based.join(offs, Seq("__bk"))
+        .withColumn("__cum", col("__off") + sum(col("n_tok")).over(
+          iw.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("s", col("__cum") - col("n_tok"))
+        .withColumn("e", col("__cum") - 1)
+      val perChunk = spans
+        .select(col("s"), explode(sequence(expr(s"s div $L"),
+          expr(s"e div $L"))).as("chunk"))
+        .groupBy(col("chunk"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(expr(s"s div $L") === col("chunk"), 1L)
+            .otherwise(0L)).as("n_starts"))
+      val totTok = spans.agg(max(col("__cum")).as("__t"))
+      perChunk.crossJoin(broadcast(totTok))
+        .select(col("chunk"), col("n_docs"), col("n_starts"),
+          least(lit(L), col("__t") - col("chunk") * L)
+            .as("n_tokens"))
+        .orderBy(col("chunk"))
+    },
+
+
+    // --- LEAKAGE-SAFE train/val split (round 11): near-dup
+    //     CLUSTERS are the split unit — a doc-level split routinely
+    //     puts a train doc's near-copy in val (memorized text leaks
+    //     into eval); a cluster-keyed split cannot. Both policies
+    //     run over the SAME corpus and the SAME staged pair set
+    //     (q342's key — the mining is free within a run): split =
+    //     md5 of the cluster id vs of the doc id (80/20 via the
+    //     first hex byte < 205), and the census reports per policy
+    //     the train/val sizes and the LEAKED near-dup pair count —
+    //     0 by construction for the cluster split, the measured
+    //     contamination for the naive one. All integers; the oracle
+    //     replays pairs + closure + both hash splits. ---
+    "q354_leakage_split" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val variants = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          col("text").substr(lit(1),
+            greatest(length(col("text")) - 20, lit(1))).as("text"))
+      val corpus = docs.unionByName(variants)
+      val pairs = graft.operators.Staged.getOrBuild(spark,
+          s"ngram_pairs::$dir::mod3_trunc20::sh3_t0.5_df16") {
+        Dedup.ngramJaccardPairs(corpus, col("doc_id"),
+          col("text"), shingleN = 3, threshold = 0.5, maxDf = 16)
+      }.select(col("id_a"), col("id_b"))
+      val comps = Dedup.connectedComponents(pairs, col("id_a"),
+        col("id_b"))
+      val assigned = corpus.select(col("doc_id"))
+        .join(comps.select(col("id").as("doc_id"), col("comp")),
+          Seq("doc_id"), "left")
+        .withColumn("cluster", coalesce(col("comp"), col("doc_id")))
+      def isTrain(c: Column): Column =
+        conv(substring(md5(concat(lit("split1:"),
+          c.cast("string")).cast("binary")), 1, 2), 16, 10)
+          .cast("int") < 205
+      def census(name: String, keyed: DataFrame): DataFrame = {
+        val sizes = keyed.agg(
+          sum(when(col("train"), 1L).otherwise(0L)).as("n_train"),
+          sum(when(!col("train"), 1L).otherwise(0L)).as("n_val"))
+        val leaks = pairs
+          .join(keyed.select(col("doc_id").as("id_a"),
+            col("train").as("__ta")), Seq("id_a"))
+          .join(keyed.select(col("doc_id").as("id_b"),
+            col("train").as("__tb")), Seq("id_b"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when(col("__ta") =!= col("__tb"), 1L)
+              .otherwise(0L)).as("n_leaked"))
+        sizes.crossJoin(leaks).withColumn("policy", lit(name))
+      }
+      census("cluster_split", assigned.select(col("doc_id"),
+          isTrain(col("cluster")).as("train")))
+        .unionByName(census("doc_split", assigned.select(col("doc_id"),
+          isTrain(col("doc_id")).as("train"))))
+        .select(col("policy"), col("n_train"), col("n_val"),
+          col("n_pairs"), col("n_leaked"))
+        .orderBy(col("policy"))
+    }
   )
 
   def oracleSql: Map[String, String] = Map(
+
+    "q352_mixture_sample" -> """
+      WITH d AS (SELECT doc_id, source FROM documents),
+      s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+            FROM d GROUP BY 1),
+      t AS (SELECT CAST((sum(n_docs) * 6) // 10 AS BIGINT) AS b,
+                   CAST(count(*) AS BIGINT) AS n FROM s),
+      o AS (SELECT source, n_docs, b, n,
+                   row_number() OVER (ORDER BY n_docs, source) AS rn,
+                   sum(n_docs) OVER (ORDER BY n_docs, source
+                     ROWS UNBOUNDED PRECEDING) AS cum
+            FROM s CROSS JOIN t),
+      f AS (SELECT *,
+                   (n_docs * (n - rn + 1) <= b - (cum - n_docs))
+                     AS raw
+            FROM o),
+      ff AS (SELECT coalesce(min(CASE WHEN NOT raw THEN rn END),
+                             max(n) + 1) AS ff FROM f),
+      ck AS (SELECT coalesce(max(CASE WHEN f.rn = ff.ff - 1
+                                      THEN f.cum END), 0) AS cumk
+             FROM f CROSS JOIN ff),
+      p AS (SELECT f.source, f.n_docs, f.rn, ff.ff,
+                   f.b - ck.cumk AS r, f.n - (ff.ff - 1) AS l
+            FROM f CROSS JOIN ff CROSS JOIN ck),
+      a AS (SELECT source, n_docs,
+                   CAST(CASE WHEN rn < ff THEN n_docs
+                        ELSE (r // l) + (CASE WHEN rn - (ff - 1)
+                          <= (r % l) THEN 1 ELSE 0 END)
+                   END AS BIGINT) AS alloc_docs
+            FROM p),
+      rk AS (SELECT d.source, d.doc_id,
+                    row_number() OVER (PARTITION BY d.source
+                      ORDER BY md5('mix1:' ||
+                        CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rk
+             FROM d),
+      sel AS (SELECT rk.source, rk.doc_id
+              FROM rk JOIN a USING (source)
+              WHERE rk.rk <= a.alloc_docs)
+      SELECT a.source, a.n_docs, a.alloc_docs,
+             CAST(count(sel.doc_id) AS BIGINT) AS n_selected,
+             CAST(coalesce(sum(sel.doc_id), 0) AS BIGINT)
+               AS sel_checksum
+      FROM a LEFT JOIN sel ON sel.source = a.source
+      GROUP BY a.source, a.n_docs, a.alloc_docs
+      ORDER BY a.source""",
+
+
+    "q353_context_packing" -> """
+      WITH tk AS (SELECT doc_id, CAST(len(list_filter(
+                    string_split_regex(lower(trim(text)), '\s+'),
+                    x -> length(x) > 0)) AS BIGINT) AS n_tok
+                  FROM documents),
+      d AS (SELECT doc_id, n_tok FROM tk WHERE n_tok > 0),
+      c AS (SELECT doc_id, n_tok,
+                   sum(n_tok) OVER (ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) AS cum
+            FROM d),
+      sp AS (SELECT doc_id, CAST(cum - n_tok AS BIGINT) AS s,
+                    CAST(cum - 1 AS BIGINT) AS e FROM c),
+      ch AS (SELECT doc_id, s,
+                    unnest(generate_series(s // 512, e // 512))
+                      AS chunk
+             FROM sp),
+      pc AS (SELECT chunk, CAST(count(*) AS BIGINT) AS n_docs,
+                    CAST(sum(CASE WHEN s // 512 = chunk
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                      AS n_starts
+             FROM ch GROUP BY 1),
+      t AS (SELECT max(cum) AS tt FROM c)
+      SELECT CAST(chunk AS BIGINT) AS chunk, n_docs, n_starts,
+             CAST(least(512, t.tt - chunk * 512) AS BIGINT)
+               AS n_tokens
+      FROM pc CROSS JOIN t ORDER BY chunk""",
+
+
+    "q354_leakage_split" -> """
+      WITH RECURSIVE
+      base AS (SELECT doc_id, text FROM documents
+               UNION ALL
+               SELECT doc_id + 1000000,
+                      substring(text, 1,
+                        greatest(length(text) - 20, 1))
+               FROM documents WHERE doc_id % 3 = 0),
+      tk AS (SELECT doc_id, list_filter(
+               string_split_regex(lower(trim(text)), '\s+'),
+               x -> length(x) > 0) AS toks FROM base),
+      sh AS (SELECT doc_id,
+               CASE WHEN len(toks) >= 3 THEN
+                      list_distinct(list_transform(
+                        generate_series(1, len(toks) - 2),
+                        i -> toks[i] || ' ' || toks[i+1] || ' '
+                          || toks[i+2]))
+                    WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+                    ELSE [] END AS s
+             FROM tk),
+      ex0 AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      keep AS (SELECT g FROM ex0 GROUP BY g HAVING count(*) <= 16),
+      ex AS (SELECT doc_id, ex0.g FROM ex0 JOIN keep USING (g)),
+      dsz AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       count(*) AS ns
+                FROM ex a JOIN ex b
+                  ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+      p AS (SELECT i.id_a, i.id_b
+            FROM inter i
+            JOIN dsz sa ON sa.doc_id = i.id_a
+            JOIN dsz sb ON sb.doc_id = i.id_b
+            WHERE round(CAST(i.ns AS DOUBLE)
+              / (sa.sz + sb.sz - i.ns), 6) >= 0.5),
+      e AS (SELECT id_a AS x, id_b AS y FROM p
+            UNION ALL SELECT id_b, id_a FROM p),
+      r AS (SELECT x AS id, x AS rr FROM e
+            UNION
+            SELECT e.x, r.rr FROM e JOIN r ON e.y = r.id),
+      cc AS (SELECT id, min(rr) AS comp FROM r GROUP BY id),
+      asg AS (SELECT b.doc_id,
+                     coalesce(cc.comp, b.doc_id) AS cluster
+              FROM (SELECT doc_id FROM base) b
+              LEFT JOIN cc ON cc.id = b.doc_id),
+      spl AS (SELECT doc_id,
+                (CAST('0x' || substring(md5('split1:' ||
+                   CAST(cluster AS VARCHAR)), 1, 2) AS INTEGER)
+                   < 205) AS tr_cluster,
+                (CAST('0x' || substring(md5('split1:' ||
+                   CAST(doc_id AS VARCHAR)), 1, 2) AS INTEGER)
+                   < 205) AS tr_doc
+              FROM asg),
+      lc AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+                    CAST(sum(CASE WHEN sa.tr_cluster <> sb.tr_cluster
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                      AS leaked_cluster,
+                    CAST(sum(CASE WHEN sa.tr_doc <> sb.tr_doc
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                      AS leaked_doc
+             FROM p JOIN spl sa ON sa.doc_id = p.id_a
+                    JOIN spl sb ON sb.doc_id = p.id_b),
+      szs AS (SELECT
+                CAST(sum(CASE WHEN tr_cluster THEN 1 ELSE 0 END)
+                  AS BIGINT) AS tr_c,
+                CAST(sum(CASE WHEN NOT tr_cluster THEN 1 ELSE 0 END)
+                  AS BIGINT) AS va_c,
+                CAST(sum(CASE WHEN tr_doc THEN 1 ELSE 0 END)
+                  AS BIGINT) AS tr_d,
+                CAST(sum(CASE WHEN NOT tr_doc THEN 1 ELSE 0 END)
+                  AS BIGINT) AS va_d
+              FROM spl)
+      SELECT 'cluster_split' AS policy, szs.tr_c AS n_train,
+             szs.va_c AS n_val, lc.n_pairs,
+             lc.leaked_cluster AS n_leaked
+      FROM szs CROSS JOIN lc
+      UNION ALL
+      SELECT 'doc_split', szs.tr_d, szs.va_d, lc.n_pairs,
+             lc.leaked_doc
+      FROM szs CROSS JOIN lc
+      ORDER BY policy""",
+
 
     // containment over the df<=64 string-gram space (the engine mines
     // hashed shingles — hash equality ≡ gram equality); both direction
