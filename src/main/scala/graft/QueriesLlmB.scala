@@ -1882,45 +1882,72 @@ private[graft] object QueriesLlmB {
     //     the doc TOUCHES (≤ len/L + 1), so total rows stay ∝
     //     tokens/L. Exact integers end to end. ---
     "q353_context_packing" -> { (spark, dir) =>
-      import org.apache.spark.sql.expressions.Window
       val L = 512L
+      val pk = graft.operators.Packing
       val docs = tbl(spark, dir, "documents")
         .select(col("doc_id"),
           size(TextAnalysis.tokens(col("text"))).cast("long")
             .as("n_tok"))
-        .filter(col("n_tok") > 0)
-        .localCheckpoint() // feeds the stride scalar AND the spans
-      // ~256 ORDER-RANGE buckets regardless of id density: the
-      // bucket census triangular join stays O(256 squared) at any SF
-      val mx = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
-      val stride = mx / 256L + 1L
-      val based = docs.withColumn("__bk",
-        expr(s"doc_id div $stride"))
-      val census = based.groupBy(col("__bk"))
-        .agg(sum(col("n_tok")).as("__c"))
-      val offs = census
-        .join(census.select(col("__bk").as("__b2"),
-          col("__c").as("__c2")), col("__b2") < col("__bk"), "left")
-        .groupBy(col("__bk"))
-        .agg(coalesce(sum(col("__c2")), lit(0L)).as("__off"))
-      val iw = Window.partitionBy(col("__bk")).orderBy(col("doc_id"))
-      val spans = based.join(offs, Seq("__bk"))
-        .withColumn("__cum", col("__off") + sum(col("n_tok")).over(
-          iw.rowsBetween(Window.unboundedPreceding, 0)))
-        .withColumn("s", col("__cum") - col("n_tok"))
-        .withColumn("e", col("__cum") - 1)
-      val perChunk = spans
-        .select(col("s"), explode(sequence(expr(s"s div $L"),
-          expr(s"e div $L"))).as("chunk"))
-        .groupBy(col("chunk"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(when(expr(s"s div $L") === col("chunk"), 1L)
-            .otherwise(0L)).as("n_starts"))
-      val totTok = spans.agg(max(col("__cum")).as("__t"))
-      perChunk.crossJoin(broadcast(totTok))
+      val spans = pk.spans(docs, col("doc_id"), col("n_tok"))
+        .localCheckpoint() // feeds the census AND the total
+      val tot = spans.agg((max(col("e")) + 1).as("__t"))
+      pk.withFill(pk.chunkCensus(spans, L).crossJoin(broadcast(tot)),
+          L, col("__t"))
         .select(col("chunk"), col("n_docs"), col("n_starts"),
-          least(lit(L), col("__t") - col("chunk") * L)
-            .as("n_tokens"))
+          col("n_tokens"))
+        .orderBy(col("chunk"))
+    },
+
+
+    // --- INCREMENTAL context packing (q353's fold twin): history is
+    //     packed once; its chunk census + token total persist as the
+    //     STAGED manifest. A new batch (ids above all history ids)
+    //     packs AFTER the persisted total — per-chunk doc counts are
+    //     additive over disjoint doc sets, so history census ∪
+    //     offset-batch census, one groupBy-sum (the boundary chunk
+    //     folds), EQUALS the full rebuild exactly. The oracle IS the
+    //     rebuild over the two-part corpus: the hash match proves
+    //     incremental ≡ batch at chunk grain — history text is never
+    //     re-tokenized (the q320/q351 fold theorem, third artifact
+    //     family). ---
+    "q355_incremental_packing" -> { (spark, dir) =>
+      val L = 512L
+      val pk = graft.operators.Packing
+      val docs = tbl(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      def toks(c: Column) =
+        size(TextAnalysis.tokens(c)).cast("long")
+      // staged history manifest: chunk census + total, built once
+      val histCensus = graft.operators.Staged.getOrBuild(spark,
+          s"pack_census::$dir::docs_L512") {
+        val sp = pk.spans(
+          docs.select(col("doc_id"), toks(col("text")).as("n_tok")),
+          col("doc_id"), col("n_tok")).localCheckpoint()
+        pk.chunkCensus(sp, L)
+          .crossJoin(broadcast(sp.agg((max(col("e")) + 1).as("__t"))))
+      }
+      // manifest-derived scalar, a bounded single-row pull
+      val histT = histCensus.agg(max(col("__t"))).collect()(0)
+        .getLong(0)
+      val fresh = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          col("text").substr(lit(1),
+            greatest(length(col("text")) - 25, lit(1))).as("text"))
+      val freshSpans = pk.spans(
+          fresh.select(col("doc_id"), toks(col("text")).as("n_tok")),
+          col("doc_id"), col("n_tok"), baseOffset = histT)
+        .localCheckpoint() // feeds the census AND the new total
+      val merged = histCensus
+        .select(col("chunk"), col("n_docs"), col("n_starts"))
+        .unionByName(pk.chunkCensus(freshSpans, L))
+        .groupBy(col("chunk"))
+        .agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("n_starts")).as("n_starts"))
+      val tot = freshSpans.agg(
+        coalesce(max(col("e")) + 1, lit(histT)).as("__t"))
+      pk.withFill(merged.crossJoin(broadcast(tot)), L, col("__t"))
+        .select(col("chunk"), col("n_docs"), col("n_starts"),
+          col("n_tokens"))
         .orderBy(col("chunk"))
     },
 
@@ -2037,6 +2064,40 @@ private[graft] object QueriesLlmB {
                     string_split_regex(lower(trim(text)), '\s+'),
                     x -> length(x) > 0)) AS BIGINT) AS n_tok
                   FROM documents),
+      d AS (SELECT doc_id, n_tok FROM tk WHERE n_tok > 0),
+      c AS (SELECT doc_id, n_tok,
+                   sum(n_tok) OVER (ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) AS cum
+            FROM d),
+      sp AS (SELECT doc_id, CAST(cum - n_tok AS BIGINT) AS s,
+                    CAST(cum - 1 AS BIGINT) AS e FROM c),
+      ch AS (SELECT doc_id, s,
+                    unnest(generate_series(s // 512, e // 512))
+                      AS chunk
+             FROM sp),
+      pc AS (SELECT chunk, CAST(count(*) AS BIGINT) AS n_docs,
+                    CAST(sum(CASE WHEN s // 512 = chunk
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                      AS n_starts
+             FROM ch GROUP BY 1),
+      t AS (SELECT max(cum) AS tt FROM c)
+      SELECT CAST(chunk AS BIGINT) AS chunk, n_docs, n_starts,
+             CAST(least(512, t.tt - chunk * 512) AS BIGINT)
+               AS n_tokens
+      FROM pc CROSS JOIN t ORDER BY chunk""",
+
+
+    "q355_incremental_packing" -> """
+      WITH base AS (SELECT doc_id, text FROM documents
+                    UNION ALL
+                    SELECT doc_id + 2000000,
+                           substring(text, 1,
+                             greatest(length(text) - 25, 1))
+                    FROM documents WHERE doc_id % 4 = 0),
+      tk AS (SELECT doc_id, CAST(len(list_filter(
+               string_split_regex(lower(trim(text)), '\s+'),
+               x -> length(x) > 0)) AS BIGINT) AS n_tok
+             FROM base),
       d AS (SELECT doc_id, n_tok FROM tk WHERE n_tok > 0),
       c AS (SELECT doc_id, n_tok,
                    sum(n_tok) OVER (ORDER BY doc_id
