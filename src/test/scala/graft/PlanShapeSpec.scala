@@ -255,4 +255,29 @@ class PlanShapeSpec extends SparkSpec {
         .contains("CartesianProduct"), s"$q planned a cartesian")
     }
   }
+
+  test("dense-cube guard: a product between the broadcast threshold " +
+      "and the cap plans a NON-broadcast dense join and stays dense") {
+    import org.apache.spark.sql.functions._
+    // 250 x 250 = 62,500 cells: above the default broadcastCells
+    // (32,768), under maxCells (100,000) — the sparse side must not
+    // be broadcast, and the result must still be the full dense cube
+    val wide = spark.range(62500L).select(
+      (col("id") % 250).as("a"), expr("id div 250").as("b"))
+    val parts = (0 until 250).mkString("[", ",", "]")
+    val q = graft.jx.QueryParser.parse(
+      s"""{"from": "w",
+           "edges": [
+             {"name": "a", "value": "a",
+              "domain": {"type": "set", "partitions": $parts}},
+             {"name": "b", "value": "b",
+              "domain": {"type": "set", "partitions": $parts}}],
+           "select": [{"name": "n", "aggregate": "count"}]}""")
+    val df = graft.jx.Runner.runOn(wide, q)
+    assert(!df.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"),
+      "above spark.graft.cube.broadcastCells the dense join must " +
+        "shuffle the sparse side, not broadcast it")
+    assert(df.count() === 62500L)
+  }
 }

@@ -91,6 +91,28 @@ class ServiceSpec extends SparkSpec {
     assert(total === n)
   }
 
+  test("dense-cube domain-product guard: a 3-edge DefaultDomain query " +
+      "over high-cardinality keys fails loudly instead of densifying " +
+      "10^9 cells onto the driver (r11 verdict ask #1)") {
+    import org.apache.spark.sql.functions._
+    // each edge takes the implicit DefaultDomain(1000); all three keys
+    // have >1000 distinct values, so the true product is 1000^3 — far
+    // above the collect-protection cap
+    val wide = spark.range(50000L).select(
+      col("id").as("a"), col("id").as("b"), col("id").as("c"))
+    val ex = intercept[IllegalArgumentException] {
+      Service.query(spark, TestSpark.sfDir,
+        """{"from": "wide_guard",
+            "edges": [{"name": "a", "value": "a"},
+                      {"name": "b", "value": "b"},
+                      {"name": "c", "value": "c"}],
+            "select": [{"name": "n", "aggregate": "count"}]}""",
+        Map("wide_guard" -> wide))
+    }
+    assert(ex.getMessage.contains("spark.graft.cube.maxCells"),
+      s"guard must name the cap conf key, got: ${ex.getMessage}")
+  }
+
   test("registered LLM-output views are queryable through the service") {
     import org.apache.spark.sql.functions._
     // publish two pipeline stages as JX views: classifier scores and
