@@ -1812,9 +1812,21 @@ private[graft] object QueriesLlmB {
         .agg(count(lit(1)).as("n_docs"))
       val tot = sizes.agg(sum(col("n_docs")).as("__tot"),
         count(lit(1)).as("__n"))
+      // LOUD census bound (r11 advice): the allocation windows are
+      // global over the source census, so the census must be small —
+      // but a silent limit would water-fill an arbitrary plan-dependent
+      // subset of an oversized census and diverge from the oracle
+      // nondeterministically. Count it (k rows, one tiny job) and fail
+      // with the shard-the-census remedy instead; the limit below is
+      // then a no-op that keeps the plan audit's window bound explicit.
+      val nSources = sizes.count()
+      require(nSources <= 10000,
+        s"q352: source census has $nSources sources, above the 10000 " +
+          "the allocation windows are bounded for — shard the census " +
+          "(water-fill is associative over availability-sorted shards)")
       val f = sizes.crossJoin(broadcast(tot))
         .withColumn("__b", expr("(__tot * 6) div 10"))
-        .limit(10000) // bounded source universe protects the windows
+        .limit(10000) // proven tight by the census count above
         .withColumn("__rn", row_number().over(W))
         .withColumn("__cum", sum(col("n_docs")).over(
           W.rowsBetween(Window.unboundedPreceding, 0)))

@@ -46,6 +46,16 @@ object Service {
     // requires a DENSE input — an injected limit would hand toCube an
     // arbitrary plan-dependent row subset and corrupt the cube. toCube
     // itself now fails loudly on non-dense input as a backstop.
+    // an explicit user limit on a cube is a contradiction: the runner
+    // would truncate the dense output to an arbitrary plan-dependent
+    // row subset and toCube's density backstop would then fail with a
+    // low-level shape error — reject it here with the actual reason
+    // (the reference applies limits to setop results only)
+    if (q0.format == "cube" && q0.limit.nonEmpty)
+      throw new IllegalArgumentException(
+        "limit is not supported with format:cube — a cube is shaped by " +
+          "its edge domains (bound it by narrowing the domains); " +
+          "limit applies to list/table formats only")
     val q = if (q0.limit.isEmpty && q0.edges.isEmpty)
       q0.copy(limit = Some(DefaultLimit)) else q0
     val catalog = new Catalog(spark, dir)

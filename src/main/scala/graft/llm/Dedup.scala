@@ -469,8 +469,16 @@ object Dedup {
     * manifest version k+1 (merged, unfiltered). */
   def spanRemovalFold(fresh: DataFrame, id: Column, text: Column,
                       indexPath: String, n: Int = 20): DataFrame = {
-    val fs = new java.io.File(indexPath)
-    val latest = Option(fs.list()).toSeq.flatten
+    // enumerate versions through the Hadoop FileSystem API, not
+    // java.io.File: the nightly-fold deployment writes the manifest
+    // wherever Spark writes (HDFS/S3/local) and discovery must read
+    // from the same filesystem (r11 advice)
+    val hPath = new org.apache.hadoop.fs.Path(indexPath)
+    val hFs = hPath.getFileSystem(
+      fresh.sparkSession.sessionState.newHadoopConf())
+    val latest = (if (hFs.exists(hPath)) hFs.listStatus(hPath).toSeq
+                  else Seq.empty)
+      .map(_.getPath.getName)
       .filter(_.matches("v\\d+")).map(_.drop(1).toInt)
       .reduceOption(_ max _)
       .getOrElse(throw new IllegalStateException(

@@ -91,6 +91,21 @@ class ServiceSpec extends SparkSpec {
     assert(total === n)
   }
 
+  test("limit + format:cube is rejected at the service surface with " +
+      "the actual reason, not toCube's low-level density error") {
+    val ex = intercept[IllegalArgumentException] {
+      Service.query(spark, TestSpark.sfDir,
+        """{"from": "orders",
+            "edges": [{"name": "st", "value": "o_orderstatus",
+                       "domain": {"type": "set",
+                                  "partitions": ["F", "O", "P"]}}],
+            "select": [{"name": "n", "aggregate": "count"}],
+            "format": "cube", "limit": 2}""")
+    }
+    assert(ex.getMessage.contains("format:cube"),
+      s"expected the user-facing cube/limit message, got: ${ex.getMessage}")
+  }
+
   test("dense-cube domain-product guard: a 3-edge DefaultDomain query " +
       "over high-cardinality keys fails loudly instead of densifying " +
       "10^9 cells onto the driver (r11 verdict ask #1)") {
