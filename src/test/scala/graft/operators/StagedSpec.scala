@@ -61,4 +61,66 @@ class StagedSpec extends SparkSpec {
     assert(java.nio.file.Files.readString(
       java.nio.file.Paths.get(p1, "sub", "x.txt")) === "payload")
   }
+
+  test("a failed build leaves nothing behind and the retry starts " +
+      "clean (atomic tmp-dir build)") {
+    var attempts = 0
+    intercept[RuntimeException] {
+      Staged.getOrBuildPath("staged-spec/flaky") { p =>
+        attempts += 1
+        // simulate a builder that wrote a partial sidecar, then died
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(p, "partial.txt"), "half")
+        throw new RuntimeException("builder died")
+      }
+    }
+    val path = Staged.getOrBuildPath("staged-spec/flaky") { p =>
+      attempts += 1
+      // the retry must see an EMPTY dir: a leftover partial.txt from
+      // attempt 1 would corrupt an appending builder
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(p, "partial.txt")),
+        "retry saw the failed attempt's partial artifact")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(p, "ok.txt"), "whole")
+    }
+    assert(attempts === 2)
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(path, "ok.txt")) === "whole")
+    // same law for the DataFrame shape
+    var dfBuilds = 0
+    intercept[RuntimeException] {
+      Staged.getOrBuild(spark, "staged-spec/flaky-df") {
+        dfBuilds += 1; throw new RuntimeException("builder died")
+      }
+    }
+    val back = Staged.getOrBuild(spark, "staged-spec/flaky-df") {
+      dfBuilds += 1; spark.range(4).select($"id")
+    }
+    assert(dfBuilds === 2)
+    assert(back.count() === 4L)
+  }
+
+  test("the artifact cache is bounded: above maxArtifacts the least-" +
+      "recently-served artifacts are evicted and rebuild on demand") {
+    val saved = Staged.maxArtifacts
+    try {
+      Staged.clear() // deterministic start: budget applies to THIS set
+      Staged.maxArtifacts = 2
+      var builds = Map.empty[String, Int].withDefaultValue(0)
+      def get(k: String) = Staged.getOrBuild(spark, s"lru/$k") {
+        builds += k -> (builds(k) + 1); spark.range(3).select($"id")
+      }
+      get("a"); get("b")
+      get("a") // refresh a: LRU order is now  b < a
+      get("c") // over budget: evicts b, keeps a + c
+      assert(get("a").count() === 3L)
+      assert(builds("a") === 1, "a was touched — must not have been evicted")
+      get("b")
+      assert(builds("b") === 2, "b was least-recently-served — evicted, rebuilt")
+    } finally {
+      Staged.maxArtifacts = saved
+      Staged.clear()
+    }
+  }
 }
