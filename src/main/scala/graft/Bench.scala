@@ -21,13 +21,25 @@ object Bench {
       .groupBy("l_returnflag")
       .agg(org.apache.spark.sql.functions.sum("l_quantity").as("s"))
       .orderBy("l_returnflag").collect()
-    // Per-query BEST-OF-2 (cache cleared between iterations): a single
+    // Per-query BEST-OF-N (cache cleared between iterations): a single
     // timed pass lets one scheduler/GC hiccup dominate a round's
     // headline — r3 recorded one query at 16.8s and r4 another at
     // 22.1s, both of which measure 0.5-4s when re-run. The min is the
     // query's repeatable cost; the per-query max/min spread is reported
     // alongside so outliers are visible instead of silently averaged.
+    //
+    // Iterations are INTERLEAVED full sweeps (iter-1 of every query in
+    // name order, then iter-2 of every query), not back-to-back runs
+    // of the same query: the r11 driver artifact showed a sustained
+    // multi-minute contention window poisoning BOTH back-to-back
+    // readings of the same queries (q253 1.9 s warm read 29.9 s twice)
+    // — interleaving puts the two readings of one query half a sweep
+    // apart, so no single bad window can hit both. A final targeted
+    // pass re-runs any query whose max/min spread still exceeds 2x,
+    // so a poisoned pair gets an extra independent sample before the
+    // artifact is published.
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
+    val reruns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RERUNS", "1").toInt
     def cleanup(): Unit = {
       // drop persisted intermediates (outside the timed section) so
       // cached blocks don't accumulate memory pressure across queries;
@@ -41,18 +53,42 @@ object Bench {
       // persisted by the query are safe to delete (outside the timer)
       Scratch.sweep()
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
-      case (name, fn) =>
-        var failed = false
-        val times = (1 to iters).map { _ =>
-          val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() }
-          catch { case _: Throwable => failed = true; -1L }
-          val dt = (System.nanoTime() - t0) / 1e9
-          cleanup()
-          dt
-        }
-        (name, times.min, times.max, failed)
+    // optional smoke-subset: comma-separated query-name prefixes
+    // (mirrors Verify's third arg); unset = the full suite
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").toSeq.filter(_.nonEmpty))
+    val qseq = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) =>
+        only.forall(_.exists(n.startsWith)) }
+    val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
+    val stagedWall = scala.collection.mutable.Map.empty[String, Double]
+    val failedQs = scala.collection.mutable.Set.empty[String]
+    val rerunQs = scala.collection.mutable.ArrayBuffer.empty[String]
+    def runOnce(name: String,
+                fn: (SparkSession, String) =>
+                  org.apache.spark.sql.DataFrame): Unit = {
+      // snapshot the Staged build-wall counter: a FIRST consumer pays
+      // its cohort's one-time artifact build inside its wall — report
+      // that build separately so it's never misread as query cost
+      val s0 = graft.operators.Staged.buildNanos
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() }
+      catch { case _: Throwable => failedQs += name }
+      val dt = (System.nanoTime() - t0) / 1e9
+      val sb = (graft.operators.Staged.buildNanos - s0) / 1e9
+      times(name) = times.getOrElse(name, Vector.empty) :+ dt
+      if (sb > stagedWall.getOrElse(name, 0.0)) stagedWall(name) = sb
+      cleanup()
+    }
+    for (_ <- 1 to iters; (name, fn) <- qseq) runOnce(name, fn)
+    for (_ <- 1 to reruns; (name, fn) <- qseq) {
+      val ts = times(name)
+      if (!failedQs(name) && ts.min > 0 && ts.max / ts.min > 2.0) {
+        rerunQs += name; runOnce(name, fn)
+      }
+    }
+    val results = qseq.map { case (name, _) =>
+      (name, times(name).min, times(name).max, failedQs(name))
     }
     val qs = results.map { case (k, mn, _, _) => s"\"" + k + "\":" + mn }
       .mkString("{", ",", "}")
@@ -71,7 +107,16 @@ object Bench {
     // crash reads as a fast query (the round-6 lesson)
     val errs = results.filter(_._4).map("\"" + _._1 + "\"")
       .mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"queries":$qs,"spread":$spread,"errors":$errs,"sf":"$sfDir"}"""
+    // one-time staged artifact builds, attributed to the first
+    // consumer that paid them (max over iterations; near-zero hits
+    // omitted): subtract from a query's wall to get its serve cost
+    val stagedJson = stagedWall.toSeq.filter(_._2 > 0.01).sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" +
+        String.format(java.util.Locale.ROOT, "%.2f", Double.box(v)) }
+      .mkString("{", ",", "}")
+    val rerunJson = rerunQs.distinct.sorted.map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"queries":$qs,"spread":$spread,"staged_build":$stagedJson,"rerun":$rerunJson,"errors":$errs,"sf":"$sfDir"}"""
     println(line)
     // the same dict as a standalone artifact: stdout gets interleaved
     // with sbt/log4j noise and truncation-prone tails (BENCH_r06's
@@ -91,7 +136,8 @@ object Bench {
     def f2(d: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
     val budget = 1700
-    val head = s"""{"metric":"total","value":${f2(total)},"unit":"sec","iters":$iters,"errors":$errs,"sf":"$sfDir","full":"$out","queries":{"""
+    val stagedTotal = stagedWall.values.sum
+    val head = s"""{"metric":"total","value":${f2(total)},"unit":"sec","iters":$iters,"staged_sec":${f2(stagedTotal)},"errors":$errs,"sf":"$sfDir","full":"$out","queries":{"""
     val slowest = results.sortBy(-_._2)
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     var len = head.length + 40 // room for the closing/omitted suffix
