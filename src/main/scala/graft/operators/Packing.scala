@@ -11,10 +11,17 @@ import org.apache.spark.sql.functions._
   * policy is judged by.
   *
   * Prefix sums never use a global window: docs bucket into ~256
-  * ORDER-RANGES of the id axis (stride = maxId/256), the 256-row
-  * bucket census prefix-sums via a triangular join, and per-bucket
-  * windows add the intra-bucket running sum — the q212/Sharding
-  * shape, so the scan survives any corpus size.
+  * ORDER-RANGES of the id axis, the 256-row bucket census
+  * prefix-sums via a triangular join, and per-bucket windows add the
+  * intra-bucket running sum — the q212/Sharding shape, so the scan
+  * survives any corpus size. Bucket boundaries are RANK-SPACED
+  * (percentile_approx cut points), not value-spaced (maxId/256): a
+  * 100 TB id space with cohort-clustered ids (every batch append
+  * lands above the history's max id) would pile whole cohorts into
+  * the top value-stride while rank cuts stay balanced under any id
+  * distribution — and because any order-preserving bucketing yields
+  * the identical prefix sums, the cut placement never affects the
+  * output, only the balance.
   *
   * `baseOffset` shifts the whole token axis: an INCREMENTAL packer
   * lays a new batch after `baseOffset` = the persisted total of the
@@ -24,6 +31,16 @@ import org.apache.spark.sql.functions._
   * fold theorem at chunk grain — q355 proves it against the oracle).
   */
 object Packing {
+
+  /** Rank-spaced id-axis cut points for ~256 balanced order-range
+    * buckets: the 255 interior percentile_approx values of the id
+    * column — one distributed aggregate, a 255-long bounded scalar
+    * pull. Exposed for the balance law in PackingSpec. */
+  private[graft] def rankCuts(base: DataFrame): Seq[Long] =
+    base.agg(percentile_approx(col("doc_id"),
+        lit((1 to 255).map(_ / 256.0).toArray),
+        lit(10000)).as("cuts"))
+      .collect()(0).getSeq[Long](0)
 
   /** (doc_id, n_tok, s, e): absolute token span per doc in pinned
     * doc_id order, starting at `baseOffset`. Zero-token docs are
@@ -37,8 +54,12 @@ object Packing {
     if (mx.isNullAt(0))
       return base0.select(col("doc_id"), col("n_tok"),
         lit(0L).as("s"), lit(0L).as("e")).limit(0)
-    val stride = mx.getLong(0) / 256L + 1L
-    val based = base0.withColumn("__bk", expr(s"doc_id div $stride"))
+    // bucket = how many rank cuts lie at or below this id — a
+    // whole-stage-codegen array scan against the 255 broadcast-literal
+    // cuts, monotone in doc_id so buckets stay order-ranges
+    val cuts = rankCuts(base0)
+    val based = base0.withColumn("__bk",
+      size(filter(lit(cuts.toArray), c => c <= col("doc_id"))))
     val census = based.groupBy(col("__bk"))
       .agg(sum(col("n_tok")).as("__c"))
     val offs = census

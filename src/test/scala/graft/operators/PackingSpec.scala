@@ -1,0 +1,102 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference spans via the one-partition global window the operator
+    * refuses to use — small corpora only. */
+  private def windowRef(docs: org.apache.spark.sql.DataFrame,
+                        baseOffset: Long) = {
+    val w = Window.orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    docs.filter($"n_tok" > 0)
+      .withColumn("cum", sum($"n_tok").over(w))
+      .select($"doc_id", $"n_tok",
+        ($"cum" - $"n_tok" + baseOffset).as("s"),
+        ($"cum" - 1 + baseOffset).as("e"))
+  }
+
+  test("spans ≡ global-window reference on a COHORT-CLUSTERED id " +
+      "corpus, and the rank cuts keep buckets balanced where " +
+      "maxId/256 strides would pile both cohorts into two buckets") {
+    // two dense cohorts at opposite ends of a sparse id space — the
+    // append-batch shape (q355 adds +2,000,000 offsets): value-spaced
+    // strides put cohort 1 entirely in bucket 0 and cohort 2 in the
+    // top bucket
+    val docs = spark.range(2000L).select(
+      when($"id" < 1000, $"id")
+        .otherwise($"id" - 1000 + 2000000L).as("doc_id"),
+      (pmod($"id", lit(7L)) + 1).as("n_tok"))
+    val got = Packing.spans(docs, $"doc_id", $"n_tok")
+      .orderBy($"doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    val want = windowRef(docs, 0L)
+      .orderBy($"doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === want)
+
+    // balance law: bucket sizes under the rank cuts stay within a
+    // small factor of n/256 even though the id axis is 99.9% empty
+    val base = docs.select($"doc_id", $"n_tok")
+    val cuts = Packing.rankCuts(base)
+    assert(cuts.size === 255)
+    val sizes = base.withColumn("bk",
+        size(filter(lit(cuts.toArray), c => c <= $"doc_id")))
+      .groupBy($"bk").count().as[(Int, Long)].collect()
+    val maxBucket = sizes.map(_._2).max
+    assert(maxBucket <= 4 * (2000 / 256 + 1),
+      s"rank-spaced buckets must stay balanced, worst = $maxBucket")
+    // the value-spaced stride this replaced really does collapse:
+    // every cohort-1 id lands in stride bucket 0
+    val stride = 2000999L / 256L + 1L
+    val strideWorst = base
+      .withColumn("bk", expr(s"doc_id div $stride"))
+      .groupBy($"bk").count().as[(Long, Long)].collect()
+      .map(_._2).max
+    assert(strideWorst >= 1000L,
+      "fixture must exhibit the skew the rank cuts are for")
+  }
+
+  test("spans with baseOffset lays a fresh batch after the persisted " +
+      "history total (the q355 incremental contract)") {
+    val docs = spark.range(500L).select(
+      ($"id" * 3 + 11).as("doc_id"), lit(5L).as("n_tok"))
+    val got = Packing.spans(docs, $"doc_id", $"n_tok", baseOffset = 777L)
+      .orderBy($"doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    val want = windowRef(docs, 777L)
+      .orderBy($"doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === want)
+    assert(got.head._3 === 777L)
+  }
+
+  test("zero-token docs occupy no span; an all-zero corpus yields an " +
+      "empty frame") {
+    val docs = Seq((1L, 0L), (2L, 4L), (3L, 0L), (4L, 2L))
+      .toDF("doc_id", "n_tok")
+    val got = Packing.spans(docs, $"doc_id", $"n_tok")
+      .orderBy($"doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((2L, 4L, 0L, 3L), (4L, 2L, 4L, 5L)))
+    val empty = Packing.spans(
+      Seq((1L, 0L)).toDF("doc_id", "n_tok"), $"doc_id", $"n_tok")
+    assert(empty.count() === 0L)
+  }
+
+  test("chunkCensus + withFill: per-chunk docs/starts/fill replay a " +
+      "direct per-token computation") {
+    // 4 docs of 3 tokens, L = 5: chunks 0..2, doc 2 straddles 0/1
+    val docs = Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L))
+      .toDF("doc_id", "n_tok")
+    val sp = Packing.spans(docs, $"doc_id", $"n_tok")
+    val census = Packing.withFill(
+        Packing.chunkCensus(sp, 5L), 5L, lit(12L))
+      .orderBy($"chunk")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // spans: [0,2] [3,5] [6,8] [9,11]; chunks of 5: 0=[0,4] 1=[5,9] 2=[10,11]
+    assert(census === Seq(
+      (0L, 2L, 2L, 5L),   // docs 1,2 touch; 1,2 start; full
+      (1L, 3L, 2L, 5L),   // docs 2,3,4 touch; 3,4 start; full
+      (2L, 1L, 0L, 2L)))  // doc 4 tail; 2 tokens remain
+  }
+}
