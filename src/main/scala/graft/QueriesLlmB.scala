@@ -2020,6 +2020,95 @@ private[graft] object QueriesLlmB {
         .select(col("policy"), col("n_train"), col("n_val"),
           col("n_pairs"), col("n_leaked"))
         .orderBy(col("policy"))
+    },
+
+
+    // --- TOKEN-BUDGET UniMax mixture (round 12 — q352's doc-count
+    //     water-fill re-run on TOKEN sums, the unit production
+    //     mixtures actually pin): B = 60% of total corpus TOKENS;
+    //     sources whose token mass fits the fair share are taken
+    //     whole, the rest split the remainder by largest-remainder
+    //     on integer tokens. Selection is the greedy md5-ranked
+    //     PREFIX under each source's token budget — per-(source,
+    //     hash-prefix) running token sums + the 256-row triangular
+    //     offset join, never a per-source single-task window. Output
+    //     pins availability, allocation, realized docs AND tokens,
+    //     and the order-independent id checksum of the selected set.
+    //     Exact integers end to end. ---
+    "q357_token_mixture" -> { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val W = Window.orderBy(col("sz_tok"), col("source"))
+      val docs = tbl(spark, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(TextAnalysis.tokens(col("text"))).cast("long")
+            .as("n_tok"))
+      val sizes = docs.groupBy(col("source"))
+        .agg(sum(col("n_tok")).as("sz_tok"))
+      val tot = sizes.agg(sum(col("sz_tok")).as("__tot"),
+        count(lit(1)).as("__n"))
+      // the q352 census bound, same remedy (water-fill is associative
+      // over availability-sorted shards)
+      val nSources = sizes.count()
+      require(nSources <= 10000,
+        s"q357: source census has $nSources sources, above the 10000 " +
+          "the allocation windows are bounded for — shard the census")
+      val f = sizes.crossJoin(broadcast(tot))
+        .withColumn("__b", expr("(__tot * 6) div 10"))
+        .limit(10000) // proven tight by the census count above
+        .withColumn("__rn", row_number().over(W))
+        .withColumn("__cum", sum(col("sz_tok")).over(
+          W.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("__raw",
+          col("sz_tok") * (col("__n") - col("__rn") + 1) <=
+            col("__b") - (col("__cum") - col("sz_tok")))
+      val ff = f.agg(
+          min(when(!col("__raw"), col("__rn"))).as("__ff0"),
+          max(col("__n")).as("__nn"))
+        .select(coalesce(col("__ff0"), col("__nn") + 1).as("__ff"))
+      val f2 = f.crossJoin(broadcast(ff))
+      val ck = f2.agg(coalesce(max(when(col("__rn") === col("__ff") - 1,
+          col("__cum"))), lit(0L)).as("__cumk"))
+      val alloc = f2.crossJoin(broadcast(ck))
+        .withColumn("__r", col("__b") - col("__cumk"))
+        .withColumn("__l", col("__n") - (col("__ff") - 1))
+        .withColumn("alloc_tok",
+          when(col("__rn") < col("__ff"), col("sz_tok"))
+            .otherwise(expr("__r div __l") +
+              when(col("__rn") - (col("__ff") - 1) <=
+                pmod(col("__r"), col("__l")), 1L).otherwise(0L)))
+        .select(col("source"), col("sz_tok"), col("alloc_tok"))
+        .localCheckpoint() // tiny; feeds selection AND the output join
+      val based = docs
+        .withColumn("h", md5(concat(lit("mix2:"),
+          col("doc_id").cast("string")).cast("binary")))
+        .withColumn("__bk", substring(col("h"), 1, 2))
+      val census = based.groupBy(col("source"), col("__bk"))
+        .agg(sum(col("n_tok")).as("__c"))
+      val offs = census
+        .join(census.select(col("source").as("__s2"),
+            col("__bk").as("__b2"), col("__c").as("__c2")),
+          col("__s2") === col("source") && col("__b2") < col("__bk"),
+          "left")
+        .groupBy(col("source"), col("__bk"))
+        .agg(coalesce(sum(col("__c2")), lit(0L)).as("__off"))
+      val iw = Window.partitionBy(col("source"), col("__bk"))
+        .orderBy(col("h"), col("doc_id"))
+      val selected = based.join(offs, Seq("source", "__bk"))
+        .withColumn("__ctok", col("__off") + sum(col("n_tok")).over(
+          iw.rowsBetween(Window.unboundedPreceding, 0)))
+        .join(broadcast(alloc.select(col("source"),
+          col("alloc_tok"))), Seq("source"))
+        .filter(col("__ctok") <= col("alloc_tok"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("__nsel"),
+          sum(col("n_tok")).as("__tsel"),
+          sum(col("doc_id")).as("__csum"))
+      alloc.join(selected, Seq("source"), "left")
+        .select(col("source"), col("sz_tok"), col("alloc_tok"),
+          coalesce(col("__nsel"), lit(0L)).as("n_selected"),
+          coalesce(col("__tsel"), lit(0L)).as("tok_selected"),
+          coalesce(col("__csum"), lit(0L)).as("sel_checksum"))
+        .orderBy(col("source"))
     }
   )
 
@@ -2068,6 +2157,58 @@ private[graft] object QueriesLlmB {
                AS sel_checksum
       FROM a LEFT JOIN sel ON sel.source = a.source
       GROUP BY a.source, a.n_docs, a.alloc_docs
+      ORDER BY a.source""",
+
+
+    "q357_token_mixture" -> """
+      WITH tk AS (SELECT doc_id, source, CAST(len(list_filter(
+                    string_split_regex(lower(trim(text)), '\s+'),
+                    x -> length(x) > 0)) AS BIGINT) AS n_tok
+                  FROM documents),
+      s AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS sz_tok
+            FROM tk GROUP BY 1),
+      t AS (SELECT CAST((sum(sz_tok) * 6) // 10 AS BIGINT) AS b,
+                   CAST(count(*) AS BIGINT) AS n FROM s),
+      o AS (SELECT source, sz_tok, b, n,
+                   row_number() OVER (ORDER BY sz_tok, source) AS rn,
+                   sum(sz_tok) OVER (ORDER BY sz_tok, source
+                     ROWS UNBOUNDED PRECEDING) AS cum
+            FROM s CROSS JOIN t),
+      f AS (SELECT *,
+                   (sz_tok * (n - rn + 1) <= b - (cum - sz_tok))
+                     AS raw
+            FROM o),
+      ff AS (SELECT coalesce(min(CASE WHEN NOT raw THEN rn END),
+                             max(n) + 1) AS ff FROM f),
+      ck AS (SELECT coalesce(max(CASE WHEN f.rn = ff.ff - 1
+                                      THEN f.cum END), 0) AS cumk
+             FROM f CROSS JOIN ff),
+      p AS (SELECT f.source, f.sz_tok, f.rn, ff.ff,
+                   f.b - ck.cumk AS r, f.n - (ff.ff - 1) AS l
+            FROM f CROSS JOIN ff CROSS JOIN ck),
+      a AS (SELECT source, sz_tok,
+                   CAST(CASE WHEN rn < ff THEN sz_tok
+                        ELSE (r // l) + (CASE WHEN rn - (ff - 1)
+                          <= (r % l) THEN 1 ELSE 0 END)
+                   END AS BIGINT) AS alloc_tok
+            FROM p),
+      rk AS (SELECT tk.source, tk.doc_id, tk.n_tok,
+                    sum(tk.n_tok) OVER (PARTITION BY tk.source
+                      ORDER BY md5('mix2:' ||
+                        CAST(tk.doc_id AS VARCHAR)), tk.doc_id
+                      ROWS UNBOUNDED PRECEDING) AS ctok
+             FROM tk),
+      sel AS (SELECT rk.source, rk.doc_id, rk.n_tok
+              FROM rk JOIN a USING (source)
+              WHERE rk.ctok <= a.alloc_tok)
+      SELECT a.source, a.sz_tok, a.alloc_tok,
+             CAST(count(sel.doc_id) AS BIGINT) AS n_selected,
+             CAST(coalesce(sum(sel.n_tok), 0) AS BIGINT)
+               AS tok_selected,
+             CAST(coalesce(sum(sel.doc_id), 0) AS BIGINT)
+               AS sel_checksum
+      FROM a LEFT JOIN sel ON sel.source = a.source
+      GROUP BY a.source, a.sz_tok, a.alloc_tok
       ORDER BY a.source""",
 
 
