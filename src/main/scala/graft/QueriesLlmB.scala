@@ -2023,6 +2023,109 @@ private[graft] object QueriesLlmB {
     },
 
 
+    // --- THREE-WAY SPLIT + CLUSTER-WISE DECONTAMINATION (round 12 —
+    //     q354 extended to the full leakage story): train/val/test
+    //     (~80/10/10 by md5 hex byte) keyed by near-dup CLUSTER, with
+    //     benchmark-n-gram decontamination applied CLUSTER-wise (a
+    //     contaminated doc drops its whole near-dup cluster), vs the
+    //     naive pipeline (doc-keyed split, doc-wise decon). The eval
+    //     set is the LAST-8-token gram of every 97th doc — tail grams
+    //     die under the corpus's end-truncated variants, so clean
+    //     near-dups of contaminated docs EXIST by construction (the
+    //     q295 never-fires lesson) and the naive policy's residual
+    //     leak is measurable: contam_neighbors_left counts surviving
+    //     near-dup partners of contaminated docs (0 for the cluster
+    //     policy — a dropped doc takes its cluster), dup_leak_pairs
+    //     counts surviving near-dup pairs straddling splits (0 for
+    //     the cluster policy — split is constant per cluster). Rides
+    //     q354/q342's staged pair set; all integers. ---
+    "q356_threeway_decon" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val variants = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          col("text").substr(lit(1),
+            greatest(length(col("text")) - 20, lit(1))).as("text"))
+      val corpus = docs.unionByName(variants)
+      val pairs = graft.operators.Staged.getOrBuild(spark,
+          s"ngram_pairs::$dir::mod3_trunc20::sh3_t0.5_df16") {
+        Dedup.ngramJaccardPairs(corpus, col("doc_id"),
+          col("text"), shingleN = 3, threshold = 0.5, maxDf = 16)
+      }.select(col("id_a"), col("id_b"))
+      val comps = Dedup.connectedComponents(pairs, col("id_a"),
+        col("id_b"))
+      val assigned = corpus.select(col("doc_id"))
+        .join(comps.select(col("id").as("doc_id"), col("comp")),
+          Seq("doc_id"), "left")
+        .withColumn("cluster", coalesce(col("comp"), col("doc_id")))
+      val toks = TextAnalysis.tokens(col("text"))
+      val evalSet = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+        .select(array_join(
+          when(size(toks) >= 8, slice(toks, size(toks) - 7, lit(8)))
+            .otherwise(toks), " ").as("etext"))
+      val contaminated = Contamination.sharedGrams(corpus,
+          col("doc_id"), col("text"), evalSet, col("etext"), n = 8)
+        .select(col("id").as("doc_id"), lit(true).as("__c"))
+      val marked = assigned.join(contaminated, Seq("doc_id"), "left")
+        .withColumn("contam", coalesce(col("__c"), lit(false)))
+        .select(col("doc_id"), col("cluster"), col("contam"))
+      val contamClusters = marked.filter(col("contam"))
+        .select(col("cluster")).distinct()
+        .withColumn("__cc", lit(true))
+      def hexVal(c: Column): Column =
+        conv(substring(md5(concat(lit("split3:"),
+          c.cast("string")).cast("binary")), 1, 2), 16, 10)
+          .cast("int")
+      def splitOf(key: Column): Column = {
+        val v = hexVal(key)
+        when(v < 205, "train").when(v < 230, "val").otherwise("test")
+      }
+      val clusterPolicy = marked
+        .join(broadcast(contamClusters), Seq("cluster"), "left")
+        .withColumn("drp", coalesce(col("__cc"), lit(false)))
+        .withColumn("sp", splitOf(col("cluster")))
+      val docPolicy = marked
+        .withColumn("drp", col("contam"))
+        .withColumn("sp", splitOf(col("doc_id")))
+      def census(name: String, frame: DataFrame): DataFrame = {
+        val f = frame.select(col("doc_id"), col("contam"),
+          col("drp"), col("sp")).localCheckpoint()
+        val sizes = f.agg(
+          sum(when(!col("drp") && col("sp") === "train", 1L)
+            .otherwise(0L)).as("n_train"),
+          sum(when(!col("drp") && col("sp") === "val", 1L)
+            .otherwise(0L)).as("n_val"),
+          sum(when(!col("drp") && col("sp") === "test", 1L)
+            .otherwise(0L)).as("n_test"),
+          sum(when(col("drp"), 1L).otherwise(0L)).as("n_dropped"),
+          sum(when(!col("drp") && col("contam"), 1L).otherwise(0L))
+            .as("n_contam_left"))
+        val j = pairs
+          .join(f.select(col("doc_id").as("id_a"),
+            col("contam").as("__ca"), col("drp").as("__da"),
+            col("sp").as("__pa")), Seq("id_a"))
+          .join(f.select(col("doc_id").as("id_b"),
+            col("contam").as("__cb"), col("drp").as("__db"),
+            col("sp").as("__pb")), Seq("id_b"))
+        val pm = j.agg(
+          coalesce(sum(when(!col("__da") && !col("__db") &&
+              col("__pa") =!= col("__pb"), 1L).otherwise(0L)),
+            lit(0L)).as("dup_leak_pairs"),
+          coalesce(sum(
+            when(col("__ca") && !col("__db"), 1L).otherwise(0L) +
+              when(col("__cb") && !col("__da"), 1L).otherwise(0L)),
+            lit(0L)).as("contam_neighbors_left"))
+        sizes.crossJoin(pm).withColumn("policy", lit(name))
+      }
+      census("cluster_policy", clusterPolicy)
+        .unionByName(census("doc_policy", docPolicy))
+        .select(col("policy"), col("n_train"), col("n_val"),
+          col("n_test"), col("n_dropped"), col("n_contam_left"),
+          col("dup_leak_pairs"), col("contam_neighbors_left"))
+        .orderBy(col("policy"))
+    },
+
+
     // --- TOKEN-BUDGET UniMax mixture (round 12 — q352's doc-count
     //     water-fill re-run on TOKEN sums, the unit production
     //     mixtures actually pin): B = 60% of total corpus TOKENS;
@@ -2158,6 +2261,153 @@ private[graft] object QueriesLlmB {
       FROM a LEFT JOIN sel ON sel.source = a.source
       GROUP BY a.source, a.n_docs, a.alloc_docs
       ORDER BY a.source""",
+
+
+    // q354's pair/closure chain verbatim, plus: eval grams = the
+    // last-8-token gram of every 97th ORIGINAL doc; contamination,
+    // cluster-wise vs doc-wise drops, three-way md5 splits, and the
+    // four leak metrics per policy
+    "q356_threeway_decon" -> """
+      WITH RECURSIVE
+      base AS (SELECT doc_id, text FROM documents
+               UNION ALL
+               SELECT doc_id + 1000000,
+                      substring(text, 1,
+                        greatest(length(text) - 20, 1))
+               FROM documents WHERE doc_id % 3 = 0),
+      tk AS (SELECT doc_id, list_filter(
+               string_split_regex(lower(trim(text)), '\s+'),
+               x -> length(x) > 0) AS toks FROM base),
+      sh AS (SELECT doc_id,
+               CASE WHEN len(toks) >= 3 THEN
+                      list_distinct(list_transform(
+                        generate_series(1, len(toks) - 2),
+                        i -> toks[i] || ' ' || toks[i+1] || ' '
+                          || toks[i+2]))
+                    WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+                    ELSE [] END AS s
+             FROM tk),
+      ex0 AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      keep AS (SELECT g FROM ex0 GROUP BY g HAVING count(*) <= 16),
+      ex AS (SELECT doc_id, ex0.g FROM ex0 JOIN keep USING (g)),
+      dsz AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       count(*) AS ns
+                FROM ex a JOIN ex b
+                  ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+      p AS (SELECT i.id_a, i.id_b
+            FROM inter i
+            JOIN dsz sa ON sa.doc_id = i.id_a
+            JOIN dsz sb ON sb.doc_id = i.id_b
+            WHERE round(CAST(i.ns AS DOUBLE)
+              / (sa.sz + sb.sz - i.ns), 6) >= 0.5),
+      e AS (SELECT id_a AS x, id_b AS y FROM p
+            UNION ALL SELECT id_b, id_a FROM p),
+      r AS (SELECT x AS id, x AS rr FROM e
+            UNION
+            SELECT e.x, r.rr FROM e JOIN r ON e.y = r.id),
+      cc AS (SELECT id, min(rr) AS comp FROM r GROUP BY id),
+      asg AS (SELECT b.doc_id,
+                     coalesce(cc.comp, b.doc_id) AS cluster
+              FROM (SELECT doc_id FROM base) b
+              LEFT JOIN cc ON cc.id = b.doc_id),
+      eg AS (SELECT DISTINCT CASE WHEN len(toks) >= 8
+                    THEN array_to_string(
+                           toks[len(toks)-7:len(toks)], ' ')
+                    ELSE array_to_string(toks, ' ') END AS g
+             FROM tk WHERE doc_id < 1000000 AND doc_id % 97 = 0),
+      cg AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 8 THEN
+                 list_transform(generate_series(1, len(toks) - 7),
+                   i -> array_to_string(toks[i:i+7], ' '))
+               WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+               ELSE [] END) AS g
+             FROM tk),
+      cont AS (SELECT DISTINCT cg.doc_id FROM cg JOIN eg USING (g)),
+      m AS (SELECT asg.doc_id, asg.cluster,
+                   (cont.doc_id IS NOT NULL) AS contam
+            FROM asg LEFT JOIN cont ON cont.doc_id = asg.doc_id),
+      ccl AS (SELECT DISTINCT cluster FROM m WHERE contam),
+      mcc AS (SELECT mm.doc_id, mm.contam,
+                     (ccl.cluster IS NOT NULL) AS drp,
+                     CASE WHEN mm.vc < 205 THEN 'train'
+                          WHEN mm.vc < 230 THEN 'val'
+                          ELSE 'test' END AS sp
+              FROM (SELECT m.doc_id, m.cluster, m.contam,
+                           CAST('0x' || substring(md5('split3:' ||
+                             CAST(m.cluster AS VARCHAR)), 1, 2)
+                             AS INTEGER) AS vc
+                    FROM m) mm
+              LEFT JOIN ccl ON ccl.cluster = mm.cluster),
+      mcd AS (SELECT mm.doc_id, mm.contam, mm.contam AS drp,
+                     CASE WHEN mm.vd < 205 THEN 'train'
+                          WHEN mm.vd < 230 THEN 'val'
+                          ELSE 'test' END AS sp
+              FROM (SELECT m.doc_id, m.contam,
+                           CAST('0x' || substring(md5('split3:' ||
+                             CAST(m.doc_id AS VARCHAR)), 1, 2)
+                             AS INTEGER) AS vd
+                    FROM m) mm),
+      szc AS (SELECT
+                CAST(sum(CASE WHEN NOT drp AND sp = 'train'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+                CAST(sum(CASE WHEN NOT drp AND sp = 'val'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+                CAST(sum(CASE WHEN NOT drp AND sp = 'test'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+                CAST(sum(CASE WHEN drp THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_dropped,
+                CAST(sum(CASE WHEN NOT drp AND contam
+                         THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_contam_left
+              FROM mcc),
+      pmc AS (SELECT
+                CAST(coalesce(sum(CASE WHEN NOT a.drp AND NOT b.drp
+                       AND a.sp <> b.sp THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS dup_leak_pairs,
+                CAST(coalesce(sum(
+                       (CASE WHEN a.contam AND NOT b.drp
+                        THEN 1 ELSE 0 END) +
+                       (CASE WHEN b.contam AND NOT a.drp
+                        THEN 1 ELSE 0 END)), 0) AS BIGINT)
+                  AS contam_neighbors_left
+              FROM p JOIN mcc a ON a.doc_id = p.id_a
+                     JOIN mcc b ON b.doc_id = p.id_b),
+      szd AS (SELECT
+                CAST(sum(CASE WHEN NOT drp AND sp = 'train'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+                CAST(sum(CASE WHEN NOT drp AND sp = 'val'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+                CAST(sum(CASE WHEN NOT drp AND sp = 'test'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+                CAST(sum(CASE WHEN drp THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_dropped,
+                CAST(sum(CASE WHEN NOT drp AND contam
+                         THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_contam_left
+              FROM mcd),
+      pmd AS (SELECT
+                CAST(coalesce(sum(CASE WHEN NOT a.drp AND NOT b.drp
+                       AND a.sp <> b.sp THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS dup_leak_pairs,
+                CAST(coalesce(sum(
+                       (CASE WHEN a.contam AND NOT b.drp
+                        THEN 1 ELSE 0 END) +
+                       (CASE WHEN b.contam AND NOT a.drp
+                        THEN 1 ELSE 0 END)), 0) AS BIGINT)
+                  AS contam_neighbors_left
+              FROM p JOIN mcd a ON a.doc_id = p.id_a
+                     JOIN mcd b ON b.doc_id = p.id_b)
+      SELECT 'cluster_policy' AS policy, szc.n_train, szc.n_val,
+             szc.n_test, szc.n_dropped, szc.n_contam_left,
+             pmc.dup_leak_pairs, pmc.contam_neighbors_left
+      FROM szc CROSS JOIN pmc
+      UNION ALL
+      SELECT 'doc_policy', szd.n_train, szd.n_val, szd.n_test,
+             szd.n_dropped, szd.n_contam_left,
+             pmd.dup_leak_pairs, pmd.contam_neighbors_left
+      FROM szd CROSS JOIN pmd
+      ORDER BY policy""",
 
 
     "q357_token_mixture" -> """
