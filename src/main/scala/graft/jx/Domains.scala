@@ -133,10 +133,16 @@ object Domains {
           .groupBy(name).count()
           .orderBy(col("count").desc, col(name))
           .limit(limit)
+        // materialize the (≤ limit rows) top-k once: the domain frame
+        // has THREE consumers (membership join, domain cross-join, and
+        // the guard's count when the static bound trips) and each
+        // would otherwise re-run the full fact aggregation — at 100 TB
+        // that is two extra corpus scans per DefaultDomain edge
         val domain = freq.select(
           col(name),
           (row_number().over(org.apache.spark.sql.expressions.Window
             .orderBy(col("count").desc, col(name))) - 1).as("__ord"))
+          .localCheckpoint()
         // bucket = raw value; non-top-k values are nullified into the
         // overflow partition by the membership join in denseCube (JX
         // DefaultDomain lumps the remainder into the null part when
