@@ -61,7 +61,11 @@ object ScaleBench {
     // cleanup() makes every repeat pay the FULL mining cost, so the
     // ratio measures the mining exponent, not a staged parquet read)
     "q333_modularity", "q342_dedup_threshold_sweep",
-    "q347_dedup_keeper_policy")
+    "q347_dedup_keeper_policy",
+    // round-12: the three-way split + cluster-wise decontamination
+    // (pair mining + closure + the corpus-gram × eval-gram broadcast
+    // join; same Staged.clear discipline as q342)
+    "q356_threeway_decon")
 
   /** Tables each target reads — lets a subset run skip synthesizing
     * (and paying for) the others at high mults. */
@@ -87,7 +91,8 @@ object ScaleBench {
     "q329_range_partition_planner" -> Set("lineitem"),
     "q333_modularity" -> Set("lineitem"),
     "q342_dedup_threshold_sweep" -> Set("documents"),
-    "q347_dedup_keeper_policy" -> Set("documents"))
+    "q347_dedup_keeper_policy" -> Set("documents"),
+    "q356_threeway_decon" -> Set("documents"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

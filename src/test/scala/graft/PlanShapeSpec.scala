@@ -280,4 +280,26 @@ class PlanShapeSpec extends SparkSpec {
         "shuffle the sparse side, not broadcast it")
     assert(df.count() === 62500L)
   }
+
+  test("dense-cube guard refinement: DefaultDomain static bounds " +
+      "that trip the threshold are refined by counting the ACTUAL " +
+      "domains — a small cube over low-cardinality keys still runs " +
+      "and still broadcasts") {
+    import org.apache.spark.sql.functions._
+    // two implicit DefaultDomain(1000) edges: static bound ~10^6
+    // (over both thresholds), actual domains 6 x 4 = 24 cells
+    val wide = spark.range(6000L).select(
+      pmod(col("id"), lit(6L)).as("a"), pmod(col("id"), lit(4L)).as("b"))
+    val q = graft.jx.QueryParser.parse(
+      """{"from": "w",
+          "edges": [{"name": "a", "value": "a"},
+                    {"name": "b", "value": "b"}],
+          "select": [{"name": "n", "aggregate": "count"}]}""")
+    val df = graft.jx.Runner.runOn(wide, q)
+    assert(df.count() === 24L,
+      "the refined product is under both thresholds — dense 6x4 cube")
+    assert(df.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"),
+      "a 24-cell sparse side must still broadcast after refinement")
+  }
 }
