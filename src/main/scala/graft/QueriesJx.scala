@@ -88,6 +88,21 @@ private[graft] object QueriesJx {
                    "aggregate": "average"}]}""")),
 
 
+    // --- WIDE dense cube (round 12): 37,500 range cells sits BETWEEN
+    //     the domain-product guard's broadcast threshold (32,768) and
+    //     its hard cap (100,000), so this query drives the
+    //     merge-hinted NON-broadcast dense join under the correctness
+    //     gate at both SFs — empty cells densify (count 0, sum null) ---
+    "q358_wide_cube" -> jx("""
+      {"from": "lineitem",
+       "edges": [{"name": "ok_bucket", "value": "l_orderkey",
+                  "domain": {"type": "range", "min": 0, "max": 600000,
+                             "interval": 16}}],
+       "select": [{"name": "n", "aggregate": "count"},
+                  {"name": "sum_qty", "value": "l_quantity",
+                   "aggregate": "sum"}]}"""),
+
+
     // --- M3: edges with DefaultDomain — data-driven top-k partitions ---
     "q06_edges_topk" -> rounded("sum_retail" -> 2)(jx("""
       {"from": "part",
@@ -790,6 +805,17 @@ private[graft] object QueriesJx {
       SELECT d.qty_bucket, coalesce(s.n, 0) AS n, s.avg_price
       FROM d LEFT JOIN s USING (qty_bucket)
       ORDER BY d.qty_bucket""",
+
+
+    "q358_wide_cube" -> """
+      WITH d AS (SELECT CAST(unnest(generate_series(0, 599984, 16))
+                   AS DOUBLE) AS ok_bucket),
+      s AS (SELECT floor(l_orderkey / 16) * 16 AS ok_bucket,
+                   count(*) AS n, sum(l_quantity) AS sum_qty
+            FROM lineitem GROUP BY 1)
+      SELECT d.ok_bucket, coalesce(s.n, 0) AS n, s.sum_qty
+      FROM d LEFT JOIN s USING (ok_bucket)
+      ORDER BY d.ok_bucket""",
 
 
     "q06_edges_topk" -> """

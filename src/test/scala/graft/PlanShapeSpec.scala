@@ -281,6 +281,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(df.count() === 62500L)
   }
 
+  test("q358 wide cube: the 37.5k-cell dense join is non-broadcast " +
+      "end to end (SortMergeJoin on the null-safe keys)") {
+    val p = plan("q358_wide_cube")
+    assert(p.contains("SortMergeJoin"),
+      "the merge-hinted dense join must survive to the physical plan")
+    assert(!p.contains("BroadcastHashJoin"),
+      "a 37.5k-cell sparse side must not be broadcast")
+  }
+
   test("dense-cube guard refinement: DefaultDomain static bounds " +
       "that trip the threshold are refined by counting the ACTUAL " +
       "domains — a small cube over low-cardinality keys still runs " +
