@@ -2126,6 +2126,51 @@ private[graft] object QueriesLlmB {
     },
 
 
+    // --- QUALITY-WEIGHTED EPOCH UPSAMPLING (round 12): the
+    //     "repeat your best data" recipe — docs rank into quartiles
+    //     by an exact integer quality score (distinct-token count,
+    //     ties by doc_id) and get quartile-many training epochs
+    //     (top quartile 4, bottom 1); the materialized (doc, epoch)
+    //     stream is censused per epoch index with id checksums
+    //     pinning the exact repeated corpus. The global rank uses
+    //     score-keyed buckets + the triangular offset join + a
+    //     per-score window (the q212 shape — scores are the bucket
+    //     axis, so no global window at any corpus size); the explode
+    //     emits ≤ 4 rows/doc. Exact integers end to end. ---
+    "q359_quality_upsample" -> { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = tbl(spark, dir, "documents")
+        .select(col("doc_id"),
+          size(array_distinct(TextAnalysis.tokens(col("text"))))
+            .cast("long").as("score"),
+          size(TextAnalysis.tokens(col("text"))).cast("long")
+            .as("n_tok"))
+      val census = docs.groupBy(col("score"))
+        .agg(count(lit(1)).as("__c"))
+      val offs = census
+        .join(census.select(col("score").as("__s2"),
+            col("__c").as("__c2")),
+          col("__s2") < col("score"), "left")
+        .groupBy(col("score"))
+        .agg(coalesce(sum(col("__c2")), lit(0L)).as("__off"))
+      val tot = census.agg(sum(col("__c")).as("__n"))
+      val iw = Window.partitionBy(col("score")).orderBy(col("doc_id"))
+      docs.join(offs, Seq("score"))
+        .withColumn("__rn", col("__off") + row_number().over(iw))
+        .crossJoin(broadcast(tot))
+        .withColumn("__quart", // div, NOT "/": Spark / on longs is
+          expr("((__rn - 1) * 4) div __n") + 1) // double division
+
+        .withColumn("epoch",
+          explode(sequence(lit(1L), col("__quart"))))
+        .groupBy(col("epoch"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("tok_sum"),
+          sum(col("doc_id")).as("id_checksum"))
+        .orderBy(col("epoch"))
+    },
+
+
     // --- TOKEN-BUDGET UniMax mixture (round 12 — q352's doc-count
     //     water-fill re-run on TOKEN sums, the unit production
     //     mixtures actually pin): B = 60% of total corpus TOKENS;
@@ -2408,6 +2453,32 @@ private[graft] object QueriesLlmB {
              pmd.dup_leak_pairs, pmd.contam_neighbors_left
       FROM szd CROSS JOIN pmd
       ORDER BY policy""",
+
+
+    "q359_quality_upsample" -> """
+      WITH tk AS (SELECT doc_id, list_filter(
+                    string_split_regex(lower(trim(text)), '\s+'),
+                    x -> length(x) > 0) AS toks
+                  FROM documents),
+      sc AS (SELECT doc_id,
+                    CAST(len(list_distinct(toks)) AS BIGINT) AS score,
+                    CAST(len(toks) AS BIGINT) AS n_tok
+             FROM tk),
+      r AS (SELECT doc_id, n_tok,
+                   row_number() OVER (ORDER BY score, doc_id) AS rn,
+                   count(*) OVER () AS n
+            FROM sc),
+      q AS (SELECT doc_id, n_tok,
+                   ((rn - 1) * 4) // n + 1 AS quart
+            FROM r),
+      ep AS (SELECT doc_id, n_tok,
+                    unnest(generate_series(1, quart)) AS epoch
+             FROM q)
+      SELECT CAST(epoch AS BIGINT) AS epoch,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS tok_sum,
+             CAST(sum(doc_id) AS BIGINT) AS id_checksum
+      FROM ep GROUP BY 1 ORDER BY 1""",
 
 
     "q357_token_mixture" -> """
