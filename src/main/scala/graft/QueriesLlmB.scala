@@ -2171,6 +2171,67 @@ private[graft] object QueriesLlmB {
     },
 
 
+    // --- DETERMINISTIC EPOCH SHUFFLE (round 12): reproducible
+    //     training-data ORDER — each epoch of the q359 upsampled
+    //     corpus is shuffled by an epoch-seeded md5 key, and the
+    //     resulting global per-epoch rank is PINNED by exact
+    //     order-sensitive checksums (sum of rank·doc_id, plus the
+    //     first/last doc at the rank ends), so a re-run — or another
+    //     engine — must reproduce the byte-exact batch order, not
+    //     just the same multiset. Ranks come from per-(epoch,
+    //     hash-prefix) windows + the 256-row triangular offset join
+    //     (the q352 selection shape) — no global window. ---
+    "q360_epoch_shuffle" -> { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = tbl(spark, dir, "documents")
+        .select(col("doc_id"),
+          size(array_distinct(TextAnalysis.tokens(col("text"))))
+            .cast("long").as("score"))
+      val census0 = docs.groupBy(col("score"))
+        .agg(count(lit(1)).as("__c"))
+      val offs0 = census0
+        .join(census0.select(col("score").as("__s2"),
+            col("__c").as("__c2")),
+          col("__s2") < col("score"), "left")
+        .groupBy(col("score"))
+        .agg(coalesce(sum(col("__c2")), lit(0L)).as("__off"))
+      val tot = census0.agg(sum(col("__c")).as("__n"))
+      val iw0 = Window.partitionBy(col("score")).orderBy(col("doc_id"))
+      val repeated = docs.join(offs0, Seq("score"))
+        .withColumn("__rn", col("__off") + row_number().over(iw0))
+        .crossJoin(broadcast(tot))
+        .withColumn("__quart", expr("((__rn - 1) * 4) div __n") + 1)
+        .withColumn("epoch",
+          explode(sequence(lit(1L), col("__quart"))))
+        .select(col("doc_id"), col("epoch"))
+      val keyed = repeated
+        .withColumn("h", md5(concat(lit("ep"),
+          col("epoch").cast("string"), lit(":"),
+          col("doc_id").cast("string")).cast("binary")))
+        .withColumn("__bk", substring(col("h"), 1, 2))
+      val census = keyed.groupBy(col("epoch"), col("__bk"))
+        .agg(count(lit(1)).as("__c"))
+      val offs = census
+        .join(census.select(col("epoch").as("__e2"),
+            col("__bk").as("__b2"), col("__c").as("__c2")),
+          col("__e2") === col("epoch") && col("__b2") < col("__bk"),
+          "left")
+        .groupBy(col("epoch"), col("__bk"))
+        .agg(coalesce(sum(col("__c2")), lit(0L)).as("__off"))
+      val iw = Window.partitionBy(col("epoch"), col("__bk"))
+        .orderBy(col("h"), col("doc_id"))
+      keyed.join(offs, Seq("epoch", "__bk"))
+        .withColumn("rk", col("__off") + row_number().over(iw))
+        .groupBy(col("epoch"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("rk") * col("doc_id")).as("order_checksum"),
+          max(when(col("rk") === 1, col("doc_id"))).as("first_doc"),
+          max(struct(col("rk"), col("doc_id")))("doc_id")
+            .as("last_doc"))
+        .orderBy(col("epoch"))
+    },
+
+
     // --- TOKEN-BUDGET UniMax mixture (round 12 — q352's doc-count
     //     water-fill re-run on TOKEN sums, the unit production
     //     mixtures actually pin): B = 60% of total corpus TOKENS;
@@ -2453,6 +2514,37 @@ private[graft] object QueriesLlmB {
              pmd.dup_leak_pairs, pmd.contam_neighbors_left
       FROM szd CROSS JOIN pmd
       ORDER BY policy""",
+
+
+    "q360_epoch_shuffle" -> """
+      WITH tk AS (SELECT doc_id, list_filter(
+                    string_split_regex(lower(trim(text)), '\s+'),
+                    x -> length(x) > 0) AS toks
+                  FROM documents),
+      sc AS (SELECT doc_id,
+                    CAST(len(list_distinct(toks)) AS BIGINT) AS score
+             FROM tk),
+      r AS (SELECT doc_id,
+                   row_number() OVER (ORDER BY score, doc_id) AS rn,
+                   count(*) OVER () AS n
+            FROM sc),
+      q AS (SELECT doc_id, ((rn - 1) * 4) // n + 1 AS quart FROM r),
+      ep AS (SELECT doc_id,
+                    unnest(generate_series(1, quart)) AS epoch
+             FROM q),
+      sh AS (SELECT doc_id, epoch,
+                    row_number() OVER (PARTITION BY epoch
+                      ORDER BY md5('ep' || CAST(epoch AS VARCHAR)
+                        || ':' || CAST(doc_id AS VARCHAR)),
+                        doc_id) AS rk
+             FROM ep)
+      SELECT CAST(epoch AS BIGINT) AS epoch,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(rk * doc_id) AS BIGINT) AS order_checksum,
+             CAST(max(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT)
+               AS first_doc,
+             CAST(arg_max(doc_id, rk) AS BIGINT) AS last_doc
+      FROM sh GROUP BY 1 ORDER BY 1""",
 
 
     "q359_quality_upsample" -> """
