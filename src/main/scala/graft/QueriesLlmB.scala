@@ -2171,6 +2171,71 @@ private[graft] object QueriesLlmB {
     },
 
 
+    // --- PADDING-WASTE CENSUS (round 12): the batching-efficiency
+    //     contrast — fixed-size batches (B=32) padded to their max
+    //     sequence length, built two ways over the same corpus:
+    //     LENGTH-GROUPED order (n_tok, doc_id) vs naive ARRIVAL
+    //     order (doc_id). Output per policy: batches, real tokens,
+    //     padded slots, and the waste the sorted policy saves — the
+    //     number a batching-efficiency review reads. Both global
+    //     ranks are bucket-decomposed (length-keyed buckets for the
+    //     sorted policy; Packing.rankCuts id-ranges for the arrival
+    //     policy) + triangular offsets + partitioned windows — no
+    //     global window. Exact integers. ---
+    "q361_padding_census" -> { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val B = 32
+      val docs = tbl(spark, dir, "documents")
+        .select(col("doc_id"),
+          size(TextAnalysis.tokens(col("text"))).cast("long")
+            .as("n_tok"))
+        .filter(col("n_tok") > 0)
+      def censusOf(name: String, ranked: DataFrame): DataFrame =
+        ranked
+          .withColumn("__batch", expr(s"(rk - 1) div $B"))
+          .groupBy(col("__batch"))
+          .agg(count(lit(1)).as("__bn"), max(col("n_tok")).as("__mx"),
+            sum(col("n_tok")).as("__sm"))
+          .agg(count(lit(1)).as("n_batches"),
+            sum(col("__sm")).as("token_sum"),
+            sum(col("__bn") * col("__mx")).as("padded_sum"))
+          .select(lit(name).as("policy"), col("n_batches"),
+            col("token_sum"), col("padded_sum"),
+            (col("padded_sum") - col("token_sum")).as("waste"))
+      // length-grouped: bucket axis = the length itself
+      val lcen = docs.groupBy(col("n_tok"))
+        .agg(count(lit(1)).as("__c"))
+      val loffs = lcen
+        .join(lcen.select(col("n_tok").as("__t2"),
+            col("__c").as("__c2")),
+          col("__t2") < col("n_tok"), "left")
+        .groupBy(col("n_tok"))
+        .agg(coalesce(sum(col("__c2")), lit(0L)).as("__off"))
+      val lw = Window.partitionBy(col("n_tok")).orderBy(col("doc_id"))
+      val sortedRank = docs.join(loffs, Seq("n_tok"))
+        .withColumn("rk", col("__off") + row_number().over(lw))
+      // arrival order: bucket axis = rank-spaced id ranges
+      val cuts = graft.operators.Packing.rankCuts(
+        docs.select(col("doc_id"), col("n_tok")))
+      val bucketed = docs.withColumn("__bk",
+        size(filter(lit(cuts.toArray), c => c <= col("doc_id"))))
+      val acen = bucketed.groupBy(col("__bk"))
+        .agg(count(lit(1)).as("__c"))
+      val aoffs = acen
+        .join(acen.select(col("__bk").as("__b2"),
+            col("__c").as("__c2")),
+          col("__b2") < col("__bk"), "left")
+        .groupBy(col("__bk"))
+        .agg(coalesce(sum(col("__c2")), lit(0L)).as("__off"))
+      val aw = Window.partitionBy(col("__bk")).orderBy(col("doc_id"))
+      val arrivalRank = bucketed.join(aoffs, Seq("__bk"))
+        .withColumn("rk", col("__off") + row_number().over(aw))
+      censusOf("length_grouped", sortedRank)
+        .unionByName(censusOf("arrival_order", arrivalRank))
+        .orderBy(col("policy"))
+    },
+
+
     // --- DETERMINISTIC EPOCH SHUFFLE (round 12): reproducible
     //     training-data ORDER — each epoch of the q359 upsampled
     //     corpus is shuffled by an epoch-seeded md5 key, and the
@@ -2513,6 +2578,42 @@ private[graft] object QueriesLlmB {
              szd.n_dropped, szd.n_contam_left,
              pmd.dup_leak_pairs, pmd.contam_neighbors_left
       FROM szd CROSS JOIN pmd
+      ORDER BY policy""",
+
+
+    "q361_padding_census" -> """
+      WITH tk AS (SELECT doc_id, CAST(len(list_filter(
+                    string_split_regex(lower(trim(text)), '\s+'),
+                    x -> length(x) > 0)) AS BIGINT) AS n_tok
+                  FROM documents),
+      d AS (SELECT doc_id, n_tok FROM tk WHERE n_tok > 0),
+      rs AS (SELECT n_tok,
+                    row_number() OVER (ORDER BY n_tok, doc_id) AS rk
+             FROM d),
+      ra AS (SELECT n_tok,
+                    row_number() OVER (ORDER BY doc_id) AS rk
+             FROM d),
+      bs AS (SELECT (rk - 1) // 32 AS b, count(*) AS bn,
+                    max(n_tok) AS mx, sum(n_tok) AS sm
+             FROM rs GROUP BY 1),
+      ba AS (SELECT (rk - 1) // 32 AS b, count(*) AS bn,
+                    max(n_tok) AS mx, sum(n_tok) AS sm
+             FROM ra GROUP BY 1),
+      cs AS (SELECT CAST(count(*) AS BIGINT) AS n_batches,
+                    CAST(sum(sm) AS BIGINT) AS token_sum,
+                    CAST(sum(bn * mx) AS BIGINT) AS padded_sum
+             FROM bs),
+      ca AS (SELECT CAST(count(*) AS BIGINT) AS n_batches,
+                    CAST(sum(sm) AS BIGINT) AS token_sum,
+                    CAST(sum(bn * mx) AS BIGINT) AS padded_sum
+             FROM ba)
+      SELECT 'arrival_order' AS policy, ca.n_batches, ca.token_sum,
+             ca.padded_sum, ca.padded_sum - ca.token_sum AS waste
+      FROM ca
+      UNION ALL
+      SELECT 'length_grouped', cs.n_batches, cs.token_sum,
+             cs.padded_sum, cs.padded_sum - cs.token_sum
+      FROM cs
       ORDER BY policy""",
 
 
