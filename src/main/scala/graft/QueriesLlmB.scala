@@ -2171,6 +2171,45 @@ private[graft] object QueriesLlmB {
     },
 
 
+    // --- MIXTURE-OVER-FOLD (round 12): nightly mixture re-allocation
+    //     without a corpus re-scan — the history's per-source TOKEN
+    //     census is a STAGED manifest (additive: per-source sums); a
+    //     fresh batch contributes only its own census, one
+    //     groupBy-sum folds them, and the q357 water-fill re-runs on
+    //     the merged census (QueryShared.unimaxAlloc — the shared
+    //     algebra). The oracle IS the full rebuild over history ∪
+    //     batch: the hash match proves fold ≡ rebuild for the
+    //     allocation layer (the q320/q351/q355 fold theorem, fourth
+    //     artifact family — history text never re-tokenized). ---
+    "q362_mixture_fold" -> { (spark, dir) =>
+      def toks(c: Column) =
+        size(TextAnalysis.tokens(c)).cast("long")
+      val docs = tbl(spark, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      val hist = graft.operators.Staged.getOrBuild(spark,
+          s"tok_census::$dir::base") {
+        docs.groupBy(col("source"))
+          .agg(sum(toks(col("text"))).as("sz_tok"))
+      }
+      val freshCensus = docs
+        .filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select(col("source"),
+          col("text").substr(lit(1),
+            greatest(length(col("text")) - 15, lit(1))).as("text"))
+        .groupBy(col("source"))
+        .agg(sum(toks(col("text"))).as("sz_tok"))
+      val merged = hist.unionByName(freshCensus)
+        .groupBy(col("source"))
+        .agg(sum(col("sz_tok")).as("sz_tok"))
+      val nSources = merged.count()
+      require(nSources <= 10000,
+        s"q362: source census has $nSources sources, above the 10000 " +
+          "the allocation windows are bounded for — shard the census")
+      unimaxAlloc(merged, "sz_tok", "alloc_tok", 6, 10)
+        .orderBy(col("source"))
+    },
+
+
     // --- PADDING-WASTE CENSUS (round 12): the batching-efficiency
     //     contrast — fixed-size batches (B=32) padded to their max
     //     sequence length, built two ways over the same corpus:
@@ -2579,6 +2618,47 @@ private[graft] object QueriesLlmB {
              pmd.dup_leak_pairs, pmd.contam_neighbors_left
       FROM szd CROSS JOIN pmd
       ORDER BY policy""",
+
+
+    // full rebuild: history ∪ truncated batch, re-tokenized from
+    // scratch — the engine folds the staged census instead
+    "q362_mixture_fold" -> """
+      WITH base AS (SELECT source, text FROM documents
+                    UNION ALL
+                    SELECT source, substring(text, 1,
+                             greatest(length(text) - 15, 1))
+                    FROM documents WHERE doc_id % 5 = 0),
+      tk AS (SELECT source, CAST(len(list_filter(
+               string_split_regex(lower(trim(text)), '\s+'),
+               x -> length(x) > 0)) AS BIGINT) AS n_tok
+             FROM base),
+      s AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS sz_tok
+            FROM tk GROUP BY 1),
+      t AS (SELECT CAST((sum(sz_tok) * 6) // 10 AS BIGINT) AS b,
+                   CAST(count(*) AS BIGINT) AS n FROM s),
+      o AS (SELECT source, sz_tok, b, n,
+                   row_number() OVER (ORDER BY sz_tok, source) AS rn,
+                   sum(sz_tok) OVER (ORDER BY sz_tok, source
+                     ROWS UNBOUNDED PRECEDING) AS cum
+            FROM s CROSS JOIN t),
+      f AS (SELECT *,
+                   (sz_tok * (n - rn + 1) <= b - (cum - sz_tok))
+                     AS raw
+            FROM o),
+      ff AS (SELECT coalesce(min(CASE WHEN NOT raw THEN rn END),
+                             max(n) + 1) AS ff FROM f),
+      ck AS (SELECT coalesce(max(CASE WHEN f.rn = ff.ff - 1
+                                      THEN f.cum END), 0) AS cumk
+             FROM f CROSS JOIN ff),
+      p AS (SELECT f.source, f.sz_tok, f.rn, ff.ff,
+                   f.b - ck.cumk AS r, f.n - (ff.ff - 1) AS l
+            FROM f CROSS JOIN ff CROSS JOIN ck)
+      SELECT source, sz_tok,
+             CAST(CASE WHEN rn < ff THEN sz_tok
+                  ELSE (r // l) + (CASE WHEN rn - (ff - 1)
+                    <= (r % l) THEN 1 ELSE 0 END)
+             END AS BIGINT) AS alloc_tok
+      FROM p ORDER BY source""",
 
 
     "q361_padding_census" -> """

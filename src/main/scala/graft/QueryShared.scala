@@ -28,6 +28,48 @@ private[graft] object QueryShared {
   private[graft] def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
     new Catalog(spark, dir).table(name)
 
+  /** UniMax largest-remainder water-fill over a (source, size)
+    * census: budget = size-total · num/den; sources whose size fits
+    * the fair share are taken whole, the rest split the remainder by
+    * integer division + largest-remainder. Exact integers (the
+    * q323/q352/q357 algebra, shared). Input census must be SMALL
+    * (guard it — q352's loud bound); returns (source, sizeName,
+    * allocName) with the census's other columns dropped. */
+  private[graft] def unimaxAlloc(census: DataFrame, sizeName: String,
+                                 allocName: String, num: Int,
+                                 den: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val W = Window.orderBy(col(sizeName), col("source"))
+    val tot = census.agg(sum(col(sizeName)).as("__tot"),
+      count(lit(1)).as("__n"))
+    val f = census.crossJoin(broadcast(tot))
+      .withColumn("__b", expr(s"(__tot * $num) div $den"))
+      .limit(10000) // callers count the census first (q352's guard)
+      .withColumn("__rn", row_number().over(W))
+      .withColumn("__cum", sum(col(sizeName)).over(
+        W.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("__raw",
+        col(sizeName) * (col("__n") - col("__rn") + 1) <=
+          col("__b") - (col("__cum") - col(sizeName)))
+    val ff = f.agg(
+        min(when(!col("__raw"), col("__rn"))).as("__ff0"),
+        max(col("__n")).as("__nn"))
+      .select(coalesce(col("__ff0"), col("__nn") + 1).as("__ff"))
+    val f2 = f.crossJoin(broadcast(ff))
+    val ck = f2.agg(coalesce(max(when(col("__rn") === col("__ff") - 1,
+        col("__cum"))), lit(0L)).as("__cumk"))
+    f2.crossJoin(broadcast(ck))
+      .withColumn("__r", col("__b") - col("__cumk"))
+      .withColumn("__l", col("__n") - (col("__ff") - 1))
+      .withColumn(allocName,
+        when(col("__rn") < col("__ff"), col(sizeName))
+          .otherwise(expr("__r div __l") +
+            when(col("__rn") - (col("__ff") - 1) <=
+              pmod(col("__r"), col("__l")), 1L).otherwise(0L)))
+      .select(col("source"), col(sizeName), col(allocName))
+  }
+
   /** Round the named double columns for FP-stable oracle comparison. */
   private[graft] def rounded(cols: (String, Int)*)(
       fn: (SparkSession, String) => DataFrame)
