@@ -1805,50 +1805,24 @@ private[graft] object QueriesLlmB {
     //     selected set — the reproducible-training-mix contract. ---
     "q352_mixture_sample" -> { (spark, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val W = Window.orderBy(col("n_docs"), col("source"))
       val docs = tbl(spark, dir, "documents")
         .select(col("doc_id"), col("source"))
       val sizes = docs.groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"))
-      val tot = sizes.agg(sum(col("n_docs")).as("__tot"),
-        count(lit(1)).as("__n"))
       // LOUD census bound (r11 advice): the allocation windows are
       // global over the source census, so the census must be small —
       // but a silent limit would water-fill an arbitrary plan-dependent
       // subset of an oversized census and diverge from the oracle
       // nondeterministically. Count it (k rows, one tiny job) and fail
-      // with the shard-the-census remedy instead; the limit below is
-      // then a no-op that keeps the plan audit's window bound explicit.
+      // with the shard-the-census remedy instead; unimaxAlloc's limit
+      // is then a no-op that keeps the plan audit's window bound
+      // explicit.
       val nSources = sizes.count()
       require(nSources <= 10000,
         s"q352: source census has $nSources sources, above the 10000 " +
           "the allocation windows are bounded for — shard the census " +
           "(water-fill is associative over availability-sorted shards)")
-      val f = sizes.crossJoin(broadcast(tot))
-        .withColumn("__b", expr("(__tot * 6) div 10"))
-        .limit(10000) // proven tight by the census count above
-        .withColumn("__rn", row_number().over(W))
-        .withColumn("__cum", sum(col("n_docs")).over(
-          W.rowsBetween(Window.unboundedPreceding, 0)))
-        .withColumn("__raw",
-          col("n_docs") * (col("__n") - col("__rn") + 1) <=
-            col("__b") - (col("__cum") - col("n_docs")))
-      val ff = f.agg(
-          min(when(!col("__raw"), col("__rn"))).as("__ff0"),
-          max(col("__n")).as("__nn"))
-        .select(coalesce(col("__ff0"), col("__nn") + 1).as("__ff"))
-      val f2 = f.crossJoin(broadcast(ff))
-      val ck = f2.agg(coalesce(max(when(col("__rn") === col("__ff") - 1,
-          col("__cum"))), lit(0L)).as("__cumk"))
-      val alloc = f2.crossJoin(broadcast(ck))
-        .withColumn("__r", col("__b") - col("__cumk"))
-        .withColumn("__l", col("__n") - (col("__ff") - 1))
-        .withColumn("alloc_docs",
-          when(col("__rn") < col("__ff"), col("n_docs"))
-            .otherwise(expr("__r div __l") +
-              when(col("__rn") - (col("__ff") - 1) <=
-                pmod(col("__r"), col("__l")), 1L).otherwise(0L)))
-        .select(col("source"), col("n_docs"), col("alloc_docs"))
+      val alloc = unimaxAlloc(sizes, "n_docs", "alloc_docs", 6, 10)
         .localCheckpoint() // tiny; feeds selection AND the output join
       val based = docs
         .withColumn("h", md5(concat(lit("mix1:"),
@@ -2350,46 +2324,19 @@ private[graft] object QueriesLlmB {
     //     Exact integers end to end. ---
     "q357_token_mixture" -> { (spark, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val W = Window.orderBy(col("sz_tok"), col("source"))
       val docs = tbl(spark, dir, "documents")
         .select(col("doc_id"), col("source"),
           size(TextAnalysis.tokens(col("text"))).cast("long")
             .as("n_tok"))
       val sizes = docs.groupBy(col("source"))
         .agg(sum(col("n_tok")).as("sz_tok"))
-      val tot = sizes.agg(sum(col("sz_tok")).as("__tot"),
-        count(lit(1)).as("__n"))
       // the q352 census bound, same remedy (water-fill is associative
       // over availability-sorted shards)
       val nSources = sizes.count()
       require(nSources <= 10000,
         s"q357: source census has $nSources sources, above the 10000 " +
           "the allocation windows are bounded for — shard the census")
-      val f = sizes.crossJoin(broadcast(tot))
-        .withColumn("__b", expr("(__tot * 6) div 10"))
-        .limit(10000) // proven tight by the census count above
-        .withColumn("__rn", row_number().over(W))
-        .withColumn("__cum", sum(col("sz_tok")).over(
-          W.rowsBetween(Window.unboundedPreceding, 0)))
-        .withColumn("__raw",
-          col("sz_tok") * (col("__n") - col("__rn") + 1) <=
-            col("__b") - (col("__cum") - col("sz_tok")))
-      val ff = f.agg(
-          min(when(!col("__raw"), col("__rn"))).as("__ff0"),
-          max(col("__n")).as("__nn"))
-        .select(coalesce(col("__ff0"), col("__nn") + 1).as("__ff"))
-      val f2 = f.crossJoin(broadcast(ff))
-      val ck = f2.agg(coalesce(max(when(col("__rn") === col("__ff") - 1,
-          col("__cum"))), lit(0L)).as("__cumk"))
-      val alloc = f2.crossJoin(broadcast(ck))
-        .withColumn("__r", col("__b") - col("__cumk"))
-        .withColumn("__l", col("__n") - (col("__ff") - 1))
-        .withColumn("alloc_tok",
-          when(col("__rn") < col("__ff"), col("sz_tok"))
-            .otherwise(expr("__r div __l") +
-              when(col("__rn") - (col("__ff") - 1) <=
-                pmod(col("__r"), col("__l")), 1L).otherwise(0L)))
-        .select(col("source"), col("sz_tok"), col("alloc_tok"))
+      val alloc = unimaxAlloc(sizes, "sz_tok", "alloc_tok", 6, 10)
         .localCheckpoint() // tiny; feeds selection AND the output join
       val based = docs
         .withColumn("h", md5(concat(lit("mix2:"),
