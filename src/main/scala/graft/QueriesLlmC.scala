@@ -1,0 +1,405 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.llm.TextAnalysis
+
+/** Query + oracle definitions — LLM training-data pipeline, third
+  * file (round 12 continuation): importance resampling, attention-
+  * mask metadata for packed batches, curriculum scheduling, loss
+  * masking, token-exposure accounting. Concatenated into
+  * SparkEntry.queries / SparkEntry.oracleSql (the driver contract);
+  * see SparkEntry's scaladoc for the output and floating-point
+  * conventions every entry follows. */
+private[graft] object QueriesLlmC {
+  import QueryShared._
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- IMPORTANCE RESAMPLING (DSIR-shaped, exact integers): score
+    //     every doc by how target-like its token mix is — weight(w) =
+    //     c_t(w)·S_r − c_r(w)·S_t, the cross-multiplied sign of
+    //     p_target(w) − p_raw(w) (target = the 'en' slice, raw = the
+    //     whole corpus), doc score = Σ weight over its tokens with
+    //     multiplicity, selected = score > 0. The published recipe
+    //     ranks by a log-ratio; the cross-multiplied linearization
+    //     keeps the entire pipeline in BIGINTs (no libm anywhere), so
+    //     the selected SET is bit-pinned across engines. Scale: both
+    //     censuses are vocab-bounded mergeable count tables (additive
+    //     under the q362 fold); the weight join shuffles on tok —
+    //     stopword keys are hot, so a 100 TB run salts them (q61) or
+    //     broadcasts the df-top slice of the weight table. The
+    //     per-token sums in weight(w) bound at S_t·S_r ≈ (corpus
+    //     tokens)²: past ~3·10⁹ tokens, rescale the censuses to
+    //     per-billion rates first (same sign, same selection). ---
+    "q363_importance_resample" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+        .select(col("doc_id"), col("source"), col("lang"),
+          col("text"))
+      val tk = docs.select(col("doc_id"), col("source"), col("lang"),
+        explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      val rawC = tk.groupBy(col("tok"))
+        .agg(count(lit(1)).as("c_r"))
+      val tgtC = tk.filter(col("lang") === "en").groupBy(col("tok"))
+        .agg(count(lit(1)).as("c_t"))
+      val tots = tk.agg(count(lit(1)).as("__sr"),
+        count(when(col("lang") === "en", 1)).as("__st"))
+      val w = rawC.join(tgtC, Seq("tok"), "left")
+        .crossJoin(broadcast(tots))
+        .select(col("tok"),
+          (coalesce(col("c_t"), lit(0L)) * col("__sr") -
+            col("c_r") * col("__st")).as("__w"))
+      val scored = tk.join(w, Seq("tok"))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(sum(col("__w")).as("__num"),
+          count(lit(1)).as("n_tok"))
+      scored.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(when(col("__num") > 0, 1L)), lit(0L))
+            .as("n_selected"),
+          coalesce(sum(when(col("__num") > 0, col("n_tok"))),
+            lit(0L)).as("tok_selected"),
+          coalesce(sum(when(col("__num") > 0, col("doc_id"))),
+            lit(0L)).as("sel_checksum"),
+          // one division of two exact BIGINTs — bit-identical in
+          // both engines; round(6) is belt-and-braces
+          round(coalesce(sum(when(col("__num") > 0, col("__num"))),
+              lit(0L)).cast("double") /
+            greatest(coalesce(sum(when(col("__num") > 0,
+              col("n_tok"))), lit(0L)), lit(1L)).cast("double"), 6)
+            .as("sel_score_per_tok"))
+        .orderBy(col("source"))
+    },
+
+
+    // --- ATTENTION-MASK METADATA for packed context windows: the
+    //     q353 packer cuts the concatenated corpus every 512 tokens;
+    //     a trainer that packs multiple docs per window needs, PER
+    //     CHUNK, the segment table a block-diagonal attention mask
+    //     (and an EOD-aware loss mask) is built from — (seg_idx,
+    //     doc_id, in-chunk start offset, length, whether the doc
+    //     starts/ends here; continuation segments of a doc cut at
+    //     the boundary are flagged on both sides). Rows ∝ tokens/L +
+    //     docs (each doc touches len/L+1 chunks); the only window is
+    //     per-chunk (≤ docs-per-chunk rows per key). Spans come from
+    //     the rank-bucketed Packing prefix sums — no global window
+    //     anywhere. ---
+    "q364_pack_mask_meta" -> { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val L = 512L
+      val docs = tbl(spark, dir, "documents")
+        .select(col("doc_id"),
+          size(TextAnalysis.tokens(col("text"))).cast("long")
+            .as("n_tok"))
+      val spans = graft.operators.Packing.spans(
+        docs, col("doc_id"), col("n_tok"))
+      val segs = spans
+        .withColumn("chunk", explode(sequence(
+          expr(s"s div $L"), expr(s"e div $L"))))
+        .withColumn("seg_start",
+          greatest(col("s"), col("chunk") * L) - col("chunk") * L)
+        .withColumn("seg_len",
+          least(col("e"), col("chunk") * L + (L - 1)) -
+            greatest(col("s"), col("chunk") * L) + 1)
+        .withColumn("starts_here", col("s") >= col("chunk") * L)
+        .withColumn("ends_here",
+          col("e") <= col("chunk") * L + (L - 1))
+      // segments tile each chunk disjointly, so seg_start is unique
+      // within a chunk — the rank is deterministic
+      val cw = Window.partitionBy(col("chunk"))
+        .orderBy(col("seg_start"))
+      segs.withColumn("seg_idx", row_number().over(cw).cast("long"))
+        .select(col("chunk"), col("seg_idx"), col("doc_id"),
+          col("seg_start"), col("seg_len"), col("starts_here"),
+          col("ends_here"))
+        .orderBy(col("chunk"), col("seg_idx"))
+    },
+
+
+    // --- CURRICULUM SCHEDULE (competence-gated length curriculum):
+    //     difficulty = token count; stage t ∈ 1..4 may only draw from
+    //     the easiest ceil(N·t/4) docs (the competence pool), and
+    //     draws a fixed budget of N div 8 docs by deterministic
+    //     md5("cur:t:id") rank — stage 1 trains short docs, stage 4
+    //     samples the full corpus; early-pool docs stay eligible
+    //     throughout (with-replacement across stages, the standard
+    //     competence-curriculum construction). Both ranks are
+    //     bucket-decomposed (difficulty rank over the n_tok value
+    //     census, selection rank over md5-prefix buckets per stage)
+    //     — no global window at any size. Output pins each stage's
+    //     pool, realized docs/tokens, and the order-independent id
+    //     checksum. Exact integers end to end. ---
+    "q365_curriculum_schedule" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+        .select(col("doc_id"),
+          size(TextAnalysis.tokens(col("text"))).cast("long")
+            .as("n_tok"))
+      val tot = docs.agg(count(lit(1)).as("__n"))
+      val ranked = bucketedRank(docs, Seq.empty, "n_tok",
+        Seq("n_tok", "doc_id"), "__rk")
+      val pool = ranked
+        .withColumn("stage", explode(sequence(lit(1L), lit(4L))))
+        .crossJoin(broadcast(tot))
+        // __rk <= ceil(N·t/4)  ⇔  4·__rk <= N·t + 3 (exact integers)
+        .filter(col("__rk") * 4 <= col("__n") * col("stage") + 3)
+        .withColumn("h", md5(concat(lit("cur:"),
+          col("stage").cast("string"), lit(":"),
+          col("doc_id").cast("string")).cast("binary")))
+        .withColumn("__bk", substring(col("h"), 1, 2))
+      val sel = bucketedRank(pool, Seq("stage"), "__bk",
+        Seq("h", "doc_id"), "__srk")
+        .withColumn("__take", col("__srk") <= expr("__n div 8"))
+      sel.groupBy(col("stage"))
+        .agg(count(lit(1)).as("pool_docs"),
+          coalesce(sum(when(col("__take"), 1L)), lit(0L))
+            .as("n_selected"),
+          coalesce(sum(when(col("__take"), col("n_tok"))), lit(0L))
+            .as("tok_selected"),
+          coalesce(sum(when(col("__take"), col("doc_id"))), lit(0L))
+            .as("sel_checksum"))
+        .orderBy(col("stage"))
+    },
+
+
+    // --- LOSS-MASK CENSUS (instruction-tuning prep): each user's
+    //     event stream renders as an alternating chat (odd turns =
+    //     user, even = assistant, in (ts, event_id) order); SFT
+    //     trains only on assistant tokens, so the batch planner needs
+    //     per-conversation totals of trainable vs masked tokens and
+    //     the trainable share (integer basis points — exact). Turn
+    //     text carries the real payload (type=cents + props), token
+    //     counts use the engine's pinned tokenizer. The only window
+    //     is per-user (keyed). ---
+    "q366_loss_mask_census" -> { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = tbl(spark, dir, "events")
+        .select(col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("us"),
+          col("event_id"), col("event_type"), col("props"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val uw = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val turns = ev
+        .withColumn("i", row_number().over(uw).cast("long"))
+        .withColumn("role", when(pmod(col("i"), lit(2L)) === 1L,
+          lit("user")).otherwise(lit("assistant")))
+        .withColumn("turn", concat(lit("<|"), col("role"),
+          lit("|> "), col("event_type"), lit("="),
+          col("cents").cast("string"), lit(" "), col("props"),
+          lit(" <|end|>")))
+        .withColumn("n_tok",
+          TextAnalysis.tokenCount(col("turn")).cast("long"))
+      turns.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_turns"),
+          coalesce(sum(when(col("role") === "assistant", 1L)),
+            lit(0L)).as("n_assistant"),
+          sum(col("n_tok")).as("tok_total"),
+          coalesce(sum(when(col("role") === "assistant",
+            col("n_tok"))), lit(0L)).as("tok_trainable"))
+        .withColumn("trainable_bp",
+          expr("tok_trainable * 10000 div tok_total"))
+        .orderBy(col("user_id"))
+    },
+
+
+    // --- TOKEN-EXPOSURE HISTOGRAM: under the q359 quality-quartile
+    //     upsampling (quartile q repeats in epochs 1..q), how much
+    //     token mass is seen once, twice, three, four times — the
+    //     memorization-risk readout an upsampling policy is reviewed
+    //     against (mass seen ≥3× is the red zone). Exposure = the
+    //     doc's quartile; instances = mass × exposure; shares in
+    //     integer basis points of total instances. Quartile rank is
+    //     bucket-decomposed over the score census (shared
+    //     bucketedRank) — no global window. ---
+    "q367_exposure_histogram" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+        .select(col("doc_id"),
+          size(array_distinct(TextAnalysis.tokens(col("text"))))
+            .cast("long").as("score"),
+          size(TextAnalysis.tokens(col("text"))).cast("long")
+            .as("n_tok"))
+      val tot = docs.agg(count(lit(1)).as("__n"))
+      val exposed = bucketedRank(docs, Seq.empty, "score",
+          Seq("doc_id"), "__rn")
+        .crossJoin(broadcast(tot))
+        .withColumn("exposure", expr("((__rn - 1) * 4) div __n") + 1L)
+      val ti = exposed.agg(sum(col("n_tok") * col("exposure"))
+        .as("__ti"))
+      exposed.groupBy(col("exposure"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("tok_mass"))
+        .withColumn("n_instances", col("tok_mass") * col("exposure"))
+        .crossJoin(broadcast(ti))
+        .withColumn("share_bp",
+          expr("n_instances * 10000 div __ti"))
+        .select(col("exposure"), col("n_docs"), col("tok_mass"),
+          col("n_instances"), col("share_bp"))
+        .orderBy(col("exposure"))
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q363_importance_resample" -> """
+      WITH tk AS (SELECT doc_id, source, lang,
+                         unnest(list_filter(string_split_regex(
+                           lower(trim(text)), '\s+'),
+                           x -> length(x) > 0)) AS tok
+                  FROM documents),
+      raw AS (SELECT tok, CAST(count(*) AS BIGINT) AS c_r
+              FROM tk GROUP BY 1),
+      tgt AS (SELECT tok, CAST(count(*) AS BIGINT) AS c_t
+              FROM tk WHERE lang = 'en' GROUP BY 1),
+      st AS (SELECT CAST(count(*) AS BIGINT) AS sr,
+                    CAST(count(*) FILTER (WHERE lang = 'en')
+                      AS BIGINT) AS stt
+             FROM tk),
+      w AS (SELECT raw.tok,
+                   CAST(coalesce(tgt.c_t, 0) * st.sr -
+                        raw.c_r * st.stt AS BIGINT) AS w
+            FROM raw LEFT JOIN tgt USING (tok) CROSS JOIN st),
+      sc AS (SELECT tk.doc_id, tk.source,
+                    CAST(sum(w.w) AS BIGINT) AS num,
+                    CAST(count(*) AS BIGINT) AS n_tok
+             FROM tk JOIN w USING (tok) GROUP BY 1, 2)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(coalesce(sum(CASE WHEN num > 0 THEN 1 END), 0)
+               AS BIGINT) AS n_selected,
+             CAST(coalesce(sum(CASE WHEN num > 0 THEN n_tok END), 0)
+               AS BIGINT) AS tok_selected,
+             CAST(coalesce(sum(CASE WHEN num > 0 THEN doc_id END), 0)
+               AS BIGINT) AS sel_checksum,
+             round(CAST(coalesce(sum(CASE WHEN num > 0 THEN num END),
+                 0) AS DOUBLE) /
+               CAST(greatest(coalesce(sum(CASE WHEN num > 0
+                 THEN n_tok END), 0), 1) AS DOUBLE), 6)
+               AS sel_score_per_tok
+      FROM sc GROUP BY source ORDER BY source""",
+
+
+    "q364_pack_mask_meta" -> """
+      WITH tk AS (SELECT doc_id, CAST(len(list_filter(
+                    string_split_regex(lower(trim(text)), '\s+'),
+                    x -> length(x) > 0)) AS BIGINT) AS n_tok
+                  FROM documents),
+      d AS (SELECT doc_id, n_tok FROM tk WHERE n_tok > 0),
+      c AS (SELECT doc_id, n_tok,
+                   sum(n_tok) OVER (ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) AS cum
+            FROM d),
+      sp AS (SELECT doc_id, CAST(cum - n_tok AS BIGINT) AS s,
+                    CAST(cum - 1 AS BIGINT) AS e FROM c),
+      seg AS (SELECT doc_id, s, e,
+                     unnest(generate_series(s // 512, e // 512))
+                       AS chunk
+              FROM sp),
+      g AS (SELECT chunk, doc_id,
+                   greatest(s, chunk * 512) - chunk * 512
+                     AS seg_start,
+                   least(e, chunk * 512 + 511) -
+                     greatest(s, chunk * 512) + 1 AS seg_len,
+                   s >= chunk * 512 AS starts_here,
+                   e <= chunk * 512 + 511 AS ends_here
+            FROM seg)
+      SELECT CAST(chunk AS BIGINT) AS chunk,
+             CAST(row_number() OVER (PARTITION BY chunk
+               ORDER BY seg_start) AS BIGINT) AS seg_idx,
+             doc_id, CAST(seg_start AS BIGINT) AS seg_start,
+             CAST(seg_len AS BIGINT) AS seg_len,
+             starts_here, ends_here
+      FROM g ORDER BY chunk, seg_idx""",
+
+
+    "q365_curriculum_schedule" -> """
+      WITH tk AS (SELECT doc_id, CAST(len(list_filter(
+                    string_split_regex(lower(trim(text)), '\s+'),
+                    x -> length(x) > 0)) AS BIGINT) AS n_tok
+                  FROM documents),
+      n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tk),
+      r AS (SELECT doc_id, n_tok,
+                   row_number() OVER (ORDER BY n_tok, doc_id) AS rk
+            FROM tk),
+      st AS (SELECT doc_id, n_tok, rk,
+                    unnest(generate_series(1, 4)) AS stage
+             FROM r),
+      pool AS (SELECT st.*, n.n FROM st CROSS JOIN n
+               WHERE 4 * rk <= n.n * stage + 3),
+      sel AS (SELECT stage, doc_id, n_tok, n,
+                     row_number() OVER (PARTITION BY stage
+                       ORDER BY md5('cur:' ||
+                         CAST(stage AS VARCHAR) || ':' ||
+                         CAST(doc_id AS VARCHAR)), doc_id) AS srk
+              FROM pool)
+      SELECT CAST(stage AS BIGINT) AS stage,
+             CAST(count(*) AS BIGINT) AS pool_docs,
+             CAST(coalesce(sum(CASE WHEN srk <= n // 8
+               THEN 1 END), 0) AS BIGINT) AS n_selected,
+             CAST(coalesce(sum(CASE WHEN srk <= n // 8
+               THEN n_tok END), 0) AS BIGINT) AS tok_selected,
+             CAST(coalesce(sum(CASE WHEN srk <= n // 8
+               THEN doc_id END), 0) AS BIGINT) AS sel_checksum
+      FROM sel GROUP BY stage ORDER BY stage""",
+
+
+    "q366_loss_mask_census" -> """
+      WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+                        event_type, props,
+                        CAST(round(value * 100) AS BIGINT) AS cents
+                 FROM events),
+      r AS (SELECT user_id, event_type, cents, props,
+                   CAST(row_number() OVER (PARTITION BY user_id
+                     ORDER BY us, event_id) AS BIGINT) AS i
+            FROM e),
+      t AS (SELECT user_id,
+                   CASE WHEN i % 2 = 1 THEN 'user'
+                        ELSE 'assistant' END AS role,
+                   '<|' || (CASE WHEN i % 2 = 1 THEN 'user'
+                            ELSE 'assistant' END) || '|> ' ||
+                     event_type || '=' || CAST(cents AS VARCHAR) ||
+                     ' ' || props || ' <|end|>' AS turn
+            FROM r),
+      tok AS (SELECT user_id, role, CAST(len(list_filter(
+                string_split_regex(lower(trim(turn)), '\s+'),
+                x -> length(x) > 0)) AS BIGINT) AS n_tok
+              FROM t)
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_turns,
+             CAST(coalesce(sum(CASE WHEN role = 'assistant'
+               THEN 1 END), 0) AS BIGINT) AS n_assistant,
+             CAST(sum(n_tok) AS BIGINT) AS tok_total,
+             CAST(coalesce(sum(CASE WHEN role = 'assistant'
+               THEN n_tok END), 0) AS BIGINT) AS tok_trainable,
+             CAST(coalesce(sum(CASE WHEN role = 'assistant'
+               THEN n_tok END), 0) * 10000 // sum(n_tok)
+               AS BIGINT) AS trainable_bp
+      FROM tok GROUP BY user_id ORDER BY user_id""",
+
+
+    "q367_exposure_histogram" -> """
+      WITH tk AS (SELECT doc_id, list_filter(
+                    string_split_regex(lower(trim(text)), '\s+'),
+                    x -> length(x) > 0) AS toks
+                  FROM documents),
+      sc AS (SELECT doc_id,
+                    CAST(len(list_distinct(toks)) AS BIGINT)
+                      AS score,
+                    CAST(len(toks) AS BIGINT) AS n_tok
+             FROM tk),
+      r AS (SELECT doc_id, n_tok,
+                   row_number() OVER (ORDER BY score, doc_id) AS rn,
+                   count(*) OVER () AS n
+            FROM sc),
+      q AS (SELECT doc_id, n_tok,
+                   ((rn - 1) * 4) // n + 1 AS exposure
+            FROM r),
+      tot AS (SELECT CAST(sum(n_tok * exposure) AS BIGINT) AS ti
+              FROM q)
+      SELECT CAST(exposure AS BIGINT) AS exposure,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS tok_mass,
+             CAST(sum(n_tok) * exposure AS BIGINT) AS n_instances,
+             CAST(sum(n_tok) * exposure * 10000 // tot.ti AS BIGINT)
+               AS share_bp
+      FROM q CROSS JOIN tot GROUP BY exposure, tot.ti
+      ORDER BY exposure"""
+  )
+}

@@ -37,6 +37,7 @@ object SparkEntry {
     QueriesJx.queries ++
     QueriesLlmA.queries ++
     QueriesLlmB.queries ++
+    QueriesLlmC.queries ++
     QueriesStreaming.queries ++
     QueriesWarehouseA.queries ++
     QueriesWarehouseB.queries ++
@@ -50,6 +51,7 @@ object SparkEntry {
     QueriesJx.oracleSql ++
     QueriesLlmA.oracleSql ++
     QueriesLlmB.oracleSql ++
+    QueriesLlmC.oracleSql ++
     QueriesStreaming.oracleSql ++
     QueriesWarehouseA.oracleSql ++
     QueriesWarehouseB.oracleSql ++
