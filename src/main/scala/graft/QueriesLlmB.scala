@@ -1828,19 +1828,8 @@ private[graft] object QueriesLlmB {
         .withColumn("h", md5(concat(lit("mix1:"),
           col("doc_id").cast("string")).cast("binary")))
         .withColumn("__bk", substring(col("h"), 1, 2))
-      val census = based.groupBy(col("source"), col("__bk"))
-        .agg(count(lit(1)).as("__c"))
-      val offs = census
-        .join(census.select(col("source").as("__s2"),
-            col("__bk").as("__b2"), col("__c").as("__c2")),
-          col("__s2") === col("source") && col("__b2") < col("__bk"),
-          "left")
-        .groupBy(col("source"), col("__bk"))
-        .agg(coalesce(sum(col("__c2")), lit(0L)).as("__off"))
-      val iw = Window.partitionBy(col("source"), col("__bk"))
-        .orderBy(col("h"), col("doc_id"))
-      val selected = based.join(offs, Seq("source", "__bk"))
-        .withColumn("__rk", col("__off") + row_number().over(iw))
+      val selected = bucketedRank(based, Seq("source"), "__bk",
+          Seq("h", "doc_id"), "__rk")
         .join(broadcast(alloc.select(col("source"),
           col("alloc_docs"))), Seq("source"))
         .filter(col("__rk") <= col("alloc_docs"))
@@ -2119,18 +2108,8 @@ private[graft] object QueriesLlmB {
             .cast("long").as("score"),
           size(TextAnalysis.tokens(col("text"))).cast("long")
             .as("n_tok"))
-      val census = docs.groupBy(col("score"))
-        .agg(count(lit(1)).as("__c"))
-      val offs = census
-        .join(census.select(col("score").as("__s2"),
-            col("__c").as("__c2")),
-          col("__s2") < col("score"), "left")
-        .groupBy(col("score"))
-        .agg(coalesce(sum(col("__c2")), lit(0L)).as("__off"))
-      val tot = census.agg(sum(col("__c")).as("__n"))
-      val iw = Window.partitionBy(col("score")).orderBy(col("doc_id"))
-      docs.join(offs, Seq("score"))
-        .withColumn("__rn", col("__off") + row_number().over(iw))
+      val tot = docs.agg(count(lit(1)).as("__n"))
+      bucketedRank(docs, Seq.empty, "score", Seq("doc_id"), "__rn")
         .crossJoin(broadcast(tot))
         .withColumn("__quart", // div, NOT "/": Spark / on longs is
           expr("((__rn - 1) * 4) div __n") + 1) // double division
@@ -2265,18 +2244,9 @@ private[graft] object QueriesLlmB {
         .select(col("doc_id"),
           size(array_distinct(TextAnalysis.tokens(col("text"))))
             .cast("long").as("score"))
-      val census0 = docs.groupBy(col("score"))
-        .agg(count(lit(1)).as("__c"))
-      val offs0 = census0
-        .join(census0.select(col("score").as("__s2"),
-            col("__c").as("__c2")),
-          col("__s2") < col("score"), "left")
-        .groupBy(col("score"))
-        .agg(coalesce(sum(col("__c2")), lit(0L)).as("__off"))
-      val tot = census0.agg(sum(col("__c")).as("__n"))
-      val iw0 = Window.partitionBy(col("score")).orderBy(col("doc_id"))
-      val repeated = docs.join(offs0, Seq("score"))
-        .withColumn("__rn", col("__off") + row_number().over(iw0))
+      val tot = docs.agg(count(lit(1)).as("__n"))
+      val repeated = bucketedRank(docs, Seq.empty, "score",
+          Seq("doc_id"), "__rn")
         .crossJoin(broadcast(tot))
         .withColumn("__quart", expr("((__rn - 1) * 4) div __n") + 1)
         .withColumn("epoch",
@@ -2287,19 +2257,8 @@ private[graft] object QueriesLlmB {
           col("epoch").cast("string"), lit(":"),
           col("doc_id").cast("string")).cast("binary")))
         .withColumn("__bk", substring(col("h"), 1, 2))
-      val census = keyed.groupBy(col("epoch"), col("__bk"))
-        .agg(count(lit(1)).as("__c"))
-      val offs = census
-        .join(census.select(col("epoch").as("__e2"),
-            col("__bk").as("__b2"), col("__c").as("__c2")),
-          col("__e2") === col("epoch") && col("__b2") < col("__bk"),
-          "left")
-        .groupBy(col("epoch"), col("__bk"))
-        .agg(coalesce(sum(col("__c2")), lit(0L)).as("__off"))
-      val iw = Window.partitionBy(col("epoch"), col("__bk"))
-        .orderBy(col("h"), col("doc_id"))
-      keyed.join(offs, Seq("epoch", "__bk"))
-        .withColumn("rk", col("__off") + row_number().over(iw))
+      bucketedRank(keyed, Seq("epoch"), "__bk", Seq("h", "doc_id"),
+          "rk")
         .groupBy(col("epoch"))
         .agg(count(lit(1)).as("n_rows"),
           sum(col("rk") * col("doc_id")).as("order_checksum"),
