@@ -202,6 +202,73 @@ private[graft] object QueriesLlmC {
     },
 
 
+    // --- IMPORTANCE-WEIGHTS-OVER-FOLD (q363's nightly twin — the
+    //     fold theorem's fifth artifact family): the importance
+    //     weights derive ONLY from two vocab-bounded token censuses
+    //     (raw count, target count), and counts are additive over
+    //     disjoint doc sets — so the history census persists as a
+    //     STAGED manifest, a fresh batch contributes its own census,
+    //     ONE groupBy-sum folds them, and the updated weights score
+    //     the new batch without ever re-tokenizing history. The
+    //     oracle IS the full rebuild over history ∪ batch scoring
+    //     the batch slice: the hash match proves fold ≡ rebuild for
+    //     the weight layer (the q320/q351/q355/q362 pattern). ---
+    "q368_importance_fold" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+        .select(col("doc_id"), col("source"), col("lang"),
+          col("text"))
+      // staged history manifest: per-token (raw, target) counts
+      val histCensus = graft.operators.Staged.getOrBuild(spark,
+          s"imp_census::$dir::en") {
+        docs.select(col("lang"),
+            explode(TextAnalysis.tokens(col("text"))).as("tok"))
+          .groupBy(col("tok"))
+          .agg(count(lit(1)).as("c_r"),
+            count(when(col("lang") === "en", 1)).as("c_t"))
+      }
+      // stride 7 is coprime with the corpus's 20-source round-robin
+      // id assignment, so the batch spans every source
+      val batch = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          col("source"), col("lang"),
+          col("text").substr(lit(1),
+            greatest(length(col("text")) - 25, lit(1))).as("text"))
+      val btk = batch.select(col("doc_id"), col("source"),
+        col("lang"), explode(TextAnalysis.tokens(col("text")))
+          .as("tok"))
+      val bCensus = btk.groupBy(col("tok"))
+        .agg(count(lit(1)).as("c_r"),
+          count(when(col("lang") === "en", 1)).as("c_t"))
+      // the fold: one groupBy-sum over manifest ∪ batch census
+      val merged = histCensus.unionByName(bCensus)
+        .groupBy(col("tok"))
+        .agg(sum(col("c_r")).as("c_r"), sum(col("c_t")).as("c_t"))
+      val tots = merged.agg(sum(col("c_r")).as("__sr"),
+        sum(col("c_t")).as("__st"))
+      val w = merged.crossJoin(broadcast(tots))
+        .select(col("tok"), (col("c_t") * col("__sr") -
+          col("c_r") * col("__st")).as("__w"))
+      val scored = btk.join(w, Seq("tok"))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(sum(col("__w")).as("__num"),
+          count(lit(1)).as("n_tok"))
+      scored.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(when(col("__num") > 0, 1L)), lit(0L))
+            .as("n_selected"),
+          coalesce(sum(when(col("__num") > 0, col("n_tok"))),
+            lit(0L)).as("tok_selected"),
+          coalesce(sum(when(col("__num") > 0, col("doc_id"))),
+            lit(0L)).as("sel_checksum"),
+          round(coalesce(sum(when(col("__num") > 0, col("__num"))),
+              lit(0L)).cast("double") /
+            greatest(coalesce(sum(when(col("__num") > 0,
+              col("n_tok"))), lit(0L)), lit(1L)).cast("double"), 6)
+            .as("sel_score_per_tok"))
+        .orderBy(col("source"))
+    },
+
+
     // --- TOKEN-EXPOSURE HISTOGRAM: under the q359 quality-quartile
     //     upsampling (quartile q repeats in epochs 1..q), how much
     //     token mass is seen once, twice, three, four times — the
@@ -372,6 +439,49 @@ private[graft] object QueriesLlmC {
                THEN n_tok END), 0) * 10000 // sum(n_tok)
                AS BIGINT) AS trainable_bp
       FROM tok GROUP BY user_id ORDER BY user_id""",
+
+
+    "q368_importance_fold" -> """
+      WITH base AS (SELECT doc_id, source, lang, text FROM documents
+                    UNION ALL
+                    SELECT doc_id + 3000000, source, lang,
+                           substring(text, 1,
+                             greatest(length(text) - 25, 1))
+                    FROM documents WHERE doc_id % 7 = 0),
+      tk AS (SELECT doc_id, source, lang,
+                    unnest(list_filter(string_split_regex(
+                      lower(trim(text)), '\s+'),
+                      x -> length(x) > 0)) AS tok
+             FROM base),
+      cen AS (SELECT tok, CAST(count(*) AS BIGINT) AS c_r,
+                     CAST(count(*) FILTER (WHERE lang = 'en')
+                       AS BIGINT) AS c_t
+              FROM tk GROUP BY 1),
+      st AS (SELECT CAST(sum(c_r) AS BIGINT) AS sr,
+                    CAST(sum(c_t) AS BIGINT) AS stt
+             FROM cen),
+      w AS (SELECT cen.tok,
+                   CAST(cen.c_t * st.sr - cen.c_r * st.stt
+                     AS BIGINT) AS w
+            FROM cen CROSS JOIN st),
+      sc AS (SELECT tk.doc_id, tk.source,
+                    CAST(sum(w.w) AS BIGINT) AS num,
+                    CAST(count(*) AS BIGINT) AS n_tok
+             FROM tk JOIN w USING (tok)
+             WHERE tk.doc_id >= 3000000 GROUP BY 1, 2)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(coalesce(sum(CASE WHEN num > 0 THEN 1 END), 0)
+               AS BIGINT) AS n_selected,
+             CAST(coalesce(sum(CASE WHEN num > 0 THEN n_tok END), 0)
+               AS BIGINT) AS tok_selected,
+             CAST(coalesce(sum(CASE WHEN num > 0 THEN doc_id END), 0)
+               AS BIGINT) AS sel_checksum,
+             round(CAST(coalesce(sum(CASE WHEN num > 0 THEN num END),
+                 0) AS DOUBLE) /
+               CAST(greatest(coalesce(sum(CASE WHEN num > 0
+                 THEN n_tok END), 0), 1) AS DOUBLE), 6)
+               AS sel_score_per_tok
+      FROM sc GROUP BY source ORDER BY source""",
 
 
     "q367_exposure_histogram" -> """
