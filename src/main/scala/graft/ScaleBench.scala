@@ -65,7 +65,12 @@ object ScaleBench {
     // round-12: the three-way split + cluster-wise decontamination
     // (pair mining + closure + the corpus-gram × eval-gram broadcast
     // join; same Staged.clear discipline as q342)
-    "q356_threeway_decon")
+    "q356_threeway_decon",
+    // round-12 continuation: the DSIR importance pipeline (two
+    // vocab-bounded censuses + the token-keyed weight join — the
+    // shuffle that must stay linear) and the packed-batch mask
+    // metadata (rank-bucketed spans + tokens/L explode)
+    "q363_importance_resample", "q364_pack_mask_meta")
 
   /** Tables each target reads — lets a subset run skip synthesizing
     * (and paying for) the others at high mults. */
@@ -92,7 +97,9 @@ object ScaleBench {
     "q333_modularity" -> Set("lineitem"),
     "q342_dedup_threshold_sweep" -> Set("documents"),
     "q347_dedup_keeper_policy" -> Set("documents"),
-    "q356_threeway_decon" -> Set("documents"))
+    "q356_threeway_decon" -> Set("documents"),
+    "q363_importance_resample" -> Set("documents"),
+    "q364_pack_mask_meta" -> Set("documents"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
