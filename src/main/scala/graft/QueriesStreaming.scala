@@ -20,6 +20,37 @@ private[graft] object QueriesStreaming {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // --- STREAMING CONTEXT PACKING (round 12 continuation): the
+    //     q353 packer run as a STREAM — documents arrive in three
+    //     ascending-id micro-batches, each batch is tokenized once,
+    //     packed after the running token total (one driver-side
+    //     long), and its chunk census appended to the manifest; the
+    //     final answer is one groupBy-sum fold + fill. The oracle IS
+    //     the full batch rebuild (q353's SQL): the hash match proves
+    //     the streamed fold ≡ rebuild — the packing fold theorem
+    //     carried into the micro-batch runtime, where a 100 TB
+    //     pre-training corpus actually arrives. ---
+    "q369_stream_packing" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val mx = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
+      val src = Scratch.dir("graft_q369").toString + "/docs"
+      EventStream.writeOrderedBatches(Seq(
+        docs.filter(col("doc_id") * 3 <= mx),
+        docs.filter(col("doc_id") * 3 > mx &&
+          col("doc_id") * 3 <= 2 * mx),
+        docs.filter(col("doc_id") * 3 > 2 * mx)), src)
+      val stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      EventStream.streamingPacking(spark, stream,
+          Scratch.dir("graft_q369cen").toString + "/census",
+          Scratch.dir("graft_q369ck").toString, 512L)
+        .select(col("chunk"), col("n_docs"), col("n_starts"),
+          col("n_tokens"))
+        .orderBy(col("chunk"))
+    },
+
+
     // --- M7: Structured Streaming tumbling agg (batch/stream parity:
     //     the oracle is the equivalent BATCH SQL over the same data) ---
     "q31_stream_tumbling" -> rounded("sum_value" -> 4)(dated("day")({
@@ -1175,6 +1206,9 @@ private[graft] object QueriesStreaming {
   )
 
   def oracleSql: Map[String, String] = Map(
+
+    // the streamed fold ≡ the batch rebuild — q353's oracle verbatim
+    "q369_stream_packing" -> packCensusSql,
 
     "q350_state_audit_tws" -> """
       SELECT CAST(user_id AS BIGINT) AS user_id,

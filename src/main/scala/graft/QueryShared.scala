@@ -104,6 +104,37 @@ private[graft] object QueryShared {
       .drop("__boff")
   }
 
+  /** The context-packing rebuild oracle (chunk census + fill at
+    * L=512 over `documents` in doc_id order) — shared by q353 (the
+    * batch packer) and q369 (the STREAMING packer: same output by
+    * the fold theorem, so the same rebuild SQL is its oracle). */
+  private[graft] val packCensusSql: String = """
+      WITH tk AS (SELECT doc_id, CAST(len(list_filter(
+                    string_split_regex(lower(trim(text)), '\s+'),
+                    x -> length(x) > 0)) AS BIGINT) AS n_tok
+                  FROM documents),
+      d AS (SELECT doc_id, n_tok FROM tk WHERE n_tok > 0),
+      c AS (SELECT doc_id, n_tok,
+                   sum(n_tok) OVER (ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) AS cum
+            FROM d),
+      sp AS (SELECT doc_id, CAST(cum - n_tok AS BIGINT) AS s,
+                    CAST(cum - 1 AS BIGINT) AS e FROM c),
+      ch AS (SELECT doc_id, s,
+                    unnest(generate_series(s // 512, e // 512))
+                      AS chunk
+             FROM sp),
+      pc AS (SELECT chunk, CAST(count(*) AS BIGINT) AS n_docs,
+                    CAST(sum(CASE WHEN s // 512 = chunk
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                      AS n_starts
+             FROM ch GROUP BY 1),
+      t AS (SELECT max(cum) AS tt FROM c)
+      SELECT CAST(chunk AS BIGINT) AS chunk, n_docs, n_starts,
+             CAST(least(512, t.tt - chunk * 512) AS BIGINT)
+               AS n_tokens
+      FROM pc CROSS JOIN t ORDER BY chunk"""
+
   /** Round the named double columns for FP-stable oracle comparison. */
   private[graft] def rounded(cols: (String, Int)*)(
       fn: (SparkSession, String) => DataFrame)

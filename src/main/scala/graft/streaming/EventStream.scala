@@ -692,6 +692,49 @@ object EventStream {
       .toDF("shard", "n_rows", "fp", "k_count", "h_k")
   }
 
+  /** STREAMING CONTEXT PACKING — the q353/q355 chunk-census manifold
+    * maintained as documents STREAM in: each micro-batch is tokenized
+    * exactly once, its spans are laid AFTER the running token total
+    * (batch doc ids must ascend across batches — the file-stream
+    * ingest contract the fold theorem needs), and its chunk census
+    * APPENDS to the manifest directory. Because per-chunk doc counts
+    * are additive over disjoint doc sets, one groupBy-sum fold over
+    * the appended censuses equals the full batch rebuild exactly —
+    * q369 proves it against the rebuild oracle by hash. State outside
+    * the sink is ONE long (the running total) regardless of stream
+    * volume; history text is never re-read. `docsStream` must carry
+    * (doc_id, text). Returns the folded census with per-chunk fill. */
+  def streamingPacking(spark: SparkSession, docsStream: DataFrame,
+                       censusDir: String, checkpointDir: String,
+                       chunkTokens: Long): DataFrame =
+    withStatePartitions(spark, 8) {
+      val pk = graft.operators.Packing
+      val total = new java.util.concurrent.atomic.AtomicLong(0L)
+      val q = docsStream.writeStream
+        .foreachBatch { (bdf: DataFrame, _: Long) =>
+          val spans = pk.spans(
+            bdf.select(col("doc_id"),
+              graft.llm.TextAnalysis.tokenCount(col("text"))
+                .cast("long").as("n_tok")),
+            col("doc_id"), col("n_tok"),
+            baseOffset = total.get()).localCheckpoint()
+          pk.chunkCensus(spans, chunkTokens)
+            .write.mode("append").parquet(censusDir)
+          // bounded scalar pull: one long per micro-batch
+          val mx = spans.agg(max(col("e"))).collect()(0)
+          if (!mx.isNullAt(0)) total.set(mx.getLong(0) + 1)
+        }
+        .option("checkpointLocation", checkpointDir)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val folded = spark.read.parquet(censusDir)
+        .groupBy(col("chunk"))
+        .agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("n_starts")).as("n_starts"))
+      pk.withFill(folded, chunkTokens, lit(total.get()))
+    }
+
   /** Drain `agg` to a NO-OP sink while persisting the checkpoint at
     * `checkpoint` — nothing is kept from the OUTPUT; the point is the
     * checkpoint's state-store files, which [[StateAudit]] then reads
