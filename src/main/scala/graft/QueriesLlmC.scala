@@ -269,6 +269,52 @@ private[graft] object QueriesLlmC {
     },
 
 
+    // --- INTER-LABELER AGREEMENT (Cohen's kappa, exact): two
+    //     deterministic weak labelers over every doc — A = lexical
+    //     diversity (distinct tokens ≥ half the tokens), B = length
+    //     (≥ 40 tokens) — cross-tabulated per source; kappa =
+    //     (N·agree − Σ marginal products) / (N² − Σ marginal
+    //     products), a single division of two exact BIGINTs
+    //     (bit-identical across engines, round(6) belt-and-braces).
+    //     The weak-supervision QA primitive: which sources' quality
+    //     signals actually agree beyond chance, before a labeler's
+    //     votes are trusted in a filtering ensemble. One corpus scan,
+    //     one groupBy — trivially linear at any scale. ---
+    "q370_labeler_kappa" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(array_distinct(TextAnalysis.tokens(col("text"))))
+            .cast("long").as("n_dis"),
+          size(TextAnalysis.tokens(col("text"))).cast("long")
+            .as("n_tok"))
+        .withColumn("la", (col("n_dis") * 2 >= col("n_tok"))
+          .cast("long"))
+        .withColumn("lb", (col("n_tok") >= 40).cast("long"))
+      docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(when(col("la") === 1 && col("lb") === 1, 1L)),
+            lit(0L)).as("__a"),
+          coalesce(sum(when(col("la") === 1 && col("lb") === 0, 1L)),
+            lit(0L)).as("__b"),
+          coalesce(sum(when(col("la") === 0 && col("lb") === 1, 1L)),
+            lit(0L)).as("__c"),
+          coalesce(sum(when(col("la") === 0 && col("lb") === 0, 1L)),
+            lit(0L)).as("__d"))
+        .withColumn("n_agree", col("__a") + col("__d"))
+        .withColumn("__pe", (col("__a") + col("__b")) *
+          (col("__a") + col("__c")) + (col("__c") + col("__d")) *
+          (col("__b") + col("__d")))
+        .withColumn("kappa", round(
+          (col("n_docs") * col("n_agree") - col("__pe"))
+            .cast("double") /
+          greatest(col("n_docs") * col("n_docs") - col("__pe"),
+            lit(1L)).cast("double"), 6))
+        .select(col("source"), col("n_docs"), col("n_agree"),
+          col("kappa"))
+        .orderBy(col("source"))
+    },
+
+
     // --- TOKEN-EXPOSURE HISTOGRAM: under the q359 quality-quartile
     //     upsampling (quartile q repeats in epochs 1..q), how much
     //     token mass is seen once, twice, three, four times — the
@@ -482,6 +528,36 @@ private[graft] object QueriesLlmC {
                  THEN n_tok END), 0), 1) AS DOUBLE), 6)
                AS sel_score_per_tok
       FROM sc GROUP BY source ORDER BY source""",
+
+
+    "q370_labeler_kappa" -> """
+      WITH tk AS (SELECT doc_id, source, list_filter(
+                    string_split_regex(lower(trim(text)), '\s+'),
+                    x -> length(x) > 0) AS toks
+                  FROM documents),
+      l AS (SELECT source,
+                   CASE WHEN CAST(len(list_distinct(toks)) AS BIGINT)
+                     * 2 >= len(toks) THEN 1 ELSE 0 END AS la,
+                   CASE WHEN len(toks) >= 40 THEN 1 ELSE 0 END AS lb
+            FROM tk),
+      m AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(coalesce(sum(CASE WHEN la = 1 AND lb = 1
+                     THEN 1 END), 0) AS BIGINT) AS a,
+                   CAST(coalesce(sum(CASE WHEN la = 1 AND lb = 0
+                     THEN 1 END), 0) AS BIGINT) AS b,
+                   CAST(coalesce(sum(CASE WHEN la = 0 AND lb = 1
+                     THEN 1 END), 0) AS BIGINT) AS c,
+                   CAST(coalesce(sum(CASE WHEN la = 0 AND lb = 0
+                     THEN 1 END), 0) AS BIGINT) AS d
+            FROM l GROUP BY source)
+      SELECT source, n_docs, a + d AS n_agree,
+             round(CAST(n_docs * (a + d) -
+                 ((a + b) * (a + c) + (c + d) * (b + d))
+                 AS DOUBLE) /
+               CAST(greatest(n_docs * n_docs -
+                 ((a + b) * (a + c) + (c + d) * (b + d)), 1)
+                 AS DOUBLE), 6) AS kappa
+      FROM m ORDER BY source""",
 
 
     "q367_exposure_histogram" -> """
