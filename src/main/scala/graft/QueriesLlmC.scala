@@ -269,6 +269,51 @@ private[graft] object QueriesLlmC {
     },
 
 
+    // --- DATA-PARALLEL RANK SHARDING of the deterministic epoch
+    //     order (q360's byte-exact shuffle carried to the dataloader
+    //     boundary): each epoch's md5-shuffled sequence deals
+    //     round-robin onto R=8 ranks — rank = (rk−1) mod 8, step =
+    //     (rk−1) div 8 — so every rank's batch stream is a pinned
+    //     function of (corpus, epoch, R). Output per (epoch, rank):
+    //     docs, token sum (the straggler axis a training job stalls
+    //     on), and an ORDER-SENSITIVE Σ step·doc_id checksum — equal
+    //     checksums mean bitwise-identical per-rank streams, the
+    //     reproducibility contract a resumable 100 TB run certifies
+    //     against. Ranks are bucket-decomposed (shared bucketedRank);
+    //     exact integers end to end. ---
+    "q371_rank_sharding" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+        .select(col("doc_id"),
+          size(array_distinct(TextAnalysis.tokens(col("text"))))
+            .cast("long").as("score"),
+          size(TextAnalysis.tokens(col("text"))).cast("long")
+            .as("n_tok"))
+      val tot = docs.agg(count(lit(1)).as("__n"))
+      val repeated = bucketedRank(docs, Seq.empty, "score",
+          Seq("doc_id"), "__rn")
+        .crossJoin(broadcast(tot))
+        .withColumn("__quart", expr("((__rn - 1) * 4) div __n") + 1)
+        .withColumn("epoch",
+          explode(sequence(lit(1L), col("__quart"))))
+        .select(col("doc_id"), col("n_tok"), col("epoch"))
+      val keyed = repeated
+        .withColumn("h", md5(concat(lit("ep"),
+          col("epoch").cast("string"), lit(":"),
+          col("doc_id").cast("string")).cast("binary")))
+        .withColumn("__bk", substring(col("h"), 1, 2))
+      bucketedRank(keyed, Seq("epoch"), "__bk", Seq("h", "doc_id"),
+          "rk")
+        .withColumn("rnk", pmod(col("rk") - 1, lit(8L)))
+        .withColumn("step", expr("(rk - 1) div 8"))
+        .groupBy(col("epoch"), col("rnk"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("tok_sum"),
+          sum((col("step") + 1) * col("doc_id"))
+            .as("order_checksum"))
+        .orderBy(col("epoch"), col("rnk"))
+    },
+
+
     // --- INTER-LABELER AGREEMENT (Cohen's kappa, exact): two
     //     deterministic weak labelers over every doc — A = lexical
     //     diversity (distinct tokens ≥ half the tokens), B = length
@@ -528,6 +573,41 @@ private[graft] object QueriesLlmC {
                  THEN n_tok END), 0), 1) AS DOUBLE), 6)
                AS sel_score_per_tok
       FROM sc GROUP BY source ORDER BY source""",
+
+
+    "q371_rank_sharding" -> """
+      WITH tk AS (SELECT doc_id, list_filter(
+                    string_split_regex(lower(trim(text)), '\s+'),
+                    x -> length(x) > 0) AS toks
+                  FROM documents),
+      sc AS (SELECT doc_id,
+                    CAST(len(list_distinct(toks)) AS BIGINT)
+                      AS score,
+                    CAST(len(toks) AS BIGINT) AS n_tok
+             FROM tk),
+      r AS (SELECT doc_id, n_tok,
+                   row_number() OVER (ORDER BY score, doc_id) AS rn,
+                   count(*) OVER () AS n
+            FROM sc),
+      q AS (SELECT doc_id, n_tok,
+                   ((rn - 1) * 4) // n + 1 AS quart
+            FROM r),
+      ep AS (SELECT doc_id, n_tok,
+                    unnest(generate_series(1, quart)) AS epoch
+             FROM q),
+      o AS (SELECT doc_id, n_tok, epoch,
+                   row_number() OVER (PARTITION BY epoch
+                     ORDER BY md5('ep' || CAST(epoch AS VARCHAR) ||
+                       ':' || CAST(doc_id AS VARCHAR)), doc_id)
+                     AS rk
+            FROM ep)
+      SELECT CAST(epoch AS BIGINT) AS epoch,
+             CAST((rk - 1) % 8 AS BIGINT) AS rnk,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS tok_sum,
+             CAST(sum(((rk - 1) // 8 + 1) * doc_id) AS BIGINT)
+               AS order_checksum
+      FROM o GROUP BY 1, 2 ORDER BY 1, 2""",
 
 
     "q370_labeler_kappa" -> """
