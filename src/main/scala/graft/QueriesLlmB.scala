@@ -1724,8 +1724,12 @@ private[graft] object QueriesLlmB {
         Dedup.ngramJaccardPairs(corpus, col("doc_id"),
           col("text"), shingleN = 3, threshold = 0.5, maxDf = 16)
       }.select(col("id_a"), col("id_b"))
-      val comps = Dedup.connectedComponents(pairs, col("id_a"),
-        col("id_b"))
+      // the CLOSURE is as shareable as the pairs: q347/q354/q356/q372
+      // all need the same components, so it stages once too
+      val comps = graft.operators.Staged.getOrBuild(spark,
+          s"ngram_cc::$dir::mod3_trunc20::sh3_t0.5_df16") {
+        Dedup.connectedComponents(pairs, col("id_a"), col("id_b"))
+      }
       val scored = graft.llm.QualityModel.classify(corpus, col("text"))
         .select(col("doc_id").as("id"), col("score"))
       comps.join(broadcast(scored), Seq("id"))
@@ -1952,8 +1956,12 @@ private[graft] object QueriesLlmB {
         Dedup.ngramJaccardPairs(corpus, col("doc_id"),
           col("text"), shingleN = 3, threshold = 0.5, maxDf = 16)
       }.select(col("id_a"), col("id_b"))
-      val comps = Dedup.connectedComponents(pairs, col("id_a"),
-        col("id_b"))
+      // the CLOSURE is as shareable as the pairs: q347/q354/q356/q372
+      // all need the same components, so it stages once too
+      val comps = graft.operators.Staged.getOrBuild(spark,
+          s"ngram_cc::$dir::mod3_trunc20::sh3_t0.5_df16") {
+        Dedup.connectedComponents(pairs, col("id_a"), col("id_b"))
+      }
       val assigned = corpus.select(col("doc_id"))
         .join(comps.select(col("id").as("doc_id"), col("comp")),
           Seq("doc_id"), "left")
@@ -2015,8 +2023,12 @@ private[graft] object QueriesLlmB {
         Dedup.ngramJaccardPairs(corpus, col("doc_id"),
           col("text"), shingleN = 3, threshold = 0.5, maxDf = 16)
       }.select(col("id_a"), col("id_b"))
-      val comps = Dedup.connectedComponents(pairs, col("id_a"),
-        col("id_b"))
+      // the CLOSURE is as shareable as the pairs: q347/q354/q356/q372
+      // all need the same components, so it stages once too
+      val comps = graft.operators.Staged.getOrBuild(spark,
+          s"ngram_cc::$dir::mod3_trunc20::sh3_t0.5_df16") {
+        Dedup.connectedComponents(pairs, col("id_a"), col("id_b"))
+      }
       val assigned = corpus.select(col("doc_id"))
         .join(comps.select(col("id").as("doc_id"), col("comp")),
           Seq("doc_id"), "left")

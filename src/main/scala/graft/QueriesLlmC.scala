@@ -269,6 +269,76 @@ private[graft] object QueriesLlmC {
     },
 
 
+    // --- DEDUP-INDUCED MIXTURE SHIFT: near-dup dedup does not
+    //     remove tokens uniformly — duplicate-heavy sources shrink
+    //     more, so the UniMax water-fill lands on a DIFFERENT
+    //     allocation after dedup than the raw census promised. This
+    //     query measures exactly that: per-source token census
+    //     before and after cluster-keeper dedup (lowest-id keeper
+    //     over the q342/q354 STAGED pair set — the mining is free
+    //     within a run), the water-fill run on both censuses
+    //     (shared unimaxAlloc), and the per-source token drop in
+    //     basis points. The "your mixture spec is stale after
+    //     dedup" readout a pipeline re-plans from. All integers. ---
+    "q372_dedup_mixture" -> { (spark, dir) =>
+      val docs0 = tbl(spark, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      val variants = docs0.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          col("source"),
+          col("text").substr(lit(1),
+            greatest(length(col("text")) - 20, lit(1))).as("text"))
+      val corpus = docs0.unionByName(variants)
+      val pairs = graft.operators.Staged.getOrBuild(spark,
+          s"ngram_pairs::$dir::mod3_trunc20::sh3_t0.5_df16") {
+        graft.llm.Dedup.ngramJaccardPairs(
+          corpus.select(col("doc_id"), col("text")),
+          col("doc_id"), col("text"),
+          shingleN = 3, threshold = 0.5, maxDf = 16)
+      }.select(col("id_a"), col("id_b"))
+      val comps = graft.operators.Staged.getOrBuild(spark,
+          s"ngram_cc::$dir::mod3_trunc20::sh3_t0.5_df16") {
+        graft.llm.Dedup.connectedComponents(pairs, col("id_a"),
+          col("id_b"))
+      }
+      val toks = corpus.select(col("doc_id"), col("source"),
+        TextAnalysis.tokenCount(col("text")).cast("long")
+          .as("n_tok"))
+      val assigned = toks
+        .join(comps.select(col("id").as("doc_id"), col("comp")),
+          Seq("doc_id"), "left")
+        .withColumn("cluster", coalesce(col("comp"), col("doc_id")))
+      val keepers = assigned.groupBy(col("cluster"))
+        .agg(min(col("doc_id")).as("__keep"))
+      // one materialization cuts the closure out of every downstream
+      // lineage: the two censuses, the guard count, and unimaxAlloc's
+      // internal re-references would otherwise each re-run the
+      // connected-components rounds (29.5 -> ~2 s warm)
+      val marked = assigned.join(keepers, Seq("cluster"))
+        .withColumn("keep", col("doc_id") === col("__keep"))
+        .select(col("source"), col("n_tok"), col("keep"))
+        .localCheckpoint()
+      val pre = marked.groupBy(col("source"))
+        .agg(sum(col("n_tok")).as("sz_pre"))
+      val post = marked.filter(col("keep")).groupBy(col("source"))
+        .agg(sum(col("n_tok")).as("sz_post"))
+      // q352's census bound, shared remedy
+      val nSources = pre.count()
+      require(nSources <= 10000,
+        s"q372: source census has $nSources sources, above the " +
+          "10000 the allocation windows are bounded for")
+      val aPre = unimaxAlloc(pre, "sz_pre", "alloc_pre", 6, 10)
+      val aPost = unimaxAlloc(post, "sz_post", "alloc_post", 6, 10)
+      aPre.join(aPost, Seq("source"), "left")
+        .select(col("source"), col("sz_pre"), col("alloc_pre"),
+          coalesce(col("sz_post"), lit(0L)).as("sz_post"),
+          coalesce(col("alloc_post"), lit(0L)).as("alloc_post"),
+          expr("(sz_pre - coalesce(sz_post, 0)) * 10000 div sz_pre")
+            .as("drop_bp"))
+        .orderBy(col("source"))
+    },
+
+
     // --- DATA-PARALLEL RANK SHARDING of the deterministic epoch
     //     order (q360's byte-exact shuffle carried to the dataloader
     //     boundary): each epoch's md5-shuffled sequence deals
@@ -573,6 +643,71 @@ private[graft] object QueriesLlmC {
                  THEN n_tok END), 0), 1) AS DOUBLE), 6)
                AS sel_score_per_tok
       FROM sc GROUP BY source ORDER BY source""",
+
+
+    "q372_dedup_mixture" -> s"""
+      WITH RECURSIVE
+      base AS (SELECT doc_id, source, text FROM documents
+               UNION ALL
+               SELECT doc_id + 1000000, source,
+                      substring(text, 1,
+                        greatest(length(text) - 20, 1))
+               FROM documents WHERE doc_id % 3 = 0),
+      tk AS (SELECT doc_id, source, list_filter(
+               string_split_regex(lower(trim(text)), '\\s+'),
+               x -> length(x) > 0) AS toks FROM base),
+      sh AS (SELECT doc_id,
+               CASE WHEN len(toks) >= 3 THEN
+                      list_distinct(list_transform(
+                        generate_series(1, len(toks) - 2),
+                        i -> toks[i] || ' ' || toks[i+1] || ' '
+                          || toks[i+2]))
+                    WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+                    ELSE [] END AS s
+             FROM tk),
+      ex0 AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      kg AS (SELECT g FROM ex0 GROUP BY g HAVING count(*) <= 16),
+      ex AS (SELECT doc_id, ex0.g FROM ex0 JOIN kg USING (g)),
+      dsz AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       count(*) AS ns
+                FROM ex a JOIN ex b
+                  ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+      p AS (SELECT i.id_a, i.id_b
+            FROM inter i
+            JOIN dsz sa ON sa.doc_id = i.id_a
+            JOIN dsz sb ON sb.doc_id = i.id_b
+            WHERE round(CAST(i.ns AS DOUBLE)
+              / (sa.sz + sb.sz - i.ns), 6) >= 0.5),
+      e AS (SELECT id_a AS x, id_b AS y FROM p
+            UNION ALL SELECT id_b, id_a FROM p),
+      r AS (SELECT x AS id, x AS rr FROM e
+            UNION
+            SELECT e.x, r.rr FROM e JOIN r ON e.y = r.id),
+      cc AS (SELECT id, min(rr) AS comp FROM r GROUP BY id),
+      asg AS (SELECT tk.doc_id, tk.source,
+                     CAST(len(tk.toks) AS BIGINT) AS n_tok,
+                     coalesce(cc.comp, tk.doc_id) AS cluster
+              FROM tk LEFT JOIN cc ON cc.id = tk.doc_id),
+      kp AS (SELECT cluster, min(doc_id) AS keep_id
+             FROM asg GROUP BY 1),
+      mk AS (SELECT asg.*, (asg.doc_id = kp.keep_id) AS keep
+             FROM asg JOIN kp USING (cluster)),
+      pre AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS sz_pre
+              FROM mk GROUP BY 1),
+      post AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS sz_post
+               FROM mk WHERE keep GROUP BY 1),
+      ${unimaxAllocSql("pre", "sz_pre", "alloc_pre", "u1")},
+      ${unimaxAllocSql("post", "sz_post", "alloc_post", "u2")}
+      SELECT a1.source, a1.sz_pre, a1.alloc_pre,
+             CAST(coalesce(a2.sz_post, 0) AS BIGINT) AS sz_post,
+             CAST(coalesce(a2.alloc_post, 0) AS BIGINT)
+               AS alloc_post,
+             CAST((a1.sz_pre - coalesce(a2.sz_post, 0)) * 10000
+               // a1.sz_pre AS BIGINT) AS drop_bp
+      FROM u1a a1 LEFT JOIN u2a a2 USING (source)
+      ORDER BY a1.source""",
 
 
     "q371_rank_sharding" -> """

@@ -135,6 +135,41 @@ private[graft] object QueryShared {
                AS n_tokens
       FROM pc CROSS JOIN t ORDER BY chunk"""
 
+  /** The q352/q357 UniMax water-fill as a reusable oracle-SQL CTE
+    * chain over a (source, `size`) census CTE named `src`: appends
+    * CTEs `${p}t …${p}a`, where `${p}a` holds (source, size, alloc).
+    * Column names `rem`/`lft` (not `r`/`l`) so the fragment composes
+    * with queries whose OUTER `WITH RECURSIVE` already binds `r`
+    * (DuckDB resolves names case-insensitively — the q215 lesson). */
+  private[graft] def unimaxAllocSql(src: String, size: String,
+                                    alloc: String, p: String)
+      : String = s"""
+      ${p}t AS (SELECT CAST((sum($size) * 6) // 10 AS BIGINT) AS b,
+                   CAST(count(*) AS BIGINT) AS n FROM $src),
+      ${p}o AS (SELECT source, $size, b, n,
+                   row_number() OVER (ORDER BY $size, source) AS rn,
+                   sum($size) OVER (ORDER BY $size, source
+                     ROWS UNBOUNDED PRECEDING) AS cum
+                FROM $src CROSS JOIN ${p}t),
+      ${p}f AS (SELECT *,
+                   ($size * (n - rn + 1) <= b - (cum - $size)) AS raw
+                FROM ${p}o),
+      ${p}ff AS (SELECT coalesce(min(CASE WHEN NOT raw THEN rn END),
+                                 max(n) + 1) AS ff FROM ${p}f),
+      ${p}ck AS (SELECT coalesce(max(CASE WHEN f.rn = ff.ff - 1
+                                      THEN f.cum END), 0) AS cumk
+                 FROM ${p}f f CROSS JOIN ${p}ff ff),
+      ${p}p AS (SELECT f.source, f.$size, f.rn, ff.ff,
+                   f.b - ck.cumk AS rem, f.n - (ff.ff - 1) AS lft
+                FROM ${p}f f CROSS JOIN ${p}ff ff
+                CROSS JOIN ${p}ck ck),
+      ${p}a AS (SELECT source, $size,
+                   CAST(CASE WHEN rn < ff THEN $size
+                        ELSE (rem // lft) + (CASE WHEN rn - (ff - 1)
+                          <= (rem % lft) THEN 1 ELSE 0 END)
+                   END AS BIGINT) AS $alloc
+                FROM ${p}p)"""
+
   /** Round the named double columns for FP-stable oracle comparison. */
   private[graft] def rounded(cols: (String, Int)*)(
       fn: (SparkSession, String) => DataFrame)

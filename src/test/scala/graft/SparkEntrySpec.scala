@@ -15,6 +15,7 @@ class SparkEntrySpec extends AnyFunSuite {
     "Jx" -> (QueriesJx.queries, QueriesJx.oracleSql),
     "LlmA" -> (QueriesLlmA.queries, QueriesLlmA.oracleSql),
     "LlmB" -> (QueriesLlmB.queries, QueriesLlmB.oracleSql),
+    "LlmC" -> (QueriesLlmC.queries, QueriesLlmC.oracleSql),
     "Streaming" -> (QueriesStreaming.queries, QueriesStreaming.oracleSql),
     "WarehouseA" -> (QueriesWarehouseA.queries, QueriesWarehouseA.oracleSql),
     "WarehouseB" -> (QueriesWarehouseB.queries, QueriesWarehouseB.oracleSql),
