@@ -269,6 +269,50 @@ private[graft] object QueriesLlmC {
     },
 
 
+    // --- PACKING-GRANULARITY SWEEP (the knob table for choosing a
+    //     context length): ONE spans build — the token axis is
+    //     L-independent — fanned against a broadcast literal knob
+    //     table (L = 128/256/512/1024, the q340/q341 sweep shape);
+    //     per L: chunk count, docs that CROSS a boundary (the
+    //     attention-mask/truncation cost axis), boundary crossings
+    //     per doc, and tail waste. Explode-free: crossings per doc =
+    //     e div L − s div L (arithmetic on the span endpoints), so
+    //     sweep cost is 4 projections of the same spans frame, not
+    //     4 re-packs. Exact integers. ---
+    "q373_packing_sweep" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+        .select(col("doc_id"),
+          size(TextAnalysis.tokens(col("text"))).cast("long")
+            .as("n_tok"))
+      val spans = graft.operators.Packing.spans(
+          docs, col("doc_id"), col("n_tok"))
+        .localCheckpoint() // one build feeds all four knobs + total
+      val knobs = spark.createDataFrame(
+          Seq(Tuple1(128L), Tuple1(256L), Tuple1(512L),
+            Tuple1(1024L))).toDF("chunk_l")
+      val tot = spans.agg((max(col("e")) + 1).as("__t"))
+      spans.crossJoin(broadcast(knobs))
+        .withColumn("__cross",
+          expr("e div chunk_l") - expr("s div chunk_l"))
+        .groupBy(col("chunk_l"))
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(when(col("__cross") > 0, 1L)), lit(0L))
+            .as("docs_split"),
+          sum(col("__cross")).as("n_crossings"))
+        .crossJoin(broadcast(tot))
+        .withColumn("n_chunks",
+          expr("(__t + chunk_l - 1) div chunk_l"))
+        .withColumn("tail_waste",
+          col("n_chunks") * col("chunk_l") - col("__t"))
+        .withColumn("split_bp",
+          expr("docs_split * 10000 div n_docs"))
+        .select(col("chunk_l"), col("n_chunks"), col("n_docs"),
+          col("docs_split"), col("split_bp"), col("n_crossings"),
+          col("tail_waste"))
+        .orderBy(col("chunk_l"))
+    },
+
+
     // --- DEDUP-INDUCED MIXTURE SHIFT: near-dup dedup does not
     //     remove tokens uniformly — duplicate-heavy sources shrink
     //     more, so the UniMax water-fill lands on a DIFFERENT
@@ -381,6 +425,43 @@ private[graft] object QueriesLlmC {
           sum((col("step") + 1) * col("doc_id"))
             .as("order_checksum"))
         .orderBy(col("epoch"), col("rnk"))
+    },
+
+
+    // --- EPOCH MIXTURE DRIFT under quality upsampling: q359 repeats
+    //     high-quality quartiles in later epochs, which SHIFTS the
+    //     effective source mixture epoch by epoch (quality is not
+    //     uniform across sources) — later epochs overweight the
+    //     sources whose docs score high, and a mixture spec pinned
+    //     at epoch 1 silently drifts by epoch 4. Output per (epoch,
+    //     source): docs, token mass, and the source's share of that
+    //     epoch's tokens in basis points (exact integer div); the
+    //     drift is the share column read down an epoch. ---
+    "q375_epoch_mixture_drift" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(array_distinct(TextAnalysis.tokens(col("text"))))
+            .cast("long").as("score"),
+          size(TextAnalysis.tokens(col("text"))).cast("long")
+            .as("n_tok"))
+      val tot = docs.agg(count(lit(1)).as("__n"))
+      val exposed = bucketedRank(docs, Seq.empty, "score",
+          Seq("doc_id"), "__rn")
+        .crossJoin(broadcast(tot))
+        .withColumn("epoch",
+          explode(sequence(lit(1L),
+            expr("((__rn - 1) * 4) div __n") + 1)))
+      val perSrc = exposed.groupBy(col("epoch"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("tok_sum"))
+      val perEp = perSrc.groupBy(col("epoch"))
+        .agg(sum(col("tok_sum")).as("__et"))
+      perSrc.join(broadcast(perEp), Seq("epoch"))
+        .withColumn("share_bp",
+          expr("tok_sum * 10000 div __et"))
+        .select(col("epoch"), col("source"), col("n_docs"),
+          col("tok_sum"), col("share_bp"))
+        .orderBy(col("epoch"), col("source"))
     },
 
 
@@ -645,6 +726,39 @@ private[graft] object QueriesLlmC {
       FROM sc GROUP BY source ORDER BY source""",
 
 
+    "q373_packing_sweep" -> """
+      WITH tk AS (SELECT doc_id, CAST(len(list_filter(
+                    string_split_regex(lower(trim(text)), '\s+'),
+                    x -> length(x) > 0)) AS BIGINT) AS n_tok
+                  FROM documents),
+      d AS (SELECT doc_id, n_tok FROM tk WHERE n_tok > 0),
+      c AS (SELECT doc_id, n_tok,
+                   sum(n_tok) OVER (ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) AS cum
+            FROM d),
+      sp AS (SELECT doc_id, CAST(cum - n_tok AS BIGINT) AS s,
+                    CAST(cum - 1 AS BIGINT) AS e FROM c),
+      t AS (SELECT CAST(max(cum) AS BIGINT) AS tt FROM c),
+      k AS (SELECT CAST(unnest([128, 256, 512, 1024]) AS BIGINT)
+              AS chunk_l),
+      x AS (SELECT k.chunk_l, sp.doc_id,
+                   sp.e // k.chunk_l - sp.s // k.chunk_l AS xing
+            FROM sp CROSS JOIN k)
+      SELECT chunk_l,
+             CAST((t.tt + chunk_l - 1) // chunk_l AS BIGINT)
+               AS n_chunks,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(coalesce(sum(CASE WHEN xing > 0 THEN 1 END), 0)
+               AS BIGINT) AS docs_split,
+             CAST(coalesce(sum(CASE WHEN xing > 0 THEN 1 END), 0)
+               * 10000 // count(*) AS BIGINT) AS split_bp,
+             CAST(sum(xing) AS BIGINT) AS n_crossings,
+             CAST(((t.tt + chunk_l - 1) // chunk_l) * chunk_l - t.tt
+               AS BIGINT) AS tail_waste
+      FROM x CROSS JOIN t GROUP BY chunk_l, t.tt
+      ORDER BY chunk_l""",
+
+
     "q372_dedup_mixture" -> s"""
       WITH RECURSIVE
       base AS (SELECT doc_id, source, text FROM documents
@@ -743,6 +857,37 @@ private[graft] object QueriesLlmC {
              CAST(sum(((rk - 1) // 8 + 1) * doc_id) AS BIGINT)
                AS order_checksum
       FROM o GROUP BY 1, 2 ORDER BY 1, 2""",
+
+
+    "q375_epoch_mixture_drift" -> """
+      WITH tk AS (SELECT doc_id, source, list_filter(
+                    string_split_regex(lower(trim(text)), '\s+'),
+                    x -> length(x) > 0) AS toks
+                  FROM documents),
+      sc AS (SELECT doc_id, source,
+                    CAST(len(list_distinct(toks)) AS BIGINT)
+                      AS score,
+                    CAST(len(toks) AS BIGINT) AS n_tok
+             FROM tk),
+      r AS (SELECT doc_id, source, n_tok,
+                   row_number() OVER (ORDER BY score, doc_id) AS rn,
+                   count(*) OVER () AS n
+            FROM sc),
+      ep AS (SELECT doc_id, source, n_tok,
+                    unnest(generate_series(1,
+                      ((rn - 1) * 4) // n + 1)) AS epoch
+             FROM r),
+      ps AS (SELECT epoch, source,
+                    CAST(count(*) AS BIGINT) AS n_docs,
+                    CAST(sum(n_tok) AS BIGINT) AS tok_sum
+             FROM ep GROUP BY 1, 2),
+      pe AS (SELECT epoch, CAST(sum(tok_sum) AS BIGINT) AS et
+             FROM ps GROUP BY 1)
+      SELECT CAST(ps.epoch AS BIGINT) AS epoch, ps.source,
+             ps.n_docs, ps.tok_sum,
+             CAST(ps.tok_sum * 10000 // pe.et AS BIGINT) AS share_bp
+      FROM ps JOIN pe ON pe.epoch = ps.epoch
+      ORDER BY ps.epoch, ps.source""",
 
 
     "q370_labeler_kappa" -> """
