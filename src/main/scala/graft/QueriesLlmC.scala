@@ -428,6 +428,53 @@ private[graft] object QueriesLlmC {
     },
 
 
+    // --- CANARY EXPOSURE LEDGER (memorization-audit bookkeeping):
+    //     12 deterministic canary docs of graded length are injected
+    //     above the id space; the ledger reports, per canary, how
+    //     the TRAINING STREAM will expose it — its quality quartile
+    //     under the q359 upsampling policy (= times seen across
+    //     epochs) and its packed-chunk placement (first/last chunk,
+    //     chunks touched at L=512). A post-training extraction test
+    //     reads this table to know each canary's expected exposure
+    //     count before measuring memorization against it. Exact
+    //     integers; the oracle rebuilds the same canaries with SQL
+    //     string algebra. ---
+    "q374_canary_exposure" -> { (spark, dir) =>
+      import spark.implicits._
+      val canaries = spark.createDataFrame(
+        (1 to 12).map { k =>
+          val toks = s"canary$k" +:
+            (1 to 4 * k).map(j => s"t${k}x$j")
+          (5000000L + k, toks.mkString(" "))
+        }).toDF("doc_id", "text")
+      val corpus = tbl(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .unionByName(canaries)
+        .select(col("doc_id"),
+          size(array_distinct(TextAnalysis.tokens(col("text"))))
+            .cast("long").as("score"),
+          size(TextAnalysis.tokens(col("text"))).cast("long")
+            .as("n_tok"))
+      val tot = corpus.agg(count(lit(1)).as("__n"))
+      val quarts = bucketedRank(corpus, Seq.empty, "score",
+          Seq("doc_id"), "__rn")
+        .crossJoin(broadcast(tot))
+        .withColumn("quartile",
+          expr("((__rn - 1) * 4) div __n") + 1)
+      val spans = graft.operators.Packing.spans(
+        corpus, col("doc_id"), col("n_tok"))
+      quarts.filter(col("doc_id") >= 5000000L)
+        .join(spans.select(col("doc_id"), col("s"), col("e")),
+          Seq("doc_id"))
+        .select(col("doc_id"), col("n_tok"), col("quartile"),
+          expr("s div 512").as("chunk_first"),
+          expr("e div 512").as("chunk_last"),
+          (expr("e div 512") - expr("s div 512") + 1)
+            .as("chunks_touched"))
+        .orderBy(col("doc_id"))
+    },
+
+
     // --- EPOCH MIXTURE DRIFT under quality upsampling: q359 repeats
     //     high-quality quartiles in later epochs, which SHIFTS the
     //     effective source mixture epoch by epoch (quality is not
@@ -857,6 +904,48 @@ private[graft] object QueriesLlmC {
              CAST(sum(((rk - 1) // 8 + 1) * doc_id) AS BIGINT)
                AS order_checksum
       FROM o GROUP BY 1, 2 ORDER BY 1, 2""",
+
+
+    "q374_canary_exposure" -> """
+      WITH can AS (SELECT CAST(5000000 + k AS BIGINT) AS doc_id,
+                          'canary' || k || ' ' || array_to_string(
+                            list_transform(generate_series(1, 4 * k),
+                              j -> 't' || k || 'x' || j), ' ')
+                            AS text
+                   FROM (SELECT unnest(generate_series(1, 12)) AS k)),
+      base AS (SELECT doc_id, text FROM documents
+               UNION ALL SELECT doc_id, text FROM can),
+      tk AS (SELECT doc_id, list_filter(
+               string_split_regex(lower(trim(text)), '\s+'),
+               x -> length(x) > 0) AS toks FROM base),
+      sc AS (SELECT doc_id,
+                    CAST(len(list_distinct(toks)) AS BIGINT)
+                      AS score,
+                    CAST(len(toks) AS BIGINT) AS n_tok
+             FROM tk),
+      r AS (SELECT doc_id, n_tok,
+                   row_number() OVER (ORDER BY score, doc_id) AS rn,
+                   count(*) OVER () AS n
+            FROM sc),
+      q AS (SELECT doc_id, n_tok,
+                   ((rn - 1) * 4) // n + 1 AS quartile
+            FROM r),
+      d AS (SELECT doc_id, n_tok FROM sc WHERE n_tok > 0),
+      c AS (SELECT doc_id, n_tok,
+                   sum(n_tok) OVER (ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) AS cum
+            FROM d),
+      sp AS (SELECT doc_id, CAST(cum - n_tok AS BIGINT) AS s,
+                    CAST(cum - 1 AS BIGINT) AS e FROM c)
+      SELECT q.doc_id, q.n_tok,
+             CAST(q.quartile AS BIGINT) AS quartile,
+             CAST(sp.s // 512 AS BIGINT) AS chunk_first,
+             CAST(sp.e // 512 AS BIGINT) AS chunk_last,
+             CAST(sp.e // 512 - sp.s // 512 + 1 AS BIGINT)
+               AS chunks_touched
+      FROM q JOIN sp ON sp.doc_id = q.doc_id
+      WHERE q.doc_id >= 5000000
+      ORDER BY q.doc_id""",
 
 
     "q375_epoch_mixture_drift" -> """
