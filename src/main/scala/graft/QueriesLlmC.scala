@@ -428,6 +428,108 @@ private[graft] object QueriesLlmC {
     },
 
 
+    // --- NEAR-DUP × UPSAMPLING EXPOSURE INTERPLAY: upsampling
+    //     multiplies exposures per doc, near-dup families multiply
+    //     docs per content — together a family's content can be seen
+    //     size × quartile times. Over the staged pair corpus
+    //     (docs ∪ truncated variants, the q342 key): cluster sizes
+    //     from the STAGED closure, exposure = q359 quartile, and the
+    //     census buckets token INSTANCES (mass × exposure) by family
+    //     size (singleton / small 2-3 / family 4+) with shares in
+    //     basis points — "dedup before you upsample, or the risk
+    //     compounds", quantified. Exact integers. ---
+    "q376_dup_exposure" -> { (spark, dir) =>
+      val docs0 = tbl(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val variants = docs0.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          col("text").substr(lit(1),
+            greatest(length(col("text")) - 20, lit(1))).as("text"))
+      val corpus = docs0.unionByName(variants)
+      val pairs = graft.operators.Staged.getOrBuild(spark,
+          s"ngram_pairs::$dir::mod3_trunc20::sh3_t0.5_df16") {
+        graft.llm.Dedup.ngramJaccardPairs(corpus, col("doc_id"),
+          col("text"), shingleN = 3, threshold = 0.5, maxDf = 16)
+      }.select(col("id_a"), col("id_b"))
+      val comps = graft.operators.Staged.getOrBuild(spark,
+          s"ngram_cc::$dir::mod3_trunc20::sh3_t0.5_df16") {
+        graft.llm.Dedup.connectedComponents(pairs, col("id_a"),
+          col("id_b"))
+      }
+      val scored = corpus.select(col("doc_id"),
+        size(array_distinct(TextAnalysis.tokens(col("text"))))
+          .cast("long").as("score"),
+        size(TextAnalysis.tokens(col("text"))).cast("long")
+          .as("n_tok"))
+      val tot = scored.agg(count(lit(1)).as("__n"))
+      val exposed = bucketedRank(scored, Seq.empty, "score",
+          Seq("doc_id"), "__rn")
+        .crossJoin(broadcast(tot))
+        .withColumn("exposure",
+          expr("((__rn - 1) * 4) div __n") + 1)
+      val assigned = exposed
+        .join(comps.select(col("id").as("doc_id"), col("comp")),
+          Seq("doc_id"), "left")
+        .withColumn("cluster", coalesce(col("comp"), col("doc_id")))
+      val sizes = assigned.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("__csz"))
+      val bucketed = assigned.join(sizes, Seq("cluster"))
+        .withColumn("family",
+          when(col("__csz") === 1, "1_singleton")
+            .when(col("__csz") <= 3, "2_small")
+            .otherwise("3_family"))
+      val ti = bucketed.agg(sum(col("n_tok") * col("exposure"))
+        .as("__ti"))
+      bucketed.groupBy(col("family"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster")).as("n_clusters"),
+          sum(col("n_tok") * col("exposure")).as("tok_instances"))
+        .crossJoin(broadcast(ti))
+        .withColumn("share_bp",
+          expr("tok_instances * 10000 div __ti"))
+        .select(col("family"), col("n_docs"), col("n_clusters"),
+          col("tok_instances"), col("share_bp"))
+        .orderBy(col("family"))
+    },
+
+
+    // --- TRUNCATION-POLICY TOKEN BUDGET: the three ways to fit docs
+    //     into a context window — PACK (concatenate-and-cut: keeps
+    //     every token), TRUNCATE at L (keeps min(n_tok, L)), DROP
+    //     over L (keeps whole docs only) — compared on retained
+    //     token mass per L knob, computed arithmetically per doc
+    //     from one census (no repacking, no explode). The decision
+    //     table for a data-budget review: how many tokens each
+    //     policy throws away at each context length. Exact
+    //     integers. ---
+    "q377_truncation_budget" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+        .select(col("doc_id"),
+          size(TextAnalysis.tokens(col("text"))).cast("long")
+            .as("n_tok"))
+      val knobs = spark.createDataFrame(
+          Seq(Tuple1(128L), Tuple1(256L), Tuple1(512L),
+            Tuple1(1024L))).toDF("chunk_l")
+      docs.crossJoin(broadcast(knobs))
+        .groupBy(col("chunk_l"))
+        .agg(sum(col("n_tok")).as("total_tok"),
+          sum(least(col("n_tok"), col("chunk_l")))
+            .as("trunc_kept"),
+          coalesce(sum(when(col("n_tok") <= col("chunk_l"),
+            col("n_tok"))), lit(0L)).as("drop_kept"),
+          coalesce(sum(when(col("n_tok") > col("chunk_l"), 1L)),
+            lit(0L)).as("docs_dropped"))
+        .withColumn("trunc_bp",
+          expr("trunc_kept * 10000 div total_tok"))
+        .withColumn("drop_bp",
+          expr("drop_kept * 10000 div total_tok"))
+        .select(col("chunk_l"), col("total_tok"), col("trunc_kept"),
+          col("trunc_bp"), col("drop_kept"), col("drop_bp"),
+          col("docs_dropped"))
+        .orderBy(col("chunk_l"))
+    },
+
+
     // --- CANARY EXPOSURE LEDGER (memorization-audit bookkeeping):
     //     12 deterministic canary docs of graded length are injected
     //     above the id space; the ledger reports, per canary, how
@@ -904,6 +1006,105 @@ private[graft] object QueriesLlmC {
              CAST(sum(((rk - 1) // 8 + 1) * doc_id) AS BIGINT)
                AS order_checksum
       FROM o GROUP BY 1, 2 ORDER BY 1, 2""",
+
+
+    "q376_dup_exposure" -> """
+      WITH RECURSIVE
+      base AS (SELECT doc_id, text FROM documents
+               UNION ALL
+               SELECT doc_id + 1000000,
+                      substring(text, 1,
+                        greatest(length(text) - 20, 1))
+               FROM documents WHERE doc_id % 3 = 0),
+      tk AS (SELECT doc_id, list_filter(
+               string_split_regex(lower(trim(text)), '\s+'),
+               x -> length(x) > 0) AS toks FROM base),
+      sh AS (SELECT doc_id,
+               CASE WHEN len(toks) >= 3 THEN
+                      list_distinct(list_transform(
+                        generate_series(1, len(toks) - 2),
+                        i -> toks[i] || ' ' || toks[i+1] || ' '
+                          || toks[i+2]))
+                    WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+                    ELSE [] END AS s
+             FROM tk),
+      ex0 AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      kg AS (SELECT g FROM ex0 GROUP BY g HAVING count(*) <= 16),
+      ex AS (SELECT doc_id, ex0.g FROM ex0 JOIN kg USING (g)),
+      dsz AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       count(*) AS ns
+                FROM ex a JOIN ex b
+                  ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+      p AS (SELECT i.id_a, i.id_b
+            FROM inter i
+            JOIN dsz sa ON sa.doc_id = i.id_a
+            JOIN dsz sb ON sb.doc_id = i.id_b
+            WHERE round(CAST(i.ns AS DOUBLE)
+              / (sa.sz + sb.sz - i.ns), 6) >= 0.5),
+      e AS (SELECT id_a AS x, id_b AS y FROM p
+            UNION ALL SELECT id_b, id_a FROM p),
+      r AS (SELECT x AS id, x AS rr FROM e
+            UNION
+            SELECT e.x, r.rr FROM e JOIN r ON e.y = r.id),
+      cc AS (SELECT id, min(rr) AS comp FROM r GROUP BY id),
+      sc AS (SELECT doc_id,
+                    CAST(len(list_distinct(toks)) AS BIGINT)
+                      AS score,
+                    CAST(len(toks) AS BIGINT) AS n_tok
+             FROM tk),
+      rk AS (SELECT doc_id, n_tok,
+                    row_number() OVER (ORDER BY score, doc_id) AS rn,
+                    count(*) OVER () AS n
+             FROM sc),
+      q AS (SELECT doc_id, n_tok,
+                   ((rn - 1) * 4) // n + 1 AS exposure
+            FROM rk),
+      asg AS (SELECT q.doc_id, q.n_tok, q.exposure,
+                     coalesce(cc.comp, q.doc_id) AS cluster
+              FROM q LEFT JOIN cc ON cc.id = q.doc_id),
+      cs AS (SELECT cluster, count(*) AS csz FROM asg GROUP BY 1),
+      bk AS (SELECT asg.*, CASE WHEN cs.csz = 1 THEN '1_singleton'
+                                WHEN cs.csz <= 3 THEN '2_small'
+                                ELSE '3_family' END AS family
+             FROM asg JOIN cs USING (cluster)),
+      ti AS (SELECT CAST(sum(n_tok * exposure) AS BIGINT) AS ti
+             FROM bk)
+      SELECT family, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(DISTINCT cluster) AS BIGINT) AS n_clusters,
+             CAST(sum(n_tok * exposure) AS BIGINT) AS tok_instances,
+             CAST(sum(n_tok * exposure) * 10000 // ti.ti AS BIGINT)
+               AS share_bp
+      FROM bk CROSS JOIN ti GROUP BY family, ti.ti
+      ORDER BY family""",
+
+
+    "q377_truncation_budget" -> """
+      WITH tk AS (SELECT doc_id, CAST(len(list_filter(
+                    string_split_regex(lower(trim(text)), '\s+'),
+                    x -> length(x) > 0)) AS BIGINT) AS n_tok
+                  FROM documents),
+      k AS (SELECT CAST(unnest([128, 256, 512, 1024]) AS BIGINT)
+              AS chunk_l),
+      x AS (SELECT k.chunk_l, tk.n_tok FROM tk CROSS JOIN k),
+      m AS (SELECT chunk_l,
+                   CAST(sum(n_tok) AS BIGINT) AS total_tok,
+                   CAST(sum(least(n_tok, chunk_l)) AS BIGINT)
+                     AS trunc_kept,
+                   CAST(coalesce(sum(CASE WHEN n_tok <= chunk_l
+                     THEN n_tok END), 0) AS BIGINT) AS drop_kept,
+                   CAST(coalesce(sum(CASE WHEN n_tok > chunk_l
+                     THEN 1 END), 0) AS BIGINT) AS docs_dropped
+            FROM x GROUP BY 1)
+      SELECT chunk_l, total_tok, trunc_kept,
+             CAST(trunc_kept * 10000 // total_tok AS BIGINT)
+               AS trunc_bp,
+             drop_kept,
+             CAST(drop_kept * 10000 // total_tok AS BIGINT)
+               AS drop_bp,
+             docs_dropped
+      FROM m ORDER BY chunk_l""",
 
 
     "q374_canary_exposure" -> """
