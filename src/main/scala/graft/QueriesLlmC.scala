@@ -693,6 +693,152 @@ private[graft] object QueriesLlmC {
         .select(col("exposure"), col("n_docs"), col("tok_mass"),
           col("n_instances"), col("share_bp"))
         .orderBy(col("exposure"))
+    },
+
+
+    // --- MID-EPOCH CHECKPOINT RESUME (the data-loader restore
+    //     contract): the q360/q371 schedule is content-keyed md5
+    //     order, so resuming from global step S needs NO RNG state —
+    //     recompute ranks, keep step >= S. Per epoch the cut is half
+    //     the epoch's complete world-8 steps; the output pins, per
+    //     (epoch, rank): consumed/resumed counts, the resumed token
+    //     mass, an order-sensitive resumed checksum (byte-exact tail
+    //     order, not just the multiset), and each rank's NEXT sample
+    //     at restore. n_consumed + n_resumed = epoch size by
+    //     construction, hash-gated. Scale: ranks ride bucketedRank
+    //     (256-way hash-prefix buckets + triangular offsets — no
+    //     single-task epoch window); the cut is a per-epoch scalar
+    //     join, not a driver collect. ---
+    "q378_resume_schedule" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+        .select(col("doc_id"),
+          size(array_distinct(TextAnalysis.tokens(col("text"))))
+            .cast("long").as("score"),
+          size(TextAnalysis.tokens(col("text"))).cast("long")
+            .as("n_tok"))
+      val tot = docs.agg(count(lit(1)).as("__n"))
+      val repeated = bucketedRank(docs, Seq.empty, "score",
+          Seq("doc_id"), "__rn")
+        .crossJoin(broadcast(tot))
+        .withColumn("__quart", expr("((__rn - 1) * 4) div __n") + 1)
+        .withColumn("epoch",
+          explode(sequence(lit(1L), col("__quart"))))
+        .select(col("doc_id"), col("n_tok"), col("epoch"))
+      val keyed = repeated
+        .withColumn("h", md5(concat(lit("ep"),
+          col("epoch").cast("string"), lit(":"),
+          col("doc_id").cast("string")).cast("binary")))
+        .withColumn("__bk", substring(col("h"), 1, 2))
+      val ranked = bucketedRank(keyed, Seq("epoch"), "__bk",
+          Seq("h", "doc_id"), "rk")
+        .withColumn("rnk", pmod(col("rk") - 1, lit(8L)))
+        .withColumn("step", expr("(rk - 1) div 8"))
+      // cut from the pre-rank frame: epoch sizes don't need the
+      // rank build, so it isn't computed twice
+      val cuts = repeated.groupBy(col("epoch"))
+        .agg(count(lit(1)).as("__ne"))
+        .select(col("epoch"),
+          expr("(__ne div 8) div 2").as("__cut"))
+      ranked.join(broadcast(cuts), Seq("epoch"))
+        .groupBy(col("epoch"), col("rnk"))
+        .agg(
+          coalesce(sum(when(col("step") < col("__cut"), 1L)),
+            lit(0L)).as("n_consumed"),
+          coalesce(sum(when(col("step") >= col("__cut"), 1L)),
+            lit(0L)).as("n_resumed"),
+          coalesce(sum(when(col("step") >= col("__cut"),
+            col("n_tok"))), lit(0L)).as("tok_resumed"),
+          coalesce(sum(when(col("step") >= col("__cut"),
+            (col("step") + 1) * col("doc_id"))), lit(0L))
+            .as("resume_checksum"),
+          coalesce(max(when(col("step") === col("__cut"),
+            col("doc_id"))), lit(-1L)).as("next_doc"))
+        .orderBy(col("epoch"), col("rnk"))
+    },
+
+
+    // --- ELASTIC WORLD-SIZE RE-SHARD (resize mid-training without
+    //     dup or gap): the canonical per-epoch sample order rk is
+    //     world-size-independent, so growing the fleet 8 -> 12 at a
+    //     step boundary is pure arithmetic — phase 1 consumes the
+    //     first third of the epoch's complete world-8 steps, phase 2
+    //     re-shards the remaining stream over 12 ranks from rk' =
+    //     rk - consumed. Per (epoch, phase, rank): doc count, token
+    //     mass, order-sensitive checksum. Every sample lands in
+    //     exactly one phase by construction; the hash gate pins both
+    //     partitions byte-exactly. Same bucketed machinery as q378 —
+    //     no new shuffles beyond the rank build. ---
+    "q379_elastic_reshard" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+        .select(col("doc_id"),
+          size(array_distinct(TextAnalysis.tokens(col("text"))))
+            .cast("long").as("score"),
+          size(TextAnalysis.tokens(col("text"))).cast("long")
+            .as("n_tok"))
+      val tot = docs.agg(count(lit(1)).as("__n"))
+      val repeated = bucketedRank(docs, Seq.empty, "score",
+          Seq("doc_id"), "__rn")
+        .crossJoin(broadcast(tot))
+        .withColumn("__quart", expr("((__rn - 1) * 4) div __n") + 1)
+        .withColumn("epoch",
+          explode(sequence(lit(1L), col("__quart"))))
+        .select(col("doc_id"), col("n_tok"), col("epoch"))
+      val keyed = repeated
+        .withColumn("h", md5(concat(lit("ep"),
+          col("epoch").cast("string"), lit(":"),
+          col("doc_id").cast("string")).cast("binary")))
+        .withColumn("__bk", substring(col("h"), 1, 2))
+      val ranked = bucketedRank(keyed, Seq("epoch"), "__bk",
+          Seq("h", "doc_id"), "rk")
+      val cuts = repeated.groupBy(col("epoch"))
+        .agg(count(lit(1)).as("__ne"))
+        .select(col("epoch"),
+          expr("((__ne div 8) div 3) * 8").as("__c"))
+      ranked.join(broadcast(cuts), Seq("epoch"))
+        .withColumn("phase",
+          when(col("rk") <= col("__c"), 1L).otherwise(2L))
+        .withColumn("rnk", when(col("phase") === 1,
+            pmod(col("rk") - 1, lit(8L)))
+          .otherwise(pmod(col("rk") - col("__c") - 1, lit(12L))))
+        .withColumn("step", when(col("phase") === 1,
+            expr("(rk - 1) div 8"))
+          .otherwise(expr("(rk - __c - 1) div 12")))
+        .groupBy(col("epoch"), col("phase"), col("rnk"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("tok_sum"),
+          sum((col("step") + 1) * col("doc_id"))
+            .as("order_checksum"))
+        .orderBy(col("epoch"), col("phase"), col("rnk"))
+    },
+
+
+    // --- CORPUS SHARD-DIGEST MANIFEST FOLD (reproducibility audit,
+    //     the fold theorem's sixth artifact family): each of 256
+    //     hash shards carries a composite content digest — doc count,
+    //     modular sum of a 28-bit md5 content hash (mod 1e9+7), and
+    //     the min/max hash — all four combinable by one groupBy:
+    //     counts and mod-sums add, min/max merge. The staged base
+    //     manifest is NEVER re-read from text: appending a batch
+    //     (stride-11 re-keyed truncated variants — content genuinely
+    //     differs) folds its shard digests into the manifest with one
+    //     union + groupBy, and the oracle proves fold ≡ full rebuild
+    //     over docs ∪ batch by hash. At 100 TB this is the nightly
+    //     corpus-integrity check: O(batch + 256 rows), history's text
+    //     untouched. ---
+    "q380_digest_fold" -> { (spark, dir) =>
+      val dg = graft.operators.Digest
+      val docs = tbl(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val manifest = graft.operators.Staged.getOrBuild(spark,
+        s"digest_manifest::$dir::p256")(
+        dg.shardDigests(docs, col("doc_id"), col("text")))
+      val batch = docs.filter(pmod(col("doc_id"), lit(11)) === 0)
+        .select((col("doc_id") + 4000000L).as("doc_id"),
+          col("text").substr(lit(1),
+            greatest(length(col("text")) - 30, lit(1))).as("text"))
+      dg.fold(Seq(manifest,
+          dg.shardDigests(batch, col("doc_id"), col("text"))))
+        .orderBy(col("shard"))
     }
   )
 
@@ -1236,6 +1382,121 @@ private[graft] object QueriesLlmC {
              CAST(sum(n_tok) * exposure * 10000 // tot.ti AS BIGINT)
                AS share_bp
       FROM q CROSS JOIN tot GROUP BY exposure, tot.ti
-      ORDER BY exposure"""
+      ORDER BY exposure""",
+
+
+    "q378_resume_schedule" -> """
+      WITH tk AS (SELECT doc_id, list_filter(
+                    string_split_regex(lower(trim(text)), '\s+'),
+                    x -> length(x) > 0) AS toks
+                  FROM documents),
+      sc AS (SELECT doc_id,
+                    CAST(len(list_distinct(toks)) AS BIGINT)
+                      AS score,
+                    CAST(len(toks) AS BIGINT) AS n_tok
+             FROM tk),
+      r AS (SELECT doc_id, n_tok,
+                   row_number() OVER (ORDER BY score, doc_id) AS rn,
+                   count(*) OVER () AS n
+            FROM sc),
+      q AS (SELECT doc_id, n_tok,
+                   ((rn - 1) * 4) // n + 1 AS quart
+            FROM r),
+      ep AS (SELECT doc_id, n_tok,
+                    unnest(generate_series(1, quart)) AS epoch
+             FROM q),
+      o AS (SELECT doc_id, n_tok, epoch,
+                   row_number() OVER (PARTITION BY epoch
+                     ORDER BY md5('ep' || CAST(epoch AS VARCHAR) ||
+                       ':' || CAST(doc_id AS VARCHAR)), doc_id)
+                     AS rk,
+                   count(*) OVER (PARTITION BY epoch) AS ne
+            FROM ep),
+      s AS (SELECT doc_id, n_tok, epoch,
+                   (rk - 1) % 8 AS rnk,
+                   (rk - 1) // 8 AS step,
+                   (ne // 8) // 2 AS cut
+            FROM o)
+      SELECT CAST(epoch AS BIGINT) AS epoch,
+             CAST(rnk AS BIGINT) AS rnk,
+             CAST(coalesce(sum(CASE WHEN step < cut THEN 1 END), 0)
+               AS BIGINT) AS n_consumed,
+             CAST(coalesce(sum(CASE WHEN step >= cut THEN 1 END), 0)
+               AS BIGINT) AS n_resumed,
+             CAST(coalesce(sum(CASE WHEN step >= cut THEN n_tok END),
+               0) AS BIGINT) AS tok_resumed,
+             CAST(coalesce(sum(CASE WHEN step >= cut
+                 THEN (step + 1) * doc_id END), 0) AS BIGINT)
+               AS resume_checksum,
+             CAST(coalesce(max(CASE WHEN step = cut THEN doc_id END),
+               -1) AS BIGINT) AS next_doc
+      FROM s GROUP BY epoch, rnk ORDER BY epoch, rnk""",
+
+
+    "q379_elastic_reshard" -> """
+      WITH tk AS (SELECT doc_id, list_filter(
+                    string_split_regex(lower(trim(text)), '\s+'),
+                    x -> length(x) > 0) AS toks
+                  FROM documents),
+      sc AS (SELECT doc_id,
+                    CAST(len(list_distinct(toks)) AS BIGINT)
+                      AS score,
+                    CAST(len(toks) AS BIGINT) AS n_tok
+             FROM tk),
+      r AS (SELECT doc_id, n_tok,
+                   row_number() OVER (ORDER BY score, doc_id) AS rn,
+                   count(*) OVER () AS n
+            FROM sc),
+      q AS (SELECT doc_id, n_tok,
+                   ((rn - 1) * 4) // n + 1 AS quart
+            FROM r),
+      ep AS (SELECT doc_id, n_tok,
+                    unnest(generate_series(1, quart)) AS epoch
+             FROM q),
+      o AS (SELECT doc_id, n_tok, epoch,
+                   row_number() OVER (PARTITION BY epoch
+                     ORDER BY md5('ep' || CAST(epoch AS VARCHAR) ||
+                       ':' || CAST(doc_id AS VARCHAR)), doc_id)
+                     AS rk,
+                   count(*) OVER (PARTITION BY epoch) AS ne
+            FROM ep),
+      s AS (SELECT doc_id, n_tok, epoch, rk,
+                   ((ne // 8) // 3) * 8 AS c
+            FROM o),
+      p AS (SELECT epoch, doc_id, n_tok,
+                   CASE WHEN rk <= c THEN 1 ELSE 2 END AS phase,
+                   CASE WHEN rk <= c THEN (rk - 1) % 8
+                        ELSE (rk - c - 1) % 12 END AS rnk,
+                   CASE WHEN rk <= c THEN (rk - 1) // 8
+                        ELSE (rk - c - 1) // 12 END AS step
+            FROM s)
+      SELECT CAST(epoch AS BIGINT) AS epoch,
+             CAST(phase AS BIGINT) AS phase,
+             CAST(rnk AS BIGINT) AS rnk,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS tok_sum,
+             CAST(sum((step + 1) * doc_id) AS BIGINT)
+               AS order_checksum
+      FROM p GROUP BY epoch, phase, rnk
+      ORDER BY epoch, phase, rnk""",
+
+
+    "q380_digest_fold" -> """
+      WITH base AS (SELECT doc_id, text FROM documents
+                    UNION ALL
+                    SELECT doc_id + 4000000,
+                           substring(text, 1,
+                             greatest(length(text) - 30, 1))
+                    FROM documents WHERE doc_id % 11 = 0),
+      h AS (SELECT doc_id % 256 AS shard,
+                   CAST(('0x' || substring(md5(text), 1, 7))
+                     AS BIGINT) AS h
+            FROM base)
+      SELECT CAST(shard AS BIGINT) AS shard,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(h) % 1000000007 AS BIGINT) AS digest,
+             CAST(min(h) AS BIGINT) AS min_h,
+             CAST(max(h) AS BIGINT) AS max_h
+      FROM h GROUP BY shard ORDER BY shard"""
   )
 }

@@ -51,6 +51,32 @@ private[graft] object QueriesStreaming {
     },
 
 
+    // --- STREAMING CORPUS DIGEST (q380's fold family in the
+    //     micro-batch runtime): documents arrive in three
+    //     micro-batches, each appends its per-shard Digest rows to a
+    //     manifest, and the corpus digest is one groupBy fold over
+    //     the manifest — text read exactly once per doc, ever. The
+    //     oracle is the batch rebuild over the whole table (fold ≡
+    //     rebuild by the Digest law). ---
+    "q381_stream_digest" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val mx = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
+      val src = Scratch.dir("graft_q381").toString + "/docs"
+      EventStream.writeOrderedBatches(Seq(
+        docs.filter(col("doc_id") * 3 <= mx),
+        docs.filter(col("doc_id") * 3 > mx &&
+          col("doc_id") * 3 <= 2 * mx),
+        docs.filter(col("doc_id") * 3 > 2 * mx)), src)
+      val stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      EventStream.streamingDigest(spark, stream,
+          Scratch.dir("graft_q381man").toString + "/manifest",
+          Scratch.dir("graft_q381ck").toString)
+        .orderBy(col("shard"))
+    },
+
+
     // --- M7: Structured Streaming tumbling agg (batch/stream parity:
     //     the oracle is the equivalent BATCH SQL over the same data) ---
     "q31_stream_tumbling" -> rounded("sum_value" -> 4)(dated("day")({
@@ -1209,6 +1235,20 @@ private[graft] object QueriesStreaming {
 
     // the streamed fold ≡ the batch rebuild — q353's oracle verbatim
     "q369_stream_packing" -> packCensusSql,
+
+    // the streamed digest fold ≡ the batch rebuild over the whole
+    // table (the Digest fold law)
+    "q381_stream_digest" -> """
+      WITH h AS (SELECT doc_id % 256 AS shard,
+                        CAST(('0x' || substring(md5(text), 1, 7))
+                          AS BIGINT) AS h
+                 FROM documents)
+      SELECT CAST(shard AS BIGINT) AS shard,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(h) % 1000000007 AS BIGINT) AS digest,
+             CAST(min(h) AS BIGINT) AS min_h,
+             CAST(max(h) AS BIGINT) AS max_h
+      FROM h GROUP BY shard ORDER BY shard""",
 
     "q350_state_audit_tws" -> """
       SELECT CAST(user_id AS BIGINT) AS user_id,

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus shard digests — the reproducibility-audit primitive behind
+  * q380/q381. Each of `shards` hash shards carries a composite
+  * content digest: doc count, modular sum of a 28-bit md5 content
+  * hash, and the min/max hash. All four components are combinable by
+  * one groupBy (counts and mod-sums add, min/max merge), so digests
+  * of disjoint corpus slices FOLD: digest(A ∪ B) = fold(digest(A),
+  * digest(B)). That makes the manifest an incremental artifact — a
+  * nightly batch folds in at O(batch + shards) without re-reading
+  * history — and makes shard-level drift localizable (a changed
+  * shard names the 1/shards slice to re-scan).
+  *
+  * The hash is the first 7 hex chars of md5 (28 bits): engine-neutral
+  * (DuckDB computes the identical value), and per-shard sums stay
+  * far from Long overflow before the mod is applied — 2^28 × shard
+  * cardinality; take the mod per fold step, never only at the end.
+  */
+object Digest {
+
+  val DefaultMod: Long = 1000000007L
+
+  /** Per-shard composite digests of `df`. `id` must be non-negative
+    * (shard = id % shards); `text` is the content column. Output:
+    * (shard, n_docs, digest, min_h, max_h) — one row per non-empty
+    * shard. */
+  def shardDigests(df: DataFrame, id: Column, text: Column,
+                   shards: Int = 256,
+                   mod: Long = DefaultMod): DataFrame = df
+    .withColumn("h", conv(substring(md5(text.cast("binary")), 1, 7),
+      16, 10).cast("long"))
+    .withColumn("shard", pmod(id, lit(shards.toLong)))
+    .groupBy(col("shard"))
+    .agg(count(lit(1)).as("n_docs"),
+      pmod(sum(col("h")), lit(mod)).as("digest"),
+      min(col("h")).as("min_h"), max(col("h")).as("max_h"))
+
+  /** Fold any number of digest frames (same shards/mod) into one:
+    * a single union + groupBy — counts/mod-sums add, min/max merge.
+    * fold(shardDigests(A), shardDigests(B)) == shardDigests(A ∪ B)
+    * for disjoint A/B (DigestSpec law). */
+  def fold(manifests: Seq[DataFrame],
+           mod: Long = DefaultMod): DataFrame =
+    manifests.reduce(_ unionByName _)
+      .groupBy(col("shard"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        pmod(sum(col("digest")), lit(mod)).as("digest"),
+        min(col("min_h")).as("min_h"),
+        max(col("max_h")).as("max_h"))
+}

@@ -735,6 +735,31 @@ object EventStream {
       pk.withFill(folded, chunkTokens, lit(total.get()))
     }
 
+  /** Streaming corpus digest — the [[graft.operators.Digest]] fold
+    * in the micro-batch runtime (the q369 pattern applied to the
+    * sixth fold family). Each micro-batch appends its per-shard
+    * digests to `manifestDir`; the corpus digest is then ONE
+    * groupBy fold over the manifest. History's text is never
+    * re-read: a 100 TB corpus streamed over months carries a
+    * shards-bounded manifest, and the nightly integrity check costs
+    * O(latest batch + manifest rows). Fold ≡ batch rebuild by the
+    * Digest fold law (DigestSpec); q381's oracle IS the rebuild. */
+  def streamingDigest(spark: SparkSession, docsStream: DataFrame,
+                      manifestDir: String,
+                      checkpointDir: String): DataFrame = {
+    val dg = graft.operators.Digest
+    val q = docsStream.writeStream
+      .foreachBatch { (bdf: DataFrame, _: Long) =>
+        dg.shardDigests(bdf, col("doc_id"), col("text"))
+          .write.mode("append").parquet(manifestDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    dg.fold(Seq(spark.read.parquet(manifestDir)))
+  }
+
   /** Drain `agg` to a NO-OP sink while persisting the checkpoint at
     * `checkpoint` — nothing is kept from the OUTPUT; the point is the
     * checkpoint's state-store files, which [[StateAudit]] then reads
