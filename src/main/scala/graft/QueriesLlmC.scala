@@ -839,6 +839,96 @@ private[graft] object QueriesLlmC {
       dg.fold(Seq(manifest,
           dg.shardDigests(batch, col("doc_id"), col("text"))))
         .orderBy(col("shard"))
+    },
+
+
+    // --- SNAPSHOT DRIFT LOCALIZATION (the operational use of the
+    //     Digest manifest): two corpus versions — v2 edits every
+    //     97th doc — compare by their 256-row shard manifests alone,
+    //     and the output NAMES exactly the drifted shards (digest_v1
+    //     vs digest_v2). At 100 TB this is how "did anything change,
+    //     and where?" costs a manifest join instead of a full-corpus
+    //     diff: each named shard bounds the re-scan to 1/256 of the
+    //     data. Deterministic end to end (md5 content hashes). ---
+    "q382_digest_drift" -> { (spark, dir) =>
+      val dg = graft.operators.Digest
+      val docs = tbl(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val v2 = docs.withColumn("text",
+        when(pmod(col("doc_id"), lit(97)) === 0,
+          concat(col("text"), lit(" [rev2]")))
+          .otherwise(col("text")))
+      val d1 = dg.shardDigests(docs, col("doc_id"), col("text"))
+        .select(col("shard"), col("n_docs"),
+          col("digest").as("digest_v1"))
+      val d2 = dg.shardDigests(v2, col("doc_id"), col("text"))
+        .select(col("shard"), col("digest").as("digest_v2"))
+      d1.join(d2, Seq("shard"))
+        .filter(col("digest_v1") =!= col("digest_v2"))
+        .select(col("shard"), col("n_docs"), col("digest_v1"),
+          col("digest_v2"))
+        .orderBy(col("shard"))
+    },
+
+
+    // --- STRATIFIED EVAL SAMPLE (the held-out set the loss curves
+    //     are reported on): strata = source × length bucket
+    //     (n_tok div 16, capped at 4), eval budget = 2% of docs,
+    //     allocated proportionally by exact largest-remainder
+    //     arithmetic — floor(E·n_i / N) everywhere plus one extra
+    //     for the E − Σfloor largest remainders (ties by stratum
+    //     key). Selection is the md5-ranked prefix per stratum via
+    //     bucketedRank — deterministic, no RNG, no per-stratum
+    //     single-task window. The strata census is k-bounded with
+    //     the q352 loud guard. Exact integers end to end. ---
+    "q383_stratified_eval" -> { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = tbl(spark, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(TextAnalysis.tokens(col("text"))).cast("long")
+            .as("n_tok"))
+        .withColumn("len_b",
+          least(expr("n_tok div 16"), lit(4L)))
+      val census = docs.groupBy(col("source"), col("len_b"))
+        .agg(count(lit(1)).as("n_docs"))
+      val k = census.count()
+      require(k <= 10000,
+        s"q383: strata census has $k strata, above the 10000 the " +
+          "allocation windows are bounded for — coarsen the strata")
+      val tot = census.agg(sum(col("n_docs")).as("__nn"))
+      val f = census.crossJoin(broadcast(tot))
+        .withColumn("__e", expr("__nn div 50"))
+        .limit(10000) // k-guarded above; keeps the window bounded
+        .withColumn("__fl", expr("(__e * n_docs) div __nn"))
+        .withColumn("__rem", expr("(__e * n_docs) % __nn"))
+        .withColumn("__rr", row_number().over(Window.orderBy(
+          col("__rem").desc, col("source"), col("len_b"))))
+      val sfl = f.agg(sum(col("__fl")).as("__sfl"))
+      val alloc = f.crossJoin(broadcast(sfl))
+        .withColumn("alloc", col("__fl") +
+          when(col("__rr") <= col("__e") - col("__sfl"), 1L)
+            .otherwise(0L))
+        .select(col("source"), col("len_b"), col("n_docs"),
+          col("alloc"))
+        .localCheckpoint() // tiny; feeds selection AND the output
+      val based = docs
+        .withColumn("h", md5(concat(lit("strat:"),
+          col("doc_id").cast("string")).cast("binary")))
+        .withColumn("__bk", substring(col("h"), 1, 2))
+      val selected = bucketedRank(based, Seq("source", "len_b"),
+          "__bk", Seq("h", "doc_id"), "__rk")
+        .join(broadcast(alloc.select(col("source"), col("len_b"),
+          col("alloc"))), Seq("source", "len_b"))
+        .filter(col("__rk") <= col("alloc"))
+        .groupBy(col("source"), col("len_b"))
+        .agg(count(lit(1)).as("__nsel"),
+          sum(col("doc_id")).as("__csum"))
+      alloc.join(selected, Seq("source", "len_b"), "left")
+        .select(col("source"), col("len_b"), col("n_docs"),
+          col("alloc"),
+          coalesce(col("__nsel"), lit(0L)).as("n_selected"),
+          coalesce(col("__csum"), lit(0L)).as("sel_checksum"))
+        .orderBy(col("source"), col("len_b"))
     }
   )
 
@@ -1497,6 +1587,81 @@ private[graft] object QueriesLlmC {
              CAST(sum(h) % 1000000007 AS BIGINT) AS digest,
              CAST(min(h) AS BIGINT) AS min_h,
              CAST(max(h) AS BIGINT) AS max_h
-      FROM h GROUP BY shard ORDER BY shard"""
+      FROM h GROUP BY shard ORDER BY shard""",
+
+
+    "q382_digest_drift" -> """
+      WITH v2 AS (SELECT doc_id,
+                         CASE WHEN doc_id % 97 = 0
+                              THEN text || ' [rev2]' ELSE text END
+                           AS text
+                  FROM documents),
+      h1 AS (SELECT doc_id % 256 AS shard,
+                    CAST(('0x' || substring(md5(text), 1, 7))
+                      AS BIGINT) AS h
+             FROM documents),
+      h2 AS (SELECT doc_id % 256 AS shard,
+                    CAST(('0x' || substring(md5(text), 1, 7))
+                      AS BIGINT) AS h
+             FROM v2),
+      d1 AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+                    CAST(sum(h) % 1000000007 AS BIGINT) AS digest_v1
+             FROM h1 GROUP BY shard),
+      d2 AS (SELECT shard,
+                    CAST(sum(h) % 1000000007 AS BIGINT) AS digest_v2
+             FROM h2 GROUP BY shard)
+      SELECT CAST(d1.shard AS BIGINT) AS shard, n_docs,
+             digest_v1, digest_v2
+      FROM d1 JOIN d2 ON d1.shard = d2.shard
+      WHERE digest_v1 <> digest_v2
+      ORDER BY 1""",
+
+
+    "q383_stratified_eval" -> """
+      WITH tk AS (SELECT doc_id, source,
+                         CAST(len(list_filter(string_split_regex(
+                           lower(trim(text)), '\s+'),
+                           x -> length(x) > 0)) AS BIGINT) AS n_tok
+                  FROM documents),
+      st AS (SELECT doc_id, source,
+                    least(n_tok // 16, 4) AS len_b
+             FROM tk),
+      c AS (SELECT source, len_b, CAST(count(*) AS BIGINT) AS n_docs
+            FROM st GROUP BY 1, 2),
+      t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS nn,
+                   CAST(sum(n_docs) // 50 AS BIGINT) AS e
+            FROM c),
+      f AS (SELECT source, len_b, n_docs, nn, e,
+                   (e * n_docs) // nn AS fl,
+                   (e * n_docs) % nn AS rem
+            FROM c CROSS JOIN t),
+      r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source,
+                   len_b) AS rr
+            FROM f),
+      s AS (SELECT CAST(sum(fl) AS BIGINT) AS sfl FROM f),
+      a AS (SELECT source, len_b, n_docs,
+                   CAST(fl + (CASE WHEN rr <= e - sfl THEN 1 ELSE 0
+                     END) AS BIGINT) AS alloc
+            FROM r CROSS JOIN s),
+      hh AS (SELECT doc_id, source, len_b,
+                    md5('strat:' || CAST(doc_id AS VARCHAR)) AS h
+             FROM st),
+      o AS (SELECT doc_id, source, len_b,
+                   row_number() OVER (PARTITION BY source, len_b
+                     ORDER BY h, doc_id) AS rk
+            FROM hh),
+      sel AS (SELECT o.source, o.len_b,
+                     CAST(count(*) AS BIGINT) AS n_selected,
+                     CAST(sum(doc_id) AS BIGINT) AS sel_checksum
+              FROM o JOIN a ON o.source = a.source
+                AND o.len_b = a.len_b
+              WHERE rk <= alloc GROUP BY 1, 2)
+      SELECT a.source, CAST(a.len_b AS BIGINT) AS len_b, a.n_docs,
+             a.alloc,
+             coalesce(sel.n_selected, 0) AS n_selected,
+             coalesce(sel.sel_checksum, 0) AS sel_checksum
+      FROM a LEFT JOIN sel ON a.source = sel.source
+        AND a.len_b = sel.len_b
+      ORDER BY a.source, a.len_b"""
   )
 }
