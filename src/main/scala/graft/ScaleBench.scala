@@ -70,7 +70,11 @@ object ScaleBench {
     // vocab-bounded censuses + the token-keyed weight join — the
     // shuffle that must stay linear) and the packed-batch mask
     // metadata (rank-bucketed spans + tokens/L explode)
-    "q363_importance_resample", "q364_pack_mask_meta")
+    "q363_importance_resample", "q364_pack_mask_meta",
+    // round-12 third continuation: the epoch-schedule family's
+    // representative — quartile exposure explode (~2.5x rows) + the
+    // bucketed per-epoch rank build + the resume-cut join
+    "q378_resume_schedule")
 
   /** Tables each target reads — lets a subset run skip synthesizing
     * (and paying for) the others at high mults. */
@@ -99,7 +103,8 @@ object ScaleBench {
     "q347_dedup_keeper_policy" -> Set("documents"),
     "q356_threeway_decon" -> Set("documents"),
     "q363_importance_resample" -> Set("documents"),
-    "q364_pack_mask_meta" -> Set("documents"))
+    "q364_pack_mask_meta" -> Set("documents"),
+    "q378_resume_schedule" -> Set("documents"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
