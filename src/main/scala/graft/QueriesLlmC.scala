@@ -929,6 +929,52 @@ private[graft] object QueriesLlmC {
           coalesce(col("__nsel"), lit(0L)).as("n_selected"),
           coalesce(col("__csum"), lit(0L)).as("sel_checksum"))
         .orderBy(col("source"), col("len_b"))
+    },
+
+
+    // --- SNAKE-BALANCE SHARD ASSIGNMENT (placement planning): given
+    //     per-shard token masses (the manifest axis q380 digests),
+    //     assign 256 shards to 8 workers two ways — naive modulo vs
+    //     SNAKE (boustrophedon over the mass-sorted order: block b
+    //     of 8 alternates direction, so every block hands each
+    //     worker one shard and heavy/light shards interleave). Per
+    //     (policy, worker): shard count, mass, share in basis points
+    //     — the placement-review table. The rank rides a
+    //     limit-guarded window over the 256-row shard census (shard
+    //     key is pmod-bounded); everything else is one groupBy.
+    //     Exact integers. ---
+    "q385_snake_balance" -> { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = tbl(spark, dir, "documents")
+        .select(col("doc_id"),
+          size(TextAnalysis.tokens(col("text"))).cast("long")
+            .as("n_tok"))
+      val shards = docs
+        .withColumn("shard", pmod(col("doc_id"), lit(256L)))
+        .groupBy(col("shard"))
+        .agg(sum(col("n_tok")).as("mass"))
+      val tot = shards.agg(sum(col("mass")).as("__tot"))
+      val ranked = shards
+        .limit(10000) // shard key is pmod-256-bounded by construction
+        .withColumn("__r", row_number().over(
+          Window.orderBy(col("mass").desc, col("shard"))))
+        .withColumn("snake_w",
+          when(pmod(expr("(__r - 1) div 8"), lit(2)) === 0,
+            expr("(__r - 1) % 8").cast("long"))
+          .otherwise(lit(7L) - expr("(__r - 1) % 8")))
+        .withColumn("mod_w", pmod(col("shard"), lit(8L)))
+      def census(name: String, w: Column) = ranked
+        .groupBy(w.as("worker"))
+        .agg(count(lit(1)).as("n_shards"),
+          sum(col("mass")).as("mass"))
+        .withColumn("policy", lit(name))
+      census("snake", col("snake_w"))
+        .unionByName(census("modulo", col("mod_w")))
+        .crossJoin(broadcast(tot))
+        .select(col("policy"), col("worker").cast("long")
+            .as("worker"), col("n_shards"), col("mass"),
+          expr("mass * 10000 div __tot").as("share_bp"))
+        .orderBy(col("policy"), col("worker"))
     }
   )
 
@@ -1662,6 +1708,41 @@ private[graft] object QueriesLlmC {
              coalesce(sel.sel_checksum, 0) AS sel_checksum
       FROM a LEFT JOIN sel ON a.source = sel.source
         AND a.len_b = sel.len_b
-      ORDER BY a.source, a.len_b"""
+      ORDER BY a.source, a.len_b""",
+
+
+    "q385_snake_balance" -> """
+      WITH tk AS (SELECT doc_id,
+                         CAST(len(list_filter(string_split_regex(
+                           lower(trim(text)), '\s+'),
+                           x -> length(x) > 0)) AS BIGINT) AS n_tok
+                  FROM documents),
+      sh AS (SELECT doc_id % 256 AS shard,
+                    CAST(sum(n_tok) AS BIGINT) AS mass
+             FROM tk GROUP BY 1),
+      t AS (SELECT CAST(sum(mass) AS BIGINT) AS tot FROM sh),
+      r AS (SELECT shard, mass,
+                   row_number() OVER (ORDER BY mass DESC, shard)
+                     AS rr
+            FROM sh),
+      a AS (SELECT shard, mass,
+                   CASE WHEN ((rr - 1) // 8) % 2 = 0
+                        THEN (rr - 1) % 8
+                        ELSE 7 - ((rr - 1) % 8) END AS sw,
+                   shard % 8 AS mw
+            FROM r),
+      u AS (SELECT 'snake' AS policy, sw AS worker,
+                   CAST(count(*) AS BIGINT) AS n_shards,
+                   CAST(sum(mass) AS BIGINT) AS mass
+            FROM a GROUP BY 1, 2
+            UNION ALL
+            SELECT 'modulo', mw,
+                   CAST(count(*) AS BIGINT),
+                   CAST(sum(mass) AS BIGINT)
+            FROM a GROUP BY 1, 2)
+      SELECT policy, CAST(worker AS BIGINT) AS worker, n_shards,
+             mass,
+             CAST(mass * 10000 // tot AS BIGINT) AS share_bp
+      FROM u CROSS JOIN t ORDER BY policy, worker"""
   )
 }

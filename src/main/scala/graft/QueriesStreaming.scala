@@ -77,6 +77,39 @@ private[graft] object QueriesStreaming {
     },
 
 
+    // --- STREAMING MIXTURE CENSUS (q362's fold family in the
+    //     micro-batch runtime): each micro-batch appends its
+    //     (source, token-sum) census to a manifest — additive, so
+    //     the merged census is one groupBy-sum fold — then the
+    //     UniMax water-fill runs on the fold's output. The oracle is
+    //     the batch rebuild over the whole table: hash match proves
+    //     a mixture recomputed nightly from streamed census deltas
+    //     ≡ one recomputed from scratch, with text read once per
+    //     doc, ever. ---
+    "q384_stream_mixture" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      val mx = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
+      val src = Scratch.dir("graft_q384").toString + "/docs"
+      EventStream.writeOrderedBatches(Seq(
+        docs.filter(col("doc_id") * 3 <= mx),
+        docs.filter(col("doc_id") * 3 > mx &&
+          col("doc_id") * 3 <= 2 * mx),
+        docs.filter(col("doc_id") * 3 > 2 * mx)), src)
+      val stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val census = EventStream.streamingSourceCensus(spark, stream,
+        Scratch.dir("graft_q384cen").toString + "/census",
+        Scratch.dir("graft_q384ck").toString)
+      val nSources = census.count()
+      require(nSources <= 10000,
+        s"q384: source census has $nSources sources, above the " +
+          "10000 the allocation windows are bounded for")
+      unimaxAlloc(census, "sz_tok", "alloc_tok", 6, 10)
+        .orderBy(col("source"))
+    },
+
+
     // --- M7: Structured Streaming tumbling agg (batch/stream parity:
     //     the oracle is the equivalent BATCH SQL over the same data) ---
     "q31_stream_tumbling" -> rounded("sum_value" -> 4)(dated("day")({
@@ -1249,6 +1282,16 @@ private[graft] object QueriesStreaming {
              CAST(min(h) AS BIGINT) AS min_h,
              CAST(max(h) AS BIGINT) AS max_h
       FROM h GROUP BY shard ORDER BY shard""",
+
+    // the streamed census fold ≡ the batch rebuild (additive
+    // censuses), then the shared water-fill
+    "q384_stream_mixture" -> s"""
+      WITH s AS (SELECT source, CAST(sum(len(list_filter(
+                   string_split_regex(lower(trim(text)), '\\s+'),
+                   x -> length(x) > 0))) AS BIGINT) AS sz_tok
+                 FROM documents GROUP BY 1),
+      ${unimaxAllocSql("s", "sz_tok", "alloc_tok", "u")}
+      SELECT source, sz_tok, alloc_tok FROM ua ORDER BY source""",
 
     "q350_state_audit_tws" -> """
       SELECT CAST(user_id AS BIGINT) AS user_id,

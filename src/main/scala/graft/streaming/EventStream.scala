@@ -760,6 +760,31 @@ object EventStream {
     dg.fold(Seq(spark.read.parquet(manifestDir)))
   }
 
+  /** Streaming per-source token census — the q362 mixture fold's
+    * micro-batch twin. Each batch appends its (source, sz_tok)
+    * census to `censusDir`; the merged census is one groupBy-sum
+    * fold (additive counts — the fold theorem's mixture family).
+    * The caller runs the water-fill on the fold's output; text is
+    * read exactly once per doc, ever. */
+  def streamingSourceCensus(spark: SparkSession,
+                            docsStream: DataFrame, censusDir: String,
+                            checkpointDir: String): DataFrame = {
+    val q = docsStream.writeStream
+      .foreachBatch { (bdf: DataFrame, _: Long) =>
+        bdf.groupBy(col("source"))
+          .agg(sum(graft.llm.TextAnalysis.tokenCount(col("text"))
+            .cast("long")).as("sz_tok"))
+          .write.mode("append").parquet(censusDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(censusDir)
+      .groupBy(col("source"))
+      .agg(sum(col("sz_tok")).as("sz_tok"))
+  }
+
   /** Drain `agg` to a NO-OP sink while persisting the checkpoint at
     * `checkpoint` — nothing is kept from the OUTPUT; the point is the
     * checkpoint's state-store files, which [[StateAudit]] then reads
