@@ -975,6 +975,82 @@ private[graft] object QueriesLlmC {
             .as("worker"), col("n_shards"), col("mass"),
           expr("mass * 10000 div __tot").as("share_bp"))
         .orderBy(col("policy"), col("worker"))
+    },
+
+
+    // --- WITHIN-BATCH SOURCE-DIVERSITY CENSUS (shuffle-quality
+    //     audit): 32-doc batches built two ways — GROUPED order
+    //     (source, doc_id): the worst case production actually sees,
+    //     per-source ingest files concatenated — vs the md5 SHUFFLE.
+    //     Histogram of batches by distinct-source count per policy:
+    //     grouped batches carry 1-2 sources (correlated gradients),
+    //     shuffled carry ~B·(1−(1−1/k)^B)/… ≈ 16-20 of 20. Both
+    //     ranks bucket-decomposed (source buckets / md5-prefix
+    //     buckets) — no global window. Exact integers. ---
+    "q386_batch_diversity" -> { (spark, dir) =>
+      val B = 32
+      val docs = tbl(spark, dir, "documents")
+        .select(col("doc_id"), col("source"))
+      def hist(name: String, ranked: DataFrame): DataFrame = ranked
+        .withColumn("__batch", expr(s"(rk - 1) div $B"))
+        .groupBy(col("__batch"))
+        .agg(countDistinct(col("source")).as("n_src"))
+        .groupBy(col("n_src"))
+        .agg(count(lit(1)).as("n_batches"))
+        .select(lit(name).as("policy"), col("n_src"),
+          col("n_batches"))
+      val grouped = bucketedRank(docs, Seq.empty, "source",
+        Seq("doc_id"), "rk")
+      val keyed = docs
+        .withColumn("h", md5(concat(lit("shuf:"),
+          col("doc_id").cast("string")).cast("binary")))
+        .withColumn("__bk", substring(col("h"), 1, 2))
+      val shuffled = bucketedRank(keyed, Seq.empty, "__bk",
+        Seq("h", "doc_id"), "rk")
+      hist("grouped", grouped).unionByName(hist("shuffled", shuffled))
+        .orderBy(col("policy"), col("n_src"))
+    },
+
+
+    // --- CROSS-SEED CO-BATCHING OVERLAP (does re-seeding actually
+    //     decorrelate batches?): three md5 seeds each induce a batch
+    //     partition; for every seed pair, count doc PAIRS that land
+    //     in the same 32-doc batch under BOTH seeds. Within-batch
+    //     pairs are ∝ N·(B−1)/2 — linear in corpus size, never
+    //     all-pairs — and the overlap join shuffles on the pair key.
+    //     Independent seeds should share ≈ n_pairs²/C(N,2) pairs
+    //     (basis points reported); a broken seed derivation shows up
+    //     as shared_bp ≈ 10000. Exact integers. ---
+    "q387_seed_overlap" -> { (spark, dir) =>
+      val B = 32
+      val docs = tbl(spark, dir, "documents").select(col("doc_id"))
+      def pairsOf(seed: Int): DataFrame = {
+        val keyed = docs
+          .withColumn("h", md5(concat(lit(s"sh$seed:"),
+            col("doc_id").cast("string")).cast("binary")))
+          .withColumn("__bk", substring(col("h"), 1, 2))
+        val b = bucketedRank(keyed, Seq.empty, "__bk",
+            Seq("h", "doc_id"), "rk")
+          .withColumn("batch", expr(s"(rk - 1) div $B"))
+          .select(col("doc_id"), col("batch"))
+        b.join(b.select(col("doc_id").as("id_b"), col("batch")),
+            Seq("batch"))
+          .filter(col("doc_id") < col("id_b"))
+          .select(col("doc_id").as("id_a"), col("id_b"))
+          .localCheckpoint() // ∝ N·(B−1)/2 rows, reused across combos
+      }
+      val p = Map(1 -> pairsOf(1), 2 -> pairsOf(2), 3 -> pairsOf(3))
+      val np = p(1).agg(count(lit(1)).as("n_pairs"))
+      Seq((1, 2), (1, 3), (2, 3)).map { case (x, y) =>
+        p(x).join(p(y), Seq("id_a", "id_b"))
+          .agg(count(lit(1)).as("n_shared"))
+          .crossJoin(broadcast(np))
+          .select(lit(x.toLong).as("seed_a"),
+            lit(y.toLong).as("seed_b"), col("n_pairs"),
+            col("n_shared"),
+            expr("n_shared * 10000 div n_pairs").as("shared_bp"))
+      }.reduce(_ unionByName _)
+        .orderBy(col("seed_a"), col("seed_b"))
     }
   )
 
@@ -1743,6 +1819,70 @@ private[graft] object QueriesLlmC {
       SELECT policy, CAST(worker AS BIGINT) AS worker, n_shards,
              mass,
              CAST(mass * 10000 // tot AS BIGINT) AS share_bp
-      FROM u CROSS JOIN t ORDER BY policy, worker"""
+      FROM u CROSS JOIN t ORDER BY policy, worker""",
+
+
+    "q386_batch_diversity" -> """
+      WITH d AS (SELECT doc_id, source FROM documents),
+      g AS (SELECT source,
+                   row_number() OVER (ORDER BY source, doc_id) AS rk
+            FROM d),
+      s AS (SELECT source,
+                   row_number() OVER (ORDER BY
+                     md5('shuf:' || CAST(doc_id AS VARCHAR)),
+                     doc_id) AS rk
+            FROM d),
+      cg AS (SELECT (rk - 1) // 32 AS batch,
+                    count(DISTINCT source) AS n_src
+             FROM g GROUP BY 1),
+      cs AS (SELECT (rk - 1) // 32 AS batch,
+                    count(DISTINCT source) AS n_src
+             FROM s GROUP BY 1),
+      u AS (SELECT 'grouped' AS policy, n_src,
+                   CAST(count(*) AS BIGINT) AS n_batches
+            FROM cg GROUP BY 1, 2
+            UNION ALL
+            SELECT 'shuffled', n_src, CAST(count(*) AS BIGINT)
+            FROM cs GROUP BY 1, 2)
+      SELECT policy, CAST(n_src AS BIGINT) AS n_src, n_batches
+      FROM u ORDER BY policy, n_src""",
+
+
+    "q387_seed_overlap" -> """
+      WITH d AS (SELECT doc_id FROM documents),
+      b1 AS (SELECT doc_id, (row_number() OVER (ORDER BY
+               md5('sh1:' || CAST(doc_id AS VARCHAR)), doc_id) - 1)
+               // 32 AS batch FROM d),
+      b2 AS (SELECT doc_id, (row_number() OVER (ORDER BY
+               md5('sh2:' || CAST(doc_id AS VARCHAR)), doc_id) - 1)
+               // 32 AS batch FROM d),
+      b3 AS (SELECT doc_id, (row_number() OVER (ORDER BY
+               md5('sh3:' || CAST(doc_id AS VARCHAR)), doc_id) - 1)
+               // 32 AS batch FROM d),
+      p1 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM b1 a JOIN b1 b
+               ON a.batch = b.batch AND a.doc_id < b.doc_id),
+      p2 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM b2 a JOIN b2 b
+               ON a.batch = b.batch AND a.doc_id < b.doc_id),
+      p3 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM b3 a JOIN b3 b
+               ON a.batch = b.batch AND a.doc_id < b.doc_id),
+      np AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM p1),
+      u AS (SELECT 1 AS sa, 2 AS sb,
+                   CAST(count(*) AS BIGINT) AS ns
+            FROM p1 JOIN p2 USING (id_a, id_b)
+            UNION ALL
+            SELECT 1, 3, CAST(count(*) AS BIGINT)
+            FROM p1 JOIN p3 USING (id_a, id_b)
+            UNION ALL
+            SELECT 2, 3, CAST(count(*) AS BIGINT)
+            FROM p2 JOIN p3 USING (id_a, id_b))
+      SELECT CAST(sa AS BIGINT) AS seed_a,
+             CAST(sb AS BIGINT) AS seed_b,
+             np.n_pairs,
+             ns AS n_shared,
+             CAST(ns * 10000 // np.n_pairs AS BIGINT) AS shared_bp
+      FROM u CROSS JOIN np ORDER BY seed_a, seed_b"""
   )
 }
