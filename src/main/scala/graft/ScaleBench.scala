@@ -74,7 +74,11 @@ object ScaleBench {
     // round-12 third continuation: the epoch-schedule family's
     // representative — quartile exposure explode (~2.5x rows) + the
     // bucketed per-epoch rank build + the resume-cut join
-    "q378_resume_schedule")
+    "q378_resume_schedule",
+    // the co-batching audit: within-batch pair sets are ∝ N·(B−1)/2
+    // and the three overlap joins shuffle on the pair key — the row
+    // proves the audit stays linear, not quadratic, in corpus size
+    "q387_seed_overlap")
 
   /** Tables each target reads — lets a subset run skip synthesizing
     * (and paying for) the others at high mults. */
@@ -104,7 +108,8 @@ object ScaleBench {
     "q356_threeway_decon" -> Set("documents"),
     "q363_importance_resample" -> Set("documents"),
     "q364_pack_mask_meta" -> Set("documents"),
-    "q378_resume_schedule" -> Set("documents"))
+    "q378_resume_schedule" -> Set("documents"),
+    "q387_seed_overlap" -> Set("documents"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
