@@ -1051,6 +1051,254 @@ private[graft] object QueriesLlmC {
             expr("n_shared * 10000 div n_pairs").as("shared_bp"))
       }.reduce(_ unionByName _)
         .orderBy(col("seed_a"), col("seed_b"))
+    },
+
+
+    // --- PER-SOURCE DOCUMENT CAP (the "no single domain dominates"
+    //     crawl guard): keep the K smallest md5-ranked docs per
+    //     source — a deterministic uniform-without-replacement
+    //     sample capped at K, reproducible across runs AND engines
+    //     (the hash IS the sampling order). Census per source: raw
+    //     vs kept docs/tokens, the kept-set id checksum, and the
+    //     corpus token share in basis points before/after — the
+    //     concentration shift the cap exists to produce. Scale: the
+    //     in-source rank is bucketedRank (per-(source, hash-prefix)
+    //     windows + triangular offsets — no per-source single-task
+    //     window), and the kept set is STAGED (q392 recomputes the
+    //     mixture over the same kept set, so the rank runs once per
+    //     (corpus, K), not per consumer). ---
+    "q388_source_cap" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(TextAnalysis.tokens(col("text"))).cast("long")
+            .as("n_tok"))
+      val kept = graft.operators.Staged.getOrBuild(spark,
+          s"cap_kept::$dir::md5cap_k15") {
+        val keyed = docs
+          .withColumn("h", md5(concat(lit("cap:"),
+            col("doc_id").cast("string")).cast("binary")))
+          .withColumn("__bk", substring(col("h"), 1, 2))
+        QueryShared.bucketedRank(keyed, Seq("source"), "__bk",
+            Seq("h", "doc_id"), "rk")
+          .filter(col("rk") <= 15)
+          .select(col("doc_id"), col("source"), col("n_tok"))
+      }
+      val raw = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("tok_total"))
+      val kp = kept.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_tok")).as("tok_kept"),
+          sum(col("doc_id")).as("kept_checksum"))
+      val per = raw.join(kp, Seq("source"))
+      val tot = per.agg(sum(col("tok_total")).as("__tt"),
+        sum(col("tok_kept")).as("__tk"))
+      per.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("n_kept"),
+          col("tok_total"), col("tok_kept"), col("kept_checksum"),
+          expr("tok_total * 10000 div __tt").as("raw_share_bp"),
+          expr("tok_kept * 10000 div __tk").as("cap_share_bp"))
+        .orderBy(col("source"))
+    },
+
+
+    // --- PER-SOURCE CAP AS A FOLD (the sixth fold-theorem family —
+    //     deterministic capped sampling is mergeable state): the
+    //     per-source K-min-hash manifest is a selection monoid —
+    //     kminK(A ∪ B) = kminK(kminK(A) ∪ kminK(B)) — so a nightly
+    //     ingest folds each new batch's K-row-per-source manifest
+    //     into the standing one and NEVER re-ranks history. Here the
+    //     corpus splits into three batches (doc_id mod 3), each
+    //     batch mines its own manifest (bucketedRank — unbounded
+    //     input), the manifests fold pairwise (plain windows — input
+    //     is ≤2K rows per source BY CONSTRUCTION, the fold's whole
+    //     point), and the folded census must hash-match the oracle's
+    //     full-corpus rebuild. ---
+    "q389_cap_fold" -> { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val K = 15
+      val docs = tbl(spark, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(TextAnalysis.tokens(col("text"))).cast("long")
+            .as("n_tok"))
+        .withColumn("h", md5(concat(lit("cap:"),
+          col("doc_id").cast("string")).cast("binary")))
+      def mine(batch: DataFrame): DataFrame =
+        QueryShared.bucketedRank(
+            batch.withColumn("__bk", substring(col("h"), 1, 2)),
+            Seq("source"), "__bk", Seq("h", "doc_id"), "rk")
+          .filter(col("rk") <= K)
+          .select(col("source"), col("h"), col("doc_id"),
+            col("n_tok"))
+      // manifests are K-bounded per source, so the fold's window is
+      // safe: ≤ 2K rows per partition, never a corpus-sized one
+      val fw = Window.partitionBy(col("source"))
+        .orderBy(col("h"), col("doc_id"))
+      def fold(a: DataFrame, b: DataFrame): DataFrame =
+        a.unionByName(b)
+          .withColumn("__rk", row_number().over(fw))
+          .filter(col("__rk") <= K)
+          .drop("__rk")
+      val ms = (0 to 2).map(i =>
+        mine(docs.filter(pmod(col("doc_id"), lit(3)) === i)))
+      fold(fold(ms(0), ms(1)), ms(2))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_tok")).as("tok_kept"),
+          sum(col("doc_id")).as("kept_checksum"))
+        .orderBy(col("source"))
+    },
+
+
+    // --- CONTRASTIVE TRIPLET MINING with hard-negative margins
+    //     (anchor, positive = best same-label, negative = HARDEST
+    //     different-label — the highest-cosine impostor): candidate
+    //     pairing rides a B-bucket md5 co-partition with B ∝ corpus
+    //     size (B = max(16, n/32), derived identically in both
+    //     engines), so each anchor scores a BOUNDED ~32-candidate
+    //     sample and total pairs stay LINEAR in corpus size — never
+    //     all-pairs (the recall-preserving path at 100 TB is the
+    //     fitted IVF of q109; this is the margin CENSUS that says
+    //     whether mining is even needed). Doubles end to end:
+    //     the cosine kernel is the same left-to-right fold DuckDB
+    //     computes (q337 precedent), argmax ties break on id, and
+    //     the margin is one exact IEEE subtraction — so the triplet
+    //     SET is bit-pinned and the census hash-matches. ---
+    "q390_triplet_margin" -> rounded("min_margin" -> 6,
+        "max_margin" -> 6)({ (spark, dir) =>
+      val sim = graft.llm.Similarity
+      val emb = tbl(spark, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+      // bounded scalar pull: one count pins the bucket fan-out
+      val nBuckets = math.max(16L, emb.count() / 32L)
+      def side(df: DataFrame, tag: String): DataFrame = df
+        .withColumn("__bucket",
+          pmod(conv(substring(md5(concat(lit("tri:"),
+            col(s"${tag}id").cast("string")).cast("binary")),
+            1, 4), 16, 10).cast("long"), lit(nBuckets)))
+      val anchors = side(emb.filter(pmod(col("vec_id"), lit(4)) === 0)
+        .select(col("vec_id").as("aid"), col("label").as("alab"),
+          col("v").as("av")), "a")
+      val cands = side(emb.filter(pmod(col("vec_id"), lit(4)) =!= 0)
+        .select(col("vec_id").as("cid"), col("label").as("clab"),
+          col("v").as("cv")), "c")
+      val scored = anchors.join(cands, Seq("__bucket"))
+        .withColumn("cos", sim.cosine(col("av"), col("cv")))
+      val trip = scored.groupBy(col("aid"), col("alab"))
+        .agg(
+          max(when(col("clab") === col("alab"),
+            struct(col("cos"), (-col("cid")).as("__t"),
+              col("cid").as("__id")))).as("__p"),
+          max(when(col("clab") =!= col("alab"),
+            struct(col("cos"), (-col("cid")).as("__t"),
+              col("cid").as("__id")))).as("__n"))
+        .filter(col("__p").isNotNull && col("__n").isNotNull)
+        .select(col("aid"), col("alab"),
+          col("__p.__id").as("pos_id"), col("__n.__id").as("neg_id"),
+          (col("__p.cos") - col("__n.cos")).as("margin"))
+      trip.groupBy(col("alab").cast("long").as("label"))
+        .agg(count(lit(1)).as("n_triplets"),
+          coalesce(sum(when(col("margin") < 0, 1L)), lit(0L))
+            .as("n_inverted"),
+          coalesce(sum(when(col("margin") < 0.2, 1L)), lit(0L))
+            .as("n_hard"),
+          sum(col("aid")).as("aid_checksum"),
+          sum(col("pos_id")).as("pos_checksum"),
+          sum(col("neg_id")).as("neg_checksum"),
+          min(col("margin")).as("min_margin"),
+          max(col("margin")).as("max_margin"))
+        .orderBy(col("label"))
+    }),
+
+
+    // --- T5-STYLE SPAN CORRUPTION census (the denoising objective's
+    //     data transform, measured before any tensor is built):
+    //     token positions partition into 3-token blocks, a block is
+    //     masked iff md5(doc:block) ≡ 0 (mod 20) — 5% of spans ⇒
+    //     ~15% of tokens, non-overlapping BY CONSTRUCTION (no greedy
+    //     sequential pass to distribute). Per source: spans, masked
+    //     tokens, masked basis points, and the encoder/decoder
+    //     sequence lengths (each masked span collapses to one
+    //     sentinel on the input side and expands to sentinel+span on
+    //     the target side) — the numbers a batch-size planner needs.
+    //     Explode is ∝ tokens/3; one aggregation, exact integers. ---
+    "q391_span_corruption" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(TextAnalysis.tokens(col("text"))).cast("long")
+            .as("n_tok"))
+        .filter(col("n_tok") > 0)
+      val blocks = docs
+        .withColumn("j", explode(expr(
+          "sequence(0L, (n_tok - 1) div 3)")))
+        .withColumn("blk_tok",
+          least(lit(3L), col("n_tok") - col("j") * 3))
+        .withColumn("masked",
+          pmod(conv(substring(md5(concat(lit("sc:"),
+            col("doc_id").cast("string"), lit(":"),
+            col("j").cast("string")).cast("binary")), 1, 4), 16, 10)
+            .cast("long"), lit(20)) === 0)
+      blocks.groupBy(col("source"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          sum(col("blk_tok")).as("n_tokens"),
+          coalesce(sum(when(col("masked"), col("blk_tok"))), lit(0L))
+            .as("n_masked"),
+          coalesce(sum(when(col("masked"), 1L)), lit(0L))
+            .as("n_spans"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("n_masked"), col("n_spans"),
+          expr("n_masked * 10000 div n_tokens").as("masked_bp"),
+          (col("n_tokens") - col("n_masked") + col("n_spans"))
+            .as("enc_len"),
+          (col("n_masked") + col("n_spans")).as("dec_len"))
+        .orderBy(col("source"))
+    },
+
+
+    // --- CAP → MIXTURE INTERPLAY (what the domain cap does to the
+    //     training mixture): the UniMax water-fill re-run on the
+    //     capped corpus vs the raw one, per source — the cap shrinks
+    //     dominant sources' availability, so the water level and
+    //     every allocation move. Rides q388's STAGED kept set (the
+    //     rank never re-runs) and the shared water-fill algebra
+    //     (q352/q357); both censuses are source-bounded k-row
+    //     frames. Exact integers end to end. ---
+    "q392_cap_mixture" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(TextAnalysis.tokens(col("text"))).cast("long")
+            .as("n_tok"))
+      val kept = graft.operators.Staged.getOrBuild(spark,
+          s"cap_kept::$dir::md5cap_k15") {
+        val keyed = docs
+          .withColumn("h", md5(concat(lit("cap:"),
+            col("doc_id").cast("string")).cast("binary")))
+          .withColumn("__bk", substring(col("h"), 1, 2))
+        QueryShared.bucketedRank(keyed, Seq("source"), "__bk",
+            Seq("h", "doc_id"), "rk")
+          .filter(col("rk") <= 15)
+          .select(col("doc_id"), col("source"), col("n_tok"))
+      }
+      val rawC = docs.groupBy(col("source"))
+        .agg(sum(col("n_tok")).as("sz_tok"))
+      val capC = kept.groupBy(col("source"))
+        .agg(sum(col("n_tok")).as("sz_tok"))
+      // the q352/q357 census bound, same remedy
+      val nSources = rawC.count()
+      require(nSources <= 10000,
+        s"q392: source census has $nSources sources, above the " +
+          "10000 the allocation windows are bounded for — shard it")
+      val rawA = unimaxAlloc(rawC, "sz_tok", "alloc", 6, 10)
+        .select(col("source"), col("sz_tok").as("raw_tok"),
+          col("alloc").as("raw_alloc"))
+      val capA = unimaxAlloc(capC, "sz_tok", "alloc", 6, 10)
+        .select(col("source"), col("sz_tok").as("cap_tok"),
+          col("alloc").as("cap_alloc"))
+      rawA.join(capA, Seq("source"))
+        .withColumn("alloc_delta",
+          col("cap_alloc") - col("raw_alloc"))
+        .orderBy(col("source"))
     }
   )
 
@@ -1883,6 +2131,152 @@ private[graft] object QueriesLlmC {
              np.n_pairs,
              ns AS n_shared,
              CAST(ns * 10000 // np.n_pairs AS BIGINT) AS shared_bp
-      FROM u CROSS JOIN np ORDER BY seed_a, seed_b"""
+      FROM u CROSS JOIN np ORDER BY seed_a, seed_b""",
+
+
+    "q388_source_cap" -> """
+      WITH tk AS (SELECT doc_id, source, CAST(len(list_filter(
+                    string_split_regex(lower(trim(text)), '\s+'),
+                    x -> length(x) > 0)) AS BIGINT) AS n_tok
+                  FROM documents),
+      r AS (SELECT doc_id, source, n_tok,
+                   row_number() OVER (PARTITION BY source ORDER BY
+                     md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id)
+                     AS rk
+            FROM tk),
+      p AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS tok_total,
+                   CAST(coalesce(sum(CASE WHEN rk <= 15 THEN 1 END),
+                     0) AS BIGINT) AS n_kept,
+                   CAST(coalesce(sum(CASE WHEN rk <= 15 THEN n_tok
+                     END), 0) AS BIGINT) AS tok_kept,
+                   CAST(coalesce(sum(CASE WHEN rk <= 15 THEN doc_id
+                     END), 0) AS BIGINT) AS kept_checksum
+            FROM r GROUP BY 1),
+      t AS (SELECT sum(tok_total) AS tt, sum(tok_kept) AS tk FROM p)
+      SELECT source, n_docs, n_kept, tok_total, tok_kept,
+             kept_checksum,
+             CAST(tok_total * 10000 // t.tt AS BIGINT)
+               AS raw_share_bp,
+             CAST(tok_kept * 10000 // t.tk AS BIGINT)
+               AS cap_share_bp
+      FROM p CROSS JOIN t ORDER BY source""",
+
+
+    "q389_cap_fold" -> """
+      WITH tk AS (SELECT doc_id, source, CAST(len(list_filter(
+                    string_split_regex(lower(trim(text)), '\s+'),
+                    x -> length(x) > 0)) AS BIGINT) AS n_tok
+                  FROM documents),
+      r AS (SELECT doc_id, source, n_tok,
+                   row_number() OVER (PARTITION BY source ORDER BY
+                     md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id)
+                     AS rk
+            FROM tk)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+             CAST(sum(n_tok) AS BIGINT) AS tok_kept,
+             CAST(sum(doc_id) AS BIGINT) AS kept_checksum
+      FROM r WHERE rk <= 15 GROUP BY 1 ORDER BY source""",
+
+
+    "q390_triplet_margin" -> """
+      WITH e AS (SELECT vec_id, label,
+                        CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+      nb AS (SELECT greatest(16, count(*) // 32) AS b
+             FROM embeddings),
+      a AS (SELECT vec_id AS aid, label AS alab, v AS av,
+                   CAST(('0x' || substring(md5('tri:' ||
+                     CAST(vec_id AS VARCHAR)), 1, 4)) AS BIGINT)
+                     % nb.b AS bucket
+            FROM e CROSS JOIN nb WHERE vec_id % 4 = 0),
+      c AS (SELECT vec_id AS cid, label AS clab, v AS cv,
+                   CAST(('0x' || substring(md5('tri:' ||
+                     CAST(vec_id AS VARCHAR)), 1, 4)) AS BIGINT)
+                     % nb.b AS bucket
+            FROM e CROSS JOIN nb WHERE vec_id % 4 <> 0),
+      s AS (SELECT aid, alab, cid, clab,
+                   list_cosine_similarity(av, cv) AS cos
+            FROM a JOIN c USING (bucket)),
+      p AS (SELECT aid, alab, cid, cos,
+                   row_number() OVER (PARTITION BY aid
+                     ORDER BY cos DESC, cid) AS rn
+            FROM s WHERE clab = alab),
+      n AS (SELECT aid, cid, cos,
+                   row_number() OVER (PARTITION BY aid
+                     ORDER BY cos DESC, cid) AS rn
+            FROM s WHERE clab <> alab),
+      t AS (SELECT p.aid, p.alab, p.cid AS pos_id, n.cid AS neg_id,
+                   p.cos - n.cos AS margin
+            FROM p JOIN n ON p.aid = n.aid
+            WHERE p.rn = 1 AND n.rn = 1)
+      SELECT CAST(alab AS BIGINT) AS label,
+             CAST(count(*) AS BIGINT) AS n_triplets,
+             CAST(coalesce(sum(CASE WHEN margin < 0 THEN 1 END), 0)
+               AS BIGINT) AS n_inverted,
+             CAST(coalesce(sum(CASE WHEN margin < 0.2 THEN 1 END),
+               0) AS BIGINT) AS n_hard,
+             CAST(sum(aid) AS BIGINT) AS aid_checksum,
+             CAST(sum(pos_id) AS BIGINT) AS pos_checksum,
+             CAST(sum(neg_id) AS BIGINT) AS neg_checksum,
+             round(min(margin), 6) AS min_margin,
+             round(max(margin), 6) AS max_margin
+      FROM t GROUP BY 1 ORDER BY label""",
+
+
+    "q391_span_corruption" -> """
+      WITH tk AS (SELECT doc_id, source, CAST(len(list_filter(
+                    string_split_regex(lower(trim(text)), '\s+'),
+                    x -> length(x) > 0)) AS BIGINT) AS n_tok
+                  FROM documents),
+      d AS (SELECT * FROM tk WHERE n_tok > 0),
+      b AS (SELECT doc_id, source, n_tok,
+                   unnest(generate_series(0, (n_tok - 1) // 3)) AS j
+            FROM d),
+      m AS (SELECT source, doc_id,
+                   least(3, n_tok - j * 3) AS blk_tok,
+                   (CAST(('0x' || substring(md5('sc:' ||
+                      CAST(doc_id AS VARCHAR) || ':' ||
+                      CAST(j AS VARCHAR)), 1, 4)) AS INTEGER)
+                      % 20 = 0) AS masked
+            FROM b),
+      g AS (SELECT source,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   CAST(sum(blk_tok) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(sum(CASE WHEN masked THEN blk_tok
+                     END), 0) AS BIGINT) AS n_masked,
+                   CAST(coalesce(sum(CASE WHEN masked THEN 1 END),
+                     0) AS BIGINT) AS n_spans
+            FROM m GROUP BY 1)
+      SELECT source, n_docs, n_tokens, n_masked, n_spans,
+             CAST(n_masked * 10000 // n_tokens AS BIGINT)
+               AS masked_bp,
+             CAST(n_tokens - n_masked + n_spans AS BIGINT)
+               AS enc_len,
+             CAST(n_masked + n_spans AS BIGINT) AS dec_len
+      FROM g ORDER BY source""",
+
+
+    "q392_cap_mixture" -> s"""
+      WITH tk AS (SELECT doc_id, source, CAST(len(list_filter(
+                    string_split_regex(lower(trim(text)), '\\s+'),
+                    x -> length(x) > 0)) AS BIGINT) AS n_tok
+                  FROM documents),
+      rk AS (SELECT doc_id, source, n_tok,
+                    row_number() OVER (PARTITION BY source ORDER BY
+                      md5('cap:' || CAST(doc_id AS VARCHAR)),
+                      doc_id) AS rk
+             FROM tk),
+      rsrc AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS sz_tok
+               FROM tk GROUP BY 1),
+      csrc AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS sz_tok
+               FROM rk WHERE rk <= 15 GROUP BY 1),
+      ${unimaxAllocSql("rsrc", "sz_tok", "raw_alloc", "u")},
+      ${unimaxAllocSql("csrc", "sz_tok", "cap_alloc", "v")}
+      SELECT ua.source, ua.sz_tok AS raw_tok, ua.raw_alloc,
+             va.sz_tok AS cap_tok, va.cap_alloc,
+             CAST(va.cap_alloc - ua.raw_alloc AS BIGINT)
+               AS alloc_delta
+      FROM ua JOIN va USING (source) ORDER BY source"""
   )
 }

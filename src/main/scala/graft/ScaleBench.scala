@@ -78,7 +78,12 @@ object ScaleBench {
     // the co-batching audit: within-batch pair sets are ∝ N·(B−1)/2
     // and the three overlap joins shuffle on the pair key — the row
     // proves the audit stays linear, not quadratic, in corpus size
-    "q387_seed_overlap")
+    "q387_seed_overlap",
+    // round-12 fourth continuation: the per-source-cap FOLD — three
+    // per-batch bucketedRank mines + two K-bounded manifest merges;
+    // the row proves batch mining stays linear while the fold cost
+    // is K·|sources|-bounded regardless of corpus size
+    "q389_cap_fold")
 
   /** Tables each target reads — lets a subset run skip synthesizing
     * (and paying for) the others at high mults. */
@@ -109,7 +114,8 @@ object ScaleBench {
     "q363_importance_resample" -> Set("documents"),
     "q364_pack_mask_meta" -> Set("documents"),
     "q378_resume_schedule" -> Set("documents"),
-    "q387_seed_overlap" -> Set("documents"))
+    "q387_seed_overlap" -> Set("documents"),
+    "q389_cap_fold" -> Set("documents"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
