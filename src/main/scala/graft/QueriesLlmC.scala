@@ -1074,13 +1074,10 @@ private[graft] object QueriesLlmC {
             .as("n_tok"))
       val kept = graft.operators.Staged.getOrBuild(spark,
           s"cap_kept::$dir::md5cap_k15") {
-        val keyed = docs
-          .withColumn("h", md5(concat(lit("cap:"),
-            col("doc_id").cast("string")).cast("binary")))
-          .withColumn("__bk", substring(col("h"), 1, 2))
-        QueryShared.bucketedRank(keyed, Seq("source"), "__bk",
-            Seq("h", "doc_id"), "rk")
-          .filter(col("rk") <= 15)
+        graft.operators.CapSample.mine(
+            docs.withColumn("h", md5(concat(lit("cap:"),
+              col("doc_id").cast("string")).cast("binary"))),
+            "source", Seq("h", "doc_id"), k = 15)
           .select(col("doc_id"), col("source"), col("n_tok"))
       }
       val raw = docs.groupBy(col("source"))
@@ -1107,15 +1104,15 @@ private[graft] object QueriesLlmC {
     //     per-source K-min-hash manifest is a selection monoid —
     //     kminK(A ∪ B) = kminK(kminK(A) ∪ kminK(B)) — so a nightly
     //     ingest folds each new batch's K-row-per-source manifest
-    //     into the standing one and NEVER re-ranks history. Here the
-    //     corpus splits into three batches (doc_id mod 3), each
-    //     batch mines its own manifest (bucketedRank — unbounded
-    //     input), the manifests fold pairwise (plain windows — input
-    //     is ≤2K rows per source BY CONSTRUCTION, the fold's whole
-    //     point), and the folded census must hash-match the oracle's
-    //     full-corpus rebuild. ---
+    //     into the standing one and NEVER re-ranks history. The
+    //     operator is operators/CapSample (mine = bucketedRank over
+    //     the unbounded batch; merge = plain window over inputs that
+    //     are ≤2K rows per source BY CONSTRUCTION — the fold's whole
+    //     point), its monoid law is CapSampleSpec. Here the corpus
+    //     splits into three batches (doc_id mod 3) and the folded
+    //     census must hash-match the oracle's full-corpus rebuild. ---
     "q389_cap_fold" -> { (spark, dir) =>
-      import org.apache.spark.sql.expressions.Window
+      val cs = graft.operators.CapSample
       val K = 15
       val docs = tbl(spark, dir, "documents")
         .select(col("doc_id"), col("source"),
@@ -1123,25 +1120,11 @@ private[graft] object QueriesLlmC {
             .as("n_tok"))
         .withColumn("h", md5(concat(lit("cap:"),
           col("doc_id").cast("string")).cast("binary")))
-      def mine(batch: DataFrame): DataFrame =
-        QueryShared.bucketedRank(
-            batch.withColumn("__bk", substring(col("h"), 1, 2)),
-            Seq("source"), "__bk", Seq("h", "doc_id"), "rk")
-          .filter(col("rk") <= K)
-          .select(col("source"), col("h"), col("doc_id"),
-            col("n_tok"))
-      // manifests are K-bounded per source, so the fold's window is
-      // safe: ≤ 2K rows per partition, never a corpus-sized one
-      val fw = Window.partitionBy(col("source"))
-        .orderBy(col("h"), col("doc_id"))
-      def fold(a: DataFrame, b: DataFrame): DataFrame =
-        a.unionByName(b)
-          .withColumn("__rk", row_number().over(fw))
-          .filter(col("__rk") <= K)
-          .drop("__rk")
-      val ms = (0 to 2).map(i =>
-        mine(docs.filter(pmod(col("doc_id"), lit(3)) === i)))
-      fold(fold(ms(0), ms(1)), ms(2))
+      val ms = (0 to 2).map(i => cs.mine(
+        docs.filter(pmod(col("doc_id"), lit(3)) === i),
+        "source", Seq("h", "doc_id"), K))
+      cs.merge(cs.merge(ms(0), ms(1), "source", Seq("h", "doc_id"),
+          K), ms(2), "source", Seq("h", "doc_id"), K)
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_kept"),
           sum(col("n_tok")).as("tok_kept"),
@@ -1271,13 +1254,10 @@ private[graft] object QueriesLlmC {
             .as("n_tok"))
       val kept = graft.operators.Staged.getOrBuild(spark,
           s"cap_kept::$dir::md5cap_k15") {
-        val keyed = docs
-          .withColumn("h", md5(concat(lit("cap:"),
-            col("doc_id").cast("string")).cast("binary")))
-          .withColumn("__bk", substring(col("h"), 1, 2))
-        QueryShared.bucketedRank(keyed, Seq("source"), "__bk",
-            Seq("h", "doc_id"), "rk")
-          .filter(col("rk") <= 15)
+        graft.operators.CapSample.mine(
+            docs.withColumn("h", md5(concat(lit("cap:"),
+              col("doc_id").cast("string")).cast("binary"))),
+            "source", Seq("h", "doc_id"), k = 15)
           .select(col("doc_id"), col("source"), col("n_tok"))
       }
       val rawC = docs.groupBy(col("source"))

@@ -110,6 +110,38 @@ private[graft] object QueriesStreaming {
     },
 
 
+    // --- STREAMING PER-SOURCE CAP (q389's CapSample fold in the
+    //     micro-batch runtime): documents arrive in three
+    //     micro-batches, each mines its own ≤K-per-source K-min-hash
+    //     manifest (the only data-proportional step — tokenize + md5
+    //     once per doc, ever) and appends it; the standing capped
+    //     sample is ONE truncate over the appended mines. The oracle
+    //     is the full-corpus rebuild (q389's SQL) — hash match
+    //     proves the selection-monoid fold holds batch-by-batch in
+    //     the runtime a 100 TB crawl actually arrives through. ---
+    "q393_stream_cap" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      val mx = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
+      val src = Scratch.dir("graft_q393").toString + "/docs"
+      EventStream.writeOrderedBatches(Seq(
+        docs.filter(col("doc_id") * 3 <= mx),
+        docs.filter(col("doc_id") * 3 > mx &&
+          col("doc_id") * 3 <= 2 * mx),
+        docs.filter(col("doc_id") * 3 > 2 * mx)), src)
+      val stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      EventStream.streamingCapManifest(spark, stream,
+          Scratch.dir("graft_q393man").toString + "/manifest",
+          Scratch.dir("graft_q393ck").toString, 15)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_tok")).as("tok_kept"),
+          sum(col("doc_id")).as("kept_checksum"))
+        .orderBy(col("source"))
+    },
+
+
     // --- M7: Structured Streaming tumbling agg (batch/stream parity:
     //     the oracle is the equivalent BATCH SQL over the same data) ---
     "q31_stream_tumbling" -> rounded("sum_value" -> 4)(dated("day")({
@@ -1292,6 +1324,23 @@ private[graft] object QueriesStreaming {
                  FROM documents GROUP BY 1),
       ${unimaxAllocSql("s", "sz_tok", "alloc_tok", "u")}
       SELECT source, sz_tok, alloc_tok FROM ua ORDER BY source""",
+
+    // full-corpus rebuild — identical to q389's oracle: the hash
+    // match proves the streamed fold ≡ rebuild (selection monoid)
+    "q393_stream_cap" -> """
+      WITH tk AS (SELECT doc_id, source, CAST(len(list_filter(
+                    string_split_regex(lower(trim(text)), '\s+'),
+                    x -> length(x) > 0)) AS BIGINT) AS n_tok
+                  FROM documents),
+      r AS (SELECT doc_id, source, n_tok,
+                   row_number() OVER (PARTITION BY source ORDER BY
+                     md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id)
+                     AS rk
+            FROM tk)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+             CAST(sum(n_tok) AS BIGINT) AS tok_kept,
+             CAST(sum(doc_id) AS BIGINT) AS kept_checksum
+      FROM r WHERE rk <= 15 GROUP BY 1 ORDER BY source""",
 
     "q350_state_audit_tws" -> """
       SELECT CAST(user_id AS BIGINT) AS user_id,

@@ -83,26 +83,9 @@ private[graft] object QueryShared {
     * one task. */
   private[graft] def bucketedRank(df: DataFrame, part: Seq[String],
                                   bucket: String, order: Seq[String],
-                                  rankName: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val keys = part :+ bucket
-    val census = df.groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("__bc"))
-    val right = census.select(
-      (part.map(n => col(n).as(s"__p_$n")) :+
-        col(bucket).as("__b2") :+ col("__bc").as("__bc2")): _*)
-    val cond = part.foldLeft(col("__b2") < col(bucket)) {
-      (acc, n) => acc && (col(s"__p_$n") === col(n))
-    }
-    val offs = census.join(right, cond, "left")
-      .groupBy(keys.map(col): _*)
-      .agg(coalesce(sum(col("__bc2")), lit(0L)).as("__boff"))
-    val iw = Window.partitionBy(keys.map(col): _*)
-      .orderBy(order.map(col): _*)
-    df.join(offs, keys)
-      .withColumn(rankName, col("__boff") + row_number().over(iw))
-      .drop("__boff")
-  }
+                                  rankName: String): DataFrame =
+    graft.operators.BucketedRank.rank(df, part, bucket, order,
+      rankName)
 
   /** The context-packing rebuild oracle (chunk census + fill at
     * L=512 over `documents` in doc_id order) — shared by q353 (the

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic per-group capped sampling as MERGEABLE STATE — the
+  * "no single domain dominates" crawl guard (q388) published as an
+  * operator, with the fold contract q389 proves against its oracle:
+  *
+  *   kminK(A ∪ B) = kminK( kminK(A) ∪ kminK(B) )
+  *
+  * The k smallest-hash rows per group are a SELECTION MONOID, so a
+  * nightly ingest [[mine]]s each new batch (the only
+  * data-proportional step) and [[merge]]s the resulting
+  * k-row-per-group manifest into the standing one — history is never
+  * re-ranked, and the fold sees ≤ 2k rows per group by construction.
+  * Because the hash orders the sample, the kept set is reproducible
+  * across runs, engines, batch arrival orders, and re-shardings.
+  *
+  * `order` is the full sort key and MUST start with the md5-hex hash
+  * column (mine buckets by its first two chars — an order-range of
+  * the sort axis, the [[BucketedRank]] requirement) and end with a
+  * tiebreaker unique per row (the id), so ranks are total.
+  */
+object CapSample {
+
+  /** Mine one batch: the k smallest-`order` rows per `group`. Input
+    * is UNBOUNDED — ranking rides [[BucketedRank]] (per-(group,
+    * hash-prefix) windows + triangular offsets), never a per-group
+    * single-task window. Output keeps the input columns. */
+  def mine(df: DataFrame, group: String, order: Seq[String],
+           k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    BucketedRank.rank(
+        df.withColumn("__bk", substring(col(order.head), 1, 2)),
+        Seq(group), "__bk", order, "__rk")
+      .filter(col("__rk") <= k)
+      .drop("__rk", "__bk")
+  }
+
+  /** Fold two manifests. Inputs must be [[mine]]/[[merge]] outputs
+    * (≤ k rows per group BY CONSTRUCTION), so the per-group window
+    * is safe: ≤ 2k rows per partition, never a corpus-sized one.
+    * Dedup on (group, order) first: an at-least-once ingest that
+    * REPLAYS a batch folds to a no-op (merge is idempotent), which
+    * is exactly what a redelivered micro-batch needs. */
+  def merge(a: DataFrame, b: DataFrame, group: String,
+            order: Seq[String], k: Int): DataFrame =
+    truncate(a.unionByName(b), group, order, k)
+
+  /** Re-truncate a BOUNDED union of manifests (≤ k·m rows per group
+    * for m appended batches) to the standing k — the n-way fold's
+    * last step, used directly by the streaming manifest (one window
+    * over the appended per-batch mines instead of m-1 pairwise
+    * merges). Same idempotence dedup as [[merge]]. */
+  def truncate(m: DataFrame, group: String, order: Seq[String],
+               k: Int): DataFrame = {
+    val w = Window.partitionBy(col(group))
+      .orderBy(order.map(col): _*)
+    m.dropDuplicates(group +: order)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
+}

@@ -760,6 +760,39 @@ object EventStream {
     dg.fold(Seq(spark.read.parquet(manifestDir)))
   }
 
+  /** Streaming per-source K-min-hash cap manifest — the CapSample
+    * fold (q389) in the micro-batch runtime. Each batch MINEs its
+    * own ≤k-per-source manifest (tokenize + md5 + bucketed rank —
+    * the only data-proportional step; history's text is never
+    * re-read) and appends it to `manifestDir`; the standing sample
+    * is ONE CapSample.truncate over the appended mines (bounded:
+    * ≤ k·batches rows per source). merge's idempotence dedup makes
+    * a redelivered batch fold to a no-op — at-least-once safe.
+    * Expects (doc_id, source, text); returns the folded manifest
+    * (doc_id, source, n_tok, h). */
+  def streamingCapManifest(spark: SparkSession,
+                           docsStream: DataFrame, manifestDir: String,
+                           checkpointDir: String, k: Int): DataFrame = {
+    val cs = graft.operators.CapSample
+    val q = docsStream.writeStream
+      .foreachBatch { (bdf: DataFrame, _: Long) =>
+        cs.mine(
+            bdf.select(col("doc_id"), col("source"),
+                graft.llm.TextAnalysis.tokenCount(col("text"))
+                  .cast("long").as("n_tok"))
+              .withColumn("h", md5(concat(lit("cap:"),
+                col("doc_id").cast("string")).cast("binary"))),
+            "source", Seq("h", "doc_id"), k)
+          .write.mode("append").parquet(manifestDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    cs.truncate(spark.read.parquet(manifestDir), "source",
+      Seq("h", "doc_id"), k)
+  }
+
   /** Streaming per-source token census — the q362 mixture fold's
     * micro-batch twin. Each batch appends its (source, sz_tok)
     * census to `censusDir`; the merged census is one groupBy-sum
