@@ -1239,6 +1239,74 @@ private[graft] object QueriesLlmC {
     },
 
 
+    // --- TRIPLET MINING AS A FOLD (the eighth fold family —
+    //     per-anchor argmax is a SELECTION monoid): the hardest
+    //     negative / best positive per anchor over candidates A ∪ B
+    //     is the struct-max of the per-batch argmaxes, so a corpus
+    //     that arrives in batches keeps one (pos, neg) struct pair
+    //     per anchor and NEVER re-scores old candidates against old
+    //     anchors. Candidates stream in three batches (vec_id mod
+    //     3); each batch pays its own bucketed pair join; the fold
+    //     is one groupBy struct-max over anchor-bounded state. The
+    //     oracle is q390's single-pass census — hash match proves
+    //     fold ≡ rebuild. ---
+    "q394_triplet_fold" -> rounded("min_margin" -> 6,
+        "max_margin" -> 6)({ (spark, dir) =>
+      val sim = graft.llm.Similarity
+      val emb = tbl(spark, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+      val nBuckets = math.max(16L, emb.count() / 32L)
+      def bucketed(df: DataFrame, tag: String): DataFrame = df
+        .withColumn("__bucket",
+          pmod(conv(substring(md5(concat(lit("tri:"),
+            col(s"${tag}id").cast("string")).cast("binary")),
+            1, 4), 16, 10).cast("long"), lit(nBuckets)))
+      val anchors = bucketed(
+        emb.filter(pmod(col("vec_id"), lit(4)) === 0)
+          .select(col("vec_id").as("aid"), col("label").as("alab"),
+            col("v").as("av")), "a")
+      val cands = bucketed(
+        emb.filter(pmod(col("vec_id"), lit(4)) =!= 0)
+          .select(col("vec_id").as("cid"), col("label").as("clab"),
+            col("v").as("cv")), "c")
+      // per-batch argmax census: ≤ one row per anchor, the fold state
+      def batchBest(batch: DataFrame): DataFrame =
+        anchors.join(batch, Seq("__bucket"))
+          .withColumn("cos", sim.cosine(col("av"), col("cv")))
+          .groupBy(col("aid"), col("alab"))
+          .agg(
+            max(when(col("clab") === col("alab"),
+              struct(col("cos"), (-col("cid")).as("__t"),
+                col("cid").as("__id")))).as("__p"),
+            max(when(col("clab") =!= col("alab"),
+              struct(col("cos"), (-col("cid")).as("__t"),
+                col("cid").as("__id")))).as("__n"))
+      val folded = (0 to 2).map(i =>
+          batchBest(cands.filter(pmod(col("cid"), lit(3)) === i)))
+        .reduce(_ unionByName _)
+        .groupBy(col("aid"), col("alab"))
+        .agg(max(col("__p")).as("__p"), max(col("__n")).as("__n"))
+      folded
+        .filter(col("__p").isNotNull && col("__n").isNotNull)
+        .select(col("aid"), col("alab"),
+          col("__p.__id").as("pos_id"), col("__n.__id").as("neg_id"),
+          (col("__p.cos") - col("__n.cos")).as("margin"))
+        .groupBy(col("alab").cast("long").as("label"))
+        .agg(count(lit(1)).as("n_triplets"),
+          coalesce(sum(when(col("margin") < 0, 1L)), lit(0L))
+            .as("n_inverted"),
+          coalesce(sum(when(col("margin") < 0.2, 1L)), lit(0L))
+            .as("n_hard"),
+          sum(col("aid")).as("aid_checksum"),
+          sum(col("pos_id")).as("pos_checksum"),
+          sum(col("neg_id")).as("neg_checksum"),
+          min(col("margin")).as("min_margin"),
+          max(col("margin")).as("max_margin"))
+        .orderBy(col("label"))
+    }),
+
+
     // --- CAP → MIXTURE INTERPLAY (what the domain cap does to the
     //     training mixture): the UniMax water-fill re-run on the
     //     capped corpus vs the raw one, per source — the cap shrinks
@@ -2159,7 +2227,16 @@ private[graft] object QueriesLlmC {
       FROM r WHERE rk <= 15 GROUP BY 1 ORDER BY source""",
 
 
-    "q390_triplet_margin" -> """
+    "q390_triplet_margin" -> tripletCensusSql,
+
+    // identical single-pass rebuild: the hash match is the fold proof
+    "q394_triplet_fold" -> tripletCensusSql,
+  ) ++ oracleSqlB
+
+  /** The brute-over-buckets triplet census — q390's oracle, and (by
+    * the argmax selection monoid) also q394's: the fold must land on
+    * exactly this single-pass answer. */
+  private lazy val tripletCensusSql: String = """
       WITH e AS (SELECT vec_id, label,
                         CAST(embedding AS DOUBLE[]) AS v
                  FROM embeddings),
@@ -2201,8 +2278,11 @@ private[graft] object QueriesLlmC {
              CAST(sum(neg_id) AS BIGINT) AS neg_checksum,
              round(min(margin), 6) AS min_margin,
              round(max(margin), 6) AS max_margin
-      FROM t GROUP BY 1 ORDER BY label""",
+      FROM t GROUP BY 1 ORDER BY label"""
 
+  /** Continuation of [[oracleSql]] (split around the shared
+    * [[tripletCensusSql]] val). */
+  private def oracleSqlB: Map[String, String] = Map(
 
     "q391_span_corruption" -> """
       WITH tk AS (SELECT doc_id, source, CAST(len(list_filter(
