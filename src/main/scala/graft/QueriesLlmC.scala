@@ -1307,6 +1307,47 @@ private[graft] object QueriesLlmC {
     }),
 
 
+    // --- PACKED-CORPUS TAKEDOWN IMPACT (right-to-be-forgotten /
+    //     canary-removal ops): given a delete set (every 97th doc),
+    //     which packed chunks are touched, how many tokens leave,
+    //     and what the two re-pack policies cost — HOLE-PUNCH
+    //     (rewrite only affected chunks, leaves padding holes) vs
+    //     TAIL-REPACK (re-pack from the first affected chunk to keep
+    //     contiguity). Reads the spans manifold only (Packing.spans
+    //     — rank-bucketed prefix sums), never the text: at 100 TB
+    //     the takedown estimate is a manifest scan, and every
+    //     crossJoin below carries a single-row aggregate. ---
+    "q395_takedown" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long")
+            .as("n_tok"))
+      val sp = graft.operators.Packing.spans(docs, col("doc_id"),
+        col("n_tok"))
+      val del = sp.filter(pmod(col("doc_id"), lit(97)) === 0)
+      val touched = del.withColumn("chunk",
+          explode(expr("sequence(s div 512, e div 512)")))
+        .select(col("chunk")).distinct()
+      val totals = sp.agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        expr("(max(e) div 512) + 1").as("n_chunks"))
+      val delAgg = del.agg(count(lit(1)).as("n_deleted"),
+        coalesce(sum(col("n_tok")), lit(0L)).as("tok_deleted"))
+      val tAgg = touched.agg(
+        count(lit(1)).as("n_affected_chunks"),
+        min(col("chunk")).as("first_affected"))
+      totals.crossJoin(delAgg).crossJoin(tAgg)
+        .select(col("n_docs"), col("n_deleted"), col("n_tokens"),
+          col("tok_deleted"), col("n_chunks"),
+          col("n_affected_chunks"),
+          expr("n_affected_chunks * 10000 div n_chunks")
+            .as("affected_bp"),
+          col("first_affected"),
+          (col("n_chunks") - col("first_affected"))
+            .as("repack_tail_chunks"))
+    },
+
+
     // --- CAP → MIXTURE INTERPLAY (what the domain cap does to the
     //     training mixture): the UniMax water-fill re-run on the
     //     capped corpus vs the raw one, per source — the cap shrinks
@@ -2283,6 +2324,40 @@ private[graft] object QueriesLlmC {
   /** Continuation of [[oracleSql]] (split around the shared
     * [[tripletCensusSql]] val). */
   private def oracleSqlB: Map[String, String] = Map(
+
+    "q395_takedown" -> """
+      WITH tk AS (SELECT doc_id, CAST(len(list_filter(
+                    string_split_regex(lower(trim(text)), '\s+'),
+                    x -> length(x) > 0)) AS BIGINT) AS n_tok
+                  FROM documents),
+      d AS (SELECT doc_id, n_tok FROM tk WHERE n_tok > 0),
+      c AS (SELECT doc_id, n_tok,
+                   sum(n_tok) OVER (ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) AS cum
+            FROM d),
+      sp AS (SELECT doc_id, n_tok, CAST(cum - n_tok AS BIGINT) AS s,
+                    CAST(cum - 1 AS BIGINT) AS e FROM c),
+      del AS (SELECT * FROM sp WHERE doc_id % 97 = 0),
+      tch AS (SELECT DISTINCT unnest(generate_series(
+                s // 512, e // 512)) AS chunk FROM del),
+      t AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+                   CAST(max(e) // 512 + 1 AS BIGINT) AS n_chunks
+            FROM sp),
+      da AS (SELECT CAST(count(*) AS BIGINT) AS n_deleted,
+                    CAST(coalesce(sum(n_tok), 0) AS BIGINT)
+                      AS tok_deleted FROM del),
+      ta AS (SELECT CAST(count(*) AS BIGINT) AS n_affected_chunks,
+                    CAST(min(chunk) AS BIGINT) AS first_affected
+             FROM tch)
+      SELECT n_docs, n_deleted, n_tokens, tok_deleted, n_chunks,
+             n_affected_chunks,
+             CAST(n_affected_chunks * 10000 // n_chunks AS BIGINT)
+               AS affected_bp,
+             first_affected,
+             CAST(n_chunks - first_affected AS BIGINT)
+               AS repack_tail_chunks
+      FROM t CROSS JOIN da CROSS JOIN ta""",
 
     "q391_span_corruption" -> """
       WITH tk AS (SELECT doc_id, source, CAST(len(list_filter(
