@@ -1348,6 +1348,44 @@ private[graft] object QueriesLlmC {
     },
 
 
+    // --- PER-SOURCE QUALITY TERTILES (the CCNet shape: bucket docs
+    //     by quality WITHIN each source, so a verbose source and a
+    //     terse one each contribute their own best third — an
+    //     absolute threshold would gate whole sources out): docs
+    //     rank per source on the bit-exact q97 score (algebraic
+    //     sigmoid — no libm anywhere, so ranks can never flip across
+    //     engines), tertile = (rk−1)·3 div n. The rank rides
+    //     bucketedRank with a score-BAND bucket (floor(−score·8) —
+    //     ·8 is exponent arithmetic, exact, and monotone in the sort
+    //     axis), never a per-source single-task window. ---
+    "q396_quality_tertiles" -> rounded("min_score" -> 6,
+        "max_score" -> 6)({ (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("long")
+            .as("n_tok"),
+          col("text"))
+      val scored = graft.llm.QualityModel.classify(docs, col("text"))
+        .select(col("doc_id"), col("source"), col("n_tok"),
+          col("score"))
+      val keyed = scored.withColumn("__ns", -col("score"))
+        .withColumn("__sb", floor(col("__ns") * 8).cast("long"))
+      val ranked = QueryShared.bucketedRank(keyed, Seq("source"),
+        "__sb", Seq("__ns", "doc_id"), "rk")
+      val ns = scored.groupBy(col("source"))
+        .agg(count(lit(1)).as("__n"))
+      ranked.join(broadcast(ns), Seq("source"))
+        .withColumn("bucket", expr("(rk - 1) * 3 div __n"))
+        .groupBy(col("source"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("tok"),
+          sum(col("doc_id")).as("id_checksum"),
+          min(col("score")).as("min_score"),
+          max(col("score")).as("max_score"))
+        .orderBy(col("source"), col("bucket"))
+    }),
+
+
     // --- CAP → MIXTURE INTERPLAY (what the domain cap does to the
     //     training mixture): the UniMax water-fill re-run on the
     //     capped corpus vs the raw one, per source — the cap shrinks
@@ -2324,6 +2362,30 @@ private[graft] object QueriesLlmC {
   /** Continuation of [[oracleSql]] (split around the shared
     * [[tripletCensusSql]] val). */
   private def oracleSqlB: Map[String, String] = Map(
+
+    "q396_quality_tertiles" -> s"""
+      WITH $q97ScorePrefixSql,
+      tk AS (SELECT doc_id, source, CAST(len(list_filter(
+               string_split_regex(lower(trim(text)), '\\s+'),
+               x -> length(x) > 0)) AS BIGINT) AS n_tok
+             FROM documents),
+      j AS (SELECT tk.doc_id, tk.source, tk.n_tok, s.score
+            FROM tk JOIN s USING (doc_id)),
+      r AS (SELECT *,
+                   row_number() OVER (PARTITION BY source
+                     ORDER BY score DESC, doc_id) AS rk,
+                   count(*) OVER (PARTITION BY source) AS n
+            FROM j),
+      g AS (SELECT source, (rk - 1) * 3 // n AS bucket, n_tok,
+                   doc_id, score
+            FROM r)
+      SELECT source, CAST(bucket AS BIGINT) AS bucket,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS tok,
+             CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+             round(min(score), 6) AS min_score,
+             round(max(score), 6) AS max_score
+      FROM g GROUP BY 1, 2 ORDER BY source, bucket""",
 
     "q395_takedown" -> """
       WITH tk AS (SELECT doc_id, CAST(len(list_filter(
