@@ -1386,6 +1386,77 @@ private[graft] object QueriesLlmC {
     }),
 
 
+    // --- HIERARCHICAL UNIMAX MIXTURE (domain → source, the
+    //     production two-level shape: water-fill the token budget
+    //     ACROSS domains, then water-fill each domain's award ACROSS
+    //     its sources — the per-language-then-per-corpus allocation
+    //     unit mixtures actually use): level 1 rides the shared
+    //     global water-fill on the domain census; level 2 is the
+    //     same algebra PARTITIONED BY domain with the level-1 award
+    //     as each domain's budget (an external budget, not a fixed
+    //     fraction — the fragment can't express it, so the
+    //     partitioned closed form is written out: rn/cum/n per
+    //     domain, first-overflow index, remainder spread). Every
+    //     window runs over the k-row source census (q352 guard),
+    //     never the corpus. Exact integers end to end. ---
+    "q397_hier_mixture" -> { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = tbl(spark, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(TextAnalysis.tokens(col("text"))).cast("long")
+            .as("n_tok"))
+      val srcC = docs.groupBy(col("source"))
+        .agg(sum(col("n_tok")).as("sz_tok"))
+        .withColumn("domain", concat(lit("d"),
+          pmod(conv(substring(md5(concat(lit("dom:"),
+            col("source")).cast("binary")), 1, 4), 16, 10)
+            .cast("long"), lit(4)).cast("string")))
+      val nSources = srcC.count()
+      require(nSources <= 10000,
+        s"q397: source census has $nSources sources, above the " +
+          "10000 the allocation windows are bounded for — shard it")
+      // L1: global water-fill across domains (shared algebra; the
+      // helper keys on a column named `source`, so alias through)
+      val domC = srcC.groupBy(col("domain"))
+        .agg(sum(col("sz_tok")).as("dz"))
+      val domA = unimaxAlloc(
+          domC.withColumnRenamed("domain", "source"), "dz",
+          "dom_alloc", 6, 10)
+        .select(col("source").as("domain"), col("dom_alloc"))
+      // L2: the same closed form PARTITIONED BY domain, budget = the
+      // level-1 award (b_d), over the k-row census
+      val dw = Window.partitionBy(col("domain"))
+        .orderBy(col("sz_tok"), col("source"))
+      val o = srcC.join(broadcast(domA), Seq("domain"))
+        .withColumn("rn", row_number().over(dw).cast("long"))
+        .withColumn("cum", sum(col("sz_tok")).over(
+          dw.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("n_d", count(lit(1)).over(
+          Window.partitionBy(col("domain"))))
+        .withColumn("raw",
+          col("sz_tok") * (col("n_d") - col("rn") + 1) <=
+            col("dom_alloc") - (col("cum") - col("sz_tok")))
+      val ff = o.groupBy(col("domain"))
+        .agg(coalesce(min(when(!col("raw"), col("rn"))),
+          max(col("n_d")) + 1).as("ff"))
+      val ck = o.join(broadcast(ff), Seq("domain"))
+        .groupBy(col("domain"), col("ff"))
+        .agg(coalesce(max(when(col("rn") === col("ff") - 1,
+          col("cum"))), lit(0L)).as("cumk"))
+      o.join(broadcast(ck), Seq("domain"))
+        .withColumn("rem", col("dom_alloc") - col("cumk"))
+        .withColumn("lft", col("n_d") - (col("ff") - 1))
+        .withColumn("alloc_tok",
+          when(col("rn") < col("ff"), col("sz_tok"))
+            .otherwise(expr("rem div lft") +
+              when(col("rn") - (col("ff") - 1) <=
+                pmod(col("rem"), col("lft")), 1L).otherwise(0L)))
+        .select(col("source"), col("domain"), col("sz_tok"),
+          col("dom_alloc"), col("alloc_tok"))
+        .orderBy(col("source"))
+    },
+
+
     // --- CAP → MIXTURE INTERPLAY (what the domain cap does to the
     //     training mixture): the UniMax water-fill re-run on the
     //     capped corpus vs the raw one, per source — the cap shrinks
@@ -2362,6 +2433,50 @@ private[graft] object QueriesLlmC {
   /** Continuation of [[oracleSql]] (split around the shared
     * [[tripletCensusSql]] val). */
   private def oracleSqlB: Map[String, String] = Map(
+
+    "q397_hier_mixture" -> s"""
+      WITH tk AS (SELECT doc_id, source, CAST(len(list_filter(
+                    string_split_regex(lower(trim(text)), '\\s+'),
+                    x -> length(x) > 0)) AS BIGINT) AS n_tok
+                  FROM documents),
+      sc AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS sz_tok,
+                    'd' || CAST(CAST(('0x' || substring(md5('dom:' ||
+                      source), 1, 4)) AS BIGINT) % 4 AS VARCHAR)
+                      AS domain
+             FROM tk GROUP BY source),
+      dsrc AS (SELECT domain AS source,
+                      CAST(sum(sz_tok) AS BIGINT) AS dz
+               FROM sc GROUP BY 1),
+      ${unimaxAllocSql("dsrc", "dz", "dom_alloc", "u")},
+      da AS (SELECT source AS domain, dom_alloc FROM ua),
+      o AS (SELECT sc.source, sc.domain, sc.sz_tok, da.dom_alloc,
+                   row_number() OVER (PARTITION BY sc.domain
+                     ORDER BY sc.sz_tok, sc.source) AS rn,
+                   sum(sc.sz_tok) OVER (PARTITION BY sc.domain
+                     ORDER BY sc.sz_tok, sc.source
+                     ROWS UNBOUNDED PRECEDING) AS cum,
+                   count(*) OVER (PARTITION BY sc.domain) AS n_d
+            FROM sc JOIN da USING (domain)),
+      f AS (SELECT *, (sz_tok * (n_d - rn + 1) <=
+                       dom_alloc - (cum - sz_tok)) AS raw
+            FROM o),
+      fx AS (SELECT domain, coalesce(min(CASE WHEN NOT raw THEN rn
+                      END), max(n_d) + 1) AS ff
+             FROM f GROUP BY 1),
+      cx AS (SELECT f.domain, fx.ff,
+                    coalesce(max(CASE WHEN f.rn = fx.ff - 1
+                      THEN f.cum END), 0) AS cumk
+             FROM f JOIN fx USING (domain) GROUP BY 1, 2),
+      p AS (SELECT f.source, f.domain, f.sz_tok, f.dom_alloc, f.rn,
+                   cx.ff, f.dom_alloc - cx.cumk AS rem,
+                   f.n_d - (cx.ff - 1) AS lft
+            FROM f JOIN cx USING (domain))
+      SELECT source, domain, sz_tok, dom_alloc,
+             CAST(CASE WHEN rn < ff THEN sz_tok
+                  ELSE (rem // lft) + (CASE WHEN rn - (ff - 1) <=
+                    (rem % lft) THEN 1 ELSE 0 END)
+             END AS BIGINT) AS alloc_tok
+      FROM p ORDER BY source""",
 
     "q396_quality_tertiles" -> s"""
       WITH $q97ScorePrefixSql,
