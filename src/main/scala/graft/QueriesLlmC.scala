@@ -1457,6 +1457,49 @@ private[graft] object QueriesLlmC {
     },
 
 
+    // --- FILL-IN-THE-MIDDLE TRANSFORM census (the code-model data
+    //     prep: a hash-selected half of eligible docs is rearranged
+    //     prefix/middle/suffix with two deterministic cut points;
+    //     mode splits PSM vs SPM on another hash bit — the
+    //     50%-FIM-rate recipe, replayed as pure arithmetic on token
+    //     counts so the layout planner sees segment masses before
+    //     any text moves). Cut points are hash mod (n_tok+1), sorted
+    //     — empty segments allowed, exactly like the published
+    //     transform. Per (source, mode): docs, segment token masses,
+    //     id checksum. Exact integers; one aggregation. ---
+    "q398_fim_census" -> { (spark, dir) =>
+      def h(tag: String): Column =
+        conv(substring(md5(concat(lit(tag),
+          col("doc_id").cast("string")).cast("binary")), 1, 8),
+          16, 10).cast("long")
+      val docs = tbl(spark, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(TextAnalysis.tokens(col("text"))).cast("long")
+            .as("n_tok"))
+      val cut = docs
+        .withColumn("fim", col("n_tok") >= 8 &&
+          pmod(h("fim:"), lit(2)) === 0)
+        .withColumn("u1", pmod(h("fim1:"), col("n_tok") + 1))
+        .withColumn("u2", pmod(h("fim2:"), col("n_tok") + 1))
+        .withColumn("p1", least(col("u1"), col("u2")))
+        .withColumn("p2", greatest(col("u1"), col("u2")))
+        .withColumn("mode",
+          when(!col("fim"), lit("ar"))
+            .when(pmod(h("fim3:"), lit(2)) === 0, lit("psm"))
+            .otherwise(lit("spm")))
+      cut.groupBy(col("source"), col("mode"))
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(when(col("fim"), col("p1"))
+            .otherwise(col("n_tok"))), lit(0L)).as("tok_prefix"),
+          coalesce(sum(when(col("fim"), col("p2") - col("p1"))
+            .otherwise(0L)), lit(0L)).as("tok_middle"),
+          coalesce(sum(when(col("fim"), col("n_tok") - col("p2"))
+            .otherwise(0L)), lit(0L)).as("tok_suffix"),
+          sum(col("doc_id")).as("id_checksum"))
+        .orderBy(col("source"), col("mode"))
+    },
+
+
     // --- CAP → MIXTURE INTERPLAY (what the domain cap does to the
     //     training mixture): the UniMax water-fill re-run on the
     //     capped corpus vs the raw one, per source — the cap shrinks
@@ -2433,6 +2476,42 @@ private[graft] object QueriesLlmC {
   /** Continuation of [[oracleSql]] (split around the shared
     * [[tripletCensusSql]] val). */
   private def oracleSqlB: Map[String, String] = Map(
+
+    "q398_fim_census" -> """
+      WITH tk AS (SELECT doc_id, source, CAST(len(list_filter(
+                    string_split_regex(lower(trim(text)), '\s+'),
+                    x -> length(x) > 0)) AS BIGINT) AS n_tok
+                  FROM documents),
+      c AS (SELECT doc_id, source, n_tok,
+                   (n_tok >= 8 AND
+                    CAST(('0x' || substring(md5('fim:' ||
+                      CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                      % 2 = 0) AS fim,
+                   CAST(('0x' || substring(md5('fim1:' ||
+                     CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                     % (n_tok + 1) AS u1,
+                   CAST(('0x' || substring(md5('fim2:' ||
+                     CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                     % (n_tok + 1) AS u2,
+                   CAST(('0x' || substring(md5('fim3:' ||
+                     CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                     % 2 AS mbit
+            FROM tk),
+      m AS (SELECT doc_id, source, n_tok, fim,
+                   least(u1, u2) AS p1, greatest(u1, u2) AS p2,
+                   CASE WHEN NOT fim THEN 'ar'
+                        WHEN mbit = 0 THEN 'psm'
+                        ELSE 'spm' END AS mode
+            FROM c)
+      SELECT source, mode, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(coalesce(sum(CASE WHEN fim THEN p1
+               ELSE n_tok END), 0) AS BIGINT) AS tok_prefix,
+             CAST(coalesce(sum(CASE WHEN fim THEN p2 - p1
+               ELSE 0 END), 0) AS BIGINT) AS tok_middle,
+             CAST(coalesce(sum(CASE WHEN fim THEN n_tok - p2
+               ELSE 0 END), 0) AS BIGINT) AS tok_suffix,
+             CAST(sum(doc_id) AS BIGINT) AS id_checksum
+      FROM m GROUP BY 1, 2 ORDER BY source, mode""",
 
     "q397_hier_mixture" -> s"""
       WITH tk AS (SELECT doc_id, source, CAST(len(list_filter(
