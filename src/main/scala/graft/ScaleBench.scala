@@ -83,7 +83,11 @@ object ScaleBench {
     // per-batch bucketedRank mines + two K-bounded manifest merges;
     // the row proves batch mining stays linear while the fold cost
     // is K·|sources|-bounded regardless of corpus size
-    "q389_cap_fold")
+    "q389_cap_fold",
+    // the CCNet tertile gate: quality-classifier kernel + score-band
+    // bucketedRank over every doc — the rank decomposition must stay
+    // linear as the per-source populations grow 100×
+    "q396_quality_tertiles")
 
   /** Tables each target reads — lets a subset run skip synthesizing
     * (and paying for) the others at high mults. */
@@ -115,7 +119,8 @@ object ScaleBench {
     "q364_pack_mask_meta" -> Set("documents"),
     "q378_resume_schedule" -> Set("documents"),
     "q387_seed_overlap" -> Set("documents"),
-    "q389_cap_fold" -> Set("documents"))
+    "q389_cap_fold" -> Set("documents"),
+    "q396_quality_tertiles" -> Set("documents"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
