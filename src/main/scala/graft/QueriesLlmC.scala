@@ -1500,6 +1500,43 @@ private[graft] object QueriesLlmC {
     },
 
 
+    // --- CURATION DROP ATTRIBUTION (the "why did we lose 40% of
+    //     source X" debug table): every gate of a four-filter
+    //     curation pass contributes one bit — 1 = quality fail
+    //     (bit-exact q97 score < 0.5), 2 = too short (< 20 tokens),
+    //     4 = exact-dup non-keeper (same md5(text), not the min id),
+    //     8 = off-target language — and the census counts every
+    //     (source, bitmask) combination, so overlapping filters are
+    //     ATTRIBUTED, not just netted (mask 0 = kept; a doc failing
+    //     quality AND dup shows as 5, not double-counted). Dup
+    //     detection is a groupBy-min on the text hash joined back
+    //     (never a per-text window); everything else is map-side. ---
+    "q399_drop_attribution" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+        .select(col("doc_id"), col("source"), col("lang"),
+          col("text"),
+          size(TextAnalysis.tokens(col("text"))).cast("long")
+            .as("n_tok"))
+      val scored = graft.llm.QualityModel.classify(docs, col("text"))
+        .withColumn("th", md5(col("text").cast("binary")))
+      val fams = scored.groupBy(col("th"))
+        .agg(min(col("doc_id")).as("__keeper"),
+          count(lit(1)).as("__fam"))
+      scored.join(fams, Seq("th"))
+        .withColumn("mask",
+          when(col("score") < 0.5, 1L).otherwise(0L) +
+          when(col("n_tok") < 20, 2L).otherwise(0L) +
+          when(col("__fam") > 1 && col("doc_id") =!= col("__keeper"),
+            4L).otherwise(0L) +
+          when(col("lang") =!= "en", 8L).otherwise(0L))
+        .groupBy(col("source"), col("mask"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("tok"),
+          sum(col("doc_id")).as("id_checksum"))
+        .orderBy(col("source"), col("mask"))
+    },
+
+
     // --- CAP → MIXTURE INTERPLAY (what the domain cap does to the
     //     training mixture): the UniMax water-fill re-run on the
     //     capped corpus vs the raw one, per source — the cap shrinks
@@ -2476,6 +2513,34 @@ private[graft] object QueriesLlmC {
   /** Continuation of [[oracleSql]] (split around the shared
     * [[tripletCensusSql]] val). */
   private def oracleSqlB: Map[String, String] = Map(
+
+    "q399_drop_attribution" -> s"""
+      WITH $q97ScorePrefixSql,
+      tk AS (SELECT doc_id, source, lang, text, CAST(len(list_filter(
+               string_split_regex(lower(trim(text)), '\\s+'),
+               x -> length(x) > 0)) AS BIGINT) AS n_tok,
+                   md5(text) AS th
+             FROM documents),
+      fam AS (SELECT th, min(doc_id) AS keeper,
+                     CAST(count(*) AS BIGINT) AS fam
+              FROM tk GROUP BY 1),
+      j AS (SELECT tk.doc_id, tk.source, tk.lang, tk.n_tok,
+                   s.score, fam.keeper, fam.fam
+            FROM tk JOIN s USING (doc_id) JOIN fam USING (th)),
+      mm AS (SELECT source,
+                    (CASE WHEN score < 0.5 THEN 1 ELSE 0 END) +
+                    (CASE WHEN n_tok < 20 THEN 2 ELSE 0 END) +
+                    (CASE WHEN fam > 1 AND doc_id <> keeper
+                      THEN 4 ELSE 0 END) +
+                    (CASE WHEN lang <> 'en' THEN 8 ELSE 0 END)
+                      AS mask,
+                    n_tok, doc_id
+             FROM j)
+      SELECT source, CAST(mask AS BIGINT) AS mask,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS tok,
+             CAST(sum(doc_id) AS BIGINT) AS id_checksum
+      FROM mm GROUP BY 1, 2 ORDER BY source, mask""",
 
     "q398_fim_census" -> """
       WITH tk AS (SELECT doc_id, source, CAST(len(list_filter(
