@@ -1537,6 +1537,66 @@ private[graft] object QueriesLlmC {
     },
 
 
+    // --- DEDUP RETRACTION (takedowns hit the near-dup manifest
+    //     too): deleting docs from a deduplicated corpus must UPDATE
+    //     the pair manifest and may SPLIT clusters that were only
+    //     connected through a deleted bridge doc. Retraction is
+    //     filter + re-close over the ALREADY-TINY staged pair set
+    //     (the q342/q347 artifact — no corpus re-mine, the whole
+    //     point), and the census pins pairs/clusters/removable
+    //     before vs after plus the split count (old components whose
+    //     surviving PAIRED members span ≥ 2 new components — members
+    //     isolated by the deletion leave the manifold entirely). ---
+    "q400_dedup_retract" -> { (spark, dir) =>
+      import graft.llm.Dedup
+      val docs = tbl(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val variants = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          col("text").substr(lit(1),
+            greatest(length(col("text")) - 20, lit(1))).as("text"))
+      val corpus = docs.unionByName(variants)
+      val pairs = graft.operators.Staged.getOrBuild(spark,
+          s"ngram_pairs::$dir::mod3_trunc20::sh3_t0.5_df16") {
+        Dedup.ngramJaccardPairs(corpus, col("doc_id"),
+          col("text"), shingleN = 3, threshold = 0.5, maxDf = 16)
+      }.select(col("id_a"), col("id_b"))
+      val comps = graft.operators.Staged.getOrBuild(spark,
+          s"ngram_cc::$dir::mod3_trunc20::sh3_t0.5_df16") {
+        Dedup.connectedComponents(pairs, col("id_a"), col("id_b"))
+      }
+      // retraction: every 10th doc (variant offset is a multiple of
+      // 10, so a variant leaves iff its original leaves)
+      val pairs2 = pairs.filter(
+        pmod(col("id_a"), lit(10)) =!= 0 &&
+        pmod(col("id_b"), lit(10)) =!= 0)
+      val comps2 = Dedup.connectedComponents(pairs2, col("id_a"),
+        col("id_b"))
+      def pairStats(p: DataFrame, tag: String): DataFrame =
+        p.agg(count(lit(1)).as(s"n_pairs_$tag"))
+      def compStats(c: DataFrame, tag: String): DataFrame =
+        c.agg(countDistinct(col("comp")).as(s"n_clusters_$tag"),
+          (count(lit(1)) - countDistinct(col("comp")))
+            .as(s"n_removable_$tag"))
+      val splits = comps.filter(pmod(col("id"), lit(10)) =!= 0)
+        .join(comps2.select(col("id"),
+          col("comp").as("comp2")), Seq("id"))
+        .groupBy(col("comp"))
+        .agg(countDistinct(col("comp2")).as("__nc"))
+        .filter(col("__nc") >= 2)
+        .agg(coalesce(count(lit(1)), lit(0L))
+          .as("n_split_components"))
+      pairStats(pairs, "before").crossJoin(pairStats(pairs2, "after"))
+        .crossJoin(compStats(comps, "before"))
+        .crossJoin(compStats(comps2, "after"))
+        .crossJoin(splits)
+        .select(col("n_pairs_before"), col("n_pairs_after"),
+          col("n_clusters_before"), col("n_clusters_after"),
+          col("n_removable_before"), col("n_removable_after"),
+          col("n_split_components"))
+    },
+
+
     // --- CAP → MIXTURE INTERPLAY (what the domain cap does to the
     //     training mixture): the UniMax water-fill re-run on the
     //     capped corpus vs the raw one, per source — the cap shrinks
@@ -2513,6 +2573,80 @@ private[graft] object QueriesLlmC {
   /** Continuation of [[oracleSql]] (split around the shared
     * [[tripletCensusSql]] val). */
   private def oracleSqlB: Map[String, String] = Map(
+
+    "q400_dedup_retract" -> """
+      WITH RECURSIVE
+      base AS (SELECT doc_id, text FROM documents
+               UNION ALL
+               SELECT doc_id + 1000000,
+                      substring(text, 1,
+                        greatest(length(text) - 20, 1))
+               FROM documents WHERE doc_id % 3 = 0),
+      tk AS (SELECT doc_id, list_filter(
+               string_split_regex(lower(trim(text)), '\s+'),
+               x -> length(x) > 0) AS toks FROM base),
+      sh AS (SELECT doc_id,
+               CASE WHEN len(toks) >= 3 THEN
+                      list_distinct(list_transform(
+                        generate_series(1, len(toks) - 2),
+                        i -> toks[i] || ' ' || toks[i+1] || ' '
+                          || toks[i+2]))
+                    WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+                    ELSE [] END AS s
+             FROM tk),
+      ex0 AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      keep AS (SELECT g FROM ex0 GROUP BY g HAVING count(*) <= 16),
+      ex AS (SELECT doc_id, ex0.g FROM ex0 JOIN keep USING (g)),
+      sz AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       count(*) AS ns
+                FROM ex a JOIN ex b
+                  ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+      p0 AS (SELECT i.id_a, i.id_b
+             FROM inter i
+             JOIN sz sa ON sa.doc_id = i.id_a
+             JOIN sz sb ON sb.doc_id = i.id_b
+             WHERE round(CAST(i.ns AS DOUBLE)
+               / (sa.sz + sb.sz - i.ns), 6) >= 0.5),
+      e0 AS (SELECT id_a AS x, id_b AS y FROM p0
+             UNION ALL SELECT id_b, id_a FROM p0),
+      r0 AS (SELECT x AS id, x AS rr FROM e0
+             UNION
+             SELECT e0.x, r0.rr FROM e0 JOIN r0 ON e0.y = r0.id),
+      c0 AS (SELECT id, min(rr) AS comp FROM r0 GROUP BY id),
+      pd AS (SELECT id_a, id_b FROM p0
+             WHERE id_a % 10 <> 0 AND id_b % 10 <> 0),
+      ed AS (SELECT id_a AS x, id_b AS y FROM pd
+             UNION ALL SELECT id_b, id_a FROM pd),
+      rd AS (SELECT x AS id, x AS rr FROM ed
+             UNION
+             SELECT ed.x, rd.rr FROM ed JOIN rd ON ed.y = rd.id),
+      cd AS (SELECT id, min(rr) AS comp FROM rd GROUP BY id),
+      kb AS (SELECT CAST((SELECT count(*) FROM p0) AS BIGINT)
+                      AS n_pairs_before,
+                    CAST(count(DISTINCT comp) AS BIGINT)
+                      AS n_clusters_before,
+                    CAST(count(*) - count(DISTINCT comp) AS BIGINT)
+                      AS n_removable_before
+             FROM c0),
+      ka AS (SELECT CAST((SELECT count(*) FROM pd) AS BIGINT)
+                      AS n_pairs_after,
+                    CAST(count(DISTINCT comp) AS BIGINT)
+                      AS n_clusters_after,
+                    CAST(count(*) - count(DISTINCT comp) AS BIGINT)
+                      AS n_removable_after
+             FROM cd),
+      m AS (SELECT c0.comp, cd.comp AS comp2
+            FROM c0 JOIN cd USING (id)
+            WHERE c0.id % 10 <> 0),
+      sp AS (SELECT CAST(count(*) AS BIGINT) AS n_split_components
+             FROM (SELECT comp FROM m GROUP BY comp
+                   HAVING count(DISTINCT comp2) >= 2))
+      SELECT n_pairs_before, n_pairs_after, n_clusters_before,
+             n_clusters_after, n_removable_before,
+             n_removable_after, n_split_components
+      FROM kb CROSS JOIN ka CROSS JOIN sp""",
 
     "q399_drop_attribution" -> s"""
       WITH $q97ScorePrefixSql,
