@@ -1597,6 +1597,46 @@ private[graft] object QueriesLlmC {
     },
 
 
+    // --- TRAINING-ORDER × COVARIATE INDEPENDENCE audit (is the
+    //     epoch shuffle actually decorrelated from data quality? an
+    //     order that front-loads good docs silently anneals the
+    //     curriculum): cross-tabulate training-order quartile (the
+    //     md5 epoch order of q360) against quality quartile (the
+    //     bit-exact q97 score) — a sound shuffle puts N/16 docs in
+    //     every cell, so per-cell shares in basis points read as
+    //     uniform-or-not at a glance. Both global ranks ride
+    //     bucketedRank (hash-prefix / score-band buckets), never a
+    //     single-task window. Exact integers. ---
+    "q401_order_covariate" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val scored = graft.llm.QualityModel.classify(docs, col("text"))
+        .select(col("doc_id"), col("score"))
+      val keyed = scored
+        .withColumn("h", md5(concat(lit("ord:"),
+          col("doc_id").cast("string")).cast("binary")))
+        .withColumn("__bk", substring(col("h"), 1, 2))
+      val ordered = QueryShared.bucketedRank(keyed, Seq.empty,
+        "__bk", Seq("h", "doc_id"), "ork")
+      val banded = ordered.withColumn("__ns", -col("score"))
+        .withColumn("__sb", floor(col("__ns") * 8).cast("long"))
+      val ranked = QueryShared.bucketedRank(banded, Seq.empty,
+        "__sb", Seq("__ns", "doc_id"), "qrk")
+      val n = ranked.agg(count(lit(1)).as("__n"))
+      ranked.crossJoin(broadcast(n))
+        .withColumn("order_q", expr("(ork - 1) * 4 div __n"))
+        .withColumn("quality_q", expr("(qrk - 1) * 4 div __n"))
+        .groupBy(col("order_q"), col("quality_q"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("id_checksum"))
+        .crossJoin(broadcast(n))
+        .withColumn("share_bp", expr("n_docs * 10000 div __n"))
+        .select(col("order_q"), col("quality_q"), col("n_docs"),
+          col("share_bp"), col("id_checksum"))
+        .orderBy(col("order_q"), col("quality_q"))
+    },
+
+
     // --- CAP → MIXTURE INTERPLAY (what the domain cap does to the
     //     training mixture): the UniMax water-fill re-run on the
     //     capped corpus vs the raw one, per source — the cap shrinks
@@ -2573,6 +2613,28 @@ private[graft] object QueriesLlmC {
   /** Continuation of [[oracleSql]] (split around the shared
     * [[tripletCensusSql]] val). */
   private def oracleSqlB: Map[String, String] = Map(
+
+    "q401_order_covariate" -> s"""
+      WITH $q97ScorePrefixSql,
+      o AS (SELECT doc_id, score,
+                   row_number() OVER (ORDER BY
+                     md5('ord:' || CAST(doc_id AS VARCHAR)), doc_id)
+                     AS ork,
+                   row_number() OVER (ORDER BY score DESC, doc_id)
+                     AS qrk,
+                   count(*) OVER () AS n
+            FROM s),
+      q AS (SELECT doc_id,
+                   (ork - 1) * 4 // n AS order_q,
+                   (qrk - 1) * 4 // n AS quality_q,
+                   n
+            FROM o)
+      SELECT CAST(order_q AS BIGINT) AS order_q,
+             CAST(quality_q AS BIGINT) AS quality_q,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(*) * 10000 // max(n) AS BIGINT) AS share_bp,
+             CAST(sum(doc_id) AS BIGINT) AS id_checksum
+      FROM q GROUP BY 1, 2 ORDER BY order_q, quality_q""",
 
     "q400_dedup_retract" -> """
       WITH RECURSIVE
