@@ -1637,6 +1637,41 @@ private[graft] object QueriesLlmC {
     },
 
 
+    // --- PACKED-CHUNK PROVENANCE (how mixed are attention windows?
+    //     concat-packing puts UNRELATED docs in one context window;
+    //     cross-doc attention then sees source A's text next to
+    //     source B's — this census histograms every 512-token chunk
+    //     by its distinct-source count, the number a block-diagonal
+    //     attention mask (q364) exists to fix). Spans come from the
+    //     rank-bucketed Packing.spans; the explode is ∝ tokens/L;
+    //     the q386 batch-diversity audit at DOC grain, re-run at the
+    //     TOKEN-WINDOW grain where the model actually looks. ---
+    "q402_chunk_provenance" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("long")
+            .as("n_tok"))
+      val sp = graft.operators.Packing.spans(docs, col("doc_id"),
+        col("n_tok"))
+      val ch = sp.join(docs.select(col("doc_id"), col("source")),
+          Seq("doc_id"))
+        .withColumn("chunk",
+          explode(expr("sequence(s div 512, e div 512)")))
+      val per = ch.groupBy(col("chunk"))
+        .agg(countDistinct(col("source")).as("n_sources"),
+          count(lit(1)).as("n_docs"))
+      val tot = per.agg(count(lit(1)).as("__t"))
+      per.groupBy(col("n_sources"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("n_docs")).as("doc_slots"))
+        .crossJoin(broadcast(tot))
+        .withColumn("share_bp", expr("n_chunks * 10000 div __t"))
+        .select(col("n_sources"), col("n_chunks"), col("doc_slots"),
+          col("share_bp"))
+        .orderBy(col("n_sources"))
+    },
+
+
     // --- CAP → MIXTURE INTERPLAY (what the domain cap does to the
     //     training mixture): the UniMax water-fill re-run on the
     //     capped corpus vs the raw one, per source — the cap shrinks
@@ -2613,6 +2648,35 @@ private[graft] object QueriesLlmC {
   /** Continuation of [[oracleSql]] (split around the shared
     * [[tripletCensusSql]] val). */
   private def oracleSqlB: Map[String, String] = Map(
+
+    "q402_chunk_provenance" -> """
+      WITH tk AS (SELECT doc_id, source, CAST(len(list_filter(
+                    string_split_regex(lower(trim(text)), '\s+'),
+                    x -> length(x) > 0)) AS BIGINT) AS n_tok
+                  FROM documents),
+      d AS (SELECT doc_id, source, n_tok FROM tk WHERE n_tok > 0),
+      c AS (SELECT doc_id, source, n_tok,
+                   sum(n_tok) OVER (ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) AS cum
+            FROM d),
+      sp AS (SELECT doc_id, source,
+                    CAST(cum - n_tok AS BIGINT) AS s,
+                    CAST(cum - 1 AS BIGINT) AS e FROM c),
+      ch AS (SELECT doc_id, source,
+                    unnest(generate_series(s // 512, e // 512))
+                      AS chunk
+             FROM sp),
+      per AS (SELECT chunk,
+                     CAST(count(DISTINCT source) AS BIGINT)
+                       AS n_sources,
+                     CAST(count(*) AS BIGINT) AS n_docs
+              FROM ch GROUP BY 1),
+      t AS (SELECT CAST(count(*) AS BIGINT) AS tt FROM per)
+      SELECT n_sources, CAST(count(*) AS BIGINT) AS n_chunks,
+             CAST(sum(n_docs) AS BIGINT) AS doc_slots,
+             CAST(count(*) * 10000 // max(t.tt) AS BIGINT)
+               AS share_bp
+      FROM per CROSS JOIN t GROUP BY 1 ORDER BY n_sources""",
 
     "q401_order_covariate" -> s"""
       WITH $q97ScorePrefixSql,
