@@ -1306,44 +1306,28 @@ private[graft] object QueriesLlmB {
     //     water-filling monotonicity) and the even split uses the
     //     largest-remainder rule (floor share +1 for the first
     //     R mod L languages in rank order) so every byte of B is
-    //     allocated in exact integers. No collect: the language
-    //     table stays a DataFrame end-to-end; the `limit` documents
-    //     the bounded language universe (ISO codes) and protects the
-    //     global windows. Uncapped languages always exist when
-    //     B < total (all-capped would give Σ alloc = total ≤ B,
-    //     a contradiction), so the R div L branch never divides by
-    //     zero. ---
+    //     allocated in exact integers. No collect beyond the k-row
+    //     census count that backs the LOUD bound: the language
+    //     universe (ISO codes) is structurally tiny, but an oversized
+    //     census must FAIL rather than silently water-fill an
+    //     arbitrary plan-dependent subset (the r11-advice contract,
+    //     now enforced here too — this was the last inline copy of
+    //     the water-fill; the algebra lives in
+    //     QueryShared.unimaxAllocFull). Uncapped languages always
+    //     exist when B < total (all-capped would give
+    //     Σ alloc = total ≤ B, a contradiction), so the R div L
+    //     branch never divides by zero. ---
     "q323_unimax_alloc" -> rounded("epochs" -> 6)({ (spark, dir) =>
-      val W = org.apache.spark.sql.expressions.Window
-        .orderBy(col("sz"), col("lang"))
       val sizes = tbl(spark, dir, "documents")
         .groupBy(col("lang")).agg(sum(col("n_chars")).as("sz"))
-      val tot = sizes.agg(sum(col("sz")).as("__tot"),
-        count(lit(1)).as("__n"))
-      val f = sizes.crossJoin(broadcast(tot))
-        .withColumn("__b", expr("(__tot * 7) div 10"))
-        .limit(10000)
-        .withColumn("__rn", row_number().over(W))
-        .withColumn("__cum", sum(col("sz")).over(W.rowsBetween(
-          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
-        .withColumn("__raw",
-          col("sz") * (col("__n") - col("__rn") + 1) <=
-            col("__b") - (col("__cum") - col("sz")))
-      val ff = f.agg(
-          min(when(!col("__raw"), col("__rn"))).as("__ff0"),
-          max(col("__n")).as("__nn"))
-        .select(coalesce(col("__ff0"), col("__nn") + 1).as("__ff"))
-      val f2 = f.crossJoin(broadcast(ff))
-      val ck = f2.agg(coalesce(max(when(col("__rn") === col("__ff") - 1,
-          col("__cum"))), lit(0L)).as("__cumk"))
-      f2.crossJoin(broadcast(ck))
-        .withColumn("__r", col("__b") - col("__cumk"))
-        .withColumn("__l", col("__n") - (col("__ff") - 1))
-        .withColumn("capped", col("__rn") < col("__ff"))
-        .withColumn("alloc_bytes", when(col("capped"), col("sz"))
-          .otherwise(expr("__r div __l") +
-            when(col("__rn") - (col("__ff") - 1) <= pmod(col("__r"),
-              col("__l")), 1L).otherwise(0L)))
+      val nLangs = sizes.count()
+      require(nLangs <= 10000,
+        s"q323: language census has $nLangs languages, above the " +
+          "10000 the allocation windows are bounded for — shard the " +
+          "census (water-fill is associative over availability-" +
+          "sorted shards)")
+      QueryShared.unimaxAllocFull(sizes, "lang", "sz", "alloc_bytes",
+          7, 10)
         .select(col("lang"), col("sz").as("n_bytes"), col("capped"),
           col("alloc_bytes"),
           (col("alloc_bytes").cast("double") /

@@ -1355,9 +1355,13 @@ private[graft] object QueriesLlmC {
     //     rank per source on the bit-exact q97 score (algebraic
     //     sigmoid — no libm anywhere, so ranks can never flip across
     //     engines), tertile = (rk−1)·3 div n. The rank rides
-    //     bucketedRank with a score-BAND bucket (floor(−score·8) —
-    //     ·8 is exponent arithmetic, exact, and monotone in the sort
-    //     axis), never a per-source single-task window. ---
+    //     bucketedRank with a score-BAND bucket (floor(−score·1024)
+    //     — ·2¹⁰ is exponent arithmetic, exact, and monotone in the
+    //     sort axis; up to 1024 bands, so a concentrated score
+    //     distribution still splits each source's window into many
+    //     bounded partitions — the r12-advice fix over the 8-band
+    //     version whose worst case was nearly per-source), never a
+    //     per-source single-task window. ---
     "q396_quality_tertiles" -> rounded("min_score" -> 6,
         "max_score" -> 6)({ (spark, dir) =>
       val docs = tbl(spark, dir, "documents")
@@ -1369,7 +1373,7 @@ private[graft] object QueriesLlmC {
         .select(col("doc_id"), col("source"), col("n_tok"),
           col("score"))
       val keyed = scored.withColumn("__ns", -col("score"))
-        .withColumn("__sb", floor(col("__ns") * 8).cast("long"))
+        .withColumn("__sb", floor(col("__ns") * 1024).cast("long"))
       val ranked = QueryShared.bucketedRank(keyed, Seq("source"),
         "__sb", Seq("__ns", "doc_id"), "rk")
       val ns = scored.groupBy(col("source"))
@@ -1619,7 +1623,7 @@ private[graft] object QueriesLlmC {
       val ordered = QueryShared.bucketedRank(keyed, Seq.empty,
         "__bk", Seq("h", "doc_id"), "ork")
       val banded = ordered.withColumn("__ns", -col("score"))
-        .withColumn("__sb", floor(col("__ns") * 8).cast("long"))
+        .withColumn("__sb", floor(col("__ns") * 1024).cast("long"))
       val ranked = QueryShared.bucketedRank(banded, Seq.empty,
         "__sb", Seq("__ns", "doc_id"), "qrk")
       val n = ranked.agg(count(lit(1)).as("__n"))

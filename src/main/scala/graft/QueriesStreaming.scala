@@ -123,12 +123,18 @@ private[graft] object QueriesStreaming {
       val docs = tbl(spark, dir, "documents")
         .select(col("doc_id"), col("source"), col("text"))
       val mx = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
+      // Thresholds computed ONCE on the driver (exact via BigInt) and
+      // compared directly — the earlier doc_id*3 form overflowed for
+      // ids near Long.MaxValue/3 and could route a row into NO batch
+      // (r12 advice). id <= mx/3 ⇔ id*3 <= mx for non-negative ids,
+      // so the split is unchanged on real data.
+      val t1 = mx / 3
+      val t2 = ((BigInt(mx) * 2) / 3).toLong
       val src = Scratch.dir("graft_q393").toString + "/docs"
       EventStream.writeOrderedBatches(Seq(
-        docs.filter(col("doc_id") * 3 <= mx),
-        docs.filter(col("doc_id") * 3 > mx &&
-          col("doc_id") * 3 <= 2 * mx),
-        docs.filter(col("doc_id") * 3 > 2 * mx)), src)
+        docs.filter(col("doc_id") <= t1),
+        docs.filter(col("doc_id") > t1 && col("doc_id") <= t2),
+        docs.filter(col("doc_id") > t2)), src)
       val stream = spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1).parquet(src)
       EventStream.streamingCapManifest(spark, stream,

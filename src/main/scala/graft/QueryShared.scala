@@ -37,10 +37,21 @@ private[graft] object QueryShared {
     * allocName) with the census's other columns dropped. */
   private[graft] def unimaxAlloc(census: DataFrame, sizeName: String,
                                  allocName: String, num: Int,
-                                 den: Int): DataFrame = {
+                                 den: Int): DataFrame =
+    unimaxAllocFull(census, "source", sizeName, allocName, num, den)
+      .drop("capped")
+
+  /** [[unimaxAlloc]] with an explicit census key column and the
+    * `capped` flag kept in the output — the q323 shape (keyed by
+    * `lang`, reports which languages hit their full size). Returns
+    * (key, sizeName, allocName, capped). */
+  private[graft] def unimaxAllocFull(census: DataFrame, key: String,
+                                     sizeName: String,
+                                     allocName: String, num: Int,
+                                     den: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
-    val W = Window.orderBy(col(sizeName), col("source"))
+    val W = Window.orderBy(col(sizeName), col(key))
     val tot = census.agg(sum(col(sizeName)).as("__tot"),
       count(lit(1)).as("__n"))
     val f = census.crossJoin(broadcast(tot))
@@ -62,12 +73,13 @@ private[graft] object QueryShared {
     f2.crossJoin(broadcast(ck))
       .withColumn("__r", col("__b") - col("__cumk"))
       .withColumn("__l", col("__n") - (col("__ff") - 1))
+      .withColumn("capped", col("__rn") < col("__ff"))
       .withColumn(allocName,
-        when(col("__rn") < col("__ff"), col(sizeName))
+        when(col("capped"), col(sizeName))
           .otherwise(expr("__r div __l") +
             when(col("__rn") - (col("__ff") - 1) <=
               pmod(col("__r"), col("__l")), 1L).otherwise(0L)))
-      .select(col("source"), col(sizeName), col(allocName))
+      .select(col(key), col(sizeName), col(allocName), col("capped"))
   }
 
   /** Global (or per-group) rank WITHOUT a single-task window — the

@@ -32,6 +32,17 @@ object CapSample {
   def mine(df: DataFrame, group: String, order: Seq[String],
            k: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")
+    // The bucket is substring(order.head, 1, 2): only valid when the
+    // head really is the documented md5-hex STRING — an implicit
+    // numeric→string cast would make the prefix a lexicographic
+    // bucket of a NUMERIC sort axis (no longer an order-range) and
+    // silently corrupt ranks (r12 advice). Fail loudly instead.
+    require(df.schema(order.head).dataType ==
+      org.apache.spark.sql.types.StringType,
+      s"CapSample.mine: order head '${order.head}' must be a string " +
+        "(md5-hex) column — its 2-char prefix is the rank bucket and " +
+        s"must be an order-range of the sort axis; got " +
+        s"${df.schema(order.head).dataType.simpleString}")
     BucketedRank.rank(
         df.withColumn("__bk", substring(col(order.head), 1, 2)),
         Seq(group), "__bk", order, "__rk")
@@ -53,12 +64,33 @@ object CapSample {
     * for m appended batches) to the standing k — the n-way fold's
     * last step, used directly by the streaming manifest (one window
     * over the appended per-batch mines instead of m-1 pairwise
-    * merges). Same idempotence dedup as [[merge]]. */
+    * merges). Idempotence dedup for [[merge]] happens in two layers
+    * (r12 advice — a bare key-dedup kept an ARBITRARY row when the
+    * same (group, order) key arrived with a different payload, e.g.
+    * a re-crawled doc whose n_tok changed between batches):
+    * exact-duplicate rows (the at-least-once replay case) collapse
+    * via distinct(), then any SURVIVING same-key rows — genuinely
+    * divergent payloads — are picked DETERMINISTICALLY (least row
+    * by the non-key columns in name order), so the standing
+    * manifest is a pure function of the set of rows ever appended,
+    * whatever the batch arrival order. Non-key columns must be
+    * orderable types (atomics/arrays — the manifest shape). */
   def truncate(m: DataFrame, group: String, order: Seq[String],
                k: Int): DataFrame = {
+    val keys = group +: order
+    val payload = m.columns.filterNot(keys.contains).sorted
+    val deduped =
+      if (payload.isEmpty) m.dropDuplicates(keys)
+      else {
+        val kw = Window.partitionBy(keys.map(col): _*)
+          .orderBy(payload.toIndexedSeq.map(col): _*)
+        m.distinct()
+          .withColumn("__kd", row_number().over(kw))
+          .filter(col("__kd") === 1).drop("__kd")
+      }
     val w = Window.partitionBy(col(group))
       .orderBy(order.map(col): _*)
-    m.dropDuplicates(group +: order)
+    deduped
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= k)
       .drop("__rk")

@@ -63,4 +63,41 @@ class CapSampleSpec extends SparkSpec {
     val m2 = CapSample.mine(corpus.orderBy($"h".desc), "g", order, K)
     assert(canon(m1) === canon(m2))
   }
+
+  test("divergent payloads on one key fold deterministically: the " +
+      "least payload wins regardless of merge order (r12 advice — " +
+      "a re-crawled doc whose n_tok changed must not make the " +
+      "standing manifest arbitrary)") {
+    val m = CapSample.mine(corpus.withColumn("n_tok", $"id" * 10L),
+      "g", order, K)
+    // same keys, payload re-crawled to a different value
+    val recrawled = m.withColumn("n_tok", $"n_tok" + 3L)
+    val ab = CapSample.merge(m, recrawled, "g", order, K)
+    val ba = CapSample.merge(recrawled, m, "g", order, K)
+    def toks(df: org.apache.spark.sql.DataFrame) =
+      df.select($"g", $"id", $"n_tok").as[(String, Long, Long)]
+        .collect().toSeq.sorted
+    assert(toks(ab) === toks(ba))
+    // deterministic pick = least payload, and exactly one row per key
+    assert(toks(ab) === toks(m))
+    assert(ab.groupBy($"g", $"id").count()
+      .filter($"count" > 1).count() === 0L)
+  }
+
+  test("exact replays still fold to a no-op when a payload column " +
+      "is present (at-least-once redelivery)") {
+    val m = CapSample.mine(corpus.withColumn("n_tok", $"id" * 10L),
+      "g", order, K)
+    val folded = CapSample.merge(m, m, "g", order, K)
+    assert(folded.count() === m.count())
+  }
+
+  test("mine rejects a non-string order head (the md5-hex bucket " +
+      "contract, r12 advice)") {
+    val numericHead = corpus.withColumn("h", $"id" * 7L)
+    val e = intercept[IllegalArgumentException] {
+      CapSample.mine(numericHead, "g", order, K)
+    }
+    assert(e.getMessage.contains("must be a string"))
+  }
 }

@@ -52,6 +52,36 @@ class DigestSpec extends SparkSpec {
     assert(moved === Seq(37L % 256))
   }
 
+  test("two-level mod-sum equals the exact (arbitrary-precision) " +
+      "mod at the overflow boundary: sub-bucket partials that " +
+      "exceed the modulus reduce early without changing the value") {
+    val df = corpus(0 until 20000)
+    val hs = df.select(conv(substring(md5($"text".cast("binary")),
+        1, 7), 16, 10).cast("long").as("h"))
+      .as[Long].collect()
+    // the fixture must actually cross the first-level boundary:
+    // some (shard=0, sub) partial sum exceeds the modulus, so the
+    // intermediate pmod genuinely fires
+    val bySub = hs.groupBy(_ % Digest.SubBuckets)
+      .map { case (_, v) => v.map(BigInt(_)).sum }
+    assert(bySub.exists(_ > Digest.DefaultMod),
+      "fixture too small: no sub-bucket partial crosses the modulus")
+    val expected = hs.map(BigInt(_)).sum
+      .mod(BigInt(Digest.DefaultMod)).toLong
+    val got = Digest.shardDigests(df, $"doc_id", $"text", shards = 1)
+      .collect()(0).getAs[Long]("digest")
+    assert(got === expected)
+  }
+
+  test("mod below 2^28 is rejected (single-row hashes must already " +
+      "be reduced for the two-level bound to hold)") {
+    val e = intercept[IllegalArgumentException] {
+      Digest.shardDigests(corpus(0 until 4), $"doc_id", $"text",
+        shards = 4, mod = 1000003L)
+    }
+    assert(e.getMessage.contains("2^28"))
+  }
+
   test("digest components are engine-portable values: 28-bit hashes, " +
       "mod applied") {
     val d = Digest.shardDigests(corpus(0 until 64), $"doc_id",
