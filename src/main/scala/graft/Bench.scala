@@ -70,9 +70,33 @@ object Bench {
     val stagedWall = scala.collection.mutable.Map.empty[String, Double]
     val failedQs = scala.collection.mutable.Set.empty[String]
     val rerunQs = scala.collection.mutable.ArrayBuffer.empty[String]
+    // MACHINE-HEALTH PROBE: a fixed, data-independent calibration
+    // workload (CPU + one small shuffle) timed every ~50 queries.
+    // The probe's cost never changes, so variance across its readings
+    // measures the MACHINE, not the suite — a contended window shows
+    // up as probe spread >~2x and the artifact self-identifies as
+    // hostile instead of costing a manual BenchOne adjudication
+    // (r11 and r12 each paid one). Published as "probe" (all
+    // readings, sweep order) + "probe_spread" (max/min).
+    val probeTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def probeOnce(): Unit = {
+      val t0 = System.nanoTime()
+      spark.range(2000000L)
+        .selectExpr("pmod(id, 97) AS g", "id")
+        .groupBy("g").agg(org.apache.spark.sql.functions.sum("id"))
+        .collect()
+      probeTimes += (System.nanoTime() - t0) / 1e9
+    }
+    // warm the probe plan itself (codegen/JIT) so reading 1 measures
+    // the machine, not first-use compilation — an unwarmed first
+    // probe read 7.5x its steady state and false-flagged an idle run
+    probeOnce(); probeTimes.clear()
+    var sinceProbe = 0
     def runOnce(name: String,
                 fn: (SparkSession, String) =>
                   org.apache.spark.sql.DataFrame): Unit = {
+      if (sinceProbe == 0) probeOnce()
+      sinceProbe = (sinceProbe + 1) % 50
       // snapshot the Staged build-wall counter: a FIRST consumer pays
       // its cohort's one-time artifact build inside its wall — report
       // that build separately so it's never misread as query cost
@@ -122,7 +146,14 @@ object Bench {
       .mkString("{", ",", "}")
     val rerunJson = rerunQs.distinct.sorted.map("\"" + _ + "\"")
       .mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"queries":$qs,"spread":$spread,"staged_build":$stagedJson,"rerun":$rerunJson,"errors":$errs,"sf":"$sfDir"}"""
+    probeOnce() // closing reading: bracket the sweep
+    def f2p(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+    val probeJson = probeTimes.map(f2p).mkString("[", ",", "]")
+    val probeSpread =
+      if (probeTimes.nonEmpty && probeTimes.min > 0)
+        f2p(probeTimes.max / probeTimes.min) else "null"
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"queries":$qs,"spread":$spread,"staged_build":$stagedJson,"rerun":$rerunJson,"probe":$probeJson,"probe_spread":$probeSpread,"errors":$errs,"sf":"$sfDir"}"""
     println(line)
     // the same dict as a standalone artifact: stdout gets interleaved
     // with sbt/log4j noise and truncation-prone tails (BENCH_r06's
@@ -143,7 +174,7 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
     val budget = 1700
     val stagedTotal = stagedWall.values.sum
-    val head = s"""{"metric":"total","value":${f2(total)},"unit":"sec","iters":$iters,"staged_sec":${f2(stagedTotal)},"errors":$errs,"sf":"$sfDir","full":"$out","queries":{"""
+    val head = s"""{"metric":"total","value":${f2(total)},"unit":"sec","iters":$iters,"staged_sec":${f2(stagedTotal)},"probe_spread":$probeSpread,"errors":$errs,"sf":"$sfDir","full":"$out","queries":{"""
     val slowest = results.sortBy(-_._2)
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     var len = head.length + 40 // room for the closing/omitted suffix

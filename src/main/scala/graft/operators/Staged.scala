@@ -34,10 +34,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    dir per (corpus, params) forever without a budget. An
   *    access-ordered LRU evicts the least-recently-served artifacts
   *    above [[maxArtifacts]]; an evicted key simply rebuilds on next
-  *    request. Callers that hold a staged frame across MANY unrelated
-  *    staged requests should re-request it (a `getOrBuild` is a cache
-  *    touch + parquet-read plan) rather than caching the DataFrame —
-  *    eviction deletes files a stale lazy plan would still reference.
+  *    request (into a FRESH generation dir — physical dirs are never
+  *    reused).
+  *  - Eviction is DEFERRED-DELETE (r12 verdict ask): evicting an
+  *    artifact only forgets it and moves its dir onto an in-memory
+  *    trash list — the parquet files stay on disk, so a DataFrame a
+  *    caller obtained BEFORE the eviction keeps reading correctly for
+  *    the life of the JVM (a lazy plan holds file paths, not data).
+  *    Disk is reclaimed by the JVM-exit hook, or — for a long-lived
+  *    service — by calling [[sweepTrash]] at an epoch boundary where
+  *    no pre-eviction frames can still be live.
   */
 object Staged {
   @volatile private var rootDir: java.nio.file.Path = _
@@ -61,11 +67,26 @@ object Staged {
     new java.util.concurrent.atomic.AtomicLong(0L)
   def buildNanos: Long = buildNanosTotal.get
 
-  /** Access-ordered LRU over artifact dir names (guarded by its own
-    * monitor — held only for map ops and eviction deletes, never
-    * across a Spark build). */
+  /** Access-ordered LRU over LOGICAL artifact names (guarded by its
+    * own monitor — held only for map ops, never across a Spark
+    * build). */
   private val lru =
     new java.util.LinkedHashMap[String, java.lang.Long](16, 0.75f, true)
+
+  /** Logical name → live physical generation dir. Each (re)build gets
+    * a fresh `__gN` suffix so an evicted-then-rebuilt key can never
+    * write over files a pre-eviction reader still references. */
+  private val current =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
+  private val genCounter =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Evicted generation dirs awaiting reclaim — files still on disk,
+    * deliberately. Swept by [[sweepTrash]] / [[clear]] / JVM exit. */
+  private val trash =
+    java.util.Collections.synchronizedList(
+      new java.util.ArrayList[java.nio.file.Path]())
 
   private def root: java.nio.file.Path = synchronized {
     if (rootDir == null) {
@@ -96,8 +117,11 @@ object Staged {
     locks.computeIfAbsent(dirName, _ => new Object)
 
   /** Record a serve of `dirName` and evict over-budget artifacts
-    * (oldest-served first). Eviction deletes under the LRU monitor
-    * AND the evictee's key lock, so it can't race a same-key build. */
+    * (oldest-served first). Eviction NEVER deletes files — it drops
+    * the name→dir mapping and parks the generation dir on the trash
+    * list, so frames planned before the eviction stay readable
+    * (deferred delete; see [[sweepTrash]]). The map drop happens
+    * under the evictee's key lock so it can't race a same-key build. */
   private def touchAndEvict(dirName: String): Unit = {
     val victims = lru.synchronized {
       lru.put(dirName, java.lang.Long.valueOf(System.nanoTime()))
@@ -110,10 +134,25 @@ object Staged {
     }
     victims.foreach { v =>
       lockFor(v).synchronized {
-        try org.apache.commons.io.FileUtils
-          .deleteDirectory(root.resolve(v).toFile)
-        catch { case _: Throwable => () }
+        val dir = current.remove(v)
+        if (dir != null) trash.add(dir)
       }
+    }
+  }
+
+  /** Reclaim the disk behind every EVICTED artifact. Safe only when
+    * no DataFrame obtained before the evictions can still be acted
+    * on — a long-lived service calls this at an epoch boundary (e.g.
+    * between request batches); harnesses and short-lived processes
+    * never need to (the JVM-exit hook removes the whole root). */
+  def sweepTrash(): Unit = {
+    val drained = trash.synchronized {
+      val out = new java.util.ArrayList[java.nio.file.Path](trash)
+      trash.clear(); out
+    }
+    drained.forEach { p =>
+      try org.apache.commons.io.FileUtils.deleteDirectory(p.toFile)
+      catch { case _: Throwable => () }
     }
   }
 
@@ -148,23 +187,33 @@ object Staged {
   def getOrBuild(spark: SparkSession, key: String)
                 (build: => DataFrame): DataFrame = {
     val dirName = sanitize(key)
-    val p = root.resolve(dirName)
-    lockFor(dirName).synchronized {
-      if (!java.nio.file.Files.exists(p.resolve("_SUCCESS")))
-        atomicBuild(p)(tmp =>
+    val p = lockFor(dirName).synchronized {
+      val live = current.get(dirName)
+      if (live != null &&
+          java.nio.file.Files.exists(live.resolve("_SUCCESS"))) live
+      else {
+        val fresh = root.resolve(
+          s"${dirName}__g${genCounter.incrementAndGet()}")
+        atomicBuild(fresh)(tmp =>
           build.write.mode("overwrite").parquet(tmp.toString))
+        current.put(dirName, fresh)
+        fresh
+      }
     }
     touchAndEvict(dirName)
     spark.read.parquet(p.toString)
   }
 
-  /** Drop every staged artifact (the root survives for reuse).
-    * For harnesses that MEASURE build cost (ScaleBench) — a staged
-    * hit on repeat 2 would report the parquet-read wall as the
-    * query's cost and hide the mining exponent. Production runs and
-    * Verify/Bench never call this. */
+  /** Drop every staged artifact — live AND trashed — deleting files
+    * (the root survives for reuse). For harnesses that MEASURE build
+    * cost (ScaleBench) — a staged hit on repeat 2 would report the
+    * parquet-read wall as the query's cost and hide the mining
+    * exponent. Production runs and Verify/Bench never call this;
+    * unlike eviction, clear() genuinely invalidates held frames. */
   def clear(): Unit = {
     lru.synchronized(lru.clear())
+    current.clear()
+    trash.synchronized(trash.clear())
     synchronized {
       if (rootDir != null) {
         Option(rootDir.toFile.listFiles()).toSeq.flatten.foreach(f =>
@@ -183,16 +232,22 @@ object Staged {
     * builds only on the first request for `key`. */
   def getOrBuildPath(key: String)(buildTo: String => Unit): String = {
     val dirName = sanitize(key)
-    val p = root.resolve(dirName)
-    lockFor(dirName).synchronized {
-      val marker = p.resolve("_STAGED_DONE")
-      if (!java.nio.file.Files.exists(marker)) {
-        atomicBuild(p) { tmp =>
+    val p = lockFor(dirName).synchronized {
+      val live = current.get(dirName)
+      if (live != null &&
+          java.nio.file.Files.exists(live.resolve("_STAGED_DONE")))
+        live
+      else {
+        val fresh = root.resolve(
+          s"${dirName}__g${genCounter.incrementAndGet()}")
+        atomicBuild(fresh) { tmp =>
           java.nio.file.Files.createDirectories(tmp)
           buildTo(tmp.toString)
           java.nio.file.Files.write(tmp.resolve("_STAGED_DONE"),
             Array.emptyByteArray)
         }
+        current.put(dirName, fresh)
+        fresh
       }
     }
     touchAndEvict(dirName)

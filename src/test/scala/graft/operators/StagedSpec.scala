@@ -123,4 +123,44 @@ class StagedSpec extends SparkSpec {
       Staged.clear()
     }
   }
+
+  test("eviction is deferred-delete: a frame obtained BEFORE the " +
+      "eviction stays readable, the rebuild lands in a fresh " +
+      "generation dir, and sweepTrash reclaims the old one") {
+    val saved = Staged.maxArtifacts
+    try {
+      Staged.clear()
+      Staged.maxArtifacts = 1
+      var vBuilds = 0
+      def victim = Staged.getOrBuild(spark, "defer/victim") {
+        vBuilds += 1; spark.range(6).select($"id")
+      }
+      val held = victim // live lazy plan over generation 1's files
+      val heldPath = held.inputFiles.head
+        .replaceFirst("/[^/]*$", "").replaceFirst("^file:", "")
+      // budget 1: requesting another key evicts the victim
+      Staged.getOrBuild(spark, "defer/usurper") {
+        spark.range(2).select($"id")
+      }
+      assert(held.count() === 6L,
+        "a pre-eviction frame must stay readable (deferred delete)")
+      // re-request rebuilds into a NEW generation; the held frame
+      // still reads its own files
+      val back = victim
+      assert(vBuilds === 2, "evicted key rebuilds on demand")
+      val backPath = back.inputFiles.head
+        .replaceFirst("/[^/]*$", "").replaceFirst("^file:", "")
+      assert(backPath !== heldPath,
+        "rebuild must land in a fresh generation dir")
+      assert(held.count() === 6L && back.count() === 6L)
+      // epoch boundary: sweepTrash reclaims evicted generations only
+      Staged.sweepTrash()
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(heldPath)),
+        "sweepTrash must delete the evicted generation")
+    } finally {
+      Staged.maxArtifacts = saved
+      Staged.clear()
+    }
+  }
 }
