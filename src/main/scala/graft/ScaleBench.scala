@@ -87,7 +87,15 @@ object ScaleBench {
     // the CCNet tertile gate: quality-classifier kernel + score-band
     // bucketedRank over every doc — the rank decomposition must stay
     // linear as the per-source populations grow 100×
-    "q396_quality_tertiles")
+    "q396_quality_tertiles",
+    // round-13: the training-data-build capstone — the full chain
+    // cap → closure → decon → split → takedown → mixture → packing →
+    // sharding → digest. With Staged.clear between repeats the wall
+    // is dominated by the corpus-proportional mines (cap rank, pair
+    // mining, contamination scan); stages downstream of the cap are
+    // K·|sources|-bounded BY CONSTRUCTION, so the ratio proves the
+    // pipeline's scale cost is its mines, not its composition
+    "q403_training_build")
 
   /** Tables each target reads — lets a subset run skip synthesizing
     * (and paying for) the others at high mults. */
@@ -120,7 +128,8 @@ object ScaleBench {
     "q378_resume_schedule" -> Set("documents"),
     "q387_seed_overlap" -> Set("documents"),
     "q389_cap_fold" -> Set("documents"),
-    "q396_quality_tertiles" -> Set("documents"))
+    "q396_quality_tertiles" -> Set("documents"),
+    "q403_training_build" -> Set("documents"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

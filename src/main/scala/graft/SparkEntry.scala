@@ -38,6 +38,7 @@ object SparkEntry {
     QueriesLlmA.queries ++
     QueriesLlmB.queries ++
     QueriesLlmC.queries ++
+    QueriesLlmD.queries ++
     QueriesStreaming.queries ++
     QueriesWarehouseA.queries ++
     QueriesWarehouseB.queries ++
@@ -52,6 +53,7 @@ object SparkEntry {
     QueriesLlmA.oracleSql ++
     QueriesLlmB.oracleSql ++
     QueriesLlmC.oracleSql ++
+    QueriesLlmD.oracleSql ++
     QueriesStreaming.oracleSql ++
     QueriesWarehouseA.oracleSql ++
     QueriesWarehouseB.oracleSql ++

@@ -16,6 +16,7 @@ class SparkEntrySpec extends AnyFunSuite {
     "LlmA" -> (QueriesLlmA.queries, QueriesLlmA.oracleSql),
     "LlmB" -> (QueriesLlmB.queries, QueriesLlmB.oracleSql),
     "LlmC" -> (QueriesLlmC.queries, QueriesLlmC.oracleSql),
+    "LlmD" -> (QueriesLlmD.queries, QueriesLlmD.oracleSql),
     "Streaming" -> (QueriesStreaming.queries, QueriesStreaming.oracleSql),
     "WarehouseA" -> (QueriesWarehouseA.queries, QueriesWarehouseA.oracleSql),
     "WarehouseB" -> (QueriesWarehouseB.queries, QueriesWarehouseB.oracleSql),
