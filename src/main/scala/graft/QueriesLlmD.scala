@@ -262,6 +262,55 @@ private[graft] object QueriesLlmD {
         .unionByName(melt("8_digest", digestRow))
         .orderBy(col("stage"), col("metric"))
     },
+
+    // --- BPE-TOKEN PACKING TWIN (round 13 — the fold-family censuses
+    //     under the tokenizer a real pretraining build uses): q353's
+    //     context-packing census re-run on BPE token counts instead
+    //     of whitespace counts. The merge table (10 rules, batched
+    //     trainer — the q129 surface) is STAGED once per corpus and
+    //     collected as a bounded ≤10-row pull; per-doc BPE length is
+    //     then a pure row-local codegen'd fold (initSymbols +
+    //     applyMerges per word — no join, so the hot-word skew a
+    //     vocab join would shuffle on never exists), and the spans /
+    //     chunk census ride the same rank-bucketed Packing operator
+    //     as q353. The oracle RETRAINS the merges sequentially (the
+    //     q129 chained-CTE rounds), re-encodes every word, sums per
+    //     doc, and replays the packing chain — proving the packing
+    //     fold theorem end-to-end under BPE, exact integers. ---
+    "q404_bpe_packing" -> { (spark, dir) =>
+      val L = 512L
+      val pk = graft.operators.Packing
+      val bpe = graft.llm.Bpe
+      val docs = tbl(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val mergesDf = graft.operators.Staged.getOrBuild(spark,
+          s"bpe_merges::$dir::m10_b4") {
+        val ms = bpe.train(spark, docs, col("text"),
+          numMerges = 10, batchSize = 4)
+        import spark.implicits._
+        ms.zipWithIndex
+          .map { case ((a, b, f), i) => (i, a, b, f) }
+          .toDF("ord", "a", "b", "freq")
+      }
+      // bounded scalar pull: the merge table is ≤ numMerges rows
+      val merges = mergesDf.orderBy(col("ord")).collect()
+        .map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+        .toSeq
+      val dn = docs
+        .select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("word"))
+        .withColumn("wn", size(bpe.applyMerges(
+          bpe.initSymbols(col("word")), merges)).cast("long"))
+        .groupBy(col("doc_id")).agg(sum(col("wn")).as("n_tok"))
+      val spans = pk.spans(dn, col("doc_id"), col("n_tok"))
+        .localCheckpoint() // feeds the census AND the total
+      val tot = spans.agg((max(col("e")) + 1).as("__t"))
+      pk.withFill(pk.chunkCensus(spans, L).crossJoin(broadcast(tot)),
+          L, col("__t"))
+        .select(col("chunk"), col("n_docs"), col("n_starts"),
+          col("n_tokens"))
+        .orderBy(col("chunk"))
+    },
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -495,5 +544,41 @@ private[graft] object QueriesLlmD {
         UNION ALL SELECT '8_digest', 'hash_max',
                CAST(max(mx) AS BIGINT) FROM dgs
       ) fin ORDER BY stage, metric""",
+
+    // sequential BPE retrain (the q129 chained rounds), then re-encode
+    // every word, sum BPE lengths per doc, and replay the q353 packing
+    // chain over the BPE token axis
+    "q404_bpe_packing" -> s"""
+      WITH dtk AS MATERIALIZED (SELECT doc_id, unnest(list_filter(
+                    string_split_regex(lower(trim(text)), '\\s+'),
+                    x -> length(x) > 0)) AS word FROM documents),
+      wf AS (SELECT word, count(*) AS freq FROM dtk GROUP BY 1),
+      m0 AS MATERIALIZED (SELECT word, freq,
+               regexp_replace(word, '(.)', ' \\1 ', 'g') AS s FROM wf),
+      ${(1 to 10).map(QueryShared.bpeRoundSql).mkString(",\n      ")},
+      wl AS (SELECT word, CAST(len(list_filter(string_split(s, ' '),
+                x -> x <> '')) AS BIGINT) AS wn FROM m10),
+      dn AS (SELECT doc_id, CAST(sum(wn) AS BIGINT) AS n_tok
+             FROM dtk JOIN wl USING (word) GROUP BY 1),
+      pcs AS MATERIALIZED (SELECT doc_id, n_tok,
+                     sum(n_tok) OVER (ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum
+              FROM dn WHERE n_tok > 0),
+      sps AS (SELECT doc_id, CAST(cum - n_tok AS BIGINT) AS s,
+                     CAST(cum - 1 AS BIGINT) AS e FROM pcs),
+      chn AS (SELECT doc_id, s,
+                     unnest(generate_series(s // 512, e // 512))
+                       AS chunk
+              FROM sps),
+      pc AS (SELECT chunk, CAST(count(*) AS BIGINT) AS n_docs,
+                    CAST(sum(CASE WHEN s // 512 = chunk
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                      AS n_starts
+             FROM chn GROUP BY 1),
+      pt AS (SELECT max(cum) AS tt FROM pcs)
+      SELECT CAST(chunk AS BIGINT) AS chunk, n_docs, n_starts,
+             CAST(least(512, pt.tt - chunk * 512) AS BIGINT)
+               AS n_tokens
+      FROM pc CROSS JOIN pt ORDER BY chunk""",
   )
 }
