@@ -311,6 +311,81 @@ private[graft] object QueriesLlmD {
           col("n_tokens"))
         .orderBy(col("chunk"))
     },
+
+    // --- BPE TOKEN-BUDGET MIXTURE TWIN (q357 under the tokenizer a
+    //     pretraining budget is actually written in): the UniMax
+    //     water-fill + greedy md5-ranked prefix selection re-run on
+    //     BPE token sums. Reuses the q404 STAGED merge table (second
+    //     consumer — the stage pays off); per-doc BPE counts are the
+    //     same row-local fold; selection rides the q357 bucketed
+    //     running-sum shape (per-(source, hash-prefix) windows +
+    //     triangular offsets — the corpus is UNCAPPED here, so the
+    //     bounded-window shortcut q403 earned from its cap does not
+    //     apply). Exact integers end to end. ---
+    "q405_bpe_mixture" -> { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val bpe = graft.llm.Bpe
+      val docs0 = tbl(spark, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      val mergesDf = graft.operators.Staged.getOrBuild(spark,
+          s"bpe_merges::$dir::m10_b4") {
+        val ms = bpe.train(spark, docs0, col("text"),
+          numMerges = 10, batchSize = 4)
+        import spark.implicits._
+        ms.zipWithIndex
+          .map { case ((a, b, f), i) => (i, a, b, f) }
+          .toDF("ord", "a", "b", "freq")
+      }
+      val merges = mergesDf.orderBy(col("ord")).collect()
+        .map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+        .toSeq
+      val docs = docs0
+        .select(col("doc_id"), col("source"),
+          explode(TextAnalysis.tokens(col("text"))).as("word"))
+        .withColumn("wn", size(bpe.applyMerges(
+          bpe.initSymbols(col("word")), merges)).cast("long"))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(sum(col("wn")).as("n_tok"))
+      val sizes = docs.groupBy(col("source"))
+        .agg(sum(col("n_tok")).as("sz_tok"))
+      val nSources = sizes.count()
+      require(nSources <= 10000,
+        s"q405: source census has $nSources sources, above the " +
+          "10000 the allocation windows are bounded for")
+      val alloc = unimaxAlloc(sizes, "sz_tok", "alloc_tok", 6, 10)
+        .localCheckpoint() // tiny; feeds selection AND the output join
+      val based = docs
+        .withColumn("h", md5(concat(lit("mix4:"),
+          col("doc_id").cast("string")).cast("binary")))
+        .withColumn("__bk", substring(col("h"), 1, 2))
+      val census = based.groupBy(col("source"), col("__bk"))
+        .agg(sum(col("n_tok")).as("__c"))
+      val offs = census
+        .join(census.select(col("source").as("__s2"),
+            col("__bk").as("__b2"), col("__c").as("__c2")),
+          col("__s2") === col("source") && col("__b2") < col("__bk"),
+          "left")
+        .groupBy(col("source"), col("__bk"))
+        .agg(coalesce(sum(col("__c2")), lit(0L)).as("__off"))
+      val iw = Window.partitionBy(col("source"), col("__bk"))
+        .orderBy(col("h"), col("doc_id"))
+      val selected = based.join(offs, Seq("source", "__bk"))
+        .withColumn("__ctok", col("__off") + sum(col("n_tok")).over(
+          iw.rowsBetween(Window.unboundedPreceding, 0)))
+        .join(broadcast(alloc.select(col("source"),
+          col("alloc_tok"))), Seq("source"))
+        .filter(col("__ctok") <= col("alloc_tok"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("__nsel"),
+          sum(col("n_tok")).as("__tsel"),
+          sum(col("doc_id")).as("__csum"))
+      alloc.join(selected, Seq("source"), "left")
+        .select(col("source"), col("sz_tok"), col("alloc_tok"),
+          coalesce(col("__nsel"), lit(0L)).as("n_selected"),
+          coalesce(col("__tsel"), lit(0L)).as("tok_selected"),
+          coalesce(col("__csum"), lit(0L)).as("sel_checksum"))
+        .orderBy(col("source"))
+    },
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -580,5 +655,43 @@ private[graft] object QueriesLlmD {
              CAST(least(512, pt.tt - chunk * 512) AS BIGINT)
                AS n_tokens
       FROM pc CROSS JOIN pt ORDER BY chunk""",
+
+    // BPE retrain + per-doc re-encode (the q404 head), then the q357
+    // water-fill + greedy prefix replay on the BPE token axis
+    "q405_bpe_mixture" -> s"""
+      WITH dtk AS MATERIALIZED (SELECT doc_id, source,
+                    unnest(list_filter(
+                      string_split_regex(lower(trim(text)), '\\s+'),
+                      x -> length(x) > 0)) AS word FROM documents),
+      wf AS (SELECT word, count(*) AS freq FROM dtk GROUP BY 1),
+      m0 AS MATERIALIZED (SELECT word, freq,
+               regexp_replace(word, '(.)', ' \\1 ', 'g') AS s FROM wf),
+      ${(1 to 10).map(QueryShared.bpeRoundSql).mkString(",\n      ")},
+      wl AS (SELECT word, CAST(len(list_filter(string_split(s, ' '),
+                x -> x <> '')) AS BIGINT) AS wn FROM m10),
+      tk AS MATERIALIZED (SELECT doc_id, source,
+                    CAST(sum(wn) AS BIGINT) AS n_tok
+             FROM dtk JOIN wl USING (word) GROUP BY 1, 2),
+      src AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS sz_tok
+              FROM tk GROUP BY 1),
+      ${QueryShared.unimaxAllocSql("src", "sz_tok", "alloc_tok", "u")},
+      rk AS (SELECT tk.source, tk.doc_id, tk.n_tok,
+                    sum(tk.n_tok) OVER (PARTITION BY tk.source
+                      ORDER BY md5('mix4:' ||
+                        CAST(tk.doc_id AS VARCHAR)), tk.doc_id
+                      ROWS UNBOUNDED PRECEDING) AS ctok
+             FROM tk),
+      sel AS (SELECT rk.source, rk.doc_id, rk.n_tok
+              FROM rk JOIN ua USING (source)
+              WHERE rk.ctok <= ua.alloc_tok)
+      SELECT ua.source, ua.sz_tok, ua.alloc_tok,
+             CAST(count(sel.doc_id) AS BIGINT) AS n_selected,
+             CAST(coalesce(sum(sel.n_tok), 0) AS BIGINT)
+               AS tok_selected,
+             CAST(coalesce(sum(sel.doc_id), 0) AS BIGINT)
+               AS sel_checksum
+      FROM ua LEFT JOIN sel ON sel.source = ua.source
+      GROUP BY ua.source, ua.sz_tok, ua.alloc_tok
+      ORDER BY ua.source""",
   )
 }
