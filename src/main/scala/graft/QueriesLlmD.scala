@@ -386,6 +386,44 @@ private[graft] object QueriesLlmD {
           coalesce(col("__csum"), lit(0L)).as("sel_checksum"))
         .orderBy(col("source"))
     },
+
+    // --- RECRAWL UNDER THE STREAMING CAP (the r12-advice payload
+    //     contract under the oracle gate): batch 1 delivers the
+    //     corpus, batch 2 RE-DELIVERS every 7th doc re-crawled with
+    //     its tail truncated — same (source, hash, id) manifest key,
+    //     DIVERGENT n_tok payload. The standing manifest must stay a
+    //     pure function of the rows ever appended: CapSample's
+    //     two-layer dedup collapses exact replays (short docs whose
+    //     truncation changed nothing) and resolves divergent payloads
+    //     deterministically (least row by non-key columns — here
+    //     min(n_tok)). Because the md5 sampling order is
+    //     payload-independent, the KEPT ID SET equals the
+    //     no-recrawl rebuild; only the resolved n_tok values move —
+    //     the oracle rebuilds from the full corpus with
+    //     least(original, recrawled) token counts per re-delivered
+    //     doc, and the hash match pins both the selection monoid and
+    //     the payload resolution in the runtime a real crawl
+    //     redelivers through. ---
+    "q406_stream_recrawl" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      val recrawl = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .withColumn("text", col("text").substr(lit(1),
+          greatest(length(col("text")) - 30, lit(1))))
+      val src = Scratch.dir("graft_q406").toString + "/docs"
+      graft.streaming.EventStream.writeOrderedBatches(
+        Seq(docs, recrawl), src)
+      val stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      graft.streaming.EventStream.streamingCapManifest(spark, stream,
+          Scratch.dir("graft_q406man").toString + "/manifest",
+          Scratch.dir("graft_q406ck").toString, 15)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_tok")).as("tok_kept"),
+          sum(col("doc_id")).as("kept_checksum"))
+        .orderBy(col("source"))
+    },
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -693,5 +731,32 @@ private[graft] object QueriesLlmD {
       FROM ua LEFT JOIN sel ON sel.source = ua.source
       GROUP BY ua.source, ua.sz_tok, ua.alloc_tok
       ORDER BY ua.source""",
+
+    // full rebuild with the recrawl's payload resolution applied:
+    // every 7th doc's token count resolves to least(original,
+    // truncated) — the deterministic pick the manifest fold makes;
+    // the md5 sampling order is payload-independent, so the kept id
+    // set is the plain per-source top-15
+    "q406_stream_recrawl" -> """
+      WITH tk AS (SELECT doc_id, source,
+              CAST(len(list_filter(string_split_regex(
+                lower(trim(text)), '\s+'),
+                x -> length(x) > 0)) AS BIGINT) AS n1,
+              CAST(len(list_filter(string_split_regex(
+                lower(trim(substring(text, 1,
+                  greatest(length(text) - 30, 1)))), '\s+'),
+                x -> length(x) > 0)) AS BIGINT) AS n2
+            FROM documents),
+      r AS (SELECT doc_id, source,
+              CASE WHEN doc_id % 7 = 0 THEN least(n1, n2)
+                   ELSE n1 END AS n_tok,
+              row_number() OVER (PARTITION BY source ORDER BY
+                md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id)
+                AS rk
+            FROM tk)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+             CAST(sum(n_tok) AS BIGINT) AS tok_kept,
+             CAST(sum(doc_id) AS BIGINT) AS kept_checksum
+      FROM r WHERE rk <= 15 GROUP BY 1 ORDER BY source""",
   )
 }
