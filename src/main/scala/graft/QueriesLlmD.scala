@@ -21,8 +21,11 @@ private[graft] object QueriesLlmD {
     * the capstone's long-format census shape (every value BIGINT so
     * the whole pipeline pins under the hard hash gate). */
   private def melt(stage: String, oneRow: DataFrame): DataFrame = {
+    // coalesce to 0: a sum() over an empty stage frame is NULL in
+    // Spark while the oracle's coalesce convention pins 0 — all the
+    // capstone metrics are counts/sums where empty ≡ 0
     val kv = oneRow.columns.flatMap(c =>
-      Seq(lit(c), col(c).cast("long")))
+      Seq(lit(c), coalesce(col(c).cast("long"), lit(0L))))
     oneRow.select(explode(map(kv.toIndexedSeq: _*)))
       .select(lit(stage).as("stage"), col("key").as("metric"),
         col("value"))
