@@ -31,6 +31,30 @@ private[graft] object QueriesLlmD {
         col("value"))
   }
 
+  /** STAGED (word -> BPE length) table for the q404/q405 twins: the
+    * 10-rule merge table trains once (batched trainer, the q129
+    * surface), then every DISTINCT word encodes once — the vocab is
+    * sublinear in the corpus (Heaps' law), so the encode cost and
+    * the table are both bounded far below the corpus. Consumers
+    * broadcast-join it back onto word occurrences: no shuffle, and
+    * hot-word skew structurally cannot exist under a broadcast hash
+    * join. (The first cut encoded PER OCCURRENCE — row-local but
+    * ~50x the distinct-word work; 47 s -> ~3 s at sf0.1.) */
+  private def bpeWordLens(spark: SparkSession, dir: String,
+                          docs: DataFrame): DataFrame = {
+    val bpe = graft.llm.Bpe
+    graft.operators.Staged.getOrBuild(spark,
+        s"bpe_wordlen::$dir::m10_b4") {
+      val ms = bpe.train(spark, docs, col("text"),
+        numMerges = 10, batchSize = 4)
+      docs.select(explode(TextAnalysis.tokens(col("text")))
+          .as("word"))
+        .distinct()
+        .withColumn("wn", size(bpe.applyMerges(
+          bpe.initSymbols(col("word")), ms)).cast("long"))
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // --- THE TRAINING-DATA-BUILD CAPSTONE (round 13 — the q127/q282
@@ -270,11 +294,11 @@ private[graft] object QueriesLlmD {
     //     under the tokenizer a real pretraining build uses): q353's
     //     context-packing census re-run on BPE token counts instead
     //     of whitespace counts. The merge table (10 rules, batched
-    //     trainer — the q129 surface) is STAGED once per corpus and
-    //     collected as a bounded ≤10-row pull; per-doc BPE length is
-    //     then a pure row-local codegen'd fold (initSymbols +
-    //     applyMerges per word — no join, so the hot-word skew a
-    //     vocab join would shuffle on never exists), and the spans /
+    //     trainer — the q129 surface) trains once inside the STAGED
+    //     (word -> BPE length) vocab table; per-doc BPE length is a
+    //     broadcast join of that table onto word occurrences (no
+    //     shuffle — hot-word skew cannot exist under a broadcast
+    //     hash join; see bpeWordLens), and the spans /
     //     chunk census ride the same rank-bucketed Packing operator
     //     as q353. The oracle RETRAINS the merges sequentially (the
     //     q129 chained-CTE rounds), re-encodes every word, sums per
@@ -283,27 +307,13 @@ private[graft] object QueriesLlmD {
     "q404_bpe_packing" -> { (spark, dir) =>
       val L = 512L
       val pk = graft.operators.Packing
-      val bpe = graft.llm.Bpe
       val docs = tbl(spark, dir, "documents")
         .select(col("doc_id"), col("text"))
-      val mergesDf = graft.operators.Staged.getOrBuild(spark,
-          s"bpe_merges::$dir::m10_b4") {
-        val ms = bpe.train(spark, docs, col("text"),
-          numMerges = 10, batchSize = 4)
-        import spark.implicits._
-        ms.zipWithIndex
-          .map { case ((a, b, f), i) => (i, a, b, f) }
-          .toDF("ord", "a", "b", "freq")
-      }
-      // bounded scalar pull: the merge table is ≤ numMerges rows
-      val merges = mergesDf.orderBy(col("ord")).collect()
-        .map(r => (r.getString(1), r.getString(2), r.getLong(3)))
-        .toSeq
+      val wl = bpeWordLens(spark, dir, docs)
       val dn = docs
         .select(col("doc_id"),
           explode(TextAnalysis.tokens(col("text"))).as("word"))
-        .withColumn("wn", size(bpe.applyMerges(
-          bpe.initSymbols(col("word")), merges)).cast("long"))
+        .join(broadcast(wl), Seq("word"))
         .groupBy(col("doc_id")).agg(sum(col("wn")).as("n_tok"))
       val spans = pk.spans(dn, col("doc_id"), col("n_tok"))
         .localCheckpoint() // feeds the census AND the total
@@ -318,37 +328,27 @@ private[graft] object QueriesLlmD {
     // --- BPE TOKEN-BUDGET MIXTURE TWIN (q357 under the tokenizer a
     //     pretraining budget is actually written in): the UniMax
     //     water-fill + greedy md5-ranked prefix selection re-run on
-    //     BPE token sums. Reuses the q404 STAGED merge table (second
-    //     consumer — the stage pays off); per-doc BPE counts are the
-    //     same row-local fold; selection rides the q357 bucketed
+    //     BPE token sums. Reuses the q404 STAGED word-length vocab
+    //     (second consumer — the stage pays off); per-doc BPE counts
+    //     are the same broadcast join; selection rides the q357 bucketed
     //     running-sum shape (per-(source, hash-prefix) windows +
     //     triangular offsets — the corpus is UNCAPPED here, so the
     //     bounded-window shortcut q403 earned from its cap does not
     //     apply). Exact integers end to end. ---
     "q405_bpe_mixture" -> { (spark, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val bpe = graft.llm.Bpe
       val docs0 = tbl(spark, dir, "documents")
         .select(col("doc_id"), col("source"), col("text"))
-      val mergesDf = graft.operators.Staged.getOrBuild(spark,
-          s"bpe_merges::$dir::m10_b4") {
-        val ms = bpe.train(spark, docs0, col("text"),
-          numMerges = 10, batchSize = 4)
-        import spark.implicits._
-        ms.zipWithIndex
-          .map { case ((a, b, f), i) => (i, a, b, f) }
-          .toDF("ord", "a", "b", "freq")
-      }
-      val merges = mergesDf.orderBy(col("ord")).collect()
-        .map(r => (r.getString(1), r.getString(2), r.getLong(3)))
-        .toSeq
+      val wl = bpeWordLens(spark, dir, docs0)
       val docs = docs0
         .select(col("doc_id"), col("source"),
           explode(TextAnalysis.tokens(col("text"))).as("word"))
-        .withColumn("wn", size(bpe.applyMerges(
-          bpe.initSymbols(col("word")), merges)).cast("long"))
+        .join(broadcast(wl), Seq("word"))
         .groupBy(col("doc_id"), col("source"))
         .agg(sum(col("wn")).as("n_tok"))
+        .localCheckpoint() // the per-doc BPE counts feed the census
+      //   count, the water-fill, the bucket census, and the selection
+      //   join — checkpoint once, never re-pay the occurrence explode
       val sizes = docs.groupBy(col("source"))
         .agg(sum(col("n_tok")).as("sz_tok"))
       val nSources = sizes.count()
