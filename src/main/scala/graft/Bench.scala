@@ -78,10 +78,15 @@ object Bench {
     // hostile instead of costing a manual BenchOne adjudication
     // (r11 and r12 each paid one). Published as "probe" (all
     // readings, sweep order) + "probe_spread" (max/min).
+    // 8M rows puts the probe floor near 0.2 s: a 2M-row probe
+    // bottomed at ~0.06 s, where ordinary scheduler jitter (±50 ms)
+    // alone produced max/min ratios of 5-10 on calm runs. Spread is
+    // max/MEDIAN, not max/min — one unusually fast reading must not
+    // flag a run, only genuinely slow windows should.
     val probeTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
     def probeOnce(): Unit = {
       val t0 = System.nanoTime()
-      spark.range(2000000L)
+      spark.range(8000000L)
         .selectExpr("pmod(id, 97) AS g", "id")
         .groupBy("g").agg(org.apache.spark.sql.functions.sum("id"))
         .collect()
@@ -151,8 +156,12 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     val probeJson = probeTimes.map(f2p).mkString("[", ",", "]")
     val probeSpread =
-      if (probeTimes.nonEmpty && probeTimes.min > 0)
-        f2p(probeTimes.max / probeTimes.min) else "null"
+      if (probeTimes.nonEmpty && probeTimes.min > 0) {
+        // LOWER median: with few readings the upper median can equal
+        // the max and collapse the ratio to 1.0
+        val med = probeTimes.sorted.apply((probeTimes.size - 1) / 2)
+        f2p(probeTimes.max / med)
+      } else "null"
     val line = s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"queries":$qs,"spread":$spread,"staged_build":$stagedJson,"rerun":$rerunJson,"probe":$probeJson,"probe_spread":$probeSpread,"errors":$errs,"sf":"$sfDir"}"""
     println(line)
     // the same dict as a standalone artifact: stdout gets interleaved
