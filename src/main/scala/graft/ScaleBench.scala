@@ -95,7 +95,12 @@ object ScaleBench {
     // mining, contamination scan); stages downstream of the cap are
     // K·|sources|-bounded BY CONSTRUCTION, so the ratio proves the
     // pipeline's scale cost is its mines, not its composition
-    "q403_training_build")
+    "q403_training_build",
+    // the BPE packing twin: corpus-proportional cost is the word
+    // explode + broadcast join + spans; the staged vocab encode is
+    // distinct-word-bounded (sublinear, Heaps' law) — the row proves
+    // the tokenized packing census scales like the whitespace one
+    "q404_bpe_packing")
 
   /** Tables each target reads — lets a subset run skip synthesizing
     * (and paying for) the others at high mults. */
@@ -129,7 +134,8 @@ object ScaleBench {
     "q387_seed_overlap" -> Set("documents"),
     "q389_cap_fold" -> Set("documents"),
     "q396_quality_tertiles" -> Set("documents"),
-    "q403_training_build" -> Set("documents"))
+    "q403_training_build" -> Set("documents"),
+    "q404_bpe_packing" -> Set("documents"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
