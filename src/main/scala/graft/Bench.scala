@@ -156,9 +156,14 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     val probeJson = probeTimes.map(f2p).mkString("[", ",", "]")
     val probeSpread =
-      if (probeTimes.nonEmpty && probeTimes.min > 0) {
+      if (probeTimes.size >= 4 && probeTimes.min > 0) {
         // LOWER median: with few readings the upper median can equal
-        // the max and collapse the ratio to 1.0
+        // the max and collapse the ratio to 1.0. Below 4 readings
+        // (a small BENCH_ONLY subset yields only the opening and
+        // closing probes) the lower median IS the min and the ratio
+        // degenerates to max/min — the jitter-amplifying form this
+        // spread was designed to avoid — so emit null instead of a
+        // number that would false-flag a calm window (r13 advice).
         val med = probeTimes.sorted.apply((probeTimes.size - 1) / 2)
         f2p(probeTimes.max / med)
       } else "null"

@@ -117,6 +117,17 @@ private[graft] object QueriesLlmD {
       // cluster-wise against the q356 eval grams
       val docs0 = tbl(spark, dir, "documents")
         .select(col("doc_id"), col("text"))
+      // the +1000000 variant offset and the oracle's doc_id<1000000
+      // takedown/eval guards assume original ids stay below the
+      // offset — a larger-id corpus would silently collide variants
+      // with real docs and corrupt the decon/takedown clusters. Fail
+      // loudly instead (bounded scalar pull: one max) (r13 advice).
+      val maxIdRow = docs0.agg(max(col("doc_id"))).collect()(0)
+      val maxId = if (maxIdRow.isNullAt(0)) 0L else maxIdRow.getLong(0)
+      require(maxId < 1000000L,
+        s"q403: max doc_id $maxId >= 1000000 — the truncated-variant " +
+          "id offset would collide with real ids; raise the offset " +
+          "and the oracle's doc_id < 1000000 guards together")
       val variants = docs0.filter(pmod(col("doc_id"), lit(3)) === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"),
           col("text").substr(lit(1),
@@ -585,44 +596,48 @@ private[graft] object QueriesLlmD {
                      CAST(sum(h) % 1000000007 AS BIGINT) AS dg,
                      min(h) AS mn, max(h) AS mx
               FROM dgh GROUP BY 1)
+      -- every aggregate that can be NULL over an empty stage frame is
+      -- coalesced to 0: the engine's melt() pins that convention, and
+      -- a degenerate (empty-corpus) run must diverge only for REAL
+      -- reasons, never a null-formatting one (r13 advice)
       SELECT stage, metric, value FROM (
         SELECT '1_cap' AS stage, 'n_docs' AS metric,
                CAST(count(*) AS BIGINT) AS value FROM kept
         UNION ALL SELECT '1_cap', 'n_tokens',
-               CAST(sum(n_tok) AS BIGINT) FROM kept
+               CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM kept
         UNION ALL SELECT '1_cap', 'id_checksum',
-               CAST(sum(doc_id) AS BIGINT) FROM kept
+               CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM kept
         UNION ALL SELECT '2_decon', 'n_contam_clusters',
                CAST(count(*) AS BIGINT) FROM ccl
         UNION ALL SELECT '2_decon', 'n_dropped',
-               CAST(sum(CASE WHEN drp THEN 1 ELSE 0 END) AS BIGINT)
-               FROM kc
-        UNION ALL SELECT '2_decon', 'n_left',
-               CAST(sum(CASE WHEN NOT drp THEN 1 ELSE 0 END)
+               CAST(coalesce(sum(CASE WHEN drp THEN 1 ELSE 0 END), 0)
                  AS BIGINT) FROM kc
+        UNION ALL SELECT '2_decon', 'n_left',
+               CAST(coalesce(sum(CASE WHEN NOT drp THEN 1 ELSE 0 END),
+                 0) AS BIGINT) FROM kc
         UNION ALL SELECT '2_decon', 'id_checksum',
                CAST(coalesce(sum(CASE WHEN NOT drp THEN doc_id END),
                  0) AS BIGINT) FROM kc
         UNION ALL SELECT '3_split', 'n_train',
-               CAST(sum(CASE WHEN sp = 'train' THEN 1 ELSE 0 END)
-                 AS BIGINT) FROM spl
+               CAST(coalesce(sum(CASE WHEN sp = 'train' THEN 1
+                 ELSE 0 END), 0) AS BIGINT) FROM spl
         UNION ALL SELECT '3_split', 'n_val',
-               CAST(sum(CASE WHEN sp = 'val' THEN 1 ELSE 0 END)
-                 AS BIGINT) FROM spl
+               CAST(coalesce(sum(CASE WHEN sp = 'val' THEN 1
+                 ELSE 0 END), 0) AS BIGINT) FROM spl
         UNION ALL SELECT '3_split', 'n_test',
-               CAST(sum(CASE WHEN sp = 'test' THEN 1 ELSE 0 END)
-                 AS BIGINT) FROM spl
+               CAST(coalesce(sum(CASE WHEN sp = 'test' THEN 1
+                 ELSE 0 END), 0) AS BIGINT) FROM spl
         UNION ALL SELECT '3_split', 'tok_train',
                CAST(coalesce(sum(CASE WHEN sp = 'train' THEN n_tok
                  END), 0) AS BIGINT) FROM spl
         UNION ALL SELECT '4_takedown', 'n_td_clusters',
                CAST(count(*) AS BIGINT) FROM td
         UNION ALL SELECT '4_takedown', 'n_removed',
-               CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT)
-               FROM tr
-        UNION ALL SELECT '4_takedown', 'n_left',
-               CAST(sum(CASE WHEN NOT rm THEN 1 ELSE 0 END)
+               CAST(coalesce(sum(CASE WHEN rm THEN 1 ELSE 0 END), 0)
                  AS BIGINT) FROM tr
+        UNION ALL SELECT '4_takedown', 'n_left',
+               CAST(coalesce(sum(CASE WHEN NOT rm THEN 1 ELSE 0 END),
+                 0) AS BIGINT) FROM tr
         UNION ALL SELECT '4_takedown', 'tok_left',
                CAST(coalesce(sum(CASE WHEN NOT rm THEN n_tok END),
                  0) AS BIGINT) FROM tr
@@ -638,27 +653,27 @@ private[graft] object QueriesLlmD {
         UNION ALL SELECT '6_packing', 'n_chunks',
                CAST(count(*) AS BIGINT) FROM pc
         UNION ALL SELECT '6_packing', 'n_multidoc',
-               CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END)
-                 AS BIGINT) FROM pc
+               CAST(coalesce(sum(CASE WHEN n_docs >= 2 THEN 1
+                 ELSE 0 END), 0) AS BIGINT) FROM pc
         UNION ALL SELECT '6_packing', 'n_boundaries',
-               CAST(sum(n_docs - 1) AS BIGINT) FROM pc
+               CAST(coalesce(sum(n_docs - 1), 0) AS BIGINT) FROM pc
         UNION ALL SELECT '6_packing', 'tail_fill',
-               CAST(pt.tt - (SELECT count(*) - 1 FROM pc) * 512
-                 AS BIGINT) FROM pt
+               CAST(coalesce(pt.tt - (SELECT count(*) - 1 FROM pc)
+                 * 512, 0) AS BIGINT) FROM pt
         UNION ALL SELECT '7_sharding', 'order_checksum',
-               CAST(sum(oc) AS BIGINT) FROM shm
+               CAST(coalesce(sum(oc), 0) AS BIGINT) FROM shm
         UNION ALL SELECT '7_sharding', 'max_rank_tokens',
-               CAST(max(rt) AS BIGINT) FROM shm
+               CAST(coalesce(max(rt), 0) AS BIGINT) FROM shm
         UNION ALL SELECT '7_sharding', 'n_ranks',
                CAST(count(*) AS BIGINT) FROM shm
         UNION ALL SELECT '8_digest', 'n_shards',
                CAST(count(*) AS BIGINT) FROM dgs
         UNION ALL SELECT '8_digest', 'digest_sum',
-               CAST(sum(dg) AS BIGINT) FROM dgs
+               CAST(coalesce(sum(dg), 0) AS BIGINT) FROM dgs
         UNION ALL SELECT '8_digest', 'hash_min',
-               CAST(min(mn) AS BIGINT) FROM dgs
+               CAST(coalesce(min(mn), 0) AS BIGINT) FROM dgs
         UNION ALL SELECT '8_digest', 'hash_max',
-               CAST(max(mx) AS BIGINT) FROM dgs
+               CAST(coalesce(max(mx), 0) AS BIGINT) FROM dgs
       ) fin ORDER BY stage, metric""",
 
     // sequential BPE retrain (the q129 chained rounds), then re-encode

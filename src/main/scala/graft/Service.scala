@@ -23,6 +23,25 @@ object Service {
 
   val DefaultLimit = 10000L
 
+  /** Staged-artifact epoch length: every `sweepEvery` requests the
+    * service reclaims the disk behind EVICTED staged artifacts
+    * ([[graft.operators.Staged.sweepTrash]] — deferred-delete
+    * eviction parks dirs instead of deleting them so pre-eviction
+    * frames stay readable). A request boundary is a safe epoch
+    * boundary for the service's OWN frames: every query() call
+    * renders its full result to JSON before returning, so no frame
+    * from a prior request is still lazily readable here. Caller-held
+    * frames (registered `views`) are only guaranteed across requests
+    * WITHIN an epoch — a caller keeping a staged-backed view alive
+    * across `sweepEvery` requests must re-derive it (the documented
+    * epoch contract; r13 verdict ask). */
+  @volatile var sweepEvery: Int = 64
+  private val reqCount =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+  /** Test hook: pin the epoch phase so a spec can assert exactly
+    * which request crosses the boundary. */
+  private[graft] def resetEpoch(): Unit = reqCount.set(0L)
+
   def query(spark: SparkSession, dir: String, json: String): String =
     query(spark, dir, json, Map.empty)
 
@@ -34,6 +53,10 @@ object Service {
     * ad-hoc queries without a parquet round-trip. */
   def query(spark: SparkSession, dir: String, json: String,
             views: Map[String, org.apache.spark.sql.DataFrame]): String = {
+    // epoch boundary: BEFORE the request plans anything, so the sweep
+    // can never invalidate a frame this request is about to read
+    if (reqCount.incrementAndGet() % sweepEvery.max(1) == 0)
+      graft.operators.Staged.sweepTrash()
     val q0 = QueryParser.parse(json)
     // service-level default limit for un-limited NON-EDGES queries.
     // The reference applies its default to setop queries only, but an

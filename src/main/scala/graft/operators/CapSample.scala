@@ -70,11 +70,17 @@ object CapSample {
     * a re-crawled doc whose n_tok changed between batches):
     * exact-duplicate rows (the at-least-once replay case) collapse
     * via distinct(), then any SURVIVING same-key rows — genuinely
-    * divergent payloads — are picked DETERMINISTICALLY (least row
-    * by the non-key columns in name order), so the standing
-    * manifest is a pure function of the set of rows ever appended,
-    * whatever the batch arrival order. Non-key columns must be
-    * orderable types (atomics/arrays — the manifest shape). */
+    * divergent payloads — are picked DETERMINISTICALLY (least
+    * NON-NULL row by the non-key columns in name order, nulls last:
+    * Spark's default asc is nulls-FIRST, under which a degraded
+    * redelivery carrying a null payload would silently displace the
+    * real value and become the standing manifest row — r13 advice;
+    * nulls-last also matches DuckDB's default ASC null order, so an
+    * oracle replaying the pick never needs an explicit override), so
+    * the standing manifest is a pure function of the set of rows
+    * ever appended, whatever the batch arrival order. Non-key
+    * columns must be orderable types (atomics/arrays — the manifest
+    * shape). */
   def truncate(m: DataFrame, group: String, order: Seq[String],
                k: Int): DataFrame = {
     val keys = group +: order
@@ -83,7 +89,7 @@ object CapSample {
       if (payload.isEmpty) m.dropDuplicates(keys)
       else {
         val kw = Window.partitionBy(keys.map(col): _*)
-          .orderBy(payload.toIndexedSeq.map(col): _*)
+          .orderBy(payload.toIndexedSeq.map(c => col(c).asc_nulls_last): _*)
         m.distinct()
           .withColumn("__kd", row_number().over(kw))
           .filter(col("__kd") === 1).drop("__kd")

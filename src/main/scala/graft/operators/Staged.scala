@@ -88,6 +88,28 @@ object Staged {
     java.util.Collections.synchronizedList(
       new java.util.ArrayList[java.nio.file.Path]())
 
+  /** Above this many unreclaimed trash dirs a loud stderr warning
+    * fires (once per crossing): deferred-delete means [[maxArtifacts]]
+    * bounds the LIVE set but not disk — a long-lived service that
+    * churns artifacts without ever reaching an epoch boundary is
+    * leaking disk by policy, and should wire [[sweepTrash]] into its
+    * request loop (graft.Service does, every `sweepEvery` requests). */
+  @volatile var trashWarnThreshold: Int = 256
+  private val trashWarned =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** Park a dead generation dir for deferred reclaim. */
+  private def toTrash(dir: java.nio.file.Path): Unit = {
+    trash.add(dir)
+    if (trash.size > trashWarnThreshold &&
+        trashWarned.compareAndSet(false, true))
+      System.err.println(
+        s"[graft] Staged: ${trash.size} evicted artifact dirs await " +
+          "sweepTrash() — disk is unreclaimed until an epoch boundary " +
+          "(or JVM exit); call Staged.sweepTrash() when no pre-eviction " +
+          "frames can still be read")
+  }
+
   private def root: java.nio.file.Path = synchronized {
     if (rootDir == null) {
       rootDir = java.nio.file.Files.createTempDirectory("graft_staged")
@@ -135,21 +157,27 @@ object Staged {
     victims.foreach { v =>
       lockFor(v).synchronized {
         val dir = current.remove(v)
-        if (dir != null) trash.add(dir)
+        if (dir != null) toTrash(dir)
       }
     }
   }
 
   /** Reclaim the disk behind every EVICTED artifact. Safe only when
     * no DataFrame obtained before the evictions can still be acted
-    * on — a long-lived service calls this at an epoch boundary (e.g.
-    * between request batches); harnesses and short-lived processes
-    * never need to (the JVM-exit hook removes the whole root). */
+    * on — a long-lived service calls this at an epoch boundary.
+    * Production call site: [[graft.Service.query]] invokes it every
+    * `Service.sweepEvery` requests, at the START of a request (every
+    * prior request has fully rendered its result, so no service-owned
+    * frame can still lazily read an evicted dir; caller-registered
+    * views are guaranteed within an epoch only — the documented
+    * contract). Harnesses and short-lived processes never need to
+    * call this (the JVM-exit hook removes the whole root). */
   def sweepTrash(): Unit = {
     val drained = trash.synchronized {
       val out = new java.util.ArrayList[java.nio.file.Path](trash)
       trash.clear(); out
     }
+    trashWarned.set(false)
     drained.forEach { p =>
       try org.apache.commons.io.FileUtils.deleteDirectory(p.toFile)
       catch { case _: Throwable => () }
@@ -192,6 +220,10 @@ object Staged {
       if (live != null &&
           java.nio.file.Files.exists(live.resolve("_SUCCESS"))) live
       else {
+        // a live dir that lost its marker (externally damaged or
+        // interrupted build) is superseded, not reused — trash it so
+        // the rebuild doesn't leak it until JVM exit (r13 advice)
+        if (live != null) toTrash(live)
         val fresh = root.resolve(
           s"${dirName}__g${genCounter.incrementAndGet()}")
         atomicBuild(fresh)(tmp =>
@@ -238,6 +270,8 @@ object Staged {
           java.nio.file.Files.exists(live.resolve("_STAGED_DONE")))
         live
       else {
+        // marker-less live dir: superseded — trash, never leak
+        if (live != null) toTrash(live)
         val fresh = root.resolve(
           s"${dirName}__g${genCounter.incrementAndGet()}")
         atomicBuild(fresh) { tmp =>

@@ -299,4 +299,73 @@ class ServiceSpec extends SparkSpec {
     assert(r2.get("data").get(0).get("pr").asDouble >=
       r2.get("data").get(4).get("pr").asDouble)
   }
+
+  test("staged-artifact epoch sweep: a long request sequence reclaims " +
+      "the disk behind EVICTED staged artifacts at the sweepEvery " +
+      "boundary, while a view over a LIVE staged artifact keeps " +
+      "serving across it (r13 verdict ask)") {
+    import org.apache.spark.sql.functions._
+    val Staged = graft.operators.Staged
+    val savedMax = Staged.maxArtifacts
+    val savedEvery = Service.sweepEvery
+    try {
+      Staged.clear()
+      Staged.maxArtifacts = 1
+      Service.sweepEvery = 4
+      Service.resetEpoch() // earlier tests advanced the counter
+      // the view's backing artifact — will be evicted by churn below,
+      // then REBUILT by the last touch so it is live at the boundary
+      def viewFrame = Staged.getOrBuild(spark, "svc-epoch/view") {
+        catalog.table("region")
+          .select(col("r_regionkey"), col("r_name"))
+      }
+      val view = viewFrame
+      // churn two throwaway artifacts through the budget-1 cache:
+      // each displaces the previous — both end up on the trash list
+      val deadDirs = Seq("a", "b").map { k =>
+        val f = Staged.getOrBuild(spark, s"svc-epoch/churn-$k") {
+          spark.range(3).select(col("id"))
+        }
+        f.inputFiles.head
+          .replaceFirst("/[^/]*$", "").replaceFirst("^file:", "")
+      }
+      val live = viewFrame // re-touch: view artifact is live again
+      val liveDir = live.inputFiles.head
+        .replaceFirst("/[^/]*$", "").replaceFirst("^file:", "")
+      // deferred delete: evicted dirs still on disk before the epoch
+      assert(deadDirs.forall(d => java.nio.file.Files.exists(
+        java.nio.file.Paths.get(d))))
+      val views = Map("staged_view" -> live)
+      val json = """{"from": "staged_view", "select": ["r_name"],
+                     "sort": ["r_regionkey"]}"""
+      // requests 1..3: inside the epoch — trash untouched
+      (1 to 3).foreach { _ =>
+        val r = mapper.readTree(
+          Service.query(spark, TestSpark.sfDir, json, views))
+        assert(r.get("data").size === 5)
+      }
+      assert(deadDirs.forall(d => java.nio.file.Files.exists(
+        java.nio.file.Paths.get(d))),
+        "sweep must not fire before the epoch boundary")
+      // request 4: the epoch boundary — evicted dirs reclaimed, the
+      // live artifact untouched, the view still serves
+      val r4 = mapper.readTree(
+        Service.query(spark, TestSpark.sfDir, json, views))
+      assert(r4.get("data").size === 5)
+      assert(deadDirs.forall(d => !java.nio.file.Files.exists(
+        java.nio.file.Paths.get(d))),
+        "epoch boundary must reclaim evicted artifact dirs")
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(liveDir)),
+        "the sweep must never touch a LIVE artifact")
+      val r5 = mapper.readTree(
+        Service.query(spark, TestSpark.sfDir, json, views))
+      assert(r5.get("data").size === 5,
+        "a live-artifact view must keep serving across the epoch")
+    } finally {
+      Staged.maxArtifacts = savedMax
+      Service.sweepEvery = savedEvery
+      Staged.clear()
+    }
+  }
 }

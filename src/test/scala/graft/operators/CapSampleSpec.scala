@@ -84,6 +84,23 @@ class CapSampleSpec extends SparkSpec {
       .filter($"count" > 1).count() === 0L)
   }
 
+  test("a null payload never displaces a real value (r13 advice: " +
+      "a degraded redelivery with n_tok null must lose to the " +
+      "original row, whichever order the batches fold)") {
+    val m = CapSample.mine(corpus.withColumn("n_tok", $"id" * 10L),
+      "g", order, K)
+    val degraded = m.withColumn("n_tok",
+      lit(null).cast("long"))
+    val ab = CapSample.merge(m, degraded, "g", order, K)
+    val ba = CapSample.merge(degraded, m, "g", order, K)
+    def toks(df: org.apache.spark.sql.DataFrame) =
+      df.select($"g", $"id", $"n_tok").as[(String, Long, Long)]
+        .collect().toSeq.sorted
+    assert(toks(ab) === toks(m))
+    assert(toks(ba) === toks(m))
+    assert(ab.filter($"n_tok".isNull).count() === 0L)
+  }
+
   test("exact replays still fold to a no-op when a payload column " +
       "is present (at-least-once redelivery)") {
     val m = CapSample.mine(corpus.withColumn("n_tok", $"id" * 10L),

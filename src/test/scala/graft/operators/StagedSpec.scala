@@ -124,6 +124,43 @@ class StagedSpec extends SparkSpec {
     }
   }
 
+  test("a live dir that lost its success marker is trashed when the " +
+      "rebuild supersedes it — reclaimed by sweepTrash, never leaked " +
+      "(r13 advice)") {
+    try {
+      Staged.clear()
+      var builds = 0
+      def get = Staged.getOrBuild(spark, "markerless/key") {
+        builds += 1; spark.range(3).select($"id")
+      }
+      val first = get
+      val firstDir = first.inputFiles.head
+        .replaceFirst("/[^/]*$", "").replaceFirst("^file:", "")
+      // externally damage the live generation: drop its marker
+      java.nio.file.Files.delete(
+        java.nio.file.Paths.get(firstDir, "_SUCCESS"))
+      val second = get
+      assert(builds === 2, "a marker-less live dir must rebuild")
+      val secondDir = second.inputFiles.head
+        .replaceFirst("/[^/]*$", "").replaceFirst("^file:", "")
+      assert(secondDir !== firstDir,
+        "rebuild must land in a fresh generation dir")
+      // deferred delete: the damaged dir's files are still readable
+      // by a pre-damage frame until the epoch boundary...
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(firstDir)))
+      assert(first.count() === 3L)
+      // ...and the sweep reclaims it instead of leaking to JVM exit
+      Staged.sweepTrash()
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(firstDir)),
+        "superseded marker-less dir must be swept, not leaked")
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(secondDir)))
+      assert(second.count() === 3L)
+    } finally Staged.clear()
+  }
+
   test("eviction is deferred-delete: a frame obtained BEFORE the " +
       "eviction stays readable, the rebuild lands in a fresh " +
       "generation dir, and sweepTrash reclaims the old one") {
