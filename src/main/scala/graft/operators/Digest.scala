@@ -35,19 +35,35 @@ object Digest {
     * while multiplying the overflow headroom by 1024. */
   val SubBuckets: Long = 1024L
 
+  /** The digest's 28-bit per-row content hash — exposed so a
+    * streaming ingest can append (id, h) rows to a manifest at
+    * arrival time and digest an arbitrary LATER-CHOSEN subset (e.g.
+    * the mixture-selected docs, q407) without ever re-reading text:
+    * [[shardDigestsFromHashes]] over the joined manifest equals
+    * [[shardDigests]] over the text by construction. */
+  def contentHash(text: Column): Column =
+    conv(substring(md5(text.cast("binary")), 1, 7), 16, 10)
+      .cast("long")
+
   /** Per-shard composite digests of `df`. `id` must be non-negative
     * (shard = id % shards); `text` is the content column. Output:
     * (shard, n_docs, digest, min_h, max_h) — one row per non-empty
     * shard. */
   def shardDigests(df: DataFrame, id: Column, text: Column,
                    shards: Int = 256,
-                   mod: Long = DefaultMod): DataFrame = {
+                   mod: Long = DefaultMod): DataFrame =
+    shardDigestsFromHashes(df, id, contentHash(text), shards, mod)
+
+  /** [[shardDigests]] from PRE-COMPUTED [[contentHash]] values —
+    * the manifest-fed shape (text already hashed at ingest). */
+  def shardDigestsFromHashes(df: DataFrame, id: Column, h: Column,
+                             shards: Int = 256,
+                             mod: Long = DefaultMod): DataFrame = {
     require(shards >= 1, "shards must be >= 1")
     require(mod > (1L << 28),
       s"mod=$mod must exceed 2^28 so single-row hashes are already " +
         "reduced and the two-level mod-sum bound holds")
-    df.withColumn("h", conv(substring(md5(text.cast("binary")), 1, 7),
-        16, 10).cast("long"))
+    df.withColumn("h", h)
       .withColumn("shard", pmod(id, lit(shards.toLong)))
       .withColumn("__sub", pmod(col("h"), lit(SubBuckets)))
       .groupBy(col("shard"), col("__sub"))

@@ -793,6 +793,100 @@ object EventStream {
       Seq("h", "doc_id"), k)
   }
 
+  /** Streaming TRAINING-BUILD artifact mining — the per-batch step of
+    * the q403 capstone's STREAMING twin (q407). Each micro-batch is
+    * the ONLY place its text is ever read: the batch is tokenized /
+    * shingled / hashed once and five compact manifests APPEND —
+    *
+    *  - `cap/`   ≤k-per-source K-min-hash mine rows with the n_tok
+    *             payload (the q393 runtime; fold = CapSample.truncate)
+    *  - `sh3/`   per-decon-corpus-doc 3-shingle 64-bit hash ARRAYS
+    *             (the pair-mining image; fold = one df-capped
+    *             postings join, Dedup.ngramJaccardPairsFromShingles)
+    *  - `g8/`    per-corpus-doc 8-gram hash postings (the
+    *             contamination image; fold = one broadcast join
+    *             against the eval grams)
+    *  - `evalg/` the eval set's tail-8-gram hashes (tiny)
+    *  - `hash/`  per-base-doc 28-bit content hashes (the digest
+    *             image; fold = Digest.shardDigestsFromHashes over any
+    *             later-chosen subset)
+    *
+    * The decon corpus (base ∪ truncated variants) is derived INSIDE
+    * the batch — a variant is a pure function of its base row, so
+    * per-batch derivation ∪-folds to the batch rebuild exactly.
+    *
+    * Scale story: every manifest is either bounded (cap: k·sources·
+    * batches; evalg: |eval|) or a COMPACT NUMERIC IMAGE of the text
+    * (sh3/g8: one 64-bit hash per token position; hash: 8 bytes/doc)
+    * — the 100 TB corpus is tokenized exactly once, at arrival, and
+    * every downstream rebuild (pairs, closure, contamination, digest,
+    * packing, sharding) runs off the appended manifests with history
+    * text never re-read. At-least-once safe where it must be: the
+    * cap fold dedups replays (CapSample), and the per-doc manifests
+    * key by doc_id so a redelivered batch re-appends identical rows
+    * that the set-semantics consumers (distinct grams, df-capped
+    * postings of DISTINCT per-doc arrays, per-doc hash join) absorb.
+    *
+    * `docsStream` must carry (doc_id, source, text). Returns the five
+    * manifest frames (cap, sh3, g8, evalg, hash) after the drain. */
+  def streamingTrainingArtifacts(spark: SparkSession,
+                                 docsStream: DataFrame, manRoot: String,
+                                 checkpointDir: String, k: Int)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val capDir = manRoot + "/cap"
+    val sh3Dir = manRoot + "/sh3"
+    val g8Dir = manRoot + "/g8"
+    val evalDir = manRoot + "/evalg"
+    val hashDir = manRoot + "/hash"
+    val ta = graft.llm.TextAnalysis
+    val q = docsStream.writeStream
+      .foreachBatch { (bdf: DataFrame, _: Long) =>
+        // one materialization: the five feature extractions below
+        // re-scan the batch from executor memory, not the source
+        val base = bdf.select(col("doc_id"), col("source"),
+          col("text")).localCheckpoint()
+        graft.operators.CapSample.mine(
+            base.select(col("doc_id"), col("source"),
+                ta.tokenCount(col("text")).cast("long").as("n_tok"))
+              .withColumn("h", md5(concat(lit("cap:"),
+                col("doc_id").cast("string")).cast("binary"))),
+            "source", Seq("h", "doc_id"), k)
+          .write.mode("append").parquet(capDir)
+        val corpus = base.select(col("doc_id"), col("text"))
+          .unionByName(base
+            .filter(pmod(col("doc_id"), lit(3)) === 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"),
+              col("text").substr(lit(1),
+                greatest(length(col("text")) - 20, lit(1)))
+                .as("text")))
+          .localCheckpoint() // scanned twice: sh3 + g8
+        corpus.select(col("doc_id").as("id"),
+            ta.shingleHashes(col("text"), 3).as("s"))
+          .write.mode("append").parquet(sh3Dir)
+        corpus.select(col("doc_id"),
+            explode(ta.shingleHashes(col("text"), 8)).as("g"))
+          .write.mode("append").parquet(g8Dir)
+        val toks = ta.tokens(col("text"))
+        base.filter(pmod(col("doc_id"), lit(97)) === 0)
+          .select(array_join(
+            when(size(toks) >= 8,
+              slice(toks, size(toks) - 7, lit(8)))
+              .otherwise(toks), " ").as("etext"))
+          .select(explode(ta.shingleHashes(col("etext"), 8)).as("g"))
+          .write.mode("append").parquet(evalDir)
+        base.select(col("doc_id"),
+            graft.operators.Digest.contentHash(col("text")).as("h"))
+          .write.mode("append").parquet(hashDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    (spark.read.parquet(capDir), spark.read.parquet(sh3Dir),
+      spark.read.parquet(g8Dir), spark.read.parquet(evalDir),
+      spark.read.parquet(hashDir))
+  }
+
   /** Streaming per-source token census — the q362 mixture fold's
     * micro-batch twin. Each batch appends its (source, sz_tok)
     * census to `censusDir`; the merged census is one groupBy-sum
