@@ -493,6 +493,109 @@ private[graft] object QueriesLlmD {
         .orderBy(col("source"))
     },
 
+    // --- TAKEDOWN EXECUTION OVER A PACKED CORPUS (round 14 — closes
+    //     the q395/q400/q403 loop: q395 COSTS hole-punch vs
+    //     tail-repack, q403 retracts BEFORE packing; this EXECUTES a
+    //     takedown against an already-packed corpus). The corpus is
+    //     packed at L=512 in pinned doc_id order; takedown notices
+    //     (doc_id % 89) hole-punch their docs: every affected chunk
+    //     (one containing a removed fragment) is rewritten with the
+    //     removed spans as pad, every CLEAN chunk is untouched. The
+    //     census pins the execution: affected/clean chunk counts, pad
+    //     added, the post-punch mask metadata of rewritten chunks
+    //     (surviving fragments + block-diagonal boundaries, the q364
+    //     axis), and CONTENT INVARIANCE of the survivors — the
+    //     clean-chunk fragment digest computed from the PRE layout
+    //     (all docs) and from the POST layout (survivors only) must
+    //     be equal, because hole-punch never moves an offset; the
+    //     digest is the Digest-style two-level mod-sum over
+    //     (doc, fs, fe) fragment hashes, so the check runs at any
+    //     corpus size. The tail-repack alternative is quantified
+    //     beside it: chunks after full repack and the tokens it
+    //     would MOVE (every survivor after the first hole shifts) —
+    //     the number that justifies hole-punch at 100 TB, where the
+    //     rewrite cost must be ∝ affected chunks, not corpus size.
+    //     Exact integers end to end; PackingSpec pins the offset
+    //     laws on a fixture. ---
+    "q408_takedown_exec" -> { (spark, dir) =>
+      val L = 512L
+      val MOD = 1000000007L
+      val docs = tbl(spark, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long")
+            .as("n_tok"))
+      val sp = graft.operators.Packing
+        .spans(docs, col("doc_id"), col("n_tok"))
+        .withColumn("removed", pmod(col("doc_id"), lit(89)) === 0)
+        .localCheckpoint() // feeds fragments, totals, repack, move
+      val fr = sp.withColumn("chunk", explode(sequence(
+          expr(s"s div $L"), expr(s"e div $L"))))
+        .withColumn("fs", greatest(col("s"), col("chunk") * L))
+        .withColumn("fe", least(col("e"), (col("chunk") + 1) * L - 1))
+      // affected set ∝ takedown volume, not corpus size — the join
+      // below is the one shuffle (by chunk); AQE broadcasts when the
+      // takedown is small, which is the production case
+      val affected = fr.filter(col("removed"))
+        .select(col("chunk")).distinct()
+        .withColumn("__af", lit(true)).localCheckpoint()
+      val fr2 = fr.join(affected, Seq("chunk"), "left")
+        .withColumn("af", coalesce(col("__af"), lit(false)))
+        .drop("__af")
+        .localCheckpoint() // read three times (two digests + mask)
+      // Digest-discipline two-level mod-sum of fragment identity
+      // hashes: value identical to the flat sum by modular
+      // arithmetic, no accumulator ever exceeds ~2^35 terms
+      def digestOf(f: DataFrame, name: String): DataFrame =
+        f.select(conv(substring(md5(concat(lit("frag:"),
+              col("doc_id").cast("string"), lit(":"),
+              col("fs").cast("string"), lit(":"),
+              col("fe").cast("string")).cast("binary")), 1, 7),
+            16, 10).cast("long").as("h"))
+          .groupBy(pmod(col("h"), lit(1024L)).as("__sb"))
+          .agg(pmod(sum(col("h")), lit(MOD)).as("__ps"))
+          .agg(coalesce(pmod(sum(col("__ps")), lit(MOD)), lit(0L))
+            .as(name))
+      val dpre = digestOf(fr2.filter(!col("af")),
+        "clean_digest_pre")
+      val dpost = digestOf(fr2.filter(!col("af") && !col("removed")),
+        "clean_digest_post")
+      val tot = sp.agg(coalesce(expr(s"max(e) div $L") + 1, lit(0L))
+        .cast("long").as("n_chunks"))
+      val rem = sp.filter(col("removed"))
+        .agg(count(lit(1)).as("n_removed_docs"),
+          coalesce(sum(col("n_tok")), lit(0L)).as("pad_tokens"),
+          min(col("s")).as("__minrs"))
+        .localCheckpoint() // single row; feeds output AND the mover
+      val nafc = affected.agg(count(lit(1)).as("n_affected"))
+      val mb = fr2.filter(col("af") && !col("removed"))
+        .groupBy(col("chunk")).agg(count(lit(1)).as("__ns"))
+        .agg(coalesce(sum(col("__ns")), lit(0L))
+            .as("n_surv_frags_affected"),
+          coalesce(sum(greatest(col("__ns") - 1, lit(0L))), lit(0L))
+            .as("boundaries_affected"))
+      val rp = sp.filter(!col("removed"))
+        .agg(expr(s"CASE WHEN coalesce(sum(n_tok), 0) > 0 THEN " +
+          s"(sum(n_tok) - 1) div $L + 1 ELSE 0 END").cast("long")
+          .as("n_chunks_repacked"))
+      val mv = sp.crossJoin(broadcast(rem.select(col("__minrs"))))
+        .agg(coalesce(sum(when(!col("removed") &&
+            col("s") > col("__minrs"), col("n_tok"))), lit(0L))
+          .as("tokens_moved"))
+      tot.crossJoin(broadcast(nafc))
+        .withColumn("n_clean", col("n_chunks") - col("n_affected"))
+        .crossJoin(broadcast(rem.drop("__minrs")))
+        .crossJoin(broadcast(dpre))
+        .crossJoin(broadcast(dpost))
+        .crossJoin(broadcast(mb))
+        .crossJoin(broadcast(rp))
+        .crossJoin(broadcast(mv))
+        .select(col("n_chunks"), col("n_affected"), col("n_clean"),
+          col("n_removed_docs"), col("pad_tokens"),
+          col("clean_digest_pre"), col("clean_digest_post"),
+          col("n_surv_frags_affected"), col("boundaries_affected"),
+          col("n_chunks_repacked"), col("tokens_moved"))
+    },
+
     // --- RECRAWL UNDER THE STREAMING CAP (the r12-advice payload
     //     contract under the oracle gate): batch 1 delivers the
     //     corpus, batch 2 RE-DELIVERS every 7th doc re-crawled with
@@ -849,6 +952,78 @@ private[graft] object QueriesLlmD {
       FROM ua LEFT JOIN sel ON sel.source = ua.source
       GROUP BY ua.source, ua.sz_tok, ua.alloc_tok
       ORDER BY ua.source""",
+
+    // replay: spans by prefix sum in doc_id order, fragments by
+    // generate_series over touched chunks, hole-punch census +
+    // two-level fragment digests + the repack/move alternative
+    "q408_takedown_exec" -> """
+      WITH tk AS (SELECT doc_id, CAST(len(list_filter(
+                    string_split_regex(lower(trim(text)), '\s+'),
+                    x -> length(x) > 0)) AS BIGINT) AS n_tok
+                  FROM documents),
+      pcs AS MATERIALIZED (SELECT doc_id, n_tok,
+               sum(n_tok) OVER (ORDER BY doc_id
+                 ROWS UNBOUNDED PRECEDING) AS cum
+             FROM tk WHERE n_tok > 0),
+      sps AS MATERIALIZED (SELECT doc_id, n_tok,
+               CAST(cum - n_tok AS BIGINT) AS s,
+               CAST(cum - 1 AS BIGINT) AS e,
+               (doc_id % 89 = 0) AS removed
+             FROM pcs),
+      frg AS (SELECT doc_id, removed, s, e,
+                unnest(generate_series(s // 512, e // 512)) AS chunk
+              FROM sps),
+      fr AS MATERIALIZED (SELECT doc_id, removed, chunk,
+              greatest(s, chunk * 512) AS fs,
+              least(e, (chunk + 1) * 512 - 1) AS fe
+            FROM frg),
+      af AS MATERIALIZED (SELECT DISTINCT chunk FROM fr WHERE removed),
+      fr2 AS MATERIALIZED (SELECT fr.*, (af.chunk IS NOT NULL) AS af
+              FROM fr LEFT JOIN af ON af.chunk = fr.chunk),
+      fh AS MATERIALIZED (SELECT removed, af,
+              CAST(('0x' || substring(md5('frag:'
+                || CAST(doc_id AS VARCHAR) || ':'
+                || CAST(fs AS VARCHAR) || ':'
+                || CAST(fe AS VARCHAR)), 1, 7)) AS BIGINT) AS h
+            FROM fr2),
+      dpre AS (SELECT CAST(coalesce(sum(ps), 0) % 1000000007
+                 AS BIGINT) AS clean_digest_pre
+               FROM (SELECT sum(h) % 1000000007 AS ps FROM fh
+                     WHERE NOT af GROUP BY h % 1024) g),
+      dpost AS (SELECT CAST(coalesce(sum(ps), 0) % 1000000007
+                  AS BIGINT) AS clean_digest_post
+                FROM (SELECT sum(h) % 1000000007 AS ps FROM fh
+                      WHERE NOT af AND NOT removed
+                      GROUP BY h % 1024) g),
+      tot AS (SELECT CAST(coalesce(max(e) // 512 + 1, 0) AS BIGINT)
+                AS n_chunks FROM sps),
+      rem AS (SELECT CAST(count(*) AS BIGINT) AS n_removed_docs,
+                     CAST(coalesce(sum(n_tok), 0) AS BIGINT)
+                       AS pad_tokens,
+                     min(s) AS min_rs
+              FROM sps WHERE removed),
+      nafc AS (SELECT CAST(count(*) AS BIGINT) AS n_affected FROM af),
+      mb AS (SELECT CAST(coalesce(sum(ns), 0) AS BIGINT)
+                 AS n_surv_frags_affected,
+               CAST(coalesce(sum(greatest(ns - 1, 0)), 0) AS BIGINT)
+                 AS boundaries_affected
+             FROM (SELECT chunk, count(*) AS ns FROM fr2
+                   WHERE af AND NOT removed GROUP BY 1) g),
+      rp AS (SELECT CAST(CASE WHEN coalesce(sum(n_tok), 0) > 0
+                      THEN (sum(n_tok) - 1) // 512 + 1
+                      ELSE 0 END AS BIGINT) AS n_chunks_repacked
+             FROM sps WHERE NOT removed),
+      mv AS (SELECT CAST(coalesce(sum(CASE WHEN NOT sps.removed
+                      AND sps.s > rem.min_rs THEN sps.n_tok END), 0)
+                 AS BIGINT) AS tokens_moved
+             FROM sps CROSS JOIN rem)
+      SELECT tot.n_chunks, nafc.n_affected,
+             tot.n_chunks - nafc.n_affected AS n_clean,
+             rem.n_removed_docs, rem.pad_tokens,
+             dpre.clean_digest_pre, dpost.clean_digest_post,
+             mb.n_surv_frags_affected, mb.boundaries_affected,
+             rp.n_chunks_repacked, mv.tokens_moved
+      FROM tot, nafc, rem, dpre, dpost, mb, rp, mv""",
 
     // full rebuild with the recrawl's payload resolution applied:
     // every 7th doc's token count resolves to least(original,

@@ -99,4 +99,53 @@ class PackingSpec extends SparkSpec {
       (1L, 3L, 2L, 5L),   // docs 2,3,4 touch; 3,4 start; full
       (2L, 1L, 0L, 2L)))  // doc 4 tail; 2 tokens remain
   }
+
+  test("takedown execution laws (the q408 contract): hole-punch " +
+      "keeps every surviving span at its original offset — clean " +
+      "chunks are byte-identical by construction — while a full " +
+      "repack shifts exactly the survivors after the first hole " +
+      "by the removed token mass") {
+    // 6 docs × 4 tokens, L = 5; remove doc 3 (span [8,11] — touches
+    // chunks 1 and 2)
+    val docs = Seq((1L, 4L), (2L, 4L), (3L, 4L), (4L, 4L), (5L, 4L),
+      (6L, 4L)).toDF("doc_id", "n_tok")
+    val all = Packing.spans(docs, $"doc_id", $"n_tok")
+      .withColumn("removed", $"doc_id" === 3L)
+    // hole-punch: the post layout IS the pre layout minus removed
+    // spans — offsets unchanged, so every chunk without a removed
+    // fragment keeps its exact fragment set
+    val frags = all.withColumn("chunk",
+        explode(sequence(expr("s div 5"), expr("e div 5"))))
+      .select($"doc_id", $"removed", $"chunk",
+        greatest($"s", $"chunk" * 5).as("fs"),
+        least($"e", ($"chunk" + 1) * 5 - 1).as("fe"))
+    val affectedChunks = frags.filter($"removed")
+      .select($"chunk").distinct().as[Long].collect().toSet
+    assert(affectedChunks === Set(1L, 2L), "doc 3 spans chunks 1-2")
+    def cleanSet(f: org.apache.spark.sql.DataFrame) =
+      f.filter(!$"chunk".isin(affectedChunks.toSeq: _*))
+        .select($"doc_id", $"chunk", $"fs", $"fe")
+        .as[(Long, Long, Long, Long)].collect().toSet
+    assert(cleanSet(frags) === cleanSet(frags.filter(!$"removed")),
+      "clean chunks must contain zero removed fragments, so the " +
+        "survivor restriction changes nothing (content invariance)")
+    // full repack: survivors BEFORE the hole keep their span; every
+    // survivor AFTER it shifts left by exactly the removed mass (4)
+    val repacked = Packing.spans(docs.filter($"doc_id" =!= 3L),
+      $"doc_id", $"n_tok")
+    val joined = all.filter(!$"removed")
+      .select($"doc_id", $"s".as("s_pre"))
+      .join(repacked.select($"doc_id", $"s".as("s_post")), "doc_id")
+      .as[(Long, Long, Long)].collect().toMap2
+    assert(joined(1L) === (0L, 0L) && joined(2L) === (4L, 4L),
+      "survivors before the hole must not move")
+    assert(Seq(4L, 5L, 6L).forall(d =>
+      joined(d)._2 === joined(d)._1 - 4L),
+      "survivors after the hole shift by the removed token mass")
+  }
+
+  implicit private class Map2[A, B, C](rows: Array[(A, B, C)]) {
+    def toMap2: Map[A, (B, C)] =
+      rows.map { case (a, b, c) => a -> (b, c) }.toMap
+  }
 }
