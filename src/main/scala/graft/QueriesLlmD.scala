@@ -72,11 +72,21 @@ private[graft] object QueriesLlmD {
     *                [[graft.operators.Digest.contentHash]] terms, so
     *                stage 8 digests the selected set without text
     */
-  private def trainingBuildChain(kept0: DataFrame,
-                                 corpusIds: DataFrame,
-                                 comps: DataFrame,
-                                 contamIds: DataFrame,
-                                 docHash: DataFrame): DataFrame = {
+  /** Stage-1-to-5 outputs of the capstone chain: the per-stage census
+    * rows and the SELECTED training set — split out so the epoch /
+    * exposure stage (q409) can consume the selection without
+    * re-stating the chain. */
+  private case class ChainSelection(capRow: DataFrame,
+                                    deconRow: DataFrame,
+                                    splitRow: DataFrame,
+                                    takedownRow: DataFrame,
+                                    mixtureRow: DataFrame,
+                                    sel: DataFrame)
+
+  private def chainToSelection(kept0: DataFrame,
+                               corpusIds: DataFrame,
+                               comps: DataFrame,
+                               contamIds: DataFrame): ChainSelection = {
     val kept = kept0.localCheckpoint()
     val capRow = kept.agg(count(lit(1)).as("n_docs"),
       sum(col("n_tok")).as("n_tokens"),
@@ -181,6 +191,17 @@ private[graft] object QueriesLlmD {
       .crossJoin(broadcast(alloc.agg(
         sum(when(col("capped"), 1L).otherwise(0L))
           .as("n_capped_sources"))))
+    ChainSelection(capRow, deconRow, splitRow, takedownRow,
+      mixtureRow, sel)
+  }
+
+  private def trainingBuildChain(kept0: DataFrame,
+                                 corpusIds: DataFrame,
+                                 comps: DataFrame,
+                                 contamIds: DataFrame,
+                                 docHash: DataFrame): DataFrame = {
+    val c = chainToSelection(kept0, corpusIds, comps, contamIds)
+    val sel = c.sel
     // 6_packing — context packing at L=512 in pinned doc_id order
     val L = 512L
     val pk = graft.operators.Packing
@@ -224,15 +245,74 @@ private[graft] object QueriesLlmD {
       sum(col("digest")).as("digest_sum"),
       min(col("min_h")).as("hash_min"),
       max(col("max_h")).as("hash_max"))
-    melt("1_cap", capRow)
-      .unionByName(melt("2_decon", deconRow))
-      .unionByName(melt("3_split", splitRow))
-      .unionByName(melt("4_takedown", takedownRow))
-      .unionByName(melt("5_mixture", mixtureRow))
+    melt("1_cap", c.capRow)
+      .unionByName(melt("2_decon", c.deconRow))
+      .unionByName(melt("3_split", c.splitRow))
+      .unionByName(melt("4_takedown", c.takedownRow))
+      .unionByName(melt("5_mixture", c.mixtureRow))
       .unionByName(melt("6_packing", packingRow))
       .unionByName(melt("7_sharding", shardingRow))
       .unionByName(melt("8_digest", digestRow))
       .orderBy(col("stage"), col("metric"))
+  }
+
+  /** The BATCH capstone's four chain artifacts, mined from the same
+    * STAGED corpus scans q403 has always used (shared with
+    * q388/q342/q356 — the "never re-mine what a sibling mined"
+    * discipline). Used by q403 (full chain) and q409 (epoch stage
+    * over the chain's selection). */
+  private def batchChainArtifacts(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val K = 15
+    val docs = tbl(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long")
+          .as("n_tok"))
+    val kept = graft.operators.Staged.getOrBuild(spark,
+        s"cap_kept::$dir::md5cap_k$K") {
+      graft.operators.CapSample.mine(
+          docs.withColumn("h", md5(concat(lit("cap:"),
+            col("doc_id").cast("string")).cast("binary"))),
+          "source", Seq("h", "doc_id"), k = K)
+        .select(col("doc_id"), col("source"), col("n_tok"))
+    }
+    val docs0 = tbl(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    // the +1000000 variant offset and the oracle's doc_id<1000000
+    // takedown/eval guards assume original ids stay below the
+    // offset — a larger-id corpus would silently collide variants
+    // with real docs and corrupt the decon/takedown clusters. Fail
+    // loudly instead (bounded scalar pull: one max) (r13 advice).
+    val maxIdRow = docs0.agg(max(col("doc_id"))).collect()(0)
+    val maxId = if (maxIdRow.isNullAt(0)) 0L else maxIdRow.getLong(0)
+    require(maxId < 1000000L,
+      s"training build: max doc_id $maxId >= 1000000 — the " +
+        "truncated-variant id offset would collide with real ids; " +
+        "raise the offset and the oracle's doc_id < 1000000 guards " +
+        "together")
+    val variants = docs0.filter(pmod(col("doc_id"), lit(3)) === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        col("text").substr(lit(1),
+          greatest(length(col("text")) - 20, lit(1))).as("text"))
+    val corpus = docs0.unionByName(variants)
+    val pairs = graft.operators.Staged.getOrBuild(spark,
+        s"ngram_pairs::$dir::mod3_trunc20::sh3_t0.5_df16") {
+      Dedup.ngramJaccardPairs(corpus, col("doc_id"),
+        col("text"), shingleN = 3, threshold = 0.5, maxDf = 16)
+    }.select(col("id_a"), col("id_b"))
+    val comps = graft.operators.Staged.getOrBuild(spark,
+        s"ngram_cc::$dir::mod3_trunc20::sh3_t0.5_df16") {
+      Dedup.connectedComponents(pairs, col("id_a"), col("id_b"))
+    }
+    val toks = TextAnalysis.tokens(col("text"))
+    val evalSet = docs0.filter(pmod(col("doc_id"), lit(97)) === 0)
+      .select(array_join(
+        when(size(toks) >= 8, slice(toks, size(toks) - 7, lit(8)))
+          .otherwise(toks), " ").as("etext"))
+    val contamIds = Contamination.sharedGrams(corpus,
+        col("doc_id"), col("text"), evalSet, col("etext"), n = 8)
+      .select(col("id").as("doc_id"))
+    (kept, corpus.select(col("doc_id")), comps, contamIds, docs0)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -275,62 +355,9 @@ private[graft] object QueriesLlmD {
     //     replays the entire chain in one SQL statement: the hash
     //     match is the proof that the fold/staged families COMPOSE. ---
     "q403_training_build" -> { (spark, dir) =>
-      val K = 15
-      val docs = tbl(spark, dir, "documents")
-        .select(col("doc_id"), col("source"),
-          size(TextAnalysis.tokens(col("text"))).cast("long")
-            .as("n_tok"))
-      // 1_cap — q388's staged kept set (≤K rows per source)
-      val kept = graft.operators.Staged.getOrBuild(spark,
-          s"cap_kept::$dir::md5cap_k$K") {
-        graft.operators.CapSample.mine(
-            docs.withColumn("h", md5(concat(lit("cap:"),
-              col("doc_id").cast("string")).cast("binary"))),
-            "source", Seq("h", "doc_id"), k = K)
-          .select(col("doc_id"), col("source"), col("n_tok"))
-      }
-      // 2_decon artifacts — staged near-dup closure over docs ∪
-      // truncated variants (the q342/q356 artifact pair),
-      // contamination against the q356 eval grams
-      val docs0 = tbl(spark, dir, "documents")
-        .select(col("doc_id"), col("text"))
-      // the +1000000 variant offset and the oracle's doc_id<1000000
-      // takedown/eval guards assume original ids stay below the
-      // offset — a larger-id corpus would silently collide variants
-      // with real docs and corrupt the decon/takedown clusters. Fail
-      // loudly instead (bounded scalar pull: one max) (r13 advice).
-      val maxIdRow = docs0.agg(max(col("doc_id"))).collect()(0)
-      val maxId = if (maxIdRow.isNullAt(0)) 0L else maxIdRow.getLong(0)
-      require(maxId < 1000000L,
-        s"q403: max doc_id $maxId >= 1000000 — the truncated-variant " +
-          "id offset would collide with real ids; raise the offset " +
-          "and the oracle's doc_id < 1000000 guards together")
-      val variants = docs0.filter(pmod(col("doc_id"), lit(3)) === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"),
-          col("text").substr(lit(1),
-            greatest(length(col("text")) - 20, lit(1))).as("text"))
-      val corpus = docs0.unionByName(variants)
-      val pairs = graft.operators.Staged.getOrBuild(spark,
-          s"ngram_pairs::$dir::mod3_trunc20::sh3_t0.5_df16") {
-        Dedup.ngramJaccardPairs(corpus, col("doc_id"),
-          col("text"), shingleN = 3, threshold = 0.5, maxDf = 16)
-      }.select(col("id_a"), col("id_b"))
-      val comps = graft.operators.Staged.getOrBuild(spark,
-          s"ngram_cc::$dir::mod3_trunc20::sh3_t0.5_df16") {
-        Dedup.connectedComponents(pairs, col("id_a"), col("id_b"))
-      }
-      val toks = TextAnalysis.tokens(col("text"))
-      val evalSet = docs0.filter(pmod(col("doc_id"), lit(97)) === 0)
-        .select(array_join(
-          when(size(toks) >= 8, slice(toks, size(toks) - 7, lit(8)))
-            .otherwise(toks), " ").as("etext"))
-      val contamIds = Contamination.sharedGrams(corpus,
-          col("doc_id"), col("text"), evalSet, col("etext"), n = 8)
-        .select(col("id").as("doc_id"))
-      trainingBuildChain(kept,
-        corpusIds = corpus.select(col("doc_id")),
-        comps = comps,
-        contamIds = contamIds,
+      val (kept, corpusIds, comps, contamIds, docs0) =
+        batchChainArtifacts(spark, dir)
+      trainingBuildChain(kept, corpusIds, comps, contamIds,
         docHash = docs0.select(col("doc_id"),
           graft.operators.Digest.contentHash(col("text")).as("h")))
     },
@@ -596,6 +623,60 @@ private[graft] object QueriesLlmD {
           col("n_chunks_repacked"), col("tokens_moved"))
     },
 
+    // --- EPOCH / EXPOSURE STAGE OVER THE CAPSTONE SELECTION (round
+    //     14 — the r13 verdict's ask #6): the capstone so far ends at
+    //     a selected, packed, rank-sharded corpus; a trainer consumes
+    //     it as per-EPOCH, per-RANK batch streams. This extends the
+    //     q403 chain (same STAGED artifacts, same chainToSelection —
+    //     zero re-mining) with the two order-defining stages:
+    //     quality-weighted epoch upsampling (q359's policy — docs
+    //     rank by exact distinct-token score; quartile q trains q
+    //     epochs) and the deterministic epoch shuffle (q360 — each
+    //     epoch's order is an epoch-seeded md5 rank), then deals each
+    //     epoch's stream round-robin to 8 ranks. Output: one row per
+    //     (epoch, rank) with doc/token loads and the ORDER-SENSITIVE
+    //     checksum Σ(step+1)·doc_id — a re-run, another engine, or a
+    //     resumed job must reproduce each rank's byte-exact batch
+    //     order, not just the same multiset. Ranks ride bucketedRank
+    //     (score bands / hash prefixes), never a global window; the
+    //     upsample explode emits ≤4 rows/doc over the K·|sources|-
+    //     bounded selection. Exact integers end to end; the oracle
+    //     replays the full chain + both stages. ---
+    "q409_epoch_stream" -> { (spark, dir) =>
+      val (kept, corpusIds, comps, contamIds, docs0) =
+        batchChainArtifacts(spark, dir)
+      val sel = chainToSelection(kept, corpusIds, comps,
+        contamIds).sel
+      val scored = sel.join(docs0, Seq("doc_id"))
+        .select(col("doc_id"), col("n_tok"),
+          size(array_distinct(TextAnalysis.tokens(col("text"))))
+            .cast("long").as("score"))
+        .localCheckpoint() // tiny (≤ K·|sources|); ranked twice
+      val tot = scored.agg(count(lit(1)).as("__n"))
+      val rep = bucketedRank(scored, Seq.empty, "score",
+          Seq("doc_id"), "__rn")
+        .crossJoin(broadcast(tot))
+        .withColumn("__quart", // div, NOT "/": / on longs is double
+          expr("((__rn - 1) * 4) div __n") + 1)
+        .withColumn("epoch",
+          explode(sequence(lit(1L), col("__quart"))))
+        .select(col("doc_id"), col("n_tok"), col("epoch"))
+      val keyed = rep.withColumn("h", md5(concat(lit("ep"),
+          col("epoch").cast("string"), lit(":"),
+          col("doc_id").cast("string")).cast("binary")))
+        .withColumn("__bk", substring(col("h"), 1, 2))
+      bucketedRank(keyed, Seq("epoch"), "__bk", Seq("h", "doc_id"),
+          "rk")
+        .withColumn("rnk", pmod(col("rk") - 1, lit(8L)))
+        .withColumn("step", expr("(rk - 1) div 8"))
+        .groupBy(col("epoch"), col("rnk"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("tok"),
+          sum((col("step") + 1) * col("doc_id"))
+            .as("order_checksum"))
+        .orderBy(col("epoch"), col("rnk"))
+    },
+
     // --- RECRAWL UNDER THE STREAMING CAP (the r12-advice payload
     //     contract under the oracle gate): batch 1 delivers the
     //     corpus, batch 2 RE-DELIVERS every 7th doc re-crawled with
@@ -635,13 +716,12 @@ private[graft] object QueriesLlmD {
     },
   )
 
-  /** The batch training build replayed in ONE SQL statement — the
-    * shared oracle for q403 (batch build over staged corpus mines)
-    * AND q407 (the same chain fed by streamed per-batch manifests):
-    * a hash match for q407 proves the streaming pipeline reproduces
-    * the batch build bit-exactly — the fold theorem's capstone. */
-  private val trainingBuildSql: String = """
-      WITH RECURSIVE
+  /** CTE chain tk0 → sel (stages 1–5 of the batch replay) — shared
+    * by the full-build oracle (q403/q407) and the epoch-stage oracle
+    * (q409). Composed by PLAIN CONCATENATION, never s-interpolation:
+    * the chain carries single-backslash regexes that interpolation
+    * would mangle. */
+  private val trainingChainCtes: String = """
       tk0 AS (SELECT doc_id, source, CAST(len(list_filter(
                 string_split_regex(lower(trim(text)), '\s+'),
                 x -> length(x) > 0)) AS BIGINT) AS n_tok
@@ -658,7 +738,7 @@ private[graft] object QueriesLlmD {
                       substring(text, 1,
                         greatest(length(text) - 20, 1))
                FROM documents WHERE doc_id % 3 = 0),
-      btk AS (SELECT doc_id, list_filter(
+      btk AS MATERIALIZED (SELECT doc_id, list_filter(
                 string_split_regex(lower(trim(text)), '\s+'),
                 x -> length(x) > 0) AS toks FROM base),
       sh AS (SELECT doc_id,
@@ -763,7 +843,15 @@ private[graft] object QueriesLlmD {
              FROM tr WHERE NOT rm),
       sel AS MATERIALIZED (SELECT gr.doc_id, gr.source, gr.n_tok
               FROM gr JOIN ua ON ua.source = gr.source
-              WHERE gr.cum <= ua.alloc_tok),
+              WHERE gr.cum <= ua.alloc_tok)"""
+
+  /** The batch training build replayed in ONE SQL statement — the
+    * shared oracle for q403 (batch build over staged corpus mines)
+    * AND q407 (the same chain fed by streamed per-batch manifests):
+    * a hash match for q407 proves the streaming pipeline reproduces
+    * the batch build bit-exactly — the fold theorem's capstone. */
+  private val trainingBuildSql: String =
+    "WITH RECURSIVE" + trainingChainCtes + """,
       pcs AS MATERIALIZED (SELECT doc_id, n_tok,
                      sum(n_tok) OVER (ORDER BY doc_id
                        ROWS UNBOUNDED PRECEDING) AS cum
@@ -875,9 +963,41 @@ private[graft] object QueriesLlmD {
                CAST(coalesce(max(mx), 0) AS BIGINT) FROM dgs
       ) fin ORDER BY stage, metric"""
 
+  /** Epoch/exposure replay: the chain through `sel`, then q359's
+    * quartile upsampling (exact distinct-token score) and q360's
+    * epoch-seeded md5 shuffle, dealt round-robin to 8 ranks. */
+  private val epochStreamSql: String =
+    "WITH RECURSIVE" + trainingChainCtes + """,
+      sc AS (SELECT sel.doc_id, sel.n_tok,
+               CAST(len(list_distinct(btk.toks)) AS BIGINT) AS score
+             FROM sel JOIN btk USING (doc_id)),
+      cnt AS (SELECT count(*) AS nn FROM sc),
+      rk0 AS (SELECT doc_id, n_tok,
+                row_number() OVER (ORDER BY score, doc_id) AS rn
+              FROM sc),
+      quart AS (SELECT doc_id, n_tok,
+                  ((rn - 1) * 4) // nn + 1 AS q
+                FROM rk0 CROSS JOIN cnt),
+      rep AS (SELECT doc_id, n_tok,
+                unnest(generate_series(1, q)) AS epoch
+              FROM quart),
+      erk AS (SELECT epoch, doc_id, n_tok,
+                row_number() OVER (PARTITION BY epoch ORDER BY
+                  md5('ep' || CAST(epoch AS VARCHAR) || ':'
+                    || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+              FROM rep)
+      SELECT CAST(epoch AS BIGINT) AS epoch,
+             CAST((rk - 1) % 8 AS BIGINT) AS rnk,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS tok,
+             CAST(sum(((rk - 1) // 8 + 1) * doc_id) AS BIGINT)
+               AS order_checksum
+      FROM erk GROUP BY 1, 2 ORDER BY epoch, rnk"""
+
   def oracleSql: Map[String, String] = Map(
     "q403_training_build" -> trainingBuildSql,
     "q407_stream_training_build" -> trainingBuildSql,
+    "q409_epoch_stream" -> epochStreamSql,
 
     // sequential BPE retrain (the q129 chained rounds), then re-encode
     // every word, sum BPE lengths per doc, and replay the q353 packing
