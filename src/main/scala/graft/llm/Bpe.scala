@@ -228,8 +228,46 @@ object Bpe {
   }
 
   /** Apply an ordered merge table to a symbols column (inference-side
-    * segmentation: fold the rules in training order). */
+    * segmentation: fold the rules in training order). ONE Column
+    * expression — fine for the tens of rules a differential oracle
+    * can replay, but each rule nests another `aggregate` HOF, so a
+    * production merge table (30k–100k rules) must go through
+    * [[vocabLengths]]' chunked application instead: the single
+    * expression would exceed any codegen/analysis budget long before
+    * the data mattered. */
   def applyMerges(symbols: Column, merges: Seq[(String, String, Long)])
       : Column =
     merges.foldLeft(symbols) { case (s, (a, b, _)) => mergePair(s, a, b) }
+
+  /** STAGED (word → BPE token length) vocabulary at PRODUCTION rule
+    * counts: encode the corpus's DISTINCT words (sublinear in the
+    * corpus by Heaps' law) by applying the merge table in CHUNKS of
+    * `chunkRules`, materializing the vocab-bounded table between
+    * chunks — the same lineage-cut discipline the trainer itself uses
+    * (checkpointEvery), applied at inference. Consumers broadcast-join
+    * the result back onto word occurrences (the q404/q405 plan): no
+    * shuffle, and hot-word skew structurally cannot exist under a
+    * broadcast hash join. Returns (word, wn); BpeBench measures the
+    * build/encode walls at ~1k rules. */
+  def vocabLengths(spark: SparkSession, docs: DataFrame, text: Column,
+                   merges: Seq[(String, String, Long)],
+                   chunkRules: Int = 16): DataFrame = {
+    require(chunkRules >= 1, "chunkRules must be >= 1")
+    var words = docs
+      .select(explode(TextAnalysis.tokens(text)).as("word"))
+      .distinct()
+      .withColumn("__sym", initSymbols(col("word")))
+      .localCheckpoint()
+    var lastCp = words
+    merges.grouped(chunkRules).foreach { chunk =>
+      val next = words
+        .withColumn("__sym", applyMerges(col("__sym"), chunk))
+        .localCheckpoint()
+      Dedup.unpersistCheckpoint(lastCp)
+      lastCp = next
+      words = next
+    }
+    words.select(col("word"),
+      size(col("__sym")).cast("long").as("wn"))
+  }
 }

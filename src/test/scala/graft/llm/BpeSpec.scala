@@ -137,4 +137,28 @@ class BpeSpec extends SparkSpec {
     assert(batched.map(m => (m._1, m._2)) ===
       Seq(("a", "b"), ("c", "d"), ("e", "f")))
   }
+
+  test("LAW: chunked vocabLengths ≡ one-expression applyMerges per " +
+      "distinct word (the production-rule-count encode path, with " +
+      "chunk boundaries landing mid-merge-table)") {
+    val docs = Seq(
+      "low lower lowest newest widest low low newest",
+      "the lowest of the low widest wide wide").toDF("text")
+    val merges = Bpe.train(spark, docs, $"text", numMerges = 9,
+      batchSize = 3)
+    assert(merges.size >= 5, "fixture must produce several rules")
+    // chunk=2 forces several materialization boundaries inside the
+    // rule table — the law is that cut placement cannot matter
+    val chunked = Bpe.vocabLengths(spark, docs, $"text", merges,
+        chunkRules = 2)
+      .as[(String, Long)].collect().toMap
+    val direct = docs
+      .select(explode(TextAnalysis.tokens($"text")).as("word"))
+      .distinct()
+      .select($"word", size(Bpe.applyMerges(
+        Bpe.initSymbols($"word"), merges)).cast("long").as("wn"))
+      .as[(String, Long)].collect().toMap
+    assert(chunked === direct)
+    assert(chunked.keySet.contains("low") && chunked("low") >= 1L)
+  }
 }
