@@ -278,18 +278,7 @@ private[graft] object QueriesLlmD {
     }
     val docs0 = tbl(spark, dir, "documents")
       .select(col("doc_id"), col("text"))
-    // the +1000000 variant offset and the oracle's doc_id<1000000
-    // takedown/eval guards assume original ids stay below the
-    // offset — a larger-id corpus would silently collide variants
-    // with real docs and corrupt the decon/takedown clusters. Fail
-    // loudly instead (bounded scalar pull: one max) (r13 advice).
-    val maxIdRow = docs0.agg(max(col("doc_id"))).collect()(0)
-    val maxId = if (maxIdRow.isNullAt(0)) 0L else maxIdRow.getLong(0)
-    require(maxId < 1000000L,
-      s"training build: max doc_id $maxId >= 1000000 — the " +
-        "truncated-variant id offset would collide with real ids; " +
-        "raise the offset and the oracle's doc_id < 1000000 guards " +
-        "together")
+    requireNoVariantCollision(docs0)
     val variants = docs0.filter(pmod(col("doc_id"), lit(3)) === 0)
       .select((col("doc_id") + 1000000L).as("doc_id"),
         col("text").substr(lit(1),
@@ -305,7 +294,13 @@ private[graft] object QueriesLlmD {
       Dedup.connectedComponents(pairs, col("id_a"), col("id_b"))
     }
     val toks = TextAnalysis.tokens(col("text"))
-    val evalSet = docs0.filter(pmod(col("doc_id"), lit(97)) === 0)
+    // doc_id < 1000000: the oracle's eval-set guard, mirrored (r13
+    // advice — equivalence must not rest on an unchecked assumption
+    // about the id space; a no-op when all real ids sit below the
+    // variant band, which the driver corpora do)
+    val evalSet = docs0
+      .filter(col("doc_id") < 1000000L &&
+        pmod(col("doc_id"), lit(97)) === 0)
       .select(array_join(
         when(size(toks) >= 8, slice(toks, size(toks) - 7, lit(8)))
           .otherwise(toks), " ").as("etext"))
@@ -313,6 +308,25 @@ private[graft] object QueriesLlmD {
         col("doc_id"), col("text"), evalSet, col("etext"), n = 8)
       .select(col("id").as("doc_id"))
     (kept, corpus.select(col("doc_id")), comps, contamIds, docs0)
+  }
+
+  /** The +1000000 truncated-variant offset and the oracle's
+    * `doc_id < 1000000` eval/takedown guards are only coherent when
+    * NO real doc_id equals a variant id. Check the collision itself
+    * (one id-pruned equi-join count), not `max(doc_id) < 1000000`: a
+    * plain max-id bound would false-fail the ScaleBench slot corpora,
+    * whose ids exceed 1M BY DESIGN with variant bands kept disjoint
+    * inside each 10M slot (r13 advice, made scale-corpus-safe). */
+  private def requireNoVariantCollision(docs0: DataFrame): Unit = {
+    val ids = docs0.select(col("doc_id"))
+    val n = ids.join(
+      ids.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id")),
+      Seq("doc_id")).count()
+    require(n == 0L,
+      s"training build: $n real doc_ids collide with the +1000000 " +
+        "truncated-variant id band — raise the offset and the " +
+        "oracle's doc_id < 1000000 guards together")
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -382,13 +396,8 @@ private[graft] object QueriesLlmD {
     "q407_stream_training_build" -> { (spark, dir) =>
       val docs = tbl(spark, dir, "documents")
         .select(col("doc_id"), col("source"), col("text"))
-      // same id-collision guard as q403 (the variant offset)
-      val maxIdRow = docs.agg(max(col("doc_id"))).collect()(0)
-      val maxId = if (maxIdRow.isNullAt(0)) 0L
-        else maxIdRow.getLong(0)
-      require(maxId < 1000000L,
-        s"q407: max doc_id $maxId >= 1000000 — the truncated-variant " +
-          "id offset would collide with real ids")
+      // same variant-band collision guard as q403
+      requireNoVariantCollision(docs.select(col("doc_id")))
       val src = Scratch.dir("graft_q407").toString + "/docs"
       graft.streaming.EventStream.writeOrderedBatches(
         Seq(docs.filter(pmod(col("doc_id"), lit(2)) === 0),

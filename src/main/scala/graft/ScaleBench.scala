@@ -100,7 +100,16 @@ object ScaleBench {
     // explode + broadcast join + spans; the staged vocab encode is
     // distinct-word-bounded (sublinear, Heaps' law) — the row proves
     // the tokenized packing census scales like the whitespace one
-    "q404_bpe_packing")
+    "q404_bpe_packing",
+    // round-14: the STREAMING capstone — per-batch manifest mining
+    // (tokenize/shingle/hash once) + the drain-time postings join,
+    // closure, and chain; nothing staged, so every repeat pays the
+    // full streamed mine — the ratio measures the same mining
+    // exponent as q403 plus the micro-batch runtime's fixed costs
+    "q407_stream_training_build",
+    // takedown execution: fragment explode (∝ tokens/L + docs), one
+    // chunk-keyed shuffle, two-level digest folds — must stay linear
+    "q408_takedown_exec")
 
   /** Tables each target reads — lets a subset run skip synthesizing
     * (and paying for) the others at high mults. */
@@ -135,7 +144,9 @@ object ScaleBench {
     "q389_cap_fold" -> Set("documents"),
     "q396_quality_tertiles" -> Set("documents"),
     "q403_training_build" -> Set("documents"),
-    "q404_bpe_packing" -> Set("documents"))
+    "q404_bpe_packing" -> Set("documents"),
+    "q407_stream_training_build" -> Set("documents"),
+    "q408_takedown_exec" -> Set("documents"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -867,7 +867,10 @@ object EventStream {
             explode(ta.shingleHashes(col("text"), 8)).as("g"))
           .write.mode("append").parquet(g8Dir)
         val toks = ta.tokens(col("text"))
-        base.filter(pmod(col("doc_id"), lit(97)) === 0)
+        // doc_id < 1000000: the batch chain's eval-set guard mirrored
+        // (a no-op when real ids sit below the variant band)
+        base.filter(col("doc_id") < 1000000L &&
+            pmod(col("doc_id"), lit(97)) === 0)
           .select(array_join(
             when(size(toks) >= 8,
               slice(toks, size(toks) - 7, lit(8)))
