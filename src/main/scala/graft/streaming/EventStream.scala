@@ -821,11 +821,14 @@ object EventStream {
     * — the 100 TB corpus is tokenized exactly once, at arrival, and
     * every downstream rebuild (pairs, closure, contamination, digest,
     * packing, sharding) runs off the appended manifests with history
-    * text never re-read. At-least-once safe where it must be: the
-    * cap fold dedups replays (CapSample), and the per-doc manifests
-    * key by doc_id so a redelivered batch re-appends identical rows
-    * that the set-semantics consumers (distinct grams, df-capped
-    * postings of DISTINCT per-doc arrays, per-doc hash join) absorb.
+    * text never re-read. At-least-once safe BY KEY-DEDUP AT THE FOLD:
+    * every manifest row is a pure function of its doc (tokenization
+    * is deterministic), so a redelivered batch appends byte-identical
+    * rows and the returned frames drop duplicates on their natural
+    * keys — without that, a replay would DOUBLE per-gram df counts
+    * and digest sums (the cap manifest instead dedups inside
+    * CapSample.truncate, its own monoid law). EventStreamSpec pins
+    * redelivery ≡ clean ingest for all five manifests.
     *
     * `docsStream` must carry (doc_id, source, text). Returns the five
     * manifest frames (cap, sh3, g8, evalg, hash) after the drain. */
@@ -885,9 +888,11 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    (spark.read.parquet(capDir), spark.read.parquet(sh3Dir),
-      spark.read.parquet(g8Dir), spark.read.parquet(evalDir),
-      spark.read.parquet(hashDir))
+    (spark.read.parquet(capDir),
+      spark.read.parquet(sh3Dir).dropDuplicates("id"),
+      spark.read.parquet(g8Dir).dropDuplicates("doc_id", "g"),
+      spark.read.parquet(evalDir).dropDuplicates("g"),
+      spark.read.parquet(hashDir).dropDuplicates("doc_id"))
   }
 
   /** Streaming per-source token census — the q362 mixture fold's

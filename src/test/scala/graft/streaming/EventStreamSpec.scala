@@ -593,4 +593,42 @@ class EventStreamSpec extends SparkSpec {
       om("dedup" -> 10L, "quality" -> 10L, "raw" -> 10L)).isEmpty)
     assert(obs.history.count(_._1 == 2L) === 2)
   }
+
+  test("LAW: streamingTrainingArtifacts absorbs a REDELIVERED batch — " +
+      "every folded manifest equals the clean two-batch ingest " +
+      "(at-least-once key-dedup; without it a replay doubles " +
+      "per-gram df counts and digest sums)") {
+    import spark.implicits._
+    def mkDocs(ids: Seq[Long]) = ids.map(i =>
+        (i, s"s${i % 3}", s"alpha beta w$i gamma delta w$i tail"))
+      .toDF("doc_id", "source", "text")
+    val b0 = mkDocs(0L to 14L)
+    val b1 = mkDocs(15L to 29L)
+    def ingest(tag: String, batches: Seq[org.apache.spark.sql.DataFrame]) = {
+      val src = graft.Scratch.dir(s"graft_sta_$tag").toString + "/docs"
+      EventStream.writeOrderedBatches(batches, src)
+      val stream = spark.readStream.schema(b0.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      EventStream.streamingTrainingArtifacts(spark, stream,
+        graft.Scratch.dir(s"graft_sta_${tag}m").toString,
+        graft.Scratch.dir(s"graft_sta_${tag}c").toString, k = 4)
+    }
+    val clean = ingest("clean", Seq(b0, b1))
+    val replay = ingest("replay", Seq(b0, b1, b0)) // b0 redelivered
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    // cap manifest folds through CapSample.truncate (its own law)
+    val cs = graft.operators.CapSample
+    assert(rows(cs.truncate(replay._1, "source", Seq("h", "doc_id"), 4))
+      === rows(cs.truncate(clean._1, "source", Seq("h", "doc_id"), 4)))
+    // per-doc manifests: key-dedup makes redelivery a no-op
+    assert(rows(replay._2) === rows(clean._2), "sh3 shingle arrays")
+    assert(rows(replay._3) === rows(clean._3), "g8 postings")
+    assert(rows(replay._4) === rows(clean._4), "eval grams")
+    assert(rows(replay._5) === rows(clean._5), "content hashes")
+    // and the clean ingest itself is non-degenerate
+    assert(clean._5.count() === 30L)
+    assert(clean._2.count() === 40L, // 30 base + 10 variants (id%3==0)
+      "sh3 must carry base ∪ variant corpus rows")
+  }
 }
