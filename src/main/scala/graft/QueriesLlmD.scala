@@ -41,12 +41,13 @@ private[graft] object QueriesLlmD {
     * join. (The first cut encoded PER OCCURRENCE — row-local but
     * ~50x the distinct-word work; 47 s -> ~3 s at sf0.1.) */
   private def bpeWordLens(spark: SparkSession, dir: String,
-                          docs: DataFrame): DataFrame = {
+                          docs: DataFrame,
+                          numMerges: Int = 10): DataFrame = {
     val bpe = graft.llm.Bpe
     graft.operators.Staged.getOrBuild(spark,
-        s"bpe_wordlen::$dir::m10_b4") {
+        s"bpe_wordlen::$dir::m${numMerges}_b4") {
       val ms = bpe.train(spark, docs, col("text"),
-        numMerges = 10, batchSize = 4)
+        numMerges = numMerges, batchSize = 4)
       docs.select(explode(TextAnalysis.tokens(col("text")))
           .as("word"))
         .distinct()
@@ -686,6 +687,58 @@ private[graft] object QueriesLlmD {
         .orderBy(col("epoch"), col("rnk"))
     },
 
+    // --- TOKENIZER-MIGRATION DRIFT AUDIT (round 14): the census a
+    //     pipeline reads before swapping tokenizer versions — retrain
+    //     the vocabulary at v1 (10 merge rules) and v2 (14 rules)
+    //     over the same corpus, re-encode every doc under both, and
+    //     pin the migration's blast radius in exact integers: docs
+    //     whose token count changes (with an order-independent id
+    //     checksum naming the set), total/max shrink, and the packed-
+    //     corpus chunk count under each version (every downstream
+    //     budget — mixture allocations, packing layouts, rank loads —
+    //     is denominated in tokens, so this is the number that
+    //     decides whether v2 re-packs the corpus). Both vocabs are
+    //     STAGED (word → length) tables — v1 is the SAME artifact
+    //     q404/q405 serve from (third consumer) — and both broadcast
+    //     onto one occurrence scan: the corpus is tokenized once,
+    //     joined twice, shuffled once (the per-doc groupBy). The
+    //     oracle retrains ONE sequential 14-round chain (q129's
+    //     replay) and reads segmentations at round 10 AND round 14 —
+    //     the batched trainer's exactness law, proven at two depths
+    //     in one statement. ---
+    "q410_tokenizer_drift" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val wl10 = bpeWordLens(spark, dir, docs, 10)
+        .select(col("word"), col("wn").as("w1"))
+      val wl14 = bpeWordLens(spark, dir, docs, 14)
+        .select(col("word"), col("wn").as("w2"))
+      val per = docs.select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("word"))
+        .join(broadcast(wl10), Seq("word"))
+        .join(broadcast(wl14), Seq("word"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("w1")).as("n1"), sum(col("w2")).as("n2"))
+      per.agg(
+        count(lit(1)).as("n_docs"),
+        coalesce(sum(col("n1")), lit(0L)).as("tok_v1"),
+        coalesce(sum(col("n2")), lit(0L)).as("tok_v2"),
+        coalesce(sum(when(col("n1") =!= col("n2"), 1L)
+          .otherwise(0L)), lit(0L)).as("n_changed"),
+        coalesce(sum(col("n1") - col("n2")), lit(0L))
+          .as("shrink_sum"),
+        coalesce(max(col("n1") - col("n2")), lit(0L))
+          .as("max_shrink"),
+        coalesce(sum(when(col("n1") =!= col("n2"), col("doc_id"))),
+          lit(0L)).as("changed_checksum"),
+        expr("CASE WHEN coalesce(sum(n1), 0) > 0 THEN " +
+          "(sum(n1) - 1) div 512 + 1 ELSE 0 END").cast("long")
+          .as("chunks_v1"),
+        expr("CASE WHEN coalesce(sum(n2), 0) > 0 THEN " +
+          "(sum(n2) - 1) div 512 + 1 ELSE 0 END").cast("long")
+          .as("chunks_v2"))
+    },
+
     // --- RECRAWL UNDER THE STREAMING CAP (the r12-advice payload
     //     contract under the oracle gate): batch 1 delivers the
     //     corpus, batch 2 RE-DELIVERS every 7th doc re-crawled with
@@ -1153,6 +1206,43 @@ private[graft] object QueriesLlmD {
              mb.n_surv_frags_affected, mb.boundaries_affected,
              rp.n_chunks_repacked, mv.tokens_moved
       FROM tot, nafc, rem, dpre, dpost, mb, rp, mv""",
+
+    // ONE sequential 14-round retrain chain; segmentations read at
+    // round 10 (v1) and round 14 (v2), re-encoded per doc, diffed
+    "q410_tokenizer_drift" -> s"""
+      WITH dtk AS MATERIALIZED (SELECT doc_id, unnest(list_filter(
+                    string_split_regex(lower(trim(text)), '\\s+'),
+                    x -> length(x) > 0)) AS word FROM documents),
+      wf AS (SELECT word, count(*) AS freq FROM dtk GROUP BY 1),
+      m0 AS MATERIALIZED (SELECT word, freq,
+               regexp_replace(word, '(.)', ' \\1 ', 'g') AS s FROM wf),
+      ${(1 to 14).map(QueryShared.bpeRoundSql).mkString(",\n      ")},
+      wl AS (SELECT m10.word,
+               CAST(len(list_filter(string_split(m10.s, ' '),
+                 x -> x <> '')) AS BIGINT) AS w1,
+               CAST(len(list_filter(string_split(m14.s, ' '),
+                 x -> x <> '')) AS BIGINT) AS w2
+             FROM m10 JOIN m14 USING (word)),
+      per AS MATERIALIZED (SELECT doc_id,
+               CAST(sum(w1) AS BIGINT) AS n1,
+               CAST(sum(w2) AS BIGINT) AS n2
+             FROM dtk JOIN wl USING (word) GROUP BY 1)
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(coalesce(sum(n1), 0) AS BIGINT) AS tok_v1,
+             CAST(coalesce(sum(n2), 0) AS BIGINT) AS tok_v2,
+             CAST(coalesce(sum(CASE WHEN n1 <> n2 THEN 1 ELSE 0 END),
+               0) AS BIGINT) AS n_changed,
+             CAST(coalesce(sum(n1 - n2), 0) AS BIGINT) AS shrink_sum,
+             CAST(coalesce(max(n1 - n2), 0) AS BIGINT) AS max_shrink,
+             CAST(coalesce(sum(CASE WHEN n1 <> n2 THEN doc_id END),
+               0) AS BIGINT) AS changed_checksum,
+             CAST(CASE WHEN coalesce(sum(n1), 0) > 0
+               THEN (sum(n1) - 1) // 512 + 1 ELSE 0 END AS BIGINT)
+               AS chunks_v1,
+             CAST(CASE WHEN coalesce(sum(n2), 0) > 0
+               THEN (sum(n2) - 1) // 512 + 1 ELSE 0 END AS BIGINT)
+               AS chunks_v2
+      FROM per""",
 
     // full rebuild with the recrawl's payload resolution applied:
     // every 7th doc's token count resolves to least(original,
