@@ -84,18 +84,42 @@ object Bench {
     // max/MEDIAN, not max/min — one unusually fast reading must not
     // flag a run, only genuinely slow windows should.
     val probeTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
-    def probeOnce(): Unit = {
+    def probeRun(): Double = {
       val t0 = System.nanoTime()
       spark.range(8000000L)
         .selectExpr("pmod(id, 97) AS g", "id")
         .groupBy("g").agg(org.apache.spark.sql.functions.sum("id"))
         .collect()
-      probeTimes += (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
     }
-    // warm the probe plan itself (codegen/JIT) so reading 1 measures
-    // the machine, not first-use compilation — an unwarmed first
-    // probe read 7.5x its steady state and false-flagged an idle run
-    probeOnce(); probeTimes.clear()
+    // each CHECKPOINT is the median of 3 back-to-back runs: a single
+    // GC pause under one run (~+150 ms on an 80 ms floor) must read
+    // as the noise it is, not flag the whole close as hostile — only
+    // a SUSTAINED window moves a median (r14: two lone 0.22 s
+    // readings in an otherwise 0.08-0.10 s series cost a calm close)
+    def probeOnce(): Unit = {
+      val reps = Seq(probeRun(), probeRun(), probeRun()).sorted
+      probeTimes += reps(1)
+    }
+    // SELF-CALIBRATING warm-up: any FIXED warm count leaves the
+    // opening checkpoint hot — across three otherwise-calm r14
+    // closes the first timed reading sat 3-6x its steady state (an
+    // unwarmed probe read 7.5x; one warm run read ~0.27 s; even
+    // three warm runs medianed 0.47 s once — the JVM's first seconds
+    // stay slow under heap ramp + background C2 no matter the count).
+    // Warm until TWO consecutive runs land within 25% of the fastest
+    // run seen (cap 20), so the first timed checkpoint starts from
+    // settled steady state and spread measures the MACHINE.
+    locally {
+      var mn = Double.MaxValue
+      var streak = 0
+      var w = 0
+      while (streak < 2 && w < 20) {
+        val t = probeRun(); w += 1
+        mn = math.min(mn, t)
+        streak = if (t <= mn * 1.25) streak + 1 else 0
+      }
+    }
     var sinceProbe = 0
     def runOnce(name: String,
                 fn: (SparkSession, String) =>
@@ -155,17 +179,27 @@ object Bench {
     def f2p(d: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     val probeJson = probeTimes.map(f2p).mkString("[", ",", "]")
+    // spread over STEADY-STATE readings only (drop the opening
+    // checkpoint): five consecutive r14 closes read 0.26-0.47 s on
+    // the pre-sweep probe against an 0.07-0.13 s steady state, on
+    // calm AND busy machines alike, through fixed AND self-
+    // calibrating warm-ups — the opening reading measures the JVM's
+    // multi-second ramp (heap growth, background C2), not the
+    // machine, and kept false-flagging genuinely calm closes. The
+    // FULL series including the ramp reading stays published in
+    // "probe" for audit; mid-sweep contention — the thing the spread
+    // exists to catch — lives in the steady-state readings.
+    val steady = probeTimes.drop(1)
     val probeSpread =
-      if (probeTimes.size >= 4 && probeTimes.min > 0) {
+      if (steady.size >= 4 && steady.min > 0) {
         // LOWER median: with few readings the upper median can equal
-        // the max and collapse the ratio to 1.0. Below 4 readings
-        // (a small BENCH_ONLY subset yields only the opening and
-        // closing probes) the lower median IS the min and the ratio
-        // degenerates to max/min — the jitter-amplifying form this
-        // spread was designed to avoid — so emit null instead of a
-        // number that would false-flag a calm window (r13 advice).
-        val med = probeTimes.sorted.apply((probeTimes.size - 1) / 2)
-        f2p(probeTimes.max / med)
+        // the max and collapse the ratio to 1.0. Below 4 steady
+        // readings (a small BENCH_ONLY subset) the lower median IS
+        // the min and the ratio degenerates to max/min — the jitter-
+        // amplifying form this spread was designed to avoid — so
+        // emit null instead of false-flagging (r13 advice).
+        val med = steady.sorted.apply((steady.size - 1) / 2)
+        f2p(steady.max / med)
       } else "null"
     val line = s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"queries":$qs,"spread":$spread,"staged_build":$stagedJson,"rerun":$rerunJson,"probe":$probeJson,"probe_spread":$probeSpread,"errors":$errs,"sf":"$sfDir"}"""
     println(line)
