@@ -107,17 +107,24 @@ object Bench {
     // unwarmed probe read 7.5x; one warm run read ~0.27 s; even
     // three warm runs medianed 0.47 s once — the JVM's first seconds
     // stay slow under heap ramp + background C2 no matter the count).
-    // Warm until TWO consecutive runs land within 25% of the fastest
-    // run seen (cap 20), so the first timed checkpoint starts from
-    // settled steady state and spread measures the MACHINE.
+    // Warm until TWO consecutive runs land within ±25% of the fastest
+    // PRIOR run (cap 20), so the first timed checkpoint starts from
+    // settled steady state and spread measures the MACHINE. The
+    // comparison must exclude the current run from the minimum (r14
+    // advice: updating mn first made any new-minimum run trivially
+    // pass) AND must reject runs still IMPROVING past the floor
+    // (t < 0.8·mn): a monotonic ramp (0.60, 0.24, 0.10 …) satisfies
+    // "t ≤ prior-min · 1.25" at every step, so only the two-sided
+    // band detects the curve flattening out.
     locally {
       var mn = Double.MaxValue
       var streak = 0
       var w = 0
       while (streak < 2 && w < 20) {
         val t = probeRun(); w += 1
+        streak = if (mn < Double.MaxValue &&
+          t <= mn * 1.25 && t >= mn * 0.8) streak + 1 else 0
         mn = math.min(mn, t)
-        streak = if (t <= mn * 1.25) streak + 1 else 0
       }
     }
     var sinceProbe = 0

@@ -50,11 +50,18 @@ object BpeBench {
     val base = new graft.tables.Catalog(spark, sfDir).table("documents")
       .select(col("doc_id"), col("text"))
     // mult disjoint isomorphic copies, token-renamed (the ScaleBench
-    // bijection): linear corpus volume, ~mult× distinct-word vocab
+    // bijection): linear corpus volume, ~mult× distinct-word vocab.
+    // Copy bands derive from max(doc_id)+1, NOT a fixed 100000 (r14
+    // advice): a corpus whose base ids reach the fixed stride would
+    // silently merge copy ids with base ids and collapse the claimed
+    // disjoint-copy bijection. [c·band, c·band+mx] ⊂ [c·band,
+    // (c+1)·band) makes the bands disjoint BY CONSTRUCTION.
+    val band = math.max(100000L,
+      base.agg(max(col("doc_id"))).collect()(0).getLong(0) + 1L)
     val docs = (0 until mult).map { c =>
         if (c == 0) base
         else base
-          .withColumn("doc_id", col("doc_id") + lit(c * 100000L))
+          .withColumn("doc_id", col("doc_id") + lit(c * band))
           .withColumn("text", array_join(transform(
             split(col("text"), " "),
             x => concat(lit(s"c${c}x"), x)), " "))

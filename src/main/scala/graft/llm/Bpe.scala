@@ -248,7 +248,17 @@ object Bpe {
     * the result back onto word occurrences (the q404/q405 plan): no
     * shuffle, and hot-word skew structurally cannot exist under a
     * broadcast hash join. Returns (word, wn); BpeBench measures the
-    * build/encode walls at ~1k rules. */
+    * build/encode walls at ~1k rules.
+    *
+    * RETENTION CONTRACT (r14 advice): the returned frame is backed by
+    * the FINAL localCheckpoint, whose blocks the caller cannot
+    * release — intermediate chunk checkpoints are unpersisted here,
+    * but each call pins one vocab-sized block set until session end.
+    * That is the right trade for the staged/bench call sites (the
+    * vocab is Heaps-bounded and served all session); a long-lived
+    * caller building MANY distinct vocabs should route through
+    * [[graft.operators.Staged]] (the q404 discipline: parquet-backed,
+    * LRU-evicted) rather than calling this repeatedly. */
   def vocabLengths(spark: SparkSession, docs: DataFrame, text: Column,
                    merges: Seq[(String, String, Long)],
                    chunkRules: Int = 16): DataFrame = {

@@ -368,4 +368,65 @@ class ServiceSpec extends SparkSpec {
       Staged.clear()
     }
   }
+
+  test("epoch sweep latch: the boundary sweep queues behind an " +
+      "in-flight request's read hold — an evicted dir a concurrent " +
+      "pre-eviction frame may still read is never deleted mid-flight " +
+      "(r14 advice)") {
+    import org.apache.spark.sql.functions._
+    val Staged = graft.operators.Staged
+    val savedMax = Staged.maxArtifacts
+    val savedEvery = Service.sweepEvery
+    try {
+      Staged.clear()
+      Staged.maxArtifacts = 1
+      Service.sweepEvery = 1 // every request is a boundary
+      Service.resetEpoch()
+      // churn two artifacts through the budget-1 cache so one
+      // evicted dir sits on the trash list
+      val dead = {
+        val f = Staged.getOrBuild(spark, "svc-latch/dead") {
+          spark.range(3).select(col("id"))
+        }
+        Staged.getOrBuild(spark, "svc-latch/live") {
+          spark.range(4).select(col("id"))
+        }
+        java.nio.file.Paths.get(f.inputFiles.head
+          .replaceFirst("/[^/]*$", "").replaceFirst("^file:", ""))
+      }
+      assert(java.nio.file.Files.exists(dead))
+      // stand in for an in-flight request: hold the read side
+      Service.epochGate.readLock().lock()
+      val result = new java.util.concurrent.atomic.AtomicReference[String]()
+      val t = new Thread(() => result.set(Service.query(spark,
+        TestSpark.sfDir,
+        """{"from": "region", "select": ["r_name"],
+            "sort": ["r_regionkey"]}""")))
+      try {
+        t.start()
+        // the boundary request must QUEUE on the write lock while a
+        // reader is in flight — deterministic via the lock's queue
+        val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+        while (!Service.epochGate.hasQueuedThreads &&
+            System.nanoTime() < deadline)
+          java.util.concurrent.locks.LockSupport.parkNanos(1000000L)
+        assert(Service.epochGate.hasQueuedThreads,
+          "boundary request must block on the write lock while a " +
+            "request holds the read side")
+        assert(java.nio.file.Files.exists(dead),
+          "the sweep must not delete an evicted dir while a request " +
+            "is in flight")
+      } finally Service.epochGate.readLock().unlock()
+      t.join(30000)
+      assert(result.get != null, "queued request must complete " +
+        "after the in-flight reader drains")
+      assert(mapper.readTree(result.get).get("data").size === 5)
+      assert(!java.nio.file.Files.exists(dead),
+        "the sweep must reclaim the evicted dir once it runs")
+    } finally {
+      Staged.maxArtifacts = savedMax
+      Service.sweepEvery = savedEvery
+      Staged.clear()
+    }
+  }
 }
