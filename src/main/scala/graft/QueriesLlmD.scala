@@ -330,6 +330,42 @@ private[graft] object QueriesLlmD {
         "oracle's doc_id < 1000000 guards together")
   }
 
+  /** The epoch/exposure stage shared by the batch (q409) and the
+    * STREAMING (q411) serves: quality-quartile upsampling (q359 —
+    * docs rank by exact distinct-token score; quartile q trains q
+    * epochs) + the deterministic epoch-seeded md5 shuffle (q360),
+    * dealt round-robin to 8 ranks with ORDER-SENSITIVE checksums.
+    * `scored0` must carry (doc_id, n_tok, score); ranks ride
+    * bucketedRank (hash prefixes / score bands), never a global
+    * window; the upsample explode emits ≤4 rows/doc over the
+    * K·|sources|-bounded selection. */
+  private def epochExposure(scored0: DataFrame): DataFrame = {
+    val scored = scored0.localCheckpoint() // tiny; ranked twice
+    val tot = scored.agg(count(lit(1)).as("__n"))
+    val rep = bucketedRank(scored, Seq.empty, "score",
+        Seq("doc_id"), "__rn")
+      .crossJoin(broadcast(tot))
+      .withColumn("__quart", // div, NOT "/": / on longs is double
+        expr("((__rn - 1) * 4) div __n") + 1)
+      .withColumn("epoch",
+        explode(sequence(lit(1L), col("__quart"))))
+      .select(col("doc_id"), col("n_tok"), col("epoch"))
+    val keyed = rep.withColumn("h", md5(concat(lit("ep"),
+        col("epoch").cast("string"), lit(":"),
+        col("doc_id").cast("string")).cast("binary")))
+      .withColumn("__bk", substring(col("h"), 1, 2))
+    bucketedRank(keyed, Seq("epoch"), "__bk", Seq("h", "doc_id"),
+        "rk")
+      .withColumn("rnk", pmod(col("rk") - 1, lit(8L)))
+      .withColumn("step", expr("(rk - 1) div 8"))
+      .groupBy(col("epoch"), col("rnk"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("tok"),
+        sum((col("step") + 1) * col("doc_id"))
+          .as("order_checksum"))
+      .orderBy(col("epoch"), col("rnk"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // --- THE TRAINING-DATA-BUILD CAPSTONE (round 13 — the q127/q282
@@ -405,7 +441,7 @@ private[graft] object QueriesLlmD {
           docs.filter(pmod(col("doc_id"), lit(2)) === 1)), src)
       val stream = spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1).parquet(src)
-      val (cap, sh3, g8, evalg, docHash) =
+      val (cap, sh3, g8, evalg, docHash, _) =
         graft.streaming.EventStream.streamingTrainingArtifacts(spark,
           stream, Scratch.dir("graft_q407man").toString,
           Scratch.dir("graft_q407ck").toString, k = 15)
@@ -657,34 +693,61 @@ private[graft] object QueriesLlmD {
         batchChainArtifacts(spark, dir)
       val sel = chainToSelection(kept, corpusIds, comps,
         contamIds).sel
-      val scored = sel.join(docs0, Seq("doc_id"))
+      epochExposure(sel.join(docs0, Seq("doc_id"))
         .select(col("doc_id"), col("n_tok"),
           size(array_distinct(TextAnalysis.tokens(col("text"))))
-            .cast("long").as("score"))
-        .localCheckpoint() // tiny (≤ K·|sources|); ranked twice
-      val tot = scored.agg(count(lit(1)).as("__n"))
-      val rep = bucketedRank(scored, Seq.empty, "score",
-          Seq("doc_id"), "__rn")
-        .crossJoin(broadcast(tot))
-        .withColumn("__quart", // div, NOT "/": / on longs is double
-          expr("((__rn - 1) * 4) div __n") + 1)
-        .withColumn("epoch",
-          explode(sequence(lit(1L), col("__quart"))))
-        .select(col("doc_id"), col("n_tok"), col("epoch"))
-      val keyed = rep.withColumn("h", md5(concat(lit("ep"),
-          col("epoch").cast("string"), lit(":"),
-          col("doc_id").cast("string")).cast("binary")))
-        .withColumn("__bk", substring(col("h"), 1, 2))
-      bucketedRank(keyed, Seq("epoch"), "__bk", Seq("h", "doc_id"),
-          "rk")
-        .withColumn("rnk", pmod(col("rk") - 1, lit(8L)))
-        .withColumn("step", expr("(rk - 1) div 8"))
-        .groupBy(col("epoch"), col("rnk"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_tok")).as("tok"),
-          sum((col("step") + 1) * col("doc_id"))
-            .as("order_checksum"))
-        .orderBy(col("epoch"), col("rnk"))
+            .cast("long").as("score")))
+    },
+
+    // --- THE STREAMING EPOCH SERVE (round 15 — the r14 verdict's
+    //     ask #2: q407 ∘ q409): the FULL path from file-stream ingest
+    //     to per-(epoch, rank) ordered batch streams, run in the
+    //     micro-batch runtime with history text NEVER re-read. q409
+    //     runs the epoch/exposure stage over the BATCH-staged
+    //     artifacts; here every input to the stage comes off the
+    //     stream instead — the six per-micro-batch manifests
+    //     (q407's five + a per-doc distinct-token SCORE image mined
+    //     at arrival, 8 bytes/doc) fold into the shared
+    //     chainToSelection, and the selection joins the score
+    //     manifest (not the corpus) before the shared epochExposure
+    //     stage. One implementation for chain AND stage means the
+    //     streaming serve can only diverge from q409 through its
+    //     ARTIFACTS — and the oracle is epochStreamSql VERBATIM
+    //     (the q403/q407 shared-val pattern), so the hash match
+    //     proves ingest-time mining carries the whole serve path.
+    //     Scale story: everything q407 already bounds, plus one
+    //     8-byte/doc manifest; the epoch stage itself rides the
+    //     K·|sources|-bounded selection. ---
+    "q411_stream_epoch_serve" -> { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      requireNoVariantCollision(docs.select(col("doc_id")))
+      val src = Scratch.dir("graft_q411").toString + "/docs"
+      graft.streaming.EventStream.writeOrderedBatches(
+        Seq(docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+          docs.filter(pmod(col("doc_id"), lit(2)) === 1)), src)
+      val stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val (cap, sh3, g8, evalg, _, score) =
+        graft.streaming.EventStream.streamingTrainingArtifacts(spark,
+          stream, Scratch.dir("graft_q411man").toString,
+          Scratch.dir("graft_q411ck").toString, k = 15)
+      val kept = graft.operators.CapSample.truncate(cap, "source",
+          Seq("h", "doc_id"), 15)
+        .select(col("doc_id"), col("source"), col("n_tok"))
+      val pairs = Dedup.ngramJaccardPairsFromShingles(sh3,
+          threshold = 0.5, maxDf = 16)
+        .select(col("id_a"), col("id_b"))
+      val comps = Dedup.connectedComponents(pairs, col("id_a"),
+        col("id_b"))
+      val contamIds = g8
+        .join(broadcast(evalg.distinct()), Seq("g"))
+        .select(col("doc_id")).distinct()
+      val sel = chainToSelection(kept,
+        corpusIds = sh3.select(col("id").as("doc_id")),
+        comps = comps, contamIds = contamIds).sel
+      epochExposure(sel.join(score, Seq("doc_id"))
+        .select(col("doc_id"), col("n_tok"), col("score")))
     },
 
     // --- TOKENIZER-MIGRATION DRIFT AUDIT (round 14): the census a
@@ -1060,6 +1123,10 @@ private[graft] object QueriesLlmD {
     "q403_training_build" -> trainingBuildSql,
     "q407_stream_training_build" -> trainingBuildSql,
     "q409_epoch_stream" -> epochStreamSql,
+    // the streaming serve's oracle IS the batch epoch-stage replay —
+    // a hash match proves the streamed manifests carry the full
+    // ingest→selection→epoch→rank path bit-exactly
+    "q411_stream_epoch_serve" -> epochStreamSql,
 
     // sequential BPE retrain (the q129 chained rounds), then re-encode
     // every word, sum BPE lengths per doc, and replay the q353 packing

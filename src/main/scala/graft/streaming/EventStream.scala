@@ -810,6 +810,10 @@ object EventStream {
     *  - `hash/`  per-base-doc 28-bit content hashes (the digest
     *             image; fold = Digest.shardDigestsFromHashes over any
     *             later-chosen subset)
+    *  - `score/` per-base-doc exact distinct-token quality score
+    *             (8 bytes/doc — the epoch/exposure stage's ranking
+    *             axis, q359; lets the q411 epoch serve rank a
+    *             later-chosen selection without re-reading text)
     *
     * The decon corpus (base ∪ truncated variants) is derived INSIDE
     * the batch — a variant is a pure function of its base row, so
@@ -830,17 +834,20 @@ object EventStream {
     * CapSample.truncate, its own monoid law). EventStreamSpec pins
     * redelivery ≡ clean ingest for all five manifests.
     *
-    * `docsStream` must carry (doc_id, source, text). Returns the five
-    * manifest frames (cap, sh3, g8, evalg, hash) after the drain. */
+    * `docsStream` must carry (doc_id, source, text). Returns the six
+    * manifest frames (cap, sh3, g8, evalg, hash, score) after the
+    * drain. */
   def streamingTrainingArtifacts(spark: SparkSession,
                                  docsStream: DataFrame, manRoot: String,
                                  checkpointDir: String, k: Int)
-      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame,
+         DataFrame) = {
     val capDir = manRoot + "/cap"
     val sh3Dir = manRoot + "/sh3"
     val g8Dir = manRoot + "/g8"
     val evalDir = manRoot + "/evalg"
     val hashDir = manRoot + "/hash"
+    val scoreDir = manRoot + "/score"
     val ta = graft.llm.TextAnalysis
     val q = docsStream.writeStream
       .foreachBatch { (bdf: DataFrame, _: Long) =>
@@ -883,6 +890,10 @@ object EventStream {
         base.select(col("doc_id"),
             graft.operators.Digest.contentHash(col("text")).as("h"))
           .write.mode("append").parquet(hashDir)
+        base.select(col("doc_id"),
+            size(array_distinct(ta.tokens(col("text"))))
+              .cast("long").as("score"))
+          .write.mode("append").parquet(scoreDir)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -892,7 +903,8 @@ object EventStream {
       spark.read.parquet(sh3Dir).dropDuplicates("id"),
       spark.read.parquet(g8Dir).dropDuplicates("doc_id", "g"),
       spark.read.parquet(evalDir).dropDuplicates("g"),
-      spark.read.parquet(hashDir).dropDuplicates("doc_id"))
+      spark.read.parquet(hashDir).dropDuplicates("doc_id"),
+      spark.read.parquet(scoreDir).dropDuplicates("doc_id"))
   }
 
   /** Streaming per-source token census — the q362 mixture fold's

@@ -626,9 +626,15 @@ class EventStreamSpec extends SparkSpec {
     assert(rows(replay._3) === rows(clean._3), "g8 postings")
     assert(rows(replay._4) === rows(clean._4), "eval grams")
     assert(rows(replay._5) === rows(clean._5), "content hashes")
+    assert(rows(replay._6) === rows(clean._6), "quality scores")
     // and the clean ingest itself is non-degenerate
     assert(clean._5.count() === 30L)
     assert(clean._2.count() === 40L, // 30 base + 10 variants (id%3==0)
       "sh3 must carry base ∪ variant corpus rows")
+    // the score image is the q359 axis: exact distinct-token counts
+    // ("alpha beta w$i gamma delta w$i tail" has 6 distinct tokens)
+    assert(clean._6.count() === 30L)
+    assert(clean._6.select("score").distinct().collect()
+      .map(_.getLong(0)).toSet === Set(6L))
   }
 }
