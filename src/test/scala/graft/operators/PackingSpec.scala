@@ -144,6 +144,71 @@ class PackingSpec extends SparkSpec {
       "survivors after the hole shift by the removed token mass")
   }
 
+  test("takedown FOLD laws (the q412 contract): overlapping / " +
+      "redelivered notice batches fold to the one-shot census on " +
+      "the doc_id key; the subtractive clean digest equals a direct " +
+      "clean-chunk recompute through BOTH manifest paths; and " +
+      "tokens_moved's closed form equals the survivor-shift sum") {
+    val L = 5L
+    val MOD = 1000000007L
+    // 12 docs × 4 tokens, L = 5 → 10 chunks, heavy chunk-straddling
+    val docs = (1L to 12L).map((_, 4L)).toDF("doc_id", "n_tok")
+    val sp = Packing.spans(docs, $"doc_id", $"n_tok")
+      .localCheckpoint()
+    val frIdx = Takedown.fragmentIndex(sp, L).localCheckpoint()
+    val chDig = Takedown.chunkDigests(frIdx, MOD).localCheckpoint()
+    val totals = Takedown.packTotals(sp, chDig, L, MOD)
+      .localCheckpoint()
+    def census(ids: Seq[Long]*) = {
+      // append each notice batch (layout lookup), dedup at the fold
+      val removed = ids.map(b =>
+          sp.join(b.toDF("doc_id"), Seq("doc_id")))
+        .reduce(_ unionByName _).dropDuplicates("doc_id")
+      Takedown.foldCensus(removed, frIdx, chDig, totals, L, MOD)
+        .collect()(0)
+    }
+    // overlap (7 in both batches) + redelivery (batch 1 twice) must
+    // equal the one-shot union {3, 7, 11}
+    val folded = census(Seq(3L, 7L), Seq(7L, 11L), Seq(3L, 7L))
+    val oneShot = census(Seq(3L, 7L, 11L))
+    assert(folded === oneShot,
+      "fold over overlapping + redelivered batches ≡ one-shot union")
+    // the two digest paths agree with each other AND with a direct
+    // recompute of the clean-chunk fragment hashes
+    val pre = folded.getAs[Long]("clean_digest_pre")
+    val post = folded.getAs[Long]("clean_digest_post")
+    assert(pre === post, "manifest-subtraction digest must equal " +
+      "the fresh-hash subtraction (manifest integrity)")
+    val affected = sp
+      .join(Seq(3L, 7L, 11L).toDF("doc_id"), Seq("doc_id"))
+      .withColumn("chunk",
+        explode(sequence(expr(s"s div $L"), expr(s"e div $L"))))
+      .select($"chunk").distinct()
+    val direct = frIdx.join(affected, Seq("chunk"), "left_anti")
+      .withColumn("__h", conv(substring(md5(concat(lit("frag:"),
+          $"doc_id".cast("string"), lit(":"),
+          $"fs".cast("string"), lit(":"),
+          $"fe".cast("string")).cast("binary")), 1, 7), 16, 10)
+        .cast("long"))
+      .agg(pmod(sum($"__h"), lit(MOD))).collect()(0).getLong(0)
+    assert(pre === direct,
+      "subtractive digest must equal the direct clean-chunk sum")
+    // tokens_moved closed form (total - minrs - pad) vs the explicit
+    // survivor-shift sum the one-shot census defines
+    val minrs = sp.filter($"doc_id".isin(3L, 7L, 11L))
+      .agg(min($"s")).collect()(0).getLong(0)
+    val shiftSum = sp.filter(!$"doc_id".isin(3L, 7L, 11L) &&
+        $"s" > minrs)
+      .agg(sum($"n_tok")).collect()(0).getLong(0)
+    assert(folded.getAs[Long]("tokens_moved") === shiftSum,
+      "closed-form tokens_moved must equal the survivor-shift sum")
+    // and the fixture is non-degenerate: some chunks affected, some
+    // clean, overlap actually removed exactly 3 docs
+    assert(folded.getAs[Long]("n_removed_docs") === 3L)
+    assert(folded.getAs[Long]("n_affected") > 0L)
+    assert(folded.getAs[Long]("n_clean") > 0L)
+  }
+
   implicit private class Map2[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] =
       rows.map { case (a, b, c) => a -> (b, c) }.toMap
