@@ -209,6 +209,47 @@ class PackingSpec extends SparkSpec {
     assert(folded.getAs[Long]("n_clean") > 0L)
   }
 
+  test("migration prefix-reuse law (the q413 contract): when two " +
+      "packings agree on a doc-count prefix, every chunk before " +
+      "floor(s_firstChanged / L) has an IDENTICAL fragment set in " +
+      "both layouts — the chunks the migration does not rewrite — " +
+      "and the first divergent-count doc bounds the reuse exactly " +
+      "(at the suite SF doc 0 itself changes, so the nonzero-prefix " +
+      "state lives here)") {
+    val L = 5L
+    // docs 1..4 keep their counts across the migration; doc 5 shrinks
+    val v1 = Seq((1L, 3L), (2L, 4L), (3L, 3L), (4L, 4L), (5L, 4L),
+      (6L, 3L)).toDF("doc_id", "n_tok")
+    val v2 = Seq((1L, 3L), (2L, 4L), (3L, 3L), (4L, 4L), (5L, 2L),
+      (6L, 3L)).toDF("doc_id", "n_tok")
+    val s1 = Packing.spans(v1, $"doc_id", $"n_tok").localCheckpoint()
+    val s2 = Packing.spans(v2, $"doc_id", $"n_tok").localCheckpoint()
+    val sfc = s1.filter($"doc_id" === 5L)
+      .select($"s").collect()(0).getLong(0)
+    val unchanged = sfc / L // = the q413 chunks_unchanged
+    assert(sfc === 14L && unchanged === 2L,
+      "fixture must exercise a NONZERO unchanged prefix")
+    def fragsBefore(sp: org.apache.spark.sql.DataFrame) =
+      Takedown.fragmentIndex(sp, L)
+        .filter($"chunk" < unchanged)
+        .select($"chunk", $"doc_id", $"fs", $"fe")
+        .as[(Long, Long, Long, Long)].collect().toSet
+    assert(fragsBefore(s1) === fragsBefore(s2),
+      "chunks before the first changed doc's start chunk must be " +
+        "byte-identical across the migration")
+    // the bound is CONSERVATIVE, not always tight: the chunk holding
+    // s_fc can coincidentally match (here doc 5's first fragment
+    // (14,14) is identical under both layouts) — but the layouts must
+    // diverge SOMEWHERE at or after it, or the census would be
+    // under-reporting reusable chunks on a changed corpus
+    def fragsFrom(sp: org.apache.spark.sql.DataFrame) =
+      Takedown.fragmentIndex(sp, L).filter($"chunk" >= unchanged)
+        .select($"chunk", $"doc_id", $"fs", $"fe")
+        .as[(Long, Long, Long, Long)].collect().toSet
+    assert(fragsFrom(s1) !== fragsFrom(s2),
+      "a changed corpus must diverge at or after the reuse bound")
+  }
+
   implicit private class Map2[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] =
       rows.map { case (a, b, c) => a -> (b, c) }.toMap
