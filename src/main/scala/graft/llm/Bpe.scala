@@ -170,6 +170,95 @@ object Bpe {
     (merges.toSeq, rounds)
   }
 
+  /** PRODUCTION-RULE-COUNT training: the merge LOOP runs on the
+    * driver over the Heaps-bounded (word, freq) table; only the
+    * corpus-proportional word count is distributed. The batched
+    * distributed trainer cuts driver rounds ~batchSize×, but its
+    * provably-exact acceptance rule stops at the first symbol
+    * conflict — on a natural Zipfian vocabulary that is ~2 accepted
+    * rules per round (measured: 1000 rules = 494 rounds = 277 s,
+    * BpeBench zipf), so ROUND COUNT, not data, dominates at real
+    * rule counts. This is also how production BPE trainers work
+    * (SentencePiece/HF: aggregate word counts, then train in
+    * memory): the word table is sublinear in the corpus by Heaps'
+    * law, the loop is O(rules · vocab symbols), and the merge table
+    * it emits is EXACTLY the sequential trainer's — same pair
+    * statistic (every adjacency, weighted by word freq), same ≥2
+    * cutoff, same (freq desc, a asc, b asc) tie-break, same greedy
+    * left-to-right non-overlapping merge pass — BpeSpec holds
+    * trainLocal ≡ train as a law. `maxWords` guards the collect
+    * LOUDLY (count first): above it, fall back to the distributed
+    * trainer rather than silently pulling an unbounded table. The
+    * tie-break compares Java strings (UTF-16 code units) — identical
+    * to Spark's ordering on ASCII vocabularies, which every corpus
+    * here is. */
+  def trainLocal(spark: SparkSession, docs: DataFrame, text: Column,
+                 numMerges: Int, maxWords: Long = 2000000L)
+      : Seq[(String, String, Long)] = {
+    val wfDf = wordFreqs(docs, text)
+    val n = wfDf.count()
+    require(n <= maxWords,
+      s"trainLocal: $n distinct words exceeds the $maxWords driver " +
+        "budget — use the distributed trainer (train/trainWithStats)")
+    val words: Array[(Array[String], Long)] = wfDf.collect()
+      .map(r => (r.getString(0).split("").filter(_.nonEmpty),
+        r.getLong(1)))
+    val table = Array.fill[Array[String]](words.length)(null)
+    words.indices.foreach(i => table(i) = words(i)._1)
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, Long)]
+    var done = false
+    while (merges.size < numMerges && !done) {
+      // pair counts: every adjacency, weighted by word frequency
+      val counts = scala.collection.mutable
+        .HashMap.empty[(String, String), Long]
+      var wi = 0
+      while (wi < table.length) {
+        val s = table(wi); val f = words(wi)._2
+        var i = 0
+        while (i < s.length - 1) {
+          val k = (s(i), s(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + f
+          i += 1
+        }
+        wi += 1
+      }
+      val cand = counts.iterator.filter(_._2 >= 2L)
+        .reduceOption { (x, y) =>
+          // (freq desc, a asc, b asc) — the sequential tie-break
+          if (x._2 != y._2) { if (x._2 > y._2) x else y }
+          else if (x._1._1 != y._1._1) {
+            if (x._1._1 < y._1._1) x else y
+          } else if (x._1._2 < y._1._2) x else y
+        }
+      cand match {
+        case None => done = true
+        case Some(((a, b), f)) =>
+          merges += ((a, b, f))
+          val fused = a + b
+          // greedy left-to-right non-overlapping (mergePair's fold)
+          var w = 0
+          while (w < table.length) {
+            val s = table(w)
+            if (s.length >= 2) {
+              val out = new scala.collection.mutable
+                .ArrayBuffer[String](s.length)
+              var i = 0
+              while (i < s.length) {
+                if (out.nonEmpty && out.last == a && s(i) == b) {
+                  out(out.length - 1) = fused
+                } else out += s(i)
+                i += 1
+              }
+              if (out.length < s.length) table(w) = out.toArray
+            }
+            w += 1
+          }
+      }
+    }
+    merges.toSeq
+  }
+
   /** Greedy PREFIX acceptance for one batched round (see [[train]]):
     * candidates arrive in the sequential-greedy total order; accept
     * while symbols stay disjoint and the frequency clears the

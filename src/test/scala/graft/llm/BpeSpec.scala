@@ -124,6 +124,38 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("LAW: trainLocal == sequential distributed training on the " +
+      "classic AND randomized corpora (the production driver-side " +
+      "merge loop over the Heaps-bounded word table — r15, after " +
+      "BpeBench zipf measured 494 driver rounds for 1000 rules)") {
+    val classic = Seq(
+      "low low low low low lower lower newest newest",
+      "newest newest newest newest widest widest widest").toDF("text")
+    assert(Bpe.trainLocal(spark, classic, $"text", numMerges = 10) ===
+      Bpe.train(spark, classic, $"text", numMerges = 10))
+    val rnd = new scala.util.Random(1234)
+    for (trial <- 1 to 3) {
+      val letters = "abcde"
+      val words = (1 to 30).map { _ =>
+        val len = 2 + rnd.nextInt(5)
+        (1 to len).map(_ =>
+          letters(rnd.nextInt(letters.length))).mkString
+      }
+      val docs = Seq(words.mkString(" ")).toDF("text")
+      val local = Bpe.trainLocal(spark, docs, $"text", numMerges = 12)
+      val sequential = Bpe.train(spark, docs, $"text", numMerges = 12)
+      assert(local === sequential,
+        s"trial $trial diverged: corpus=${words.mkString(" ")}\n" +
+          s"local      = $local\nsequential = $sequential")
+    }
+    // the driver-budget guard fails LOUDLY, naming the fallback
+    val e = intercept[IllegalArgumentException] {
+      Bpe.trainLocal(spark, classic, $"text", numMerges = 2,
+        maxWords = 2L)
+    }
+    assert(e.getMessage.contains("distributed trainer"))
+  }
+
   test("batched rounds actually batch (fewer rounds than merges)") {
     // count pair-count jobs indirectly: with disjoint high-frequency
     // pairs the first round must accept several rules at once — the
