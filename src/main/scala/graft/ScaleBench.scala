@@ -109,7 +109,21 @@ object ScaleBench {
     "q407_stream_training_build",
     // takedown execution: fragment explode (∝ tokens/L + docs), one
     // chunk-keyed shuffle, two-level digest folds — must stay linear
-    "q408_takedown_exec")
+    "q408_takedown_exec",
+    // round-15: the STREAMING EPOCH SERVE — q407's streamed mining
+    // plus the selection-bounded epoch stage; same unstaged-by-design
+    // discipline, so the ratio is q407's mining exponent + the
+    // (bounded) epoch dealing
+    "q411_stream_epoch_serve",
+    // the takedown FOLD: pack-time manifest builds (spans, fragment
+    // index, chunk digests — Staged.clear makes repeats pay them)
+    // are the corpus-proportional part; the fold itself must stay
+    // ∝ affected chunks + notices
+    "q412_takedown_fold",
+    // the migration execution: one occurrence scan + two broadcast
+    // vocab joins, TWO rank-bucketed packings + fragment digests —
+    // the ratio proves the layout-diff manifold stays linear
+    "q413_tokenizer_migration")
 
   /** Tables each target reads — lets a subset run skip synthesizing
     * (and paying for) the others at high mults. */
@@ -146,7 +160,10 @@ object ScaleBench {
     "q403_training_build" -> Set("documents"),
     "q404_bpe_packing" -> Set("documents"),
     "q407_stream_training_build" -> Set("documents"),
-    "q408_takedown_exec" -> Set("documents"))
+    "q408_takedown_exec" -> Set("documents"),
+    "q411_stream_epoch_serve" -> Set("documents"),
+    "q412_takedown_fold" -> Set("documents"),
+    "q413_tokenizer_migration" -> Set("documents"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
