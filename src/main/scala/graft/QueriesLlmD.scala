@@ -351,6 +351,37 @@ private[graft] object QueriesLlmD {
         "oracle's doc_id < 1000000 guards together")
   }
 
+  /** The PACK-TIME manifests behind the takedown folds (q412 batch,
+    * q414 streaming): the spans layout, the chunk-keyed fragment
+    * index, the subtractive per-chunk digests, and the one-row
+    * totals — staged once per corpus (the q342 "never re-mine"
+    * discipline), shared across every later notice batch. */
+  private def packManifests(spark: SparkSession, dir: String,
+                            L: Long, MOD: Long)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val td = graft.operators.Takedown
+    val docs = tbl(spark, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long")
+          .as("n_tok"))
+    val sp = graft.operators.Staged.getOrBuild(spark,
+      s"pack_spans::$dir::L$L") {
+      graft.operators.Packing.spans(docs, col("doc_id"),
+        col("n_tok"))
+    }
+    val frIdx = graft.operators.Staged.getOrBuild(spark,
+      s"pack_frindex::$dir::L$L") { td.fragmentIndex(sp, L) }
+    val chDig = graft.operators.Staged.getOrBuild(spark,
+      s"pack_chdig::$dir::L${L}_m$MOD") {
+      td.chunkDigests(frIdx, MOD)
+    }
+    val totals = graft.operators.Staged.getOrBuild(spark,
+      s"pack_totals::$dir::L${L}_m$MOD") {
+      td.packTotals(sp, chDig, L, MOD)
+    }
+    (sp, frIdx, chDig, totals)
+  }
+
   /** The epoch/exposure stage shared by the batch (q409) and the
     * STREAMING (q411) serves: quality-quartile upsampling (q359 —
     * docs rank by exact distinct-token score; quartile q trains q
@@ -719,27 +750,8 @@ private[graft] object QueriesLlmD {
       val L = 512L
       val MOD = 1000000007L
       val td = graft.operators.Takedown
-      val docs = tbl(spark, dir, "documents")
-        .select(col("doc_id"),
-          TextAnalysis.tokenCount(col("text")).cast("long")
-            .as("n_tok"))
-      // pack-time artifacts: staged once per corpus, shared across
-      // every later notice batch (the q342 "never re-mine" discipline)
-      val sp = graft.operators.Staged.getOrBuild(spark,
-        s"pack_spans::$dir::L$L") {
-        graft.operators.Packing.spans(docs, col("doc_id"),
-          col("n_tok"))
-      }
-      val frIdx = graft.operators.Staged.getOrBuild(spark,
-        s"pack_frindex::$dir::L$L") { td.fragmentIndex(sp, L) }
-      val chDig = graft.operators.Staged.getOrBuild(spark,
-        s"pack_chdig::$dir::L${L}_m$MOD") {
-        td.chunkDigests(frIdx, MOD)
-      }
-      val totals = graft.operators.Staged.getOrBuild(spark,
-        s"pack_totals::$dir::L${L}_m$MOD") {
-        td.packTotals(sp, chDig, L, MOD)
-      }
+      val (sp, frIdx, chDig, totals) = packManifests(spark, dir, L,
+        MOD)
       // notice batches arrive as BARE DOC IDS, look up their spans in
       // the staged layout manifest (∝ notices), and append; %89 and
       // %101 overlap on multiples of both — the fold dedups on doc_id
@@ -753,6 +765,39 @@ private[graft] object QueriesLlmD {
       }
       val removed = spark.read.parquet(man)
         .dropDuplicates("doc_id")
+      td.foldCensus(removed, frIdx, chDig, totals, L, MOD)
+    },
+
+    // --- STREAMING TAKEDOWN FOLD (round 15 — q412 ∘ the micro-batch
+    //     runtime): takedown notices arrive as a FILE STREAM of bare
+    //     doc ids — three micro-batches, the third a REDELIVERY of
+    //     the first, so at-least-once sits under the oracle gate
+    //     itself, not just a spec. Each batch joins the same STAGED
+    //     pack-time manifests as q412 (layout lookup ∝ notices,
+    //     text never read) and appends removed spans; after the
+    //     drain, Takedown.foldCensus answers the census in
+    //     O(affected). The oracle is the q408 one-shot rebuild with
+    //     the notice union VERBATIM (shared with q412 — the
+    //     q403/q407 shared-val pattern): the hash match proves the
+    //     streamed, redelivered fold ≡ the batch rebuild. ---
+    "q414_stream_takedown" -> { (spark, dir) =>
+      val L = 512L
+      val MOD = 1000000007L
+      val td = graft.operators.Takedown
+      val (sp, frIdx, chDig, totals) = packManifests(spark, dir, L,
+        MOD)
+      val ids = tbl(spark, dir, "documents").select(col("doc_id"))
+      val b89 = ids.filter(pmod(col("doc_id"), lit(89)) === 0)
+      val b101 = ids.filter(pmod(col("doc_id"), lit(101)) === 0)
+      val src = Scratch.dir("graft_q414").toString + "/notices"
+      graft.streaming.EventStream.writeOrderedBatches(
+        Seq(b89, b101, b89), src) // b89 redelivered
+      val stream = spark.readStream.schema(ids.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val removed = graft.streaming.EventStream
+        .streamingTakedownManifest(spark, stream, sp,
+          Scratch.dir("graft_q414man").toString + "/removed",
+          Scratch.dir("graft_q414ck").toString)
       td.foldCensus(removed, frIdx, chDig, totals, L, MOD)
     },
 
@@ -1439,8 +1484,12 @@ private[graft] object QueriesLlmD {
     "q408_takedown_exec" -> takedownExecSql("doc_id % 89 = 0"),
 
     // the fold twin's oracle IS the one-shot rebuild with the UNION
-    // of both notice batches — the hash match proves fold ≡ batch
+    // of both notice batches — the hash match proves fold ≡ batch;
+    // the STREAMING fold (q414, with an in-stream redelivery) maps
+    // to the same rebuild
     "q412_takedown_fold" ->
+      takedownExecSql("doc_id % 89 = 0 OR doc_id % 101 = 0"),
+    "q414_stream_takedown" ->
       takedownExecSql("doc_id % 89 = 0 OR doc_id % 101 = 0"),
 
     // ONE sequential 14-round retrain chain; segmentations read at

@@ -907,6 +907,34 @@ object EventStream {
       spark.read.parquet(scoreDir).dropDuplicates("doc_id"))
   }
 
+  /** Streaming takedown-notice manifest — the incremental takedown
+    * fold (q412, [[graft.operators.Takedown]]) fed from the
+    * micro-batch runtime (q414). Notice batches carry BARE DOC IDS;
+    * each batch joins the PACK-TIME spans manifest (a layout lookup,
+    * ∝ notices — text is never read) and appends the removed spans
+    * (doc_id, n_tok, s, e) to `manifestDir`. At-least-once safe by
+    * key-dedup at the fold: a manifest row is a pure function of the
+    * static layout, so a redelivered batch appends byte-identical
+    * rows dropped on doc_id. Returns the folded removed-doc spans —
+    * feed them to Takedown.foldCensus. */
+  def streamingTakedownManifest(spark: SparkSession,
+                                noticeStream: DataFrame,
+                                spansManifest: DataFrame,
+                                manifestDir: String,
+                                checkpointDir: String): DataFrame = {
+    val q = noticeStream.writeStream
+      .foreachBatch { (bdf: DataFrame, _: Long) =>
+        spansManifest
+          .join(bdf.select(col("doc_id")).distinct(), Seq("doc_id"))
+          .write.mode("append").parquet(manifestDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(manifestDir).dropDuplicates("doc_id")
+  }
+
   /** Streaming per-source token census — the q362 mixture fold's
     * micro-batch twin. Each batch appends its (source, sz_tok)
     * census to `censusDir`; the merged census is one groupBy-sum
