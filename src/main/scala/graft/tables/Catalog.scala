@@ -17,6 +17,7 @@ final class Catalog(spark: SparkSession, dir: String) {
   import org.apache.spark.sql.types._
 
   private val cache = scala.collection.mutable.Map[String, DataFrame]()
+  private val sessionCache = Catalog.resolvedFor(spark)
 
   /** Formats a table file/dir may use (S1: the reference reads JSON-lines
     * blocks; parquet is the columnar at-rest form we prefer). */
@@ -60,29 +61,44 @@ final class Catalog(spark: SparkSession, dir: String) {
 
   def table(name: String): DataFrame = cache.getOrElseUpdate(name, {
     // virtual metadata tables, queryable like any other (JX
-    // `from: "meta.columns"` — SURVEY.md §2 dynamic schema)
+    // `from: "meta.columns"` — SURVEY.md §2 dynamic schema); they
+    // reflect THIS instance's registered views, so never the shared
+    // session cache
     if (name == "meta.columns")
       return graft.meta.MetaColumns.table(spark, this)
     if (name == "meta.tables")
       return graft.meta.MetaColumns.tables(spark, this)
-    val parts = name.split('.').toList
-    // longest prefix that is a base table
-    val baseNames = baseTables.toSet
-    val (base, nested) = (1 to parts.length).reverse
-      .map(i => (parts.take(i).mkString("."), parts.drop(i)))
-      .find { case (b, _) => baseNames.contains(b) }
-      .getOrElse(throw new IllegalArgumentException(
-        s"unknown table: $name (have: ${baseTables.mkString(", ")})"))
-    val path = pathOf(base)
-    val df =
-      if (path.endsWith(".json") || path.endsWith(".jsonl"))
-        spark.read.json(path) // schema inferred from data (JSON-lines S1)
-      else if (path.endsWith(".csv"))
-        spark.read.option("header", "true").option("inferSchema", "true")
-          .csv(path)
-      else if (path.endsWith(".orc")) spark.read.orc(path)
-      else readParquet(path)
-    nested.foldLeft(df)(explodeLevel)
+    // BASE-table resolution is shared SESSION-wide (guide §6: file
+    // listing / footer reads are driver-side, single-threaded work):
+    // resolving a table costs a directory listing + TWO parquet
+    // footer opens (nano-timestamp detection + schema inference) +
+    // an InMemoryFileIndex build — ~0.13 s per call, and a 414-query
+    // sweep re-resolves the same handful of static files thousands
+    // of times. The cache holds the LAZY plan (file paths + schema),
+    // never data: every action still scans parquet. Registered
+    // views stay per-instance (the getOrElseUpdate above); a fresh
+    // data dir is a fresh key, so tests writing their own tmp dirs
+    // are unaffected.
+    sessionCache.computeIfAbsent(s"$dir $name", _ => {
+      val parts = name.split('.').toList
+      // longest prefix that is a base table
+      val baseNames = baseTables.toSet
+      val (base, nested) = (1 to parts.length).reverse
+        .map(i => (parts.take(i).mkString("."), parts.drop(i)))
+        .find { case (b, _) => baseNames.contains(b) }
+        .getOrElse(throw new IllegalArgumentException(
+          s"unknown table: $name (have: ${baseTables.mkString(", ")})"))
+      val path = pathOf(base)
+      val df =
+        if (path.endsWith(".json") || path.endsWith(".jsonl"))
+          spark.read.json(path) // schema inferred from data (JSON-lines S1)
+        else if (path.endsWith(".csv"))
+          spark.read.option("header", "true").option("inferSchema", "true")
+            .csv(path)
+        else if (path.endsWith(".orc")) spark.read.orc(path)
+        else readParquet(path)
+      nested.foldLeft(df)(explodeLevel)
+    })
   })
 
   /** Read parquet, transparently handling TIMESTAMP(NANOS) columns (which
@@ -137,6 +153,14 @@ final class Catalog(spark: SparkSession, dir: String) {
     } finally reader.close()
   }
 
+  /** Resolved plans are invalidated when a base table's FILE SET or
+    * mtime changes (a sink overwriting a dir it later re-reads):
+    * callers that rewrite a table under a live Catalog call this. */
+  def invalidate(name: String): Unit = {
+    cache.remove(name)
+    sessionCache.remove(s"$dir $name")
+  }
+
   /** Explode one nested array-of-struct level, keeping parent scalars. */
   private def explodeLevel(df: DataFrame, field: String): DataFrame = {
     val keep = df.schema.fields.filterNot(_.name == field)
@@ -149,4 +173,27 @@ final class Catalog(spark: SparkSession, dir: String) {
     }
     exploded.select((keep.toSeq ++ childCols).toIndexedSeq: _*)
   }
+}
+
+object Catalog {
+  /** Session-wide resolved-plan cache, keyed "(dir) (name)" inside a
+    * weak per-session map (a stopped session's plans must be GC-able
+    * — a DataFrame pins its SparkSession). Shared across Catalog
+    * INSTANCES because every query helper constructs a fresh Catalog:
+    * the instance-local cache alone made each `tbl()` call re-pay
+    * resolution. */
+  private val perSession = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
+
+  private[tables] def resolvedFor(spark: SparkSession)
+      : java.util.concurrent.ConcurrentHashMap[String, DataFrame] =
+    perSession.synchronized {
+      var m = perSession.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        perSession.put(spark, m)
+      }
+      m
+    }
 }

@@ -213,6 +213,30 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents: driver fast path ≡ distributed loop (same labels)") {
+    // chains, a cycle, crossing merges and singleton edges — enough
+    // structure that a wrong union order would show. The local path
+    // runs by default (edge count under budget); forcing the budget
+    // to 0 through the system property exercises the distributed
+    // pointer-jump loop on the SAME input, and the labels must match
+    // exactly (both compute min-reachable-id per node).
+    val pairs = (Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), // cycle
+        (7L, 9L), (9L, 8L), (30L, 31L)) ++
+      (100L until 140L).map(i => (i, i + 1)) ++ // long chain
+      Seq((140L, 100L), (50L, 141L))) // close + cross-merge
+      .toDF("a", "b")
+    val local = Dedup.connectedComponents(pairs, col("a"), col("b"))
+      .as[(Long, Long)].collect().toMap
+    val key = "spark.graft.cc.localEdgeBudget"
+    System.setProperty(key, "0")
+    try {
+      val dist = Dedup.connectedComponents(pairs, col("a"), col("b"))
+        .as[(Long, Long)].collect().toMap
+      assert(local === dist)
+      assert(local(50L) === 50L && local(141L) === 50L && local(4L) === 1L)
+    } finally System.clearProperty(key)
+  }
+
   test("clusterSurvivors keeps min-id per cluster and all singletons") {
     val df = (1L to 8L).toDF("id")
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
