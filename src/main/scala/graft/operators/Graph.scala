@@ -40,6 +40,116 @@ object Graph {
     * [[pageRank]] loop. */
   private val MatEvery = 6
 
+  /** Edge budget for the DRIVER fast paths of the bounded-round graph
+    * loops (guide §1.2: the fastest distributed algorithm for a small
+    * graph is none at all — a fixed-round loop pays 2+ Spark jobs per
+    * round regardless of data size). At or below the budget the
+    * deduped edge list is pulled once and the loop runs in-memory,
+    * producing BIT-IDENTICAL output (integer ops replay exactly;
+    * the deterministic PageRank fold is the same sorted left fold the
+    * engine's aggregate() runs — GraphSpec pins local ≡ distributed
+    * for every loop); above it the checkpointed distributed loop runs
+    * unchanged — at 100 TB a real graph simply stays on the cluster.
+    * Same discipline as Bpe.trainLocal and the connectedComponents
+    * fast path. 4M edges ≈ 64 MB on the driver. */
+  private[graft] def localEdgeBudget: Long =
+    java.lang.Long.getLong("spark.graft.graph.localEdgeBudget",
+      sys.env.get("SPARK_GRAFT_GRAPH_LOCAL_EDGES").map(_.toLong)
+        .getOrElse(4000000L))
+
+  private def isLong(df: DataFrame, c: String): Boolean =
+    df.schema(c).dataType == org.apache.spark.sql.types.LongType
+
+  private def longLongSchema(n1: String, n2: String)
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(n1,
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField(n2,
+        org.apache.spark.sql.types.LongType, nullable = false)))
+
+  /** The deterministic-mode per-node reduction, replayed on the
+    * driver: sort the contribution values ascending and left-fold
+    * from 0.0 — EXACTLY the `aggregate(array_sort(collect_list(c)),
+    * 0.0, _+_)` the distributed loop runs, so the double is
+    * bit-identical (no negatives or NaNs arise in rank arithmetic,
+    * so Arrays.sort and Spark's double ordering agree). */
+  private def sortedFold(xs: Array[Double]): Double = {
+    java.util.Arrays.sort(xs)
+    var acc = 0.0
+    var i = 0
+    while (i < xs.length) { acc += xs(i); i += 1 }
+    acc
+  }
+
+  private def rowsToDf(spark: org.apache.spark.sql.SparkSession,
+                       rows: Seq[org.apache.spark.sql.Row],
+                       schema: org.apache.spark.sql.types.StructType)
+      : DataFrame = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, schema)
+  }
+
+  /** Undirected degree census over canonical (a < b) edges. */
+  private def degLocal(canon: Array[(Long, Long)])
+      : scala.collection.mutable.HashMap[Long, Long] = {
+    val deg = scala.collection.mutable.HashMap.empty[Long, Long]
+    canon.foreach { case (a, b) =>
+      deg.update(a, deg.getOrElse(a, 0L) + 1L)
+      deg.update(b, deg.getOrElse(b, 0L) + 1L)
+    }
+    deg
+  }
+
+  /** [[triangleCounts]]' degree-oriented enumeration on the driver:
+    * orient each canonical edge toward the higher (degree, id)
+    * endpoint, enumerate wedges from out-neighbor pairs ordered by
+    * (degree, id), close against the oriented set — every triangle
+    * counted once at its minimum corner, per-node counts union the
+    * three corners. Returns node → triangle count (nodes in no
+    * triangle absent, as in the distributed aggregation). */
+  private def triangleCountsLocalMap(canon: Array[(Long, Long)])
+      : Option[scala.collection.mutable.HashMap[Long, Long]] = {
+    import scala.collection.mutable
+    val deg = degLocal(canon)
+    val out = mutable.HashMap.empty[Long, mutable.ArrayBuffer[Long]]
+    val oriented = mutable.HashSet.empty[(Long, Long)]
+    canon.foreach { case (a, b) =>
+      val (u, v) =
+        if (deg(a) < deg(b) || (deg(a) == deg(b) && a < b)) (a, b)
+        else (b, a)
+      out.getOrElseUpdate(u, mutable.ArrayBuffer.empty[Long]) += v
+      oriented += ((u, v))
+    }
+    // the actual wedge volume is known exactly here — orientation
+    // bounds it at O(m^1.5), which at the full edge budget could
+    // still be billions of driver-side probes; past the cap the
+    // distributed join (which spreads the wedges) handles it
+    val wedgeVol = out.valuesIterator.map { vs =>
+      vs.length.toLong * vs.length.toLong }.sum
+    if (wedgeVol > 4L * localEdgeBudget) return None
+    val tri = mutable.HashMap.empty[Long, Long]
+    def bump(nd: Long): Unit = tri.update(nd, tri.getOrElse(nd, 0L) + 1L)
+    out.foreach { case (u, vs) =>
+      val arr = vs.toArray
+      var i = 0
+      while (i < arr.length) {
+        var j = 0
+        while (j < arr.length) {
+          val x = arr(i); val y = arr(j)
+          // wedge ordered by (deg, id): x strictly before y
+          if ((deg(x) < deg(y) || (deg(x) == deg(y) && x < y)) &&
+              oriented.contains((x, y))) {
+            bump(u); bump(x); bump(y)
+          }
+          j += 1
+        }
+        i += 1
+      }
+    }
+    Some(tri)
+  }
+
   /** Distinct directed co-occurrence edges from a (group, item)
     * relation: src and dst co-occur in some group, both directions,
     * never self. Distinct-before-join bounds the pair explosion to
@@ -96,6 +206,26 @@ object Graph {
       .filter(col("a") =!= col("b"))
       .distinct()
       .persist(mad)
+    // DRIVER FAST PATH: the degree-oriented enumeration is exact
+    // integer counting — a driver replay (same orientation, same
+    // wedge bound Σ min-deg² ≈ O(m^1.5)) is identical by construction
+    // (GraphSpec law). One count job against the persisted canon
+    // decides; past the budget the join pipeline runs unchanged.
+    if (isLong(canon, "a") && isLong(canon, "b") &&
+        canon.count() <= localEdgeBudget) {
+      val rows = canon.collect().map(r => (r.getLong(0), r.getLong(1)))
+      triangleCountsLocalMap(rows) match {
+        case Some(tri) =>
+          canon.unpersist(blocking = false)
+          val nodes = tri.keys.toArray
+          java.util.Arrays.sort(nodes)
+          return rowsToDf(edges.sparkSession,
+            nodes.toSeq.map(nd =>
+              org.apache.spark.sql.Row(nd, tri(nd))),
+            longLongSchema("node", "triangles"))
+        case None => () // wedge volume too big: distributed path below
+      }
+    }
     val deg = canon.select(col("a").as("node"))
       .unionAll(canon.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("d"))
@@ -145,6 +275,45 @@ object Graph {
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
+    // DRIVER FAST PATH: degree census + triangle counts + the one
+    // pinned-order IEEE division, all replayed locally (GraphSpec
+    // law) — 2.0 * tri.toDouble / (d*(d-1)).toDouble matches the
+    // distributed cast-then-divide exactly.
+    if (isLong(canon, "a") && isLong(canon, "b")) {
+      val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val probe = canon.persist(mad)
+      if (probe.count() <= localEdgeBudget) {
+        val rows = probe.collect().map(r => (r.getLong(0), r.getLong(1)))
+        triangleCountsLocalMap(rows) match {
+          case Some(tri) =>
+            probe.unpersist(blocking = false)
+            val dl = degLocal(rows)
+            val nodes = dl.keys.toArray
+            java.util.Arrays.sort(nodes)
+            return rowsToDf(edges.sparkSession,
+              nodes.toSeq.map { nd =>
+                val d = dl(nd)
+                val t = tri.getOrElse(nd, 0L)
+                val coeff =
+                  if (d >= 2) (2.0 * t.toDouble) / (d * (d - 1)).toDouble
+                  else 0.0
+                org.apache.spark.sql.Row(nd, d, t, coeff)
+              },
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("node",
+                  org.apache.spark.sql.types.LongType, nullable = false),
+                org.apache.spark.sql.types.StructField("d",
+                  org.apache.spark.sql.types.LongType, nullable = false),
+                org.apache.spark.sql.types.StructField("triangles",
+                  org.apache.spark.sql.types.LongType, nullable = false),
+                org.apache.spark.sql.types.StructField("coeff",
+                  org.apache.spark.sql.types.DoubleType,
+                  nullable = false))))
+          case None => () // wedge volume too big: distributed below
+        }
+      }
+      probe.unpersist(blocking = false)
+    }
     val deg = canon.select(col("a").as("node"))
       .unionAll(canon.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("d"))
@@ -181,6 +350,18 @@ object Graph {
     val seed = seeds.select(col("node")).distinct()
       .withColumn("hop", lit(0)).persist(mad)
     seed.count()
+    // DRIVER FAST PATH: min-hop BFS is pure integer frontier
+    // expansion — exact on the driver (GraphSpec law). Long node ids
+    // only (the pipeline-staleness caller uses string ids and falls
+    // through to the distributed loop).
+    if (isLong(e, "src") && isLong(e, "dst") && isLong(seed, "node") &&
+        e.count() <= localEdgeBudget) {
+      val eRows = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val sRows = seed.collect().map(_.getLong(0))
+      e.unpersist(blocking = false)
+      seed.unpersist(blocking = false)
+      return bfsHopsLocal(edges.sparkSession, eRows, sRows, maxHops)
+    }
     // visited = lazy union of MATERIALIZED per-hop frontier caches —
     // each round costs exactly ONE action (the frontier count that
     // doubles as the lineage barrier); the anti-join unions k cached
@@ -217,6 +398,41 @@ object Graph {
     out
   }
 
+  /** [[bfsHops]] replayed on the driver: seeds at hop 0, frontier
+    * expansion to maxHops, min hop per node — all integer ops. */
+  private def bfsHopsLocal(spark: org.apache.spark.sql.SparkSession,
+                           edges: Array[(Long, Long)],
+                           seeds: Array[Long], maxHops: Int): DataFrame = {
+    import scala.collection.mutable
+    val out = mutable.HashMap.empty[Long, mutable.ArrayBuffer[Long]]
+    edges.foreach { case (s, d) =>
+      out.getOrElseUpdate(s, mutable.ArrayBuffer.empty[Long]) += d }
+    val visited = mutable.HashMap.empty[Long, Int]
+    seeds.foreach(visited(_) = 0)
+    var frontier = seeds.toSet
+    var hop = 0
+    while (hop < maxHops && frontier.nonEmpty) {
+      hop += 1
+      val next = mutable.HashSet.empty[Long]
+      frontier.foreach { nd =>
+        out.get(nd).foreach(_.foreach { d =>
+          if (!visited.contains(d)) { visited(d) = hop; next += d }
+        })
+      }
+      frontier = next.toSet
+    }
+    val nodes = visited.keys.toArray
+    java.util.Arrays.sort(nodes)
+    rowsToDf(spark,
+      nodes.toSeq.map(nd =>
+        org.apache.spark.sql.Row(nd, visited(nd))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("hop",
+          org.apache.spark.sql.types.IntegerType, nullable = false))))
+  }
+
   /** Common-neighbor link prediction over an UNDIRECTED edge set:
     * for node pairs NOT already connected, count shared neighbors and
     * report the neighborhood-Jaccard as an exact integer ratio
@@ -243,6 +459,25 @@ object Graph {
       .filter(col("a") =!= col("b"))
       .distinct()
       .persist(mad)
+    // DRIVER FAST PATH: exact integer cn/jaccard with a total-order
+    // top-K (jac_num desc, x, y) — a driver replay is identical
+    // (GraphSpec law). Guarded TWICE: the edge budget, and the actual
+    // wedge volume Σ d·(d−1)/2 over wedge centers (known exactly once
+    // degrees are in hand) — a hub-heavy uncapped graph falls through
+    // to the distributed join, which AQE can skew-split.
+    if (isLong(canon, "a") && isLong(canon, "b") &&
+        canon.count() <= localEdgeBudget) {
+      val rows = canon.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val dl = degLocal(rows)
+      val wedgeVol = dl.valuesIterator
+        .filter(d => maxWedgeDegree.forall(d <= _))
+        .map(d => d * (d - 1) / 2).sum
+      if (wedgeVol <= 4L * localEdgeBudget) {
+        canon.unpersist(blocking = false)
+        return linkPredictionLocal(edges.sparkSession, rows, dl, topK,
+          maxWedgeDegree)
+      }
+    }
     val adj = canon.select(col("a").as("n"), col("b").as("nbr"))
       .unionAll(canon.select(col("b").as("n"), col("a").as("nbr")))
     val deg = adj.groupBy(col("n")).agg(count(lit(1)).as("d"))
@@ -260,6 +495,60 @@ object Graph {
         (col("dx") + col("dy") - col("cn")).as("jac_den"))
     candidates.orderBy(col("jac_num").desc, col("x"), col("y"))
       .limit(topK)
+  }
+
+  /** [[linkPrediction]] replayed on the driver: wedge counts from
+    * capped centers, existing edges excluded, UNCAPPED degrees in the
+    * jaccard — then the total-order top-K. All integer ops. */
+  private def linkPredictionLocal(
+      spark: org.apache.spark.sql.SparkSession,
+      canon: Array[(Long, Long)],
+      deg: scala.collection.mutable.HashMap[Long, Long],
+      topK: Int, maxWedgeDegree: Option[Long]): DataFrame = {
+    import scala.collection.mutable
+    val nbrs = mutable.HashMap.empty[Long, mutable.ArrayBuffer[Long]]
+    canon.foreach { case (a, b) =>
+      nbrs.getOrElseUpdate(a, mutable.ArrayBuffer.empty[Long]) += b
+      nbrs.getOrElseUpdate(b, mutable.ArrayBuffer.empty[Long]) += a
+    }
+    val existing = mutable.HashSet.empty[(Long, Long)]
+    canon.foreach(existing += _)
+    val cn = mutable.HashMap.empty[(Long, Long), Long]
+    nbrs.foreach { case (n, vs) =>
+      if (maxWedgeDegree.forall(deg(n) <= _)) {
+        val arr = vs.toArray
+        var i = 0
+        while (i < arr.length) {
+          var j = i + 1
+          while (j < arr.length) {
+            val (x, y) =
+              if (arr(i) < arr(j)) (arr(i), arr(j)) else (arr(j), arr(i))
+            if (x != y) // parallel wedge arms cannot tie (distinct nbrs)
+              cn.update((x, y), cn.getOrElse((x, y), 0L) + 1L)
+            j += 1
+          }
+          i += 1
+        }
+      }
+    }
+    val cand = cn.iterator
+      .filter { case (p, _) => !existing.contains(p) }
+      .map { case ((x, y), c) => (x, y, c, deg(x) + deg(y) - c) }
+      .toArray
+      .sortBy { case (x, y, c, _) => (-c, x, y) }
+      .take(topK)
+    rowsToDf(spark,
+      cand.toSeq.map { case (x, y, c, d) =>
+        org.apache.spark.sql.Row(x, y, c, d) },
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("x",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("y",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("jac_num",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("jac_den",
+          org.apache.spark.sql.types.LongType, nullable = false))))
   }
 
   /** The naive lowest-id two-join triangle formulation (wedge volume
@@ -307,6 +596,21 @@ object Graph {
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
+    // DRIVER FAST PATH: the loop is pure integer arithmetic with
+    // pinned tie-breaks (plurality count, min label), so a driver
+    // replay is exact by construction (GraphSpec law). One count job
+    // against the persisted canonical edges decides; past the budget
+    // the persisted probe is dropped and the distributed loop runs
+    // unchanged off the lazy plan.
+    if (isLong(canon, "a") && isLong(canon, "b")) {
+      val probe = canon.persist(mad)
+      if (probe.count() <= localEdgeBudget) {
+        val rows = probe.collect().map(r => (r.getLong(0), r.getLong(1)))
+        probe.unpersist(blocking = false)
+        return labelPropagationLocal(edges.sparkSession, rows, rounds)
+      }
+      probe.unpersist(blocking = false)
+    }
     val adj = canon.select(col("a").as("node"), col("b").as("nbr"))
       .unionAll(canon.select(col("b").as("node"), col("a").as("nbr")))
       .persist(mad)
@@ -334,6 +638,47 @@ object Graph {
     }
     adj.unpersist(blocking = false)
     labels
+  }
+
+  /** [[labelPropagation]] replayed on the driver over collected
+    * canonical (a < b) undirected edges — synchronous rounds,
+    * plurality label, smallest-label tie-break; all integer ops. */
+  private def labelPropagationLocal(
+      spark: org.apache.spark.sql.SparkSession,
+      canon: Array[(Long, Long)], rounds: Int): DataFrame = {
+    import scala.collection.mutable
+    val nbrs = mutable.HashMap.empty[Long, mutable.ArrayBuffer[Long]]
+    canon.foreach { case (a, b) =>
+      nbrs.getOrElseUpdate(a, mutable.ArrayBuffer.empty[Long]) += b
+      nbrs.getOrElseUpdate(b, mutable.ArrayBuffer.empty[Long]) += a
+    }
+    val nodes = nbrs.keys.toArray
+    java.util.Arrays.sort(nodes)
+    var labels = mutable.HashMap.empty[Long, Long]
+    nodes.foreach(nd => labels(nd) = nd)
+    for (_ <- 1 to rounds) {
+      val next = mutable.HashMap.empty[Long, Long]
+      nodes.foreach { nd =>
+        val counts = mutable.HashMap.empty[Long, Long]
+        nbrs(nd).foreach { nb =>
+          val l = labels(nb)
+          counts.update(l, counts.getOrElse(l, 0L) + 1L)
+        }
+        // min over (-count, label): plurality, then smallest label
+        var bestL = Long.MaxValue
+        var bestC = 0L
+        counts.foreach { case (l, c) =>
+          if (c > bestC || (c == bestC && l < bestL)) {
+            bestC = c; bestL = l
+          }
+        }
+        next(nd) = bestL
+      }
+      labels = next
+    }
+    rowsToDf(spark,
+      nodes.toSeq.map(nd => org.apache.spark.sql.Row(nd, labels(nd))),
+      longLongSchema("node", "label"))
   }
 
   /** Fixed-iteration PageRank over a (src, dst) edge list: returns
@@ -371,6 +716,29 @@ object Graph {
     val e = (if (weighted) edges.select(col("src"), col("dst"), col("w"))
              else edges.select(col("src"), col("dst"), lit(1L).as("w")))
       .persist(mad)
+    // DRIVER FAST PATH (deterministic mode only — its value-sorted
+    // fold IS the replayable reduction; the plain-sum scale mode has
+    // no driver-reproducible ordering, so it always stays
+    // distributed): under [[localEdgeBudget]] the edge list is pulled
+    // once and the fixed-round loop replays in-memory with the exact
+    // IEEE op sequence of the distributed plan — bit-identical by
+    // construction, pinned by GraphSpec's local≡distributed laws.
+    // The count is one cheap job against the just-persisted blocks;
+    // past the budget the loop below runs unchanged.
+    if (deterministic && isLong(e, "src") && isLong(e, "dst") &&
+        e.schema("w").dataType == org.apache.spark.sql.types.LongType &&
+        restart.forall(s => s.schema.head.dataType ==
+          org.apache.spark.sql.types.LongType) &&
+        e.count() <= localEdgeBudget) {
+      val rows = e.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2)))
+      e.unpersist(blocking = false)
+      val seedArr = restart.map(s =>
+        s.select(col(s.columns.head)).distinct().collect()
+          .map(_.getLong(0)))
+      return pageRankLocalDet(edges.sparkSession, rows, iterations,
+        damping, danglingMass, seedArr)
+    }
     // deg/nodes/N are referenced EVERY round — stage them once so no
     // iteration re-shuffles the edge list for its side frames
     val deg = e.groupBy(col("src")).agg(sum(col("w")).as("outdeg"))
@@ -483,6 +851,77 @@ object Graph {
     pr
   }
 
+  /** The deterministic [[pageRank]] loop replayed on the driver over
+    * a collected (src, dst, w) edge array. Every double op mirrors
+    * the distributed plan exactly: contributions are
+    * pr(src) * w.toDouble / outdeg(src).toDouble, per-node sums and
+    * the dangling mass are [[sortedFold]]s, and the update keeps the
+    * plan's association — uniform: (1-d)/n + d*(s + dm/n);
+    * personalized: (1-d)*r + d*(s + dm*r). Node set = sources
+    * (∪ destinations when danglingMass), exactly the distributed
+    * frame. */
+  private def pageRankLocalDet(spark: org.apache.spark.sql.SparkSession,
+                               edges: Array[(Long, Long, Long)],
+                               iterations: Int, damping: Double,
+                               danglingMass: Boolean,
+                               seeds: Option[Array[Long]]): DataFrame = {
+    import scala.collection.mutable
+    val deg = mutable.HashMap.empty[Long, Long]
+    edges.foreach { case (s, _, w) =>
+      deg.update(s, deg.getOrElse(s, 0L) + w) }
+    val nodeSet = mutable.HashSet.empty[Long]
+    edges.foreach { case (s, d, _) =>
+      nodeSet += s; if (danglingMass) nodeSet += d }
+    val nodes = nodeSet.toArray
+    java.util.Arrays.sort(nodes) // stable output row order
+    val n = nodes.length.toDouble
+    val rFn: Long => Double = seeds match {
+      case Some(ss) =>
+        val set = ss.toSet
+        val sn = set.size.toDouble
+        nd => if (set(nd)) 1.0 / sn else 0.0
+      case None => null
+    }
+    val dangling: Array[Long] =
+      if (danglingMass) nodes.filter(!deg.contains(_)) else null
+    var pr = mutable.HashMap.empty[Long, Double]
+    nodes.foreach { nd =>
+      pr(nd) = if (rFn != null) rFn(nd) else 1.0 / n }
+    for (_ <- 1 to iterations) {
+      val sums = mutable.HashMap.empty[Long, mutable.ArrayBuffer[Double]]
+      edges.foreach { case (s, d, w) =>
+        val c = pr(s) * w.toDouble / deg(s).toDouble
+        sums.getOrElseUpdate(d,
+          mutable.ArrayBuffer.empty[Double]) += c
+      }
+      val dm =
+        if (danglingMass) sortedFold(dangling.map(pr(_)))
+        else 0.0
+      val next = mutable.HashMap.empty[Long, Double]
+      nodes.foreach { nd =>
+        val s = sums.get(nd).map(b => sortedFold(b.toArray))
+          .getOrElse(0.0)
+        val v =
+          if (rFn != null) {
+            val inner = if (danglingMass) s + dm * rFn(nd) else s
+            (1.0 - damping) * rFn(nd) + damping * inner
+          } else if (danglingMass)
+            (1.0 - damping) / n + damping * (s + dm / n)
+          else
+            (1.0 - damping) / n + damping * s
+        next(nd) = v
+      }
+      pr = next
+    }
+    rowsToDf(spark,
+      nodes.toSeq.map(nd => org.apache.spark.sql.Row(nd, pr(nd))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("pr",
+          org.apache.spark.sql.types.DoubleType, nullable = false))))
+  }
+
   /** FIXED-ROUND k-core peeling over a symmetric edge set (the
     * [[coOccurrenceEdges]] shape): each round drops every node whose
     * current degree is < k, with its edges, and the survivors'
@@ -502,6 +941,20 @@ object Graph {
   def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 1 && rounds >= 1, "need k >= 1 and rounds >= 1")
     var e = edges.select(col("src"), col("dst"))
+    // DRIVER FAST PATH: peeling is integer degree censuses + set
+    // filters — exact on the driver (GraphSpec law). One count job
+    // against the persisted probe decides; past the budget the lazy
+    // round-chained plan below runs unchanged.
+    if (isLong(e, "src") && isLong(e, "dst")) {
+      val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val probe = e.persist(mad)
+      if (probe.count() <= localEdgeBudget) {
+        val rows = probe.collect().map(r => (r.getLong(0), r.getLong(1)))
+        probe.unpersist(blocking = false)
+        return kCorePeelLocal(edges.sparkSession, rows, k, rounds)
+      }
+      probe.unpersist(blocking = false)
+    }
     for (_ <- 1 to rounds) {
       val bad = e.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
         .filter(col("__deg") < k).select(col("src").as("__bad"))
@@ -509,6 +962,32 @@ object Graph {
         .join(bad, col("dst") === col("__bad"), "left_anti")
     }
     e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+  }
+
+  /** [[kCorePeel]] replayed on the driver: R rounds of src-degree
+    * census + drop-below-k on both endpoints, then the survivors'
+    * src-degree counts — all integer ops. */
+  private def kCorePeelLocal(spark: org.apache.spark.sql.SparkSession,
+                             edges0: Array[(Long, Long)], k: Int,
+                             rounds: Int): DataFrame = {
+    import scala.collection.mutable
+    var edges = edges0
+    for (_ <- 1 to rounds) {
+      val deg = mutable.HashMap.empty[Long, Long]
+      edges.foreach { case (s, _) =>
+        deg.update(s, deg.getOrElse(s, 0L) + 1L) }
+      val bad = deg.collect { case (nd, d) if d < k => nd }.toSet
+      if (bad.nonEmpty)
+        edges = edges.filter { case (s, d) => !bad(s) && !bad(d) }
+    }
+    val deg = mutable.HashMap.empty[Long, Long]
+    edges.foreach { case (s, _) =>
+      deg.update(s, deg.getOrElse(s, 0L) + 1L) }
+    val nodes = deg.keys.toArray
+    java.util.Arrays.sort(nodes)
+    rowsToDf(spark,
+      nodes.toSeq.map(nd => org.apache.spark.sql.Row(nd, deg(nd))),
+      longLongSchema("node", "deg"))
   }
 
   /** [[kCorePeel]] to the FIXPOINT: peel until a round removes no

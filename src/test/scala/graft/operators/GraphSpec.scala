@@ -241,4 +241,64 @@ class GraphSpec extends SparkSpec {
     val chainOnly = (chain ++ chain.map(_.swap)).toDF("src", "dst")
     assert(m(Graph.kCorePeelConverged(chainOnly, k = 2)).isEmpty)
   }
+
+  /** Run `f` with the driver fast path DISABLED (edge budget 0), so
+    * the distributed loop is exercised; the default call takes the
+    * local path on these small fixtures. */
+  private def distributed[A](f: => A): A = {
+    System.setProperty("spark.graft.graph.localEdgeBudget", "0")
+    try f
+    finally System.clearProperty("spark.graft.graph.localEdgeBudget")
+  }
+
+  /** Sorted row images with doubles compared by BIT PATTERN — the
+    * fast-path contract is bit-identical output, not approximate. */
+  private def img(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+    df.collect().toSeq.map(_.toSeq.map {
+      case d: Double => java.lang.Double.doubleToLongBits(d)
+      case x => x
+    }).sortBy(_.mkString("|"))
+
+  test("driver fast path ≡ distributed loop, BIT-IDENTICAL: pageRank " +
+      "(det/weighted/dangling/personalized), labelPropagation, " +
+      "bfsHops, kCorePeel, triangleCounts, clusteringCoefficients, " +
+      "linkPrediction") {
+    // two communities bridged, plus a sink-heavy bipartite tail —
+    // exercises dangling mass, plurality ties, multi-hop frontiers
+    val rel = Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L), (11L, 2L), (11L, 3L),
+      (12L, 3L), (12L, 4L), (13L, 4L), (13L, 5L), (13L, 6L),
+      (14L, 5L), (14L, 6L), (15L, 1L), (15L, 6L), (16L, 7L),
+      (16L, 1L), (17L, 7L), (17L, 2L)).toDF("g", "i")
+    val edges = Graph.coOccurrenceEdges(rel, $"g", $"i")
+      .localCheckpoint()
+    val seeds = Seq(1L, 5L).toDF("node")
+    val bip = Seq((1L, 101L), (1L, 102L), (2L, 102L), (3L, 103L))
+      .toDF("src", "dst") // every dst a sink
+    val wedges = Graph.coOccurrenceEdgesWeighted(rel, $"g", $"i")
+      .localCheckpoint()
+    def checks = Seq(
+      "pr_det" -> Graph.pageRank(edges, 3, deterministic = true),
+      "pr_weighted" -> Graph.pageRank(wedges, 2, deterministic = true,
+        weighted = true),
+      "pr_dangling" -> Graph.pageRank(bip, 3, deterministic = true,
+        danglingMass = true),
+      "pr_personalized" -> Graph.pageRank(edges, 3,
+        deterministic = true, restart = Some(seeds)),
+      "labelProp" -> Graph.labelPropagation(edges, 3),
+      "bfs" -> Graph.bfsHops(edges, seeds, maxHops = 2),
+      "kcore" -> Graph.kCorePeel(edges, k = 3, rounds = 2),
+      "triangles" -> Graph.triangleCounts(edges),
+      "coeff" -> Graph.clusteringCoefficients(edges),
+      "linkpred" -> Graph.linkPrediction(edges, topK = 20,
+        maxWedgeDegree = Some(4L)))
+    val local = checks.map { case (n, df) => n -> img(df) }.toMap
+    val dist = distributed {
+      checks.map { case (n, df) => n -> img(df) }.toMap
+    }
+    local.keys.foreach { n =>
+      assert(local(n) === dist(n), s"fast path diverged on $n")
+      assert(local(n).nonEmpty, s"degenerate fixture for $n")
+    }
+  }
 }
