@@ -333,9 +333,17 @@ private[graft] object QueriesLlmD {
       .select(array_join(
         when(size(toks) >= 8, slice(toks, size(toks) - 7, lit(8)))
           .otherwise(toks), " ").as("etext"))
-    val contamIds = Contamination.sharedGrams(corpus,
-        col("doc_id"), col("text"), evalSet, col("etext"), n = 8)
-      .select(col("id").as("doc_id"))
+    // staged like its sibling artifacts (kept/pairs/comps): the
+    // 8-gram contamination scan re-ran per CALL (q403 and q409 each
+    // paid the full corpus explode+join) while everything around it
+    // was built once — the "never re-mine what a sibling mined"
+    // discipline, applied to the one artifact it had missed
+    val contamIds = graft.operators.Staged.getOrBuild(spark,
+        s"contam_ids::$dir::mod3_trunc20::mod97_g8") {
+      Contamination.sharedGrams(corpus,
+          col("doc_id"), col("text"), evalSet, col("etext"), n = 8)
+        .select(col("id").as("doc_id"))
+    }
     (kept, corpus.select(col("doc_id")), comps, contamIds, docs0)
   }
 

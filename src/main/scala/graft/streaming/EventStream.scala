@@ -18,6 +18,36 @@ import org.apache.spark.sql.types._
 object EventStream {
   private val runIds = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Shared daemon pool for overlapping INDEPENDENT per-batch sink
+    * jobs inside a foreachBatch (guide §2.6): at local backlog sizes
+    * each manifest append is a ~single-partition write whose wall is
+    * job + commit overhead, so running them concurrently pays max,
+    * not sum. Spark actions are thread-safe; job-description
+    * thread-locals are irrelevant here. Bounded at 6 threads — enough
+    * for one batch's fan-out, never a fleet. */
+  private lazy val sinkPool =
+    java.util.concurrent.Executors.newFixedThreadPool(6,
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-sink-pool")
+        t.setDaemon(true)
+        t
+      })
+
+  private def onPool(f: => Unit)
+      : java.util.concurrent.Future[_] =
+    sinkPool.submit(new Runnable { def run(): Unit = f })
+
+  /** Await every future, rethrowing the FIRST failure (unwrapped from
+    * ExecutionException so callers see the real error). */
+  private def awaitAll(fs: Seq[java.util.concurrent.Future[_]]): Unit =
+    fs.foreach { f =>
+      try f.get()
+      catch {
+        case e: java.util.concurrent.ExecutionException =>
+          throw e.getCause
+      }
+    }
+
   /** Normalize a frame's event-time flavor: every top-level
     * `TIMESTAMP_NTZ` column becomes `TIMESTAMP`. A 100 TB lake contains
     * BOTH flavors (writers differ on the UTC-adjusted flag — the
@@ -855,13 +885,45 @@ object EventStream {
         // re-scan the batch from executor memory, not the source
         val base = bdf.select(col("doc_id"), col("source"),
           col("text")).localCheckpoint()
-        graft.operators.CapSample.mine(
-            base.select(col("doc_id"), col("source"),
-                ta.tokenCount(col("text")).cast("long").as("n_tok"))
-              .withColumn("h", md5(concat(lit("cap:"),
-                col("doc_id").cast("string")).cast("binary"))),
-            "source", Seq("h", "doc_id"), k)
-          .write.mode("append").parquet(capDir)
+        // the six manifest appends are INDEPENDENT jobs over the
+        // checkpointed batch, each a ~single-partition write whose
+        // wall is dominated by job + commit overhead — submit them
+        // from the shared pool so the drain pays max, not sum, of the
+        // six (guide §2.6 "overlap independent jobs"; appends target
+        // six distinct dirs, so results are byte-identical)
+        val fCap = onPool {
+          graft.operators.CapSample.mine(
+              base.select(col("doc_id"), col("source"),
+                  ta.tokenCount(col("text")).cast("long").as("n_tok"))
+                .withColumn("h", md5(concat(lit("cap:"),
+                  col("doc_id").cast("string")).cast("binary"))),
+              "source", Seq("h", "doc_id"), k)
+            .write.mode("append").parquet(capDir)
+        }
+        val toks = ta.tokens(col("text"))
+        // doc_id < 1000000: the batch chain's eval-set guard mirrored
+        // (a no-op when real ids sit below the variant band)
+        val fEval = onPool {
+          base.filter(col("doc_id") < 1000000L &&
+              pmod(col("doc_id"), lit(97)) === 0)
+            .select(array_join(
+              when(size(toks) >= 8,
+                slice(toks, size(toks) - 7, lit(8)))
+                .otherwise(toks), " ").as("etext"))
+            .select(explode(ta.shingleHashes(col("etext"), 8)).as("g"))
+            .write.mode("append").parquet(evalDir)
+        }
+        val fHash = onPool {
+          base.select(col("doc_id"),
+              graft.operators.Digest.contentHash(col("text")).as("h"))
+            .write.mode("append").parquet(hashDir)
+        }
+        val fScore = onPool {
+          base.select(col("doc_id"),
+              size(array_distinct(ta.tokens(col("text"))))
+                .cast("long").as("score"))
+            .write.mode("append").parquet(scoreDir)
+        }
         val corpus = base.select(col("doc_id"), col("text"))
           .unionByName(base
             .filter(pmod(col("doc_id"), lit(3)) === 0)
@@ -870,30 +932,17 @@ object EventStream {
                 greatest(length(col("text")) - 20, lit(1)))
                 .as("text")))
           .localCheckpoint() // scanned twice: sh3 + g8
-        corpus.select(col("doc_id").as("id"),
-            ta.shingleHashes(col("text"), 3).as("s"))
-          .write.mode("append").parquet(sh3Dir)
-        corpus.select(col("doc_id"),
-            explode(ta.shingleHashes(col("text"), 8)).as("g"))
-          .write.mode("append").parquet(g8Dir)
-        val toks = ta.tokens(col("text"))
-        // doc_id < 1000000: the batch chain's eval-set guard mirrored
-        // (a no-op when real ids sit below the variant band)
-        base.filter(col("doc_id") < 1000000L &&
-            pmod(col("doc_id"), lit(97)) === 0)
-          .select(array_join(
-            when(size(toks) >= 8,
-              slice(toks, size(toks) - 7, lit(8)))
-              .otherwise(toks), " ").as("etext"))
-          .select(explode(ta.shingleHashes(col("etext"), 8)).as("g"))
-          .write.mode("append").parquet(evalDir)
-        base.select(col("doc_id"),
-            graft.operators.Digest.contentHash(col("text")).as("h"))
-          .write.mode("append").parquet(hashDir)
-        base.select(col("doc_id"),
-            size(array_distinct(ta.tokens(col("text"))))
-              .cast("long").as("score"))
-          .write.mode("append").parquet(scoreDir)
+        val fSh3 = onPool {
+          corpus.select(col("doc_id").as("id"),
+              ta.shingleHashes(col("text"), 3).as("s"))
+            .write.mode("append").parquet(sh3Dir)
+        }
+        val fG8 = onPool {
+          corpus.select(col("doc_id"),
+              explode(ta.shingleHashes(col("text"), 8)).as("g"))
+            .write.mode("append").parquet(g8Dir)
+        }
+        awaitAll(Seq(fCap, fEval, fHash, fScore, fSh3, fG8))
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
