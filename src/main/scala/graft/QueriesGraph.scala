@@ -26,14 +26,24 @@ private[graft] object QueriesGraph {
     * self-join that mines each runs once per (dir, shape), every
     * later consumer reads the parquet. At 100 TB this is simply the
     * materialized edge table every graph workload starts from. */
-  private def sampledEdges(spark: SparkSession, dir: String): DataFrame =
+  private def sampledEdgesWeighted(spark: SparkSession,
+                                   dir: String): DataFrame =
     graft.operators.Staged.getOrBuild(spark,
-      s"coocc_edges::$dir::pmod4_unweighted") {
-      graft.operators.Graph.coOccurrenceEdges(
+      s"coocc_edges::$dir::pmod4_weighted") {
+      graft.operators.Graph.coOccurrenceEdgesWeighted(
         tbl(spark, dir, "lineitem")
           .filter(pmod(col("l_partkey"), lit(4)) === 0),
         col("l_orderkey"), col("l_partkey"))
     }
+
+  /** The unweighted 1-in-4 edge set is the weighted one's key set
+    * (distinct (src,dst) ≡ the groupBy keys of the weighted mine),
+    * so BOTH shapes serve from ONE staged self-join: q146 reads the
+    * weights, the six unweighted consumers project them away (the
+    * column never leaves the parquet scan). Previously the two
+    * near-identical mines were staged separately. */
+  private def sampledEdges(spark: SparkSession, dir: String): DataFrame =
+    sampledEdgesWeighted(spark, dir).select(col("src"), col("dst"))
 
   private def repeatEdges(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Staged.getOrBuild(spark,
@@ -70,17 +80,10 @@ private[graft] object QueriesGraph {
     //     splits each part's rank proportionally instead of evenly —
     //     same deterministic-fold loop as q141, 2 iterations ---
     "q146_pagerank_weighted" -> { (spark, dir) =>
-      // staged like its cohort siblings (sampledEdges/repeatEdges —
-      // the round-11 discipline): the weighted co-occurrence
-      // self-join was the one edge build in the graph family still
-      // re-mined per run (opt r15; ~2 s of the query's 2.7 s warm)
-      val edges = graft.operators.Staged.getOrBuild(spark,
-        s"coocc_edges::$dir::pmod4_weighted") {
-        graft.operators.Graph.coOccurrenceEdgesWeighted(
-          tbl(spark, dir, "lineitem")
-            .filter(pmod(col("l_partkey"), lit(4)) === 0),
-          col("l_orderkey"), col("l_partkey"))
-      }
+      // the staged weighted mine — the SAME artifact the six
+      // unweighted cohort siblings project their edge set from
+      // (sampledEdges), so the one self-join has seven consumers
+      val edges = sampledEdgesWeighted(spark, dir)
       graft.operators.Graph.pageRank(edges, iterations = 2,
           damping = 0.85, deterministic = true, weighted = true)
         .select(col("node"), round(col("pr"), 9).as("pr"))

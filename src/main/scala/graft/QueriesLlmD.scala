@@ -94,90 +94,105 @@ private[graft] object QueriesLlmD {
     *                [[graft.operators.Digest.contentHash]] terms, so
     *                stage 8 digests the selected set without text
     */
-  /** Stage-1-to-5 outputs of the capstone chain: the per-stage census
-    * rows and the SELECTED training set — split out so the epoch /
-    * exposure stage (q409) can consume the selection without
-    * re-stating the chain. */
-  private case class ChainSelection(capRow: DataFrame,
-                                    deconRow: DataFrame,
-                                    splitRow: DataFrame,
-                                    takedownRow: DataFrame,
-                                    mixtureRow: DataFrame,
+  /** Stage-1-to-5 outputs of the capstone chain: the long-format
+    * census rows for stages 1-5 (stage, metric, value — already in
+    * the melt shape) and the SELECTED training set — split out so
+    * the epoch / exposure stage (q409/q411) can consume the selection
+    * without executing the census rows. */
+  private case class ChainSelection(stageRows: DataFrame,
                                     sel: DataFrame)
 
   private def chainToSelection(kept0: DataFrame,
                                corpusIds: DataFrame,
                                comps: DataFrame,
                                contamIds: DataFrame): ChainSelection = {
-    val kept = kept0.localCheckpoint()
-    val capRow = kept.agg(count(lit(1)).as("n_docs"),
-      sum(col("n_tok")).as("n_tokens"),
-      sum(col("doc_id")).as("id_checksum"))
-    // 2_decon — cluster assignment + cluster-wise contamination drop
+    // ONE-PASS MULTI-AGGREGATE MELT (r16, guide §2.4/§1.2): the old
+    // shape materialized every per-stage frame separately (kept, kc,
+    // sp, trainAll, train2 — eleven eager localCheckpoints) and
+    // melted EIGHT separate aggregate branches; with AQE each
+    // exchange materializes as its own driver-sequential job, so at
+    // bench scale the chain wall was ~73 job submissions, not
+    // compute. Stages 1-4 are all row-local flags of the SAME
+    // kept⨝cluster frame, so ONE wide aggregate over one annotated
+    // materialization now computes all thirteen stage-1-4 metrics,
+    // the two cluster censuses fold into ONE distinct-aggregate over
+    // the cluster-assignment frame, and the long-format rows explode
+    // from the single wide row. Values are identical by construction
+    // (the filters were row-local, so filtered-frame censuses ≡
+    // conditional aggregates; the oracle hash gate re-proves it).
     val asgAll = corpusIds
       .join(comps.select(col("id").as("doc_id"), col("comp")),
         Seq("doc_id"), "left")
       .withColumn("cluster", coalesce(col("comp"), col("doc_id")))
-      .localCheckpoint() // feeds contam clusters AND takedown
-    val contamClusters = contamIds
-      .join(asgAll, Seq("doc_id"))
+      .join(contamIds.select(col("doc_id")).dropDuplicates("doc_id")
+        .withColumn("__ci", lit(true)), Seq("doc_id"), "left")
+      .withColumn("__td", col("doc_id") < 1000000L &&
+        pmod(col("doc_id"), lit(89)) === 0)
+      .localCheckpoint() // cluster assignment + contamination /
+    // takedown flags: feeds the cluster sets, their one-agg census,
+    // and the kept join
+    val contamClusters = asgAll.filter(col("__ci"))
       .select(col("cluster")).distinct()
       .withColumn("__cc", lit(true))
-      .localCheckpoint() // tiny; counted AND joined
-    val kc = kept
-      .join(asgAll.select(col("doc_id"), col("cluster")),
-        Seq("doc_id"))
-      .join(broadcast(contamClusters), Seq("cluster"), "left")
-      .withColumn("drp", coalesce(col("__cc"), lit(false)))
-      .drop("__cc").localCheckpoint()
-    val keptc = kc.filter(!col("drp"))
-    val deconRow = kc.agg(
-      sum(when(col("drp"), 1L).otherwise(0L)).as("n_dropped"),
-      sum(when(!col("drp"), 1L).otherwise(0L)).as("n_left"),
-      sum(when(!col("drp"), col("doc_id")).otherwise(0L))
-        .as("id_checksum"))
-      .crossJoin(broadcast(contamClusters
-        .agg(count(lit(1)).as("n_contam_clusters"))))
-    // 3_split — cluster-keyed md5 three-way split (q356's axis)
+    val tdClusters = asgAll.filter(col("__td"))
+      .select(col("cluster")).distinct()
+      .withColumn("__tc", lit(true))
+    // both corpus-wide cluster censuses in ONE pass (a two-distinct
+    // aggregate — Spark's Expand handles it in one shuffle)
+    val clusterCounts = asgAll.agg(
+      count_distinct(when(col("__ci"), col("cluster")))
+        .as("m2_n_contam_clusters"),
+      count_distinct(when(col("__td"), col("cluster")))
+        .as("m4_n_td_clusters"))
+    // 3_split axis — cluster-keyed md5 three-way split (q356)
     def hexVal(c: Column): Column =
       conv(substring(md5(concat(lit("split3:"),
         c.cast("string")).cast("binary")), 1, 2), 16, 10)
         .cast("int")
-    val sp = keptc.withColumn("__v", hexVal(col("cluster")))
+    // kept is bounded by K·|sources| BY CONSTRUCTION (the cap) while
+    // the cluster assignment is corpus-wide: broadcast the kept side
+    // so the corpus-wide frame is never shuffled for this join
+    val annotated = asgAll.select(col("doc_id"), col("cluster"))
+      .join(broadcast(kept0), Seq("doc_id"))
+      .join(broadcast(contamClusters), Seq("cluster"), "left")
+      .withColumn("drp", coalesce(col("__cc"), lit(false)))
+      .withColumn("__v", hexVal(col("cluster")))
       .withColumn("sp", when(col("__v") < 205, "train")
         .when(col("__v") < 230, "val").otherwise("test"))
-      .localCheckpoint()
-    val splitRow = sp.agg(
-      sum(when(col("sp") === "train", 1L).otherwise(0L))
-        .as("n_train"),
-      sum(when(col("sp") === "val", 1L).otherwise(0L)).as("n_val"),
-      sum(when(col("sp") === "test", 1L).otherwise(0L))
-        .as("n_test"),
-      sum(when(col("sp") === "train", col("n_tok")).otherwise(0L))
-        .as("tok_train"))
-    // 4_takedown — retraction notices remove their whole cluster
-    // from train (the q400 policy: re-close the standing artifacts,
-    // never re-mine the corpus)
-    val tdClusters = asgAll
-      .filter(col("doc_id") < 1000000L &&
-        pmod(col("doc_id"), lit(89)) === 0)
-      .select(col("cluster")).distinct()
-      .withColumn("__td", lit(true))
-      .localCheckpoint()
-    val trainAll = sp.filter(col("sp") === "train")
       .join(broadcast(tdClusters), Seq("cluster"), "left")
-      .withColumn("rm", coalesce(col("__td"), lit(false)))
-      .localCheckpoint()
-    val train2 = trainAll.filter(!col("rm"))
+      .withColumn("rm", coalesce(col("__tc"), lit(false)))
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        col("drp"), col("sp"), col("rm"))
+      .localCheckpoint() // the chain's single stage-1-4 barrier
+    val isTrain = !col("drp") && col("sp") === "train"
+    // stages 1-4: thirteen conditional aggregates, ONE pass. The
+    // kept⨝cluster join is row-preserving (corpus ids are distinct
+    // and kept ⊆ corpus), so stage 1's census reads off the same
+    // frame.
+    val wide14 = annotated.agg(
+      count(lit(1)).as("m1_n_docs"),
+      sum(col("n_tok")).as("m1_n_tokens"),
+      sum(col("doc_id")).as("m1_id_checksum"),
+      sum(when(col("drp"), 1L).otherwise(0L)).as("m2_n_dropped"),
+      sum(when(!col("drp"), 1L).otherwise(0L)).as("m2_n_left"),
+      sum(when(!col("drp"), col("doc_id")).otherwise(0L))
+        .as("m2_id_checksum"),
+      sum(when(!col("drp") && col("sp") === "train", 1L)
+        .otherwise(0L)).as("m3_n_train"),
+      sum(when(!col("drp") && col("sp") === "val", 1L)
+        .otherwise(0L)).as("m3_n_val"),
+      sum(when(!col("drp") && col("sp") === "test", 1L)
+        .otherwise(0L)).as("m3_n_test"),
+      sum(when(!col("drp") && col("sp") === "train", col("n_tok"))
+        .otherwise(0L)).as("m3_tok_train"),
+      sum(when(isTrain && col("rm"), 1L).otherwise(0L))
+        .as("m4_n_removed"),
+      sum(when(isTrain && !col("rm"), 1L).otherwise(0L))
+        .as("m4_n_left"),
+      sum(when(isTrain && !col("rm"), col("n_tok")).otherwise(0L))
+        .as("m4_tok_left"))
+    val train2 = annotated.filter(isTrain && !col("rm"))
       .select(col("doc_id"), col("source"), col("n_tok"))
-      .localCheckpoint() // feeds census + selection
-    val takedownRow = trainAll.agg(
-      sum(when(col("rm"), 1L).otherwise(0L)).as("n_removed"),
-      sum(when(!col("rm"), 1L).otherwise(0L)).as("n_left"),
-      sum(when(!col("rm"), col("n_tok")).otherwise(0L))
-        .as("tok_left"))
-      .crossJoin(broadcast(tdClusters
-        .agg(count(lit(1)).as("n_td_clusters"))))
     // 5_mixture — token-budget UniMax (q357) over the survivors.
     // The census is ≤ |sources| rows; the greedy prefix runs per
     // SOURCE over a set that is ≤ K rows per source BY CONSTRUCTION
@@ -191,7 +206,8 @@ private[graft] object QueriesLlmD {
         "the 10000 the allocation windows are bounded for")
     val alloc = unimaxAllocFull(census, "source", "sz_tok",
         "alloc_tok", 6, 10)
-      .localCheckpoint()
+      .localCheckpoint() // ≤10k rows; read by the selection AND the
+    // capped count — one build
     val iw = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source"))
       .orderBy(col("h"), col("doc_id"))
@@ -207,14 +223,43 @@ private[graft] object QueriesLlmD {
       .select(col("doc_id"), col("source"), col("n_tok"))
       .localCheckpoint() // feeds mixture row, packing, sharding,
     //   digest — the selected set is read four times, built once
-    val mixtureRow = sel.agg(count(lit(1)).as("n_selected"),
-      sum(col("n_tok")).as("tok_selected"),
-      sum(col("doc_id")).as("id_checksum"))
+    val mixWide = sel.agg(count(lit(1)).as("m5_n_selected"),
+      sum(col("n_tok")).as("m5_tok_selected"),
+      sum(col("doc_id")).as("m5_id_checksum"))
       .crossJoin(broadcast(alloc.agg(
         sum(when(col("capped"), 1L).otherwise(0L))
-          .as("n_capped_sources"))))
-    ChainSelection(capRow, deconRow, splitRow, takedownRow,
-      mixtureRow, sel)
+          .as("m5_n_capped_sources"))))
+    // one wide row -> the long-format melt rows for stages 1-5
+    val entries = Seq(
+      ("1_cap", "n_docs", "m1_n_docs"),
+      ("1_cap", "n_tokens", "m1_n_tokens"),
+      ("1_cap", "id_checksum", "m1_id_checksum"),
+      ("2_decon", "n_dropped", "m2_n_dropped"),
+      ("2_decon", "n_left", "m2_n_left"),
+      ("2_decon", "id_checksum", "m2_id_checksum"),
+      ("2_decon", "n_contam_clusters", "m2_n_contam_clusters"),
+      ("3_split", "n_train", "m3_n_train"),
+      ("3_split", "n_val", "m3_n_val"),
+      ("3_split", "n_test", "m3_n_test"),
+      ("3_split", "tok_train", "m3_tok_train"),
+      ("4_takedown", "n_removed", "m4_n_removed"),
+      ("4_takedown", "n_left", "m4_n_left"),
+      ("4_takedown", "tok_left", "m4_tok_left"),
+      ("4_takedown", "n_td_clusters", "m4_n_td_clusters"),
+      ("5_mixture", "n_selected", "m5_n_selected"),
+      ("5_mixture", "tok_selected", "m5_tok_selected"),
+      ("5_mixture", "id_checksum", "m5_id_checksum"),
+      ("5_mixture", "n_capped_sources", "m5_n_capped_sources"))
+    val stageRows = wide14
+      .crossJoin(broadcast(clusterCounts))
+      .crossJoin(broadcast(mixWide))
+      .select(explode(array(entries.map { case (st, m, c) =>
+        struct(lit(st).as("stage"), lit(m).as("metric"),
+          coalesce(col(c).cast("long"), lit(0L)).as("value"))
+      }: _*)).as("r"))
+      .select(col("r.stage").as("stage"), col("r.metric").as("metric"),
+        col("r.value").as("value"))
+    ChainSelection(stageRows, sel)
   }
 
   /** [[trainingBuildChain]] exposed for the StreamBuildProfile dev
@@ -231,22 +276,31 @@ private[graft] object QueriesLlmD {
                                  docHash: DataFrame): DataFrame = {
     val c = chainToSelection(kept0, corpusIds, comps, contamIds)
     val sel = c.sel
-    // 6_packing — context packing at L=512 in pinned doc_id order
+    // 6_packing — context packing at L=512 in pinned doc_id order.
+    // The census metrics have CLOSED FORMS over the span frame
+    // (spans are contiguous from offset 0), so one aggregate replaces
+    // the old explode-to-chunks + groupBy(chunk) pass:
+    //   n_chunks     = max(e) div L + 1          (every chunk in
+    //                  [0, max(e) div L] is touched — contiguity)
+    //   n_multidoc   = #distinct chunks holding a doc START strictly
+    //                  inside (s mod L ≠ 0): such a start means the
+    //                  previous doc occupied s−1 in the same chunk
+    //                  (contiguity again), and a chunk with no
+    //                  strictly-inside start is covered by one doc
+    //   n_boundaries = Σ_chunks (n_docs−1)
+    //                = Σ_docs (chunks touched) − n_chunks
+    //   tail_fill    = (max(e)+1) − (n_chunks−1)·L
     val L = 512L
     val pk = graft.operators.Packing
     val spans = pk.spans(sel, col("doc_id"), col("n_tok"))
-      .localCheckpoint()
-    val chunks = pk.chunkCensus(spans, L)
-    val packingRow = chunks.agg(
-        count(lit(1)).as("n_chunks"),
-        sum(when(col("n_docs") >= 2, 1L).otherwise(0L))
-          .as("n_multidoc"),
-        sum(col("n_docs") - 1).as("n_boundaries"))
-      .crossJoin(broadcast(
-        spans.agg((max(col("e")) + 1).as("__t"))))
-      .withColumn("tail_fill",
-        col("__t") - (col("n_chunks") - 1) * L)
-      .drop("__t")
+    val packingRow = spans.agg(
+      (expr(s"max(e) div $L") + 1L).as("n_chunks"),
+      count_distinct(when(pmod(col("s"), lit(L)) =!= 0,
+        expr(s"s div $L"))).as("n_multidoc"),
+      (sum(expr(s"e div $L - s div $L + 1")) -
+        (expr(s"max(e) div $L") + 1L)).as("n_boundaries"),
+      (max(col("e")) + 1 - expr(s"max(e) div $L") * L)
+        .as("tail_fill"))
     // 7_sharding — world-size-8 rank assignment in md5 order
     val R = 8L
     val keyed = sel.withColumn("hs", md5(concat(lit("shard:"),
@@ -265,20 +319,19 @@ private[graft] object QueriesLlmD {
       max(col("__rt")).as("max_rank_tokens"),
       count(lit(1)).as("n_ranks"))
     // 8_digest — the corpus integrity manifest over the FINAL
-    // selection's pre-computed content hashes
+    // selection's pre-computed content hashes. The selection is
+    // K·|sources|-bounded (the cap), the hash manifest corpus-wide:
+    // broadcast the selection so the manifest is never shuffled.
     val dg = graft.operators.Digest
     val dgm = dg.shardDigestsFromHashes(
-      sel.select(col("doc_id")).join(docHash, Seq("doc_id")),
+      docHash.join(broadcast(sel.select(col("doc_id"))),
+        Seq("doc_id")),
       col("doc_id"), col("h"), shards = 16)
     val digestRow = dgm.agg(count(lit(1)).as("n_shards"),
       sum(col("digest")).as("digest_sum"),
       min(col("min_h")).as("hash_min"),
       max(col("max_h")).as("hash_max"))
-    melt("1_cap", c.capRow)
-      .unionByName(melt("2_decon", c.deconRow))
-      .unionByName(melt("3_split", c.splitRow))
-      .unionByName(melt("4_takedown", c.takedownRow))
-      .unionByName(melt("5_mixture", c.mixtureRow))
+    c.stageRows
       .unionByName(melt("6_packing", packingRow))
       .unionByName(melt("7_sharding", shardingRow))
       .unionByName(melt("8_digest", digestRow))

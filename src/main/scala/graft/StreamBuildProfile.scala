@@ -23,9 +23,37 @@ object StreamBuildProfile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000L).selectExpr("sum(id)").collect()
+    // job-count deltas alongside wall time: at bench scale the chain
+    // phases are driver-sequential job submissions, so the job count
+    // is the deterministic signal wall-clock noise hides
+    val jobSeen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val jobStartMs =
+      new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    val logJobs = sys.env.contains("SPARK_GRAFT_SBP_JOBS")
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobSeen.incrementAndGet()
+          if (logJobs) {
+            val nm = j.stageInfos.lastOption.map(_.name).getOrElse("?")
+            jobStartMs.put(j.jobId, (j.time, nm))
+          }
+        }
+        override def onJobEnd(
+            j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+          if (logJobs) {
+            Option(jobStartMs.remove(j.jobId)).foreach { case (t0, nm) =>
+              println(f"[sbpjob] job=${j.jobId}%4d " +
+                f"${(j.time - t0) / 1000.0}%7.3f s  $nm")
+            }
+          }
+      })
     def t[A](label: String)(f: => A): A = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"[sbp] $label: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      val t0 = System.nanoTime(); val j0 = jobSeen.get()
+      val r = f
+      println(f"[sbp] $label: ${(System.nanoTime() - t0) / 1e9}%.3f s " +
+        f"(${jobSeen.get() - j0} jobs)")
       r
     }
     (1 to 3).foreach { it =>

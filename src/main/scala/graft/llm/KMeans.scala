@@ -85,9 +85,28 @@ object KMeans {
       "spark.graft.kmeans.localVecBudget",
       sys.env.get("SPARK_GRAFT_KMEANS_LOCAL_VECS").map(_.toLong)
         .getOrElse(500000L))
-    if (c.schema("vec_id").dataType ==
-          org.apache.spark.sql.types.LongType &&
-        c.count() <= localBudget) {
+    // BYTE-aware companion budget: the collect pulls rows×dims
+    // doubles, so a row count alone under-gates high-dim corpora (a
+    // 1024-dim corpus of 490k rows is ~4 GB — it must stay
+    // distributed, and the dimension check has to run BEFORE the
+    // collect, not after). Default 16M cells ≡ the old behaviour at
+    // the 32-dim bench corpora (500k × 32), ~128 MB of payload.
+    val cellBudget = java.lang.Long.getLong(
+      "spark.graft.kmeans.localCellBudget",
+      sys.env.get("SPARK_GRAFT_KMEANS_LOCAL_CELLS").map(_.toLong)
+        .getOrElse(16000000L))
+    val preGate = c.schema("vec_id").dataType ==
+      org.apache.spark.sql.types.LongType && {
+      // ONE pre-collect aggregate probes row count AND the widest
+      // vector (same job count as the old bare count())
+      val g = c.agg(count(lit(1)), max(size(col("cv"))))
+        .collect()(0)
+      val n = g.getLong(0)
+      val dims = if (g.isNullAt(1)) 0L else g.getInt(1).toLong
+      n > 0 && n <= localBudget && dims > 0 &&
+        n <= cellBudget / dims
+    }
+    if (preGate) {
       val raw = c.collect()
       val clean = !raw.exists(r => r.isNullAt(0) || r.isNullAt(1) ||
         r.getAs[scala.collection.Seq[Any]](1).exists(_ == null))

@@ -50,14 +50,21 @@ object Packing {
     val base0 = docs.select(id.as("doc_id"),
         nTok.cast("long").as("n_tok"))
       .filter(col("n_tok") > 0)
-    val mx = base0.agg(max(col("doc_id"))).collect()(0)
-    if (mx.isNullAt(0))
+    // ONE probe aggregate for the emptiness check AND the rank cuts
+    // (they were two sequential driver round-trips; every spans
+    // consumer pays this once per call)
+    val probe = base0.agg(max(col("doc_id")).as("__mx"),
+        percentile_approx(col("doc_id"),
+          lit((1 to 255).map(_ / 256.0).toArray),
+          lit(10000)).as("__cuts"))
+      .collect()(0)
+    if (probe.isNullAt(0))
       return base0.select(col("doc_id"), col("n_tok"),
         lit(0L).as("s"), lit(0L).as("e")).limit(0)
     // bucket = how many rank cuts lie at or below this id — a
     // whole-stage-codegen array scan against the 255 broadcast-literal
     // cuts, monotone in doc_id so buckets stay order-ranges
-    val cuts = rankCuts(base0)
+    val cuts = probe.getSeq[Long](1)
     val based = base0.withColumn("__bk",
       size(filter(lit(cuts.toArray), c => c <= col("doc_id"))))
     val census = based.groupBy(col("__bk"))

@@ -93,4 +93,37 @@ class KMeansSpec extends SparkSpec {
       k = 2, iters = 2))
     assert(f1.nonEmpty)
   }
+
+  test("cell budget: an over-budget rows×dims corpus stays " +
+      "distributed — no driver collect — and matches bit-for-bit") {
+    val iv = Seq(
+      (0L, Seq(9L, 1L, 0L)), (2L, Seq(10L, 0L, 1L)),
+      (4L, Seq(8L, 2L, 0L)), (1L, Seq(1L, 9L, 3L)),
+      (3L, Seq(0L, 10L, 2L)), (5L, Seq(2L, 8L, 1L)),
+      (6L, Seq(0L, 0L, 0L))
+    ).toDF("vec_id", "embedding")
+    // 7 rows × 3 dims = 21 collected cells: a budget of 20 must
+    // refuse the collect even though the ROW budget (500k) is nowhere
+    // near — the dimension check runs BEFORE any driver pull
+    System.setProperty("spark.graft.kmeans.localCellBudget", "20")
+    val dist = try KMeans.fit(iv, $"vec_id", $"embedding",
+        k = 2, iters = 3)
+      finally System.clearProperty("spark.graft.kmeans.localCellBudget")
+    // the distributed loop returns a checkpoint-backed frame (a
+    // LogicalRDD); the driver fast path returns a LocalRelation —
+    // the plan shape IS the proof no collect happened
+    assert(dist.queryExecution.optimizedPlan.isInstanceOf[
+      org.apache.spark.sql.execution.LogicalRDD],
+      s"expected the distributed path, got " +
+        s"${dist.queryExecution.optimizedPlan.getClass}")
+    val m1 = meansMap(dist)
+    val m2 = meansMap(KMeans.fit(iv, $"vec_id", $"embedding",
+      k = 2, iters = 3)) // unrestricted → driver fast path
+    assert(m1.keySet === m2.keySet)
+    m1.foreach { case (k2, v) =>
+      assert(java.lang.Double.doubleToLongBits(v) ===
+        java.lang.Double.doubleToLongBits(m2(k2)),
+        s"cell-budget fallback diverged at $k2")
+    }
+  }
 }

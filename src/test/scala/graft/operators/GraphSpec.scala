@@ -197,6 +197,21 @@ class GraphSpec extends SparkSpec {
     assert(e === Set((10L, 20L), (20L, 10L), (20L, 30L), (30L, 20L)))
   }
 
+  test("the weighted mine's key set IS the unweighted edge set — " +
+      "the law that lets one staged artifact serve both shapes") {
+    val rel = Seq((1L, 10L), (1L, 10L), (1L, 20L), (2L, 20L),
+      (2L, 30L), (3L, 10L), (3L, 20L)).toDF("g", "i")
+    val unw = Graph.coOccurrenceEdges(rel, $"g", $"i")
+      .as[(Long, Long)].collect().toSet
+    val fromW = Graph.coOccurrenceEdgesWeighted(rel, $"g", $"i")
+      .select($"src", $"dst").as[(Long, Long)].collect().toSet
+    assert(fromW === unw)
+    // and the weights are the shared-group counts
+    val w = Graph.coOccurrenceEdgesWeighted(rel, $"g", $"i")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(w.contains((10L, 20L, 2L)) && w.contains((20L, 30L, 1L)))
+  }
+
   test("kCorePeel: matches the sequential peel; a clique survives, " +
       "its pendant tail peels away round by round") {
     // K4 on {1,2,3,4} (degree 3 inside) + tail 4-5-6: 6 peels in
